@@ -1,0 +1,110 @@
+"""Core data model: the Point schema and its derived columns.
+
+Reference mapping (SURVEY.md §1):
+
+* Point = (address: Word64, time: Word64 ns, payload: Word64)
+  — ``lib/TimeStore/Core.hs:245-270``.  Here: one row of the ``points``
+  DataFrame with nullable ``value`` (simple) / ``payload`` (extended)
+  columns instead of the reference's pointer/offset split storage.
+* address LSB discriminates simple (0) vs extended (1) points
+  — ``lib/TimeStore/Algorithms.hs:133``.
+* bucket placement = ``(addr & ~1) mod max_buckets``
+  — ``lib/TimeStore/Core.hs:272-276``; clearing bit 0 keeps an extended
+  point and its pointer in the same shard.
+* canonical ordering compares time first then address so adjacent
+  comparison deduplicates — ``lib/TimeStore/Core.hs:252-258``.
+* first-write-wins dedup on (address, time)
+  — ``lib/TimeStore/Algorithms.hs:198-217`` (stable sort + adjacent
+  compaction keeps the earliest-appended record).  Spark shuffles are
+  unordered, so determinism requires an explicit ingest-sequence
+  column ``seq``; ``row_number() over (partition by address, time
+  order by seq) = 1`` reproduces the reference's semantics exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+KIND_SIMPLE = 0
+KIND_EXTENDED = 1
+
+#: Schema of the engine's fundamental table (FIXTURES.md §1).
+POINTS_SCHEMA = T.StructType(
+    [
+        T.StructField("address", T.LongType(), False),
+        T.StructField("time", T.LongType(), False),   # nanoseconds
+        T.StructField("value", T.LongType(), True),   # simple payload
+        T.StructField("payload", T.BinaryType(), True),  # extended blob
+        T.StructField("seq", T.LongType(), False),    # ingest sequence
+    ]
+)
+
+
+def kind_col(address: Column | str = "address") -> Column:
+    """Point kind from the address LSB (Algorithms.hs:133)."""
+    address = F.col(address) if isinstance(address, str) else address
+    return (address.bitwiseAND(F.lit(1))).cast("int")
+
+
+def place_bucket(n_buckets: int, address: Column | str = "address") -> Column:
+    """Shard placement: ``(addr clearBit 0) mod n`` (Core.hs:272-276).
+
+    ``pmod`` (not ``%``) so negative int64 addresses (the reference's
+    Word64 upper half) still land in [0, n).
+    """
+    address = F.col(address) if isinstance(address, str) else address
+    return F.pmod(address.bitwiseAND(F.lit(-2)), F.lit(n_buckets))
+
+
+def first_wins_dedup(
+    df: DataFrame,
+    keys: Sequence[str] = ("address", "time"),
+    seq: str = "seq",
+) -> DataFrame:
+    """Deterministic first-write-wins dedup (Algorithms.hs:198-217).
+
+    The reference stable-sorts by (time, address) and keeps the first
+    record of each (address, time) run — i.e. the earliest *appended*
+    duplicate wins.  ``dropDuplicates`` would be nondeterministic under
+    shuffles, so we rank by the ingest sequence explicitly.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(seq).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def latest_per_key(
+    df: DataFrame,
+    key: str = "address",
+    time: str = "time",
+    seq: str = "seq",
+    payload_cols: Iterable[str] = ("value", "payload"),
+) -> DataFrame:
+    """Argmax-per-group: max-time record per key (``latestUniques``,
+    lib/TimeStore/Algorithms.hs:250-262).
+
+    The reference sorts (address ASC, time DESC) and keeps the first
+    per address; stability makes the earliest-appended win among equal
+    (addr, time) pairs — hence ordering by (time DESC, seq ASC).
+
+    Implemented as ``max_by(struct, ord)`` — a hash aggregate with
+    map-side partial aggregation, which beats a window + filter at
+    scale (one shuffle, no full sort of each partition).
+    """
+    # struct ordering is lexicographic: max time wins; among equal
+    # times, max(-seq) = min seq = first-written wins.
+    ord_col = F.struct(F.col(time).alias("t"), (-F.col(seq)).alias("negseq"))
+    payload_struct = F.struct(*[F.col(c) for c in [time, *payload_cols, seq]])
+    agg = df.groupBy(key).agg(F.max_by(payload_struct, ord_col).alias("__best"))
+    out = agg.select(
+        key,
+        *[F.col(f"__best.{c}").alias(c) for c in [time, *payload_cols, seq]],
+    )
+    return out

@@ -1,0 +1,162 @@
+"""Mutable KV view over the append-only point log.
+
+Reference: ``TimeStore.Mutable`` (lib/TimeStore/Mutable.hs) — a
+last-value-per-key map layered on the point store:
+
+* keys are addresses forced extended (``setBit 0``, Mutable.hs:95);
+* ``Time`` is reused as a monotonically increasing version
+  (Mutable.hs:14-15, 98-101);
+* values are extended blobs in a shadow namespace ``ns <> "_INTERNAL"``
+  (Mutable.hs:43-46) with a fixed single-epoch 128-bucket index
+  (StoreHelpers.hs:151-154);
+* lookup reads the key's bucket and takes the highest version
+  (Mutable.hs:48-73, ``findLast`` 121-139);
+* ``insertWith`` is an *unlocked* read-modify-write whose merge
+  function is the system's only user-definable hook (Mutable.hs:83-103).
+
+Spark-native design: the log IS the table; the map is the
+latest-per-key aggregate (``max_by``) — ``enumerate`` becomes one
+hash-aggregate scan instead of 128 bucket walks.  Point lookups prune
+to the key's single bucket partition first.  ``insert_with`` keeps the
+reference's read-merge-append semantics (and improves on its raciness
+only by being a single-writer API); ``merge_with`` is the scalable
+bulk variant: fold ALL versions per key through the merge function in
+one ``applyInPandas`` pass — no per-key round-trips.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rados_timestore_spark.core import latest_per_key
+from rados_timestore_spark.store import TimeStore
+
+MUTABLE_BUCKETS = 128  # StoreHelpers.hs:151-154
+
+
+class MutableKV:
+    def __init__(self, store: TimeStore, ns: str):
+        self.store = store
+        self.ns = ns + "_INTERNAL"  # Mutable.hs:43-46
+        if not store.is_registered(self.ns):
+            store.register_namespace(self.ns, buckets=MUTABLE_BUCKETS)
+
+    @staticmethod
+    def _key(key: int) -> int:
+        return key | 1  # force extended (Mutable.hs:95)
+
+    # ---------------------------------------------------------- writes
+
+    def insert(self, key: int, value: bytes) -> None:
+        """Last-write-wins upsert (``insert = insertWith const``,
+        Mutable.hs:75-81)."""
+        self.insert_with(lambda new, old: new, key, value)
+
+    def insert_with(self, merge: Callable[[bytes, bytes], bytes],
+                    key: int, value: bytes) -> bytes:
+        """Read-modify-write upsert with user merge (Mutable.hs:83-103):
+        written value = ``merge(new, existing)`` at version+1."""
+        addr = self._key(key)
+        cur = self._lookup_versioned(addr)
+        if cur is None:
+            out, ver = value, 0
+        else:
+            out, ver = merge(value, cur[0]), cur[1] + 1
+        df = self.store.spark.createDataFrame(
+            [(addr, ver, bytearray(out))], "address long, time long, payload binary"
+        )
+        self.store.write_points(self.ns, df)
+        return out
+
+    # ----------------------------------------------------------- reads
+
+    def lookup(self, key: int) -> bytes | None:
+        """Latest value for key (Mutable.hs:48-60)."""
+        got = self._lookup_versioned(self._key(key))
+        return None if got is None else got[0]
+
+    def _lookup_versioned(self, addr: int) -> tuple[bytes, int] | None:
+        # Bucket-pruned point read over the full version range
+        # (lookup' reads [0, maxBound], Mutable.hs:61-73).
+        df = self.store.read_extended(self.ns, 0, (1 << 62), [addr])
+        row = df.orderBy(F.desc("time"), F.asc("seq")).limit(1).collect()
+        if not row:
+            return None
+        return bytes(row[0]["payload"]), int(row[0]["time"])
+
+    def enumerate(self) -> DataFrame:
+        """All (key, value) pairs at their latest version
+        (Mutable.hs:105-119) — one latest-per-key aggregate scan."""
+        import os
+
+        pdir = self.store._points_dir(self.ns)
+        if not os.path.isdir(pdir):
+            return self.store.spark.createDataFrame(
+                [], "address long, time long, payload binary"
+            )
+        df = self.store.spark.read.parquet(pdir).filter(F.col("kind") == 1)
+        out = latest_per_key(df, payload_cols=("payload",))
+        return out.select(
+            F.col("address").alias("key"), F.col("payload").alias("value")
+        )
+
+    # ----------------------------------------------------- bulk (scale)
+
+    def insert_bulk(self, df: DataFrame) -> None:
+        """Append many (key, value) rows in one batch; versions are the
+        per-key next version.  df: (key long, value binary)."""
+        cur = self.enumerate_versions().select("key", "time")
+        new = (
+            df.withColumn("key", F.col("key").bitwiseOR(F.lit(1)))
+            .join(F.broadcast(cur), "key", "left")
+            .select(
+                F.col("key").alias("address"),
+                (F.coalesce(F.col("time") + 1, F.lit(0))).alias("time"),
+                F.col("value").alias("payload"),
+            )
+        )
+        self.store.write_points(self.ns, new)
+
+    def enumerate_versions(self) -> DataFrame:
+        import os
+
+        pdir = self.store._points_dir(self.ns)
+        if not os.path.isdir(pdir):
+            return self.store.spark.createDataFrame(
+                [], "key long, time long, payload binary"
+            )
+        df = self.store.spark.read.parquet(pdir).filter(F.col("kind") == 1)
+        out = latest_per_key(df, payload_cols=("payload",))
+        return out.select(F.col("address").alias("key"), "time", "payload")
+
+    def merge_with(self, merge: Callable[[bytes, bytes], bytes]) -> DataFrame:
+        """Scalable fold of the whole version chain per key: applies
+        ``merge`` pairwise from oldest to newest (the result every
+        sequence of ``insertWith merge`` calls would have produced).
+        One shuffle + one Arrow-batched pass (``applyInPandas``)."""
+        import os
+
+        pdir = self.store._points_dir(self.ns)
+        if not os.path.isdir(pdir):
+            return self.store.spark.createDataFrame([], "key long, value binary")
+        df = (
+            self.store.spark.read.parquet(pdir)
+            .filter(F.col("kind") == 1)
+            .select("address", "time", "seq", "payload")
+        )
+
+        def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["time", "seq"])
+            acc: bytes | None = None
+            for blob in pdf["payload"]:
+                b = bytes(blob)
+                acc = b if acc is None else merge(b, acc)
+            return pd.DataFrame(
+                {"key": [int(pdf["address"].iloc[0])], "value": [acc]}
+            )
+
+        return df.groupBy("address").applyInPandas(fold, "key long, value binary")

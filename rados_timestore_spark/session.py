@@ -1,0 +1,106 @@
+"""SparkSession bootstrap tuned for the timestore workload.
+
+Scale notes (100 TB target): AQE handles runtime coalescing and skew
+joins; shuffle partitions default to the core count locally but should
+be ~2-3x total cluster cores in production; parquet filter pushdown and
+partition pruning carry the read path (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs that the engine depends on.  Applied both
+# when we build the session ourselves and when we are handed a foreign
+# session (the correctness driver builds its own).
+_RUNTIME_CONFS = {
+    # The driver test data stores event time as parquet TIMESTAMP(NANOS)
+    # which Spark cannot represent as TimestampType (µs).  Reading it as
+    # a nanosecond long matches the reference's time model exactly:
+    # Time is a Word64 of nanoseconds (lib/TimeStore/Core.hs:240-243).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.mergeSchema": "false",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Small dimension tables (TPC-H nation/region/supplier, LSH band
+    # maps) should always broadcast.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime confs to an existing session."""
+    for key, value in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Static conf on this build — keep going; only nanosAsLong
+            # is load-bearing and it is runtime-settable on Spark 4.
+            pass
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Pandas-UDF closures (codec decode, KV merge fold) reference module
+    functions, which pickle by module+name — executors must be able to
+    import ``rados_timestore_spark``.  ``addPyFile`` ships a zip of the
+    package to every worker; on a real cluster this is also how the
+    engine reaches 1000 executors without a deploy step.
+    """
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    try:
+        zpath = os.path.join(
+            tempfile.gettempdir(), "rados_timestore_spark_pkg.zip"
+        )
+        tmp = f"{zpath}.{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for base, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(base, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+        os.replace(tmp, zpath)
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        # Already added this session, or a read-only tmp — workers that
+        # share the driver's PYTHONPATH (our tests) still work.
+        pass
+
+
+def get_spark(
+    app_name: str = "rados-timestore-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's configuration.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default 32 — the
+    driver's bench environment).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for key, value in _RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    return configure_session(builder.getOrCreate())

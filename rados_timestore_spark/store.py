@@ -1,0 +1,361 @@
+"""TimeStore: the engine's namespace/table layer.
+
+Reference API surface (SURVEY.md §2 / §3):
+
+* ``registerNamespace`` / ``isRegistered`` — lib/TimeStore.hs:74-95
+* ``writeEncoded`` (ingest) — lib/TimeStore.hs:98-137
+* ``readSimple`` / ``readExtended`` — lib/TimeStore.hs:139-177
+* watermark maintenance (``updateLatest``) — StoreHelpers.hs:227-265
+* epoch rollover (``maybeRollover``) — StoreHelpers.hs:194-221
+
+Spark-native design
+-------------------
+One ``points`` Parquet table per namespace, directory-partitioned by
+``(epoch, bucket)``.  The reference's physical object name
+``<bucket>_<epoch>_<kind>`` (Core.hs:203-208) becomes the partition
+path; its index objects become a small ``_meta.json``; its advisory
+locks (Core.hs:128-164) are obviated by the single-writer-per-table
+model (Structured Streaming or batch appends + atomic parquet task
+commits).
+
+Scale notes (100 TB): reads prune on the ``epoch`` partition column
+(time range) and the ``bucket`` partition column (address set) before
+any row is touched — the same pruning ``targetObjs``
+(StoreHelpers.hs:80-104) does, but performed by Catalyst from the
+partition predicate.  Dedup + sort happen after pruning on only the
+matching partitions.  Appends never read-modify-write data files
+(write-optimized, like the reference's append-only buckets); a
+separate ``compact()`` job is the read-optimizing merge the reference
+never does.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time as _time
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rados_timestore_spark.core import (
+    POINTS_SCHEMA,
+    first_wins_dedup,
+    kind_col,
+    place_bucket,
+)
+from rados_timestore_spark.index import Index
+
+DEFAULT_BUCKETS = 128
+#: Rollover threshold: reference default 4 MiB per bucket object
+#: (Core.hs:88-90).  For a Parquet table this bounds the *latest
+#: epoch's* per-bucket size before a new epoch entry is cut.
+DEFAULT_ROLLOVER_BYTES = 4 * 1024 * 1024
+
+_META = "_meta.json"
+
+
+class NamespaceNotRegistered(Exception):
+    """Raised like ``userError "Invalid namespace"`` (StoreHelpers.hs:69-76)."""
+
+
+@dataclass
+class _Meta:
+    index: Index
+    latest_simple: int | None = None    # simple watermark (X3)
+    latest_extended: int | None = None  # extended watermark (X3)
+    seq_base: int = 0                   # next ingest-sequence block
+
+    def to_json(self) -> dict:
+        return {
+            "index": self.index.to_json(),
+            "latest_simple": self.latest_simple,
+            "latest_extended": self.latest_extended,
+            "seq_base": self.seq_base,
+        }
+
+    @classmethod
+    def from_json(cls, d: dict) -> "_Meta":
+        return cls(
+            index=Index.from_json(d["index"]),
+            latest_simple=d.get("latest_simple"),
+            latest_extended=d.get("latest_extended"),
+            seq_base=int(d.get("seq_base", 0)),
+        )
+
+
+class TimeStore:
+    """Namespace-scoped point store over Parquet.
+
+    ``root`` is any Hadoop-visible URI prefix: a local directory in
+    tests, ``s3a://bucket/prefix`` on Ceph RGW in production — the
+    MemoryStore/RadosStore duality (Stores/Memory.hs, Stores/Rados.hs)
+    reduced to a path swap.
+    """
+
+    def __init__(self, spark: SparkSession, root: str,
+                 rollover_bytes: int = DEFAULT_ROLLOVER_BYTES):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.rollover_bytes = rollover_bytes
+
+    # ------------------------------------------------------------ paths
+
+    def _ns_dir(self, ns: str) -> str:
+        if not ns or "_" in ns:
+            # The reference rejects '_' in namespace names because it is
+            # the object-name separator (Core.hs:226-230).  We keep the
+            # constraint for layout compatibility ('_INTERNAL' shadow
+            # namespaces are created through MutableKV only).
+            if not ns.endswith("_INTERNAL") or ns.count("_") > 1:
+                raise ValueError(f"invalid namespace: {ns!r}")
+        return f"{self.root}/{ns}"
+
+    def _points_dir(self, ns: str) -> str:
+        return f"{self._ns_dir(ns)}/points"
+
+    def _meta_path(self, ns: str) -> str:
+        return f"{self._ns_dir(ns)}/{_META}"
+
+    # ------------------------------------------------------------- meta
+
+    def _read_meta(self, ns: str) -> _Meta:
+        path = self._meta_path(ns)
+        if not os.path.exists(path):
+            raise NamespaceNotRegistered(ns)
+        with open(path) as fh:
+            return _Meta.from_json(json.load(fh))
+
+    def _write_meta(self, ns: str, meta: _Meta) -> None:
+        path = self._meta_path(ns)
+        tmp = f"{path}.tmp.{os.getpid()}.{_time.monotonic_ns()}"
+        with open(tmp, "w") as fh:
+            json.dump(meta.to_json(), fh)
+        os.replace(tmp, path)  # atomic on POSIX
+
+    # -------------------------------------------------------------- DDL
+
+    def register_namespace(self, ns: str, buckets: int = DEFAULT_BUCKETS) -> None:
+        """Create a namespace with initial index ``[(0, buckets)]``
+        (TimeStore.hs:74-90).  Idempotent."""
+        os.makedirs(self._ns_dir(ns), exist_ok=True)
+        if not self.is_registered(ns):
+            self._write_meta(ns, _Meta(index=Index(((0, buckets),))))
+
+    def is_registered(self, ns: str) -> bool:
+        """Registered iff the index exists (TimeStore.hs:92-95)."""
+        return os.path.exists(self._meta_path(ns))
+
+    # ------------------------------------------------------------ write
+
+    def write_points(self, ns: str, df: DataFrame) -> None:
+        """Ingest one batch — the ``writeEncoded`` pipeline
+        (TimeStore.hs:98-137) minus the locking (single writer):
+
+        1. route every row to its (epoch, bucket) via index stab +
+           ``placeBucket`` (``groupMixed``, Algorithms.hs:111-178);
+        2. stamp the ingest sequence (dedup determinism, SURVEY §4);
+        3. one partitioned append (``writeBuckets``,
+           StoreHelpers.hs:107-149);
+        4. monotone watermark update (``updateLatest``,
+           StoreHelpers.hs:227-265);
+        5. rollover check (``maybeRollover``, StoreHelpers.hs:194-221).
+
+        ``df`` needs columns (address, time) plus ``value`` and/or
+        ``payload``; ``seq`` is honored if present, else stamped.
+        """
+        meta = self._read_meta(ns)
+        idx = meta.index
+
+        cols = set(df.columns)
+        if "value" not in cols:
+            df = df.withColumn("value", F.lit(None).cast("long"))
+        if "payload" not in cols:
+            df = df.withColumn("payload", F.lit(None).cast("binary"))
+        if "seq" not in cols:
+            # Block-stamped sequence: unique and ingest-ordered within
+            # the batch (monotonically_increasing_id preserves the
+            # source order inside each partition), strictly above every
+            # previous batch.  No global sort needed.
+            df = df.withColumn(
+                "seq", F.lit(meta.seq_base) + F.monotonically_increasing_id()
+            )
+
+        routed = (
+            df.select("address", "time", "value", "payload", "seq")
+            .withColumn("kind", kind_col())
+            .withColumn("epoch", idx.epoch_col("time"))
+            .withColumn(
+                "bucket",
+                place_bucket_by_index(idx, "time", "address"),
+            )
+        )
+
+        (
+            routed.write.mode("append")
+            .partitionBy("epoch", "bucket")
+            .parquet(self._points_dir(ns))
+        )
+
+        # Watermarks: monotone max-merge per kind (StoreHelpers.hs:241-259).
+        maxima = (
+            routed.groupBy("kind").agg(F.max("time").alias("mx")).collect()
+        )
+        for row in maxima:
+            if row["kind"] == 0:
+                meta.latest_simple = _mono_max(meta.latest_simple, row["mx"])
+            else:
+                meta.latest_extended = _mono_max(meta.latest_extended, row["mx"])
+        meta.seq_base += 1 << 44  # next batch's sequence block
+        self._write_meta(ns, meta)
+
+        self._maybe_rollover(ns, meta)
+
+    def _maybe_rollover(self, ns: str, meta: _Meta) -> None:
+        """Cut a new epoch at the watermark when the latest epoch's
+        largest bucket exceeds the threshold (StoreHelpers.hs:194-221).
+
+        The new epoch starts at the current watermark so no in-flight
+        point can land behind the boundary (StoreHelpers.hs:228-231).
+        Bucket count is carried over (rescale hook: pass a different
+        count here to rescale forward without rewriting history).
+        """
+        latest_epoch, buckets = meta.index.latest()
+        pdir = os.path.join(self._points_dir(ns), f"epoch={latest_epoch}")
+        if not os.path.isdir(pdir):
+            return
+        max_bucket_bytes = 0
+        for bdir in os.scandir(pdir):
+            if bdir.is_dir():
+                size = sum(
+                    f.stat().st_size for f in os.scandir(bdir.path) if f.is_file()
+                )
+                max_bucket_bytes = max(max_bucket_bytes, size)
+        if max_bucket_bytes <= self.rollover_bytes:
+            return
+        watermark = max(
+            meta.latest_simple or 0, meta.latest_extended or 0
+        )
+        if watermark <= latest_epoch:
+            return
+        meta.index = Index(meta.index.entries + ((watermark, buckets),))
+        self._write_meta(ns, meta)
+
+    # ------------------------------------------------------------- read
+
+    def _scan(self, ns: str, start: int, end: int,
+              addresses: Sequence[int] | None) -> DataFrame:
+        """Pruned scan: partition predicates on (epoch, bucket) mirror
+        ``targetObjs`` (StoreHelpers.hs:80-104), then row-level filter
+        time BETWEEN start AND end — closed interval on both ends,
+        matching ``processSimple`` (Algorithms.hs:204-206)."""
+        meta = self._read_meta(ns)
+        pdir = self._points_dir(ns)
+        if not os.path.isdir(pdir):
+            return self.spark.createDataFrame([], _scan_schema())
+        df = self.spark.read.parquet(pdir)
+
+        entries = meta.index.range_lookup(start, end)
+        epochs = [e for e, _ in entries]
+        pred = F.col("epoch").isin(epochs)
+        if addresses is not None:
+            # Per-epoch bucket sets (bucket counts may differ by epoch).
+            addr_pred = None
+            for e, n in entries:
+                buckets = sorted({(a & ~1) % n for a in addresses})
+                clause = (F.col("epoch") == e) & F.col("bucket").isin(buckets)
+                addr_pred = clause if addr_pred is None else (addr_pred | clause)
+            pred = pred & addr_pred
+            df = df.filter(F.col("address").isin([int(a) for a in addresses]))
+        df = df.filter(pred).filter(F.col("time").between(start, end))
+        return df
+
+    def read_simple(self, ns: str, start: int, end: int,
+                    addresses: Sequence[int]) -> DataFrame:
+        """``readSimple`` (TimeStore.hs:142-156): filter → first-wins
+        dedup on (address, time) → sort by (time, address).
+
+        Empty address list ⇒ empty result (``elem`` semantics,
+        Algorithms.hs:204-206).  Output is globally time-ordered — a
+        strictly stronger guarantee than the reference's per-chunk
+        ordering contract (TimeStore.hs:139-141).
+        """
+        if not addresses:
+            return self._scan(ns, start, end, []).filter(F.lit(False)) \
+                .select("address", "time", "value", "seq")
+        addresses = [a for a in addresses if (a & 1) == 0]
+        df = self._scan(ns, start, end, addresses).filter(F.col("kind") == 0)
+        df = first_wins_dedup(df)
+        return df.select("address", "time", "value", "seq").orderBy("time", "address")
+
+    def read_extended(self, ns: str, start: int, end: int,
+                      addresses: Sequence[int]) -> DataFrame:
+        """``readExtended`` (TimeStore.hs:161-177).  The reference's
+        pointer→blob zip-join (Algorithms.hs:220-239) is obviated by
+        the inline binary ``payload`` column — same filter/dedup/sort
+        plan selecting ``payload`` instead of ``value``."""
+        if not addresses:
+            return self._scan(ns, start, end, []).filter(F.lit(False)) \
+                .select("address", "time", "payload", "seq")
+        addresses = [a | 1 for a in addresses]
+        df = self._scan(ns, start, end, addresses).filter(F.col("kind") == 1)
+        df = first_wins_dedup(df)
+        return df.select("address", "time", "payload", "seq").orderBy("time", "address")
+
+    # ------------------------------------------------------------ admin
+
+    def latest(self, ns: str) -> tuple[int | None, int | None]:
+        """(simple, extended) watermarks (Core.hs:181-185 latest files)."""
+        meta = self._read_meta(ns)
+        return meta.latest_simple, meta.latest_extended
+
+    def index(self, ns: str) -> Index:
+        return self._read_meta(ns).index
+
+    def compact(self, ns: str, target_partitions_per_bucket: int = 1) -> None:
+        """Read-optimizing merge (the OPTIMIZE the reference never does):
+        rewrite each (epoch, bucket) partition's many small append files
+        into ``target_partitions_per_bucket`` files, preserving rows."""
+        pdir = self._points_dir(ns)
+        if not os.path.isdir(pdir):
+            return
+        df = self.spark.read.parquet(pdir)
+        tmp = f"{self._ns_dir(ns)}/points_compacting"
+        (
+            df.repartition(target_partitions_per_bucket, "epoch", "bucket")
+            .write.mode("overwrite").partitionBy("epoch", "bucket").parquet(tmp)
+        )
+        backup = f"{self._ns_dir(ns)}/points_old"
+        os.rename(pdir, backup)
+        os.rename(tmp, pdir)
+        import shutil
+
+        shutil.rmtree(backup)
+
+
+def place_bucket_by_index(idx: Index, time_col: str, addr_col: str):
+    """Bucket column honoring per-epoch bucket counts."""
+    n = idx.bucket_count_col(time_col)
+    return F.pmod(F.col(addr_col).bitwiseAND(F.lit(-2)), n)
+
+
+def _mono_max(current: int | None, seen) -> int | None:
+    if seen is None:
+        return current
+    seen = int(seen)
+    return seen if current is None or seen > current else current
+
+
+def _scan_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        POINTS_SCHEMA.fields
+        + [
+            T.StructField("kind", T.IntegerType(), True),
+            T.StructField("epoch", T.LongType(), True),
+            T.StructField("bucket", T.LongType(), True),
+        ]
+    )

@@ -1,0 +1,149 @@
+"""TimeStore write/read round-trip — ports the reference's golden unit
+tests (tests/UnitTests.hs) and core laws (tests/FuzzyTests.hs) to the
+Spark engine.  SURVEY.md §5."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rados_timestore_spark.core import place_bucket
+from rados_timestore_spark.store import NamespaceNotRegistered
+
+
+def _write(store, ns, rows, **kw):
+    df = store.spark.createDataFrame(
+        rows, "address long, time long, value long")
+    store.write_points(ns, df, **kw)
+
+
+def test_register_and_is_registered(store):
+    assert not store.is_registered("PONY")
+    store.register_namespace("PONY", buckets=4)
+    assert store.is_registered("PONY")
+    store.register_namespace("PONY", buckets=8)  # idempotent
+    assert store.index("PONY").entries == ((0, 4),)
+
+
+def test_unregistered_read_raises(store):
+    with pytest.raises(NamespaceNotRegistered):
+        store.read_simple("nope", 0, 10, [2])
+
+
+def test_invalid_namespace_rejected(store):
+    with pytest.raises(ValueError):
+        store.register_namespace("has_underscore")
+
+
+def test_simple_roundtrip_and_ordering(store):
+    # UnitTests.hs:299-314 fixture: addresses 0,2,4,8 at times 0,2,4,8.
+    store.register_namespace("PONY", buckets=4)
+    _write(store, "PONY", [(0, 0, 10), (2, 2, 20), (4, 4, 30), (8, 8, 40)])
+    got = store.read_simple("PONY", 0, 8, [0, 2, 4, 8]).collect()
+    assert [(r.address, r.time, r.value) for r in got] == [
+        (0, 0, 10), (2, 2, 20), (4, 4, 30), (8, 8, 40)]
+
+
+def test_time_range_is_closed_interval(store):
+    # Algorithms.hs:204-206: start <= t AND t <= end, both inclusive.
+    store.register_namespace("PONY", buckets=4)
+    _write(store, "PONY", [(2, 1, 1), (2, 2, 2), (2, 3, 3), (2, 4, 4)])
+    got = store.read_simple("PONY", 2, 3, [2]).collect()
+    assert [r.time for r in got] == [2, 3]
+
+
+def test_empty_address_list_empty_result(store):
+    store.register_namespace("PONY", buckets=4)
+    _write(store, "PONY", [(2, 1, 1)])
+    assert store.read_simple("PONY", 0, 10, []).count() == 0
+
+
+def test_address_filter_and_hash_collision(store):
+    # UnitTests.hs:93-114: addresses 14 and 4 share bucket 4 (mod 10);
+    # reading one must not return the other.
+    store.register_namespace("PONY", buckets=10)
+    _write(store, "PONY", [(4, 1, 44), (14, 1, 1414)])
+    got = store.read_simple("PONY", 0, 10, [14]).collect()
+    assert [(r.address, r.value) for r in got] == [(14, 1414)]
+
+
+def test_first_write_wins_dedup(store):
+    # Algorithms.hs:209-217: earliest-appended duplicate wins.
+    store.register_namespace("PONY", buckets=4)
+    _write(store, "PONY", [(2, 5, 111)])
+    _write(store, "PONY", [(2, 5, 222)])
+    got = store.read_simple("PONY", 0, 10, [2]).collect()
+    assert [(r.address, r.time, r.value) for r in got] == [(2, 5, 111)]
+
+
+def test_extended_roundtrip(store):
+    # UnitTests.hs:317-320: (1,1,"hai") (1,2,"there") (3,1,"pony").
+    store.register_namespace("PONY", buckets=4)
+    df = store.spark.createDataFrame(
+        [(1, 1, bytearray(b"hai")), (1, 2, bytearray(b"there")),
+         (3, 1, bytearray(b"pony"))],
+        "address long, time long, payload binary")
+    store.write_points("PONY", df)
+    got = store.read_extended("PONY", 0, 10, [1, 3]).collect()
+    assert [(r.address, r.time, bytes(r.payload)) for r in got] == [
+        (1, 1, b"hai"), (3, 1, b"pony"), (1, 2, b"there")]
+
+
+def test_simple_read_excludes_extended_and_vice_versa(store):
+    store.register_namespace("PONY", buckets=4)
+    df = store.spark.createDataFrame(
+        [(2, 1, 7, None), (3, 1, None, bytearray(b"x"))],
+        "address long, time long, value long, payload binary")
+    store.write_points("PONY", df)
+    assert [r.address for r in store.read_simple("PONY", 0, 9, [2, 3]).collect()] == [2]
+    assert [r.address for r in store.read_extended("PONY", 0, 9, [2, 3]).collect()] == [3]
+
+
+def test_watermarks_monotone(store):
+    # StoreHelpers.hs:241-259: updateLatest only moves forward.
+    store.register_namespace("PONY", buckets=4)
+    _write(store, "PONY", [(2, 100, 1)])
+    assert store.latest("PONY") == (100, None)
+    _write(store, "PONY", [(2, 50, 1)])
+    assert store.latest("PONY") == (100, None)
+    df = store.spark.createDataFrame(
+        [(3, 70, bytearray(b"x"))], "address long, time long, payload binary")
+    store.write_points("PONY", df)
+    assert store.latest("PONY") == (100, 70)
+
+
+def test_rollover_appends_epoch_at_watermark(store):
+    # StoreHelpers.hs:194-221: new epoch cut at the watermark when the
+    # latest epoch's largest bucket exceeds the threshold.
+    store.rollover_bytes = 1  # force immediately
+    store.register_namespace("PONY", buckets=4)
+    _write(store, "PONY", [(2, 10, 1), (2, 20, 2)])
+    entries = store.index("PONY").entries
+    assert entries == ((0, 4), (20, 4))
+    # New writes at later times land in the new epoch; reads still see
+    # everything (FuzzyTests round-trip law across rollovers).
+    _write(store, "PONY", [(2, 30, 3)])
+    got = store.read_simple("PONY", 0, 100, [2]).collect()
+    assert [r.time for r in got] == [10, 20, 30]
+
+
+def test_bucket_placement_matches_reference(spark):
+    # Core.hs:272-276: placeBucket clears bit 0 then mods.
+    df = spark.createDataFrame([(i,) for i in range(16)], "address long")
+    got = {r.address: r.b for r in df.select(
+        "address", place_bucket(10).alias("b")).collect()}
+    for a in range(16):
+        assert got[a] == ((a & ~1) % 10), a
+
+
+def test_multi_epoch_read_spans_rescale(store):
+    # Bucket count changes across epochs (Index model, Index.hs:37):
+    # points must be found in both layouts.
+    store.register_namespace("PONY", buckets=4)
+    _write(store, "PONY", [(6, 1, 1)])
+    # Manually rescale: next epoch uses 10 buckets.
+    meta = store._read_meta("PONY")
+    from rados_timestore_spark.index import Index
+    meta.index = Index(meta.index.entries + ((5, 10),))
+    store._write_meta("PONY", meta)
+    _write(store, "PONY", [(6, 9, 2)])
+    got = store.read_simple("PONY", 0, 10, [6]).collect()
+    assert [(r.time, r.value) for r in got] == [(1, 1), (9, 2)]
