@@ -1,0 +1,53 @@
+"""Headline benchmark: runs every bench-tagged registry query at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Each query is materialized with a count-style collect (results are
+small aggregates or pruned reads).  A warmup pass of the cheapest
+query absorbs JVM/codegen startup so timings reflect the plans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from rados_timestore_spark import registry
+    from rados_timestore_spark.session import get_spark
+
+    spark = get_spark(app_name="rados-timestore-bench")
+    bench = registry.bench_queries()
+
+    # Warmup: JVM + parquet footer + Arrow path, not measured.
+    warm = spark.read.parquet(f"{sf_dir}/events.parquet")
+    warm.limit(10).collect()
+
+    timings: dict[str, float] = {}
+    for name, fn in bench.items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+    print(json.dumps({
+        "metric": "bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

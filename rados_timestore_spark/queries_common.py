@@ -1,0 +1,83 @@
+"""Shared helpers for the driver-contract query modules.
+
+The driver runs each ``queries()[name]`` on Spark and the matching
+``oracle_sql()[name]`` on DuckDB over the same parquet tables, then
+compares row-count + schema + order-insensitive value hash.  These
+helpers keep the two sides bit-identical:
+
+* event time: the parquet stores TIMESTAMP(NANOS); Spark reads it as a
+  nanosecond long (``nanosAsLong``) and we ``div 1000`` to µs; DuckDB
+  reads the same column truncated to µs natively, so ``epoch_us(ts)``
+  matches exactly.
+* the events table maps onto the reference's Point model
+  (SURVEY.md §1.1, lib/TimeStore/Core.hs:245-249) as::
+
+      address = user_id * 2 + (event_type = 'error')   -- LSB = kind
+      time    = epoch_us(ts)
+      value   = event_id          (simple payload, Word64-ish)
+      payload_str = props         (extended payload, utf-8)
+      seq     = event_id          (ingest order -> first-wins dedup)
+
+  'error' events play the role of extended points so both kinds exist.
+* floats are kept out of driver-compared outputs except as exact
+  DECIMAL sums cast to double (order-independent, identical bits in
+  both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------------ time
+# events span 2024-01; constants in µs since epoch.
+T_JAN10 = 1_704_844_800_000_000  # 2024-01-10 00:00:00 UTC
+T_JAN20 = 1_705_708_800_000_000  # 2024-01-20 00:00:00 UTC
+US_PER_DAY = 86_400_000_000
+
+#: Fixed address set for point-lookup queries (even = simple kind).
+#: Includes 4 and 14 — the reference's bucket-collision test pair
+#: (tests/UnitTests.hs:93-114: both hash to bucket 4 mod 10).
+ADDRS = (0, 2, 4, 14, 46, 92, 150, 288)
+
+#: SQL literal for ADDRS.
+ADDRS_SQL = ", ".join(str(a) for a in ADDRS)
+
+#: CTE shared by every events-based oracle: events -> points.
+PTS_CTE = """
+WITH pts AS (
+  SELECT user_id * 2 + CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+           AS address,
+         epoch_us(ts) AS time,
+         event_id     AS value,
+         props        AS payload_str,
+         event_id     AS seq
+  FROM events
+)
+"""
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one driver test table with the engine's session confs."""
+    from rados_timestore_spark.session import configure_session
+
+    configure_session(spark)
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table projected onto the Point model (see module doc).
+
+    Mirrors PTS_CTE exactly — any change must be made in both places.
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        (
+            F.col("user_id") * 2
+            + F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("address"),
+        F.expr("ts div 1000").alias("time"),
+        F.col("event_id").alias("value"),
+        F.col("props").alias("payload_str"),
+        F.col("event_id").alias("seq"),
+    )

@@ -1,0 +1,581 @@
+"""Driver-contract queries for the engine core (SURVEY.md §2.1).
+
+Every operator of the reference's query surface gets a driver-visible
+query here, paired with a DuckDB oracle (registered in
+:mod:`rados_timestore_spark.registry`).  The events table is projected
+onto the Point model per :mod:`queries_common`.
+
+Operator -> query map (reference locations in SURVEY.md §2):
+
+* Q4/Q5/Q8 ``processSimple``/``readSimple``  -> ts_read_simple,
+  ts_dedup_first_wins, ts_closed_interval, ts_empty_addresses
+* Q6/Q7/Q9 ``processExtended``/``readExtended`` -> ts_read_extended
+* Q1 ``locationLookup`` (epoch stab)          -> ts_epoch_stab
+* Q2/Q3 ``rangeLookup``/``targetObjs``        -> ts_range_pruning
+* W1 ``groupMixed`` routing / ``placeBucket`` -> ts_bucket_placement
+* W5/W6 ``writeEncoded``/``writeBuckets``     -> ts_store_roundtrip*
+* W2/W3 codec (``parsePointAt``)              -> ts_codec_roundtrip
+* X3 ``updateLatest`` (watermarks)            -> ts_watermark
+* M1/M7 ``Mutable.lookup``/``findLast``       -> ts_find_last
+* M4/M5/M6 ``enumerate``/``latestUniques``    -> ts_kv_enumerate,
+  ts_latest_per_key
+* M3 ``insertWith`` merge fold                -> ts_kv_merge_fold
+* M2 bulk insert + U1 register                -> ts_kv_roundtrip
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rados_timestore_spark.core import first_wins_dedup, latest_per_key
+from rados_timestore_spark.queries_common import (
+    ADDRS,
+    ADDRS_SQL,
+    PTS_CTE,
+    T_JAN10,
+    T_JAN20,
+    US_PER_DAY,
+    events_points,
+)
+from rados_timestore_spark.registry import register
+
+# --------------------------------------------------------------- reads
+
+
+@register(
+    "ts_read_simple",
+    oracle=f"""{PTS_CTE}
+SELECT address, time, value, seq
+FROM (SELECT *, row_number() OVER (PARTITION BY address, time ORDER BY seq)
+        AS rn FROM pts) d
+WHERE rn = 1 AND address % 2 = 0
+  AND address IN ({ADDRS_SQL})
+  AND time BETWEEN {T_JAN10} AND {T_JAN20}
+""",
+    tags=("Q4", "Q8"),
+    bench=True,
+)
+def ts_read_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readSimple semantics (TimeStore.hs:142-156): closed-interval
+    time filter + address set + first-wins dedup on (address, time)."""
+    pts = events_points(spark, sf_dir)
+    df = pts.filter(
+        (F.col("address") % 2 == 0)
+        & F.col("address").isin(list(ADDRS))
+        & F.col("time").between(T_JAN10, T_JAN20)
+    )
+    return first_wins_dedup(df).select("address", "time", "value", "seq")
+
+
+@register(
+    "ts_read_extended",
+    oracle=f"""{PTS_CTE}
+SELECT address, time, payload_str, seq
+FROM (SELECT *, row_number() OVER (PARTITION BY address, time ORDER BY seq)
+        AS rn FROM pts) d
+WHERE rn = 1 AND address % 2 = 1
+  AND address IN ({", ".join(str(a | 1) for a in ADDRS)})
+  AND time BETWEEN {T_JAN10} AND {T_JAN20}
+""",
+    tags=("Q7", "Q9"),
+)
+def ts_read_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readExtended (TimeStore.hs:161-177): same plan over the extended
+    kind, selecting the variable-length payload column."""
+    pts = events_points(spark, sf_dir)
+    df = pts.filter(
+        (F.col("address") % 2 == 1)
+        & F.col("address").isin([a | 1 for a in ADDRS])
+        & F.col("time").between(T_JAN10, T_JAN20)
+    )
+    return first_wins_dedup(df).select("address", "time", "payload_str", "seq")
+
+
+@register(
+    "ts_dedup_first_wins",
+    oracle=f"""{PTS_CTE}
+SELECT address, time // {US_PER_DAY} AS day, min(seq) AS seq,
+       CAST(min(value) AS BIGINT) AS value
+  FROM pts GROUP BY address, time // {US_PER_DAY}
+""",
+    tags=("Q5",),
+    bench=True,
+)
+def ts_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deDuplicate kernel (Algorithms.hs:273-298) under real key
+    collisions: day-coarse timestamps give ~60% duplicate (address,
+    day) pairs; the earliest-appended record must survive (seq == value
+    == event_id here, so min(seq) identifies the surviving row)."""
+    pts = events_points(spark, sf_dir).withColumn(
+        "day", F.expr(f"time div {US_PER_DAY}")
+    )
+    dd = first_wins_dedup(pts, keys=("address", "day"))
+    return dd.select("address", "day", "seq", "value")
+
+
+@register(
+    "ts_closed_interval",
+    oracle=f"""{PTS_CTE}
+SELECT count(*) AS n_total,
+       CAST(sum(CASE WHEN time // {US_PER_DAY} = {T_JAN10 // US_PER_DAY}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_at_start,
+       CAST(sum(CASE WHEN time // {US_PER_DAY} = {T_JAN20 // US_PER_DAY}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_at_end
+FROM (SELECT time // {US_PER_DAY} AS dtime, time FROM pts) t
+WHERE dtime BETWEEN {T_JAN10 // US_PER_DAY} AND {T_JAN20 // US_PER_DAY}
+""",
+    tags=("Q4",),
+)
+def ts_closed_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BETWEEN is inclusive on both ends (Algorithms.hs:204-206:
+    ``start <= t && t <= end``) — both boundary days count."""
+    d0, d1 = T_JAN10 // US_PER_DAY, T_JAN20 // US_PER_DAY
+    pts = events_points(spark, sf_dir).withColumn(
+        "dtime", F.expr(f"time div {US_PER_DAY}")
+    )
+    hit = pts.filter(F.col("dtime").between(d0, d1))
+    return hit.agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("dtime") == d0, 1).otherwise(0)).alias("n_at_start"),
+        F.sum(F.when(F.col("dtime") == d1, 1).otherwise(0)).alias("n_at_end"),
+    )
+
+
+@register(
+    "ts_empty_addresses",
+    oracle=f"{PTS_CTE} SELECT address, time, value, seq FROM pts WHERE FALSE",
+    tags=("Q4",),
+)
+def ts_empty_addresses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empty address list => empty result (``elem`` over an empty list,
+    Algorithms.hs:204-206), not a full scan."""
+    pts = events_points(spark, sf_dir)
+    return pts.filter(F.col("address").isin([])).select(
+        "address", "time", "value", "seq"
+    )
+
+
+# ---------------------------------------------------- planning / routing
+
+
+#: A plausible multi-epoch index over January 2024 with a rescale at
+#: the last entry (bucket count 32 -> 64), exercising per-epoch bucket
+#: counts (Index.hs:37, rollover rescale StoreHelpers.hs:194-221).
+_EPOCHS = (
+    (0, 32),
+    (T_JAN10, 32),
+    (1_705_276_800_000_000, 64),  # 2024-01-15
+)
+
+
+def _epoch_case_sql() -> str:
+    e0 = _EPOCHS[0][0]
+    expr = f"{e0}"
+    for e, _ in _EPOCHS:
+        expr = f"CASE WHEN time >= {e} THEN {e} ELSE {expr} END"
+    return expr
+
+
+def _bucket_count_case_sql() -> str:
+    b0 = _EPOCHS[0][1]
+    expr = f"{b0}"
+    for e, b in _EPOCHS:
+        expr = f"CASE WHEN time >= {e} THEN {b} ELSE {expr} END"
+    return expr
+
+
+def _index():
+    from rados_timestore_spark.index import Index
+
+    return Index(_EPOCHS)
+
+
+@register(
+    "ts_epoch_stab",
+    oracle=f"""{PTS_CTE}
+SELECT {_epoch_case_sql()} AS epoch, count(*) AS n,
+       CAST(sum(value) AS BIGINT) AS sum_value
+FROM pts GROUP BY 1
+""",
+    tags=("Q1",),
+)
+def ts_epoch_stab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch stab lookup (Index.hs:71-88) as a literal CASE chain —
+    greatest epoch <= t, leftmost for t before all entries."""
+    pts = events_points(spark, sf_dir)
+    df = pts.withColumn("epoch", _index().epoch_col("time"))
+    return df.groupBy("epoch").agg(
+        F.count("*").alias("n"), F.sum("value").alias("sum_value")
+    )
+
+
+@register(
+    "ts_bucket_placement",
+    oracle=f"""{PTS_CTE}
+SELECT (address & -2) % 128 AS bucket, count(*) AS n,
+       CAST(sum(address) AS BIGINT) AS sum_addr
+FROM pts GROUP BY 1
+""",
+    tags=("W1",),
+)
+def ts_bucket_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """placeBucket (Core.hs:272-276): ``(addr clearBit 0) mod n`` —
+    an extended point and its pointer share a bucket number."""
+    from rados_timestore_spark.core import place_bucket
+
+    pts = events_points(spark, sf_dir)
+    df = pts.withColumn("bucket", place_bucket(128))
+    return df.groupBy("bucket").agg(
+        F.count("*").alias("n"), F.sum("address").alias("sum_addr")
+    )
+
+
+@register(
+    "ts_range_pruning",
+    oracle=f"""{PTS_CTE}
+SELECT epoch, bucket, count(*) AS n FROM (
+  SELECT {_epoch_case_sql()} AS epoch,
+         (address & -2) % ({_bucket_count_case_sql()}) AS bucket,
+         address, time
+  FROM pts) t
+WHERE address IN ({ADDRS_SQL}) AND time BETWEEN {T_JAN10} AND {T_JAN20}
+GROUP BY epoch, bucket
+""",
+    tags=("Q2", "Q3"),
+)
+def ts_range_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """targetObjs planning (StoreHelpers.hs:80-104): epochs overlapping
+    the range x buckets any queried address hashes to — per-epoch
+    bucket counts included."""
+    from rados_timestore_spark.store import place_bucket_by_index
+
+    idx = _index()
+    pts = events_points(spark, sf_dir)
+    df = (
+        pts.withColumn("epoch", idx.epoch_col("time"))
+        .withColumn("bucket", place_bucket_by_index(idx, "time", "address"))
+        .filter(
+            F.col("address").isin(list(ADDRS))
+            & F.col("time").between(T_JAN10, T_JAN20)
+        )
+    )
+    return df.groupBy("epoch", "bucket").agg(F.count("*").alias("n"))
+
+
+# ------------------------------------------------------------ watermarks
+
+
+@register(
+    "ts_watermark",
+    oracle=f"""{PTS_CTE}
+SELECT address % 2 AS kind, max(time) AS latest, count(*) AS n
+FROM pts GROUP BY 1
+""",
+    tags=("X3",),
+)
+def ts_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """updateLatest (StoreHelpers.hs:227-265): per-kind monotone max
+    event time."""
+    pts = events_points(spark, sf_dir)
+    return (
+        pts.withColumn("kind", (F.col("address") % 2).cast("long"))
+        .groupBy("kind")
+        .agg(F.max("time").alias("latest"), F.count("*").alias("n"))
+    )
+
+
+# --------------------------------------------------------- mutable KV
+
+
+@register(
+    "ts_latest_per_key",
+    oracle=f"""{PTS_CTE}
+SELECT address, time, value, seq FROM (
+  SELECT address, time // {US_PER_DAY} * {US_PER_DAY} AS time, value, seq,
+         row_number() OVER (PARTITION BY address
+             ORDER BY time // {US_PER_DAY} DESC, seq ASC) AS rn
+  FROM pts) d
+WHERE rn = 1
+""",
+    tags=("M6",),
+    bench=True,
+)
+def ts_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """latestUniques (Algorithms.hs:250-262): argmax-per-key on time,
+    earliest-appended wins among equal times (day-coarse to force
+    ties).  Implemented as a max_by hash aggregate — one shuffle with
+    map-side partial aggregation, no per-partition full sort."""
+    pts = events_points(spark, sf_dir).withColumn(
+        "time", F.expr(f"time div {US_PER_DAY}") * US_PER_DAY
+    )
+    out = latest_per_key(pts, payload_cols=("value",))
+    return out.select("address", "time", "value", "seq")
+
+
+@register(
+    "ts_find_last",
+    oracle=f"""{PTS_CTE}
+SELECT address, time, payload_str FROM (
+  SELECT *, row_number() OVER (PARTITION BY address
+             ORDER BY time DESC, seq DESC) AS rn
+  FROM pts WHERE address = 17) d
+WHERE rn = 1
+""",
+    tags=("M1", "M7"),
+)
+def ts_find_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """findLast (Mutable.hs:121-139): the final record of a key's
+    version chain — Mutable.lookup for address 17 (= key 16 forced
+    extended, Mutable.hs:95)."""
+    pts = events_points(spark, sf_dir).filter(F.col("address") == 17)
+    w_time = F.struct(F.col("time").alias("t"), F.col("seq").alias("s"))
+    out = pts.groupBy("address").agg(
+        F.max_by(
+            F.struct(F.col("time"), F.col("payload_str")), w_time
+        ).alias("__b")
+    )
+    return out.select(
+        "address", F.col("__b.time").alias("time"),
+        F.col("__b.payload_str").alias("payload_str"),
+    )
+
+
+@register(
+    "ts_kv_enumerate",
+    oracle=f"""{PTS_CTE}
+SELECT address AS key, payload_str AS value FROM (
+  SELECT *, row_number() OVER (PARTITION BY address
+             ORDER BY time DESC, seq ASC) AS rn
+  FROM pts WHERE address % 2 = 1) d
+WHERE rn = 1
+""",
+    tags=("M4", "M5"),
+)
+def ts_kv_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutable.enumerate (Mutable.hs:105-119): latest value per key
+    over the whole keyspace — one hash-aggregate scan instead of the
+    reference's 128 bucket walks."""
+    pts = events_points(spark, sf_dir).filter(F.col("address") % 2 == 1)
+    out = latest_per_key(pts, payload_cols=("payload_str",))
+    return out.select(
+        F.col("address").alias("key"), F.col("payload_str").alias("value")
+    )
+
+
+@register(
+    "ts_kv_merge_fold",
+    oracle=f"""{PTS_CTE}
+SELECT address AS key, payload_str AS value FROM (
+  SELECT *, row_number() OVER (PARTITION BY address
+             ORDER BY length(payload_str) DESC, time ASC, seq ASC) AS rn
+  FROM pts WHERE address % 2 = 1) d
+WHERE rn = 1
+""",
+    tags=("M3",),
+)
+def ts_kv_merge_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """insertWith merge semantics in bulk (Mutable.hs:83-103): fold the
+    whole version chain per key (oldest -> newest) through a Python
+    merge function — merge(new, old) keeps the longer value, so the
+    fold result is the earliest maximal-length version.  One shuffle +
+    one Arrow-batched applyInPandas pass."""
+    pts = events_points(spark, sf_dir).filter(F.col("address") % 2 == 1)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["time", "seq"])
+        acc = None
+        for s in pdf["payload_str"]:
+            if acc is None or len(s) > len(acc):
+                acc = s
+        return pd.DataFrame(
+            {"key": [int(pdf["address"].iloc[0])], "value": [acc]}
+        )
+
+    return pts.select("address", "time", "seq", "payload_str").groupBy(
+        "address"
+    ).applyInPandas(fold, "key long, value string")
+
+
+# ------------------------------------------------ store round-trips (E2E)
+
+_STORE_CACHE: dict[str, tuple] = {}
+
+
+def _roundtrip_store(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir) a real on-disk TimeStore from the events
+    table: register namespace, install the multi-epoch index, ingest
+    through write_points — the full writeEncoded pipeline
+    (TimeStore.hs:98-137) including routing, seq stamping, watermark
+    update and rollover check."""
+    if sf_dir in _STORE_CACHE:
+        return _STORE_CACHE[sf_dir]
+    from rados_timestore_spark.store import TimeStore
+
+    root = tempfile.mkdtemp(prefix="ts_driver_")
+    store = TimeStore(spark, root)
+    ns = "driver"
+    store.register_namespace(ns, buckets=32)
+    meta = store._read_meta(ns)
+    meta.index = _index()
+    store._write_meta(ns, meta)
+
+    pts = events_points(spark, sf_dir)
+    df = pts.select(
+        "address",
+        "time",
+        F.when(F.col("address") % 2 == 0, F.col("value")).alias("value"),
+        F.when(
+            F.col("address") % 2 == 1, F.encode("payload_str", "UTF-8")
+        ).alias("payload"),
+        "seq",
+    )
+    store.write_points(ns, df)
+    _STORE_CACHE[sf_dir] = (store, ns)
+    return store, ns
+
+
+@register(
+    "ts_store_roundtrip",
+    oracle=f"""{PTS_CTE}
+SELECT address, time, value, seq
+FROM (SELECT *, row_number() OVER (PARTITION BY address, time ORDER BY seq)
+        AS rn FROM pts) d
+WHERE rn = 1 AND address % 2 = 0
+  AND address IN ({ADDRS_SQL})
+  AND time BETWEEN {T_JAN10} AND {T_JAN20}
+""",
+    tags=("W5", "W6", "Q8", "U1"),
+    bench=True,
+)
+def ts_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end: ingest events through write_points into a parquet
+    TimeStore (partitioned by epoch/bucket), then read_simple with
+    partition pruning — results must equal the pure relational
+    definition (write->read is lossless modulo dedup)."""
+    store, ns = _roundtrip_store(spark, sf_dir)
+    df = store.read_simple(ns, T_JAN10, T_JAN20, list(ADDRS))
+    return df.select("address", "time", "value", "seq")
+
+
+@register(
+    "ts_store_roundtrip_extended",
+    oracle=f"""{PTS_CTE}
+SELECT address, time, md5(payload_str) AS payload_md5, seq
+FROM (SELECT *, row_number() OVER (PARTITION BY address, time ORDER BY seq)
+        AS rn FROM pts) d
+WHERE rn = 1 AND address % 2 = 1
+  AND address IN ({", ".join(str(a | 1) for a in ADDRS)})
+  AND time BETWEEN {T_JAN10} AND {T_JAN20}
+""",
+    tags=("W5", "Q9"),
+)
+def ts_store_roundtrip_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end extended read: binary payloads survive the parquet
+    round-trip byte-exact (compared via md5)."""
+    store, ns = _roundtrip_store(spark, sf_dir)
+    df = store.read_extended(ns, T_JAN10, T_JAN20, [a | 1 for a in ADDRS])
+    return df.select(
+        "address", "time", F.md5("payload").alias("payload_md5"), "seq"
+    )
+
+
+@register(
+    "ts_kv_roundtrip",
+    oracle=f"""{PTS_CTE}
+SELECT address | 1 AS key, md5(payload_str) AS value_md5 FROM (
+  SELECT *, row_number() OVER (PARTITION BY address
+             ORDER BY time DESC, seq ASC) AS rn
+  FROM pts WHERE address % 2 = 1) d
+WHERE rn = 1
+""",
+    tags=("M2", "M4"),
+)
+def ts_kv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MutableKV end-to-end: bulk-insert the latest value per key into
+    a real KV namespace, then enumerate it back."""
+    from rados_timestore_spark.mutable import MutableKV
+
+    store, _ = _roundtrip_store(spark, sf_dir)
+    kv = MutableKV(store, "kvdriver")
+    pts = events_points(spark, sf_dir).filter(F.col("address") % 2 == 1)
+    latest = latest_per_key(pts, payload_cols=("payload_str",))
+    kv.insert_bulk(
+        latest.select(
+            F.col("address").alias("key"),
+            F.encode("payload_str", "UTF-8").alias("value"),
+        )
+    )
+    out = kv.enumerate()
+    return out.select("key", F.md5("value").alias("value_md5"))
+
+
+# ----------------------------------------------------------------- codec
+
+
+@register(
+    "ts_codec_roundtrip",
+    oracle=f"""{PTS_CTE}
+SELECT count(*) AS n,
+       CAST(sum(CASE WHEN address % 2 = 0 THEN value END) AS BIGINT)
+         AS sum_simple_value,
+       CAST(sum(CASE WHEN address % 2 = 1
+                THEN octet_length(encode(payload_str)) END) AS BIGINT)
+         AS sum_ext_bytes,
+       CAST(sum(address) AS BIGINT) AS sum_addr,
+       min(time) AS min_time, max(time) AS max_time
+FROM pts
+""",
+    tags=("W2", "W3"),
+)
+def ts_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wire codec round-trip (Algorithms.hs:100-186): pack points into
+    mixed wire blobs (one per bucket group, executor-side), decode them
+    back with the mapInPandas codec, and aggregate — totals must match
+    the never-encoded relation."""
+    from rados_timestore_spark.codec import decode_wire_df, encode_points
+
+    pts = events_points(spark, sf_dir).select(
+        "address",
+        "time",
+        F.when(F.col("address") % 2 == 0, F.col("value")).alias("value"),
+        F.when(
+            F.col("address") % 2 == 1, F.encode("payload_str", "UTF-8")
+        ).alias("payload"),
+        "seq",
+    )
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("seq")
+        rows = [
+            (
+                int(a),
+                int(t),
+                None if pd.isna(v) else int(v),
+                None if p is None else bytes(p),
+            )
+            for a, t, v, p in zip(
+                pdf["address"], pdf["time"], pdf["value"], pdf["payload"]
+            )
+        ]
+        return pd.DataFrame({"blob": [encode_points(rows)]})
+
+    grouped = pts.withColumn("g", F.col("address") % 64)
+    blobs = grouped.groupBy("g").applyInPandas(enc, "blob binary")
+    decoded = decode_wire_df(blobs, seq_col=None)
+    return decoded.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("address") % 2 == 0, F.col("value"))).alias(
+            "sum_simple_value"
+        ),
+        F.sum(
+            F.when(F.col("address") % 2 == 1, F.length("payload"))
+        ).alias("sum_ext_bytes"),
+        F.sum("address").alias("sum_addr"),
+        F.min("time").alias("min_time"),
+        F.max("time").alias("max_time"),
+    )

@@ -73,22 +73,29 @@ def bench_queries() -> dict[str, QueryFn]:
 _loaded = False
 
 
+#: Import errors collected by _ensure_loaded (module -> repr(error)).
+#: One broken module must never zero the whole driver contract, but
+#: the failure has to stay visible for debugging.
+LOAD_ERRORS: dict[str, str] = {}
+
+_QUERY_MODULES = (
+    "rados_timestore_spark.queries_core",
+    "rados_timestore_spark.queries_tpch",
+    "rados_timestore_spark.queries_text",
+    "rados_timestore_spark.queries_dedup",
+    "rados_timestore_spark.queries_similarity",
+    "rados_timestore_spark.queries_multimodal",
+)
+
+
 def _ensure_loaded() -> None:
     """Import every module that registers queries (import side effects)."""
     global _loaded
     if _loaded:
         return
-    import rados_timestore_spark.queries_core  # noqa: F401
-
-    for optional in (
-        "rados_timestore_spark.queries_tpch",
-        "rados_timestore_spark.queries_text",
-        "rados_timestore_spark.queries_dedup",
-        "rados_timestore_spark.queries_similarity",
-        "rados_timestore_spark.queries_multimodal",
-    ):
+    for mod in _QUERY_MODULES:
         try:
-            __import__(optional)
-        except ImportError:
-            pass
+            __import__(mod)
+        except Exception as exc:  # noqa: BLE001 — record, don't crash
+            LOAD_ERRORS[mod] = repr(exc)
     _loaded = True
