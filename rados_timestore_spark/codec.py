@@ -10,9 +10,11 @@ simple value); if set, the header is followed by ``payload`` raw bytes
 Decoding is a sequential scan (record boundaries depend on prior
 lengths), so one blob decodes on one executor — parallelism comes from
 many blobs (one per row of a binary-column DataFrame), exactly how the
-reference parallelizes over many client writes.  Implemented with
-``mapInPandas`` (Arrow batches in, Arrow batches out); numpy does the
-fixed-stride header decode vectorized where possible.
+reference parallelizes over many client writes.  Within a blob, runs
+of consecutive *simple* records have a fixed 24-byte stride and are
+decoded with one numpy ``frombuffer`` view per run (vectorized header
+decode); the Python loop only advances at extended records, whose
+variable length forces sequential parsing.
 
 A parse error poisons the whole blob (``Either SomeException`` in
 ``groupMixed``, Algorithms.hs:111-127) — we mirror that by raising,
@@ -24,12 +26,74 @@ from __future__ import annotations
 import struct
 from typing import Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
 POINT_SCHEMA_DDL = (
     "address long, time long, value long, payload binary, seq long"
 )
+
+
+def _signed(u: int) -> int:
+    """Reinterpret Word64 as signed i64 (Spark LongType); bit patterns
+    — and therefore bucket placement and kind — are preserved."""
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def decode_blob_columns(
+    blob: bytes,
+) -> tuple[np.ndarray, np.ndarray, list, list]:
+    """Decode one packed wire blob into columns
+    ``(address, time, value, payload)``.
+
+    ``address``/``time`` are i64 numpy arrays; ``value``/``payload``
+    are Python lists with ``None`` holes (nullable columns).  Simple
+    runs decode via strided numpy views; only extended records take the
+    scalar path.
+    """
+    off = 0
+    n = len(blob)
+    addr_parts: list[np.ndarray] = []
+    time_parts: list[np.ndarray] = []
+    values: list = []
+    payloads: list = []
+    while off < n:
+        if off + 24 > n:
+            raise ValueError(f"truncated point header at offset {off}")
+        k = (n - off) // 24
+        arr = np.frombuffer(blob, dtype="<u8", offset=off, count=3 * k)
+        arr = arr.reshape(k, 3)
+        odd = np.nonzero(arr[:, 0] & 1)[0]
+        m = int(odd[0]) if odd.size else k
+        if m:  # a run of m simple records, fixed 24-byte stride
+            addr_parts.append(arr[:m, 0].astype("<u8").view("<i8"))
+            time_parts.append(arr[:m, 1].astype("<u8").view("<i8"))
+            values.extend(arr[:m, 2].astype("<u8").view("<i8").tolist())
+            payloads.extend([None] * m)
+            off += 24 * m
+            # tail shorter than 24B after a clean run is a torn header
+            if off < n and n - off < 24:
+                raise ValueError(f"truncated point header at offset {off}")
+            continue
+        addr_u, time_u, length = struct.unpack_from("<QQQ", blob, off)
+        off += 24
+        if off + length > n:
+            raise ValueError(f"truncated extended payload at offset {off}")
+        addr_parts.append(np.array([_signed(addr_u)], dtype="<i8"))
+        time_parts.append(np.array([_signed(time_u)], dtype="<i8"))
+        values.append(None)
+        payloads.append(blob[off : off + length])
+        off += length
+    if not addr_parts:
+        empty = np.empty(0, dtype="<i8")
+        return empty, empty, [], []
+    return (
+        np.concatenate(addr_parts),
+        np.concatenate(time_parts),
+        values,
+        payloads,
+    )
 
 
 def decode_blob(blob: bytes, seq_start: int = 0) -> list[tuple]:
@@ -40,30 +104,13 @@ def decode_blob(blob: bytes, seq_start: int = 0) -> list[tuple]:
     records in blob order (the reference's implicit append order that
     first-write-wins dedup depends on, Algorithms.hs:209).
     """
-    out: list[tuple] = []
-    off = 0
-    n = len(blob)
-    seq = seq_start
-    while off < n:
-        if off + 24 > n:
-            raise ValueError(f"truncated point header at offset {off}")
-        addr, time, payload = struct.unpack_from("<QQQ", blob, off)
-        off += 24
-        # Reinterpret Word64 as signed i64 (Spark LongType); bit
-        # patterns — and therefore bucket placement and kind — are
-        # preserved.
-        addr_s = addr - (1 << 64) if addr >= (1 << 63) else addr
-        time_s = time - (1 << 64) if time >= (1 << 63) else time
-        if addr & 1:  # extended: length-prefixed blob follows
-            if off + payload > n:
-                raise ValueError(f"truncated extended payload at offset {off}")
-            out.append((addr_s, time_s, None, blob[off : off + payload], seq))
-            off += payload
-        else:
-            val_s = payload - (1 << 64) if payload >= (1 << 63) else payload
-            out.append((addr_s, time_s, val_s, None, seq))
-        seq += 1
-    return out
+    addrs, times, values, payloads = decode_blob_columns(blob)
+    return [
+        (int(a), int(t), v, p, seq_start + i)
+        for i, (a, t, v, p) in enumerate(
+            zip(addrs.tolist(), times.tolist(), values, payloads)
+        )
+    ]
 
 
 def encode_points(points: Iterable[tuple]) -> bytes:
@@ -100,13 +147,27 @@ def decode_wire_df(blobs: DataFrame, blob_col: str = "blob",
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows: list[tuple] = []
+            frames = []
             for i in range(len(pdf)):
-                blob = pdf[blob_col].iloc[i]
+                blob = bytes(pdf[blob_col].iloc[i])
                 base = int(pdf[seq_col].iloc[i]) if has_seq else 0
-                rows.extend(decode_blob(bytes(blob), base))
-            yield pd.DataFrame(
-                rows, columns=["address", "time", "value", "payload", "seq"]
-            )
+                addrs, times, values, payloads = decode_blob_columns(blob)
+                frames.append(pd.DataFrame({
+                    "address": addrs,
+                    "time": times,
+                    "value": pd.Series(values, dtype=object),
+                    "payload": pd.Series(payloads, dtype=object),
+                    "seq": np.arange(base, base + len(addrs), dtype="<i8"),
+                }))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+            else:
+                yield pd.DataFrame({
+                    "address": pd.Series(dtype="int64"),
+                    "time": pd.Series(dtype="int64"),
+                    "value": pd.Series(dtype=object),
+                    "payload": pd.Series(dtype=object),
+                    "seq": pd.Series(dtype="int64"),
+                })
 
     return blobs.select(*cols).mapInPandas(gen, POINT_SCHEMA_DDL)

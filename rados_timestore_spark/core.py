@@ -50,14 +50,31 @@ def kind_col(address: Column | str = "address") -> Column:
     return (address.bitwiseAND(F.lit(1))).cast("int")
 
 
+def word64_pmod(x: Column, n: Column) -> Column:
+    """``x mod n`` where the signed-i64 column ``x`` is reinterpreted
+    as Word64 (the reference's address/time domain).
+
+    For x >= 0 this is plain ``pmod``.  For x < 0 the unsigned value is
+    ``x + 2^64``, so the result is ``(pmod(x, n) + 2^64 mod n) mod n``;
+    ``2^64 mod n`` is computed as ``(2^32 mod n)^2 mod n`` to stay in
+    i64 range for any bucket count.  Matches Haskell Word64 ``mod`` for
+    every n, not just powers of two.
+    """
+    base = F.pmod(x, n)
+    c32 = F.pmod(F.lit(1 << 32), n)
+    corr = F.pmod(c32 * c32, n)
+    return F.when(x >= 0, base).otherwise(F.pmod(base + corr, n))
+
+
 def place_bucket(n_buckets: int, address: Column | str = "address") -> Column:
     """Shard placement: ``(addr clearBit 0) mod n`` (Core.hs:272-276).
 
-    ``pmod`` (not ``%``) so negative int64 addresses (the reference's
-    Word64 upper half) still land in [0, n).
+    Word64 semantics: addresses >= 2^63 arrive as negative i64; the
+    unsigned reinterpretation keeps placement identical to the
+    reference for any bucket count (non-power-of-two included).
     """
     address = F.col(address) if isinstance(address, str) else address
-    return F.pmod(address.bitwiseAND(F.lit(-2)), F.lit(n_buckets))
+    return word64_pmod(address.bitwiseAND(F.lit(-2)), F.lit(n_buckets))
 
 
 def first_wins_dedup(

@@ -108,14 +108,34 @@ class MutableKV:
 
     def insert_bulk(self, df: DataFrame) -> None:
         """Append many (key, value) rows in one batch; versions are the
-        per-key next version.  df: (key long, value binary)."""
-        cur = self.enumerate_versions().select("key", "time")
+        per-key next version.  df: (key long, value binary), plus an
+        optional ``seq`` long giving the within-batch order.
+
+        Duplicate keys within the batch are numbered by ``seq`` order
+        (input order if absent) so the batch is equivalent to the same
+        sequence of :meth:`insert` calls — the LAST duplicate wins on
+        read, matching sequential last-write-wins.  The current-version
+        lookup is a plain join (AQE broadcasts it only when small);
+        broadcasting the whole KV state unconditionally would OOM at
+        scale.
+        """
+        from pyspark.sql import Window
+
+        if "seq" not in df.columns:
+            df = df.withColumn("seq", F.monotonically_increasing_id())
+        cur = self.enumerate_versions().select(
+            F.col("key"), F.col("time").alias("__cur")
+        )
+        w = Window.partitionBy("key").orderBy("seq")
         new = (
             df.withColumn("key", F.col("key").bitwiseOR(F.lit(1)))
-            .join(F.broadcast(cur), "key", "left")
+            .withColumn("__rn", F.row_number().over(w) - 1)
+            .join(cur, "key", "left")
             .select(
                 F.col("key").alias("address"),
-                (F.coalesce(F.col("time") + 1, F.lit(0))).alias("time"),
+                (
+                    F.coalesce(F.col("__cur") + 1, F.lit(0)) + F.col("__rn")
+                ).alias("time"),
                 F.col("value").alias("payload"),
             )
         )

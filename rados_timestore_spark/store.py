@@ -40,12 +40,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rados_timestore_spark.core import (
-    POINTS_SCHEMA,
-    first_wins_dedup,
-    kind_col,
-    place_bucket,
-)
+from rados_timestore_spark.core import POINTS_SCHEMA, kind_col
 from rados_timestore_spark.index import Index
 
 DEFAULT_BUCKETS = 128
@@ -166,6 +161,8 @@ class TimeStore:
         ``df`` needs columns (address, time) plus ``value`` and/or
         ``payload``; ``seq`` is honored if present, else stamped.
         """
+        from pyspark.sql import Observation
+
         meta = self._read_meta(ns)
         idx = meta.index
 
@@ -178,7 +175,10 @@ class TimeStore:
             # Block-stamped sequence: unique and ingest-ordered within
             # the batch (monotonically_increasing_id preserves the
             # source order inside each partition), strictly above every
-            # previous batch.  No global sort needed.
+            # previous batch.  No global sort needed; the block size is
+            # taken from the batch's actual max id (observed in the
+            # same pass as the write) so >2048-partition batches cannot
+            # overflow into the next batch's range.
             df = df.withColumn(
                 "seq", F.lit(meta.seq_base) + F.monotonically_increasing_id()
             )
@@ -193,22 +193,28 @@ class TimeStore:
             )
         )
 
+        # Watermark maxima + seq high-water are observed during the
+        # write itself (StoreHelpers.hs:241-259's updateLatest, minus
+        # the second job the naive agg-after-write would cost).
+        obs = Observation()
+        routed = routed.observe(
+            obs,
+            F.max(F.when(F.col("kind") == 0, F.col("time"))).alias("max_simple"),
+            F.max(F.when(F.col("kind") == 1, F.col("time"))).alias("max_extended"),
+            F.max("seq").alias("max_seq"),
+        )
+
         (
             routed.write.mode("append")
             .partitionBy("epoch", "bucket")
             .parquet(self._points_dir(ns))
         )
 
-        # Watermarks: monotone max-merge per kind (StoreHelpers.hs:241-259).
-        maxima = (
-            routed.groupBy("kind").agg(F.max("time").alias("mx")).collect()
-        )
-        for row in maxima:
-            if row["kind"] == 0:
-                meta.latest_simple = _mono_max(meta.latest_simple, row["mx"])
-            else:
-                meta.latest_extended = _mono_max(meta.latest_extended, row["mx"])
-        meta.seq_base += 1 << 44  # next batch's sequence block
+        got = obs.get
+        meta.latest_simple = _mono_max(meta.latest_simple, got["max_simple"])
+        meta.latest_extended = _mono_max(meta.latest_extended, got["max_extended"])
+        if got["max_seq"] is not None:
+            meta.seq_base = max(meta.seq_base, int(got["max_seq"]) + 1)
         self._write_meta(ns, meta)
 
         self._maybe_rollover(ns, meta)
@@ -240,7 +246,13 @@ class TimeStore:
         )
         if watermark <= latest_epoch:
             return
-        meta.index = Index(meta.index.entries + ((watermark, buckets),))
+        # Cut at watermark + 1, NOT the watermark: points at
+        # time == watermark were already written under the old epoch,
+        # and the new epoch must start strictly after every point seen
+        # (splitRemainder's exact-boundary back-off, Index.hs:80-88) —
+        # otherwise range_lookup(start == watermark) would prune to the
+        # new (empty) epoch and silently drop them.
+        meta.index = Index(meta.index.entries + ((watermark + 1, buckets),))
         self._write_meta(ns, meta)
 
     # ------------------------------------------------------------- read
@@ -262,9 +274,10 @@ class TimeStore:
         pred = F.col("epoch").isin(epochs)
         if addresses is not None:
             # Per-epoch bucket sets (bucket counts may differ by epoch).
+            # Word64 placement semantics, matching place_bucket().
             addr_pred = None
             for e, n in entries:
-                buckets = sorted({(a & ~1) % n for a in addresses})
+                buckets = sorted({((a & -2) % (1 << 64)) % n for a in addresses})
                 clause = (F.col("epoch") == e) & F.col("bucket").isin(buckets)
                 addr_pred = clause if addr_pred is None else (addr_pred | clause)
             pred = pred & addr_pred
@@ -273,25 +286,31 @@ class TimeStore:
         return df
 
     def read_simple(self, ns: str, start: int, end: int,
-                    addresses: Sequence[int]) -> DataFrame:
+                    addresses: Sequence[int],
+                    global_order: bool = False) -> DataFrame:
         """``readSimple`` (TimeStore.hs:142-156): filter → first-wins
-        dedup on (address, time) → sort by (time, address).
+        dedup on (address, time) → sorted output.
 
         Empty address list ⇒ empty result (``elem`` semantics,
-        Algorithms.hs:204-206).  Output is globally time-ordered — a
-        strictly stronger guarantee than the reference's per-chunk
-        ordering contract (TimeStore.hs:139-141).
+        Algorithms.hs:204-206).  The default mirrors the reference's
+        per-chunk ordering contract (TimeStore.hs:139-141: sorted
+        within each (epoch, bucket) chunk, NOT globally) via
+        ``sortWithinPartitions`` — no range-partitioned global sort in
+        the hot path.  Pass ``global_order=True`` for a strictly
+        stronger total order (one extra shuffle).
         """
         if not addresses:
             return self._scan(ns, start, end, []).filter(F.lit(False)) \
                 .select("address", "time", "value", "seq")
         addresses = [a for a in addresses if (a & 1) == 0]
         df = self._scan(ns, start, end, addresses).filter(F.col("kind") == 0)
-        df = first_wins_dedup(df)
-        return df.select("address", "time", "value", "seq").orderBy("time", "address")
+        df = _dedup_agg(df, ("value",))
+        df = self._ordered(df, global_order)
+        return df.select("address", "time", "value", "seq")
 
     def read_extended(self, ns: str, start: int, end: int,
-                      addresses: Sequence[int]) -> DataFrame:
+                      addresses: Sequence[int],
+                      global_order: bool = False) -> DataFrame:
         """``readExtended`` (TimeStore.hs:161-177).  The reference's
         pointer→blob zip-join (Algorithms.hs:220-239) is obviated by
         the inline binary ``payload`` column — same filter/dedup/sort
@@ -301,8 +320,21 @@ class TimeStore:
                 .select("address", "time", "payload", "seq")
         addresses = [a | 1 for a in addresses]
         df = self._scan(ns, start, end, addresses).filter(F.col("kind") == 1)
-        df = first_wins_dedup(df)
-        return df.select("address", "time", "payload", "seq").orderBy("time", "address")
+        df = _dedup_agg(df, ("payload",))
+        df = self._ordered(df, global_order)
+        return df.select("address", "time", "payload", "seq")
+
+    @staticmethod
+    def _ordered(df: DataFrame, global_order: bool) -> DataFrame:
+        """Read-path ordering.  The reference guarantees only per-chunk
+        (epoch, bucket) ordering, not a global one (TimeStore.hs:
+        139-141); we mirror that with a partition-local sort — rows
+        grouped by chunk then (time, address) within each task, no
+        range exchange.  ``global_order=True`` buys a total order for
+        one extra shuffle."""
+        if global_order:
+            return df.orderBy("time", "address")
+        return df.sortWithinPartitions("epoch", "bucket", "time", "address")
 
     # ------------------------------------------------------------ admin
 
@@ -335,10 +367,35 @@ class TimeStore:
         shutil.rmtree(backup)
 
 
+def _dedup_agg(df: DataFrame, payload_cols: tuple[str, ...]) -> DataFrame:
+    """First-write-wins dedup as a ``min_by`` hash aggregate.
+
+    Same semantics as :func:`core.first_wins_dedup` (earliest ``seq``
+    per (address, time) survives — Algorithms.hs:198-217) but ONE
+    shuffle with map-side partial aggregation and no per-partition
+    full sort, which beats the window variant on the 100 TB read path.
+    (epoch, bucket) are functionally dependent on (address, time), so
+    grouping by all four keeps chunk columns without changing keys.
+    """
+    picked = F.min_by(
+        F.struct(*[F.col(c) for c in payload_cols], F.col("seq")),
+        F.col("seq"),
+    ).alias("__first")
+    out = df.groupBy("address", "time", "epoch", "bucket").agg(picked)
+    return out.select(
+        "address", "time",
+        *[F.col(f"__first.{c}").alias(c) for c in payload_cols],
+        F.col("__first.seq").alias("seq"), "epoch", "bucket",
+    )
+
+
 def place_bucket_by_index(idx: Index, time_col: str, addr_col: str):
-    """Bucket column honoring per-epoch bucket counts."""
+    """Bucket column honoring per-epoch bucket counts (Word64 mod
+    semantics — see :func:`core.word64_pmod`)."""
+    from rados_timestore_spark.core import word64_pmod
+
     n = idx.bucket_count_col(time_col)
-    return F.pmod(F.col(addr_col).bitwiseAND(F.lit(-2)), n)
+    return word64_pmod(F.col(addr_col).bitwiseAND(F.lit(-2)), n)
 
 
 def _mono_max(current: int | None, seen) -> int | None:

@@ -37,7 +37,7 @@ def test_simple_roundtrip_and_ordering(store):
     # UnitTests.hs:299-314 fixture: addresses 0,2,4,8 at times 0,2,4,8.
     store.register_namespace("PONY", buckets=4)
     _write(store, "PONY", [(0, 0, 10), (2, 2, 20), (4, 4, 30), (8, 8, 40)])
-    got = store.read_simple("PONY", 0, 8, [0, 2, 4, 8]).collect()
+    got = store.read_simple("PONY", 0, 8, [0, 2, 4, 8], global_order=True).collect()
     assert [(r.address, r.time, r.value) for r in got] == [
         (0, 0, 10), (2, 2, 20), (4, 4, 30), (8, 8, 40)]
 
@@ -46,7 +46,7 @@ def test_time_range_is_closed_interval(store):
     # Algorithms.hs:204-206: start <= t AND t <= end, both inclusive.
     store.register_namespace("PONY", buckets=4)
     _write(store, "PONY", [(2, 1, 1), (2, 2, 2), (2, 3, 3), (2, 4, 4)])
-    got = store.read_simple("PONY", 2, 3, [2]).collect()
+    got = store.read_simple("PONY", 2, 3, [2], global_order=True).collect()
     assert [r.time for r in got] == [2, 3]
 
 
@@ -82,7 +82,7 @@ def test_extended_roundtrip(store):
          (3, 1, bytearray(b"pony"))],
         "address long, time long, payload binary")
     store.write_points("PONY", df)
-    got = store.read_extended("PONY", 0, 10, [1, 3]).collect()
+    got = store.read_extended("PONY", 0, 10, [1, 3], global_order=True).collect()
     assert [(r.address, r.time, bytes(r.payload)) for r in got] == [
         (1, 1, b"hai"), (3, 1, b"pony"), (1, 2, b"there")]
 
@@ -117,11 +117,13 @@ def test_rollover_appends_epoch_at_watermark(store):
     store.register_namespace("PONY", buckets=4)
     _write(store, "PONY", [(2, 10, 1), (2, 20, 2)])
     entries = store.index("PONY").entries
-    assert entries == ((0, 4), (20, 4))
+    # Epoch cut at watermark + 1: points at time == watermark stay
+    # readable from the old epoch (Index.hs:80-88 boundary back-off).
+    assert entries == ((0, 4), (21, 4))
     # New writes at later times land in the new epoch; reads still see
     # everything (FuzzyTests round-trip law across rollovers).
     _write(store, "PONY", [(2, 30, 3)])
-    got = store.read_simple("PONY", 0, 100, [2]).collect()
+    got = store.read_simple("PONY", 0, 100, [2], global_order=True).collect()
     assert [r.time for r in got] == [10, 20, 30]
 
 
@@ -145,5 +147,33 @@ def test_multi_epoch_read_spans_rescale(store):
     meta.index = Index(meta.index.entries + ((5, 10),))
     store._write_meta("PONY", meta)
     _write(store, "PONY", [(6, 9, 2)])
-    got = store.read_simple("PONY", 0, 10, [6]).collect()
+    got = store.read_simple("PONY", 0, 10, [6], global_order=True).collect()
     assert [(r.time, r.value) for r in got] == [(1, 1), (9, 2)]
+
+
+def test_rollover_boundary_point_still_readable(store):
+    # Regression: a point AT the watermark must stay readable when a
+    # query range starts exactly at the watermark (old cut-at-watermark
+    # pruned to the new, empty epoch and dropped it).
+    store.rollover_bytes = 1
+    store.register_namespace("PONY", buckets=4)
+    _write(store, "PONY", [(2, 10, 1), (2, 20, 2)])
+    got = store.read_simple("PONY", 20, 100, [2]).collect()
+    assert [(r.time, r.value) for r in got] == [(20, 2)]
+
+
+def test_word64_bucket_placement_high_addresses(spark):
+    # Core.hs:272-276 on Word64: addresses >= 2^63 (negative as i64)
+    # must place like unsigned mod for ANY bucket count, not only
+    # powers of two.
+    from rados_timestore_spark.core import place_bucket
+
+    addrs = [(1 << 63) + 7, (1 << 64) - 2, (1 << 63), 12297829382473034410]
+    rows = [(a - (1 << 64) if a >= (1 << 63) else a,) for a in addrs]
+    for n in (10, 128, 77):
+        df = spark.createDataFrame(rows, "address long")
+        got = {r.address: r.b for r in df.select(
+            "address", place_bucket(n).alias("b")).collect()}
+        for a in addrs:
+            signed = a - (1 << 64) if a >= (1 << 63) else a
+            assert got[signed] == ((a & ~1) % n), (a, n)
