@@ -57,6 +57,13 @@ WITH pts AS (
 """
 
 
+def ts_us(col: str) -> "F.Column":
+    """Epoch microseconds from a TIMESTAMP_NTZ column (lineitem/orders
+    store µs precision; session zone is pinned UTC so the NTZ->TZ cast
+    is identity) — matches DuckDB ``epoch_us(col)``."""
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one driver test table with the engine's session confs."""
     from rados_timestore_spark.session import configure_session

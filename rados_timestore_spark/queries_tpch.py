@@ -1,0 +1,310 @@
+"""Relational coverage queries (TPC-H-flavored) over the driver's star
+schema — joins, aggregates, windows, top-k: the operator classes the
+reference lacks entirely (SURVEY.md §2.3) re-expressed Spark-first.
+
+Scale design notes (100 TB):
+
+* every aggregate is a hash aggregate with map-side partial
+  aggregation (groupBy/agg on built-in functions — no UDFs, whole
+  plan stays in WholeStageCodegen);
+* dimension tables (region, nation, customer, supplier) broadcast —
+  the fact-side join never shuffles lineitem by a dimension key;
+* money arithmetic runs entirely in DECIMAL (the columns hold exact
+  2-decimal values) and only the final sum casts to double:
+  order-independent and bit-identical to the DuckDB oracle;
+* top-k is ``orderBy().limit(k)`` — Spark's TakeOrderedAndProject
+  keeps a k-row heap per partition, never a full global sort.
+
+Dates: lineitem/orders store TIMESTAMP(MICROS) (read as
+TIMESTAMP_NTZ); ``ts_us`` converts to epoch µs in a UTC-pinned
+session, matching DuckDB's ``epoch_us``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rados_timestore_spark.queries_common import load, ts_us
+from rados_timestore_spark.registry import register
+
+#: 1998-09-01 (classic Q1 cutoff region) in µs since epoch.
+_Q1_CUTOFF = 904_608_000_000_000
+#: 1996-03-15 for the Q3-style segment query.
+_Q3_DATE = 826_848_000_000_000
+#: [1996-01-01, 1997-01-01) for the Q5-style regional revenue.
+_Q5_LO = 820_454_400_000_000
+_Q5_HI = 852_076_800_000_000
+
+
+def _revenue_sum():
+    """SUM(extendedprice * (1 - discount)) computed entirely in DECIMAL
+    (money columns are exact 2-decimal values) — identical bits
+    cross-engine regardless of accumulation order."""
+    ext = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = ext * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    return F.sum(disc).cast("double")
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+              * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+         AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+              * (1 - CAST(l_discount AS DECIMAL(4,2)))
+              * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+       count(*) AS count_order
+FROM lineitem
+WHERE epoch_us(l_shipdate) <= {_Q1_CUTOFF}
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("agg",),
+    bench=True,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1: full-scan hash aggregate over lineitem.  One shuffle of 6
+    grouped rows after map-side combine — the canonical 'aggregation
+    pushes to the data' plan.
+
+    Money columns hold exact 2-decimal values, so every product is
+    computed in DECIMAL (no double rounding anywhere) — bit-identical
+    across engines and accumulation orders.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    f = li.filter(ts_us("l_shipdate") <= _Q1_CUTOFF)
+    ext = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = ext * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    charge = disc * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)"))
+    return f.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double")
+            .alias("sum_qty"),
+        F.sum(ext).cast("double").alias("sum_base_price"),
+        F.sum(disc).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+            (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       epoch_us(o_orderdate) AS o_orderdate_us
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND epoch_us(o_orderdate) < {_Q3_DATE}
+  AND epoch_us(l_shipdate) > {_Q3_DATE}
+GROUP BY l_orderkey, epoch_us(o_orderdate)
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    tags=("join", "topk"),
+    bench=True,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3: selective dimension (customer segment) broadcast into
+    orders, then into lineitem; top-10 via TakeOrderedAndProject (k-row
+    heaps, no global sort)."""
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "o_orderdate_us", ts_us("o_orderdate")
+    ).filter(F.col("o_orderdate_us") < _Q3_DATE)
+    li = load(spark, sf_dir, "lineitem").filter(
+        ts_us("l_shipdate") > _Q3_DATE
+    )
+    j = (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust),
+                                    orders.o_custkey == cust.c_custkey)),
+            li.l_orderkey == orders.o_orderkey,
+        )
+    )
+    agg = j.groupBy("l_orderkey", "o_orderdate_us").agg(
+        _revenue_sum().alias("revenue")
+    )
+    return agg.select("l_orderkey", "revenue", "o_orderdate_us").orderBy(
+        F.desc("revenue"), "l_orderkey"
+    ).limit(10)
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    oracle=f"""
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+            (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+                           AND c_nationkey = s_nationkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND epoch_us(o_orderdate) >= {_Q5_LO}
+  AND epoch_us(o_orderdate) < {_Q5_HI}
+GROUP BY n_name
+""",
+    tags=("join",),
+    bench=True,
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5: five-way join; every dimension side broadcasts, lineitem is
+    never shuffled by a join key (only by the final 5-row group)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "o_orderdate_us", ts_us("o_orderdate")
+    ).filter(
+        (F.col("o_orderdate_us") >= _Q5_LO) & (F.col("o_orderdate_us") < _Q5_HI)
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+
+    nr = nation.join(F.broadcast(region),
+                     nation.n_regionkey == region.r_regionkey)
+    sn = supp.join(F.broadcast(nr), supp.s_nationkey == nr.n_nationkey)
+    co = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    j = (
+        li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(F.broadcast(co),
+              (li.l_orderkey == co.o_orderkey)
+              & (co.c_nationkey == sn.s_nationkey))
+    )
+    return j.groupBy("n_name").agg(
+        _revenue_sum().alias("revenue")
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle="""
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+            (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       n_name
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    tags=("join", "topk"),
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10: revenue lost to returns per customer, top-20."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load(spark, sf_dir, "nation")
+    j = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
+        _revenue_sum().alias("revenue")
+    )
+    return agg.select("c_custkey", "c_name", "revenue", "n_name").orderBy(
+        F.desc("revenue"), "c_custkey"
+    ).limit(20)
+
+
+@register(
+    "tpch_window_top_orders_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders) t
+WHERE rk <= 2
+""",
+    tags=("window",),
+)
+def tpch_window_top_orders_per_customer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Window coverage: top-2 orders per customer by price (rank
+    window with deterministic tiebreak)."""
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+@register(
+    "tpch_agg_distinct_priority",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n,
+       count(DISTINCT o_custkey) AS n_customers,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+FROM orders GROUP BY o_orderpriority
+""",
+    tags=("agg",),
+)
+def tpch_agg_distinct_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(DISTINCT) coverage (expand + two-phase aggregate)."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("total"),
+    )
+
+
+@register(
+    "tpch_semijoin_open_orders",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+  AND c_acctbal > 9000
+""",
+    tags=("join",),
+)
+def tpch_semijoin_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join coverage (IN-subquery -> left_semi)."""
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "tpch_antijoin_silent_customers",
+    oracle="""
+SELECT count(*) AS n_silent FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""",
+    tags=("join",),
+)
+def tpch_antijoin_silent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join coverage: customers with no orders."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    silent = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return silent.agg(F.count("*").alias("n_silent"))

@@ -21,6 +21,10 @@ _RUNTIME_CONFS = {
     # a nanosecond long matches the reference's time model exactly:
     # Time is a Word64 of nanoseconds (lib/TimeStore/Core.hs:240-243).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Deterministic epoch arithmetic on TIMESTAMP_NTZ columns
+    # (lineitem/orders store µs): NTZ -> timestamp casts interpret in
+    # the session zone; pin it so epoch µs match DuckDB's epoch_us.
+    "spark.sql.session.timeZone": "UTC",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.mergeSchema": "false",
     "spark.sql.adaptive.enabled": "true",
