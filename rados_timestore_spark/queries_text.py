@@ -1,0 +1,236 @@
+"""Text-analysis operators over the ``documents`` table — the
+language-ID / quality / token-count / fingerprint family a large-scale
+training-data pipeline needs (BASELINE.json north star).
+
+All hot-path computation uses built-in ``pyspark.sql.functions``
+(split/regexp/array ops — JVM-side, codegen'd, no Python UDFs); the
+DuckDB oracles use the matching list/regexp functions.  Cross-engine
+hashing is md5 (bit-identical everywhere); 60-bit integer fingerprints
+come from the first 15 hex digits (fits signed i64).
+
+Scale notes (100 TB of documents): every query here is a single scan +
+hash aggregate or per-row projection — no joins, no windows over the
+full corpus; explode-based word statistics shuffle only (token, 1)
+pairs after map-side combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rados_timestore_spark.queries_common import load
+from rados_timestore_spark.registry import register
+
+#: Tiny per-language stopword profiles for the n-gram/stopword
+#: language-ID heuristic (alphabetical language order = tie-break).
+STOPWORDS = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "los", "las", "y", "es", "no", "una"),
+    "fr": ("le", "les", "des", "et", "est", "pas", "une"),
+}
+
+#: BPE-ish tokenizer: letter runs, digit runs, single punctuation.
+TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+_WORDS_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+
+def _words_col():
+    return F.split(F.trim(F.lower(F.col("text"))), "\\s+")
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(len({_WORDS_SQL})) AS BIGINT) AS sum_words,
+       CAST(sum(len(list_distinct({_WORDS_SQL}))) AS BIGINT)
+         AS sum_distinct_words,
+       max(len({_WORDS_SQL})) AS max_words
+FROM documents GROUP BY lang
+""",
+    tags=("text",),
+    bench=True,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per language: doc/char/word/vocabulary counts
+    in one scan + 5-group hash aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    w = _words_col()
+    d = docs.select(
+        "lang", "n_chars",
+        F.size(w).alias("nw"),
+        F.size(F.array_distinct(w)).alias("ndw"),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("nw").alias("sum_words"),
+        F.sum("ndw").alias("sum_distinct_words"),
+        F.max("nw").alias("max_words"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_tokens,
+       len({_WORDS_SQL}) AS n_words,
+       n_chars
+FROM documents
+""",
+    tags=("text",),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish regex (letter runs / digit runs /
+    punctuation singletons) next to whitespace word counts — the cost
+    model a training pipeline budgets by."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.lower(F.col("text")),
+                                    F.lit(TOKEN_RE), 0)).alias("n_tokens"),
+        F.size(_words_col()).alias("n_words"),
+        "n_chars",
+    )
+
+
+def _langid_sql() -> str:
+    scores = []
+    for lang, words in sorted(STOPWORDS.items()):
+        lst = ", ".join(f"'{w}'" for w in words)
+        scores.append(
+            f"len(list_intersect(list_distinct({_WORDS_SQL}), [{lst}]))"
+            f" AS s_{lang}"
+        )
+    whens = " ".join(
+        f"WHEN s_{lang} = m THEN '{lang}'" for lang in sorted(STOPWORDS)
+    )
+    return f"""
+WITH scored AS (SELECT doc_id, lang, {", ".join(scores)} FROM documents),
+     top AS (SELECT *, greatest(s_de, s_en, s_es, s_fr) AS m FROM scored)
+SELECT lang, CASE {whens} END AS pred_lang, count(*) AS n
+FROM top GROUP BY lang, pred_lang
+"""
+
+
+@register("text_lang_id", oracle=_langid_sql(), tags=("text",))
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID: score = |distinct words ∩ profile|
+    per language, argmax with alphabetical tie-break; confusion counts
+    against the labeled ``lang`` column."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.array_distinct(_words_col())
+    scored = docs.select(
+        "doc_id", "lang",
+        *[
+            F.size(F.array_intersect(w, F.array(*[F.lit(x) for x in words])))
+                .alias(f"s_{lang}")
+            for lang, words in sorted(STOPWORDS.items())
+        ],
+    )
+    m = F.greatest(*[F.col(f"s_{lang}") for lang in sorted(STOPWORDS)])
+    expr = None
+    for lang in sorted(STOPWORDS):
+        cond = F.col(f"s_{lang}") == m
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return (
+        scored.withColumn("m", m)
+        .withColumn("pred_lang", expr)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+SELECT doc_id,
+       len({_WORDS_SQL}) AS n_words,
+       length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+         AS n_punct,
+       len(list_intersect(list_distinct({_WORDS_SQL}),
+           ['the','a','of','and','to','in','is'])) AS n_stop,
+       CASE WHEN len({_WORDS_SQL}) >= 40
+             AND len(list_intersect(list_distinct({_WORDS_SQL}),
+                 ['the','a','of','and','to','in','is'])) >= 2
+            THEN 'high'
+            WHEN len({_WORDS_SQL}) >= 15 THEN 'medium'
+            ELSE 'low' END AS quality
+FROM documents
+""",
+    tags=("text",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (length / punctuation / stopword
+    signals -> bucket), the usual pre-training corpus filter."""
+    docs = load(spark, sf_dir, "documents")
+    w = _words_col()
+    stop = F.array(*[F.lit(x) for x in STOPWORDS["en"]])
+    d = docs.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[.,!?;:]", ""))
+        ).alias("n_punct"),
+        F.size(F.array_intersect(F.array_distinct(w), stop)).alias("n_stop"),
+    )
+    quality = (
+        F.when((F.col("n_words") >= 40) & (F.col("n_stop") >= 2), "high")
+        .when(F.col("n_words") >= 15, "medium")
+        .otherwise("low")
+    )
+    return d.withColumn("quality", quality)
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+SELECT doc_id,
+       ('0x' || substr(md5(trim(lower(text))), 1, 15))::BIGINT AS fp,
+       substr(md5(trim(lower(text))), 1, 8) AS fp_hex
+FROM documents
+""",
+    tags=("text",),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: 60-bit integer fingerprint from the
+    md5 of the normalized text (Spark ``conv`` == DuckDB hex cast)."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(F.lower(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long")
+            .alias("fp"),
+        F.substring(F.md5(norm), 1, 8).alias("fp_hex"),
+    )
+
+
+@register(
+    "text_word_freq",
+    oracle=f"""
+SELECT w, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+FROM (SELECT doc_id, unnest({_WORDS_SQL}) AS w FROM documents) t
+GROUP BY w ORDER BY n DESC, w LIMIT 25
+""",
+    tags=("text",),
+    bench=True,
+)
+def text_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: explode words, count term and document
+    frequency, top-25 — the shuffle carries (word, partial-count)
+    pairs only (map-side combine), then TakeOrdered."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(_words_col()).alias("w")
+    )
+    agg = words.groupBy("w").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return agg.orderBy(F.desc("n"), "w").limit(25)
