@@ -1,0 +1,400 @@
+"""Deduplication operators over ``documents`` — exact, shingle-Jaccard,
+MinHash+LSH, and SimHash families (BASELINE.json north star).
+
+Scale design (100 TB of documents — the whole point of these shapes):
+
+* **no all-pairs anywhere in the Spark plans**: candidate pairs come
+  from equi-joins on shingles / LSH band buckets / SimHash bands, so
+  the shuffle key is always a token, never a document pair;
+* similarity predicates are integer cross-multiplications
+  (``common * 10 >= tau10 * union``) — no floats, no cross-engine
+  rounding hazard;
+* MinHash signatures use ``xxhash64(seed, shingle)`` (JVM-side,
+  codegen'd), band hashes group 4 rows — classic banding so the
+  equi-join bucket count stays bounded;
+* connected components run iterative min-id propagation with a
+  driver-side loop over a shrinking edge set (O(log n) rounds).
+
+DuckDB oracles brute-force the same definitions (fine at sf0.01);
+the LSH clustering itself is rows-only (approximate candidate
+generation is not SQL-expressible as an identical relation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rados_timestore_spark.queries_common import load
+from rados_timestore_spark.registry import register
+
+_WORDS_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+_SHINGLES_SQL = (
+    f"list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] "
+    f"for i in generate_series(1, len(ws)-2)])"
+)
+
+#: Jaccard threshold as a ratio of integers (0.4).
+_TAU_NUM, _TAU_DEN = 4, 10
+
+
+def _shingles_col():
+    """Distinct 3-word shingles, built-in functions only."""
+    ws = F.split(F.trim(F.lower(F.col("text"))), "\\s+")
+    sh = F.expr(
+        "transform(sequence(1, greatest(size(ws) - 2, 0)), "
+        "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), "
+        "element_at(ws, i + 2)))"
+    )
+    return ws, sh
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    ws, _ = _shingles_col()
+    d = docs.withColumn("ws", ws)
+    return d.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, greatest(size(ws) - 2, 0)), "
+                "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1), "
+                "element_at(ws, i+2)))"
+            )
+        ).alias("shingles"),
+    )
+
+
+# ------------------------------------------------------------- exact
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(trim(lower(text))) AS content_key,
+       min(doc_id) AS survivor, count(*) AS n_copies
+FROM documents GROUP BY md5(trim(lower(text)))
+""",
+    tags=("dedup",),
+    bench=True,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized content hash, keep
+    the smallest doc_id (one shuffle of (hash, id) pairs)."""
+    docs = load(spark, sf_dir, "documents")
+    key = F.md5(F.trim(F.lower(F.col("text"))))
+    return docs.groupBy(key.alias("content_key")).agg(
+        F.min("doc_id").alias("survivor"), F.count("*").alias("n_copies")
+    )
+
+
+@register(
+    "dedup_exact_prefix",
+    oracle=f"""
+SELECT array_to_string(({_WORDS_SQL})[1:5], ' ') AS prefix_key,
+       min(doc_id) AS survivor, count(*) AS n_copies
+FROM documents GROUP BY 1 HAVING count(*) > 1
+""",
+    tags=("dedup",),
+)
+def dedup_exact_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact variant keyed on the 5-word prefix (real clusters in
+    the fixture corpus) — same plan, coarser key."""
+    docs = load(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.lower(F.col("text"))), "\\s+")
+    key = F.concat_ws(" ", F.slice(ws, 1, 5))
+    agg = docs.groupBy(key.alias("prefix_key")).agg(
+        F.min("doc_id").alias("survivor"), F.count("*").alias("n_copies")
+    )
+    return agg.filter(F.col("n_copies") > 1)
+
+
+# -------------------------------------------------- shingle Jaccard
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS s
+  FROM (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents) t
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, common,
+       (sa.n + sb.n - common) AS union_n
+FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+WHERE common * {_TAU_DEN} >= {_TAU_NUM} * (sa.n + sb.n - common)
+""",
+    tags=("dedup",),
+    bench=True,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 3-word-shingle Jaccard >= 0.4.
+
+    Candidates come from the shingle equi-join (shuffle key = shingle,
+    never a pair); the Jaccard test is integer cross-multiplication.
+    At 100 TB you'd cap hot shingles (stop-shingle removal) — the join
+    shape stays the same.
+    """
+    sh = _doc_shingles(spark, sf_dir)
+    exploded = sh.select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    sizes = sh.select(
+        "doc_id", F.size("shingles").alias("n")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    j = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    union_n = F.col("na") + F.col("nb") - F.col("common")
+    return j.filter(
+        F.col("common") * _TAU_DEN >= _TAU_NUM * union_n
+    ).select("doc_a", "doc_b", "common", union_n.alias("union_n"))
+
+
+# ------------------------------------------------------ MinHash LSH
+
+_N_HASHES = 32
+_BAND_ROWS = 4  # 8 bands of 4 rows
+
+
+@register("dedup_minhash_lsh", tags=("dedup", "lsh"), bench=True)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup clustering (rows-only check).
+
+    shingle -> 32 ``xxhash64(seed, s)`` minhashes -> 8 bands of 4 ->
+    band-bucket equi-join for candidates -> exact Jaccard verify
+    (integer test, >= 0.4) -> connected components by iterative min-id
+    propagation.  Every stage is an equi-join or aggregate on bounded
+    keys; nothing is quadratic in documents.
+
+    Returns (doc_id, cluster_rep) for ALL documents (singletons map to
+    themselves).
+    """
+    sh = _doc_shingles(spark, sf_dir)
+    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
+
+    # 32 minhashes per doc: min over shingles of xxhash64(seed, s).
+    sig = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(seed), F.col("s"))).alias(f"h{seed}")
+            for seed in range(_N_HASHES)
+        ]
+    )
+    # 8 band keys: hash of 4 consecutive signature rows.
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"h{b * _BAND_ROWS + r}")
+                                for r in range(_BAND_ROWS)
+                            ]
+                        ).alias("bkey"),
+                    )
+                    for b in range(_N_HASHES // _BAND_ROWS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bkey")
+
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+    # Exact verify on candidates only (integer Jaccard >= 0.4).
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    common = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"),
+                      F.col("shingles").alias("sh_a")), "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"),
+                      F.col("shingles").alias("sh_b")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("common"),
+            (F.size("sh_a") + F.size("sh_b")).alias("total"),
+        )
+    )
+    edges = common.filter(
+        F.col("common") * _TAU_DEN
+        >= _TAU_NUM * (F.col("total") - F.col("common"))
+    ).select("doc_a", "doc_b")
+
+    # Connected components: min-id label propagation to fixpoint.
+    docs = sh.select("doc_id")
+    labels = docs.withColumn("rep", F.col("doc_id"))
+    sym = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b"))
+    ).cache()
+    for _ in range(8):  # diameter bound; fixture clusters are tiny
+        # each node adopts min(own rep, neighbours' reps)
+        nbr = (
+            sym.join(labels, sym.doc_b == labels.doc_id)
+            .groupBy("doc_a").agg(F.min("rep").alias("nrep"))
+        )
+        new = (
+            labels.join(nbr, labels.doc_id == nbr.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("rep"), F.coalesce(F.col("nrep"), F.col("rep"))
+                ).alias("rep"),
+            )
+        )
+        if new.exceptAll(labels).isEmpty():
+            labels = new
+            break
+        labels = new
+    return labels.select("doc_id", F.col("rep").alias("cluster_rep"))
+
+
+# ---------------------------------------------------------- SimHash
+
+_SIM_BITS = 60
+_SIM_BANDS = 4  # 4 bands of 15 bits
+_HAMMING_MAX = 6
+
+
+def _simhash_sql() -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest({_WORDS_SQL}) AS w FROM documents
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv
+      FROM words),
+bits AS (
+  SELECT doc_id, j,
+         CASE WHEN sum(((hv >> j) & 1) * 2 - 1) > 0 THEN 1 ELSE 0 END AS b
+  FROM h CROSS JOIN generate_series(0, {_SIM_BITS - 1}) g(j)
+  GROUP BY doc_id, j
+)
+SELECT doc_id, CAST(sum(b * (1::BIGINT << j)) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+@register("dedup_simhash", oracle=_simhash_sql(), tags=("dedup",))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document from md5-derived word hashes —
+    explode (word x bit) pairs, majority vote per bit, pack.  Pure
+    built-in expressions; identical md5-based bits in the oracle."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), "\\s+")).alias("w"),
+    )
+    hv = words.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+            .alias("hv"),
+    )
+    bits = (
+        hv.select(
+            "doc_id", "hv",
+            F.explode(F.sequence(F.lit(0), F.lit(_SIM_BITS - 1))).alias("j"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(
+            F.when(
+                F.sum(F.expr("(shiftright(hv, j) & 1) * 2 - 1")) > 0, 1
+            ).otherwise(0).alias("b")
+        )
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(F.expr("cast(b as bigint) * shiftleft(cast(1 as bigint), j)"))
+            .alias("simhash")
+    )
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+WITH sh AS ({_simhash_sql()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+  AND ( ((a.simhash >> 0) & 32767) = ((b.simhash >> 0) & 32767)
+     OR ((a.simhash >> 15) & 32767) = ((b.simhash >> 15) & 32767)
+     OR ((a.simhash >> 30) & 32767) = ((b.simhash >> 30) & 32767)
+     OR ((a.simhash >> 45) & 32767) = ((b.simhash >> 45) & 32767))
+""",
+    tags=("dedup",),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: banded LSH (4 x 15-bit bands, equi-join
+    on band value) generates candidates; Hamming <= 6 verifies via
+    bit_count(xor).  The oracle brute-forces the identical definition
+    (shared-band AND hamming), so results match exactly while the
+    Spark plan stays linear in documents."""
+    sim = dedup_simhash(spark, sf_dir)
+    bands = sim.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.expr(f"shiftright(simhash, {b * 15}) & 32767")
+                        .alias("bval"),
+                )
+                for b in range(_SIM_BANDS)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bval")
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bval") == F.col("y.bval"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("x.simhash").alias("sim_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("y.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+    )
+    return cand.filter(hamming <= _HAMMING_MAX).select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    )
