@@ -1,0 +1,348 @@
+"""Vector-similarity operators over ``embeddings`` (array<float>, 64
+dims): brute-force top-k, k-NN join, sign-LSH near-dup pairs, and an
+IVF-style ANN path (BASELINE.json north star).
+
+Float determinism: every dot product is a *sequential* left-to-right
+double fold — Spark ``F.aggregate(zip_with(...))`` and DuckDB
+``list_sum(list_transform(...))`` produce bit-identical doubles
+(verified), and IEEE sqrt/divide are correctly rounded, so cosine
+scores can be compared across engines exactly.
+
+Scale design (billions of vectors):
+
+* brute-force top-k broadcasts the query vector(s); the data side is
+  scanned once, ranked with TakeOrdered/window-per-query — no shuffle
+  of the corpus;
+* the near-dup pair op defines its result as "shares >= 1 sign-LSH
+  band AND cosine >= tau", so the Spark plan is an equi-join on band
+  values (linear in vectors) while the oracle brute-forces the same
+  definition;
+* the IVF path (rows-only) buckets vectors by nearest centroid and
+  probes a few buckets per query — the standard ANN shape at scale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rados_timestore_spark.queries_common import load
+from rados_timestore_spark.registry import register
+
+DIM = 64
+_N_PLANES = 32
+_BAND_BITS = 4           # 8 bands x 4 sign bits
+_N_BANDS = _N_PLANES // _BAND_BITS
+_TAU100 = 40             # cosine threshold 0.40
+
+
+def _plane_weights() -> list[list[int]]:
+    """Deterministic ±1 hyperplane entries from md5 (data-independent
+    constants, embedded as literals in BOTH engines' plans)."""
+    planes = []
+    for p in range(_N_PLANES):
+        row = []
+        for j in range(DIM):
+            h = hashlib.md5(f"{p}_{j}".encode()).hexdigest()
+            row.append(1 if int(h[:2], 16) % 2 == 0 else -1)
+        planes.append(row)
+    return planes
+
+
+_PLANES = _plane_weights()
+
+# ---------------------------------------------------- column helpers
+
+
+def _dot(a, b):
+    """Sequential double fold — bit-identical to DuckDB list_sum."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1,{DIM}), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt({_dot_sql(a, a)})"
+
+
+def _plane_dot(p: int):
+    w = F.array(*[F.lit(x) for x in _PLANES[p]])
+    return _dot(F.col("embedding"), w)
+
+
+def _plane_dot_sql(p: int) -> str:
+    lits = ", ".join(str(x) for x in _PLANES[p])
+    return (
+        f"list_sum(list_transform(generate_series(1,{DIM}), "
+        f"i -> embedding[i]::DOUBLE * ([{lits}])[i]))"
+    )
+
+
+# -------------------------------------------------------- brute force
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         {_dot_sql("embedding", "qe")}
+           / {_norm_sql("embedding")} / {_norm_sql("qe")} AS cos
+  FROM embeddings, q WHERE vec_id <> 0)
+SELECT vec_id, cos,
+       row_number() OVER (ORDER BY cos DESC, vec_id) AS rank
+FROM scored ORDER BY cos DESC, vec_id LIMIT 10
+""",
+    tags=("similarity",),
+    bench=True,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for one query vector: broadcast the query,
+    one scan of the corpus, TakeOrdered top-k — the baseline every ANN
+    variant is measured against."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    j = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    cos = (_dot(F.col("embedding"), F.col("qe"))
+           / _norm(F.col("embedding")) / _norm(F.col("qe")))
+    scored = j.select("vec_id", cos.alias("cos"))
+    top = scored.orderBy(F.desc("cos"), "vec_id").limit(10)
+    w = Window.orderBy(F.desc("cos"), "vec_id")
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+@register(
+    "sim_knn_join",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+                  {_norm_sql("embedding")} AS qn
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         {_dot_sql("e.embedding", "qe")} / {_norm_sql("e.embedding")} / qn
+           AS cos
+  FROM embeddings e, q WHERE e.vec_id <> query_id)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored) t
+WHERE rank <= 3
+""",
+    tags=("similarity",),
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN join: 5 broadcast queries x corpus scan, per-query window
+    top-3.  The corpus is scanned once; only (query, candidate) scores
+    shuffle into the tiny per-query ranking."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("qn"),
+    )
+    j = emb.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = _dot(F.col("embedding"), F.col("qe")) / _norm(F.col("embedding")) / F.col("qn")
+    scored = j.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+# ------------------------------------------------- sign-LSH near-dup
+
+
+def _bands_sql() -> str:
+    dots = ", ".join(
+        f"CASE WHEN {_plane_dot_sql(p)} >= 0 THEN 1 ELSE 0 END AS s{p}"
+        for p in range(_N_PLANES)
+    )
+    bands = ", ".join(
+        "("
+        + " + ".join(
+            f"(s{b * _BAND_BITS + r} << {r})" for r in range(_BAND_BITS)
+        )
+        + f") AS band{b}"
+        for b in range(_N_BANDS)
+    )
+    return f"""
+signs AS (SELECT vec_id, {dots},
+                 {_norm_sql("embedding")} AS nn, embedding
+          FROM embeddings),
+banded AS (SELECT vec_id, nn, embedding, {bands} FROM signs)
+"""
+
+
+@register(
+    "sim_neardup_pairs",
+    oracle=f"""
+WITH {_bands_sql()},
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_dot_sql("a.embedding", "b.embedding")} / (a.nn * b.nn) AS cos
+  FROM banded a JOIN banded b ON a.vec_id < b.vec_id
+  WHERE {" OR ".join(f"a.band{b} = b.band{b}" for b in range(_N_BANDS))}
+)
+SELECT vec_a, vec_b, cos FROM pairs
+WHERE cos * 100 >= {_TAU100}
+""",
+    tags=("similarity", "dedup"),
+    bench=True,
+)
+def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: candidates from 8x4-bit
+    random-hyperplane sign bands (equi-join on band value — linear
+    shuffle), exact cosine >= 0.40 verify on candidates only.  The
+    oracle brute-forces the identical shared-band AND cosine
+    definition, so results match exactly."""
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nn"),
+        *[
+            F.when(_plane_dot(p) >= 0, 1).otherwise(0).alias(f"s{p}")
+            for p in range(_N_PLANES)
+        ],
+    )
+    band_cols = []
+    for b in range(_N_BANDS):
+        expr = None
+        for r in range(_BAND_BITS):
+            term = F.col(f"s{b * _BAND_BITS + r}") * (1 << r)
+            expr = term if expr is None else expr + term
+        band_cols.append(expr.alias(f"band{b}"))
+    banded = base.select("vec_id", "embedding", "nn", *band_cols)
+
+    bands_long = banded.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"),
+                         F.col(f"band{b}").alias("bval"))
+                for b in range(_N_BANDS)
+            ])
+        ).alias("bb"),
+    ).select("vec_id", "bb.band", "bb.bval")
+    cand = (
+        bands_long.alias("x")
+        .join(
+            bands_long.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bval") == F.col("y.bval"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    va = banded.select(F.col("vec_id").alias("vec_a"),
+                       F.col("embedding").alias("ea"),
+                       F.col("nn").alias("na"))
+    vb = banded.select(F.col("vec_id").alias("vec_b"),
+                       F.col("embedding").alias("eb"),
+                       F.col("nn").alias("nb"))
+    scored = (
+        cand.join(va, "vec_a").join(vb, "vec_b")
+        .select(
+            "vec_a", "vec_b",
+            (_dot(F.col("ea"), F.col("eb"))
+             / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
+    )
+    return scored.filter(F.col("cos") * 100 >= _TAU100)
+
+
+# --------------------------------------------------------- IVF ANN
+
+
+@register("sim_ivf_ann", tags=("similarity", "ann"))
+def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbors (rows-only check).
+
+    Coarse quantizer: every 16th vector is a centroid (deterministic);
+    each vector is assigned to its nearest centroid (broadcast
+    centroid set — one corpus scan).  Queries (vec_id < 5) probe the
+    ``nprobe=4`` nearest centroid buckets and rank exactly inside
+    them — the standard recall/cost dial at billion-vector scale,
+    where the bucketed join replaces any full scan per query.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") % 16 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    # assign: argmax cosine over broadcast centroids
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "embedding", "cid",
+            (_dot(F.col("embedding"), F.col("ce"))
+             / _norm(F.col("embedding")) / _norm(F.col("ce"))).alias("cc"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("cid", "cc").alias("bucket"),
+            F.first("embedding").alias("embedding"),
+        )
+    )
+    queries = assigned.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    # nprobe=4 nearest centroids per query
+    probes = (
+        queries.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id", "qe", "cid",
+            (_dot(F.col("qe"), F.col("ce"))
+             / _norm(F.col("qe")) / _norm(F.col("ce"))).alias("cc"),
+        )
+        .withColumn(
+            "pr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("cc"), "cid")
+            ),
+        )
+        .filter(F.col("pr") <= 4)
+        .select("query_id", "qe", F.col("cid").alias("bucket"))
+    )
+    # rank exactly within probed buckets
+    hits = (
+        probes.join(assigned, "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            (_dot(F.col("embedding"), F.col("qe"))
+             / _norm(F.col("embedding")) / _norm(F.col("qe"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id")
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                "cos", "rank")
+    )
