@@ -1,0 +1,203 @@
+"""Multimodal-column operators: opaque ``binary`` payloads with typed
+metadata, decode/feature-extract/frame-sample plumbing as Arrow-batched
+Pandas UDFs (BASELINE.json north star).
+
+The container has no image/audio libraries, so the *real* decoders are
+stubbed behind ``NotImplementedError`` (see :func:`decode_image_real`);
+everything Spark-side — schema, batch shape, partitioning, UDF
+signatures, binary slicing — is real and driver-checked.  Payload
+bytes are synthesized deterministically from ``documents.text``
+(UTF-8, pure ASCII — verified), so DuckDB oracles the binary plumbing
+on the VARCHAR side (its md5/substring don't take BLOB): char ops
+equal byte ops exactly for this corpus.
+
+Scale notes: binary columns ride Parquet natively (no pointer/offset
+machinery — SURVEY.md §1.7); decode stages are ``mapInPandas`` over
+row groups, so 100 TB of media shards across executors with Arrow
+batches and zero driver involvement.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rados_timestore_spark.queries_common import load
+from rados_timestore_spark.registry import register
+
+#: Fixed fake "frame" size for the frame-sampling plumbing.
+FRAME_BYTES = 16
+
+
+def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text as an opaque binary payload column + metadata."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.col("source").alias("media_source"),
+    )
+
+
+@register(
+    "mm_payload_stats",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5,
+       substr(md5(text), 1, 2) AS magic
+FROM documents
+""",
+    tags=("multimodal",),
+)
+def mm_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over opaque binary payloads: byte length, content
+    hash, sniffed 'magic' prefix — the catalog columns a media table
+    carries next to the blob."""
+    p = _payloads(spark, sf_dir)
+    return p.select(
+        "doc_id",
+        F.length("payload").alias("n_bytes"),
+        F.md5("payload").alias("content_md5"),
+        F.substring(F.md5("payload"), 1, 2).alias("magic"),
+    )
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+SELECT doc_id, frame_no,
+       md5(substring(text, frame_no * {FRAME_BYTES} + 1,
+                     {FRAME_BYTES})) AS frame_md5
+FROM documents
+CROSS JOIN generate_series(0, 3) g(frame_no)
+WHERE octet_length(encode(text)) >= (frame_no + 1) * {FRAME_BYTES}
+""",
+    tags=("multimodal",),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling plumbing: slice the first 4 fixed-size 'frames'
+    out of each binary payload (video keyframe extraction shape —
+    offset math + binary substring, no decode)."""
+    p = _payloads(spark, sf_dir)
+    frames = p.select(
+        "doc_id", "payload",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("frame_no"),
+    ).filter(
+        F.length("payload") >= (F.col("frame_no") + 1) * FRAME_BYTES
+    )
+    slice_ = F.expr(
+        f"substring(payload, frame_no * {FRAME_BYTES} + 1, {FRAME_BYTES})"
+    )
+    return frames.select(
+        "doc_id", "frame_no", F.md5(slice_).alias("frame_md5")
+    )
+
+
+#: Schema produced by the (fake) feature extractor.
+_FEATURES_DDL = (
+    "doc_id long, n_bytes long, width int, height int, channels int, "
+    "feat_hash string"
+)
+
+
+def fake_decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic FAKE decoder (the real one needs PIL/ffmpeg — see
+    :func:`decode_image_real`): 'dimensions' are derived from the
+    payload's md5 so the pipeline shape (Arrow batch in, typed feature
+    frame out) is real and verifiable."""
+    import hashlib
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            h = hashlib.md5(b).hexdigest()
+            rows.append(
+                (
+                    int(doc_id),
+                    len(b),
+                    int(h[0:2], 16) + 1,      # fake width  1..256
+                    int(h[2:4], 16) + 1,      # fake height 1..256
+                    int(h[4:6], 16) % 3 + 1,  # fake channels 1..3
+                    h[:8],
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_bytes", "width", "height", "channels",
+                "feat_hash",
+            ],
+        )
+
+
+@register(
+    "mm_feature_extract",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       ('0x' || substr(md5(text), 1, 2))::INT + 1 AS width,
+       ('0x' || substr(md5(text), 3, 2))::INT + 1 AS height,
+       ('0x' || substr(md5(text), 5, 2))::INT % 3 + 1 AS channels,
+       substr(md5(text), 1, 8) AS feat_hash
+FROM documents
+""",
+    tags=("multimodal",),
+)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract plumbing via ``mapInPandas``: Arrow
+    batches of (doc_id, payload) stream through a Python decoder that
+    emits a typed feature row per blob.  The decoder is a deterministic
+    fake (md5-derived dims) so the oracle can verify the exact values;
+    swapping in a real PIL/ffmpeg body changes one function."""
+    p = _payloads(spark, sf_dir).select("doc_id", "payload")
+    return p.mapInPandas(fake_decode_features, _FEATURES_DDL)
+
+
+def decode_image_real(payload: bytes) -> dict:
+    """REAL image decode — requires pillow, which this container does
+    not ship.  Kept as the single swap-in point for
+    :func:`fake_decode_features`."""
+    raise NotImplementedError(
+        "image decoding requires pillow/ffmpeg; wire your decoder here "
+        "and swap it into fake_decode_features' loop"
+    )
+
+
+@register(
+    "mm_modality_routing",
+    oracle="""
+SELECT CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'image'
+            WHEN octet_length(encode(text)) % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       count(*) AS n,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       max(octet_length(encode(text))) AS max_bytes
+FROM documents GROUP BY 1
+""",
+    tags=("multimodal",),
+)
+def mm_modality_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality routing/aggregation: classify blobs (fake sniff on
+    size), aggregate per-modality byte budgets — the partition-planning
+    query a media ingest pipeline runs before sharding decode work."""
+    p = _payloads(spark, sf_dir)
+    modality = (
+        F.when(F.length("payload") % 3 == 0, "image")
+        .when(F.length("payload") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return (
+        p.select(modality.alias("modality"),
+                 F.length("payload").alias("nb"))
+        .groupBy("modality")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("nb").alias("total_bytes"),
+            F.max("nb").alias("max_bytes"),
+        )
+    )
