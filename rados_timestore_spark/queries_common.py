@@ -72,6 +72,23 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def load_parallel(
+    spark: SparkSession, sf_dir: str, table: str, key: str
+) -> DataFrame:
+    """Load + spread across all cores.
+
+    The driver fixtures are single-row-group parquet files, so Spark's
+    file splitting yields ONE scan partition and any CPU-heavy per-row
+    derivation (shingling, hyperplane dots, pandas UDF decode) runs on
+    one core.  A hash repartition on ``key`` costs one small shuffle
+    and unlocks the other 31.  On a real multi-file/multi-row-group
+    table the scan is already split and this repartition is a cheap
+    rebalance.
+    """
+    df = load(spark, sf_dir, table)
+    return df.repartition(spark.sparkContext.defaultParallelism, key)
+
+
 def events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table projected onto the Point model (see module doc).
 

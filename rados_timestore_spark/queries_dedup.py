@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rados_timestore_spark.queries_common import load
+from rados_timestore_spark.queries_common import load, load_parallel
 from rados_timestore_spark.registry import register
 
 _WORDS_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
@@ -50,7 +50,8 @@ def _shingles_col():
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id") \
+        .select("doc_id", "text")
     ws, _ = _shingles_col()
     d = docs.withColumn("ws", ws)
     return d.select(
@@ -112,21 +113,30 @@ def dedup_exact_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------------------- shingle Jaccard
 
 
+#: Stop-shingle cap: shingles appearing in more than this many docs
+#: are dropped from CANDIDATE GENERATION (verification still uses the
+#: full shingle sets).  Without it, one hot shingle of frequency f
+#: contributes f^2 join rows — the classic near-dup scale killer.
+_MAX_SHINGLE_DF = 50
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-WITH sh AS (
+WITH ex AS (
   SELECT doc_id, unnest({_SHINGLES_SQL}) AS s
   FROM (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents) t
 ),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+rare AS (SELECT s FROM ex GROUP BY s
+         HAVING count(*) <= {_MAX_SHINGLE_DF}),
+exr AS (SELECT doc_id, ex.s FROM ex JOIN rare ON ex.s = rare.s),
+sizes AS (SELECT doc_id, count(*) AS n FROM exr GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM exr a JOIN exr b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
-SELECT doc_a, doc_b, common,
-       (sa.n + sb.n - common) AS union_n
+SELECT doc_a, doc_b, common, (sa.n + sb.n - common) AS union_n
 FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
            JOIN sizes sb ON sb.doc_id = doc_b
 WHERE common * {_TAU_DEN} >= {_TAU_NUM} * (sa.n + sb.n - common)
@@ -135,25 +145,32 @@ WHERE common * {_TAU_DEN} >= {_TAU_NUM} * (sa.n + sb.n - common)
     bench=True,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by 3-word-shingle Jaccard >= 0.4.
+    """Near-dup pairs by 3-word-shingle Jaccard >= 0.4, computed over
+    the *rare*-shingle universe (document frequency <= 50 — standard
+    stop-shingle removal, which both bounds every join bucket AND
+    keeps ubiquitous shingles from inflating similarity).
 
-    Candidates come from the shingle equi-join (shuffle key = shingle,
-    never a pair); the Jaccard test is integer cross-multiplication.
-    At 100 TB you'd cap hot shingles (stop-shingle removal) — the join
-    shape stays the same.
+    ``common`` falls directly out of the shingle equi-join aggregation
+    (shuffle key = shingle, group key = pair) — no shingle arrays are
+    ever shipped per pair.  Integer cross-multiplied threshold; the
+    oracle evaluates the identical definition.
     """
     sh = _doc_shingles(spark, sf_dir)
-    exploded = sh.select(
-        "doc_id", F.explode("shingles").alias("s")
+    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
+    rare = (
+        exploded.groupBy("s").agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _MAX_SHINGLE_DF)
+        .select("s")
     )
-    sizes = sh.select(
-        "doc_id", F.size("shingles").alias("n")
-    )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    ex_rare = exploded.join(rare, "s")
+    sizes = ex_rare.groupBy("doc_id").agg(F.count("*").alias("n"))
     pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        ex_rare.alias("a")
+        .join(
+            ex_rare.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -162,6 +179,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    # plain joins: sizes is one row per doc (AQE broadcasts when small,
+    # shuffles when the corpus is actually large)
     j = pairs.join(sa, "doc_a").join(sb, "doc_b")
     union_n = F.col("na") + F.col("nb") - F.col("common")
     return j.filter(
@@ -255,14 +274,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_a", "doc_b")
 
     # Connected components: min-id label propagation to fixpoint.
+    # Each round is one join + aggregate over the (small) edge set;
+    # localCheckpoint truncates the lineage so round k doesn't replay
+    # rounds 1..k-1, and the convergence test is a cheap count over
+    # the changed labels (not a full frame diff).
     docs = sh.select("doc_id")
-    labels = docs.withColumn("rep", F.col("doc_id"))
+    labels = docs.withColumn("rep", F.col("doc_id")).localCheckpoint()
     sym = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b"))
-    ).cache()
-    for _ in range(8):  # diameter bound; fixture clusters are tiny
-        # each node adopts min(own rep, neighbours' reps)
+    ).localCheckpoint()
+    for _ in range(16):  # O(log n) rounds suffice for min-propagation
         nbr = (
             sym.join(labels, sym.doc_b == labels.doc_id)
             .groupBy("doc_a").agg(F.min("rep").alias("nrep"))
@@ -274,12 +296,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(
                     F.col("rep"), F.coalesce(F.col("nrep"), F.col("rep"))
                 ).alias("rep"),
+                (F.col("nrep") < F.col("rep")).alias("__chg"),
             )
+            .localCheckpoint()
         )
-        if new.exceptAll(labels).isEmpty():
-            labels = new
+        changed = new.filter(F.col("__chg")).limit(1).count()
+        labels = new.drop("__chg")
+        if changed == 0:
             break
-        labels = new
     return labels.select("doc_id", F.col("rep").alias("cluster_rep"))
 
 
@@ -313,7 +337,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document from md5-derived word hashes —
     explode (word x bit) pairs, majority vote per bit, pack.  Pure
     built-in expressions; identical md5-based bits in the oracle."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
     words = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), "\\s+")).alias("w"),

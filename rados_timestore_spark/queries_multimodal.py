@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rados_timestore_spark.queries_common import load
+from rados_timestore_spark.queries_common import load, load_parallel
 from rados_timestore_spark.registry import register
 
 #: Fixed fake "frame" size for the frame-sampling plumbing.
@@ -34,7 +34,7 @@ FRAME_BYTES = 16
 
 def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text as an opaque binary payload column + metadata."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
     return docs.select(
         "doc_id",
         F.encode("text", "UTF-8").alias("payload"),

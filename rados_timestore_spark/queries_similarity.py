@@ -28,12 +28,12 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from rados_timestore_spark.queries_common import load
+from rados_timestore_spark.queries_common import load, load_parallel
 from rados_timestore_spark.registry import register
 
 DIM = 64
-_N_PLANES = 32
-_BAND_BITS = 4           # 8 bands x 4 sign bits
+_N_PLANES = 64
+_BAND_BITS = 8           # 8 bands x 8 sign bits
 _N_BANDS = _N_PLANES // _BAND_BITS
 _TAU100 = 40             # cosine threshold 0.40
 
@@ -214,12 +214,13 @@ WHERE cos * 100 >= {_TAU100}
     bench=True,
 )
 def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs: candidates from 8x4-bit
+    """Embedding-cosine near-dup pairs: candidates from 8x8-bit
     random-hyperplane sign bands (equi-join on band value — linear
-    shuffle), exact cosine >= 0.40 verify on candidates only.  The
-    oracle brute-forces the identical shared-band AND cosine
-    definition, so results match exactly."""
-    emb = load(spark, sf_dir, "embeddings")
+    shuffle; 8-bit bands keep random collisions near 1/256 per band so
+    the candidate set stays ~linear), exact cosine >= 0.40 verify on
+    candidates only.  The oracle brute-forces the identical
+    shared-band AND cosine definition, so results match exactly."""
+    emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
     base = emb.select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("nn"),
         *[
@@ -291,7 +292,7 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     them — the standard recall/cost dial at billion-vector scale,
     where the bucketed join replaces any full scan per query.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
     cent = emb.filter(F.col("vec_id") % 16 == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rados_timestore_spark.queries_common import load
+from rados_timestore_spark.queries_common import load, load_parallel
 from rados_timestore_spark.registry import register
 
 #: Tiny per-language stopword profiles for the n-gram/stopword
@@ -58,7 +58,7 @@ FROM documents GROUP BY lang
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus statistics per language: doc/char/word/vocabulary counts
     in one scan + 5-group hash aggregate."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
     w = _words_col()
     d = docs.select(
         "lang", "n_chars",
@@ -89,7 +89,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting with a BPE-ish regex (letter runs / digit runs /
     punctuation singletons) next to whitespace word counts — the cost
     model a training pipeline budgets by."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
     return docs.select(
         "doc_id",
         F.size(F.regexp_extract_all(F.lower(F.col("text")),
@@ -123,7 +123,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID: score = |distinct words ∩ profile|
     per language, argmax with alphabetical tie-break; confusion counts
     against the labeled ``lang`` column."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
     w = F.array_distinct(_words_col())
     scored = docs.select(
         "doc_id", "lang",
@@ -168,7 +168,7 @@ FROM documents
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring (length / punctuation / stopword
     signals -> bucket), the usual pre-training corpus filter."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
     w = _words_col()
     stop = F.array(*[F.lit(x) for x in STOPWORDS["en"]])
     d = docs.select(
@@ -201,7 +201,7 @@ FROM documents
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: 60-bit integer fingerprint from the
     md5 of the normalized text (Spark ``conv`` == DuckDB hex cast)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
     norm = F.trim(F.lower(F.col("text")))
     return docs.select(
         "doc_id",
@@ -225,7 +225,7 @@ def text_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: explode words, count term and document
     frequency, top-25 — the shuffle carries (word, partial-count)
     pairs only (map-side combine), then TakeOrdered."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
     words = docs.select(
         "doc_id", F.explode(_words_col()).alias("w")
     )
