@@ -1,0 +1,75 @@
+"""Structured Streaming ingest — the reference's continuous
+``writeEncoded`` daemon (lib/TimeStore.hs:98-137) as a streaming query.
+
+The reference runs many writer daemons coordinated by advisory locks
+(Core.hs:128-164); Spark's model replaces that with ONE streaming
+query per namespace whose micro-batches call the same batch ingest
+path (``TimeStore.write_points``) via ``foreachBatch``:
+
+* routing/partitioning (groupMixed, Algorithms.hs:111-178) — same code
+  as batch;
+* watermark maintenance (updateLatest, StoreHelpers.hs:227-265) — the
+  observe()-based monotone merge inside write_points;
+* rollover (maybeRollover, StoreHelpers.hs:194-221) — checked after
+  every micro-batch, exactly like the reference checks after every
+  write;
+* late data needs NO special handling: any time value may arrive in
+  any batch (the reference accepts arbitrary times too) because reads
+  dedup/sort on the fly — dedup-on-read IS the late-data story
+  (SURVEY.md §3.1).
+
+Exactly-once: parquet appends are atomic per task commit and the
+first-wins dedup on (address, time) makes replayed micro-batches
+idempotent for reads — a replayed duplicate loses to the original's
+lower seq.  Checkpointing the streaming query bounds replays.
+
+Scale notes: one streaming query scales by executor count (each batch
+is a normal distributed write); per-batch driver work is O(#epochs) —
+metadata only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from rados_timestore_spark.store import TimeStore
+
+
+def stream_points(
+    store: TimeStore,
+    ns: str,
+    source: DataFrame,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+    query_name: str | None = None,
+) -> StreamingQuery:
+    """Attach a streaming source to a namespace.
+
+    ``source`` must be a *streaming* DataFrame with the point columns
+    (address, time, plus value and/or payload; seq optional — batches
+    without it get monotone per-batch blocks, preserving cross-batch
+    first-write-wins order).
+
+    Returns the started :class:`StreamingQuery`; callers own its
+    lifecycle (``awaitTermination``/``stop``).
+    """
+    if not source.isStreaming:
+        raise ValueError("source must be a streaming DataFrame")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Empty micro-batches skip all metadata churn.
+        if batch_df.isEmpty():
+            return
+        store.write_points(ns, batch_df)
+
+    writer = (
+        source.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -1,0 +1,131 @@
+"""Hypothesis ports of the reference's QuickCheck laws
+(tests/FuzzyTests.hs) against the Spark engine.
+
+* round-trip law (FuzzyTests.hs:150-199, 220-243): every written point
+  is findable after arbitrary interleavings/chunkings of writes, for
+  both simple and extended reads; duplicate (address, time) keys
+  resolve to the FIRST-written payload.
+* LWW law (FuzzyTests.hs:122-147, 205-218): the last insert per key is
+  what lookup returns.
+* watermark law (StoreHelpers.hs:241-259): per-kind watermark equals
+  the max time ever written for that kind.
+
+Spark jobs cost seconds, so examples are few but adversarial: high
+Word64 addresses (negative as i64), non-power-of-two bucket counts,
+boundary times, duplicate keys across chunk boundaries.
+"""
+
+import os
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from rados_timestore_spark.store import TimeStore
+
+# Addresses exercise the full Word64 domain, reinterpreted as i64
+# (bit patterns preserved — codec._signed semantics).
+_ADDRS = st.sampled_from(
+    # -2 is Word64 2^64-2; -(1<<62) is 3*2^62: the high half of the
+    # Word64 domain arrives as negative i64 (bit patterns preserved).
+    [0, 2, 4, 14, 1 << 40, (1 << 62), -2, -(1 << 62)]
+)
+_TIMES = st.integers(min_value=0, max_value=50)
+
+_POINT = st.tuples(_ADDRS, _TIMES, st.integers(0, 1 << 32))
+
+
+def _expected_first_wins(chunks):
+    seen = {}
+    for chunk in chunks:
+        for a, t, v in chunk:
+            key = (a & ~1, t)  # simple addresses (bit 0 clear)
+            if key not in seen:
+                seen[key] = v
+    return seen
+
+
+@settings(
+    max_examples=5, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    chunks=st.lists(st.lists(_POINT, min_size=1, max_size=12),
+                    min_size=1, max_size=3),
+    buckets=st.sampled_from([4, 10, 77, 128]),
+)
+def test_roundtrip_first_wins_law(spark, tmp_path_factory, chunks, buckets):
+    store = TimeStore(spark, str(tmp_path_factory.mktemp("prop")))
+    store.register_namespace("NS", buckets=buckets)
+    for i, chunk in enumerate(chunks):
+        rows = [(a & ~1, t, v, (i << 32) + j)
+                for j, (a, t, v) in enumerate(chunk)]
+        df = spark.createDataFrame(
+            rows, "address long, time long, value long, seq long")
+        store.write_points("NS", df)
+
+    expected = _expected_first_wins(chunks)
+    addrs = sorted({a for a, _ in expected})
+    got = store.read_simple("NS", 0, 1 << 62, addrs).collect()
+    got_map = {(r.address, r.time): r.value for r in got}
+    # Negative (high Word64) addresses are still simple (bit 0 clear)
+    # and must round-trip; times are in [0, 50] so the full range read
+    # sees everything.
+    assert got_map == expected
+
+
+@settings(
+    max_examples=5, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.tuples(st.sampled_from([4, 6, 20]), st.binary(min_size=1,
+                                                         max_size=8)),
+        min_size=1, max_size=6,
+    )
+)
+def test_mutable_lww_law(spark, tmp_path_factory, ops):
+    from rados_timestore_spark.mutable import MutableKV
+
+    store = TimeStore(spark, str(tmp_path_factory.mktemp("kv")))
+    kv = MutableKV(store, "NS")
+    expected = {}
+    for key, value in ops:
+        kv.insert(key, value)
+        expected[key] = value
+    for key, value in expected.items():
+        assert kv.lookup(key) == value
+    enum = {r.key: bytes(r.value) for r in kv.enumerate().collect()}
+    assert enum == {(k | 1): v for k, v in expected.items()}
+
+
+@settings(
+    max_examples=5, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    chunks=st.lists(
+        st.lists(st.tuples(_TIMES, st.booleans()), min_size=1, max_size=8),
+        min_size=1, max_size=3,
+    )
+)
+def test_watermark_law(spark, tmp_path_factory, chunks):
+    store = TimeStore(spark, str(tmp_path_factory.mktemp("wm")))
+    store.register_namespace("NS", buckets=8)
+    max_s, max_e = None, None
+    for chunk in chunks:
+        rows = []
+        for j, (t, extended) in enumerate(chunk):
+            if extended:
+                rows.append((3, t, None, bytearray(b"x"), j))
+                max_e = t if max_e is None else max(max_e, t)
+            else:
+                rows.append((2, t, 7, None, j))
+                max_s = t if max_s is None else max(max_s, t)
+        df = spark.createDataFrame(
+            rows,
+            "address long, time long, value long, payload binary, seq long",
+        )
+        store.write_points("NS", df)
+    assert store.latest("NS") == (max_s, max_e)
