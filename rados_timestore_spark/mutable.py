@@ -91,10 +91,8 @@ class MutableKV:
     def enumerate(self) -> DataFrame:
         """All (key, value) pairs at their latest version
         (Mutable.hs:105-119) — one latest-per-key aggregate scan."""
-        import os
-
         pdir = self.store._points_dir(self.ns)
-        if not os.path.isdir(pdir):
+        if not self.store.fs.is_dir(pdir):
             return self.store.spark.createDataFrame(
                 [], "address long, time long, payload binary"
             )
@@ -142,10 +140,8 @@ class MutableKV:
         self.store.write_points(self.ns, new)
 
     def enumerate_versions(self) -> DataFrame:
-        import os
-
         pdir = self.store._points_dir(self.ns)
-        if not os.path.isdir(pdir):
+        if not self.store.fs.is_dir(pdir):
             return self.store.spark.createDataFrame(
                 [], "key long, time long, payload binary"
             )
@@ -158,10 +154,8 @@ class MutableKV:
         ``merge`` pairwise from oldest to newest (the result every
         sequence of ``insertWith merge`` calls would have produced).
         One shuffle + one Arrow-batched pass (``applyInPandas``)."""
-        import os
-
         pdir = self.store._points_dir(self.ns)
-        if not os.path.isdir(pdir):
+        if not self.store.fs.is_dir(pdir):
             return self.store.spark.createDataFrame([], "key long, value binary")
         df = (
             self.store.spark.read.parquet(pdir)

@@ -32,9 +32,8 @@ never does.
 from __future__ import annotations
 
 import json
-import os
-import time as _time
 from dataclasses import dataclass
+from functools import cached_property
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -96,6 +95,14 @@ class TimeStore:
         self.root = root.rstrip("/")
         self.rollover_bytes = rollover_bytes
 
+    @cached_property
+    def fs(self):
+        """Hadoop FS for the root URI — the Memory/Rados backend
+        duality (Stores/Memory.hs vs Stores/Rados.hs) as one API."""
+        from rados_timestore_spark.fsutil import HadoopFS
+
+        return HadoopFS(self.spark, self.root)
+
     # ------------------------------------------------------------ paths
 
     def _ns_dir(self, ns: str) -> str:
@@ -118,30 +125,27 @@ class TimeStore:
 
     def _read_meta(self, ns: str) -> _Meta:
         path = self._meta_path(ns)
-        if not os.path.exists(path):
+        if not self.fs.exists(path):
             raise NamespaceNotRegistered(ns)
-        with open(path) as fh:
-            return _Meta.from_json(json.load(fh))
+        return _Meta.from_json(json.loads(self.fs.read_text(path)))
 
     def _write_meta(self, ns: str, meta: _Meta) -> None:
-        path = self._meta_path(ns)
-        tmp = f"{path}.tmp.{os.getpid()}.{_time.monotonic_ns()}"
-        with open(tmp, "w") as fh:
-            json.dump(meta.to_json(), fh)
-        os.replace(tmp, path)  # atomic on POSIX
+        self.fs.write_text_atomic(
+            self._meta_path(ns), json.dumps(meta.to_json())
+        )
 
     # -------------------------------------------------------------- DDL
 
     def register_namespace(self, ns: str, buckets: int = DEFAULT_BUCKETS) -> None:
         """Create a namespace with initial index ``[(0, buckets)]``
         (TimeStore.hs:74-90).  Idempotent."""
-        os.makedirs(self._ns_dir(ns), exist_ok=True)
+        self.fs.mkdirs(self._ns_dir(ns))
         if not self.is_registered(ns):
             self._write_meta(ns, _Meta(index=Index(((0, buckets),))))
 
     def is_registered(self, ns: str) -> bool:
         """Registered iff the index exists (TimeStore.hs:92-95)."""
-        return os.path.exists(self._meta_path(ns))
+        return self.fs.exists(self._meta_path(ns))
 
     # ------------------------------------------------------------ write
 
@@ -229,16 +233,13 @@ class TimeStore:
         count here to rescale forward without rewriting history).
         """
         latest_epoch, buckets = meta.index.latest()
-        pdir = os.path.join(self._points_dir(ns), f"epoch={latest_epoch}")
-        if not os.path.isdir(pdir):
+        pdir = f"{self._points_dir(ns)}/epoch={latest_epoch}"
+        if not self.fs.is_dir(pdir):
             return
         max_bucket_bytes = 0
-        for bdir in os.scandir(pdir):
-            if bdir.is_dir():
-                size = sum(
-                    f.stat().st_size for f in os.scandir(bdir.path) if f.is_file()
-                )
-                max_bucket_bytes = max(max_bucket_bytes, size)
+        for bucket_dir in self.fs.list_dirs(pdir):
+            size = self.fs.dir_size(f"{pdir}/{bucket_dir}")
+            max_bucket_bytes = max(max_bucket_bytes, size)
         if max_bucket_bytes <= self.rollover_bytes:
             return
         watermark = max(
@@ -265,7 +266,7 @@ class TimeStore:
         matching ``processSimple`` (Algorithms.hs:204-206)."""
         meta = self._read_meta(ns)
         pdir = self._points_dir(ns)
-        if not os.path.isdir(pdir):
+        if not self.fs.is_dir(pdir):
             return self.spark.createDataFrame([], _scan_schema())
         df = self.spark.read.parquet(pdir)
 
@@ -351,7 +352,7 @@ class TimeStore:
         rewrite each (epoch, bucket) partition's many small append files
         into ``target_partitions_per_bucket`` files, preserving rows."""
         pdir = self._points_dir(ns)
-        if not os.path.isdir(pdir):
+        if not self.fs.is_dir(pdir):
             return
         df = self.spark.read.parquet(pdir)
         tmp = f"{self._ns_dir(ns)}/points_compacting"
@@ -360,11 +361,9 @@ class TimeStore:
             .write.mode("overwrite").partitionBy("epoch", "bucket").parquet(tmp)
         )
         backup = f"{self._ns_dir(ns)}/points_old"
-        os.rename(pdir, backup)
-        os.rename(tmp, pdir)
-        import shutil
-
-        shutil.rmtree(backup)
+        self.fs.rename(pdir, backup)
+        self.fs.rename(tmp, pdir)
+        self.fs.delete(backup, recursive=True)
 
 
 def _dedup_agg(df: DataFrame, payload_cols: tuple[str, ...]) -> DataFrame:

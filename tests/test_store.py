@@ -177,3 +177,22 @@ def test_word64_bucket_placement_high_addresses(spark):
         for a in addrs:
             signed = a - (1 << 64) if a >= (1 << 63) else a
             assert got[signed] == ((a & ~1) % n), (a, n)
+
+
+def test_file_uri_root_fs_agnostic(spark, tmp_path):
+    # The metadata layer must work through the Hadoop FS API with an
+    # explicit URI scheme (the s3a:// production path is the same code).
+    from rados_timestore_spark.store import TimeStore
+
+    store = TimeStore(spark, f"file://{tmp_path}/warehouse")
+    store.rollover_bytes = 1  # force a rollover through the FS probe
+    store.register_namespace("PONY", buckets=4)
+    assert store.is_registered("PONY")
+    _write(store, "PONY", [(2, 10, 1), (2, 20, 2)])
+    assert store.index("PONY").entries == ((0, 4), (21, 4))
+    _write(store, "PONY", [(2, 30, 3)])
+    got = store.read_simple("PONY", 0, 100, [2], global_order=True).collect()
+    assert [(r.time, r.value) for r in got] == [(10, 1), (20, 2), (30, 3)]
+    store.compact("PONY")
+    got = store.read_simple("PONY", 0, 100, [2], global_order=True).collect()
+    assert [(r.time, r.value) for r in got] == [(10, 1), (20, 2), (30, 3)]
