@@ -337,6 +337,45 @@ class TimeStore:
             return df.orderBy("time", "address")
         return df.sortWithinPartitions("epoch", "bucket", "time", "address")
 
+    # --------------------------------------------------- chunked reads
+
+    def iter_chunks(self, ns: str, start: int, end: int,
+                    addresses: Sequence[int], extended: bool = False):
+        """Streaming chunk delivery — the reference's ``readSimple``
+        Producer contract (TimeStore.hs:139-156, verified by
+        tests/UnitTests.hs:109-114): yields ``((epoch, bucket), rows)``
+        chunks, epoch-major ascending, rows sorted by (time, address)
+        within each chunk; chunks are non-overlapping.
+
+        Built on ``toLocalIterator`` over the globally chunk-sorted
+        read, so the driver holds ONE Spark partition at a time (the
+        executor-side read-ahead of the iterator mirrors the
+        reference's 16-deep prefetch ring, StoreHelpers.hs:284-293).
+        """
+        if not addresses:
+            return
+        if extended:
+            addrs = [a | 1 for a in addresses]
+            df = self._scan(ns, start, end, addrs).filter(F.col("kind") == 1)
+            df = _dedup_agg(df, ("payload",))
+            cols = ["address", "time", "payload", "seq"]
+        else:
+            addrs = [a for a in addresses if (a & 1) == 0]
+            df = self._scan(ns, start, end, addrs).filter(F.col("kind") == 0)
+            df = _dedup_agg(df, ("value",))
+            cols = ["address", "time", "value", "seq"]
+        ordered = df.orderBy("epoch", "bucket", "time", "address")
+        current_key, bucket_rows = None, []
+        for row in ordered.toLocalIterator(prefetchPartitions=True):
+            key = (row["epoch"], row["bucket"])
+            if key != current_key:
+                if bucket_rows:
+                    yield current_key, bucket_rows
+                current_key, bucket_rows = key, []
+            bucket_rows.append(tuple(row[c] for c in cols))
+        if bucket_rows:
+            yield current_key, bucket_rows
+
     # ------------------------------------------------------------ admin
 
     def latest(self, ns: str) -> tuple[int | None, int | None]:

@@ -196,3 +196,24 @@ def test_file_uri_root_fs_agnostic(spark, tmp_path):
     store.compact("PONY")
     got = store.read_simple("PONY", 0, 100, [2], global_order=True).collect()
     assert [(r.time, r.value) for r in got] == [(10, 1), (20, 2), (30, 3)]
+
+
+def test_iter_chunks_contract(store):
+    # TimeStore.hs:139-141 chunk contract: non-overlapping, epoch-major
+    # ascending, sorted by (time, address) within each chunk.
+    store.register_namespace("PONY", buckets=4)
+    _write(store, "PONY", [(0, 1, 10), (2, 2, 20), (4, 3, 30), (8, 4, 40),
+                           (0, 5, 50), (2, 6, 60)])
+    chunks = list(store.iter_chunks("PONY", 0, 10, [0, 2, 4, 8]))
+    assert chunks, "expected at least one chunk"
+    seen_keys = [k for k, _ in chunks]
+    assert seen_keys == sorted(seen_keys)          # epoch-major ascending
+    assert len(set(seen_keys)) == len(seen_keys)   # non-overlapping
+    all_rows = []
+    for _key, rows in chunks:
+        times = [(r[1], r[0]) for r in rows]
+        assert times == sorted(times)              # intra-chunk order
+        all_rows.extend(rows)
+    assert sorted(r[:3] for r in all_rows) == [
+        (0, 1, 10), (0, 5, 50), (2, 2, 20), (2, 6, 60), (4, 3, 30),
+        (8, 4, 40)]
