@@ -1,0 +1,236 @@
+"""Time-series operators Spark lacks as primitives — as-of join, range
+join, hypertable-style rollup, sessionization — composed from
+DataFrame ops per the brief's custom-operator ladder (composition
+first, never a Python loop).
+
+All run over the ``events`` table (ns timestamps -> µs, matching the
+DuckDB oracles' ``epoch_us``).
+
+Scale design:
+
+* **as-of join** is the union trick: tag both streams, one shuffle by
+  key, one ordered window carrying the last left-side id forward —
+  O(n log n/partition), no range explosion, no per-row lookup;
+* **range join** buckets time into interval-width cells and equi-joins
+  on (key, cell±1) — each probe touches <= 3 cells, so the shuffle key
+  is (user, cell), never a cross product;
+* **rollup** is a plain two-level hash aggregate (time_bucket, type);
+* **sessionization** is lag + cumulative-sum-of-starts windows — the
+  standard one-shuffle formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rados_timestore_spark.queries_common import load
+from rados_timestore_spark.registry import register
+
+_US_PER_MIN = 60_000_000
+_RANGE_US = 5 * _US_PER_MIN       # ±5 minutes
+_SESSION_GAP_US = 30 * _US_PER_MIN
+
+_EV_CTE = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS t
+  FROM events
+)
+"""
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", "user_id", "event_type", "value",
+        F.expr("ts div 1000").alias("t"),
+    )
+
+
+@register(
+    "ts_asof_join",
+    oracle=f"""{_EV_CTE}
+SELECT p.event_id AS purchase_id, p.user_id, p.t AS purchase_t,
+       v.event_id AS view_id, v.t AS view_t
+FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM ev WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.t >= v.t
+""",
+    tags=("timeseries", "join"),
+    bench=True,
+)
+def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: each purchase matched to the same user's
+    most recent view at-or-before it.
+
+    Union trick: views (tag 0) and purchases (tag 1) interleave in one
+    stream sorted by (t, tag); a last-non-null window carries the most
+    recent view forward — exactly one shuffle on user_id, which beats
+    any range-join expansion at scale.  DuckDB's native ASOF JOIN is
+    the oracle.
+    """
+    ev = _events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("t"), F.lit(0).alias("tag"),
+        F.col("event_id").alias("view_id"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("t"), F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("view_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    # views sort before purchases at equal t (tag order) => >= semantics
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "tag", "view_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = views.unionByName(purchases).select(
+        "user_id", "t", "tag", "purchase_id",
+        F.last("view_id", ignorenulls=True).over(w).alias("asof_view_id"),
+        F.last(
+            F.when(F.col("view_id").isNotNull(), F.col("t")),
+            ignorenulls=True,
+        ).over(w).alias("asof_view_t"),
+    )
+    return (
+        merged.filter(
+            (F.col("tag") == 1) & F.col("asof_view_id").isNotNull()
+        )
+        .select(
+            "purchase_id", "user_id", F.col("t").alias("purchase_t"),
+            F.col("asof_view_id").alias("view_id"),
+            F.col("asof_view_t").alias("view_t"),
+        )
+    )
+
+
+@register(
+    "ts_range_join",
+    oracle=f"""{_EV_CTE}
+SELECT p.event_id AS purchase_id, count(*) AS n_errors
+FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM ev WHERE event_type = 'error') e
+  ON p.user_id = e.user_id
+ AND e.t BETWEEN p.t - {_RANGE_US} AND p.t + {_RANGE_US}
+GROUP BY p.event_id
+""",
+    tags=("timeseries", "join"),
+)
+def ts_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: errors within ±5 min of each purchase by
+    the same user.
+
+    Bucketed formulation: both sides land in 5-min cells; each purchase
+    probes its cell ±1 via an exploded equi-join on (user, cell), then
+    the exact |dt| predicate filters.  Shuffle stays linear (every row
+    joins on <= 3 cell keys) instead of Spark's default cartesian-range
+    fallback.
+    """
+    ev = _events(spark, sf_dir)
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("t").alias("et"),
+        (F.col("t") / _RANGE_US).cast("long").alias("cell"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"), "user_id",
+            F.col("t").alias("pt"),
+        )
+        .withColumn(
+            "cell",
+            F.explode(
+                F.array(
+                    (F.col("pt") / _RANGE_US).cast("long") - 1,
+                    (F.col("pt") / _RANGE_US).cast("long"),
+                    (F.col("pt") / _RANGE_US).cast("long") + 1,
+                )
+            ),
+        )
+    )
+    j = purchases.join(errors, ["user_id", "cell"]).filter(
+        (F.col("et") >= F.col("pt") - _RANGE_US)
+        & (F.col("et") <= F.col("pt") + _RANGE_US)
+    )
+    return j.groupBy("purchase_id").agg(F.count("*").alias("n_errors"))
+
+
+@register(
+    "ts_rollup_hourly",
+    oracle=f"""{_EV_CTE}
+SELECT t // 3600000000 AS hour, event_type, count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       min(t) AS first_t, max(t) AS last_t
+FROM ev GROUP BY 1, 2
+""",
+    tags=("timeseries", "agg"),
+    bench=True,
+)
+def ts_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: per (hour, type)
+    count/sum/min/max in one hash aggregate — the materialized-rollup
+    shape TimescaleDB calls a continuous aggregate."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("hour", F.expr("t div 3600000000"))
+        .groupBy("hour", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                .alias("sum_value"),
+            F.min("t").alias("first_t"),
+            F.max("t").alias("last_t"),
+        )
+    )
+
+
+@register(
+    "ts_sessionize",
+    oracle=f"""{_EV_CTE},
+marked AS (
+  SELECT user_id, t, event_id,
+         CASE WHEN t - lag(t) OVER w > {_SESSION_GAP_US}
+                OR lag(t) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+),
+sessions AS (
+  SELECT user_id, t, event_id,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY t, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked
+)
+SELECT user_id, session_no, count(*) AS n_events,
+       min(t) AS session_start, max(t) - min(t) AS duration_us
+FROM sessions GROUP BY user_id, session_no
+""",
+    tags=("timeseries", "window"),
+)
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap: lag marks
+    session starts, a running sum numbers sessions, then one aggregate
+    per (user, session) — the classic two-window one-shuffle plan."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    marked = ev.select(
+        "user_id", "t", "event_id",
+        F.when(
+            (F.col("t") - F.lag("t").over(w) > _SESSION_GAP_US)
+            | F.lag("t").over(w).isNull(),
+            1,
+        ).otherwise(0).alias("is_start"),
+    )
+    run = (
+        Window.partitionBy("user_id").orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = marked.withColumn(
+        "session_no", F.sum("is_start").over(run)
+    )
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("t").alias("session_start"),
+        (F.max("t") - F.min("t")).alias("duration_us"),
+    )
