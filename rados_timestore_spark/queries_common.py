@@ -64,6 +64,19 @@ def ts_us(col: str) -> "F.Column":
     return F.unix_micros(F.col(col).cast("timestamp"))
 
 
+def ts_lit(us: int) -> "F.Column":
+    """A TIMESTAMP_NTZ literal from epoch µs, for direct comparisons
+    against NTZ columns: ``col <= ts_lit(...)`` keeps the raw column
+    in the predicate so it pushes into the parquet scan (row-group
+    stats), unlike ``unix_micros(col) <= n`` which wraps the column in
+    an expression Catalyst cannot push."""
+    from datetime import datetime, timezone
+
+    dt = datetime.fromtimestamp(us / 1_000_000, tz=timezone.utc)
+    iso = dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+    return F.expr(f"TIMESTAMP_NTZ '{iso}'")
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one driver test table with the engine's session confs."""
     from rados_timestore_spark.session import configure_session

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rados_timestore_spark.queries_common import load, ts_us
+from rados_timestore_spark.queries_common import load, ts_lit, ts_us
 from rados_timestore_spark.registry import register
 
 #: 1998-09-01 (classic Q1 cutoff region) in µs since epoch.
@@ -76,7 +76,7 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines and accumulation orders.
     """
     li = load(spark, sf_dir, "lineitem")
-    f = li.filter(ts_us("l_shipdate") <= _Q1_CUTOFF)
+    f = li.filter(F.col("l_shipdate") <= ts_lit(_Q1_CUTOFF))
     ext = F.col("l_extendedprice").cast("decimal(12,2)")
     disc = ext * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
     charge = disc * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)"))
@@ -116,11 +116,11 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
-    orders = load(spark, sf_dir, "orders").withColumn(
-        "o_orderdate_us", ts_us("o_orderdate")
-    ).filter(F.col("o_orderdate_us") < _Q3_DATE)
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < ts_lit(_Q3_DATE)
+    ).withColumn("o_orderdate_us", ts_us("o_orderdate"))
     li = load(spark, sf_dir, "lineitem").filter(
-        ts_us("l_shipdate") > _Q3_DATE
+        F.col("l_shipdate") > ts_lit(_Q3_DATE)
     )
     j = (
         li.join(
@@ -161,11 +161,10 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     """Q5: five-way join; every dimension side broadcasts, lineitem is
     never shuffled by a join key (only by the final 5-row group)."""
     cust = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders").withColumn(
-        "o_orderdate_us", ts_us("o_orderdate")
-    ).filter(
-        (F.col("o_orderdate_us") >= _Q5_LO) & (F.col("o_orderdate_us") < _Q5_HI)
-    )
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= ts_lit(_Q5_LO))
+        & (F.col("o_orderdate") < ts_lit(_Q5_HI))
+    ).withColumn("o_orderdate_us", ts_us("o_orderdate"))
     li = load(spark, sf_dir, "lineitem")
     supp = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation")

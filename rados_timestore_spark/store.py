@@ -415,15 +415,17 @@ def _dedup_agg(df: DataFrame, payload_cols: tuple[str, ...]) -> DataFrame:
     (epoch, bucket) are functionally dependent on (address, time), so
     grouping by all four keeps chunk columns without changing keys.
     """
-    picked = F.min_by(
-        F.struct(*[F.col(c) for c in payload_cols], F.col("seq")),
-        F.col("seq"),
-    ).alias("__first")
-    out = df.groupBy("address", "time", "epoch", "bucket").agg(picked)
+    # Scalar min_by per column (NOT one struct): primitive agg buffers
+    # keep the simple path in HashAggregate with codegen; a struct
+    # payload would demote the whole aggregate to SortAggregate (two
+    # extra sorts).  All min_by calls pick the same row because seq is
+    # unique, so per-column min_by == row-wise first.
+    out = df.groupBy("address", "time", "epoch", "bucket").agg(
+        *[F.min_by(c, "seq").alias(c) for c in payload_cols],
+        F.min("seq").alias("seq"),
+    )
     return out.select(
-        "address", "time",
-        *[F.col(f"__first.{c}").alias(c) for c in payload_cols],
-        F.col("__first.seq").alias("seq"), "epoch", "bucket",
+        "address", "time", *payload_cols, "seq", "epoch", "bucket"
     )
 
 
