@@ -81,6 +81,7 @@ LOAD_ERRORS: dict[str, str] = {}
 _QUERY_MODULES = (
     "rados_timestore_spark.queries_core",
     "rados_timestore_spark.queries_timeseries",
+    "rados_timestore_spark.queries_streaming",
     "rados_timestore_spark.queries_tpch",
     "rados_timestore_spark.queries_text",
     "rados_timestore_spark.queries_dedup",
