@@ -210,7 +210,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _doc_shingles(spark, sf_dir)
     exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
 
-    # 32 minhashes per doc: min over shingles of xxhash64(seed, s).
+    # 32 minhashes per doc: min over shingles of xxhash64(seed, s) as
+    # explode + hash-aggregate.  (An array_min(transform(...)) variant
+    # avoids the shuffle but loses codegen — higher-order lambdas are
+    # interpreted AND get recomputed per exploded band row downstream;
+    # measured 2x slower.  The exploded agg stays in WholeStageCodegen
+    # with map-side partial min.)
     sig = exploded.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.lit(seed), F.col("s"))).alias(f"h{seed}")
@@ -273,17 +278,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         >= _TAU_NUM * (F.col("total") - F.col("common"))
     ).select("doc_a", "doc_b")
 
-    # Connected components: min-id label propagation to fixpoint.
-    # Each round is one join + aggregate over the (small) edge set;
-    # localCheckpoint truncates the lineage so round k doesn't replay
-    # rounds 1..k-1, and the convergence test is a cheap count over
-    # the changed labels (not a full frame diff).
-    docs = sh.select("doc_id")
-    labels = docs.withColumn("rep", F.col("doc_id")).localCheckpoint()
+    # Connected components: min-id label propagation to fixpoint,
+    # restricted to edge ENDPOINTS (every other doc is trivially its
+    # own singleton cluster — unioned back at the end).  Each round is
+    # one join + aggregate over the (small) edge set; localCheckpoint
+    # truncates the lineage so round k doesn't replay rounds 1..k-1,
+    # and the convergence test is a cheap changed-count.
     sym = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b"))
     ).localCheckpoint()
+    endpoints = sym.select(F.col("doc_a").alias("doc_id")).distinct()
+    labels = endpoints.withColumn("rep", F.col("doc_id")).localCheckpoint()
     for _ in range(16):  # O(log n) rounds suffice for min-propagation
         nbr = (
             sym.join(labels, sym.doc_b == labels.doc_id)
@@ -304,7 +310,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new.drop("__chg")
         if changed == 0:
             break
-    return labels.select("doc_id", F.col("rep").alias("cluster_rep"))
+    singletons = (
+        sh.select("doc_id")
+        .join(labels.select("doc_id"), "doc_id", "left_anti")
+        .withColumn("rep", F.col("doc_id"))
+    )
+    return labels.unionByName(singletons).select(
+        "doc_id", F.col("rep").alias("cluster_rep")
+    )
 
 
 # ---------------------------------------------------------- SimHash
