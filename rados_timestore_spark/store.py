@@ -61,6 +61,7 @@ class _Meta:
     latest_simple: int | None = None    # simple watermark (X3)
     latest_extended: int | None = None  # extended watermark (X3)
     seq_base: int = 0                   # next ingest-sequence block
+    points_version: int = 0             # compaction generation
 
     def to_json(self) -> dict:
         return {
@@ -68,6 +69,7 @@ class _Meta:
             "latest_simple": self.latest_simple,
             "latest_extended": self.latest_extended,
             "seq_base": self.seq_base,
+            "points_version": self.points_version,
         }
 
     @classmethod
@@ -77,6 +79,7 @@ class _Meta:
             latest_simple=d.get("latest_simple"),
             latest_extended=d.get("latest_extended"),
             seq_base=int(d.get("seq_base", 0)),
+            points_version=int(d.get("points_version", 0)),
         )
 
 
@@ -115,8 +118,17 @@ class TimeStore:
                 raise ValueError(f"invalid namespace: {ns!r}")
         return f"{self.root}/{ns}"
 
-    def _points_dir(self, ns: str) -> str:
-        return f"{self._ns_dir(ns)}/points"
+    def _points_dir(self, ns: str, meta: "_Meta | None" = None) -> str:
+        """Current points directory.  Compaction writes a new
+        generation and flips ``points_version`` atomically in the meta
+        document (never a live-directory rename), so readers resolve
+        the directory through the meta pointer; generation 0 keeps the
+        legacy un-suffixed name."""
+        if meta is None:
+            meta = self._read_meta(ns)
+        v = meta.points_version
+        suffix = "points" if v == 0 else f"points_v{v}"
+        return f"{self._ns_dir(ns)}/{suffix}"
 
     def _meta_path(self, ns: str) -> str:
         return f"{self._ns_dir(ns)}/{_META}"
@@ -211,7 +223,7 @@ class TimeStore:
         (
             routed.write.mode("append")
             .partitionBy("epoch", "bucket")
-            .parquet(self._points_dir(ns))
+            .parquet(self._points_dir(ns, meta))
         )
 
         got = obs.get
@@ -233,7 +245,7 @@ class TimeStore:
         count here to rescale forward without rewriting history).
         """
         latest_epoch, buckets = meta.index.latest()
-        pdir = f"{self._points_dir(ns)}/epoch={latest_epoch}"
+        pdir = f"{self._points_dir(ns, meta)}/epoch={latest_epoch}"
         if not self.fs.is_dir(pdir):
             return
         max_bucket_bytes = 0
@@ -265,7 +277,7 @@ class TimeStore:
         time BETWEEN start AND end — closed interval on both ends,
         matching ``processSimple`` (Algorithms.hs:204-206)."""
         meta = self._read_meta(ns)
-        pdir = self._points_dir(ns)
+        pdir = self._points_dir(ns, meta)
         if not self.fs.is_dir(pdir):
             return self.spark.createDataFrame([], _scan_schema())
         df = self.spark.read.parquet(pdir)
@@ -390,19 +402,25 @@ class TimeStore:
         """Read-optimizing merge (the OPTIMIZE the reference never does):
         rewrite each (epoch, bucket) partition's many small append files
         into ``target_partitions_per_bucket`` files, preserving rows."""
-        pdir = self._points_dir(ns)
+        meta = self._read_meta(ns)
+        pdir = self._points_dir(ns, meta)
         if not self.fs.is_dir(pdir):
             return
         df = self.spark.read.parquet(pdir)
-        tmp = f"{self._ns_dir(ns)}/points_compacting"
+        next_version = meta.points_version + 1
+        new_dir = f"{self._ns_dir(ns)}/points_v{next_version}"
         (
             df.repartition(target_partitions_per_bucket, "epoch", "bucket")
-            .write.mode("overwrite").partitionBy("epoch", "bucket").parquet(tmp)
+            .write.mode("overwrite").partitionBy("epoch", "bucket")
+            .parquet(new_dir)
         )
-        backup = f"{self._ns_dir(ns)}/points_old"
-        self.fs.rename(pdir, backup)
-        self.fs.rename(tmp, pdir)
-        self.fs.delete(backup, recursive=True)
+        # Atomic flip: readers resolve the directory via the meta
+        # pointer, so a crash before this line leaves the old
+        # generation live (new dir is an orphan, rewritten next time);
+        # a crash after it leaves only the old dir to GC.
+        meta.points_version = next_version
+        self._write_meta(ns, meta)
+        self.fs.delete(pdir, recursive=True)
 
 
 def _dedup_agg(df: DataFrame, payload_cols: tuple[str, ...]) -> DataFrame:
