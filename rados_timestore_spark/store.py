@@ -349,6 +349,37 @@ class TimeStore:
             return df.orderBy("time", "address")
         return df.sortWithinPartitions("epoch", "bucket", "time", "address")
 
+    def write_encoded(self, ns: str, blobs: DataFrame,
+                      blob_col: str = "blob") -> None:
+        """``writeEncoded`` proper (TimeStore.hs:98-137): ingest packed
+        wire blobs — the reference's client-facing entry point.
+
+        ``blobs`` rows each hold one mixed wire blob (BinaryType).  The
+        blobs are decoded executor-side (numpy-vectorized codec,
+        Arrow-batched) into points and run through the standard
+        :meth:`write_points` pipeline.  Cross-blob first-wins order is
+        made deterministic by seeding each blob's sequence numbers from
+        a disjoint block (blob ordinal << 32 above the namespace's
+        seq_base) — the reference gets the same property from append
+        order.
+        """
+        from pyspark.sql import Window
+
+        from rados_timestore_spark.codec import decode_wire_df
+
+        meta = self._read_meta(ns)
+        w = Window.orderBy(F.col(blob_col))  # any total order of blobs
+        seeded = blobs.select(
+            F.col(blob_col),
+            (
+                F.lit(meta.seq_base)
+                + (F.row_number().over(w).cast("long") - 1) * F.lit(1 << 32)
+            ).alias("seq_base"),
+        )
+        points = decode_wire_df(seeded, blob_col=blob_col,
+                                seq_col="seq_base")
+        self.write_points(ns, points)
+
     # --------------------------------------------------- chunked reads
 
     def iter_chunks(self, ns: str, start: int, end: int,

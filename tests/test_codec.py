@@ -78,3 +78,28 @@ def test_decode_wire_df(spark):
         (1, 3, None, b"hai", 1 << 32),
         (2, 2, 20, None, 1),
     ]
+
+
+def test_write_encoded_end_to_end(spark, tmp_path):
+    # writeEncoded parity (TimeStore.hs:98-137): mixed wire blobs in,
+    # queryable points out; first-wins across blobs follows blob order.
+    from rados_timestore_spark.codec import encode_points
+    from rados_timestore_spark.store import TimeStore
+
+    store = TimeStore(spark, str(tmp_path / "w"))
+    store.register_namespace("NS", buckets=8)
+    blob1 = encode_points([
+        (2, 10, 100, None), (3, 10, None, b"hai"), (4, 11, 400, None)])
+    blob2 = encode_points([
+        (2, 10, 999, None),  # duplicate key -> first blob's value wins
+        (3, 12, None, b"there")])
+    df = spark.createDataFrame(
+        [(bytearray(blob1),), (bytearray(blob2),)], "blob binary")
+    store.write_encoded("NS", df)
+
+    simple = store.read_simple("NS", 0, 100, [2, 4], global_order=True)
+    assert [(r.address, r.time, r.value) for r in simple.collect()] == [
+        (2, 10, 100), (4, 11, 400)]
+    ext = store.read_extended("NS", 0, 100, [3], global_order=True)
+    assert [(r.address, r.time, bytes(r.payload)) for r in ext.collect()] == [
+        (3, 10, b"hai"), (3, 12, b"there")]
