@@ -234,3 +234,56 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("t").alias("session_start"),
         (F.max("t") - F.min("t")).alias("duration_us"),
     )
+
+
+@register(
+    "ts_topk_per_series",
+    oracle=f"""{_EV_CTE}
+SELECT user_id, event_id, t, rk FROM (
+  SELECT user_id, event_id, t,
+         row_number() OVER (PARTITION BY user_id
+             ORDER BY value DESC, event_id) AS rk
+  FROM ev) x
+WHERE rk <= 3
+""",
+    tags=("timeseries", "window"),
+)
+def ts_topk_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series top-k: the highest-value events per user — one
+    window shuffle keyed by series, k rows retained per group."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("user_id", "event_id", "t", "rk")
+    )
+
+
+@register(
+    "ts_value_histogram",
+    oracle=f"""{_EV_CTE}
+SELECT CAST(floor(value / 5) AS BIGINT) AS bucket, count(*) AS n,
+       CAST(round(min(value) * 100) AS BIGINT) AS min_v100,
+       CAST(round(max(value) * 100) AS BIGINT) AS max_v100
+FROM ev GROUP BY 1
+""",
+    tags=("timeseries", "agg"),
+)
+def ts_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram — one hash aggregate; min/max
+    reported as rounded integer centi-values (doubles in the fixture are
+    2-decimal; explicit round() because DuckDB's double->BIGINT cast
+    rounds while Spark's truncates)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("bucket", F.floor(F.col("value") / 5).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value") * 100).cast("long").alias("min_v100"),
+            F.round(F.max("value") * 100).cast("long").alias("max_v100"),
+        )
+    )

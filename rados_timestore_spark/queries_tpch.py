@@ -307,3 +307,96 @@ def tpch_antijoin_silent_customers(spark: SparkSession, sf_dir: str) -> DataFram
         orders, cust.c_custkey == orders.o_custkey, "left_anti"
     )
     return silent.agg(F.count("*").alias("n_silent"))
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       count(*) AS n
+FROM lineitem
+WHERE epoch_us(l_shipdate) >= {_Q5_LO} AND epoch_us(l_shipdate) < {_Q5_HI}
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    tags=("agg",),
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: pure filter + global aggregate — every predicate pushes to
+    the scan, the aggregate is a single map-side-combined row."""
+    li = load(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= ts_lit(_Q5_LO))
+        & (F.col("l_shipdate") < ts_lit(_Q5_HI))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * F.col("l_discount").cast("decimal(4,2)")
+        ).cast("double").alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "tpch_q4_order_priority",
+    oracle=f"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE epoch_us(o_orderdate) >= {_Q5_LO} AND epoch_us(o_orderdate) < {_Q5_HI}
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+    tags=("join", "agg"),
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4: EXISTS correlated subquery -> left-semi join against a
+    filtered lineitem projection."""
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= ts_lit(_Q5_LO))
+        & (F.col("o_orderdate") < ts_lit(_Q5_HI))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    semi = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey, o_custkey
+HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 20
+""",
+    tags=("join", "agg", "topk"),
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18: join + group + HAVING on an aggregate + top-k."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    j = li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+    agg = j.groupBy("o_orderkey", "o_custkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("__q")
+    )
+    return (
+        agg.filter(F.col("__q") > 250)
+        .select("o_orderkey", "o_custkey",
+                F.col("__q").cast("double").alias("total_qty"))
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(20)
+    )
