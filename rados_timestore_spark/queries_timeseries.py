@@ -287,3 +287,66 @@ def ts_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value") * 100).cast("long").alias("max_v100"),
         )
     )
+
+
+@register(
+    "ts_delta_encode",
+    oracle=f"""{_EV_CTE}
+SELECT user_id, event_id, t,
+       t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+         AS delta_us
+FROM ev
+""",
+    tags=("timeseries", "window"),
+)
+def ts_delta_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta encoding of per-series timestamps (the compression
+    transform a timestore applies before storage): one window shuffle,
+    first element per series keeps a NULL delta."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    return ev.select(
+        "user_id", "event_id", "t",
+        (F.col("t") - F.lag("t").over(w)).alias("delta_us"),
+    )
+
+
+@register(
+    "ts_gap_fill",
+    oracle=f"""{_EV_CTE},
+hours AS (
+  SELECT unnest(generate_series((SELECT min(t) // 3600000000 FROM ev),
+                                (SELECT max(t) // 3600000000 FROM ev)))
+    AS hour
+),
+agg AS (SELECT t // 3600000000 AS hour, count(*) AS n FROM ev GROUP BY 1)
+SELECT h.hour, COALESCE(a.n, 0) AS n,
+       CASE WHEN a.hour IS NULL THEN 1 ELSE 0 END AS filled
+FROM hours h LEFT JOIN agg a ON h.hour = a.hour
+""",
+    tags=("timeseries",),
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling: generate the dense hour spine between min and max
+    event time, left-join the hourly counts, mark filled gaps — the
+    time_bucket_gapfill shape.  The spine is generated from one
+    aggregated (min, max) row via sequence+explode, so the plan is a
+    scan + tiny broadcast-side generate, not a driver loop."""
+    ev = _events(spark, sf_dir)
+    hour = F.expr("t div 3600000000")
+    bounds = ev.agg(
+        F.min(hour).alias("h0"), F.max(hour).alias("h1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("h0", "h1")).alias("hour")
+    )
+    agg = ev.select(hour.alias("hour")).groupBy("hour").agg(
+        F.count("*").alias("n")
+    )
+    j = spine.join(agg.withColumnRenamed("hour", "ahour"),
+                   spine.hour == F.col("ahour"), "left")
+    return j.select(
+        "hour",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        F.when(F.col("ahour").isNull(), 1).otherwise(0).alias("filled"),
+    )

@@ -400,3 +400,37 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_qty"), "o_orderkey")
         .limit(20)
     )
+
+
+@register(
+    "tpch_rollup_revenue",
+    oracle="""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS revenue,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    tags=("agg",),
+)
+def tpch_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets: per (flag, status), per flag, and grand
+    total in ONE pass (Expand + hash aggregate) — no query union."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+                .cast("double").alias("revenue"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL"))
+                .alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL"))
+                .alias("linestatus"),
+            "revenue", "n",
+        )
+    )
