@@ -87,14 +87,20 @@ def first_wins_dedup(
     The reference stable-sorts by (time, address) and keeps the first
     record of each (address, time) run — i.e. the earliest *appended*
     duplicate wins.  ``dropDuplicates`` would be nondeterministic under
-    shuffles, so we rank by the ingest sequence explicitly.
+    shuffles, so we pick by the ingest sequence explicitly.
+
+    Implemented as ``min_by(col, seq)`` hash aggregates (seq is unique,
+    so every min_by picks the same winning row): ONE shuffle with
+    map-side partial aggregation and no per-partition sort — cheaper
+    than the equivalent ``row_number() == 1`` window at scale.
     """
-    w = Window.partitionBy(*keys).orderBy(F.col(seq).asc())
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    key_set = set(keys) | {seq}
+    payload = [c for c in df.columns if c not in key_set]
+    out = df.groupBy(*[F.col(k) for k in keys]).agg(
+        *[F.min_by(c, seq).alias(c) for c in payload],
+        F.min(seq).alias(seq),
     )
+    return out.select(*df.columns)
 
 
 def latest_per_key(

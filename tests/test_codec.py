@@ -103,3 +103,50 @@ def test_write_encoded_end_to_end(spark, tmp_path):
     ext = store.read_extended("NS", 0, 100, [3], global_order=True)
     assert [(r.address, r.time, bytes(r.payload)) for r in ext.collect()] == [
         (3, 10, b"hai"), (3, 12, b"there")]
+
+
+def test_codec_roundtrip_property():
+    # FuzzyTests.hs round-trip at the codec level: random mixed points
+    # encode -> decode identically (pure Python, no Spark).
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rados_timestore_spark.codec import decode_blob, encode_points
+
+    addr = st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1)
+    time = st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1)
+    simple = st.tuples(addr.map(lambda a: a & ~1), time,
+                       st.integers(0, (1 << 63) - 1), st.none())
+    extended = st.tuples(addr.map(lambda a: a | 1), time, st.none(),
+                         st.binary(max_size=64))
+    points = st.lists(st.one_of(simple, extended), max_size=50)
+
+    @settings(max_examples=200, deadline=None)
+    @given(points)
+    def check(pts):
+        blob = encode_points(pts)
+        decoded = decode_blob(blob, seq_start=7)
+        assert len(decoded) == len(pts)
+        for i, ((a, t, v, p), (da, dt, dv, dp, ds)) in enumerate(
+                zip(pts, decoded)):
+            assert ds == 7 + i
+            assert da == a and dt == t
+            if a & 1:
+                assert dv is None and bytes(dp) == p
+            else:
+                assert dv == v and dp is None
+
+    check()
+
+
+def test_codec_truncated_blob_raises():
+    import pytest as _pytest
+
+    from rados_timestore_spark.codec import decode_blob, encode_points
+
+    blob = encode_points([(2, 1, 5, None)])
+    with _pytest.raises(ValueError):
+        decode_blob(blob[:20])            # torn header
+    ext = encode_points([(3, 1, None, b"abcdef")])
+    with _pytest.raises(ValueError):
+        decode_blob(ext[:27])             # torn extended payload
