@@ -162,7 +162,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= _MAX_SHINGLE_DF)
         .select("s")
     )
-    ex_rare = exploded.join(rare, "s")
+    # ex_rare feeds sizes + both self-join sides: persist so the
+    # shingle expansion and rare-join run once, not three times.
+    ex_rare = exploded.join(rare, "s").persist()
     sizes = ex_rare.groupBy("doc_id").agg(F.count("*").alias("n"))
     pairs = (
         ex_rare.alias("a")
@@ -207,7 +209,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns (doc_id, cluster_rep) for ALL documents (singletons map to
     themselves).
     """
-    sh = _doc_shingles(spark, sf_dir)
+    # sh feeds the signature aggregation AND both exact-verify sides.
+    sh = _doc_shingles(spark, sf_dir).persist()
     exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
 
     # 32 minhashes per doc: min over shingles of xxhash64(seed, s) as

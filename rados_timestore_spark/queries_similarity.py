@@ -235,7 +235,10 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             term = F.col(f"s{b * _BAND_BITS + r}") * (1 << r)
             expr = term if expr is None else expr + term
         band_cols.append(expr.alias(f"band{b}"))
-    banded = base.select("vec_id", "embedding", "nn", *band_cols)
+    # banded feeds candidate generation AND both verify sides; the 64
+    # hyperplane dots are interpreted higher-order folds, so recomputing
+    # them 3x (and per exploded band row) dominates — persist once.
+    banded = base.select("vec_id", "embedding", "nn", *band_cols).persist()
 
     bands_long = banded.select(
         "vec_id",
