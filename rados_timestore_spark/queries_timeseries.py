@@ -350,3 +350,30 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).alias("n"),
         F.when(F.col("ahour").isNull(), 1).otherwise(0).alias("filled"),
     )
+
+
+@register(
+    "ts_value_percentiles",
+    oracle="""
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99,
+       count(*) AS n
+FROM events GROUP BY event_type
+""",
+    tags=("timeseries", "agg"),
+)
+def ts_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type: Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the same
+    interpolation formula and match bit-for-bit (verified).  At 100 TB
+    you'd switch to ``percentile_approx`` (t-digest-style mergeable
+    sketch, same plan shape) and accept the approximation."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+        F.count("*").alias("n"),
+    )
