@@ -434,3 +434,73 @@ def tpch_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue", "n",
         )
     )
+
+
+@register(
+    "tpch_q14_promo_effect",
+    oracle="""
+SELECT CAST(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+            THEN CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2))) ELSE 0 END)
+          / SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+         AS promo_revenue_pct,
+       count(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+""",
+    tags=("join", "agg"),
+)
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14: conditional aggregate ratio over a broadcast part join.
+    Numerator/denominator both exact decimals; the single final
+    division is the only float op so the quotient is bit-identical."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0))
+    return j.agg(
+        (F.lit(100.00) * F.sum(promo) / F.sum(rev)).cast("double")
+            .alias("promo_revenue_pct"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_predicates",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       count(*) AS n
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 45
+       AND l_quantity BETWEEN 20 AND 40)
+""",
+    tags=("join", "agg"),
+)
+def tpch_q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19: OR-of-ANDs predicate spanning both join sides — Catalyst
+    pushes the per-side conjuncts it can derive (CNF conversion) into
+    each scan, the rest evaluates post-join."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 30)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 45)
+           & F.col("l_quantity").between(20, 40))
+    )
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
+    return j.filter(cond).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count("*").alias("n"),
+    )
