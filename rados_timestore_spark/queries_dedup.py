@@ -438,3 +438,120 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(hamming <= _HAMMING_MAX).select(
         "doc_a", "doc_b", hamming.alias("hamming")
     )
+
+
+# --------------------------------------- MinHash pairs (oracle-exact)
+
+_MH_HASHES = 16
+_MH_BAND_ROWS = 4  # 4 bands of 4 rows
+
+
+def _mh_sql() -> str:
+    """DuckDB CTEs computing the identical md5-based minhash bands."""
+    sig_cols = ", ".join(
+        f"list_min(list_transform(shingles, s -> ('0x' || "
+        f"substr(md5('{seed}|' || s), 1, 15))::BIGINT)) AS h{seed}"
+        for seed in range(_MH_HASHES)
+    )
+    band_cols = ", ".join(
+        "md5(" + " || '|' || ".join(
+            f"h{b * _MH_BAND_ROWS + r}" for r in range(_MH_BAND_ROWS)
+        ) + f") AS band{b}"
+        for b in range(_MH_HASHES // _MH_BAND_ROWS)
+    )
+    share = " OR ".join(
+        f"a.band{b} = b.band{b}"
+        for b in range(_MH_HASHES // _MH_BAND_ROWS)
+    )
+    return f"""
+docs_sh AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS shingles
+  FROM (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents) t
+),
+sig AS (SELECT doc_id, shingles, {sig_cols} FROM docs_sh),
+banded AS (SELECT *, {band_cols} FROM sig)
+""", share
+
+
+_MH_CTES, _MH_SHARE = _mh_sql()
+
+
+@register(
+    "dedup_minhash_pairs",
+    oracle=f"""
+WITH {_MH_CTES}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       len(list_intersect(a.shingles, b.shingles)) AS common,
+       len(a.shingles) + len(b.shingles)
+         - len(list_intersect(a.shingles, b.shingles)) AS union_n
+FROM banded a JOIN banded b ON a.doc_id < b.doc_id
+WHERE ({_MH_SHARE})
+  AND len(list_intersect(a.shingles, b.shingles)) * {_TAU_DEN}
+      >= {_TAU_NUM} * (len(a.shingles) + len(b.shingles)
+                       - len(list_intersect(a.shingles, b.shingles)))
+""",
+    tags=("dedup", "lsh"),
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with a FULL oracle: 16 md5-derived
+    60-bit minhashes (bit-identical in DuckDB), 4x4 banding, band
+    equi-join candidates, exact Jaccard >= 0.4 verify on the complete
+    shingle sets.  Same banding math as dedup_minhash_lsh but every
+    stage is cross-engine reproducible, so the driver hash-checks the
+    whole LSH pipeline rather than rows-only."""
+    sh = _doc_shingles(spark, sf_dir).persist()
+    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sig = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{seed}|"),
+                                               F.col("s"))), 1, 15),
+                    16, 10,
+                ).cast("long")
+            ).alias(f"h{seed}")
+            for seed in range(_MH_HASHES)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws("|", *[
+                            F.col(f"h{b * _MH_BAND_ROWS + r}")
+                            for r in range(_MH_BAND_ROWS)
+                        ])
+                    ).alias("bkey"),
+                )
+                for b in range(_MH_HASHES // _MH_BAND_ROWS)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bkey")
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    j = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"),
+                            F.col("shingles").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"),
+                        F.col("shingles").alias("sh_b")), "doc_b")
+    )
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    union_n = F.size("sh_a") + F.size("sh_b") - common
+    return j.filter(common * _TAU_DEN >= _TAU_NUM * union_n).select(
+        "doc_a", "doc_b", common.alias("common"), union_n.alias("union_n")
+    )

@@ -284,56 +284,90 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------- IVF ANN
 
 
-@register("sim_ivf_ann", tags=("similarity", "ann"))
+@register(
+    "sim_ivf_ann",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS ce, {_norm_sql("embedding")} AS cn
+  FROM embeddings WHERE vec_id % 16 = 0),
+assigned AS (
+  SELECT vec_id, embedding, bucket FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS bucket,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             {_dot_sql("e.embedding", "ce")} / {_norm_sql("e.embedding")} / cn
+             DESC, c.cid) AS rk
+    FROM embeddings e, cent c) x
+  WHERE rk = 1),
+probes AS (
+  SELECT query_id, qe, bucket FROM (
+    SELECT a.vec_id AS query_id, a.embedding AS qe, c.cid AS bucket,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             {_dot_sql("a.embedding", "ce")} / {_norm_sql("a.embedding")} / cn
+             DESC, c.cid) AS pr
+    FROM assigned a, cent c WHERE a.vec_id < 5) x
+  WHERE pr <= 4),
+hits AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_dot_sql("a.embedding", "p.qe")}
+           / {_norm_sql("a.embedding")} / {_norm_sql("p.qe")} AS cos
+  FROM probes p JOIN assigned a ON a.bucket = p.bucket
+  WHERE a.vec_id <> p.query_id)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS rank
+  FROM hits) t
+WHERE rank <= 5
+""",
+    tags=("similarity", "ann"),
+)
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style approximate nearest neighbors (rows-only check).
+    """IVF-style approximate nearest neighbors with a FULL oracle.
 
     Coarse quantizer: every 16th vector is a centroid (deterministic);
     each vector is assigned to its nearest centroid (broadcast
-    centroid set — one corpus scan).  Queries (vec_id < 5) probe the
-    ``nprobe=4`` nearest centroid buckets and rank exactly inside
-    them — the standard recall/cost dial at billion-vector scale,
-    where the bucketed join replaces any full scan per query.
+    centroid set — one corpus scan, row_number for deterministic
+    ties).  Queries (vec_id < 5) probe the ``nprobe=4`` nearest
+    centroid buckets and rank exactly inside them — the standard
+    recall/cost dial at billion-vector scale, where the bucketed join
+    replaces any full scan per query.  Bit-identical cosine folds make
+    even this multi-stage pipeline hash-checkable in DuckDB.
     """
     emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
     cent = emb.filter(F.col("vec_id") % 16 == 0).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
+        _norm(F.col("embedding")).alias("cn"),
     )
-    # assign: argmax cosine over broadcast centroids
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cc"), F.col("cid")
+    )
     assigned = (
         emb.crossJoin(F.broadcast(cent))
         .select(
             "vec_id", "embedding", "cid",
             (_dot(F.col("embedding"), F.col("ce"))
-             / _norm(F.col("embedding")) / _norm(F.col("ce"))).alias("cc"),
+             / _norm(F.col("embedding")) / F.col("cn")).alias("cc"),
         )
-        .groupBy("vec_id")
-        .agg(
-            F.max_by("cid", "cc").alias("bucket"),
-            F.first("embedding").alias("embedding"),
-        )
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "embedding", F.col("cid").alias("bucket"))
     )
     queries = assigned.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
-    # nprobe=4 nearest centroids per query
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("cc"), F.col("cid")
+    )
     probes = (
         queries.crossJoin(F.broadcast(cent))
         .select(
             "query_id", "qe", "cid",
             (_dot(F.col("qe"), F.col("ce"))
-             / _norm(F.col("qe")) / _norm(F.col("ce"))).alias("cc"),
+             / _norm(F.col("qe")) / F.col("cn")).alias("cc"),
         )
-        .withColumn(
-            "pr",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.desc("cc"), "cid")
-            ),
-        )
+        .withColumn("pr", F.row_number().over(w_probe))
         .filter(F.col("pr") <= 4)
         .select("query_id", "qe", F.col("cid").alias("bucket"))
     )
-    # rank exactly within probed buckets
     hits = (
         probes.join(assigned, "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))

@@ -453,6 +453,25 @@ class TimeStore:
         self._write_meta(ns, meta)
         self.fs.delete(pdir, recursive=True)
 
+    def gc(self, ns: str) -> list[str]:
+        """Remove stale points generations (crashed compactions leave
+        orphan ``points_v{N}`` directories that were never flipped
+        live).  Returns the deleted directory names."""
+        meta = self._read_meta(ns)
+        live = self._points_dir(ns, meta).rsplit("/", 1)[-1]
+        deleted = []
+        for name in self.fs.list_dirs(self._ns_dir(ns)):
+            stale_legacy = name == "points" and live != "points"
+            stale_versioned = (
+                name.startswith("points_v")
+                and name[len("points_v"):].isdigit()
+                and name != live
+            )
+            if stale_legacy or stale_versioned:
+                self.fs.delete(f"{self._ns_dir(ns)}/{name}", recursive=True)
+                deleted.append(name)
+        return deleted
+
 
 def _dedup_agg(df: DataFrame, payload_cols: tuple[str, ...]) -> DataFrame:
     """First-write-wins dedup as a ``min_by`` hash aggregate.

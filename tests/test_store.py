@@ -217,3 +217,18 @@ def test_iter_chunks_contract(store):
     assert sorted(r[:3] for r in all_rows) == [
         (0, 1, 10), (0, 5, 50), (2, 2, 20), (2, 6, 60), (4, 3, 30),
         (8, 4, 40)]
+
+
+def test_compact_gc_removes_stale_generations(store):
+    store.register_namespace("PONY", buckets=4)
+    _write(store, "PONY", [(2, 1, 1), (2, 2, 2)])
+    store.compact("PONY")          # generation 0 -> 1 (old dir deleted)
+    # simulate a crashed compaction: orphan future generation
+    meta = store._read_meta("PONY")
+    orphan = f"{store._ns_dir('PONY')}/points_v{meta.points_version + 5}"
+    store.fs.mkdirs(orphan)
+    deleted = store.gc("PONY")
+    assert f"points_v{meta.points_version + 5}" in deleted
+    # live generation untouched, data still readable
+    got = store.read_simple("PONY", 0, 10, [2], global_order=True).collect()
+    assert [(r.time, r.value) for r in got] == [(1, 1), (2, 2)]
