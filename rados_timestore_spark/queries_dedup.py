@@ -246,6 +246,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bkey")
 
+    # Hot-bucket cap: a band bucket with hundreds of members is a
+    # degenerate band (e.g. near-empty documents sharing trivial
+    # signatures) and contributes O(k^2) candidate pairs while carrying
+    # almost no signal — the skew-handling analog of stop-shingle
+    # removal.  Cap bounds every join bucket.
+    bucket_counts = bands.groupBy("band", "bkey").agg(
+        F.count("*").alias("k")
+    ).filter(F.col("k") <= 200)
+    bands = bands.join(bucket_counts.select("band", "bkey"),
+                       ["band", "bkey"])
     cand = (
         bands.alias("x")
         .join(

@@ -148,3 +148,79 @@ def test_stream_latest_per_key_stateful(spark, tmp_path):
         for r in latest_per_key(pts, payload_cols=("value",)).collect()
     }
     assert final == want
+
+
+def test_stream_rollup_multibatch_chronological(spark, tmp_path):
+    # Multi-batch watermark semantics, made deterministic: one file per
+    # day written with increasing mtimes (the file source orders
+    # batches by modification time), so batches arrive chronologically
+    # and append mode must emit every window the final watermark
+    # closed, with counts matching batch exactly.
+    import os
+    import time as _t
+
+    from rados_timestore_spark.streaming.windows import stream_rollup
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    pts = ev.select(
+        (F.col("user_id") * 2).alias("address"),
+        F.expr("ts div 1000").alias("time"),
+        F.col("event_id").alias("value"),
+    ).withColumn("day", F.expr("time div 86400000000"))
+    days = sorted(r.day for r in pts.select("day").distinct().collect())[:3]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    now = _t.time()
+    for i, day in enumerate(days):
+        import glob
+        import shutil
+
+        tmp = str(tmp_path / f"w{i}")
+        pts.filter(F.col("day") == day).drop("day").coalesce(1) \
+            .write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dest = f"{src}/b{i}.parquet"
+        shutil.move(part, dest)
+        os.utime(dest, (now + i, now + i))
+    used = pts.filter(F.col("day").isin([int(d) for d in days])).drop("day")
+
+    stream = (
+        spark.readStream.schema(used.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = str(tmp_path / "out")
+    q = (
+        stream_rollup(stream, window="1 hour", watermark="30 minutes")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.ws, r.address): (r.n, r.sum_value)
+        for r in spark.read.parquet(out).select(
+            F.col("window.start").alias("ws"), "address", "n", "sum_value"
+        ).collect()
+    }
+    assert got
+    want_all = (
+        used.withColumn("event_ts", F.timestamp_micros(F.col("time")))
+        .groupBy(F.window("event_ts", "1 hour"), F.col("address"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("window.start").alias("ws"), "address", "n",
+                "sum_value")
+    )
+    want = {(r.ws, r.address): (r.n, r.sum_value)
+            for r in want_all.collect()}
+    # chronological batches => no late-beyond-watermark drops: every
+    # emitted window matches batch exactly
+    for key, val in got.items():
+        assert want[key] == val, key
+    # and all windows the final watermark closed were emitted
+    max_us = used.agg(F.max("time")).collect()[0][0]
+    wm_us = max_us - 30 * 60 * 1_000_000
+    n_closed = sum(
+        1 for (ws, _a) in want
+        if (ws.timestamp() + 3600) * 1_000_000 <= wm_us
+    )
+    assert len(got) == n_closed
