@@ -244,7 +244,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bkey")
+    ).select("doc_id", "bb.band", "bb.bkey").persist()
 
     # Hot-bucket cap: a band bucket with hundreds of members is a
     # degenerate band (e.g. near-empty documents sharing trivial
