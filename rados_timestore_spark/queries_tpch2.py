@@ -1,0 +1,528 @@
+"""TPC-H coverage, part 2 — q7/q8/q9/q12/q13/q15/q16/q17/q21/q22.
+
+The driver's star schema is a trimmed TPC-H (TESTDATA.md): there is no
+``partsupp`` table and lineitem/orders/customer lack commitdate,
+receiptdate, shipmode, comment, phone, and container.  Queries whose
+predicates depend on those columns are ADAPTED — same operator shape
+(the thing being exercised: join topology, correlated aggregate,
+semi/anti-join structure), predicates re-targeted at columns that
+exist.  Each docstring states the adaptation.
+
+Cross-engine determinism (registry.py docstring): money stays DECIMAL
+until the final cast; avg-comparisons are integer cross-multiplied
+(``5 * qty * n < sum``) so no engine ever divides; years come from
+``year()`` on the µs timestamp in a UTC session — identical both sides.
+
+Scale notes: every dimension side broadcasts; correlated aggregates
+(q15 max, q17 per-part avg, q22 global avg) are computed once and
+broadcast back, never re-evaluated per row; q21's "last shipper"
+predicate is one max_by-style aggregate per order, not a per-row
+correlated EXISTS.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rados_timestore_spark.queries_common import load, ts_lit
+from rados_timestore_spark.registry import register
+
+# [1996-01-01, 1998-01-01) — the classic q7 two-year shipping window.
+_96 = 820_454_400_000_000
+_97 = 852_076_800_000_000
+_98 = 883_612_800_000_000
+#: q15 quarter [1996-01-01, 1996-04-01).
+_96Q2 = 828_316_800_000_000
+
+_DEC_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) "
+    "* (1 - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
+def _rev():
+    return (F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       CAST(SUM({_DEC_REV_SQL}) AS DOUBLE) AS revenue
+FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+              JOIN orders   ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND epoch_us(l_shipdate) >= {_96} AND epoch_us(l_shipdate) < {_98}
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+""",
+    tags=("join", "agg"),
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 (faithful shape): bilateral trade volume between two nations
+    by ship year.  Five-way join where every non-lineitem side
+    broadcasts; the disjunctive nation-pair predicate evaluates
+    post-join (it spans supplier AND customer sides)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts_lit(_96))
+        & (F.col("l_shipdate") < ts_lit(_98))
+    )
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("n1_key"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("n2_key"),
+                       F.col("n_name").alias("cust_nation"))
+    sn = supp.join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+    cn = cust.join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+    oc = orders.join(F.broadcast(cn), orders.o_custkey == cn.c_custkey)
+    j = (
+        li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(F.broadcast(oc), li.l_orderkey == oc.o_orderkey)
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1")
+         & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2")
+           & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        j.filter(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle=f"""
+SELECT o_year,
+       CAST(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 AS DOUBLE)
+          / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year, {_DEC_REV_SQL} AS volume,
+         n1.n_name AS nation
+  FROM lineitem JOIN part     ON p_partkey = l_partkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN orders   ON o_orderkey = l_orderkey
+                JOIN customer ON c_custkey = o_custkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                JOIN region   ON n2.n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    AND epoch_us(o_orderdate) >= {_96} AND epoch_us(o_orderdate) < {_98}
+) t GROUP BY o_year
+""",
+    tags=("join", "agg"),
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 (faithful shape): NATION_3's share of ECONOMY-part revenue
+    among ASIA customers by order year.  Eight-way star join, all
+    dimensions broadcast; numerator and denominator are exact DECIMAL
+    sums and the single final division is the only float op."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= ts_lit(_96))
+        & (F.col("o_orderdate") < ts_lit(_98))
+    )
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = nation.select(F.col("n_nationkey").alias("n1_key"),
+                       F.col("n_name").alias("nation"))
+    n2 = nation.join(F.broadcast(region),
+                     nation.n_regionkey == region.r_regionkey) \
+               .select(F.col("n_nationkey").alias("n2_key"))
+    sn = supp.join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+    cn = cust.join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+    oc = orders.join(F.broadcast(cn), orders.o_custkey == cn.c_custkey)
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(F.broadcast(oc), li.l_orderkey == oc.o_orderkey)
+    )
+    vol = _rev()
+    nat_vol = F.when(F.col("nation") == "NATION_3", vol).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    agg = j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(nat_vol).alias("__n"), F.sum(vol).alias("__d")
+    )
+    return agg.select(
+        "o_year",
+        (F.col("__n").cast("double") / F.col("__d").cast("double"))
+            .cast("double").alias("mkt_share"),
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    oracle=f"""
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       CAST(SUM({_DEC_REV_SQL}) AS DOUBLE) AS profit
+FROM lineitem JOIN part     ON p_partkey = l_partkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN orders   ON o_orderkey = l_orderkey
+              JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+""",
+    tags=("join", "agg"),
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 ADAPTED: no partsupp table, so profit omits the
+    ``ps_supplycost * l_quantity`` term — revenue by supplier nation
+    and order year for parts named like '%red%' (the fixture corpus
+    has no green parts).  Same join topology
+    (part-name filter fans through lineitem to orders + supplier
+    nation) minus the partsupp leg."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = load(spark, sf_dir, "nation")
+    sn = supp.join(F.broadcast(nation),
+                   supp.s_nationkey == nation.n_nationkey)
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").alias("o_year"),
+    ).agg(F.sum(_rev()).cast("double").alias("profit"))
+
+
+@register(
+    "tpch_q12_late_shipments",
+    oracle=f"""
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE epoch_us(l_shipdate) - epoch_us(o_orderdate) > {60 * 86_400_000_000}
+  AND epoch_us(l_shipdate) >= {_96} AND epoch_us(l_shipdate) < {_97}
+GROUP BY l_returnflag
+""",
+    tags=("join", "agg"),
+)
+def tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 ADAPTED: no shipmode/commitdate/receiptdate columns — the
+    grouping key becomes l_returnflag and "late" means shipped more
+    than 60 days after the order date.  Operator shape preserved:
+    join + conditional pivot counts (high/low priority) per group."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts_lit(_96))
+        & (F.col("l_shipdate") < ts_lit(_97))
+    )
+    j = li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+    late = (
+        F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+        - F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    ) > (60 * 86_400_000_000)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.filter(late)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) t GROUP BY c_count
+""",
+    tags=("join", "agg"),
+)
+def tpch_q13_customer_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q13 ADAPTED: orders has no comment column, so the
+    ``NOT LIKE '%special%requests%'`` filter is dropped.  The operator
+    shape — left outer join preserving zero-order customers, then a
+    histogram of the per-customer counts (two stacked aggregates) — is
+    the point."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM({_DEC_REV_SQL}) AS total_revenue
+  FROM lineitem
+  WHERE epoch_us(l_shipdate) >= {_96} AND epoch_us(l_shipdate) < {_96Q2}
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+    tags=("join", "agg"),
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 (faithful): supplier(s) achieving the maximum quarterly
+    revenue.  The revenue view is computed ONCE (cached), its 1-row max
+    cross-joins back (broadcast), and equality on exact DECIMAL sums —
+    the cross-engine hazard of ``= max(double)`` — is hazard-free."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts_lit(_96))
+        & (F.col("l_shipdate") < ts_lit(_96Q2))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev()).alias("total_revenue")
+    ).persist()
+    mx = revenue.agg(F.max("total_revenue").alias("__mx"))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    top = revenue.join(F.broadcast(mx),
+                       revenue.total_revenue == F.col("__mx"))
+    return (
+        top.join(F.broadcast(supp), top.supplier_no == supp.s_suppkey)
+        .select("s_suppkey", "s_name",
+                F.col("total_revenue").cast("double").alias("total_revenue"))
+    )
+
+
+@register(
+    "tpch_q16_supplier_part_counts",
+    oracle="""
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'MEDIUM%'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+GROUP BY p_brand, p_size
+""",
+    tags=("join", "agg"),
+)
+def tpch_q16_supplier_part_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q16 ADAPTED: no partsupp, so the part→supplier relationship is
+    derived from lineitem (who actually shipped the part); the
+    supplier-complaint NOT IN subquery is dropped (no comment column).
+    Shape preserved: negated predicates + IN-list on the dimension,
+    count(DISTINCT) per group."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("MEDIUM%")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.groupBy("p_brand", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+WITH pq AS (
+  SELECT l_partkey AS agg_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+           AS sum_qty,
+         count(*) AS n_li
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS total_price,
+       count(*) AS n
+FROM lineitem JOIN part ON p_partkey = l_partkey
+              JOIN pq ON agg_partkey = l_partkey
+WHERE p_brand = 'Brand#3'
+  AND CAST(l_quantity AS DECIMAL(12,2)) * 5 * n_li < sum_qty
+""",
+    tags=("join", "agg"),
+)
+def tpch_q17_small_quantity_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q17 ADAPTED: no container column, so only the brand filter
+    remains (Brand#3), and the output keeps the exact decimal sum
+    instead of ``sum/7.0``.  The operator shape is the point: a
+    correlated per-part average ``l_quantity < 0.2 * avg(l_quantity)``
+    computed as ONE grouped aggregate joined back, with the comparison
+    integer cross-multiplied (``5 * qty * n < sum``) so neither engine
+    divides."""
+    li = load(spark, sf_dir, "lineitem")
+    pq = li.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("decimal(18,2)").alias("sum_qty"),
+        F.count("*").alias("n_li"),
+    )
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(pq, F.col("agg_partkey") == li.l_partkey)
+    )
+    small = (
+        F.col("l_quantity").cast("decimal(12,2)") * 5 * F.col("n_li")
+        < F.col("sum_qty")
+    )
+    return j.filter(small).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("double").alias("total_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+WITH ship AS (
+  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS last_ship
+  FROM lineitem GROUP BY l_orderkey, l_suppkey
+),
+ord AS (
+  SELECT l_orderkey, max(last_ship) AS order_last,
+         count(*) AS n_supps
+  FROM ship GROUP BY l_orderkey
+)
+SELECT s_name, count(*) AS numwait
+FROM ship JOIN ord USING (l_orderkey)
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN supplier ON s_suppkey = l_suppkey
+WHERE o_orderstatus = 'F' AND n_supps > 1 AND last_ship = order_last
+  AND NOT EXISTS (
+    SELECT 1 FROM ship s2
+    WHERE s2.l_orderkey = ship.l_orderkey
+      AND s2.l_suppkey <> ship.l_suppkey
+      AND s2.last_ship = ord.order_last)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+    tags=("join", "agg", "topk"),
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 ADAPTED: no commitdate/receiptdate, so "kept the order
+    waiting" becomes "was the SOLE last shipper of a multi-supplier
+    finalized order" (its lineitems carry the order's max shipdate and
+    no other supplier's do).  The reference's EXISTS/NOT-EXISTS pair is
+    preserved structurally: EXISTS(another supplier) = ``n_supps > 1``,
+    NOT EXISTS(another supplier equally late) = an anti-join against
+    co-laggards.  All aggregates are per-(order, supplier) — one
+    shuffle of lineitem, then order-level maxima broadcast back."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    ship = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    ).persist()
+    ord_agg = ship.groupBy("l_orderkey").agg(
+        F.max("last_ship").alias("order_last"),
+        F.count("*").alias("n_supps"),
+    )
+    laggards = (
+        ship.join(ord_agg, "l_orderkey")
+        .filter((F.col("n_supps") > 1)
+                & (F.col("last_ship") == F.col("order_last")))
+    )
+    # sole laggard: no OTHER supplier of the same order shipped equally
+    # late — anti-join laggards against themselves keyed on the order,
+    # keeping rows with exactly one laggard in the order.
+    lag_counts = laggards.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lag")
+    )
+    sole = (
+        laggards.join(lag_counts, "l_orderkey")
+        .filter(F.col("n_lag") == 1)
+        .join(orders, laggards.l_orderkey == orders.o_orderkey, "left_semi")
+    )
+    return (
+        sole.join(F.broadcast(supp), sole.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name").agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    oracle="""
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2))
+           AS sum_bal,
+         count(*) AS n_pos
+  FROM customer
+  WHERE c_acctbal > 0.00 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+)
+SELECT c_nationkey, count(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer, avg_bal
+WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+  AND CAST(c_acctbal AS DECIMAL(12,2)) * n_pos > sum_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND epoch_us(o_orderdate) >= 946684800000000)
+GROUP BY c_nationkey
+""",
+    tags=("join", "agg"),
+)
+def tpch_q22_global_sales_opportunity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q22 ADAPTED: no phone column, so "country code in list" becomes
+    ``c_nationkey IN (...)``; and since every fixture customer has at
+    least one order, "has no orders" becomes "has no orders since
+    2000-01-01" (same anti-join, non-empty result).  Shape preserved:
+    scalar-subquery average over positive balances (broadcast 1-row
+    cross join, compared by integer cross-multiplication
+    ``bal * n > sum``), anti-join against orders, grouped counts."""
+    nations = (1, 3, 5, 7, 9, 11, 13)
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(*nations)
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= ts_lit(946_684_800_000_000)
+    ).select("o_custkey")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.00).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+            .cast("decimal(18,2)").alias("sum_bal"),
+        F.count("*").alias("n_pos"),
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal").cast("decimal(12,2)") * F.col("n_pos")
+        > F.col("sum_bal")
+    )
+    silent = rich.join(orders, rich.c_custkey == orders.o_custkey,
+                       "left_anti")
+    return silent.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+            .cast("double").alias("totacctbal"),
+    )

@@ -83,6 +83,7 @@ _QUERY_MODULES = (
     "rados_timestore_spark.queries_timeseries",
     "rados_timestore_spark.queries_streaming",
     "rados_timestore_spark.queries_tpch",
+    "rados_timestore_spark.queries_tpch2",
     "rados_timestore_spark.queries_text",
     "rados_timestore_spark.queries_dedup",
     "rados_timestore_spark.queries_similarity",
