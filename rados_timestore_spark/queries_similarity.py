@@ -25,8 +25,12 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from rados_timestore_spark.queries_common import load, load_parallel
 from rados_timestore_spark.registry import register
@@ -85,6 +89,63 @@ def _plane_dot(p: int):
     return _dot(F.col("embedding"), w)
 
 
+# ----------------------------------------- vectorized (Arrow) kernels
+#
+# Higher-order folds (F.aggregate/zip_with) are interpreted, not
+# codegen'd — measured ~10s for 64 plane dots over just 2k vectors.
+# These Pandas UDFs compute THE SAME sequential left-to-right double
+# fold (one vectorized numpy op per dimension, accumulating across the
+# batch), so every add/mul/sqrt/divide happens in the identical IEEE
+# order and the results stay bit-identical to the JVM fold and to
+# DuckDB's list_sum — while running ~100x faster via Arrow batches.
+
+
+@F.pandas_udf(T.DoubleType())  # DataType object: a DDL string would
+def _cos_seq(a: pd.Series, b: pd.Series) -> pd.Series:  # need a live context at import
+    """cosine = ((dot / ||a||) / ||b||) with sequential-fold dot/norms —
+    bit-identical to ``_dot(a,b) / _norm(a) / _norm(b)``."""
+    A = np.stack(a.to_numpy()).astype(np.float64)
+    B = np.stack(b.to_numpy()).astype(np.float64)
+    dot = np.zeros(len(A))
+    na = np.zeros(len(A))
+    nb = np.zeros(len(A))
+    for i in range(A.shape[1]):
+        dot += A[:, i] * B[:, i]
+        na += A[:, i] * A[:, i]
+        nb += B[:, i] * B[:, i]
+    return pd.Series(dot / np.sqrt(na) / np.sqrt(nb))
+
+
+_BANDS_SCHEMA = T.StructType(
+    [T.StructField("nn", T.DoubleType())]
+    + [T.StructField(f"band{b}", T.LongType()) for b in range(_N_BANDS)]
+)
+
+
+@F.pandas_udf(_BANDS_SCHEMA)
+def _bands_udf(emb: pd.Series) -> pd.DataFrame:
+    """Norm + 8 sign-LSH band values per vector, one matmul-shaped pass
+    (sequential over dims, vectorized over the batch).  Signs replicate
+    ``_plane_dot(p) >= 0`` bit-for-bit; band packing mirrors
+    ``sum(s_r << r)``."""
+    E = np.stack(emb.to_numpy()).astype(np.float64)
+    n = E.shape[0]
+    w = np.array(_PLANES, dtype=np.float64).T  # (DIM, planes)
+    acc = np.zeros((n, _N_PLANES))
+    nn = np.zeros(n)
+    for i in range(DIM):
+        acc += E[:, i : i + 1] * w[i]
+        nn += E[:, i] * E[:, i]
+    signs = (acc >= 0).astype(np.int64)
+    out = {"nn": np.sqrt(nn)}
+    for b in range(_N_BANDS):
+        bv = np.zeros(n, dtype=np.int64)
+        for r in range(_BAND_BITS):
+            bv += signs[:, b * _BAND_BITS + r] << r
+        out[f"band{b}"] = bv
+    return pd.DataFrame(out)
+
+
 def _plane_dot_sql(p: int) -> str:
     lits = ", ".join(str(x) for x in _PLANES[p])
     return (
@@ -121,9 +182,9 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qe")
     )
     j = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
-    cos = (_dot(F.col("embedding"), F.col("qe"))
-           / _norm(F.col("embedding")) / _norm(F.col("qe")))
-    scored = j.select("vec_id", cos.alias("cos"))
+    scored = j.select(
+        "vec_id", _cos_seq(F.col("embedding"), F.col("qe")).alias("cos")
+    )
     top = scored.orderBy(F.desc("cos"), "vec_id").limit(10)
     w = Window.orderBy(F.desc("cos"), "vec_id")
     return top.withColumn("rank", F.row_number().over(w))
@@ -156,14 +217,13 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
-        _norm(F.col("embedding")).alias("qn"),
     )
     j = emb.crossJoin(F.broadcast(q)).filter(
         F.col("vec_id") != F.col("query_id")
     )
-    cos = _dot(F.col("embedding"), F.col("qe")) / _norm(F.col("embedding")) / F.col("qn")
     scored = j.select(
-        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos")
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        _cos_seq(F.col("embedding"), F.col("qe")).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
@@ -221,24 +281,12 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates only.  The oracle brute-forces the identical
     shared-band AND cosine definition, so results match exactly."""
     emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
-    base = emb.select(
-        "vec_id", "embedding", _norm(F.col("embedding")).alias("nn"),
-        *[
-            F.when(_plane_dot(p) >= 0, 1).otherwise(0).alias(f"s{p}")
-            for p in range(_N_PLANES)
-        ],
-    )
-    band_cols = []
-    for b in range(_N_BANDS):
-        expr = None
-        for r in range(_BAND_BITS):
-            term = F.col(f"s{b * _BAND_BITS + r}") * (1 << r)
-            expr = term if expr is None else expr + term
-        band_cols.append(expr.alias(f"band{b}"))
-    # banded feeds candidate generation AND both verify sides; the 64
-    # hyperplane dots are interpreted higher-order folds, so recomputing
-    # them 3x (and per exploded band row) dominates — persist once.
-    banded = base.select("vec_id", "embedding", "nn", *band_cols).persist()
+    # banded feeds candidate generation AND both verify sides — persist
+    # so the Arrow-batched plane pass runs once, not three times.
+    banded = emb.withColumn("__bs", _bands_udf("embedding")).select(
+        "vec_id", "embedding", F.col("__bs.nn").alias("nn"),
+        *[F.col(f"__bs.band{b}").alias(f"band{b}") for b in range(_N_BANDS)],
+    ).persist()
 
     bands_long = banded.select(
         "vec_id",
@@ -335,7 +383,6 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
     cent = emb.filter(F.col("vec_id") % 16 == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
-        _norm(F.col("embedding")).alias("cn"),
     )
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.desc("cc"), F.col("cid")
@@ -344,8 +391,7 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.crossJoin(F.broadcast(cent))
         .select(
             "vec_id", "embedding", "cid",
-            (_dot(F.col("embedding"), F.col("ce"))
-             / _norm(F.col("embedding")) / F.col("cn")).alias("cc"),
+            _cos_seq(F.col("embedding"), F.col("ce")).alias("cc"),
         )
         .withColumn("rk", F.row_number().over(w_assign))
         .filter(F.col("rk") == 1)
@@ -361,8 +407,7 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries.crossJoin(F.broadcast(cent))
         .select(
             "query_id", "qe", "cid",
-            (_dot(F.col("qe"), F.col("ce"))
-             / _norm(F.col("qe")) / F.col("cn")).alias("cc"),
+            _cos_seq(F.col("qe"), F.col("ce")).alias("cc"),
         )
         .withColumn("pr", F.row_number().over(w_probe))
         .filter(F.col("pr") <= 4)
@@ -373,8 +418,7 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id", "vec_id",
-            (_dot(F.col("embedding"), F.col("qe"))
-             / _norm(F.col("embedding")) / _norm(F.col("qe"))).alias("cos"),
+            _cos_seq(F.col("embedding"), F.col("qe")).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id")
