@@ -9,15 +9,15 @@ Scale design (100 TB of documents — the whole point of these shapes):
 * similarity predicates are integer cross-multiplications
   (``common * 10 >= tau10 * union``) — no floats, no cross-engine
   rounding hazard;
-* MinHash signatures use ``xxhash64(seed, shingle)`` (JVM-side,
-  codegen'd), band hashes group 4 rows — classic banding so the
-  equi-join bucket count stays bounded;
+* MinHash signatures use md5-derived 60-bit integers (JVM-side,
+  codegen'd, AND bit-identical in DuckDB), band hashes group 4 rows —
+  classic banding so the equi-join bucket count stays bounded;
 * connected components run iterative min-id propagation with a
-  driver-side loop over a shrinking edge set (O(log n) rounds).
+  driver-side loop over a shrinking edge set.
 
 DuckDB oracles brute-force the same definitions (fine at sf0.01);
-the LSH clustering itself is rows-only (approximate candidate
-generation is not SQL-expressible as an identical relation).
+the LSH clustering oracle computes connected components with a
+recursive-CTE transitive closure over the identical edge set.
 """
 
 from __future__ import annotations
@@ -190,149 +190,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_a", "doc_b", "common", union_n.alias("union_n"))
 
 
-# ------------------------------------------------------ MinHash LSH
-
-_N_HASHES = 32
-_BAND_ROWS = 4  # 8 bands of 4 rows
-
-
-@register("dedup_minhash_lsh", tags=("dedup", "lsh"), bench=True)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + banded LSH near-dup clustering (rows-only check).
-
-    shingle -> 32 ``xxhash64(seed, s)`` minhashes -> 8 bands of 4 ->
-    band-bucket equi-join for candidates -> exact Jaccard verify
-    (integer test, >= 0.4) -> connected components by iterative min-id
-    propagation.  Every stage is an equi-join or aggregate on bounded
-    keys; nothing is quadratic in documents.
-
-    Returns (doc_id, cluster_rep) for ALL documents (singletons map to
-    themselves).
-    """
-    # sh feeds the signature aggregation AND both exact-verify sides.
-    sh = _doc_shingles(spark, sf_dir).persist()
-    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
-
-    # 32 minhashes per doc: min over shingles of xxhash64(seed, s) as
-    # explode + hash-aggregate.  (An array_min(transform(...)) variant
-    # avoids the shuffle but loses codegen — higher-order lambdas are
-    # interpreted AND get recomputed per exploded band row downstream;
-    # measured 2x slower.  The exploded agg stays in WholeStageCodegen
-    # with map-side partial min.)
-    sig = exploded.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(seed), F.col("s"))).alias(f"h{seed}")
-            for seed in range(_N_HASHES)
-        ]
-    )
-    # 8 band keys: hash of 4 consecutive signature rows.
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col(f"h{b * _BAND_ROWS + r}")
-                                for r in range(_BAND_ROWS)
-                            ]
-                        ).alias("bkey"),
-                    )
-                    for b in range(_N_HASHES // _BAND_ROWS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bkey").persist()
-
-    # Hot-bucket cap: a band bucket with hundreds of members is a
-    # degenerate band (e.g. near-empty documents sharing trivial
-    # signatures) and contributes O(k^2) candidate pairs while carrying
-    # almost no signal — the skew-handling analog of stop-shingle
-    # removal.  Cap bounds every join bucket.
-    bucket_counts = bands.groupBy("band", "bkey").agg(
-        F.count("*").alias("k")
-    ).filter(F.col("k") <= 200)
-    bands = bands.join(bucket_counts.select("band", "bkey"),
-                       ["band", "bkey"])
-    cand = (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bkey") == F.col("y.bkey"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
-
-    # Exact verify on candidates only (integer Jaccard >= 0.4).
-    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
-    common = (
-        cand.join(
-            sh.select(F.col("doc_id").alias("doc_a"),
-                      F.col("shingles").alias("sh_a")), "doc_a")
-        .join(
-            sh.select(F.col("doc_id").alias("doc_b"),
-                      F.col("shingles").alias("sh_b")), "doc_b")
-        .select(
-            "doc_a", "doc_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).alias("common"),
-            (F.size("sh_a") + F.size("sh_b")).alias("total"),
-        )
-    )
-    edges = common.filter(
-        F.col("common") * _TAU_DEN
-        >= _TAU_NUM * (F.col("total") - F.col("common"))
-    ).select("doc_a", "doc_b")
-
-    # Connected components: min-id label propagation to fixpoint,
-    # restricted to edge ENDPOINTS (every other doc is trivially its
-    # own singleton cluster — unioned back at the end).  Each round is
-    # one join + aggregate over the (small) edge set; localCheckpoint
-    # truncates the lineage so round k doesn't replay rounds 1..k-1,
-    # and the convergence test is a cheap changed-count.
-    sym = edges.union(
-        edges.select(F.col("doc_b").alias("doc_a"),
-                     F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint()
-    endpoints = sym.select(F.col("doc_a").alias("doc_id")).distinct()
-    labels = endpoints.withColumn("rep", F.col("doc_id")).localCheckpoint()
-    for _ in range(16):  # O(log n) rounds suffice for min-propagation
-        nbr = (
-            sym.join(labels, sym.doc_b == labels.doc_id)
-            .groupBy("doc_a").agg(F.min("rep").alias("nrep"))
-        )
-        new = (
-            labels.join(nbr, labels.doc_id == nbr.doc_a, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("rep"), F.coalesce(F.col("nrep"), F.col("rep"))
-                ).alias("rep"),
-                (F.col("nrep") < F.col("rep")).alias("__chg"),
-            )
-            .localCheckpoint()
-        )
-        changed = new.filter(F.col("__chg")).limit(1).count()
-        labels = new.drop("__chg")
-        if changed == 0:
-            break
-    singletons = (
-        sh.select("doc_id")
-        .join(labels.select("doc_id"), "doc_id", "left_anti")
-        .withColumn("rep", F.col("doc_id"))
-    )
-    return labels.unionByName(singletons).select(
-        "doc_id", F.col("rep").alias("cluster_rep")
-    )
-
-
 # ---------------------------------------------------------- SimHash
 
 _SIM_BITS = 60
@@ -486,6 +343,209 @@ banded AS (SELECT *, {band_cols} FROM sig)
 _MH_CTES, _MH_SHARE = _mh_sql()
 
 
+def _mh_banded_spark(sh: DataFrame) -> DataFrame:
+    """Long-format ``(doc_id, band, bkey)`` md5-minhash band table.
+
+    16 minhashes per doc — min over shingles of the 60-bit integer
+    ``conv(substr(md5(seed|s), 1, 15), 16, 10)`` — as explode +
+    hash-aggregate.  (An ``array_min(transform(...))`` variant avoids
+    the shuffle but loses codegen — higher-order lambdas are
+    interpreted AND get recomputed per exploded band row downstream;
+    measured 2x slower.  The exploded agg stays in WholeStageCodegen
+    with map-side partial min.)  Band key = md5 of 4 consecutive
+    signature rows; every expression is bit-identical in DuckDB
+    (``_mh_sql``), which is what makes full LSH oracles possible.
+    """
+    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sig = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"{seed}|"),
+                                               F.col("s"))), 1, 15),
+                    16, 10,
+                ).cast("long")
+            ).alias(f"h{seed}")
+            for seed in range(_MH_HASHES)
+        ]
+    )
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws("|", *[
+                            F.col(f"h{b * _MH_BAND_ROWS + r}")
+                            for r in range(_MH_BAND_ROWS)
+                        ])
+                    ).alias("bkey"),
+                )
+                for b in range(_MH_HASHES // _MH_BAND_ROWS)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bkey")
+
+
+#: Hot-bucket cap for LSH candidate generation: a band bucket with
+#: hundreds of members is a degenerate band (e.g. near-empty documents
+#: sharing trivial signatures) and contributes O(k^2) candidate pairs
+#: while carrying almost no signal — the skew-handling analog of
+#: stop-shingle removal.  Cap bounds every join bucket.
+_LSH_BUCKET_CAP = 200
+
+#: Long-format band table + capped-bucket filter, as DuckDB CTEs
+#: (mirrors ``_mh_banded_spark`` + the hot-bucket cap).
+_MH_BL_CTES = f"""
+bl AS (
+  SELECT doc_id, 0 AS band, band0 AS bkey FROM banded
+  UNION ALL SELECT doc_id, 1, band1 FROM banded
+  UNION ALL SELECT doc_id, 2, band2 FROM banded
+  UNION ALL SELECT doc_id, 3, band3 FROM banded
+),
+ok AS (SELECT band, bkey FROM bl GROUP BY band, bkey
+       HAVING count(*) <= {_LSH_BUCKET_CAP}),
+blc AS (SELECT bl.* FROM bl JOIN ok USING (band, bkey))
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH RECURSIVE {_MH_CTES},
+{_MH_BL_CTES},
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM blc x JOIN blc y
+    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+),
+edges AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c JOIN docs_sh a ON c.doc_a = a.doc_id
+              JOIN docs_sh b ON c.doc_b = b.doc_id
+  WHERE len(list_intersect(a.shingles, b.shingles)) * {_TAU_DEN}
+        >= {_TAU_NUM} * (len(a.shingles) + len(b.shingles)
+                         - len(list_intersect(a.shingles, b.shingles)))
+),
+sym AS (SELECT doc_a, doc_b FROM edges
+        UNION ALL SELECT doc_b, doc_a FROM edges),
+reach(src, node) AS (
+  SELECT DISTINCT doc_a, doc_a FROM sym
+  UNION
+  SELECT r.src, s.doc_b FROM reach r JOIN sym s ON r.node = s.doc_a
+),
+cc AS (SELECT src AS doc_id, min(node) AS cluster_rep
+       FROM reach GROUP BY src)
+SELECT doc_id, cluster_rep FROM cc
+UNION ALL
+SELECT d.doc_id, d.doc_id AS cluster_rep
+FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM cc)
+""",
+    tags=("dedup", "lsh"),
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup clustering, FULL oracle.
+
+    shingle -> 16 md5-derived 60-bit minhashes -> 4 bands of 4 ->
+    hot-bucket cap -> band-bucket equi-join for candidates -> exact
+    Jaccard verify (integer test, >= 0.4) -> connected components by
+    iterative min-id propagation.  Every stage is an equi-join or
+    aggregate on bounded keys; nothing is quadratic in documents.
+
+    Every stage up to the edge set is bit-identical in DuckDB; the
+    oracle then computes the same components via a recursive-CTE
+    transitive closure with ``min(reachable)`` labels (fine at sf0.01;
+    the Spark side stays iterative because closure is quadratic in
+    cluster size).
+
+    Returns (doc_id, cluster_rep) for ALL documents (singletons map to
+    themselves).
+    """
+    # sh feeds the signature aggregation AND both exact-verify sides.
+    sh = _doc_shingles(spark, sf_dir).persist()
+    bands = _mh_banded_spark(sh).persist()
+    ok = bands.groupBy("band", "bkey").agg(
+        F.count("*").alias("k")
+    ).filter(F.col("k") <= _LSH_BUCKET_CAP).select("band", "bkey")
+    capped = bands.join(ok, ["band", "bkey"])
+    cand = (
+        capped.alias("x")
+        .join(
+            capped.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+    # Exact verify on candidates only (integer Jaccard >= 0.4).
+    common = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"),
+                      F.col("shingles").alias("sh_a")), "doc_a")
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"),
+                      F.col("shingles").alias("sh_b")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("common"),
+            (F.size("sh_a") + F.size("sh_b")).alias("total"),
+        )
+    )
+    edges = common.filter(
+        F.col("common") * _TAU_DEN
+        >= _TAU_NUM * (F.col("total") - F.col("common"))
+    ).select("doc_a", "doc_b")
+
+    # Connected components: min-id label propagation to fixpoint,
+    # restricted to edge ENDPOINTS (every other doc is trivially its
+    # own singleton cluster — unioned back at the end).  Each round is
+    # one join + aggregate over the (small) edge set; localCheckpoint
+    # truncates the lineage so round k doesn't replay rounds 1..k-1,
+    # and the convergence test is a cheap changed-count.
+    sym = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    endpoints = sym.select(F.col("doc_a").alias("doc_id")).distinct()
+    labels = endpoints.withColumn("rep", F.col("doc_id")).localCheckpoint()
+    for _ in range(16):
+        nbr = (
+            sym.join(labels, sym.doc_b == labels.doc_id)
+            .groupBy("doc_a").agg(F.min("rep").alias("nrep"))
+        )
+        new = (
+            labels.join(nbr, labels.doc_id == nbr.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("rep"), F.coalesce(F.col("nrep"), F.col("rep"))
+                ).alias("rep"),
+                (F.col("nrep") < F.col("rep")).alias("__chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = new.filter(F.col("__chg")).limit(1).count()
+        labels = new.drop("__chg")
+        if changed == 0:
+            break
+    singletons = (
+        sh.select("doc_id")
+        .join(labels.select("doc_id"), "doc_id", "left_anti")
+        .withColumn("rep", F.col("doc_id"))
+    )
+    return labels.unionByName(singletons).select(
+        "doc_id", F.col("rep").alias("cluster_rep")
+    )
+
+
 @register(
     "dedup_minhash_pairs",
     oracle=f"""
@@ -510,36 +570,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage is cross-engine reproducible, so the driver hash-checks the
     whole LSH pipeline rather than rows-only."""
     sh = _doc_shingles(spark, sf_dir).persist()
-    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
-    sig = exploded.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.conv(
-                    F.substring(F.md5(F.concat(F.lit(f"{seed}|"),
-                                               F.col("s"))), 1, 15),
-                    16, 10,
-                ).cast("long")
-            ).alias(f"h{seed}")
-            for seed in range(_MH_HASHES)
-        ]
-    )
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.md5(
-                        F.concat_ws("|", *[
-                            F.col(f"h{b * _MH_BAND_ROWS + r}")
-                            for r in range(_MH_BAND_ROWS)
-                        ])
-                    ).alias("bkey"),
-                )
-                for b in range(_MH_HASHES // _MH_BAND_ROWS)
-            ])
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bkey")
+    bands = _mh_banded_spark(sh)
     cand = (
         bands.alias("x")
         .join(
