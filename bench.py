@@ -34,6 +34,11 @@ def main() -> None:
     for name, fn in bench.items():
         best, n = None, 0
         for _ in range(2):  # min-of-2: JIT/page-cache noise is ~2x
+            # Queries persist() intermediates; drop them so (a) each
+            # run measures its own materialization and (b) cached
+            # blocks don't accumulate across 32 runs and evict/GC-churn
+            # the tail of the suite.
+            spark.catalog.clearCache()
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()

@@ -30,6 +30,20 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # parallelismFirst=true (the default) makes AQE keep ~one partition
+    # per core regardless of size, so every post-shuffle stage of a
+    # small-to-medium query pays full per-task scheduling overhead.
+    # Size-based coalescing (the setting Spark's own AQE docs recommend
+    # for real clusters) merges those into as few tasks as the advisory
+    # size allows — measured 1.5-2.5x on multi-stage LSH pipelines.
+    # AQE only ever MERGES initial shuffle.partitions, so on a large
+    # cluster (shuffle.partitions sized at 2-3x cores) a small advisory
+    # just means "coalesce less"; raise it to 64-128m there via
+    # SPARK_GRAFT_ADVISORY_PARTITION.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": os.environ.get(
+        "SPARK_GRAFT_ADVISORY_PARTITION", "4m"
+    ),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Small dimension tables (TPC-H nation/region/supplier, LSH band
     # maps) should always broadcast.
