@@ -26,9 +26,21 @@ def main() -> None:
     spark = get_spark(app_name="rados-timestore-bench")
     bench = registry.bench_queries()
 
-    # Warmup: JVM + parquet footer + Arrow path, not measured.
+    # Warmup: JVM + parquet footer + Arrow path + the Python worker
+    # pool (pandas-UDF queries otherwise pay worker fork + numpy/pandas
+    # import inside their first timed run), not measured.
     warm = spark.read.parquet(f"{sf_dir}/events.parquet")
     warm.limit(10).collect()
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def _warm(x):
+        return x
+
+    _warm.__annotations__ = {"x": pd.Series, "return": pd.Series}
+    _warm_udf = F.pandas_udf(_warm, "long")
+
+    spark.range(1000, numPartitions=32).select(_warm_udf("id")).count()
 
     timings: dict[str, float] = {}
     for name, fn in bench.items():
