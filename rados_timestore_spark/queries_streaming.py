@@ -20,6 +20,135 @@ _DELAY_US = 30 * 60 * 1_000_000   # 30 min watermark
 _HOUR_US = 3_600_000_000
 
 
+class _few_state_partitions:
+    """Temporarily drop ``spark.sql.shuffle.partitions`` for a
+    streaming query: stateful operators create one state-store
+    instance per shuffle partition PER micro-batch commit, which is
+    pure fixed overhead at fixture scale (measured ~4x on the
+    availableNow queries here).  Production streams keep the session
+    default — state partition count is a deployment knob, sized to
+    keys/executor, not hardcoded."""
+
+    def __init__(self, spark: SparkSession, n: int = 4):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        return False
+
+
+@register(
+    "streaming_dedup_replay",
+    oracle="""
+SELECT DISTINCT user_id * 2 AS address, epoch_us(ts) AS time
+FROM events
+""",
+    tags=("streaming", "dedup"),
+)
+def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay-safe streaming dedup end-to-end: the events table is
+    delivered TWICE (a replayed source), flows through
+    ``dropDuplicatesWithinWatermark`` on (address, time), and the sink
+    must contain each point identity exactly once.  Only the identity
+    columns are emitted (which duplicate's payload survives is
+    arrival-order dependent; the identity set is exact)."""
+    from rados_timestore_spark.queries_common import load
+    from rados_timestore_spark.streaming.windows import stream_dedup
+
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        (F.col("user_id") * 2).alias("address"),
+        F.expr("ts div 1000").alias("time"),
+        F.col("event_id").alias("value"),
+    )
+    work = tempfile.mkdtemp(prefix="ts_stream_dd_")
+    src, out, ck = f"{work}/src", f"{work}/out", f"{work}/ck"
+    pts.coalesce(1).write.parquet(src)
+    pts.coalesce(1).write.mode("append").parquet(src)  # the replay
+
+    with _few_state_partitions(spark):
+        stream = spark.readStream.schema(pts.schema).parquet(src)
+        q = (
+            stream_dedup(stream, watermark="30 minutes")
+            .select("address", "time")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.read.parquet(out)
+
+
+_JOIN_WINDOW_US = 5 * 60 * 1_000_000  # events within 5 min before an error
+
+
+@register(
+    "streaming_interval_join",
+    oracle=f"""
+SELECT e.event_id AS error_id, a.event_id AS lead_id,
+       epoch_us(e.ts) - epoch_us(a.ts) AS lead_us
+FROM events e JOIN events a ON e.user_id = a.user_id
+WHERE e.event_type = 'error' AND a.event_id != e.event_id
+  AND epoch_us(a.ts) BETWEEN epoch_us(e.ts) - {_JOIN_WINDOW_US}
+                         AND epoch_us(e.ts)
+""",
+    tags=("streaming", "join"),
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join, end-to-end: for every
+    error event, the same user's events in the preceding 5 minutes
+    (both sides live streams, watermarked so join state is bounded).
+    Inner joins emit on match, so availableNow + append yields the
+    complete pair set — reproduced relationally by the oracle."""
+    from rados_timestore_spark.queries_common import load
+    from rados_timestore_spark.streaming.windows import stream_interval_join
+
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        F.expr("ts div 1000").alias("time"),
+        "event_id",
+        "event_type",
+    )
+    work = tempfile.mkdtemp(prefix="ts_stream_ij_")
+    src, out, ck = f"{work}/src", f"{work}/out", f"{work}/ck"
+    pts.coalesce(1).write.parquet(src)
+
+    with _few_state_partitions(spark):
+        errors = (
+            spark.readStream.schema(pts.schema).parquet(src)
+            .filter(F.col("event_type") == "error")
+        )
+        allev = spark.readStream.schema(pts.schema).parquet(src)
+        joined = stream_interval_join(
+            errors, allev, key="user_id",
+            lower_us=-_JOIN_WINDOW_US, upper_us=0,
+            watermark="30 minutes",
+        ).filter(F.col("event_id_r") != F.col("event_id_l"))
+        q = (
+            joined.select(
+                F.col("event_id_l").alias("error_id"),
+                F.col("event_id_r").alias("lead_id"),
+                (F.col("time_l") - F.col("time_r")).alias("lead_us"),
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.read.parquet(out)
+
+
 @register(
     "streaming_rollup_hourly",
     oracle=f"""
@@ -56,19 +185,20 @@ def streaming_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     work = tempfile.mkdtemp(prefix="ts_stream_q_")
     src, out, ck = f"{work}/src", f"{work}/out", f"{work}/ck"
-    pts.write.parquet(src)
+    pts.coalesce(1).write.parquet(src)
 
-    stream = spark.readStream.schema(pts.schema).parquet(src)
-    q = (
-        stream_rollup(stream, window="1 hour", watermark="30 minutes")
-        .writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ck)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _few_state_partitions(spark):
+        stream = spark.readStream.schema(pts.schema).parquet(src)
+        q = (
+            stream_rollup(stream, window="1 hour", watermark="30 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     got = spark.read.parquet(out)
     return got.select(
         F.unix_micros(F.col("window.start")).alias("window_start_us"),

@@ -59,6 +59,80 @@ def stream_rollup(
     )
 
 
+def stream_dedup(
+    points: DataFrame,
+    watermark: str = "30 minutes",
+    keys: tuple[str, ...] = ("address", "time"),
+    time_col: str = "time",
+) -> DataFrame:
+    """Bounded-state streaming dedup on the point identity (address,
+    time) — the streaming face of the engine's dedup-on-read rule
+    (core.first_wins_dedup) for the replay case: a re-delivered
+    micro-batch's duplicates are dropped as long as they arrive within
+    the watermark, so state stays bounded while exactly-once ingest
+    survives source replays.  (Batch reads still dedup on read; this
+    operator is for pipelines that must emit downstream exactly once.)
+
+    Uses ``dropDuplicatesWithinWatermark`` so two duplicates only need
+    to arrive within ``watermark`` of each other — state per key is
+    evicted after that horizon, the 100 TB-friendly contract (a plain
+    streaming ``dropDuplicates`` would keep every key forever).
+    """
+    ts = F.timestamp_micros(F.col(time_col)).alias("event_ts")
+    return (
+        points.withColumn("event_ts", ts)
+        .withWatermark("event_ts", watermark)
+        .dropDuplicatesWithinWatermark(list(keys))
+    )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    lower_us: int,
+    upper_us: int,
+    watermark: str = "30 minutes",
+    time_col: str = "time",
+    suffixes: tuple[str, str] = ("_l", "_r"),
+) -> DataFrame:
+    """Stream-stream inner join on ``key`` equality + an event-time
+    interval: right rows within ``[left.time + lower_us, left.time +
+    upper_us]`` of each left row.  Both sides are watermarked so Spark
+    can bound join state (rows outside the interval + watermark are
+    evicted) — the streaming analog of the batch bucketed range join
+    (queries_timeseries.ts_range_join), e.g. "events in the 5 minutes
+    leading up to each error".
+
+    Columns are suffixed to keep both sides addressable; the joined
+    event-time columns come back as ``event_ts{suffix}``.
+    """
+    ls, rs = suffixes
+
+    def prep(df: DataFrame, s: str) -> DataFrame:
+        out = df.withColumn(
+            f"event_ts{s}", F.timestamp_micros(F.col(time_col))
+        ).withWatermark(f"event_ts{s}", watermark)
+        for c in df.columns:
+            if c != key:
+                out = out.withColumnRenamed(c, f"{c}{s}")
+        return out
+
+    lf, rf = prep(left, ls), prep(right, rs)
+    cond = (
+        (lf[key] == rf[key])
+        & (
+            F.col(f"event_ts{rs}")
+            >= F.col(f"event_ts{ls}") + F.expr(f"INTERVAL {lower_us} MICROSECOND")
+        )
+        & (
+            F.col(f"event_ts{rs}")
+            <= F.col(f"event_ts{ls}") + F.expr(f"INTERVAL {upper_us} MICROSECOND")
+        )
+    )
+    return lf.join(rf, cond, "inner").drop(rf[key])
+
+
 _LATEST_OUT = StructType([
     StructField("address", LongType()),
     StructField("time", LongType()),
