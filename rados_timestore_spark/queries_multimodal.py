@@ -158,6 +158,67 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.mapInPandas(fake_decode_features, _FEATURES_DDL)
 
 
+#: Target byte budget for the fake "thumbnail" resize.
+RESIZE_TARGET = 64
+
+
+def _fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic FAKE resize: stride-decimate each payload down to
+    ~``RESIZE_TARGET`` bytes (every k-th byte, k = ceil(n/target)) —
+    the exact batch shape of a real thumbnailer (binary in, smaller
+    binary + metadata out), with byte-exact output the oracle can
+    reproduce.  A real implementation swaps the stride slice for
+    PIL.Image.resize (see :func:`decode_image_real`)."""
+    import hashlib
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            n = len(b)
+            k = max(1, (n + RESIZE_TARGET - 1) // RESIZE_TARGET)
+            r = b[::k]
+            rows.append(
+                (int(doc_id), n, len(r), hashlib.md5(r).hexdigest())
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "orig_bytes", "resized_bytes",
+                     "resized_md5"],
+        )
+
+
+@register(
+    "mm_resize",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         GREATEST((octet_length(encode(text)) + {RESIZE_TARGET - 1})
+                  // {RESIZE_TARGET}, 1) AS stride
+  FROM documents)
+SELECT doc_id, n AS orig_bytes,
+       len([i for i in generate_series(1, n, stride)]) AS resized_bytes,
+       md5(array_to_string(
+         [substr(text, i, 1) for i in generate_series(1, n, stride)],
+         '')) AS resized_md5
+FROM t
+""",
+    tags=("multimodal",),
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample plumbing via ``mapInPandas``: Arrow batches of
+    blobs stream through a Python resizer emitting the reduced payload
+    hash + size metadata.  At 100 TB this is the per-row-group decode
+    shard pattern — no shuffle, executor-local CPU, output a small
+    typed row per blob."""
+    p = _payloads(spark, sf_dir).select("doc_id", "payload")
+    return p.mapInPandas(
+        _fake_resize,
+        "doc_id long, orig_bytes long, resized_bytes long, "
+        "resized_md5 string",
+    )
+
+
 def decode_image_real(payload: bytes) -> dict:
     """REAL image decode — requires pillow, which this container does
     not ship.  Kept as the single swap-in point for
