@@ -219,6 +219,21 @@ def test_iter_chunks_contract(store):
         (8, 4, 40)]
 
 
+def test_iter_chunks_arrow_matches_row_iterator(store):
+    # Same chunk keys and row content as iter_chunks, delivered as
+    # zero-copy Arrow slices (epoch at a time).
+    store.register_namespace("PONY", buckets=4)
+    _write(store, "PONY", [(0, 1, 10), (2, 2, 20), (4, 3, 30), (8, 4, 40),
+                           (0, 5, 50), (2, 6, 60)])
+    rows_v = list(store.iter_chunks("PONY", 0, 10, [0, 2, 4, 8]))
+    arrow_v = list(store.iter_chunks_arrow("PONY", 0, 10, [0, 2, 4, 8]))
+    assert [k for k, _ in rows_v] == [k for k, _ in arrow_v]
+    for (_, rows), (_, tbl) in zip(rows_v, arrow_v):
+        got = list(zip(*[tbl.column(c).to_pylist()
+                         for c in ("address", "time", "value", "seq")]))
+        assert got == rows
+
+
 def test_compact_gc_removes_stale_generations(store):
     store.register_namespace("PONY", buckets=4)
     _write(store, "PONY", [(2, 1, 1), (2, 2, 2)])
