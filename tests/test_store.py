@@ -234,6 +234,36 @@ def test_iter_chunks_arrow_matches_row_iterator(store):
         assert got == rows
 
 
+def test_interleaved_writer_instances_converge(store, spark, tmp_path):
+    # The reference's multi-daemon writer test (StoreTests.hs:128-157)
+    # coordinates writers with advisory locks; this engine's documented
+    # contract is writer-serialized appends with metadata re-read per
+    # write (store.py docstring).  The analog law: two INDEPENDENT
+    # TimeStore instances over the same root, interleaving writes,
+    # must converge — every point readable, watermark = global max,
+    # seq blocks disjoint (first-write-wins stays deterministic).
+    from rados_timestore_spark.store import TimeStore
+
+    root = str(tmp_path)
+    a, b = TimeStore(spark, root), TimeStore(spark, root)
+    a.register_namespace("NS", buckets=8)
+    writers = [a, b, a, b]
+    for i, w in enumerate(writers):
+        _write(w, "NS", [(2, 10 * i + 1, i), (4, 10 * i + 2, 100 + i)])
+    got = a.read_simple("NS", 0, 100, [2, 4], global_order=True).collect()
+    assert [(r.address, r.time, r.value) for r in got] == sorted(
+        [(2, 10 * i + 1, i) for i in range(4)]
+        + [(4, 10 * i + 2, 100 + i) for i in range(4)],
+        key=lambda r: (r[1], r[0]),
+    )
+    # watermark converges across instances (B re-reads A's meta)
+    assert a.latest("NS") == b.latest("NS") == (32, None)
+    # seq blocks from different instances never collide: all 8 points
+    # kept distinct seqs (first-write-wins never merged two writes)
+    seqs = [r.seq for r in got]
+    assert len(set(seqs)) == len(seqs)
+
+
 def test_compact_gc_removes_stale_generations(store):
     store.register_namespace("PONY", buckets=4)
     _write(store, "PONY", [(2, 1, 1), (2, 2, 2)])
