@@ -1,0 +1,102 @@
+"""CLI parity with the reference's ``store`` executable (src/Store.hs).
+
+The reference ships one subcommand — ``register`` with per-kind bucket
+counts against a Ceph pool (Store.hs:30-88) — plus the implicit admin
+surface its daemons expose.  This CLI maps ``--pool`` to ``--root``
+(any Hadoop-FS URI: file:///, s3a://) and adds the read-side verbs a
+store operator actually runs (``latest``, ``read``, ``write``,
+``compact``, ``gc``), all thin wrappers over :class:`TimeStore`.
+
+Usage::
+
+    python -m rados_timestore_spark --root file:///tmp/ts --ns PONY \
+        register --buckets 128
+    python -m rados_timestore_spark --root ... --ns PONY \
+        read --start 0 --end 9999999 --addresses 2,4 [--extended]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Sequence
+
+from pyspark.sql import SparkSession
+
+
+def _parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="rados_timestore_spark",
+        description="Operate a timestore warehouse (Store.hs parity).",
+    )
+    p.add_argument("--root", required=True,
+                   help="warehouse URI (file:///..., s3a://...)")
+    p.add_argument("--ns", "-o", required=True,
+                   help="namespace (reference: origin)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    reg = sub.add_parser("register", help="register a namespace")
+    reg.add_argument("--buckets", "-s", type=int, default=128,
+                     help="bucket count (reference default 128)")
+
+    sub.add_parser("latest", help="print (simple, extended) watermarks")
+
+    rd = sub.add_parser("read", help="read points as JSON lines")
+    rd.add_argument("--start", type=int, required=True)
+    rd.add_argument("--end", type=int, required=True)
+    rd.add_argument("--addresses", required=True,
+                    help="comma-separated address list")
+    rd.add_argument("--extended", action="store_true")
+    rd.add_argument("--limit", type=int, default=1000)
+
+    wr = sub.add_parser("write", help="ingest a parquet file of points")
+    wr.add_argument("--parquet", required=True,
+                    help="path with address/time/value[/payload] columns")
+
+    sub.add_parser("compact", help="rewrite live generation compacted")
+    sub.add_parser("gc", help="delete stale compaction generations")
+    return p
+
+
+def main(argv: Sequence[str] | None = None,
+         spark: SparkSession | None = None) -> int:
+    from rados_timestore_spark.session import configure_session, get_spark
+    from rados_timestore_spark.store import TimeStore
+
+    args = _parser().parse_args(argv)
+    spark = configure_session(spark) if spark is not None else get_spark()
+    store = TimeStore(spark, args.root)
+
+    if args.cmd == "register":
+        if store.is_registered(args.ns):
+            print(f"namespace {args.ns} already registered")
+            return 1
+        store.register_namespace(args.ns, buckets=args.buckets)
+        print(f"registered {args.ns} ({args.buckets} buckets)")
+    elif args.cmd == "latest":
+        simple, extended = store.latest(args.ns)
+        print(json.dumps({"simple": simple, "extended": extended}))
+    elif args.cmd == "read":
+        addrs = [int(a) for a in args.addresses.split(",") if a]
+        df = (store.read_extended if args.extended else store.read_simple)(
+            args.ns, args.start, args.end, addrs
+        )
+        for row in df.limit(args.limit).collect():
+            d = row.asDict()
+            if isinstance(d.get("payload"), (bytes, bytearray)):
+                d["payload"] = bytes(d["payload"]).hex()
+            print(json.dumps(d))
+    elif args.cmd == "write":
+        store.write_points(args.ns, spark.read.parquet(args.parquet))
+        print("ok")
+    elif args.cmd == "compact":
+        store.compact(args.ns)
+        print("ok")
+    elif args.cmd == "gc":
+        print(json.dumps(store.gc(args.ns)))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,36 @@
+"""CLI parity test (src/Store.hs register + the admin verbs)."""
+
+import json
+
+from rados_timestore_spark.cli import main
+
+
+def test_cli_register_write_read_latest(spark, tmp_path, capsys):
+    root = str(tmp_path / "wh")
+    base = ["--root", root, "--ns", "PONY"]
+
+    assert main([*base, "register", "--buckets", "8"], spark=spark) == 0
+    # double-register is refused, matching registerNamespace's
+    # already-registered guard (TimeStore.hs:72-76)
+    assert main([*base, "register"], spark=spark) == 1
+
+    src = str(tmp_path / "pts.parquet")
+    spark.createDataFrame(
+        [(2, 5, 7), (4, 6, 8)], "address long, time long, value long"
+    ).write.parquet(src)
+    assert main([*base, "write", "--parquet", src], spark=spark) == 0
+
+    capsys.readouterr()
+    assert main(
+        [*base, "read", "--start", "0", "--end", "10",
+         "--addresses", "2,4"],
+        spark=spark,
+    ) == 0
+    rows = [json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines()]
+    assert {(r["address"], r["time"], r["value"]) for r in rows} == {
+        (2, 5, 7), (4, 6, 8)}
+
+    assert main([*base, "latest"], spark=spark) == 0
+    assert json.loads(capsys.readouterr().out) == {
+        "simple": 6, "extended": None}
