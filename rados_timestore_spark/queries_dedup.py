@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, LongType
 
 from rados_timestore_spark.queries_common import load, load_parallel
 from rados_timestore_spark.registry import register
@@ -35,42 +35,59 @@ _SHINGLES_SQL = (
     f"for i in generate_series(1, len(ws)-2)])"
 )
 
+#: Packed 56-bit shingle hash: the first 14 md5 hex chars as one
+#: BIGINT.  Identical in Python (``int(md5(s).hexdigest()[:14], 16)``)
+#: and DuckDB; the two 28-bit halves (``h >> 28``, ``h & (2^28-1)``)
+#: seed the affine minhash family.  Shingle SETS are sets of these
+#: hashes everywhere (the standard representation at 100 TB — string
+#: shingles never leave the hashing UDF, so shuffles, caches and
+#: intersections all run on fixed-width longs instead of ~40-byte
+#: strings; measured: persisting array<string> shingles cost 3.5s at
+#: sf0.1, array<long> is ~10x cheaper).  md5 collisions merge shingles
+#: identically in both engines, so oracle parity is exact.
+_HASH_SQL = "('0x' || substr(md5(s), 1, 14))::BIGINT"
+_HS_SQL = f"list_distinct(list_transform({_SHINGLES_SQL}, s -> {_HASH_SQL}))"
+
 #: Jaccard threshold as a ratio of integers (0.4).
 _TAU_NUM, _TAU_DEN = 4, 10
 
 
-@F.pandas_udf(ArrayType(StringType()))
-def _shingle_udf(text):
-    """Distinct 3-word shingles, Arrow-batched.
+@F.pandas_udf(ArrayType(LongType()))
+def _shingle_hash_udf(text):
+    """Distinct 3-word shingles as packed 56-bit md5 hashes,
+    Arrow-batched.
 
-    Replicates ``array_distinct(transform(...))`` over
+    Replicates ``list_transform`` over the distinct trigrams of
     ``split(trim(lower(text)), '\\s+')`` exactly (space-only end trim,
-    ``\\s+`` split keeping trailing empties, first-occurrence-distinct
-    trigram join) — but in one vectorized Python pass instead of
-    Catalyst's INTERPRETED higher-order lambdas, which were the single
-    hottest stage of every shingle pipeline (measured 3.3s -> ~0.1s at
-    sf0.1).  Consumers treat shingles as a set (explode + agg /
-    intersect sizes), so element order is immaterial; the DuckDB
-    oracle definition (_SHINGLES_SQL) is unchanged.
+    ``\\s+`` split keeping trailing empties, first-occurrence-distinct)
+    — in one vectorized Python pass instead of Catalyst's INTERPRETED
+    higher-order lambdas, which were the single hottest stage of every
+    shingle pipeline (measured 3.3s -> ~0.1s at sf0.1).  Consumers
+    treat shingle sets as sets, so element order is immaterial; the
+    DuckDB oracle computes the identical hash (``_HS_SQL``).
     """
+    import hashlib
     import re
 
     import pandas as pd
 
     ws_re = re.compile(r"\s+")
+    md5 = hashlib.md5
     out = []
     for t in text:
         ws = ws_re.split(t.strip(" ").lower())
         out.append(list(dict.fromkeys(
-            " ".join(ws[i:i + 3]) for i in range(len(ws) - 2)
+            int(md5(" ".join(ws[i:i + 3]).encode()).hexdigest()[:14], 16)
+            for i in range(len(ws) - 2)
         )))
     return pd.Series(out)
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hs: array<long>) — each doc's distinct shingle-hash set."""
     docs = load_parallel(spark, sf_dir, "documents", "doc_id") \
         .select("doc_id", "text")
-    return docs.select("doc_id", _shingle_udf("text").alias("shingles"))
+    return docs.select("doc_id", _shingle_hash_udf("text").alias("hs"))
 
 
 # ------------------------------------------------------------- exact
@@ -131,19 +148,20 @@ _MAX_SHINGLE_DF = 50
     "dedup_ngram_jaccard",
     oracle=f"""
 WITH ex AS (
-  SELECT doc_id, unnest({_SHINGLES_SQL}) AS s
+  SELECT doc_id, unnest({_HS_SQL}) AS h
   FROM (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents) t
 ),
-rare AS (SELECT s FROM ex GROUP BY s
+rare AS (SELECT h FROM ex GROUP BY h
          HAVING count(*) <= {_MAX_SHINGLE_DF}),
-exr AS (SELECT doc_id, ex.s FROM ex JOIN rare ON ex.s = rare.s),
+exr AS (SELECT doc_id, ex.h FROM ex JOIN rare ON ex.h = rare.h),
 sizes AS (SELECT doc_id, count(*) AS n FROM exr GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-  FROM exr a JOIN exr b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM exr a JOIN exr b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
-SELECT doc_a, doc_b, common, (sa.n + sb.n - common) AS union_n
+SELECT doc_a, doc_b, CAST(common AS BIGINT) AS common,
+       CAST(sa.n + sb.n - common AS BIGINT) AS union_n
 FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
            JOIN sizes sb ON sb.doc_id = doc_b
 WHERE common * {_TAU_DEN} >= {_TAU_NUM} * (sa.n + sb.n - common)
@@ -157,29 +175,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop-shingle removal, which both bounds every join bucket AND
     keeps ubiquitous shingles from inflating similarity).
 
-    ``common`` falls directly out of the shingle equi-join aggregation
-    (shuffle key = shingle, group key = pair) — no shingle arrays are
-    ever shipped per pair.  Integer cross-multiplied threshold; the
+    ``common`` falls directly out of the shingle-hash equi-join
+    aggregation (shuffle key = 56-bit shingle hash, group key = pair)
+    — no shingle arrays are ever shipped per pair, and every shuffled
+    row is a pair of longs.  Integer cross-multiplied threshold; the
     oracle evaluates the identical definition.
     """
     # exploded feeds the df-count AND the rare-join: persist so the
     # shingle UDF pass runs once, not twice.
     sh = _doc_shingles(spark, sf_dir)
-    exploded = sh.select("doc_id", F.explode("shingles").alias("s")).persist()
+    exploded = sh.select("doc_id", F.explode("hs").alias("h")).persist()
     rare = (
-        exploded.groupBy("s").agg(F.count("*").alias("df"))
+        exploded.groupBy("h").agg(F.count("*").alias("df"))
         .filter(F.col("df") <= _MAX_SHINGLE_DF)
-        .select("s")
+        .select("h")
     )
     # ex_rare feeds sizes + both self-join sides: persist so the
     # shingle expansion and rare-join run once, not three times.
-    ex_rare = exploded.join(rare, "s").persist()
+    ex_rare = exploded.join(rare, "h").persist()
     sizes = ex_rare.groupBy("doc_id").agg(F.count("*").alias("n"))
     pairs = (
         ex_rare.alias("a")
         .join(
             ex_rare.alias("b"),
-            (F.col("a.s") == F.col("b.s"))
+            (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
@@ -361,11 +380,12 @@ _MH_ABC, _MH_BW = _mh_consts()
 
 def _mh_sql() -> str:
     """DuckDB CTEs computing the identical one-md5 affine minhash
-    bands (see ``_MH_P`` note for the scheme)."""
-    h1 = "('0x' || substr(md5(s), 1, 7))::BIGINT"
-    h2 = "('0x' || substr(md5(s), 8, 7))::BIGINT"
+    bands (see ``_MH_P`` note for the scheme) over the packed 56-bit
+    shingle hashes (``_HS_SQL``)."""
+    h1 = "(h >> 28)"
+    h2 = f"(h & {(1 << 28) - 1})"
     sig_cols = ", ".join(
-        f"list_min(list_transform(shingles, s -> "
+        f"list_min(list_transform(hs, h -> "
         f"({a} * {h1} + {b} * {h2} + {c}) % {_MH_P})) AS h{i}"
         for i, (a, b, c) in enumerate(_MH_ABC)
     )
@@ -382,10 +402,10 @@ def _mh_sql() -> str:
     )
     return f"""
 docs_sh AS (
-  SELECT doc_id, {_SHINGLES_SQL} AS shingles
+  SELECT doc_id, {_HS_SQL} AS hs
   FROM (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents) t
 ),
-sig AS (SELECT doc_id, shingles, {sig_cols} FROM docs_sh),
+sig AS (SELECT doc_id, hs, {sig_cols} FROM docs_sh),
 banded AS (SELECT *, {band_cols} FROM sig)
 """, share
 
@@ -396,22 +416,23 @@ _MH_CTES, _MH_SHARE = _mh_sql()
 def _mh_banded_spark(sh: DataFrame) -> DataFrame:
     """Long-format ``(doc_id, band, bkey)`` affine-minhash band table.
 
-    One md5 per exploded (doc, shingle) row; 16 minhashes as affine
-    rehashes of its two 28-bit halves (``_MH_P`` note), min'd by a
-    hash-aggregate.  (An ``array_min(transform(...))`` variant avoids
-    the shuffle but loses codegen — higher-order lambdas are
-    interpreted AND get recomputed per exploded band row downstream;
-    measured 2x slower.  The exploded agg stays in WholeStageCodegen
-    with map-side partial min.)  Band key = weighted integer sum of 4
-    consecutive signature rows; every expression is bit-identical in
-    DuckDB (``_mh_sql``), which is what makes full LSH oracles
-    possible.
+    The shingle hash is computed ONCE (in the shingling UDF); 16
+    minhashes are affine rehashes of its two 28-bit halves (``_MH_P``
+    note), min'd by a hash-aggregate.  (An ``array_min(transform())``
+    variant avoids the shuffle but loses codegen — higher-order
+    lambdas are interpreted AND get recomputed per exploded band row
+    downstream; measured 2x slower.  The exploded agg stays in
+    WholeStageCodegen with map-side partial min.)  Band key = weighted
+    integer sum of 4 consecutive signature rows; every expression is
+    bit-identical in DuckDB (``_mh_sql``), which is what makes full
+    LSH oracles possible.
     """
-    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
-    md = F.md5(F.col("s"))
-    h1 = F.conv(F.substring(md, 1, 7), 16, 10).cast("long")
-    h2 = F.conv(F.substring(md, 8, 7), 16, 10).cast("long")
-    hashed = exploded.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+    exploded = sh.select("doc_id", F.explode("hs").alias("h"))
+    hashed = exploded.select(
+        "doc_id",
+        F.shiftright("h", 28).alias("h1"),
+        F.col("h").bitwiseAND(F.lit((1 << 28) - 1)).alias("h2"),
+    )
     sig = hashed.groupBy("doc_id").agg(
         *[
             F.min(
@@ -546,9 +567,9 @@ edges AS (
   SELECT c.doc_a, c.doc_b
   FROM cand c JOIN docs_sh a ON c.doc_a = a.doc_id
               JOIN docs_sh b ON c.doc_b = b.doc_id
-  WHERE len(list_intersect(a.shingles, b.shingles)) * {_TAU_DEN}
-        >= {_TAU_NUM} * (len(a.shingles) + len(b.shingles)
-                         - len(list_intersect(a.shingles, b.shingles)))
+  WHERE len(list_intersect(a.hs, b.hs)) * {_TAU_DEN}
+        >= {_TAU_NUM} * (len(a.hs) + len(b.hs)
+                         - len(list_intersect(a.hs, b.hs)))
 ),
 sym AS (SELECT doc_a, doc_b FROM edges
         UNION ALL SELECT doc_b, doc_a FROM edges),
@@ -611,10 +632,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     common = (
         cand.join(
             sh.select(F.col("doc_id").alias("doc_a"),
-                      F.col("shingles").alias("sh_a")), "doc_a")
+                      F.col("hs").alias("sh_a")), "doc_a")
         .join(
             sh.select(F.col("doc_id").alias("doc_b"),
-                      F.col("shingles").alias("sh_b")), "doc_b")
+                      F.col("hs").alias("sh_b")), "doc_b")
         .select(
             "doc_a", "doc_b",
             F.size(F.array_intersect("sh_a", "sh_b")).alias("common"),
@@ -650,14 +671,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {_MH_CTES}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       len(list_intersect(a.shingles, b.shingles)) AS common,
-       len(a.shingles) + len(b.shingles)
-         - len(list_intersect(a.shingles, b.shingles)) AS union_n
+       len(list_intersect(a.hs, b.hs)) AS common,
+       len(a.hs) + len(b.hs)
+         - len(list_intersect(a.hs, b.hs)) AS union_n
 FROM banded a JOIN banded b ON a.doc_id < b.doc_id
 WHERE ({_MH_SHARE})
-  AND len(list_intersect(a.shingles, b.shingles)) * {_TAU_DEN}
-      >= {_TAU_NUM} * (len(a.shingles) + len(b.shingles)
-                       - len(list_intersect(a.shingles, b.shingles)))
+  AND len(list_intersect(a.hs, b.hs)) * {_TAU_DEN}
+      >= {_TAU_NUM} * (len(a.hs) + len(b.hs)
+                       - len(list_intersect(a.hs, b.hs)))
 """,
     tags=("dedup", "lsh"),
 )
@@ -686,9 +707,9 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"),
-                            F.col("shingles").alias("sh_a")), "doc_a")
+                            F.col("hs").alias("sh_a")), "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"),
-                        F.col("shingles").alias("sh_b")), "doc_b")
+                        F.col("hs").alias("sh_b")), "doc_b")
     )
     common = F.size(F.array_intersect("sh_a", "sh_b"))
     union_n = F.size("sh_a") + F.size("sh_b") - common
