@@ -76,9 +76,20 @@ class HadoopFS:
             stream.close()
 
     def write_text_atomic(self, p: str, text: str) -> None:
-        """Write via tmp + rename (atomic on HDFS/local; best-effort on
-        object stores, where the single-writer model makes the brief
-        overlap harmless)."""
+        """Crash-safe document replace: tmp + backup + rename.
+
+        Hadoop's ``FileSystem.rename`` refuses to clobber an existing
+        destination on HDFS/local, so a naive delete-then-rename has a
+        window where NO complete copy of the document exists — a crash
+        there would destroy ``_meta.json`` (the namespace's index,
+        watermarks and points_version pointer).  Instead the previous
+        version is moved aside to ``p.bak`` before the new file renames
+        in, so at every crash point at least one complete copy (``p``
+        or ``p.bak``) survives; :meth:`read_text_recover` restores from
+        the backup when the primary is missing.  A crash in the middle
+        can lose the *newest* write (the backup holds the previous
+        version) but never the document.
+        """
         import os as _os
         import time as _time
 
@@ -89,10 +100,27 @@ class HadoopFS:
         finally:
             out.close()
         dest = self._path(p)
+        bak = self._path(p + ".bak")
         if self.fs.exists(dest):
-            self.fs.delete(dest, False)
+            if self.fs.exists(bak):
+                self.fs.delete(bak, False)
+            if not self.fs.rename(dest, bak):
+                raise IOError(f"backup rename failed: {p} -> {p}.bak")
         if not self.fs.rename(self._path(tmp), dest):
             raise IOError(f"rename failed: {tmp} -> {p}")
+        # New primary is in place; the backup is only crash insurance.
+        if self.fs.exists(bak):
+            self.fs.delete(bak, False)
+
+    def exists_or_recover(self, p: str) -> bool:
+        """True iff ``p`` exists, restoring it from the ``p.bak``
+        crash backup (see :meth:`write_text_atomic`) if needed."""
+        if self.fs.exists(self._path(p)):
+            return True
+        bak = self._path(p + ".bak")
+        if self.fs.exists(bak):
+            return bool(self.fs.rename(bak, self._path(p)))
+        return False
 
     def rename(self, src: str, dst: str) -> bool:
         return bool(self.fs.rename(self._path(src), self._path(dst)))

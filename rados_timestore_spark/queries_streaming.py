@@ -56,13 +56,13 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     must contain each point identity exactly once.  Only the identity
     columns are emitted (which duplicate's payload survives is
     arrival-order dependent; the identity set is exact)."""
-    from rados_timestore_spark.queries_common import load
+    from rados_timestore_spark.queries_common import event_us, load
     from rados_timestore_spark.streaming.windows import stream_dedup
 
     ev = load(spark, sf_dir, "events")
     pts = ev.select(
         (F.col("user_id") * 2).alias("address"),
-        F.expr("ts div 1000").alias("time"),
+        event_us(ev).alias("time"),
         F.col("event_id").alias("value"),
     )
     work = tempfile.mkdtemp(prefix="ts_stream_dd_")
@@ -107,13 +107,13 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (both sides live streams, watermarked so join state is bounded).
     Inner joins emit on match, so availableNow + append yields the
     complete pair set — reproduced relationally by the oracle."""
-    from rados_timestore_spark.queries_common import load
+    from rados_timestore_spark.queries_common import event_us, load
     from rados_timestore_spark.streaming.windows import stream_interval_join
 
     ev = load(spark, sf_dir, "events")
     pts = ev.select(
         "user_id",
-        F.expr("ts div 1000").alias("time"),
+        event_us(ev).alias("time"),
         "event_id",
         "event_type",
     )
@@ -174,13 +174,13 @@ def streaming_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink (availableNow), and the sink's contents are returned.  Append
     mode emits exactly the watermark-closed windows, which the oracle
     reproduces relationally."""
-    from rados_timestore_spark.queries_common import load
+    from rados_timestore_spark.queries_common import event_us, load
     from rados_timestore_spark.streaming.windows import stream_rollup
 
     ev = load(spark, sf_dir, "events")
     pts = ev.select(
         (F.col("user_id") * 2).alias("address"),
-        F.expr("ts div 1000").alias("time"),
+        event_us(ev).alias("time"),
         F.col("event_id").alias("value"),
     )
     work = tempfile.mkdtemp(prefix="ts_stream_q_")

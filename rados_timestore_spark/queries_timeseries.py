@@ -40,10 +40,12 @@ WITH ev AS (
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rados_timestore_spark.queries_common import event_us
+
     ev = load(spark, sf_dir, "events")
     return ev.select(
         "event_id", "user_id", "event_type", "value",
-        F.expr("ts div 1000").alias("t"),
+        event_us(ev).alias("t"),
     )
 
 
@@ -198,8 +200,9 @@ marked AS (
 ),
 sessions AS (
   SELECT user_id, t, event_id,
-         sum(is_start) OVER (PARTITION BY user_id ORDER BY t, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_no
+         CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                  ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS session_no
   FROM marked
 )
 SELECT user_id, session_no, count(*) AS n_events,
@@ -271,6 +274,7 @@ SELECT CAST(floor(value / 5) AS BIGINT) AS bucket, count(*) AS n,
 FROM ev GROUP BY 1
 """,
     tags=("timeseries", "agg"),
+    priority=900,  # r2-green simple hash agg; demoted past the driver window
 )
 def ts_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width value histogram — one hash aggregate; min/max
@@ -298,6 +302,7 @@ SELECT user_id, event_id, t,
 FROM ev
 """,
     tags=("timeseries", "window"),
+    priority=900,  # r2-green simple lag op; demoted past the driver window
 )
 def ts_delta_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta encoding of per-series timestamps (the compression

@@ -210,16 +210,19 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12_late_shipments",
     oracle=f"""
 SELECT l_returnflag,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE epoch_us(l_shipdate) - epoch_us(o_orderdate) > {60 * 86_400_000_000}
   AND epoch_us(l_shipdate) >= {_96} AND epoch_us(l_shipdate) < {_97}
 GROUP BY l_returnflag
 """,
     tags=("join", "agg"),
+    # r2 hash-mismatch (oracle HUGEINT, now CAST to BIGINT) — promoted
+    # into the driver's bounded check window so the fix is visible.
+    priority=99,
 )
 def tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q12 ADAPTED: no shipmode/commitdate/receiptdate columns — the

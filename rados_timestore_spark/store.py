@@ -137,7 +137,9 @@ class TimeStore:
 
     def _read_meta(self, ns: str) -> _Meta:
         path = self._meta_path(ns)
-        if not self.fs.exists(path):
+        # exists_or_recover restores _meta.json from its .bak crash
+        # backup if a write_text_atomic was interrupted mid-replace.
+        if not self.fs.exists_or_recover(path):
             raise NamespaceNotRegistered(ns)
         return _Meta.from_json(json.loads(self.fs.read_text(path)))
 
@@ -157,7 +159,7 @@ class TimeStore:
 
     def is_registered(self, ns: str) -> bool:
         """Registered iff the index exists (TimeStore.hs:92-95)."""
-        return self.fs.exists(self._meta_path(ns))
+        return self.fs.exists_or_recover(self._meta_path(ns))
 
     # ------------------------------------------------------------ write
 
@@ -360,22 +362,13 @@ class TimeStore:
         :meth:`write_points` pipeline.  Cross-blob first-wins order is
         made deterministic by seeding each blob's sequence numbers from
         a disjoint block (blob ordinal << 32 above the namespace's
-        seq_base) — the reference gets the same property from append
-        order.
+        seq_base), ordinals following (partition, position) ingest
+        order — the reference gets the same property from append order.
         """
-        from pyspark.sql import Window
-
         from rados_timestore_spark.codec import decode_wire_df
 
         meta = self._read_meta(ns)
-        w = Window.orderBy(F.col(blob_col))  # any total order of blobs
-        seeded = blobs.select(
-            F.col(blob_col),
-            (
-                F.lit(meta.seq_base)
-                + (F.row_number().over(w).cast("long") - 1) * F.lit(1 << 32)
-            ).alias("seq_base"),
-        )
+        seeded = _seed_blob_ordinals(blobs, blob_col, meta.seq_base)
         points = decode_wire_df(seeded, blob_col=blob_col,
                                 seq_col="seq_base")
         self.write_points(ns, points)
@@ -503,21 +496,82 @@ class TimeStore:
     def gc(self, ns: str) -> list[str]:
         """Remove stale points generations (crashed compactions leave
         orphan ``points_v{N}`` directories that were never flipped
-        live).  Returns the deleted directory names."""
+        live).  Returns the deleted directory names.
+
+        Only generations strictly OLDER than the live version are
+        removed: a ``points_v{N}`` with N >= live may be the
+        under-construction output of a concurrently running
+        :meth:`compact` — deleting it would make the subsequent
+        version flip resolve to a missing directory (silent empty
+        reads).  Orphans from a *crashed* compaction become eligible
+        once a later compaction flips past their version.
+        """
         meta = self._read_meta(ns)
-        live = self._points_dir(ns, meta).rsplit("/", 1)[-1]
+        live_v = meta.points_version
         deleted = []
         for name in self.fs.list_dirs(self._ns_dir(ns)):
-            stale_legacy = name == "points" and live != "points"
-            stale_versioned = (
-                name.startswith("points_v")
-                and name[len("points_v"):].isdigit()
-                and name != live
-            )
-            if stale_legacy or stale_versioned:
+            if name == "points":
+                stale = live_v > 0  # legacy generation 0
+            elif name.startswith("points_v") and name[len("points_v"):].isdigit():
+                stale = int(name[len("points_v"):]) < live_v
+            else:
+                stale = False
+            if stale:
                 self.fs.delete(f"{self._ns_dir(ns)}/{name}", recursive=True)
                 deleted.append(name)
         return deleted
+
+
+def _seed_blob_ordinals(blobs: DataFrame, blob_col: str,
+                        seq_base: int) -> DataFrame:
+    """Stamp each wire blob with a disjoint seq block — WITHOUT a
+    global window.
+
+    The obvious ``row_number().over(Window.orderBy(...))`` funnels the
+    whole ingest batch through one task (an ``Exchange
+    SinglePartition``) — a chokepoint/OOM on the client-facing ingest
+    entry point.  Instead we compute dense blob ordinals the way RDD
+    ``zipWithIndex`` does, but staying in DataFrame/Arrow land:
+
+    1. one column-pruned counting job collects per-partition row
+       counts (tiny: one row per partition on the driver);
+    2. cumulative offsets are broadcast-joined back on
+       ``spark_partition_id()``;
+    3. the within-partition position is recovered from
+       ``monotonically_increasing_id()`` (= ``pid << 33 | pos``), so
+       ``ordinal = offset[pid] + pos`` — unique, dense, and in
+       (partition, position) ingest order, with no shuffle of blob
+       bytes and no single-partition exchange.
+
+    Blocks are ``ordinal << 32`` wide: up to 2^31 blobs per batch and
+    2^32 points per blob before overflow — far beyond any real batch.
+    Like ``zipWithIndex``, ordinals are deterministic when the source's
+    partitioning is (files / parallelized collections).
+    """
+    spark = blobs.sparkSession
+    pid = F.spark_partition_id().cast("long")
+    pos = F.monotonically_increasing_id() - (pid * F.lit(1 << 33))
+    counts = (
+        blobs.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid").count().collect()
+    )
+    offsets, running = [], 0
+    for row in sorted(counts, key=lambda r: r["pid"]):
+        offsets.append((row["pid"], running))
+        running += row["count"]
+    off_df = spark.createDataFrame(
+        offsets or [(0, 0)], "pid long, _blob_off long"
+    )
+    ordinal = F.col("_blob_off") + F.col("_blob_pos")
+    return (
+        blobs.withColumn("pid", pid)
+        .withColumn("_blob_pos", pos)
+        .join(F.broadcast(off_df), "pid")
+        .select(
+            F.col(blob_col),
+            (F.lit(seq_base) + ordinal * F.lit(1 << 32)).alias("seq_base"),
+        )
+    )
 
 
 def _dedup_agg(df: DataFrame, payload_cols: tuple[str, ...]) -> DataFrame:

@@ -268,12 +268,54 @@ def test_compact_gc_removes_stale_generations(store):
     store.register_namespace("PONY", buckets=4)
     _write(store, "PONY", [(2, 1, 1), (2, 2, 2)])
     store.compact("PONY")          # generation 0 -> 1 (old dir deleted)
-    # simulate a crashed compaction: orphan future generation
     meta = store._read_meta("PONY")
-    orphan = f"{store._ns_dir('PONY')}/points_v{meta.points_version + 5}"
-    store.fs.mkdirs(orphan)
+    ns_dir = store._ns_dir("PONY")
+    # A FUTURE generation may be a concurrently running compact()'s
+    # under-construction output — gc must leave it alone (deleting it
+    # would make that compact's version flip resolve to a missing dir).
+    future = f"points_v{meta.points_version + 5}"
+    store.fs.mkdirs(f"{ns_dir}/{future}")
+    # A generation OLDER than live (here: a resurrected legacy dir) is
+    # a crashed-compaction leftover and must go.
+    store.fs.mkdirs(f"{ns_dir}/points")
     deleted = store.gc("PONY")
-    assert f"points_v{meta.points_version + 5}" in deleted
+    assert "points" in deleted
+    assert future not in deleted
+    assert store.fs.is_dir(f"{ns_dir}/{future}")
     # live generation untouched, data still readable
     got = store.read_simple("PONY", 0, 10, [2], global_order=True).collect()
     assert [(r.time, r.value) for r in got] == [(1, 1), (2, 2)]
+
+
+def test_meta_recovers_from_backup_after_crash(store):
+    # write_text_atomic keeps a .bak while replacing _meta.json; a
+    # crash between "move old aside" and "rename new in" leaves only
+    # the backup — the store must transparently restore it instead of
+    # treating the namespace as unregistered (ADVICE r2: the old
+    # delete-then-rename could brick the namespace).
+    store.register_namespace("PONY", buckets=4)
+    _write(store, "PONY", [(2, 5, 50)])
+    meta_path = store._meta_path("PONY")
+    assert store.fs.rename(meta_path, meta_path + ".bak")
+    assert not store.fs.exists(meta_path)
+    assert store.is_registered("PONY")          # recovered, not bricked
+    assert store.fs.exists(meta_path)
+    got = store.read_simple("PONY", 0, 10, [2]).collect()
+    assert [(r.address, r.time, r.value) for r in got] == [(2, 5, 50)]
+
+
+def test_blob_ordinals_dense_without_global_window(spark):
+    # write_encoded's seq seeding must not funnel the batch through a
+    # single task (ADVICE r2): the plan may not contain an Exchange
+    # SinglePartition, and ordinals must still be dense and unique in
+    # (partition, position) order.
+    from rados_timestore_spark.store import _seed_blob_ordinals
+
+    blobs = spark.createDataFrame(
+        [(bytearray([i]),) for i in range(10)], "blob binary"
+    ).repartition(4)
+    seeded = _seed_blob_ordinals(blobs, "blob", seq_base=7)
+    plan = seeded._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    bases = sorted(r.seq_base for r in seeded.collect())
+    assert bases == [7 + i * (1 << 32) for i in range(10)]

@@ -9,6 +9,7 @@ import time
 import pytest
 from pyspark.sql import functions as F
 
+from rados_timestore_spark.queries_common import event_us
 from rados_timestore_spark.store import TimeStore
 from rados_timestore_spark.streaming.ingest import stream_points
 
@@ -19,7 +20,7 @@ def test_streaming_ingest_matches_batch(spark, tmp_path):
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     pts = ev.select(
         (F.col("user_id") * 2).alias("address"),
-        F.col("ts").alias("time"),
+        event_us(ev).alias("time"),
         F.col("event_id").alias("value"),
         F.col("event_id").alias("seq"),
     )
@@ -71,7 +72,7 @@ def test_stream_rollup_matches_batch(spark, tmp_path):
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     pts = ev.select(
         (F.col("user_id") * 2).alias("address"),
-        F.expr("ts div 1000").alias("time"),
+        event_us(ev).alias("time"),
         F.col("event_id").alias("value"),
         F.col("event_id").alias("seq"),
     )
@@ -164,7 +165,7 @@ def test_stream_rollup_multibatch_chronological(spark, tmp_path):
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     pts = ev.select(
         (F.col("user_id") * 2).alias("address"),
-        F.expr("ts div 1000").alias("time"),
+        event_us(ev).alias("time"),
         F.col("event_id").alias("value"),
     ).withColumn("day", F.expr("time div 86400000000"))
     days = sorted(r.day for r in pts.select("day").distinct().collect())[:3]
