@@ -519,6 +519,71 @@ def ts_kv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("key", F.md5("value").alias("value_md5"))
 
 
+@register(
+    "ts_rollover",
+    oracle=f"""{PTS_CTE},
+sp AS (SELECT * FROM pts WHERE address % 2 = 0 AND time < {T_JAN10}),
+d AS (SELECT time // {US_PER_DAY} AS day, max(time) AS day_max,
+             count(*) AS n FROM sp GROUP BY 1),
+lab AS (SELECT day, n,
+               COALESCE(lag(day_max) OVER (ORDER BY day) + 1, 0) AS epoch
+        FROM d)
+SELECT epoch, CAST(n AS BIGINT) AS n_points, CAST(8 AS BIGINT) AS buckets
+FROM lab
+UNION ALL
+SELECT max(day_max) + 1 AS epoch, CAST(0 AS BIGINT) AS n_points,
+       CAST(8 AS BIGINT) AS buckets
+FROM d
+""",
+    tags=("R1", "R2", "W8"),
+)
+def ts_rollover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch rollover (maybeRollover, StoreHelpers.hs:194-221) made
+    driver-checkable: ingest day-batches through a store whose
+    ``rollover_bytes`` is 1, so EVERY batch cuts a new epoch at
+    watermark+1 (the boundary back-off of Index.hs:80-88; golden
+    layout analog: index ``[(0,4),(6,10),(8,10)]``,
+    tests/UnitTests.hs:149-187).  Day batches make the cut points
+    relationally predictable — each epoch boundary equals the previous
+    day's max time + 1 — so the oracle reproduces the full index +
+    per-epoch routing with window functions.  Returns one row per
+    index entry (R2) with its routed point count; the final entry is
+    the empty epoch cut after the last batch.  The size probe driving
+    the decision is the FS-layer dir_size (W8, ``getOffsets`` analog,
+    StoreHelpers.hs:183-192)."""
+    from rados_timestore_spark.store import TimeStore
+
+    root = tempfile.mkdtemp(prefix="ts_rollover_")
+    store = TimeStore(spark, root, rollover_bytes=1)
+    ns = "rollover"
+    store.register_namespace(ns, buckets=8)
+
+    pts = events_points(spark, sf_dir).filter(
+        (F.col("address") % 2 == 0) & (F.col("time") < T_JAN10)
+    ).select("address", "time", "value", "seq")
+    day = F.expr(f"time div {US_PER_DAY}")
+    days = sorted(
+        r.d for r in pts.select(day.alias("d")).distinct().collect()
+    )
+    for d in days:
+        store.write_points(ns, pts.filter(day == d))
+
+    entries = store.index(ns).entries
+    entries_df = spark.createDataFrame(
+        [(int(e), int(b)) for e, b in entries], "epoch long, buckets long"
+    )
+    written = spark.read.parquet(store._points_dir(ns))
+    counts = written.groupBy("epoch").agg(F.count("*").alias("n"))
+    return (
+        entries_df.join(counts, "epoch", "left")
+        .select(
+            "epoch",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_points"),
+            "buckets",
+        )
+    )
+
+
 # ----------------------------------------------------------------- codec
 
 

@@ -332,12 +332,22 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------- IVF ANN
 
 
+#: Coarse-quantizer size: CONSTANT, independent of corpus size (the
+#: r2 fixture rule "every 16th vector" made k grow with n, turning
+#: assignment into O(n^2/16) work with an O(n) broadcast — a
+#: scale-killer).  256 sampled ids keep assignment O(n * 256) with a
+#: 64 KiB broadcast at any corpus size; production would k-means a
+#: sample instead, same shape.
+_N_CENTROIDS = 256
+_N_PROBE = 4
+
+
 @register(
     "sim_ivf_ann",
     oracle=f"""
 WITH cent AS (
   SELECT vec_id AS cid, embedding AS ce, {_norm_sql("embedding")} AS cn
-  FROM embeddings WHERE vec_id % 16 = 0),
+  FROM embeddings WHERE vec_id < {_N_CENTROIDS}),
 assigned AS (
   SELECT vec_id, embedding, bucket FROM (
     SELECT e.vec_id, e.embedding, c.cid AS bucket,
@@ -353,7 +363,7 @@ probes AS (
              {_dot_sql("a.embedding", "ce")} / {_norm_sql("a.embedding")} / cn
              DESC, c.cid) AS pr
     FROM assigned a, cent c WHERE a.vec_id < 5) x
-  WHERE pr <= 4),
+  WHERE pr <= {_N_PROBE}),
 hits AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
          {_dot_sql("a.embedding", "p.qe")}
@@ -371,33 +381,58 @@ WHERE rank <= 5
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate nearest neighbors with a FULL oracle.
 
-    Coarse quantizer: every 16th vector is a centroid (deterministic);
-    each vector is assigned to its nearest centroid (broadcast
-    centroid set — one corpus scan, row_number for deterministic
-    ties).  Queries (vec_id < 5) probe the ``nprobe=4`` nearest
+    Coarse quantizer: a CONSTANT set of ``_N_CENTROIDS`` sampled
+    vectors (ids < 256 — deterministic; production swaps in k-means
+    over a sample, same plan shape).  Assignment is a shuffle-free
+    ``mapInPandas`` argmax over the broadcast centroid matrix: one
+    corpus scan doing O(n * k) work with k fixed — no crossJoin row
+    blow-up, no window shuffle, 64 KiB closure instead of an O(n)
+    broadcast.  Queries (vec_id < 5) probe the ``nprobe=4`` nearest
     centroid buckets and rank exactly inside them — the standard
     recall/cost dial at billion-vector scale, where the bucketed join
-    replaces any full scan per query.  Bit-identical cosine folds make
-    even this multi-stage pipeline hash-checkable in DuckDB.
+    replaces any full scan per query.  The per-dimension accumulation
+    order matches ``_cos_seq``/DuckDB's ``list_sum`` exactly, so even
+    this multi-stage pipeline stays hash-checkable.
     """
     emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
-    cent = emb.filter(F.col("vec_id") % 16 == 0).select(
+    cent = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("cc"), F.col("cid")
+    # Tiny driver-side collect (k = 256 rows) -> numpy matrix shipped
+    # in the UDF closure; rows sorted by cid so np.argmax's
+    # first-max-wins tie rule == the oracle's ORDER BY cos DESC, cid.
+    cent_pdf = cent.toPandas().sort_values("cid")
+    cids = cent_pdf["cid"].to_numpy().astype(np.int64)
+    C = np.stack(cent_pdf["ce"].to_numpy()).astype(np.float64)
+    cn = np.zeros(len(C))
+    for i in range(DIM):  # sequential fold: bit-identical norms
+        cn += C[:, i] * C[:, i]
+    cn = np.sqrt(cn)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            acc = np.zeros((len(E), len(C)))
+            nn = np.zeros(len(E))
+            for i in range(DIM):
+                acc += E[:, i : i + 1] * C[:, i][None, :]
+                nn += E[:, i] * E[:, i]
+            cos = acc / np.sqrt(nn)[:, None] / cn[None, :]
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"],
+                "embedding": pdf["embedding"],
+                "bucket": cids[np.argmax(cos, axis=1)],
+            })
+
+    assigned = emb.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, embedding array<float>, bucket long"
     )
-    assigned = (
-        emb.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id", "embedding", "cid",
-            _cos_seq(F.col("embedding"), F.col("ce")).alias("cc"),
-        )
-        .withColumn("rk", F.row_number().over(w_assign))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "embedding", F.col("cid").alias("bucket"))
-    )
-    queries = assigned.filter(F.col("vec_id") < 5).select(
+    # The oracle's probes CTE reads only (vec_id, embedding) from
+    # assigned — identical to the base table, so queries skip the
+    # assignment pass entirely.
+    queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     w_probe = Window.partitionBy("query_id").orderBy(
@@ -410,7 +445,7 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             _cos_seq(F.col("qe"), F.col("ce")).alias("cc"),
         )
         .withColumn("pr", F.row_number().over(w_probe))
-        .filter(F.col("pr") <= 4)
+        .filter(F.col("pr") <= _N_PROBE)
         .select("query_id", "qe", F.col("cid").alias("bucket"))
     )
     hits = (

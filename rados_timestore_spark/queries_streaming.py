@@ -149,6 +149,72 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+_ASOF_HORIZON_US = 7 * 86_400_000_000  # 7-day state horizon
+
+
+@register(
+    "streaming_asof_join",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS t FROM events),
+p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+v AS (SELECT * FROM ev WHERE event_type = 'view'),
+m AS (
+  SELECT p.event_id AS purchase_id, p.user_id, p.t AS purchase_t,
+         v.event_id AS view_id, v.t AS view_t,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY v.t DESC, v.event_id DESC) AS rk
+  FROM p JOIN v ON p.user_id = v.user_id
+   AND v.t <= p.t AND p.t - v.t <= {_ASOF_HORIZON_US})
+SELECT purchase_id, user_id, purchase_t, view_id, view_t
+FROM m WHERE rk = 1
+""",
+    tags=("streaming", "join", "asof"),
+)
+def streaming_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream backward as-of join, end-to-end: purchases and
+    views flow as two live streams through the custom stateful as-of
+    operator (applyInPandasWithState; per-key pruned view buffer), and
+    the sink holds each purchase's most recent view at-or-before it
+    within the 7-day horizon — the streaming twin of ts_asof_join,
+    reproduced relationally by the oracle."""
+    from rados_timestore_spark.queries_common import event_us, load
+    from rados_timestore_spark.streaming.windows import stream_asof_join
+
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        event_us(ev).alias("t"),
+        "event_id",
+        "event_type",
+    )
+    work = tempfile.mkdtemp(prefix="ts_stream_asof_")
+    src, out, ck = f"{work}/src", f"{work}/out", f"{work}/ck"
+    pts.coalesce(1).write.parquet(src)
+
+    with _few_state_partitions(spark):
+        purchases = (
+            spark.readStream.schema(pts.schema).parquet(src)
+            .filter(F.col("event_type") == "purchase")
+        )
+        views = (
+            spark.readStream.schema(pts.schema).parquet(src)
+            .filter(F.col("event_type") == "view")
+        )
+        q = (
+            stream_asof_join(purchases, views,
+                             horizon_us=_ASOF_HORIZON_US)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.read.parquet(out)
+
+
 @register(
     "streaming_rollup_hourly",
     oracle=f"""

@@ -1,5 +1,9 @@
 """Streaming windowed aggregation + custom stateful operators.
 
+Includes :func:`stream_asof_join` — stream-stream backward as-of join
+maintained with per-key state (see its docstring for the delivery
+contract).
+
 The reference's streaming surface is ordered chunk delivery +
 watermarks (SURVEY.md §2.3); Spark adds real windowed semantics on
 top.  These helpers wire them timestore-style:
@@ -22,11 +26,15 @@ top.  These helpers wire them timestore-style:
 
 from __future__ import annotations
 
+import bisect
+from functools import partial
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
     StructField,
     StructType,
@@ -171,6 +179,105 @@ def _latest_update(key, pdfs, state: GroupState):
             "value": [best_v],
             "seq": [best_s],
         }
+    )
+
+
+_ASOF_OUT = StructType([
+    StructField("purchase_id", LongType()),
+    StructField("user_id", LongType()),
+    StructField("purchase_t", LongType()),
+    StructField("view_id", LongType()),
+    StructField("view_t", LongType()),
+])
+#: Per-key as-of state: the right-side (view) buffer as parallel
+#: (time, id) arrays, sorted by (time, id), pruned to the horizon.
+_ASOF_STATE = StructType([
+    StructField("vt", ArrayType(LongType())),
+    StructField("vid", ArrayType(LongType())),
+])
+
+
+def _asof_update(key, pdfs, state: GroupState, horizon_us: int):
+    """Per-key backward as-of matcher.
+
+    Rows arrive tagged (0 = right/view, 1 = left/purchase) and are
+    processed in (t, tag, event_id) order, so a view at time t is
+    visible to a purchase at the same t (>= semantics) and equal-time
+    views resolve to the largest event_id — the same tie rule as the
+    batch ts_asof_join / the DuckDB oracle.  The view buffer persists
+    in state across micro-batches and is pruned to ``horizon_us``
+    behind the newest event seen, keeping state bounded.
+    """
+    if state.exists:
+        vt, vid = state.get
+        buf = list(zip(vt, vid))
+    else:
+        buf = []
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.sort_values(["t", "tag", "event_id"])
+    out_rows = []
+    max_t = buf[-1][0] if buf else None
+    for t, tag, eid in zip(batch["t"], batch["tag"], batch["event_id"]):
+        t, tag, eid = int(t), int(tag), int(eid)
+        max_t = t if max_t is None else max(max_t, t)
+        if tag == 0:
+            bisect.insort(buf, (t, eid))
+        else:
+            pos = bisect.bisect_right(buf, (t, 1 << 62))
+            if pos > 0 and t - buf[pos - 1][0] <= horizon_us:
+                mt, mid = buf[pos - 1]
+                out_rows.append((eid, key[0], t, mid, mt))
+    if max_t is not None:
+        cut = max_t - horizon_us
+        start = bisect.bisect_left(buf, (cut, -(1 << 62)))
+        buf = buf[start:]
+    state.update(([t for t, _ in buf], [i for _, i in buf]))
+    yield pd.DataFrame(
+        out_rows,
+        columns=["purchase_id", "user_id", "purchase_t", "view_id",
+                 "view_t"],
+    )
+
+
+def stream_asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    horizon_us: int = 7 * 86_400_000_000,
+) -> DataFrame:
+    """Stream-stream backward as-of join: each left row is matched to
+    the most recent right row of the same key with ``right.t <=
+    left.t`` and ``left.t - right.t <= horizon_us`` (ROADMAP item 5;
+    the streaming face of ts_asof_join).
+
+    Built as a custom stateful operator (``applyInPandasWithState``,
+    the SURVEY §7 escape hatch for operators Structured Streaming
+    lacks): state is the per-key right-row buffer, sorted and pruned
+    to the horizon — bounded like an interval join's state, but
+    emitting only the LATEST match instead of every row in the window
+    (which a native interval join + post-aggregation would shuffle and
+    re-finalize).
+
+    Delivery contract: a left row matches right rows delivered in the
+    same or earlier micro-batches.  With batch-complete delivery
+    (availableNow over a static source — the driver fixture) this is
+    exactly the batch as-of join; with live sources it is exact when
+    each key's rows arrive time-ordered across batches, the same
+    arrival-order caveat as :func:`stream_dedup` documents.
+
+    Both inputs need columns ``(key, t, event_id)``.
+    """
+    tagged = right.select(
+        key, "t", "event_id", F.lit(0).alias("tag")
+    ).unionByName(
+        left.select(key, "t", "event_id", F.lit(1).alias("tag"))
+    )
+    return tagged.groupBy(key).applyInPandasWithState(
+        partial(_asof_update, horizon_us=horizon_us),
+        outputStructType=_ASOF_OUT,
+        stateStructType=_ASOF_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

@@ -225,3 +225,65 @@ def test_stream_rollup_multibatch_chronological(spark, tmp_path):
         if (ws.timestamp() + 3600) * 1_000_000 <= wm_us
     )
     assert len(got) == n_closed
+
+
+def test_stream_asof_join_multibatch_state(spark, tmp_path):
+    # The as-of view buffer must persist in state across micro-batches:
+    # batch 1 delivers only views, batch 2 only purchases — matches
+    # must still resolve against batch-1 views.  Also checks the
+    # horizon prune (a view farther back than horizon_us never wins)
+    # and the >=/largest-event-id tie rules.
+    import glob
+    import os
+    import shutil
+    import time as _t
+
+    from rados_timestore_spark.streaming.windows import stream_asof_join
+
+    views = [(1, 100, 10), (1, 100, 11), (1, 500, 12), (2, 50, 20)]
+    purchases = [(1, 100, 31), (1, 600, 32), (2, 5000, 33), (3, 700, 34)]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    now = _t.time()
+    for i, rows in enumerate((views, purchases)):
+        tmp = str(tmp_path / f"w{i}")
+        spark.createDataFrame(
+            [r + ("view" if i == 0 else "purchase",) for r in rows],
+            "user_id long, t long, event_id long, event_type string",
+        ).coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dest = f"{src}/b{i}.parquet"
+        shutil.move(part, dest)
+        os.utime(dest, (now + i, now + i))
+
+    schema = "user_id long, t long, event_id long, event_type string"
+    left = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .filter(F.col("event_type") == "purchase")
+    )
+    right = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .filter(F.col("event_type") == "view")
+    )
+    out = str(tmp_path / "out")
+    q = (
+        stream_asof_join(left, right, horizon_us=1000)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r.purchase_id, r.user_id, r.purchase_t, r.view_id, r.view_t)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [
+        # purchase@100 matches the t==100 view (>= rule), largest id
+        (31, 1, 100, 11, 100),
+        # purchase@600 matches the latest view <= 600
+        (32, 1, 600, 12, 500),
+        # user 2's only view is 4950us back — beyond horizon: no row
+        # user 3 has no views: no row
+    ]
