@@ -486,6 +486,9 @@ blc AS (SELECT bl.* FROM bl JOIN ok USING (band, bkey))
 #: that the distributed label-propagation path takes over.
 _CC_LOCAL_MAX_EDGES = 4_000_000
 
+#: Rounds the last distributed CC run took (test introspection).
+_LAST_CC_ROUNDS = 0
+
 
 def _connected_components(spark: SparkSession, edges: DataFrame) -> DataFrame:
     """``(doc_id, rep)`` labels (rep = min id in component) for every
@@ -520,36 +523,64 @@ def _connected_components(spark: SparkSession, edges: DataFrame) -> DataFrame:
         rows = [(node, rep[find(node)]) for node in parent]
         return spark.createDataFrame(rows, "doc_id long, rep long")
 
-    # Distributed path: min-id label propagation to fixpoint.  Each
-    # round is one join + aggregate over the edge set; localCheckpoint
-    # truncates lineage so round k doesn't replay rounds 1..k-1, and
-    # the convergence test is a cheap changed-count.
+    # Distributed path: min-id label propagation with TWO-HOP pointer
+    # doubling — the star-contraction trick of the large-star/small-star
+    # MapReduce CC family.  Each round does (a) neighbor-min (labels
+    # flow one hop along edges) then (b) rep := label(rep) shortcut,
+    # which squares the distance a label has travelled, so a chain of
+    # length d converges in O(log d) rounds instead of O(d) — the
+    # serial-round count is what hurts at scale (every round is a
+    # full-cluster barrier).  Both steps keep rep monotonically
+    # non-increasing within the component, and the fixpoint of
+    # neighbor-min alone is already the component minimum, so the
+    # shortcut changes speed, not the answer.  localCheckpoint
+    # truncates lineage so round k doesn't replay rounds 1..k-1.
+    global _LAST_CC_ROUNDS
     sym = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b"))
     ).localCheckpoint()
     endpoints = sym.select(F.col("doc_a").alias("doc_id")).distinct()
     labels = endpoints.withColumn("rep", F.col("doc_id")).localCheckpoint()
-    for _ in range(32):
+    for rnd in range(32):
         nbr = (
             sym.join(labels, sym.doc_b == labels.doc_id)
             .groupBy("doc_a").agg(F.min("rep").alias("nrep"))
         )
-        new = (
+        one_hop = (
             labels.join(nbr, labels.doc_id == nbr.doc_a, "left")
             .select(
                 "doc_id",
+                F.col("rep").alias("rep0"),
                 F.least(
                     F.col("rep"), F.coalesce(F.col("nrep"), F.col("rep"))
                 ).alias("rep"),
-                (F.col("nrep") < F.col("rep")).alias("__chg"),
+            )
+        )
+        # Two-hop shortcut: follow the rep pointer once more.  reps
+        # are labels' doc_ids, so this is a self-join on (rep ==
+        # doc_id); the left side keeps every node.
+        rep_of_rep = one_hop.select(
+            F.col("doc_id").alias("rep"), F.col("rep").alias("rep2")
+        )
+        new = (
+            one_hop.join(rep_of_rep, "rep", "left")
+            .select(
+                "doc_id",
+                "rep0",
+                F.least(
+                    F.col("rep"), F.coalesce(F.col("rep2"), F.col("rep"))
+                ).alias("rep"),
             )
             .localCheckpoint()
         )
-        changed = new.filter(F.col("__chg")).limit(1).count()
-        labels = new.drop("__chg")
+        changed = new.filter(F.col("rep") < F.col("rep0")).limit(1).count()
+        labels = new.select("doc_id", "rep")
         if changed == 0:
+            _LAST_CC_ROUNDS = rnd + 1
             break
+    else:
+        _LAST_CC_ROUNDS = 32
     return labels
 
 
