@@ -85,8 +85,10 @@ class HadoopFS:
         watermarks and points_version pointer).  Instead the previous
         version is moved aside to ``p.bak`` before the new file renames
         in, so at every crash point at least one complete copy (``p``
-        or ``p.bak``) survives; :meth:`read_text_recover` restores from
-        the backup when the primary is missing.  A crash in the middle
+        or ``p.bak``) survives; :meth:`exists_or_recover` restores from
+        the backup when the primary is missing (plain :meth:`read_text`
+        does NOT recover — callers must check :meth:`exists_or_recover`
+        first, as ``Store._read_meta`` does).  A crash in the middle
         can lose the *newest* write (the backup holds the previous
         version) but never the document.
         """
@@ -119,7 +121,14 @@ class HadoopFS:
             return True
         bak = self._path(p + ".bak")
         if self.fs.exists(bak):
-            return bool(self.fs.rename(bak, self._path(p)))
+            if self.fs.rename(bak, self._path(p)):
+                return True
+            # Rename can fail because a concurrent reader already
+            # recovered the file or a writer recreated it between the
+            # two exists checks — re-check rather than reporting a
+            # spurious miss (which would surface as a bogus
+            # NamespaceNotRegistered in _read_meta).
+            return bool(self.fs.exists(self._path(p)))
         return False
 
     def rename(self, src: str, dst: str) -> bool:

@@ -250,6 +250,7 @@ SELECT user_id, event_id, t, rk FROM (
 WHERE rk <= 3
 """,
     tags=("timeseries", "window"),
+    priority=900,  # driver-green in r2 AND r3; demoted to open window slots (verified locally by tools/check_correctness.py)
 )
 def ts_topk_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series top-k: the highest-value events per user — one
@@ -330,6 +331,7 @@ SELECT h.hour, COALESCE(a.n, 0) AS n,
 FROM hours h LEFT JOIN agg a ON h.hour = a.hour
 """,
     tags=("timeseries",),
+    priority=900,  # driver-green in r2 AND r3; demoted to open window slots (verified locally by tools/check_correctness.py)
 )
 def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap filling: generate the dense hour spine between min and max
@@ -368,6 +370,7 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """,
     tags=("timeseries", "agg"),
+    priority=900,  # driver-green in r2 AND r3; demoted to open window slots (verified locally by tools/check_correctness.py)
 )
 def ts_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per event type: Spark

@@ -369,6 +369,7 @@ WHERE p_brand = 'Brand#3'
   AND CAST(l_quantity AS DECIMAL(12,2)) * 5 * n_li < sum_qty
 """,
     tags=("join", "agg"),
+    priority=98,  # promoted into the r4 driver window (never driver-checked before)
 )
 def tpch_q17_small_quantity_revenue(
     spark: SparkSession, sf_dir: str
@@ -429,6 +430,7 @@ ORDER BY numwait DESC, s_name
 LIMIT 20
 """,
     tags=("join", "agg", "topk"),
+    priority=98,  # promoted into the r4 driver window (never driver-checked before)
 )
 def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21 ADAPTED: no commitdate/receiptdate, so "kept the order
@@ -495,6 +497,7 @@ WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
 GROUP BY c_nationkey
 """,
     tags=("join", "agg"),
+    priority=98,  # promoted into the r4 driver window (never driver-checked before)
 )
 def tpch_q22_global_sales_opportunity(
     spark: SparkSession, sf_dir: str

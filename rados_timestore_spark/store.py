@@ -545,10 +545,18 @@ def _seed_blob_ordinals(blobs: DataFrame, blob_col: str,
 
     Blocks are ``ordinal << 32`` wide: up to 2^31 blobs per batch and
     2^32 points per blob before overflow — far beyond any real batch.
-    Like ``zipWithIndex``, ordinals are deterministic when the source's
-    partitioning is (files / parallelized collections).
+
+    The counting job and the stamping job MUST observe the same
+    partitioning, so the input is pinned with ``localCheckpoint``
+    first: without it a shuffled/AQE-planned source could present
+    different partition ids to the two jobs, and an id missing from
+    ``off_df`` would silently drop those blobs (or collide seq
+    blocks).  Belt-and-braces, the join is a LEFT join with a
+    fail-fast guard — an unmatched partition id raises instead of
+    vanishing.
     """
     spark = blobs.sparkSession
+    blobs = blobs.localCheckpoint(eager=True)
     pid = F.spark_partition_id().cast("long")
     pos = F.monotonically_increasing_id() - (pid * F.lit(1 << 33))
     counts = (
@@ -562,11 +570,22 @@ def _seed_blob_ordinals(blobs: DataFrame, blob_col: str,
     off_df = spark.createDataFrame(
         offsets or [(0, 0)], "pid long, _blob_off long"
     )
-    ordinal = F.col("_blob_off") + F.col("_blob_pos")
+    # assert_true yields NULL when the guard holds and raises when it
+    # doesn't; folding it into the ordinal keeps it un-prunable.
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("_blob_off").isNotNull(),
+            F.lit("_seed_blob_ordinals: runtime partition id absent "
+                  "from the counting job (nondeterministic input "
+                  "partitioning) — refusing to drop blobs"),
+        ).cast("long"),
+        F.lit(0),
+    )
+    ordinal = F.col("_blob_off") + F.col("_blob_pos") + guard
     return (
         blobs.withColumn("pid", pid)
         .withColumn("_blob_pos", pos)
-        .join(F.broadcast(off_df), "pid")
+        .join(F.broadcast(off_df), "pid", "left")
         .select(
             F.col(blob_col),
             (F.lit(seq_base) + ordinal * F.lit(1 << 32)).alias("seq_base"),
