@@ -180,6 +180,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     — no shingle arrays are ever shipped per pair, and every shuffled
     row is a pair of longs.  Integer cross-multiplied threshold; the
     oracle evaluates the identical definition.
+
+    Size-ratio prefilter (the r3→r4 perf fix): Jaccard >= tau forces
+    ``min(na, nb) >= tau * max(na, nb)`` (since common <= min and
+    union >= max), so per-doc rare-shingle counts are attached to BOTH
+    self-join sides and hopeless pairs are dropped as a join predicate
+    — before they ever reach the pair aggregation, which is the
+    query's dominant shuffle.  The filter is implied by the final
+    threshold, so results (and the oracle) are unchanged; carrying
+    the sizes through the join also makes the two post-aggregation
+    size joins unnecessary.
     """
     # exploded feeds the df-count AND the rare-join: persist so the
     # shingle UDF pass runs once, not twice.
@@ -190,30 +200,39 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= _MAX_SHINGLE_DF)
         .select("h")
     )
-    # ex_rare feeds sizes + both self-join sides: persist so the
-    # shingle expansion and rare-join run once, not three times.
-    ex_rare = exploded.join(rare, "h").persist()
+    ex_rare = exploded.join(rare, "h")
     sizes = ex_rare.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # ex_szd feeds both self-join sides: persist so the shingle
+    # expansion, rare-join and size-join run once, not twice.  sizes
+    # is one (long, long) row per doc — AQE broadcasts it at any sane
+    # scale; at true 100 TB corpus sizes it degrades to a shuffle
+    # join, still dwarfed by the pair volume it saves.
+    ex_szd = ex_rare.join(sizes, "doc_id").persist()
+    a, b = ex_szd.alias("a"), ex_szd.alias("b")
+    ratio_ok = (
+        F.least(F.col("a.n"), F.col("b.n")) * _TAU_DEN
+        >= _TAU_NUM * F.greatest(F.col("a.n"), F.col("b.n"))
+    )
     pairs = (
-        ex_rare.alias("a")
-        .join(
-            ex_rare.alias("b"),
+        a.join(
+            b,
             (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & ratio_ok,
         )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        .agg(F.count("*").alias("common"))
+        .agg(
+            F.count("*").alias("common"),
+            # constant within each group — min() keeps the agg scalar
+            F.min(F.col("a.n")).alias("na"),
+            F.min(F.col("b.n")).alias("nb"),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    # plain joins: sizes is one row per doc (AQE broadcasts when small,
-    # shuffles when the corpus is actually large)
-    j = pairs.join(sa, "doc_a").join(sb, "doc_b")
     union_n = F.col("na") + F.col("nb") - F.col("common")
-    return j.filter(
+    return pairs.filter(
         F.col("common") * _TAU_DEN >= _TAU_NUM * union_n
     ).select("doc_a", "doc_b", "common", union_n.alias("union_n"))
 

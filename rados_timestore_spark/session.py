@@ -45,6 +45,17 @@ _RUNTIME_CONFS = {
         "SPARK_GRAFT_ADVISORY_PARTITION", "4m"
     ),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # InferFiltersFromGenerate turns explode(f(x)) into
+    # Filter(size(f(x)) > 0) + explode, and predicate pushdown then
+    # drags that filter below the parallelizing repartition exchange —
+    # for a pandas-UDF f this re-evaluates the ENTIRE UDF serially on
+    # the unsplit scan partition (measured: 2.0 s of a 4.6 s
+    # dedup_ngram_jaccard run at sf0.1 was the inferred-filter UDF
+    # pass on one core).  Our generate inputs are never empty-heavy,
+    # so the rule is pure downside for this engine's explode-over-UDF
+    # pipelines; excluding it is semantics-preserving.
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     # Small dimension tables (TPC-H nation/region/supplier, LSH band
     # maps) should always broadcast.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
