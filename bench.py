@@ -5,6 +5,11 @@
 Each query is materialized with a count-style collect (results are
 small aggregates or pruned reads).  A warmup pass of the cheapest
 query absorbs JVM/codegen startup so timings reflect the plans.
+
+``--update-expectations`` additionally records the per-query timings
+(plus a fixture fingerprint) into ``bench_expectations.json``;
+``tests/test_perf_gate.py`` fails the suite when a benched query
+regresses >2x against its recorded expectation on the same fixtures.
 """
 
 from __future__ import annotations
@@ -16,6 +21,20 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
+
+EXPECTATIONS_PATH = os.path.join(REPO, "bench_expectations.json")
+
+
+def fixture_fingerprint(sf_dir: str) -> dict[str, int]:
+    """Byte sizes of the fixture parquet files.  The driver regenerates
+    testdata between rounds (r3's corpus regen shifted one query 2.3x
+    with zero code change); the perf gate compares fingerprints and
+    SKIPS — not fails — when the workload itself changed."""
+    out = {}
+    for fn in sorted(os.listdir(sf_dir)):
+        if fn.endswith(".parquet"):
+            out[fn] = os.path.getsize(os.path.join(sf_dir, fn))
+    return out
 
 
 def main() -> None:
@@ -61,6 +80,15 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+    if "--update-expectations" in sys.argv:
+        with open(EXPECTATIONS_PATH, "w") as f:
+            json.dump({
+                "sf_dir": sf_dir,
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                "fingerprint": fixture_fingerprint(sf_dir),
+                "queries": timings,
+            }, f, indent=2, sort_keys=True)
+        print(f"# wrote {EXPECTATIONS_PATH}", file=sys.stderr)
     print(json.dumps({
         "metric": "bench_total_wall",
         "value": total,

@@ -313,6 +313,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
      OR ((a.simhash >> 45) & 32767) = ((b.simhash >> 45) & 32767))
 """,
     tags=("dedup",),
+    bench=True,  # r4 packed the bit vote; bench-track the fix
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: banded LSH (4 x 15-bit bands, equi-join

@@ -104,35 +104,49 @@ _FEATURES_DDL = (
 )
 
 
-def fake_decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Deterministic FAKE decoder (the real one needs PIL/ffmpeg — see
-    :func:`decode_image_real`): 'dimensions' are derived from the
-    payload's md5 so the pipeline shape (Arrow batch in, typed feature
-    frame out) is real and verifiable."""
+def fake_decode(payload: bytes) -> dict:
+    """Deterministic FAKE per-blob decoder (the real one needs
+    PIL/ffmpeg — see :func:`decode_image_real`): 'dimensions' derive
+    from the payload's md5 so the pipeline shape is verifiable."""
     import hashlib
 
-    for pdf in batches:
-        rows = []
-        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            b = bytes(payload)
-            h = hashlib.md5(b).hexdigest()
-            rows.append(
-                (
-                    int(doc_id),
-                    len(b),
-                    int(h[0:2], 16) + 1,      # fake width  1..256
-                    int(h[2:4], 16) + 1,      # fake height 1..256
-                    int(h[4:6], 16) % 3 + 1,  # fake channels 1..3
-                    h[:8],
+    h = hashlib.md5(payload).hexdigest()
+    return {
+        "width": int(h[0:2], 16) + 1,       # fake width  1..256
+        "height": int(h[2:4], 16) + 1,      # fake height 1..256
+        "channels": int(h[4:6], 16) % 3 + 1,  # fake channels 1..3
+        "feat_hash": h[:8],
+    }
+
+
+def make_feature_extractor(decode):
+    """``mapInPandas`` body around an injectable per-blob ``decode``:
+    ``bytes -> {width, height, channels, feat_hash}``.  The Spark-side
+    plumbing (Arrow batch in, typed feature frame out) is fixed; a
+    production deployment passes :func:`decode_image_real` (or any
+    callable) without editing this module.  The callable is shipped to
+    executors inside the serialized UDF closure, so it must be
+    picklable (module-level function or cloudpickle-able lambda)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                d = decode(b)
+                rows.append(
+                    (int(doc_id), len(b), d["width"], d["height"],
+                     d["channels"], d["feat_hash"])
                 )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "width", "height", "channels",
+                    "feat_hash",
+                ],
             )
-        yield pd.DataFrame(
-            rows,
-            columns=[
-                "doc_id", "n_bytes", "width", "height", "channels",
-                "feat_hash",
-            ],
-        )
+
+    return extract
 
 
 @register(
@@ -148,14 +162,16 @@ FROM documents
 """,
     tags=("multimodal",),
 )
-def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mm_feature_extract(spark: SparkSession, sf_dir: str,
+                       decoder=fake_decode) -> DataFrame:
     """Decode/feature-extract plumbing via ``mapInPandas``: Arrow
     batches of (doc_id, payload) stream through a Python decoder that
-    emits a typed feature row per blob.  The decoder is a deterministic
-    fake (md5-derived dims) so the oracle can verify the exact values;
-    swapping in a real PIL/ffmpeg body changes one function."""
+    emits a typed feature row per blob.  The decoder is INJECTABLE
+    (``decoder=`` kwarg; default is the deterministic md5 fake so the
+    oracle can verify exact values) — production passes
+    :func:`decode_image_real` or its own callable, no module edits."""
     p = _payloads(spark, sf_dir).select("doc_id", "payload")
-    return p.mapInPandas(fake_decode_features, _FEATURES_DDL)
+    return p.mapInPandas(make_feature_extractor(decoder), _FEATURES_DDL)
 
 
 #: Target byte budget for the fake "thumbnail" resize.
@@ -221,11 +237,13 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def decode_image_real(payload: bytes) -> dict:
     """REAL image decode — requires pillow, which this container does
-    not ship.  Kept as the single swap-in point for
-    :func:`fake_decode_features`."""
+    not ship.  Same contract as :func:`fake_decode`; pass it straight
+    to ``mm_feature_extract(..., decoder=decode_image_real)`` once the
+    environment has the codec libraries."""
     raise NotImplementedError(
-        "image decoding requires pillow/ffmpeg; wire your decoder here "
-        "and swap it into fake_decode_features' loop"
+        "image decoding requires pillow/ffmpeg; implement this body "
+        "(PIL.Image.open(io.BytesIO(payload)) -> size/mode) and pass "
+        "decoder=decode_image_real to mm_feature_extract"
     )
 
 

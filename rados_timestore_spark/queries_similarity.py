@@ -377,6 +377,7 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 WHERE rank <= 5
 """,
     tags=("similarity", "ann"),
+    bench=True,  # r3 fixed the O(n^2) quantizer; bench-track the fix
 )
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate nearest neighbors with a FULL oracle.
