@@ -189,11 +189,17 @@ _ASOF_OUT = StructType([
     StructField("view_id", LongType()),
     StructField("view_t", LongType()),
 ])
-#: Per-key as-of state: the right-side (view) buffer as parallel
-#: (time, id) arrays, sorted by (time, id), pruned to the horizon.
+#: Per-key as-of state: the right-side (view) buffer and the buffer of
+#: still-unmatched left rows (purchases), each as parallel (time, id)
+#: arrays sorted by (time, id), plus the key's event-time frontier.
+#: Both buffers are pruned relative to the frontier, so state stays
+#: bounded (≤ 2 x horizon of event time).
 _ASOF_STATE = StructType([
     StructField("vt", ArrayType(LongType())),
     StructField("vid", ArrayType(LongType())),
+    StructField("pt", ArrayType(LongType())),
+    StructField("pid", ArrayType(LongType())),
+    StructField("frontier", LongType()),
 ])
 
 
@@ -204,22 +210,48 @@ def _asof_update(key, pdfs, state: GroupState, horizon_us: int):
     processed in (t, tag, event_id) order, so a view at time t is
     visible to a purchase at the same t (>= semantics) and equal-time
     views resolve to the largest event_id — the same tie rule as the
-    batch ts_asof_join / the DuckDB oracle.  The view buffer persists
-    in state across micro-batches and is pruned to ``horizon_us``
-    behind the newest event seen, keeping state bounded.
+    batch ts_asof_join / the DuckDB oracle.
+
+    Cross-batch lateness (both directions):
+
+    * the VIEW buffer persists in state, so a purchase arriving in a
+      later micro-batch than its view still matches (right-early);
+    * UNMATCHED purchases persist in state too and are re-injected
+      into every subsequent batch's merge, so a view arriving in a
+      later micro-batch than the purchase still produces the match
+      (right-late) — the r3 version silently dropped these.
+
+    A matched purchase emits exactly once and is final (append sinks
+    cannot retract); an even-later view that would have been a better
+    match for an already-emitted purchase is ignored.  Unmatched
+    purchases are retained until the key's event-time frontier passes
+    ``purchase.t + horizon_us`` — an implicit watermark delay of one
+    horizon — and the view buffer is pruned to one horizon behind
+    ``min(frontier, oldest pending purchase)``, keeping every view a
+    pending purchase could still need.
     """
     if state.exists:
-        vt, vid = state.get
+        vt, vid, pt, pid, frontier = state.get
         buf = list(zip(vt, vid))
+        pending = list(zip(pt, pid))
     else:
-        buf = []
+        buf, pending, frontier = [], [], None
     batch = pd.concat(list(pdfs), ignore_index=True)
-    batch = batch.sort_values(["t", "tag", "event_id"])
+    rows = [
+        (int(t), int(tag), int(eid))
+        for t, tag, eid in zip(batch["t"], batch["tag"], batch["event_id"])
+    ]
+    # Re-inject still-unmatched purchases from earlier batches: the
+    # time-ordered merge below then treats a late view exactly as if
+    # it had arrived with the purchase.
+    rows.extend((t, 1, eid) for t, eid in pending)
+    rows.sort()
+    if rows:
+        batch_max = rows[-1][0]
+        frontier = batch_max if frontier is None else max(frontier, batch_max)
     out_rows = []
-    max_t = buf[-1][0] if buf else None
-    for t, tag, eid in zip(batch["t"], batch["tag"], batch["event_id"]):
-        t, tag, eid = int(t), int(tag), int(eid)
-        max_t = t if max_t is None else max(max_t, t)
+    new_pending = []
+    for t, tag, eid in rows:
         if tag == 0:
             bisect.insort(buf, (t, eid))
         else:
@@ -227,11 +259,19 @@ def _asof_update(key, pdfs, state: GroupState, horizon_us: int):
             if pos > 0 and t - buf[pos - 1][0] <= horizon_us:
                 mt, mid = buf[pos - 1]
                 out_rows.append((eid, key[0], t, mid, mt))
-    if max_t is not None:
-        cut = max_t - horizon_us
+            elif frontier is not None and frontier - t <= horizon_us:
+                new_pending.append((t, eid))
+    pending = new_pending
+    if frontier is not None:
+        cut_base = min([frontier] + [t for t, _ in pending])
+        cut = cut_base - horizon_us
         start = bisect.bisect_left(buf, (cut, -(1 << 62)))
         buf = buf[start:]
-    state.update(([t for t, _ in buf], [i for _, i in buf]))
+    state.update((
+        [t for t, _ in buf], [i for _, i in buf],
+        [t for t, _ in pending], [i for _, i in pending],
+        frontier,
+    ))
     yield pd.DataFrame(
         out_rows,
         columns=["purchase_id", "user_id", "purchase_t", "view_id",
@@ -259,11 +299,14 @@ def stream_asof_join(
     re-finalize).
 
     Delivery contract: a left row matches right rows delivered in the
-    same or earlier micro-batches.  With batch-complete delivery
-    (availableNow over a static source — the driver fixture) this is
-    exactly the batch as-of join; with live sources it is exact when
-    each key's rows arrive time-ordered across batches, the same
-    arrival-order caveat as :func:`stream_dedup` documents.
+    same or EARLIER micro-batches immediately; a left row that finds
+    no match is buffered in state and still matches a right row
+    delivered up to one ``horizon_us`` of event time LATER (see
+    :func:`_asof_update`).  With batch-complete delivery (availableNow
+    over a static source — the driver fixture) this is exactly the
+    batch as-of join; with live sources the only inexactness left is a
+    late right row improving on an already-emitted match (append sinks
+    cannot retract).
 
     Both inputs need columns ``(key, t, event_id)``.
     """

@@ -287,3 +287,64 @@ def test_stream_asof_join_multibatch_state(spark, tmp_path):
         # user 2's only view is 4950us back — beyond horizon: no row
         # user 3 has no views: no row
     ]
+
+
+def test_stream_asof_join_right_side_late(spark, tmp_path):
+    # The r4 contract: a left (purchase) row whose matching right
+    # (view) rows arrive in a LATER micro-batch must still emit the
+    # batch-oracle match — unmatched lefts persist in state and are
+    # re-injected when the views show up.  This is the reverse
+    # delivery order of test_stream_asof_join_multibatch_state.
+    import glob
+    import os
+    import shutil
+    import time as _t
+
+    from rados_timestore_spark.streaming.windows import stream_asof_join
+
+    purchases = [(1, 100, 31), (1, 600, 32), (2, 5000, 33), (3, 700, 34)]
+    views = [(1, 100, 10), (1, 100, 11), (1, 500, 12), (2, 50, 20)]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    now = _t.time()
+    for i, rows in enumerate((purchases, views)):
+        tmp = str(tmp_path / f"w{i}")
+        spark.createDataFrame(
+            [r + ("purchase" if i == 0 else "view",) for r in rows],
+            "user_id long, t long, event_id long, event_type string",
+        ).coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dest = f"{src}/b{i}.parquet"
+        shutil.move(part, dest)
+        os.utime(dest, (now + i, now + i))
+
+    schema = "user_id long, t long, event_id long, event_type string"
+    left = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .filter(F.col("event_type") == "purchase")
+    )
+    right = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .filter(F.col("event_type") == "view")
+    )
+    out = str(tmp_path / "out")
+    q = (
+        stream_asof_join(left, right, horizon_us=1000)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r.purchase_id, r.user_id, r.purchase_t, r.view_id, r.view_t)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [
+        # identical to the batch oracle, despite views arriving a
+        # batch after every purchase:
+        (31, 1, 100, 11, 100),
+        (32, 1, 600, 12, 500),
+        # user 2's view is beyond the horizon; user 3 has none.
+    ]
