@@ -270,3 +270,71 @@ def streaming_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("window.start")).alias("window_start_us"),
         "address", "n", "sum_value",
     )
+
+
+@register(
+    "streaming_latest_per_key",
+    oracle="""
+WITH pts AS (
+  SELECT user_id * 2 AS address, epoch_us(ts) AS t,
+         event_id AS value, event_id AS seq
+  FROM events
+),
+rk AS (
+  SELECT address, t AS time, value, seq,
+         row_number() OVER (PARTITION BY address
+                            ORDER BY t DESC, seq ASC) AS r
+  FROM pts
+)
+SELECT address, time, value, seq FROM rk WHERE r = 1
+""",
+    tags=("streaming", "kv"),
+)
+def streaming_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Mutable-KV latest-per-key view (M6, latestUniques —
+    Algorithms.hs:250-262) maintained as a live stream: events are
+    delivered in MULTIPLE micro-batches (3 source files,
+    maxFilesPerTrigger=1) through the custom stateful operator
+    (applyInPandasWithState), each batch's updated winners are sinked
+    via foreachBatch with their batch id, and the final view picks
+    each key's last emission — exactly the batch latest-per-key
+    (time DESC, seq ASC) result the oracle computes."""
+    from rados_timestore_spark.queries_common import event_us, load
+    from rados_timestore_spark.streaming.windows import stream_latest_per_key
+
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        (F.col("user_id") * 2).alias("address"),
+        event_us(ev).alias("time"),
+        F.col("event_id").alias("value"),
+        F.col("event_id").alias("seq"),
+    )
+    work = tempfile.mkdtemp(prefix="ts_stream_lpk_")
+    src, out, ck = f"{work}/src", f"{work}/out", f"{work}/ck"
+    pts.repartition(3).write.parquet(src)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)) \
+            .write.mode("append").parquet(out)
+
+    with _few_state_partitions(spark):
+        stream = (
+            spark.readStream.schema(pts.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = (
+            stream_latest_per_key(stream)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    updates = spark.read.parquet(out)
+    # Per-key last emission wins (exactly one emission per key per
+    # batch, so batch_id alone is decisive).
+    final = updates.groupBy("address").agg(
+        F.max_by(F.struct("time", "value", "seq"), "batch_id").alias("w")
+    )
+    return final.select("address", "w.time", "w.value", "w.seq")

@@ -532,3 +532,208 @@ def tpch_q22_global_sales_opportunity(
         F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
             .cast("double").alias("totacctbal"),
     )
+
+
+# ---------------------------------------------------------------------
+# q2 / q11 / q20 — the three TPC-H queries whose original text needs
+# ``partsupp``, which the fixture does not ship.  The supply relation
+# is reconstructed from lineitem (distinct (l_partkey, l_suppkey) with
+# per-pair aggregates), preserving each query's operator shape:
+# correlated-min + multiway join (q2), grouped value vs global-fraction
+# HAVING (q11), dominant-share semi-join (q20).
+
+_SUPPLY_CTE = """
+supply AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS ps_supplycost,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+           AS ps_availqty
+  FROM lineitem GROUP BY 1, 2
+)
+"""
+
+
+def _supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem-reconstructed partsupp: min line price as the supply
+    cost, total shipped quantity as the availability proxy.  Exact
+    DECIMAL aggregates so both engines agree bit-for-bit."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice").cast("decimal(12,2)"))
+            .alias("ps_supplycost"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("decimal(18,2)").alias("ps_availqty"),
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+WITH {_SUPPLY_CTE},
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+cand AS (
+  SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name, ps_supplycost
+  FROM part JOIN supply ON p_partkey = ps_partkey
+            JOIN eu ON ps_suppkey = s_suppkey
+  WHERE p_size = 2
+),
+mn AS (SELECT p_partkey AS mk, MIN(ps_supplycost) AS mc
+       FROM cand GROUP BY 1)
+SELECT s_acctbal, s_name, n_name, p_partkey
+FROM cand JOIN mn ON p_partkey = mk AND ps_supplycost = mc
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 20
+""",
+    tags=("join", "agg", "topk"),
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 ADAPTED (no partsupp): supply = lineitem-derived (part, supp)
+    pairs with MIN line price as supply cost.  Shape preserved: region-
+    filtered supplier dimension, correlated per-part MIN computed once
+    as a grouped aggregate and joined back (never re-evaluated per
+    row), deterministic top-20.  Every non-supply side broadcasts."""
+    supply = _supply(spark, sf_dir)
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = load(spark, sf_dir, "part").filter(F.col("p_size") == 2)
+    eu = (
+        supp.join(F.broadcast(nation),
+                  supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region),
+              nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = (
+        supply.join(F.broadcast(part),
+                    supply.ps_partkey == part.p_partkey)
+        .join(F.broadcast(eu), supply.ps_suppkey == F.col("s_suppkey"))
+        .select("p_partkey", "s_name", "s_acctbal", "n_name",
+                "ps_supplycost")
+    )
+    mn = cand.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("ps_supplycost").alias("mc")
+    )
+    best = cand.join(
+        F.broadcast(mn),
+        (cand.p_partkey == mn.mk) & (cand.ps_supplycost == mn.mc),
+    )
+    return (
+        best.select("s_acctbal", "s_name", "n_name", "p_partkey")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle=f"""
+WITH {_SUPPLY_CTE},
+nat AS (
+  SELECT ps_partkey,
+         CAST(ps_supplycost * ps_availqty AS DECIMAL(28,4)) AS v
+  FROM supply JOIN supplier ON ps_suppkey = s_suppkey
+  WHERE s_nationkey = 7
+),
+tot AS (SELECT CAST(SUM(v) AS DECIMAL(38,4)) AS total,
+               count(DISTINCT ps_partkey) AS np FROM nat)
+SELECT ps_partkey, CAST(SUM(v) AS DOUBLE) AS part_value
+FROM nat, tot
+GROUP BY ps_partkey, total, np
+HAVING SUM(v) * np > 3 * total
+""",
+    tags=("join", "agg"),
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 ADAPTED (no partsupp): per-part inventory value
+    (cost x quantity proxy) over one nation's suppliers, keeping parts
+    above 3x the MEAN part value.  TPC-H's own q11 scales its HAVING
+    fraction by 1/SF; comparing against the mean is the scale-
+    invariant equivalent (non-trivial rows at every SF).  Shape
+    preserved: grouped DECIMAL aggregate + one global scalar broadcast
+    back, fraction compared by integer cross-multiplication (no
+    division)."""
+    supply = _supply(spark, sf_dir)
+    supp = load(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 7)
+    nat = supply.join(
+        F.broadcast(supp), supply.ps_suppkey == supp.s_suppkey
+    ).select(
+        "ps_partkey",
+        (F.col("ps_supplycost") * F.col("ps_availqty"))
+            .cast("decimal(28,4)").alias("v"),
+    )
+    tot = nat.agg(
+        F.sum("v").cast("decimal(38,4)").alias("total"),
+        F.countDistinct("ps_partkey").alias("np"),
+    )
+    per_part = nat.groupBy("ps_partkey").agg(F.sum("v").alias("sv"))
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .filter(F.col("sv") * F.col("np") > F.col("total") * 3)
+        .select("ps_partkey", F.col("sv").cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "tpch_q20_dominant_suppliers",
+    oracle=f"""
+WITH {_SUPPLY_CTE},
+promo AS (
+  SELECT ps_partkey, ps_suppkey, ps_availqty
+  FROM supply JOIN part ON ps_partkey = p_partkey
+  WHERE p_type = 'PROMO'
+),
+tot AS (SELECT ps_partkey AS tk,
+               CAST(SUM(ps_availqty) AS DECIMAL(28,2)) AS tq,
+               count(*) AS ns
+        FROM promo GROUP BY 1),
+dom AS (
+  SELECT DISTINCT ps_suppkey FROM promo JOIN tot ON ps_partkey = tk
+  WHERE ps_availqty * ns > 3 * tq
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN dom ON s_suppkey = ps_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+""",
+    tags=("join", "agg", "semijoin"),
+)
+def tpch_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 ADAPTED (no partsupp, no availqty): "excess stock" becomes
+    "dominant supplier" — suppliers shipping more than 3x the mean
+    supplier share of a PROMO part's total quantity (scale-invariant,
+    like q11's mean-relative HAVING).  Shape preserved: correlated
+    per-part total computed once and joined back, DISTINCT semi-join
+    into the supplier dimension, region filter on the nation side."""
+    supply = _supply(spark, sf_dir)
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    promo = supply.join(
+        F.broadcast(part), supply.ps_partkey == part.p_partkey
+    ).select("ps_partkey", "ps_suppkey", "ps_availqty")
+    tot = promo.groupBy(F.col("ps_partkey").alias("tk")).agg(
+        F.sum("ps_availqty").cast("decimal(28,2)").alias("tq"),
+        F.count("*").alias("ns"),
+    )
+    dom = (
+        promo.join(F.broadcast(tot), promo.ps_partkey == F.col("tk"))
+        .filter(F.col("ps_availqty") * F.col("ns") > F.col("tq") * 3)
+        .select("ps_suppkey").distinct()
+    )
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        supp.join(dom, supp.s_suppkey == dom.ps_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )

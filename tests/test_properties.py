@@ -129,3 +129,54 @@ def test_watermark_law(spark, tmp_path_factory, chunks):
         )
         store.write_points("NS", df)
     assert store.latest("NS") == (max_s, max_e)
+
+
+_LIFECYCLE_OP = st.one_of(
+    st.tuples(st.just("write"),
+              st.lists(_POINT, min_size=1, max_size=8)),
+    st.tuples(st.just("compact"), st.none()),
+    st.tuples(st.just("gc"), st.none()),
+    st.tuples(st.just("read"), st.none()),
+)
+
+
+@settings(
+    max_examples=4, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_LIFECYCLE_OP, min_size=1, max_size=6))
+def test_lifecycle_law(spark, tmp_path_factory, ops):
+    """Stateful lifecycle law (FuzzyTests.hs round-trip at lifecycle
+    level): under ANY interleaving of write_points / compact / gc /
+    read, a full-range read always sees exactly the first-wins set of
+    every point written so far.  Every example finishes with
+    compact -> gc -> read so the generation flip + stale-dir removal
+    is exercised even when Hypothesis draws no explicit maintenance
+    ops."""
+    store = TimeStore(spark, str(tmp_path_factory.mktemp("lc")))
+    store.register_namespace("NS", buckets=8)
+    model = {}  # (addr, time) -> first-written value
+    wi = 0
+
+    def check_read():
+        addrs = sorted({a for a, _ in model})
+        got = store.read_simple("NS", 0, 1 << 62, addrs).collect()
+        assert {(r.address, r.time): r.value for r in got} == model
+
+    for op, arg in list(ops) + [("compact", None), ("gc", None),
+                                ("read", None)]:
+        if op == "write":
+            rows = [(a & ~1, t, v, (wi << 32) + j)
+                    for j, (a, t, v) in enumerate(arg)]
+            wi += 1
+            for a, t, v, _ in rows:
+                model.setdefault((a, t), v)
+            df = spark.createDataFrame(
+                rows, "address long, time long, value long, seq long")
+            store.write_points("NS", df)
+        elif op == "compact":
+            store.compact("NS")
+        elif op == "gc":
+            store.gc("NS")
+        else:
+            check_read()

@@ -1,0 +1,148 @@
+"""Scale soak for the LLM-pipeline families: run the dedup/similarity/
+text bench queries at sf0.1 AND at a locally-generated ~10x corpus,
+and report the per-query scaling exponent  log(t_10x / t_1x) / log(10)
+— ~1.0 means linear, >>1 means a quadratic constant is hiding behind
+the df/bucket caps at small scale.
+
+The 10x corpus preserves the fixtures' statistical structure instead of
+naively replicating rows (10 exact copies would multiply every
+shingle's document frequency by 10 and blow past the stop-shingle cap,
+changing the workload, not just its size):
+
+* documents: 10 copies; copy k's text is character-rotated with a
+  per-copy ``translate`` mapping, so within-copy near-dup structure is
+  IDENTICAL to the original while cross-copy shingles never collide —
+  i.e. 10 independent sf0.1 corpora = one honest sf1.
+* embeddings: 10 copies with the vector dimensions rolled by a
+  per-copy offset — norms (and within-copy geometry) preserved,
+  cross-copy cosine alignment destroyed.
+
+Usage: python tools/scale_soak.py [out_dir] (default /tmp/scale_soak)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+COPIES = 10
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+SOAK_QUERIES = (
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "sim_neardup_pairs",
+    "sim_ivf_ann",
+    "sim_topk_bruteforce",
+    "text_stats",
+    "text_word_freq",
+)
+
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def build_corpus(spark, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    n_docs = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    n_vecs = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    dim = len(emb.select("embedding").head()[0])
+
+    doc_parts, emb_parts = [], []
+    for k in range(COPIES):
+        rot = _ALPHA[k:] + _ALPHA[:k]
+        d = docs.select(
+            (F.col("doc_id") + F.lit(k * n_docs)).alias("doc_id"),
+            F.translate("text", _ALPHA, rot).alias("text"),
+            *[c for c in docs.columns if c not in ("doc_id", "text")],
+        )
+        doc_parts.append(d)
+        off = (k * 7) % dim
+        e = emb.select(
+            (F.col("vec_id") + F.lit(k * n_vecs)).alias("vec_id"),
+            F.concat(
+                F.slice("embedding", off + 1, dim - off),
+                F.slice("embedding", 1, off),
+            ).alias("embedding"),
+            *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+        )
+        emb_parts.append(e)
+
+    os.makedirs(out_dir, exist_ok=True)
+    all_docs = doc_parts[0]
+    for d in doc_parts[1:]:
+        all_docs = all_docs.unionByName(d)
+    all_docs.repartition(8).write.mode("overwrite") \
+        .parquet(f"{out_dir}/documents.parquet")
+    all_emb = emb_parts[0]
+    for e in emb_parts[1:]:
+        all_emb = all_emb.unionByName(e)
+    all_emb.repartition(8).write.mode("overwrite") \
+        .parquet(f"{out_dir}/embeddings.parquet")
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    from rados_timestore_spark import registry
+
+    qs = registry.queries()
+    out = {}
+    for name in SOAK_QUERIES:
+        fn = qs[name]
+        best = None
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
+        print(f"#   {name}: {out[name]}s rows={n}", file=sys.stderr)
+    return out
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_soak"
+    from pyspark.sql import functions as F
+
+    from rados_timestore_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-soak")
+    import pandas as pd
+
+    def _warm(x):
+        return x
+
+    _warm.__annotations__ = {"x": pd.Series, "return": pd.Series}
+    spark.range(1000, numPartitions=32) \
+        .select(F.pandas_udf(_warm, "long")("id")).count()
+
+    if not os.path.exists(f"{out_dir}/documents.parquet"):
+        print("# building 10x corpus ...", file=sys.stderr)
+        build_corpus(spark, out_dir)
+
+    print("# timing at 1x ...", file=sys.stderr)
+    t1 = time_queries(spark, SRC)
+    print("# timing at 10x ...", file=sys.stderr)
+    t10 = time_queries(spark, out_dir)
+
+    table = {}
+    for q in SOAK_QUERIES:
+        expo = math.log(max(t10[q], 1e-3) / max(t1[q], 1e-3)) / math.log(COPIES)
+        table[q] = {"t_1x": t1[q], "t_10x": t10[q],
+                    "exponent": round(expo, 2)}
+    print(json.dumps({"metric": "scale_soak", "copies": COPIES,
+                      "queries": table}))
+
+
+if __name__ == "__main__":
+    main()
