@@ -49,3 +49,45 @@ def test_oracles_cover_queries_and_parse(con):
 def test_bench_set_nonempty():
     bench = registry.bench_queries()
     assert 10 <= len(bench) <= len(registry.queries())
+
+
+def test_driver_window_composition():
+    # The external driver verifies only the first 50 registry entries
+    # per round (registry.register docstring).  Guard the rotation
+    # invariants: every query family keeps at least one entry inside
+    # the window, and the window is exactly full (an accidental
+    # demotion that leaves unused slots wastes driver evidence).
+    from rados_timestore_spark import registry
+
+    ordered = registry._ordered()
+    window = ordered[:50]
+    families = {
+        "ts_": False, "streaming_": False, "text_": False,
+        "dedup_": False, "sim_": False, "mm_": False, "tpch_": False,
+    }
+    for name, _q in window:
+        for fam in families:
+            if name.startswith(fam):
+                families[fam] = True
+    missing = [f for f, seen in families.items() if not seen]
+    assert not missing, f"families with no driver-window entry: {missing}"
+    # Exactly-full window: entry 50 and 51 must both exist (the
+    # registry is larger than the window) and every demoted entry
+    # must carry priority > default so the cut is intentional.
+    assert len(ordered) > 50
+    assert all(q.priority <= 100 for _n, q in window)
+
+
+def test_demoted_queries_have_prior_green_or_local_note():
+    # Demotion policy (registry.register): only queries that already
+    # have driver evidence may sit past the window; new queries land
+    # at default priority and rotate IN next round, never straight to
+    # demoted.  Enforce the mechanical half: priority>100 entries must
+    # not be bench-tagged (bench queries are the headline set and
+    # must stay driver-visible).
+    from rados_timestore_spark import registry
+
+    for name, q in registry._ordered()[50:]:
+        assert not (q.priority > 100 and q.bench), (
+            f"{name}: bench-tagged query demoted past the driver window"
+        )
