@@ -319,3 +319,36 @@ def test_blob_ordinals_dense_without_global_window(spark):
     assert "SinglePartition" not in plan
     bases = sorted(r.seq_base for r in seeded.collect())
     assert bases == [7 + i * (1 << 32) for i in range(10)]
+
+
+def test_viewfs_scheme_full_lifecycle(spark, tmp_path):
+    # Scheme independence beyond file://: run the FULL store lifecycle
+    # (register -> write -> rollover -> read -> compact -> gc) through
+    # Hadoop's ViewFileSystem — a genuinely different FileSystem
+    # implementation resolved purely from the URI scheme, exactly how
+    # the s3a:// (Ceph RGW) production path binds.  No engine code
+    # knows the scheme; the mount table is environment config.
+    from rados_timestore_spark.store import TimeStore
+
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    conf.set(
+        "fs.viewfs.mounttable.rtscontract.link./warehouse",
+        f"file://{tmp_path}/backing",
+    )
+    root = "viewfs://rtscontract/warehouse"
+    store = TimeStore(spark, root)
+    store.rollover_bytes = 1  # force rollover through the FS size probe
+    store.register_namespace("PONY", buckets=4)
+    assert store.is_registered("PONY")
+    _write(store, "PONY", [(2, 10, 1), (2, 20, 2)])
+    assert store.index("PONY").entries == ((0, 4), (21, 4))
+    _write(store, "PONY", [(2, 30, 3), (2, 10, 99)])  # dup: first wins
+    got = store.read_simple("PONY", 0, 100, [2], global_order=True).collect()
+    assert [(r.time, r.value) for r in got] == [(10, 1), (20, 2), (30, 3)]
+    store.compact("PONY")
+    # Simulate a crashed earlier compaction: an orphan generation
+    # older than the live version must be collected by gc.
+    store.fs.mkdirs(f"{root}/PONY/points_v0")
+    assert store.gc("PONY") == ["points_v0"]
+    got = store.read_simple("PONY", 0, 100, [2], global_order=True).collect()
+    assert [(r.time, r.value) for r in got] == [(10, 1), (20, 2), (30, 3)]
