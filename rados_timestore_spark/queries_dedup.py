@@ -437,43 +437,85 @@ banded AS (SELECT *, {band_cols} FROM sig)
 _MH_CTES, _MH_SHARE = _mh_sql()
 
 
-def _mh_banded_spark(sh: DataFrame) -> DataFrame:
-    """Long-format ``(doc_id, band, bkey)`` affine-minhash band table.
+from pyspark.sql.types import StructField, StructType  # noqa: E402
 
-    The shingle hash is computed ONCE (in the shingling UDF); 16
-    minhashes are affine rehashes of its two 28-bit halves (``_MH_P``
-    note), min'd by a hash-aggregate.  (An ``array_min(transform())``
-    variant avoids the shuffle but loses codegen — higher-order
-    lambdas are interpreted AND get recomputed per exploded band row
-    downstream; measured 2x slower.  The exploded agg stays in
-    WholeStageCodegen with map-side partial min.)  Band key = weighted
-    integer sum of 4 consecutive signature rows; every expression is
-    bit-identical in DuckDB (``_mh_sql``), which is what makes full
-    LSH oracles possible.
+#: DataType object (not a DDL string): the decorator must not need an
+#: active SparkContext at import time.
+_MH_SIG_TYPE = StructType([
+    StructField("hs", ArrayType(LongType())),
+    StructField("s", ArrayType(LongType())),
+])
+
+
+@F.pandas_udf(_MH_SIG_TYPE)
+def _mh_sig_udf(text):
+    """One Arrow pass computing BOTH the distinct shingle-hash set and
+    the 16 affine minhash signature values per document.
+
+    Shingle hashing replicates :func:`_shingle_hash_udf` exactly; the
+    signature is ``min((a*h1 + b*h2 + c) mod P)`` over the shingle
+    set, numpy-vectorized (all products < 2^58, no int64 overflow) —
+    bit-identical to the DuckDB ``list_min(list_transform(...))``
+    (``_mh_sql``).  Fusing the signature into the shingling pass (r4)
+    removes the explode + 16-way min hash-aggregate shuffle the r3
+    plan paid: signatures are per-doc scalars, so nothing about them
+    needs a shuffle at any scale.  Empty shingle sets yield ``s = []``
+    (the doc gets no bands — same as the aggregate producing no row).
     """
-    exploded = sh.select("doc_id", F.explode("hs").alias("h"))
-    hashed = exploded.select(
-        "doc_id",
-        F.shiftright("h", 28).alias("h1"),
-        F.col("h").bitwiseAND(F.lit((1 << 28) - 1)).alias("h2"),
-    )
-    sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(
-                (F.lit(a) * F.col("h1") + F.lit(b) * F.col("h2")
-                 + F.lit(c)) % F.lit(_MH_P)
-            ).alias(f"h{i}")
-            for i, (a, b, c) in enumerate(_MH_ABC)
-        ]
-    )
-    return sig.select(
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    ws_re = re.compile(r"\s+")
+    md5 = hashlib.md5
+    A = np.array([a for a, _b, _c in _MH_ABC], dtype=np.int64)[:, None]
+    B = np.array([b for _a, b, _c in _MH_ABC], dtype=np.int64)[:, None]
+    C = np.array([c for _a, _b, c in _MH_ABC], dtype=np.int64)[:, None]
+    out_hs, out_s = [], []
+    for t in text:
+        ws = ws_re.split(t.strip(" ").lower())
+        hs = list(dict.fromkeys(
+            int(md5(" ".join(ws[i:i + 3]).encode()).hexdigest()[:14], 16)
+            for i in range(len(ws) - 2)
+        ))
+        out_hs.append(hs)
+        if hs:
+            h = np.array(hs, dtype=np.int64)
+            sig = ((A * (h >> 28) + B * (h & ((1 << 28) - 1)) + C)
+                   % _MH_P).min(axis=1)
+            out_s.append(sig.tolist())
+        else:
+            out_s.append([])
+    return pd.DataFrame({"hs": out_hs, "s": out_s})
+
+
+def _mh_sig_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hs, s): shingle-hash sets + 16-value minhash signature
+    in one UDF pass (see :func:`_mh_sig_udf`)."""
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id") \
+        .select("doc_id", "text")
+    z = docs.select("doc_id", _mh_sig_udf("text").alias("z"))
+    return z.select("doc_id", F.col("z.hs").alias("hs"),
+                    F.col("z.s").alias("s"))
+
+
+def _mh_banded_spark(sig: DataFrame) -> DataFrame:
+    """Long-format ``(doc_id, band, bkey)`` affine-minhash band table
+    from the fused signature column — a pure projection + explode, no
+    shuffle.  Band key = weighted integer sum of 4 consecutive
+    signature rows; bit-identical in DuckDB (``_mh_sql``), which is
+    what makes full LSH oracles possible."""
+    return sig.filter(F.size("s") > 0).select(
         "doc_id",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
                     sum(
-                        F.lit(w) * F.col(f"h{b * _MH_BAND_ROWS + r}")
+                        F.lit(w) * F.element_at(
+                            "s", b * _MH_BAND_ROWS + r + 1)
                         for r, w in enumerate(_MH_BW[b])
                     ).alias("bkey"),
                 )
@@ -661,8 +703,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns (doc_id, cluster_rep) for ALL documents (singletons map to
     themselves).
     """
-    # sh feeds the signature aggregation AND both exact-verify sides.
-    sh = _doc_shingles(spark, sf_dir).persist()
+    # One fused UDF pass yields shingle sets (verify) AND signatures
+    # (banding); persisted once for all consumers.
+    sh = _mh_sig_docs(spark, sf_dir).persist()
     bands = _mh_banded_spark(sh).persist()
     ok = bands.groupBy("band", "bkey").agg(
         F.count("*").alias("k")
@@ -744,7 +787,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle sets.  Same banding math as dedup_minhash_lsh but every
     stage is cross-engine reproducible, so the driver hash-checks the
     whole LSH pipeline rather than rows-only."""
-    sh = _doc_shingles(spark, sf_dir).persist()
+    sh = _mh_sig_docs(spark, sf_dir).persist()
     bands = _mh_banded_spark(sh)
     cand = (
         bands.alias("x")
