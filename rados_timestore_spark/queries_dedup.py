@@ -121,6 +121,7 @@ SELECT array_to_string(({_WORDS_SQL})[1:5], ' ') AS prefix_key,
 FROM documents GROUP BY 1 HAVING count(*) > 1
 """,
     tags=("dedup",),
+    priority=900,  # driver-green in r2 AND r3; demoted in r4 to give the new tpch_q2/q11/q20 + streaming_latest_per_key fresh driver rows (verified locally by tools/check_correctness.py)
 )
 def dedup_exact_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-exact variant keyed on the 5-word prefix (real clusters in

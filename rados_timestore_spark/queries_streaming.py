@@ -289,6 +289,7 @@ rk AS (
 SELECT address, time, value, seq FROM rk WHERE r = 1
 """,
     tags=("streaming", "kv"),
+    priority=97,  # new in r4 — promoted for first driver evidence
 )
 def streaming_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Mutable-KV latest-per-key view (M6, latestUniques —

@@ -84,6 +84,7 @@ SELECT doc_id,
 FROM documents
 """,
     tags=("text",),
+    priority=900,  # driver-green in r2 AND r3; demoted in r4 to give the new tpch_q2/q11/q20 + streaming_latest_per_key fresh driver rows (verified locally by tools/check_correctness.py)
 )
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting with a BPE-ish regex (letter runs / digit runs /

@@ -119,6 +119,7 @@ JOIN (SELECT * FROM ev WHERE event_type = 'error') e
 GROUP BY p.event_id
 """,
     tags=("timeseries", "join"),
+    priority=900,  # driver-green in r2 AND r3; demoted in r4 to give the new tpch_q2/q11/q20 + streaming_latest_per_key fresh driver rows (verified locally by tools/check_correctness.py)
 )
 def ts_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (interval) join: errors within ±5 min of each purchase by
@@ -210,6 +211,7 @@ SELECT user_id, session_no, count(*) AS n_events,
 FROM sessions GROUP BY user_id, session_no
 """,
     tags=("timeseries", "window"),
+    priority=900,  # driver-green in r2 AND r3; demoted in r4 to give the new tpch_q2/q11/q20 + streaming_latest_per_key fresh driver rows (verified locally by tools/check_correctness.py)
 )
 def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization with a 30-minute inactivity gap: lag marks

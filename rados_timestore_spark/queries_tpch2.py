@@ -593,6 +593,7 @@ ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
 LIMIT 20
 """,
     tags=("join", "agg", "topk"),
+    priority=97,  # new in r4 — promoted for first driver evidence
 )
 def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2 ADAPTED (no partsupp): supply = lineitem-derived (part, supp)
@@ -651,6 +652,7 @@ GROUP BY ps_partkey, total, np
 HAVING SUM(v) * np > 3 * total
 """,
     tags=("join", "agg"),
+    priority=97,  # new in r4 — promoted for first driver evidence
 )
 def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11 ADAPTED (no partsupp): per-part inventory value
@@ -706,6 +708,7 @@ FROM supplier JOIN dom ON s_suppkey = ps_suppkey
 WHERE r_name = 'ASIA'
 """,
     tags=("join", "agg", "semijoin"),
+    priority=97,  # new in r4 — promoted for first driver evidence
 )
 def tpch_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q20 ADAPTED (no partsupp, no availqty): "excess stock" becomes
