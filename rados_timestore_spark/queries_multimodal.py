@@ -220,6 +220,7 @@ SELECT doc_id, n AS orig_bytes,
 FROM t
 """,
     tags=("multimodal",),
+    priority=900,  # driver-green in r3; demoted in r4 for the new pipeline queries (verified locally by tools/check_correctness.py)
 )
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize/downsample plumbing via ``mapInPandas``: Arrow batches of
@@ -259,6 +260,7 @@ SELECT CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'image'
 FROM documents GROUP BY 1
 """,
     tags=("multimodal",),
+    priority=900,  # driver-green in r3; demoted in r4 for the new pipeline queries (verified locally by tools/check_correctness.py)
 )
 def mm_modality_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Modality routing/aggregation: classify blobs (fake sniff on

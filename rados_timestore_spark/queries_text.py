@@ -235,3 +235,84 @@ def text_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("n_docs"),
     )
     return agg.orderBy(F.desc("n"), "w").limit(25)
+
+
+@register(
+    "text_split_assign",
+    oracle="""
+SELECT CASE WHEN pct < 80 THEN 'train'
+            WHEN pct < 90 THEN 'val' ELSE 'test' END AS split,
+       source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM (
+  SELECT source, n_chars,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 100 AS pct
+  FROM documents) t
+GROUP BY 1, 2
+""",
+    tags=("text", "pipeline"),
+    priority=97,  # new in r4 — promoted for first driver evidence
+)
+def text_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment — the split every
+    training-data pipeline needs to be REPRODUCIBLE and join-free:
+    ``md5(doc_id) mod 100`` buckets into 80/10/10, so any engine (or a
+    later incremental run) assigns identically with zero coordination.
+    One scan + hash aggregate; per (split, source) doc and char
+    budgets fall out of the same pass."""
+    docs = load(spark, sf_dir, "documents")
+    pct = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("long") % 100
+    )
+    split = (
+        F.when(pct < 80, "train").when(pct < 90, "val").otherwise("test")
+    )
+    return docs.groupBy(split.alias("split"), "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+#: Context-length bins for sequence packing (tokens per document,
+#: whitespace tokenization — matches text_token_count's ws_tokens).
+_PACK_BINS = (16, 32, 64, 128, 256)
+
+
+@register(
+    "text_length_buckets",
+    oracle=f"""
+SELECT bin, count(*) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS sum_tokens,
+       CAST(sum(CAST(bin AS BIGINT) - nt) AS BIGINT) AS padding_waste
+FROM (
+  SELECT len({_WORDS_SQL}) AS nt,
+         CASE
+           WHEN len({_WORDS_SQL}) <= 16 THEN 16
+           WHEN len({_WORDS_SQL}) <= 32 THEN 32
+           WHEN len({_WORDS_SQL}) <= 64 THEN 64
+           WHEN len({_WORDS_SQL}) <= 128 THEN 128
+           ELSE 256 END AS bin
+  FROM documents) t
+GROUP BY bin
+""",
+    tags=("text", "pipeline"),
+    priority=97,  # new in r4 — promoted for first driver evidence
+)
+def text_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing planner: bucket documents into context-length
+    bins and report per-bin token totals + padding waste (bin - len
+    summed) — the aggregate a packing scheduler reads before sharding
+    a tokenization job.  Single scan, one small hash aggregate."""
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
+    nt = F.size(_words_col())
+    bin_col = F.when(nt <= 16, 16).when(nt <= 32, 32) \
+        .when(nt <= 64, 64).when(nt <= 128, 128).otherwise(256)
+    d = docs.select(nt.alias("nt"), bin_col.alias("bin"))
+    return d.groupBy("bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nt").alias("sum_tokens"),
+        F.sum(F.col("bin").cast("long") - F.col("nt"))
+            .alias("padding_waste"),
+    )
