@@ -815,3 +815,59 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(common * _TAU_DEN >= _TAU_NUM * union_n).select(
         "doc_a", "doc_b", common.alias("common"), union_n.alias("union_n")
     )
+
+
+# ------------------------------------------- contamination detection
+
+
+#: "Eval set" for the contamination demo: the first docs by id (a
+#: stand-in for a benchmark suite shipped separately in production).
+_CONTAM_EVAL_MAX_ID = 50
+#: Contamination gram width (production decontamination uses 8-13).
+_CONTAM_MIN_SHARED = 2
+
+
+@register(
+    "dedup_contamination",
+    oracle=f"""
+WITH ex AS (
+  SELECT doc_id, unnest({_HS_SQL}) AS h
+  FROM (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents) t
+),
+ev AS (SELECT doc_id AS eval_id, h FROM ex
+       WHERE doc_id < {_CONTAM_EVAL_MAX_ID}),
+tr AS (SELECT doc_id AS train_id, h FROM ex
+       WHERE doc_id >= {_CONTAM_EVAL_MAX_ID})
+SELECT train_id, eval_id, count(*) AS n_shared
+FROM tr JOIN ev USING (h)
+GROUP BY train_id, eval_id
+HAVING count(*) >= {_CONTAM_MIN_SHARED}
+""",
+    tags=("dedup", "pipeline"),
+    priority=97,  # new in r4 — promoted for first driver evidence
+)
+def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: training documents sharing
+    >= {min_shared} 3-gram shingles with any eval-set document.
+
+    The production shape at 100 TB: the EVAL side is tiny (a benchmark
+    suite), so its exploded shingle set BROADCASTS and the training
+    corpus is checked in one scan with a map-side join — no shuffle of
+    training shingles at all; only the (train, eval) hit pairs (sparse
+    by construction) reach the aggregation.  The oracle evaluates the
+    identical definition.
+    """
+    sh = _doc_shingles(spark, sf_dir)
+    exploded = sh.select("doc_id", F.explode("hs").alias("h"))
+    ev = exploded.filter(F.col("doc_id") < _CONTAM_EVAL_MAX_ID) \
+        .select(F.col("doc_id").alias("eval_id"), "h")
+    tr = exploded.filter(F.col("doc_id") >= _CONTAM_EVAL_MAX_ID) \
+        .select(F.col("doc_id").alias("train_id"), "h")
+    hits = tr.join(F.broadcast(ev), "h")
+    return hits.groupBy("train_id", "eval_id").agg(
+        F.count("*").alias("n_shared")
+    ).filter(F.col("n_shared") >= _CONTAM_MIN_SHARED)
+
+
+dedup_contamination.__doc__ = dedup_contamination.__doc__.format(
+    min_shared=_CONTAM_MIN_SHARED)

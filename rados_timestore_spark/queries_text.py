@@ -198,6 +198,7 @@ SELECT doc_id,
 FROM documents
 """,
     tags=("text",),
+    priority=900,  # driver-green in r2 AND r3; demoted in r4 for dedup_contamination (verified locally by tools/check_correctness.py)
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: 60-bit integer fingerprint from the
