@@ -24,6 +24,7 @@ Scale design (billions of vectors):
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -37,8 +38,17 @@ from rados_timestore_spark.registry import register
 
 DIM = 64
 _N_PLANES = 64
-_BAND_BITS = 8           # 8 bands x 8 sign bits
-_N_BANDS = _N_PLANES // _BAND_BITS
+#: Sign-LSH band geometry — a CORPUS-SIZE deployment knob, not a fixed
+#: truth: fixed-width buckets hold ~n/2^bits vectors, so random
+#: candidate pairs grow ~n^2/2^bits (measured: 19.7x wall at 30x
+#: corpus, BENCH_NOTES.md).  At larger corpora raise the bits (and the
+#: band count to hold recall: near-dup recall ~ 1-(1-p^bits)^bands,
+#: p = 1 - theta/pi).  Both the Spark plan AND the DuckDB oracle are
+#: generated from these constants at import, so retuning preserves
+#: oracle parity automatically.  Defaults fit the sf0.01-sf1 fixtures.
+_BAND_BITS = int(os.environ.get("SIM_LSH_BAND_BITS", "8"))
+_N_BANDS = int(os.environ.get("SIM_LSH_BANDS",
+                              str(_N_PLANES // _BAND_BITS)))
 _TAU100 = 40             # cosine threshold 0.40
 
 

@@ -31,7 +31,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-COPIES = 10
+COPIES = int(os.environ.get("SOAK_COPIES", "10"))
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 SOAK_QUERIES = (
@@ -60,7 +60,11 @@ def build_corpus(spark, out_dir: str) -> None:
 
     doc_parts, emb_parts = [], []
     for k in range(COPIES):
-        rot = _ALPHA[k:] + _ALPHA[:k]
+        # two-character rotation pair -> 26*26 distinct mappings, so
+        # COPIES > 26 still never collides across copies
+        rot = _ALPHA[k % 26:] + _ALPHA[:k % 26]
+        rot = rot.translate(str.maketrans(
+            _ALPHA, _ALPHA[(k // 26) % 26:] + _ALPHA[:(k // 26) % 26]))
         d = docs.select(
             (F.col("doc_id") + F.lit(k * n_docs)).alias("doc_id"),
             F.translate("text", _ALPHA, rot).alias("text"),
