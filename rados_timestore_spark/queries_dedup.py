@@ -322,6 +322,8 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit_count(xor).  The oracle brute-forces the identical definition
     (shared-band AND hamming), so results match exactly while the
     Spark plan stays linear in documents."""
+    # both self-join sides consume bands: persist so the word explode
+    # + 60-sum vote aggregate runs once, not twice.
     sim = dedup_simhash(spark, sf_dir)
     bands = sim.select(
         "doc_id", "simhash",
@@ -335,7 +337,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for b in range(_SIM_BANDS)
             ])
         ).alias("bb"),
-    ).select("doc_id", "simhash", "bb.band", "bb.bval")
+    ).select("doc_id", "simhash", "bb.band", "bb.bval").persist()
     cand = (
         bands.alias("x")
         .join(
