@@ -119,6 +119,7 @@ FROM top GROUP BY lang, pred_lang
 """
 
 
+    priority=900,  # driver-green in r2 AND r3; demoted in r4 for text_repetition (verified locally by tools/check_correctness.py)
 @register("text_lang_id", oracle=_langid_sql(), tags=("text",))
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID: score = |distinct words ∩ profile|
@@ -165,6 +166,7 @@ SELECT doc_id,
 FROM documents
 """,
     tags=("text",),
+    priority=900,  # driver-green in r2 AND r3; demoted in r4 to keep all three windowed mm_* rows (verified locally by tools/check_correctness.py)
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring (length / punctuation / stopword
@@ -316,4 +318,49 @@ def text_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nt").alias("sum_tokens"),
         F.sum(F.col("bin").cast("long") - F.col("nt"))
             .alias("padding_waste"),
+    )
+
+
+@register(
+    "text_repetition",
+    oracle="""
+SELECT doc_id,
+       CAST(GREATEST(len(ws) - 2, 0) AS BIGINT) AS total_3g,
+       CAST(len(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                 for i in generate_series(1, len(ws)-2)])) AS BIGINT)
+         AS distinct_3g,
+       CASE WHEN len(ws) - 2 > 0
+             AND len(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                     for i in generate_series(1, len(ws)-2)])) * 10
+                 < (len(ws) - 2) * 7
+            THEN 1 ELSE 0 END AS repetitive
+FROM (SELECT doc_id, {words} AS ws FROM documents) t
+""".format(words=_WORDS_SQL),
+    tags=("text", "pipeline"),
+    priority=97,  # new in r4 — promoted for first driver evidence
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: per-document distinct-vs-total
+    3-gram counts and a ``repetitive`` flag when fewer than 70% of a
+    doc's trigrams are distinct (heavy internal repetition is a
+    classic low-quality-training-text signal).  Pure built-in array
+    expressions, one scan, no shuffle at all; the threshold is an
+    integer cross-multiplication."""
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
+    ws = _words_col()
+    total = F.greatest(F.size(ws) - 2, F.lit(0)).cast("long")
+    tri = F.expr(
+        "transform(sequence(1, greatest(size(split(trim(lower(text)), "
+        "'\\\\s+')) - 2, 0)), i -> concat_ws(' ', "
+        "slice(split(trim(lower(text)), '\\\\s+'), i, 3)))"
+    )
+    distinct = F.size(F.array_distinct(tri)).cast("long")
+    repetitive = F.when(
+        (total > 0) & (distinct * 10 < total * 7), 1
+    ).otherwise(0)
+    return docs.select(
+        "doc_id",
+        total.alias("total_3g"),
+        distinct.alias("distinct_3g"),
+        repetitive.alias("repetitive"),
     )
