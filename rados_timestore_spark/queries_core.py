@@ -227,6 +227,7 @@ SELECT (address & -2) % 128 AS bucket, count(*) AS n,
 FROM pts GROUP BY 1
 """,
     tags=("W1",),
+    priority=900,  # driver-green in r2 AND r3; demoted in r4 for streaming_sessionize (W1 routing stays driver-proven via ts_store_roundtrip + ts_epoch_stab; verified locally by tools/check_correctness.py)
 )
 def ts_bucket_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """placeBucket (Core.hs:272-276): ``(addr clearBit 0) mod n`` —

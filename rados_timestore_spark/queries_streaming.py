@@ -339,3 +339,76 @@ def streaming_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by(F.struct("time", "value", "seq"), "batch_id").alias("w")
     )
     return final.select("address", "w.time", "w.value", "w.seq")
+
+
+_GAP_US = 30 * 60 * 1_000_000  # 30 min session gap
+
+
+@register(
+    "streaming_sessionize",
+    oracle=f"""
+WITH pts AS (
+  SELECT user_id * 2 AS address, epoch_us(ts) AS t FROM events
+),
+wm AS (SELECT max(t) - {_DELAY_US} AS watermark FROM pts),
+d AS (
+  SELECT address, t,
+         CASE WHEN lag(t) OVER w IS NULL
+               OR t - lag(t) OVER w >= {_GAP_US} THEN 1 ELSE 0 END AS brk
+  FROM pts WINDOW w AS (PARTITION BY address ORDER BY t)
+),
+s AS (SELECT address, t,
+             sum(brk) OVER (PARTITION BY address ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM d),
+agg AS (SELECT address, sid, min(t) AS first_t, max(t) AS last_t,
+               count(*) AS n
+        FROM s GROUP BY 1, 2)
+SELECT address, first_t AS session_start_us,
+       last_t + {_GAP_US} AS session_end_us, n
+FROM agg, wm
+WHERE last_t + {_GAP_US} <= watermark
+""",
+    tags=("streaming", "window"),
+    priority=97,  # new in r4 — promoted for first driver evidence
+)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming sessionization with Spark's NATIVE
+    ``session_window`` (merging event-time sessions, watermark-closed,
+    bounded state): events -> file stream -> 30-min-gap sessions per
+    address -> parquet sink (availableNow).  Sessions merge while
+    consecutive events are < gap apart (window = [first, last+gap));
+    append emits exactly the watermark-closed sessions, reproduced
+    relationally by the oracle's lag/cumsum session assignment."""
+    from rados_timestore_spark.queries_common import event_us, load
+    from rados_timestore_spark.streaming.windows import stream_sessionize
+
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        (F.col("user_id") * 2).alias("address"),
+        event_us(ev).alias("time"),
+    )
+    work = tempfile.mkdtemp(prefix="ts_stream_sess_")
+    src, out, ck = f"{work}/src", f"{work}/out", f"{work}/ck"
+    pts.coalesce(1).write.parquet(src)
+
+    with _few_state_partitions(spark):
+        stream = spark.readStream.schema(pts.schema).parquet(src)
+        q = (
+            stream_sessionize(stream, gap="30 minutes",
+                              watermark="30 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    return got.select(
+        "address",
+        F.col("first_t").alias("session_start_us"),
+        (F.col("last_t") + _GAP_US).alias("session_end_us"),
+        "n",
+    )

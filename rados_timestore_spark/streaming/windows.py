@@ -335,3 +335,29 @@ def stream_latest_per_key(points: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_sessionize(
+    points: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+    time_col: str = "time",
+) -> DataFrame:
+    """Session-window aggregation over a streaming points DataFrame —
+    the streaming twin of the batch sessionize (queries_timeseries.
+    ts_sessionize), using Spark's native ``session_window``: per key,
+    events merge into one session while each arrives strictly less
+    than ``gap`` after the previous (window = [first, last + gap));
+    the watermark closes sessions and bounds state.  Append mode emits
+    exactly the sessions whose end <= watermark."""
+    ts = F.timestamp_micros(F.col(time_col)).alias("event_ts")
+    return (
+        points.withColumn("event_ts", ts)
+        .withWatermark("event_ts", watermark)
+        .groupBy(F.session_window("event_ts", gap), F.col("address"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min(time_col).alias("first_t"),
+            F.max(time_col).alias("last_t"),
+        )
+    )
