@@ -6,10 +6,14 @@ Each query is materialized with a count-style collect (results are
 small aggregates or pruned reads).  A warmup pass of the cheapest
 query absorbs JVM/codegen startup so timings reflect the plans.
 
-``--update-expectations`` additionally records the per-query timings
+``--update-expectations`` additionally records per-query expectations
 (plus a fixture fingerprint) into ``bench_expectations.json``;
 ``tests/test_perf_gate.py`` fails the suite when a benched query
 regresses >2x against its recorded expectation on the same fixtures.
+Expectations are the per-query MAX over two full suite runs (merged
+max with any existing same-fingerprint file): this box shows up to
+2.3x run-to-run CPU noise, so recording one lucky-fast run would make
+the 2x gate flaky (ADVICE r4).
 """
 
 from __future__ import annotations
@@ -61,32 +65,54 @@ def main() -> None:
 
     spark.range(1000, numPartitions=32).select(_warm_udf("id")).count()
 
-    timings: dict[str, float] = {}
-    for name, fn in bench.items():
-        best, n = None, 0
-        for _ in range(2):  # min-of-2: JIT/page-cache noise is ~2x
-            # Queries persist() intermediates; drop them so (a) each
-            # run measures its own materialization and (b) cached
-            # blocks don't accumulate across 32 runs and evict/GC-churn
-            # the tail of the suite.
-            spark.catalog.clearCache()
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
+    def run_suite() -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name, fn in bench.items():
+            best, n = None, 0
+            for _ in range(2):  # min-of-2: JIT/page-cache noise is ~2x
+                # Queries persist() intermediates; drop them so (a) each
+                # run measures its own materialization and (b) cached
+                # blocks don't accumulate across 32 runs and evict/GC-churn
+                # the tail of the suite.
+                spark.catalog.clearCache()
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                n = df.count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+            print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
+        return timings
 
+    timings = run_suite()
     total = round(sum(timings.values()), 3)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
     if "--update-expectations" in sys.argv:
+        # Expectations = per-query MAX across suite runs (and across an
+        # existing same-fingerprint file): the gate compares min-of-2
+        # runs against 2x the expectation, so the baseline must be a
+        # slow-side estimate or box noise (up to 2.3x here) makes it
+        # flaky.  The headline JSON line still reports the first
+        # (min-of-2) suite, same as a plain run.
+        print("# --update-expectations: second suite run for per-query "
+              "maxima", file=sys.stderr)
+        second = run_suite()
+        expect = {q: max(timings[q], second[q]) for q in timings}
+        fingerprint = fixture_fingerprint(sf_dir)
+        if os.path.exists(EXPECTATIONS_PATH):
+            with open(EXPECTATIONS_PATH) as f:
+                prev = json.load(f)
+            if (prev.get("fingerprint") == fingerprint
+                    and prev.get("sf_dir") == sf_dir):
+                for q, t in prev.get("queries", {}).items():
+                    if q in expect:
+                        expect[q] = max(expect[q], t)
         with open(EXPECTATIONS_PATH, "w") as f:
             json.dump({
                 "sf_dir": sf_dir,
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
-                "fingerprint": fixture_fingerprint(sf_dir),
-                "queries": timings,
+                "fingerprint": fingerprint,
+                "queries": expect,
             }, f, indent=2, sort_keys=True)
         print(f"# wrote {EXPECTATIONS_PATH}", file=sys.stderr)
     print(json.dumps({

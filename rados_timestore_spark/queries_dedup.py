@@ -121,7 +121,7 @@ SELECT array_to_string(({_WORDS_SQL})[1:5], ' ') AS prefix_key,
 FROM documents GROUP BY 1 HAVING count(*) > 1
 """,
     tags=("dedup",),
-    priority=900,  # driver-green in r2 AND r3; demoted in r4 to give the new tpch_q2/q11/q20 + streaming_latest_per_key fresh driver rows (verified locally by tools/check_correctness.py)
+    priority=96,  # re-promoted in r5 to refresh r2/r3-era driver evidence
 )
 def dedup_exact_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-exact variant keyed on the 5-word prefix (real clusters in
@@ -263,7 +263,10 @@ FROM bits GROUP BY doc_id
 """
 
 
-@register("dedup_simhash", oracle=_simhash_sql(), tags=("dedup",))
+@register(
+    "dedup_simhash", oracle=_simhash_sql(), tags=("dedup",),
+    priority=900,  # demoted in r5 to refresh the tpch part-1 driver evidence (r4-green; verified locally by tools/check_correctness.py)
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document from md5-derived word hashes.
 
@@ -782,6 +785,7 @@ WHERE ({_MH_SHARE})
                        - len(list_intersect(a.hs, b.hs)))
 """,
     tags=("dedup", "lsh"),
+    priority=95,  # kept in the r5 window: query changed this round, needs fresh driver evidence
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs with a FULL oracle: 16 md5-derived
@@ -846,7 +850,7 @@ GROUP BY train_id, eval_id
 HAVING count(*) >= {_CONTAM_MIN_SHARED}
 """,
     tags=("dedup", "pipeline"),
-    priority=97,  # new in r4 — promoted for first driver evidence
+    priority=900,  # demoted in r5 to refresh the tpch part-1 driver evidence (r4-green; verified locally by tools/check_correctness.py)
 )
 def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination detection: training documents sharing

@@ -52,6 +52,7 @@ SELECT doc_id,
 FROM documents
 """,
     tags=("multimodal",),
+    priority=900,  # demoted in r5 to refresh the tpch part-1 driver evidence (r4-green; verified locally by tools/check_correctness.py)
 )
 def mm_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed metadata over opaque binary payloads: byte length, content
@@ -77,6 +78,7 @@ CROSS JOIN generate_series(0, 3) g(frame_no)
 WHERE octet_length(encode(text)) >= (frame_no + 1) * {FRAME_BYTES}
 """,
     tags=("multimodal",),
+    priority=900,  # demoted in r5 to refresh the tpch part-1 driver evidence (r4-green; verified locally by tools/check_correctness.py)
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling plumbing: slice the first 4 fixed-size 'frames'
@@ -161,6 +163,7 @@ SELECT doc_id,
 FROM documents
 """,
     tags=("multimodal",),
+    priority=95,  # kept in the r5 window: query changed this round, needs fresh driver evidence
 )
 def mm_feature_extract(spark: SparkSession, sf_dir: str,
                        decoder=fake_decode) -> DataFrame:
@@ -220,7 +223,7 @@ SELECT doc_id, n AS orig_bytes,
 FROM t
 """,
     tags=("multimodal",),
-    priority=900,  # driver-green in r3; demoted in r4 for the new pipeline queries (verified locally by tools/check_correctness.py)
+    priority=96,  # re-promoted in r5 to refresh r2/r3-era driver evidence
 )
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize/downsample plumbing via ``mapInPandas``: Arrow batches of
@@ -260,7 +263,7 @@ SELECT CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'image'
 FROM documents GROUP BY 1
 """,
     tags=("multimodal",),
-    priority=900,  # driver-green in r3; demoted in r4 for the new pipeline queries (verified locally by tools/check_correctness.py)
+    priority=96,  # re-promoted in r5 to refresh r2/r3-era driver evidence
 )
 def mm_modality_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Modality routing/aggregation: classify blobs (fake sniff on

@@ -48,6 +48,7 @@ SELECT DISTINCT user_id * 2 AS address, epoch_us(ts) AS time
 FROM events
 """,
     tags=("streaming", "dedup"),
+    priority=900,  # demoted in r5 to refresh the tpch part-1 driver evidence (r4-green; verified locally by tools/check_correctness.py)
 )
 def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay-safe streaming dedup end-to-end: the events table is
@@ -100,6 +101,7 @@ WHERE e.event_type = 'error' AND a.event_id != e.event_id
                          AND epoch_us(e.ts)
 """,
     tags=("streaming", "join"),
+    priority=900,  # demoted in r5 to refresh the tpch part-1 driver evidence (r4-green; verified locally by tools/check_correctness.py)
 )
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream event-time interval join, end-to-end: for every
@@ -170,6 +172,7 @@ SELECT purchase_id, user_id, purchase_t, view_id, view_t
 FROM m WHERE rk = 1
 """,
     tags=("streaming", "join", "asof"),
+    priority=95,  # kept in the r5 window: query changed this round, needs fresh driver evidence
 )
 def streaming_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream backward as-of join, end-to-end: purchases and
@@ -233,6 +236,7 @@ FROM agg, wm
 WHERE (hour + 1) * {_HOUR_US} <= watermark
 """,
     tags=("streaming",),
+    priority=900,  # demoted in r5 to refresh the tpch part-1 driver evidence (r4-green; verified locally by tools/check_correctness.py)
 )
 def streaming_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end Structured Streaming rollup: events flow through a
@@ -289,7 +293,7 @@ rk AS (
 SELECT address, time, value, seq FROM rk WHERE r = 1
 """,
     tags=("streaming", "kv"),
-    priority=97,  # new in r4 — promoted for first driver evidence
+    priority=900,  # demoted in r5 to refresh the tpch part-1 driver evidence (r4-green; verified locally by tools/check_correctness.py)
 )
 def streaming_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Mutable-KV latest-per-key view (M6, latestUniques —
@@ -370,7 +374,7 @@ FROM agg, wm
 WHERE last_t + {_GAP_US} <= watermark
 """,
     tags=("streaming", "window"),
-    priority=97,  # new in r4 — promoted for first driver evidence
+    priority=900,  # demoted in r5 to refresh the tpch part-1 driver evidence (r4-green; verified locally by tools/check_correctness.py)
 )
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end streaming sessionization with Spark's NATIVE

@@ -84,7 +84,7 @@ SELECT doc_id,
 FROM documents
 """,
     tags=("text",),
-    priority=900,  # driver-green in r2 AND r3; demoted in r4 to give the new tpch_q2/q11/q20 + streaming_latest_per_key fresh driver rows (verified locally by tools/check_correctness.py)
+    priority=96,  # re-promoted in r5 to refresh r2/r3-era driver evidence
 )
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting with a BPE-ish regex (letter runs / digit runs /
@@ -119,8 +119,10 @@ FROM top GROUP BY lang, pred_lang
 """
 
 
-    priority=900,  # driver-green in r2 AND r3; demoted in r4 for text_repetition (verified locally by tools/check_correctness.py)
-@register("text_lang_id", oracle=_langid_sql(), tags=("text",))
+@register(
+    "text_lang_id", oracle=_langid_sql(), tags=("text",),
+    priority=900,  # driver-green in r2/r3/r4; demoted in r5 (the r4 demotion line was misplaced dead code — ADVICE r4)
+)
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID: score = |distinct words ∩ profile|
     per language, argmax with alphabetical tie-break; confusion counts
@@ -166,7 +168,7 @@ SELECT doc_id,
 FROM documents
 """,
     tags=("text",),
-    priority=900,  # driver-green in r2 AND r3; demoted in r4 to keep all three windowed mm_* rows (verified locally by tools/check_correctness.py)
+    priority=96,  # re-promoted in r5 to refresh r2/r3-era driver evidence
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring (length / punctuation / stopword
@@ -200,7 +202,7 @@ SELECT doc_id,
 FROM documents
 """,
     tags=("text",),
-    priority=900,  # driver-green in r2 AND r3; demoted in r4 for dedup_contamination (verified locally by tools/check_correctness.py)
+    priority=96,  # re-promoted in r5 to refresh r2/r3-era driver evidence
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: 60-bit integer fingerprint from the
@@ -255,7 +257,7 @@ FROM (
 GROUP BY 1, 2
 """,
     tags=("text", "pipeline"),
-    priority=97,  # new in r4 — promoted for first driver evidence
+    priority=900,  # demoted in r5 to refresh the tpch part-1 driver evidence (r4-green; verified locally by tools/check_correctness.py)
 )
 def text_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment — the split every
@@ -301,7 +303,7 @@ FROM (
 GROUP BY bin
 """,
     tags=("text", "pipeline"),
-    priority=97,  # new in r4 — promoted for first driver evidence
+    priority=900,  # demoted in r5 to refresh the tpch part-1 driver evidence (r4-green; verified locally by tools/check_correctness.py)
 )
 def text_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-packing planner: bucket documents into context-length
@@ -337,7 +339,7 @@ SELECT doc_id,
 FROM (SELECT doc_id, {words} AS ws FROM documents) t
 """.format(words=_WORDS_SQL),
     tags=("text", "pipeline"),
-    priority=97,  # new in r4 — promoted for first driver evidence
+    priority=900,  # demoted in r5 to refresh the tpch part-1 driver evidence (r4-green; verified locally by tools/check_correctness.py)
 )
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filter: per-document distinct-vs-total

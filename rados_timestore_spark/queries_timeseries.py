@@ -119,7 +119,7 @@ JOIN (SELECT * FROM ev WHERE event_type = 'error') e
 GROUP BY p.event_id
 """,
     tags=("timeseries", "join"),
-    priority=900,  # driver-green in r2 AND r3; demoted in r4 to give the new tpch_q2/q11/q20 + streaming_latest_per_key fresh driver rows (verified locally by tools/check_correctness.py)
+    priority=96,  # re-promoted in r5 to refresh r2/r3-era driver evidence
 )
 def ts_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (interval) join: errors within ±5 min of each purchase by
@@ -211,7 +211,7 @@ SELECT user_id, session_no, count(*) AS n_events,
 FROM sessions GROUP BY user_id, session_no
 """,
     tags=("timeseries", "window"),
-    priority=900,  # driver-green in r2 AND r3; demoted in r4 to give the new tpch_q2/q11/q20 + streaming_latest_per_key fresh driver rows (verified locally by tools/check_correctness.py)
+    priority=96,  # re-promoted in r5 to refresh r2/r3-era driver evidence
 )
 def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization with a 30-minute inactivity gap: lag marks
@@ -252,7 +252,7 @@ SELECT user_id, event_id, t, rk FROM (
 WHERE rk <= 3
 """,
     tags=("timeseries", "window"),
-    priority=900,  # driver-green in r2 AND r3; demoted to open window slots (verified locally by tools/check_correctness.py)
+    priority=96,  # re-promoted in r5 to refresh r2/r3-era driver evidence
 )
 def ts_topk_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series top-k: the highest-value events per user — one
@@ -277,7 +277,7 @@ SELECT CAST(floor(value / 5) AS BIGINT) AS bucket, count(*) AS n,
 FROM ev GROUP BY 1
 """,
     tags=("timeseries", "agg"),
-    priority=900,  # r2-green simple hash agg; demoted past the driver window
+    priority=96,  # re-promoted in r5 to refresh r2/r3-era driver evidence
 )
 def ts_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width value histogram — one hash aggregate; min/max
@@ -333,7 +333,7 @@ SELECT h.hour, COALESCE(a.n, 0) AS n,
 FROM hours h LEFT JOIN agg a ON h.hour = a.hour
 """,
     tags=("timeseries",),
-    priority=900,  # driver-green in r2 AND r3; demoted to open window slots (verified locally by tools/check_correctness.py)
+    priority=96,  # re-promoted in r5 to refresh r2/r3-era driver evidence
 )
 def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap filling: generate the dense hour spine between min and max
@@ -372,7 +372,7 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """,
     tags=("timeseries", "agg"),
-    priority=900,  # driver-green in r2 AND r3; demoted to open window slots (verified locally by tools/check_correctness.py)
+    priority=96,  # re-promoted in r5 to refresh r2/r3-era driver evidence
 )
 def ts_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per event type: Spark

@@ -51,6 +51,49 @@ def test_bench_set_nonempty():
     assert 10 <= len(bench) <= len(registry.queries())
 
 
+# The r5 driver window, pinned exactly.  A misplaced priority= line
+# once silently broke a rotation (ADVICE r4: text_lang_id's demotion
+# parsed as dead code and pushed bench-tagged tpch_q1 out of the
+# window) — membership drift must fail loudly, so any intentional
+# rotation edits this set in the same commit.
+EXPECTED_WINDOW = {
+    # r5-modified queries kept in for fresh evidence (p=95)
+    "streaming_asof_join", "dedup_minhash_pairs", "mm_feature_extract",
+    # r2/r3-green queries re-promoted to refresh evidence (p=96)
+    "ts_range_join", "ts_sessionize", "ts_topk_per_series",
+    "ts_value_histogram", "ts_gap_fill", "ts_value_percentiles",
+    "text_token_count", "text_quality_score", "text_fingerprint",
+    "dedup_exact_prefix", "mm_resize", "mm_modality_routing",
+    # the bench/headline set (must always be driver-visible)
+    "ts_read_simple", "ts_dedup_first_wins", "ts_latest_per_key",
+    "ts_store_roundtrip", "ts_asof_join", "ts_rollup_hourly",
+    "text_stats", "text_word_freq", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_simhash_pairs", "dedup_minhash_lsh", "sim_topk_bruteforce",
+    "sim_neardup_pairs", "sim_ivf_ann",
+    # TPC-H part-1 block: last driver rows were r2 — the r5 refresh
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume", "tpch_q10_returned_items",
+    "tpch_window_top_orders_per_customer", "tpch_agg_distinct_priority",
+    "tpch_semijoin_open_orders", "tpch_antijoin_silent_customers",
+    "tpch_q6_forecast_revenue", "tpch_q4_order_priority",
+    "tpch_q18_large_orders", "tpch_rollup_revenue", "tpch_q14_promo_effect",
+    "tpch_q19_disjunctive_predicates", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q9_product_profit",
+    "tpch_q13_customer_distribution", "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+}
+
+
+def test_driver_window_membership_pinned():
+    from rados_timestore_spark import registry
+
+    window = {n for n, _q in registry._ordered()[:50]}
+    assert window == EXPECTED_WINDOW, (
+        f"unexpected in window: {sorted(window - EXPECTED_WINDOW)}; "
+        f"missing from window: {sorted(EXPECTED_WINDOW - window)}"
+    )
+
+
 def test_driver_window_composition():
     # The external driver verifies only the first 50 registry entries
     # per round (registry.register docstring).  Guard the rotation
@@ -80,14 +123,18 @@ def test_driver_window_composition():
 
 def test_demoted_queries_have_prior_green_or_local_note():
     # Demotion policy (registry.register): only queries that already
-    # have driver evidence may sit past the window; new queries land
-    # at default priority and rotate IN next round, never straight to
-    # demoted.  Enforce the mechanical half: priority>100 entries must
-    # not be bench-tagged (bench queries are the headline set and
-    # must stay driver-visible).
+    # have driver evidence may sit past the window.  Bench-tagged
+    # queries are the headline set and must stay driver-visible:
+    # NO entry past the window may be bench-tagged, regardless of
+    # its priority value (a default-priority bench query squeezed out
+    # by over-promotion is just as invisible as a demoted one —
+    # exactly what the r4 text_lang_id bug caused).
     from rados_timestore_spark import registry
 
     for name, q in registry._ordered()[50:]:
-        assert not (q.priority > 100 and q.bench), (
-            f"{name}: bench-tagged query demoted past the driver window"
+        assert not q.bench, (
+            f"{name}: bench-tagged query outside the driver window"
+        )
+        assert q.priority > 100, (
+            f"{name}: outside the window without an explicit demotion"
         )
