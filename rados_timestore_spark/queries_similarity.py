@@ -37,19 +37,33 @@ from rados_timestore_spark.queries_common import load, load_parallel
 from rados_timestore_spark.registry import register
 
 DIM = 64
-_N_PLANES = 64
-#: Sign-LSH band geometry — a CORPUS-SIZE deployment knob, not a fixed
-#: truth: fixed-width buckets hold ~n/2^bits vectors, so random
-#: candidate pairs grow ~n^2/2^bits (measured: 19.7x wall at 30x
-#: corpus, BENCH_NOTES.md).  At larger corpora raise the bits (and the
-#: band count to hold recall: near-dup recall ~ 1-(1-p^bits)^bands,
-#: p = 1 - theta/pi).  Both the Spark plan AND the DuckDB oracle are
-#: generated from these constants at import, so retuning preserves
-#: oracle parity automatically.  Defaults fit the sf0.01-sf1 fixtures.
-_BAND_BITS = int(os.environ.get("SIM_LSH_BAND_BITS", "8"))
-_N_BANDS = int(os.environ.get("SIM_LSH_BANDS",
-                              str(_N_PLANES // _BAND_BITS)))
+#: Sign-LSH band geometry — AUTO-SCALED from corpus size (r4 verdict:
+#: fixed-width buckets hold ~n/2^bits vectors, so random candidate
+#: pairs grow ~n^2/2^bits; the 30x soak measured 19.7x wall).  Both
+#: sides derive ``bits = clamp(ceil_log2(n), 8, 16)`` over the SAME
+#: corpus with the SAME integer formula (no FP): Spark from a
+#: metadata-cheap ``count()`` at plan time (``_lsh_bits``), the DuckDB
+#: oracle from ``count(*)`` INSIDE the SQL (``length(format('{:b}',
+#: n-1))``) — so one static oracle string stays exact at every sf.
+#: bits >= log2(n) keeps expected random collisions per band <= n
+#: (linear); the band COUNT stays fixed so recall holds
+#: (recall ~ 1-(1-p^bits)^bands, p = 1 - theta/pi) — more planes are
+#: spent instead (bands x bits <= 128).  ``SIM_LSH_BAND_BITS`` pins
+#: the geometry for soak experiments (plan + oracle together).
+_MAX_BITS = 16
+_MIN_BITS = 8
+_N_BANDS = int(os.environ.get("SIM_LSH_BANDS", "8"))
+_N_PLANES = _N_BANDS * _MAX_BITS
+_FIXED_BITS = os.environ.get("SIM_LSH_BAND_BITS")
 _TAU100 = 40             # cosine threshold 0.40
+
+
+def _lsh_bits(n: int) -> int:
+    """clamp(ceil(log2(n)), 8, 16) via integer bit_length — exactly
+    ``least(16, greatest(8, length(format('{:b}', n-1))))`` in DuckDB."""
+    if _FIXED_BITS is not None:
+        return int(_FIXED_BITS)
+    return min(_MAX_BITS, max(_MIN_BITS, (max(n, 2) - 1).bit_length()))
 
 
 def _plane_weights() -> list[list[int]]:
@@ -94,11 +108,6 @@ def _norm_sql(a: str) -> str:
     return f"sqrt({_dot_sql(a, a)})"
 
 
-def _plane_dot(p: int):
-    w = F.array(*[F.lit(x) for x in _PLANES[p]])
-    return _dot(F.col("embedding"), w)
-
-
 # ----------------------------------------- vectorized (Arrow) kernels
 #
 # Higher-order folds (F.aggregate/zip_with) are interpreted, not
@@ -126,34 +135,42 @@ def _cos_seq(a: pd.Series, b: pd.Series) -> pd.Series:  # need a live context at
     return pd.Series(dot / np.sqrt(na) / np.sqrt(nb))
 
 
-_BANDS_SCHEMA = T.StructType(
-    [T.StructField("nn", T.DoubleType())]
-    + [T.StructField(f"band{b}", T.LongType()) for b in range(_N_BANDS)]
-)
+_BANDS_SCHEMA = T.StructType([
+    T.StructField("nn", T.DoubleType()),
+    T.StructField("bandkeys", T.ArrayType(T.LongType())),
+])
 
 
-@F.pandas_udf(_BANDS_SCHEMA)
-def _bands_udf(emb: pd.Series) -> pd.DataFrame:
-    """Norm + 8 sign-LSH band values per vector, one matmul-shaped pass
-    (sequential over dims, vectorized over the batch).  Signs replicate
-    ``_plane_dot(p) >= 0`` bit-for-bit; band packing mirrors
-    ``sum(s_r << r)``."""
-    E = np.stack(emb.to_numpy()).astype(np.float64)
-    n = E.shape[0]
-    w = np.array(_PLANES, dtype=np.float64).T  # (DIM, planes)
-    acc = np.zeros((n, _N_PLANES))
-    nn = np.zeros(n)
-    for i in range(DIM):
-        acc += E[:, i : i + 1] * w[i]
-        nn += E[:, i] * E[:, i]
-    signs = (acc >= 0).astype(np.int64)
-    out = {"nn": np.sqrt(nn)}
-    for b in range(_N_BANDS):
-        bv = np.zeros(n, dtype=np.int64)
-        for r in range(_BAND_BITS):
-            bv += signs[:, b * _BAND_BITS + r] << r
-        out[f"band{b}"] = bv
-    return pd.DataFrame(out)
+def _make_bands_udf(bits: int):
+    """Pandas UDF: norm + ``_N_BANDS`` indexed sign-LSH band keys per
+    vector, one matmul-shaped pass (sequential over dims, vectorized
+    over the batch).  Signs replicate the sequential-fold plane dot
+    ``>= 0`` bit-for-bit; key ``(b << bits) | sum(s_r << r)`` encodes
+    the band INDEX so a flat equi-join on key == "same band, same
+    value".  ``bits`` is chosen per corpus by ``_lsh_bits`` at plan
+    time and baked into the closure."""
+    used = _N_BANDS * bits
+
+    @F.pandas_udf(_BANDS_SCHEMA)
+    def bands(emb: pd.Series) -> pd.DataFrame:
+        E = np.stack(emb.to_numpy()).astype(np.float64)
+        n = E.shape[0]
+        w = np.array(_PLANES[:used], dtype=np.float64).T  # (DIM, used)
+        acc = np.zeros((n, used))
+        nn = np.zeros(n)
+        for i in range(DIM):
+            acc += E[:, i : i + 1] * w[i]
+            nn += E[:, i] * E[:, i]
+        signs = (acc >= 0).astype(np.int64)
+        keys = np.zeros((n, _N_BANDS), dtype=np.int64)
+        for b in range(_N_BANDS):
+            bv = np.zeros(n, dtype=np.int64)
+            for r in range(bits):
+                bv += signs[:, b * bits + r] << r
+            keys[:, b] = (b << bits) | bv
+        return pd.DataFrame({"nn": np.sqrt(nn), "bandkeys": list(keys)})
+
+    return bands
 
 
 def _plane_dot_sql(p: int) -> str:
@@ -218,6 +235,7 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 WHERE rank <= 3
 """,
     tags=("similarity",),
+    priority=900,  # demoted in r5 to refresh the tpch part-1 driver evidence (r4-green; verified locally by tools/check_correctness.py)
 )
 def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN join: 5 broadcast queries x corpus scan, per-query window
@@ -247,23 +265,36 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bands_sql() -> str:
-    dots = ", ".join(
-        f"CASE WHEN {_plane_dot_sql(p)} >= 0 THEN 1 ELSE 0 END AS s{p}"
+    """CTE computing the SAME auto-scaled band keys as the Spark plan.
+
+    ``geo`` derives the per-corpus bit width from ``count(*)`` with the
+    integer formula mirrored by ``_lsh_bits`` (binary-format length ==
+    bit_length — no floating point, so both engines always agree);
+    band keys are then packed DYNAMICALLY with list_transform over the
+    sign array, because the bit width isn't known when this static SQL
+    string is generated."""
+    signs = ", ".join(
+        f"CASE WHEN {_plane_dot_sql(p)} >= 0 THEN 1 ELSE 0 END"
         for p in range(_N_PLANES)
     )
-    bands = ", ".join(
-        "("
-        + " + ".join(
-            f"(s{b * _BAND_BITS + r} << {r})" for r in range(_BAND_BITS)
-        )
-        + f") AS band{b}"
-        for b in range(_N_BANDS)
-    )
+    fixed = (f"SELECT {int(_FIXED_BITS)} AS bits" if _FIXED_BITS is not None
+             else f"""SELECT least({_MAX_BITS}, greatest({_MIN_BITS},
+               length(format('{{:b}}',
+                 greatest((SELECT count(*) FROM embeddings), 2) - 1))))
+               AS bits""")
     return f"""
-signs AS (SELECT vec_id, {dots},
+geo AS ({fixed}),
+signs AS (SELECT vec_id, [{signs}] AS s,
                  {_norm_sql("embedding")} AS nn, embedding
           FROM embeddings),
-banded AS (SELECT vec_id, nn, embedding, {bands} FROM signs)
+banded AS (
+  SELECT vec_id, nn, embedding,
+         list_transform(generate_series(0, {_N_BANDS - 1}), b ->
+           (b << bits) | list_sum(list_transform(
+              generate_series(0, bits - 1),
+              r -> s[b * bits + r + 1] * (1 << r))))
+           AS bandkeys
+  FROM signs, geo)
 """
 
 
@@ -275,7 +306,7 @@ pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          {_dot_sql("a.embedding", "b.embedding")} / (a.nn * b.nn) AS cos
   FROM banded a JOIN banded b ON a.vec_id < b.vec_id
-  WHERE {" OR ".join(f"a.band{b} = b.band{b}" for b in range(_N_BANDS))}
+  WHERE list_has_any(a.bandkeys, b.bandkeys)
 )
 SELECT vec_a, vec_b, cos FROM pairs
 WHERE cos * 100 >= {_TAU100}
@@ -284,36 +315,36 @@ WHERE cos * 100 >= {_TAU100}
     bench=True,
 )
 def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs: candidates from 8x8-bit
-    random-hyperplane sign bands (equi-join on band value — linear
-    shuffle; 8-bit bands keep random collisions near 1/256 per band so
-    the candidate set stays ~linear), exact cosine >= 0.40 verify on
-    candidates only.  The oracle brute-forces the identical
-    shared-band AND cosine definition, so results match exactly."""
+    """Embedding-cosine near-dup pairs: candidates from random-
+    hyperplane sign bands (equi-join on indexed band key — linear
+    shuffle), exact cosine >= 0.40 verify on candidates only.  The
+    band WIDTH auto-scales with the corpus: bits = clamp(ceil_log2(n),
+    8, 16) keeps expected random collisions per band <= n at any
+    corpus size (the r4 soak measured 19.7x wall at 30x with the old
+    fixed 8-bit geometry), while the band count stays fixed so recall
+    holds.  The oracle derives the identical geometry from count(*)
+    inside the SQL, so results match exactly at every sf."""
     emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    # Plan-time corpus probe: a count() over the parquet scan (column-
+    # pruned to metadata; negligible vs the plane pass) picks the band
+    # geometry exactly as the oracle's count(*) does.
+    bits = _lsh_bits(emb.count())
+    bands_udf = _make_bands_udf(bits)
     # banded feeds candidate generation AND both verify sides — persist
     # so the Arrow-batched plane pass runs once, not three times.
-    banded = emb.withColumn("__bs", _bands_udf("embedding")).select(
+    banded = emb.withColumn("__bs", bands_udf("embedding")).select(
         "vec_id", "embedding", F.col("__bs.nn").alias("nn"),
-        *[F.col(f"__bs.band{b}").alias(f"band{b}") for b in range(_N_BANDS)],
+        F.col("__bs.bandkeys").alias("bandkeys"),
     ).persist()
 
     bands_long = banded.select(
-        "vec_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"),
-                         F.col(f"band{b}").alias("bval"))
-                for b in range(_N_BANDS)
-            ])
-        ).alias("bb"),
-    ).select("vec_id", "bb.band", "bb.bval")
+        "vec_id", F.explode("bandkeys").alias("bandkey")
+    )
     cand = (
         bands_long.alias("x")
         .join(
             bands_long.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bval") == F.col("y.bval"))
+            (F.col("x.bandkey") == F.col("y.bandkey"))
             & (F.col("x.vec_id") < F.col("y.vec_id")),
         )
         .select(
