@@ -2,14 +2,16 @@
 metadata, decode/feature-extract/frame-sample plumbing as Arrow-batched
 Pandas UDFs (BASELINE.json north star).
 
-The container has no image/audio libraries, so the *real* decoders are
-stubbed behind ``NotImplementedError`` (see :func:`decode_image_real`);
-everything Spark-side — schema, batch shape, partitioning, UDF
-signatures, binary slicing — is real and driver-checked.  Payload
-bytes are synthesized deterministically from ``documents.text``
-(UTF-8, pure ASCII — verified), so DuckDB oracles the binary plumbing
-on the VARCHAR side (its md5/substring don't take BLOB): char ops
-equal byte ops exactly for this corpus.
+:func:`decode_image_real` is a REAL dependency-free decoder (binary/
+ASCII PPM+PGM and uncompressed BMP, parsed byte-for-byte — no pillow
+needed; JPEG/PNG would slot into the same contract once codec libs
+exist).  :func:`mm_decode_ppm` drives it over genuine P6 payloads with
+an exact oracle; the md5-based :func:`fake_decode` remains the default
+for the plumbing-only queries.  Payload bytes are synthesized
+deterministically from ``documents.text`` (UTF-8, pure ASCII —
+verified), so DuckDB oracles the binary plumbing on the VARCHAR side
+(its md5/substring don't take BLOB): char ops equal byte ops exactly
+for this corpus.
 
 Scale notes: binary columns ride Parquet natively (no pointer/offset
 machinery — SURVEY.md §1.7); decode stages are ``mapInPandas`` over
@@ -239,15 +241,152 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pnm_header_tokens(payload: bytes, count: int) -> tuple[list[int], int]:
+    """Parse ``count`` whitespace-separated integer tokens after a PNM
+    magic, honoring ``#`` comments; returns (tokens, offset-past-the-
+    single-whitespace-after-the-last-token) per the PNM spec."""
+    toks: list[int] = []
+    i = 2  # past the 2-byte magic
+    n = len(payload)
+    while len(toks) < count:
+        while i < n and payload[i : i + 1].isspace():
+            i += 1
+        if i < n and payload[i] == 0x23:  # '#' comment to end of line
+            while i < n and payload[i] not in (0x0A, 0x0D):
+                i += 1
+            continue
+        j = i
+        while j < n and payload[j : j + 1].isdigit():
+            j += 1
+        if j == i:
+            raise ValueError(f"bad PNM header near byte {i}")
+        toks.append(int(payload[i:j]))
+        i = j
+    if i >= n or not payload[i : i + 1].isspace():
+        raise ValueError("PNM header not terminated by whitespace")
+    return toks, i + 1  # exactly ONE whitespace before binary raster
+
+
 def decode_image_real(payload: bytes) -> dict:
-    """REAL image decode — requires pillow, which this container does
-    not ship.  Same contract as :func:`fake_decode`; pass it straight
-    to ``mm_feature_extract(..., decoder=decode_image_real)`` once the
-    environment has the codec libraries."""
-    raise NotImplementedError(
-        "image decoding requires pillow/ffmpeg; implement this body "
-        "(PIL.Image.open(io.BytesIO(payload)) -> size/mode) and pass "
-        "decoder=decode_image_real to mm_feature_extract"
+    """REAL dependency-free image decode: PPM/PGM binary (P6/P5), PPM/
+    PGM ASCII (P3/P2), and uncompressed BI_RGB BMP — all parsed from
+    the actual bytes, no pillow needed.  Same contract as
+    :func:`fake_decode` (width/height/channels/feat_hash, feat_hash =
+    md5 of the raw raster bytes), so it drops straight into
+    ``mm_feature_extract(..., decoder=decode_image_real)``;
+    :func:`mm_decode_ppm` drives it over real P6 payloads with an
+    exact DuckDB oracle."""
+    import hashlib
+    import struct
+
+    magic = bytes(payload[:2])
+    if magic in (b"P2", b"P3", b"P5", b"P6"):
+        channels = 3 if magic in (b"P3", b"P6") else 1
+        (w, h, maxval), off = _pnm_header_tokens(payload, 3)
+        if maxval <= 0 or maxval > 255:
+            raise ValueError(f"unsupported PNM maxval {maxval}")
+        need = w * h * channels
+        if magic in (b"P5", b"P6"):
+            pix = bytes(payload[off : off + need])
+            if len(pix) != need:
+                raise ValueError(
+                    f"truncated raster: want {need}, got {len(pix)}"
+                )
+        else:  # ASCII samples
+            vals = bytes(payload[off - 1 :]).split()
+            if len(vals) < need:
+                raise ValueError(
+                    f"truncated ASCII raster: want {need}, got {len(vals)}"
+                )
+            pix = bytes(int(v) for v in vals[:need])
+    elif magic == b"BM":
+        if len(payload) < 54:
+            raise ValueError("truncated BMP header")
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        w, h = struct.unpack_from("<ii", payload, 18)
+        bpp, compression = struct.unpack_from("<HI", payload, 28)
+        if compression != 0 or bpp not in (8, 24, 32):
+            raise ValueError(f"unsupported BMP (bpp={bpp}, "
+                             f"compression={compression})")
+        channels = bpp // 8
+        h = abs(h)
+        # rows are padded to 4-byte boundaries in the file
+        stride = (w * channels + 3) & ~3
+        need = stride * h
+        pix = bytes(payload[data_off : data_off + need])
+        if len(pix) != need:
+            raise ValueError(f"truncated raster: want {need}, "
+                             f"got {len(pix)}")
+    else:
+        raise ValueError(f"unsupported image magic {magic!r}")
+    return {
+        "width": int(w),
+        "height": int(h),
+        "channels": channels,
+        "feat_hash": hashlib.md5(pix).hexdigest()[:8],
+    }
+
+
+#: mm_decode_ppm geometry: width/height derived from the byte length so
+#: the oracle can reproduce the raster without parsing any binary.
+_PPM_W_MOD, _PPM_H_MOD = 31, 17
+
+
+@register(
+    "mm_decode_ppm",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         octet_length(encode(text)) % {_PPM_W_MOD} + 1 AS w,
+         octet_length(encode(text)) % {_PPM_H_MOD} + 2 AS h
+  FROM documents),
+p AS (
+  SELECT doc_id, w, h, w * h * 3 AS pl,
+         substr(repeat(text, ((w * h * 3 + n - 1) // n)::INT),
+                1, w * h * 3) AS pix
+  FROM g)
+SELECT doc_id,
+       3 + length(w::VARCHAR) + 1 + length(h::VARCHAR) + 5 + pl
+         AS n_bytes,
+       w AS width, h AS height, 3 AS channels,
+       substr(md5(pix), 1, 8) AS feat_hash
+FROM p
+""",
+    tags=("multimodal",),
+    priority=90,  # new in r5 — promoted for first driver evidence
+)
+def mm_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, end to end: build an actual binary P6 PPM per
+    document JVM-side (header + raster bytes from the doc text, sized
+    by deterministic formulas), then stream the payloads through
+    :func:`decode_image_real` via the standard ``mapInPandas`` feature
+    extractor.  The decoder parses the real bytes (magic, dimensions,
+    maxval, raster) — nothing about the construction formulas leaks
+    into it — while the oracle recomputes width/height/raster-md5 from
+    the formulas alone, verifying the decode exactly.  Scale shape is
+    identical to :func:`mm_feature_extract`: executor-local Arrow
+    batches, no shuffle, no driver involvement."""
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
+    n = F.octet_length("text")
+    sized = docs.select(
+        "doc_id", "text", n.alias("n"),
+        (n % _PPM_W_MOD + 1).alias("w"),
+        (n % _PPM_H_MOD + 2).alias("h"),
+    )
+    # raster = first w*h*3 bytes of the text cycled (ceil-div repeat
+    # count, mirrored exactly by the oracle's (pl + n - 1) // n)
+    pix = F.expr("substring(repeat(text, CAST((w * h * 3 + n - 1) "
+                 "DIV n AS INT)), 1, w * h * 3)")
+    payload = F.encode(
+        F.concat(
+            F.lit("P6\n"), F.col("w").cast("string"), F.lit(" "),
+            F.col("h").cast("string"), F.lit("\n255\n"), pix,
+        ),
+        "UTF-8",
+    )
+    p = sized.select("doc_id", payload.alias("payload"))
+    return p.mapInPandas(
+        make_feature_extractor(decode_image_real), _FEATURES_DDL
     )
 
 

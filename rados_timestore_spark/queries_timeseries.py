@@ -277,7 +277,7 @@ SELECT CAST(floor(value / 5) AS BIGINT) AS bucket, count(*) AS n,
 FROM ev GROUP BY 1
 """,
     tags=("timeseries", "agg"),
-    priority=96,  # re-promoted in r5 to refresh r2/r3-era driver evidence
+    priority=900,  # was re-promoted early in r5, swapped back out for the new mm_decode_ppm (r2-green; verified locally by tools/check_correctness.py)
 )
 def ts_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width value histogram — one hash aggregate; min/max

@@ -42,8 +42,95 @@ def test_feature_extract_default_is_fake_decode(spark):
     assert row.feat_hash == expect
 
 
-def test_decode_image_real_is_an_explicit_stub():
+def _md5_8(b: bytes) -> str:
+    import hashlib
+
+    return hashlib.md5(b).hexdigest()[:8]
+
+
+def test_decode_real_ppm_p6():
     from rados_timestore_spark.queries_multimodal import decode_image_real
 
-    with pytest.raises(NotImplementedError):
-        decode_image_real(b"\x89PNG")
+    raster = bytes(range(2 * 3 * 3))  # 2x3 RGB
+    d = decode_image_real(b"P6\n2 3\n255\n" + raster)
+    assert d == {"width": 2, "height": 3, "channels": 3,
+                 "feat_hash": _md5_8(raster)}
+
+
+def test_decode_real_ppm_header_comments_and_whitespace():
+    from rados_timestore_spark.queries_multimodal import decode_image_real
+
+    raster = bytes(range(6))
+    payload = b"P6 # magic comment\n# full line\n 2\t1 # w h\n255 " + raster
+    d = decode_image_real(payload)
+    assert (d["width"], d["height"], d["channels"]) == (2, 1, 3)
+    assert d["feat_hash"] == _md5_8(raster)
+
+
+def test_decode_real_pgm_p5_grayscale():
+    from rados_timestore_spark.queries_multimodal import decode_image_real
+
+    raster = bytes([9, 8, 7, 6])
+    d = decode_image_real(b"P5\n4 1\n255\n" + raster)
+    assert (d["width"], d["height"], d["channels"]) == (4, 1, 1)
+    assert d["feat_hash"] == _md5_8(raster)
+
+
+def test_decode_real_ascii_p3():
+    from rados_timestore_spark.queries_multimodal import decode_image_real
+
+    # 1x2 RGB, ASCII samples; raster hash is over the DECODED bytes
+    d = decode_image_real(b"P3\n1 2\n255\n10 20 30\n40 50 60\n")
+    assert (d["width"], d["height"], d["channels"]) == (1, 2, 3)
+    assert d["feat_hash"] == _md5_8(bytes([10, 20, 30, 40, 50, 60]))
+
+
+def test_decode_real_bmp_24bit():
+    import struct
+
+    from rados_timestore_spark.queries_multimodal import decode_image_real
+
+    w, h = 2, 2
+    stride = (w * 3 + 3) & ~3  # 8 bytes: 6 pixel + 2 pad
+    raster = bytes(range(stride * h))
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(raster), 0, 0, 0, 0))
+    d = decode_image_real(header + raster)
+    assert (d["width"], d["height"], d["channels"]) == (2, 2, 3)
+    assert d["feat_hash"] == _md5_8(raster)
+
+
+def test_decode_real_rejects_garbage_and_truncation():
+    from rados_timestore_spark.queries_multimodal import decode_image_real
+
+    with pytest.raises(ValueError, match="magic"):
+        decode_image_real(b"\x89PNG\r\n")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image_real(b"P6\n4 4\n255\n\x00\x01")  # raster too short
+    with pytest.raises(ValueError, match="maxval"):
+        decode_image_real(b"P6\n1 1\n65535\n\x00\x00\x00")
+
+
+def test_feature_extract_with_real_decoder_on_real_ppm(spark):
+    """mm_feature_extract(decoder=decode_image_real) over REAL P6
+    payloads — the full Spark path (Arrow batches through mapInPandas),
+    not just the pure-Python decoder."""
+    import pandas as pd
+
+    from rados_timestore_spark.queries_multimodal import (
+        _FEATURES_DDL, decode_image_real, make_feature_extractor)
+
+    raster = bytes(range(12))  # 2x2 RGB
+    payload = b"P6\n2 2\n255\n" + raster
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "payload": [payload, payload]})
+    )
+    rows = df.mapInPandas(
+        make_feature_extractor(decode_image_real), _FEATURES_DDL
+    ).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert (r.width, r.height, r.channels) == (2, 2, 3)
+        assert r.feat_hash == _md5_8(raster)
+        assert r.n_bytes == len(payload)
