@@ -219,6 +219,101 @@ def streaming_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_asof_exact",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS t FROM events),
+p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+v AS (SELECT * FROM ev WHERE event_type = 'view'),
+m AS (
+  SELECT p.event_id AS purchase_id, p.user_id, p.t AS purchase_t,
+         v.event_id AS view_id, v.t AS view_t,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY v.t DESC, v.event_id DESC) AS rk
+  FROM p JOIN v ON p.user_id = v.user_id
+   AND v.t <= p.t AND p.t - v.t <= {_ASOF_HORIZON_US})
+SELECT purchase_id, user_id, purchase_t, view_id, view_t
+FROM m WHERE rk = 1
+""",
+    tags=("streaming", "join", "asof"),
+    priority=90,  # new in r5 — promoted for first driver evidence
+)
+def streaming_asof_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-exact streaming as-of join end-to-end, delivered in
+    MULTIPLE micro-batches (3 unordered data files + a later-mtime
+    flush file, maxFilesPerTrigger=1): purchases finalize only after
+    the per-key frontier passes their lateness bound, so views landing
+    in later batches — including ones that IMPROVE an interim match —
+    are incorporated before the single emission, and the sink equals
+    the batch as-of join exactly (same oracle as streaming_asof_join).
+
+    The lateness bound here is the fixture's event-time span (every
+    real row may arrive in any batch), and per-key flush sentinels
+    (t past every bound) model the end-of-stream watermark advance
+    that finalizes the tail; a live deployment sets a real bound and
+    omits the flush.  State per key stays <= delay + horizon of event
+    time (windows._asof_update_exact)."""
+    import glob
+    import os
+    import time as _time
+
+    from rados_timestore_spark.queries_common import event_us, load
+    from rados_timestore_spark.streaming.windows import stream_asof_join_exact
+
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        event_us(ev).alias("t"),
+        "event_id",
+        "event_type",
+    )
+    lo, hi = pts.agg(F.min("t"), F.max("t")).collect()[0]
+    delay_us = int(hi) - int(lo) + 1
+    work = tempfile.mkdtemp(prefix="ts_stream_asofx_")
+    src, out, ck = f"{work}/src", f"{work}/out", f"{work}/ck"
+    pts.repartition(3).write.parquet(src)
+    # Flush sentinels: one per key, event_type '__flush__', t beyond
+    # every real row's t + delay; written as a SECOND commit whose
+    # files get a strictly later mtime, so the file source (ordered by
+    # modification time) delivers them in the final micro-batch(es).
+    sent_t = int(hi) + delay_us + 1
+    before = set(glob.glob(f"{src}/part-*.parquet"))
+    pts.select("user_id").distinct().select(
+        "user_id", F.lit(sent_t).alias("t"),
+        F.lit(-1).alias("event_id"), F.lit("__flush__").alias("event_type"),
+    ).coalesce(1).write.mode("append").parquet(src)
+    # data-file mtimes may tie at fs granularity (fine: with the full
+    # span as the lateness bound nothing finalizes early), but the
+    # sentinel file must sort strictly LAST — set its mtime explicitly
+    bump = _time.time() + 60
+    for f in set(glob.glob(f"{src}/part-*.parquet")) - before:
+        os.utime(f, (bump, bump))
+
+    with _few_state_partitions(spark):
+        stream = (
+            spark.readStream.schema(pts.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        purchases = stream.filter(F.col("event_type") == "purchase")
+        views = stream.filter(F.col("event_type") == "view")
+        flush = stream.filter(F.col("event_type") == "__flush__")
+        q = (
+            stream_asof_join_exact(
+                purchases, views, horizon_us=_ASOF_HORIZON_US,
+                delay_us=delay_us, flush=flush,
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.read.parquet(out)
+
+
+@register(
     "streaming_rollup_hourly",
     oracle=f"""
 WITH pts AS (

@@ -202,7 +202,7 @@ SELECT doc_id,
 FROM documents
 """,
     tags=("text",),
-    priority=96,  # re-promoted in r5 to refresh r2/r3-era driver evidence
+    priority=900,  # was re-promoted early in r5, swapped back out for the new streaming_asof_exact (r2/r3-green; verified locally by tools/check_correctness.py)
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: 60-bit integer fingerprint from the

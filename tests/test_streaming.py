@@ -348,3 +348,128 @@ def test_stream_asof_join_right_side_late(spark, tmp_path):
         (32, 1, 600, 12, 500),
         # user 2's view is beyond the horizon; user 3 has none.
     ]
+
+
+def _write_batches(spark, tmp_path, batches, schema):
+    """One parquet file per batch with strictly increasing mtimes, so
+    the file source (ordered by modification time, maxFilesPerTrigger=1)
+    delivers them as separate chronological micro-batches."""
+    import glob
+    import os
+    import shutil
+    import time as _t
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    now = _t.time()
+    for i, rows in enumerate(batches):
+        tmp = str(tmp_path / f"w{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dest = f"{src}/b{i}.parquet"
+        shutil.move(part, dest)
+        os.utime(dest, (now + i, now + i))
+    return src
+
+
+def test_stream_asof_exact_late_better_view_is_incorporated(
+        spark, tmp_path):
+    # THE r4 residual (VERDICT item 4): a right row arriving one batch
+    # late that IMPROVES on a match the eager operator would already
+    # have emitted.  The exact variant must end with the batch-oracle
+    # answer: purchase@200 matches view@150 (the late, better one),
+    # not view@100.
+    from rados_timestore_spark.streaming.windows import (
+        stream_asof_join, stream_asof_join_exact)
+
+    schema = "user_id long, t long, event_id long, event_type string"
+    batches = [
+        # batch 0: an early view and the purchase — an eager join
+        # emits (purchase@200 -> view@100) here
+        [(1, 100, 10, "view"), (1, 200, 31, "purchase")],
+        # batch 1: the better view, one batch late (t=150 <= 200)
+        [(1, 150, 11, "view")],
+        # batch 2: flush — frontier past purchase.t + delay
+        [(1, 10_000, -1, "__flush__")],
+    ]
+    src = _write_batches(spark, tmp_path, batches, schema)
+
+    def run(joined, out_name):
+        out = str(tmp_path / out_name)
+        q = (
+            joined.writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"ck_{out_name}"))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+        return sorted(
+            (r.purchase_id, r.view_id, r.view_t)
+            for r in spark.read.parquet(out).collect()
+        )
+
+    def sources():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        return (stream.filter(F.col("event_type") == "purchase"),
+                stream.filter(F.col("event_type") == "view"),
+                stream.filter(F.col("event_type") == "__flush__"))
+
+    # exact variant: the late better view wins — batch-oracle answer
+    p, v, fl = sources()
+    got = run(stream_asof_join_exact(p, v, horizon_us=1000,
+                                     delay_us=500, flush=fl), "out_exact")
+    assert got == [(31, 11, 150)]
+
+    # the eager operator demonstrates the gap being closed: it already
+    # emitted the inferior match before the better view arrived
+    p, v, _fl = sources()
+    eager = run(stream_asof_join(p, v, horizon_us=1000), "out_eager")
+    assert eager == [(31, 10, 100)]
+
+
+def test_stream_asof_exact_unmatched_and_horizon_rules(spark, tmp_path):
+    # Same scenario matrix as the eager operator's tests: >=/largest-id
+    # ties, horizon exclusion, keys with no views — all under delayed
+    # finalization, plus a purchase whose ONLY views arrive later.
+    from rados_timestore_spark.streaming.windows import stream_asof_join_exact
+
+    schema = "user_id long, t long, event_id long, event_type string"
+    batches = [
+        [(1, 100, 31, "purchase"), (2, 5000, 33, "purchase"),
+         (3, 700, 34, "purchase")],
+        [(1, 100, 10, "view"), (1, 100, 11, "view"), (2, 50, 20, "view")],
+        [(1, 600, 32, "purchase"), (1, 500, 12, "view")],
+        [(1, 50_000, -1, "__flush__"), (2, 50_000, -1, "__flush__"),
+         (3, 50_000, -1, "__flush__")],
+    ]
+    src = _write_batches(spark, tmp_path, batches, schema)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = str(tmp_path / "out")
+    q = (
+        stream_asof_join_exact(
+            stream.filter(F.col("event_type") == "purchase"),
+            stream.filter(F.col("event_type") == "view"),
+            horizon_us=1000, delay_us=10_000,
+            flush=stream.filter(F.col("event_type") == "__flush__"),
+        )
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r.purchase_id, r.user_id, r.purchase_t, r.view_id, r.view_t)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [
+        # purchase@100: equal-t views arrived later; largest id wins
+        (31, 1, 100, 11, 100),
+        # purchase@600 matches latest view <= 600 from a mixed batch
+        (32, 1, 600, 12, 500),
+        # user 2: view 4950us back — beyond horizon; user 3: none
+    ]
