@@ -531,26 +531,74 @@ def _mh_banded_spark(sig: DataFrame) -> DataFrame:
     ).select("doc_id", "bb.band", "bb.bkey")
 
 
-#: Hot-bucket cap for LSH candidate generation: a band bucket with
-#: hundreds of members is a degenerate band (e.g. near-empty documents
-#: sharing trivial signatures) and contributes O(k^2) candidate pairs
-#: while carrying almost no signal — the skew-handling analog of
-#: stop-shingle removal.  Cap bounds every join bucket.
+#: Hot-bucket salting threshold for LSH candidate generation: a band
+#: bucket with k > cap members contributes O(k^2) candidate pairs and,
+#: as ONE join bucket, lands that k^2 on a single task — the classic
+#: skew straggler.  r4 DROPPED such buckets (lossy: pairs sharing only
+#: a hot band were silently never candidates); r5 SALTS them instead
+#: (``_salted_candidates``): members split into g = ceil(k/cap)
+#: deterministic sub-groups and every sub-group PAIR becomes its own
+#: join bucket, so all k^2 pairs are still generated but no task sees
+#: more than ~2*cap rows.  Lossless — the cap is now purely a
+#: physical parallelism knob, and the oracle needs no cap mirror.
 _LSH_BUCKET_CAP = 200
 
-#: Long-format band table + capped-bucket filter, as DuckDB CTEs
-#: (mirrors ``_mh_banded_spark`` + the hot-bucket cap).
-_MH_BL_CTES = f"""
+#: Long-format band table as a DuckDB CTE (mirrors
+#: ``_mh_banded_spark``).  No cap filter: salting makes candidate
+#: generation exactly "every pair sharing a band", which is what this
+#: oracle brute-forces.
+_MH_BL_CTES = """
 bl AS (
   SELECT doc_id, 0 AS band, band0 AS bkey FROM banded
   UNION ALL SELECT doc_id, 1, band1 FROM banded
   UNION ALL SELECT doc_id, 2, band2 FROM banded
   UNION ALL SELECT doc_id, 3, band3 FROM banded
-),
-ok AS (SELECT band, bkey FROM bl GROUP BY band, bkey
-       HAVING count(*) <= {_LSH_BUCKET_CAP}),
-blc AS (SELECT bl.* FROM bl JOIN ok USING (band, bkey))
+)
 """
+
+
+def _salted_candidates(bands: DataFrame) -> DataFrame:
+    """Candidate pairs ``(doc_a, doc_b)`` sharing >= 1 (band, bkey) —
+    ALL of them, with hot buckets salted for skew.
+
+    Each member of a bucket of size k gets sub-group ``gd = doc_id %
+    g`` (g = ceil(k/cap)) and is replicated under every join key
+    ``(band, bkey, min(gd, t), max(gd, t))`` for t in [0, g): any two
+    members a, b then share exactly the key ``(.., min(ga,gb),
+    max(ga,gb))``, so every within-bucket pair survives — triangle
+    partitioning of the k x k self-join into g(g+1)/2 bounded tasks.
+    Buckets at or under the cap have g = 1 (single key, zero
+    replication), so the common case pays nothing."""
+    sizes = bands.groupBy("band", "bkey").agg(F.count("*").alias("k"))
+    salted = (
+        bands.join(sizes, ["band", "bkey"])
+        .withColumn(
+            "g",
+            F.expr(f"(k + {_LSH_BUCKET_CAP - 1}) DIV {_LSH_BUCKET_CAP}"))
+        .withColumn("gd", F.col("doc_id") % F.col("g"))
+        .withColumn("t", F.explode(F.sequence(F.lit(0), F.col("g") - 1)))
+        .select(
+            "doc_id", "band", "bkey",
+            F.least("gd", "t").alias("si"),
+            F.greatest("gd", "t").alias("sj"),
+        )
+    )
+    return (
+        salted.alias("x")
+        .join(
+            salted.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.si") == F.col("y.si"))
+            & (F.col("x.sj") == F.col("y.sj"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
 
 
 #: Max verified-edge count for driver-side union-find — 4M (long,
@@ -663,7 +711,7 @@ WITH RECURSIVE {_MH_CTES},
 {_MH_BL_CTES},
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-  FROM blc x JOIN blc y
+  FROM bl x JOIN bl y
     ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
 ),
 edges AS (
@@ -695,10 +743,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup clustering, FULL oracle.
 
     shingle -> 16 md5-derived 60-bit minhashes -> 4 bands of 4 ->
-    hot-bucket cap -> band-bucket equi-join for candidates -> exact
-    Jaccard verify (integer test, >= 0.4) -> connected components by
-    iterative min-id propagation.  Every stage is an equi-join or
-    aggregate on bounded keys; nothing is quadratic in documents.
+    salted band-bucket equi-join for candidates (hot buckets split
+    into bounded sub-group pairs — lossless, see
+    :func:`_salted_candidates`) -> exact Jaccard verify (integer
+    test, >= 0.4) -> connected components by iterative min-id
+    propagation.  Every stage is an equi-join or aggregate on bounded
+    keys; nothing lands quadratic work on one task.
 
     Every stage up to the edge set is bit-identical in DuckDB; the
     oracle then computes the same components via a recursive-CTE
@@ -713,24 +763,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (banding); persisted once for all consumers.
     sh = _mh_sig_docs(spark, sf_dir).persist()
     bands = _mh_banded_spark(sh).persist()
-    ok = bands.groupBy("band", "bkey").agg(
-        F.count("*").alias("k")
-    ).filter(F.col("k") <= _LSH_BUCKET_CAP).select("band", "bkey")
-    capped = bands.join(ok, ["band", "bkey"])
-    cand = (
-        capped.alias("x")
-        .join(
-            capped.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bkey") == F.col("y.bkey"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
+    cand = _salted_candidates(bands)
 
     # Exact verify on candidates only (integer Jaccard >= 0.4).
     common = (
@@ -793,23 +826,12 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join candidates, exact Jaccard >= 0.4 verify on the complete
     shingle sets.  Same banding math as dedup_minhash_lsh but every
     stage is cross-engine reproducible, so the driver hash-checks the
-    whole LSH pipeline rather than rows-only."""
+    whole LSH pipeline rather than rows-only.  Candidates come from
+    the salted band join (:func:`_salted_candidates`) so a hot bucket
+    never lands its k^2 pairs on one task."""
     sh = _mh_sig_docs(spark, sf_dir).persist()
     bands = _mh_banded_spark(sh)
-    cand = (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bkey") == F.col("y.bkey"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
+    cand = _salted_candidates(bands)
     j = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"),
                             F.col("hs").alias("sh_a")), "doc_a")
