@@ -180,3 +180,67 @@ def test_lifecycle_law(spark, tmp_path_factory, ops):
             store.gc("NS")
         else:
             check_read()
+
+
+def test_spark_matches_model(spark, tmp_path):
+    """Pin the pure store model (tests/store_model.py — where the laws
+    run at QuickCheck scale) to the REAL engine: one mixed workload
+    through both, comparing reads, watermarks, and the KV view."""
+    from tests.store_model import PureKV, PureStore
+
+    chunks = [
+        # mixed parity, duplicate (addr, time) keys across chunks,
+        # high-Word64 addresses, boundary times
+        [(2, 5, 100, None), (3, 5, None, b"a"), (2, 5, 999, None),
+         (-2, 50, 7, None)],
+        [(2, 5, 555, None), (2, 9, 101, None), (3, 5, None, b"b"),
+         (-(1 << 62) | 1, 0, None, b"hi")],
+        [(1 << 40, 31, 8, None), (3, 7, None, b"c"), (2, 31, 9, None)],
+    ]
+    model = PureStore()
+    model.register_namespace("NS")
+    store = TimeStore(spark, str(tmp_path / "s"))
+    store.register_namespace("NS", buckets=8)
+    for i, c in enumerate(chunks):
+        rows = [(a, t, v, None if p is None else bytearray(p),
+                 (i << 32) + j) for j, (a, t, v, p) in enumerate(c)]
+        model.write_points("NS", rows)
+        df = spark.createDataFrame(
+            rows,
+            "address long, time long, value long, payload binary, seq long",
+        )
+        store.write_points("NS", df)
+
+    addrs = sorted({a for c in chunks for a, *_ in c})
+    for lo, hi in [(0, 1 << 62), (5, 31), (6, 6), (51, 60)]:
+        got_s = sorted(
+            (r.address, r.time, r.value)
+            for r in store.read_simple("NS", lo, hi, addrs).collect()
+        )
+        assert got_s == [r[:3] for r in
+                         model.read_simple("NS", lo, hi, addrs)]
+        got_e = sorted(
+            (r.address, r.time, bytes(r.payload))
+            for r in store.read_extended("NS", lo, hi, addrs).collect()
+        )
+        assert got_e == [r[:3] for r in
+                         model.read_extended("NS", lo, hi, addrs)]
+    assert store.latest("NS") == model.latest("NS")
+    assert store.read_simple("NS", 0, 1 << 62, []).count() == 0
+
+    # KV agreement: same insert/insert_with sequence on both.
+    from rados_timestore_spark.mutable import MutableKV
+
+    kv_m = PureKV(model, "KV")
+    kv_s = MutableKV(store, "KV")
+    seqops = [(4, b"x"), (6, b"y"), (4, b"z"), (20, b"q"), (4, b"w")]
+    for k, v in seqops:
+        kv_m.insert(k, v)
+        kv_s.insert(k, v)
+    merge = (lambda new, old: old + new)
+    kv_m.insert_with(merge, 4, b"!")
+    kv_s.insert_with(merge, 4, b"!")
+    got_kv = {r.key: bytes(r.value) for r in kv_s.enumerate().collect()}
+    assert got_kv == kv_m.enumerate()
+    for k in (4, 6, 20, 99):
+        assert kv_s.lookup(k) == kv_m.lookup(k)
