@@ -46,7 +46,47 @@ SOAK_QUERIES = (
     "text_word_freq",
 )
 
+#: Engine-core queries over the events table (VERDICT r4 item 8):
+#: the bench-tagged store/timeseries set.  ``SOAK_FAMILY=ts`` runs
+#: these instead of the documents/embeddings set.
+SOAK_TS_QUERIES = (
+    "ts_read_simple",
+    "ts_dedup_first_wins",
+    "ts_latest_per_key",
+    "ts_store_roundtrip",
+    "ts_asof_join",
+    "ts_rollup_hourly",
+)
+
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def build_events(spark, out_dir: str) -> None:
+    """~COPIES x events preserving statistical structure: copy k keeps
+    every timestamp (per-user time densities, window/epoch populations
+    unchanged) but shifts user_id by k*n_users and event_id by
+    k*n_events — COPIES independent user populations over the same
+    time range, i.e. an honest horizontal scale-up of the fixture."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    n_users = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    n_events = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    parts = []
+    for k in range(COPIES):
+        parts.append(ev.select(
+            (F.col("event_id") + F.lit(k * n_events)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.lit(k * n_users)).alias("user_id"),
+            *[c for c in ev.columns
+              if c not in ("event_id", "ts", "user_id")],
+        ))
+    allev = parts[0]
+    for p in parts[1:]:
+        allev = allev.unionByName(p)
+    os.makedirs(out_dir, exist_ok=True)
+    allev.repartition(8).write.mode("overwrite") \
+        .parquet(f"{out_dir}/events.parquet")
 
 
 def build_corpus(spark, out_dir: str) -> None:
@@ -95,12 +135,12 @@ def build_corpus(spark, out_dir: str) -> None:
         .parquet(f"{out_dir}/embeddings.parquet")
 
 
-def time_queries(spark, sf_dir: str) -> dict[str, float]:
+def time_queries(spark, sf_dir: str, names=SOAK_QUERIES) -> dict[str, float]:
     from rados_timestore_spark import registry
 
     qs = registry.queries()
     out = {}
-    for name in SOAK_QUERIES:
+    for name in names:
         fn = qs[name]
         best = None
         for _ in range(2):
@@ -130,17 +170,23 @@ def main() -> None:
     spark.range(1000, numPartitions=32) \
         .select(F.pandas_udf(_warm, "long")("id")).count()
 
-    if not os.path.exists(f"{out_dir}/documents.parquet"):
-        print("# building 10x corpus ...", file=sys.stderr)
+    family = os.environ.get("SOAK_FAMILY", "llm")
+    names = SOAK_TS_QUERIES if family == "ts" else SOAK_QUERIES
+    if family == "ts":
+        if not os.path.exists(f"{out_dir}/events.parquet"):
+            print(f"# building {COPIES}x events ...", file=sys.stderr)
+            build_events(spark, out_dir)
+    elif not os.path.exists(f"{out_dir}/documents.parquet"):
+        print(f"# building {COPIES}x corpus ...", file=sys.stderr)
         build_corpus(spark, out_dir)
 
     print("# timing at 1x ...", file=sys.stderr)
-    t1 = time_queries(spark, SRC)
-    print("# timing at 10x ...", file=sys.stderr)
-    t10 = time_queries(spark, out_dir)
+    t1 = time_queries(spark, SRC, names)
+    print(f"# timing at {COPIES}x ...", file=sys.stderr)
+    t10 = time_queries(spark, out_dir, names)
 
     table = {}
-    for q in SOAK_QUERIES:
+    for q in names:
         expo = math.log(max(t10[q], 1e-3) / max(t1[q], 1e-3)) / math.log(COPIES)
         table[q] = {"t_1x": t1[q], "t_10x": t10[q],
                     "exponent": round(expo, 2)}
