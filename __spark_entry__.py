@@ -36,6 +36,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every query that is SQL-expressible;
-    non-SQL ops (LSH clustering, streaming) are rows-only checks."""
+    """DuckDB-equivalent SQL for EVERY registered query — including
+    the LSH clustering pipelines (recursive-CTE transitive closure)
+    and the streaming jobs (watermark reproduced relationally); zero
+    rows-only checks."""
     return registry.oracle_sql()

@@ -383,10 +383,11 @@ _N_CENTROIDS = 256
 _N_PROBE = 4
 
 
-@register(
-    "sim_ivf_ann",
-    oracle=f"""
-WITH cent AS (
+#: IVF pipeline as reusable CTEs — shared by the sim_ivf_ann oracle
+#: and the sim_ivf_recall oracle (which joins its output against the
+#: exact top-k).
+_IVF_CTES = f"""
+cent AS (
   SELECT vec_id AS cid, embedding AS ce, {_norm_sql("embedding")} AS cn
   FROM embeddings WHERE vec_id < {_N_CENTROIDS}),
 assigned AS (
@@ -410,12 +411,21 @@ hits AS (
          {_dot_sql("a.embedding", "p.qe")}
            / {_norm_sql("a.embedding")} / {_norm_sql("p.qe")} AS cos
   FROM probes p JOIN assigned a ON a.bucket = p.bucket
-  WHERE a.vec_id <> p.query_id)
-SELECT query_id, neighbor_id, cos, rank FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-              ORDER BY cos DESC, neighbor_id) AS rank
-  FROM hits) t
-WHERE rank <= 5
+  WHERE a.vec_id <> p.query_id),
+ivf_top AS (
+  SELECT query_id, neighbor_id, cos, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rank
+    FROM hits) t
+  WHERE rank <= 5)
+"""
+
+
+@register(
+    "sim_ivf_ann",
+    oracle=f"""
+WITH {_IVF_CTES}
+SELECT query_id, neighbor_id, cos, rank FROM ivf_top
 """,
     tags=("similarity", "ann"),
     bench=True,  # r3 fixed the O(n^2) quantizer; bench-track the fix
@@ -504,4 +514,77 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
                 "cos", "rank")
+    )
+
+
+# ------------------------------------------------- ANN recall metric
+
+
+@register(
+    "sim_ivf_recall",
+    oracle=f"""
+WITH {_IVF_CTES},
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             {_dot_sql("e.embedding", "q.embedding")}
+               / {_norm_sql("e.embedding")} / {_norm_sql("q.embedding")}
+               DESC, e.vec_id) AS rank
+    FROM embeddings e, embeddings q
+    WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id) t
+  WHERE rank <= 5),
+hit AS (
+  SELECT x.query_id, count(i.neighbor_id) AS n_hit
+  FROM exact x LEFT JOIN ivf_top i
+    ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
+  GROUP BY x.query_id)
+SELECT query_id, CAST(n_hit AS BIGINT) AS n_hit,
+       n_hit / 5.0 AS recall_at_5
+FROM hit
+""",
+    tags=("similarity", "ann"),
+    priority=90,  # new in r5 — promoted for first driver evidence
+)
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF-ANN path against exact brute force — the
+    metric that justifies (or indicts) an ANN deployment's
+    nprobe/centroid settings, computed inside the engine and exactly
+    reproduced by the oracle.
+
+    Reuses :func:`sim_ivf_ann`'s plan for the approximate side (one
+    corpus scan + bucketed probes) and the broadcast-query brute-force
+    scan for ground truth; recall is a per-query count of the exact
+    top-5 recovered by the ANN list.  Both engines compute n_hit / 5.0
+    as one IEEE divide, so even the ratio hash-matches.  At scale the
+    ground-truth side runs over a SAMPLE of queries (here: the same 5
+    fixture queries the ANN path probes)."""
+    emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    ivf = sim_ivf_ann(spark, sf_dir).select("query_id", "neighbor_id")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            _cos_seq(F.col("embedding"), F.col("qe")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    hit = (
+        exact.join(ivf.withColumn("__hit", F.lit(1)),
+                   ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("__hit").alias("n_hit"))
+    )
+    return hit.select(
+        "query_id", F.col("n_hit").cast("long").alias("n_hit"),
+        (F.col("n_hit") / F.lit(5.0)).alias("recall_at_5"),
     )

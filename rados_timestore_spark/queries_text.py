@@ -366,3 +366,90 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         distinct.alias("distinct_3g"),
         repetitive.alias("repetitive"),
     )
+
+
+
+def _filter_pipeline_sql() -> str:
+    """Oracle for text_filter_pipeline: same ordered first-fail rules
+    over the same signals, stopword coverage = max across the four
+    language profiles (language-agnostic)."""
+    lists = [
+        "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        for _lang, words in sorted(STOPWORDS.items())
+    ]
+    stops = ", ".join(
+        f"len(list_intersect(dw, {lst})) AS s{i}"
+        for i, lst in enumerate(lists)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_WORDS_SQL} AS ws,
+         list_distinct({_WORDS_SQL}) AS dw
+  FROM documents),
+sig AS (
+  SELECT doc_id, len(ws) AS n_words,
+         GREATEST(len(ws) - 2, 0) AS total_3g,
+         len(list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+             for i in generate_series(1, len(ws)-2)])) AS distinct_3g,
+         {stops}
+  FROM base),
+dec AS (
+  SELECT doc_id, n_words,
+         GREATEST(s0, s1, s2, s3) AS max_stop,
+         CASE WHEN n_words < 15 THEN 'too_short'
+              WHEN total_3g > 0 AND distinct_3g * 10 < total_3g * 7
+                THEN 'repetitive'
+              WHEN GREATEST(s0, s1, s2, s3) < 2 THEN 'no_stopwords'
+              ELSE 'kept' END AS reason
+  FROM sig)
+SELECT doc_id, n_words, max_stop, reason,
+       CASE WHEN reason = 'kept' THEN 1 ELSE 0 END AS keep
+FROM dec
+"""
+
+
+@register(
+    "text_filter_pipeline",
+    oracle=_filter_pipeline_sql(),
+    tags=("text", "pipeline"),
+    priority=90,  # new in r5 — promoted for first driver evidence
+)
+def text_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed retention decision a C4/Gopher-style training-data
+    pipeline actually runs: per document, ordered first-fail rules —
+    too short (< 15 words), internally repetitive (< 70% distinct
+    trigrams), no stopword coverage in ANY language profile (< 2 hits
+    across de/en/es/fr) — else kept.  One scan, all built-in array/
+    string expressions (no UDF, no shuffle); at 100 TB this is a pure
+    map stage whose output feeds the dedup/tokenize stages."""
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
+    ws = _words_col()
+    dw = F.array_distinct(ws)
+    tri = F.expr(
+        "transform(sequence(1, greatest(size(split(trim(lower(text)), "
+        "'\\\\s+')) - 2, 0)), i -> concat_ws(' ', "
+        "slice(split(trim(lower(text)), '\\\\s+'), i, 3)))"
+    )
+    sig = docs.select(
+        "doc_id",
+        F.size(ws).alias("n_words"),
+        F.greatest(F.size(ws) - 2, F.lit(0)).alias("total_3g"),
+        F.size(F.array_distinct(tri)).alias("distinct_3g"),
+        F.greatest(*[
+            F.size(F.array_intersect(
+                dw, F.array(*[F.lit(x) for x in words])))
+            for _lang, words in sorted(STOPWORDS.items())
+        ]).alias("max_stop"),
+    )
+    reason = (
+        F.when(F.col("n_words") < 15, "too_short")
+        .when((F.col("total_3g") > 0)
+              & (F.col("distinct_3g") * 10 < F.col("total_3g") * 7),
+              "repetitive")
+        .when(F.col("max_stop") < 2, "no_stopwords")
+        .otherwise("kept")
+    )
+    return sig.select(
+        "doc_id", "n_words", "max_stop", reason.alias("reason"),
+        F.when(reason == "kept", 1).otherwise(0).alias("keep"),
+    )

@@ -252,7 +252,7 @@ SELECT user_id, event_id, t, rk FROM (
 WHERE rk <= 3
 """,
     tags=("timeseries", "window"),
-    priority=96,  # re-promoted in r5 to refresh r2/r3-era driver evidence
+    priority=900,  # was re-promoted early in r5, swapped back out for the new sim_ivf_recall (r2/r3-green; verified locally by tools/check_correctness.py)
 )
 def ts_topk_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series top-k: the highest-value events per user — one
@@ -333,7 +333,7 @@ SELECT h.hour, COALESCE(a.n, 0) AS n,
 FROM hours h LEFT JOIN agg a ON h.hour = a.hour
 """,
     tags=("timeseries",),
-    priority=96,  # re-promoted in r5 to refresh r2/r3-era driver evidence
+    priority=900,  # was re-promoted early in r5, swapped back out for the new text_filter_pipeline (r2/r3-green; verified locally by tools/check_correctness.py)
 )
 def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap filling: generate the dense hour spine between min and max
