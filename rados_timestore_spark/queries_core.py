@@ -595,6 +595,70 @@ def ts_rollover(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ts_bulk_backfill",
+    oracle=f"""{PTS_CTE},
+sp AS (SELECT * FROM pts WHERE address % 2 = 0 AND time < {T_JAN20}),
+d AS (SELECT time // {US_PER_DAY} AS day, max(time) AS day_max,
+             count(*) AS n FROM sp GROUP BY 1),
+lab AS (SELECT day, n,
+               COALESCE(lag(day_max) OVER (ORDER BY day) + 1, 0) AS epoch
+        FROM d)
+SELECT epoch, CAST(n AS BIGINT) AS n_points, CAST(8 AS BIGINT) AS buckets
+FROM lab
+UNION ALL
+SELECT max(day_max) + 1 AS epoch, CAST(0 AS BIGINT) AS n_points,
+       CAST(8 AS BIGINT) AS buckets
+FROM d
+""",
+    tags=("R1", "R2", "W6"),
+    priority=90,  # new in r5 — promoted for first driver evidence
+)
+def ts_bulk_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk backfill ingest (``write_points_batched``): the same
+    epoch-per-day layout :func:`ts_rollover` builds with a sequential
+    per-day ``write_points`` loop (maybeRollover,
+    StoreHelpers.hs:194-221), produced by ONE tiny per-batch stats
+    aggregate + ONE partitioned write — the shape a 100 TB historical
+    backfill needs (two scans total instead of one source re-scan and
+    one blocking meta round-trip per day).  The driver-side fold over
+    per-batch maxima replays the sequential watermark+1 cut decisions
+    exactly (equivalence argument in the method docstring), so the
+    oracle is the same window-function reconstruction of the index as
+    ts_rollover's, over a wider slice (19 days instead of 9).  Returns
+    one row per index entry (R2) with its routed point count; the final
+    entry is the empty epoch cut after the last batch."""
+    from rados_timestore_spark.store import TimeStore
+
+    root = tempfile.mkdtemp(prefix="ts_bulk_backfill_")
+    store = TimeStore(spark, root)
+    ns = "backfill"
+    store.register_namespace(ns, buckets=8)
+
+    pts = events_points(spark, sf_dir).filter(
+        (F.col("address") % 2 == 0) & (F.col("time") < T_JAN20)
+    ).select("address", "time", "value", "seq")
+    store.write_points_batched(
+        ns, pts.withColumn("batch", F.expr(f"time div {US_PER_DAY}")),
+        "batch",
+    )
+
+    entries = store.index(ns).entries
+    entries_df = spark.createDataFrame(
+        [(int(e), int(b)) for e, b in entries], "epoch long, buckets long"
+    )
+    written = spark.read.parquet(store._points_dir(ns))
+    counts = written.groupBy("epoch").agg(F.count("*").alias("n"))
+    return (
+        entries_df.join(counts, "epoch", "left")
+        .select(
+            "epoch",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_points"),
+            "buckets",
+        )
+    )
+
+
 # ----------------------------------------------------------------- codec
 
 

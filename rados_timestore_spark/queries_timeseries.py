@@ -119,7 +119,7 @@ JOIN (SELECT * FROM ev WHERE event_type = 'error') e
 GROUP BY p.event_id
 """,
     tags=("timeseries", "join"),
-    priority=96,  # re-promoted in r5 to refresh r2/r3-era driver evidence
+    priority=900,  # demoted late-r5 for the new ts_bulk_backfill (r2+r3-green, twice driver-proven; verified locally by tools/check_correctness.py)
 )
 def ts_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (interval) join: errors within ±5 min of each purchase by

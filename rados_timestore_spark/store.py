@@ -270,6 +270,143 @@ class TimeStore:
         meta.index = Index(meta.index.entries + ((watermark + 1, buckets),))
         self._write_meta(ns, meta)
 
+    def write_points_batched(self, ns: str, df: DataFrame,
+                             batch_col: str) -> None:
+        """Bulk backfill ingest: one epoch per batch, ONE write pass.
+
+        Semantically identical to calling :meth:`write_points` once per
+        ascending ``batch_col`` value on a store whose rollover always
+        fires (``rollover_bytes -> 0`` — the epoch-per-day/hour chunk
+        layout a backfill wants), but executed as one tiny per-batch
+        aggregate plus one partitioned write instead of a driver loop
+        of per-batch jobs.  A loop re-scans the source once per batch
+        and serializes on per-batch meta round-trips; this path scans
+        the data exactly twice (stats, write) regardless of batch
+        count — the difference between hours and days on a 100 TB
+        backfill.  (Size-threshold rollover stays on the sequential
+        path: byte sizes are only observable after writing.)
+
+        Epoch-cut equivalence with the sequential loop:
+
+        * the sequential cut after batch i is at ``watermark_i + 1``
+          where ``watermark_i`` = max over batches <= i of the batch
+          max time (and the pre-existing watermark) — a function of
+          per-batch maxima only, never of routing; the cut fires iff
+          the watermark strictly advanced past the current latest
+          boundary, which (boundary = previous watermark + 1) also
+          implies the latest epoch is nonempty — the same predicate
+          ``_maybe_rollover`` evaluates via the dir-size probe;
+        * routing a batch-i row through the FINAL index equals routing
+          it through the index as of batch i: every boundary cut at or
+          after batch i exceeds ``watermark_i`` and hence every time
+          in batch i, so the stab can never select it.
+
+        So the fold below over the collected per-batch maxima (one row
+        per batch) reproduces the sequential index exactly, and a
+        single write routed by the final index reproduces the
+        sequential placement exactly.
+
+        First-wins determinism across batches is preserved by stamping
+        ``seq`` in disjoint per-batch-ordinal blocks (earlier batch ⇒
+        smaller seq), sized from the actual partition count so blocks
+        can never collide.  ``df`` needs (address, time) plus ``value``
+        and/or ``payload``; ``batch_col`` values must sort in ingest
+        order (e.g. ``time div US_PER_DAY``).
+        """
+        from pyspark.sql import Observation
+
+        meta = self._read_meta(ns)
+        cols = set(df.columns)
+        if "value" not in cols:
+            df = df.withColumn("value", F.lit(None).cast("long"))
+        if "payload" not in cols:
+            df = df.withColumn("payload", F.lit(None).cast("binary"))
+        df = df.withColumn("kind", kind_col())
+
+        # Pass 1 — tiny per-batch stats (one row per batch on the
+        # driver): per-kind time maxima drive the watermark fold.
+        stats = sorted(
+            df.groupBy(F.col(batch_col).alias("_b")).agg(
+                F.max(F.when(F.col("kind") == 0, F.col("time")))
+                .alias("max_simple"),
+                F.max(F.when(F.col("kind") == 1, F.col("time")))
+                .alias("max_extended"),
+            ).collect(),
+            key=lambda r: r["_b"],
+        )
+
+        # Driver fold: replay the sequential watermark/cut decisions.
+        latest_simple, latest_extended = meta.latest_simple, meta.latest_extended
+        entries = list(meta.index.entries)
+        _, buckets = entries[-1]
+        batch_ordinals: dict = {}
+        for ordinal, row in enumerate(stats):
+            batch_ordinals[row["_b"]] = ordinal
+            latest_simple = _mono_max(latest_simple, row["max_simple"])
+            latest_extended = _mono_max(latest_extended, row["max_extended"])
+            watermark = max(latest_simple or 0, latest_extended or 0)
+            if watermark > entries[-1][0]:
+                entries.append((watermark + 1, buckets))
+        final_index = Index(tuple(entries))
+
+        # Pass 2 — stamp seq, route via the final index, one append.
+        if "seq" not in cols:
+            n_parts = df.rdd.getNumPartitions()
+            block = (n_parts + 1) << 33  # > any monotonic id this frame
+            if meta.seq_base + len(stats) * block >= (1 << 62):
+                raise ValueError(
+                    "write_points_batched: seq block range overflow "
+                    f"({len(stats)} batches x {n_parts} partitions); "
+                    "provide an explicit seq column"
+                )
+            ord_df = df.sparkSession.createDataFrame(
+                [(b, o) for b, o in batch_ordinals.items()] or [(None, 0)],
+                f"_b {df.schema[batch_col].dataType.simpleString()}, _ord long",
+            )
+            # assert_true yields NULL when the guard holds and raises
+            # when a batch value was absent from the stats pass (a
+            # nondeterministic source) — refusing to stamp NULL seqs.
+            guard = F.coalesce(
+                F.assert_true(
+                    F.col("_ord").isNotNull(),
+                    F.lit("write_points_batched: batch value absent from "
+                          "the stats pass (nondeterministic input)"),
+                ).cast("long"),
+                F.lit(0),
+            )
+            df = (
+                df.join(F.broadcast(ord_df),
+                        df[batch_col] == ord_df["_b"], "left")
+                .withColumn(
+                    "seq",
+                    F.lit(meta.seq_base)
+                    + (F.col("_ord") + guard) * F.lit(block)
+                    + F.monotonically_increasing_id(),
+                )
+            )
+        routed = (
+            df.select("address", "time", "value", "payload", "seq", "kind")
+            .withColumn("epoch", final_index.epoch_col("time"))
+            .withColumn(
+                "bucket",
+                place_bucket_by_index(final_index, "time", "address"),
+            )
+        )
+        obs = Observation()
+        routed = routed.observe(obs, F.max("seq").alias("max_seq"))
+        (
+            routed.write.mode("append")
+            .partitionBy("epoch", "bucket")
+            .parquet(self._points_dir(ns, meta))
+        )
+        got = obs.get
+        meta.index = final_index
+        meta.latest_simple = latest_simple
+        meta.latest_extended = latest_extended
+        if got["max_seq"] is not None:
+            meta.seq_base = max(meta.seq_base, int(got["max_seq"]) + 1)
+        self._write_meta(ns, meta)
+
     # ------------------------------------------------------------- read
 
     def _scan(self, ns: str, start: int, end: int,

@@ -352,3 +352,53 @@ def test_viewfs_scheme_full_lifecycle(spark, tmp_path):
     assert store.gc("PONY") == ["points_v0"]
     got = store.read_simple("PONY", 0, 100, [2], global_order=True).collect()
     assert [(r.time, r.value) for r in got] == [(10, 1), (20, 2), (30, 3)]
+
+
+def test_batched_backfill_matches_sequential_loop(spark, tmp_path):
+    # write_points_batched's contract: identical index, placement,
+    # watermarks, and read results to a per-batch write_points loop on
+    # an always-rolling store — including a late-only batch (no cut),
+    # cross-batch duplicates (earlier batch wins), and mixed kinds.
+    from rados_timestore_spark.store import TimeStore
+
+    schema = "batch long, address long, time long, value long, payload binary"
+    batches = [
+        [(0, 2, 10, 1, None), (0, 4, 20, 2, None)],    # cut at 21
+        [(1, 2, 15, 9, None)],                         # late-only: no cut
+        [(2, 2, 10, 77, None), (2, 2, 30, 3, None)],   # dup + cut at 31
+        [(3, 4, 40, 4, None), (3, 5, 35, None, bytearray(b"x"))],  # cut 41
+    ]
+    seq_store = TimeStore(spark, str(tmp_path / "seq"), rollover_bytes=1)
+    seq_store.register_namespace("A", buckets=4)
+    for b in batches:
+        seq_store.write_points(
+            "A", spark.createDataFrame(b, schema).drop("batch"))
+    bat_store = TimeStore(spark, str(tmp_path / "bat"))
+    bat_store.register_namespace("A", buckets=4)
+    allrows = spark.createDataFrame([r for b in batches for r in b], schema)
+    bat_store.write_points_batched("A", allrows, "batch")
+
+    assert bat_store.index("A").entries == seq_store.index("A").entries
+    assert bat_store.latest("A") == seq_store.latest("A")
+
+    def placement(st):
+        df = spark.read.parquet(st._points_dir("A"))
+        return sorted((r.epoch, r.bucket, r.address, r.time)
+                      for r in df.collect())
+
+    assert placement(bat_store) == placement(seq_store)
+
+    def simple(st):
+        return [(r.address, r.time, r.value) for r in st.read_simple(
+            "A", 0, 1000, [2, 4], global_order=True).collect()]
+
+    assert simple(bat_store) == simple(seq_store)
+    # Cross-batch first-wins: batch 0's value at (2, 10) beats batch 2's.
+    assert (2, 10, 1) in simple(bat_store)
+
+    def extended(st):
+        return [(r.address, r.time, bytes(r.payload)) for r in
+                st.read_extended("A", 0, 1000, [4], global_order=True)
+                .collect()]
+
+    assert extended(bat_store) == extended(seq_store) == [(5, 35, b"x")]
