@@ -588,3 +588,265 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("n_hit").cast("long").alias("n_hit"),
         (F.col("n_hit") / F.lit(5.0)).alias("recall_at_5"),
     )
+
+
+# ------------------------------------------- k-means coarse quantizer
+#
+# The ROADMAP r5 "IVF production gap": sim_ivf_ann's constant sampled
+# quantizer documents "production swaps in k-means over a sample, same
+# plan shape" — this section makes that real, WITH a full hash-checked
+# oracle, which a floating-point iterative algorithm normally forbids
+# (distributed FP sums are accumulation-order-dependent).  The trick is
+# FIXED-POINT integer accumulation for the centroid means: each member
+# coordinate is scaled to an i64 (floor(v * 2^20)), summed exactly
+# (integer addition is associative+commutative, so shuffle order can't
+# change the result), and divided back in one fixed sequence of IEEE
+# ops — bit-identical in Spark, numpy, Python, and DuckDB.  Distances
+# stay sequential per-row double folds like every score in this module.
+# Quantized means differ from exact means by < 2^-20 per coordinate —
+# irrelevant to clustering quality, decisive for cross-engine
+# determinism AND for run-to-run reproducibility on a real cluster
+# (the same property MLlib's KMeans gives up).
+#
+# Geometry: k = 16 seeded from vec_id < 16, T = 2 Lloyd iterations
+# (unrolled in the static oracle SQL), squared-L2 assignment with ties
+# to the lowest cid (np.argmin first-wins == ORDER BY d2, cid).  Empty
+# clusters are dropped (both engines: the update aggregate simply has
+# no row).  Per iteration the Spark plan is one mapInPandas assignment
+# pass (O(n*k), 8 KiB closure) + one hash aggregate (64 integer sums,
+# map-side partial) collecting k tiny rows to the driver — the
+# MLlib/billion-vector shape, where only centroids ever hit the driver.
+
+_KM_K = 16
+_KM_SCALE = 1 << 20
+_KM_ITERS = 2
+
+
+def _l2_sql(a: str, b: str) -> str:
+    """Squared L2 as the same sequential fold shape as ``_dot_sql``."""
+    return (
+        f"list_sum(list_transform(generate_series(1,{DIM}), "
+        f"i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE)"
+        f" * ({a}[i]::DOUBLE - {b}[i]::DOUBLE)))"
+    )
+
+
+def _l2(a, b):
+    """Column twin of :func:`_l2_sql` (sequential double fold)."""
+    d = F.zip_with(
+        a, b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(d, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _km_assign_cte(src_cent: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             {_l2_sql("e.embedding", "c.ce")} ASC, c.cid) AS rk
+    FROM embeddings e, {src_cent} c) x
+  WHERE rk = 1)"""
+
+
+def _km_update_cte(src_assign: str, out: str) -> str:
+    return f"""{out}_s AS (
+  SELECT cid, i,
+         CAST(SUM(CAST(FLOOR(embedding[i]::DOUBLE * {_KM_SCALE}.0)
+                       AS BIGINT)) AS BIGINT) AS s,
+         COUNT(*) AS n
+  FROM {src_assign} CROSS JOIN generate_series(1,{DIM}) AS g(i)
+  GROUP BY cid, i),
+{out} AS (
+  SELECT cid, CAST(max(n) AS BIGINT) AS n,
+         list(CAST(s AS DOUBLE) / n / {_KM_SCALE}.0 ORDER BY i) AS ce
+  FROM {out}_s GROUP BY cid)"""
+
+
+_KM_CTES = f"""kc0 AS (
+  SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS ce
+  FROM embeddings WHERE vec_id < {_KM_K}),
+{_km_assign_cte("kc0", "ka1")},
+{_km_update_cte("ka1", "kc1")},
+{_km_assign_cte("kc1", "ka2")},
+{_km_update_cte("ka2", "kc2")}"""
+
+
+def _make_km_assign(cids, C):
+    """mapInPandas kernel: nearest-centroid id per vector (squared L2,
+    sequential per-dim accumulation, ties to the lowest cid)."""
+    cid_arr = np.asarray(cids, dtype=np.int64)
+    Cm = np.asarray(C, dtype=np.float64)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            acc = np.zeros((len(E), len(Cm)))
+            for i in range(DIM):
+                d = E[:, i : i + 1] - Cm[:, i][None, :]
+                acc += d * d
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"],
+                "embedding": pdf["embedding"],
+                "cid": cid_arr[np.argmin(acc, axis=1)],
+            })
+
+    return assign
+
+
+def _kmeans_fit(spark: SparkSession, sf_dir: str):
+    """Driver-coordinated Lloyd iterations (the MLlib pattern): per
+    iteration one distributed assignment pass + one hash aggregate;
+    only the k x DIM centroid matrix is ever collected.  Returns
+    (cids, centroid matrix, final-iteration membership counts)."""
+    emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    init = (
+        emb.filter(F.col("vec_id") < _KM_K)
+        .select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    )
+    cids = [int(v) for v in init["vec_id"]]
+    C = np.stack(init["embedding"].to_numpy()).astype(np.float64)
+    counts = []
+    sum_cols = [
+        F.sum(
+            F.floor(F.col("embedding")[i].cast("double")
+                    * F.lit(float(_KM_SCALE))).cast("long")
+        ).alias(f"s{i}")
+        for i in range(DIM)
+    ]
+    for _ in range(_KM_ITERS):
+        assigned = emb.select("vec_id", "embedding").mapInPandas(
+            _make_km_assign(cids, C),
+            "vec_id long, embedding array<float>, cid long",
+        )
+        rows = sorted(
+            assigned.groupBy("cid")
+            .agg(F.count("*").alias("n"), *sum_cols)
+            .collect(),
+            key=lambda r: r["cid"],
+        )
+        cids = [int(r["cid"]) for r in rows]
+        counts = [int(r["n"]) for r in rows]
+        # float(int)/int/float: the exact same IEEE sequence as the
+        # oracle's CAST(s AS DOUBLE) / n / 2^20.
+        C = np.array(
+            [[float(r[f"s{i}"]) / r["n"] / float(_KM_SCALE)
+              for i in range(DIM)] for r in rows]
+        )
+    return cids, C, counts
+
+
+@register(
+    "sim_kmeans_quantizer",
+    oracle=f"""
+WITH {_KM_CTES}
+SELECT cid, n AS n_members,
+       sqrt({_dot_sql("ce", "ce")}) AS centroid_norm
+FROM kc2
+""",
+    tags=("similarity", "ann"),
+    priority=90,  # new in r5 — promoted for first driver evidence
+)
+def sim_kmeans_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means coarse quantizer with a FULL cross-engine
+    oracle (see the section comment for how fixed-point accumulation
+    makes an iterative FP algorithm hash-checkable).  Returns one row
+    per surviving cluster after 2 Lloyd iterations: its id, final
+    membership count, and centroid L2 norm — the artifact an IVF index
+    build persists."""
+    import math
+
+    cids, C, counts = _kmeans_fit(spark, sf_dir)
+    rows = []
+    for cid, c_row, n in zip(cids, C, counts):
+        acc = 0.0
+        for i in range(DIM):  # sequential fold == list_sum/_dot_sql
+            acc += c_row[i] * c_row[i]
+        rows.append((cid, n, math.sqrt(acc)))
+    return spark.createDataFrame(
+        rows, "cid long, n_members long, centroid_norm double"
+    )
+
+
+@register(
+    "sim_ivf_kmeans",
+    oracle=f"""
+WITH {_KM_CTES},
+kassign AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             {_l2_sql("e.embedding", "c.ce")} ASC, c.cid) AS rk
+    FROM embeddings e, kc2 c) x
+  WHERE rk = 1),
+kprobes AS (
+  SELECT query_id, qe, bucket FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS qe, c.cid AS bucket,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             {_l2_sql("e.embedding", "c.ce")} ASC, c.cid) AS pr
+    FROM embeddings e, kc2 c WHERE e.vec_id < 5) x
+  WHERE pr <= {_N_PROBE}),
+khits AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_dot_sql("a.embedding", "p.qe")}
+           / {_norm_sql("a.embedding")} / {_norm_sql("p.qe")} AS cos
+  FROM kprobes p JOIN kassign a ON a.cid = p.bucket
+  WHERE a.vec_id <> p.query_id)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS rank
+  FROM khits) t
+WHERE rank <= 5
+""",
+    tags=("similarity", "ann"),
+    priority=90,  # new in r5 — promoted for first driver evidence
+)
+def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ANN over the TRAINED k-means quantizer — sim_ivf_ann's
+    "production swaps in k-means, same plan shape" made real: the same
+    shuffle-free mapInPandas bucket assignment and nprobe bucketed
+    probe, but against learned centroids, with the full 2-iteration
+    training unrolled inside the static oracle SQL.  Probe order is
+    squared-L2 ascending (the k-means metric); hits rank by exact
+    cosine — the standard IVF retrieval contract."""
+    emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    cids, C, _counts = _kmeans_fit(spark, sf_dir)
+    assigned = emb.select("vec_id", "embedding").mapInPandas(
+        _make_km_assign(cids, C),
+        "vec_id long, embedding array<float>, cid long",
+    )
+    cent_df = spark.createDataFrame(
+        [(cid, [float(x) for x in c_row]) for cid, c_row in zip(cids, C)],
+        "cid long, ce array<double>",
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy("d2", "cid")
+    probes = (
+        queries.crossJoin(F.broadcast(cent_df))
+        .select("query_id", "qe", "cid",
+                _l2(F.col("qe"), F.col("ce")).alias("d2"))
+        .withColumn("pr", F.row_number().over(w_probe))
+        .filter(F.col("pr") <= _N_PROBE)
+        .select("query_id", "qe", F.col("cid").alias("bucket"))
+    )
+    hits = (
+        probes.join(assigned, probes["bucket"] == assigned["cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            _cos_seq(F.col("embedding"), F.col("qe")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id")
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                "cos", "rank")
+    )

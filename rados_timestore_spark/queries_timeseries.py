@@ -211,7 +211,7 @@ SELECT user_id, session_no, count(*) AS n_events,
 FROM sessions GROUP BY user_id, session_no
 """,
     tags=("timeseries", "window"),
-    priority=96,  # re-promoted in r5 to refresh r2/r3-era driver evidence
+    priority=900,  # demoted late-r5 for the new sim_kmeans_quantizer (r2+r3-green, twice driver-proven; verified locally by tools/check_correctness.py)
 )
 def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization with a 30-minute inactivity gap: lag marks
@@ -372,7 +372,7 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """,
     tags=("timeseries", "agg"),
-    priority=96,  # re-promoted in r5 to refresh r2/r3-era driver evidence
+    priority=900,  # demoted late-r5 for the new sim_ivf_kmeans (r2+r3-green, twice driver-proven; verified locally by tools/check_correctness.py)
 )
 def ts_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per event type: Spark

@@ -59,12 +59,14 @@ def test_bench_set_nonempty():
 EXPECTED_WINDOW = {
     # new in r5 (p=90)
     "mm_decode_ppm", "streaming_asof_exact", "sim_ivf_recall",
-    "text_filter_pipeline", "ts_bulk_backfill",
+    "text_filter_pipeline", "ts_bulk_backfill", "sim_kmeans_quantizer",
+    "sim_ivf_kmeans",
     # r5-modified queries kept in for fresh evidence (p=95)
     "streaming_asof_join", "dedup_minhash_pairs", "mm_feature_extract",
     # r2/r3-green queries re-promoted to refresh evidence (p=96)
-    # (ts_range_join swapped back out late-r5 for ts_bulk_backfill)
-    "ts_sessionize", "ts_value_percentiles",
+    # (ts_range_join / ts_sessionize / ts_value_percentiles — all
+    # twice driver-proven — swapped back out late-r5 for the three
+    # new ts_bulk_backfill / sim_kmeans_* queries)
     "text_token_count", "text_quality_score",
     "dedup_exact_prefix", "mm_resize", "mm_modality_routing",
     # the bench/headline set (must always be driver-visible)
