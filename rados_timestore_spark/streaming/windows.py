@@ -350,30 +350,72 @@ def _asof_update_exact(key, pdfs, state: GroupState, horizon_us: int,
     )
 
 
-def stream_asof_join_exact(
+def stream_asof_join(
     left: DataFrame,
     right: DataFrame,
     key: str = "user_id",
     horizon_us: int = 7 * 86_400_000_000,
-    delay_us: int = 30 * 60 * 1_000_000,
+    emit: str = "eager",
+    delay_us: int | None = None,
     flush: DataFrame | None = None,
 ) -> DataFrame:
-    """Watermark-exact stream-stream backward as-of join (VERDICT r4
-    item 4): identical result contract to :func:`stream_asof_join`,
-    but emission is DELAYED until the per-key event-time frontier
-    passes ``left.t + delay_us``, so a right row arriving up to
-    ``delay_us`` late — even one that improves on a match an eager
-    operator would already have emitted — is incorporated before the
-    single, final emission.  Append-mode-safe exactness instead of
-    retractions.
+    """Stream-stream backward as-of join: each left row is matched to
+    the most recent right row of the same key with ``right.t <=
+    left.t`` and ``left.t - right.t <= horizon_us`` — the streaming
+    face of ts_asof_join, as ONE operator with an emission-policy knob
+    (ROADMAP r5 item 4: the eager and watermark-exact variants
+    unified).
 
-    ``flush``, when given, is a stream of (key, t, event_id) sentinel
-    rows whose ``t`` exceeds every real row's ``t + delay_us``; they
-    only advance the frontier so a BOUNDED run (availableNow fixture)
-    finalizes its tail.  Live pipelines omit it.
+    Built as a custom stateful operator (``applyInPandasWithState``,
+    the SURVEY §7 escape hatch for operators Structured Streaming
+    lacks): state is the per-key right-row buffer plus pending left
+    rows, sorted and pruned — bounded like an interval join's state,
+    but emitting only the LATEST match instead of every row in the
+    window (which a native interval join + post-aggregation would
+    shuffle and re-finalize).
+
+    ``emit`` selects the latency/exactness trade every streaming
+    engine exposes somewhere (Flink: watermark-gated firing; KDB asof:
+    batch only):
+
+    * ``"eager"`` (default, lowest latency): a left row emits the
+      moment a match exists.  Right rows arriving in LATER batches
+      still match so-far-unmatched left rows (pending-left state,
+      bounded at one horizon), but a late right row that would
+      IMPROVE an already-emitted match is ignored — append sinks
+      cannot retract (see :func:`_asof_update`).  With batch-complete
+      delivery (availableNow over a static source) this is exactly
+      the batch as-of join.
+    * ``"watermark"`` (exact under bounded lateness): emission is
+      delayed until the per-key event-time frontier passes ``left.t +
+      delay_us``, so every right row delivered within the lateness
+      bound — including one that improves an interim match — is
+      incorporated before the single, final emission (see
+      :func:`_asof_update_exact`).  Requires ``delay_us``.  State per
+      key stays <= ``delay_us + horizon_us`` of event time.
+
+    ``flush`` (watermark mode only): a stream of (key, t, event_id)
+    sentinel rows whose ``t`` exceeds every real row's ``t +
+    delay_us``; they only advance the frontier so a BOUNDED run
+    (availableNow fixture) finalizes its tail.  Live pipelines omit
+    it.
 
     Both inputs need columns ``(key, t, event_id)``.
     """
+    if emit not in ("eager", "watermark"):
+        raise ValueError(f"emit must be 'eager' or 'watermark': {emit!r}")
+    if emit == "watermark":
+        if delay_us is None:
+            raise ValueError("emit='watermark' requires delay_us")
+        update = partial(_asof_update_exact, horizon_us=horizon_us,
+                         delay_us=delay_us)
+    else:
+        if flush is not None:
+            # _asof_update has no sentinel branch — a tag-2 row would
+            # be processed as a purchase.  Refuse instead of corrupting.
+            raise ValueError("flush sentinels only apply to "
+                             "emit='watermark'")
+        update = partial(_asof_update, horizon_us=horizon_us)
     tagged = right.select(
         key, "t", "event_id", F.lit(0).alias("tag")
     ).unionByName(
@@ -384,8 +426,7 @@ def stream_asof_join_exact(
             flush.select(key, "t", "event_id", F.lit(2).alias("tag"))
         )
     return tagged.groupBy(key).applyInPandasWithState(
-        partial(_asof_update_exact, horizon_us=horizon_us,
-                delay_us=delay_us),
+        update,
         outputStructType=_ASOF_OUT,
         stateStructType=_ASOF_STATE,
         outputMode="append",
@@ -393,50 +434,19 @@ def stream_asof_join_exact(
     )
 
 
-def stream_asof_join(
+def stream_asof_join_exact(
     left: DataFrame,
     right: DataFrame,
     key: str = "user_id",
     horizon_us: int = 7 * 86_400_000_000,
+    delay_us: int = 30 * 60 * 1_000_000,
+    flush: DataFrame | None = None,
 ) -> DataFrame:
-    """Stream-stream backward as-of join: each left row is matched to
-    the most recent right row of the same key with ``right.t <=
-    left.t`` and ``left.t - right.t <= horizon_us`` (ROADMAP item 5;
-    the streaming face of ts_asof_join).
-
-    Built as a custom stateful operator (``applyInPandasWithState``,
-    the SURVEY §7 escape hatch for operators Structured Streaming
-    lacks): state is the per-key right-row buffer, sorted and pruned
-    to the horizon — bounded like an interval join's state, but
-    emitting only the LATEST match instead of every row in the window
-    (which a native interval join + post-aggregation would shuffle and
-    re-finalize).
-
-    Delivery contract: a left row matches right rows delivered in the
-    same or EARLIER micro-batches immediately; a left row that finds
-    no match is buffered in state and still matches a right row
-    delivered up to one ``horizon_us`` of event time LATER (see
-    :func:`_asof_update`).  With batch-complete delivery (availableNow
-    over a static source — the driver fixture) this is exactly the
-    batch as-of join; with live sources the only inexactness left is a
-    late right row improving on an already-emitted match (append sinks
-    cannot retract) — :func:`stream_asof_join_exact` closes that gap
-    by delaying emission to the lateness bound.
-
-    Both inputs need columns ``(key, t, event_id)``.
-    """
-    tagged = right.select(
-        key, "t", "event_id", F.lit(0).alias("tag")
-    ).unionByName(
-        left.select(key, "t", "event_id", F.lit(1).alias("tag"))
-    )
-    return tagged.groupBy(key).applyInPandasWithState(
-        partial(_asof_update, horizon_us=horizon_us),
-        outputStructType=_ASOF_OUT,
-        stateStructType=_ASOF_STATE,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+    """Back-compat alias for ``stream_asof_join(..., emit="watermark")``
+    (the r5-unified operator)."""
+    return stream_asof_join(left, right, key=key, horizon_us=horizon_us,
+                            emit="watermark", delay_us=delay_us,
+                            flush=flush)
 
 
 def stream_latest_per_key(points: DataFrame) -> DataFrame:
