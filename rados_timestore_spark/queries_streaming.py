@@ -314,6 +314,90 @@ def streaming_asof_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_asof_watermark",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS t FROM events),
+p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+v AS (SELECT * FROM ev WHERE event_type = 'view'),
+m AS (
+  SELECT p.event_id AS purchase_id, p.user_id, p.t AS purchase_t,
+         v.event_id AS view_id, v.t AS view_t,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY v.t DESC, v.event_id DESC) AS rk
+  FROM p JOIN v ON p.user_id = v.user_id
+   AND v.t <= p.t AND p.t - v.t <= {_ASOF_HORIZON_US})
+SELECT purchase_id, user_id, purchase_t, view_id, view_t
+FROM m WHERE rk = 1
+""",
+    tags=("streaming", "join", "asof"),
+    priority=110,  # new late-r5: window already full of never-checked r5 queries — local-green via tools/check_correctness.py; rotate into the driver window in r6
+)
+def streaming_asof_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-exact streaming as-of join, TIMEOUT-finalized: the
+    same unordered multi-batch delivery as streaming_asof_exact, but
+    finalization is driven by Spark's global event-time watermark +
+    EventTimeTimeout (windows._asof_update_wm) instead of per-key
+    frontier sentinels.  The lateness contract is the ``withWatermark``
+    delay (set to the fixture's full event span, so every unordered
+    delivery is on-contract), and the bounded run finalizes with ONE
+    far-future watermark-carrier row under an unrelated key — a live
+    deployment needs none at all.  Same batch oracle as the other two
+    as-of queries."""
+    import glob
+    import os
+    import time as _time
+
+    from rados_timestore_spark.queries_common import event_us, load
+    from rados_timestore_spark.streaming.windows import stream_asof_join
+
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        event_us(ev).alias("t"),
+        "event_id",
+        "event_type",
+    )
+    lo, hi = pts.agg(F.min("t"), F.max("t")).collect()[0]
+    span_s = (int(hi) - int(lo)) // 1_000_000 + 1
+    work = tempfile.mkdtemp(prefix="ts_stream_asofwm_")
+    src, out, ck = f"{work}/src", f"{work}/out", f"{work}/ck"
+    pts.repartition(3).write.parquet(src)
+    before = set(glob.glob(f"{src}/part-*.parquet"))
+    spark.createDataFrame(
+        [(-1, int(hi) + 3 * span_s * 1_000_000, -1, "__flush__")],
+        pts.schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    bump = _time.time() + 60
+    for f in set(glob.glob(f"{src}/part-*.parquet")) - before:
+        os.utime(f, (bump, bump))
+
+    with _few_state_partitions(spark):
+        stream = (
+            spark.readStream.schema(pts.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = (
+            stream_asof_join(
+                stream.filter(F.col("event_type") == "purchase"),
+                stream.filter(F.col("event_type") == "view"),
+                horizon_us=_ASOF_HORIZON_US,
+                emit="watermark", finalize="timeout",
+                wm_delay=f"{span_s} seconds",
+                flush=stream.filter(F.col("event_type") == "__flush__"),
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    return spark.read.parquet(out)
+
+
+@register(
     "streaming_rollup_hourly",
     oracle=f"""
 WITH pts AS (

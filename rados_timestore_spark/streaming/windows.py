@@ -350,6 +350,79 @@ def _asof_update_exact(key, pdfs, state: GroupState, horizon_us: int,
     )
 
 
+def _asof_update_wm(key, pdfs, state: GroupState, horizon_us: int):
+    """Per-key backward as-of matcher, GLOBAL-watermark variant.
+
+    Where :func:`_asof_update_exact` tracks a per-key event-time
+    frontier (and so needs one flush sentinel PER KEY to finalize a
+    bounded run), this variant finalizes against Spark's own global
+    event-time watermark (``state.getCurrentWatermarkMs``) — the
+    standard watermark contract: a purchase at ``t`` emits once the
+    watermark passes ``t``; any view delivered on-contract (before the
+    watermark passed ITS event time) is in the buffer by then, so the
+    emitted result equals the batch as-of join for every on-contract
+    delivery.  The lateness allowance lives in the ``withWatermark``
+    delay of the input stream, not in the operator.
+
+    Keys with pending purchases arm an ``EventTimeTimeout`` at the
+    oldest pending event time, so finalization happens even if the key
+    never receives another row — including in the final no-data
+    micro-batch an availableNow run executes after a bounded source
+    drains (verified behavior; this is what makes the variant
+    flush-free: ONE far-future row anywhere in the stream — or simply
+    live data continuing to flow — advances the global watermark past
+    every bound).  Tag-2 rows are watermark carriers only and are
+    ignored on ingest.  State stays <= one horizon of event time
+    behind ``min(watermark, oldest pending purchase)``.
+    """
+    if state.exists:
+        vt, vid, pt, pid, _wm_seen = state.get
+        buf = list(zip(vt, vid))
+        pending = list(zip(pt, pid))
+    else:
+        buf, pending = [], []
+    if not state.hasTimedOut:
+        for pdf in pdfs:
+            for t, tag, eid in zip(pdf["t"], pdf["tag"], pdf["event_id"]):
+                t, tag, eid = int(t), int(tag), int(eid)
+                if tag == 0:
+                    bisect.insort(buf, (t, eid))
+                elif tag == 1:
+                    pending.append((t, eid))
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    out_rows, still_pending = [], []
+    for t, eid in pending:
+        if t > wm_us:
+            still_pending.append((t, eid))
+            continue
+        pos = bisect.bisect_right(buf, (t, 1 << 62))
+        if pos > 0 and t - buf[pos - 1][0] <= horizon_us:
+            mt, mid = buf[pos - 1]
+            out_rows.append((eid, key[0], t, mid, mt))
+        # no view within the horizon -> finalizes empty (inner join)
+    pending = still_pending
+    cut_base = min([wm_us] + [t for t, _ in pending])
+    start = bisect.bisect_left(buf, (cut_base - horizon_us, -(1 << 62)))
+    buf = buf[start:]
+    state.update((
+        [t for t, _ in buf], [i for _, i in buf],
+        [t for t, _ in pending], [i for _, i in pending],
+        wm_us,
+    ))
+    if pending:
+        # Fire when the watermark passes the oldest pending purchase.
+        # Remaining pendings all have t > wm_us, so this is always
+        # above the current watermark (the API rejects timestamps at
+        # or below it); the max() guards the ms-rounding edge.
+        ms = min(t for t, _ in pending) // 1000 + 1
+        state.setTimeoutTimestamp(max(ms, state.getCurrentWatermarkMs() + 1))
+    yield pd.DataFrame(
+        out_rows,
+        columns=["purchase_id", "user_id", "purchase_t", "view_id",
+                 "view_t"],
+    )
+
+
 def stream_asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -358,6 +431,8 @@ def stream_asof_join(
     emit: str = "eager",
     delay_us: int | None = None,
     flush: DataFrame | None = None,
+    finalize: str = "sentinel",
+    wm_delay: str = "0 seconds",
 ) -> DataFrame:
     """Stream-stream backward as-of join: each left row is matched to
     the most recent right row of the same key with ``right.t <=
@@ -394,21 +469,45 @@ def stream_asof_join(
       :func:`_asof_update_exact`).  Requires ``delay_us``.  State per
       key stays <= ``delay_us + horizon_us`` of event time.
 
-    ``flush`` (watermark mode only): a stream of (key, t, event_id)
-    sentinel rows whose ``t`` exceeds every real row's ``t +
-    delay_us``; they only advance the frontier so a BOUNDED run
-    (availableNow fixture) finalizes its tail.  Live pipelines omit
-    it.
+    ``finalize`` selects how watermark mode learns that time has
+    passed (ignored for eager mode):
+
+    * ``"sentinel"`` (default): per-key event-time frontier tracked in
+      state (:func:`_asof_update_exact`), requires ``delay_us``; a
+      bounded run finalizes its tail with one ``flush`` sentinel row
+      PER KEY whose ``t`` exceeds every real row's ``t + delay_us``.
+    * ``"timeout"``: Spark's own GLOBAL event-time watermark +
+      ``EventTimeTimeout`` (:func:`_asof_update_wm`) — the lateness
+      allowance is ``wm_delay`` (the ``withWatermark`` delay applied
+      to the tagged union), a purchase finalizes when the watermark
+      passes its event time, and no per-key sentinels are needed:
+      live pipelines finalize from data flow alone, and a bounded
+      fixture needs at most ONE far-future row anywhere in the stream
+      to push the final watermark past every bound.
+
+    ``flush``: sentinel rows (key, t, event_id) — per-key frontier
+    advancers for ``finalize="sentinel"``, or a single global
+    watermark carrier for ``finalize="timeout"``.  Rejected in eager
+    mode.
 
     Both inputs need columns ``(key, t, event_id)``.
     """
     if emit not in ("eager", "watermark"):
         raise ValueError(f"emit must be 'eager' or 'watermark': {emit!r}")
+    if finalize not in ("sentinel", "timeout"):
+        raise ValueError(
+            f"finalize must be 'sentinel' or 'timeout': {finalize!r}")
+    timeout_conf = GroupStateTimeout.NoTimeout
     if emit == "watermark":
-        if delay_us is None:
-            raise ValueError("emit='watermark' requires delay_us")
-        update = partial(_asof_update_exact, horizon_us=horizon_us,
-                         delay_us=delay_us)
+        if finalize == "timeout":
+            update = partial(_asof_update_wm, horizon_us=horizon_us)
+            timeout_conf = GroupStateTimeout.EventTimeTimeout
+        else:
+            if delay_us is None:
+                raise ValueError("emit='watermark' with "
+                                 "finalize='sentinel' requires delay_us")
+            update = partial(_asof_update_exact, horizon_us=horizon_us,
+                             delay_us=delay_us)
     else:
         if flush is not None:
             # _asof_update has no sentinel branch — a tag-2 row would
@@ -425,12 +524,18 @@ def stream_asof_join(
         tagged = tagged.unionByName(
             flush.select(key, "t", "event_id", F.lit(2).alias("tag"))
         )
+    if emit == "watermark" and finalize == "timeout":
+        # EventTimeTimeout requires a watermarked event-time column on
+        # the input; ``wm_delay`` IS the operator's lateness contract.
+        tagged = tagged.withColumn(
+            "ts", F.timestamp_micros(F.col("t"))
+        ).withWatermark("ts", wm_delay)
     return tagged.groupBy(key).applyInPandasWithState(
         update,
         outputStructType=_ASOF_OUT,
         stateStructType=_ASOF_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout_conf,
     )
 
 

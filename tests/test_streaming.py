@@ -473,3 +473,59 @@ def test_stream_asof_exact_unmatched_and_horizon_rules(spark, tmp_path):
         (32, 1, 600, 12, 500),
         # user 2: view 4950us back — beyond horizon; user 3: none
     ]
+
+
+def test_stream_asof_timeout_finalize_no_per_key_sentinels(
+        spark, tmp_path):
+    # finalize='timeout': same late-better-view scenario as the
+    # sentinel-exact test, but finalization comes from Spark's GLOBAL
+    # event-time watermark + EventTimeTimeout — no per-key flush rows.
+    # The only extra input is ONE far-future watermark-carrier row
+    # under an UNRELATED key; the purchase's key never sees a sentinel
+    # yet still finalizes (timeout fires in the final no-data batch).
+    from rados_timestore_spark.streaming.windows import stream_asof_join
+
+    schema = "user_id long, t long, event_id long, event_type string"
+    batches = [
+        [(1, 100, 10, "view"), (1, 200, 31, "purchase")],
+        [(1, 150, 11, "view")],  # the better view, one batch late
+        [(99, 10**12, -1, "__flush__")],  # single GLOBAL wm carrier
+    ]
+    src = _write_batches(spark, tmp_path, batches, schema)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = str(tmp_path / "out")
+    q = (
+        stream_asof_join(
+            stream.filter(F.col("event_type") == "purchase"),
+            stream.filter(F.col("event_type") == "view"),
+            horizon_us=1000, emit="watermark", finalize="timeout",
+            wm_delay="1 second",  # covers the fixture's delivery disorder
+            flush=stream.filter(F.col("event_type") == "__flush__"),
+        )
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = sorted((r.purchase_id, r.view_id, r.view_t)
+                 for r in spark.read.parquet(out).collect())
+    assert got == [(31, 11, 150)]
+
+
+def test_stream_asof_knob_validation(spark):
+    import pytest as _pytest
+
+    from rados_timestore_spark.streaming.windows import stream_asof_join
+
+    df = spark.createDataFrame([], "user_id long, t long, event_id long")
+    with _pytest.raises(ValueError, match="emit"):
+        stream_asof_join(df, df, emit="bogus")
+    with _pytest.raises(ValueError, match="finalize"):
+        stream_asof_join(df, df, emit="watermark", finalize="bogus")
+    with _pytest.raises(ValueError, match="delay_us"):
+        stream_asof_join(df, df, emit="watermark")
+    with _pytest.raises(ValueError, match="flush"):
+        stream_asof_join(df, df, emit="eager", flush=df)
