@@ -612,6 +612,7 @@ SELECT max(day_max) + 1 AS epoch, CAST(0 AS BIGINT) AS n_points,
 FROM d
 """,
     tags=("R1", "R2", "W6"),
+    bench=True,  # single-pass backfill ingest is a headline op
     priority=90,  # new in r5 — promoted for first driver evidence
 )
 def ts_bulk_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:

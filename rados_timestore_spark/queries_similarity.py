@@ -803,6 +803,7 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 WHERE rank <= 5
 """,
     tags=("similarity", "ann"),
+    bench=True,  # the trained-quantizer ANN path is a headline op
     priority=90,  # new in r5 — promoted for first driver evidence
 )
 def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -41,6 +41,8 @@ SOAK_QUERIES = (
     "dedup_simhash_pairs",
     "sim_neardup_pairs",
     "sim_ivf_ann",
+    "sim_ivf_kmeans",
+    "sim_kmeans_quantizer",
     "sim_topk_bruteforce",
     "text_stats",
     "text_word_freq",
@@ -56,6 +58,7 @@ SOAK_TS_QUERIES = (
     "ts_store_roundtrip",
     "ts_asof_join",
     "ts_rollup_hourly",
+    "ts_bulk_backfill",
 )
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
