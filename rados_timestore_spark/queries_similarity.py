@@ -851,3 +851,97 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
                 "cos", "rank")
     )
+
+
+_KM_IVF_CTES = f"""{_KM_CTES},
+kassign AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             {_l2_sql("e.embedding", "c.ce")} ASC, c.cid) AS rk
+    FROM embeddings e, kc2 c) x
+  WHERE rk = 1),
+kprobes AS (
+  SELECT query_id, qe, bucket FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS qe, c.cid AS bucket,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             {_l2_sql("e.embedding", "c.ce")} ASC, c.cid) AS pr
+    FROM embeddings e, kc2 c WHERE e.vec_id < 5) x
+  WHERE pr <= {_N_PROBE}),
+khits AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_dot_sql("a.embedding", "p.qe")}
+           / {_norm_sql("a.embedding")} / {_norm_sql("p.qe")} AS cos
+  FROM kprobes p JOIN kassign a ON a.cid = p.bucket
+  WHERE a.vec_id <> p.query_id),
+ktop AS (
+  SELECT query_id, neighbor_id, cos, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rank
+    FROM khits) t
+  WHERE rank <= 5)"""
+
+
+@register(
+    "sim_ivf_kmeans_recall",
+    oracle=f"""
+WITH {_KM_IVF_CTES},
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             {_dot_sql("e.embedding", "q.embedding")}
+               / {_norm_sql("e.embedding")} / {_norm_sql("q.embedding")}
+               DESC, e.vec_id) AS rank
+    FROM embeddings e, embeddings q
+    WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id) t
+  WHERE rank <= 5),
+hit AS (
+  SELECT x.query_id, count(i.neighbor_id) AS n_hit
+  FROM exact x LEFT JOIN ktop i
+    ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
+  GROUP BY x.query_id)
+SELECT query_id, CAST(n_hit AS BIGINT) AS n_hit,
+       n_hit / 5.0 AS recall_at_5
+FROM hit
+""",
+    tags=("similarity", "ann"),
+    priority=110,  # new late-r5: window already full of never-checked r5 queries — local-green via tools/check_correctness.py; rotate into the driver window in r6
+)
+def sim_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the TRAINED-quantizer IVF path against exact brute
+    force — the twin of :func:`sim_ivf_recall` over
+    :func:`sim_ivf_kmeans`, so the two recall queries together
+    quantify what k-means training buys (or costs) at identical
+    nprobe.  Same plan shape: ANN list from the bucketed probe
+    pipeline, ground truth from the broadcast brute-force scan,
+    n_hit / 5.0 as one IEEE divide on both engines."""
+    emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    ivf = sim_ivf_kmeans(spark, sf_dir).select("query_id", "neighbor_id")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            _cos_seq(F.col("embedding"), F.col("qe")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    hit = (
+        exact.join(ivf.withColumn("__hit", F.lit(1)),
+                   ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("__hit").alias("n_hit"))
+    )
+    return hit.select(
+        "query_id", F.col("n_hit").cast("long").alias("n_hit"),
+        (F.col("n_hit") / F.lit(5.0)).alias("recall_at_5"),
+    )
