@@ -596,6 +596,42 @@ def ts_rollover(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_compact_roundtrip",
+    oracle=f"""{PTS_CTE}
+SELECT address, time, value, seq
+FROM (SELECT *, row_number() OVER (PARTITION BY address, time ORDER BY seq)
+        AS rn FROM pts) d
+WHERE rn = 1 AND address % 2 = 0
+  AND address IN ({ADDRS_SQL})
+  AND time BETWEEN {T_JAN10} AND {T_JAN20}
+""",
+    tags=("W6", "Q8"),
+    priority=110,  # new late-r5: window already full of never-checked r5 queries — local-green via tools/check_correctness.py; rotate into the driver window in r6
+)
+def ts_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction + GC preserve the read contract end-to-end: ingest
+    the events slice, run :meth:`TimeStore.compact` (the
+    read-optimizing small-file merge the reference never does — its
+    4 MiB objects ARE its files) followed by :meth:`TimeStore.gc`,
+    then read_simple — results must equal the same relational oracle
+    as ts_store_roundtrip, proving the generation flip is invisible
+    to readers.  The admin surface was previously pytest-only; this
+    gives it driver-visible evidence."""
+    from rados_timestore_spark.store import TimeStore
+
+    root = tempfile.mkdtemp(prefix="ts_compact_")
+    store = TimeStore(spark, root)
+    ns = "compact"
+    store.register_namespace(ns, buckets=8)
+    pts = events_points(spark, sf_dir).filter(F.col("address") % 2 == 0)
+    store.write_points(ns, pts.select("address", "time", "value", "seq"))
+    store.compact(ns, target_partitions_per_bucket=1)
+    store.gc(ns)
+    df = store.read_simple(ns, T_JAN10, T_JAN20, list(ADDRS))
+    return df.select("address", "time", "value", "seq")
+
+
+@register(
     "ts_bulk_backfill",
     oracle=f"""{PTS_CTE},
 sp AS (SELECT * FROM pts WHERE address % 2 = 0 AND time < {T_JAN20}),

@@ -314,6 +314,88 @@ def streaming_asof_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_asof_update",
+    oracle=f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS t FROM events),
+p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+v AS (SELECT * FROM ev WHERE event_type = 'view'),
+m AS (
+  SELECT p.event_id AS purchase_id, p.user_id, p.t AS purchase_t,
+         v.event_id AS view_id, v.t AS view_t,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY v.t DESC, v.event_id DESC) AS rk
+  FROM p JOIN v ON p.user_id = v.user_id
+   AND v.t <= p.t AND p.t - v.t <= {_ASOF_HORIZON_US})
+SELECT purchase_id, user_id, purchase_t, view_id, view_t
+FROM m WHERE rk = 1
+""",
+    tags=("streaming", "join", "asof"),
+    priority=110,  # new late-r5: window already full of never-checked r5 queries — local-green via tools/check_correctness.py; rotate into the driver window in r6
+)
+def streaming_asof_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update-mode (changelog) streaming as-of join end-to-end: the
+    same unordered multi-batch delivery as streaming_asof_exact, but
+    with eager first emissions plus correction re-emissions
+    (windows._asof_update_corrections).  The sink materializes the
+    changelog via foreachBatch with a batch ordinal; the query
+    resolves last-emission-per-purchase — exactly what an upsert sink
+    (Delta MERGE, KV store) does with the stream — and that converged
+    view must equal the batch oracle."""
+    from rados_timestore_spark.queries_common import event_us, load
+    from rados_timestore_spark.streaming.windows import stream_asof_join
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        event_us(ev).alias("t"),
+        "event_id",
+        "event_type",
+    )
+    lo, hi = pts.agg(F.min("t"), F.max("t")).collect()[0]
+    delay_us = int(hi) - int(lo) + 1
+    work = tempfile.mkdtemp(prefix="ts_stream_asofupd_")
+    src, out, ck = f"{work}/src", f"{work}/out", f"{work}/ck"
+    pts.repartition(3).write.parquet(src)
+
+    with _few_state_partitions(spark):
+        stream = (
+            spark.readStream.schema(pts.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        joined = stream_asof_join(
+            stream.filter(F.col("event_type") == "purchase"),
+            stream.filter(F.col("event_type") == "view"),
+            horizon_us=_ASOF_HORIZON_US,
+            emit="update", delay_us=delay_us,
+        )
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            (
+                batch_df.withColumn("bid", F.lit(batch_id))
+                .write.mode("append").parquet(out)
+            )
+
+        q = (
+            joined.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ck)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    log = spark.read.parquet(out)
+    w = W.partitionBy("purchase_id").orderBy(F.desc("bid"))
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("purchase_id", "user_id", "purchase_t", "view_id",
+                "view_t")
+    )
+
+
+@register(
     "streaming_asof_watermark",
     oracle=f"""
 WITH ev AS (

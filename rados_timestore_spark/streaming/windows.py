@@ -350,6 +350,115 @@ def _asof_update_exact(key, pdfs, state: GroupState, horizon_us: int,
     )
 
 
+_ASOF_CORR_STATE = StructType([
+    StructField("vt", ArrayType(LongType())),
+    StructField("vid", ArrayType(LongType())),
+    StructField("pt", ArrayType(LongType())),
+    StructField("pid", ArrayType(LongType())),
+    StructField("mt", ArrayType(LongType())),
+    StructField("mid", ArrayType(LongType())),
+    StructField("mvt", ArrayType(LongType())),
+    StructField("mvid", ArrayType(LongType())),
+    StructField("frontier", LongType()),
+])
+
+
+def _asof_update_corrections(key, pdfs, state: GroupState,
+                             horizon_us: int, delay_us: int):
+    """Per-key backward as-of matcher, UPDATE-mode variant: eager
+    latency AND exactness, for sinks that can upsert.
+
+    Emits a purchase's best-so-far match the moment one exists (like
+    :func:`_asof_update`) and RE-EMITS a correction whenever a view
+    arriving in a later micro-batch improves it — the Flink
+    "changelog" answer to the append-sink retraction problem.  A sink
+    keyed on purchase_id that keeps the LAST emission converges to the
+    exact batch as-of join for every view delivered within
+    ``delay_us`` of the key's event-time frontier.
+
+    Per batch: ingest everything, then recompute each live purchase's
+    best match from the view buffer and emit rows whose best changed.
+    State holds the view buffer, unmatched purchases (retained one
+    ``horizon_us``, like eager), and matched purchases with their
+    current best (retained until the frontier passes ``t + delay_us``
+    — after that an improving view would be off-contract anyway), so
+    state is bounded by ``delay_us + horizon_us`` of event time.
+    """
+    if state.exists:
+        vt, vid, pt, pid, mt, mid, mvt, mvid, frontier = state.get
+        buf = list(zip(vt, vid))
+        pending = list(zip(pt, pid))
+        matched = {
+            (t, i): (bt, bi) for t, i, bt, bi in zip(mt, mid, mvt, mvid)
+        }
+    else:
+        buf, pending, matched, frontier = [], [], {}, None
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    for t, tag, eid in zip(batch["t"], batch["tag"], batch["event_id"]):
+        t, tag, eid = int(t), int(tag), int(eid)
+        frontier = t if frontier is None else max(frontier, t)
+        if tag == 0:
+            bisect.insort(buf, (t, eid))
+        elif tag == 1:
+            pending.append((t, eid))
+    out_rows = []
+    # Unmatched purchases: first match emits and moves them to the
+    # matched set; still-unmatched ones are retained for the full
+    # lateness contract (delay_us — NOT the eager variant's one
+    # horizon: in update mode an on-contract FIRST match may arrive
+    # up to delay_us of event time late, same as a correction).
+    still_pending = []
+    for t, eid in sorted(pending):
+        pos = bisect.bisect_right(buf, (t, 1 << 62))
+        if pos > 0 and t - buf[pos - 1][0] <= horizon_us:
+            best = buf[pos - 1]
+            matched[(t, eid)] = best
+            out_rows.append((eid, key[0], t, best[1], best[0]))
+        elif frontier is not None and frontier - t <= delay_us:
+            still_pending.append((t, eid))
+    pending = still_pending
+    # Matched purchases: recompute best from the (grown) buffer and
+    # emit corrections for improvements; a purchase matched for the
+    # first time THIS batch recomputes to the same best and stays
+    # silent here.
+    for (t, eid), (bvt, bvid) in sorted(matched.items()):
+        pos = bisect.bisect_right(buf, (t, 1 << 62))
+        if pos > 0 and t - buf[pos - 1][0] <= horizon_us:
+            best = buf[pos - 1]
+            if best != (bvt, bvid):
+                matched[(t, eid)] = best
+                out_rows.append((eid, key[0], t, best[1], best[0]))
+    if frontier is not None:
+        matched = {
+            (t, eid): b for (t, eid), b in matched.items()
+            if frontier - t <= delay_us
+        }
+        # Keep views one horizon behind the oldest row that can still
+        # use them — including a purchase that HASN'T ARRIVED yet but
+        # may, up to delay_us of event time late (frontier - delay_us,
+        # the same rule as _asof_update_exact).
+        cut_base = min(
+            [frontier - delay_us] + [t for t, _ in pending]
+            + [t for t, _ in matched]
+        )
+        start = bisect.bisect_left(buf, (cut_base - horizon_us,
+                                         -(1 << 62)))
+        buf = buf[start:]
+    mt_ = sorted(matched)
+    state.update((
+        [t for t, _ in buf], [i for _, i in buf],
+        [t for t, _ in pending], [i for _, i in pending],
+        [t for t, _ in mt_], [i for _, i in mt_],
+        [matched[k][0] for k in mt_], [matched[k][1] for k in mt_],
+        frontier,
+    ))
+    yield pd.DataFrame(
+        out_rows,
+        columns=["purchase_id", "user_id", "purchase_t", "view_id",
+                 "view_t"],
+    )
+
+
 def _asof_update_wm(key, pdfs, state: GroupState, horizon_us: int):
     """Per-key backward as-of matcher, GLOBAL-watermark variant.
 
@@ -468,6 +577,12 @@ def stream_asof_join(
       incorporated before the single, final emission (see
       :func:`_asof_update_exact`).  Requires ``delay_us``.  State per
       key stays <= ``delay_us + horizon_us`` of event time.
+    * ``"update"`` (eager latency AND exact, for upsert-capable
+      sinks): first match emits immediately, and a later view that
+      improves it re-emits a CORRECTION row — a changelog stream
+      keyed on purchase_id whose last row per key equals the batch
+      join (see :func:`_asof_update_corrections`).  Requires
+      ``delay_us`` as the correction-retention bound.
 
     ``finalize`` selects how watermark mode learns that time has
     passed (ignored for eager mode):
@@ -492,12 +607,33 @@ def stream_asof_join(
 
     Both inputs need columns ``(key, t, event_id)``.
     """
-    if emit not in ("eager", "watermark"):
-        raise ValueError(f"emit must be 'eager' or 'watermark': {emit!r}")
+    if emit not in ("eager", "watermark", "update"):
+        raise ValueError(
+            f"emit must be 'eager', 'watermark' or 'update': {emit!r}")
     if finalize not in ("sentinel", "timeout"):
         raise ValueError(
             f"finalize must be 'sentinel' or 'timeout': {finalize!r}")
     timeout_conf = GroupStateTimeout.NoTimeout
+    if emit == "update":
+        # Changelog variant: eager first emission + corrections when a
+        # later view improves it — for sinks that can upsert on
+        # purchase_id (see _asof_update_corrections).
+        if delay_us is None:
+            raise ValueError("emit='update' requires delay_us "
+                             "(correction-retention bound)")
+        tagged = right.select(
+            key, "t", "event_id", F.lit(0).alias("tag")
+        ).unionByName(
+            left.select(key, "t", "event_id", F.lit(1).alias("tag"))
+        )
+        return tagged.groupBy(key).applyInPandasWithState(
+            partial(_asof_update_corrections, horizon_us=horizon_us,
+                    delay_us=delay_us),
+            outputStructType=_ASOF_OUT,
+            stateStructType=_ASOF_CORR_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     if emit == "watermark":
         if finalize == "timeout":
             update = partial(_asof_update_wm, horizon_us=horizon_us)

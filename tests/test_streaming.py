@@ -529,3 +529,41 @@ def test_stream_asof_knob_validation(spark):
         stream_asof_join(df, df, emit="watermark")
     with _pytest.raises(ValueError, match="flush"):
         stream_asof_join(df, df, emit="eager", flush=df)
+
+
+def test_stream_asof_update_mode_emits_corrections(spark, tmp_path):
+    # emit='update': the late-better-view scenario again, but now the
+    # operator emits BOTH the eager first match and a correction when
+    # the better view lands — an upsert sink keyed on purchase_id
+    # converges to the batch-oracle answer without delaying the first
+    # emission.
+    from rados_timestore_spark.streaming.windows import stream_asof_join
+
+    schema = "user_id long, t long, event_id long, event_type string"
+    batches = [
+        [(1, 100, 10, "view"), (1, 200, 31, "purchase")],
+        [(1, 150, 11, "view")],   # better view, one batch late
+        [(1, 120, 12, "view")],   # worse view later still: NO emission
+    ]
+    src = _write_batches(spark, tmp_path, batches, schema)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream_asof_join(
+            stream.filter(F.col("event_type") == "purchase"),
+            stream.filter(F.col("event_type") == "view"),
+            horizon_us=1000, emit="update", delay_us=10_000,
+        )
+        .writeStream.format("memory").queryName("asof_upd")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT purchase_id, view_id, view_t FROM asof_upd").collect()
+    got = [(r.purchase_id, r.view_id, r.view_t) for r in rows]
+    # exactly two emissions: eager first match, then the correction
+    assert sorted(got) == [(31, 10, 100), (31, 11, 150)]
