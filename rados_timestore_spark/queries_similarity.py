@@ -945,3 +945,63 @@ def sim_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("n_hit").cast("long").alias("n_hit"),
         (F.col("n_hit") / F.lit(5.0)).alias("recall_at_5"),
     )
+
+
+# ---------------------------------------------- semantic deduplication
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+WITH RECURSIVE {_bands_sql()},
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_dot_sql("a.embedding", "b.embedding")} / (a.nn * b.nn) AS cos
+  FROM banded a JOIN banded b ON a.vec_id < b.vec_id
+  WHERE list_has_any(a.bandkeys, b.bandkeys)
+),
+edges AS (SELECT vec_a, vec_b FROM pairs WHERE cos * 100 >= {_TAU100}),
+sym AS (SELECT vec_a AS a, vec_b AS b FROM edges
+        UNION ALL SELECT vec_b, vec_a FROM edges),
+reach(src, node) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON r.node = s.a
+),
+cc AS (SELECT src AS vec_id, min(node) AS cluster_rep
+       FROM reach GROUP BY src)
+SELECT e.vec_id,
+       COALESCE(cc.cluster_rep, e.vec_id) AS cluster_rep,
+       CAST(CASE WHEN COALESCE(cc.cluster_rep, e.vec_id) = e.vec_id
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM embeddings e LEFT JOIN cc ON cc.vec_id = e.vec_id
+""",
+    tags=("dedup", "similarity"),
+    priority=110,  # new late-r5: window already full of never-checked r5 queries — local-green via tools/check_correctness.py; rotate into the driver window in r6
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: embedding-cosine
+    near-dup pairs (the auto-scaled sign-LSH candidate pipeline of
+    :func:`sim_neardup_pairs`) -> connected components -> keep exactly
+    one representative (min vec_id) per semantic cluster.  Returns the
+    full corpus retention decision (vec_id, cluster_rep, keep) — the
+    operator a training-data pipeline runs to drop semantically
+    redundant documents that exact/minhash dedup can't see.  Reuses
+    the hybrid union-find / pointer-doubling CC of the minhash
+    pipeline (queries_dedup._connected_components); the oracle
+    recomputes the identical edges and closes them with a recursive
+    CTE."""
+    from rados_timestore_spark.queries_dedup import _connected_components
+
+    emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    edges = sim_neardup_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    cc = _connected_components(spark, edges).withColumnRenamed(
+        "doc_id", "vec_id")
+    labeled = emb.select("vec_id").join(cc, "vec_id", "left")
+    rep = F.coalesce("rep", F.col("vec_id"))
+    return labeled.select(
+        "vec_id",
+        rep.alias("cluster_rep"),
+        F.when(rep == F.col("vec_id"), 1).otherwise(0)
+        .cast("long").alias("keep"),
+    )
