@@ -698,11 +698,20 @@ def _make_km_assign(cids, C):
     return assign
 
 
+#: Trained-quantizer cache keyed by corpus dir: the fit is
+#: deterministic (fixed-point sums, test_kmeans pins bit-equality), so
+#: the three k-means queries share one training run per corpus — the
+#: production shape (train once, probe many).
+_KM_FIT_CACHE: dict[str, tuple] = {}
+
+
 def _kmeans_fit(spark: SparkSession, sf_dir: str):
     """Driver-coordinated Lloyd iterations (the MLlib pattern): per
     iteration one distributed assignment pass + one hash aggregate;
     only the k x DIM centroid matrix is ever collected.  Returns
     (cids, centroid matrix, final-iteration membership counts)."""
+    if sf_dir in _KM_FIT_CACHE:
+        return _KM_FIT_CACHE[sf_dir]
     emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
     init = (
         emb.filter(F.col("vec_id") < _KM_K)
@@ -737,6 +746,7 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str):
             [[float(r[f"s{i}"]) / r["n"] / float(_KM_SCALE)
               for i in range(DIM)] for r in rows]
         )
+    _KM_FIT_CACHE[sf_dir] = (cids, C, counts)
     return cids, C, counts
 
 

@@ -49,8 +49,12 @@ def test_kmeans_partitions_corpus_and_objective_decreases(spark):
     sse2 = _sse(E, cids, C, _make_km_assign(cids, C))
     assert sse2 <= sse0 * (1 + 1e-6)
 
-    # Bit-exact reproducibility: a second fit returns identical
+    # Bit-exact reproducibility: a second FRESH fit (cache cleared —
+    # a cache hit would make this assertion vacuous) returns identical
     # centroids — integer sums can't depend on shuffle order.
+    from rados_timestore_spark.queries_similarity import _KM_FIT_CACHE
+
+    _KM_FIT_CACHE.clear()
     cids_b, C_b, counts_b = _kmeans_fit(spark, SF_DIR)
     assert cids_b == cids and counts_b == counts
     assert np.array_equal(C, C_b)
