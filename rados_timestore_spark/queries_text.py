@@ -453,3 +453,80 @@ def text_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_words", "max_stop", reason.alias("reason"),
         F.when(reason == "kept", 1).otherwise(0).alias("keep"),
     )
+
+
+# ------------------------------------------ duplicated-span detection
+
+
+_SPAN_N = 8  # word-gram width (the Lee et al. exact-substring scale,
+#              shrunk to the fixture's ~35-word documents)
+
+
+@register(
+    "text_dup_spans",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+g AS (
+  SELECT doc_id, u.gram FROM w,
+    UNNEST(list_transform(generate_series(1, len(ws) - {_SPAN_N - 1}),
+           i -> array_to_string(list_slice(ws, i, i + {_SPAN_N - 1}),
+                                ' '))) AS u(gram)
+  WHERE len(ws) >= {_SPAN_N}),
+occ AS (SELECT gram, count(*) AS n_occ FROM g GROUP BY gram),
+per_doc AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         CAST(sum(CASE WHEN o.n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dup_grams
+  FROM g JOIN occ o ON g.gram = o.gram
+  GROUP BY g.doc_id)
+SELECT doc_id, n_grams, dup_grams,
+       CAST(dup_grams AS DOUBLE) / n_grams AS dup_frac
+FROM per_doc
+""",
+    tags=("text", "dedup"),
+    priority=110,  # new late-r5: window already full of never-checked r5 queries — local-green via tools/check_correctness.py; rotate into the driver window in r6
+)
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication fraction ("Deduplicating Training
+    Data Makes Language Models Better", Lee et al. 2022, shrunk from
+    50-token to 8-word spans for the fixture): every word
+    8-gram occurrence is counted corpus-wide, and each
+    document reports how much of it is covered by spans that occur
+    >= 2 times anywhere (including intra-document repeats) — the
+    memorization-risk metric that decides span-level scrubbing.
+
+    Plan: one scan -> gram explode (built-in ``transform``/``slice``,
+    no Python) -> hash aggregate on the gram -> one equi-join of
+    (doc, gram) occurrences against gram counts -> per-doc aggregate.
+    At 100 TB the gram key would be md5-packed to 8 bytes before the
+    shuffle; the fixture keeps the raw string so the oracle join key
+    is byte-identical."""
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
+    w = docs.select("doc_id", _words_col().alias("ws")).filter(
+        F.size("ws") >= _SPAN_N
+    )
+    grams = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(ws) - {_SPAN_N - 1}), "
+                f"i -> concat_ws(' ', slice(ws, i, {_SPAN_N})))"
+            )
+        ).alias("gram"),
+    )
+    occ = grams.groupBy("gram").agg(F.count("*").alias("n_occ"))
+    per_doc = (
+        grams.join(occ, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("n_occ") >= 2, 1).otherwise(0))
+            .cast("long").alias("dup_grams"),
+        )
+    )
+    return per_doc.select(
+        "doc_id", "n_grams", "dup_grams",
+        (F.col("dup_grams").cast("double") / F.col("n_grams"))
+        .alias("dup_frac"),
+    )
