@@ -567,3 +567,66 @@ def test_stream_asof_update_mode_emits_corrections(spark, tmp_path):
     got = [(r.purchase_id, r.view_id, r.view_t) for r in rows]
     # exactly two emissions: eager first match, then the correction
     assert sorted(got) == [(31, 10, 100), (31, 11, 150)]
+
+
+def test_stream_asof_checkpoint_recovery(spark, tmp_path):
+    # The stateful as-of operator must survive a query RESTART: run
+    # availableNow over the first files to termination, then deliver
+    # more files and start a SECOND query on the SAME checkpoint.
+    # The restored state must still hold the pending unmatched
+    # purchase and the view buffer, so a view delivered only after
+    # the restart completes the match — equal to a single run.
+    import glob
+    import os
+    import shutil
+    import time as _t
+
+    from rados_timestore_spark.streaming.windows import stream_asof_join
+
+    schema = "user_id long, t long, event_id long, event_type string"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def deliver(i, rows):
+        tmp = str(tmp_path / f"w{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dest = f"{src}/b{i}.parquet"
+        shutil.move(part, dest)
+        os.utime(dest, (_t.time() + i, _t.time() + i))
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = (
+            stream_asof_join(
+                stream.filter(F.col("event_type") == "purchase"),
+                stream.filter(F.col("event_type") == "view"),
+                horizon_us=1000,
+            )
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+
+    # Phase 1: a view, a matched purchase, and an UNMATCHED purchase
+    # whose view hasn't been delivered yet.
+    deliver(0, [(1, 100, 10, "view")])
+    deliver(1, [(1, 200, 31, "purchase"), (2, 500, 32, "purchase")])
+    run_once()
+    got1 = sorted((r.purchase_id, r.view_id)
+                  for r in spark.read.parquet(out).collect())
+    assert got1 == [(31, 10)]  # 32 is pending in checkpointed state
+
+    # Phase 2: restart on the same checkpoint; the late view must
+    # match the RESTORED pending purchase.
+    deliver(2, [(2, 450, 20, "view")])
+    run_once()
+    got2 = sorted((r.purchase_id, r.view_id)
+                  for r in spark.read.parquet(out).collect())
+    assert got2 == [(31, 10), (32, 20)]
