@@ -271,20 +271,36 @@ class TimeStore:
         self._write_meta(ns, meta)
 
     def write_points_batched(self, ns: str, df: DataFrame,
-                             batch_col: str) -> None:
-        """Bulk backfill ingest: one epoch per batch, ONE write pass.
+                             batch_col: str,
+                             rollover_rows: int | None = None) -> None:
+        """Bulk backfill ingest: sequential rollover semantics, ONE
+        write pass.
 
         Semantically identical to calling :meth:`write_points` once per
-        ascending ``batch_col`` value on a store whose rollover always
-        fires (``rollover_bytes -> 0`` — the epoch-per-day/hour chunk
-        layout a backfill wants), but executed as one tiny per-batch
-        aggregate plus one partitioned write instead of a driver loop
+        ascending ``batch_col`` value, but executed as tiny metadata
+        aggregates plus one partitioned write instead of a driver loop
         of per-batch jobs.  A loop re-scans the source once per batch
         and serializes on per-batch meta round-trips; this path scans
-        the data exactly twice (stats, write) regardless of batch
-        count — the difference between hours and days on a 100 TB
-        backfill.  (Size-threshold rollover stays on the sequential
-        path: byte sizes are only observable after writing.)
+        the data at most three times (stats, threshold counts, write)
+        regardless of batch count — the difference between hours and
+        days on a 100 TB backfill.
+
+        ``rollover_rows=None`` (default): every watermark-advancing
+        batch cuts an epoch — the ``rollover_bytes -> 0`` limit, i.e.
+        the epoch-per-day/hour chunk layout a backfill usually wants,
+        with only the per-batch stats pass as overhead.
+        ``rollover_rows=N``: replay the sequential size-threshold rule
+        with ROW COUNT as the size probe (bytes are only observable
+        after writing): a batch cuts iff, after it, the latest epoch's
+        fullest bucket holds > N rows AND the watermark advanced.
+        Implemented with one extra metadata aggregate — per (batch,
+        bucket, candidate-epoch) row counts, where the candidate
+        boundaries come from the always-cut fold (every possible cut
+        point is some ``watermark_i + 1``), so the threshold fold can
+        attribute each batch's rows to the then-latest epoch exactly.
+        Threshold accumulation starts at zero, so on a store that
+        already holds data in its latest epoch the first cut can fire
+        up to N rows later than a byte-probing sequential loop would.
 
         Epoch-cut equivalence with the sequential loop:
 
@@ -335,18 +351,60 @@ class TimeStore:
             key=lambda r: r["_b"],
         )
 
-        # Driver fold: replay the sequential watermark/cut decisions.
+        # Driver fold A: watermarks + CANDIDATE boundaries (the
+        # always-cut fold).  With a threshold, the actual cuts are a
+        # subset of these: every possible cut point is watermark_i + 1.
         latest_simple, latest_extended = meta.latest_simple, meta.latest_extended
-        entries = list(meta.index.entries)
-        _, buckets = entries[-1]
+        entries0 = list(meta.index.entries)
+        _, buckets = entries0[-1]
         batch_ordinals: dict = {}
+        batch_watermarks: list[int] = []
+        candidates = [entries0[-1][0]]
         for ordinal, row in enumerate(stats):
             batch_ordinals[row["_b"]] = ordinal
             latest_simple = _mono_max(latest_simple, row["max_simple"])
             latest_extended = _mono_max(latest_extended, row["max_extended"])
             watermark = max(latest_simple or 0, latest_extended or 0)
-            if watermark > entries[-1][0]:
-                entries.append((watermark + 1, buckets))
+            batch_watermarks.append(watermark)
+            if watermark > candidates[-1]:
+                candidates.append(watermark + 1)
+
+        if rollover_rows is None:
+            entries = entries0 + [(c, buckets) for c in candidates[1:]]
+        else:
+            # Pass 1b — per (batch, bucket, candidate-epoch) counts
+            # (tiny: ~batches x buckets rows).  The floor entry keeps
+            # rows belonging to PRE-EXISTING older epochs below the
+            # latest boundary in the stab, so they never accumulate.
+            cand_index = Index(tuple(
+                (c, buckets)
+                for c in sorted({entries0[0][0], *candidates})
+            ))
+            counts = (
+                df.groupBy(
+                    F.col(batch_col).alias("_b"),
+                    place_bucket_by_index(cand_index, "time", "address")
+                    .alias("_bk"),
+                    cand_index.epoch_col("time").alias("_ce"),
+                ).agg(F.count("*").alias("_n")).collect()
+            )
+            by_batch: dict = {}
+            for r in counts:
+                by_batch.setdefault(r["_b"], []).append(
+                    (int(r["_ce"]), int(r["_bk"]), int(r["_n"])))
+            # Driver fold B: replay the sequential probe-then-cut rule
+            # with per-bucket row accumulation in the latest epoch.
+            entries = list(entries0)
+            accum: dict[int, int] = {}
+            for row, watermark in zip(stats, batch_watermarks):
+                boundary = entries[-1][0]
+                for ce, bk, n in by_batch.get(row["_b"], ()):
+                    if ce >= boundary:  # iff time >= boundary
+                        accum[bk] = accum.get(bk, 0) + n
+                if (accum and max(accum.values()) > rollover_rows
+                        and watermark > boundary):
+                    entries.append((watermark + 1, buckets))
+                    accum = {}  # the new epoch starts empty
         final_index = Index(tuple(entries))
 
         # Pass 2 — stamp seq, route via the final index, one append.

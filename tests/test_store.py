@@ -402,3 +402,35 @@ def test_batched_backfill_matches_sequential_loop(spark, tmp_path):
                 .collect()]
 
     assert extended(bat_store) == extended(seq_store) == [(5, 35, b"x")]
+
+
+def test_batched_backfill_rows_threshold_rollover(spark, tmp_path):
+    # rollover_rows=N replays the sequential probe-then-cut rule with
+    # row count as the size probe: cut after a batch iff the latest
+    # epoch's fullest bucket exceeds N rows AND the watermark advanced.
+    # Hand-computed layout with one bucket and N=2.
+    from rados_timestore_spark.store import TimeStore
+
+    schema = "batch long, address long, time long, value long"
+    rows = [
+        (0, 2, 10, 1), (0, 2, 20, 2),   # accum 2 -> no cut
+        (1, 2, 30, 3),                  # accum 3 > 2 -> cut at 31
+        (2, 2, 40, 4), (2, 2, 50, 5),   # accum 2 -> no cut
+        (3, 2, 60, 6), (3, 2, 70, 7),   # accum 4 > 2 -> cut at 71
+        (4, 2, 25, 8), (4, 2, 80, 9),   # late row joins epoch 0; 1 new
+                                        # row in epoch 71 -> no cut
+    ]
+    store = TimeStore(spark, str(tmp_path / "w"))
+    store.register_namespace("A", buckets=1)
+    store.write_points_batched(
+        "A", spark.createDataFrame(rows, schema), "batch",
+        rollover_rows=2,
+    )
+    assert store.index("A").entries == ((0, 1), (31, 1), (71, 1))
+    per_epoch = {
+        r.epoch: r.n for r in spark.read.parquet(store._points_dir("A"))
+        .groupBy("epoch").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_epoch == {0: 4, 31: 4, 71: 1}
+    got = store.read_simple("A", 0, 1000, [2], global_order=True).collect()
+    assert [r.time for r in got] == [10, 20, 25, 30, 40, 50, 60, 70, 80]
