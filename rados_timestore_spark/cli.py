@@ -54,6 +54,19 @@ def _parser() -> argparse.ArgumentParser:
     wr.add_argument("--parquet", required=True,
                     help="path with address/time/value[/payload] columns")
 
+    bf = sub.add_parser(
+        "backfill",
+        help="bulk-ingest history in one pass (write_points_batched)")
+    bf.add_argument("--parquet", required=True,
+                    help="path with address/time/value[/payload] columns")
+    bf.add_argument("--batch-us", type=int, default=86_400_000_000,
+                    help="epoch chunk width in microseconds of event "
+                         "time (default: one epoch per day)")
+    bf.add_argument("--rollover-rows", type=int, default=None,
+                    help="optional per-bucket row threshold: cut only "
+                         "when the latest epoch's fullest bucket "
+                         "exceeds it (default: every batch cuts)")
+
     sub.add_parser("compact", help="rewrite live generation compacted")
     sub.add_parser("gc", help="delete stale compaction generations")
     return p
@@ -90,6 +103,16 @@ def main(argv: Sequence[str] | None = None,
     elif args.cmd == "write":
         store.write_points(args.ns, spark.read.parquet(args.parquet))
         print("ok")
+    elif args.cmd == "backfill":
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(args.parquet).withColumn(
+            "__batch", F.expr(f"time div {args.batch_us}")
+        )
+        store.write_points_batched(
+            args.ns, df, "__batch", rollover_rows=args.rollover_rows
+        )
+        print(json.dumps({"epochs": len(store.index(args.ns).entries)}))
     elif args.cmd == "compact":
         store.compact(args.ns)
         print("ok")

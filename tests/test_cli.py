@@ -34,3 +34,29 @@ def test_cli_register_write_read_latest(spark, tmp_path, capsys):
     assert main([*base, "latest"], spark=spark) == 0
     assert json.loads(capsys.readouterr().out) == {
         "simple": 6, "extended": None}
+
+
+def test_cli_backfill(spark, tmp_path, capsys):
+    root = str(tmp_path / "wh2")
+    base = ["--root", root, "--ns", "HIST"]
+    assert main([*base, "register", "--buckets", "4"], spark=spark) == 0
+
+    src = str(tmp_path / "hist.parquet")
+    day = 86_400_000_000
+    spark.createDataFrame(
+        [(2, 10, 1), (2, day + 10, 2), (2, 2 * day + 10, 3)],
+        "address long, time long, value long",
+    ).write.parquet(src)
+    capsys.readouterr()
+    assert main([*base, "backfill", "--parquet", src], spark=spark) == 0
+    # 3 day-batches -> 3 cuts + the initial entry
+    assert json.loads(capsys.readouterr().out) == {"epochs": 4}
+    assert main(
+        [*base, "read", "--start", "0", "--end", str(3 * day),
+         "--addresses", "2"],
+        spark=spark,
+    ) == 0
+    rows = [json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines()]
+    assert {(r["time"], r["value"]) for r in rows} == {
+        (10, 1), (day + 10, 2), (2 * day + 10, 3)}
