@@ -434,3 +434,66 @@ def test_batched_backfill_rows_threshold_rollover(spark, tmp_path):
     assert per_epoch == {0: 4, 31: 4, 71: 1}
     got = store.read_simple("A", 0, 1000, [2], global_order=True).collect()
     assert [r.time for r in got] == [10, 20, 25, 30, 40, 50, 60, 70, 80]
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_batched_backfill_matches_sequential_randomized(
+        spark, tmp_path, seed):
+    # Randomized replay of the equivalence argument: arbitrary batch
+    # plans (random sizes incl. empty, late rows, cross-batch
+    # duplicate (addr, time) keys, non-monotone batch maxima) must
+    # produce identical index entries, placement, and read results on
+    # both ingest paths.  Intra-batch duplicate keys are excluded:
+    # their winner is partition-order-arbitrary on BOTH paths.
+    import random
+
+    from rados_timestore_spark.store import TimeStore
+
+    rng = random.Random(seed)
+    batches = []
+    for _ in range(rng.randint(3, 5)):
+        n = rng.randint(0, 6)
+        used = set()
+        rows = []
+        for _ in range(n):
+            while True:
+                key = (rng.choice([2, 4, 6]), rng.randint(0, 500))
+                if key not in used:
+                    used.add(key)
+                    break
+            rows.append((*key, rng.randint(0, 99)))
+        batches.append(rows)
+
+    schema = "address long, time long, value long"
+    seq_store = TimeStore(spark, str(tmp_path / "seq"), rollover_bytes=1)
+    seq_store.register_namespace("A", buckets=4)
+    for rows in batches:
+        seq_store.write_points(
+            "A", spark.createDataFrame(rows or [], schema))
+    bat_store = TimeStore(spark, str(tmp_path / "bat"))
+    bat_store.register_namespace("A", buckets=4)
+    allrows = [(i, *r) for i, rows in enumerate(batches) for r in rows]
+    bat_store.write_points_batched(
+        "A",
+        spark.createDataFrame(allrows or [], "batch long, " + schema),
+        "batch",
+    )
+
+    assert bat_store.index("A").entries == seq_store.index("A").entries
+    assert bat_store.latest("A") == seq_store.latest("A")
+
+    def snapshot(st):
+        try:
+            df = spark.read.parquet(st._points_dir("A"))
+        except Exception:
+            return []
+        return sorted((r.epoch, r.bucket, r.address, r.time)
+                      for r in df.collect())
+
+    assert snapshot(bat_store) == snapshot(seq_store)
+
+    def rd(st):
+        return [(r.address, r.time, r.value) for r in st.read_simple(
+            "A", 0, 1000, [2, 4, 6], global_order=True).collect()]
+
+    assert rd(bat_store) == rd(seq_store)
