@@ -277,9 +277,12 @@ class TimeStore:
         write pass.
 
         Semantically identical to calling :meth:`write_points` once per
-        ascending ``batch_col`` value, but executed as tiny metadata
-        aggregates plus one partitioned write instead of a driver loop
-        of per-batch jobs.  A loop re-scans the source once per batch
+        ascending ``batch_col`` value — i.e. the reference's ingest
+        loop of ``writeEncoded`` + ``maybeRollover`` probes
+        (TimeStore.hs:98-137, StoreHelpers.hs:194-221) replayed over a
+        whole history — but executed as tiny metadata aggregates plus
+        one partitioned write instead of a driver loop of per-batch
+        jobs.  A loop re-scans the source once per batch
         and serializes on per-batch meta round-trips; this path scans
         the data at most three times (stats, threshold counts, write)
         regardless of batch count — the difference between hours and
