@@ -335,11 +335,17 @@ _PPM_W_MOD, _PPM_H_MOD = 31, 17
 @register(
     "mm_decode_ppm",
     oracle=f"""
-WITH g AS (
-  SELECT doc_id, text, octet_length(encode(text)) AS n,
-         octet_length(encode(text)) % {_PPM_W_MOD} + 1 AS w,
-         octet_length(encode(text)) % {_PPM_H_MOD} + 2 AS h
+WITH g0 AS (
+  SELECT doc_id,
+         CASE WHEN octet_length(encode(text)) = 0 THEN ' '
+              ELSE text END AS text,
+         GREATEST(octet_length(encode(text)), 1) AS n
   FROM documents),
+g AS (
+  SELECT doc_id, text, n,
+         n % {_PPM_W_MOD} + 1 AS w,
+         n % {_PPM_H_MOD} + 2 AS h
+  FROM g0),
 p AS (
   SELECT doc_id, w, h, w * h * 3 AS pl,
          substr(repeat(text, ((w * h * 3 + n - 1) // n)::INT),
@@ -367,9 +373,16 @@ def mm_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to :func:`mm_feature_extract`: executor-local Arrow
     batches, no shuffle, no driver involvement."""
     docs = load_parallel(spark, sf_dir, "documents", "doc_id")
-    n = F.octet_length("text")
+    # Empty documents: a zero-length source would make the ceil-div
+    # repeat NULL (division by zero) and crash the extractor on a NULL
+    # payload (r5 code-review finding) — substitute a single space so
+    # every doc yields a well-formed 1-byte-source PPM, identically in
+    # both engines.
+    n0 = F.octet_length("text")
+    n = F.greatest(n0, F.lit(1))
+    src = F.when(n0 == 0, F.lit(" ")).otherwise(F.col("text"))
     sized = docs.select(
-        "doc_id", "text", n.alias("n"),
+        "doc_id", src.alias("text"), n.alias("n"),
         (n % _PPM_W_MOD + 1).alias("w"),
         (n % _PPM_H_MOD + 2).alias("h"),
     )

@@ -55,6 +55,13 @@ _MIN_BITS = 8
 _N_BANDS = int(os.environ.get("SIM_LSH_BANDS", "8"))
 _N_PLANES = _N_BANDS * _MAX_BITS
 _FIXED_BITS = os.environ.get("SIM_LSH_BAND_BITS")
+if _FIXED_BITS is not None and not 1 <= int(_FIXED_BITS) <= _MAX_BITS:
+    # Only bands x _MAX_BITS hyperplanes exist; an overwide pin would
+    # IndexError the Spark UDF while the oracle's out-of-range list
+    # index silently yields NULL keys — fail BOTH engines together,
+    # at import, instead (r5 code-review finding).
+    raise ValueError(
+        f"SIM_LSH_BAND_BITS must be in [1, {_MAX_BITS}]: {_FIXED_BITS}")
 _TAU100 = 40             # cosine threshold 0.40
 
 
@@ -520,10 +527,13 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- ANN recall metric
 
 
-@register(
-    "sim_ivf_recall",
-    oracle=f"""
-WITH {_IVF_CTES},
+
+def _recall_sql(ctes: str, ann_cte: str) -> str:
+    """Recall@5 oracle: exact brute-force top-5 LEFT JOINed against the
+    ANN CTE ``ann_cte`` produced by ``ctes`` — shared by both recall
+    queries so the metric can never drift between the twins."""
+    return f"""
+WITH {ctes},
 exact AS (
   SELECT query_id, neighbor_id FROM (
     SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
@@ -536,31 +546,21 @@ exact AS (
   WHERE rank <= 5),
 hit AS (
   SELECT x.query_id, count(i.neighbor_id) AS n_hit
-  FROM exact x LEFT JOIN ivf_top i
+  FROM exact x LEFT JOIN {ann_cte} i
     ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
   GROUP BY x.query_id)
 SELECT query_id, CAST(n_hit AS BIGINT) AS n_hit,
        n_hit / 5.0 AS recall_at_5
 FROM hit
-""",
-    tags=("similarity", "ann"),
-    priority=90,  # new in r5 — promoted for first driver evidence
-)
-def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@5 of the IVF-ANN path against exact brute force — the
-    metric that justifies (or indicts) an ANN deployment's
-    nprobe/centroid settings, computed inside the engine and exactly
-    reproduced by the oracle.
+"""
 
-    Reuses :func:`sim_ivf_ann`'s plan for the approximate side (one
-    corpus scan + bucketed probes) and the broadcast-query brute-force
-    scan for ground truth; recall is a per-query count of the exact
-    top-5 recovered by the ANN list.  Both engines compute n_hit / 5.0
-    as one IEEE divide, so even the ratio hash-matches.  At scale the
-    ground-truth side runs over a SAMPLE of queries (here: the same 5
-    fixture queries the ANN path probes)."""
+
+def _recall_at_5(spark: SparkSession, sf_dir: str,
+                 ann: DataFrame) -> DataFrame:
+    """Spark twin of :func:`_recall_sql`: exact ground truth from the
+    broadcast brute-force scan, per-query hit count against ``ann``
+    (columns query_id, neighbor_id), n_hit / 5.0 as one IEEE divide."""
     emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
-    ivf = sim_ivf_ann(spark, sf_dir).select("query_id", "neighbor_id")
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -579,7 +579,7 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
     hit = (
-        exact.join(ivf.withColumn("__hit", F.lit(1)),
+        exact.join(ann.withColumn("__hit", F.lit(1)),
                    ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(F.count("__hit").alias("n_hit"))
@@ -588,6 +588,29 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("n_hit").cast("long").alias("n_hit"),
         (F.col("n_hit") / F.lit(5.0)).alias("recall_at_5"),
     )
+
+
+@register(
+    "sim_ivf_recall",
+    oracle=_recall_sql(_IVF_CTES, "ivf_top"),
+    tags=("similarity", "ann"),
+    priority=90,  # new in r5 — promoted for first driver evidence
+)
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF-ANN path against exact brute force — the
+    metric that justifies (or indicts) an ANN deployment's
+    nprobe/centroid settings, computed inside the engine and exactly
+    reproduced by the oracle.
+
+    Reuses :func:`sim_ivf_ann`'s plan for the approximate side (one
+    corpus scan + bucketed probes) and the broadcast-query brute-force
+    scan for ground truth; recall is a per-query count of the exact
+    top-5 recovered by the ANN list.  Both engines compute n_hit / 5.0
+    as one IEEE divide, so even the ratio hash-matches.  At scale the
+    ground-truth side runs over a SAMPLE of queries (here: the same 5
+    fixture queries the ANN path probes)."""
+    ann = sim_ivf_ann(spark, sf_dir).select("query_id", "neighbor_id")
+    return _recall_at_5(spark, sf_dir, ann)
 
 
 # ------------------------------------------- k-means coarse quantizer
@@ -782,10 +805,7 @@ def sim_kmeans_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sim_ivf_kmeans",
-    oracle=f"""
-WITH {_KM_CTES},
+_KM_IVF_CTES = f"""{_KM_CTES},
 kassign AS (
   SELECT vec_id, embedding, cid FROM (
     SELECT e.vec_id, e.embedding, c.cid,
@@ -805,12 +825,20 @@ khits AS (
          {_dot_sql("a.embedding", "p.qe")}
            / {_norm_sql("a.embedding")} / {_norm_sql("p.qe")} AS cos
   FROM kprobes p JOIN kassign a ON a.cid = p.bucket
-  WHERE a.vec_id <> p.query_id)
-SELECT query_id, neighbor_id, cos, rank FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-              ORDER BY cos DESC, neighbor_id) AS rank
-  FROM khits) t
-WHERE rank <= 5
+  WHERE a.vec_id <> p.query_id),
+ktop AS (
+  SELECT query_id, neighbor_id, cos, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rank
+    FROM khits) t
+  WHERE rank <= 5)"""
+
+
+@register(
+    "sim_ivf_kmeans",
+    oracle=f"""
+WITH {_KM_IVF_CTES}
+SELECT query_id, neighbor_id, cos, rank FROM ktop
 """,
     tags=("similarity", "ann"),
     bench=True,  # the trained-quantizer ANN path is a headline op
@@ -863,58 +891,10 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KM_IVF_CTES = f"""{_KM_CTES},
-kassign AS (
-  SELECT vec_id, embedding, cid FROM (
-    SELECT e.vec_id, e.embedding, c.cid,
-           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-             {_l2_sql("e.embedding", "c.ce")} ASC, c.cid) AS rk
-    FROM embeddings e, kc2 c) x
-  WHERE rk = 1),
-kprobes AS (
-  SELECT query_id, qe, bucket FROM (
-    SELECT e.vec_id AS query_id, e.embedding AS qe, c.cid AS bucket,
-           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-             {_l2_sql("e.embedding", "c.ce")} ASC, c.cid) AS pr
-    FROM embeddings e, kc2 c WHERE e.vec_id < 5) x
-  WHERE pr <= {_N_PROBE}),
-khits AS (
-  SELECT p.query_id, a.vec_id AS neighbor_id,
-         {_dot_sql("a.embedding", "p.qe")}
-           / {_norm_sql("a.embedding")} / {_norm_sql("p.qe")} AS cos
-  FROM kprobes p JOIN kassign a ON a.cid = p.bucket
-  WHERE a.vec_id <> p.query_id),
-ktop AS (
-  SELECT query_id, neighbor_id, cos, rank FROM (
-    SELECT *, row_number() OVER (PARTITION BY query_id
-                ORDER BY cos DESC, neighbor_id) AS rank
-    FROM khits) t
-  WHERE rank <= 5)"""
-
 
 @register(
     "sim_ivf_kmeans_recall",
-    oracle=f"""
-WITH {_KM_IVF_CTES},
-exact AS (
-  SELECT query_id, neighbor_id FROM (
-    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-           row_number() OVER (PARTITION BY q.vec_id ORDER BY
-             {_dot_sql("e.embedding", "q.embedding")}
-               / {_norm_sql("e.embedding")} / {_norm_sql("q.embedding")}
-               DESC, e.vec_id) AS rank
-    FROM embeddings e, embeddings q
-    WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id) t
-  WHERE rank <= 5),
-hit AS (
-  SELECT x.query_id, count(i.neighbor_id) AS n_hit
-  FROM exact x LEFT JOIN ktop i
-    ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
-  GROUP BY x.query_id)
-SELECT query_id, CAST(n_hit AS BIGINT) AS n_hit,
-       n_hit / 5.0 AS recall_at_5
-FROM hit
-""",
+    oracle=_recall_sql(_KM_IVF_CTES, "ktop"),
     tags=("similarity", "ann"),
     priority=110,  # new late-r5: window already full of never-checked r5 queries — local-green via tools/check_correctness.py; rotate into the driver window in r6
 )
@@ -926,35 +906,8 @@ def sim_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe.  Same plan shape: ANN list from the bucketed probe
     pipeline, ground truth from the broadcast brute-force scan,
     n_hit / 5.0 as one IEEE divide on both engines."""
-    emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
-    ivf = sim_ivf_kmeans(spark, sf_dir).select("query_id", "neighbor_id")
-    q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    scored = (
-        emb.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id", F.col("vec_id").alias("neighbor_id"),
-            _cos_seq(F.col("embedding"), F.col("qe")).alias("cos"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
-    exact = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", "neighbor_id")
-    )
-    hit = (
-        exact.join(ivf.withColumn("__hit", F.lit(1)),
-                   ["query_id", "neighbor_id"], "left")
-        .groupBy("query_id")
-        .agg(F.count("__hit").alias("n_hit"))
-    )
-    return hit.select(
-        "query_id", F.col("n_hit").cast("long").alias("n_hit"),
-        (F.col("n_hit") / F.lit(5.0)).alias("recall_at_5"),
-    )
+    ann = sim_ivf_kmeans(spark, sf_dir).select("query_id", "neighbor_id")
+    return _recall_at_5(spark, sf_dir, ann)
 
 
 # ---------------------------------------------- semantic deduplication

@@ -153,10 +153,11 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ASOF_HORIZON_US = 7 * 86_400_000_000  # 7-day state horizon
 
-
-@register(
-    "streaming_asof_join",
-    oracle=f"""
+#: Batch-relational as-of contract shared by ALL four streaming
+#: as-of variants (eager / sentinel-exact / update / watermark):
+#: one oracle string, so the contract (tie-break, horizon) can
+#: never drift between them (r5 code-review finding).
+_ASOF_ORACLE = f"""
 WITH ev AS (
   SELECT event_id, user_id, event_type, epoch_us(ts) AS t FROM events),
 p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
@@ -170,7 +171,12 @@ m AS (
    AND v.t <= p.t AND p.t - v.t <= {_ASOF_HORIZON_US})
 SELECT purchase_id, user_id, purchase_t, view_id, view_t
 FROM m WHERE rk = 1
-""",
+"""
+
+
+@register(
+    "streaming_asof_join",
+    oracle=_ASOF_ORACLE,
     tags=("streaming", "join", "asof"),
     priority=95,  # kept in the r5 window: query changed this round, needs fresh driver evidence
 )
@@ -220,21 +226,7 @@ def streaming_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_asof_exact",
-    oracle=f"""
-WITH ev AS (
-  SELECT event_id, user_id, event_type, epoch_us(ts) AS t FROM events),
-p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
-v AS (SELECT * FROM ev WHERE event_type = 'view'),
-m AS (
-  SELECT p.event_id AS purchase_id, p.user_id, p.t AS purchase_t,
-         v.event_id AS view_id, v.t AS view_t,
-         row_number() OVER (PARTITION BY p.event_id
-                            ORDER BY v.t DESC, v.event_id DESC) AS rk
-  FROM p JOIN v ON p.user_id = v.user_id
-   AND v.t <= p.t AND p.t - v.t <= {_ASOF_HORIZON_US})
-SELECT purchase_id, user_id, purchase_t, view_id, view_t
-FROM m WHERE rk = 1
-""",
+    oracle=_ASOF_ORACLE,
     tags=("streaming", "join", "asof"),
     priority=90,  # new in r5 — promoted for first driver evidence
 )
@@ -315,21 +307,7 @@ def streaming_asof_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_asof_update",
-    oracle=f"""
-WITH ev AS (
-  SELECT event_id, user_id, event_type, epoch_us(ts) AS t FROM events),
-p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
-v AS (SELECT * FROM ev WHERE event_type = 'view'),
-m AS (
-  SELECT p.event_id AS purchase_id, p.user_id, p.t AS purchase_t,
-         v.event_id AS view_id, v.t AS view_t,
-         row_number() OVER (PARTITION BY p.event_id
-                            ORDER BY v.t DESC, v.event_id DESC) AS rk
-  FROM p JOIN v ON p.user_id = v.user_id
-   AND v.t <= p.t AND p.t - v.t <= {_ASOF_HORIZON_US})
-SELECT purchase_id, user_id, purchase_t, view_id, view_t
-FROM m WHERE rk = 1
-""",
+    oracle=_ASOF_ORACLE,
     tags=("streaming", "join", "asof"),
     priority=110,  # new late-r5: window already full of never-checked r5 queries — local-green via tools/check_correctness.py; rotate into the driver window in r6
 )
@@ -397,21 +375,7 @@ def streaming_asof_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_asof_watermark",
-    oracle=f"""
-WITH ev AS (
-  SELECT event_id, user_id, event_type, epoch_us(ts) AS t FROM events),
-p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
-v AS (SELECT * FROM ev WHERE event_type = 'view'),
-m AS (
-  SELECT p.event_id AS purchase_id, p.user_id, p.t AS purchase_t,
-         v.event_id AS view_id, v.t AS view_t,
-         row_number() OVER (PARTITION BY p.event_id
-                            ORDER BY v.t DESC, v.event_id DESC) AS rk
-  FROM p JOIN v ON p.user_id = v.user_id
-   AND v.t <= p.t AND p.t - v.t <= {_ASOF_HORIZON_US})
-SELECT purchase_id, user_id, purchase_t, view_id, view_t
-FROM m WHERE rk = 1
-""",
+    oracle=_ASOF_ORACLE,
     tags=("streaming", "join", "asof"),
     priority=110,  # new late-r5: window already full of never-checked r5 queries — local-green via tools/check_correctness.py; rotate into the driver window in r6
 )

@@ -351,10 +351,16 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_parallel(spark, sf_dir, "documents", "doc_id")
     ws = _words_col()
     total = F.greatest(F.size(ws) - 2, F.lit(0)).cast("long")
+    # Guarded: for docs with < 3 words, sequence(1, 0) yields the
+    # DESCENDING [1, 0] in Spark and slice(ws, 0, 3) throws
+    # INVALID_PARAMETER_VALUE.START (r5 code-review finding; the
+    # fixture's shortest doc masks it but real corpora don't).
     tri = F.expr(
-        "transform(sequence(1, greatest(size(split(trim(lower(text)), "
-        "'\\\\s+')) - 2, 0)), i -> concat_ws(' ', "
-        "slice(split(trim(lower(text)), '\\\\s+'), i, 3)))"
+        "CASE WHEN size(split(trim(lower(text)), '\\\\s+')) >= 3 THEN "
+        "transform(sequence(1, size(split(trim(lower(text)), "
+        "'\\\\s+')) - 2), i -> concat_ws(' ', "
+        "slice(split(trim(lower(text)), '\\\\s+'), i, 3))) "
+        "ELSE cast(array() as array<string>) END"
     )
     distinct = F.size(F.array_distinct(tri)).cast("long")
     repetitive = F.when(
@@ -425,10 +431,16 @@ def text_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_parallel(spark, sf_dir, "documents", "doc_id")
     ws = _words_col()
     dw = F.array_distinct(ws)
+    # Guarded: for docs with < 3 words, sequence(1, 0) yields the
+    # DESCENDING [1, 0] in Spark and slice(ws, 0, 3) throws
+    # INVALID_PARAMETER_VALUE.START (r5 code-review finding; the
+    # fixture's shortest doc masks it but real corpora don't).
     tri = F.expr(
-        "transform(sequence(1, greatest(size(split(trim(lower(text)), "
-        "'\\\\s+')) - 2, 0)), i -> concat_ws(' ', "
-        "slice(split(trim(lower(text)), '\\\\s+'), i, 3)))"
+        "CASE WHEN size(split(trim(lower(text)), '\\\\s+')) >= 3 THEN "
+        "transform(sequence(1, size(split(trim(lower(text)), "
+        "'\\\\s+')) - 2), i -> concat_ws(' ', "
+        "slice(split(trim(lower(text)), '\\\\s+'), i, 3))) "
+        "ELSE cast(array() as array<string>) END"
     )
     sig = docs.select(
         "doc_id",

@@ -297,10 +297,10 @@ class TimeStore:
         after writing): a batch cuts iff, after it, the latest epoch's
         fullest bucket holds > N rows AND the watermark advanced.
         Implemented with one extra metadata aggregate — per (batch,
-        bucket, candidate-epoch) row counts, where the candidate
-        boundaries come from the always-cut fold (every possible cut
-        point is some ``watermark_i + 1``), so the threshold fold can
-        attribute each batch's rows to the then-latest epoch exactly.
+        bucket, candidate-epoch) row counts, where the candidates are
+        every ``watermark_i + 1`` (every possible cut point), so the
+        threshold fold can attribute each batch's rows to the
+        then-latest epoch exactly.
         Threshold accumulation starts at zero, so on a store that
         already holds data in its latest epoch the first cut can fire
         up to N rows later than a byte-probing sequential loop would.
@@ -354,34 +354,44 @@ class TimeStore:
             key=lambda r: r["_b"],
         )
 
-        # Driver fold A: watermarks + CANDIDATE boundaries (the
-        # always-cut fold).  With a threshold, the actual cuts are a
-        # subset of these: every possible cut point is watermark_i + 1.
+        # Driver fold A: per-batch watermark progression.
         latest_simple, latest_extended = meta.latest_simple, meta.latest_extended
+        init_watermark = max(latest_simple or 0, latest_extended or 0)
         entries0 = list(meta.index.entries)
         _, buckets = entries0[-1]
         batch_ordinals: dict = {}
         batch_watermarks: list[int] = []
-        candidates = [entries0[-1][0]]
         for ordinal, row in enumerate(stats):
             batch_ordinals[row["_b"]] = ordinal
             latest_simple = _mono_max(latest_simple, row["max_simple"])
             latest_extended = _mono_max(latest_extended, row["max_extended"])
-            watermark = max(latest_simple or 0, latest_extended or 0)
-            batch_watermarks.append(watermark)
-            if watermark > candidates[-1]:
-                candidates.append(watermark + 1)
+            batch_watermarks.append(
+                max(latest_simple or 0, latest_extended or 0))
 
         if rollover_rows is None:
-            entries = entries0 + [(c, buckets) for c in candidates[1:]]
+            entries = list(entries0)
+            for watermark in batch_watermarks:
+                if watermark > entries[-1][0]:
+                    entries.append((watermark + 1, buckets))
         else:
             # Pass 1b — per (batch, bucket, candidate-epoch) counts
-            # (tiny: ~batches x buckets rows).  The floor entry keeps
-            # rows belonging to PRE-EXISTING older epochs below the
-            # latest boundary in the stab, so they never accumulate.
+            # (tiny: ~batches x buckets rows).  Candidates are EVERY
+            # ``watermark_i + 1`` (plus the pre-existing watermark's),
+            # unconditionally: under a threshold a cut can fire at a
+            # watermark that advanced in an EARLIER batch (the
+            # threshold crossing and the watermark advance need not
+            # coincide), so gating candidates on "advanced past the
+            # previous candidate" would leave real cut points out of
+            # the stab and misattribute later rows.  The floor entry
+            # keeps rows belonging to PRE-EXISTING older epochs below
+            # the latest boundary in the stab, so they never
+            # accumulate.
             cand_index = Index(tuple(
                 (c, buckets)
-                for c in sorted({entries0[0][0], *candidates})
+                for c in sorted({
+                    entries0[0][0], entries0[-1][0], init_watermark + 1,
+                    *[w + 1 for w in batch_watermarks],
+                })
             ))
             counts = (
                 df.groupBy(

@@ -613,28 +613,23 @@ def stream_asof_join(
     if finalize not in ("sentinel", "timeout"):
         raise ValueError(
             f"finalize must be 'sentinel' or 'timeout': {finalize!r}")
+    state_struct = _ASOF_STATE
+    output_mode = "append"
     timeout_conf = GroupStateTimeout.NoTimeout
     if emit == "update":
         # Changelog variant: eager first emission + corrections when a
         # later view improves it — for sinks that can upsert on
-        # purchase_id (see _asof_update_corrections).
+        # purchase_id (see _asof_update_corrections).  Flush sentinels
+        # are honored (the updater ingests tag-2 rows as frontier
+        # advances only), so a bounded run can force final pruning.
         if delay_us is None:
             raise ValueError("emit='update' requires delay_us "
                              "(correction-retention bound)")
-        tagged = right.select(
-            key, "t", "event_id", F.lit(0).alias("tag")
-        ).unionByName(
-            left.select(key, "t", "event_id", F.lit(1).alias("tag"))
-        )
-        return tagged.groupBy(key).applyInPandasWithState(
-            partial(_asof_update_corrections, horizon_us=horizon_us,
-                    delay_us=delay_us),
-            outputStructType=_ASOF_OUT,
-            stateStructType=_ASOF_CORR_STATE,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
-    if emit == "watermark":
+        update = partial(_asof_update_corrections, horizon_us=horizon_us,
+                         delay_us=delay_us)
+        state_struct = _ASOF_CORR_STATE
+        output_mode = "update"
+    elif emit == "watermark":
         if finalize == "timeout":
             update = partial(_asof_update_wm, horizon_us=horizon_us)
             timeout_conf = GroupStateTimeout.EventTimeTimeout
@@ -649,7 +644,7 @@ def stream_asof_join(
             # _asof_update has no sentinel branch — a tag-2 row would
             # be processed as a purchase.  Refuse instead of corrupting.
             raise ValueError("flush sentinels only apply to "
-                             "emit='watermark'")
+                             "emit='watermark' or emit='update'")
         update = partial(_asof_update, horizon_us=horizon_us)
     tagged = right.select(
         key, "t", "event_id", F.lit(0).alias("tag")
@@ -669,8 +664,8 @@ def stream_asof_join(
     return tagged.groupBy(key).applyInPandasWithState(
         update,
         outputStructType=_ASOF_OUT,
-        stateStructType=_ASOF_STATE,
-        outputMode="append",
+        stateStructType=state_struct,
+        outputMode=output_mode,
         timeoutConf=timeout_conf,
     )
 

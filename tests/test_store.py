@@ -497,3 +497,32 @@ def test_batched_backfill_matches_sequential_randomized(
             "A", 0, 1000, [2, 4, 6], global_order=True).collect()]
 
     assert rd(bat_store) == rd(seq_store)
+
+
+def test_batched_rows_threshold_cut_at_stale_watermark(spark, tmp_path):
+    # Regression (r5 code review): a threshold cut can fire at a
+    # watermark that advanced in an EARLIER batch, so cut point 12
+    # (= watermark 11 + 1) must be a stab candidate even though the
+    # always-cut fold would have cut at 11 and never seen 12.  The
+    # gated candidate set missed it, rows at t >= 12 misattributed to
+    # epoch 11's candidate, and the second cut at 15 vanished.
+    from rados_timestore_spark.store import TimeStore
+
+    schema = "batch long, address long, time long, value long"
+    rows = [
+        (0, 2, 10, 1),                               # accum 1 -> no cut
+        (1, 2, 11, 2), (1, 4, 11, 3),                # accum 3 > 2 -> cut 12
+        (2, 2, 12, 4), (2, 2, 13, 5), (2, 2, 14, 6),  # accum 3 -> cut 15
+    ]
+    store = TimeStore(spark, str(tmp_path / "w"))
+    store.register_namespace("A", buckets=1)
+    store.write_points_batched(
+        "A", spark.createDataFrame(rows, schema), "batch",
+        rollover_rows=2,
+    )
+    assert store.index("A").entries == ((0, 1), (12, 1), (15, 1))
+    per_epoch = {
+        r.epoch: r.n for r in spark.read.parquet(store._points_dir("A"))
+        .groupBy("epoch").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_epoch == {0: 3, 12: 3}
