@@ -542,3 +542,70 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dup_grams").cast("double") / F.col("n_grams"))
         .alias("dup_frac"),
     )
+
+
+# --------------------------------------------------- PII scrubbing
+
+
+#: Conservative patterns that parse AND match identically in Java
+#: regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+WITH enriched AS (
+  SELECT doc_id,
+         substr(text, 1, 40) || ' contact user' || doc_id ||
+         '@example.com or +1-555-' ||
+         lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' now' AS body
+  FROM documents),
+scrub AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(body, '{_EMAIL_RE}')) AS BIGINT)
+           AS n_emails,
+         CAST(len(regexp_extract_all(body, '{_PHONE_RE}')) AS BIGINT)
+           AS n_phones,
+         regexp_replace(regexp_replace(body, '{_EMAIL_RE}', '<EMAIL>',
+                                       'g'),
+                        '{_PHONE_RE}', '<PHONE>', 'g') AS body
+  FROM enriched)
+SELECT doc_id, n_emails, n_phones, md5(body) AS scrub_hash
+FROM scrub
+""",
+    tags=("text", "pipeline"),
+    priority=110,  # new late-r5: window already full of never-checked r5 queries — local-green via tools/check_correctness.py; rotate into the driver window in r6
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every training-data pipeline
+    runs before tokenization: detect and replace email addresses and
+    phone numbers, reporting per-document match counts and a hash of
+    the scrubbed text.  The fixture corpus contains no PII, so the
+    query FABRICATES it deterministically from fixture columns
+    (doc_id-derived address + number appended to a text prefix) —
+    identical in both engines — making the scrub itself, not a no-op,
+    the thing the driver hash-checks.  Patterns are the RE2/Java-
+    common subset (no backrefs/lookaround) so both engines match the
+    same spans.  One scan, all codegen'd string expressions."""
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
+    body = F.concat(
+        F.substring("text", 1, 40), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" now"),
+    )
+    enriched = docs.select("doc_id", body.alias("body"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("body", _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE, "<PHONE>",
+    )
+    return enriched.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("body", F.lit(_EMAIL_RE), 0))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("body", F.lit(_PHONE_RE), 0))
+        .cast("long").alias("n_phones"),
+        F.md5(scrubbed).alias("scrub_hash"),
+    )

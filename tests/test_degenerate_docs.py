@@ -18,6 +18,7 @@ QUERIES = [
     "text_dup_spans",
     "text_stats",
     "text_token_count",
+    "text_pii_scrub",
     "mm_decode_ppm",
     "mm_modality_routing",
 ]
