@@ -609,3 +609,66 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("n_phones"),
         F.md5(scrubbed).alias("scrub_hash"),
     )
+
+
+# ------------------------------------------ unigram surprisal scoring
+
+
+@register(
+    "text_unigram_surprisal",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, u.word FROM
+    (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents) t,
+    UNNEST(ws) AS u(word)
+  WHERE len(ws) > 0 AND ws[1] <> ''),
+freq AS (SELECT word, count(*) AS f FROM w GROUP BY word),
+tot AS (SELECT count(*) AS n FROM w),
+scored AS (
+  SELECT w.doc_id,
+         length(format('{{:b}}', (SELECT n FROM tot)))
+           - length(format('{{:b}}', freq.f)) AS bits
+  FROM w JOIN freq ON w.word = freq.word)
+SELECT doc_id, count(*) AS n_words,
+       CAST(sum(bits) AS BIGINT) AS sum_bits,
+       CAST(sum(bits) AS DOUBLE) / count(*) AS avg_surprisal
+FROM scored GROUP BY doc_id
+""",
+    tags=("text", "quality"),
+    priority=110,  # new late-r5: window already full of never-checked r5 queries — local-green via tools/check_correctness.py; rotate into the driver window in r6
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-surprisal quality score — the KenLM-perplexity stand-in
+    a pipeline uses to rank documents by how "surprising" their words
+    are under the corpus unigram distribution.  -log2 p(word) is
+    approximated with INTEGER bit lengths (bits(N) - bits(freq), both
+    engines via the binary-format-length trick), so the whole score is
+    exact integer arithmetic: no FP log whose last ULP could differ
+    between libm and the JVM, and the distributed sum is order-
+    independent.  Plan: one explode -> corpus-frequency hash aggregate
+    -> equi-join back on the word -> per-doc aggregate; the corpus
+    total rides in as one observed scalar.  Docs with no words are
+    absent (both engines)."""
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
+    ws = _words_col()
+    w = (
+        docs.select("doc_id", ws.alias("ws"))
+        .filter((F.size("ws") > 0) & (F.col("ws")[0] != ""))
+        .select("doc_id", F.explode("ws").alias("word"))
+    ).persist()
+    freq = w.groupBy("word").agg(F.count("*").alias("f"))
+    n_total = w.count()  # one scalar to the driver (== oracle's tot)
+    bits = (
+        F.lit(len(bin(n_total)) - 2)
+        - F.length(F.bin(F.col("f")))
+    )
+    scored = w.join(freq, "word").select("doc_id", bits.alias("bits"))
+    out = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum("bits").cast("long").alias("sum_bits"),
+    )
+    return out.select(
+        "doc_id", "n_words", "sum_bits",
+        (F.col("sum_bits").cast("double") / F.col("n_words"))
+        .alias("avg_surprisal"),
+    )

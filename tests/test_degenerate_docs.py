@@ -19,6 +19,7 @@ QUERIES = [
     "text_stats",
     "text_token_count",
     "text_pii_scrub",
+    "text_unigram_surprisal",
     "mm_decode_ppm",
     "mm_modality_routing",
 ]
