@@ -121,7 +121,7 @@ SELECT array_to_string(({_WORDS_SQL})[1:5], ' ') AS prefix_key,
 FROM documents GROUP BY 1 HAVING count(*) > 1
 """,
     tags=("dedup",),
-    priority=96,  # re-promoted in r5 to refresh r2/r3-era driver evidence
+    priority=900,  # demoted very-late-r5 for the new dedup_semantic (r3-green; verified locally by tools/check_correctness.py)
 )
 def dedup_exact_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-exact variant keyed on the 5-word prefix (real clusters in

@@ -225,7 +225,7 @@ SELECT doc_id, n AS orig_bytes,
 FROM t
 """,
     tags=("multimodal",),
-    priority=96,  # re-promoted in r5 to refresh r2/r3-era driver evidence
+    priority=900,  # demoted very-late-r5 for the new streaming_asof_update (r3-green; verified locally by tools/check_correctness.py)
 )
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize/downsample plumbing via ``mapInPandas``: Arrow batches of

@@ -52,7 +52,7 @@ JOIN sem ON sem.doc_id = d.doc_id
 JOIN ex ON ex.doc_id = d.doc_id
 """,
     tags=("pipeline", "dedup", "text"),
-    priority=110,  # new late-r5: window already full of never-checked r5 queries — local-green via tools/check_correctness.py; rotate into the driver window in r6
+    priority=90,  # promoted very-late-r5 for first driver evidence (swapped in for an r3-green re-promotion)
 )
 def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE end-to-end curation decision: per document, ordered

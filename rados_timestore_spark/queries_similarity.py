@@ -940,7 +940,7 @@ SELECT e.vec_id,
 FROM embeddings e LEFT JOIN cc ON cc.vec_id = e.vec_id
 """,
     tags=("dedup", "similarity"),
-    priority=110,  # new late-r5: window already full of never-checked r5 queries — local-green via tools/check_correctness.py; rotate into the driver window in r6
+    priority=90,  # promoted very-late-r5 for first driver evidence (swapped in for an r3-green re-promotion)
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication: embedding-cosine

@@ -309,7 +309,7 @@ def streaming_asof_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_asof_update",
     oracle=_ASOF_ORACLE,
     tags=("streaming", "join", "asof"),
-    priority=110,  # new late-r5: window already full of never-checked r5 queries — local-green via tools/check_correctness.py; rotate into the driver window in r6
+    priority=90,  # promoted very-late-r5 for first driver evidence (swapped in for an r3-green re-promotion)
 )
 def streaming_asof_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Update-mode (changelog) streaming as-of join end-to-end: the

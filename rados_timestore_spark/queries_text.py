@@ -84,7 +84,7 @@ SELECT doc_id,
 FROM documents
 """,
     tags=("text",),
-    priority=96,  # re-promoted in r5 to refresh r2/r3-era driver evidence
+    priority=900,  # demoted very-late-r5 for the new pipeline_corpus_curation (r3-green; verified locally by tools/check_correctness.py)
 )
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting with a BPE-ish regex (letter runs / digit runs /

@@ -61,14 +61,17 @@ EXPECTED_WINDOW = {
     "mm_decode_ppm", "streaming_asof_exact", "sim_ivf_recall",
     "text_filter_pipeline", "ts_bulk_backfill", "sim_kmeans_quantizer",
     "sim_ivf_kmeans",
+    # very-late-r5 swaps: never-checked new ops in, r3-green
+    # re-promotions (text_token_count / dedup_exact_prefix / mm_resize)
+    # back out
+    "pipeline_corpus_curation", "dedup_semantic", "streaming_asof_update",
     # r5-modified queries kept in for fresh evidence (p=95)
     "streaming_asof_join", "dedup_minhash_pairs", "mm_feature_extract",
     # r2/r3-green queries re-promoted to refresh evidence (p=96)
     # (ts_range_join / ts_sessionize / ts_value_percentiles — all
     # twice driver-proven — swapped back out late-r5 for the three
     # new ts_bulk_backfill / sim_kmeans_* queries)
-    "text_token_count", "text_quality_score",
-    "dedup_exact_prefix", "mm_resize", "mm_modality_routing",
+    "text_quality_score", "mm_modality_routing",
     # the bench/headline set (must always be driver-visible)
     "ts_read_simple", "ts_dedup_first_wins", "ts_latest_per_key",
     "ts_store_roundtrip", "ts_asof_join", "ts_rollup_hourly",
