@@ -11,7 +11,7 @@ oracle can never drift from the parts).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # Importing the part modules registers them AND exposes their oracle
@@ -34,22 +34,35 @@ _SEM_SQL = QUERIES["dedup_semantic"].oracle
     oracle=f"""
 WITH fp AS (SELECT doc_id, reason AS fp_reason
             FROM ({_filter_pipeline_sql()}) t),
-sem AS (SELECT vec_id AS doc_id, keep AS sem_keep
+sem AS (SELECT vec_id AS doc_id, cluster_rep
         FROM ({_SEM_SQL}) t),
-ex AS (SELECT doc_id,
-              min(doc_id) OVER (PARTITION BY md5(text)) AS rep
-       FROM documents)
-SELECT d.doc_id,
-       CASE WHEN fp.fp_reason <> 'kept' THEN 'filtered_' || fp.fp_reason
-            WHEN ex.rep <> d.doc_id THEN 'exact_dup'
-            WHEN sem.sem_keep = 0 THEN 'semantic_dup'
+base AS (
+  SELECT d.doc_id, fp.fp_reason,
+         CASE WHEN fp.fp_reason = 'kept' THEN 1 ELSE 0 END AS fp_keep,
+         md5(trim(lower(d.text))) AS ck, sem.cluster_rep
+  FROM documents d
+  JOIN fp ON fp.doc_id = d.doc_id
+  JOIN sem ON sem.doc_id = d.doc_id),
+ex AS (
+  SELECT *, min(CASE WHEN fp_keep = 1 THEN doc_id END)
+              OVER (PARTITION BY ck) AS ex_surv
+  FROM base),
+s2 AS (
+  SELECT *, CASE WHEN fp_keep = 1 AND doc_id = ex_surv
+                 THEN 1 ELSE 0 END AS exact_keep
+  FROM ex),
+s3 AS (
+  SELECT *, min(CASE WHEN exact_keep = 1 THEN doc_id END)
+              OVER (PARTITION BY cluster_rep) AS sem_surv
+  FROM s2)
+SELECT doc_id,
+       CASE WHEN fp_keep = 0 THEN 'filtered_' || fp_reason
+            WHEN doc_id <> ex_surv THEN 'exact_dup'
+            WHEN doc_id <> sem_surv THEN 'semantic_dup'
             ELSE 'kept' END AS reason,
-       CASE WHEN fp.fp_reason = 'kept' AND ex.rep = d.doc_id
-             AND sem.sem_keep = 1 THEN 1 ELSE 0 END AS keep
-FROM documents d
-JOIN fp ON fp.doc_id = d.doc_id
-JOIN sem ON sem.doc_id = d.doc_id
-JOIN ex ON ex.doc_id = d.doc_id
+       CASE WHEN fp_keep = 1 AND doc_id = ex_surv AND doc_id = sem_surv
+            THEN 1 ELSE 0 END AS keep
+FROM s3
 """,
     tags=("pipeline", "dedup", "text"),
     priority=90,  # promoted very-late-r5 for first driver evidence (swapped in for an r3-green re-promotion)
@@ -58,37 +71,62 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE end-to-end curation decision: per document, ordered
     first-fail attribution across the three retention stages a
     training pipeline runs — quality filters (text_filter_pipeline's
-    reason), exact dedup (md5 group representative), semantic dedup
-    (dedup_semantic's cluster representative; documents pair 1:1 with
-    embeddings by id in the fixture) — plus the final keep bit.  Each
-    stage reuses the registered operator's own plan AND its own oracle
-    SQL (as a subquery), so the composition is exactly as verified as
-    its parts.  At 100 TB every join here is id-keyed and
-    co-partitionable; the expensive stage (semantic dedup's LSH + CC)
-    is shared work a real pipeline materializes once."""
+    reason), exact dedup (md5(trim(lower(text))) — the SAME
+    normalization as the registered dedup_exact operator), semantic
+    dedup (dedup_semantic's clusters; documents pair 1:1 with
+    embeddings by id in the fixture) — plus the final keep bit.
+
+    Stages are SURVIVOR-AWARE, like a real pipeline: each dedup stage
+    elects its representative among the docs that survived the
+    previous stages (min doc_id over the group restricted to
+    survivors), so filtering one copy of duplicated content never
+    drops the content entirely — the surviving copy inherits
+    representative status (r5 review finding: the naive global-
+    representative composition could lose every copy).
+
+    The quality and semantic stages reuse the registered operators'
+    own plans AND oracle SQL (as subqueries); the exact stage inlines
+    only the survivor-restricted window over the shared content key.
+    At 100 TB every join here is id-keyed and co-partitionable; the
+    expensive stage (semantic dedup's LSH + CC) is shared work a real
+    pipeline materializes once."""
     docs = load_parallel(spark, sf_dir, "documents", "doc_id")
     fp = text_filter_pipeline(spark, sf_dir).select(
         "doc_id", F.col("reason").alias("fp_reason"))
     sem = dedup_semantic(spark, sf_dir).select(
-        F.col("vec_id").alias("doc_id"), F.col("keep").alias("sem_keep"))
-    from pyspark.sql import Window
-    ex = docs.select(
-        "doc_id",
-        F.min("doc_id").over(
-            Window.partitionBy(F.md5("text"))).alias("rep"),
+        F.col("vec_id").alias("doc_id"), "cluster_rep")
+    base = (
+        docs.select(
+            "doc_id",
+            F.md5(F.trim(F.lower(F.col("text")))).alias("ck"),
+        )
+        .join(fp, "doc_id").join(sem, "doc_id")
+        .withColumn(
+            "fp_keep",
+            F.when(F.col("fp_reason") == "kept", 1).otherwise(0))
     )
-    j = (
-        docs.select("doc_id")
-        .join(fp, "doc_id").join(sem, "doc_id").join(ex, "doc_id")
-    )
+    ex_surv = F.min(
+        F.when(F.col("fp_keep") == 1, F.col("doc_id"))
+    ).over(Window.partitionBy("ck"))
+    s2 = base.withColumn("ex_surv", ex_surv).withColumn(
+        "exact_keep",
+        F.when((F.col("fp_keep") == 1)
+               & (F.col("doc_id") == F.col("ex_surv")), 1).otherwise(0))
+    sem_surv = F.min(
+        F.when(F.col("exact_keep") == 1, F.col("doc_id"))
+    ).over(Window.partitionBy("cluster_rep"))
+    s3 = s2.withColumn("sem_surv", sem_surv)
     reason = (
-        F.when(F.col("fp_reason") != "kept",
+        F.when(F.col("fp_keep") == 0,
                F.concat(F.lit("filtered_"), F.col("fp_reason")))
-        .when(F.col("rep") != F.col("doc_id"), "exact_dup")
-        .when(F.col("sem_keep") == 0, "semantic_dup")
+        .when(F.col("doc_id") != F.col("ex_surv"), "exact_dup")
+        .when(F.col("doc_id") != F.col("sem_surv"), "semantic_dup")
         .otherwise("kept")
     )
-    return j.select(
+    return s3.select(
         "doc_id", reason.alias("reason"),
-        F.when(reason == "kept", 1).otherwise(0).alias("keep"),
+        F.when((F.col("fp_keep") == 1)
+               & (F.col("doc_id") == F.col("ex_surv"))
+               & (F.col("doc_id") == F.col("sem_surv")), 1)
+        .otherwise(0).alias("keep"),
     )

@@ -105,9 +105,14 @@ def _norm(a):
 
 
 def _dot_sql(a: str, b: str) -> str:
+    """DuckDB's native ``list_inner_product`` accumulates left-to-right
+    like the ``list_sum(list_transform(...))`` fold (verified
+    bit-identical across the corpus for plane dots and self-dots) but
+    runs ~100x faster — the interpreted per-element lambdas were the
+    dominant cost of every vector oracle (r5 review finding)."""
     return (
-        f"list_sum(list_transform(generate_series(1,{DIM}), "
-        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+        f"list_inner_product(list_transform({a}, x -> x::DOUBLE), "
+        f"list_transform({b}, x -> x::DOUBLE))"
     )
 
 
@@ -183,8 +188,8 @@ def _make_bands_udf(bits: int):
 def _plane_dot_sql(p: int) -> str:
     lits = ", ".join(str(x) for x in _PLANES[p])
     return (
-        f"list_sum(list_transform(generate_series(1,{DIM}), "
-        f"i -> embedding[i]::DOUBLE * ([{lits}])[i]))"
+        f"list_inner_product(list_transform(embedding, x -> x::DOUBLE), "
+        f"[{lits}]::DOUBLE[])"
     )
 
 
@@ -291,10 +296,10 @@ def _bands_sql() -> str:
                AS bits""")
     return f"""
 geo AS ({fixed}),
-signs AS (SELECT vec_id, [{signs}] AS s,
+signs AS MATERIALIZED (SELECT vec_id, [{signs}] AS s,
                  {_norm_sql("embedding")} AS nn, embedding
           FROM embeddings),
-banded AS (
+banded AS MATERIALIZED (
   SELECT vec_id, nn, embedding,
          list_transform(generate_series(0, {_N_BANDS - 1}), b ->
            (b << bits) | list_sum(list_transform(
@@ -305,16 +310,29 @@ banded AS (
 """
 
 
+def _neardup_pairs_sql() -> str:
+    """Near-dup pair CTEs over ``banded``: candidates from an
+    EQUI-JOIN on exploded band keys — semantically identical to
+    "shares >= 1 band" but a hash join instead of the O(n^2)
+    ``list_has_any`` nested loop that made the oracle the slowest
+    item in the merge gate (r5 review: 49 s -> ~1 s at sf0.01)."""
+    return f"""
+bl AS (SELECT vec_id, u.bk FROM banded, UNNEST(bandkeys) AS u(bk)),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM bl x JOIN bl y ON x.bk = y.bk AND x.vec_id < y.vec_id),
+pairs AS (
+  SELECT c.vec_a, c.vec_b,
+         {_dot_sql("a.embedding", "b.embedding")} / (a.nn * b.nn) AS cos
+  FROM cand c JOIN banded a ON a.vec_id = c.vec_a
+              JOIN banded b ON b.vec_id = c.vec_b)"""
+
+
 @register(
     "sim_neardup_pairs",
     oracle=f"""
 WITH {_bands_sql()},
-pairs AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         {_dot_sql("a.embedding", "b.embedding")} / (a.nn * b.nn) AS cos
-  FROM banded a JOIN banded b ON a.vec_id < b.vec_id
-  WHERE list_has_any(a.bandkeys, b.bandkeys)
-)
+{_neardup_pairs_sql()}
 SELECT vec_a, vec_b, cos FROM pairs
 WHERE cos * 100 >= {_TAU100}
 """,
@@ -917,12 +935,7 @@ def sim_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_semantic",
     oracle=f"""
 WITH RECURSIVE {_bands_sql()},
-pairs AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         {_dot_sql("a.embedding", "b.embedding")} / (a.nn * b.nn) AS cos
-  FROM banded a JOIN banded b ON a.vec_id < b.vec_id
-  WHERE list_has_any(a.bandkeys, b.bandkeys)
-),
+{_neardup_pairs_sql()},
 edges AS (SELECT vec_a, vec_b FROM pairs WHERE cos * 100 >= {_TAU100}),
 sym AS (SELECT vec_a AS a, vec_b AS b FROM edges
         UNION ALL SELECT vec_b, vec_a FROM edges),

@@ -647,7 +647,8 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     between libm and the JVM, and the distributed sum is order-
     independent.  Plan: one explode -> corpus-frequency hash aggregate
     -> equi-join back on the word -> per-doc aggregate; the corpus
-    total rides in as one observed scalar.  Docs with no words are
+    total rides in as a broadcast one-row aggregate (production would
+    also persist the exploded word table across its three consumers).  Docs with no words are
     absent (both engines)."""
     docs = load_parallel(spark, sf_dir, "documents", "doc_id")
     ws = _words_col()
@@ -655,14 +656,17 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", ws.alias("ws"))
         .filter((F.size("ws") > 0) & (F.col("ws")[0] != ""))
         .select("doc_id", F.explode("ws").alias("word"))
-    ).persist()
-    freq = w.groupBy("word").agg(F.count("*").alias("f"))
-    n_total = w.count()  # one scalar to the driver (== oracle's tot)
-    bits = (
-        F.lit(len(bin(n_total)) - 2)
-        - F.length(F.bin(F.col("f")))
     )
-    scored = w.join(freq, "word").select("doc_id", bits.alias("bits"))
+    freq = w.groupBy("word").agg(F.count("*").alias("f"))
+    # Corpus total as a LAZY broadcast scalar (the oracle's scalar
+    # subquery), not an eager count(): registry fns must stay
+    # side-effect-free until the driver materializes them (r5 review).
+    tot = w.agg(F.count("*").alias("n"))
+    bits = F.length(F.bin(F.col("n"))) - F.length(F.bin(F.col("f")))
+    scored = (
+        w.join(freq, "word").crossJoin(F.broadcast(tot))
+        .select("doc_id", bits.alias("bits"))
+    )
     out = scored.groupBy("doc_id").agg(
         F.count("*").alias("n_words"),
         F.sum("bits").cast("long").alias("sum_bits"),
