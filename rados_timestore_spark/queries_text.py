@@ -16,7 +16,7 @@ pairs after map-side combine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rados_timestore_spark.queries_common import load, load_parallel
@@ -675,4 +675,99 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_words", "sum_bits",
         (F.col("sum_bits").cast("double") / F.col("n_words"))
         .alias("avg_surprisal"),
+    )
+
+
+#: Winnowing geometry: k-gram width (words) and window size.  With
+#: window w, any shared run of at least k + w - 1 words between two
+#: documents is GUARANTEED to produce a common fingerprint (the
+#: winnowing guarantee of Schleimer/Wilkerson/Aiken, "Winnowing: Local
+#: Algorithms for Document Fingerprinting", SIGMOD 2003 — the MOSS
+#: algorithm), while only ~2/(w+1) of gram hashes are kept.
+_WINNOW_K = 5
+_WINNOW_W = 4
+
+
+@register(
+    "text_winnow_fingerprint",
+    oracle=f"""
+WITH w0 AS (
+  SELECT doc_id, {_WORDS_SQL} AS words
+  FROM documents),
+g AS (
+  SELECT doc_id, len(words) - {_WINNOW_K - 1} AS n_grams,
+         unnest(generate_series(0, len(words) - {_WINNOW_K})) AS pos,
+         words
+  FROM w0),
+h AS (
+  SELECT doc_id, n_grams, pos,
+         ('0x' || substr(md5(array_to_string(
+            words[pos+1:pos+{_WINNOW_K}], ' ')), 1, 15))::BIGINT AS hv
+  FROM g),
+wm AS (
+  SELECT doc_id, n_grams, pos,
+         min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1}
+                       FOLLOWING) AS wh
+  FROM h),
+sel AS (
+  SELECT DISTINCT doc_id, n_grams, wh FROM wm
+  WHERE pos <= greatest(n_grams - {_WINNOW_W}, 0))
+SELECT doc_id, CAST(max(n_grams) AS BIGINT) AS n_grams,
+       count(*) AS n_fp, min(wh) AS fp_min, max(wh) AS fp_max
+FROM sel GROUP BY doc_id
+""",
+    tags=("text", "dedup"),
+    priority=110,  # new late-r5: window already full of never-checked r5 queries — local-green via tools/check_correctness.py; rotate into the driver window in r6
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (MOSS): hash every
+    ``_WINNOW_K``-word gram, slide a ``_WINNOW_W``-wide window over
+    the gram-hash sequence, keep the window minimum — a position-
+    robust fingerprint set that localizes shared passages (unlike the
+    whole-document :func:`text_fingerprint` and unlike minhash, which
+    loses positions).  Returns per-doc fingerprint-set stats
+    (count + min/max — all integers, hash-exact).
+
+    Plan shape: one scan -> per-doc gram explode (JVM built-ins:
+    transform/sequence/slice, no Python) -> window min partitioned by
+    doc_id (the shuffle key is doc_id, so 100 TB of docs spread
+    evenly; no cross-doc traffic) -> per-doc hash aggregate.  Docs
+    shorter than k words yield no grams on either engine; docs with
+    fewer than w grams keep one window covering all of them
+    (``pos <= greatest(n_grams - w, 0)``)."""
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    w0 = docs.select("doc_id", words.alias("words")).filter(
+        F.size("words") >= _WINNOW_K
+    )
+    grams = F.expr(
+        f"transform(sequence(0, size(words) - {_WINNOW_K}), "
+        f"i -> array_join(slice(words, i + 1, {_WINNOW_K}), ' '))"
+    )
+    g = w0.select(
+        "doc_id",
+        (F.size("words") - (_WINNOW_K - 1)).cast("long").alias("n_grams"),
+        F.posexplode(grams).alias("pos", "gram"),
+    )
+    h = g.select(
+        "doc_id", "n_grams", "pos",
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("long")
+        .alias("hv"),
+    )
+    win = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(0, _WINNOW_W - 1)
+    )
+    wm = h.select(
+        "doc_id", "n_grams", "pos", F.min("hv").over(win).alias("wh")
+    )
+    sel = wm.filter(
+        F.col("pos") <= F.greatest(F.col("n_grams") - _WINNOW_W, F.lit(0))
+    ).select("doc_id", "n_grams", "wh").distinct()
+    return sel.groupBy("doc_id").agg(
+        F.max("n_grams").cast("long").alias("n_grams"),
+        F.count("*").alias("n_fp"),
+        F.min("wh").alias("fp_min"),
+        F.max("wh").alias("fp_max"),
     )
