@@ -899,3 +899,110 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 dedup_contamination.__doc__ = dedup_contamination.__doc__.format(
     min_shared=_CONTAM_MIN_SHARED)
+
+
+#: Bloom geometry: m = 2^16 bits (8 KiB), j = 3 probe positions per
+#: shingle sliced straight out of the packed 56-bit hash (bits 0-15,
+#: 16-31, 32-47) — deterministic, so the oracle reproduces false
+#: positives exactly.  At the fixture's eval fill (~10% of bits set)
+#: the FP rate is ~0.1%; production sizes m from the eval-shingle
+#: count and target fpp the usual way (m = -n ln p / ln^2 2).
+_BLOOM_BITS = 16
+_BLOOM_MASK = (1 << _BLOOM_BITS) - 1
+
+
+@register(
+    "dedup_bloom",
+    oracle=f"""
+WITH ex AS (
+  SELECT doc_id, unnest({_HS_SQL}) AS h
+  FROM (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents) t),
+evpos AS (
+  SELECT DISTINCT unnest([h & {_BLOOM_MASK},
+                          (h >> {_BLOOM_BITS}) & {_BLOOM_MASK},
+                          (h >> {2 * _BLOOM_BITS}) & {_BLOOM_MASK}]) AS p
+  FROM ex WHERE doc_id < {_CONTAM_EVAL_MAX_ID}),
+tr AS (SELECT doc_id AS train_id, h FROM ex
+       WHERE doc_id >= {_CONTAM_EVAL_MAX_ID}),
+flag AS (
+  SELECT train_id,
+         CASE WHEN (h & {_BLOOM_MASK}) IN (SELECT p FROM evpos)
+               AND ((h >> {_BLOOM_BITS}) & {_BLOOM_MASK})
+                     IN (SELECT p FROM evpos)
+               AND ((h >> {2 * _BLOOM_BITS}) & {_BLOOM_MASK})
+                     IN (SELECT p FROM evpos)
+         THEN 1 ELSE 0 END AS hit
+  FROM tr)
+SELECT train_id, count(*) AS n_shingles,
+       CAST(sum(hit) AS BIGINT) AS n_flagged
+FROM flag GROUP BY train_id
+""",
+    tags=("dedup", "pipeline"),
+    priority=110,  # new late-r5: window already full of never-checked r5 queries — local-green via tools/check_correctness.py; rotate into the driver window in r6
+)
+def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination: the CONSTANT-memory variant of
+    :func:`dedup_contamination`.  The eval corpus is folded into an
+    8 KiB bitset (1024 longs) shipped as a plan literal; every
+    training shingle is then checked with three codegen'd JVM bit
+    probes — one corpus scan, NO join, NO shuffle of training
+    shingles, and the broadcast stays 8 KiB no matter how large the
+    eval suite grows (the set-broadcast of dedup_contamination grows
+    with it).  The cost is attribution (no eval_id — a membership
+    check, not a join) and a deterministic false-positive rate that
+    the oracle reproduces bit-exactly from the same probe positions.
+
+    Scale: this is the shape for screening 100 TB of training text
+    against a benchmark battery — executors do integer masks against
+    a literal array, whole-stage codegen keeps it in the scan stage.
+    """
+    sh = _doc_shingles(spark, sf_dir)
+    exploded = sh.select("doc_id", F.explode("hs").alias("h"))
+    # Eval bitset: <= 3 * |eval shingles| distinct positions, bounded
+    # by 2^16 — a tiny driver collect by construction (the eval side
+    # is a benchmark suite, not a corpus).
+    ev_pos = (
+        exploded.filter(F.col("doc_id") < _CONTAM_EVAL_MAX_ID)
+        .select(
+            F.explode(
+                F.array(
+                    F.col("h").bitwiseAND(_BLOOM_MASK),
+                    F.shiftrightunsigned("h", _BLOOM_BITS)
+                    .bitwiseAND(_BLOOM_MASK),
+                    F.shiftrightunsigned("h", 2 * _BLOOM_BITS)
+                    .bitwiseAND(_BLOOM_MASK),
+                )
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * ((1 << _BLOOM_BITS) >> 6)
+    for row in ev_pos:
+        p = row["p"]
+        words[p >> 6] |= 1 << (p & 63)
+    # two's-complement wrap: JVM longs are signed
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bs = F.array(*[F.lit(w) for w in words])
+    tr = exploded.filter(F.col("doc_id") >= _CONTAM_EVAL_MAX_ID).select(
+        F.col("doc_id").alias("train_id"), "h", bs.alias("bs")
+    )
+
+    def _probe(shift: int) -> F.Column:
+        p = (
+            f"(shiftrightunsigned(h, {shift}) & {_BLOOM_MASK})"
+            if shift
+            else f"(h & {_BLOOM_MASK})"
+        )
+        return F.expr(
+            f"(shiftrightunsigned(element_at(bs, CAST({p} DIV 64 AS INT)"
+            f" + 1), CAST({p} % 64 AS INT)) & 1) = 1"
+        )
+
+    hit = (
+        _probe(0) & _probe(_BLOOM_BITS) & _probe(2 * _BLOOM_BITS)
+    ).cast("int")
+    return tr.select("train_id", hit.alias("hit")).groupBy("train_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum("hit").cast("long").alias("n_flagged"),
+    )
