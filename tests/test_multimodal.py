@@ -134,3 +134,56 @@ def test_feature_extract_with_real_decoder_on_real_ppm(spark):
         assert (r.width, r.height, r.channels) == (2, 2, 3)
         assert r.feat_hash == _md5_8(raster)
         assert r.n_bytes == len(payload)
+
+
+def _wav(chunks_mid=b"", channels=1, rate=8000, frames=4,
+         fmt_tag=1, data=None):
+    """Minimal PCM WAV builder for parser tests."""
+    import struct
+
+    block = channels * 2
+    if data is None:
+        data = bytes(range(frames * block))
+    fmt = struct.pack("<HHIIHH", fmt_tag, channels, rate, rate * block,
+                      block, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt + chunks_mid
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_decode_wav_real_basic():
+    from rados_timestore_spark.queries_multimodal import decode_wav_real
+
+    d = decode_wav_real(_wav(channels=2, rate=16000, frames=8))
+    assert (d["sample_rate"], d["channels"], d["bits"]) == (16000, 2, 16)
+    assert d["n_frames"] == 8
+    assert d["duration_us"] == 8 * 1_000_000 // 16000
+
+
+def test_decode_wav_real_skips_odd_chunks_with_padding():
+    import struct
+
+    from rados_timestore_spark.queries_multimodal import decode_wav_real
+
+    mid = b"LIST" + struct.pack("<I", 5) + b"INFOJ" + b"\0"
+    d = decode_wav_real(_wav(chunks_mid=mid, frames=3))
+    assert d["n_frames"] == 3
+
+
+def test_decode_wav_real_rejects_malformed():
+    import struct
+
+    import pytest
+
+    from rados_timestore_spark.queries_multimodal import decode_wav_real
+
+    with pytest.raises(ValueError):
+        decode_wav_real(b"OggS\x00\x00\x00\x00")      # wrong container
+    with pytest.raises(ValueError):
+        decode_wav_real(_wav(fmt_tag=3))               # non-PCM
+    with pytest.raises(ValueError):
+        decode_wav_real(_wav()[:-3])                   # truncated data
+    good = _wav()
+    bad = good[:4] + struct.pack("<I", 999) + good[8:]  # riff size lie
+    with pytest.raises(ValueError):
+        decode_wav_real(bad)
