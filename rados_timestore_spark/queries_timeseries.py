@@ -387,3 +387,55 @@ def ts_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.99)").alias("p99"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "ts_ohlc_hourly",
+    oracle=f"""{_EV_CTE},
+h AS (
+  SELECT user_id, t // 3600000000 AS hour, t, event_id, value FROM ev),
+w AS (
+  SELECT user_id, hour, value,
+         row_number() OVER (PARTITION BY user_id, hour
+                            ORDER BY t, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, hour
+                            ORDER BY t DESC, event_id DESC) AS rn_d
+  FROM h)
+SELECT user_id, hour,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high, min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       count(*) AS n_points
+FROM w GROUP BY user_id, hour
+""",
+    tags=("timeseries", "agg"),
+    priority=110,  # new late-r5: window already full of never-checked r5 queries — local-green via tools/check_correctness.py; rotate into the driver window in r6
+)
+def ts_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC (candlestick) hourly rollup per series: open/close are the
+    first/last raw values by (t, event_id) — exact row values, so the
+    doubles hash-match without any accumulation-order hazard —
+    high/low/count are plain aggregates.  One shuffle on (user, hour);
+    both row_number windows and the final aggregate reuse the same
+    hash partitioning, so Spark plans a single exchange — the shape
+    that makes per-series downsampling linear at 100 TB."""
+    ev = _events(spark, sf_dir)
+    h = ev.select(
+        "user_id", F.expr("t div 3600000000").alias("hour"),
+        "t", "event_id", "value",
+    )
+    wa = Window.partitionBy("user_id", "hour").orderBy("t", "event_id")
+    wd = Window.partitionBy("user_id", "hour").orderBy(
+        F.desc("t"), F.desc("event_id"))
+    w = h.select(
+        "user_id", "hour", "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return w.groupBy("user_id", "hour").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count("*").alias("n_points"),
+    )
