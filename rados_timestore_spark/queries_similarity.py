@@ -1179,3 +1179,235 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     same top-k contract.  Same shape as :func:`sim_ivf_recall`."""
     ann = _pq_ann(spark, sf_dir).select("query_id", "neighbor_id")
     return _recall_at_5(spark, sf_dir, ann)
+
+
+# ------------------------------------------------------------- IVF-PQ
+#
+# The full billion-scale composition (Jégou et al. 2011, the FAISS
+# IVFADC index): coarse-quantize with the TRAINED k-means of
+# sim_ivf_kmeans, PQ-encode the RESIDUAL (vector minus its bucket
+# centroid — residuals are much smaller than raw vectors, so the same
+# 4-bit codes quantize far more finely), and answer queries by probing
+# nprobe buckets with a PER-BUCKET ADC table built from the query's
+# residual against that bucket.  Corpus state per vector: one bucket
+# id + _PQ_M codes (~6 B vs 256 B raw); per query the scan touches
+# only probed buckets' code rows.  Everything reuses the established
+# deterministic kernels, so even this three-stage composition
+# (training -> residual encode -> probed ADC) hash-checks exactly
+# against one static unrolled SQL string.
+
+
+def _pq_sub_res_l2_sql(rv: str, s: str, cv: str) -> str:
+    """Sub-L2 between a DSUB-slice of an (already DOUBLE) residual
+    list and codebook entry ``cv`` — same sequential fold shape."""
+    sl = f"{rv}[{s}*{_PQ_DSUB}+1 : {s}*{_PQ_DSUB}+{_PQ_DSUB}]"
+    return (
+        f"list_sum(list_transform(generate_series(1,{_PQ_DSUB}), "
+        f"i -> ({sl}[i] - {cv}[i]) * ({sl}[i] - {cv}[i])))"
+    )
+
+
+_IVFPQ_CTES = f"""{_KM_CTES},
+kassign AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             {_l2_sql("e.embedding", "c.ce")} ASC, c.cid) AS rk
+    FROM embeddings e, kc2 c) x
+  WHERE rk = 1),
+res AS (
+  SELECT a.vec_id, a.cid,
+         list_transform(generate_series(1,{DIM}),
+                        i -> a.embedding[i]::DOUBLE - c.ce[i]) AS rv
+  FROM kassign a JOIN kc2 c ON c.cid = a.cid),
+pcb AS (
+  SELECT s, r.vec_id AS code,
+         rv[s*{_PQ_DSUB}+1 : s*{_PQ_DSUB}+{_PQ_DSUB}] AS cv
+  FROM res r, generate_series(0,{_PQ_M - 1}) g(s)
+  WHERE r.vec_id < {_PQ_K}),
+rsl AS (
+  SELECT r.vec_id, r.cid, c.s, c.code,
+         {_pq_sub_res_l2_sql("r.rv", "c.s", "c.cv")} AS d
+  FROM res r, pcb c),
+penc AS (
+  SELECT vec_id, cid, s, code FROM (
+    SELECT vec_id, cid, s, code,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY d ASC, code) AS rk
+    FROM rsl) x
+  WHERE rk = 1),
+kprobes AS (
+  SELECT query_id, qe, bucket FROM (
+    SELECT e.vec_id AS query_id, e.embedding AS qe, c.cid AS bucket,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             {_l2_sql("e.embedding", "c.ce")} ASC, c.cid) AS pr
+    FROM embeddings e, kc2 c WHERE e.vec_id < 5) x
+  WHERE pr <= {_N_PROBE}),
+qres AS (
+  SELECT p.query_id, p.bucket,
+         list_transform(generate_series(1,{DIM}),
+                        i -> p.qe[i]::DOUBLE - c.ce[i]) AS qrv
+  FROM kprobes p JOIN kc2 c ON c.cid = p.bucket),
+plut AS (
+  SELECT q.query_id, q.bucket, c.s, c.code,
+         {_pq_sub_res_l2_sql("q.qrv", "c.s", "c.cv")} AS d
+  FROM qres q, pcb c),
+padc AS (
+  SELECT l.query_id, e.vec_id,
+         list_sum(list(l.d ORDER BY l.s)) AS approx_d2
+  FROM penc e JOIN plut l
+    ON l.bucket = e.cid AND l.s = e.s AND l.code = e.code
+  WHERE e.vec_id <> l.query_id
+  GROUP BY l.query_id, e.vec_id),
+ivfpq_top AS (
+  SELECT query_id, vec_id AS neighbor_id, approx_d2, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY approx_d2 ASC, vec_id) AS rank FROM padc) t
+  WHERE rank <= 5)"""
+
+
+def _km_assign_rows(E: np.ndarray, cids, C: np.ndarray) -> np.ndarray:
+    """Row indices (into ``C``) of each vector's nearest centroid —
+    the same sequential per-dim fold and first-min tie rule as
+    :func:`_make_km_assign`, reusable driver-side."""
+    acc = np.zeros((len(E), len(C)))
+    for i in range(DIM):
+        d = E[:, i : i + 1] - C[:, i][None, :]
+        acc += d * d
+    return np.argmin(acc, axis=1)
+
+
+def _make_ivfpq_encode(cids, C: np.ndarray, CB: np.ndarray):
+    """mapInPandas kernel: assign bucket (trained centroids), subtract
+    the bucket centroid, PQ-encode the residual — one shuffle-free
+    pass emitting (vec_id, cid, c0..c{_PQ_M - 1})."""
+    cid_arr = np.asarray(cids, dtype=np.int64)
+    Cm = np.asarray(C, dtype=np.float64)
+    CBm = np.asarray(CB, dtype=np.float64)
+
+    def enc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            rows = _km_assign_rows(E, cid_arr, Cm)
+            R = E - Cm[rows]
+            out = {"vec_id": pdf["vec_id"], "cid": cid_arr[rows]}
+            for s in range(_PQ_M):
+                acc = np.zeros((len(R), _PQ_K))
+                for i in range(_PQ_DSUB):
+                    d = (R[:, s * _PQ_DSUB + i : s * _PQ_DSUB + i + 1]
+                         - CBm[s][:, i][None, :])
+                    acc += d * d
+                out[f"c{s}"] = np.argmin(acc, axis=1).astype(np.int64)
+            yield pd.DataFrame(out)
+
+    return enc
+
+
+def _ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared IVF-PQ pipeline for sim_ivfpq_ann / sim_ivfpq_recall."""
+    emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    cids, C, _counts = _kmeans_fit(spark, sf_dir)
+    Cm = np.asarray(C, dtype=np.float64)
+    # Residual PQ codebooks from the first _PQ_K vectors, assigned and
+    # residualized driver-side with the identical kernels.
+    init = (
+        emb.filter(F.col("vec_id") < _PQ_K)
+        .select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    )
+    S = np.stack(init["embedding"].to_numpy()).astype(np.float64)
+    R0 = S - Cm[_km_assign_rows(S, cids, Cm)]
+    CB = R0.reshape(_PQ_K, _PQ_M, _PQ_DSUB).transpose(1, 0, 2)
+    encoded = emb.select("vec_id", "embedding").mapInPandas(
+        _make_ivfpq_encode(cids, C, CB),
+        "vec_id long, cid long, "
+        + ", ".join(f"c{s} long" for s in range(_PQ_M)),
+    )
+    # Probes + per-(query, bucket) residual LUTs, driver-side (5
+    # queries x nprobe buckets x _PQ_M x _PQ_K doubles).
+    q_pdf = (
+        emb.filter(F.col("vec_id") < 5)
+        .select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    )
+    rows = []
+    for qid, qe in zip(q_pdf["vec_id"], q_pdf["embedding"]):
+        qv = np.asarray(qe, dtype=np.float64)
+        d2 = [0.0] * len(cids)
+        for j in range(len(cids)):
+            acc = 0.0
+            for i in range(DIM):
+                d = float(qv[i]) - float(Cm[j][i])
+                acc += d * d
+            d2[j] = acc
+        order = sorted(range(len(cids)), key=lambda j: (d2[j], cids[j]))
+        for j in order[:_N_PROBE]:
+            qrv = [float(qv[i]) - float(Cm[j][i]) for i in range(DIM)]
+            luts = []
+            for s in range(_PQ_M):
+                lut = []
+                for c in range(_PQ_K):
+                    acc = 0.0
+                    for i in range(_PQ_DSUB):
+                        d = qrv[s * _PQ_DSUB + i] - float(CB[s][c][i])
+                        acc += d * d
+                    lut.append(acc)
+                luts.append(lut)
+            rows.append((int(qid), int(cids[j]), *luts))
+    lut_df = spark.createDataFrame(
+        rows,
+        "query_id long, bucket long, "
+        + ", ".join(f"l{s} array<double>" for s in range(_PQ_M)),
+    )
+    approx = None
+    for s in range(_PQ_M):
+        t = F.element_at(F.col(f"l{s}"), (F.col(f"c{s}") + 1).cast("int"))
+        approx = t if approx is None else approx + t
+    adc = (
+        encoded.join(F.broadcast(lut_df),
+                     encoded["cid"] == lut_df["bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", approx.alias("approx_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("approx_d2", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                "approx_d2", "rank")
+    )
+
+
+@register(
+    "sim_ivfpq_ann",
+    oracle=f"""
+WITH {_IVFPQ_CTES}
+SELECT query_id, neighbor_id, approx_d2, rank FROM ivfpq_top
+""",
+    tags=("similarity", "ann"),
+    priority=110,  # new late-r5: window already full of never-checked r5 queries — local-green via tools/check_correctness.py; rotate into the driver window in r6
+)
+def sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF-PQ (FAISS IVFADC) approximate nearest neighbors: the
+    trained k-means coarse quantizer buckets the corpus, PQ codes
+    quantize each vector's RESIDUAL, and queries probe nprobe buckets
+    with per-bucket ADC lookup tables over their own residuals — the
+    ~6-bytes-per-vector index layout that serves billion-vector
+    corpora from RAM.  See the section comment; training, encode, and
+    probe all hash-check against one unrolled oracle."""
+    return _ivfpq_ann(spark, sf_dir)
+
+
+@register(
+    "sim_ivfpq_recall",
+    oracle=_recall_sql(_IVFPQ_CTES, "ivfpq_top"),
+    tags=("similarity", "ann"),
+    priority=110,  # new late-r5 (see sim_ivfpq_ann)
+)
+def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the composed IVF-PQ path — completes the recall
+    family (sampled-IVF, trained-IVF, flat-PQ, IVF-PQ), quantifying
+    the compounded cost of bucketing + residual compression against
+    the same exact top-5."""
+    ann = _ivfpq_ann(spark, sf_dir).select("query_id", "neighbor_id")
+    return _recall_at_5(spark, sf_dir, ann)
