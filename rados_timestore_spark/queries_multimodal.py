@@ -415,7 +415,7 @@ SELECT CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'image'
 FROM documents GROUP BY 1
 """,
     tags=("multimodal",),
-    priority=96,  # re-promoted in r5 to refresh r2/r3-era driver evidence
+    priority=900,  # demoted final-r5 for the bench-tagged sim_ivfpq_ann (r2/r3-green; verified locally by tools/check_correctness.py)
 )
 def mm_modality_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Modality routing/aggregation: classify blobs (fake sniff on

@@ -1152,7 +1152,8 @@ WITH {_PQ_CTES}
 SELECT query_id, neighbor_id, approx_d2, rank FROM pq_top
 """,
     tags=("similarity", "ann"),
-    priority=110,  # new late-r5: window already full of never-checked r5 queries — local-green via tools/check_correctness.py; rotate into the driver window in r6
+    bench=True,  # the ADC compressed-scan path is a headline op
+    priority=90,  # new final-r5, bench-tagged => must be driver-visible (window invariant); text_quality_score demoted in exchange
 )
 def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with a FULL cross-engine oracle: encode
@@ -1385,7 +1386,8 @@ WITH {_IVFPQ_CTES}
 SELECT query_id, neighbor_id, approx_d2, rank FROM ivfpq_top
 """,
     tags=("similarity", "ann"),
-    priority=110,  # new late-r5: window already full of never-checked r5 queries — local-green via tools/check_correctness.py; rotate into the driver window in r6
+    bench=True,  # the composed IVFADC path is a headline op
+    priority=90,  # new final-r5, bench-tagged => must be driver-visible (window invariant); mm_modality_routing demoted in exchange
 )
 def sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full IVF-PQ (FAISS IVFADC) approximate nearest neighbors: the

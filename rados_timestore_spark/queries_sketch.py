@@ -1,0 +1,247 @@
+"""Sketch operators — HyperLogLog cardinality and Count-Min heavy
+hitters — built DETERMINISTICALLY so the approximate answers
+themselves hash-match a DuckDB oracle.
+
+Spark's own approx sketches (``approx_count_distinct``,
+``count_min_sketch``) are implementation-defined and can't be oracle-
+checked; these re-derive the classic algorithms (Flajolet et al. 2007;
+Cormode & Muthukrishnan 2005) from the repo's md5-based 60-bit hashes
+(registry.py docstring), with every float kept out of aggregation:
+
+* HLL register sums accumulate ``2^(54 - rho)`` as EXACT integers
+  (rho <= 53, 256 registers * 2^54 < 2^63), so the shuffle order
+  can't perturb the harmonic mean; the final estimate is one fixed
+  left-associated IEEE expression over that integer.
+* CMS cells and estimates are pure integer counts/mins.
+
+Scale: both sketches are one explode + one hash aggregate of BOUNDED
+state (256 registers; 4x512 cells) per group — the mergeable-summary
+shape that replaces exact distinct/top-k shuffles at 100 TB (registers
+and cells merge associatively across partitions/days, which exact
+count-distinct does not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rados_timestore_spark.queries_common import load_parallel
+from rados_timestore_spark.registry import register
+
+_WORDS_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+#: HLL geometry: p=8 -> m=256 registers; 60-bit hash => 52 suffix
+#: bits, rho in [1, 53]; integer scale 2^54 (sum <= 2^62).
+_HLL_M = 256
+_HLL_RHO0 = 53          # rho when the 52-bit suffix is all zeros
+_HLL_SCALE_POW = 54
+
+#: CMS geometry: d=4 rows x w=512 columns; row j's position is bits
+#: [12j, 12j+9) of the gram hash.
+_CMS_D = 4
+_CMS_W = 512
+_CMS_SHIFT = 12
+
+_HASH_SQL = "('0x' || substr(md5(g), 1, 15))::BIGINT"
+
+
+def _grams_sql(n: int) -> str:
+    """DuckDB n-gram list over the standard word split."""
+    if n == 1:
+        return "ws"
+    join = " || ' ' || ".join(f"ws[i+{k}]" for k in range(n))
+    return f"[{join} for i in generate_series(1, len(ws)-{n - 1})]"
+
+
+_HLL_GRAMS_CTE = f"""
+gx AS (
+  SELECT 1 AS n, unnest({_grams_sql(1)}) AS g
+  FROM (SELECT {_WORDS_SQL} AS ws FROM documents) t
+  UNION ALL
+  SELECT 2, unnest({_grams_sql(2)})
+  FROM (SELECT {_WORDS_SQL} AS ws FROM documents) t
+  UNION ALL
+  SELECT 3, unnest({_grams_sql(3)})
+  FROM (SELECT {_WORDS_SQL} AS ws FROM documents) t)
+"""
+
+#: One fixed left-associated IEEE expression; alpha_256 =
+#: 0.7213 / (1 + 1.079 / 256) (Flajolet et al. 2007).
+_HLL_EST_SQL = (
+    "0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * "
+    "18014398509481984.0 / CAST(s_scaled AS DOUBLE)"
+)
+
+
+@register(
+    "sketch_hll_ngrams",
+    oracle=f"""
+WITH {_HLL_GRAMS_CTE},
+hx AS (SELECT DISTINCT n, {_HASH_SQL} AS h FROM gx),
+reg AS (
+  SELECT n, h & {_HLL_M - 1} AS bucket,
+         max(CASE WHEN (h >> 8) = 0 THEN {_HLL_RHO0}
+                  ELSE {_HLL_RHO0} - length(format('{{:b}}', h >> 8))
+             END) AS rho
+  FROM hx GROUP BY n, bucket),
+s AS (
+  SELECT n,
+         CAST(sum(1::BIGINT << ({_HLL_SCALE_POW} - rho)) AS BIGINT)
+           + ({_HLL_M} - count(*))
+             * (1::BIGINT << {_HLL_SCALE_POW}) AS s_scaled,
+         count(*) AS n_registers
+  FROM reg GROUP BY n),
+ex AS (SELECT n, count(DISTINCT g) AS n_exact FROM gx GROUP BY n)
+SELECT ex.n AS gram_n, ex.n_exact, s.n_registers,
+       s.s_scaled, {_HLL_EST_SQL} AS n_hll
+FROM ex JOIN s ON s.n = ex.n
+""",
+    tags=("sketch", "text"),
+    priority=110,  # new late-r5: window full — local-green via tools/check_correctness.py; rotate into the driver window in r6
+)
+def sketch_hll_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count of word 1/2/3-grams, side by side
+    with the exact cardinality (31 / ~1k / ~16k in the fixtures — the
+    three rows show the raw sketch under-range, near-range, and in its
+    working regime; no small-range correction is applied, so the
+    gram_n=1 row deliberately exhibits the documented raw-HLL bias).
+    Registers merge associatively, so at 100 TB this is one map-side-
+    combined aggregate of 256 longs per group, replacing the full
+    distinct shuffle of exact count-distinct."""
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
+    ws = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    parts = []
+    for n in (1, 2, 3):
+        if n == 1:
+            grams = F.col("ws")
+        else:
+            grams = F.expr(
+                f"transform(sequence(0, size(ws) - {n}), "
+                f"i -> array_join(slice(ws, i + 1, {n}), ' '))"
+            )
+        parts.append(
+            docs.select(ws.alias("ws"))
+            .filter(F.size("ws") >= n)
+            .select(F.lit(n).alias("n"), F.explode(grams).alias("g"))
+        )
+    gx = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    hx = gx.select(
+        "n",
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
+        .alias("h"),
+    ).distinct()
+    suffix = F.shiftrightunsigned("h", 8)
+    rho = F.when(suffix == 0, _HLL_RHO0).otherwise(
+        _HLL_RHO0 - F.length(F.bin(suffix))
+    )
+    reg = (
+        hx.select("n", F.col("h").bitwiseAND(_HLL_M - 1).alias("bucket"),
+                  rho.alias("rho"))
+        .groupBy("n", "bucket").agg(F.max("rho").alias("rho"))
+    )
+    s = reg.groupBy("n").agg(
+        (
+            F.sum(F.expr(
+                f"shiftleft(1L, CAST({_HLL_SCALE_POW} - rho AS INT))"))
+            + (_HLL_M - F.count("*"))
+            * F.lit(1 << _HLL_SCALE_POW).cast("long")
+        ).cast("long").alias("s_scaled"),
+        F.count("*").alias("n_registers"),
+    )
+    ex = gx.groupBy("n").agg(F.countDistinct("g").alias("n_exact"))
+    est = (
+        F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+        * F.lit(65536.0) * F.lit(18014398509481984.0)
+        / F.col("s_scaled").cast("double")
+    )
+    return (
+        ex.join(s, "n")
+        .select(F.col("n").alias("gram_n"), "n_exact", "n_registers",
+                "s_scaled", est.alias("n_hll"))
+    )
+
+
+@register(
+    "sketch_cms_heavy_hitters",
+    oracle=f"""
+WITH occ AS (
+  SELECT g, {_HASH_SQL} AS h
+  FROM (SELECT unnest({_grams_sql(3)}) AS g
+        FROM (SELECT {_WORDS_SQL} AS ws FROM documents) s) t),
+cells AS (
+  SELECT j, (h >> ({_CMS_SHIFT} * j)) & {_CMS_W - 1} AS p,
+         count(*) AS c
+  FROM occ, generate_series(0, {_CMS_D - 1}) gs(j)
+  GROUP BY j, p),
+top AS (
+  SELECT g, h, count(*) AS n FROM occ GROUP BY g, h
+  ORDER BY n DESC, g LIMIT 25),
+est AS (
+  SELECT t.g, t.n, min(c.c) AS cms_est
+  FROM top t JOIN cells c
+    ON c.p = ((t.h >> ({_CMS_SHIFT} * c.j)) & {_CMS_W - 1})
+  GROUP BY t.g, t.n)
+SELECT g AS gram, CAST(n AS BIGINT) AS n_exact,
+       CAST(cms_est AS BIGINT) AS cms_est
+FROM est
+""",
+    tags=("sketch", "text"),
+    priority=110,  # new late-r5: window full — local-green via tools/check_correctness.py; rotate into the driver window in r6
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation for the top-25 word
+    trigrams: build the d x w cell array (one hash aggregate of
+    bounded state), then answer point queries with the row-wise
+    minimum — estimates are >= exact by construction, and with ~16k
+    distinct trigrams in 512 columns the fixture genuinely exercises
+    collision inflation (cms_est > n_exact on some rows).  At 100 TB
+    the cells are a 4x512 mergeable summary per partition — the
+    heavy-hitter shape that avoids shuffling the full (gram, count)
+    distribution."""
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
+    ws = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    grams = F.expr(
+        "transform(sequence(0, size(ws) - 3), "
+        "i -> array_join(slice(ws, i + 1, 3), ' '))"
+    )
+    occ = (
+        docs.select(ws.alias("ws")).filter(F.size("ws") >= 3)
+        .select(F.explode(grams).alias("g"))
+        .select(
+            "g",
+            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
+            .alias("h"),
+        )
+    )
+    cells = (
+        occ.select(
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.shiftrightunsigned("h", _CMS_SHIFT * j)
+                    .bitwiseAND(_CMS_W - 1).alias("p"),
+                )
+                for j in range(_CMS_D)
+            ])).alias("jp")
+        )
+        .groupBy("jp.j", "jp.p").agg(F.count("*").alias("c"))
+    )
+    top = (
+        occ.groupBy("g", "h").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "g").limit(25)
+    )
+    est = (
+        top.join(
+            F.broadcast(cells),
+            F.col("p")
+            == F.expr(f"shiftrightunsigned(h, {_CMS_SHIFT} * j) "
+                      f"& {_CMS_W - 1}"),
+        )
+        .groupBy("g", "n").agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        F.col("g").alias("gram"),
+        F.col("n").cast("long").alias("n_exact"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+    )

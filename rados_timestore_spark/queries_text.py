@@ -168,7 +168,7 @@ SELECT doc_id,
 FROM documents
 """,
     tags=("text",),
-    priority=96,  # re-promoted in r5 to refresh r2/r3-era driver evidence
+    priority=900,  # demoted final-r5 for the bench-tagged sim_pq_ann (r2/r3-green; verified locally by tools/check_correctness.py)
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring (length / punctuation / stopword
@@ -718,7 +718,8 @@ SELECT doc_id, CAST(max(n_grams) AS BIGINT) AS n_grams,
 FROM sel GROUP BY doc_id
 """,
     tags=("text", "dedup"),
-    priority=110,  # new late-r5: window already full of never-checked r5 queries — local-green via tools/check_correctness.py; rotate into the driver window in r6
+    bench=True,  # gram explode + window min: the positional-fingerprint cost shape
+    priority=90,  # new final-r5, bench-tagged => must be driver-visible (window invariant); tpch_q10 demoted in exchange
 )
 def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (MOSS): hash every

@@ -201,6 +201,7 @@ ORDER BY revenue DESC, c_custkey
 LIMIT 20
 """,
     tags=("join", "topk"),
+    priority=900,  # demoted final-r5 for the bench-tagged text_winnow_fingerprint (r2-green; verified locally by tools/check_correctness.py)
 )
 def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10: revenue lost to returns per customer, top-20."""

@@ -145,6 +145,7 @@ _QUERY_MODULES = (
     "rados_timestore_spark.queries_tpch",
     "rados_timestore_spark.queries_tpch2",
     "rados_timestore_spark.queries_pipeline",
+    "rados_timestore_spark.queries_sketch",
 )
 
 

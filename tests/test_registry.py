@@ -65,13 +65,13 @@ EXPECTED_WINDOW = {
     # re-promotions (text_token_count / dedup_exact_prefix / mm_resize)
     # back out
     "pipeline_corpus_curation", "dedup_semantic", "streaming_asof_update",
+    # final-r5 swap: the three new bench-tagged flagships must be
+    # driver-visible (window invariant below); text_quality_score,
+    # mm_modality_routing (both r2/r3-green) and tpch_q10 (r2-green)
+    # demoted in exchange
+    "sim_pq_ann", "sim_ivfpq_ann", "text_winnow_fingerprint",
     # r5-modified queries kept in for fresh evidence (p=95)
     "streaming_asof_join", "dedup_minhash_pairs", "mm_feature_extract",
-    # r2/r3-green queries re-promoted to refresh evidence (p=96)
-    # (ts_range_join / ts_sessionize / ts_value_percentiles — all
-    # twice driver-proven — swapped back out late-r5 for the three
-    # new ts_bulk_backfill / sim_kmeans_* queries)
-    "text_quality_score", "mm_modality_routing",
     # the bench/headline set (must always be driver-visible)
     "ts_read_simple", "ts_dedup_first_wins", "ts_latest_per_key",
     "ts_store_roundtrip", "ts_asof_join", "ts_rollup_hourly",
@@ -80,7 +80,7 @@ EXPECTED_WINDOW = {
     "sim_neardup_pairs", "sim_ivf_ann",
     # TPC-H part-1 block: last driver rows were r2 — the r5 refresh
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume", "tpch_q10_returned_items",
+    "tpch_q5_local_supplier_volume",
     "tpch_window_top_orders_per_customer", "tpch_agg_distinct_priority",
     "tpch_semijoin_open_orders", "tpch_antijoin_silent_customers",
     "tpch_q6_forecast_revenue", "tpch_q4_order_priority",

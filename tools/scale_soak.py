@@ -44,8 +44,12 @@ SOAK_QUERIES = (
     "sim_ivf_kmeans",
     "sim_kmeans_quantizer",
     "sim_topk_bruteforce",
+    "sim_pq_ann",
+    "sim_ivfpq_ann",
+    "dedup_bloom",
     "text_stats",
     "text_word_freq",
+    "text_winnow_fingerprint",
 )
 
 #: Engine-core queries over the events table (VERDICT r4 item 8):
@@ -58,6 +62,7 @@ SOAK_TS_QUERIES = (
     "ts_store_roundtrip",
     "ts_asof_join",
     "ts_rollup_hourly",
+    "ts_ohlc_hourly",
     "ts_bulk_backfill",
 )
 
