@@ -111,21 +111,28 @@ def sketch_hll_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct shuffle of exact count-distinct."""
     docs = load_parallel(spark, sf_dir, "documents", "doc_id")
     ws = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    parts = []
-    for n in (1, 2, 3):
-        if n == 1:
-            grams = F.col("ws")
-        else:
-            grams = F.expr(
-                f"transform(sequence(0, size(ws) - {n}), "
-                f"i -> array_join(slice(ws, i + 1, {n}), ' '))"
-            )
-        parts.append(
-            docs.select(ws.alias("ws"))
-            .filter(F.size("ws") >= n)
-            .select(F.lit(n).alias("n"), F.explode(grams).alias("g"))
-        )
-    gx = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    # ONE scan + ONE Generate for all three gram widths: each doc's
+    # tagged (n, gram) structs concatenated and exploded together
+    # (the naive 3-branch union re-scans the corpus per width).  The
+    # CASE guards keep sequence() from going negative on short docs.
+    gram_structs = F.expr(
+        "concat("
+        "  transform(ws, w -> struct(1 AS n, w AS g)),"
+        "  CASE WHEN size(ws) >= 2 THEN transform("
+        "    sequence(0, size(ws) - 2),"
+        "    i -> struct(2 AS n, array_join(slice(ws, i + 1, 2), ' ')"
+        "                AS g)) ELSE array() END,"
+        "  CASE WHEN size(ws) >= 3 THEN transform("
+        "    sequence(0, size(ws) - 3),"
+        "    i -> struct(3 AS n, array_join(slice(ws, i + 1, 3), ' ')"
+        "                AS g)) ELSE array() END)"
+    )
+    gx = (
+        docs.select(ws.alias("ws"))
+        .select(F.explode(gram_structs).alias("t"))
+        .select(F.col("t.n").alias("n"), F.col("t.g").alias("g"))
+        .persist()  # feeds the register build AND the exact counts
+    )
     hx = gx.select(
         "n",
         F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
@@ -213,31 +220,34 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
             .alias("h"),
         )
+        .persist()  # one corpus scan feeds cells AND the top-k counts
     )
+
+    def _positions(col: str = "h") -> F.Column:
+        return F.explode(F.array(*[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.shiftrightunsigned(col, _CMS_SHIFT * j)
+                .bitwiseAND(_CMS_W - 1).alias("p"),
+            )
+            for j in range(_CMS_D)
+        ]))
+
     cells = (
-        occ.select(
-            F.explode(F.array(*[
-                F.struct(
-                    F.lit(j).alias("j"),
-                    F.shiftrightunsigned("h", _CMS_SHIFT * j)
-                    .bitwiseAND(_CMS_W - 1).alias("p"),
-                )
-                for j in range(_CMS_D)
-            ])).alias("jp")
-        )
+        occ.select(_positions().alias("jp"))
         .groupBy("jp.j", "jp.p").agg(F.count("*").alias("c"))
     )
     top = (
         occ.groupBy("g", "h").agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), "g").limit(25)
     )
+    # Point queries probe with the same exploded (j, p) pairs so the
+    # lookup is a broadcast EQUI-join on (j, p) — 25 x _CMS_D probe
+    # rows against the d x w cell summary, bounded at any scale.
+    probes = top.select("g", "n", _positions().alias("jp")) \
+        .select("g", "n", F.col("jp.j").alias("j"), F.col("jp.p").alias("p"))
     est = (
-        top.join(
-            F.broadcast(cells),
-            F.col("p")
-            == F.expr(f"shiftrightunsigned(h, {_CMS_SHIFT} * j) "
-                      f"& {_CMS_W - 1}"),
-        )
+        probes.join(F.broadcast(cells), ["j", "p"])
         .groupBy("g", "n").agg(F.min("c").alias("cms_est"))
     )
     return est.select(
