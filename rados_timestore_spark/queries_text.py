@@ -772,3 +772,44 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("wh").alias("fp_min"),
         F.max("wh").alias("fp_max"),
     )
+
+
+#: Stratified-sample size per group.
+_STRAT_K = 4
+
+
+@register(
+    "text_stratified_sample",
+    oracle=f"""
+WITH h AS (
+  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR) || ':strat') AS hv
+  FROM documents),
+r AS (SELECT lang, doc_id, hv,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY hv, doc_id) AS rk
+      FROM h)
+SELECT lang, rk, doc_id FROM r WHERE rk <= {_STRAT_K}
+""",
+    tags=("text", "pipeline"),
+    priority=110,  # new late-r5: window full — local-green via tools/check_correctness.py; rotate into the driver window in r6
+)
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per language, take the
+    ``_STRAT_K`` documents with the smallest salted content-id hash —
+    hash-order sampling again, so the sample is uniform-at-random
+    w.r.t. the salt yet IDENTICAL on every rerun, engine, and
+    partitioning (the property ``TABLESAMPLE``/``rand()`` pipelines
+    lack, and the one that makes eval subsets reproducible).  One
+    shuffle on the stratum key; rank + filter prune everything else.
+    At 100 TB this is the per-source inspection/eval-subset draw —
+    and the same window is a per-group top-k, so skewed strata cost
+    max(stratum)/partition, not a global sort."""
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
+    hv = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":strat")))
+    w = Window.partitionBy("lang").orderBy("hv", "doc_id")
+    return (
+        docs.select("lang", "doc_id", hv.alias("hv"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _STRAT_K)
+        .select("lang", "rk", "doc_id")
+    )
