@@ -373,31 +373,39 @@ def streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", 1).parquet(src)
         )
-        ws = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-        grams = F.expr(
-            "transform(sequence(0, size(ws) - 3), "
-            "i -> array_join(slice(ws, i + 1, 3), ' '))"
-        )
-        hx = (
-            stream.select(ws.alias("ws")).filter(F.size("ws") >= 3)
-            .select(F.explode(grams).alias("g"))
-            .select(
-                F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
-                .cast("long").alias("h"),
-            )
-        )
-        suffix = F.shiftrightunsigned("h", 8)
-        rho = F.when(suffix == 0, _HLL_RHO0).otherwise(
-            _HLL_RHO0 - F.length(F.bin(suffix))
-        )
-        reg = (
-            hx.select(F.col("h").bitwiseAND(_HLL_M - 1).alias("bucket"),
-                      rho.alias("rho"))
-            .groupBy("bucket").agg(F.max("rho").alias("rho"))
-        )
         q = (
-            reg.writeStream.format("memory").queryName(name)
+            trigram_hll_registers(stream)
+            .writeStream.format("memory").queryName(name)
             .outputMode("complete").trigger(availableNow=True).start()
         )
         q.awaitTermination(300)
     return spark.table(name).select("bucket", "rho")
+
+
+def trigram_hll_registers(df: DataFrame) -> DataFrame:
+    """(bucket, rho) -> max HLL register aggregation over a documents-
+    like frame with a ``text`` column.  Works identically on batch and
+    streaming frames (the streamed-equals-batch law and the
+    checkpoint-recovery test both pin it)."""
+    ws = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    grams = F.expr(
+        "transform(sequence(0, size(ws) - 3), "
+        "i -> array_join(slice(ws, i + 1, 3), ' '))"
+    )
+    hx = (
+        df.select(ws.alias("ws")).filter(F.size("ws") >= 3)
+        .select(F.explode(grams).alias("g"))
+        .select(
+            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
+            .cast("long").alias("h"),
+        )
+    )
+    suffix = F.shiftrightunsigned("h", 8)
+    rho = F.when(suffix == 0, _HLL_RHO0).otherwise(
+        _HLL_RHO0 - F.length(F.bin(suffix))
+    )
+    return (
+        hx.select(F.col("h").bitwiseAND(_HLL_M - 1).alias("bucket"),
+                  rho.alias("rho"))
+        .groupBy("bucket").agg(F.max("rho").alias("rho"))
+    )

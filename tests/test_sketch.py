@@ -1,0 +1,122 @@
+"""Sketch-family laws: partition invariance (determinism under any
+physical layout), the CMS over-estimate guarantee, the KMV error
+bound, and streamed-sketch == batch-sketch equality."""
+
+import os
+
+from tests.conftest import SF_DIR
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_hll_partition_invariance(spark):
+    """HLL registers (and therefore the estimate) must be identical
+    under different shuffle layouts — the integer register sums are
+    order-independent by construction."""
+    from rados_timestore_spark.queries_sketch import sketch_hll_ngrams
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = _rows(sketch_hll_ngrams(spark, SF_DIR))
+        spark.catalog.clearCache()
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        b = _rows(sketch_hll_ngrams(spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+        spark.catalog.clearCache()
+    assert a == b
+
+
+def test_cms_never_underestimates(spark):
+    """Count-Min estimates are >= the exact count for every query
+    point (the sketch's one-sided error guarantee)."""
+    from rados_timestore_spark.queries_sketch import \
+        sketch_cms_heavy_hitters
+
+    rows = sketch_cms_heavy_hitters(spark, SF_DIR).collect()
+    assert len(rows) == 25
+    assert all(r["cms_est"] >= r["n_exact"] for r in rows)
+
+
+def test_kmv_estimate_within_bound(spark):
+    """KMV's (k-1)/h_k estimator lands within ~1/sqrt(k) of the true
+    distinct-trigram cardinality (deterministic, so a fixed 35% bound
+    is stable, not flaky)."""
+    import pyspark.sql.functions as F
+
+    from rados_timestore_spark.queries_sketch import sketch_kmv_sample
+
+    df = sketch_kmv_sample(spark, SF_DIR)
+    est = df.select("kmv_estimate").head()[0]
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ws = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    grams = F.expr(
+        "transform(sequence(0, size(ws) - 3), "
+        "i -> array_join(slice(ws, i + 1, 3), ' '))"
+    )
+    true_n = (
+        docs.select(ws.alias("ws")).filter(F.size("ws") >= 3)
+        .select(F.explode(grams).alias("g")).distinct().count()
+    )
+    assert abs(est - true_n) / true_n < 0.35, (est, true_n)
+
+
+def test_streaming_hll_equals_batch(spark):
+    """The incrementally-maintained registers (two micro-batches)
+    must equal the batch registers over the same corpus — the
+    associative-merge law that makes sketches streamable."""
+    from rados_timestore_spark.queries_sketch import (
+        streaming_hll_registers, trigram_hll_registers)
+
+    streamed = _rows(streaming_hll_registers(spark, SF_DIR))
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert streamed == _rows(trigram_hll_registers(docs))
+
+
+def test_streaming_hll_checkpoint_recovery(spark, tmp_path):
+    """The register state must survive a query RESTART: stream half
+    the corpus to termination, then deliver the other half and start
+    a SECOND query on the SAME checkpoint — the restored registers
+    must fold the new batch in, ending equal to the batch sketch of
+    the full corpus."""
+    import pyspark.sql.functions as F
+
+    from rados_timestore_spark.queries_sketch import \
+        trigram_hll_registers
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text")
+    src = str(tmp_path / "src")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+
+        def sink(batch_df, _epoch):
+            batch_df.write.mode("overwrite").parquet(out)
+
+        q = (
+            trigram_hll_registers(stream)
+            .writeStream.foreachBatch(sink).outputMode("complete")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    half_a.coalesce(1).write.parquet(src)
+    run_once()
+    partial = _rows(spark.read.parquet(out))
+    assert partial == _rows(trigram_hll_registers(half_a))
+
+    half_b.coalesce(1).write.mode("append").parquet(src)
+    run_once()  # restart: recovers state from ck, folds half_b in
+    final = _rows(spark.read.parquet(out))
+    assert final == _rows(trigram_hll_registers(docs))
