@@ -487,6 +487,12 @@ def decode_wav_real(payload: bytes) -> dict:
     audio_fmt, channels, rate, byte_rate, block_align, bits = fmt
     if audio_fmt != 1:
         raise ValueError(f"not PCM (fmt tag {audio_fmt})")
+    # degenerate parameters would otherwise surface as
+    # ZeroDivisionError below instead of the documented ValueError
+    if rate <= 0 or channels <= 0 or bits not in (8, 16, 24, 32):
+        raise ValueError(
+            f"degenerate fmt (rate={rate}, channels={channels}, "
+            f"bits={bits})")
     if block_align != channels * (bits // 8) \
             or byte_rate != rate * block_align:
         raise ValueError("inconsistent fmt parameters")

@@ -726,14 +726,10 @@ def _make_km_assign(cids, C):
             if len(pdf) == 0:
                 continue
             E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            acc = np.zeros((len(E), len(Cm)))
-            for i in range(DIM):
-                d = E[:, i : i + 1] - Cm[:, i][None, :]
-                acc += d * d
             yield pd.DataFrame({
                 "vec_id": pdf["vec_id"],
                 "embedding": pdf["embedding"],
-                "cid": cid_arr[np.argmin(acc, axis=1)],
+                "cid": cid_arr[_km_assign_rows(E, Cm)],
             })
 
     return assign
@@ -824,13 +820,7 @@ def sim_kmeans_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KM_IVF_CTES = f"""{_KM_CTES},
-kassign AS (
-  SELECT vec_id, embedding, cid FROM (
-    SELECT e.vec_id, e.embedding, c.cid,
-           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-             {_l2_sql("e.embedding", "c.ce")} ASC, c.cid) AS rk
-    FROM embeddings e, kc2 c) x
-  WHERE rk = 1),
+{_km_assign_cte("kc2", "kassign")},
 kprobes AS (
   SELECT query_id, qe, bucket FROM (
     SELECT e.vec_id AS query_id, e.embedding AS qe, c.cid AS bucket,
@@ -1079,12 +1069,9 @@ def _make_pq_encode(CB: np.ndarray):
             E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             out = {"vec_id": pdf["vec_id"]}
             for s in range(_PQ_M):
-                acc = np.zeros((len(E), _PQ_K))
-                for i in range(_PQ_DSUB):
-                    d = (E[:, s * _PQ_DSUB + i : s * _PQ_DSUB + i + 1]
-                         - CBm[s][:, i][None, :])
-                    acc += d * d
-                out[f"c{s}"] = np.argmin(acc, axis=1).astype(np.int64)
+                sub = E[:, s * _PQ_DSUB : (s + 1) * _PQ_DSUB]
+                out[f"c{s}"] = np.argmin(
+                    _sq_dists(sub, CBm[s]), axis=1).astype(np.int64)
             yield pd.DataFrame(out)
 
     return enc
@@ -1209,13 +1196,7 @@ def _pq_sub_res_l2_sql(rv: str, s: str, cv: str) -> str:
 
 
 _IVFPQ_CTES = f"""{_KM_CTES},
-kassign AS (
-  SELECT vec_id, embedding, cid FROM (
-    SELECT e.vec_id, e.embedding, c.cid,
-           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-             {_l2_sql("e.embedding", "c.ce")} ASC, c.cid) AS rk
-    FROM embeddings e, kc2 c) x
-  WHERE rk = 1),
+{_km_assign_cte("kc2", "kassign")},
 res AS (
   SELECT a.vec_id, a.cid,
          list_transform(generate_series(1,{DIM}),
@@ -1267,15 +1248,25 @@ ivfpq_top AS (
   WHERE rank <= 5)"""
 
 
-def _km_assign_rows(E: np.ndarray, cids, C: np.ndarray) -> np.ndarray:
-    """Row indices (into ``C``) of each vector's nearest centroid —
-    the same sequential per-dim fold and first-min tie rule as
-    :func:`_make_km_assign`, reusable driver-side."""
+def _sq_dists(E: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(len(E), len(C)) squared-L2 matrix with the module's canonical
+    accumulation: one vectorized op per dimension, accumulated in
+    order — bit-identical to the sequential folds of ``_l2_sql`` and
+    friends.  The ONE numeric kernel behind k-means assignment and
+    both PQ encoders (r5 review finding: four drifting copies)."""
     acc = np.zeros((len(E), len(C)))
-    for i in range(DIM):
+    for i in range(E.shape[1]):
         d = E[:, i : i + 1] - C[:, i][None, :]
         acc += d * d
-    return np.argmin(acc, axis=1)
+    return acc
+
+
+def _km_assign_rows(E: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Row indices (into ``C``) of each vector's nearest centroid.
+    np.argmin's first-min == ties to the lowest row; callers keep C's
+    rows sorted by ascending cid so this equals the oracle's
+    ``ORDER BY d2, cid``."""
+    return np.argmin(_sq_dists(E, C), axis=1)
 
 
 def _make_ivfpq_encode(cids, C: np.ndarray, CB: np.ndarray):
@@ -1291,16 +1282,13 @@ def _make_ivfpq_encode(cids, C: np.ndarray, CB: np.ndarray):
             if len(pdf) == 0:
                 continue
             E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            rows = _km_assign_rows(E, cid_arr, Cm)
+            rows = _km_assign_rows(E, Cm)
             R = E - Cm[rows]
             out = {"vec_id": pdf["vec_id"], "cid": cid_arr[rows]}
             for s in range(_PQ_M):
-                acc = np.zeros((len(R), _PQ_K))
-                for i in range(_PQ_DSUB):
-                    d = (R[:, s * _PQ_DSUB + i : s * _PQ_DSUB + i + 1]
-                         - CBm[s][:, i][None, :])
-                    acc += d * d
-                out[f"c{s}"] = np.argmin(acc, axis=1).astype(np.int64)
+                sub = R[:, s * _PQ_DSUB : (s + 1) * _PQ_DSUB]
+                out[f"c{s}"] = np.argmin(
+                    _sq_dists(sub, CBm[s]), axis=1).astype(np.int64)
             yield pd.DataFrame(out)
 
     return enc
@@ -1318,7 +1306,7 @@ def _ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding").toPandas().sort_values("vec_id")
     )
     S = np.stack(init["embedding"].to_numpy()).astype(np.float64)
-    R0 = S - Cm[_km_assign_rows(S, cids, Cm)]
+    R0 = S - Cm[_km_assign_rows(S, Cm)]
     CB = R0.reshape(_PQ_K, _PQ_M, _PQ_DSUB).transpose(1, 0, 2)
     encoded = emb.select("vec_id", "embedding").mapInPandas(
         _make_ivfpq_encode(cids, C, CB),

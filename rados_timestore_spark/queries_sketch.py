@@ -32,10 +32,16 @@ from rados_timestore_spark.registry import register
 _WORDS_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 
 #: HLL geometry: p=8 -> m=256 registers; 60-bit hash => 52 suffix
-#: bits, rho in [1, 53]; integer scale 2^54 (sum <= 2^62).
+#: bits, rho in [1, 53]; integer scale 2^54 (sum <= 2^62).  Every
+#: derived literal below (suffix shift, rho0, m^2, 2^scale) is
+#: COMPUTED from these constants in both engines, so retuning m or
+#: the scale cannot silently leave the estimate on stale constants
+#: while still hash-matching (r5 review finding).
 _HLL_M = 256
-_HLL_RHO0 = 53          # rho when the 52-bit suffix is all zeros
+_HLL_P = _HLL_M.bit_length() - 1          # index bits (8)
+_HLL_RHO0 = 60 - _HLL_P + 1               # rho for an all-zero suffix
 _HLL_SCALE_POW = 54
+assert _HLL_M * (1 << _HLL_SCALE_POW) < (1 << 63)  # int64 sum bound
 
 #: CMS geometry: d=4 rows x w=512 columns; row j's position is bits
 #: [12j, 12j+9) of the gram hash.
@@ -54,6 +60,28 @@ def _grams_sql(n: int) -> str:
     return f"[{join} for i in generate_series(1, len(ws)-{n - 1})]"
 
 
+def _trigram_hashes(df: "DataFrame") -> "DataFrame":
+    """(g, h) — every word-trigram occurrence of a documents-like
+    frame with a ``text`` column, with its 60-bit md5 hash.  The ONE
+    definition of the trigram pipeline shared by CMS, KMV, and the
+    HLL register build (r5 review finding: three drifting copies)."""
+    ws = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    grams = F.expr(
+        "transform(sequence(0, size(ws) - 3), "
+        "i -> array_join(slice(ws, i + 1, 3), ' '))"
+    )
+    return (
+        df.select(ws.alias("ws")).filter(F.size("ws") >= 3)
+        .select(F.explode(grams).alias("g"))
+        .select(
+            "g",
+            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
+            .alias("h"),
+        )
+    )
+
+
+
 _HLL_GRAMS_CTE = f"""
 gx AS (
   SELECT 1 AS n, unnest({_grams_sql(1)}) AS g
@@ -66,11 +94,11 @@ gx AS (
   FROM (SELECT {_WORDS_SQL} AS ws FROM documents) t)
 """
 
-#: One fixed left-associated IEEE expression; alpha_256 =
-#: 0.7213 / (1 + 1.079 / 256) (Flajolet et al. 2007).
+#: One fixed left-associated IEEE expression; alpha_m =
+#: 0.7213 / (1 + 1.079 / m) (Flajolet et al. 2007, m >= 128).
 _HLL_EST_SQL = (
-    "0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * "
-    "18014398509481984.0 / CAST(s_scaled AS DOUBLE)"
+    f"0.7213 / (1.0 + 1.079 / {_HLL_M}.0) * {_HLL_M * _HLL_M}.0 * "
+    f"{1 << _HLL_SCALE_POW}.0 / CAST(s_scaled AS DOUBLE)"
 )
 
 
@@ -81,8 +109,9 @@ WITH {_HLL_GRAMS_CTE},
 hx AS (SELECT DISTINCT n, {_HASH_SQL} AS h FROM gx),
 reg AS (
   SELECT n, h & {_HLL_M - 1} AS bucket,
-         max(CASE WHEN (h >> 8) = 0 THEN {_HLL_RHO0}
-                  ELSE {_HLL_RHO0} - length(format('{{:b}}', h >> 8))
+         max(CASE WHEN (h >> {_HLL_P}) = 0 THEN {_HLL_RHO0}
+                  ELSE {_HLL_RHO0}
+                       - length(format('{{:b}}', h >> {_HLL_P}))
              END) AS rho
   FROM hx GROUP BY n, bucket),
 s AS (
@@ -138,7 +167,7 @@ def sketch_hll_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
         .alias("h"),
     ).distinct()
-    suffix = F.shiftrightunsigned("h", 8)
+    suffix = F.shiftrightunsigned("h", _HLL_P)
     rho = F.when(suffix == 0, _HLL_RHO0).otherwise(
         _HLL_RHO0 - F.length(F.bin(suffix))
     )
@@ -158,8 +187,9 @@ def sketch_hll_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ex = gx.groupBy("n").agg(F.countDistinct("g").alias("n_exact"))
     est = (
-        F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
-        * F.lit(65536.0) * F.lit(18014398509481984.0)
+        F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(_HLL_M)))
+        * F.lit(float(_HLL_M * _HLL_M))
+        * F.lit(float(1 << _HLL_SCALE_POW))
         / F.col("s_scaled").cast("double")
     )
     return (
@@ -207,21 +237,8 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy-hitter shape that avoids shuffling the full (gram, count)
     distribution."""
     docs = load_parallel(spark, sf_dir, "documents", "doc_id")
-    ws = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    grams = F.expr(
-        "transform(sequence(0, size(ws) - 3), "
-        "i -> array_join(slice(ws, i + 1, 3), ' '))"
-    )
-    occ = (
-        docs.select(ws.alias("ws")).filter(F.size("ws") >= 3)
-        .select(F.explode(grams).alias("g"))
-        .select(
-            "g",
-            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
-            .alias("h"),
-        )
-        .persist()  # one corpus scan feeds cells AND the top-k counts
-    )
+    # one corpus scan feeds cells AND the top-k counts
+    occ = _trigram_hashes(docs).persist()
 
     def _positions(col: str = "h") -> F.Column:
         return F.explode(F.array(*[
@@ -293,20 +310,8 @@ def sketch_kmv_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hash, gram) pair.  Both the sample membership and the float
     estimate hash-match the oracle exactly."""
     docs = load_parallel(spark, sf_dir, "documents", "doc_id")
-    ws = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    grams = F.expr(
-        "transform(sequence(0, size(ws) - 3), "
-        "i -> array_join(slice(ws, i + 1, 3), ' '))"
-    )
-    hx = (
-        docs.select(ws.alias("ws")).filter(F.size("ws") >= 3)
-        .select(F.explode(grams).alias("g")).distinct()
-        .select(
-            "g",
-            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
-            .alias("h"),
-        )
-    )
+    # h is functional on g, so distinct (g, h) == distinct grams
+    hx = _trigram_hashes(docs).distinct()
     bk = hx.orderBy("h", "g").limit(_KMV_K)
     from pyspark.sql import Window
 
@@ -331,8 +336,9 @@ WITH occ AS (
   FROM (SELECT {_WORDS_SQL} AS ws FROM documents) t),
 hx AS (SELECT {_HASH_SQL} AS h FROM occ)
 SELECT h & {_HLL_M - 1} AS bucket,
-       max(CASE WHEN (h >> 8) = 0 THEN {_HLL_RHO0}
-                ELSE {_HLL_RHO0} - length(format('{{:b}}', h >> 8))
+       max(CASE WHEN (h >> {_HLL_P}) = 0 THEN {_HLL_RHO0}
+                ELSE {_HLL_RHO0}
+                     - length(format('{{:b}}', h >> {_HLL_P}))
            END) AS rho
 FROM hx GROUP BY bucket
 """,
@@ -387,20 +393,8 @@ def trigram_hll_registers(df: DataFrame) -> DataFrame:
     like frame with a ``text`` column.  Works identically on batch and
     streaming frames (the streamed-equals-batch law and the
     checkpoint-recovery test both pin it)."""
-    ws = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    grams = F.expr(
-        "transform(sequence(0, size(ws) - 3), "
-        "i -> array_join(slice(ws, i + 1, 3), ' '))"
-    )
-    hx = (
-        df.select(ws.alias("ws")).filter(F.size("ws") >= 3)
-        .select(F.explode(grams).alias("g"))
-        .select(
-            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
-            .cast("long").alias("h"),
-        )
-    )
-    suffix = F.shiftrightunsigned("h", 8)
+    hx = _trigram_hashes(df).select("h")
+    suffix = F.shiftrightunsigned("h", _HLL_P)
     rho = F.when(suffix == 0, _HLL_RHO0).otherwise(
         _HLL_RHO0 - F.length(F.bin(suffix))
     )

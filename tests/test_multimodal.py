@@ -187,3 +187,45 @@ def test_decode_wav_real_rejects_malformed():
     bad = good[:4] + struct.pack("<I", 999) + good[8:]  # riff size lie
     with pytest.raises(ValueError):
         decode_wav_real(bad)
+
+
+def test_decode_wav_real_rejects_degenerate_fmt():
+    import struct
+
+    import pytest
+
+    from rados_timestore_spark.queries_multimodal import decode_wav_real
+
+    def wav_raw(channels, rate, bits, block, data=b"\x00\x00"):
+        fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block,
+                          block, bits)
+        chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                  + b"data" + struct.pack("<I", len(data)) + data)
+        return (b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE"
+                + chunks)
+
+    # channels=0/block=0 and rate=0 must be ValueError, not
+    # ZeroDivisionError (r5 review finding)
+    with pytest.raises(ValueError):
+        decode_wav_real(wav_raw(channels=0, rate=8000, bits=16, block=0))
+    with pytest.raises(ValueError):
+        decode_wav_real(wav_raw(channels=1, rate=0, bits=16, block=2))
+    with pytest.raises(ValueError):
+        decode_wav_real(wav_raw(channels=1, rate=8000, bits=7, block=2))
+
+
+def test_documents_corpus_is_pure_ascii():
+    """Machine-check the invariant every multimodal VARCHAR-side
+    oracle rests on (char ops == byte ops): the fixture corpus must
+    be pure ASCII at every scale factor present."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        texts = pq.read_table(path, columns=["text"])["text"].to_pylist()
+        bad = [t for t in texts if t is not None and not t.isascii()]
+        assert not bad, f"{sf}: {len(bad)} non-ASCII documents"
