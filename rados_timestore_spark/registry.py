@@ -62,7 +62,10 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
     * the window is ROTATED across rounds so every query periodically
       regains driver evidence (r4 promoted tpch_q17/q21/q22 — the
       last three never driver-checked — by demoting three
-      twice-driver-green timeseries queries).
+      twice-driver-green timeseries queries);
+    * bench-tagged queries must ALWAYS sit inside the window (the
+      headline set stays driver-visible — enforced by
+      tests/test_registry.py, which also pins exact membership).
     """
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = Query(fn=fn, oracle=oracle, tags=tags, bench=bench,
