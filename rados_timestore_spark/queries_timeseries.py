@@ -439,3 +439,68 @@ def ts_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
         F.count("*").alias("n_points"),
     )
+
+
+#: Z-order geometry: 16-bit Morton interleave of (bucket, hour-bucket)
+#: and the coarse cell width used to summarize locality.
+_Z_BITS = 16
+_Z_CELL_SHIFT = 6
+
+
+@register(
+    "ts_zorder_stats",
+    oracle=f"""{_EV_CTE},
+d AS (
+  SELECT event_id, ((user_id * 2) % 64) AS bucket,
+         ((t // 3600000000) % 1024) AS hb
+  FROM ev),
+z AS (
+  SELECT event_id, bucket, hb,
+         CAST(list_sum([(((bucket >> i) & 1) << (2 * i))
+                        + (((hb >> i) & 1) << (2 * i + 1))
+                        for i in generate_series(0, {_Z_BITS - 1})])
+              AS BIGINT) AS zval
+  FROM d)
+SELECT zval >> {_Z_CELL_SHIFT} AS zcell, count(*) AS n,
+       count(DISTINCT bucket) AS n_buckets,
+       count(DISTINCT hb) AS n_hours,
+       min(zval) AS z_min, max(zval) AS z_max
+FROM z GROUP BY 1
+""",
+    tags=("timeseries", "layout"),
+    priority=110,  # new late-r5: window full — local-green via tools/check_correctness.py; rotate into the driver window in r6
+)
+def ts_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout clustering: interleave the bits of the
+    two pruning dimensions — key bucket and hour bucket — into one
+    sort key, then summarize each coarse z-cell (64 consecutive
+    z-values).  Every cell touches only a tiny sub-rectangle of the
+    (bucket, hour) space (``n_buckets``/``n_hours`` per cell are
+    small), which is exactly why writing files in z-order lets BOTH
+    a key-range and a time-range predicate prune files at once — the
+    multi-dimensional generalization of the store's (epoch, bucket)
+    directory layout (Delta/Iceberg OPTIMIZE ZORDER's contract).
+    Pure integer bit arithmetic, codegen'd JVM-side; one hash
+    aggregate on the derived cell key."""
+    ev = _events(spark, sf_dir)
+    d = ev.select(
+        "event_id",
+        ((F.col("user_id") * 2) % 64).alias("bucket"),
+        (F.expr("t div 3600000000") % 1024).alias("hb"),
+    )
+    zval = F.expr(
+        f"aggregate(sequence(0, {_Z_BITS - 1}), 0L, (acc, i) -> "
+        "acc + (((bucket >> i) & 1) << (2 * i))"
+        "    + (((hb >> i) & 1) << (2 * i + 1)))"
+    )
+    z = d.select("event_id", "bucket", "hb", zval.alias("zval"))
+    return (
+        z.groupBy(F.shiftright("zval", _Z_CELL_SHIFT).alias("zcell"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("bucket").alias("n_buckets"),
+            F.countDistinct("hb").alias("n_hours"),
+            F.min("zval").alias("z_min"),
+            F.max("zval").alias("z_max"),
+        )
+    )
