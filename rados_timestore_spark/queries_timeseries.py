@@ -447,6 +447,25 @@ _Z_BITS = 16
 _Z_CELL_SHIFT = 6
 
 
+def _spread_bits_sql(x: str) -> str:
+    """Closed-form 16->32 bit spread (insert a zero between adjacent
+    bits) via the classic magic-number shift/mask chain — plain
+    integer ``| & <<`` expressions that parse AND evaluate identically
+    in Spark SQL and DuckDB (one shared string), and stay inside
+    whole-stage codegen on the Spark side (an ``aggregate()`` fold
+    over the bits would be interpreted)."""
+    s = x
+    for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F),
+                        (2, 0x33333333), (1, 0x55555555)):
+        s = f"(({s} | ({s} << {shift})) & {mask})"
+    return s
+
+
+_ZVAL_SQL = (
+    f"({_spread_bits_sql('bucket')} | ({_spread_bits_sql('hb')} << 1))"
+)
+
+
 @register(
     "ts_zorder_stats",
     oracle=f"""{_EV_CTE},
@@ -456,10 +475,7 @@ d AS (
   FROM ev),
 z AS (
   SELECT event_id, bucket, hb,
-         CAST(list_sum([(((bucket >> i) & 1) << (2 * i))
-                        + (((hb >> i) & 1) << (2 * i + 1))
-                        for i in generate_series(0, {_Z_BITS - 1})])
-              AS BIGINT) AS zval
+         CAST({_ZVAL_SQL} AS BIGINT) AS zval
   FROM d)
 SELECT zval >> {_Z_CELL_SHIFT} AS zcell, count(*) AS n,
        count(DISTINCT bucket) AS n_buckets,
@@ -488,12 +504,8 @@ def ts_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("user_id") * 2) % 64).alias("bucket"),
         (F.expr("t div 3600000000") % 1024).alias("hb"),
     )
-    zval = F.expr(
-        f"aggregate(sequence(0, {_Z_BITS - 1}), 0L, (acc, i) -> "
-        "acc + (((bucket >> i) & 1) << (2 * i))"
-        "    + (((hb >> i) & 1) << (2 * i + 1)))"
-    )
-    z = d.select("event_id", "bucket", "hb", zval.alias("zval"))
+    z = d.select("event_id", "bucket", "hb",
+                 F.expr(_ZVAL_SQL).cast("long").alias("zval"))
     return (
         z.groupBy(F.shiftright("zval", _Z_CELL_SHIFT).alias("zcell"))
         .agg(
