@@ -63,6 +63,7 @@ SOAK_TS_QUERIES = (
     "ts_asof_join",
     "ts_rollup_hourly",
     "ts_ohlc_hourly",
+    "ts_zorder_stats",
     "ts_bulk_backfill",
 )
 
