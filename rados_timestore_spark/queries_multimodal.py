@@ -489,7 +489,7 @@ def decode_wav_real(payload: bytes) -> dict:
         raise ValueError(f"not PCM (fmt tag {audio_fmt})")
     # degenerate parameters would otherwise surface as
     # ZeroDivisionError below instead of the documented ValueError
-    if rate <= 0 or channels <= 0 or bits not in (8, 16, 24, 32):
+    if rate <= 0 or channels <= 0 or bits < 8 or bits % 8 != 0:
         raise ValueError(
             f"degenerate fmt (rate={rate}, channels={channels}, "
             f"bits={bits})")

@@ -42,6 +42,7 @@ _HLL_P = _HLL_M.bit_length() - 1          # index bits (8)
 _HLL_RHO0 = 60 - _HLL_P + 1               # rho for an all-zero suffix
 _HLL_SCALE_POW = 54
 assert _HLL_M * (1 << _HLL_SCALE_POW) < (1 << 63)  # int64 sum bound
+assert _HLL_M & (_HLL_M - 1) == 0  # m must be a power of two
 
 #: CMS geometry: d=4 rows x w=512 columns; row j's position is bits
 #: [12j, 12j+9) of the gram hash.
@@ -60,11 +61,11 @@ def _grams_sql(n: int) -> str:
     return f"[{join} for i in generate_series(1, len(ws)-{n - 1})]"
 
 
-def _trigram_hashes(df: "DataFrame") -> "DataFrame":
-    """(g, h) — every word-trigram occurrence of a documents-like
-    frame with a ``text`` column, with its 60-bit md5 hash.  The ONE
-    definition of the trigram pipeline shared by CMS, KMV, and the
-    HLL register build (r5 review finding: three drifting copies)."""
+def _trigrams(df: "DataFrame") -> "DataFrame":
+    """(g) — every word-trigram occurrence of a documents-like frame
+    with a ``text`` column.  The ONE definition of the trigram
+    pipeline shared by CMS, KMV, and the HLL register build (r5
+    review finding: three drifting copies)."""
     ws = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     grams = F.expr(
         "transform(sequence(0, size(ws) - 3), "
@@ -73,12 +74,21 @@ def _trigram_hashes(df: "DataFrame") -> "DataFrame":
     return (
         df.select(ws.alias("ws")).filter(F.size("ws") >= 3)
         .select(F.explode(grams).alias("g"))
-        .select(
-            "g",
-            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
-            .alias("h"),
-        )
     )
+
+
+def _hash_grams(df: "DataFrame") -> "DataFrame":
+    """Attach the 60-bit md5 hash column ``h`` to a grams frame."""
+    return df.select(
+        "g",
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
+        .alias("h"),
+    )
+
+
+def _trigram_hashes(df: "DataFrame") -> "DataFrame":
+    """(g, h) — trigram occurrences with hashes (see _trigrams)."""
+    return _hash_grams(_trigrams(df))
 
 
 
@@ -310,8 +320,9 @@ def sketch_kmv_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hash, gram) pair.  Both the sample membership and the float
     estimate hash-match the oracle exactly."""
     docs = load_parallel(spark, sf_dir, "documents", "doc_id")
-    # h is functional on g, so distinct (g, h) == distinct grams
-    hx = _trigram_hashes(docs).distinct()
+    # distinct grams FIRST, hash once per survivor (hashing per
+    # occurrence would do md5 work proportional to repetition)
+    hx = _hash_grams(_trigrams(docs).distinct())
     bk = hx.orderBy("h", "g").limit(_KMV_K)
     from pyspark.sql import Window
 

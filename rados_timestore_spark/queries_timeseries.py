@@ -441,9 +441,10 @@ def ts_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Z-order geometry: 16-bit Morton interleave of (bucket, hour-bucket)
-#: and the coarse cell width used to summarize locality.
-_Z_BITS = 16
+#: Z-order geometry: the Morton interleave is a fixed 16-bit-wide
+#: spread (the mask chain in _spread_bits_sql IS the width — widen it
+#: by adding a (16, 0x0000FFFF0000FFFF) level); _Z_CELL_SHIFT is the
+#: coarse cell width used to summarize locality.
 _Z_CELL_SHIFT = 6
 
 
@@ -453,7 +454,11 @@ def _spread_bits_sql(x: str) -> str:
     integer ``| & <<`` expressions that parse AND evaluate identically
     in Spark SQL and DuckDB (one shared string), and stay inside
     whole-stage codegen on the Spark side (an ``aggregate()`` fold
-    over the bits would be interpreted)."""
+    over the bits would be interpreted).
+
+    ``x`` must be a BARE COLUMN NAME (or cheap deterministic
+    expression): the chain substitutes it textually twice per level,
+    so an expensive operand would be evaluated up to 16 times."""
     s = x
     for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F),
                         (2, 0x33333333), (1, 0x55555555)):

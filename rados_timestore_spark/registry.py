@@ -65,7 +65,12 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
       twice-driver-green timeseries queries);
     * bench-tagged queries must ALWAYS sit inside the window (the
       headline set stays driver-visible — enforced by
-      tests/test_registry.py, which also pins exact membership).
+      tests/test_registry.py, which also pins exact membership);
+    * carve-out: a NEW query may register past the window
+      (priority > 100) when the window is already full of
+      never-checked queries — it must be local-green and promoted at
+      the next rotation (the "prior green driver row" rule governs
+      DEMOTIONS of window incumbents, not first registrations).
     """
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = Query(fn=fn, oracle=oracle, tags=tags, bench=bench,
