@@ -521,3 +521,77 @@ def ts_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("zval").alias("z_max"),
         )
     )
+
+
+@register(
+    "ts_json_props",
+    oracle="""
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+       max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+       CAST(count(*) FILTER (CAST(props->>'$.k' AS BIGINT) >= 50)
+            AS BIGINT) AS n_high
+FROM events GROUP BY event_type
+""",
+    tags=("timeseries", "json"),
+    priority=110,  # new late-r5: window full — local-green via tools/check_correctness.py; rotate into the driver window in r6
+)
+def ts_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a typed field out of the JSON
+    ``props`` column (``get_json_object`` — Jackson-based, JVM-side,
+    codegen'd) and aggregate it per event type — the event-properties
+    query shape every telemetry pipeline runs.  At 100 TB the
+    extraction is a pure map stage over the scan; only the 5-group
+    aggregate shuffles.  Equivalent DuckDB JSON-path extraction is the
+    oracle, with all outputs integers."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count_if(F.col("k") >= 50).alias("n_high"),
+        )
+    )
+
+
+#: Pivot columns: the explicit event-type list (explicit values keep
+#: the Spark pivot single-pass and the output schema deterministic).
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "ts_pivot_event_counts",
+    oracle=f"""
+SELECT user_id,
+       {", ".join(
+           f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS {t}"
+           for t in _PIVOT_TYPES)}
+FROM events GROUP BY user_id
+""",
+    tags=("timeseries", "agg"),
+    priority=110,  # new late-r5: window full — local-green via tools/check_correctness.py; rotate into the driver window in r6
+)
+def ts_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): per-user event counts with one column per
+    event type, via Spark's native ``groupBy().pivot(values=...)`` —
+    passing the explicit value list keeps it ONE pass (no
+    distinct-values pre-query) with a fixed output schema, which is
+    the only sane form at 100 TB.  Counts of absent combinations are
+    0, matching the oracle's FILTER counts."""
+    ev = load(spark, sf_dir, "events")
+    p = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .agg(F.count(F.lit(1)))  # count(*) is rejected inside Pivot
+    )
+    return p.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
+          for t in _PIVOT_TYPES],
+    )
