@@ -1006,3 +1006,65 @@ def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_shingles"),
         F.sum("hit").cast("long").alias("n_flagged"),
     )
+
+
+#: Fuzzy prefix matching: edit-distance threshold over the 5-word
+#: prefix, candidate pairs blocked on the first word.
+_FUZZY_MAX_DIST = 10
+
+
+@register(
+    "dedup_fuzzy_prefix",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id, ws[1] AS w1, array_to_string(ws[1:5], ' ') AS prefix
+  FROM (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents) t
+  WHERE len(ws) >= 5)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist
+FROM p a JOIN p b ON a.w1 = b.w1 AND a.doc_id < b.doc_id
+WHERE levenshtein(a.prefix, b.prefix) <= {_FUZZY_MAX_DIST}
+""",
+    tags=("dedup",),
+    priority=110,  # new late-r5: window full — local-green via tools/check_correctness.py; rotate into the driver window in r6
+)
+def dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching with blocking — the record-linkage
+    technique the shingle/minhash family doesn't cover (those are
+    set-based; Levenshtein sees transpositions, typos and small edits
+    as CLOSE, not disjoint).  Candidate pairs are blocked on the first
+    word (an equi-join — never all-pairs; production blocks on a
+    normalized key or an LSH bucket, same shape), then the exact
+    Levenshtein distance over the 5-word prefix filters at
+    <= {dist}.  Both engines run the textbook DP edit distance, so
+    the integer distances hash-match exactly."""
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
+    ws = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    p = (
+        docs.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 5)
+        .select(
+            "doc_id",
+            F.col("ws")[0].alias("w1"),
+            F.concat_ws(" ", F.slice("ws", 1, 5)).alias("prefix"),
+        )
+    )
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    return (
+        a.join(
+            b,
+            (F.col("a.w1") == F.col("b.w1"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(dist <= _FUZZY_MAX_DIST)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("long").alias("dist"),
+        )
+    )
+
+
+dedup_fuzzy_prefix.__doc__ = dedup_fuzzy_prefix.__doc__.format(
+    dist=_FUZZY_MAX_DIST)
