@@ -595,3 +595,159 @@ def ts_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
           for t in _PIVOT_TYPES],
     )
+
+
+@register(
+    "ts_funnel",
+    oracle=f"""{_EV_CTE},
+u1 AS (SELECT user_id, min(t) FILTER (event_type = 'view') AS v1
+       FROM ev GROUP BY user_id),
+u2 AS (SELECT e.user_id, min(u1.v1) AS v1,
+              min(e.t) FILTER (e.event_type = 'click'
+                               AND e.t > u1.v1) AS c1
+       FROM ev e JOIN u1 ON u1.user_id = e.user_id GROUP BY e.user_id),
+u3 AS (SELECT e.user_id, min(u2.c1) AS c1,
+              min(e.t) FILTER (e.event_type = 'purchase'
+                               AND e.t > u2.c1) AS p1
+       FROM ev e JOIN u2 ON u2.user_id = e.user_id GROUP BY e.user_id)
+SELECT count(*) AS n_users,
+       CAST(count(u1.v1) AS BIGINT) AS n_view,
+       CAST(count(u3.c1) AS BIGINT) AS n_view_click,
+       CAST(count(u3.p1) AS BIGINT) AS n_full_funnel
+FROM u3 JOIN u1 ON u1.user_id = u3.user_id
+""",
+    tags=("timeseries", "analytics"),
+    priority=110,  # new late-r5: window full — local-green via tools/check_correctness.py; rotate into the driver window in r6
+)
+def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view -> click -> purchase): per user,
+    the first view, the first click strictly AFTER it, the first
+    purchase strictly after that — sequence-aware conversion counting,
+    not mere per-type existence.  Each stage is one aggregate joined
+    back on user_id; all three joins share the user_id hash
+    partitioning, so the plan is one shuffle plus map-side stages
+    (production persists the evented frame across the three passes).
+    Counts are integers; stage times are derived, never compared as
+    floats."""
+    ev = _events(spark, sf_dir)
+    u1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("t")))
+        .alias("v1")
+    )
+    u2 = (
+        ev.join(u1, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min("v1").alias("v1"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("t") > F.col("v1")),
+                    F.col("t"),
+                )
+            ).alias("c1"),
+        )
+    )
+    u3 = (
+        ev.join(u2, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min("c1").alias("c1"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("t") > F.col("c1")),
+                    F.col("t"),
+                )
+            ).alias("p1"),
+        )
+    )
+    return u3.join(u1, "user_id").agg(
+        F.count("*").alias("n_users"),
+        F.count("v1").alias("n_view"),
+        F.count("c1").alias("n_view_click"),
+        F.count("p1").alias("n_full_funnel"),
+    )
+
+
+@register(
+    "ts_cohort_retention",
+    oracle=f"""{_EV_CTE},
+d AS (SELECT user_id, t // 86400000000 AS day FROM ev),
+c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+SELECT c.cohort_day, d.day - c.cohort_day AS age_days,
+       CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_active
+FROM d JOIN c ON c.user_id = d.user_id
+GROUP BY 1, 2
+""",
+    tags=("timeseries", "analytics"),
+    priority=110,  # new late-r5: window full — local-green via tools/check_correctness.py; rotate into the driver window in r6
+)
+def ts_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first active
+    day, activity counted per days-since-cohort — the standard
+    retention triangle.  One aggregate for cohort assignment, one
+    join back (user_id partitioning reused), one distinct-count
+    aggregate; all integers."""
+    ev = _events(spark, sf_dir)
+    d = ev.select("user_id", F.expr("t div 86400000000").alias("day"))
+    c = d.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        d.join(c, "user_id")
+        .groupBy(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("age_days"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@register(
+    "ts_anomaly_zscore",
+    oracle=f"""{_EV_CTE},
+x AS (SELECT user_id,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc
+      FROM ev),
+s AS (SELECT user_id, count(*) AS n, CAST(sum(xc) AS BIGINT) AS sx,
+             CAST(sum(xc * xc) AS BIGINT) AS sxx
+      FROM x GROUP BY user_id)
+SELECT x.user_id, min(s.n) AS n,
+       CAST(count(*) FILTER (
+         (s.n * x.xc - s.sx) * (s.n * x.xc - s.sx)
+           > 9 * (s.n * s.sxx - s.sx * s.sx)) AS BIGINT) AS n_anomalies
+FROM x JOIN s ON s.user_id = x.user_id
+GROUP BY x.user_id
+""",
+    tags=("timeseries", "analytics"),
+    priority=110,  # new late-r5: window full — local-green via tools/check_correctness.py; rotate into the driver window in r6
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series 3-sigma anomaly counting with EXACT integer
+    arithmetic: values become integer cents, and ``|x - mean| > 3
+    sigma`` is evaluated as the cross-multiplied integer inequality
+    ``(n*x - sum)^2 > 9*(n*sum_sq - sum^2)`` — no float mean/std whose
+    accumulation order could flip a borderline comparison, so even
+    this statistical filter hash-matches across engines.  Plan: one
+    stats aggregate + one join back on the series key (shared
+    partitioning), one counting aggregate."""
+    ev = _events(spark, sf_dir)
+    x = ev.select(
+        "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+        .alias("xc"),
+    )
+    s = x.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("xc").cast("long").alias("sx"),
+        F.sum(F.col("xc") * F.col("xc")).cast("long").alias("sxx"),
+    )
+    dev = F.col("n") * F.col("xc") - F.col("sx")
+    var9 = 9 * (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return (
+        x.join(s, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min("n").alias("n"),
+            F.count_if(dev * dev > var9).alias("n_anomalies"),
+        )
+    )
