@@ -751,3 +751,40 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(dev * dev > var9).alias("n_anomalies"),
         )
     )
+
+
+@register(
+    "ts_moving_window_sum",
+    oracle=f"""{_EV_CTE}
+SELECT event_id, user_id, t,
+       CAST(count(*) OVER w AS BIGINT) AS n_in_window,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         AS win_sum
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY t
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+    tags=("timeseries", "window"),
+    priority=110,  # new late-r5: window full — local-green via tools/check_correctness.py; rotate into the driver window in r6
+)
+def ts_moving_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE-framed moving aggregate: per event, the count and
+    value sum of the same series' events in the trailing hour — a
+    RANGE (value-based) frame, not a ROWS frame, so irregular
+    sampling and timestamp ties are handled by time distance, the
+    semantics ROWS frames get wrong.  The frame is a SET of rows on
+    both engines, and the sum is an exact DECIMAL over that set cast
+    to double once — order-independent, hash-exact.  One shuffle on
+    the series key; the frame scan is the standard sliding two-pointer
+    inside each partition."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id").orderBy("t")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", "t",
+        F.count("*").over(w).alias("n_in_window"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+        .cast("double").alias("win_sum"),
+    )
