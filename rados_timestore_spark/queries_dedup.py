@@ -1068,3 +1068,76 @@ def dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 dedup_fuzzy_prefix.__doc__ = dedup_fuzzy_prefix.__doc__.format(
     dist=_FUZZY_MAX_DIST)
+
+
+#: PageRank fixed-point scale and damping (0.85) as integers.
+_PR_SCALE = 1 << 20
+_PR_BASE = (15 * _PR_SCALE) // 100
+
+_FUZZY_PAIRS_SQL = f"""p AS (
+  SELECT doc_id, ws[1] AS w1, array_to_string(ws[1:5], ' ') AS prefix
+  FROM (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents) t
+  WHERE len(ws) >= 5),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM p a JOIN p b ON a.w1 = b.w1 AND a.doc_id < b.doc_id
+  WHERE levenshtein(a.prefix, b.prefix) <= {_FUZZY_MAX_DIST})"""
+
+
+@register(
+    "graph_pagerank",
+    oracle=f"""
+WITH {_FUZZY_PAIRS_SQL},
+e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+deg AS (SELECT u, count(*) AS d FROM e GROUP BY u),
+pr0 AS (SELECT u AS node, {_PR_SCALE}::BIGINT AS pr FROM deg),
+it1 AS (
+  SELECT e.v AS node,
+         {_PR_BASE} + CAST(sum((pr0.pr * 85) // (100 * deg.d))
+                           AS BIGINT) AS pr
+  FROM e JOIN pr0 ON pr0.node = e.u JOIN deg ON deg.u = e.u
+  GROUP BY e.v),
+it2 AS (
+  SELECT e.v AS node,
+         {_PR_BASE} + CAST(sum((it1.pr * 85) // (100 * deg.d))
+                           AS BIGINT) AS pr
+  FROM e JOIN it1 ON it1.node = e.u JOIN deg ON deg.u = e.u
+  GROUP BY e.v)
+SELECT node, pr FROM it2
+""",
+    tags=("dedup", "graph"),
+    priority=110,  # new late-r5: window full — local-green via tools/check_correctness.py; rotate into the driver window in r6
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative numeric graph analytics beyond connected components:
+    2 PageRank iterations over the fuzzy-match similarity graph
+    (:func:`dedup_fuzzy_prefix` pairs, symmetrized), in EXACT integer
+    fixed-point — ``pr' = 0.15*S + sum(0.85 * pr(u) / deg(u))``
+    becomes per-edge ``(pr*85) div (100*deg)`` with scale 2^20, so
+    the distributed sums are order-independent and both engines (and
+    the unrolled 2-iteration oracle) agree bit-for-bit.  Per
+    iteration: one join of the edge list against the rank vector +
+    one hash aggregate on the destination — the Pregel/GraphX message
+    pattern expressed relationally; a production run loops the same
+    two stages with localCheckpoint lineage cuts (exactly like the
+    minhash CC fallback)."""
+    edges = dedup_fuzzy_prefix(spark, sf_dir).select("doc_a", "doc_b")
+    e = edges.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    ).persist()  # edge list feeds deg + two rank iterations
+    deg = e.groupBy("u").agg(F.count("*").alias("d"))
+    pr = deg.select(F.col("u").alias("node"),
+                    F.lit(_PR_SCALE).cast("long").alias("pr"))
+    for _ in range(2):  # fixed unrolled iterations, mirroring the oracle
+        contrib = (
+            e.join(pr, pr["node"] == e["u"])
+            .join(deg, "u")
+            .select("v", F.expr("(pr * 85) div (100 * d)").alias("c"))
+        )
+        pr = contrib.groupBy(F.col("v").alias("node")).agg(
+            (F.lit(_PR_BASE) + F.sum("c")).cast("long").alias("pr")
+        )
+    return pr
