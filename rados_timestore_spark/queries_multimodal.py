@@ -603,3 +603,214 @@ def mm_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, sample_rate int, channels int, bits int, "
         "n_frames long, duration_us long, data_md5 string",
     )
+
+
+# -------------------------------------------------- real PNG decode
+
+#: mm_decode_png geometry (byte-length-derived, like mm_decode_ppm).
+_PNG_W_MOD, _PNG_H_MOD = 29, 13
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png_real(payload: bytes) -> dict:
+    """REAL dependency-free PNG decode (zlib is stdlib): verifies the
+    signature and every chunk CRC, parses IHDR, concatenates IDAT,
+    inflates, and reconstructs ALL FIVE scanline filters (None/Sub/
+    Up/Average/Paeth) to recover the raw raster.  Supports 8-bit
+    greyscale (color type 0) and truecolor RGB (color type 2),
+    non-interlaced — the baseline every real PNG writer emits.  Same
+    contract as :func:`decode_image_real` (width/height/channels/
+    feat_hash = md5 of the raw raster)."""
+    import hashlib
+    import struct
+    import zlib
+
+    if bytes(payload[:8]) != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG signature")
+    i = 8
+    ihdr = None
+    idat = b""
+    seen_end = False
+    while i + 8 <= len(payload):
+        ln, ctype = struct.unpack_from(">I4s", payload, i)
+        data = bytes(payload[i + 8 : i + 8 + ln])
+        if len(data) != ln:
+            raise ValueError(f"truncated chunk {ctype!r}")
+        crc = struct.unpack_from(">I", payload, i + 8 + ln)[0]
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in chunk {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            seen_end = True
+            break
+        i += 12 + ln
+    if ihdr is None or not idat or not seen_end:
+        raise ValueError("missing IHDR/IDAT/IEND")
+    w, h, depth, ctype_v, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(f"unsupported PNG (depth={depth}, "
+                         f"interlace={interlace})")
+    channels = {0: 1, 2: 3}.get(ctype_v)
+    if channels is None:
+        raise ValueError(f"unsupported color type {ctype_v}")
+    raw = zlib.decompress(idat)
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError(f"inflated size {len(raw)} != expected "
+                         f"{h * (stride + 1)}")
+    out = bytearray()
+    prior = bytes(stride)
+    bpp = channels
+    for r in range(h):
+        row = raw[r * (stride + 1) : (r + 1) * (stride + 1)]
+        ftype, filt_bytes = row[0], row[1:]
+        recon = bytearray(stride)
+        for x in range(stride):
+            fx = filt_bytes[x]
+            a = recon[x - bpp] if x >= bpp else 0
+            b = prior[x]
+            c = prior[x - bpp] if x >= bpp else 0
+            if ftype == 0:
+                v = fx
+            elif ftype == 1:
+                v = fx + a
+            elif ftype == 2:
+                v = fx + b
+            elif ftype == 3:
+                v = fx + (a + b) // 2
+            elif ftype == 4:
+                v = fx + _paeth(a, b, c)
+            else:
+                raise ValueError(f"bad filter type {ftype}")
+            recon[x] = v & 0xFF
+        out += recon
+        prior = bytes(recon)
+    return {
+        "width": int(w),
+        "height": int(h),
+        "channels": channels,
+        "feat_hash": hashlib.md5(bytes(out)).hexdigest()[:8],
+    }
+
+
+def encode_png(raster: bytes, w: int, h: int, channels: int) -> bytes:
+    """Minimal REAL PNG writer (test/fixture side): 8-bit grey or RGB,
+    one IDAT, filter type ``row % 5`` per scanline so a decoder must
+    implement every filter reconstruction to round-trip it."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    stride = w * channels
+    bpp = channels
+    filtered = bytearray()
+    prior = bytes(stride)
+    for r in range(h):
+        raw = raster[r * stride : (r + 1) * stride]
+        ftype = r % 5
+        filtered.append(ftype)
+        for x in range(stride):
+            a = raw[x - bpp] if x >= bpp else 0
+            b = prior[x]
+            c = prior[x - bpp] if x >= bpp else 0
+            if ftype == 0:
+                v = raw[x]
+            elif ftype == 1:
+                v = raw[x] - a
+            elif ftype == 2:
+                v = raw[x] - b
+            elif ftype == 3:
+                v = raw[x] - (a + b) // 2
+            else:
+                v = raw[x] - _paeth(a, b, c)
+            filtered.append(v & 0xFF)
+        prior = raw
+    ihdr = struct.pack(">IIBBBBB", w, h, 8,
+                       0 if channels == 1 else 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(filtered)))
+            + chunk(b"IEND", b""))
+
+
+def _png_synth_decode(batches):
+    """mapInPandas kernel: build a REAL PNG per document (raster =
+    text bytes cycled; filter types rotate through all five per
+    scanline) and decode it back with :func:`decode_png_real` — the
+    deflate round-trip and filter reconstructions are genuinely
+    exercised; only width/height/raster derive from formulas the
+    oracle can replay."""
+    for pdf in batches:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            src = text.encode("utf-8") or b" "
+            n = len(src)
+            w = n % _PNG_W_MOD + 1
+            h = n % _PNG_H_MOD + 2
+            need = w * h * 3
+            raster = (src * ((need + n - 1) // n))[:need]
+            payload = encode_png(raster, w, h, 3)
+            d = decode_png_real(payload)
+            rows.append(
+                (int(doc_id), len(payload), d["width"], d["height"],
+                 d["channels"], d["feat_hash"])
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_bytes", "width", "height", "channels",
+                     "feat_hash"],
+        )
+
+
+@register(
+    "mm_decode_png",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN octet_length(encode(text)) = 0 THEN ' '
+              ELSE text END AS text,
+         GREATEST(octet_length(encode(text)), 1) AS n
+  FROM documents),
+p AS (
+  SELECT doc_id, text, n,
+         n % {_PNG_W_MOD} + 1 AS w,
+         n % {_PNG_H_MOD} + 2 AS h
+  FROM g)
+SELECT doc_id, w AS width, h AS height, 3 AS channels,
+       substr(md5(substr(repeat(text, ((w * h * 3 + n - 1) // n)::INT),
+                         1, w * h * 3)), 1, 8) AS feat_hash
+FROM p
+""",
+    tags=("multimodal",),
+    priority=110,  # new late-r5: window full — local-green via tools/check_correctness.py; rotate into the driver window in r6
+)
+def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode end to end: a genuine deflate-compressed,
+    CRC-checked, per-row-filtered PNG is built and decoded per
+    document inside one ``mapInPandas`` pass — the decoder reverses
+    real zlib compression and all five PNG filters, nothing about the
+    sizing formulas leaks into it.  The oracle verifies width/height/
+    raster-md5 exactly; ``n_bytes`` is intentionally NOT in the output
+    (deflate length depends on zlib's encoder version, which the
+    oracle cannot replay — the raster hash is the decode proof)."""
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
+    return docs.select("doc_id", "text").mapInPandas(
+        _png_synth_decode,
+        "doc_id long, n_bytes long, width int, height int, "
+        "channels int, feat_hash string",
+    ).select("doc_id", "width", "height", "channels", "feat_hash")

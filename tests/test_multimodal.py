@@ -240,3 +240,47 @@ def test_documents_corpus_is_pure_ascii():
         assert not bad, f"{path}: {len(bad)} non-ASCII documents"
     # a vacuous pass would defeat the machine-check (r5 review)
     assert checked > 0, f"no documents fixture found under {sorted(roots)}"
+
+
+def test_decode_png_real_roundtrip_all_filters():
+    import hashlib
+
+    from rados_timestore_spark.queries_multimodal import (
+        decode_png_real, encode_png)
+
+    # 6 rows -> filter types 0,1,2,3,4,0 all exercised
+    raster = bytes(range(6 * 4 * 3 % 256)) * 3
+    raster = (raster * 3)[: 6 * 4 * 3]
+    d = decode_png_real(encode_png(raster, 4, 6, 3))
+    assert (d["width"], d["height"], d["channels"]) == (4, 6, 3)
+    assert d["feat_hash"] == hashlib.md5(raster).hexdigest()[:8]
+
+
+def test_decode_png_real_grayscale():
+    import hashlib
+
+    from rados_timestore_spark.queries_multimodal import (
+        decode_png_real, encode_png)
+
+    raster = bytes((i * 7) % 256 for i in range(5 * 7))
+    d = decode_png_real(encode_png(raster, 5, 7, 1))
+    assert (d["width"], d["height"], d["channels"]) == (5, 7, 1)
+    assert d["feat_hash"] == hashlib.md5(raster).hexdigest()[:8]
+
+
+def test_decode_png_real_rejects_corruption():
+    import pytest
+
+    from rados_timestore_spark.queries_multimodal import (
+        decode_png_real, encode_png)
+
+    good = encode_png(b"\x01\x02\x03" * 4, 2, 2, 3)
+    with pytest.raises(ValueError):
+        decode_png_real(b"\x89PNG\r\n\x1a\njunk")
+    # flip one raster-affecting byte inside IDAT -> CRC must catch it
+    idat_at = good.index(b"IDAT") + 6
+    bad = good[:idat_at] + bytes([good[idat_at] ^ 0xFF]) + good[idat_at + 1:]
+    with pytest.raises(ValueError):
+        decode_png_real(bad)
+    with pytest.raises(ValueError):
+        decode_png_real(good[:-20])  # truncated (no IEND)
