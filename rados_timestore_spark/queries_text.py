@@ -813,3 +813,68 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _STRAT_K)
         .select("lang", "rk", "doc_id")
     )
+
+
+#: Minimum pair support (documents containing both words).
+_ASSOC_MIN_SUPPORT = 50
+
+
+@register(
+    "text_word_assoc",
+    oracle=f"""
+WITH dw AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct({_WORDS_SQL})) AS w
+  FROM documents),
+sup AS (SELECT w, count(*) AS n FROM dw GROUP BY w),
+pairs AS (
+  SELECT a.w AS w1, b.w AS w2, count(*) AS n_pair
+  FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY a.w, b.w
+  HAVING count(*) >= {_ASSOC_MIN_SUPPORT})
+SELECT p.w1, p.w2, CAST(p.n_pair AS BIGINT) AS n_pair,
+       CAST(s1.n AS BIGINT) AS n_w1, CAST(s2.n AS BIGINT) AS n_w2
+FROM pairs p JOIN sup s1 ON s1.w = p.w1 JOIN sup s2 ON s2.w = p.w2
+""",
+    tags=("text", "analytics"),
+    priority=110,  # new late-r5: window full — local-green via tools/check_correctness.py; rotate into the driver window in r6
+)
+def text_word_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining (market-basket over word sets): frequent
+    co-occurring word pairs with their pair and singleton supports —
+    everything a consumer needs for confidence
+    (``n_pair / n_w1``) and lift without the engine ever emitting a
+    float.  The pair join keys on doc_id (never all-pairs globally —
+    per-doc item counts bound the fan-out, the standard a-priori
+    shape), the support HAVING prunes before the singleton joins, and
+    the two support joins broadcast (vocabulary-sized).  At 100 TB
+    with real vocabularies the same plan runs with a per-doc distinct
+    item cap — the documented Apriori/FP-growth preprocessing step."""
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
+    dw = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(_words_col())).alias("w"),
+        )
+        .distinct()
+        .persist()  # feeds the pair self-join (twice) + supports
+    )
+    sup = dw.groupBy("w").agg(F.count("*").alias("n"))
+    a, b = dw.alias("a"), dw.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.w") < F.col("b.w")),
+        )
+        .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= _ASSOC_MIN_SUPPORT)
+    )
+    s1 = sup.select(F.col("w").alias("w1"), F.col("n").alias("n_w1"))
+    s2 = sup.select(F.col("w").alias("w2"), F.col("n").alias("n_w2"))
+    return (
+        pairs.join(F.broadcast(s1), "w1")
+        .join(F.broadcast(s2), "w2")
+        .select("w1", "w2", F.col("n_pair").cast("long").alias("n_pair"),
+                "n_w1", "n_w2")
+    )
