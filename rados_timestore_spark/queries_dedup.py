@@ -1012,18 +1012,26 @@ def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: prefix, candidate pairs blocked on the first word.
 _FUZZY_MAX_DIST = 10
 
+#: The ONE blocking+verify pair pipeline, composed into BOTH the
+#: dedup_fuzzy_prefix and graph_pagerank oracles (r5 review finding:
+#: a drifting duplicate would hash-mismatch only for pagerank, since
+#: its Spark side reuses dedup_fuzzy_prefix() directly).
+_FUZZY_PAIRS_SQL = f"""p AS (
+  SELECT doc_id, ws[1] AS w1, array_to_string(ws[1:5], ' ') AS prefix
+  FROM (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents) t
+  WHERE len(ws) >= 5),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist
+  FROM p a JOIN p b ON a.w1 = b.w1 AND a.doc_id < b.doc_id
+  WHERE levenshtein(a.prefix, b.prefix) <= {_FUZZY_MAX_DIST})"""
+
 
 @register(
     "dedup_fuzzy_prefix",
     oracle=f"""
-WITH p AS (
-  SELECT doc_id, ws[1] AS w1, array_to_string(ws[1:5], ' ') AS prefix
-  FROM (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents) t
-  WHERE len(ws) >= 5)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist
-FROM p a JOIN p b ON a.w1 = b.w1 AND a.doc_id < b.doc_id
-WHERE levenshtein(a.prefix, b.prefix) <= {_FUZZY_MAX_DIST}
+WITH {_FUZZY_PAIRS_SQL}
+SELECT doc_a, doc_b, dist FROM pairs
 """,
     tags=("dedup",),
     priority=110,  # new late-r5: window full — local-green via tools/check_correctness.py; rotate into the driver window in r6
@@ -1073,16 +1081,6 @@ dedup_fuzzy_prefix.__doc__ = dedup_fuzzy_prefix.__doc__.format(
 #: PageRank fixed-point scale and damping (0.85) as integers.
 _PR_SCALE = 1 << 20
 _PR_BASE = (15 * _PR_SCALE) // 100
-
-_FUZZY_PAIRS_SQL = f"""p AS (
-  SELECT doc_id, ws[1] AS w1, array_to_string(ws[1:5], ' ') AS prefix
-  FROM (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents) t
-  WHERE len(ws) >= 5),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM p a JOIN p b ON a.w1 = b.w1 AND a.doc_id < b.doc_id
-  WHERE levenshtein(a.prefix, b.prefix) <= {_FUZZY_MAX_DIST})"""
-
 
 @register(
     "graph_pagerank",

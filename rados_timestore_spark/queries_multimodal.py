@@ -644,12 +644,14 @@ def decode_png_real(payload: bytes) -> dict:
     while i + 8 <= len(payload):
         ln, ctype = struct.unpack_from(">I4s", payload, i)
         data = bytes(payload[i + 8 : i + 8 + ln])
-        if len(data) != ln:
+        if len(data) != ln or i + 12 + ln > len(payload):
             raise ValueError(f"truncated chunk {ctype!r}")
         crc = struct.unpack_from(">I", payload, i + 8 + ln)[0]
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"bad CRC in chunk {ctype!r}")
         if ctype == b"IHDR":
+            if len(data) != 13:
+                raise ValueError(f"IHDR length {len(data)} != 13")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"IDAT":
             idat += data

@@ -1294,20 +1294,29 @@ def _make_ivfpq_encode(cids, C: np.ndarray, CB: np.ndarray):
     return enc
 
 
-def _ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared IVF-PQ pipeline for sim_ivfpq_ann / sim_ivfpq_recall."""
-    emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
-    cids, C, _counts = _kmeans_fit(spark, sf_dir)
-    Cm = np.asarray(C, dtype=np.float64)
-    # Residual PQ codebooks from the first _PQ_K vectors, assigned and
-    # residualized driver-side with the identical kernels.
+def _ivfpq_codebooks(spark: SparkSession, sf_dir: str,
+                     Cm: np.ndarray) -> np.ndarray:
+    """Residual PQ codebooks from the first _PQ_K vectors, assigned
+    and residualized driver-side with the identical kernels — shared
+    by :func:`_ivfpq_ann` and the ANN law tests (r5 review finding:
+    a drifting copy in the test would silently stop pinning the real
+    derivation)."""
+    emb = load(spark, sf_dir, "embeddings")
     init = (
         emb.filter(F.col("vec_id") < _PQ_K)
         .select("vec_id", "embedding").toPandas().sort_values("vec_id")
     )
     S = np.stack(init["embedding"].to_numpy()).astype(np.float64)
     R0 = S - Cm[_km_assign_rows(S, Cm)]
-    CB = R0.reshape(_PQ_K, _PQ_M, _PQ_DSUB).transpose(1, 0, 2)
+    return R0.reshape(_PQ_K, _PQ_M, _PQ_DSUB).transpose(1, 0, 2)
+
+
+def _ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared IVF-PQ pipeline for sim_ivfpq_ann / sim_ivfpq_recall."""
+    emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    cids, C, _counts = _kmeans_fit(spark, sf_dir)
+    Cm = np.asarray(C, dtype=np.float64)
+    CB = _ivfpq_codebooks(spark, sf_dir, Cm)
     encoded = emb.select("vec_id", "embedding").mapInPandas(
         _make_ivfpq_encode(cids, C, CB),
         "vec_id long, cid long, "

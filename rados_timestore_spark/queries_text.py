@@ -823,7 +823,7 @@ _ASSOC_MIN_SUPPORT = 50
     "text_word_assoc",
     oracle=f"""
 WITH dw AS (
-  SELECT DISTINCT doc_id, unnest(list_distinct({_WORDS_SQL})) AS w
+  SELECT doc_id, unnest(list_distinct({_WORDS_SQL})) AS w
   FROM documents),
 sup AS (SELECT w, count(*) AS n FROM dw GROUP BY w),
 pairs AS (
@@ -850,12 +850,14 @@ def text_word_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     with real vocabularies the same plan runs with a per-doc distinct
     item cap — the documented Apriori/FP-growth preprocessing step."""
     docs = load_parallel(spark, sf_dir, "documents", "doc_id")
+    # (doc_id, w) rows are already distinct: array_distinct dedups
+    # within a doc and doc_id is unique — no distinct() shuffle needed
+    # (r5 review finding: it doubled the largest stage for nothing).
     dw = (
         docs.select(
             "doc_id",
             F.explode(F.array_distinct(_words_col())).alias("w"),
         )
-        .distinct()
         .persist()  # feeds the pair self-join (twice) + supports
     )
     sup = dw.groupBy("w").agg(F.count("*").alias("n"))

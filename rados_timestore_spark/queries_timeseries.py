@@ -708,9 +708,14 @@ def ts_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 x AS (SELECT user_id,
              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc
       FROM ev),
-s AS (SELECT user_id, count(*) AS n, CAST(sum(xc) AS BIGINT) AS sx,
-             CAST(sum(xc * xc) AS BIGINT) AS sxx
-      FROM x GROUP BY user_id)
+s0 AS (SELECT user_id, count(*) AS n, CAST(sum(xc) AS BIGINT) AS sx,
+              CAST(sum(xc * xc) AS BIGINT) AS sxx,
+              max(xc) - min(xc) AS rng
+       FROM x GROUP BY user_id),
+s AS (SELECT * FROM s0
+      WHERE CASE WHEN n * rng > 1000000000
+                 THEN error('zscore int64 precondition violated')
+                 ELSE TRUE END)
 SELECT x.user_id, min(s.n) AS n,
        CAST(count(*) FILTER (
          (s.n * x.xc - s.sx) * (s.n * x.xc - s.sx)
@@ -736,11 +741,22 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value").cast("decimal(18,2)") * 100).cast("long")
         .alias("xc"),
     )
+    # int64-safety precondition (r5 review finding): |n*xc - sx| <=
+    # n*range and the 9*(n*sxx - sx^2) term <= 9*(n*range)^2, so both
+    # sides stay exact iff n * range_cents <= 1e9.  The check runs on
+    # the one-row-per-series stats frame (cheap) and FAILS LOUDLY in
+    # both engines instead of letting Spark's non-ANSI longs wrap
+    # while DuckDB errors — the silent-divergence trap at huge series.
     s = x.groupBy("user_id").agg(
         F.count("*").alias("n"),
         F.sum("xc").cast("long").alias("sx"),
         F.sum(F.col("xc") * F.col("xc")).cast("long").alias("sxx"),
-    )
+        (F.max("xc") - F.min("xc")).alias("rng"),
+    ).filter(F.expr(
+        "CASE WHEN n * rng > 1000000000 THEN "
+        "raise_error('zscore int64 precondition violated') "
+        "ELSE TRUE END"
+    )).drop("rng")
     dev = F.col("n") * F.col("xc") - F.col("sx")
     var9 = 9 * (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
     return (

@@ -24,25 +24,22 @@ def test_pq_encode_partition_invariant(spark):
     b = _codes(emb.select("vec_id", "embedding").repartition(9, "vec_id")
                .mapInPandas(_make_pq_encode(CB), ddl))
     assert a == b and len(a) == emb.count()
-    k = 1 << 4
-    assert all(0 <= c < k for codes in a.values() for c in codes)
+    from rados_timestore_spark.queries_similarity import _PQ_K
+
+    assert all(0 <= c < _PQ_K for codes in a.values() for c in codes)
 
 
 def test_ivfpq_bucket_equals_kmeans_assignment(spark):
     import numpy as np
 
     from rados_timestore_spark.queries_similarity import (
-        _PQ_DSUB, _PQ_K, _PQ_M, _kmeans_fit, _km_assign_rows,
-        _make_ivfpq_encode, _make_km_assign)
+        _PQ_M, _ivfpq_codebooks, _kmeans_fit, _make_ivfpq_encode,
+        _make_km_assign)
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     cids, C, _counts = _kmeans_fit(spark, SF_DIR)
     Cm = np.asarray(C, dtype=np.float64)
-    init = (emb.filter("vec_id < 16").select("vec_id", "embedding")
-            .toPandas().sort_values("vec_id"))
-    S = np.stack(init["embedding"].to_numpy()).astype(np.float64)
-    R0 = S - Cm[_km_assign_rows(S, Cm)]
-    CB = R0.reshape(_PQ_K, _PQ_M, _PQ_DSUB).transpose(1, 0, 2)
+    CB = _ivfpq_codebooks(spark, SF_DIR, Cm)
 
     enc_ddl = ("vec_id long, cid long, "
                + ", ".join(f"c{s} long" for s in range(_PQ_M)))

@@ -22,6 +22,12 @@ QUERIES = [
     "text_unigram_surprisal",
     "mm_decode_ppm",
     "mm_modality_routing",
+    # late-r5 doc-driven queries (r5 review finding: every new text
+    # splitter belongs here or an empty-doc regression passes CI)
+    "mm_decode_png",
+    "dedup_fuzzy_prefix",
+    "text_word_assoc",
+    "graph_pagerank",
 ]
 
 
