@@ -50,6 +50,9 @@ SOAK_QUERIES = (
     "text_stats",
     "text_word_freq",
     "text_winnow_fingerprint",
+    "text_word_assoc",
+    "graph_pagerank",
+    "mm_decode_png",
 )
 
 #: Engine-core queries over the events table (VERDICT r4 item 8):
