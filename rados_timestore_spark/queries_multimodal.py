@@ -668,7 +668,10 @@ def decode_png_real(payload: bytes) -> dict:
     channels = {0: 1, 2: 3}.get(ctype_v)
     if channels is None:
         raise ValueError(f"unsupported color type {ctype_v}")
-    raw = zlib.decompress(idat)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as exc:  # contract: malformed => ValueError
+        raise ValueError(f"bad IDAT deflate stream: {exc}") from exc
     stride = w * channels
     if len(raw) != h * (stride + 1):
         raise ValueError(f"inflated size {len(raw)} != expected "

@@ -300,8 +300,9 @@ bk AS (SELECT g, h, row_number() OVER (ORDER BY h, g) AS rk FROM hx
 kth AS (SELECT max(h) AS hk, count(*) AS k FROM bk)
 SELECT bk.rk, bk.g AS gram, bk.h AS gram_hash,
        CAST((SELECT k FROM kth) AS BIGINT) AS k,
-       ({_KMV_K}.0 - 1.0) / (CAST((SELECT hk FROM kth) AS DOUBLE)
-                             / 1152921504606846976.0) AS kmv_estimate
+       (CAST((SELECT k FROM kth) AS DOUBLE) - 1.0)
+         / (CAST((SELECT hk FROM kth) AS DOUBLE)
+            / 1152921504606846976.0) AS kmv_estimate
 FROM bk
 """,
     tags=("sketch", "text"),
@@ -330,7 +331,10 @@ def sketch_kmv_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bk = bk.withColumn("rk", F.row_number().over(w))
     kth = bk.agg(F.max("h").alias("hk"),
                  F.count("*").cast("long").alias("k"))
-    est = (F.lit(float(_KMV_K)) - F.lit(1.0)) / (
+    # (k-1)/h_k with the ACTUAL retained k, not the _KMV_K constant —
+    # on corpora with fewer than _KMV_K distinct grams the constant
+    # overestimates by construction (r5 review finding)
+    est = (F.col("k").cast("double") - F.lit(1.0)) / (
         F.col("hk").cast("double") / F.lit(1152921504606846976.0)
     )
     return bk.crossJoin(F.broadcast(kth)).select(
@@ -385,18 +389,28 @@ def streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         _few_state_partitions
 
     name = "hll_registers_sink"
-    with _few_state_partitions(spark):
-        stream = (
-            spark.readStream.schema(docs.schema)
-            .option("maxFilesPerTrigger", 1).parquet(src)
-        )
-        q = (
-            trigram_hll_registers(stream)
-            .writeStream.format("memory").queryName(name)
-            .outputMode("complete").trigger(availableNow=True).start()
-        )
-        q.awaitTermination(300)
-    return spark.table(name).select("bucket", "rho")
+    try:
+        with _few_state_partitions(spark):
+            stream = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1).parquet(src)
+            )
+            q = (
+                trigram_hll_registers(stream)
+                .writeStream.format("memory").queryName(name)
+                .outputMode("complete").trigger(availableNow=True).start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError("streaming HLL did not terminate "
+                                   "within 300s")
+        # the memory sink holds the final registers; the staged source
+        # files are no longer needed (r5 review finding: mkdtemp leak)
+        return spark.table(name).select("bucket", "rho")
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def trigram_hll_registers(df: DataFrame) -> DataFrame:

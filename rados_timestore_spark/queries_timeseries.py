@@ -705,17 +705,22 @@ def ts_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ts_anomaly_zscore",
     oracle=f"""{_EV_CTE},
-x AS (SELECT user_id,
-             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc
-      FROM ev),
-s0 AS (SELECT user_id, count(*) AS n, CAST(sum(xc) AS BIGINT) AS sx,
-              CAST(sum(xc * xc) AS BIGINT) AS sxx,
-              max(xc) - min(xc) AS rng
-       FROM x GROUP BY user_id),
-s AS (SELECT * FROM s0
-      WHERE CASE WHEN n * rng > 1000000000
+x0 AS (SELECT user_id,
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS xr
+       FROM ev),
+mn AS (SELECT user_id, min(xr) AS mnv, max(xr) - min(xr) AS rng,
+              count(*) AS n
+       FROM x0 GROUP BY user_id),
+x AS (SELECT x0.user_id, x0.xr - mn.mnv AS xc
+      FROM x0 JOIN mn ON mn.user_id = x0.user_id),
+s AS (SELECT x.user_id, min(mn.n) AS n,
+             CAST(sum(x.xc) AS BIGINT) AS sx,
+             CAST(sum(x.xc * x.xc) AS BIGINT) AS sxx
+      FROM x JOIN mn ON mn.user_id = x.user_id
+      WHERE CASE WHEN mn.n * mn.rng > 1000000000
                  THEN error('zscore int64 precondition violated')
-                 ELSE TRUE END)
+                 ELSE TRUE END
+      GROUP BY x.user_id)
 SELECT x.user_id, min(s.n) AS n,
        CAST(count(*) FILTER (
          (s.n * x.xc - s.sx) * (s.n * x.xc - s.sx)
@@ -736,27 +741,40 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats aggregate + one join back on the series key (shared
     partitioning), one counting aggregate."""
     ev = _events(spark, sf_dir)
-    x = ev.select(
+    x0 = ev.select(
         "user_id",
         (F.col("value").cast("decimal(18,2)") * 100).cast("long")
-        .alias("xc"),
+        .alias("xr"),
     )
-    # int64-safety precondition (r5 review finding): |n*xc - sx| <=
-    # n*range and the 9*(n*sxx - sx^2) term <= 9*(n*range)^2, so both
-    # sides stay exact iff n * range_cents <= 1e9.  The check runs on
-    # the one-row-per-series stats frame (cheap) and FAILS LOUDLY in
-    # both engines instead of letting Spark's non-ANSI longs wrap
-    # while DuckDB errors — the silent-divergence trap at huge series.
-    s = x.groupBy("user_id").agg(
+    # int64-safety (two r5 review findings): values are CENTERED on
+    # the per-series minimum BEFORE any sum — dev and variance are
+    # translation-invariant, so results are unchanged, but every
+    # intermediate (xc, sx, sxx, the cross-multiplied comparison) is
+    # now bounded by functions of n * range_cents alone, making the
+    # loud precondition n * range <= 1e9 genuinely sufficient (an
+    # absolute-magnitude corpus would otherwise overflow sum(xc*xc)
+    # while passing a range-only check).
+    mn = x0.groupBy("user_id").agg(
+        F.min("xr").alias("mnv"),
+        (F.max("xr") - F.min("xr")).alias("rng"),
         F.count("*").alias("n"),
-        F.sum("xc").cast("long").alias("sx"),
-        F.sum(F.col("xc") * F.col("xc")).cast("long").alias("sxx"),
-        (F.max("xc") - F.min("xc")).alias("rng"),
-    ).filter(F.expr(
-        "CASE WHEN n * rng > 1000000000 THEN "
-        "raise_error('zscore int64 precondition violated') "
-        "ELSE TRUE END"
-    )).drop("rng")
+    )
+    x = x0.join(mn, "user_id").select(
+        "user_id", (F.col("xr") - F.col("mnv")).alias("xc"))
+    s = (
+        x.join(mn, "user_id")
+        .filter(F.expr(
+            "CASE WHEN n * rng > 1000000000 THEN "
+            "raise_error('zscore int64 precondition violated') "
+            "ELSE TRUE END"
+        ))
+        .groupBy("user_id")
+        .agg(
+            F.min("n").alias("n"),
+            F.sum("xc").cast("long").alias("sx"),
+            F.sum(F.col("xc") * F.col("xc")).cast("long").alias("sxx"),
+        )
+    )
     dev = F.col("n") * F.col("xc") - F.col("sx")
     var9 = 9 * (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
     return (

@@ -28,6 +28,14 @@ QUERIES = [
     "dedup_fuzzy_prefix",
     "text_word_assoc",
     "graph_pagerank",
+    "text_winnow_fingerprint",
+    "mm_wav_meta",
+    "dedup_bloom",
+    "text_stratified_sample",
+    "sketch_hll_ngrams",
+    "sketch_cms_heavy_hitters",
+    "sketch_kmv_sample",
+    "streaming_hll_registers",
 ]
 
 

@@ -45,22 +45,13 @@ def test_kmv_estimate_within_bound(spark):
     """KMV's (k-1)/h_k estimator lands within ~1/sqrt(k) of the true
     distinct-trigram cardinality (deterministic, so a fixed 35% bound
     is stable, not flaky)."""
-    import pyspark.sql.functions as F
-
-    from rados_timestore_spark.queries_sketch import sketch_kmv_sample
+    from rados_timestore_spark.queries_sketch import (
+        _trigrams, sketch_kmv_sample)
 
     df = sketch_kmv_sample(spark, SF_DIR)
     est = df.select("kmv_estimate").head()[0]
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    ws = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    grams = F.expr(
-        "transform(sequence(0, size(ws) - 3), "
-        "i -> array_join(slice(ws, i + 1, 3), ' '))"
-    )
-    true_n = (
-        docs.select(ws.alias("ws")).filter(F.size("ws") >= 3)
-        .select(F.explode(grams).alias("g")).distinct().count()
-    )
+    true_n = _trigrams(docs).distinct().count()
     assert abs(est - true_n) / true_n < 0.35, (est, true_n)
 
 
