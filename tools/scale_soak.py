@@ -67,6 +67,12 @@ SOAK_TS_QUERIES = (
     "ts_rollup_hourly",
     "ts_ohlc_hourly",
     "ts_zorder_stats",
+    "ts_json_props",
+    "ts_pivot_event_counts",
+    "ts_funnel",
+    "ts_cohort_retention",
+    "ts_anomaly_zscore",
+    "ts_moving_window_sum",
     "ts_bulk_backfill",
 )
 
