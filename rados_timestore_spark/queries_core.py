@@ -606,7 +606,7 @@ WHERE rn = 1 AND address % 2 = 0
   AND time BETWEEN {T_JAN10} AND {T_JAN20}
 """,
     tags=("W6", "Q8"),
-    priority=110,  # new late-r5: window already full of never-checked r5 queries — local-green via tools/check_correctness.py; rotate into the driver window in r6
+    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
 )
 def ts_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compaction + GC preserve the read contract end-to-end: ingest

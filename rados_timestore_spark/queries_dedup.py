@@ -818,7 +818,7 @@ WHERE ({_MH_SHARE})
                        - len(list_intersect(a.hs, b.hs)))
 """,
     tags=("dedup", "lsh"),
-    priority=95,  # kept in the r5 window: query changed this round, needs fresh driver evidence
+    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs with a FULL oracle: 16 md5-derived
@@ -938,7 +938,7 @@ SELECT train_id, count(*) AS n_shingles,
 FROM flag GROUP BY train_id
 """,
     tags=("dedup", "pipeline"),
-    priority=110,  # new late-r5: window already full of never-checked r5 queries — local-green via tools/check_correctness.py; rotate into the driver window in r6
+    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
 )
 def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination: the CONSTANT-memory variant of
@@ -1034,7 +1034,7 @@ WITH {_FUZZY_PAIRS_SQL}
 SELECT doc_a, doc_b, dist FROM pairs
 """,
     tags=("dedup",),
-    priority=110,  # new late-r5: window full — local-green via tools/check_correctness.py; rotate into the driver window in r6
+    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
 )
 def dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance fuzzy matching with blocking — the record-linkage
@@ -1105,7 +1105,7 @@ it2 AS (
 SELECT node, pr FROM it2
 """,
     tags=("dedup", "graph"),
-    priority=110,  # new late-r5: window full — local-green via tools/check_correctness.py; rotate into the driver window in r6
+    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative numeric graph analytics beyond connected components:

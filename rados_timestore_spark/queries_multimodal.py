@@ -165,7 +165,7 @@ SELECT doc_id,
 FROM documents
 """,
     tags=("multimodal",),
-    priority=95,  # kept in the r5 window: query changed this round, needs fresh driver evidence
+    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def mm_feature_extract(spark: SparkSession, sf_dir: str,
                        decoder=fake_decode) -> DataFrame:
@@ -359,7 +359,7 @@ SELECT doc_id,
 FROM p
 """,
     tags=("multimodal",),
-    priority=90,  # new in r5 — promoted for first driver evidence
+    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def mm_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode, end to end: build an actual binary P6 PPM per
@@ -585,7 +585,7 @@ SELECT d.doc_id,
 FROM d JOIN p ON p.doc_id = d.doc_id
 """,
     tags=("multimodal",),
-    priority=110,  # new late-r5: window already full of never-checked r5 queries — local-green via tools/check_correctness.py; rotate into the driver window in r6
+    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
 )
 def mm_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, end to end: synthesize an actual PCM RIFF/
@@ -802,7 +802,7 @@ SELECT doc_id, w AS width, h AS height, 3 AS channels,
 FROM p
 """,
     tags=("multimodal",),
-    priority=110,  # new late-r5: window full — local-green via tools/check_correctness.py; rotate into the driver window in r6
+    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
 )
 def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG decode end to end: a genuine deflate-compressed,

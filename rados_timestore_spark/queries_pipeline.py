@@ -65,7 +65,7 @@ SELECT doc_id,
 FROM s3
 """,
     tags=("pipeline", "dedup", "text"),
-    priority=90,  # promoted very-late-r5 for first driver evidence (swapped in for an r3-green re-promotion)
+    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE end-to-end curation decision: per document, ordered

@@ -612,7 +612,7 @@ def _recall_at_5(spark: SparkSession, sf_dir: str,
     "sim_ivf_recall",
     oracle=_recall_sql(_IVF_CTES, "ivf_top"),
     tags=("similarity", "ann"),
-    priority=90,  # new in r5 — promoted for first driver evidence
+    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the IVF-ANN path against exact brute force — the
@@ -796,7 +796,7 @@ SELECT cid, n AS n_members,
 FROM kc2
 """,
     tags=("similarity", "ann"),
-    priority=90,  # new in r5 — promoted for first driver evidence
+    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def sim_kmeans_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means coarse quantizer with a FULL cross-engine
@@ -904,7 +904,7 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ivf_kmeans_recall",
     oracle=_recall_sql(_KM_IVF_CTES, "ktop"),
     tags=("similarity", "ann"),
-    priority=110,  # new late-r5: window already full of never-checked r5 queries — local-green via tools/check_correctness.py; rotate into the driver window in r6
+    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
 )
 def sim_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the TRAINED-quantizer IVF path against exact brute
@@ -943,7 +943,7 @@ SELECT e.vec_id,
 FROM embeddings e LEFT JOIN cc ON cc.vec_id = e.vec_id
 """,
     tags=("dedup", "similarity"),
-    priority=90,  # promoted very-late-r5 for first driver evidence (swapped in for an r3-green re-promotion)
+    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication: embedding-cosine
@@ -1158,7 +1158,7 @@ def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_pq_recall",
     oracle=_recall_sql(_PQ_CTES, "pq_top"),
     tags=("similarity", "ann"),
-    priority=110,  # new late-r5 (see sim_pq_ann)
+    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
 )
 def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the PQ-ADC path against exact brute force — the
@@ -1401,7 +1401,7 @@ def sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ivfpq_recall",
     oracle=_recall_sql(_IVFPQ_CTES, "ivfpq_top"),
     tags=("similarity", "ann"),
-    priority=110,  # new late-r5 (see sim_ivfpq_ann)
+    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
 )
 def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the composed IVF-PQ path — completes the recall

@@ -178,7 +178,7 @@ FROM m WHERE rk = 1
     "streaming_asof_join",
     oracle=_ASOF_ORACLE,
     tags=("streaming", "join", "asof"),
-    priority=95,  # kept in the r5 window: query changed this round, needs fresh driver evidence
+    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def streaming_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream backward as-of join, end-to-end: purchases and
@@ -228,7 +228,7 @@ def streaming_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_asof_exact",
     oracle=_ASOF_ORACLE,
     tags=("streaming", "join", "asof"),
-    priority=90,  # new in r5 — promoted for first driver evidence
+    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def streaming_asof_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark-exact streaming as-of join end-to-end, delivered in
@@ -309,7 +309,7 @@ def streaming_asof_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_asof_update",
     oracle=_ASOF_ORACLE,
     tags=("streaming", "join", "asof"),
-    priority=90,  # promoted very-late-r5 for first driver evidence (swapped in for an r3-green re-promotion)
+    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def streaming_asof_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Update-mode (changelog) streaming as-of join end-to-end: the
@@ -377,7 +377,7 @@ def streaming_asof_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_asof_watermark",
     oracle=_ASOF_ORACLE,
     tags=("streaming", "join", "asof"),
-    priority=110,  # new late-r5: window already full of never-checked r5 queries — local-green via tools/check_correctness.py; rotate into the driver window in r6
+    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
 )
 def streaming_asof_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark-exact streaming as-of join, TIMEOUT-finalized: the

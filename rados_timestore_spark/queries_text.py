@@ -418,7 +418,7 @@ FROM dec
     "text_filter_pipeline",
     oracle=_filter_pipeline_sql(),
     tags=("text", "pipeline"),
-    priority=90,  # new in r5 — promoted for first driver evidence
+    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def text_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed retention decision a C4/Gopher-style training-data
@@ -497,7 +497,7 @@ SELECT doc_id, n_grams, dup_grams,
 FROM per_doc
 """,
     tags=("text", "dedup"),
-    priority=110,  # new late-r5: window already full of never-checked r5 queries — local-green via tools/check_correctness.py; rotate into the driver window in r6
+    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
 )
 def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication fraction ("Deduplicating Training
@@ -576,7 +576,7 @@ SELECT doc_id, n_emails, n_phones, md5(body) AS scrub_hash
 FROM scrub
 """,
     tags=("text", "pipeline"),
-    priority=110,  # new late-r5: window already full of never-checked r5 queries — local-green via tools/check_correctness.py; rotate into the driver window in r6
+    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
 )
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing — the redaction pass every training-data pipeline
@@ -635,7 +635,7 @@ SELECT doc_id, count(*) AS n_words,
 FROM scored GROUP BY doc_id
 """,
     tags=("text", "quality"),
-    priority=110,  # new late-r5: window already full of never-checked r5 queries — local-green via tools/check_correctness.py; rotate into the driver window in r6
+    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
 )
 def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-surprisal quality score — the KenLM-perplexity stand-in
@@ -791,7 +791,7 @@ r AS (SELECT lang, doc_id, hv,
 SELECT lang, rk, doc_id FROM r WHERE rk <= {_STRAT_K}
 """,
     tags=("text", "pipeline"),
-    priority=110,  # new late-r5: window full — local-green via tools/check_correctness.py; rotate into the driver window in r6
+    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
 )
 def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: per language, take the
@@ -836,7 +836,7 @@ SELECT p.w1, p.w2, CAST(p.n_pair AS BIGINT) AS n_pair,
 FROM pairs p JOIN sup s1 ON s1.w = p.w1 JOIN sup s2 ON s2.w = p.w2
 """,
     tags=("text", "analytics"),
-    priority=110,  # new late-r5: window full — local-green via tools/check_correctness.py; rotate into the driver window in r6
+    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
 )
 def text_word_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association mining (market-basket over word sets): frequent

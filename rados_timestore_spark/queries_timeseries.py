@@ -409,7 +409,7 @@ SELECT user_id, hour,
 FROM w GROUP BY user_id, hour
 """,
     tags=("timeseries", "agg"),
-    priority=110,  # new late-r5: window already full of never-checked r5 queries — local-green via tools/check_correctness.py; rotate into the driver window in r6
+    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
 )
 def ts_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC (candlestick) hourly rollup per series: open/close are the
@@ -489,7 +489,7 @@ SELECT zval >> {_Z_CELL_SHIFT} AS zcell, count(*) AS n,
 FROM z GROUP BY 1
 """,
     tags=("timeseries", "layout"),
-    priority=110,  # new late-r5: window full — local-green via tools/check_correctness.py; rotate into the driver window in r6
+    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
 )
 def ts_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) layout clustering: interleave the bits of the
@@ -535,7 +535,7 @@ SELECT event_type, count(*) AS n,
 FROM events GROUP BY event_type
 """,
     tags=("timeseries", "json"),
-    priority=110,  # new late-r5: window full — local-green via tools/check_correctness.py; rotate into the driver window in r6
+    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
 )
 def ts_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: pull a typed field out of the JSON
@@ -575,7 +575,7 @@ SELECT user_id,
 FROM events GROUP BY user_id
 """,
     tags=("timeseries", "agg"),
-    priority=110,  # new late-r5: window full — local-green via tools/check_correctness.py; rotate into the driver window in r6
+    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
 )
 def ts_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long -> wide): per-user event counts with one column per
@@ -617,7 +617,7 @@ SELECT count(*) AS n_users,
 FROM u3 JOIN u1 ON u1.user_id = u3.user_id
 """,
     tags=("timeseries", "analytics"),
-    priority=110,  # new late-r5: window full — local-green via tools/check_correctness.py; rotate into the driver window in r6
+    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
 )
 def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel analysis (view -> click -> purchase): per user,
@@ -681,7 +681,7 @@ FROM d JOIN c ON c.user_id = d.user_id
 GROUP BY 1, 2
 """,
     tags=("timeseries", "analytics"),
-    priority=110,  # new late-r5: window full — local-green via tools/check_correctness.py; rotate into the driver window in r6
+    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
 )
 def ts_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by their first active
@@ -729,7 +729,7 @@ FROM x JOIN s ON s.user_id = x.user_id
 GROUP BY x.user_id
 """,
     tags=("timeseries", "analytics"),
-    priority=110,  # new late-r5: window full — local-green via tools/check_correctness.py; rotate into the driver window in r6
+    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
 )
 def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series 3-sigma anomaly counting with EXACT integer
@@ -799,7 +799,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY t
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 """,
     tags=("timeseries", "window"),
-    priority=110,  # new late-r5: window full — local-green via tools/check_correctness.py; rotate into the driver window in r6
+    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
 )
 def ts_moving_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-RANGE-framed moving aggregate: per event, the count and

@@ -63,12 +63,15 @@ WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
 GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
 """,
     tags=("join", "agg"),
+    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7 (faithful shape): bilateral trade volume between two nations
-    by ship year.  Five-way join where every non-lineitem side
-    broadcasts; the disjunctive nation-pair predicate evaluates
-    post-join (it spans supplier AND customer sides)."""
+    by ship year.  Five-way join; only the nation maps carry broadcast
+    hints (supplier/customer/orders scale with SF — AQE picks their
+    join strategy by measured size); the disjunctive nation-pair
+    predicate evaluates post-join (it spans supplier AND customer
+    sides)."""
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= ts_lit(_96))
         & (F.col("l_shipdate") < ts_lit(_98))
@@ -83,10 +86,10 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("n_name").alias("cust_nation"))
     sn = supp.join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
     cn = cust.join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
-    oc = orders.join(F.broadcast(cn), orders.o_custkey == cn.c_custkey)
+    oc = orders.join(cn, orders.o_custkey == cn.c_custkey)
     j = (
-        li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
-        .join(F.broadcast(oc), li.l_orderkey == oc.o_orderkey)
+        li.join(sn, li.l_suppkey == sn.s_suppkey)
+        .join(oc, li.l_orderkey == oc.o_orderkey)
     )
     pair = (
         ((F.col("supp_nation") == "NATION_1")
@@ -124,6 +127,7 @@ FROM (
 ) t GROUP BY o_year
 """,
     tags=("join", "agg"),
+    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8 (faithful shape): NATION_3's share of ECONOMY-part revenue
@@ -147,11 +151,11 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select(F.col("n_nationkey").alias("n2_key"))
     sn = supp.join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
     cn = cust.join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
-    oc = orders.join(F.broadcast(cn), orders.o_custkey == cn.c_custkey)
+    oc = orders.join(cn, orders.o_custkey == cn.c_custkey)
     j = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
-        .join(F.broadcast(oc), li.l_orderkey == oc.o_orderkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(sn, li.l_suppkey == sn.s_suppkey)
+        .join(oc, li.l_orderkey == oc.o_orderkey)
     )
     vol = _rev()
     nat_vol = F.when(F.col("nation") == "NATION_3", vol).otherwise(
@@ -180,6 +184,7 @@ WHERE p_name LIKE '%red%'
 GROUP BY n_name, year(o_orderdate)
 """,
     tags=("join", "agg"),
+    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q9 ADAPTED: no partsupp table, so profit omits the
@@ -196,9 +201,9 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = supp.join(F.broadcast(nation),
                    supp.s_nationkey == nation.n_nationkey)
     j = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(sn, li.l_suppkey == sn.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
     )
     return j.groupBy(
         F.col("n_name").alias("nation"),
@@ -234,7 +239,7 @@ def tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= ts_lit(_96))
         & (F.col("l_shipdate") < ts_lit(_97))
     )
-    j = li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
     late = (
         F.unix_micros(F.col("l_shipdate").cast("timestamp"))
         - F.unix_micros(F.col("o_orderdate").cast("timestamp"))
@@ -261,6 +266,7 @@ FROM (
 ) t GROUP BY c_count
 """,
     tags=("join", "agg"),
+    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def tpch_q13_customer_distribution(
     spark: SparkSession, sf_dir: str
@@ -295,6 +301,7 @@ FROM supplier JOIN revenue ON s_suppkey = supplier_no
 WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
 """,
     tags=("join", "agg"),
+    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q15 (faithful): supplier(s) achieving the maximum quarterly
@@ -313,7 +320,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = revenue.join(F.broadcast(mx),
                        revenue.total_revenue == F.col("__mx"))
     return (
-        top.join(F.broadcast(supp), top.supplier_no == supp.s_suppkey)
+        top.join(supp, top.supplier_no == supp.s_suppkey)
         .select("s_suppkey", "s_name",
                 F.col("total_revenue").cast("double").alias("total_revenue"))
     )
@@ -329,6 +336,7 @@ WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'MEDIUM%'
 GROUP BY p_brand, p_size
 """,
     tags=("join", "agg"),
+    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def tpch_q16_supplier_part_counts(
     spark: SparkSession, sf_dir: str
@@ -344,7 +352,7 @@ def tpch_q16_supplier_part_counts(
         & ~F.col("p_type").like("MEDIUM%")
         & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
     )
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     return j.groupBy("p_brand", "p_size").agg(
         F.countDistinct("l_suppkey").alias("supplier_cnt")
     )
@@ -389,7 +397,7 @@ def tpch_q17_small_quantity_revenue(
     )
     part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     j = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(pq, F.col("agg_partkey") == li.l_partkey)
     )
     small = (
@@ -470,7 +478,7 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, laggards.l_orderkey == orders.o_orderkey, "left_semi")
     )
     return (
-        sole.join(F.broadcast(supp), sole.l_suppkey == supp.s_suppkey)
+        sole.join(supp, sole.l_suppkey == supp.s_suppkey)
         .groupBy("s_name").agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
@@ -600,7 +608,8 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs with MIN line price as supply cost.  Shape preserved: region-
     filtered supplier dimension, correlated per-part MIN computed once
     as a grouped aggregate and joined back (never re-evaluated per
-    row), deterministic top-20.  Every non-supply side broadcasts."""
+    row), deterministic top-20.  Broadcast hints only on nation/region;
+    part/supplier/mn scale with SF, so AQE sizes those joins."""
     supply = _supply(spark, sf_dir)
     supp = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation")
@@ -614,9 +623,8 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     cand = (
-        supply.join(F.broadcast(part),
-                    supply.ps_partkey == part.p_partkey)
-        .join(F.broadcast(eu), supply.ps_suppkey == F.col("s_suppkey"))
+        supply.join(part, supply.ps_partkey == part.p_partkey)
+        .join(eu, supply.ps_suppkey == F.col("s_suppkey"))
         .select("p_partkey", "s_name", "s_acctbal", "n_name",
                 "ps_supplycost")
     )
@@ -624,7 +632,7 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ps_supplycost").alias("mc")
     )
     best = cand.join(
-        F.broadcast(mn),
+        mn,
         (cand.p_partkey == mn.mk) & (cand.ps_supplycost == mn.mc),
     )
     return (
@@ -666,7 +674,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     supply = _supply(spark, sf_dir)
     supp = load(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 7)
     nat = supply.join(
-        F.broadcast(supp), supply.ps_suppkey == supp.s_suppkey
+        supp, supply.ps_suppkey == supp.s_suppkey
     ).select(
         "ps_partkey",
         (F.col("ps_supplycost") * F.col("ps_availqty"))
@@ -720,14 +728,14 @@ def tpch_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supply = _supply(spark, sf_dir)
     part = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     promo = supply.join(
-        F.broadcast(part), supply.ps_partkey == part.p_partkey
+        part, supply.ps_partkey == part.p_partkey
     ).select("ps_partkey", "ps_suppkey", "ps_availqty")
     tot = promo.groupBy(F.col("ps_partkey").alias("tk")).agg(
         F.sum("ps_availqty").cast("decimal(28,2)").alias("tq"),
         F.count("*").alias("ns"),
     )
     dom = (
-        promo.join(F.broadcast(tot), promo.ps_partkey == F.col("tk"))
+        promo.join(tot, promo.ps_partkey == F.col("tk"))
         .filter(F.col("ps_availqty") * F.col("ns") > F.col("tq") * 3)
         .select("ps_suppkey").distinct()
     )

@@ -51,45 +51,55 @@ def test_bench_set_nonempty():
     assert 10 <= len(bench) <= len(registry.queries())
 
 
-# The r5 driver window, pinned exactly.  A misplaced priority= line
+# The r6 driver window, pinned exactly.  A misplaced priority= line
 # once silently broke a rotation (ADVICE r4: text_lang_id's demotion
 # parsed as dead code and pushed bench-tagged tpch_q1 out of the
 # window) — membership drift must fail loudly, so any intentional
 # rotation edits this set in the same commit.
 EXPECTED_WINDOW = {
-    # new in r5 (p=90)
-    "mm_decode_ppm", "streaming_asof_exact", "sim_ivf_recall",
-    "text_filter_pipeline", "ts_bulk_backfill", "sim_kmeans_quantizer",
-    "sim_ivf_kmeans",
-    # very-late-r5 swaps: never-checked new ops in, r3-green
-    # re-promotions (text_token_count / dedup_exact_prefix / mm_resize)
-    # back out
-    "pipeline_corpus_curation", "dedup_semantic", "streaming_asof_update",
-    # final-r5 swap: the three new bench-tagged flagships must be
-    # driver-visible (window invariant below); text_quality_score,
-    # mm_modality_routing (both r2/r3-green) and tpch_q10 (r2-green)
-    # demoted in exchange
-    "sim_pq_ann", "sim_ivfpq_ann", "text_winnow_fingerprint",
-    # r5-modified queries kept in for fresh evidence (p=95)
-    "streaming_asof_join", "dedup_minhash_pairs", "mm_feature_extract",
+    # r6 rotation (p=60): the 27 late-r5 carve-out queries, promoted
+    # for their FIRST driver evidence; the 27 non-bench r5-green
+    # incumbents were demoted in exchange (VERDICT r5 "Next round" #1)
+    "ts_compact_roundtrip", "ts_ohlc_hourly", "ts_zorder_stats",
+    "ts_json_props", "ts_pivot_event_counts", "ts_funnel",
+    "ts_cohort_retention", "ts_anomaly_zscore", "ts_moving_window_sum",
+    "streaming_asof_watermark", "streaming_hll_registers",
+    "text_dup_spans", "text_pii_scrub", "text_unigram_surprisal",
+    "text_stratified_sample", "text_word_assoc",
+    "dedup_bloom", "dedup_fuzzy_prefix", "graph_pagerank",
+    "sim_ivf_kmeans_recall", "sim_pq_recall", "sim_ivfpq_recall",
+    "mm_wav_meta", "mm_decode_png",
+    "sketch_hll_ngrams", "sketch_cms_heavy_hitters", "sketch_kmv_sample",
     # the bench/headline set (must always be driver-visible)
+    "ts_bulk_backfill", "text_winnow_fingerprint", "sim_ivf_kmeans",
+    "sim_pq_ann", "sim_ivfpq_ann",
     "ts_read_simple", "ts_dedup_first_wins", "ts_latest_per_key",
     "ts_store_roundtrip", "ts_asof_join", "ts_rollup_hourly",
     "text_stats", "text_word_freq", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_simhash_pairs", "dedup_minhash_lsh", "sim_topk_bruteforce",
     "sim_neardup_pairs", "sim_ivf_ann",
-    # TPC-H part-1 block: last driver rows were r2 — the r5 refresh
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
-    "tpch_window_top_orders_per_customer", "tpch_agg_distinct_priority",
-    "tpch_semijoin_open_orders", "tpch_antijoin_silent_customers",
-    "tpch_q6_forecast_revenue", "tpch_q4_order_priority",
-    "tpch_q18_large_orders", "tpch_rollup_revenue", "tpch_q14_promo_effect",
-    "tpch_q19_disjunctive_predicates", "tpch_q7_volume_shipping",
-    "tpch_q8_market_share", "tpch_q9_product_profit",
-    "tpch_q13_customer_distribution", "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
 }
+
+# Queries registered past the window under the carve-out (100 < p < 900)
+# that still lack a driver row.  MUST be empty at the end of a rotation
+# round (ADVICE r5: "consider a registry test asserting no query stays
+# past the window for more than one round") — any name added here is a
+# standing debt that the next round's rotation has to clear.
+EXPECTED_CARVEOUT_BACKLOG: set[str] = set()
+
+
+def test_carveout_backlog_is_rotated():
+    backlog = {
+        n for n, q in registry._ordered() if 100 < q.priority < 900
+    }
+    assert backlog == EXPECTED_CARVEOUT_BACKLOG, (
+        f"carve-out queries awaiting driver evidence drifted: "
+        f"{sorted(backlog ^ EXPECTED_CARVEOUT_BACKLOG)} — rotate them "
+        f"into the window (or update the pinned backlog with a comment "
+        f"naming the round that will)"
+    )
 
 
 def test_driver_window_membership_pinned():
