@@ -55,6 +55,23 @@ class NamespaceNotRegistered(Exception):
     """Raised like ``userError "Invalid namespace"`` (StoreHelpers.hs:69-76)."""
 
 
+class ConcurrentWriterError(Exception):
+    """A second writer modified ``_meta.json`` between this writer's
+    read and its flip.
+
+    The reference coordinates multiple writer daemons with advisory
+    locks plus a CAS re-check of the index object before updating it
+    (StoreHelpers.hs:214-219, stress-tested 100x100 in
+    StoreTests.hs:128-157).  This port's contract is single-writer, so
+    instead of locks it carries a fencing counter (``_Meta.txn``) that
+    every mutation bumps through :meth:`TimeStore._write_meta_cas`:
+    interleaving writers are DETECTED and fail loudly rather than
+    silently last-write-wins-ing each other's index/watermark updates.
+    The losing writer's appended data files remain (appends are
+    additive), so recovery is "re-read meta and retry the batch".
+    """
+
+
 @dataclass
 class _Meta:
     index: Index
@@ -62,6 +79,7 @@ class _Meta:
     latest_extended: int | None = None  # extended watermark (X3)
     seq_base: int = 0                   # next ingest-sequence block
     points_version: int = 0             # compaction generation
+    txn: int = 0                        # writer fencing counter (CAS)
 
     def to_json(self) -> dict:
         return {
@@ -70,6 +88,7 @@ class _Meta:
             "latest_extended": self.latest_extended,
             "seq_base": self.seq_base,
             "points_version": self.points_version,
+            "txn": self.txn,
         }
 
     @classmethod
@@ -80,6 +99,7 @@ class _Meta:
             latest_extended=d.get("latest_extended"),
             seq_base=int(d.get("seq_base", 0)),
             points_version=int(d.get("points_version", 0)),
+            txn=int(d.get("txn", 0)),
         )
 
 
@@ -147,6 +167,30 @@ class TimeStore:
         self.fs.write_text_atomic(
             self._meta_path(ns), json.dumps(meta.to_json())
         )
+
+    def _write_meta_cas(self, ns: str, meta: _Meta) -> None:
+        """Fenced meta flip: re-read the stored document and fail on a
+        txn mismatch before writing (the reference's CAS re-check,
+        StoreHelpers.hs:214-219 — see :class:`ConcurrentWriterError`).
+
+        ``meta`` must carry the ``txn`` it was READ with; on success
+        the stored and in-memory ``txn`` advance together, so a
+        multi-flip flow (write_points -> _maybe_rollover) stays fenced
+        across its own successive writes.  This is detect-and-fail,
+        not mutual exclusion: two writers racing inside the re-check ->
+        rename window can still both land, but any interleaving wider
+        than that window — the realistic failure with multi-second
+        Spark jobs between read and flip — is caught.
+        """
+        stored = self._read_meta(ns)
+        if stored.txn != meta.txn:
+            raise ConcurrentWriterError(
+                f"namespace {ns!r}: _meta.json txn advanced "
+                f"{meta.txn} -> {stored.txn} since this writer read it "
+                f"(concurrent writer detected); re-read and retry"
+            )
+        meta.txn += 1
+        self._write_meta(ns, meta)
 
     # -------------------------------------------------------------- DDL
 
@@ -233,7 +277,7 @@ class TimeStore:
         meta.latest_extended = _mono_max(meta.latest_extended, got["max_extended"])
         if got["max_seq"] is not None:
             meta.seq_base = max(meta.seq_base, int(got["max_seq"]) + 1)
-        self._write_meta(ns, meta)
+        self._write_meta_cas(ns, meta)
 
         self._maybe_rollover(ns, meta)
 
@@ -268,7 +312,7 @@ class TimeStore:
         # otherwise range_lookup(start == watermark) would prune to the
         # new (empty) epoch and silently drop them.
         meta.index = Index(meta.index.entries + ((watermark + 1, buckets),))
-        self._write_meta(ns, meta)
+        self._write_meta_cas(ns, meta)
 
     def write_points_batched(self, ns: str, df: DataFrame,
                              batch_col: str,
@@ -476,7 +520,7 @@ class TimeStore:
         meta.latest_extended = latest_extended
         if got["max_seq"] is not None:
             meta.seq_base = max(meta.seq_base, int(got["max_seq"]) + 1)
-        self._write_meta(ns, meta)
+        self._write_meta_cas(ns, meta)
 
     # ------------------------------------------------------------- read
 
@@ -698,7 +742,7 @@ class TimeStore:
         # generation live (new dir is an orphan, rewritten next time);
         # a crash after it leaves only the old dir to GC.
         meta.points_version = next_version
-        self._write_meta(ns, meta)
+        self._write_meta_cas(ns, meta)
         self.fs.delete(pdir, recursive=True)
 
     def gc(self, ns: str) -> list[str]:

@@ -264,6 +264,47 @@ def test_interleaved_writer_instances_converge(store, spark, tmp_path):
     assert len(set(seqs)) == len(seqs)
 
 
+def test_overlapping_writer_detected_and_fails(store, spark, tmp_path):
+    # The reference guards its index update with advisory locks plus a
+    # CAS re-check (StoreHelpers.hs:214-219).  This engine's analog is
+    # the _Meta.txn fencing counter: a writer that read the meta, then
+    # had ANOTHER writer flip it underneath (here: B's write_points
+    # lands inside A's read->flip window), must fail loudly with
+    # ConcurrentWriterError instead of silently last-write-wins-ing the
+    # index/watermarks.  Recovery contract: re-read and retry.
+    from rados_timestore_spark.store import ConcurrentWriterError, TimeStore
+
+    root = str(tmp_path / "cas")
+    a, b = TimeStore(spark, root), TimeStore(spark, root)
+    a.register_namespace("NS", buckets=8)
+    # A begins a write: reads meta (txn captured) ...
+    meta_a = a._read_meta(ns := "NS")
+    # ... B completes a whole write_points in the meantime (txn bumps).
+    _write(b, ns, [(2, 5, 7)])
+    # A's flip must now be rejected, not applied.
+    meta_a.latest_simple = 999  # the stale update A would have flipped
+    with pytest.raises(ConcurrentWriterError):
+        a._write_meta_cas(ns, meta_a)
+    # B's state survives untouched; A recovers by re-reading + retrying.
+    assert a.latest(ns) == (5, None)
+    _write(a, ns, [(4, 6, 8)])  # fresh read inside write_points: fine
+    assert a.latest(ns) == (6, None)
+
+
+def test_txn_advances_once_per_meta_flip(store):
+    # Fencing counter bookkeeping: every mutation (write, rollover,
+    # compact) bumps txn by exactly one, and sequential single-writer
+    # flows never trip the guard.
+    store.register_namespace("T", buckets=4)
+    assert store._read_meta("T").txn == 0
+    _write(store, "T", [(2, 1, 1)])
+    assert store._read_meta("T").txn == 1
+    _write(store, "T", [(2, 2, 2)])
+    assert store._read_meta("T").txn == 2
+    store.compact("T")
+    assert store._read_meta("T").txn == 3
+
+
 def test_compact_gc_removes_stale_generations(store):
     store.register_namespace("PONY", buckets=4)
     _write(store, "PONY", [(2, 1, 1), (2, 2, 2)])
