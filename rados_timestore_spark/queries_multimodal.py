@@ -556,6 +556,11 @@ def _wav_synth_decode(batches):
 
 @register(
     "mm_wav_meta",
+    # ASCII PRECONDITION (ADVICE r5): repeat/substr/md5 below operate on
+    # VARCHAR characters while the Spark kernel slices UTF-8 BYTES —
+    # equal only because the documents corpus is pure ASCII (pinned by
+    # test_documents_corpus_is_pure_ascii); a non-ASCII fixture would
+    # hash-mismatch here, not in the kernel.
     oracle=f"""
 WITH g AS (
   SELECT doc_id,
@@ -784,6 +789,9 @@ def _png_synth_decode(batches):
 
 @register(
     "mm_decode_png",
+    # ASCII PRECONDITION (ADVICE r5): see mm_wav_meta — VARCHAR char ops
+    # stand in for byte ops only while the corpus stays pure ASCII
+    # (pinned by test_documents_corpus_is_pure_ascii).
     oracle=f"""
 WITH g AS (
   SELECT doc_id,

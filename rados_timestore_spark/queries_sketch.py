@@ -343,6 +343,10 @@ def sketch_kmv_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-invocation memory-sink suffix (concurrent-run isolation).
+_HLL_SINK_IDS = __import__("itertools").count()
+
+
 @register(
     "streaming_hll_registers",
     oracle=f"""
@@ -372,7 +376,18 @@ def streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cardinality-over-time) incrementally maintainable at 100 TB,
     verified here against the batch-SQL oracle.  max over occurrences
     == max over distinct grams, so no streaming dedup state is
-    needed."""
+    needed.
+
+    LOCAL-MODE CONTRACT (ADVICE r5): the micro-batch source is staged
+    through a driver-local ``tempfile.mkdtemp``, which executors can
+    only read when driver and executors share a filesystem — true in
+    local mode (where this demonstration query runs) and on any
+    shared-FS cluster, NOT on a multi-node object-store deployment.
+    The production path for the same computation is
+    :func:`trigram_hll_registers` over an ordinary ``readStream``
+    source; only this self-contained staging harness is local-mode.
+    The memory-sink name is suffixed per invocation so concurrent runs
+    in one session can't collide on the sink table."""
     import tempfile
 
     from rados_timestore_spark.queries_common import load
@@ -388,7 +403,7 @@ def streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rados_timestore_spark.queries_streaming import \
         _few_state_partitions
 
-    name = "hll_registers_sink"
+    name = f"hll_registers_sink_{next(_HLL_SINK_IDS)}"
     try:
         with _few_state_partitions(spark):
             stream = (

@@ -72,6 +72,13 @@ def main() -> int:
             print(f"FAIL {name}: spark raised {exc!r}"[:2000])
             failures += 1
             continue
+        finally:
+            # Queries persist() intermediates that multiple actions
+            # reuse (sketch gx, pagerank edges, word_assoc dw ...);
+            # clear per query so a full-registry run can't accumulate
+            # cached blocks (ADVICE r5) — same hook bench.py and
+            # scale_soak.py already use.
+            spark.catalog.clearCache()
         dt = time.time() - t0
         sql = oracles.get(name)
         if sql is None:
