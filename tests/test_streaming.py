@@ -630,3 +630,189 @@ def test_stream_asof_checkpoint_recovery(spark, tmp_path):
     got2 = sorted((r.purchase_id, r.view_id)
                   for r in spark.read.parquet(out).collect())
     assert got2 == [(31, 10), (32, 20)]
+
+
+def _deliver_files(spark, tmp_path, src, schema, batches):
+    """Write each rows-list as one parquet file into ``src`` with
+    increasing mtimes, so maxFilesPerTrigger=1 replays them as ordered
+    micro-batches (same rig as the as-of recovery test)."""
+    import glob
+    import os
+    import shutil
+    import time as _t
+
+    os.makedirs(src, exist_ok=True)
+    base = len(glob.glob(f"{src}/b*.parquet"))
+    for i, rows in enumerate(batches, start=base):
+        tmp = str(tmp_path / f"w{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dest = f"{src}/b{i}.parquet"
+        shutil.move(part, dest)
+        os.utime(dest, (_t.time() + i, _t.time() + i))
+
+
+def test_stream_latest_per_key_checkpoint_recovery(spark, tmp_path):
+    # VERDICT r5 #5: kill-and-resume for stream_latest_per_key.  The
+    # per-key (time DESC, seq ASC) winner lives in GroupState; a
+    # restarted query that lost it would crown a STALE row the winner.
+    from rados_timestore_spark.streaming.windows import stream_latest_per_key
+
+    schema = "address long, time long, value long, seq long"
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        # memory sinks can't recover from a checkpoint — foreachBatch
+        # is the recovery-capable sink for update-mode stateful output.
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+
+        def sink(df, bid):
+            df.withColumn("batch_id", F.lit(bid)) \
+                .write.mode("append").parquet(out)
+
+        q = (
+            stream_latest_per_key(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(180)
+
+    def winners():
+        # latest emission per key (highest batch_id) = current view
+        rows = spark.read.parquet(out).collect()
+        best = {}
+        for r in rows:
+            if r.address not in best or r.batch_id > best[r.address][0]:
+                best[r.address] = (r.batch_id, r.time, r.value, r.seq)
+        return {k: v[1:] for k, v in best.items()}
+
+    _deliver_files(spark, tmp_path, src, schema,
+                   [[(2, 30, 300, 1), (4, 5, 50, 2)]])
+    run_once()
+    assert winners() == {2: (30, 300, 1), 4: (5, 50, 2)}
+
+    # Phase 2: only OLDER rows for key 2 arrive after the restart.
+    # With restored state the winner stays (30, 300, 1); with lost
+    # state the restart would emit the stale (25, 888, 6).
+    _deliver_files(spark, tmp_path, src, schema,
+                   [[(2, 20, 999, 5), (2, 25, 888, 6), (4, 9, 90, 7)]])
+    run_once()
+    assert winners() == {2: (30, 300, 1), 4: (9, 90, 7)}
+
+
+def test_stream_sessionize_checkpoint_recovery(spark, tmp_path):
+    # Session state (open windows + watermark) must survive a restart:
+    # events delivered after the resume MERGE into the restored open
+    # session instead of opening a fresh one.
+    from rados_timestore_spark.streaming.windows import stream_sessionize
+
+    S = 1_000_000  # 1 s in µs
+    schema = "address long, time long"
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = (
+            stream_sessionize(stream, gap="30 minutes",
+                              watermark="30 minutes")
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(180)
+
+    # Phase 1: key 2's session [0, 60 s]; key 9 opens a session at
+    # 4000 s (watermark pusher); a second pusher batch makes the
+    # wm advance visible so key 2's session closes and emits.
+    _deliver_files(spark, tmp_path, src, schema, [
+        [(2, 0), (2, 60 * S)],
+        [(9, 4000 * S), (9, 4200 * S)],
+        [(9, 4300 * S)],
+    ])
+    run_once()
+    got1 = sorted((r.address, r.n, r.first_t, r.last_t)
+                  for r in spark.read.parquet(out).collect())
+    assert got1 == [(2, 2, 0, 60 * S)]  # key 9's session still open
+
+    # Phase 2 (after restart): 5000 s is within gap of the restored
+    # open session's end (4300 s + 30 min), so it must MERGE (n=4);
+    # two pusher batches on key 2 close it.  Lost state would emit a
+    # fresh n=1 session instead.
+    _deliver_files(spark, tmp_path, src, schema, [
+        [(9, 5000 * S)],
+        [(2, 20000 * S)],
+        [(2, 25000 * S)],
+    ])
+    run_once()
+    got2 = sorted((r.address, r.n, r.first_t, r.last_t)
+                  for r in spark.read.parquet(out).collect())
+    key9 = [g for g in got2 if g[0] == 9]
+    assert key9 == [(9, 4, 4000 * S, 5000 * S)]
+
+
+def test_streaming_hll_checkpoint_recovery(spark, tmp_path):
+    # The 256-register HLL state is a complete-mode streaming agg; a
+    # restart must resume from the checkpointed registers so the final
+    # sketch equals the batch sketch over BOTH phases' documents.
+    from rados_timestore_spark.queries_sketch import trigram_hll_registers
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    schema = docs.schema
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    import glob
+    import os
+    import shutil
+    import time as _t
+
+    os.makedirs(src)
+
+    def deliver(i, df):
+        tmp = str(tmp_path / f"w{i}")
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dest = f"{src}/b{i}.parquet"
+        shutil.move(part, dest)
+        os.utime(dest, (_t.time() + i, _t.time() + i))
+
+    out = str(tmp_path / "out")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+
+        def sink(df, bid):
+            # complete mode: every batch carries the FULL register set
+            df.write.mode("overwrite").parquet(out)
+
+        q = (
+            trigram_hll_registers(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(300)
+
+    deliver(0, docs.filter(F.col("doc_id") % 2 == 0))
+    run_once()
+    deliver(1, docs.filter(F.col("doc_id") % 2 == 1))
+    run_once()
+
+    streamed = {(r.bucket, r.rho)
+                for r in spark.read.parquet(out).collect()}
+    batch = {(r.bucket, r.rho)
+             for r in trigram_hll_registers(docs).collect()}
+    assert streamed == batch
