@@ -5,7 +5,11 @@ counts against a Ceph pool (Store.hs:30-88) — plus the implicit admin
 surface its daemons expose.  This CLI maps ``--pool`` to ``--root``
 (any Hadoop-FS URI: file:///, s3a://) and adds the read-side verbs a
 store operator actually runs (``latest``, ``read``, ``write``,
-``compact``, ``gc``), all thin wrappers over :class:`TimeStore`.
+``compact``, ``gc``), all thin wrappers over :class:`TimeStore` —
+plus ``query`` (r6): run ANY registered analytics query (sketches,
+dedup, similarity, TPC-H, ...) against a parquet table directory and
+print JSON lines, so the whole SURVEY §2.3 surface is scriptable from
+the operational loop the reference's ``store`` executable covers.
 
 Usage::
 
@@ -32,8 +36,9 @@ def _parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--root", required=True,
                    help="warehouse URI (file:///..., s3a://...)")
-    p.add_argument("--ns", "-o", required=True,
-                   help="namespace (reference: origin)")
+    p.add_argument("--ns", "-o",
+                   help="namespace (reference: origin); required for "
+                        "every store verb, unused by 'query'")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     reg = sub.add_parser("register", help="register a namespace")
@@ -69,6 +74,18 @@ def _parser() -> argparse.ArgumentParser:
 
     sub.add_parser("compact", help="rewrite live generation compacted")
     sub.add_parser("gc", help="delete stale compaction generations")
+
+    q = sub.add_parser(
+        "query",
+        help="run a registered analytics query (sketch_*, dedup_*, "
+             "sim_*, text_*, tpch_*, ...) and print JSON lines")
+    q.add_argument("--name", help="registry query name")
+    q.add_argument("--list", action="store_true",
+                   help="list registered query names and exit")
+    q.add_argument("--sf-dir", default=None,
+                   help="table directory (default: $SPARK_GRAFT_SF_DIR "
+                        "or /root/testdata/sf0.1)")
+    q.add_argument("--limit", type=int, default=100)
     return p
 
 
@@ -79,6 +96,34 @@ def main(argv: Sequence[str] | None = None,
 
     args = _parser().parse_args(argv)
     spark = configure_session(spark) if spark is not None else get_spark()
+
+    if args.cmd == "query":
+        import os
+
+        from rados_timestore_spark import registry
+
+        qs = registry.queries()
+        if args.list:
+            for name in qs:
+                print(name)
+            return 0
+        if not args.name or args.name not in qs:
+            print(f"unknown query: {args.name!r} (use --list)",
+                  file=sys.stderr)
+            return 1
+        sf_dir = args.sf_dir or os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        for row in qs[args.name](spark, sf_dir).limit(args.limit).collect():
+            d = row.asDict(recursive=True)
+            for k, v in d.items():
+                if isinstance(v, (bytes, bytearray)):
+                    d[k] = bytes(v).hex()
+            print(json.dumps(d, default=str))
+        return 0
+
+    if args.ns is None:
+        print("--ns is required for store commands", file=sys.stderr)
+        return 1
     store = TimeStore(spark, args.root)
 
     if args.cmd == "register":

@@ -46,14 +46,13 @@ DIM = 64
 #: oracle from ``count(*)`` INSIDE the SQL (``length(format('{:b}',
 #: n-1))``) — so one static oracle string stays exact at every sf.
 #: bits >= log2(n) keeps expected random collisions per band <= n
-#: (linear); the band COUNT stays fixed so recall holds
-#: (recall ~ 1-(1-p^bits)^bands, p = 1 - theta/pi) — more planes are
-#: spent instead (bands x bits <= 128).  ``SIM_LSH_BAND_BITS`` pins
-#: the geometry for soak experiments (plan + oracle together).
+#: (linear); the band COUNT is derived from a recall target at the
+#: chosen width (r6 — see _BANDS_FOR_BITS below), spending more
+#: planes as the corpus grows so recall holds instead of decaying.
+#: ``SIM_LSH_BAND_BITS`` pins the geometry for soak experiments
+#: (plan + oracle together).
 _MAX_BITS = 16
 _MIN_BITS = 8
-_N_BANDS = int(os.environ.get("SIM_LSH_BANDS", "8"))
-_N_PLANES = _N_BANDS * _MAX_BITS
 _FIXED_BITS = os.environ.get("SIM_LSH_BAND_BITS")
 if _FIXED_BITS is not None and not 1 <= int(_FIXED_BITS) <= _MAX_BITS:
     # Only bands x _MAX_BITS hyperplanes exist; an overwide pin would
@@ -63,6 +62,56 @@ if _FIXED_BITS is not None and not 1 <= int(_FIXED_BITS) <= _MAX_BITS:
     raise ValueError(
         f"SIM_LSH_BAND_BITS must be in [1, {_MAX_BITS}]: {_FIXED_BITS}")
 _TAU100 = 40             # cosine threshold 0.40
+
+#: Band-COUNT derivation (r6, VERDICT r5 item 7).  r5 auto-scaled the
+#: band WIDTH with corpus size but left the count fixed at 8, so at
+#: large n (wide bands) recall decays: recall = 1-(1-p^bits)^bands
+#: with p = 1 - theta/pi.  The count is now derived from a recall
+#: TARGET at a design cosine (0.95 — the "true near-duplicate" regime
+#: SemDeDup-style pipelines act on): bands(bits) =
+#: ceil(ln(1-R0)/ln(1-p0^bits)).  The float math runs ONCE here in
+#: Python and the resulting integer table is embedded as literals in
+#: BOTH engines' plans (Spark closure + oracle CASE), so cross-engine
+#: agreement never depends on ln/ceil bit-compatibility.  Values:
+#: bits 8->6 bands, 10->8, 12->10, 14->12, 16->15 — the geometry the
+#: fixtures used in r5 (bits=10, bands=8) is reproduced exactly, and
+#: at the 100 TB design point (bits=16) recall holds instead of
+#: collapsing to ~50%.  ``SIM_LSH_BANDS`` pins the count for soak
+#: experiments (both engines honor it).
+_LSH_TARGET_RECALL = 0.95
+_LSH_DESIGN_COS = 0.95
+
+
+def _bands_for_bits_table() -> dict[int, int]:
+    import math
+
+    p0 = 1.0 - math.acos(_LSH_DESIGN_COS) / math.pi
+    out = {}
+    for bits in range(1, _MAX_BITS + 1):
+        pb = p0 ** bits
+        out[bits] = max(1, math.ceil(
+            math.log(1.0 - _LSH_TARGET_RECALL) / math.log(1.0 - pb)))
+    return out
+
+
+_BANDS_FOR_BITS = _bands_for_bits_table()
+_BANDS_ENV = os.environ.get("SIM_LSH_BANDS")
+
+
+def _lsh_bands(bits: int) -> int:
+    """Recall-derived band count for a band width (env-pinnable)."""
+    if _BANDS_ENV is not None:
+        return int(_BANDS_ENV)
+    return _BANDS_FOR_BITS[bits]
+
+
+#: Plane pool sized for the widest geometry any corpus can select
+#: (enough for bands(bits) * bits at every derivable width, and for
+#: an env-pinned band count at every pinnable width).
+_N_PLANES = max(
+    max(_lsh_bands(b) * b for b in range(1, _MAX_BITS + 1)),
+    _MAX_BITS * (int(_BANDS_ENV) if _BANDS_ENV is not None else 0),
+)
 
 
 def _lsh_bits(n: int) -> int:
@@ -154,14 +203,16 @@ _BANDS_SCHEMA = T.StructType([
 
 
 def _make_bands_udf(bits: int):
-    """Pandas UDF: norm + ``_N_BANDS`` indexed sign-LSH band keys per
+    """Pandas UDF: norm + recall-derived-count indexed sign-LSH band keys per
     vector, one matmul-shaped pass (sequential over dims, vectorized
     over the batch).  Signs replicate the sequential-fold plane dot
     ``>= 0`` bit-for-bit; key ``(b << bits) | sum(s_r << r)`` encodes
     the band INDEX so a flat equi-join on key == "same band, same
     value".  ``bits`` is chosen per corpus by ``_lsh_bits`` at plan
-    time and baked into the closure."""
-    used = _N_BANDS * bits
+    time and baked into the closure, and the band count follows from
+    it via the recall-derived ``_lsh_bands`` table."""
+    n_bands = _lsh_bands(bits)
+    used = n_bands * bits
 
     @F.pandas_udf(_BANDS_SCHEMA)
     def bands(emb: pd.Series) -> pd.DataFrame:
@@ -174,8 +225,8 @@ def _make_bands_udf(bits: int):
             acc += E[:, i : i + 1] * w[i]
             nn += E[:, i] * E[:, i]
         signs = (acc >= 0).astype(np.int64)
-        keys = np.zeros((n, _N_BANDS), dtype=np.int64)
-        for b in range(_N_BANDS):
+        keys = np.zeros((n, n_bands), dtype=np.int64)
+        for b in range(n_bands):
             bv = np.zeros(n, dtype=np.int64)
             for r in range(bits):
                 bv += signs[:, b * bits + r] << r
@@ -289,19 +340,30 @@ def _bands_sql() -> str:
         f"CASE WHEN {_plane_dot_sql(p)} >= 0 THEN 1 ELSE 0 END"
         for p in range(_N_PLANES)
     )
-    fixed = (f"SELECT {int(_FIXED_BITS)} AS bits" if _FIXED_BITS is not None
-             else f"""SELECT least({_MAX_BITS}, greatest({_MIN_BITS},
+    bits_expr = (str(int(_FIXED_BITS)) if _FIXED_BITS is not None
+                 else f"""least({_MAX_BITS}, greatest({_MIN_BITS},
                length(format('{{:b}}',
-                 greatest((SELECT count(*) FROM embeddings), 2) - 1))))
-               AS bits""")
+                 greatest((SELECT count(*) FROM embeddings), 2) - 1))))""")
+    # bands(bits): the SAME Python-computed integer table the Spark
+    # closure uses, embedded as a CASE over the derivable widths — no
+    # in-engine float math anywhere (see _BANDS_FOR_BITS).
+    if _BANDS_ENV is not None:
+        bands_expr = str(int(_BANDS_ENV))
+    else:
+        arms = " ".join(
+            f"WHEN {b} THEN {_lsh_bands(b)}"
+            for b in range(1, _MAX_BITS + 1)
+        )
+        bands_expr = f"CASE bits {arms} END"
     return f"""
-geo AS ({fixed}),
+geo AS (SELECT bits, {bands_expr} AS bands
+        FROM (SELECT {bits_expr} AS bits)),
 signs AS MATERIALIZED (SELECT vec_id, [{signs}] AS s,
                  {_norm_sql("embedding")} AS nn, embedding
           FROM embeddings),
 banded AS MATERIALIZED (
   SELECT vec_id, nn, embedding,
-         list_transform(generate_series(0, {_N_BANDS - 1}), b ->
+         list_transform(generate_series(0, bands - 1), b ->
            (b << bits) | list_sum(list_transform(
               generate_series(0, bits - 1),
               r -> s[b * bits + r + 1] * (1 << r))))

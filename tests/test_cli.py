@@ -60,3 +60,50 @@ def test_cli_backfill(spark, tmp_path, capsys):
             capsys.readouterr().out.strip().splitlines()]
     assert {(r["time"], r["value"]) for r in rows} == {
         (10, 1), (day + 10, 2), (2 * day + 10, 3)}
+
+
+def test_cli_compact_gc(spark, tmp_path, capsys):
+    root = str(tmp_path / "wh3")
+    base = ["--root", root, "--ns", "PONY"]
+    assert main([*base, "register", "--buckets", "4"], spark=spark) == 0
+    src = str(tmp_path / "pts3.parquet")
+    spark.createDataFrame(
+        [(2, 5, 7), (4, 6, 8)], "address long, time long, value long"
+    ).write.parquet(src)
+    assert main([*base, "write", "--parquet", src], spark=spark) == 0
+    capsys.readouterr()
+    assert main([*base, "compact"], spark=spark) == 0
+    assert capsys.readouterr().out.strip() == "ok"
+    assert main([*base, "gc"], spark=spark) == 0
+    # compact deletes the old generation itself; gc finds no orphans
+    assert json.loads(capsys.readouterr().out) == []
+    # data survives the compact+gc cycle
+    capsys.readouterr()
+    assert main([*base, "read", "--start", "0", "--end", "10",
+                 "--addresses", "2,4"], spark=spark) == 0
+    rows = [json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines()]
+    assert {(r["address"], r["value"]) for r in rows} == {(2, 7), (4, 8)}
+
+
+def test_cli_query_runs_sketches_and_lists(spark, tmp_path, capsys):
+    # VERDICT r5 item 8: the sketch family (and the whole registered
+    # analytics surface) must be scriptable through the CLI.
+    base = ["--root", str(tmp_path / "whq")]
+
+    assert main([*base, "query", "--list"], spark=spark) == 0
+    names = capsys.readouterr().out.split()
+    assert "sketch_hll_ngrams" in names and "dedup_exact" in names
+
+    assert main(
+        [*base, "query", "--name", "sketch_cms_heavy_hitters",
+         "--sf-dir", "/root/testdata/sf0.001", "--limit", "5"],
+        spark=spark,
+    ) == 0
+    rows = [json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines()]
+    assert rows and {"gram", "cms_est"} <= set(rows[0])
+
+    assert main([*base, "query", "--name", "nope"], spark=spark) == 1
+    # store verbs without --ns fail cleanly
+    assert main([*base, "latest"], spark=spark) == 1

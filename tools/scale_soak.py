@@ -153,6 +153,56 @@ def build_corpus(spark, out_dir: str) -> None:
         .parquet(f"{out_dir}/embeddings.parquet")
 
 
+#: Queries for the constant-density soak (VERDICT r5 item 6): the
+#: pair-producing shingle joins whose cost could hide behind true-pair
+#: growth in the standard soak corpus.
+SOAK_CONST_DENSITY_QUERIES = (
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+)
+
+
+def build_corpus_const_density(spark, out_dir: str) -> None:
+    """COPIES x documents with near-dup density held CONSTANT.
+
+    The standard soak corpus preserves within-copy duplicate structure,
+    so the number of TRUE near-dup pairs grows linearly with COPIES —
+    which means a pair-producing query's runtime growth mixes plan cost
+    with genuine output growth (dedup_ngram_jaccard's 30x soak showed
+    9.8x / exp 0.67 for exactly this reason).  This variant separates
+    the two: copy 0 is the original corpus (its duplicate pairs are the
+    ONLY pairs), and every document in copies >= 1 has a per-document
+    4-hex-char salt appended to EVERY word, so no two distinct
+    documents anywhere share a single word shingle.  Corpus size scales
+    by COPIES while the true-pair count stays at the 1x level — any
+    super-constant runtime growth is now pure plan cost (shingle
+    explode + hash + join probe), which should be ~linear in corpus
+    size with a small exponent on the pair side.
+    """
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    n_docs = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    parts = [docs]
+    other = [c for c in docs.columns if c not in ("doc_id", "text")]
+    for k in range(1, COPIES):
+        new_id = F.col("doc_id") + F.lit(k * n_docs)
+        salt = F.substring(F.md5(new_id.cast("string")), 1, 4)
+        parts.append(docs.select(
+            new_id.alias("doc_id"),
+            F.regexp_replace(
+                "text", F.lit(r"(\S+)"), F.concat(F.lit("$1"), salt)
+            ).alias("text"),
+            *other,
+        ))
+    alldocs = parts[0]
+    for p in parts[1:]:
+        alldocs = alldocs.unionByName(p)
+    os.makedirs(out_dir, exist_ok=True)
+    alldocs.repartition(8).write.mode("overwrite") \
+        .parquet(f"{out_dir}/documents.parquet")
+
+
 def time_queries(spark, sf_dir: str, names=SOAK_QUERIES) -> dict[str, float]:
     from rados_timestore_spark import registry
 
@@ -189,11 +239,18 @@ def main() -> None:
         .select(F.pandas_udf(_warm, "long")("id")).count()
 
     family = os.environ.get("SOAK_FAMILY", "llm")
-    names = SOAK_TS_QUERIES if family == "ts" else SOAK_QUERIES
+    names = {"ts": SOAK_TS_QUERIES,
+             "const_density": SOAK_CONST_DENSITY_QUERIES,
+             }.get(family, SOAK_QUERIES)
     if family == "ts":
         if not os.path.exists(f"{out_dir}/events.parquet"):
             print(f"# building {COPIES}x events ...", file=sys.stderr)
             build_events(spark, out_dir)
+    elif family == "const_density":
+        if not os.path.exists(f"{out_dir}/documents.parquet"):
+            print(f"# building {COPIES}x const-density corpus ...",
+                  file=sys.stderr)
+            build_corpus_const_density(spark, out_dir)
     elif not os.path.exists(f"{out_dir}/documents.parquet"):
         print(f"# building {COPIES}x corpus ...", file=sys.stderr)
         build_corpus(spark, out_dir)
