@@ -641,3 +641,95 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("last_t") + _GAP_US).alias("session_end_us"),
         "n",
     )
+
+
+# ------------------------------- r6: streaming content dedup (docs)
+
+
+#: Per-invocation memory-sink suffix (concurrent-run isolation).
+_DEDUP_SINK_IDS = __import__("itertools").count()
+
+#: Packed arrival-order key: (arrival_batch, doc_id) as one integer so
+#: the streaming MIN aggregate needs no composite-key support.
+#: doc_id < 2^40 at every conceivable sf (sf1 has ~5e5 docs).
+_ARRIVAL_SHIFT = 1 << 40
+
+
+@register(
+    "streaming_dedup_docs",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id, md5(text) AS content_md5, doc_id % 2 AS arr
+  FROM documents),
+r AS (
+  SELECT content_md5, doc_id,
+         row_number() OVER (PARTITION BY content_md5
+                            ORDER BY arr, doc_id) AS rn,
+         count(*) OVER (PARTITION BY content_md5) AS n_dups
+  FROM h)
+SELECT content_md5, doc_id AS keep_doc_id, n_dups
+FROM r WHERE rn = 1
+""",
+    tags=("streaming", "dedup"),
+    priority=110,  # new r6: window full of never-checked carve-out promotions — local-green via tools/check_correctness.py; rotate into the driver window in r7
+)
+def streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with FIRST-ARRIVAL-WINS representatives,
+    maintained incrementally by a real Structured Streaming job: the
+    corpus arrives as two micro-batches (even doc_ids then odd — the
+    arrival order the oracle mirrors as ``(doc_id % 2, doc_id)``), and
+    a complete-mode aggregation per content hash keeps
+    ``min(arrival_key)`` plus the duplicate count.  Because min and
+    count merge associatively, the streamed result is IDENTICAL to the
+    batch dedup over the union — the law that makes content-hash
+    dedup incrementally maintainable while a 100 TB crawl streams in
+    (state = one row per DISTINCT content hash, not per document).
+
+    LOCAL-MODE CONTRACT: same staging harness as
+    streaming_hll_registers (driver-local tempdir + memory sink) —
+    production replaces the source with any ``readStream``.
+    """
+    import shutil
+
+    from rados_timestore_spark.queries_common import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="ts_stream_dedup_")
+    src = f"{work}/src"
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1) \
+        .write.parquet(src)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    name = f"dedup_docs_sink_{next(_DEDUP_SINK_IDS)}"
+    try:
+        with _few_state_partitions(spark):
+            stream = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1).parquet(src)
+            )
+            agg = (
+                stream.select(
+                    F.md5("text").alias("content_md5"),
+                    ((F.col("doc_id") % 2) * _ARRIVAL_SHIFT
+                     + F.col("doc_id")).alias("akey"),
+                )
+                .groupBy("content_md5")
+                .agg(F.min("akey").alias("min_akey"),
+                     F.count("*").alias("n_dups"))
+            )
+            q = (
+                agg.writeStream.format("memory").queryName(name)
+                .outputMode("complete").trigger(availableNow=True).start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(
+                    "streaming dedup did not terminate within 300s")
+        return spark.table(name).select(
+            "content_md5",
+            (F.col("min_akey") % _ARRIVAL_SHIFT).alias("keep_doc_id"),
+            "n_dups",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -880,3 +880,124 @@ def text_word_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w1", "w2", F.col("n_pair").cast("long").alias("n_pair"),
                 "n_w1", "n_w2")
     )
+
+
+# --------------------------------------- r6: sequence packing (LLM)
+
+
+#: Context-window token budget for pack-sequences (tokens, whitespace
+#: word rule — the same split every text query uses).
+PACK_BUDGET = 512
+
+
+@register(
+    "text_pack_sequences",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, len({_WORDS_SQL}) AS n_tok FROM documents),
+cum AS (
+  SELECT doc_id, n_tok,
+         sum(n_tok) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) - n_tok AS cum_before
+  FROM toks)
+SELECT cum_before // {PACK_BUDGET} AS bin_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       CAST(sum(CASE WHEN (cum_before + n_tok - 1)
+                          // {PACK_BUDGET} > cum_before // {PACK_BUDGET}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs
+FROM cum GROUP BY 1
+""",
+    tags=("text", "llm"),
+    priority=110,  # new r6: window full of never-checked carve-out promotions — local-green via tools/check_correctness.py; rotate into the driver window in r7
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: documents concatenated in
+    doc_id order and chunked into fixed token-budget context windows
+    (concat-and-chunk packing).  Each document is assigned to the bin
+    its FIRST token lands in (``cum_before // budget``); the per-bin
+    report carries doc count, token count, doc-id span, and how many
+    docs cross the bin boundary (the attention-mask cost of packing).
+
+    Scale: token counts are a per-row projection; the running total is
+    ONE global cumulative-sum window.  A single-ordered window is the
+    one unavoidable serialization in concat-and-chunk semantics — at
+    100 TB the production form runs per shard/partition (pack within
+    each input split, doc order within split), which is this same plan
+    partitioned by shard; the global form here keeps the oracle exact.
+    """
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
+    toks = docs.select(
+        "doc_id", F.size(_words_col()).alias("n_tok")
+    )
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.select(
+        "doc_id", "n_tok",
+        (F.sum("n_tok").over(w) - F.col("n_tok")).alias("cum_before"),
+    )
+    b = F.lit(PACK_BUDGET)
+    return cum.groupBy(
+        F.floor(F.col("cum_before") / b).alias("bin_id")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.sum(
+            F.when(
+                F.floor((F.col("cum_before") + F.col("n_tok") - 1) / b)
+                > F.floor(F.col("cum_before") / b), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_boundary_docs"),
+    )
+
+
+# ------------------------------------ r6: float-free TF-IDF top terms
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+WITH dw AS (
+  SELECT DISTINCT doc_id, unnest({_WORDS_SQL}) AS word FROM documents),
+df AS (SELECT word, count(*) AS df FROM dw GROUP BY 1),
+ranked AS (
+  SELECT dw.doc_id, dw.word, df.df,
+         row_number() OVER (PARTITION BY dw.doc_id
+                            ORDER BY df.df, dw.word) AS rank
+  FROM dw JOIN df ON df.word = dw.word)
+SELECT doc_id, word, df, rank FROM ranked WHERE rank <= 3
+""",
+    tags=("text",),
+    priority=110,  # new r6: window full of never-checked carve-out promotions — local-green via tools/check_correctness.py; rotate into the driver window in r7
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most distinctive terms per document — the TF-IDF top-k made
+    FLOAT-FREE: since every term here appears once per doc (distinct
+    doc-term pairs), tf-idf ordering reduces to ascending document
+    frequency, so the rank key is the INTEGER (df, word) pair and no
+    engine ever computes a logarithm (idf monotone in 1/df).  Top-3
+    per doc by (df ASC, word ASC) — rarest-first, deterministic.
+
+    Scale: distinct (doc, word) explode with map-side combine, one
+    hash-agg for df, an equi-join back (vocabulary side — AQE
+    broadcasts when it fits), and a window partitioned BY DOC (small
+    per-partition groups, no global order).
+    """
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
+    dw = docs.select(
+        "doc_id", F.explode(_words_col()).alias("word")
+    ).distinct()
+    df = dw.groupBy("word").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "word")
+    return (
+        dw.join(df, "word")
+        .select("doc_id", "word", "df",
+                F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= 3)
+    )

@@ -822,3 +822,217 @@ def ts_moving_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)")).over(w)
         .cast("double").alias("win_sum"),
     )
+
+
+# ------------------------------------------------ r6: gap fill / LOCF
+
+
+@register(
+    "ts_gapfill_locf",
+    oracle=f"""{_EV_CTE},
+hourly AS (
+  -- latest-in-hour winner via row_number (DuckDB's arg_max lacks a
+  -- composite-key overload; same (t, event_id) total order as the
+  -- Spark max_by struct)
+  SELECT user_id, h, v, n FROM (
+    SELECT user_id, t // 3600000000 AS h,
+           CAST(value AS DECIMAL(12,2)) AS v,
+           row_number() OVER (PARTITION BY user_id, t // 3600000000
+                              ORDER BY t DESC, event_id DESC) AS rn,
+           count(*) OVER (PARTITION BY user_id, t // 3600000000) AS n
+    FROM ev) WHERE rn = 1),
+spans AS (
+  SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+grid AS (
+  SELECT s.user_id, g.h
+  FROM spans s, unnest(generate_series(s.h0, s.h1)) AS g(h)),
+joined AS (
+  SELECT g.user_id, g.h, hv.v, coalesce(hv.n, 0) AS n
+  FROM grid g LEFT JOIN hourly hv
+    ON hv.user_id = g.user_id AND hv.h = g.h)
+SELECT user_id, h * 3600000000 AS hour_us, n,
+       CAST(n = 0 AS INT) AS filled,
+       CAST(last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS value_locf
+FROM joined
+""",
+    tags=("timeseries",),
+    priority=110,  # new r6: window full of never-checked carve-out promotions — local-green via tools/check_correctness.py; rotate into the driver window in r7
+)
+def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap fill + last-observation-carried-forward
+    (``time_bucket_gapfill`` + ``locf`` in TimescaleDB terms — the
+    continuous-dashboard primitive the reference's fixed-interval
+    store implies but never ships).  Per user: hourly buckets from the
+    user's first to last active hour, missing hours generated with
+    ``sequence()`` (bounded by the retention window, never a global
+    driver loop), the latest-in-hour value picked by ``max_by`` over
+    (t, event_id) (deterministic under shuffle), and gaps filled with
+    ``last(..., ignorenulls)`` over the per-user hour order.
+
+    Scale: one hash aggregate (user, hour), a per-user two-row span
+    aggregate, the grid explode (rows = active span hours, O(data/
+    density)), and ONE window partitioned by user — no global sort, no
+    driver materialization; value arithmetic stays in DECIMAL until
+    the final double cast.
+    """
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.groupBy(
+            "user_id", (F.col("t") / F.lit(3_600_000_000)).cast("long")
+            .alias("h"),
+        )
+        .agg(
+            F.max_by(
+                F.col("value").cast("decimal(12,2)"),
+                F.struct("t", "event_id"),
+            ).alias("v"),
+            F.count("*").alias("n"),
+        )
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = spans.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("h")
+    )
+    joined = (
+        grid.join(hourly, ["user_id", "h"], "left")
+        .select("user_id", "h", "v", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        (F.col("h") * F.lit(3_600_000_000)).alias("hour_us"),
+        "n",
+        (F.col("n") == 0).cast("int").alias("filled"),
+        F.last("v", ignorenulls=True).over(w).cast("double")
+        .alias("value_locf"),
+    )
+
+
+# ------------------------------------------- r6: counter rate / delta
+
+
+@register(
+    "ts_counter_rate",
+    oracle=f"""{_EV_CTE},
+d AS (
+  SELECT user_id, t // 86400000000 AS day,
+         CAST(value AS DECIMAL(12,2))
+           - lag(CAST(value AS DECIMAL(12,2))) OVER (
+               PARTITION BY user_id ORDER BY t, event_id) AS delta,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM ev)
+SELECT user_id, day * 86400000000 AS day_us,
+       CAST(sum(CASE WHEN delta IS NULL THEN CAST(0 AS DECIMAL(12,2))
+                     WHEN delta >= 0 THEN delta
+                     ELSE v END) AS DOUBLE) AS increase,
+       CAST(sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_resets
+FROM d GROUP BY 1, 2
+""",
+    tags=("timeseries",),
+    priority=110,  # new r6: window full of never-checked carve-out promotions — local-green via tools/check_correctness.py; rotate into the driver window in r7
+)
+def ts_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style reset-aware ``increase()``: per user per day, the
+    sum of non-negative deltas between consecutive samples (ordered by
+    (t, event_id) — total order, shuffle-stable), where a negative
+    delta means the counter reset and the post-reset value counts from
+    zero.  The first sample of a series contributes nothing (no
+    predecessor).  The day attribution follows the SAMPLE's day while
+    the delta spans the boundary — the standard monitoring-system
+    convention, identical in both engines.
+
+    Scale: one window (partition user, order t) + one hash aggregate
+    — the same single-shuffle shape as ts_delta/lag; all arithmetic
+    in DECIMAL until the final cast.
+    """
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    v = F.col("value").cast("decimal(12,2)")
+    d = ev.select(
+        "user_id",
+        (F.col("t") / F.lit(86_400_000_000)).cast("long").alias("day"),
+        (v - F.lag(v).over(w)).alias("delta"),
+        v.alias("v"),
+    )
+    zero = F.lit(0).cast("decimal(12,2)")
+    return d.groupBy(
+        "user_id",
+        (F.col("day") * F.lit(86_400_000_000)).alias("day_us"),
+    ).agg(
+        F.sum(
+            F.when(F.col("delta").isNull(), zero)
+            .when(F.col("delta") >= 0, F.col("delta"))
+            .otherwise(F.col("v"))
+        ).cast("double").alias("increase"),
+        F.sum(F.when(F.col("delta") < 0, 1).otherwise(0))
+        .cast("long").alias("n_resets"),
+    )
+
+
+# ------------------------------------------- r6: exact quantiles
+
+
+@register(
+    "ts_quantiles",
+    oracle=f"""{_EV_CTE},
+r AS (
+  SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY CAST(value AS DECIMAL(12,2)),
+                                     event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ev)
+SELECT event_type, max(n) AS n,
+       CAST(max(CASE WHEN rn = (n * 50 + 99) // 100 THEN v END)
+            AS DOUBLE) AS p50,
+       CAST(max(CASE WHEN rn = (n * 90 + 99) // 100 THEN v END)
+            AS DOUBLE) AS p90,
+       CAST(max(CASE WHEN rn = (n * 99 + 99) // 100 THEN v END)
+            AS DOUBLE) AS p99
+FROM r GROUP BY event_type
+""",
+    tags=("timeseries", "agg"),
+    priority=110,  # new r6: window full of never-checked carve-out promotions — local-green via tools/check_correctness.py; rotate into the driver window in r7
+)
+def ts_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT discrete quantiles (p50/p90/p99 of value per event type)
+    with an engine-independent rank rule: the element at rank
+    ``ceil(q*n)`` under the total order (value, event_id) — integer
+    arithmetic only (``(n*q + 99) // 100``), so neither engine's
+    built-in percentile semantics (interpolation modes, float
+    rounding) can drift the result.
+
+    Scale: one window per type + conditional aggregate — exact
+    quantiles fundamentally need the per-group order; for 100 TB
+    approximate pipelines the KMV/CMS sketches (queries_sketch) are
+    the mergeable alternative, this is the exact batch twin.
+    """
+    ev = _events(spark, sf_dir)
+    v = F.col("value").cast("decimal(12,2)")
+    wo = Window.partitionBy("event_type").orderBy(v.asc(), "event_id")
+    wn = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type", v.alias("v"),
+        F.row_number().over(wo).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+
+    def pick(mult: int):
+        rank = F.floor((F.col("n") * mult + 99) / 100)
+        return F.max(F.when(F.col("rn") == rank, F.col("v")))
+
+    return r.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        pick(50).cast("double").alias("p50"),
+        pick(90).cast("double").alias("p90"),
+        pick(99).cast("double").alias("p99"),
+    )
