@@ -36,6 +36,10 @@ QUERIES = [
     "sketch_cms_heavy_hitters",
     "sketch_kmv_sample",
     "streaming_hll_registers",
+    # r6 doc-driven queries
+    "text_pack_sequences",
+    "text_tfidf_top_terms",
+    "streaming_dedup_docs",
 ]
 
 

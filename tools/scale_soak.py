@@ -51,6 +51,8 @@ SOAK_QUERIES = (
     "text_word_freq",
     "text_winnow_fingerprint",
     "text_word_assoc",
+    "text_pack_sequences",
+    "text_tfidf_top_terms",
     "graph_pagerank",
     "mm_decode_png",
 )
@@ -74,6 +76,9 @@ SOAK_TS_QUERIES = (
     "ts_anomaly_zscore",
     "ts_moving_window_sum",
     "ts_bulk_backfill",
+    "ts_gapfill_locf",
+    "ts_counter_rate",
+    "ts_quantiles",
 )
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
