@@ -34,8 +34,10 @@ def _parser() -> argparse.ArgumentParser:
         prog="rados_timestore_spark",
         description="Operate a timestore warehouse (Store.hs parity).",
     )
-    p.add_argument("--root", required=True,
-                   help="warehouse URI (file:///..., s3a://...)")
+    p.add_argument("--root",
+                   help="warehouse URI (file:///..., s3a://...); "
+                        "required for every store verb, unused by "
+                        "'query'")
     p.add_argument("--ns", "-o",
                    help="namespace (reference: origin); required for "
                         "every store verb, unused by 'query'")
@@ -121,8 +123,9 @@ def main(argv: Sequence[str] | None = None,
             print(json.dumps(d, default=str))
         return 0
 
-    if args.ns is None:
-        print("--ns is required for store commands", file=sys.stderr)
+    if args.ns is None or args.root is None:
+        print("--root and --ns are required for store commands",
+              file=sys.stderr)
         return 1
     store = TimeStore(spark, args.root)
 

@@ -96,6 +96,16 @@ def _bands_for_bits_table() -> dict[int, int]:
 
 _BANDS_FOR_BITS = _bands_for_bits_table()
 _BANDS_ENV = os.environ.get("SIM_LSH_BANDS")
+#: Env-pin validation (r6 review; same bug class as the r5
+#: SIM_LSH_BAND_BITS guard): an out-of-range band count would make the
+#: Spark UDF raise on a negative plane slice while the oracle's
+#: generate_series silently yields zero pairs — fail BOTH engines
+#: together, at import.  64 bands x 16 bits = 1024 planes is the pool
+#: ceiling.
+_MAX_BANDS = 64
+if _BANDS_ENV is not None and not 1 <= int(_BANDS_ENV) <= _MAX_BANDS:
+    raise ValueError(
+        f"SIM_LSH_BANDS must be in [1, {_MAX_BANDS}]: {_BANDS_ENV}")
 
 
 def _lsh_bands(bits: int) -> int:
@@ -408,9 +418,10 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band WIDTH auto-scales with the corpus: bits = clamp(ceil_log2(n),
     8, 16) keeps expected random collisions per band <= n at any
     corpus size (the r4 soak measured 19.7x wall at 30x with the old
-    fixed 8-bit geometry), while the band count stays fixed so recall
-    holds.  The oracle derives the identical geometry from count(*)
-    inside the SQL, so results match exactly at every sf."""
+    fixed 8-bit geometry), and the band COUNT follows from the width
+    via the recall-target table (_BANDS_FOR_BITS, r6) so recall holds
+    as bands widen.  The oracle derives the identical geometry from
+    count(*) inside the SQL, so results match exactly at every sf."""
     emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
     # Plan-time corpus probe: a count() over the parquet scan (column-
     # pruned to metadata; negligible vs the plane pass) picks the band

@@ -420,8 +420,13 @@ def streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 raise RuntimeError("streaming HLL did not terminate "
                                    "within 300s")
         # the memory sink holds the final registers; the staged source
-        # files are no longer needed (r5 review finding: mkdtemp leak)
-        return spark.table(name).select("bucket", "rho")
+        # files are no longer needed (r5 review finding: mkdtemp leak).
+        # Materialize + drop the per-invocation sink view so repeated
+        # calls can't accumulate temp views (r6 review finding).
+        out = spark.table(name).select("bucket", "rho")
+        pdf = out.toPandas()
+        spark.catalog.dropTempView(name)
+        return spark.createDataFrame(pdf, schema=out.schema)
     finally:
         import shutil
 

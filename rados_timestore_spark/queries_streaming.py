@@ -726,10 +726,17 @@ def streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 q.stop()
                 raise RuntimeError(
                     "streaming dedup did not terminate within 300s")
-        return spark.table(name).select(
+        out = spark.table(name).select(
             "content_md5",
             (F.col("min_akey") % _ARRIVAL_SHIFT).alias("keep_doc_id"),
             "n_dups",
         )
+        # Materialize and DROP the memory-sink view before returning:
+        # the per-invocation sink name otherwise leaks one
+        # O(distinct-hashes) temp view per call into driver memory for
+        # the session lifetime (r6 review finding).
+        pdf = out.toPandas()
+        spark.catalog.dropTempView(name)
+        return spark.createDataFrame(pdf, schema=out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)

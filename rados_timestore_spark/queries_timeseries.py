@@ -134,7 +134,7 @@ def ts_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     errors = ev.filter(F.col("event_type") == "error").select(
         "user_id", F.col("t").alias("et"),
-        (F.col("t") / _RANGE_US).cast("long").alias("cell"),
+        F.expr(f"t div {_RANGE_US}").alias("cell"),
     )
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
@@ -146,9 +146,9 @@ def ts_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell",
             F.explode(
                 F.array(
-                    (F.col("pt") / _RANGE_US).cast("long") - 1,
-                    (F.col("pt") / _RANGE_US).cast("long"),
-                    (F.col("pt") / _RANGE_US).cast("long") + 1,
+                    F.expr(f"pt div {_RANGE_US}") - 1,
+                    F.expr(f"pt div {_RANGE_US}"),
+                    F.expr(f"pt div {_RANGE_US}") + 1,
                 )
             ),
         )
@@ -881,8 +881,7 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     hourly = (
         ev.groupBy(
-            "user_id", (F.col("t") / F.lit(3_600_000_000)).cast("long")
-            .alias("h"),
+            "user_id", F.expr("t div 3600000000").alias("h"),
         )
         .agg(
             F.max_by(
@@ -959,7 +958,7 @@ def ts_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.col("value").cast("decimal(12,2)")
     d = ev.select(
         "user_id",
-        (F.col("t") / F.lit(86_400_000_000)).cast("long").alias("day"),
+        F.expr("t div 86400000000").alias("day"),
         (v - F.lag(v).over(w)).alias("delta"),
         v.alias("v"),
     )
@@ -1027,7 +1026,9 @@ def ts_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def pick(mult: int):
-        rank = F.floor((F.col("n") * mult + 99) / 100)
+        # exact integer ceil-div (`div`, not float floor(x/100)) — the
+        # cross-engine rule every bucketing expression follows
+        rank = F.expr(f"(n * {mult} + 99) div 100")
         return F.max(F.when(F.col("rn") == rank, F.col("v")))
 
     return r.groupBy("event_type").agg(

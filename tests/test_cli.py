@@ -89,7 +89,9 @@ def test_cli_compact_gc(spark, tmp_path, capsys):
 def test_cli_query_runs_sketches_and_lists(spark, tmp_path, capsys):
     # VERDICT r5 item 8: the sketch family (and the whole registered
     # analytics surface) must be scriptable through the CLI.
-    base = ["--root", str(tmp_path / "whq")]
+    # No --root/--ns needed: the query verb is warehouse-free (r6
+    # review finding).
+    base = []
 
     assert main([*base, "query", "--list"], spark=spark) == 0
     names = capsys.readouterr().out.split()
@@ -105,5 +107,5 @@ def test_cli_query_runs_sketches_and_lists(spark, tmp_path, capsys):
     assert rows and {"gram", "cms_est"} <= set(rows[0])
 
     assert main([*base, "query", "--name", "nope"], spark=spark) == 1
-    # store verbs without --ns fail cleanly
-    assert main([*base, "latest"], spark=spark) == 1
+    # store verbs without --root/--ns fail cleanly
+    assert main(["latest"], spark=spark) == 1

@@ -177,7 +177,7 @@ def build_corpus_const_density(spark, out_dir: str) -> None:
     9.8x / exp 0.67 for exactly this reason).  This variant separates
     the two: copy 0 is the original corpus (its duplicate pairs are the
     ONLY pairs), and every document in copies >= 1 has a per-document
-    4-hex-char salt appended to EVERY word, so no two distinct
+    8-hex-char salt appended to EVERY word, so no two distinct
     documents anywhere share a single word shingle.  Corpus size scales
     by COPIES while the true-pair count stays at the 1x level — any
     super-constant runtime growth is now pure plan cost (shingle
@@ -192,7 +192,11 @@ def build_corpus_const_density(spark, out_dir: str) -> None:
     other = [c for c in docs.columns if c not in ("doc_id", "text")]
     for k in range(1, COPIES):
         new_id = F.col("doc_id") + F.lit(k * n_docs)
-        salt = F.substring(F.md5(new_id.cast("string")), 1, 4)
+        # 8 hex chars (32 bits): with ~150k salted docs at 30 copies,
+        # expected same-salt collisions ~ 150k^2/2^33 < 3 — the r6 review
+        # found 16-bit salts produced ~31 colliding same-origin pairs,
+        # quietly re-mixing true-pair growth into the plan-cost signal.
+        salt = F.substring(F.md5(new_id.cast("string")), 1, 8)
         parts.append(docs.select(
             new_id.alias("doc_id"),
             F.regexp_replace(
