@@ -1483,3 +1483,104 @@ def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same exact top-5."""
     ann = _ivfpq_ann(spark, sf_dir).select("query_id", "neighbor_id")
     return _recall_at_5(spark, sf_dir, ann)
+
+
+# ------------------------------- r6: Matryoshka truncation recall
+
+
+#: Truncated prefix width for the Matryoshka-style recall comparison
+#: (Kusupati et al. 2022: MRL embeddings keep most ranking signal in
+#: a short prefix of the dimensions).
+_MRL_DIMS = 16
+_MRL_K = 3
+_MRL_QUERIES = 5
+
+
+@register(
+    "sim_matryoshka_recall",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+           FROM embeddings WHERE vec_id < {_MRL_QUERIES}),
+full_scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         {_dot_sql("e.embedding", "qe")}
+           / {_norm_sql("e.embedding")} / {_norm_sql("qe")} AS cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {_dot_sql("e.embedding", "qe")}
+           / {_norm_sql("e.embedding")} / {_norm_sql("qe")} DESC,
+                            e.vec_id) AS rank
+  FROM embeddings e, q WHERE e.vec_id <> query_id),
+trunc AS (
+  SELECT vec_id, list_slice(embedding, 1, {_MRL_DIMS}) AS te
+  FROM embeddings),
+tq AS (SELECT vec_id AS query_id, te AS tqe FROM trunc
+       WHERE vec_id < {_MRL_QUERIES}),
+trunc_scored AS (
+  SELECT query_id, t.vec_id AS neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {_dot_sql("t.te", "tqe")}
+           / {_norm_sql("t.te")} / {_norm_sql("tqe")} DESC,
+                            t.vec_id) AS rank
+  FROM trunc t, tq WHERE t.vec_id <> query_id)
+SELECT f.query_id,
+       CAST(count(t.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(count(t.neighbor_id) AS DOUBLE) / {_MRL_K} AS recall
+FROM (SELECT * FROM full_scored WHERE rank <= {_MRL_K}) f
+LEFT JOIN (SELECT * FROM trunc_scored WHERE rank <= {_MRL_K}) t
+  ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+GROUP BY f.query_id
+""",
+    tags=("similarity", "recall"),
+    priority=110,  # new r6: window full of never-checked carve-out promotions — local-green via tools/check_correctness.py; rotate into the driver window in r7
+)
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation recall: top-k by cosine over only the
+    FIRST 16 of 64 dimensions vs the full-dimension exact top-k — the
+    measurement behind prefix-truncated (MRL) embedding compression,
+    where a 4x-shorter prefix scan re-ranked by the full vector is the
+    standard billion-scale retrieval layout.  Both rankings use the
+    repo's sequential-fold cosine, ties broken by vec_id, so the
+    overlap count is bit-deterministic cross-engine.
+
+    Scale: the query side is {_MRL_QUERIES} rows (broadcast); the
+    corpus side is one scan per ranking over a 4x-smaller sliced
+    column for the truncated pass; the recall join keys on (query,
+    neighbor) — k-row relations.
+    """
+    emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
+
+    def topk(vec_col):
+        q = emb.filter(F.col("vec_id") < _MRL_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            vec_col("embedding").alias("qe"),
+        )
+        e = emb.select("vec_id", vec_col("embedding").alias("ee"))
+        scored = (
+            e.crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id", F.col("vec_id").alias("neighbor_id"),
+                (_dot(F.col("ee"), F.col("qe"))
+                 / _norm(F.col("ee")) / _norm(F.col("qe"))).alias("cos"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos"), "neighbor_id")
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _MRL_K)
+        )
+
+    full = topk(lambda c: F.col(c))
+    trunc = topk(lambda c: F.slice(F.col(c), 1, _MRL_DIMS))
+    hits = full.alias("f").join(
+        trunc.alias("t"),
+        (F.col("f.query_id") == F.col("t.query_id"))
+        & (F.col("f.neighbor_id") == F.col("t.neighbor_id")),
+        "left",
+    )
+    return hits.groupBy(F.col("f.query_id").alias("query_id")).agg(
+        F.count(F.col("t.neighbor_id")).cast("long").alias("n_hits"),
+        (F.count(F.col("t.neighbor_id")).cast("double") / _MRL_K)
+        .alias("recall"),
+    )

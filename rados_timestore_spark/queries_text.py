@@ -1001,3 +1001,76 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.row_number().over(w).alias("rank"))
         .filter(F.col("rank") <= 3)
     )
+
+
+# -------------------------------------- r6: bigram LM surprisal
+
+
+@register(
+    "text_bigram_surprisal",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+bg AS (
+  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+  FROM t, UNNEST(generate_series(1, len(ws) - 1)) AS g(i)
+  WHERE len(ws) >= 2),
+ctx AS (SELECT w1, count(*) AS cf FROM bg GROUP BY 1),
+bgc AS (SELECT w1, w2, count(*) AS bf FROM bg GROUP BY 1, 2),
+scored AS (
+  SELECT bg.doc_id,
+         length(format('{{:b}}', ctx.cf))
+           - length(format('{{:b}}', bgc.bf)) AS bits
+  FROM bg JOIN ctx ON ctx.w1 = bg.w1
+          JOIN bgc ON bgc.w1 = bg.w1 AND bgc.w2 = bg.w2)
+SELECT doc_id, count(*) AS n_bigrams,
+       CAST(sum(bits) AS BIGINT) AS sum_bits,
+       CAST(sum(bits) AS DOUBLE) / count(*) AS avg_surprisal
+FROM scored GROUP BY doc_id
+""",
+    tags=("text", "quality"),
+    priority=110,  # new r6: window full of never-checked carve-out promotions — local-green via tools/check_correctness.py; rotate into the driver window in r7
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprisal — the next rung above text_unigram_surprisal
+    on the KenLM-perplexity ladder: -log2 p(w2|w1) with p estimated as
+    c(w1,w2)/c(w1 ·) over the corpus, approximated with the same
+    integer bit-length trick (bits(context) - bits(bigram)), so the
+    whole score is exact integer arithmetic with an order-independent
+    distributed sum.  Low average surprisal ~ repetitive/templated
+    text; high ~ incoherent word salad — both ends are what quality
+    filters cut.
+
+    Scale: one bigram explode (map-side pairs from the word array, no
+    self-join), two hash aggregates (context + bigram counts), joins
+    back on the bigram key — AQE broadcasts the count sides when they
+    fit, shuffles by key when they don't.
+    """
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
+    ws = _words_col()
+    bg = (
+        docs.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.expr(
+                "transform(sequence(0, size(ws) - 2), "
+                "i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"
+            )).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"),
+                F.col("p.w2").alias("w2"))
+    )
+    ctx = bg.groupBy("w1").agg(F.count("*").alias("cf"))
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("bf"))
+    bits = F.length(F.bin(F.col("cf"))) - F.length(F.bin(F.col("bf")))
+    scored = (
+        bg.join(ctx, "w1")
+        .join(bgc, ["w1", "w2"])
+        .select("doc_id", bits.alias("bits"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("bits").cast("long").alias("sum_bits"),
+        (F.sum("bits").cast("double") / F.count("*"))
+        .alias("avg_surprisal"),
+    )

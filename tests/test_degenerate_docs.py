@@ -40,6 +40,7 @@ QUERIES = [
     "text_pack_sequences",
     "text_tfidf_top_terms",
     "streaming_dedup_docs",
+    "text_bigram_surprisal",
 ]
 
 

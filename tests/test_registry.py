@@ -94,7 +94,8 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     # AND sf0.1; MUST be rotated into the driver window in r7.
     "ts_gapfill_locf", "ts_counter_rate", "ts_quantiles",
     "text_pack_sequences", "text_tfidf_top_terms",
-    "streaming_dedup_docs",
+    "streaming_dedup_docs", "text_bigram_surprisal",
+    "sim_matryoshka_recall",
 }
 
 
