@@ -610,6 +610,115 @@ def mm_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _wav_synth_rms(batches):
+    """mapInPandas kernel: same WAV synthesis as mm_wav_meta, decoded
+    by :func:`decode_wav_real`, then SAMPLE-DOMAIN math: the data
+    chunk reinterpreted as little-endian signed 16-bit PCM and reduced
+    to integer sum-of-squares / max-abs — the energy features an audio
+    curation pipeline computes (silence/clipping detection), all in
+    exact int64 (no sqrt, no float: RMS ordering is monotone in the
+    sum of squares)."""
+    import struct
+
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            src = text.encode("utf-8") or b" "
+            n = len(src)
+            rate = _WAV_RATES[n % len(_WAV_RATES)]
+            channels = n % 2 + 1
+            bits = 16
+            block = channels * (bits // 8)
+            frames = n % _WAV_FRAMES_MOD + _WAV_FRAMES_MIN
+            dl = frames * block
+            data = (src * ((dl + n - 1) // n))[:dl]
+            fmt = struct.pack(
+                "<HHIIHH", 1, channels, rate, rate * block, block, bits
+            )
+            chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            if n % 2 == 0:
+                chunks += b"LIST" + struct.pack("<I", 5) + b"INFOJ" + b"\0"
+            chunks += b"data" + struct.pack("<I", dl) + data
+            payload = (
+                b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE"
+                + chunks
+            )
+            d = decode_wav_real(payload)
+            # decode gives back the verified container; the samples are
+            # the data chunk bytes as <i2 (the parser proved alignment)
+            samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+            rows.append((
+                int(doc_id), len(samples),
+                int((samples * samples).sum()),
+                int(np.abs(samples).max()) if len(samples) else 0,
+                d["sample_rate"],
+            ))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "n_samples", "sumsq", "max_abs",
+                           "sample_rate"],
+        )
+
+
+@register(
+    "mm_wav_rms",
+    # ASCII PRECONDITION: like mm_wav_meta, the oracle rebuilds the
+    # PCM bytes from VARCHAR characters (ord == byte only for the
+    # pure-ASCII corpus pinned by test_documents_corpus_is_pure_ascii).
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN octet_length(encode(text)) = 0 THEN ' '
+              ELSE text END AS text,
+         GREATEST(octet_length(encode(text)), 1) AS n
+  FROM documents),
+p AS (
+  SELECT doc_id, text, n,
+         [{", ".join(str(r) for r in _WAV_RATES)}]
+           [n % {len(_WAV_RATES)} + 1] AS rate,
+         (n % 2 + 1) * 2 AS block,
+         (n % {_WAV_FRAMES_MOD} + {_WAV_FRAMES_MIN}) AS frames
+  FROM g),
+d AS (
+  SELECT doc_id, rate, frames * block AS dl,
+         substr(repeat(text, ((frames * block + n - 1) // n)::INT),
+                1, frames * block) AS raw
+  FROM p),
+sm AS (
+  SELECT doc_id, rate, dl // 2 AS n_samples,
+         list_transform(generate_series(1, dl // 2), i ->
+           CASE WHEN ord(raw[2*i-1]) + 256 * ord(raw[2*i]) >= 32768
+                THEN ord(raw[2*i-1]) + 256 * ord(raw[2*i]) - 65536
+                ELSE ord(raw[2*i-1]) + 256 * ord(raw[2*i]) END) AS s
+  FROM d)
+SELECT doc_id, CAST(n_samples AS BIGINT) AS n_samples,
+       CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS sumsq,
+       CAST(list_max(list_transform(s, x -> abs(x))) AS INT) AS max_abs,
+       CAST(rate AS INT) AS sample_rate
+FROM sm
+""",
+    tags=("multimodal",),
+    priority=110,  # new r6: window full of never-checked carve-out promotions — local-green via tools/check_correctness.py; rotate into the driver window in r7
+)
+def mm_wav_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio energy features over REAL decoded PCM: per document, the
+    WAV container is synthesized, chunk-walked and verified by
+    :func:`decode_wav_real`, and the sample stream reduced to integer
+    sum-of-squares + max-abs (RMS ordering is monotone in sumsq, so no
+    sqrt/float enters the result) — the silence/clipping screen of an
+    audio curation pipeline.  Scale: one ``mapInPandas`` map stage,
+    zero shuffle; the oracle rebuilds the int16 stream character-wise
+    and must match bit-exactly."""
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
+    return docs.select("doc_id", "text").mapInPandas(
+        _wav_synth_rms,
+        "doc_id long, n_samples long, sumsq long, max_abs int, "
+        "sample_rate int",
+    )
+
+
 # -------------------------------------------------- real PNG decode
 
 #: mm_decode_png geometry (byte-length-derived, like mm_decode_ppm).

@@ -41,6 +41,7 @@ QUERIES = [
     "text_tfidf_top_terms",
     "streaming_dedup_docs",
     "text_bigram_surprisal",
+    "mm_wav_rms",
 ]
 
 
