@@ -144,3 +144,89 @@ def test_streaming_dedup_docs_is_first_arrival(spark):
         want = min(ids, key=lambda d: (d % 2, d))
         assert got.loc[h, "keep_doc_id"] == want
         assert got.loc[h, "n_dups"] == len(ids)
+
+
+def test_gapfill_and_counter_rate_model_random(spark):
+    # Model-based check on a RANDOM (seeded) frame — boundary shapes
+    # the fixture can't produce: single-event users, duplicate
+    # timestamps (seq tiebreak), same-hour bursts, exact day-boundary
+    # samples.  The pandas model re-derives both operators' outputs
+    # from first principles.
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    n = 400
+    hour, day = 3_600_000_000, 86_400_000_000
+    pdf = pd.DataFrame({
+        "event_id": np.arange(n),
+        "user_id": rng.integers(0, 6, n),
+        "event_type": "x",
+        "value": np.round(rng.uniform(0, 500, n), 2),
+        "t": np.concatenate([
+            rng.integers(0, 3 * day, n - 3),
+            [0, day, 2 * day],  # exact day boundaries
+        ]),
+    })
+    # duplicate-timestamp pair for the (t, event_id) tiebreak
+    pdf.loc[1, ["user_id", "t"]] = pdf.loc[0, ["user_id", "t"]]
+
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="r6model_") + "/events.parquet"
+    spk = spark.createDataFrame(pdf.assign(
+        ts=pd.to_datetime(pdf["t"], unit="us"),
+        props="{}",
+    )[["event_id", "ts", "user_id", "event_type", "value", "props"]])
+    spk.write.parquet(src)
+    sf_dir = src.rsplit("/", 1)[0]
+
+    from rados_timestore_spark.queries_timeseries import (
+        ts_counter_rate, ts_gapfill_locf,
+    )
+
+    # ---- gapfill model
+    got = ts_gapfill_locf(spark, sf_dir).toPandas()
+    cents = pdf.assign(h=pdf["t"] // hour)
+    for uid, g in cents.groupby("user_id"):
+        hours = {}
+        for h, gg in g.groupby("h"):
+            win = gg.sort_values(["t", "event_id"]).iloc[-1]
+            hours[h] = (len(gg), round(win["value"], 2))
+        h0, h1 = min(hours), max(hours)
+        mine = got[got.user_id == uid].sort_values("hour_us")
+        assert len(mine) == h1 - h0 + 1
+        lastv = None
+        for _, row in mine.iterrows():
+            h = row["hour_us"] // hour
+            if h in hours:
+                lastv = hours[h][1]
+                assert row["n"] == hours[h][0] and row["filled"] == 0
+            else:
+                assert row["n"] == 0 and row["filled"] == 1
+            assert abs(row["value_locf"] - lastv) < 1e-9
+
+    # ---- counter-rate model (exact integer cents)
+    got = ts_counter_rate(spark, sf_dir).toPandas()
+    for uid, g in pdf.groupby("user_id"):
+        g = g.sort_values(["t", "event_id"])
+        v = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        days = (g["t"].to_numpy() // day)
+        inc: dict = {}
+        res: dict = {}
+        prev = None
+        for val, d in zip(v, days):
+            if prev is not None:
+                delta = val - prev
+                inc[d] = inc.get(d, 0) + (delta if delta >= 0 else val)
+                res[d] = res.get(d, 0) + (1 if delta < 0 else 0)
+            else:
+                inc.setdefault(d, 0)
+                res.setdefault(d, 0)
+            prev = val
+        mine = got[got.user_id == uid]
+        assert len(mine) == len(inc)
+        for _, row in mine.iterrows():
+            d = row["day_us"] // day
+            assert round(row["increase"] * 100) == inc[d], (uid, d)
+            assert row["n_resets"] == res[d]
