@@ -762,3 +762,78 @@ def ts_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("time").alias("min_time"),
         F.max("time").alias("max_time"),
     )
+
+
+# ------------------------------- r6: CAS writer guard, driver-visible
+
+
+_CAS_CACHE: dict[str, tuple] = {}
+
+
+def _cas_guard_store(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir) a store through an INTERLEAVED-WRITER
+    sequence: writer A reads the meta, writer B lands a full
+    write_points underneath it, A's stale flip must be REJECTED by the
+    txn fencing CAS (StoreHelpers.hs:214-219 analog), then A retries
+    with a fresh read and succeeds.  Returns the store plus whether
+    the interleaving was detected — the detection result rides into
+    the query output so the driver's hash compare fails loudly if the
+    guard ever regresses to silent last-write-wins."""
+    if sf_dir in _CAS_CACHE:
+        return _CAS_CACHE[sf_dir]
+    from rados_timestore_spark.store import (
+        ConcurrentWriterError, TimeStore,
+    )
+
+    root = tempfile.mkdtemp(prefix="ts_cas_")
+    a, b = TimeStore(spark, root), TimeStore(spark, root)
+    ns = "driver"
+    a.register_namespace(ns, buckets=16)
+    pts = events_points(spark, sf_dir).filter(F.col("address") % 2 == 0) \
+        .select("address", "time", "value", "seq")
+
+    # A begins: reads meta (txn captured) ...
+    stale = a._read_meta(ns)
+    # ... B completes a whole batch in A's read->flip window.
+    b.write_points(ns, pts.filter(F.col("seq") % 2 == 0))
+    detected = 0
+    try:
+        stale.latest_simple = (stale.latest_simple or 0) + 1
+        a._write_meta_cas(ns, stale)
+    except ConcurrentWriterError:
+        detected = 1
+    # Recovery contract: re-read and retry — fresh write succeeds.
+    a.write_points(ns, pts.filter(F.col("seq") % 2 == 1))
+    _CAS_CACHE[sf_dir] = (a, ns, detected)
+    return _CAS_CACHE[sf_dir]
+
+
+@register(
+    "ts_cas_writer_guard",
+    oracle=f"""{PTS_CTE}
+SELECT 1 AS cas_detected, address, time, value, seq
+FROM (SELECT *, row_number() OVER (PARTITION BY address, time ORDER BY seq)
+        AS rn FROM pts) d
+WHERE rn = 1 AND address % 2 = 0
+  AND address IN ({ADDRS_SQL})
+  AND time BETWEEN {T_JAN10} AND {T_JAN20}
+""",
+    tags=("X1", "X2", "W5", "Q8"),
+    priority=110,  # new r6: window full of never-checked carve-out promotions — local-green via tools/check_correctness.py; rotate into the driver window in r7
+)
+def ts_cas_writer_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible evidence for the X1/X2 lock obviation: an actual
+    interleaved two-writer sequence against one namespace, where the
+    stale writer's flip is rejected by the ``_Meta.txn`` CAS re-check
+    and its retry (fresh read) lands cleanly.  The output carries
+    ``cas_detected`` (oracle pins it to 1 — a regression to silent
+    last-write-wins hash-mismatches) alongside the full read-back of
+    BOTH writers' batches (first-wins dedup over the union, same
+    relational definition as ts_store_roundtrip — proving neither
+    writer's appended data was lost in the conflict)."""
+    store, ns, detected = _cas_guard_store(spark, sf_dir)
+    df = store.read_simple(ns, T_JAN10, T_JAN20, list(ADDRS))
+    return df.select(
+        F.lit(detected).alias("cas_detected"),
+        "address", "time", "value", "seq",
+    )

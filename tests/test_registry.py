@@ -95,7 +95,7 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "ts_gapfill_locf", "ts_counter_rate", "ts_quantiles",
     "text_pack_sequences", "text_tfidf_top_terms",
     "streaming_dedup_docs", "text_bigram_surprisal",
-    "sim_matryoshka_recall", "mm_wav_rms",
+    "sim_matryoshka_recall", "mm_wav_rms", "ts_cas_writer_guard",
 }
 
 
