@@ -721,10 +721,21 @@ class TimeStore:
     def index(self, ns: str) -> Index:
         return self._read_meta(ns).index
 
-    def compact(self, ns: str, target_partitions_per_bucket: int = 1) -> None:
+    def compact(self, ns: str, target_partitions_per_bucket: int = 1,
+                sort_within: Sequence[str] | None = ("address", "time"),
+                ) -> None:
         """Read-optimizing merge (the OPTIMIZE the reference never does):
         rewrite each (epoch, bucket) partition's many small append files
-        into ``target_partitions_per_bucket`` files, preserving rows."""
+        into ``target_partitions_per_bucket`` files, preserving rows.
+
+        ``sort_within`` (default ``(address, time)``) additionally
+        sorts rows inside each output file, clustering the parquet
+        row-group min/max stats so post-compaction point reads skip
+        row groups by BOTH the address filter and the time interval —
+        append order interleaves addresses, which leaves every
+        row-group stat spanning the whole domain.  Pass ``None`` to
+        keep raw append order.
+        """
         meta = self._read_meta(ns)
         pdir = self._points_dir(ns, meta)
         if not self.fs.is_dir(pdir):
@@ -732,9 +743,17 @@ class TimeStore:
         df = self.spark.read.parquet(pdir)
         next_version = meta.points_version + 1
         new_dir = f"{self._ns_dir(ns)}/points_v{next_version}"
+        out = df.repartition(
+            target_partitions_per_bucket, "epoch", "bucket")
+        if sort_within:
+            # Partition columns lead the sort: the partitioned writer
+            # re-sorts each task by (epoch, bucket) unless the incoming
+            # order already satisfies it — with this prefix Spark
+            # eliminates its own sort and the per-file clustering
+            # survives into the parquet row groups.
+            out = out.sortWithinPartitions("epoch", "bucket", *sort_within)
         (
-            df.repartition(target_partitions_per_bucket, "epoch", "bucket")
-            .write.mode("overwrite").partitionBy("epoch", "bucket")
+            out.write.mode("overwrite").partitionBy("epoch", "bucket")
             .parquet(new_dir)
         )
         # Atomic flip: readers resolve the directory via the meta

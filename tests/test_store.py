@@ -567,3 +567,36 @@ def test_batched_rows_threshold_cut_at_stale_watermark(spark, tmp_path):
         .groupBy("epoch").agg(F.count("*").alias("n")).collect()
     }
     assert per_epoch == {0: 3, 12: 3}
+
+
+def test_compact_sorts_within_files_for_rowgroup_pruning(store, tmp_path):
+    # Sorted compaction (r6): rows inside each compacted file are
+    # clustered by (address, time) so parquet row-group min/max stats
+    # become selective; data content must be unchanged.
+    import glob
+
+    import pyarrow.parquet as pq
+
+    store.register_namespace("C", buckets=2)
+    rows = [(a, t, a * 100 + t) for t in range(50) for a in (2, 4, 6, 8)]
+    _write(store, "C", rows)  # interleaved append order
+    before = {(r.address, r.time, r.value)
+              for r in store.read_simple("C", 0, 100, [2, 4, 6, 8]).collect()}
+    store.compact("C")
+    after = {(r.address, r.time, r.value)
+             for r in store.read_simple("C", 0, 100, [2, 4, 6, 8]).collect()}
+    assert after == before
+    # every compacted file is internally sorted by (address, time)
+    pdir = store._points_dir("C")
+    files = glob.glob(f"{pdir.replace('file:', '')}/**/*.parquet",
+                      recursive=True)
+    assert files
+    for f in files:
+        t = pq.read_table(f, columns=["address", "time"]).to_pandas()
+        keys = list(zip(t["address"], t["time"]))
+        assert keys == sorted(keys), f
+    # raw order is preserved when explicitly requested
+    store.compact("C", sort_within=None)
+    assert {(r.address, r.time, r.value)
+            for r in store.read_simple("C", 0, 100, [2, 4, 6, 8]).collect()
+            } == before
