@@ -1074,3 +1074,61 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("bits").cast("double") / F.count("*"))
         .alias("avg_surprisal"),
     )
+
+
+#: Shard count for the production-shape packing variant.
+PACK_SHARDS = 8
+
+
+@register(
+    "text_pack_sequences_sharded",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         len({_WORDS_SQL}) AS n_tok
+  FROM documents),
+cum AS (
+  SELECT doc_id, shard, n_tok,
+         sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) - n_tok AS cum_before
+  FROM toks)
+SELECT shard, cum_before // {PACK_BUDGET} AS bin_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM cum GROUP BY 1, 2
+""",
+    tags=("text", "llm"),
+    priority=110,  # new r6: window full of never-checked carve-out promotions — local-green via tools/check_correctness.py; rotate into the driver window in r7
+)
+def text_pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION shape of sequence packing: documents are packed
+    within hash shards (doc_id % shards), so the cumulative-sum window
+    partitions by shard — no global ordering anywhere in the plan, the
+    form that runs at 100 TB (each input split packs independently;
+    the global variant text_pack_sequences keeps concat-and-chunk
+    exactness for comparison).  Bin ids are per-shard; a (shard,
+    bin_id) pair names one context window."""
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
+    toks = docs.select(
+        "doc_id", (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(_words_col()).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.select(
+        "doc_id", "shard", "n_tok",
+        (F.sum("n_tok").over(w) - F.col("n_tok")).alias("cum_before"),
+    )
+    return cum.groupBy(
+        "shard",
+        F.expr(f"cum_before div {PACK_BUDGET}").alias("bin_id"),
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

@@ -42,6 +42,7 @@ QUERIES = [
     "streaming_dedup_docs",
     "text_bigram_surprisal",
     "mm_wav_rms",
+    "text_pack_sequences_sharded",
 ]
 
 
