@@ -96,7 +96,8 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "text_pack_sequences", "text_tfidf_top_terms",
     "streaming_dedup_docs", "text_bigram_surprisal",
     "sim_matryoshka_recall", "mm_wav_rms", "ts_cas_writer_guard",
-    "text_pack_sequences_sharded",
+    "text_pack_sequences_sharded", "sim_pq_rerank",
+    "sim_pq_rerank_recall",
 }
 
 
