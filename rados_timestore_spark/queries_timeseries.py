@@ -1037,3 +1037,79 @@ def ts_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(90).cast("double").alias("p90"),
         pick(99).cast("double").alias("p99"),
     )
+
+
+# --------------------------------------- r6: time-weighted average
+
+
+@register(
+    "ts_time_weighted_avg",
+    oracle=f"""{_EV_CTE},
+s AS (
+  SELECT user_id, t // 86400000000 AS day,
+         CAST(value AS DECIMAL(12,2)) AS v,
+         lead(t) OVER (PARTITION BY user_id, t // 86400000000
+                       ORDER BY t, event_id) - t AS d
+  FROM ev)
+SELECT user_id, day * 86400000000 AS day_us,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(d) AS BIGINT) AS span_us,
+       CAST(sum(v * d) AS DOUBLE) / CAST(sum(d) AS DOUBLE) AS twa
+FROM s GROUP BY 1, 2
+HAVING sum(d) > 0
+""",
+    tags=("timeseries", "agg"),
+    priority=110,  # new r6 carve-out (window full of promoted late-r5 queries); local-green both SFs; rotate in r7 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user per day (TimescaleDB's
+    ``time_weight('LOCF', ...)`` / the monitoring-system twa) —
+    irregularly-sampled gauges where the plain AVG over-counts bursty
+    periods: each sample's value is weighted by how long it held,
+    i.e. the µs until the next sample of the same user-day under the
+    (t, event_id) total order.  The day's last sample carries no
+    weight (its holding interval leaves the partition), and
+    single-sample / zero-span days are excluded (``HAVING sum(d) >
+    0``) rather than inventing a duration for them.
+
+    Cross-engine exactness: weights are integer µs, values DECIMAL —
+    ``sum(v*d)`` and ``sum(d)`` are both exact and order-independent,
+    and the ratio is ONE IEEE divide of the two casts, so even the
+    float hash matches.
+
+    Scale: one window + one hash aggregate, both on the same
+    (user_id, day) keys — the window's required partitioning is
+    reused by the aggregate, so this is a single exchange end-to-end
+    (same shape as ts_counter_rate).
+    """
+    ev = _events(spark, sf_dir)
+    # day must be a projected ATTRIBUTE before the window so the
+    # aggregate's (user_id, day) requirement is satisfied by the
+    # window's hash partitioning — grouping on the scaled day_us
+    # expression instead costs a second exchange (verified in the
+    # executed plan).
+    base = ev.select(
+        "user_id", "event_id", "t",
+        F.expr("t div 86400000000").alias("day"),
+        F.col("value").cast("decimal(12,2)").alias("v"),
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("t", "event_id")
+    s = base.select(
+        "user_id", "day", "v",
+        (F.lead("t").over(w) - F.col("t")).alias("d"),
+    )
+    return (
+        s.groupBy("user_id", "day")
+        .agg(
+            F.count("*").cast("long").alias("n_samples"),
+            F.sum("d").cast("long").alias("span_us"),
+            (F.sum(F.col("v") * F.col("d")).cast("double")
+             / F.sum("d").cast("double")).alias("twa"),
+        )
+        .filter(F.col("span_us") > 0)
+        .select(
+            "user_id",
+            (F.col("day") * F.lit(86_400_000_000)).alias("day_us"),
+            "n_samples", "span_us", "twa",
+        )
+    )
