@@ -46,6 +46,7 @@ SOAK_QUERIES = (
     "sim_topk_bruteforce",
     "sim_pq_ann",
     "sim_ivfpq_ann",
+    "sim_pq_rerank",
     "dedup_bloom",
     "text_stats",
     "text_word_freq",
@@ -79,6 +80,7 @@ SOAK_TS_QUERIES = (
     "ts_gapfill_locf",
     "ts_counter_rate",
     "ts_quantiles",
+    "ts_time_weighted_avg",
 )
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
