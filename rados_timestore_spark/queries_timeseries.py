@@ -1113,3 +1113,64 @@ def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_samples", "span_us", "twa",
         )
     )
+
+
+# ----------------------------------------------- r6: M4 downsampling
+
+
+@register(
+    "ts_m4_downsample",
+    oracle=f"""{_EV_CTE},
+b AS (
+  -- first/last via twin row_numbers (DuckDB's min_by/max_by lack a
+  -- composite-key overload; same workaround as the gapfill oracle,
+  -- same (t, event_id) total order as the Spark min_by/max_by struct)
+  SELECT user_id, t // 3600000000 AS h,
+         CAST(value AS DECIMAL(12,2)) AS v,
+         row_number() OVER (PARTITION BY user_id, t // 3600000000
+                            ORDER BY t, event_id) AS rf,
+         row_number() OVER (PARTITION BY user_id, t // 3600000000
+                            ORDER BY t DESC, event_id DESC) AS rl
+  FROM ev)
+SELECT user_id, h * 3600000000 AS hour_us,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(v) AS DOUBLE) AS v_min,
+       CAST(max(v) AS DOUBLE) AS v_max,
+       CAST(max(CASE WHEN rf = 1 THEN v END) AS DOUBLE) AS v_first,
+       CAST(max(CASE WHEN rl = 1 THEN v END) AS DOUBLE) AS v_last
+FROM b GROUP BY 1, 2
+""",
+    tags=("timeseries", "agg"),
+    priority=110,  # new r6 carve-out (window full of promoted late-r5 queries); local-green both SFs; rotate in r7 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014): per (series, time
+    bucket) keep exactly the four value-defining points — min, max,
+    first, last — which is the smallest aggregation that renders a
+    pixel-perfect line chart at the bucket resolution.  First/last are
+    ``min_by``/``max_by`` over the (t, event_id) total order, so ties
+    at the same timestamp resolve identically in both engines.
+
+    Scale: ONE hash aggregate with map-side partials — every one of
+    the four statistics is associative, so a 100 TB scan reduces to
+    |series| x |buckets| rows with no window, no sort, and no second
+    exchange; this is the query a dashboard fan-out runs over raw
+    points when no rollup exists yet.
+    """
+    ev = _events(spark, sf_dir)
+    v = F.col("value").cast("decimal(12,2)")
+    ord_ = F.struct("t", "event_id")
+    return (
+        ev.select("user_id", F.expr("t div 3600000000").alias("h"),
+                  v.alias("v"), "t", "event_id")
+        .groupBy("user_id", "h")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("v").cast("double").alias("v_min"),
+            F.max("v").cast("double").alias("v_max"),
+            F.min_by("v", ord_).cast("double").alias("v_first"),
+            F.max_by("v", ord_).cast("double").alias("v_last"),
+        )
+        .select("user_id", (F.col("h") * F.lit(3_600_000_000)).alias("hour_us"),
+                "n", "v_min", "v_max", "v_first", "v_last")
+    )

@@ -81,6 +81,7 @@ SOAK_TS_QUERIES = (
     "ts_counter_rate",
     "ts_quantiles",
     "ts_time_weighted_avg",
+    "ts_m4_downsample",
 )
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
