@@ -1267,10 +1267,11 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RERANK_CAND = 20
 
 
-def _pq_rerank_ctes(top: str = "rr_top") -> str:
-    """Candidate CTEs + exact-L2 refinement, shared by the rerank
-    query and its recall twin so the two can never drift."""
-    return f"""{_pq_ctes(_RERANK_CAND, "pq_cand")},
+def _rerank_ctes(cand_ctes: str, top: str = "rr_top") -> str:
+    """Exact-L2 refinement appended to any candidate CTE chain that
+    produces ``pq_cand(query_id, neighbor_id)`` — shared by both
+    rerank queries and their recall twins so none can drift."""
+    return f"""{cand_ctes},
 rr AS (
   SELECT c.query_id, c.neighbor_id,
          {_l2_sql("e.embedding", "q.embedding")} AS exact_d2
@@ -1284,10 +1285,10 @@ rr AS (
   WHERE rank <= 5)"""
 
 
-def _pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared refine pipeline for sim_pq_rerank / sim_pq_rerank_recall."""
-    cand = _pq_ann(spark, sf_dir, k=_RERANK_CAND).select(
-        "query_id", "neighbor_id")
+def _exact_rerank(spark: SparkSession, sf_dir: str,
+                  cand: DataFrame) -> DataFrame:
+    """Refine ``cand(query_id, neighbor_id)`` by exact L2 and cut to
+    top-5 — the Spark twin of :func:`_rerank_ctes`' rr/rr_top."""
     emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
@@ -1312,7 +1313,7 @@ def _pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_pq_rerank",
     oracle=f"""
-WITH {_pq_rerank_ctes()}
+WITH {_rerank_ctes(_pq_ctes(_RERANK_CAND, "pq_cand"))}
 SELECT query_id, neighbor_id, exact_d2, rank FROM rr_top
 """,
     tags=("similarity", "ann"),
@@ -1328,12 +1329,16 @@ def sim_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-ranking restores exactness at the top.  Fully hash-checked:
     both the candidate cut and the exact refinement use this module's
     sequential double folds in both engines."""
-    return _pq_rerank(spark, sf_dir)
+    return _exact_rerank(
+        spark, sf_dir,
+        _pq_ann(spark, sf_dir, k=_RERANK_CAND)
+        .select("query_id", "neighbor_id"))
 
 
 @register(
     "sim_pq_rerank_recall",
-    oracle=_recall_sql(_pq_rerank_ctes(), "rr_top"),
+    oracle=_recall_sql(_rerank_ctes(_pq_ctes(_RERANK_CAND, "pq_cand")),
+                       "rr_top"),
     tags=("similarity", "ann"),
     priority=110,  # r6 carve-out, see sim_pq_rerank
 )
@@ -1346,7 +1351,7 @@ def sim_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     rerank stage sorts by L2 — on unnormalized embeddings the two
     orders legitimately differ, so 5/5 is not guaranteed, only
     improvement-or-equal."""
-    ann = _pq_rerank(spark, sf_dir).select("query_id", "neighbor_id")
+    ann = sim_pq_rerank(spark, sf_dir).select("query_id", "neighbor_id")
     return _recall_at_5(spark, sf_dir, ann)
 
 
@@ -1376,7 +1381,11 @@ def _pq_sub_res_l2_sql(rv: str, s: str, cv: str) -> str:
     )
 
 
-_IVFPQ_CTES = f"""{_KM_CTES},
+def _ivfpq_ctes(k: int, top: str = "ivfpq_top") -> str:
+    """The IVFADC oracle CTE chain with a parametric top-``k`` cut —
+    same convention as :func:`_pq_ctes` (k=5 is the direct answer,
+    wider k feeds the exact re-rank stage)."""
+    return f"""{_KM_CTES},
 {_km_assign_cte("kc2", "kassign")},
 res AS (
   SELECT a.vec_id, a.cid,
@@ -1422,11 +1431,14 @@ padc AS (
     ON l.bucket = e.cid AND l.s = e.s AND l.code = e.code
   WHERE e.vec_id <> l.query_id
   GROUP BY l.query_id, e.vec_id),
-ivfpq_top AS (
+{top} AS (
   SELECT query_id, vec_id AS neighbor_id, approx_d2, rank FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id
       ORDER BY approx_d2 ASC, vec_id) AS rank FROM padc) t
-  WHERE rank <= 5)"""
+  WHERE rank <= {k})"""
+
+
+_IVFPQ_CTES = _ivfpq_ctes(5)
 
 
 def _sq_dists(E: np.ndarray, C: np.ndarray) -> np.ndarray:
@@ -1492,8 +1504,9 @@ def _ivfpq_codebooks(spark: SparkSession, sf_dir: str,
     return R0.reshape(_PQ_K, _PQ_M, _PQ_DSUB).transpose(1, 0, 2)
 
 
-def _ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared IVF-PQ pipeline for sim_ivfpq_ann / sim_ivfpq_recall."""
+def _ivfpq_ann(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Shared IVF-PQ pipeline for sim_ivfpq_ann / sim_ivfpq_recall /
+    sim_ivfpq_rerank (which widens ``k`` to the candidate budget)."""
     emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
     cids, C, _counts = _kmeans_fit(spark, sf_dir)
     Cm = np.asarray(C, dtype=np.float64)
@@ -1551,7 +1564,7 @@ def _ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy("approx_d2", "vec_id")
     return (
         adc.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
+        .filter(F.col("rank") <= k)
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
                 "approx_d2", "rank")
     )
@@ -1590,6 +1603,44 @@ def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the compounded cost of bucketing + residual compression against
     the same exact top-5."""
     ann = _ivfpq_ann(spark, sf_dir).select("query_id", "neighbor_id")
+    return _recall_at_5(spark, sf_dir, ann)
+
+
+@register(
+    "sim_ivfpq_rerank",
+    oracle=f"""
+WITH {_rerank_ctes(_ivfpq_ctes(_RERANK_CAND, "pq_cand"))}
+SELECT query_id, neighbor_id, exact_d2, rank FROM rr_top
+""",
+    tags=("similarity", "ann"),
+    priority=110,  # r6 carve-out, see sim_pq_rerank
+)
+def sim_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC-R — the complete production ANN composition: trained
+    IVF prunes the corpus to nprobe buckets, residual PQ compresses
+    the in-bucket scan, and an exact-L2 re-rank of the top-20 ADC
+    candidates restores ranking fidelity at the top.  Identical
+    refine stage (and oracle CTEs) as :func:`sim_pq_rerank`, fed by
+    the IVFADC candidate chain."""
+    return _exact_rerank(
+        spark, sf_dir,
+        _ivfpq_ann(spark, sf_dir, k=_RERANK_CAND)
+        .select("query_id", "neighbor_id"))
+
+
+@register(
+    "sim_ivfpq_rerank_recall",
+    oracle=_recall_sql(_rerank_ctes(_ivfpq_ctes(_RERANK_CAND, "pq_cand")),
+                       "rr_top"),
+    tags=("similarity", "ann"),
+    priority=110,  # r6 carve-out, see sim_pq_rerank
+)
+def sim_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the re-ranked IVFADC path — directly comparable
+    with :func:`sim_ivfpq_recall` at identical top-k; the delta is
+    the refine stage's value on the compounded (bucketing + residual
+    compression) approximation."""
+    ann = sim_ivfpq_rerank(spark, sf_dir).select("query_id", "neighbor_id")
     return _recall_at_5(spark, sf_dir, ann)
 
 

@@ -124,11 +124,11 @@ def test_pq_rerank_refines_within_candidates(spark):
     """The refine stage's contract: rerank output is a subset of the
     ADC candidate list, exactly 5 per query, ordered by exact L2."""
     from rados_timestore_spark.queries_similarity import (
-        _RERANK_CAND, _pq_ann, _pq_rerank)
+        _RERANK_CAND, _pq_ann, sim_pq_rerank)
 
     cand = {(r["query_id"], r["neighbor_id"])
             for r in _pq_ann(spark, SF_DIR, k=_RERANK_CAND).collect()}
-    rows = _pq_rerank(spark, SF_DIR).collect()
+    rows = sim_pq_rerank(spark, SF_DIR).collect()
     assert len(rows) == 25  # 5 queries x top-5
     per_q = {}
     for r in rows:

@@ -98,6 +98,7 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "sim_matryoshka_recall", "mm_wav_rms", "ts_cas_writer_guard",
     "text_pack_sequences_sharded", "sim_pq_rerank",
     "sim_pq_rerank_recall", "ts_time_weighted_avg", "ts_m4_downsample",
+    "sim_ivfpq_rerank", "sim_ivfpq_rerank_recall",
 }
 
 

@@ -47,6 +47,7 @@ SOAK_QUERIES = (
     "sim_pq_ann",
     "sim_ivfpq_ann",
     "sim_pq_rerank",
+    "sim_ivfpq_rerank",
     "dedup_bloom",
     "text_stats",
     "text_word_freq",
