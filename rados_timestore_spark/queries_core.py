@@ -134,7 +134,7 @@ WHERE dtime BETWEEN {T_JAN10 // US_PER_DAY} AND {T_JAN20 // US_PER_DAY}
     # Q4's closed-interval contract is also covered by ts_read_simple and
     # this row was driver-green in r2 — demoted past the driver's bounded
     # check window to make room for the LLM-pipeline queries.
-    priority=900,
+    priority=70,  # re-promoted in r7: oldest driver evidence in the registry (r2-green) — refresh rotation per registry policy
 )
 def ts_closed_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BETWEEN is inclusive on both ends (Algorithms.hs:204-206:
@@ -155,7 +155,7 @@ def ts_closed_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_empty_addresses",
     oracle=f"{PTS_CTE} SELECT address, time, value, seq FROM pts WHERE FALSE",
     tags=("Q4",),
-    priority=900,  # r2-green contract check; demoted (see ts_closed_interval)
+    priority=70,  # re-promoted in r7: oldest driver evidence in the registry (r2-green) — refresh rotation per registry policy
 )
 def ts_empty_addresses(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Empty address list => empty result (``elem`` over an empty list,
@@ -229,7 +229,7 @@ SELECT (address & -2) % 128 AS bucket, count(*) AS n,
 FROM pts GROUP BY 1
 """,
     tags=("W1",),
-    priority=900,  # driver-green in r2 AND r3; demoted in r4 for streaming_sessionize (W1 routing stays driver-proven via ts_store_roundtrip + ts_epoch_stab; verified locally by tools/check_correctness.py)
+    priority=70,  # re-promoted in r7: oldest driver evidence in the registry (r3-green) — refresh rotation per registry policy
 )
 def ts_bucket_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """placeBucket (Core.hs:272-276): ``(addr clearBit 0) mod n`` —
@@ -606,7 +606,7 @@ WHERE rn = 1 AND address % 2 = 0
   AND time BETWEEN {T_JAN10} AND {T_JAN20}
 """,
     tags=("W6", "Q8"),
-    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
+    priority=900,  # demoted in r7 after r6 driver green, to rotate the r6 carve-out batch + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def ts_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compaction + GC preserve the read contract end-to-end: ingest
@@ -819,7 +819,7 @@ WHERE rn = 1 AND address % 2 = 0
   AND time BETWEEN {T_JAN10} AND {T_JAN20}
 """,
     tags=("X1", "X2", "W5", "Q8"),
-    priority=110,  # new r6: window full of never-checked carve-out promotions — local-green via tools/check_correctness.py; rotate into the driver window in r7
+    priority=60,  # promoted in r7: first driver evidence for the r6 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1 since r6)
 )
 def ts_cas_writer_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible evidence for the X1/X2 lock obviation: an actual

@@ -121,7 +121,7 @@ SELECT array_to_string(({_WORDS_SQL})[1:5], ' ') AS prefix_key,
 FROM documents GROUP BY 1 HAVING count(*) > 1
 """,
     tags=("dedup",),
-    priority=900,  # demoted very-late-r5 for the new dedup_semantic (r3-green; verified locally by tools/check_correctness.py)
+    priority=70,  # re-promoted in r7: oldest driver evidence in the registry (r3-green) — refresh rotation per registry policy
 )
 def dedup_exact_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-exact variant keyed on the 5-word prefix (real clusters in
@@ -938,7 +938,7 @@ SELECT train_id, count(*) AS n_shingles,
 FROM flag GROUP BY train_id
 """,
     tags=("dedup", "pipeline"),
-    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
+    priority=900,  # demoted in r7 after r6 driver green, to rotate the r6 carve-out batch + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination: the CONSTANT-memory variant of
@@ -1034,7 +1034,7 @@ WITH {_FUZZY_PAIRS_SQL}
 SELECT doc_a, doc_b, dist FROM pairs
 """,
     tags=("dedup",),
-    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
+    priority=900,  # demoted in r7 after r6 driver green, to rotate the r6 carve-out batch + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance fuzzy matching with blocking — the record-linkage
@@ -1105,7 +1105,7 @@ it2 AS (
 SELECT node, pr FROM it2
 """,
     tags=("dedup", "graph"),
-    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
+    priority=900,  # demoted in r7 after r6 driver green, to rotate the r6 carve-out batch + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative numeric graph analytics beyond connected components:

@@ -415,7 +415,7 @@ SELECT CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'image'
 FROM documents GROUP BY 1
 """,
     tags=("multimodal",),
-    priority=900,  # demoted final-r5 for the bench-tagged sim_ivfpq_ann (r2/r3-green; verified locally by tools/check_correctness.py)
+    priority=70,  # re-promoted in r7: oldest driver evidence in the registry (r3-green) — refresh rotation per registry policy
 )
 def mm_modality_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Modality routing/aggregation: classify blobs (fake sniff on
@@ -590,7 +590,7 @@ SELECT d.doc_id,
 FROM d JOIN p ON p.doc_id = d.doc_id
 """,
     tags=("multimodal",),
-    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
+    priority=900,  # demoted in r7 after r6 driver green, to rotate the r6 carve-out batch + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def mm_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, end to end: synthesize an actual PCM RIFF/
@@ -700,7 +700,7 @@ SELECT doc_id, CAST(n_samples AS BIGINT) AS n_samples,
 FROM sm
 """,
     tags=("multimodal",),
-    priority=110,  # new r6: window full of never-checked carve-out promotions — local-green via tools/check_correctness.py; rotate into the driver window in r7
+    priority=60,  # promoted in r7: first driver evidence for the r6 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1 since r6)
 )
 def mm_wav_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio energy features over REAL decoded PCM: per document, the
@@ -919,7 +919,7 @@ SELECT doc_id, w AS width, h AS height, 3 AS channels,
 FROM p
 """,
     tags=("multimodal",),
-    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
+    priority=900,  # demoted in r7 after r6 driver green, to rotate the r6 carve-out batch + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG decode end to end: a genuine deflate-compressed,

@@ -977,7 +977,7 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ivf_kmeans_recall",
     oracle=_recall_sql(_KM_IVF_CTES, "ktop"),
     tags=("similarity", "ann"),
-    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
+    priority=900,  # demoted in r7 after r6 driver green, to rotate the r6 carve-out batch + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def sim_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the TRAINED-quantizer IVF path against exact brute
@@ -1239,7 +1239,7 @@ def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_pq_recall",
     oracle=_recall_sql(_PQ_CTES, "pq_top"),
     tags=("similarity", "ann"),
-    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
+    priority=900,  # demoted in r7 after r6 driver green, to rotate the r6 carve-out batch + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the PQ-ADC path against exact brute force — the
@@ -1317,7 +1317,7 @@ WITH {_rerank_ctes(_pq_ctes(_RERANK_CAND, "pq_cand"))}
 SELECT query_id, neighbor_id, exact_d2, rank FROM rr_top
 """,
     tags=("similarity", "ann"),
-    priority=110,  # r6 carve-out (window full of promoted late-r5 queries); local-green both SFs; rotate in r7 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r7: first driver evidence for the r6 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1 since r6)
 )
 def sim_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact re-ranking over the PQ-ADC candidate list — the
@@ -1340,7 +1340,7 @@ def sim_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_recall_sql(_rerank_ctes(_pq_ctes(_RERANK_CAND, "pq_cand")),
                        "rr_top"),
     tags=("similarity", "ann"),
-    priority=110,  # r6 carve-out, see sim_pq_rerank
+    priority=60,  # promoted in r7: first driver evidence for the r6 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1 since r6)
 )
 def sim_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the re-ranked PQ path — the fourth member of the
@@ -1595,7 +1595,7 @@ def sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ivfpq_recall",
     oracle=_recall_sql(_IVFPQ_CTES, "ivfpq_top"),
     tags=("similarity", "ann"),
-    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
+    priority=900,  # demoted in r7 after r6 driver green, to rotate the r6 carve-out batch + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def sim_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the composed IVF-PQ path — completes the recall
@@ -1613,7 +1613,7 @@ WITH {_rerank_ctes(_ivfpq_ctes(_RERANK_CAND, "pq_cand"))}
 SELECT query_id, neighbor_id, exact_d2, rank FROM rr_top
 """,
     tags=("similarity", "ann"),
-    priority=110,  # r6 carve-out, see sim_pq_rerank
+    priority=60,  # promoted in r7: first driver evidence for the r6 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1 since r6)
 )
 def sim_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC-R — the complete production ANN composition: trained
@@ -1633,7 +1633,7 @@ def sim_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_recall_sql(_rerank_ctes(_ivfpq_ctes(_RERANK_CAND, "pq_cand")),
                        "rr_top"),
     tags=("similarity", "ann"),
-    priority=110,  # r6 carve-out, see sim_pq_rerank
+    priority=60,  # promoted in r7: first driver evidence for the r6 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1 since r6)
 )
 def sim_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the re-ranked IVFADC path — directly comparable
@@ -1690,7 +1690,7 @@ LEFT JOIN (SELECT * FROM trunc_scored WHERE rank <= {_MRL_K}) t
 GROUP BY f.query_id
 """,
     tags=("similarity", "recall"),
-    priority=110,  # new r6: window full of never-checked carve-out promotions — local-green via tools/check_correctness.py; rotate into the driver window in r7
+    priority=60,  # promoted in r7: first driver evidence for the r6 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1 since r6)
 )
 def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-truncation recall: top-k by cosine over only the

@@ -137,7 +137,7 @@ SELECT ex.n AS gram_n, ex.n_exact, s.n_registers,
 FROM ex JOIN s ON s.n = ex.n
 """,
     tags=("sketch", "text"),
-    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
+    priority=900,  # demoted in r7 after r6 driver green, to rotate the r6 carve-out batch + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def sketch_hll_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count of word 1/2/3-grams, side by side
@@ -234,7 +234,7 @@ SELECT g AS gram, CAST(n AS BIGINT) AS n_exact,
 FROM est
 """,
     tags=("sketch", "text"),
-    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
+    priority=900,  # demoted in r7 after r6 driver green, to rotate the r6 carve-out batch + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch frequency estimation for the top-25 word
@@ -306,7 +306,7 @@ SELECT bk.rk, bk.g AS gram, bk.h AS gram_hash,
 FROM bk
 """,
     tags=("sketch", "text"),
-    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
+    priority=900,  # demoted in r7 after r6 driver green, to rotate the r6 carve-out batch + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def sketch_kmv_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values) sketch over distinct trigrams: the
@@ -362,7 +362,7 @@ SELECT h & {_HLL_M - 1} AS bucket,
 FROM hx GROUP BY bucket
 """,
     tags=("sketch", "streaming"),
-    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
+    priority=900,  # demoted in r7 after r6 driver green, to rotate the r6 carve-out batch + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL registers maintained INCREMENTALLY by a real Structured

@@ -377,7 +377,7 @@ def streaming_asof_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_asof_watermark",
     oracle=_ASOF_ORACLE,
     tags=("streaming", "join", "asof"),
-    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
+    priority=900,  # demoted in r7 after r6 driver green, to rotate the r6 carve-out batch + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def streaming_asof_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark-exact streaming as-of join, TIMEOUT-finalized: the
@@ -671,7 +671,7 @@ SELECT content_md5, doc_id AS keep_doc_id, n_dups
 FROM r WHERE rn = 1
 """,
     tags=("streaming", "dedup"),
-    priority=110,  # new r6: window full of never-checked carve-out promotions — local-green via tools/check_correctness.py; rotate into the driver window in r7
+    priority=60,  # promoted in r7: first driver evidence for the r6 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1 since r6)
 )
 def streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup with FIRST-ARRIVAL-WINS representatives,

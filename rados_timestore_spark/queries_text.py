@@ -84,7 +84,7 @@ SELECT doc_id,
 FROM documents
 """,
     tags=("text",),
-    priority=900,  # demoted very-late-r5 for the new pipeline_corpus_curation (r3-green; verified locally by tools/check_correctness.py)
+    priority=70,  # re-promoted in r7: oldest driver evidence in the registry (r3-green) — refresh rotation per registry policy
 )
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting with a BPE-ish regex (letter runs / digit runs /
@@ -168,7 +168,7 @@ SELECT doc_id,
 FROM documents
 """,
     tags=("text",),
-    priority=900,  # demoted final-r5 for the bench-tagged sim_pq_ann (r2/r3-green; verified locally by tools/check_correctness.py)
+    priority=70,  # re-promoted in r7: oldest driver evidence in the registry (r3-green) — refresh rotation per registry policy
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring (length / punctuation / stopword
@@ -497,7 +497,7 @@ SELECT doc_id, n_grams, dup_grams,
 FROM per_doc
 """,
     tags=("text", "dedup"),
-    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
+    priority=900,  # demoted in r7 after r6 driver green, to rotate the r6 carve-out batch + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication fraction ("Deduplicating Training
@@ -576,7 +576,7 @@ SELECT doc_id, n_emails, n_phones, md5(body) AS scrub_hash
 FROM scrub
 """,
     tags=("text", "pipeline"),
-    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
+    priority=900,  # demoted in r7 after r6 driver green, to rotate the r6 carve-out batch + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing — the redaction pass every training-data pipeline
@@ -635,7 +635,7 @@ SELECT doc_id, count(*) AS n_words,
 FROM scored GROUP BY doc_id
 """,
     tags=("text", "quality"),
-    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
+    priority=900,  # demoted in r7 after r6 driver green, to rotate the r6 carve-out batch + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-surprisal quality score — the KenLM-perplexity stand-in
@@ -791,7 +791,7 @@ r AS (SELECT lang, doc_id, hv,
 SELECT lang, rk, doc_id FROM r WHERE rk <= {_STRAT_K}
 """,
     tags=("text", "pipeline"),
-    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
+    priority=900,  # demoted in r7 after r6 driver green, to rotate the r6 carve-out batch + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: per language, take the
@@ -836,7 +836,7 @@ SELECT p.w1, p.w2, CAST(p.n_pair AS BIGINT) AS n_pair,
 FROM pairs p JOIN sup s1 ON s1.w = p.w1 JOIN sup s2 ON s2.w = p.w2
 """,
     tags=("text", "analytics"),
-    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
+    priority=900,  # demoted in r7 after r6 driver green, to rotate the r6 carve-out batch + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def text_word_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association mining (market-basket over word sets): frequent
@@ -911,7 +911,7 @@ SELECT cum_before // {PACK_BUDGET} AS bin_id,
 FROM cum GROUP BY 1
 """,
     tags=("text", "llm"),
-    priority=110,  # new r6: window full of never-checked carve-out promotions — local-green via tools/check_correctness.py; rotate into the driver window in r7
+    priority=60,  # promoted in r7: first driver evidence for the r6 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1 since r6)
 )
 def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for pretraining: documents concatenated in
@@ -974,7 +974,7 @@ ranked AS (
 SELECT doc_id, word, df, rank FROM ranked WHERE rank <= 3
 """,
     tags=("text",),
-    priority=110,  # new r6: window full of never-checked carve-out promotions — local-green via tools/check_correctness.py; rotate into the driver window in r7
+    priority=60,  # promoted in r7: first driver evidence for the r6 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1 since r6)
 )
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Most distinctive terms per document — the TF-IDF top-k made
@@ -1028,7 +1028,7 @@ SELECT doc_id, count(*) AS n_bigrams,
 FROM scored GROUP BY doc_id
 """,
     tags=("text", "quality"),
-    priority=110,  # new r6: window full of never-checked carve-out promotions — local-green via tools/check_correctness.py; rotate into the driver window in r7
+    priority=60,  # promoted in r7: first driver evidence for the r6 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1 since r6)
 )
 def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM surprisal — the next rung above text_unigram_surprisal
@@ -1100,7 +1100,7 @@ SELECT shard, cum_before // {PACK_BUDGET} AS bin_id,
 FROM cum GROUP BY 1, 2
 """,
     tags=("text", "llm"),
-    priority=110,  # new r6: window full of never-checked carve-out promotions — local-green via tools/check_correctness.py; rotate into the driver window in r7
+    priority=60,  # promoted in r7: first driver evidence for the r6 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1 since r6)
 )
 def text_pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION shape of sequence packing: documents are packed

@@ -277,7 +277,7 @@ SELECT CAST(floor(value / 5) AS BIGINT) AS bucket, count(*) AS n,
 FROM ev GROUP BY 1
 """,
     tags=("timeseries", "agg"),
-    priority=900,  # was re-promoted early in r5, swapped back out for the new mm_decode_ppm (r2-green; verified locally by tools/check_correctness.py)
+    priority=70,  # re-promoted in r7: oldest driver evidence in the registry (r2-green) — refresh rotation per registry policy
 )
 def ts_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width value histogram — one hash aggregate; min/max
@@ -305,7 +305,7 @@ SELECT user_id, event_id, t,
 FROM ev
 """,
     tags=("timeseries", "window"),
-    priority=900,  # r2-green simple lag op; demoted past the driver window
+    priority=70,  # re-promoted in r7: oldest driver evidence in the registry (r2-green) — refresh rotation per registry policy
 )
 def ts_delta_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta encoding of per-series timestamps (the compression
@@ -409,7 +409,7 @@ SELECT user_id, hour,
 FROM w GROUP BY user_id, hour
 """,
     tags=("timeseries", "agg"),
-    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
+    priority=900,  # demoted in r7 after r6 driver green, to rotate the r6 carve-out batch + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def ts_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC (candlestick) hourly rollup per series: open/close are the
@@ -489,7 +489,7 @@ SELECT zval >> {_Z_CELL_SHIFT} AS zcell, count(*) AS n,
 FROM z GROUP BY 1
 """,
     tags=("timeseries", "layout"),
-    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
+    priority=900,  # demoted in r7 after r6 driver green, to rotate the r6 carve-out batch + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def ts_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) layout clustering: interleave the bits of the
@@ -535,7 +535,7 @@ SELECT event_type, count(*) AS n,
 FROM events GROUP BY event_type
 """,
     tags=("timeseries", "json"),
-    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
+    priority=900,  # demoted in r7 after r6 driver green, to rotate the r6 carve-out batch + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def ts_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: pull a typed field out of the JSON
@@ -575,7 +575,7 @@ SELECT user_id,
 FROM events GROUP BY user_id
 """,
     tags=("timeseries", "agg"),
-    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
+    priority=900,  # demoted in r7 after r6 driver green, to rotate the r6 carve-out batch + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def ts_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long -> wide): per-user event counts with one column per
@@ -617,7 +617,7 @@ SELECT count(*) AS n_users,
 FROM u3 JOIN u1 ON u1.user_id = u3.user_id
 """,
     tags=("timeseries", "analytics"),
-    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
+    priority=900,  # demoted in r7 after r6 driver green, to rotate the r6 carve-out batch + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel analysis (view -> click -> purchase): per user,
@@ -681,7 +681,7 @@ FROM d JOIN c ON c.user_id = d.user_id
 GROUP BY 1, 2
 """,
     tags=("timeseries", "analytics"),
-    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
+    priority=900,  # demoted in r7 after r6 driver green, to rotate the r6 carve-out batch + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def ts_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by their first active
@@ -729,7 +729,7 @@ FROM x JOIN s ON s.user_id = x.user_id
 GROUP BY x.user_id
 """,
     tags=("timeseries", "analytics"),
-    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
+    priority=900,  # demoted in r7 after r6 driver green, to rotate the r6 carve-out batch + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series 3-sigma anomaly counting with EXACT integer
@@ -799,7 +799,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY t
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 """,
     tags=("timeseries", "window"),
-    priority=60,  # promoted in r6: first driver evidence for the late-r5 carve-out batch (local-green via tools/check_correctness.py since r5)
+    priority=900,  # demoted in r7 after r6 driver green, to rotate the r6 carve-out batch + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def ts_moving_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-RANGE-framed moving aggregate: per event, the count and
@@ -859,7 +859,7 @@ SELECT user_id, h * 3600000000 AS hour_us, n,
 FROM joined
 """,
     tags=("timeseries",),
-    priority=110,  # new r6: window full of never-checked carve-out promotions — local-green via tools/check_correctness.py; rotate into the driver window in r7
+    priority=60,  # promoted in r7: first driver evidence for the r6 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1 since r6)
 )
 def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style gap fill + last-observation-carried-forward
@@ -937,7 +937,7 @@ SELECT user_id, day * 86400000000 AS day_us,
 FROM d GROUP BY 1, 2
 """,
     tags=("timeseries",),
-    priority=110,  # new r6: window full of never-checked carve-out promotions — local-green via tools/check_correctness.py; rotate into the driver window in r7
+    priority=60,  # promoted in r7: first driver evidence for the r6 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1 since r6)
 )
 def ts_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL-style reset-aware ``increase()``: per user per day, the
@@ -1000,7 +1000,7 @@ SELECT event_type, max(n) AS n,
 FROM r GROUP BY event_type
 """,
     tags=("timeseries", "agg"),
-    priority=110,  # new r6: window full of never-checked carve-out promotions — local-green via tools/check_correctness.py; rotate into the driver window in r7
+    priority=60,  # promoted in r7: first driver evidence for the r6 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1 since r6)
 )
 def ts_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT discrete quantiles (p50/p90/p99 of value per event type)
@@ -1059,7 +1059,7 @@ FROM s GROUP BY 1, 2
 HAVING sum(d) > 0
 """,
     tags=("timeseries", "agg"),
-    priority=110,  # new r6 carve-out (window full of promoted late-r5 queries); local-green both SFs; rotate in r7 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r7: first driver evidence for the r6 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1 since r6)
 )
 def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average per user per day (TimescaleDB's
@@ -1141,7 +1141,7 @@ SELECT user_id, h * 3600000000 AS hour_us,
 FROM b GROUP BY 1, 2
 """,
     tags=("timeseries", "agg"),
-    priority=110,  # new r6 carve-out (window full of promoted late-r5 queries); local-green both SFs; rotate in r7 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r7: first driver evidence for the r6 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1 since r6)
 )
 def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4 downsampling (Jugel et al., VLDB 2014): per (series, time

@@ -51,25 +51,29 @@ def test_bench_set_nonempty():
     assert 10 <= len(bench) <= len(registry.queries())
 
 
-# The r6 driver window, pinned exactly.  A misplaced priority= line
+# The r7 driver window, pinned exactly.  A misplaced priority= line
 # once silently broke a rotation (ADVICE r4: text_lang_id's demotion
 # parsed as dead code and pushed bench-tagged tpch_q1 out of the
 # window) — membership drift must fail loudly, so any intentional
 # rotation edits this set in the same commit.
 EXPECTED_WINDOW = {
-    # r6 rotation (p=60): the 27 late-r5 carve-out queries, promoted
-    # for their FIRST driver evidence; the 27 non-bench r5-green
-    # incumbents were demoted in exchange (VERDICT r5 "Next round" #1)
-    "ts_compact_roundtrip", "ts_ohlc_hourly", "ts_zorder_stats",
-    "ts_json_props", "ts_pivot_event_counts", "ts_funnel",
-    "ts_cohort_retention", "ts_anomaly_zscore", "ts_moving_window_sum",
-    "streaming_asof_watermark", "streaming_hll_registers",
-    "text_dup_spans", "text_pii_scrub", "text_unigram_surprisal",
-    "text_stratified_sample", "text_word_assoc",
-    "dedup_bloom", "dedup_fuzzy_prefix", "graph_pagerank",
-    "sim_ivf_kmeans_recall", "sim_pq_recall", "sim_ivfpq_recall",
-    "mm_wav_meta", "mm_decode_png",
-    "sketch_hll_ngrams", "sketch_cms_heavy_hitters", "sketch_kmv_sample",
+    # r7 rotation part 1 (p=60): the 17 r6 carve-out queries, promoted
+    # for their FIRST driver evidence; 27 non-bench r6-green incumbents
+    # were demoted in exchange (VERDICT r6 "Next round" #1)
+    "ts_cas_writer_guard", "ts_gapfill_locf", "ts_counter_rate",
+    "ts_quantiles", "ts_time_weighted_avg", "ts_m4_downsample",
+    "streaming_dedup_docs", "text_pack_sequences",
+    "text_pack_sequences_sharded", "text_tfidf_top_terms",
+    "text_bigram_surprisal", "sim_pq_rerank", "sim_pq_rerank_recall",
+    "sim_ivfpq_rerank", "sim_ivfpq_rerank_recall",
+    "sim_matryoshka_recall", "mm_wav_rms",
+    # r7 rotation part 2 (p=70): the 10 queries with the OLDEST driver
+    # evidence (r2/r3-green, unseen since), re-promoted so rotation
+    # periodically refreshes old evidence (registry policy bullet 3)
+    "tpch_q10_returned_items", "ts_closed_interval", "ts_delta_encode",
+    "ts_empty_addresses", "ts_value_histogram", "dedup_exact_prefix",
+    "mm_modality_routing", "text_quality_score", "text_token_count",
+    "ts_bucket_placement",
     # the bench/headline set (must always be driver-visible)
     "ts_bulk_backfill", "text_winnow_fingerprint", "sim_ivf_kmeans",
     "sim_pq_ann", "sim_ivfpq_ann",
@@ -88,18 +92,11 @@ EXPECTED_WINDOW = {
 # registry test asserting no query stays past the window for more than
 # one round") — any name added here is a standing debt that the next
 # round's rotation has to clear.
-EXPECTED_CARVEOUT_BACKLOG: set[str] = {
-    # new in r6 (window already full with the 27 promoted late-r5
-    # queries): local-green via tools/check_correctness.py at sf0.01
-    # AND sf0.1; MUST be rotated into the driver window in r7.
-    "ts_gapfill_locf", "ts_counter_rate", "ts_quantiles",
-    "text_pack_sequences", "text_tfidf_top_terms",
-    "streaming_dedup_docs", "text_bigram_surprisal",
-    "sim_matryoshka_recall", "mm_wav_rms", "ts_cas_writer_guard",
-    "text_pack_sequences_sharded", "sim_pq_rerank",
-    "sim_pq_rerank_recall", "ts_time_weighted_avg", "ts_m4_downsample",
-    "sim_ivfpq_rerank", "sim_ivfpq_rerank_recall",
-}
+# r7 rotation cleared the whole 17-query r6 backlog (all promoted to
+# p=60 for first driver evidence).  New same-round carve-outs may
+# appear here only while the window is full of never-checked
+# promotions, and must be rotated in the following round.
+EXPECTED_CARVEOUT_BACKLOG: set[str] = set()
 
 
 def test_carveout_backlog_is_rotated():
