@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
-from rados_timestore_spark.queries_common import load, load_parallel
+from rados_timestore_spark.queries_common import load, load_parallel, pin
 from rados_timestore_spark.registry import register
 
 _WORDS_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
@@ -195,7 +195,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exploded feeds the df-count AND the rare-join: persist so the
     # shingle UDF pass runs once, not twice.
     sh = _doc_shingles(spark, sf_dir)
-    exploded = sh.select("doc_id", F.explode("hs").alias("h")).persist()
+    exploded = sh.select("doc_id", F.explode("hs").alias("h")).transform(pin)
     rare = (
         exploded.groupBy("h").agg(F.count("*").alias("df"))
         .filter(F.col("df") <= _MAX_SHINGLE_DF)
@@ -208,7 +208,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is one (long, long) row per doc — AQE broadcasts it at any sane
     # scale; at true 100 TB corpus sizes it degrades to a shuffle
     # join, still dwarfed by the pair volume it saves.
-    ex_szd = ex_rare.join(sizes, "doc_id").persist()
+    ex_szd = ex_rare.join(sizes, "doc_id").transform(pin)
     a, b = ex_szd.alias("a"), ex_szd.alias("b")
     ratio_ok = (
         F.least(F.col("a.n"), F.col("b.n")) * _TAU_DEN
@@ -340,7 +340,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for b in range(_SIM_BANDS)
             ])
         ).alias("bb"),
-    ).select("doc_id", "simhash", "bb.band", "bb.bval").persist()
+    ).select("doc_id", "simhash", "bb.band", "bb.bval").transform(pin)
     cand = (
         bands.alias("x")
         .join(
@@ -615,7 +615,7 @@ def _connected_components(spark: SparkSession, edges: DataFrame) -> DataFrame:
     edge endpoint.  Local union-find under ``_CC_LOCAL_MAX_EDGES``,
     distributed min-id propagation above it (see call-site comment).
     """
-    edges = edges.persist()
+    edges = edges.transform(pin)
     n_edges = edges.count()
     if n_edges <= _CC_LOCAL_MAX_EDGES:
         parent: dict[int, int] = {}
@@ -761,8 +761,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # One fused UDF pass yields shingle sets (verify) AND signatures
     # (banding); persisted once for all consumers.
-    sh = _mh_sig_docs(spark, sf_dir).persist()
-    bands = _mh_banded_spark(sh).persist()
+    sh = _mh_sig_docs(spark, sf_dir).transform(pin)
+    bands = _mh_banded_spark(sh).transform(pin)
     cand = _salted_candidates(bands)
 
     # Exact verify on candidates only (integer Jaccard >= 0.4).
@@ -829,7 +829,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole LSH pipeline rather than rows-only.  Candidates come from
     the salted band join (:func:`_salted_candidates`) so a hot bucket
     never lands its k^2 pairs on one task."""
-    sh = _mh_sig_docs(spark, sf_dir).persist()
+    sh = _mh_sig_docs(spark, sf_dir).transform(pin)
     bands = _mh_banded_spark(sh)
     cand = _salted_candidates(bands)
     j = (
@@ -1125,7 +1125,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionByName(
         edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
-    ).persist()  # edge list feeds deg + two rank iterations
+    ).transform(pin)  # edge list feeds deg + two rank iterations
     deg = e.groupBy("u").agg(F.count("*").alias("d"))
     pr = deg.select(F.col("u").alias("node"),
                     F.lit(_PR_SCALE).cast("long").alias("pr"))

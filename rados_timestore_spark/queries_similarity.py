@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from rados_timestore_spark.queries_common import load, load_parallel
+from rados_timestore_spark.queries_common import load, load_parallel, pin
 from rados_timestore_spark.registry import register
 
 DIM = 64
@@ -433,7 +433,7 @@ def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = emb.withColumn("__bs", bands_udf("embedding")).select(
         "vec_id", "embedding", F.col("__bs.nn").alias("nn"),
         F.col("__bs.bandkeys").alias("bandkeys"),
-    ).persist()
+    ).transform(pin)
 
     bands_long = banded.select(
         "vec_id", F.explode("bandkeys").alias("bandkey")

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rados_timestore_spark.queries_common import load_parallel
+from rados_timestore_spark.queries_common import load_parallel, pin
 from rados_timestore_spark.registry import register
 
 _WORDS_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
@@ -170,7 +170,7 @@ def sketch_hll_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(ws.alias("ws"))
         .select(F.explode(gram_structs).alias("t"))
         .select(F.col("t.n").alias("n"), F.col("t.g").alias("g"))
-        .persist()  # feeds the register build AND the exact counts
+        .transform(pin)  # feeds the register build AND the exact counts
     )
     hx = gx.select(
         "n",
@@ -248,7 +248,7 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution."""
     docs = load_parallel(spark, sf_dir, "documents", "doc_id")
     # one corpus scan feeds cells AND the top-k counts
-    occ = _trigram_hashes(docs).persist()
+    occ = _trigram_hashes(docs).transform(pin)
 
     def _positions(col: str = "h") -> F.Column:
         return F.explode(F.array(*[

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from rados_timestore_spark.queries_common import load, load_parallel
+from rados_timestore_spark.queries_common import load, load_parallel, pin
 from rados_timestore_spark.registry import register
 
 #: Tiny per-language stopword profiles for the n-gram/stopword
@@ -858,7 +858,7 @@ def text_word_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(F.array_distinct(_words_col())).alias("w"),
         )
-        .persist()  # feeds the pair self-join (twice) + supports
+        .transform(pin)  # feeds the pair self-join (twice) + supports
     )
     sup = dw.groupBy("w").agg(F.count("*").alias("n"))
     a, b = dw.alias("a"), dw.alias("b")

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rados_timestore_spark.queries_common import load, ts_lit
+from rados_timestore_spark.queries_common import load, pin, ts_lit
 from rados_timestore_spark.registry import register
 
 # [1996-01-01, 1998-01-01) — the classic q7 two-year shipping window.
@@ -314,7 +314,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(_rev()).alias("total_revenue")
-    ).persist()
+    ).transform(pin)
     mx = revenue.agg(F.max("total_revenue").alias("__mx"))
     supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     top = revenue.join(F.broadcast(mx),
@@ -456,7 +456,7 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     ship = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("l_shipdate").alias("last_ship")
-    ).persist()
+    ).transform(pin)
     ord_agg = ship.groupBy("l_orderkey").agg(
         F.max("last_ship").alias("order_last"),
         F.count("*").alias("n_supps"),

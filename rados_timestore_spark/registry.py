@@ -73,8 +73,22 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
       DEMOTIONS of window incumbents, not first registrations).
     """
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = Query(fn=fn, oracle=oracle, tags=tags, bench=bench,
-                              priority=priority)
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Release the PREVIOUS query's pinned intermediates (see
+            # queries_common.pin): queries return lazily, so the start
+            # of the next query is the earliest provably-safe release
+            # point.  Keeps long sessions (driver correctness sweep,
+            # bench, CLI) from accumulating cached blocks.
+            from rados_timestore_spark.queries_common import release_pins
+
+            release_pins()
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = Query(fn=wrapped, oracle=oracle, tags=tags,
+                              bench=bench, priority=priority)
         return fn
     return deco
 

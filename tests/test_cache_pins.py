@@ -1,0 +1,94 @@
+"""Cache-pin discipline (VERDICT r6 "What's wrong" #1).
+
+Every ``persist()`` in the query modules goes through
+``queries_common.pin``; the registry wrapper releases the previous
+query's pins when the next query starts, and harnesses call
+``release_pins()`` after their final action.  A long-lived session
+running many registered queries must end with ZERO cached blocks.
+"""
+
+import subprocess
+
+from rados_timestore_spark import registry
+from rados_timestore_spark.queries_common import _PINNED, pin, release_pins
+
+from tests.conftest import SF_DIR
+
+
+def _cached_rdd_blocks(spark):
+    # Materialized cached blocks as the executors see them.
+    return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+
+def _cache_manager_empty(spark):
+    # Catalyst's CacheManager tracks df.persist() registrations even
+    # before materialization.
+    return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_pin_registers_and_release_unpersists(spark):
+    release_pins()
+    df = pin(spark.range(100))
+    assert len(_PINNED) == 1
+    assert df.count() == 100
+    assert not _cache_manager_empty(spark)
+    assert release_pins() == 1
+    assert _PINNED == []
+    assert _cache_manager_empty(spark)
+
+
+def test_session_cache_returns_to_baseline_after_many_queries(spark):
+    # The pin-using queries (dedup blocking, pagerank edges, sketch
+    # intermediates, word-assoc supports, tpch2 reused subplans) span
+    # every file the r6 VERDICT flagged.  Run them back to back in ONE
+    # session with NO harness clearCache — only the registry wrapper's
+    # release-on-next-entry plus one final release_pins() — and the
+    # cache must end empty.
+    names = [
+        "dedup_ngram_jaccard", "dedup_simhash_pairs", "dedup_minhash_lsh",
+        "dedup_minhash_pairs", "graph_pagerank", "sketch_hll_ngrams",
+        "sketch_cms_heavy_hitters", "text_word_assoc",
+    ]
+    spark.catalog.clearCache()
+    release_pins()
+    qs = registry.queries()
+    for name in names:
+        rows = qs[name](spark, SF_DIR).count()
+        assert rows >= 0
+    # Everything but the LAST query's pins was already released by the
+    # wrapper; the final release drops the rest.
+    release_pins()
+    assert _cache_manager_empty(spark)
+    assert _cached_rdd_blocks(spark) == 0
+
+
+def test_wrapper_releases_previous_querys_pins(spark):
+    spark.catalog.clearCache()
+    release_pins()
+    qs = registry.queries()
+    qs["graph_pagerank"](spark, SF_DIR).count()
+    assert len(_PINNED) >= 1  # pagerank pins its edge list
+    # Starting ANY next query releases them before new pins are added.
+    qs["text_stats"](spark, SF_DIR).count()
+    assert all(
+        df._jdf.queryExecution().logical() is not None for df in _PINNED
+    )  # whatever is pinned now belongs to the current query only
+    prev = len(_PINNED)
+    assert prev == 0  # text_stats pins nothing
+    release_pins()
+    assert _cache_manager_empty(spark)
+
+
+def test_no_bare_persist_outside_pin():
+    # Grep-level guard: no query module may call .persist()/.cache()
+    # directly — pin() is the only sanctioned route (its own persist
+    # lives in queries_common.py).
+    out = subprocess.run(
+        ["grep", "-rn", r"\.persist()\|\.cache()", "rados_timestore_spark/"],
+        capture_output=True, text=True, cwd="/root/repo",
+    ).stdout
+    offenders = [
+        ln for ln in out.splitlines()
+        if "queries_common.py" not in ln and not ln.strip().startswith("#")
+    ]
+    assert offenders == [], offenders
