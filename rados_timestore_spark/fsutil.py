@@ -101,27 +101,26 @@ class HadoopFS:
             out.write(bytearray(text.encode("utf-8")))
         finally:
             out.close()
-        dest = self._path(p)
-        bak = self._path(p + ".bak")
-        if self.fs.exists(dest):
-            if self.fs.exists(bak):
-                self.fs.delete(bak, False)
-            if not self.fs.rename(dest, bak):
+        bak = p + ".bak"
+        if self.exists(p):
+            if self.exists(bak):
+                self.delete(bak, False)
+            if not self.rename(p, bak):
                 raise IOError(f"backup rename failed: {p} -> {p}.bak")
-        if not self.fs.rename(self._path(tmp), dest):
+        if not self.rename(tmp, p):
             raise IOError(f"rename failed: {tmp} -> {p}")
         # New primary is in place; the backup is only crash insurance.
-        if self.fs.exists(bak):
-            self.fs.delete(bak, False)
+        if self.exists(bak):
+            self.delete(bak, False)
 
     def exists_or_recover(self, p: str) -> bool:
         """True iff ``p`` exists, restoring it from the ``p.bak``
         crash backup (see :meth:`write_text_atomic`) if needed."""
         if self.fs.exists(self._path(p)):
             return True
-        bak = self._path(p + ".bak")
-        if self.fs.exists(bak):
-            if self.fs.rename(bak, self._path(p)):
+        bak = p + ".bak"
+        if self.exists(bak):
+            if self.rename(bak, p):
                 return True
             # Rename can fail because a concurrent reader already
             # recovered the file or a writer recreated it between the
@@ -136,3 +135,68 @@ class HadoopFS:
 
     def delete(self, p: str, recursive: bool = True) -> bool:
         return bool(self.fs.delete(self._path(p), recursive))
+
+
+class SimulatedCrash(Exception):
+    """Raised by :class:`ObjectStoreFS` fault injection — models the
+    process dying inside a non-atomic rename window."""
+
+
+class ObjectStoreFS(HadoopFS):
+    """Object-store-semantics shim for the metadata layer.
+
+    Real object stores (Ceph RGW via s3a, S3) have NO atomic rename:
+    s3a emulates ``rename`` as copy-then-delete, so a crash mid-rename
+    can leave the object at BOTH paths (copy done, delete pending) or
+    only the source (crash before the copy completes — S3 PUTs are
+    atomic per object, partial objects never become visible).  This
+    subclass reproduces exactly those semantics over any backing FS so
+    the backend-contract suite (reference tests/StoreTests.hs:101-203)
+    can prove the metadata machinery — ``write_text_atomic``'s
+    tmp+backup scheme and ``exists_or_recover`` — without assuming the
+    POSIX rename atomicity a local filesystem quietly provides.
+
+    Fault injection: set ``crash_before_copy`` / ``crash_before_delete``
+    to make the NEXT rename die at that window (flag auto-clears so
+    recovery code can rename again).
+
+    Scope: metadata objects only (single files).  Directory renames are
+    refused — object stores have no directories, and the store's bulk
+    data path never renames directories through this layer (Spark's
+    own committer handles task commits; on a real s3a deployment that
+    is the S3A committer's job, configured Spark-side).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        super().__init__(spark, root)
+        self.crash_before_copy = False
+        self.crash_before_delete = False
+        self.renames = 0
+
+    def rename(self, src: str, dst: str) -> bool:
+        src_p, dst_p = self._path(src), self._path(dst)
+        if not self.fs.exists(src_p):
+            return False
+        if self.fs.getFileStatus(src_p).isDirectory():
+            raise IOError(f"ObjectStoreFS refuses directory rename: {src}")
+        if self.fs.exists(dst_p):
+            return False  # same non-clobber contract as Hadoop rename
+        self.renames += 1
+        if self.crash_before_copy:
+            self.crash_before_copy = False
+            raise SimulatedCrash(f"crash before copy: {src} -> {dst}")
+        # Copy-then-delete, the s3a rename emulation.  The copy is one
+        # whole-object transfer (object stores never expose partial
+        # objects); Hadoop's own FileUtil.copy carries the bytes.
+        ok = self._jvm.org.apache.hadoop.fs.FileUtil.copy(
+            self.fs, src_p, self.fs, dst_p, False, True, self._conf
+        )
+        if not ok:
+            raise IOError(f"object copy failed: {src} -> {dst}")
+        if self.crash_before_delete:
+            self.crash_before_delete = False
+            raise SimulatedCrash(
+                f"crash after copy, before delete: {src} -> {dst}"
+            )
+        self.fs.delete(src_p, False)
+        return True

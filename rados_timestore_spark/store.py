@@ -113,10 +113,15 @@ class TimeStore:
     """
 
     def __init__(self, spark: SparkSession, root: str,
-                 rollover_bytes: int = DEFAULT_ROLLOVER_BYTES):
+                 rollover_bytes: int = DEFAULT_ROLLOVER_BYTES,
+                 fs_class: type | None = None):
         self.spark = spark
         self.root = root.rstrip("/")
         self.rollover_bytes = rollover_bytes
+        #: Metadata-FS implementation — HadoopFS by default; tests pass
+        #: fsutil.ObjectStoreFS to run the backend-contract suite under
+        #: object-store (non-atomic-rename) semantics.
+        self._fs_class = fs_class
 
     @cached_property
     def fs(self):
@@ -124,7 +129,7 @@ class TimeStore:
         duality (Stores/Memory.hs vs Stores/Rados.hs) as one API."""
         from rados_timestore_spark.fsutil import HadoopFS
 
-        return HadoopFS(self.spark, self.root)
+        return (self._fs_class or HadoopFS)(self.spark, self.root)
 
     # ------------------------------------------------------------ paths
 
