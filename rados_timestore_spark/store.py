@@ -32,6 +32,8 @@ never does.
 from __future__ import annotations
 
 import json
+import os
+from contextlib import contextmanager
 from dataclasses import dataclass
 from functools import cached_property
 from typing import Sequence
@@ -164,14 +166,89 @@ class TimeStore:
         path = self._meta_path(ns)
         # exists_or_recover restores _meta.json from its .bak crash
         # backup if a write_text_atomic was interrupted mid-replace.
-        if not self.fs.exists_or_recover(path):
-            raise NamespaceNotRegistered(ns)
-        return _Meta.from_json(json.loads(self.fs.read_text(path)))
+        # The open itself can still race a concurrent writer's replace
+        # (primary briefly renamed aside between our exists check and
+        # the read) — that window is transient by construction, so a
+        # bounded re-check-and-retry is exact, not a sleep-and-hope.
+        for _ in range(20):
+            if not self.fs.exists_or_recover(path):
+                raise NamespaceNotRegistered(ns)
+            try:
+                return _Meta.from_json(json.loads(self.fs.read_text(path)))
+            except Exception:
+                import time
+
+                time.sleep(0.01)
+        raise IOError(
+            f"namespace {ns!r}: _meta.json unreadable after 20 attempts "
+            f"(writer replace storm?)"
+        )
 
     def _write_meta(self, ns: str, meta: _Meta) -> None:
         self.fs.write_text_atomic(
             self._meta_path(ns), json.dumps(meta.to_json())
         )
+
+    @contextmanager
+    def _flip_lock(self, ns: str, timeout: float = 30.0,
+                   stale_after: float = 60.0):
+        """Best-effort exclusive marker around the CAS read->write
+        window (the reference pairs its index CAS re-check with
+        advisory locks, StoreHelpers.hs:214-219 / TimeStore.hs:98-137).
+
+        Create-exclusive is atomic on HDFS/local Hadoop filesystems, so
+        there the undetected two-writers-in-the-window race is closed;
+        on object stores create-exclusive is only best-effort (S3 has
+        no atomic create-if-absent), which is why the txn CAS re-check
+        stays — the lock narrows the window, the CAS detects whatever
+        slips through.  A marker older than ``stale_after`` seconds is
+        treated as a crashed holder and broken (the reference's lock
+        watchdog analog, Daemon.hs's touchLock loop).
+        """
+        import random
+        import time
+
+        lock = f"{self._ns_dir(ns)}/{_META}.lock"
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                out = self.fs.fs.create(self.fs._path(lock), False)
+                out.write(bytearray(str(os.getpid()).encode()))
+                out.close()
+                break
+            except Exception:
+                if self.fs.exists(lock):
+                    try:
+                        age_ms = (
+                            self._now_ms()
+                            - self.fs.fs.getFileStatus(
+                                self.fs._path(lock)
+                            ).getModificationTime()
+                        )
+                        if age_ms > stale_after * 1000:
+                            self.fs.delete(lock, False)
+                            continue
+                    except Exception:
+                        pass  # vanished between exists and stat
+                if time.monotonic() > deadline:
+                    raise ConcurrentWriterError(
+                        f"namespace {ns!r}: meta flip lock {lock} held "
+                        f"past {timeout}s; a writer is stuck or stale"
+                    )
+                time.sleep(random.uniform(0.002, 0.02))
+        try:
+            yield
+        finally:
+            try:
+                self.fs.delete(lock, False)
+            except Exception:
+                pass  # releasing best-effort; stale-break cleans up
+
+    @staticmethod
+    def _now_ms() -> int:
+        import time
+
+        return int(time.time() * 1000)
 
     def _write_meta_cas(self, ns: str, meta: _Meta) -> None:
         """Fenced meta flip: re-read the stored document and fail on a
@@ -181,21 +258,24 @@ class TimeStore:
         ``meta`` must carry the ``txn`` it was READ with; on success
         the stored and in-memory ``txn`` advance together, so a
         multi-flip flow (write_points -> _maybe_rollover) stays fenced
-        across its own successive writes.  This is detect-and-fail,
-        not mutual exclusion: two writers racing inside the re-check ->
-        rename window can still both land, but any interleaving wider
-        than that window — the realistic failure with multi-second
-        Spark jobs between read and flip — is caught.
+        across its own successive writes.  The re-check -> write window
+        itself is serialized by :meth:`_flip_lock` (atomic
+        create-exclusive on HDFS/local; best-effort on object stores),
+        so the detect-and-fail CAS is the backstop for interleavings
+        wider than the window — the realistic failure with multi-second
+        Spark jobs between read and flip — and for filesystems whose
+        create-exclusive is not atomic.
         """
-        stored = self._read_meta(ns)
-        if stored.txn != meta.txn:
-            raise ConcurrentWriterError(
-                f"namespace {ns!r}: _meta.json txn advanced "
-                f"{meta.txn} -> {stored.txn} since this writer read it "
-                f"(concurrent writer detected); re-read and retry"
-            )
-        meta.txn += 1
-        self._write_meta(ns, meta)
+        with self._flip_lock(ns):
+            stored = self._read_meta(ns)
+            if stored.txn != meta.txn:
+                raise ConcurrentWriterError(
+                    f"namespace {ns!r}: _meta.json txn advanced "
+                    f"{meta.txn} -> {stored.txn} since this writer read "
+                    f"it (concurrent writer detected); re-read and retry"
+                )
+            meta.txn += 1
+            self._write_meta(ns, meta)
 
     # -------------------------------------------------------------- DDL
 
@@ -212,9 +292,10 @@ class TimeStore:
 
     # ------------------------------------------------------------ write
 
-    def write_points(self, ns: str, df: DataFrame) -> None:
+    def write_points(self, ns: str, df: DataFrame,
+                     retries: int = 0) -> None:
         """Ingest one batch — the ``writeEncoded`` pipeline
-        (TimeStore.hs:98-137) minus the locking (single writer):
+        (TimeStore.hs:98-137):
 
         1. route every row to its (epoch, bucket) via index stab +
            ``placeBucket`` (``groupMixed``, Algorithms.hs:111-178);
@@ -227,6 +308,19 @@ class TimeStore:
 
         ``df`` needs columns (address, time) plus ``value`` and/or
         ``payload``; ``seq`` is honored if present, else stamped.
+
+        ``retries`` bounds re-read-and-retry of the meta flip when a
+        concurrent writer advanced ``_meta.json`` between this writer's
+        read and its flip (the reference's re-fetch-index-and-re-check,
+        StoreHelpers.hs:214-219).  The data append is NOT repeated —
+        only the flip: our observed watermark/seq maxima fold into the
+        freshly-read document (both updates are monotone maxima, so the
+        merge is order-independent and exact).  If the concurrent
+        writer changed the INDEX (cut an epoch / rescaled), this
+        batch's (epoch, bucket) placement was computed under a stale
+        index and a flip merge would be unsound — the error propagates
+        and recovery is re-running the batch (duplicate rows are
+        first-wins-deduped at read and removed by compact).
         """
         from pyspark.sql import Observation
 
@@ -278,15 +372,34 @@ class TimeStore:
         )
 
         got = obs.get
-        meta.latest_simple = _mono_max(meta.latest_simple, got["max_simple"])
-        meta.latest_extended = _mono_max(meta.latest_extended, got["max_extended"])
-        if got["max_seq"] is not None:
-            meta.seq_base = max(meta.seq_base, int(got["max_seq"]) + 1)
-        self._write_meta_cas(ns, meta)
+        for attempt in range(retries + 1):
+            meta.latest_simple = _mono_max(
+                meta.latest_simple, got["max_simple"])
+            meta.latest_extended = _mono_max(
+                meta.latest_extended, got["max_extended"])
+            if got["max_seq"] is not None:
+                meta.seq_base = max(meta.seq_base, int(got["max_seq"]) + 1)
+            try:
+                self._write_meta_cas(ns, meta)
+                break
+            except ConcurrentWriterError:
+                if attempt == retries:
+                    raise
+                import random
+                import time
 
-        self._maybe_rollover(ns, meta)
+                time.sleep(random.uniform(0.01, 0.05 * (attempt + 1)))
+                fresh = self._read_meta(ns)
+                if fresh.index.entries != meta.index.entries:
+                    # Placement was routed under a stale index — a flip
+                    # merge would strand rows behind the new epoch cut.
+                    raise
+                meta = fresh  # re-fold our maxima into the fresh doc
 
-    def _maybe_rollover(self, ns: str, meta: _Meta) -> None:
+        self._maybe_rollover(ns, meta, retries=retries)
+
+    def _maybe_rollover(self, ns: str, meta: _Meta,
+                        retries: int = 0) -> None:
         """Cut a new epoch at the watermark when the latest epoch's
         largest bucket exceeds the threshold (StoreHelpers.hs:194-221).
 
@@ -294,6 +407,12 @@ class TimeStore:
         point can land behind the boundary (StoreHelpers.hs:228-231).
         Bucket count is carried over (rescale hook: pass a different
         count here to rescale forward without rewriting history).
+
+        With ``retries`` > 0 a CAS race on the cut is resolved by
+        re-reading: if another writer already advanced the index, their
+        cut supersedes ours (the threshold decision is idempotent — at
+        most one cut per flush is needed) and this writer simply
+        returns; otherwise the cut is retried against the fresh doc.
         """
         latest_epoch, buckets = meta.index.latest()
         pdir = f"{self._points_dir(ns, meta)}/epoch={latest_epoch}"
@@ -316,8 +435,30 @@ class TimeStore:
         # (splitRemainder's exact-boundary back-off, Index.hs:80-88) —
         # otherwise range_lookup(start == watermark) would prune to the
         # new (empty) epoch and silently drop them.
-        meta.index = Index(meta.index.entries + ((watermark + 1, buckets),))
-        self._write_meta_cas(ns, meta)
+        new_entries = meta.index.entries + ((watermark + 1, buckets),)
+        for attempt in range(retries + 1):
+            meta.index = Index(new_entries)
+            try:
+                self._write_meta_cas(ns, meta)
+                return
+            except ConcurrentWriterError:
+                if attempt == retries:
+                    raise
+                import random
+                import time
+
+                time.sleep(random.uniform(0.01, 0.05 * (attempt + 1)))
+                fresh = self._read_meta(ns)
+                if fresh.index.latest()[0] > latest_epoch:
+                    return  # another writer's cut supersedes ours
+                meta = fresh
+                # Re-derive the boundary from the FRESH watermarks: the
+                # interleaving writer may have advanced them, and the
+                # new epoch must start strictly after every point seen.
+                watermark = max(
+                    meta.latest_simple or 0, meta.latest_extended or 0
+                )
+                new_entries = meta.index.entries + ((watermark + 1, buckets),)
 
     def write_points_batched(self, ns: str, df: DataFrame,
                              batch_col: str,

@@ -1,0 +1,145 @@
+"""Multi-writer stress — VERDICT r6 "What's missing" #3.
+
+The reference coordinates many writer daemons with advisory locks plus
+a CAS re-check of the index object, stress-tested as 100 concurrent
+exclusive-lock counter increments (tests/StoreTests.hs:128-157: final
+counter must be exactly 100 — no lost update).  This port pairs the
+``_Meta.txn`` CAS with a create-exclusive flip lock
+(``TimeStore._flip_lock``) and bounded re-read-and-retry; these tests
+pin the same no-lost-update law on the Spark engine.
+"""
+
+import threading
+
+import pytest
+
+from rados_timestore_spark.store import ConcurrentWriterError, TimeStore
+
+
+def _write(store, ns, rows, **kw):
+    df = store.spark.createDataFrame(
+        rows, "address long, time long, value long")
+    store.write_points(ns, df, **kw)
+
+
+def test_meta_cas_counter_100_writers(store):
+    # StoreTests.hs:128-157 ported: 100 writers each read the shared
+    # document, dally, and write back an increment through the fenced
+    # flip.  seq_base plays the counter.  Every writer retries its OWN
+    # read-modify-write on CAS failure (the reference re-acquires the
+    # lock per attempt), so the final count proves no update was lost
+    # in any interleaving.
+    store.register_namespace("ctr", buckets=4)
+    n_writers, errors = 100, []
+
+    def incr():
+        try:
+            for _ in range(200):  # bounded retry per writer
+                meta = store._read_meta("ctr")
+                meta.seq_base += 1
+                try:
+                    store._write_meta_cas("ctr", meta)
+                    return
+                except ConcurrentWriterError:
+                    continue
+            errors.append("retries exhausted")
+        except Exception as exc:  # pragma: no cover
+            errors.append(repr(exc))
+
+    # 100 logical writers on a bounded pool: the reference's 100 are
+    # green threads on one capability; raw OS threads here would fan
+    # out 100 concurrent py4j connections and measure the gateway, not
+    # the lock.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        list(pool.map(lambda _: incr(), range(n_writers)))
+    assert errors == []
+    assert store._read_meta("ctr").seq_base == n_writers
+
+
+def test_flip_lock_serializes_check_then_write(store):
+    # Two holders can never be inside the lock at once (the ADVICE r6
+    # check-then-write window): track concurrent occupancy directly.
+    store.register_namespace("lk", buckets=4)
+    inside, max_inside, lock = 0, [0], threading.Lock()
+    errors = []
+
+    def hold():
+        nonlocal inside
+        try:
+            for _ in range(10):
+                with store._flip_lock("lk"):
+                    with lock:
+                        inside += 1
+                        max_inside[0] = max(max_inside[0], inside)
+                    with lock:
+                        inside -= 1
+        except Exception as exc:  # pragma: no cover
+            errors.append(repr(exc))
+
+    threads = [threading.Thread(target=hold) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    assert max_inside[0] == 1
+
+
+def test_stale_flip_lock_is_broken(store):
+    # A crashed holder's marker must not wedge the namespace forever.
+    store.register_namespace("st", buckets=4)
+    lock_path = f"{store._ns_dir('st')}/_meta.json.lock"
+    out = store.fs.fs.create(store.fs._path(lock_path), False)
+    out.write(bytearray(b"dead"))
+    out.close()
+    # stale_after=0: the existing marker is immediately breakable.
+    with store._flip_lock("st", timeout=5.0, stale_after=0.0):
+        pass
+    assert not store.fs.exists(lock_path)
+
+
+def test_held_flip_lock_times_out_loudly(store):
+    store.register_namespace("to", buckets=4)
+    with store._flip_lock("to"):
+        with pytest.raises(ConcurrentWriterError):
+            with store._flip_lock("to", timeout=0.3):
+                pass  # pragma: no cover
+
+
+def test_concurrent_write_points_with_retry(store):
+    # Interleaved writer daemons on ONE namespace: every point present
+    # and the watermark exact at the end (StoreTests.hs:128-157 in
+    # spirit, at the write_points level).  retries>0 resolves the CAS
+    # contention by folding each writer's observed maxima into the
+    # fresh document — both monotone, so the merge is exact.
+    store.register_namespace("cw", buckets=4)
+    n_writers, per_writer, errors = 4, 2, []
+
+    def writer(w):
+        try:
+            for b in range(per_writer):
+                base = (w * per_writer + b) * 100
+                _write(store, "cw",
+                       [(2, base + i, base + i) for i in range(5)],
+                       retries=16)
+        except Exception as exc:
+            errors.append(repr(exc))
+
+    threads = [
+        threading.Thread(target=writer, args=(w,)) for w in range(n_writers)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    rows = store.read_simple("cw", 0, 1 << 40, [2]).collect()
+    want_times = {
+        (w * per_writer + b) * 100 + i
+        for w in range(n_writers) for b in range(per_writer)
+        for i in range(5)
+    }
+    assert {r.time for r in rows} == want_times
+    assert store.latest("cw")[0] == max(want_times)
