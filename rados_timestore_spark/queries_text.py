@@ -940,9 +940,12 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tok",
         (F.sum("n_tok").over(w) - F.col("n_tok")).alias("cum_before"),
     )
-    b = F.lit(PACK_BUDGET)
+    # Integer `div` on both engines (ADVICE r6): exact at any scale —
+    # F.floor(col / lit) would round through an IEEE double and could
+    # drift from DuckDB's integer `//` once cumulative token counts
+    # near 2^53 (the sharded variant already did this).
     return cum.groupBy(
-        F.floor(F.col("cum_before") / b).alias("bin_id")
+        F.expr(f"cum_before div {PACK_BUDGET}").alias("bin_id")
     ).agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("n_tokens"),
@@ -950,8 +953,8 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("last_doc"),
         F.sum(
             F.when(
-                F.floor((F.col("cum_before") + F.col("n_tok") - 1) / b)
-                > F.floor(F.col("cum_before") / b), 1
+                F.expr(f"(cum_before + n_tok - 1) div {PACK_BUDGET}")
+                > F.expr(f"cum_before div {PACK_BUDGET}"), 1
             ).otherwise(0)
         ).cast("long").alias("n_boundary_docs"),
     )

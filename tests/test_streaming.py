@@ -816,3 +816,31 @@ def test_streaming_hll_checkpoint_recovery(spark, tmp_path):
     batch = {(r.bucket, r.rho)
              for r in trigram_hll_registers(docs).collect()}
     assert streamed == batch
+
+
+def test_stream_workdir_under_shared_root(spark, tmp_path):
+    # VERDICT r6 #6: the streaming queries must be drivable with
+    # staging/checkpoint under a configured shared path (warehouse
+    # dir / s3a on a cluster) instead of the driver's /tmp.
+    from rados_timestore_spark import registry
+    from rados_timestore_spark.queries_streaming import stream_workdir
+
+    shared = str(tmp_path / "warehouse" / "streaming")
+    spark.conf.set("spark.rados_timestore.stream_dir", shared)
+    try:
+        w = stream_workdir(spark, "probe_")
+        assert w.startswith(shared)
+        import os
+
+        assert os.path.isdir(w)  # created through the Hadoop FS layer
+        # One real streaming job end-to-end with staging under the
+        # shared root: replay-dedup at sf0.001.
+        out = registry.queries()["streaming_dedup_replay"](
+            spark, "/root/testdata/sf0.001")
+        n = out.count()
+        assert n > 0
+        assert out.select("address", "time").distinct().count() == n
+        staged = os.listdir(shared)
+        assert any(name.startswith("ts_stream_dd_") for name in staged)
+    finally:
+        spark.conf.unset("spark.rados_timestore.stream_dir")
