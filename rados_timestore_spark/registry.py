@@ -166,6 +166,7 @@ _QUERY_MODULES = (
     "rados_timestore_spark.queries_multimodal",
     "rados_timestore_spark.queries_tpch",
     "rados_timestore_spark.queries_tpch2",
+    "rados_timestore_spark.queries_tpch3",
     "rados_timestore_spark.queries_pipeline",
     "rados_timestore_spark.queries_sketch",
 )

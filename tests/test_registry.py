@@ -93,10 +93,12 @@ EXPECTED_WINDOW = {
 # one round") — any name added here is a standing debt that the next
 # round's rotation has to clear.
 # r7 rotation cleared the whole 17-query r6 backlog (all promoted to
-# p=60 for first driver evidence).  New same-round carve-outs may
-# appear here only while the window is full of never-checked
-# promotions, and must be rotated in the following round.
-EXPECTED_CARVEOUT_BACKLOG: set[str] = set()
+# p=60 for first driver evidence).  The entries below are NEW in r7
+# (the window is full of never-checked promotions) and MUST be rotated
+# into the driver window in r8.
+EXPECTED_CARVEOUT_BACKLOG: set[str] = {
+    "tpch_q2_partsupp", "tpch_q11_partsupp", "tpch_q20_partsupp",
+}
 
 
 def test_carveout_backlog_is_rotated():
