@@ -170,6 +170,20 @@ SOAK_CONST_DENSITY_QUERIES = (
     "dedup_minhash_lsh",
 )
 
+#: SOAK_FAMILY=heavy (VERDICT r6 item 7): the shuffle-heavy set, run
+#: one decade deeper — COPIES=10 over sf0.1 gives an sf1-equivalent
+#: corpus (~60k docs -> ~600k, embeddings alike).
+SOAK_HEAVY_QUERIES = (
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "sim_pq_ann",
+    "sim_ivfpq_ann",
+    "sim_pq_rerank",
+    "sim_ivfpq_rerank",
+    "text_pack_sequences_sharded",
+)
+
 
 def build_corpus_const_density(spark, out_dir: str) -> None:
     """COPIES x documents with near-dup density held CONSTANT.
@@ -254,6 +268,7 @@ def main() -> None:
     family = os.environ.get("SOAK_FAMILY", "llm")
     names = {"ts": SOAK_TS_QUERIES,
              "const_density": SOAK_CONST_DENSITY_QUERIES,
+             "heavy": SOAK_HEAVY_QUERIES,
              }.get(family, SOAK_QUERIES)
     if family == "ts":
         if not os.path.exists(f"{out_dir}/events.parquet"):
