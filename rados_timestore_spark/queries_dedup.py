@@ -1139,3 +1139,93 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(_PR_BASE) + F.sum("c")).cast("long").alias("pr")
         )
     return pr
+
+
+_CC_ITERS = 4
+
+
+def _cc_label_ctes() -> str:
+    """Unrolled min-label propagation CTEs l0..l{_CC_ITERS} over the
+    symmetrized fuzzy-pair edge list ``e`` (same edge set as
+    graph_pagerank)."""
+    ctes = ["""l0 AS (SELECT DISTINCT u AS node, u AS label FROM e)"""]
+    for k in range(_CC_ITERS):
+        ctes.append(f"""l{k + 1} AS (
+  SELECT node, min(label) AS label FROM (
+    SELECT e.u AS node, l.label FROM e JOIN l{k} l ON l.node = e.v
+    UNION ALL SELECT node, label FROM l{k}) t
+  GROUP BY node)""")
+    return ",\n".join(ctes)
+
+
+@register(
+    "graph_connected_components",
+    oracle=f"""
+WITH {_FUZZY_PAIRS_SQL},
+e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+{_cc_label_ctes()},
+sz AS (SELECT label, count(*) AS comp_size
+       FROM l{_CC_ITERS} GROUP BY label),
+chg AS (SELECT count(*) AS n FROM l{_CC_ITERS} a
+        JOIN l{_CC_ITERS - 1} b ON a.node = b.node
+        WHERE a.label <> b.label)
+SELECT a.node, a.label AS component, sz.comp_size,
+       (SELECT n FROM chg) AS n_unconverged
+FROM l{_CC_ITERS} a JOIN sz ON sz.label = a.label
+""",
+    tags=("dedup", "graph"),
+    priority=110,  # new r7 carve-out (window full of the rotated-in r6 batch); local-green; rotate in r8 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components surfaced as a first-class query (the CC
+    kernel the minhash-LSH dedup uses internally, here over the
+    fuzzy-match similarity graph so the oracle stays fixed-text):
+    ``_CC_ITERS`` rounds of min-label propagation — label(u) <-
+    min(label(u), min over neighbors) — unrolled identically in both
+    engines, finding each record-linkage cluster's canonical (minimum)
+    id.  ``n_unconverged`` (labels that still moved in the last round)
+    is the honesty column: 0 on the fixtures, where component
+    diameters are tiny, and the convergence criterion a production
+    loop would iterate on (with pointer-doubling halving the rounds —
+    the dedup_minhash_lsh fallback).  Per round: one edge-list join +
+    one min hash-aggregate, the Pregel message pattern
+    relationally."""
+    edges = dedup_fuzzy_prefix(spark, sf_dir).select("doc_a", "doc_b")
+    e = edges.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    ).transform(pin)  # feeds every propagation round
+    labels = e.select("u").distinct().select(
+        F.col("u").alias("node"), F.col("u").alias("label")
+    )
+    prev = labels
+    for _ in range(_CC_ITERS):
+        prev = labels
+        nb = e.join(labels, labels["node"] == e["v"]).select(
+            F.col("u").alias("node"), "label"
+        )
+        labels = (
+            nb.unionByName(prev)
+            .groupBy("node").agg(F.min("label").alias("label"))
+            # Lineage cut per round: without it the final plan nests 4
+            # self-joined rounds (Catalyst pays seconds just optimizing
+            # the tree) and the three consumers (sizes, convergence,
+            # final join) re-expand it threefold.  The label vector is
+            # O(nodes) — tiny relative to the corpus at any scale.
+            .localCheckpoint(eager=False)
+        )
+    sz = labels.groupBy("label").agg(F.count("*").alias("comp_size"))
+    chg = (
+        labels.alias("a")
+        .join(prev.alias("b"), F.col("a.node") == F.col("b.node"))
+        .filter(F.col("a.label") != F.col("b.label"))
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        labels.join(sz, "label")
+        .crossJoin(F.broadcast(chg))
+        .select("node", F.col("label").alias("component"), "comp_size",
+                F.col("n").alias("n_unconverged"))
+    )

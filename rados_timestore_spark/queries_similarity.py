@@ -519,31 +519,13 @@ ivf_top AS (
 """
 
 
-@register(
-    "sim_ivf_ann",
-    oracle=f"""
-WITH {_IVF_CTES}
-SELECT query_id, neighbor_id, cos, rank FROM ivf_top
-""",
-    tags=("similarity", "ann"),
-    bench=True,  # r3 fixed the O(n^2) quantizer; bench-track the fix
-)
-def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style approximate nearest neighbors with a FULL oracle.
-
-    Coarse quantizer: a CONSTANT set of ``_N_CENTROIDS`` sampled
-    vectors (ids < 256 — deterministic; production swaps in k-means
-    over a sample, same plan shape).  Assignment is a shuffle-free
-    ``mapInPandas`` argmax over the broadcast centroid matrix: one
-    corpus scan doing O(n * k) work with k fixed — no crossJoin row
-    blow-up, no window shuffle, 64 KiB closure instead of an O(n)
-    broadcast.  Queries (vec_id < 5) probe the ``nprobe=4`` nearest
-    centroid buckets and rank exactly inside them — the standard
-    recall/cost dial at billion-vector scale, where the bucketed join
-    replaces any full scan per query.  The per-dimension accumulation
-    order matches ``_cos_seq``/DuckDB's ``list_sum`` exactly, so even
-    this multi-stage pipeline stays hash-checkable.
-    """
+def _ivf_parts(spark: SparkSession, sf_dir: str):
+    """Shared IVF machinery (sampled coarse quantizer): returns
+    ``(assigned, probes)`` — the bucket-assigned corpus and the
+    query-side nprobe probe list.  Factored out of :func:`sim_ivf_ann`
+    so the filtered-search variant reuses the identical assignment
+    pass and probe ranking (mirrors the shared ``assigned``/``probes``
+    CTEs of ``_IVF_CTES``)."""
     emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
     cent = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
@@ -598,6 +580,35 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pr") <= _N_PROBE)
         .select("query_id", "qe", F.col("cid").alias("bucket"))
     )
+    return assigned, probes
+
+
+@register(
+    "sim_ivf_ann",
+    oracle=f"""
+WITH {_IVF_CTES}
+SELECT query_id, neighbor_id, cos, rank FROM ivf_top
+""",
+    tags=("similarity", "ann"),
+    bench=True,  # r3 fixed the O(n^2) quantizer; bench-track the fix
+)
+def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbors with a FULL oracle.
+
+    Coarse quantizer: a CONSTANT set of ``_N_CENTROIDS`` sampled
+    vectors (ids < 256 — deterministic; production swaps in k-means
+    over a sample, same plan shape).  Assignment is a shuffle-free
+    ``mapInPandas`` argmax over the broadcast centroid matrix: one
+    corpus scan doing O(n * k) work with k fixed — no crossJoin row
+    blow-up, no window shuffle, 64 KiB closure instead of an O(n)
+    broadcast.  Queries (vec_id < 5) probe the ``nprobe=4`` nearest
+    centroid buckets and rank exactly inside them — the standard
+    recall/cost dial at billion-vector scale, where the bucketed join
+    replaces any full scan per query.  The per-dimension accumulation
+    order matches ``_cos_seq``/DuckDB's ``list_sum`` exactly, so even
+    this multi-stage pipeline stays hash-checkable.
+    """
+    assigned, probes = _ivf_parts(spark, sf_dir)
     hits = (
         probes.join(assigned, "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -1743,3 +1754,187 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.col("t.neighbor_id")).cast("double") / _MRL_K)
         .alias("recall"),
     )
+
+
+# ---------------------------------------- r7: filtered vector search
+#
+# "Filtered ANN" — top-k restricted to vectors satisfying a metadata
+# predicate — is the production vector-search shape (every real corpus
+# query carries a language/domain/safety filter).  The pre-filter
+# composes with IVF bucket pruning: probe the nprobe buckets, apply
+# the predicate inside the bucket scan (predicate pushdown territory),
+# rank the survivors exactly.  At billion-vector scale the same plan
+# holds as long as per-bucket selectivity stays reasonable; for
+# needle-in-haystack filters production systems fall back to a
+# post-filtered brute-force over the predicate's own index — a
+# different query, deliberately not this one.
+
+_FILTER_LABEL = 3
+
+
+@register(
+    "sim_ivf_ann_filtered",
+    oracle=f"""
+WITH {_IVF_CTES},
+fhits AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_dot_sql("a.embedding", "p.qe")}
+           / {_norm_sql("a.embedding")} / {_norm_sql("p.qe")} AS cos
+  FROM probes p JOIN assigned a ON a.bucket = p.bucket
+       JOIN embeddings l ON l.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id AND l.label = {_FILTER_LABEL}),
+ftop AS (
+  SELECT query_id, neighbor_id, cos, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rank
+    FROM fhits) t
+  WHERE rank <= 5)
+SELECT query_id, neighbor_id, cos, rank FROM ftop
+""",
+    tags=("similarity", "ann", "filtered"),
+    priority=110,  # new r7 carve-out (window full of the rotated-in r6 batch); local-green; rotate in r8 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def sim_ivf_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search over the IVF index (module note above):
+    same assignment pass and nprobe probes as :func:`sim_ivf_ann`
+    (shared ``_ivf_parts``), label predicate applied inside the bucket
+    scan BEFORE the exact ranking — the filter prunes candidates, it
+    never reorders survivors, so the oracle is the unfiltered CTE
+    chain plus one equality."""
+    assigned, probes = _ivf_parts(spark, sf_dir)
+    emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    labels = emb.filter(F.col("label") == _FILTER_LABEL) \
+        .select("vec_id", "label")
+    hits = (
+        probes.join(assigned, "bucket")
+        .join(labels, "vec_id")  # the metadata predicate, pre-ranking
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            _cos_seq(F.col("embedding"), F.col("qe")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id")
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                "cos", "rank")
+    )
+
+
+# ------------------------------------- r7: scalar quantization (SQ8)
+#
+# FAISS IndexScalarQuantizer QT_8bit, the third compression family
+# next to PQ and Matryoshka truncation: every float32 coordinate maps
+# to an int8 code against ONE symmetric corpus-wide scale
+# (vmax = max |x|), and ranking is the INTEGER dot product of code
+# vectors — 4x less memory traffic than float32 scan, no codebook
+# training, and (unlike PQ's LUT approximation) the score itself is
+# exact integer arithmetic, so the whole ANN ranking hash-matches the
+# oracle without any float-accumulation choreography.  Quantization is
+# the only float step: floor(x * 127 / vmax), identical one-expression
+# IEEE arithmetic in both engines.  The corpus scale rides the plan as
+# a broadcast 1-row aggregate (no driver literal, no re-read skew).
+
+_SQ8_CODES_CTE = """
+vmaxq AS (
+  SELECT max(list_max(list_transform(embedding, x -> abs(x::DOUBLE))))
+    AS vmax
+  FROM embeddings),
+codes AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> floor(x::DOUBLE * 127 / vmax)::BIGINT)
+           AS code
+  FROM embeddings, vmaxq),
+sq8_hits AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(list_inner_product(
+                list_transform(q.code, x -> x::DOUBLE),
+                list_transform(c.code, x -> x::DOUBLE)) AS BIGINT)
+           AS score
+  FROM codes q, codes c
+  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+sq8_top AS (
+  SELECT query_id, neighbor_id, score, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS rank
+    FROM sq8_hits) t
+  WHERE rank <= 5)
+"""
+
+
+@F.pandas_udf(T.LongType())
+def _i64_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Exact integer dot of two code vectors (order-free: integer
+    addition is associative, so no sequential-fold choreography is
+    needed — any accumulation order gives the same i64)."""
+    A = np.stack(a.to_numpy()).astype(np.int64)
+    B = np.stack(b.to_numpy()).astype(np.int64)
+    return pd.Series((A * B).sum(axis=1))
+
+
+def _sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    vmax = emb.agg(
+        F.max(F.array_max(
+            F.transform("embedding", lambda x: F.abs(x.cast("double")))
+        )).alias("vmax")
+    )
+    return emb.crossJoin(F.broadcast(vmax)).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 127 / F.col("vmax")),
+        ).alias("code"),
+    )
+
+
+@register(
+    "sim_sq8_ann",
+    oracle=f"""
+WITH {_SQ8_CODES_CTE}
+SELECT query_id, neighbor_id, score, rank FROM sq8_top
+""",
+    tags=("similarity", "ann", "quantization"),
+    priority=110,  # new r7 carve-out, see sim_ivf_ann_filtered
+)
+def sim_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 ANN (module note above): one quantization scan, broadcast
+    query codes, integer-dot ranking over the full code table — the
+    honest SQ8 brute-force baseline (the IVF composition is the scale
+    path, exactly as with PQ)."""
+    codes = _sq8_codes(spark, sf_dir)
+    q = codes.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("code").alias("qc")
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            _i64_dot(F.col("code"), F.col("qc")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+@register(
+    "sim_sq8_recall",
+    oracle=_recall_sql(_SQ8_CODES_CTE.strip().rstrip(), "sq8_top"),
+    tags=("similarity", "ann", "quantization"),
+    priority=110,  # new r7 carve-out, see sim_ivf_ann_filtered
+)
+def sim_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of SQ8 integer-dot ranking vs exact float cosine —
+    directly comparable with sim_pq_recall / sim_ivfpq_recall /
+    sim_matryoshka_recall at identical top-k: the fourth point on the
+    compression-vs-recall curve."""
+    ann = sim_sq8_ann(spark, sf_dir).select("query_id", "neighbor_id")
+    return _recall_at_5(spark, sf_dir, ann)

@@ -53,6 +53,20 @@ _CMS_SHIFT = 12
 _HASH_SQL = "('0x' || substr(md5(g), 1, 15))::BIGINT"
 
 
+def _cms_positions(col: str = "h") -> "F.Column":
+    """Exploded (row j, column p) CMS cell coordinates for one gram
+    hash — shared by the batch sketch, its point queries, and the
+    streaming cell maintenance."""
+    return F.explode(F.array(*[
+        F.struct(
+            F.lit(j).alias("j"),
+            F.shiftrightunsigned(col, _CMS_SHIFT * j)
+            .bitwiseAND(_CMS_W - 1).alias("p"),
+        )
+        for j in range(_CMS_D)
+    ]))
+
+
 def _grams_sql(n: int) -> str:
     """DuckDB n-gram list over the standard word split."""
     if n == 1:
@@ -250,18 +264,8 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one corpus scan feeds cells AND the top-k counts
     occ = _trigram_hashes(docs).transform(pin)
 
-    def _positions(col: str = "h") -> F.Column:
-        return F.explode(F.array(*[
-            F.struct(
-                F.lit(j).alias("j"),
-                F.shiftrightunsigned(col, _CMS_SHIFT * j)
-                .bitwiseAND(_CMS_W - 1).alias("p"),
-            )
-            for j in range(_CMS_D)
-        ]))
-
     cells = (
-        occ.select(_positions().alias("jp"))
+        occ.select(_cms_positions().alias("jp"))
         .groupBy("jp.j", "jp.p").agg(F.count("*").alias("c"))
     )
     top = (
@@ -271,7 +275,7 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Point queries probe with the same exploded (j, p) pairs so the
     # lookup is a broadcast EQUI-join on (j, p) — 25 x _CMS_D probe
     # rows against the d x w cell summary, bounded at any scale.
-    probes = top.select("g", "n", _positions().alias("jp")) \
+    probes = top.select("g", "n", _cms_positions().alias("jp")) \
         .select("g", "n", F.col("jp.j").alias("j"), F.col("jp.p").alias("p"))
     est = (
         probes.join(F.broadcast(cells), ["j", "p"])
@@ -388,12 +392,11 @@ def streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     source; only this self-contained staging harness is local-mode.
     The memory-sink name is suffixed per invocation so concurrent runs
     in one session can't collide on the sink table."""
-    import tempfile
-
     from rados_timestore_spark.queries_common import load
+    from rados_timestore_spark.queries_streaming import stream_workdir
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    work = tempfile.mkdtemp(prefix="ts_stream_hll_")
+    work = stream_workdir(spark, "ts_stream_hll_")
     src = f"{work}/src"
     docs.filter(F.col("doc_id") % 2 == 0).coalesce(1) \
         .write.parquet(src)
@@ -447,4 +450,80 @@ def trigram_hll_registers(df: DataFrame) -> DataFrame:
         hx.select(F.col("h").bitwiseAND(_HLL_M - 1).alias("bucket"),
                   rho.alias("rho"))
         .groupBy("bucket").agg(F.max("rho").alias("rho"))
+    )
+
+
+@register(
+    "streaming_cms_cells",
+    oracle=f"""
+WITH occ AS (
+  SELECT {_HASH_SQL} AS h
+  FROM (SELECT unnest({_grams_sql(3)}) AS g
+        FROM (SELECT {_WORDS_SQL} AS ws FROM documents) s) t)
+SELECT j, (h >> ({_CMS_SHIFT} * j)) & {_CMS_W - 1} AS p,
+       count(*) AS c
+FROM occ, generate_series(0, {_CMS_D - 1}) gs(j)
+GROUP BY j, p
+""",
+    tags=("sketch", "streaming"),
+    priority=110,  # new r7 carve-out (window full of the rotated-in r6 batch); local-green; rotate in r8 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def streaming_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min cells maintained INCREMENTALLY by a real Structured
+    Streaming job — the CMS twin of :func:`streaming_hll_registers`:
+    two micro-batches of documents fold into the running per-cell
+    counts (complete-mode streaming aggregation, d x w bounded state).
+    Cell counts are additive, so the streamed sketch is IDENTICAL to
+    the batch sketch over the union — heavy-hitter dashboards stay
+    incrementally maintainable at 100 TB.  Same LOCAL-MODE staging
+    contract as the HLL twin (stream_workdir: shared-path staging on a
+    cluster)."""
+    from rados_timestore_spark.queries_common import load
+    from rados_timestore_spark.queries_streaming import (
+        _few_state_partitions, stream_workdir,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    work = stream_workdir(spark, "ts_stream_cms_")
+    src = f"{work}/src"
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1) \
+        .write.parquet(src)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    name = f"cms_cells_sink_{next(_HLL_SINK_IDS)}"
+    try:
+        with _few_state_partitions(spark):
+            stream = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1).parquet(src)
+            )
+            q = (
+                trigram_cms_cells(stream)
+                .writeStream.format("memory").queryName(name)
+                .outputMode("complete").trigger(availableNow=True).start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError("streaming CMS did not terminate "
+                                   "within 300s")
+        out = spark.table(name).select("j", "p", "c")
+        pdf = out.toPandas()
+        spark.catalog.dropTempView(name)
+        return spark.createDataFrame(pdf, schema=out.schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def trigram_cms_cells(df: DataFrame) -> DataFrame:
+    """(j, p) -> additive CMS cell counts over a documents-like frame
+    with a ``text`` column; identical on batch and streaming frames
+    (sums merge associatively across micro-batches)."""
+    occ = _trigram_hashes(df).select("h")
+    return (
+        occ.select(_cms_positions().alias("jp"))
+        .select(F.col("jp.j").alias("j"), F.col("jp.p").alias("p"))
+        .groupBy("j", "p").agg(F.count("*").alias("c"))
     )

@@ -1135,3 +1135,53 @@ def text_pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# ------------------------------------ r7: BPE merge-candidate mining
+#
+# The inner loop of BPE tokenizer training: count adjacent symbol-pair
+# frequencies across the corpus and take the most frequent pair as the
+# next merge (Sennrich et al. 2016).  This is the first iteration —
+# character-level pairs within whitespace words, each word occurrence
+# counted (not types): exactly the statistic a distributed tokenizer
+# trainer materializes per merge round.  Pure explode + hash aggregate
+# (map-side combine carries (pair, partial-count) only); the full
+# training loop is this query re-run with the winning pair merged —
+# the per-round plan is what scale cares about.
+
+
+@register(
+    "text_bpe_merge_candidates",
+    oracle="""
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> substr(w, i, 2))) AS pair
+  FROM words WHERE len(w) >= 2)
+SELECT pair, count(*) AS n
+FROM pairs GROUP BY 1 ORDER BY n DESC, pair LIMIT 25
+""",
+    tags=("text", "tokenizer"),
+    priority=110,  # new r7 carve-out (window full of the rotated-in r6 batch); local-green; rotate in r8 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 BPE merge candidates (module note above).  All JVM-side:
+    split -> explode words -> explode 2-char windows -> one hash
+    aggregate -> TakeOrdered."""
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
+    words = docs.select(
+        F.explode(_words_col()).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), "
+                   "i -> substr(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(25)
+    )

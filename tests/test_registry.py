@@ -98,6 +98,9 @@ EXPECTED_WINDOW = {
 # into the driver window in r8.
 EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "tpch_q2_partsupp", "tpch_q11_partsupp", "tpch_q20_partsupp",
+    "sim_ivf_ann_filtered", "sim_sq8_ann", "sim_sq8_recall",
+    "text_bpe_merge_candidates", "streaming_cms_cells",
+    "graph_connected_components",
 }
 
 
