@@ -1876,12 +1876,17 @@ def _i64_dot(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 def _sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rados_timestore_spark.queries_common import pin
+
     emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    # Pinned: the 1-row scale aggregate feeds BOTH the corpus-code and
+    # query-code branches of the final plan — without the pin each
+    # branch re-scans the table just to recompute vmax.
     vmax = emb.agg(
         F.max(F.array_max(
             F.transform("embedding", lambda x: F.abs(x.cast("double")))
         )).alias("vmax")
-    )
+    ).transform(pin)
     return emb.crossJoin(F.broadcast(vmax)).select(
         "vec_id",
         F.transform(
