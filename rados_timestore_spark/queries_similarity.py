@@ -1837,7 +1837,9 @@ def sim_ivf_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IEEE arithmetic in both engines.  The corpus scale rides the plan as
 # a broadcast 1-row aggregate (no driver literal, no re-read skew).
 
-_SQ8_CODES_CTE = """
+#: vmax + per-vector code columns — shared by the flat SQ8 scan and
+#: the IVF+SQ8 composition.
+_SQ8_BASE_CTE = """
 vmaxq AS (
   SELECT max(list_max(list_transform(embedding, x -> abs(x::DOUBLE))))
     AS vmax
@@ -1847,7 +1849,11 @@ codes AS (
          list_transform(embedding,
                         x -> floor(x::DOUBLE * 127 / vmax)::BIGINT)
            AS code
-  FROM embeddings, vmaxq),
+  FROM embeddings, vmaxq)
+"""
+
+_SQ8_CODES_CTE = f"""
+{_SQ8_BASE_CTE.strip()},
 sq8_hits AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          CAST(list_inner_product(
@@ -1942,4 +1948,89 @@ def sim_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_matryoshka_recall at identical top-k: the fourth point on the
     compression-vs-recall curve."""
     ann = sim_sq8_ann(spark, sf_dir).select("query_id", "neighbor_id")
+    return _recall_at_5(spark, sf_dir, ann)
+
+
+# ----------------------------------- r7: IVF + SQ8 (bucket-pruned)
+#
+# FAISS IndexIVFScalarQuantizer: the coarse quantizer prunes to nprobe
+# buckets, and inside each bucket the candidate scan runs over int8
+# codes (integer dot) instead of float vectors — the memory-bandwidth
+# win of SQ8 composed with the candidate-count win of IVF.  Ranking
+# stays exact integer arithmetic, so unlike IVFPQ (whose ADC tables
+# approximate per-bucket) this whole composition hash-matches without
+# any float-accumulation choreography beyond the (unchanged, IVF)
+# assignment step.
+
+_IVFSQ8_CTES = f"""
+{_IVF_CTES.strip()},
+{_SQ8_BASE_CTE.strip()},
+qsc AS (SELECT vec_id, code FROM codes WHERE vec_id < 5),
+ivfsq8_hits AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         CAST(list_inner_product(
+                list_transform(q.code, x -> x::DOUBLE),
+                list_transform(c.code, x -> x::DOUBLE)) AS BIGINT)
+           AS score
+  FROM probes p JOIN assigned a ON a.bucket = p.bucket
+       JOIN codes c ON c.vec_id = a.vec_id
+       JOIN qsc q ON q.vec_id = p.query_id
+  WHERE a.vec_id <> p.query_id),
+ivfsq8_top AS (
+  SELECT query_id, neighbor_id, score, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS rank
+    FROM ivfsq8_hits) t
+  WHERE rank <= 5)
+"""
+
+
+@register(
+    "sim_ivfsq8_ann",
+    oracle=f"""
+WITH {_IVFSQ8_CTES}
+SELECT query_id, neighbor_id, score, rank FROM ivfsq8_top
+""",
+    tags=("similarity", "ann", "quantization"),
+    priority=110,  # new r7 carve-out, see sim_ivf_ann_filtered
+)
+def sim_ivfsq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+SQ8 (module note above): shared IVF assignment/probes, then
+    an integer-dot ADC scan over the int8 codes of the probed buckets
+    only."""
+    assigned, probes = _ivf_parts(spark, sf_dir)
+    codes = _sq8_codes(spark, sf_dir)
+    qsc = codes.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("code").alias("qc")
+    )
+    hits = (
+        probes.select("query_id", "bucket")
+        .join(assigned.select("vec_id", "bucket"), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(codes, "vec_id")
+        .join(F.broadcast(qsc), "query_id")
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            _i64_dot(F.col("code"), F.col("qc")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), "neighbor_id")
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+@register(
+    "sim_ivfsq8_recall",
+    oracle=_recall_sql(_IVFSQ8_CTES.strip(), "ivfsq8_top"),
+    tags=("similarity", "ann", "quantization"),
+    priority=110,  # new r7 carve-out, see sim_ivf_ann_filtered
+)
+def sim_ivfsq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF+SQ8 composition vs exact float cosine —
+    completing the recall grid: flat vs IVF on one axis, float vs PQ
+    vs SQ8 on the other."""
+    ann = sim_ivfsq8_ann(spark, sf_dir).select("query_id", "neighbor_id")
     return _recall_at_5(spark, sf_dir, ann)

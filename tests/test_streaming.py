@@ -818,6 +818,65 @@ def test_streaming_hll_checkpoint_recovery(spark, tmp_path):
     assert streamed == batch
 
 
+def test_streaming_cms_checkpoint_recovery(spark, tmp_path):
+    # The d x w CMS cell state is a complete-mode streaming agg; a
+    # restart must resume from the checkpointed counts so the final
+    # cells equal the batch cells over BOTH phases' documents (counts
+    # are additive — a lost batch would undercount, a replayed one
+    # would overcount; equality pins exactly-once recovery).
+    from rados_timestore_spark.queries_sketch import trigram_cms_cells
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    schema = docs.schema
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    import glob
+    import os
+    import shutil
+    import time as _t
+
+    os.makedirs(src)
+
+    def deliver(i, df):
+        tmp = str(tmp_path / f"w{i}")
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dest = f"{src}/b{i}.parquet"
+        shutil.move(part, dest)
+        os.utime(dest, (_t.time() + i, _t.time() + i))
+
+    out = str(tmp_path / "out")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+
+        def sink(df, bid):
+            df.write.mode("overwrite").parquet(out)
+
+        q = (
+            trigram_cms_cells(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(300)
+
+    deliver(0, docs.filter(F.col("doc_id") % 2 == 0))
+    run_once()
+    deliver(1, docs.filter(F.col("doc_id") % 2 == 1))
+    run_once()
+
+    streamed = {(r.j, r.p): r.c
+                for r in spark.read.parquet(out).collect()}
+    batch = {(r.j, r.p): r.c
+             for r in trigram_cms_cells(docs).collect()}
+    assert streamed == batch
+
+
 def test_stream_workdir_under_shared_root(spark, tmp_path):
     # VERDICT r6 #6: the streaming queries must be drivable with
     # staging/checkpoint under a configured shared path (warehouse
