@@ -936,3 +936,179 @@ def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_bytes long, width int, height int, "
         "channels int, feat_hash string",
     ).select("doc_id", "width", "height", "channels", "feat_hash")
+
+
+# --------------------------------------------- r7: JPEG marker walk
+
+_JPG_W_MOD, _JPG_H_MOD = 31, 17
+_JPG_COM_MAX = 40
+
+
+def decode_jpeg_header(payload: bytes) -> dict:
+    """REAL dependency-free JPEG header parse: verify SOI, then WALK
+    the marker segments the way every JPEG tool must — skip fill bytes
+    (0xFF padding before a marker), read each segment's big-endian
+    length, skip unknown/irrelevant segments by size, pull the image
+    geometry from the first SOFn (distinguishing baseline SOF0 from
+    progressive SOF2), and stop at SOS (entropy-coded data follows —
+    a header parser never scans it).  Raises on anything malformed
+    (missing SOI, truncated segment, standalone marker where a
+    segment is required, SOS before SOF)."""
+    if len(payload) < 4 or payload[0] != 0xFF or payload[1] != 0xD8:
+        raise ValueError("not a JPEG payload (missing SOI)")
+    i = 2
+    sof = None
+    progressive = False
+    n_segments = 0
+    com = b""
+    while True:
+        if i >= len(payload):
+            raise ValueError("ran off the end before SOS/EOI")
+        if payload[i] != 0xFF:
+            raise ValueError(f"expected marker at {i}")
+        while i < len(payload) and payload[i] == 0xFF:
+            i += 1  # fill bytes
+        if i >= len(payload):
+            raise ValueError("truncated marker")
+        marker = payload[i]
+        i += 1
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers carry no length
+        if i + 2 > len(payload):
+            raise ValueError("truncated segment length")
+        seg_len = (payload[i] << 8) | payload[i + 1]
+        if seg_len < 2 or i + seg_len > len(payload):
+            raise ValueError(f"bad segment length {seg_len}")
+        body = bytes(payload[i + 2 : i + seg_len])
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if sof is None:
+                if len(body) < 6:
+                    raise ValueError("short SOF")
+                precision = body[0]
+                height = (body[1] << 8) | body[2]
+                width = (body[3] << 8) | body[4]
+                ncomp = body[5]
+                if len(body) != 6 + 3 * ncomp:
+                    raise ValueError("SOF component table size mismatch")
+                sof = (precision, height, width, ncomp)
+                progressive = marker == 0xC2
+        elif marker == 0xFE:
+            com = body
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if sof is None:
+                raise ValueError("SOS before SOF")
+            break
+        n_segments += 1
+        i += seg_len
+    if sof is None:
+        raise ValueError("no SOF segment")
+    import hashlib
+
+    return {
+        "precision": sof[0], "height": sof[1], "width": sof[2],
+        "components": sof[3], "progressive": progressive,
+        "n_segments": n_segments,
+        "com_md5": hashlib.md5(com).hexdigest()[:8],
+    }
+
+
+def encode_jpeg_header(text: bytes, n: int) -> bytes:
+    """Structurally-genuine JPEG for one document: SOI, JFIF APP0, a
+    COM segment carrying the doc prefix (variable size — exercises
+    skip-by-length), a correctly-sized DQT, SOF0/SOF2 with real
+    geometry, SOS, stuffed entropy bytes, EOI."""
+    import struct
+
+    w = n % _JPG_W_MOD + 1
+    h = n % _JPG_H_MOD + 1
+    ncomp = (n % 2) * 2 + 1          # 1 (gray) or 3 (YCbCr)
+    sof_marker = 0xC2 if n % 3 == 0 else 0xC0
+    com = text[:min(n, _JPG_COM_MAX)]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) \
+            + body
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    comseg = seg(0xFE, com)
+    dqt = seg(0xDB, bytes([0]) + bytes((i * 3 + n) % 256
+                                       for i in range(64)))
+    sof_body = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for c in range(ncomp):
+        sof_body += bytes([c + 1, 0x11, 0])
+    sof = seg(sof_marker, sof_body)
+    sos_body = bytes([ncomp]) + b"".join(
+        bytes([c + 1, 0]) for c in range(ncomp)) + bytes([0, 63, 0])
+    sos = seg(0xDA, sos_body)
+    entropy = bytes(b if b != 0xFF else 0x00
+                    for b in (text * 2)[:8])  # FF-free stuffed data
+    return (b"\xff\xd8" + app0 + comseg + dqt + sof + sos + entropy
+            + b"\xff\xd9")
+
+
+def _jpeg_synth_decode(batches):
+    import pandas as pd  # noqa: F811 — executor-side import
+
+    for pdf in batches:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            raw = text.encode("utf-8") or b" "
+            n = len(raw)
+            d = decode_jpeg_header(encode_jpeg_header(raw, n))
+            rows.append((
+                int(doc_id), d["width"], d["height"], d["components"],
+                d["precision"], bool(d["progressive"]),
+                d["n_segments"], d["com_md5"],
+            ))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "width", "height", "components",
+                     "precision", "progressive", "n_segments", "com_md5"],
+        )
+
+
+@register(
+    "mm_jpeg_header",
+    # ASCII precondition as mm_wav_meta: substr/md5 below act on
+    # VARCHAR characters, the kernel on UTF-8 bytes — equal because
+    # the corpus is pure ASCII (test_documents_corpus_is_pure_ascii).
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN octet_length(encode(text)) = 0 THEN ' '
+              ELSE text END AS text,
+         GREATEST(octet_length(encode(text)), 1) AS n
+  FROM documents)
+SELECT doc_id,
+       CAST(n % {_JPG_W_MOD} + 1 AS INT) AS width,
+       CAST(n % {_JPG_H_MOD} + 1 AS INT) AS height,
+       CAST((n % 2) * 2 + 1 AS INT) AS components,
+       8 AS precision,
+       n % 3 = 0 AS progressive,
+       4 AS n_segments,
+       substr(md5(substr(text, 1, LEAST(n, {_JPG_COM_MAX}))), 1, 8)
+         AS com_md5
+FROM g
+""",
+    tags=("multimodal",),
+    priority=110,  # new r7 carve-out, see sim_ivf_ann_filtered
+)
+def mm_jpeg_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG header parse, end to end: synthesize a structurally-
+    genuine JPEG per document (marker segments with real big-endian
+    lengths, baseline/progressive SOF variants, a variable-size COM,
+    FF-stuffed entropy bytes) and walk it back with
+    :func:`decode_jpeg_header` — the image-container twin of
+    :func:`mm_wav_meta`.  The oracle recomputes geometry and the COM
+    digest purely from the sizing formulas, verifying the marker walk
+    bit-exactly.  Scale shape: executor-local Arrow batches via
+    ``mapInPandas``, no shuffle."""
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
+    return docs.select("doc_id", "text").mapInPandas(
+        _jpeg_synth_decode,
+        "doc_id long, width int, height int, components int, "
+        "precision int, progressive boolean, n_segments int, "
+        "com_md5 string",
+    )

@@ -69,7 +69,10 @@ def test_decoders_never_crash_ungracefully(payload):
     from rados_timestore_spark.queries_multimodal import (
         decode_image_real, decode_png_real, decode_wav_real)
 
-    for dec in (decode_png_real, decode_wav_real, decode_image_real):
+    from rados_timestore_spark.queries_multimodal import decode_jpeg_header
+
+    for dec in (decode_png_real, decode_wav_real, decode_image_real,
+                decode_jpeg_header):
         try:
             dec(payload)
         except ValueError:

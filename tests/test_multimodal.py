@@ -284,3 +284,55 @@ def test_decode_png_real_rejects_corruption():
         decode_png_real(bad)
     with pytest.raises(ValueError):
         decode_png_real(good[:-20])  # truncated (no IEND)
+
+
+def test_jpeg_header_roundtrip():
+    from rados_timestore_spark.queries_multimodal import (
+        _JPG_COM_MAX, decode_jpeg_header, encode_jpeg_header)
+    import hashlib
+
+    for text in (b"hello world", b"x", b"a" * 200):
+        n = len(text)
+        d = decode_jpeg_header(encode_jpeg_header(text, n))
+        assert d["width"] == n % 31 + 1
+        assert d["height"] == n % 17 + 1
+        assert d["components"] == (n % 2) * 2 + 1
+        assert d["precision"] == 8
+        assert d["progressive"] == (n % 3 == 0)
+        assert d["n_segments"] == 4
+        assert d["com_md5"] == hashlib.md5(
+            text[:min(n, _JPG_COM_MAX)]).hexdigest()[:8]
+
+
+def test_jpeg_header_rejects_malformed():
+    import pytest
+
+    from rados_timestore_spark.queries_multimodal import (
+        decode_jpeg_header, encode_jpeg_header)
+
+    good = encode_jpeg_header(b"doc", 3)
+    with pytest.raises(ValueError):
+        decode_jpeg_header(b"")                      # no SOI
+    with pytest.raises(ValueError):
+        decode_jpeg_header(b"\x89PNG\r\n\x1a\n")     # wrong magic
+    with pytest.raises(ValueError):
+        decode_jpeg_header(good[:10])                # truncated segment
+    # SOS before SOF: SOI + minimal SOS
+    with pytest.raises(ValueError):
+        decode_jpeg_header(b"\xff\xd8\xff\xda\x00\x03\x01")
+    # corrupt a segment length to run past the end
+    bad = bytearray(good)
+    bad[4] = 0xFF
+    bad[5] = 0xFF
+    with pytest.raises(ValueError):
+        decode_jpeg_header(bytes(bad))
+
+
+def test_jpeg_header_skips_fill_bytes_and_standalone_markers():
+    from rados_timestore_spark.queries_multimodal import (
+        decode_jpeg_header, encode_jpeg_header)
+
+    good = encode_jpeg_header(b"padded", 6)
+    # insert fill FFs and a standalone TEM marker after SOI
+    padded = good[:2] + b"\xff\xff" + b"\xff\x01" + good[2:]
+    assert decode_jpeg_header(padded) == decode_jpeg_header(good)
