@@ -1769,7 +1769,10 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # post-filtered brute-force over the predicate's own index — a
 # different query, deliberately not this one.
 
-_FILTER_LABEL = 3
+#: Odd labels — half the corpus — so the filtered scan returns a full
+#: top-5 per query at every SF (a single label left only 1-2 survivors
+#: inside the probed buckets at small SF: thin hash evidence).
+_FILTER_LABELS = (1, 3, 5, 7, 9)
 
 
 @register(
@@ -1782,7 +1785,7 @@ fhits AS (
            / {_norm_sql("a.embedding")} / {_norm_sql("p.qe")} AS cos
   FROM probes p JOIN assigned a ON a.bucket = p.bucket
        JOIN embeddings l ON l.vec_id = a.vec_id
-  WHERE a.vec_id <> p.query_id AND l.label = {_FILTER_LABEL}),
+  WHERE a.vec_id <> p.query_id AND l.label IN ({', '.join(map(str, _FILTER_LABELS))})),
 ftop AS (
   SELECT query_id, neighbor_id, cos, rank FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id
@@ -1803,7 +1806,7 @@ def sim_ivf_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain plus one equality."""
     assigned, probes = _ivf_parts(spark, sf_dir)
     emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
-    labels = emb.filter(F.col("label") == _FILTER_LABEL) \
+    labels = emb.filter(F.col("label").isin(*_FILTER_LABELS)) \
         .select("vec_id", "label")
     hits = (
         probes.join(assigned, "bucket")

@@ -769,3 +769,74 @@ def streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(pdf, schema=out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+_SLIDE_US = 15 * 60 * 1_000_000
+
+
+@register(
+    "streaming_sliding_counts",
+    oracle=f"""
+WITH pts AS (
+  SELECT user_id * 2 AS address, epoch_us(ts) AS t, event_id AS value
+  FROM events
+),
+wm AS (SELECT max(t) - {_DELAY_US} AS watermark FROM pts),
+contrib AS (
+  SELECT ((t // {_SLIDE_US}) - k) * {_SLIDE_US} AS ws, address, value
+  FROM pts, generate_series(0, {_HOUR_US // _SLIDE_US - 1}) gs(k)),
+agg AS (
+  SELECT ws, address, count(*) AS n, CAST(sum(value) AS BIGINT)
+           AS sum_value
+  FROM contrib GROUP BY 1, 2)
+SELECT ws AS window_start_us, address, n, sum_value
+FROM agg, wm
+WHERE ws + {_HOUR_US} <= watermark
+""",
+    tags=("streaming",),
+    priority=110,  # new r7 carve-out (window full of the rotated-in r6 batch); local-green; rotate in r8 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SLIDING-window streaming aggregate (1h window, 15min
+    slide): every event lands in 4 overlapping windows; append mode
+    emits exactly the watermark-closed ones.  The oracle reproduces
+    the window expansion relationally — start = (t div slide - k) *
+    slide for k in 0..3 (Spark aligns sliding windows to epoch
+    multiples of the slide, which the integer division mirrors
+    exactly).  Completes the window-shape coverage next to tumbling
+    (streaming_rollup_hourly) and session (streaming_sessionize)."""
+    from rados_timestore_spark.queries_common import event_us, load
+    from rados_timestore_spark.streaming.windows import (
+        stream_rollup_sliding,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        (F.col("user_id") * 2).alias("address"),
+        event_us(ev).alias("time"),
+        F.col("event_id").alias("value"),
+    )
+    work = stream_workdir(spark, "ts_stream_slide_")
+    src, out, ck = f"{work}/src", f"{work}/out", f"{work}/ck"
+    pts.coalesce(1).write.parquet(src)
+
+    with _few_state_partitions(spark):
+        stream = spark.readStream.schema(pts.schema).parquet(src)
+        q = (
+            stream_rollup_sliding(
+                stream, window="1 hour", slide="15 minutes",
+                watermark="30 minutes",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    return got.select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        "address", "n", "sum_value",
+    )

@@ -722,3 +722,28 @@ def stream_sessionize(
             F.max(time_col).alias("last_t"),
         )
     )
+
+
+def stream_rollup_sliding(
+    points: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "30 minutes",
+    time_col: str = "time",
+) -> DataFrame:
+    """Sliding event-time rollup: each point contributes to
+    window/slide overlapping windows (4 for 1h/15m) — the
+    moving-average / rate-dashboard shape tumbling windows can't
+    express.  State is bounded by the watermark exactly as in
+    :func:`stream_rollup`; Spark expands the per-row window list
+    internally, so the plan stays one streaming aggregation."""
+    ts = F.timestamp_micros(F.col(time_col)).alias("event_ts")
+    return (
+        points.withColumn("event_ts", ts)
+        .withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", window, slide), F.col("address"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("sum_value"),
+        )
+    )

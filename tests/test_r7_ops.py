@@ -75,7 +75,7 @@ def test_filtered_ann_is_subset_with_matching_label(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     labels = {
         r.vec_id for r in
-        emb.filter(F.col("label") == qs._FILTER_LABEL).collect()
+        emb.filter(F.col("label").isin(*qs._FILTER_LABELS)).collect()
     }
     rows = _q("sim_ivf_ann_filtered")(spark, SF_DIR).collect()
     assert all(r.neighbor_id in labels for r in rows)

@@ -101,7 +101,7 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "sim_ivf_ann_filtered", "sim_sq8_ann", "sim_sq8_recall",
     "text_bpe_merge_candidates", "streaming_cms_cells",
     "graph_connected_components", "sim_ivfsq8_ann", "sim_ivfsq8_recall",
-    "mm_jpeg_header",
+    "mm_jpeg_header", "streaming_sliding_counts",
 }
 
 
