@@ -182,6 +182,13 @@ SOAK_HEAVY_QUERIES = (
     "sim_pq_rerank",
     "sim_ivfpq_rerank",
     "text_pack_sequences_sharded",
+    # r7 additions
+    "sim_sq8_ann",
+    "sim_ivfsq8_ann",
+    "sim_ivf_ann_filtered",
+    "text_bpe_merge_candidates",
+    "graph_connected_components",
+    "mm_jpeg_header",
 )
 
 
