@@ -43,6 +43,11 @@ QUERIES = [
     "text_bigram_surprisal",
     "mm_wav_rms",
     "text_pack_sequences_sharded",
+    # r7 doc-driven queries
+    "text_bpe_merge_candidates",
+    "mm_jpeg_header",
+    "streaming_cms_cells",
+    "graph_connected_components",
 ]
 
 
