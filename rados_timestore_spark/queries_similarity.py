@@ -1844,9 +1844,10 @@ def sim_ivf_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the IVF+SQ8 composition.
 _SQ8_BASE_CTE = """
 vmaxq AS (
-  SELECT max(list_max(list_transform(embedding, x -> abs(x::DOUBLE))))
-    AS vmax
-  FROM embeddings),
+  SELECT CASE WHEN m > 0 THEN m ELSE 1.0 END AS vmax FROM (
+    SELECT max(list_max(list_transform(embedding,
+                                       x -> abs(x::DOUBLE)))) AS m
+    FROM embeddings)),
 codes AS (
   SELECT vec_id,
          list_transform(embedding,
@@ -1891,10 +1892,13 @@ def _sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pinned: the 1-row scale aggregate feeds BOTH the corpus-code and
     # query-code branches of the final plan — without the pin each
     # branch re-scans the table just to recompute vmax.
+    # An all-zero corpus yields scale 0 -> x/0 NaN codes that the two
+    # engines would disagree on; clamp to 1 (codes all zero) instead.
+    m = F.max(F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    ))
     vmax = emb.agg(
-        F.max(F.array_max(
-            F.transform("embedding", lambda x: F.abs(x.cast("double")))
-        )).alias("vmax")
+        F.when(m > 0, m).otherwise(F.lit(1.0)).alias("vmax")
     ).transform(pin)
     return emb.crossJoin(F.broadcast(vmax)).select(
         "vec_id",
