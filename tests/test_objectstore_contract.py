@@ -181,3 +181,23 @@ def test_directory_rename_refused(ostore, tmp_path):
     with pytest.raises(IOError):
         ostore.fs.rename(str(tmp_path / "objstore" / "adir"),
                          str(tmp_path / "objstore" / "bdir"))
+
+
+def test_mutable_kv_under_object_semantics(spark, tmp_path):
+    # The KV view rides the same meta/flip machinery — prove the whole
+    # insert/lookup/enumerate surface under object-store rename.
+    from rados_timestore_spark.mutable import MutableKV
+
+    store = TimeStore(spark, str(tmp_path / "objkv"),
+                      fs_class=ObjectStoreFS)
+    store.register_namespace("kv", buckets=4)
+    kv = MutableKV(store, "kv")
+    kv.insert(7, b"alpha")
+    kv.insert(9, b"beta")
+    kv.insert(7, b"gamma")          # last-write-wins
+    assert kv.lookup(7) == b"gamma"
+    assert kv.lookup(9) == b"beta"
+    assert kv.lookup(11) is None
+    got = {(r.key, bytes(r.value)) for r in kv.enumerate().collect()}
+    assert got == {(7, b"gamma"), (9, b"beta")}
+    assert store.fs.renames > 0
