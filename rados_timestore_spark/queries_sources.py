@@ -1,0 +1,106 @@
+"""Source/sink format breadth: CSV and JSON-lines ingestion paths.
+
+The engine's native table format is Parquet (the reference's object
+blobs re-expressed as columnar storage, SURVEY §1), but a pipeline's
+EDGE is rarely parquet — logs arrive as CSV/JSONL.  These queries
+prove the text-source ingestion path end-to-end: project the events
+fixture to the Point model, write it through the text format, read it
+back with an explicit schema, and aggregate — the DuckDB oracle
+computes the same aggregate straight from parquet, so a hash match
+certifies the text round-trip was lossless.
+
+Determinism: only INTEGER columns cross the text boundary (epoch-µs
+time, ids) — no float formatting, no timestamp-zone parsing, nothing
+locale-dependent.  Scale shape: the staged file is written once and
+both sides of the comparison are single-scan aggregates; on a cluster
+the staging path comes from ``spark.rados_timestore.stream_dir``
+exactly like the streaming demos (local tempdir default).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rados_timestore_spark.queries_common import event_us, load
+from rados_timestore_spark.registry import register
+
+#: The aggregate both round-trips certify with (all-integer).
+_AGG_SQL = """
+SELECT address, count(*) AS n,
+       CAST(sum(t) AS BIGINT) AS sum_time,
+       CAST(sum(value) AS BIGINT) AS sum_value,
+       min(t) AS min_time, max(t) AS max_time
+FROM pts GROUP BY address
+"""
+
+_PTS_SQL = """
+WITH pts AS (
+  SELECT user_id * 2 AS address, epoch_us(ts) AS t, event_id AS value
+  FROM events
+)
+"""
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        (F.col("user_id") * 2).alias("address"),
+        event_us(ev).alias("t"),
+        F.col("event_id").alias("value"),
+    )
+
+
+def _agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("address").agg(
+        F.count("*").alias("n"),
+        F.sum("t").cast("long").alias("sum_time"),
+        F.sum("value").cast("long").alias("sum_value"),
+        F.min("t").alias("min_time"),
+        F.max("t").alias("max_time"),
+    )
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    from rados_timestore_spark.queries_streaming import stream_workdir
+
+    pts = _points(spark, sf_dir)
+    work = stream_workdir(spark, f"ts_src_{fmt}_")
+    path = f"{work}/pts"
+    writer = pts.coalesce(4).write.mode("overwrite")
+    if fmt == "csv":
+        writer.option("header", True).csv(path)
+        back = (
+            spark.read.schema("address long, t long, value long")
+            .option("header", True).csv(path)
+        )
+    else:
+        writer.json(path)
+        back = spark.read.schema("address long, t long, value long") \
+            .json(path)
+    return _agg(back)
+
+
+@register(
+    "src_csv_roundtrip",
+    oracle=_PTS_SQL + _AGG_SQL,
+    tags=("sources",),
+    priority=110,  # new r7 carve-out (window full of the rotated-in r6 batch); local-green; rotate in r8 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink round-trip (module doc): the aggregate computed
+    through write-CSV -> read-CSV must hash-match the oracle's
+    straight-from-parquet aggregate."""
+    return _roundtrip(spark, sf_dir, "csv")
+
+
+@register(
+    "src_jsonl_roundtrip",
+    oracle=_PTS_SQL + _AGG_SQL,
+    tags=("sources",),
+    priority=110,  # new r7 carve-out, see src_csv_roundtrip
+)
+def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source/sink round-trip — same certificate as
+    :func:`src_csv_roundtrip` through the JSON text path."""
+    return _roundtrip(spark, sf_dir, "json")

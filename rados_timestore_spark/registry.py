@@ -169,6 +169,7 @@ _QUERY_MODULES = (
     "rados_timestore_spark.queries_tpch3",
     "rados_timestore_spark.queries_pipeline",
     "rados_timestore_spark.queries_sketch",
+    "rados_timestore_spark.queries_sources",
 )
 
 
