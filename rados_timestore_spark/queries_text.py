@@ -1185,3 +1185,60 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(25)
     )
+
+
+# ------------------------------------- r7: domain-mixture sampling
+#
+# The data-mixing step of corpus assembly (Pile/Dolma-style): each
+# source gets a target sampling RATE, applied as a deterministic
+# salted-hash threshold so the draw is uniform w.r.t. the salt yet
+# identical on every rerun/engine/partitioning — the rate-based
+# sibling of text_stratified_sample's per-stratum top-k.  Rates here
+# derive from the source index (500..9500 bps) so the query is
+# fixture-stable; production passes a weights map the same shape.
+
+
+@register(
+    "text_mixture_sample",
+    oracle="""
+WITH rated AS (
+  SELECT doc_id, source, n_chars,
+         500 + (CAST(substr(source, 4) AS INT) % 10) * 1000 AS rate_bps,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 15))
+           ::BIGINT % 10000 AS hv
+  FROM documents)
+SELECT source, rate_bps,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN hv < rate_bps THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(CASE WHEN hv < rate_bps THEN n_chars ELSE 0 END)
+            AS BIGINT) AS kept_chars
+FROM rated GROUP BY source, rate_bps
+""",
+    tags=("text", "pipeline"),
+    priority=110,  # new r7 carve-out, see src_csv_roundtrip
+)
+def text_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling (module note above): one scan,
+    per-row integer hash threshold, one hash aggregate — the keep
+    decision never shuffles documents, only (source, counters)."""
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
+    rate = 500 + (F.substring("source", 4, 10).cast("int") % 10) * 1000
+    hv = (
+        F.conv(F.substring(F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))
+        ), 1, 15), 16, 10).cast("long") % 10000
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars",
+                    rate.alias("rate_bps"), hv.alias("hv"))
+        .groupBy("source", "rate_bps")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(F.col("hv") < F.col("rate_bps"), 1)
+                  .otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("hv") < F.col("rate_bps"),
+                         F.col("n_chars")).otherwise(0))
+            .cast("long").alias("kept_chars"),
+        )
+    )
