@@ -1,0 +1,149 @@
+"""Cross-engine differential testing on RANDOMIZED corpora.
+
+The driver gate and tools/check_correctness.py compare Spark vs DuckDB
+on the fixed fixtures — strong, but a query could pass by luck of the
+fixture's shape (e.g. no empty strata, no hash-threshold boundary
+values, a friendly word distribution).  This suite regenerates tiny
+random documents/events tables from seeds and runs a set of cheap
+scan-shaped queries through BOTH engines on each, mirroring the
+checker's normalize-and-compare exactly.  Three seeds x N queries:
+fixture-independent evidence that the oracle equivalences are laws,
+not coincidences.
+"""
+
+import random
+import string
+
+import duckdb
+import pandas as pd
+import pytest
+
+from rados_timestore_spark import registry
+
+#: Cheap, corpus-shaped queries worth fuzzing (single scan / small
+#: agg; no minutes-long ANN or streaming rigs).
+DOC_QUERIES = [
+    "text_stats", "text_word_freq", "text_token_count",
+    "text_quality_score", "text_fingerprint", "dedup_exact",
+    "text_length_buckets", "text_repetition", "text_split_assign",
+    "text_mixture_sample", "text_bpe_merge_candidates",
+    "sketch_cms_heavy_hitters", "sketch_kmv_sample",
+    "text_winnow_fingerprint", "dedup_bloom",
+    # mm codecs: their char-vs-byte oracle precondition needs a pure
+    # ASCII corpus, which _rand_docs guarantees by construction
+    "mm_jpeg_header", "mm_wav_meta", "mm_decode_png",
+]
+EVENT_QUERIES = [
+    "ts_rollup_hourly", "ts_value_histogram", "ts_ohlc_hourly",
+    "ts_pivot_event_counts", "ts_moving_window_sum", "ts_quantiles",
+    "ts_m4_downsample", "ts_counter_rate",
+]
+
+WORDS = ("the a of and to in is on for data spark query time "
+         "point store row alpha beta gamma delta".split())
+EVENT_TYPES = ["view", "click", "purchase", "error"]
+
+
+def _rand_docs(rng, n):
+    rows = []
+    for i in range(n):
+        kind = rng.random()
+        if kind < 0.05:
+            text = ""
+        elif kind < 0.15:
+            text = rng.choice(WORDS)
+        elif kind < 0.25:  # exact duplicate of an earlier doc
+            text = rows[rng.randrange(len(rows))][1] if rows else "dup"
+        else:
+            text = " ".join(
+                rng.choice(WORDS) for _ in range(rng.randrange(2, 60))
+            )
+        rows.append((
+            i, text, rng.choice(["en", "de", "fr", "es"]),
+            f"src{rng.randrange(20)}", len(text),
+        ))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
+def _rand_events(rng, n):
+    base = 1_704_067_200_000_000  # 2024-01-01 in µs
+    rows = []
+    for i in range(n):
+        t = base + rng.randrange(0, 30 * 86_400_000_000)
+        rows.append((
+            i,
+            pd.Timestamp(t, unit="us"),
+            rng.randrange(0, 40),
+            rng.choice(EVENT_TYPES),
+            rng.randrange(0, 1000),
+            '{"k": %d}' % rng.randrange(10),
+        ))
+    df = pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    return df
+
+
+def _normalize(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: v.hex() if isinstance(v, (bytes, bytearray))
+                else v
+            )
+        if str(df[c].dtype) in ("Int64", "Int32"):
+            df[c] = df[c].astype("float64")
+        if str(df[c].dtype).startswith("int"):
+            df[c] = df[c].astype("int64")
+        if str(df[c].dtype) == "float32":
+            df[c] = df[c].astype("float64")
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module", params=[11, 23, 47])
+def corpus(request, spark, tmp_path_factory):
+    rng = random.Random(request.param)
+    root = tmp_path_factory.mktemp(f"fuzz{request.param}")
+    docs = _rand_docs(rng, 120)
+    events = _rand_events(rng, 400)
+    spark.createDataFrame(docs).coalesce(1) \
+        .write.parquet(f"{root}/documents.parquet")
+    spark.createDataFrame(events).coalesce(1) \
+        .write.parquet(f"{root}/events.parquet")
+    # satisfy loaders for tables these queries never read
+    for t in TABLES:
+        if t in ("documents", "events"):
+            continue
+        spark.createDataFrame(
+            pd.DataFrame({"dummy": [0]})
+        ).write.mode("overwrite").parquet(f"{root}/{t}.parquet")
+    con = duckdb.connect()
+    # Spark writes each table as a directory of part files.
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{root}/documents.parquet/*.parquet'")
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"'{root}/events.parquet/*.parquet'")
+    return str(root), con
+
+
+@pytest.mark.parametrize("name", DOC_QUERIES + EVENT_QUERIES)
+def test_cross_engine_on_random_corpus(corpus, spark, name):
+    root, con = corpus
+    qs, oracles = registry.queries(), registry.oracle_sql()
+    got = _normalize(qs[name](spark, root).toPandas())
+    want = _normalize(con.execute(oracles[name]).fetchdf())
+    assert list(got.columns) == list(want.columns), name
+    assert len(got) == len(want), name
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
