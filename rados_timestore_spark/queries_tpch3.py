@@ -264,3 +264,66 @@ def tpch_q20_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("s_suppkey", "s_name", "n_name")
     )
+
+
+@register(
+    "tpch_q9_partsupp",
+    oracle=f"""
+WITH {_PARTSUPP_CTE}
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       CAST(SUM(CAST(
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (1 - CAST(l_discount AS DECIMAL(4,2))) * 100
+         - ps_cost_cents * CAST(l_quantity AS DECIMAL(12,2))
+       AS DECIMAL(28,4))) AS DOUBLE) AS profit_x100
+FROM lineitem
+  JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+""",
+    tags=("join", "agg"),
+    priority=110,  # new r7 carve-out, see tpch_q2_partsupp
+)
+def tpch_q9_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 with the supply-cost leg RESTORED via the derived partsupp:
+    profit = revenue - ps_supplycost * quantity, exactly the official
+    expression (the adapted tpch_q9_product_profit omits the cost
+    term).  Everything stays exact: revenue is scaled x100 into cents
+    so no engine ever divides, the sum is one DECIMAL(28,4) aggregate,
+    and only the final value casts to double — the output is profit in
+    CENTS (profit_x100), documented rather than rounded.  The fixture
+    lineitem was not generated against the partsupp assignment, so the
+    inner join keeps the lines whose (part, supplier) pair is a known
+    supply relationship — the official query's semantics over this
+    fixture's honest subset."""
+    ps = _partsupp(spark, sf_dir)
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%"))
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate")
+    nation = load(spark, sf_dir, "nation")
+    sn = supp.join(F.broadcast(nation),
+                   supp.s_nationkey == nation.n_nationkey)
+    j = (
+        li.join(ps, (li.l_partkey == ps.ps_partkey)
+                & (li.l_suppkey == ps.ps_suppkey))
+        .join(part, li.l_partkey == part.p_partkey)
+        .join(sn, li.l_suppkey == sn.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    profit = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")) * 100
+        - F.col("ps_cost_cents")
+        * F.col("l_quantity").cast("decimal(12,2)")
+    ).cast("decimal(28,4)")
+    return j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").alias("o_year"),
+    ).agg(F.sum(profit).cast("double").alias("profit_x100"))
