@@ -102,16 +102,25 @@ class HadoopFS:
         finally:
             out.close()
         bak = p + ".bak"
-        if self.exists(p):
-            if self.exists(bak):
-                self.delete(bak, False)
-            if not self.rename(p, bak):
-                raise IOError(f"backup rename failed: {p} -> {p}.bak")
-        if not self.rename(tmp, p):
-            raise IOError(f"rename failed: {tmp} -> {p}")
-        # New primary is in place; the backup is only crash insurance.
-        if self.exists(bak):
-            self.delete(bak, False)
+        # Bounded replace loop (r7 review finding): a concurrent
+        # reader's exists_or_recover can RESURRECT the old primary
+        # from .bak in the window between our two renames, making the
+        # final non-clobber rename fail.  The resurrected file is the
+        # previous version, so moving it aside again and retrying is
+        # exact — and the window is transient by construction, so a
+        # handful of attempts always suffices.
+        for _ in range(10):
+            if self.exists(p):
+                if self.exists(bak):
+                    self.delete(bak, False)
+                if not self.rename(p, bak):
+                    raise IOError(f"backup rename failed: {p} -> {p}.bak")
+            if self.rename(tmp, p):
+                # New primary in place; backup is only crash insurance.
+                if self.exists(bak):
+                    self.delete(bak, False)
+                return
+        raise IOError(f"rename failed after retries: {tmp} -> {p}")
 
     def exists_or_recover(self, p: str) -> bool:
         """True iff ``p`` exists, restoring it from the ``p.bak``
@@ -132,6 +141,46 @@ class HadoopFS:
 
     def rename(self, src: str, dst: str) -> bool:
         return bool(self.fs.rename(self._path(src), self._path(dst)))
+
+    def create_exclusive(self, p: str, content: bytes = b"") -> bool:
+        """Atomically create ``p`` iff absent; True on success.
+
+        Hadoop's RawLocalFileSystem implements ``create(overwrite=
+        false)`` as a client-side exists-check-then-create — NOT atomic
+        (r7 review finding: two local lock contenders could both pass
+        the check).  For file:// / scheme-less paths this uses
+        ``java.io.File.createNewFile`` instead, which is the POSIX
+        O_CREAT|O_EXCL one-syscall create; HDFS keeps ``fs.create``
+        (namenode-atomic); object stores remain documented best-effort
+        (S3 has no create-if-absent primitive).
+        """
+        jpath = self._path(p)
+        uri = jpath.toUri()
+        scheme = uri.getScheme()
+        if scheme is None or scheme == "file":
+            jf = self._jvm.java.io.File(uri.getPath())
+            parent = jf.getParentFile()
+            if parent is not None:
+                parent.mkdirs()
+            if not jf.createNewFile():
+                return False
+            if content:
+                out = self._jvm.java.io.FileOutputStream(jf)
+                try:
+                    out.write(bytearray(content))
+                finally:
+                    out.close()
+            return True
+        try:
+            out = self.fs.create(jpath, False)
+            try:
+                if content:
+                    out.write(bytearray(content))
+            finally:
+                out.close()
+            return True
+        except Exception:
+            return False
 
     def delete(self, p: str, recursive: bool = True) -> bool:
         return bool(self.fs.delete(self._path(p), recursive))

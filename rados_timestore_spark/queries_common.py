@@ -169,4 +169,32 @@ def release_pins() -> int:
         except Exception:  # session already stopped — nothing to free
             pass
     _PINNED.clear()
+    n += _release_staged()
+    return n
+
+
+#: Staged directories (spark, path) awaiting release — see
+#: :func:`stage_for_release`.
+_STAGED: list[tuple["SparkSession", str]] = []
+
+
+def stage_for_release(spark: "SparkSession", path: str) -> None:
+    """Register a staging directory for deletion at the next
+    :func:`release_pins` (i.e. when the next registered query starts,
+    or when a harness finishes) — the staged-files twin of
+    :func:`pin`: queries returning lazy frames over staged output
+    cannot delete it before the caller's action runs."""
+    _STAGED.append((spark, path))
+
+
+def _release_staged() -> int:
+    n = len(_STAGED)
+    for spark, path in _STAGED:
+        try:
+            from rados_timestore_spark.fsutil import HadoopFS
+
+            HadoopFS(spark, path).delete(path, recursive=True)
+        except Exception:
+            pass  # session stopped or already removed
+    _STAGED.clear()
     return n

@@ -1886,8 +1886,6 @@ def _i64_dot(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 def _sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rados_timestore_spark.queries_common import pin
-
     emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
     # Pinned: the 1-row scale aggregate feeds BOTH the corpus-code and
     # query-code branches of the final plan — without the pin each

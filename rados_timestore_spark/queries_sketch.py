@@ -418,10 +418,8 @@ def streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .writeStream.format("memory").queryName(name)
                 .outputMode("complete").trigger(availableNow=True).start()
             )
-            if not q.awaitTermination(300):
-                q.stop()
-                raise RuntimeError("streaming HLL did not terminate "
-                                   "within 300s")
+            from rados_timestore_spark.queries_streaming import _await
+            _await(q)
         # the memory sink holds the final registers; the staged source
         # files are no longer needed (r5 review finding: mkdtemp leak).
         # Materialize + drop the per-invocation sink view so repeated
@@ -431,9 +429,9 @@ def streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView(name)
         return spark.createDataFrame(pdf, schema=out.schema)
     finally:
-        import shutil
+        from rados_timestore_spark.queries_streaming import _rm_work
 
-        shutil.rmtree(work, ignore_errors=True)
+        _rm_work(spark, work)
 
 
 def trigram_hll_registers(df: DataFrame) -> DataFrame:
@@ -480,7 +478,7 @@ def streaming_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster)."""
     from rados_timestore_spark.queries_common import load
     from rados_timestore_spark.queries_streaming import (
-        _few_state_partitions, stream_workdir,
+        _await, _few_state_partitions, stream_workdir,
     )
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -503,18 +501,15 @@ def streaming_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .writeStream.format("memory").queryName(name)
                 .outputMode("complete").trigger(availableNow=True).start()
             )
-            if not q.awaitTermination(300):
-                q.stop()
-                raise RuntimeError("streaming CMS did not terminate "
-                                   "within 300s")
+            _await(q)
         out = spark.table(name).select("j", "p", "c")
         pdf = out.toPandas()
         spark.catalog.dropTempView(name)
         return spark.createDataFrame(pdf, schema=out.schema)
     finally:
-        import shutil
+        from rados_timestore_spark.queries_streaming import _rm_work
 
-        shutil.rmtree(work, ignore_errors=True)
+        _rm_work(spark, work)
 
 
 def trigram_cms_cells(df: DataFrame) -> DataFrame:

@@ -33,16 +33,75 @@ def stream_workdir(spark: SparkSession, prefix: str) -> str:
     import os
     import uuid
 
+    from rados_timestore_spark.queries_common import stage_for_release
+
     base = os.environ.get("SPARK_GRAFT_STREAM_DIR")
-    if not base:
+    if base:
+        pass
+    else:
         base = spark.conf.get("spark.rados_timestore.stream_dir", None)
     if base:
         work = f"{base.rstrip('/')}/{prefix}{uuid.uuid4().hex[:12]}"
         spark._jvm.org.apache.hadoop.fs.Path(work).getFileSystem(
             spark.sparkContext._jsc.hadoopConfiguration()
         ).mkdirs(spark._jvm.org.apache.hadoop.fs.Path(work))
-        return work
-    return tempfile.mkdtemp(prefix=prefix)
+    else:
+        work = tempfile.mkdtemp(prefix=prefix)
+    # Queries that return LAZY frames over their staged output can't
+    # delete the dir before the caller's action — register it for the
+    # release-on-next-query hook instead (same contract as pin();
+    # r7 review finding: per-query rmtree silently no-ops on URI
+    # paths, leaking shared-store staging).  Queries that materialize
+    # may still delete promptly via _rm_work; the deferred release is
+    # then a no-op.
+    stage_for_release(spark, work)
+    return work
+
+
+def _fs(spark: SparkSession, path: str):
+    from rados_timestore_spark.fsutil import HadoopFS
+
+    return HadoopFS(spark, path)
+
+
+def _rm_work(spark: SparkSession, work: str) -> None:
+    """Remove a staging dir through the Hadoop FS layer —
+    ``shutil.rmtree`` silently no-ops on s3a://hdfs:// URIs."""
+    try:
+        _fs(spark, work).delete(work, recursive=True)
+    except Exception:
+        pass  # best-effort; stage_for_release retries at next query
+
+
+def _list_parts(spark: SparkSession, src: str) -> set:
+    """part-file paths under ``src`` via the Hadoop FS layer
+    (glob.glob returns [] on shared URIs — r7 review finding)."""
+    fs = _fs(spark, src)
+    jp = fs._path(src)
+    if not fs.fs.exists(jp):
+        return set()
+    return {
+        st.getPath().toString()
+        for st in fs.fs.listStatus(jp)
+        if st.getPath().getName().startswith("part-")
+    }
+
+
+def _bump_mtimes(spark: SparkSession, paths, bump_epoch_s: float) -> None:
+    """Set file mtimes through the Hadoop FS layer (os.utime can't
+    touch shared URIs)."""
+    fs = _fs(spark, next(iter(paths))) if paths else None
+    for p in paths:
+        fs.fs.setTimes(fs._path(p), int(bump_epoch_s * 1000), -1)
+
+
+def _await(q, secs: int = 300) -> None:
+    """awaitTermination with a LOUD timeout — returning partial sink
+    contents on a hung query is a silent wrong answer (r7 review)."""
+    if not q.awaitTermination(secs):
+        q.stop()
+        raise RuntimeError(
+            f"streaming query did not terminate within {secs}s")
 
 
 _DELAY_US = 30 * 60 * 1_000_000   # 30 min watermark
@@ -112,7 +171,7 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await(q)
     return spark.read.parquet(out)
 
 
@@ -176,7 +235,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await(q)
     return spark.read.parquet(out)
 
 
@@ -249,7 +308,7 @@ def streaming_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await(q)
     return spark.read.parquet(out)
 
 
@@ -274,8 +333,6 @@ def streaming_asof_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     that finalizes the tail; a live deployment sets a real bound and
     omits the flush.  State per key stays <= delay + horizon of event
     time (windows._asof_update_exact)."""
-    import glob
-    import os
     import time as _time
 
     from rados_timestore_spark.queries_common import event_us, load
@@ -298,7 +355,7 @@ def streaming_asof_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # files get a strictly later mtime, so the file source (ordered by
     # modification time) delivers them in the final micro-batch(es).
     sent_t = int(hi) + delay_us + 1
-    before = set(glob.glob(f"{src}/part-*.parquet"))
+    before = _list_parts(spark, src)
     pts.select("user_id").distinct().select(
         "user_id", F.lit(sent_t).alias("t"),
         F.lit(-1).alias("event_id"), F.lit("__flush__").alias("event_type"),
@@ -306,9 +363,8 @@ def streaming_asof_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # data-file mtimes may tie at fs granularity (fine: with the full
     # span as the lateness bound nothing finalizes early), but the
     # sentinel file must sort strictly LAST — set its mtime explicitly
-    bump = _time.time() + 60
-    for f in set(glob.glob(f"{src}/part-*.parquet")) - before:
-        os.utime(f, (bump, bump))
+    _bump_mtimes(spark, _list_parts(spark, src) - before,
+                 _time.time() + 60)
 
     with _few_state_partitions(spark):
         stream = (
@@ -330,7 +386,7 @@ def streaming_asof_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await(q)
     return spark.read.parquet(out)
 
 
@@ -391,7 +447,7 @@ def streaming_asof_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await(q)
     log = spark.read.parquet(out)
     w = W.partitionBy("purchase_id").orderBy(F.desc("bid"))
     return (
@@ -419,8 +475,6 @@ def streaming_asof_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     far-future watermark-carrier row under an unrelated key — a live
     deployment needs none at all.  Same batch oracle as the other two
     as-of queries."""
-    import glob
-    import os
     import time as _time
 
     from rados_timestore_spark.queries_common import event_us, load
@@ -438,14 +492,13 @@ def streaming_asof_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = stream_workdir(spark, "ts_stream_asofwm_")
     src, out, ck = f"{work}/src", f"{work}/out", f"{work}/ck"
     pts.repartition(3).write.parquet(src)
-    before = set(glob.glob(f"{src}/part-*.parquet"))
+    before = _list_parts(spark, src)
     spark.createDataFrame(
         [(-1, int(hi) + 3 * span_s * 1_000_000, -1, "__flush__")],
         pts.schema,
     ).coalesce(1).write.mode("append").parquet(src)
-    bump = _time.time() + 60
-    for f in set(glob.glob(f"{src}/part-*.parquet")) - before:
-        os.utime(f, (bump, bump))
+    _bump_mtimes(spark, _list_parts(spark, src) - before,
+                 _time.time() + 60)
 
     with _few_state_partitions(spark):
         stream = (
@@ -468,7 +521,7 @@ def streaming_asof_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await(q)
     return spark.read.parquet(out)
 
 
@@ -522,7 +575,7 @@ def streaming_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await(q)
     got = spark.read.parquet(out)
     return got.select(
         F.unix_micros(F.col("window.start")).alias("window_start_us"),
@@ -589,7 +642,7 @@ def streaming_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await(q)
     updates = spark.read.parquet(out)
     # Per-key last emission wins (exactly one emission per key per
     # batch, so batch_id alone is decisive).
@@ -662,7 +715,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await(q)
     got = spark.read.parquet(out)
     return got.select(
         "address",
@@ -718,8 +771,6 @@ def streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming_hll_registers (driver-local tempdir + memory sink) —
     production replaces the source with any ``readStream``.
     """
-    import shutil
-
     from rados_timestore_spark.queries_common import load
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -751,10 +802,7 @@ def streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 agg.writeStream.format("memory").queryName(name)
                 .outputMode("complete").trigger(availableNow=True).start()
             )
-            if not q.awaitTermination(300):
-                q.stop()
-                raise RuntimeError(
-                    "streaming dedup did not terminate within 300s")
+            _await(q)
         out = spark.table(name).select(
             "content_md5",
             (F.col("min_akey") % _ARRIVAL_SHIFT).alias("keep_doc_id"),
@@ -768,7 +816,7 @@ def streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView(name)
         return spark.createDataFrame(pdf, schema=out.schema)
     finally:
-        shutil.rmtree(work, ignore_errors=True)
+        _rm_work(spark, work)
 
 
 _SLIDE_US = 15 * 60 * 1_000_000
@@ -834,7 +882,7 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await(q)
     got = spark.read.parquet(out)
     return got.select(
         F.unix_micros(F.col("window.start")).alias("window_start_us"),

@@ -196,14 +196,18 @@ class TimeStore:
         window (the reference pairs its index CAS re-check with
         advisory locks, StoreHelpers.hs:214-219 / TimeStore.hs:98-137).
 
-        Create-exclusive is atomic on HDFS/local Hadoop filesystems, so
-        there the undetected two-writers-in-the-window race is closed;
-        on object stores create-exclusive is only best-effort (S3 has
-        no atomic create-if-absent), which is why the txn CAS re-check
-        stays — the lock narrows the window, the CAS detects whatever
-        slips through.  A marker older than ``stale_after`` seconds is
-        treated as a crashed holder and broken (the reference's lock
-        watchdog analog, Daemon.hs's touchLock loop).
+        Create-exclusive is atomic where the FS provides it
+        (``fsutil.HadoopFS.create_exclusive``: O_CREAT|O_EXCL for
+        local paths, namenode create for HDFS), so there the
+        undetected two-writers-in-the-window race is closed; on object
+        stores create-exclusive is only best-effort (S3 has no atomic
+        create-if-absent), which is why the txn CAS re-check stays —
+        the lock narrows the window, the CAS detects whatever slips
+        through.  A marker older than ``stale_after`` seconds is
+        treated as a crashed holder and broken via RENAME-then-delete
+        so only ONE waiter can win the break (r7 review finding: a
+        blind delete let two waiters each delete-and-recreate, putting
+        both inside the window).
         """
         import random
         import time
@@ -211,31 +215,36 @@ class TimeStore:
         lock = f"{self._ns_dir(ns)}/{_META}.lock"
         deadline = time.monotonic() + timeout
         while True:
-            try:
-                out = self.fs.fs.create(self.fs._path(lock), False)
-                out.write(bytearray(str(os.getpid()).encode()))
-                out.close()
+            if self.fs.create_exclusive(
+                lock, str(os.getpid()).encode()
+            ):
                 break
-            except Exception:
-                if self.fs.exists(lock):
-                    try:
-                        age_ms = (
-                            self._now_ms()
-                            - self.fs.fs.getFileStatus(
-                                self.fs._path(lock)
-                            ).getModificationTime()
-                        )
-                        if age_ms > stale_after * 1000:
-                            self.fs.delete(lock, False)
-                            continue
-                    except Exception:
-                        pass  # vanished between exists and stat
-                if time.monotonic() > deadline:
-                    raise ConcurrentWriterError(
-                        f"namespace {ns!r}: meta flip lock {lock} held "
-                        f"past {timeout}s; a writer is stuck or stale"
+            if self.fs.exists(lock):
+                try:
+                    age_ms = (
+                        self._now_ms()
+                        - self.fs.fs.getFileStatus(
+                            self.fs._path(lock)
+                        ).getModificationTime()
                     )
-                time.sleep(random.uniform(0.002, 0.02))
+                    if age_ms > stale_after * 1000:
+                        # Atomic break: rename won't clobber, so only
+                        # one waiter moves the stale marker aside; the
+                        # losers see their rename fail and re-contend
+                        # on the fresh create_exclusive.
+                        tomb = (f"{lock}.stale.{os.getpid()}"
+                                f".{time.monotonic_ns()}")
+                        if self.fs.rename(lock, tomb):
+                            self.fs.delete(tomb, False)
+                        continue
+                except Exception:
+                    pass  # vanished between exists and stat
+            if time.monotonic() > deadline:
+                raise ConcurrentWriterError(
+                    f"namespace {ns!r}: meta flip lock {lock} held "
+                    f"past {timeout}s; a writer is stuck or stale"
+                )
+            time.sleep(random.uniform(0.002, 0.02))
         try:
             yield
         finally:

@@ -59,6 +59,14 @@ def test_session_cache_returns_to_baseline_after_many_queries(spark):
     # wrapper; the final release drops the rest.
     release_pins()
     assert _cache_manager_empty(spark)
+    # unpersist(blocking=False) removes executor blocks asynchronously
+    # — poll briefly instead of racing it (r7 review finding).
+    import time
+
+    for _ in range(50):
+        if _cached_rdd_blocks(spark) == 0:
+            break
+        time.sleep(0.1)
     assert _cached_rdd_blocks(spark) == 0
 
 
@@ -87,8 +95,14 @@ def test_no_bare_persist_outside_pin():
         ["grep", "-rn", r"\.persist()\|\.cache()", "rados_timestore_spark/"],
         capture_output=True, text=True, cwd="/root/repo",
     ).stdout
+    def _code_part(ln):
+        # grep -rn lines are "path:lineno:text" — the comment check
+        # must look at the text, not the whole line (r7 review).
+        return ln.split(":", 2)[2].strip() if ln.count(":") >= 2 else ln
+
     offenders = [
         ln for ln in out.splitlines()
-        if "queries_common.py" not in ln and not ln.strip().startswith("#")
+        if "queries_common.py" not in ln
+        and not _code_part(ln).startswith("#")
     ]
     assert offenders == [], offenders
