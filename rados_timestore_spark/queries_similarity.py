@@ -2039,3 +2039,48 @@ def sim_ivfsq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs SQ8 on the other."""
     ann = sim_ivfsq8_ann(spark, sf_dir).select("query_id", "neighbor_id")
     return _recall_at_5(spark, sf_dir, ann)
+
+
+# ------------------------------------ r7: per-label class centroids
+
+_CENT_SCALE = 1 << 20
+
+
+@register(
+    "sim_label_centroids",
+    oracle=f"""
+SELECT label, d.dim AS dim,
+       CAST(SUM(CAST(floor(embedding[d.dim + 1]::DOUBLE * {_CENT_SCALE})
+                     AS BIGINT)) AS DOUBLE)
+         / COUNT(*) / {_CENT_SCALE}.0 AS centroid,
+       COUNT(*) AS n
+FROM embeddings, generate_series(0, {DIM - 1}) d(dim)
+GROUP BY label, d.dim
+""",
+    tags=("similarity", "ml"),
+    priority=110,  # new r7 carve-out, see sim_ivf_ann_filtered
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class centroids (mean embedding per label) — the prototype
+    vectors behind nearest-centroid classification, SemDeDup cluster
+    representatives, and per-domain embedding drift monitoring.  The
+    k-means fixed-point trick (floor(v * 2^20) i64 sums — integer
+    addition is order-free, so shuffle order can't perturb the mean)
+    makes the float mean hash-checkable; the final value is one fixed
+    divide chain (sum / n / 2^20), identical IEEE ops in both engines.
+    One posexplode + one hash aggregate of labels x DIM bounded
+    state."""
+    emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    ed = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    return ed.groupBy("label", "dim").agg(
+        (
+            F.sum(
+                F.floor(F.col("v").cast("double") * _CENT_SCALE)
+                .cast("long")
+            ).cast("double")
+            / F.count("*") / float(_CENT_SCALE)
+        ).alias("centroid"),
+        F.count("*").cast("long").alias("n"),
+    )

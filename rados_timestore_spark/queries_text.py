@@ -1242,3 +1242,72 @@ def text_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("kept_chars"),
         )
     )
+
+
+# ----------------------------------------- r7: RAG chunking
+#
+# Retrieval-prep chunking: split every document into fixed-size
+# character windows with overlap (stride < width), emitting offsets
+# and a content digest per chunk — the step between corpus curation
+# and embedding in a retrieval pipeline.  Pure per-row explode; chunk
+# identity is (doc_id, chunk_id) and the digest lets chunk-level
+# exact dedup compose downstream.
+
+_CHUNK_W, _CHUNK_STRIDE = 200, 150
+
+
+@register(
+    "text_chunk_overlap",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+  WHERE length(text) > 0),
+ids AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0,
+           CAST(GREATEST(n - {_CHUNK_W} + {_CHUNK_STRIDE} - 1, 0)
+                // {_CHUNK_STRIDE} AS BIGINT))) AS chunk_id
+  FROM d),
+c AS (
+  SELECT doc_id, chunk_id, chunk_id * {_CHUNK_STRIDE} AS start,
+         substr(text, chunk_id * {_CHUNK_STRIDE} + 1, {_CHUNK_W}) AS chunk
+  FROM ids)
+SELECT doc_id, chunk_id, start,
+       length(chunk) AS chunk_len,
+       substr(md5(chunk), 1, 8) AS chunk_md5
+FROM c WHERE length(chunk) > 0
+""",
+    tags=("text", "pipeline"),
+    priority=110,  # new r7 carve-out, see src_csv_roundtrip
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window chunking (module note): width {w}, stride
+    {s}; chunk i covers [i*stride, i*stride + width).  The chunk count
+    ceil((n - width)/stride) + 1 is computed with the same integer
+    arithmetic in both engines, and empty tail windows are dropped on
+    both sides.  ASCII-corpus precondition as the mm codecs
+    (char == byte).""".format(w=_CHUNK_W, s=_CHUNK_STRIDE)
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
+    d = docs.filter(F.length("text") > 0).select(
+        "doc_id", "text", F.length("text").alias("n"))
+    c = d.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"sequence(0, greatest(n - {_CHUNK_W} + {_CHUNK_STRIDE} - 1, 0)"
+            f" div {_CHUNK_STRIDE})"
+        )).alias("chunk_id"),
+        "text",
+    ).select(
+        "doc_id", "chunk_id",
+        (F.col("chunk_id") * _CHUNK_STRIDE).alias("start"),
+        F.expr(f"substr(text, chunk_id * {_CHUNK_STRIDE} + 1, {_CHUNK_W})")
+        .alias("chunk"),
+    )
+    return (
+        c.filter(F.length("chunk") > 0)
+        .select(
+            "doc_id", "chunk_id", "start",
+            F.length("chunk").alias("chunk_len"),
+            F.substring(F.md5("chunk"), 1, 8).alias("chunk_md5"),
+        )
+    )

@@ -103,7 +103,7 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "graph_connected_components", "sim_ivfsq8_ann", "sim_ivfsq8_recall",
     "mm_jpeg_header", "streaming_sliding_counts",
     "src_csv_roundtrip", "src_jsonl_roundtrip", "text_mixture_sample",
-    "tpch_q9_partsupp",
+    "tpch_q9_partsupp", "text_chunk_overlap", "sim_label_centroids",
 }
 
 
