@@ -1203,7 +1203,8 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH rated AS (
   SELECT doc_id, source, n_chars,
-         500 + (CAST(substr(source, 4) AS INT) % 10) * 1000 AS rate_bps,
+         500 + ((('0x' || substr(md5(source), 1, 15))::BIGINT % 10)
+                * 1000) AS rate_bps,
          ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 15))
            ::BIGINT % 10000 AS hv
   FROM documents)
@@ -1223,7 +1224,13 @@ def text_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row integer hash threshold, one hash aggregate — the keep
     decision never shuffles documents, only (source, counters)."""
     docs = load_parallel(spark, sf_dir, "documents", "doc_id")
-    rate = 500 + (F.substring("source", 4, 10).cast("int") % 10) * 1000
+    # Hash-derived rate: robust to ANY source naming (an index parse
+    # ANSI-crashed on degenerate corpora) and the production shape —
+    # a weights map keyed by source hashes the same way.
+    rate = 500 + (
+        F.conv(F.substring(F.md5("source"), 1, 15), 16, 10)
+        .cast("long") % 10
+    ) * 1000
     hv = (
         F.conv(F.substring(F.md5(
             F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))

@@ -48,6 +48,8 @@ QUERIES = [
     "mm_jpeg_header",
     "streaming_cms_cells",
     "graph_connected_components",
+    "text_mixture_sample",
+    "text_chunk_overlap",
 ]
 
 
