@@ -837,3 +837,59 @@ def ts_cas_writer_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(detected).alias("cas_detected"),
         "address", "time", "value", "seq",
     )
+
+
+@register(
+    "ts_streaming_ingest",
+    oracle=f"""{PTS_CTE}
+SELECT address, time, value, seq
+FROM (SELECT *, row_number() OVER (PARTITION BY address, time ORDER BY seq)
+        AS rn FROM pts) d
+WHERE rn = 1 AND address % 2 = 0
+  AND address IN ({ADDRS_SQL})
+  AND time BETWEEN {T_JAN10} AND {T_JAN20}
+""",
+    tags=("W5", "streaming"),
+    priority=110,  # new r7 carve-out (window full of the rotated-in r6 batch); local-green; rotate in r8 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def ts_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-writer daemon path, driver-visible: points
+    arrive as TWO micro-batches through a real Structured Streaming
+    query (``streaming/ingest.stream_points`` — foreachBatch into the
+    SAME write_points pipeline: routing, seq honoring, watermark
+    merge, rollover check), then ``read_simple`` must equal the pure
+    relational definition — i.e. streamed ingest == batch ingest ==
+    the oracle, the reference's writeEncoded daemon contract
+    (TimeStore.hs:98-137) under Spark's streaming model."""
+    from rados_timestore_spark.queries_streaming import (
+        _await, _few_state_partitions, stream_workdir,
+    )
+    from rados_timestore_spark.store import TimeStore
+    from rados_timestore_spark.streaming.ingest import stream_points
+
+    pts = events_points(spark, sf_dir).select(
+        "address", "time", "value", "seq"
+    ).filter(F.col("address") % 2 == 0)
+    work = stream_workdir(spark, "ts_stream_ingest_")
+    src, ck = f"{work}/src", f"{work}/ck"
+    pts.filter(F.col("address") % 4 == 0).coalesce(1).write.parquet(src)
+    pts.filter(F.col("address") % 4 != 0).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    root = f"{work}/store"
+    store = TimeStore(spark, root)
+    ns = "streamed"
+    store.register_namespace(ns, buckets=32)
+
+    with _few_state_partitions(spark):
+        stream = (
+            spark.readStream.schema(pts.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = stream_points(
+            store, ns, stream, checkpoint_dir=ck,
+            trigger={"availableNow": True},
+        )
+        _await(q)
+    df = store.read_simple(ns, T_JAN10, T_JAN20, list(ADDRS))
+    return df.select("address", "time", "value", "seq")
