@@ -74,6 +74,9 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
             spark.read.schema("address long, t long, value long")
             .option("header", True).csv(path)
         )
+    elif fmt == "orc":
+        writer.orc(path)
+        back = spark.read.orc(path)
     else:
         writer.json(path)
         back = spark.read.schema("address long, t long, value long") \
@@ -104,3 +107,16 @@ def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines source/sink round-trip — same certificate as
     :func:`src_csv_roundtrip` through the JSON text path."""
     return _roundtrip(spark, sf_dir, "json")
+
+
+@register(
+    "src_orc_roundtrip",
+    oracle=_PTS_SQL + _AGG_SQL,
+    tags=("sources",),
+    priority=110,  # new r7 carve-out, see src_csv_roundtrip
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip — the columnar sibling certificate
+    (Spark reads ORC natively with its own schema; the oracle still
+    aggregates straight from parquet)."""
+    return _roundtrip(spark, sf_dir, "orc")
