@@ -36,9 +36,7 @@ def stream_workdir(spark: SparkSession, prefix: str) -> str:
     from rados_timestore_spark.queries_common import stage_for_release
 
     base = os.environ.get("SPARK_GRAFT_STREAM_DIR")
-    if base:
-        pass
-    else:
+    if not base:
         base = spark.conf.get("spark.rados_timestore.stream_dir", None)
     if base:
         work = f"{base.rstrip('/')}/{prefix}{uuid.uuid4().hex[:12]}"
