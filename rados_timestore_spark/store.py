@@ -876,6 +876,26 @@ class TimeStore:
     def index(self, ns: str) -> Index:
         return self._read_meta(ns).index
 
+    def rescale(self, ns: str, buckets: int) -> None:
+        """Cut a new epoch with a DIFFERENT bucket count — the forward
+        rescale the per-epoch index exists for (Index.hs: each entry
+        is (epoch, buckets); lookups stab per epoch, so historical
+        epochs keep their layout forever while new writes route to the
+        new count).  The boundary is watermark + 1, exactly like
+        :meth:`_maybe_rollover`'s cut, so no point seen so far can
+        land behind it.  Idempotent when the latest epoch already has
+        ``buckets``."""
+        if buckets < 1:
+            raise ValueError(f"buckets must be >= 1: {buckets}")
+        meta = self._read_meta(ns)
+        latest_epoch, cur = meta.index.latest()
+        if cur == buckets:
+            return
+        watermark = max(meta.latest_simple or 0, meta.latest_extended or 0)
+        boundary = max(watermark, latest_epoch) + 1
+        meta.index = Index(meta.index.entries + ((boundary, buckets),))
+        self._write_meta_cas(ns, meta)
+
     def compact(self, ns: str, target_partitions_per_bucket: int = 1,
                 sort_within: Sequence[str] | None = ("address", "time"),
                 ) -> None:

@@ -600,3 +600,31 @@ def test_compact_sorts_within_files_for_rowgroup_pruning(store, tmp_path):
     assert {(r.address, r.time, r.value)
             for r in store.read_simple("C", 0, 100, [2, 4, 6, 8]).collect()
             } == before
+
+
+def test_rescale_forward_changes_bucket_count_per_epoch(store):
+    # Index.hs per-epoch layout: history keeps its bucket count, new
+    # writes route to the new one, reads span both transparently.
+    store.register_namespace("RS", buckets=2)
+    _write(store, "RS", [(a, t, a + t) for a in (0, 2, 4, 8)
+                         for t in (1, 2, 3)])
+    store.rescale("RS", 8)
+    idx = store.index("RS")
+    assert idx.entries[-1][1] == 8 and idx.entries[0][1] == 2
+    boundary = idx.entries[-1][0]
+    assert boundary > 3  # watermark + 1: behind no seen point
+    _write(store, "RS", [(a, boundary + t, a + t) for a in (0, 2, 4, 8)
+                         for t in (0, 1)])
+    got = store.read_simple("RS", 0, 1 << 40, [0, 2, 4, 8],
+                            global_order=True).collect()
+    assert len(got) == 4 * 3 + 4 * 2
+    # old epoch dirs use <=2 buckets; new epoch can use up to 8
+    old_buckets = store.fs.list_dirs(
+        f"{store._points_dir('RS')}/epoch=0")
+    new_buckets = store.fs.list_dirs(
+        f"{store._points_dir('RS')}/epoch={boundary}")
+    assert all(int(b.split("=")[1]) < 2 for b in old_buckets)
+    assert any(int(b.split("=")[1]) >= 2 for b in new_buckets)
+    # idempotent
+    store.rescale("RS", 8)
+    assert store.index("RS").entries == idx.entries
