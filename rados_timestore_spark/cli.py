@@ -74,6 +74,9 @@ def _parser() -> argparse.ArgumentParser:
                          "when the latest epoch's fullest bucket "
                          "exceeds it (default: every batch cuts)")
 
+    rs = sub.add_parser(
+        "rescale", help="cut a new epoch with a different bucket count")
+    rs.add_argument("--buckets", type=int, required=True)
     sub.add_parser("compact", help="rewrite live generation compacted")
     sub.add_parser("gc", help="delete stale compaction generations")
 
@@ -161,6 +164,9 @@ def main(argv: Sequence[str] | None = None,
             args.ns, df, "__batch", rollover_rows=args.rollover_rows
         )
         print(json.dumps({"epochs": len(store.index(args.ns).entries)}))
+    elif args.cmd == "rescale":
+        store.rescale(args.ns, args.buckets)
+        print(json.dumps({"index": store.index(args.ns).to_json()}))
     elif args.cmd == "compact":
         store.compact(args.ns)
         print("ok")
