@@ -39,6 +39,13 @@ EVENT_QUERIES = [
     "ts_pivot_event_counts", "ts_moving_window_sum", "ts_quantiles",
     "ts_m4_downsample", "ts_counter_rate",
 ]
+#: Embedding-driven queries: random float32 vectors probe the
+#: float-determinism choreography (sequential-fold cosine, SQ8
+#: floor/vmax, fixed-point centroid means) off the fixture's geometry.
+EMB_QUERIES = [
+    "sim_topk_bruteforce", "sim_sq8_ann", "sim_sq8_recall",
+    "sim_label_centroids",
+]
 
 WORDS = ("the a of and to in is on for data spark query time "
          "point store row alpha beta gamma delta".split())
@@ -66,6 +73,21 @@ def _rand_docs(rng, n):
     return pd.DataFrame(
         rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
     )
+
+
+def _rand_emb(rng, n, dim=64):
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        if rng.random() < 0.03:
+            v = [0.0] * dim          # zero vector (vmax-clamp path)
+        else:
+            v = [np.float32(rng.uniform(-1, 1)) for _ in range(dim)]
+        rows.append((i, [float(np.float32(x)) for x in v],
+                     rng.randrange(10)))
+    df = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    return df
 
 
 def _rand_events(rng, n):
@@ -116,13 +138,26 @@ def corpus(request, spark, tmp_path_factory):
     root = tmp_path_factory.mktemp(f"fuzz{request.param}")
     docs = _rand_docs(rng, 120)
     events = _rand_events(rng, 400)
+    emb = _rand_emb(rng, 80)
     spark.createDataFrame(docs).coalesce(1) \
         .write.parquet(f"{root}/documents.parquet")
     spark.createDataFrame(events).coalesce(1) \
         .write.parquet(f"{root}/events.parquet")
+    from pyspark.sql.types import (
+        ArrayType, FloatType, IntegerType, LongType, StructField,
+        StructType,
+    )
+
+    emb_schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ])
+    spark.createDataFrame(emb, schema=emb_schema).coalesce(1) \
+        .write.parquet(f"{root}/embeddings.parquet")
     # satisfy loaders for tables these queries never read
     for t in TABLES:
-        if t in ("documents", "events"):
+        if t in ("documents", "events", "embeddings"):
             continue
         spark.createDataFrame(
             pd.DataFrame({"dummy": [0]})
@@ -135,10 +170,13 @@ def corpus(request, spark, tmp_path_factory):
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM "
         f"'{root}/events.parquet/*.parquet'")
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{root}/embeddings.parquet/*.parquet'")
     return str(root), con
 
 
-@pytest.mark.parametrize("name", DOC_QUERIES + EVENT_QUERIES)
+@pytest.mark.parametrize("name", DOC_QUERIES + EVENT_QUERIES + EMB_QUERIES)
 def test_cross_engine_on_random_corpus(corpus, spark, name):
     root, con = corpus
     qs, oracles = registry.queries(), registry.oracle_sql()
