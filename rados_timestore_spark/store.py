@@ -898,6 +898,7 @@ class TimeStore:
 
     def compact(self, ns: str, target_partitions_per_bucket: int = 1,
                 sort_within: Sequence[str] | None = ("address", "time"),
+                dedup: bool = False,
                 ) -> None:
         """Read-optimizing merge (the OPTIMIZE the reference never does):
         rewrite each (epoch, bucket) partition's many small append files
@@ -910,12 +911,33 @@ class TimeStore:
         append order interleaves addresses, which leaves every
         row-group stat spanning the whole domain.  Pass ``None`` to
         keep raw append order.
+
+        ``dedup=True`` additionally applies the read path's first-wins
+        rule AT REST: per (address, time) only the lowest-``seq`` row
+        survives the rewrite (kind is a function of the address LSB,
+        so the key needs no kind column).  Read results are invariant
+        — reads dedup on the fly either way — but replay-heavy or
+        multi-writer-retry histories stop paying storage and scan cost
+        for their losers.  The dedup window runs inside each
+        (epoch, bucket) partition: dedup keys never span partitions
+        (routing is a pure function of (time, address)), so no global
+        shuffle is added beyond the repartition the rewrite does
+        anyway.
         """
         meta = self._read_meta(ns)
         pdir = self._points_dir(ns, meta)
         if not self.fs.is_dir(pdir):
             return
         df = self.spark.read.parquet(pdir)
+        if dedup:
+            from pyspark.sql import Window as _W
+
+            w = _W.partitionBy(
+                "epoch", "bucket", "address", "time").orderBy("seq")
+            df = (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1).drop("__rn")
+            )
         next_version = meta.points_version + 1
         new_dir = f"{self._ns_dir(ns)}/points_v{next_version}"
         out = df.repartition(

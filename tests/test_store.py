@@ -628,3 +628,38 @@ def test_rescale_forward_changes_bucket_count_per_epoch(store):
     # idempotent
     store.rescale("RS", 8)
     assert store.index("RS").entries == idx.entries
+
+
+def test_compact_dedup_drops_first_wins_losers(store):
+    store.register_namespace("CD", buckets=4)
+    # three writes of the same (address, time) identities with
+    # ascending seq: the first batch's values must win everywhere
+    for rep in range(3):
+        df = store.spark.createDataFrame(
+            [(a, t, 100 * rep + a + t, rep * 1000 + a + t)
+             for a in (0, 2, 4, 8) for t in (1, 2, 3)],
+            "address long, time long, value long, seq long")
+        store.write_points("CD", df)
+    before = sorted(
+        (r.address, r.time, r.value)
+        for r in store.read_simple("CD", 0, 10, [0, 2, 4, 8]).collect())
+    raw_before = store.spark.read.parquet(
+        store._points_dir("CD")).count()
+    assert raw_before == 36
+    store.compact("CD", dedup=True)
+    meta = store._read_meta("CD")
+    raw_after = store.spark.read.parquet(
+        store._points_dir("CD", meta)).count()
+    assert raw_after == 12  # losers physically gone
+    after = sorted(
+        (r.address, r.time, r.value)
+        for r in store.read_simple("CD", 0, 10, [0, 2, 4, 8]).collect())
+    assert after == before
+    assert all(v < 100 for _a, _t, v in after)  # first batch won
+    # appends still land on the new generation
+    df = store.spark.createDataFrame(
+        [(0, 9, 9, 99999)], "address long, time long, value long, seq long")
+    store.write_points("CD", df)
+    assert (0, 9, 9) in {
+        (r.address, r.time, r.value)
+        for r in store.read_simple("CD", 0, 10, [0]).collect()}
