@@ -1263,10 +1263,10 @@ def text_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHUNK_W, _CHUNK_STRIDE = 200, 150
 
 
-@register(
-    "text_chunk_overlap",
-    oracle=f"""
-WITH d AS (
+#: Chunk pipeline CTEs shared by text_chunk_overlap and
+#: dedup_chunk_exact (one definition — a drifting copy would
+#: hash-mismatch only one of them).
+_CHUNKS_CTE = f"""d AS (
   SELECT doc_id, text, length(text) AS n FROM documents
   WHERE length(text) > 0),
 ids AS (
@@ -1278,7 +1278,13 @@ ids AS (
 c AS (
   SELECT doc_id, chunk_id, chunk_id * {_CHUNK_STRIDE} AS start,
          substr(text, chunk_id * {_CHUNK_STRIDE} + 1, {_CHUNK_W}) AS chunk
-  FROM ids)
+  FROM ids)"""
+
+
+@register(
+    "text_chunk_overlap",
+    oracle=f"""
+WITH {_CHUNKS_CTE}
 SELECT doc_id, chunk_id, start,
        length(chunk) AS chunk_len,
        substr(md5(chunk), 1, 8) AS chunk_md5
@@ -1316,5 +1322,62 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "chunk_id", "start",
             F.length("chunk").alias("chunk_len"),
             F.substring(F.md5("chunk"), 1, 8).alias("chunk_md5"),
+        )
+    )
+
+
+@register(
+    "dedup_chunk_exact",
+    oracle=f"""
+WITH {_CHUNKS_CTE},
+ch AS (
+  SELECT doc_id, substr(md5(chunk), 1, 8) AS h
+  FROM c WHERE length(chunk) > 0),
+df AS (
+  SELECT h, count(DISTINCT doc_id) AS n_docs FROM ch GROUP BY h)
+SELECT ch.doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks
+FROM ch JOIN df ON df.h = ch.h
+GROUP BY ch.doc_id
+""",
+    tags=("dedup", "text", "pipeline"),
+    priority=110,  # new r7 carve-out, see src_csv_roundtrip
+)
+def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granular exact dedup signal: how much of each document is
+    made of chunks that ALSO appear in other documents — the
+    Lee-et-al-style cross-document duplication measure at retrieval
+    granularity, composing :func:`text_chunk_overlap`'s windows with a
+    chunk-digest document-frequency join.  Integer outputs only; the
+    digest DF table is tiny relative to the corpus (bounded by
+    distinct chunks) and joins back broadcast-or-shuffled by AQE."""
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
+    d = docs.filter(F.length("text") > 0).select(
+        "doc_id", "text", F.length("text").alias("n"))
+    ch = d.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"sequence(0, greatest(n - {_CHUNK_W} + {_CHUNK_STRIDE} - 1, 0)"
+            f" div {_CHUNK_STRIDE})"
+        )).alias("chunk_id"),
+        "text",
+    ).select(
+        "doc_id",
+        F.expr(f"substr(text, chunk_id * {_CHUNK_STRIDE} + 1, {_CHUNK_W})")
+        .alias("chunk"),
+    ).filter(F.length("chunk") > 0).select(
+        "doc_id", F.substring(F.md5("chunk"), 1, 8).alias("h")
+    )
+    dfreq = ch.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        ch.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+            .cast("long").alias("n_dup_chunks"),
         )
     )

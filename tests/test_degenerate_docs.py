@@ -50,6 +50,7 @@ QUERIES = [
     "graph_connected_components",
     "text_mixture_sample",
     "text_chunk_overlap",
+    "dedup_chunk_exact",
 ]
 
 

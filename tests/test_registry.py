@@ -104,7 +104,7 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "mm_jpeg_header", "streaming_sliding_counts",
     "src_csv_roundtrip", "src_jsonl_roundtrip", "text_mixture_sample",
     "tpch_q9_partsupp", "text_chunk_overlap", "sim_label_centroids",
-    "ts_streaming_ingest", "src_orc_roundtrip",
+    "ts_streaming_ingest", "src_orc_roundtrip", "dedup_chunk_exact",
 }
 
 
