@@ -893,3 +893,60 @@ def ts_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _await(q)
     df = store.read_simple(ns, T_JAN10, T_JAN20, list(ADDRS))
     return df.select("address", "time", "value", "seq")
+
+
+@register(
+    "ts_compact_dedup",
+    oracle=f"""{PTS_CTE}
+SELECT CAST(count(*) AS BIGINT) AS n_physical,
+       CAST(sum(value) AS BIGINT) AS sum_value
+FROM (
+  SELECT address, time,
+         min(value ORDER BY seq) AS value
+  FROM pts WHERE address % 2 = 0
+  GROUP BY address, time) d
+""",
+    tags=("S2", "Q5"),
+    priority=110,  # new r7 carve-out (window full of the rotated-in r6 batch); local-green; rotate in r8 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def ts_compact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup compaction, driver-visible: ingest the simple points
+    TWICE (a replay), ``compact(dedup=True)``, then report the
+    PHYSICAL row count of the live generation next to the logical
+    (first-wins) count and value sum.  The oracle emits the logical
+    numbers for both columns — the hash can only match if the rewrite
+    really dropped every replayed loser at rest AND kept exactly the
+    first-wins winners (their value sum would differ if any second-
+    copy row survived as a winner)."""
+    from rados_timestore_spark.queries_streaming import stream_workdir
+    from rados_timestore_spark.store import TimeStore
+
+    pts = events_points(spark, sf_dir).filter(
+        F.col("address") % 2 == 0
+    ).select("address", "time", "value", "seq")
+    work = stream_workdir(spark, "ts_compact_dedup_")
+    store = TimeStore(spark, f"{work}/store")
+    ns = "cd"
+    store.register_namespace(ns, buckets=32)
+    store.write_points(ns, pts)
+    # the replay: same identities, strictly higher seq — every row a
+    # first-wins LOSER with a different value (value+1), so a surviving
+    # replay row would poison sum_value even where counts match
+    store.write_points(
+        ns,
+        pts.select(
+            "address", "time",
+            (F.col("value") + 1).alias("value"),
+            (F.col("seq") + F.lit(1 << 40)).alias("seq"),
+        ),
+    )
+    store.compact(ns, dedup=True)
+    meta = store._read_meta(ns)
+    live = spark.read.parquet(store._points_dir(ns, meta))
+    # Aggregate the PHYSICAL table; the oracle computes the LOGICAL
+    # first-wins numbers — they hash-match only if the rewrite kept
+    # exactly the winners.
+    return live.agg(
+        F.count("*").cast("long").alias("n_physical"),
+        F.sum("value").cast("long").alias("sum_value"),
+    )
