@@ -135,7 +135,9 @@ _LIFECYCLE_OP = st.one_of(
     st.tuples(st.just("write"),
               st.lists(_POINT, min_size=1, max_size=8)),
     st.tuples(st.just("compact"), st.none()),
+    st.tuples(st.just("compact_dedup"), st.none()),
     st.tuples(st.just("gc"), st.none()),
+    st.tuples(st.just("rescale"), st.integers(1, 16)),
     st.tuples(st.just("read"), st.none()),
 )
 
@@ -147,9 +149,11 @@ _LIFECYCLE_OP = st.one_of(
 @given(ops=st.lists(_LIFECYCLE_OP, min_size=1, max_size=6))
 def test_lifecycle_law(spark, tmp_path_factory, ops):
     """Stateful lifecycle law (FuzzyTests.hs round-trip at lifecycle
-    level): under ANY interleaving of write_points / compact / gc /
-    read, a full-range read always sees exactly the first-wins set of
-    every point written so far.  Every example finishes with
+    level): under ANY interleaving of write_points / compact (plain or
+    dedup) / gc / rescale / read, a full-range read always sees
+    exactly the first-wins set of every point written so far — reads
+    are invariant to every maintenance operation, including bucket-
+    count changes mid-history.  Every example finishes with
     compact -> gc -> read so the generation flip + stale-dir removal
     is exercised even when Hypothesis draws no explicit maintenance
     ops."""
@@ -176,8 +180,12 @@ def test_lifecycle_law(spark, tmp_path_factory, ops):
             store.write_points("NS", df)
         elif op == "compact":
             store.compact("NS")
+        elif op == "compact_dedup":
+            store.compact("NS", dedup=True)
         elif op == "gc":
             store.gc("NS")
+        elif op == "rescale":
+            store.rescale("NS", arg)
         else:
             check_read()
 
