@@ -1381,3 +1381,70 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("n_dup_chunks"),
         )
     )
+
+
+# ------------------------------------ r7: vocabulary coverage / OOV
+
+_VOCAB_K = 100
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, unnest({_WORDS_SQL}) AS w FROM documents),
+vocab AS (
+  SELECT w FROM (
+    SELECT w, count(*) AS n FROM words GROUP BY w
+    ORDER BY n DESC, w LIMIT {_VOCAB_K})),
+per_doc AS (
+  SELECT words.doc_id,
+         count(*) AS n_words,
+         CAST(sum(CASE WHEN vocab.w IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_in_vocab
+  FROM words LEFT JOIN vocab ON vocab.w = words.w
+  GROUP BY words.doc_id)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       CAST(sum(n_words - n_in_vocab) AS BIGINT) AS n_oov
+FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+GROUP BY d.source
+""",
+    tags=("text", "tokenizer"),
+    priority=110,  # new r7 carve-out, see src_csv_roundtrip
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage / OOV accounting per source: fit a top-K
+    frequency vocabulary on the corpus itself (deterministic count +
+    lexicographic tie-break), then measure what fraction of each
+    source's token stream it covers — the coverage metric that drives
+    tokenizer vocab sizing and flags domain mismatch (a source with
+    high OOV against the global vocab needs its own merges).  Two
+    aggregates over one exploded scan; the K-word vocab broadcasts."""
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
+    words = docs.select("doc_id", F.explode(_words_col()).alias("w"))
+    vocab = (
+        words.groupBy("w").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "w").limit(_VOCAB_K)
+        .select("w").withColumn("__v", F.lit(1))
+    )
+    per_doc = (
+        words.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.coalesce(F.col("__v"), F.lit(0)))
+            .cast("long").alias("n_in_vocab"),
+        )
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum(F.col("n_words") - F.col("n_in_vocab"))
+            .cast("long").alias("n_oov"),
+        )
+    )

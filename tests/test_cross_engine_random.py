@@ -29,7 +29,7 @@ DOC_QUERIES = [
     "text_mixture_sample", "text_bpe_merge_candidates",
     "sketch_cms_heavy_hitters", "sketch_kmv_sample",
     "text_winnow_fingerprint", "dedup_bloom",
-    "text_chunk_overlap", "dedup_chunk_exact",
+    "text_chunk_overlap", "dedup_chunk_exact", "text_vocab_coverage",
     # mm codecs: their char-vs-byte oracle precondition needs a pure
     # ASCII corpus, which _rand_docs guarantees by construction
     "mm_jpeg_header", "mm_wav_meta", "mm_decode_png",

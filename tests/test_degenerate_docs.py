@@ -51,6 +51,7 @@ QUERIES = [
     "text_mixture_sample",
     "text_chunk_overlap",
     "dedup_chunk_exact",
+    "text_vocab_coverage",
 ]
 
 

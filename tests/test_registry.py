@@ -105,7 +105,7 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "src_csv_roundtrip", "src_jsonl_roundtrip", "text_mixture_sample",
     "tpch_q9_partsupp", "text_chunk_overlap", "sim_label_centroids",
     "ts_streaming_ingest", "src_orc_roundtrip", "dedup_chunk_exact",
-    "ts_compact_dedup",
+    "ts_compact_dedup", "text_vocab_coverage",
 }
 
 
