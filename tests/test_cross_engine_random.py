@@ -12,7 +12,6 @@ not coincidences.
 """
 
 import random
-import string
 
 import duckdb
 import pandas as pd
