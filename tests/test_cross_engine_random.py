@@ -37,6 +37,9 @@ EVENT_QUERIES = [
     "ts_rollup_hourly", "ts_value_histogram", "ts_ohlc_hourly",
     "ts_pivot_event_counts", "ts_moving_window_sum", "ts_quantiles",
     "ts_m4_downsample", "ts_counter_rate",
+    "ts_funnel", "ts_cohort_retention", "ts_anomaly_zscore",
+    "ts_gapfill_locf", "ts_time_weighted_avg", "ts_delta_encode",
+    "ts_topk_per_series", "ts_sessionize", "ts_value_percentiles",
 ]
 #: Embedding-driven queries: random float32 vectors probe the
 #: float-determinism choreography (sequential-fold cosine, SQ8
