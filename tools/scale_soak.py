@@ -189,6 +189,12 @@ SOAK_HEAVY_QUERIES = (
     "text_bpe_merge_candidates",
     "graph_connected_components",
     "mm_jpeg_header",
+    # late-r7 additions
+    "text_chunk_overlap",
+    "dedup_chunk_exact",
+    "text_vocab_coverage",
+    "text_mixture_sample",
+    "sim_label_centroids",
 )
 
 
