@@ -902,7 +902,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_physical,
        CAST(sum(value) AS BIGINT) AS sum_value
 FROM (
   SELECT address, time,
-         min(value ORDER BY seq) AS value
+         arg_min(value, seq) AS value
   FROM pts WHERE address % 2 = 0
   GROUP BY address, time) d
 """,

@@ -1281,6 +1281,29 @@ c AS (
   FROM ids)"""
 
 
+def _chunks_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _CHUNKS_CTE — (doc_id, chunk_id, start, chunk)
+    for every non-empty window.  ONE definition for both chunk
+    consumers, mirroring the shared SQL CTE (a drifting copy would
+    hash-mismatch only one of them)."""
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
+    d = docs.filter(F.length("text") > 0).select(
+        "doc_id", "text", F.length("text").alias("n"))
+    return d.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"sequence(0, greatest(n - {_CHUNK_W} + {_CHUNK_STRIDE} - 1, 0)"
+            f" div {_CHUNK_STRIDE})"
+        )).alias("chunk_id"),
+        "text",
+    ).select(
+        "doc_id", "chunk_id",
+        (F.col("chunk_id") * _CHUNK_STRIDE).alias("start"),
+        F.expr(f"substr(text, chunk_id * {_CHUNK_STRIDE} + 1, {_CHUNK_W})")
+        .alias("chunk"),
+    ).filter(F.length("chunk") > 0)
+
+
 @register(
     "text_chunk_overlap",
     oracle=f"""
@@ -1294,35 +1317,16 @@ FROM c WHERE length(chunk) > 0
     priority=110,  # new r7 carve-out, see src_csv_roundtrip
 )
 def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping-window chunking (module note): width {w}, stride
-    {s}; chunk i covers [i*stride, i*stride + width).  The chunk count
-    ceil((n - width)/stride) + 1 is computed with the same integer
-    arithmetic in both engines, and empty tail windows are dropped on
-    both sides.  ASCII-corpus precondition as the mm codecs
-    (char == byte).""".format(w=_CHUNK_W, s=_CHUNK_STRIDE)
-    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
-    d = docs.filter(F.length("text") > 0).select(
-        "doc_id", "text", F.length("text").alias("n"))
-    c = d.select(
-        "doc_id",
-        F.explode(F.expr(
-            f"sequence(0, greatest(n - {_CHUNK_W} + {_CHUNK_STRIDE} - 1, 0)"
-            f" div {_CHUNK_STRIDE})"
-        )).alias("chunk_id"),
-        "text",
-    ).select(
-        "doc_id", "chunk_id",
-        (F.col("chunk_id") * _CHUNK_STRIDE).alias("start"),
-        F.expr(f"substr(text, chunk_id * {_CHUNK_STRIDE} + 1, {_CHUNK_W})")
-        .alias("chunk"),
-    )
-    return (
-        c.filter(F.length("chunk") > 0)
-        .select(
-            "doc_id", "chunk_id", "start",
-            F.length("chunk").alias("chunk_len"),
-            F.substring(F.md5("chunk"), 1, 8).alias("chunk_md5"),
-        )
+    """Overlapping-window chunking (module note): chunk i covers
+    [i*stride, i*stride + width) with width/stride from _CHUNK_W /
+    _CHUNK_STRIDE.  The chunk count ceil((n - width)/stride) + 1 is
+    computed with the same integer arithmetic in both engines, and
+    empty tail windows are dropped on both sides.  ASCII-corpus
+    precondition as the mm codecs (char == byte)."""
+    return _chunks_df(spark, sf_dir).select(
+        "doc_id", "chunk_id", "start",
+        F.length("chunk").alias("chunk_len"),
+        F.substring(F.md5("chunk"), 1, 8).alias("chunk_md5"),
     )
 
 
@@ -1353,21 +1357,7 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk-digest document-frequency join.  Integer outputs only; the
     digest DF table is tiny relative to the corpus (bounded by
     distinct chunks) and joins back broadcast-or-shuffled by AQE."""
-    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
-    d = docs.filter(F.length("text") > 0).select(
-        "doc_id", "text", F.length("text").alias("n"))
-    ch = d.select(
-        "doc_id",
-        F.explode(F.expr(
-            f"sequence(0, greatest(n - {_CHUNK_W} + {_CHUNK_STRIDE} - 1, 0)"
-            f" div {_CHUNK_STRIDE})"
-        )).alias("chunk_id"),
-        "text",
-    ).select(
-        "doc_id",
-        F.expr(f"substr(text, chunk_id * {_CHUNK_STRIDE} + 1, {_CHUNK_W})")
-        .alias("chunk"),
-    ).filter(F.length("chunk") > 0).select(
+    ch = _chunks_df(spark, sf_dir).select(
         "doc_id", F.substring(F.md5("chunk"), 1, 8).alias("h")
     )
     dfreq = ch.groupBy("h").agg(
@@ -1423,7 +1413,12 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     high OOV against the global vocab needs its own merges).  Two
     aggregates over one exploded scan; the K-word vocab broadcasts."""
     docs = load_parallel(spark, sf_dir, "documents", "doc_id")
-    words = docs.select("doc_id", F.explode(_words_col()).alias("w"))
+    # source rides the explode, so no third documents scan / join is
+    # needed to recover it (r7 second-review finding); the words frame
+    # is pinned because the vocab fit and the per-doc pass both read it
+    words = docs.select(
+        "doc_id", "source", F.explode(_words_col()).alias("w")
+    ).transform(pin)
     vocab = (
         words.groupBy("w").agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), "w").limit(_VOCAB_K)
@@ -1431,20 +1426,16 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_doc = (
         words.join(F.broadcast(vocab), "w", "left")
-        .groupBy("doc_id")
+        .groupBy("doc_id", "source")
         .agg(
             F.count("*").alias("n_words"),
             F.sum(F.coalesce(F.col("__v"), F.lit(0)))
             .cast("long").alias("n_in_vocab"),
         )
     )
-    return (
-        per_doc.join(docs.select("doc_id", "source"), "doc_id")
-        .groupBy("source")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("n_words").cast("long").alias("n_words"),
-            F.sum(F.col("n_words") - F.col("n_in_vocab"))
-            .cast("long").alias("n_oov"),
-        )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum(F.col("n_words") - F.col("n_in_vocab"))
+        .cast("long").alias("n_oov"),
     )

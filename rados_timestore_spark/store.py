@@ -918,11 +918,15 @@ class TimeStore:
         so the key needs no kind column).  Read results are invariant
         — reads dedup on the fly either way — but replay-heavy or
         multi-writer-retry histories stop paying storage and scan cost
-        for their losers.  The dedup window runs inside each
-        (epoch, bucket) partition: dedup keys never span partitions
-        (routing is a pure function of (time, address)), so no global
-        shuffle is added beyond the repartition the rewrite does
-        anyway.
+        for their losers.  The key is GLOBAL (address, time) — not
+        per-(epoch, bucket) — because the multi-writer recovery path
+        can land a re-run batch's rows in a different epoch than the
+        crashed original (stale-index routing), and those cross-epoch
+        losers are exactly what "removed by compact" promises to
+        clean.  The kernel is the same ``min_by`` hash aggregate the
+        read path uses (core.first_wins_dedup: one shuffle, map-side
+        partials, no per-partition sort); the winner keeps its OWN
+        (epoch, bucket) placement columns.
         """
         meta = self._read_meta(ns)
         pdir = self._points_dir(ns, meta)
@@ -930,14 +934,9 @@ class TimeStore:
             return
         df = self.spark.read.parquet(pdir)
         if dedup:
-            from pyspark.sql import Window as _W
+            from rados_timestore_spark.core import first_wins_dedup
 
-            w = _W.partitionBy(
-                "epoch", "bucket", "address", "time").orderBy("seq")
-            df = (
-                df.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1).drop("__rn")
-            )
+            df = first_wins_dedup(df, keys=("address", "time"))
         next_version = meta.points_version + 1
         new_dir = f"{self._ns_dir(ns)}/points_v{next_version}"
         out = df.repartition(

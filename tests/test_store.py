@@ -663,3 +663,43 @@ def test_compact_dedup_drops_first_wins_losers(store):
     assert (0, 9, 9) in {
         (r.address, r.time, r.value)
         for r in store.read_simple("CD", 0, 10, [0]).collect()}
+
+
+def test_compact_dedup_removes_cross_epoch_duplicates(spark, tmp_path):
+    # The multi-writer recovery path can re-run a batch AFTER an epoch
+    # cut, landing the replayed identities in a DIFFERENT epoch than
+    # the originals.  The dedup key is global (address, time), so the
+    # rewrite must drop those cross-epoch losers too.
+    from rados_timestore_spark.store import TimeStore
+
+    store = TimeStore(spark, str(tmp_path / "xe"), rollover_bytes=1)
+    store.register_namespace("XE", buckets=4)
+    df1 = spark.createDataFrame(
+        [(2, t, t, t) for t in (1, 2, 3)],
+        "address long, time long, value long, seq long")
+    store.write_points("XE", df1)  # tiny threshold -> epoch cut at 4
+    assert len(store.index("XE").entries) >= 2
+    # Simulate the stale-index replay: a crashed writer's re-run can
+    # place the SAME identities under a different epoch than the
+    # originals (it routed with the pre-cut index, or the cut happened
+    # between its routing and its append).  write_points itself always
+    # routes correctly by time, so plant the misplaced copies exactly
+    # where such a writer's append would have put them.
+    new_epoch = store.index("XE").entries[-1][0]
+    bucket = (2 & ~1) % 4  # place_bucket(addr=2, buckets=4) = 2
+    dup = spark.createDataFrame(
+        [(2, t, 100 + t, None, 1000 + t, 0) for t in (1, 2, 3)],
+        "address long, time long, value long, payload binary, "
+        "seq long, kind int")
+    dup.coalesce(1).write.mode("append").parquet(
+        f"{store._points_dir('XE')}/epoch={new_epoch}/bucket={bucket}")
+    raw = spark.read.parquet(store._points_dir("XE"))
+    assert raw.count() == 6
+    assert raw.select("epoch").distinct().count() >= 2
+    store.compact("XE", dedup=True)
+    meta = store._read_meta("XE")
+    live = spark.read.parquet(store._points_dir("XE", meta))
+    assert live.count() == 3  # cross-epoch losers physically gone
+    got = {(r.time, r.value)
+           for r in store.read_simple("XE", 0, 10, [2]).collect()}
+    assert got == {(1, 1), (2, 2), (3, 3)}  # originals won
