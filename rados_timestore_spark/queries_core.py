@@ -134,7 +134,7 @@ WHERE dtime BETWEEN {T_JAN10 // US_PER_DAY} AND {T_JAN20 // US_PER_DAY}
     # Q4's closed-interval contract is also covered by ts_read_simple and
     # this row was driver-green in r2 — demoted past the driver's bounded
     # check window to make room for the LLM-pipeline queries.
-    priority=70,  # re-promoted in r7: oldest driver evidence in the registry (r2-green) — refresh rotation per registry policy
+    priority=900,  # demoted in r8 after r7 driver green, to rotate the r7 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def ts_closed_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BETWEEN is inclusive on both ends (Algorithms.hs:204-206:
@@ -155,7 +155,7 @@ def ts_closed_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_empty_addresses",
     oracle=f"{PTS_CTE} SELECT address, time, value, seq FROM pts WHERE FALSE",
     tags=("Q4",),
-    priority=70,  # re-promoted in r7: oldest driver evidence in the registry (r2-green) — refresh rotation per registry policy
+    priority=900,  # demoted in r8 after r7 driver green, to rotate the r7 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def ts_empty_addresses(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Empty address list => empty result (``elem`` over an empty list,
@@ -229,7 +229,7 @@ SELECT (address & -2) % 128 AS bucket, count(*) AS n,
 FROM pts GROUP BY 1
 """,
     tags=("W1",),
-    priority=70,  # re-promoted in r7: oldest driver evidence in the registry (r3-green) — refresh rotation per registry policy
+    priority=900,  # demoted in r8 after r7 driver green, to rotate the r7 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def ts_bucket_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """placeBucket (Core.hs:272-276): ``(addr clearBit 0) mod n`` —
@@ -819,7 +819,7 @@ WHERE rn = 1 AND address % 2 = 0
   AND time BETWEEN {T_JAN10} AND {T_JAN20}
 """,
     tags=("X1", "X2", "W5", "Q8"),
-    priority=60,  # promoted in r7: first driver evidence for the r6 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1 since r6)
+    priority=900,  # demoted in r8 after r7 driver green, to rotate the r7 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def ts_cas_writer_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible evidence for the X1/X2 lock obviation: an actual
@@ -850,7 +850,7 @@ WHERE rn = 1 AND address % 2 = 0
   AND time BETWEEN {T_JAN10} AND {T_JAN20}
 """,
     tags=("W5", "streaming"),
-    priority=110,  # new r7 carve-out (window full of the rotated-in r6 batch); local-green; rotate in r8 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def ts_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The continuous-writer daemon path, driver-visible: points
@@ -907,7 +907,7 @@ FROM (
   GROUP BY address, time) d
 """,
     tags=("S2", "Q5"),
-    priority=110,  # new r7 carve-out (window full of the rotated-in r6 batch); local-green; rotate in r8 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def ts_compact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup compaction, driver-visible: ingest the simple points

@@ -121,7 +121,7 @@ SELECT array_to_string(({_WORDS_SQL})[1:5], ' ') AS prefix_key,
 FROM documents GROUP BY 1 HAVING count(*) > 1
 """,
     tags=("dedup",),
-    priority=70,  # re-promoted in r7: oldest driver evidence in the registry (r3-green) — refresh rotation per registry policy
+    priority=900,  # demoted in r8 after r7 driver green, to rotate the r7 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def dedup_exact_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-exact variant keyed on the 5-word prefix (real clusters in
@@ -1175,7 +1175,7 @@ SELECT a.node, a.label AS component, sz.comp_size,
 FROM l{_CC_ITERS} a JOIN sz ON sz.label = a.label
 """,
     tags=("dedup", "graph"),
-    priority=110,  # new r7 carve-out (window full of the rotated-in r6 batch); local-green; rotate in r8 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components surfaced as a first-class query (the CC

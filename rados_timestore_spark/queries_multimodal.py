@@ -415,7 +415,7 @@ SELECT CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'image'
 FROM documents GROUP BY 1
 """,
     tags=("multimodal",),
-    priority=70,  # re-promoted in r7: oldest driver evidence in the registry (r3-green) — refresh rotation per registry policy
+    priority=900,  # demoted in r8 after r7 driver green, to rotate the r7 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def mm_modality_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Modality routing/aggregation: classify blobs (fake sniff on
@@ -700,7 +700,7 @@ SELECT doc_id, CAST(n_samples AS BIGINT) AS n_samples,
 FROM sm
 """,
     tags=("multimodal",),
-    priority=60,  # promoted in r7: first driver evidence for the r6 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1 since r6)
+    priority=900,  # demoted in r8 after r7 driver green, to rotate the r7 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def mm_wav_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio energy features over REAL decoded PCM: per document, the
@@ -1093,7 +1093,7 @@ SELECT doc_id,
 FROM g
 """,
     tags=("multimodal",),
-    priority=110,  # new r7 carve-out, see sim_ivf_ann_filtered
+    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def mm_jpeg_header(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL JPEG header parse, end to end: synthesize a structurally-

@@ -1328,7 +1328,7 @@ WITH {_rerank_ctes(_pq_ctes(_RERANK_CAND, "pq_cand"))}
 SELECT query_id, neighbor_id, exact_d2, rank FROM rr_top
 """,
     tags=("similarity", "ann"),
-    priority=60,  # promoted in r7: first driver evidence for the r6 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1 since r6)
+    priority=900,  # demoted in r8 after r7 driver green, to rotate the r7 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def sim_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact re-ranking over the PQ-ADC candidate list — the
@@ -1351,7 +1351,7 @@ def sim_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_recall_sql(_rerank_ctes(_pq_ctes(_RERANK_CAND, "pq_cand")),
                        "rr_top"),
     tags=("similarity", "ann"),
-    priority=60,  # promoted in r7: first driver evidence for the r6 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1 since r6)
+    priority=900,  # demoted in r8 after r7 driver green, to rotate the r7 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def sim_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the re-ranked PQ path — the fourth member of the
@@ -1624,7 +1624,7 @@ WITH {_rerank_ctes(_ivfpq_ctes(_RERANK_CAND, "pq_cand"))}
 SELECT query_id, neighbor_id, exact_d2, rank FROM rr_top
 """,
     tags=("similarity", "ann"),
-    priority=60,  # promoted in r7: first driver evidence for the r6 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1 since r6)
+    priority=900,  # demoted in r8 after r7 driver green, to rotate the r7 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def sim_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC-R — the complete production ANN composition: trained
@@ -1644,7 +1644,7 @@ def sim_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_recall_sql(_rerank_ctes(_ivfpq_ctes(_RERANK_CAND, "pq_cand")),
                        "rr_top"),
     tags=("similarity", "ann"),
-    priority=60,  # promoted in r7: first driver evidence for the r6 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1 since r6)
+    priority=900,  # demoted in r8 after r7 driver green, to rotate the r7 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def sim_ivfpq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the re-ranked IVFADC path — directly comparable
@@ -1701,7 +1701,7 @@ LEFT JOIN (SELECT * FROM trunc_scored WHERE rank <= {_MRL_K}) t
 GROUP BY f.query_id
 """,
     tags=("similarity", "recall"),
-    priority=60,  # promoted in r7: first driver evidence for the r6 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1 since r6)
+    priority=900,  # demoted in r8 after r7 driver green, to rotate the r7 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-truncation recall: top-k by cosine over only the
@@ -1795,7 +1795,7 @@ ftop AS (
 SELECT query_id, neighbor_id, cos, rank FROM ftop
 """,
     tags=("similarity", "ann", "filtered"),
-    priority=110,  # new r7 carve-out (window full of the rotated-in r6 batch); local-green; rotate in r8 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def sim_ivf_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered vector search over the IVF index (module note above):
@@ -1914,7 +1914,7 @@ WITH {_SQ8_CODES_CTE}
 SELECT query_id, neighbor_id, score, rank FROM sq8_top
 """,
     tags=("similarity", "ann", "quantization"),
-    priority=110,  # new r7 carve-out, see sim_ivf_ann_filtered
+    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def sim_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 ANN (module note above): one quantization scan, broadcast
@@ -1945,7 +1945,7 @@ def sim_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_sq8_recall",
     oracle=_recall_sql(_SQ8_CODES_CTE.strip().rstrip(), "sq8_top"),
     tags=("similarity", "ann", "quantization"),
-    priority=110,  # new r7 carve-out, see sim_ivf_ann_filtered
+    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def sim_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of SQ8 integer-dot ranking vs exact float cosine —
@@ -1997,7 +1997,7 @@ WITH {_IVFSQ8_CTES}
 SELECT query_id, neighbor_id, score, rank FROM ivfsq8_top
 """,
     tags=("similarity", "ann", "quantization"),
-    priority=110,  # new r7 carve-out, see sim_ivf_ann_filtered
+    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def sim_ivfsq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+SQ8 (module note above): shared IVF assignment/probes, then
@@ -2031,7 +2031,7 @@ def sim_ivfsq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ivfsq8_recall",
     oracle=_recall_sql(_IVFSQ8_CTES.strip(), "ivfsq8_top"),
     tags=("similarity", "ann", "quantization"),
-    priority=110,  # new r7 carve-out, see sim_ivf_ann_filtered
+    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def sim_ivfsq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the IVF+SQ8 composition vs exact float cosine —
@@ -2058,7 +2058,7 @@ FROM embeddings, generate_series(0, {DIM - 1}) d(dim)
 GROUP BY label, d.dim
 """,
     tags=("similarity", "ml"),
-    priority=110,  # new r7 carve-out, see sim_ivf_ann_filtered
+    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Class centroids (mean embedding per label) — the prototype

@@ -464,7 +464,7 @@ FROM occ, generate_series(0, {_CMS_D - 1}) gs(j)
 GROUP BY j, p
 """,
     tags=("sketch", "streaming"),
-    priority=110,  # new r7 carve-out (window full of the rotated-in r6 batch); local-green; rotate in r8 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def streaming_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min cells maintained INCREMENTALLY by a real Structured

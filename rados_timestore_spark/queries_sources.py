@@ -88,7 +88,7 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     "src_csv_roundtrip",
     oracle=_PTS_SQL + _AGG_SQL,
     tags=("sources",),
-    priority=110,  # new r7 carve-out (window full of the rotated-in r6 batch); local-green; rotate in r8 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV source/sink round-trip (module doc): the aggregate computed
@@ -101,7 +101,7 @@ def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "src_jsonl_roundtrip",
     oracle=_PTS_SQL + _AGG_SQL,
     tags=("sources",),
-    priority=110,  # new r7 carve-out, see src_csv_roundtrip
+    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines source/sink round-trip — same certificate as
@@ -113,7 +113,7 @@ def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "src_orc_roundtrip",
     oracle=_PTS_SQL + _AGG_SQL,
     tags=("sources",),
-    priority=110,  # new r7 carve-out, see src_csv_roundtrip
+    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source/sink round-trip — the columnar sibling certificate

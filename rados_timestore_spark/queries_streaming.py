@@ -751,7 +751,7 @@ SELECT content_md5, doc_id AS keep_doc_id, n_dups
 FROM r WHERE rn = 1
 """,
     tags=("streaming", "dedup"),
-    priority=60,  # promoted in r7: first driver evidence for the r6 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1 since r6)
+    priority=900,  # demoted in r8 after r7 driver green, to rotate the r7 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def streaming_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup with FIRST-ARRIVAL-WINS representatives,
@@ -840,7 +840,7 @@ FROM agg, wm
 WHERE ws + {_HOUR_US} <= watermark
 """,
     tags=("streaming",),
-    priority=110,  # new r7 carve-out (window full of the rotated-in r6 batch); local-green; rotate in r8 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end SLIDING-window streaming aggregate (1h window, 15min

@@ -84,7 +84,7 @@ SELECT doc_id,
 FROM documents
 """,
     tags=("text",),
-    priority=70,  # re-promoted in r7: oldest driver evidence in the registry (r3-green) — refresh rotation per registry policy
+    priority=900,  # demoted in r8 after r7 driver green, to rotate the r7 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting with a BPE-ish regex (letter runs / digit runs /
@@ -168,7 +168,7 @@ SELECT doc_id,
 FROM documents
 """,
     tags=("text",),
-    priority=70,  # re-promoted in r7: oldest driver evidence in the registry (r3-green) — refresh rotation per registry policy
+    priority=900,  # demoted in r8 after r7 driver green, to rotate the r7 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring (length / punctuation / stopword
@@ -901,7 +901,7 @@ cum AS (
                           ROWS BETWEEN UNBOUNDED PRECEDING
                           AND CURRENT ROW) - n_tok AS cum_before
   FROM toks)
-SELECT cum_before // {PACK_BUDGET} AS bin_id,
+SELECT CAST(cum_before // {PACK_BUDGET} AS BIGINT) AS bin_id,
        count(*) AS n_docs,
        CAST(sum(n_tok) AS BIGINT) AS n_tokens,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc,
@@ -911,7 +911,7 @@ SELECT cum_before // {PACK_BUDGET} AS bin_id,
 FROM cum GROUP BY 1
 """,
     tags=("text", "llm"),
-    priority=60,  # promoted in r7: first driver evidence for the r6 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1 since r6)
+    priority=60,  # kept in the r8 window: r7 driver hash FAIL fixed (oracle bin_id cast to BIGINT — was HUGEINT->float64); needs a green driver row
 )
 def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for pretraining: documents concatenated in
@@ -977,7 +977,7 @@ ranked AS (
 SELECT doc_id, word, df, rank FROM ranked WHERE rank <= 3
 """,
     tags=("text",),
-    priority=60,  # promoted in r7: first driver evidence for the r6 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1 since r6)
+    priority=900,  # demoted in r8 after r7 driver green, to rotate the r7 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Most distinctive terms per document — the TF-IDF top-k made
@@ -1031,7 +1031,7 @@ SELECT doc_id, count(*) AS n_bigrams,
 FROM scored GROUP BY doc_id
 """,
     tags=("text", "quality"),
-    priority=60,  # promoted in r7: first driver evidence for the r6 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1 since r6)
+    priority=900,  # demoted in r8 after r7 driver green, to rotate the r7 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM surprisal — the next rung above text_unigram_surprisal
@@ -1096,14 +1096,14 @@ cum AS (
                           ROWS BETWEEN UNBOUNDED PRECEDING
                           AND CURRENT ROW) - n_tok AS cum_before
   FROM toks)
-SELECT shard, cum_before // {PACK_BUDGET} AS bin_id,
+SELECT shard, CAST(cum_before // {PACK_BUDGET} AS BIGINT) AS bin_id,
        count(*) AS n_docs,
        CAST(sum(n_tok) AS BIGINT) AS n_tokens,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM cum GROUP BY 1, 2
 """,
     tags=("text", "llm"),
-    priority=60,  # promoted in r7: first driver evidence for the r6 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1 since r6)
+    priority=60,  # kept in the r8 window: r7 driver hash FAIL fixed (oracle bin_id cast to BIGINT — was HUGEINT->float64); needs a green driver row
 )
 def text_pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION shape of sequence packing: documents are packed
@@ -1164,7 +1164,7 @@ SELECT pair, count(*) AS n
 FROM pairs GROUP BY 1 ORDER BY n DESC, pair LIMIT 25
 """,
     tags=("text", "tokenizer"),
-    priority=110,  # new r7 carve-out (window full of the rotated-in r6 batch); local-green; rotate in r8 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25 BPE merge candidates (module note above).  All JVM-side:
@@ -1217,7 +1217,7 @@ SELECT source, rate_bps,
 FROM rated GROUP BY source, rate_bps
 """,
     tags=("text", "pipeline"),
-    priority=110,  # new r7 carve-out, see src_csv_roundtrip
+    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def text_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic mixture sampling (module note above): one scan,
@@ -1314,7 +1314,7 @@ SELECT doc_id, chunk_id, start,
 FROM c WHERE length(chunk) > 0
 """,
     tags=("text", "pipeline"),
-    priority=110,  # new r7 carve-out, see src_csv_roundtrip
+    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping-window chunking (module note): chunk i covers
@@ -1347,7 +1347,7 @@ FROM ch JOIN df ON df.h = ch.h
 GROUP BY ch.doc_id
 """,
     tags=("dedup", "text", "pipeline"),
-    priority=110,  # new r7 carve-out, see src_csv_roundtrip
+    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-granular exact dedup signal: how much of each document is
@@ -1402,7 +1402,7 @@ FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
 GROUP BY d.source
 """,
     tags=("text", "tokenizer"),
-    priority=110,  # new r7 carve-out, see src_csv_roundtrip
+    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary coverage / OOV accounting per source: fit a top-K

@@ -277,7 +277,7 @@ SELECT CAST(floor(value / 5) AS BIGINT) AS bucket, count(*) AS n,
 FROM ev GROUP BY 1
 """,
     tags=("timeseries", "agg"),
-    priority=70,  # re-promoted in r7: oldest driver evidence in the registry (r2-green) — refresh rotation per registry policy
+    priority=900,  # demoted in r8 after r7 driver green, to rotate the r7 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def ts_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width value histogram — one hash aggregate; min/max
@@ -305,7 +305,7 @@ SELECT user_id, event_id, t,
 FROM ev
 """,
     tags=("timeseries", "window"),
-    priority=70,  # re-promoted in r7: oldest driver evidence in the registry (r2-green) — refresh rotation per registry policy
+    priority=900,  # demoted in r8 after r7 driver green, to rotate the r7 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def ts_delta_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta encoding of per-series timestamps (the compression
@@ -859,7 +859,7 @@ SELECT user_id, h * 3600000000 AS hour_us, n,
 FROM joined
 """,
     tags=("timeseries",),
-    priority=60,  # promoted in r7: first driver evidence for the r6 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1 since r6)
+    priority=900,  # demoted in r8 after r7 driver green, to rotate the r7 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style gap fill + last-observation-carried-forward
@@ -937,7 +937,7 @@ SELECT user_id, day * 86400000000 AS day_us,
 FROM d GROUP BY 1, 2
 """,
     tags=("timeseries",),
-    priority=60,  # promoted in r7: first driver evidence for the r6 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1 since r6)
+    priority=900,  # demoted in r8 after r7 driver green, to rotate the r7 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def ts_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL-style reset-aware ``increase()``: per user per day, the
@@ -1000,7 +1000,7 @@ SELECT event_type, max(n) AS n,
 FROM r GROUP BY event_type
 """,
     tags=("timeseries", "agg"),
-    priority=60,  # promoted in r7: first driver evidence for the r6 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1 since r6)
+    priority=900,  # demoted in r8 after r7 driver green, to rotate the r7 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def ts_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT discrete quantiles (p50/p90/p99 of value per event type)
@@ -1059,7 +1059,7 @@ FROM s GROUP BY 1, 2
 HAVING sum(d) > 0
 """,
     tags=("timeseries", "agg"),
-    priority=60,  # promoted in r7: first driver evidence for the r6 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1 since r6)
+    priority=900,  # demoted in r8 after r7 driver green, to rotate the r7 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average per user per day (TimescaleDB's
@@ -1141,7 +1141,7 @@ SELECT user_id, h * 3600000000 AS hour_us,
 FROM b GROUP BY 1, 2
 """,
     tags=("timeseries", "agg"),
-    priority=60,  # promoted in r7: first driver evidence for the r6 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1 since r6)
+    priority=900,  # demoted in r8 after r7 driver green, to rotate the r7 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4 downsampling (Jugel et al., VLDB 2014): per (series, time

@@ -213,7 +213,7 @@ ORDER BY revenue DESC, c_custkey
 LIMIT 20
 """,
     tags=("join", "topk"),
-    priority=70,  # re-promoted in r7: oldest driver evidence in the registry (r2-green) — refresh rotation per registry policy
+    priority=900,  # demoted in r8 after r7 driver green, to rotate the r7 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10: revenue lost to returns per customer, top-20."""

@@ -127,7 +127,7 @@ FROM (
 ) t GROUP BY o_year
 """,
     tags=("join", "agg"),
-    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
+    priority=70,  # re-promoted in r8: oldest driver evidence in the registry (r4-green) — refresh rotation per registry policy
 )
 def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8 (faithful shape): NATION_3's share of ECONOMY-part revenue

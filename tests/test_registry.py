@@ -46,34 +46,53 @@ def test_oracles_cover_queries_and_parse(con):
             pytest.fail(f"oracle for {name} fails to plan: {exc}")
 
 
+def test_oracle_output_types_are_hashable(con):
+    # The driver hashes TYPED values: DuckDB HUGEINT/DECIMAL columns
+    # render as float64 in pandas, so `3` hashes as "3.0" against
+    # Spark's "3" and the row mismatches even when values agree — the
+    # r7 driver catch (text_pack_sequences bin_id = HUGEINT quotient
+    # of a sum() OVER).  Planning is enough to get output types; no
+    # oracle may expose HUGEINT/UHUGEINT/DECIMAL — cast in the SQL.
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from check_correctness import oracle_type_errors
+
+    bad = {}
+    for name, sql in registry.oracle_sql().items():
+        errs = oracle_type_errors(con, sql)
+        if errs:
+            bad[name] = errs
+    assert not bad, f"oracles with non-hashable output types: {bad}"
+
+
 def test_bench_set_nonempty():
     bench = registry.bench_queries()
     assert 10 <= len(bench) <= len(registry.queries())
 
 
-# The r7 driver window, pinned exactly.  A misplaced priority= line
+# The r8 driver window, pinned exactly.  A misplaced priority= line
 # once silently broke a rotation (ADVICE r4: text_lang_id's demotion
 # parsed as dead code and pushed bench-tagged tpch_q1 out of the
 # window) — membership drift must fail loudly, so any intentional
 # rotation edits this set in the same commit.
 EXPECTED_WINDOW = {
-    # r7 rotation part 1 (p=60): the 17 r6 carve-out queries, promoted
-    # for their FIRST driver evidence; 27 non-bench r6-green incumbents
-    # were demoted in exchange (VERDICT r6 "Next round" #1)
-    "ts_cas_writer_guard", "ts_gapfill_locf", "ts_counter_rate",
-    "ts_quantiles", "ts_time_weighted_avg", "ts_m4_downsample",
-    "streaming_dedup_docs", "text_pack_sequences",
-    "text_pack_sequences_sharded", "text_tfidf_top_terms",
-    "text_bigram_surprisal", "sim_pq_rerank", "sim_pq_rerank_recall",
-    "sim_ivfpq_rerank", "sim_ivfpq_rerank_recall",
-    "sim_matryoshka_recall", "mm_wav_rms",
-    # r7 rotation part 2 (p=70): the 10 queries with the OLDEST driver
-    # evidence (r2/r3-green, unseen since), re-promoted so rotation
-    # periodically refreshes old evidence (registry policy bullet 3)
-    "tpch_q10_returned_items", "ts_closed_interval", "ts_delta_encode",
-    "ts_empty_addresses", "ts_value_histogram", "dedup_exact_prefix",
-    "mm_modality_routing", "text_quality_score", "text_token_count",
-    "ts_bucket_placement",
+    # r8 rotation part 1 (p=60): the 24 r7 carve-out queries, promoted
+    # for their FIRST driver evidence; the 25 r7-green incumbents were
+    # demoted in exchange (VERDICT r7 "Next round" #3)
+    "ts_streaming_ingest", "ts_compact_dedup", "streaming_sliding_counts",
+    "text_bpe_merge_candidates", "text_mixture_sample",
+    "text_chunk_overlap", "dedup_chunk_exact", "text_vocab_coverage",
+    "graph_connected_components", "sim_ivf_ann_filtered",
+    "sim_sq8_ann", "sim_sq8_recall", "sim_ivfsq8_ann", "sim_ivfsq8_recall",
+    "sim_label_centroids", "mm_jpeg_header",
+    "tpch_q2_partsupp", "tpch_q11_partsupp", "tpch_q20_partsupp",
+    "tpch_q9_partsupp", "streaming_cms_cells",
+    "src_csv_roundtrip", "src_jsonl_roundtrip", "src_orc_roundtrip",
+    # r8 part 2: the two r7 driver-red queries stay in the window until
+    # their oracle fix (bin_id CAST AS BIGINT) earns a green hash row
+    "text_pack_sequences", "text_pack_sequences_sharded",
+    # r8 part 3 (p=70): oldest-evidence refresh (r4-green, unseen since)
+    "tpch_q8_market_share",
     # the bench/headline set (must always be driver-visible)
     "ts_bulk_backfill", "text_winnow_fingerprint", "sim_ivf_kmeans",
     "sim_pq_ann", "sim_ivfpq_ann",
@@ -92,21 +111,11 @@ EXPECTED_WINDOW = {
 # registry test asserting no query stays past the window for more than
 # one round") — any name added here is a standing debt that the next
 # round's rotation has to clear.
-# r7 rotation cleared the whole 17-query r6 backlog (all promoted to
-# p=60 for first driver evidence).  The entries below are NEW in r7
-# (the window is full of never-checked promotions) and MUST be rotated
-# into the driver window in r8.
-EXPECTED_CARVEOUT_BACKLOG: set[str] = {
-    "tpch_q2_partsupp", "tpch_q11_partsupp", "tpch_q20_partsupp",
-    "sim_ivf_ann_filtered", "sim_sq8_ann", "sim_sq8_recall",
-    "text_bpe_merge_candidates", "streaming_cms_cells",
-    "graph_connected_components", "sim_ivfsq8_ann", "sim_ivfsq8_recall",
-    "mm_jpeg_header", "streaming_sliding_counts",
-    "src_csv_roundtrip", "src_jsonl_roundtrip", "text_mixture_sample",
-    "tpch_q9_partsupp", "text_chunk_overlap", "sim_label_centroids",
-    "ts_streaming_ingest", "src_orc_roundtrip", "dedup_chunk_exact",
-    "ts_compact_dedup", "text_vocab_coverage",
-}
+# r8 rotation cleared the whole 24-query r7 backlog (all promoted to
+# p=60 for first driver evidence).  Empty = no query is waiting past
+# the window; any r8-new registration added here must name the round
+# that rotates it in.
+EXPECTED_CARVEOUT_BACKLOG: set[str] = set()
 
 
 def test_carveout_backlog_is_rotated():

@@ -25,21 +25,67 @@ TABLES = (
 ).split()
 
 
-def normalize(df: pd.DataFrame) -> pd.DataFrame:
+#: DuckDB result types that pandas renders as float64 (or object),
+#: silently changing the hashed string the driver computes.  An oracle
+#: must never type an output column this way — cast to BIGINT/DOUBLE
+#: in the SQL instead (r7 driver catch: pack_sequences bin_id HUGEINT).
+BAD_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def oracle_type_errors(con, sql: str) -> list[str]:
+    """Plan (don't run) an oracle and flag non-hashable column types."""
+    rel = con.sql(sql)
+    return [
+        f"{name}:{t}"
+        for name, t in zip(rel.columns, (str(x) for x in rel.types))
+        if any(b in t.upper() for b in BAD_ORACLE_TYPES)
+    ]
+
+
+def normalize(df: pd.DataFrame) -> tuple[pd.DataFrame, dict[str, str]]:
+    """Canonicalize a frame and classify each column's dtype KIND.
+
+    The driver hashes typed values — ``3`` (int) and ``3.0`` (float)
+    hash differently — so the local gate must preserve int-vs-float
+    identity rather than widening everything to float64 (the r7 bug:
+    the old normalize cast Int64→float64, certifying green two queries
+    whose oracle typed bin_id HUGEINT→float64 while Spark said int64).
+    Width differences (int32 vs int64, float32 vs float64) are still
+    unified: both engines' pandas reprs agree on value strings there.
+    Nullable-int columns CONTAINING nulls become float (that is how
+    Spark's toPandas renders them, so the driver sees float on both
+    sides); null-free nullable ints stay int.
+    """
     df = df[sorted(df.columns)].copy()
+    kinds: dict[str, str] = {}
     for c in df.columns:
+        dt = str(df[c].dtype)
         if df[c].dtype == object:
             df[c] = df[c].map(
                 lambda v: v.hex() if isinstance(v, (bytes, bytearray)) else v
             )
-        # nullable int frames (pandas Int64) -> float64 comparability
-        if str(df[c].dtype) in ("Int64", "Int32"):
-            df[c] = df[c].astype("float64")
-        if str(df[c].dtype).startswith("int"):
+            kinds[c] = "obj"
+        elif dt.startswith("bool"):
+            kinds[c] = "bool"
+        elif dt in ("Int64", "Int32", "Int16", "Int8",
+                    "UInt64", "UInt32", "UInt16", "UInt8"):
+            if df[c].isna().any():
+                df[c] = df[c].astype("float64")
+                kinds[c] = "float"
+            else:
+                df[c] = df[c].astype("int64")
+                kinds[c] = "int"
+        elif dt.startswith(("int", "uint")):
             df[c] = df[c].astype("int64")
-        if str(df[c].dtype) == "float32":
+            kinds[c] = "int"
+        elif dt.startswith("float"):
             df[c] = df[c].astype("float64")
-    return df.sort_values(list(df.columns), ignore_index=True)
+            kinds[c] = "float"
+        elif dt.startswith("datetime"):
+            kinds[c] = "datetime"
+        else:
+            kinds[c] = dt
+    return df.sort_values(list(df.columns), ignore_index=True), kinds
 
 
 def main() -> int:
@@ -87,14 +133,26 @@ def main() -> int:
                 print(f"WARN {name}: 0 rows without an oracle")
             continue
         try:
+            bad = oracle_type_errors(con, sql)
+            if bad:
+                print(f"FAIL {name}: oracle output types non-hashable "
+                      f"(cast in SQL): {bad}")
+                failures += 1
+                continue
             want = con.execute(sql).fetchdf()
         except Exception as exc:
             print(f"FAIL {name}: duckdb raised {exc!r}"[:2000])
             failures += 1
             continue
-        g, w = normalize(got), normalize(want)
+        (g, gk), (w, wk) = normalize(got), normalize(want)
         if list(g.columns) != list(w.columns):
             print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
+            failures += 1
+            continue
+        kind_diff = {c: (gk[c], wk[c]) for c in g.columns if gk[c] != wk[c]}
+        if kind_diff:
+            print(f"FAIL {name}: dtype-kind mismatch (driver hash would "
+                  f"differ) spark-vs-oracle: {kind_diff}")
             failures += 1
             continue
         if len(g) != len(w):
