@@ -183,7 +183,15 @@ def stage_for_release(spark: "SparkSession", path: str) -> None:
     :func:`release_pins` (i.e. when the next registered query starts,
     or when a harness finishes) — the staged-files twin of
     :func:`pin`: queries returning lazy frames over staged output
-    cannot delete it before the caller's action runs."""
+    cannot delete it before the caller's action runs.
+
+    This encodes the ONE-ACTION-PER-QUERY contract (documented at the
+    registry wrapper): a caller must run its action on query A's frame
+    before invoking query B, because B's entry deletes A's staging.
+    Materializing staged frames driver-side instead would remove the
+    contract but caps sink size at driver memory — wrong at scale, so
+    only queries whose output is a small certificate do it (e.g.
+    streaming_dedup_docs)."""
     _STAGED.append((spark, path))
 
 

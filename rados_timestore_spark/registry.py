@@ -77,11 +77,22 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
 
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            # Release the PREVIOUS query's pinned intermediates (see
-            # queries_common.pin): queries return lazily, so the start
+            # Release the PREVIOUS query's pinned intermediates and
+            # staged workdirs (see queries_common.pin /
+            # stage_for_release): queries return lazily, so the start
             # of the next query is the earliest provably-safe release
             # point.  Keeps long sessions (driver correctness sweep,
             # bench, CLI) from accumulating cached blocks.
+            #
+            # CONTRACT (one action per query): run your action on the
+            # returned frame BEFORE invoking the next registered query.
+            # Staged-store-backed frames (streaming sinks, source
+            # round-trips) read files this release deletes — an
+            # interleaved collect-A-after-invoking-B sees
+            # FileNotFound.  Every harness in the repo (driver sweep,
+            # bench.py, tools/check_correctness.py) follows it; it is
+            # the same discipline Spark itself requires of temp-view
+            # or checkpoint-dir lifecycles (ADVICE r7).
             from rados_timestore_spark.queries_common import release_pins
 
             release_pins()

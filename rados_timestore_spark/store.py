@@ -170,19 +170,32 @@ class TimeStore:
         # (primary briefly renamed aside between our exists check and
         # the read) — that window is transient by construction, so a
         # bounded re-check-and-retry is exact, not a sleep-and-hope.
+        import time
+
+        last_exc: Exception | None = None
         for _ in range(20):
             if not self.fs.exists_or_recover(path):
                 raise NamespaceNotRegistered(ns)
             try:
                 return _Meta.from_json(json.loads(self.fs.read_text(path)))
-            except Exception:
-                import time
-
-                time.sleep(0.01)
+            except (ValueError, KeyError, TypeError) as exc:
+                # partial/half-replaced document (JSONDecodeError is a
+                # ValueError; from_json raises KeyError/TypeError on a
+                # truncated dict) — the transient the retry exists for
+                last_exc = exc
+            except Exception as exc:
+                # only a vanished primary is part of the replace
+                # window; permission errors, py4j failures and other
+                # genuine I/O problems must surface immediately with
+                # their root cause (ADVICE r7)
+                if "FileNotFoundException" not in str(exc):
+                    raise
+                last_exc = exc
+            time.sleep(0.01)
         raise IOError(
             f"namespace {ns!r}: _meta.json unreadable after 20 attempts "
             f"(writer replace storm?)"
-        )
+        ) from last_exc
 
     def _write_meta(self, ns: str, meta: _Meta) -> None:
         self.fs.write_text_atomic(
@@ -208,16 +221,36 @@ class TimeStore:
         so only ONE waiter can win the break (r7 review finding: a
         blind delete let two waiters each delete-and-recreate, putting
         both inside the window).
+
+        Release verifies OWNERSHIP (r8 review finding): each acquire
+        writes a unique token (pid+thread+nonce — pid alone collides
+        across threads) and the finally only deletes the lock when the
+        stored content still matches.  Without the check, a holder that
+        stalls past ``stale_after`` (GC pause, slow py4j call) would,
+        on wake, delete the FRESH lock a legitimate stale-breaker had
+        since created, letting a third writer into the serialized
+        window.  The content write after the atomic create is itself
+        not atomic, but every mismatch direction is safe: a reader
+        that sees empty/partial content skips the delete (conservative
+        — the stale-break reclaims a crashed mid-acquire marker after
+        ``stale_after``, i.e. exactly the crashed-holder path), and a
+        partial read of one fixed-length token can never equal a
+        different full token.  The remaining read->delete instant is
+        the one unavoidable TOCTOU; it requires a second 60s stall
+        landing inside a microsecond window, vs the previous behavior
+        where ANY post-stall release was destructive.
         """
         import random
+        import threading
         import time
+        import uuid
 
         lock = f"{self._ns_dir(ns)}/{_META}.lock"
+        token = (f"{os.getpid()}.{threading.get_ident()}"
+                 f".{uuid.uuid4().hex}")
         deadline = time.monotonic() + timeout
         while True:
-            if self.fs.create_exclusive(
-                lock, str(os.getpid()).encode()
-            ):
+            if self.fs.create_exclusive(lock, token.encode()):
                 break
             if self.fs.exists(lock):
                 try:
@@ -249,7 +282,10 @@ class TimeStore:
             yield
         finally:
             try:
-                self.fs.delete(lock, False)
+                if self.fs.read_text(lock).strip() == token:
+                    self.fs.delete(lock, False)
+                # mismatch => a stale-breaker superseded us while we
+                # stalled; the lock now belongs to someone else
             except Exception:
                 pass  # releasing best-effort; stale-break cleans up
 

