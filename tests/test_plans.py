@@ -1,0 +1,131 @@
+"""Physical-plan regression tests — PLANS.md's manual `.explain`
+audit, automated.
+
+PLANS.md records the plans we WANT at 100 TB (partition pruning on the
+store read path, parquet predicate pushdown, column pruning, codegen'd
+single-shuffle dedup, no Cartesian products).  A refactor can silently
+lose any of them while every value-level oracle stays green — these
+tests pin the load-bearing plan properties so the regression fails
+loudly instead of shipping as a 100x scan at scale.
+
+String-matching explain output is inherently version-coupled; every
+assertion targets a stable Spark plan vocabulary token
+(``PartitionFilters``, ``PushedFilters``, ``CartesianProduct``,
+``HashAggregate``) rather than full plan shapes.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from rados_timestore_spark.queries_common import event_us
+from tests.conftest import SF_DIR
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+@pytest.fixture(scope="module")
+def filled_store(spark, tmp_path_factory):
+    from rados_timestore_spark.store import TimeStore
+
+    store = TimeStore(
+        spark, str(tmp_path_factory.mktemp("plans") / "warehouse")
+    )
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    pts = ev.select(
+        (F.col("user_id") * 2).alias("address"),
+        event_us(ev).alias("time"),
+        F.col("event_id").alias("value"),
+        F.col("event_id").alias("seq"),
+    )
+    store.register_namespace("p", buckets=16)
+    store.write_points("p", pts)
+    return store
+
+
+def test_store_read_prunes_partitions_and_pushes_predicates(filled_store):
+    # PLANS.md "Store read path": the (epoch, bucket) directory
+    # predicates from _scan must be PartitionFilters (the targetObjs
+    # analog — unmatched dirs never listed) and the address/time
+    # predicates must reach the parquet row-group stats.
+    t0, t1 = 1704067200000000, 1704326400000000
+    df = filled_store.read_simple("p", t0, t1, [2, 4, 26])
+    plan = plan_str(df)
+    assert "PartitionFilters" in plan
+    part = plan.split("PartitionFilters", 1)[1][:400]
+    assert "bucket" in part and "epoch" in part, part
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters", 1)[1][:400]
+    assert "address" in pushed, pushed
+    assert "GreaterThanOrEqual(time" in pushed, pushed
+    assert "LessThanOrEqual(time" in pushed, pushed
+
+
+def test_store_dedup_is_single_codegen_hash_aggregate(filled_store):
+    # PLANS.md: first-wins dedup = scalar min_by HashAggregate (one
+    # shuffle, map-side partial agg, whole-stage codegen) — a struct
+    # payload or sort-based rewrite demotes it to SortAggregate.
+    df = filled_store.read_simple("p", 0, 1 << 62, [2, 4])
+    plan = plan_str(df)
+    assert "HashAggregate" in plan
+    assert "min_by" in plan
+    assert "SortAggregate" not in plan
+    # codegen + shuffle count live in the FINAL adaptive plan — the
+    # pre-execution AQE plan shows neither (isFinalPlan=false)
+    df.collect()
+    # executedPlan prints "== Final Plan ==" then "== Initial Plan ==";
+    # only the final section reflects what ran
+    final = (df._jdf.queryExecution().executedPlan().toString()
+             .split("== Initial Plan ==", 1)[0])
+    # "*(n) Operator" is the whole-stage-codegen marker in plan strings
+    assert "*(" in final, final
+    # exactly ONE shuffle for the dedup (no extra global sort)
+    n_shuffles = final.count("Exchange hashpartitioning")
+    assert n_shuffles == 1, final
+
+
+def test_documents_scan_prunes_unused_columns(spark):
+    # Column pruning: dedup_exact needs doc_id+text only; lang/
+    # source/n_chars must not reach the parquet ReadSchema (a scan
+    # reading all columns for a 2-column projection is wrong at
+    # 100 TB).
+    from rados_timestore_spark import registry
+
+    df = registry.queries()["dedup_exact"](spark, SF_DIR)
+    plan = plan_str(df)
+    read = plan.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "text" in read, read
+    for unused in ("lang", "source", "n_chars"):
+        assert unused not in read, (unused, read)
+
+
+def test_tpch_q1_pushes_shipdate_filter(spark):
+    from rados_timestore_spark import registry
+
+    df = registry.queries()["tpch_q1_pricing_summary"](spark, SF_DIR)
+    plan = plan_str(df)
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters", 1)[1][:300]
+    assert "l_shipdate" in pushed, pushed
+    # and the scan does not drag the wide comment column along
+    read = plan.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "l_comment" not in read, read
+
+
+def test_no_cartesian_product_in_any_bench_plan(spark):
+    # Every crossJoin in the repo broadcasts a bounded side
+    # (BroadcastNestedLoopJoin); an unconstrained CartesianProduct in
+    # a headline query would be a quadratic shuffle at scale.  Build
+    # (don't run) every bench plan and sweep.
+    from rados_timestore_spark import registry
+
+    offenders = []
+    for name, fn in registry.bench_queries().items():
+        df = fn(spark, SF_DIR)
+        if "CartesianProduct" in plan_str(df, "simple"):
+            offenders.append(name)
+    assert offenders == [], offenders

@@ -197,6 +197,24 @@ SOAK_HEAVY_QUERIES = (
     "sim_label_centroids",
 )
 
+#: SOAK_FAMILY=r8 (VERDICT r7 item 6): the r7-new operators the heavy
+#: soak did NOT cover — streaming (sliding windows, incremental CMS),
+#: the writer-daemon/compaction store paths, the text/columnar source
+#: round-trips, and the SQ8 recall variants.  Mixed input tables, so
+#: this family builds BOTH the scaled events table and the scaled
+#: documents/embeddings corpus.
+SOAK_R8_QUERIES = (
+    "streaming_sliding_counts",
+    "streaming_cms_cells",
+    "ts_streaming_ingest",
+    "ts_compact_dedup",
+    "src_csv_roundtrip",
+    "src_jsonl_roundtrip",
+    "src_orc_roundtrip",
+    "sim_sq8_recall",
+    "sim_ivfsq8_recall",
+)
+
 
 def build_corpus_const_density(spark, out_dir: str) -> None:
     """COPIES x documents with near-dup density held CONSTANT.
@@ -282,8 +300,16 @@ def main() -> None:
     names = {"ts": SOAK_TS_QUERIES,
              "const_density": SOAK_CONST_DENSITY_QUERIES,
              "heavy": SOAK_HEAVY_QUERIES,
+             "r8": SOAK_R8_QUERIES,
              }.get(family, SOAK_QUERIES)
-    if family == "ts":
+    if family == "r8":
+        if not os.path.exists(f"{out_dir}/events.parquet"):
+            print(f"# building {COPIES}x events ...", file=sys.stderr)
+            build_events(spark, out_dir)
+        if not os.path.exists(f"{out_dir}/documents.parquet"):
+            print(f"# building {COPIES}x corpus ...", file=sys.stderr)
+            build_corpus(spark, out_dir)
+    elif family == "ts":
         if not os.path.exists(f"{out_dir}/events.parquet"):
             print(f"# building {COPIES}x events ...", file=sys.stderr)
             build_events(spark, out_dir)
