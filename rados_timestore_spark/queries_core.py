@@ -631,6 +631,60 @@ def ts_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("address", "time", "value", "seq")
 
 
+#: 2024-01-05 00:00:00 UTC — the TTL cutoff for ts_ttl_expire.
+T_JAN05 = 1_704_412_800_000_000
+
+
+@register(
+    "ts_ttl_expire",
+    oracle=f"""{PTS_CTE}
+SELECT address, time, value, seq
+FROM pts
+WHERE address % 2 = 0 AND time < {T_JAN10}
+  AND time // {US_PER_DAY} >= {T_JAN05 // US_PER_DAY}
+""",
+    tags=("R1", "S5"),
+    priority=110,  # new r8 carve-out (window full of the rotated-in r7 batch); local-green; rotate in r9 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def ts_ttl_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL retention by epoch drop (:meth:`TimeStore.expire`): build
+    the per-day epoch layout ts_rollover builds (rollover_bytes=1, so
+    every day batch cuts an epoch at watermark+1,
+    StoreHelpers.hs:194-221), expire everything older than Jan 5,
+    then read the FULL range back.  An epoch is dropped iff its next
+    boundary <= the cutoff, and per-day epochs make that relationally
+    exact: days 1-4 vanish wholesale, days 5-9 survive untouched —
+    the oracle is the events slice filtered to day >= Jan 5.  The
+    certificate proves both directions at once: expired partitions
+    stop existing (no pre-cutoff row returns even though the read
+    interval covers them) and retention never clips a surviving
+    epoch (every post-cutoff row still present).  Expiry is one
+    directory delete per epoch — metadata-rate at 100 TB, the
+    chunk-drop TTL model."""
+    from rados_timestore_spark.store import TimeStore
+
+    root = tempfile.mkdtemp(prefix="ts_ttl_")
+    store = TimeStore(spark, root, rollover_bytes=1)
+    ns = "ttl"
+    store.register_namespace(ns, buckets=8)
+    pts = events_points(spark, sf_dir).filter(
+        (F.col("address") % 2 == 0) & (F.col("time") < T_JAN10)
+    ).select("address", "time", "value", "seq")
+    day = F.expr(f"time div {US_PER_DAY}")
+    days = sorted(
+        r.d for r in pts.select(day.alias("d")).distinct().collect()
+    )
+    for d in days:
+        store.write_points(ns, pts.filter(day == d))
+    dropped = store.expire(ns, T_JAN05)
+    assert dropped == sorted(dropped) and len(dropped) >= 1
+    addrs = sorted(
+        r.address for r in pts.select("address").distinct().collect()
+    )
+    df = store.read_simple(ns, 0, 1 << 62, addrs)
+    return df.select("address", "time", "value", "seq")
+
+
 @register(
     "ts_bulk_backfill",
     oracle=f"""{PTS_CTE},

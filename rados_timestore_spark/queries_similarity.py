@@ -2084,3 +2084,131 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid"),
         F.count("*").cast("long").alias("n"),
     )
+
+
+# ------------------------------------------------- r8: hybrid retrieval
+
+#: RRF smoothing constant (Cormack et al. 2009's k=60) and per-list
+#: candidate depth for sim_rrf_fusion.
+_RRF_K = 60
+_RRF_DEPTH = 50
+
+
+@register(
+    "sim_rrf_fusion",
+    oracle=f"""
+WITH qw AS (
+  SELECT DISTINCT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+           AS w
+  FROM documents WHERE doc_id = 0),
+dw AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  FROM documents WHERE doc_id <> 0),
+lex AS (
+  SELECT doc_id, count(*) AS overlap
+  FROM dw JOIN qw USING (w) GROUP BY 1),
+lrank AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY overlap DESC, doc_id) AS lr
+  FROM lex QUALIFY lr <= {_RRF_DEPTH}),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+vs AS (
+  SELECT vec_id,
+         list_inner_product(list_transform(embedding, x -> x::DOUBLE),
+                            list_transform(qe, x -> x::DOUBLE))
+           / sqrt(list_inner_product(
+               list_transform(embedding, x -> x::DOUBLE),
+               list_transform(embedding, x -> x::DOUBLE)))
+           / sqrt(list_inner_product(
+               list_transform(qe, x -> x::DOUBLE),
+               list_transform(qe, x -> x::DOUBLE))) AS cos
+  FROM embeddings, q WHERE vec_id <> 0),
+vrank AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY cos DESC, vec_id) AS vr
+  FROM vs QUALIFY vr <= {_RRF_DEPTH}),
+fused AS (
+  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         COALESCE(1.0::DOUBLE / ({_RRF_K} + lr), 0.0::DOUBLE)
+           + COALESCE(1.0::DOUBLE / ({_RRF_K} + vr), 0.0::DOUBLE)
+           AS rrf,
+         COALESCE(lr, 0) AS lex_rank,
+         COALESCE(vr, 0) AS vec_rank
+  FROM lrank l FULL JOIN vrank v ON l.doc_id = v.doc_id)
+SELECT doc_id, rrf, lex_rank, vec_rank
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+""",
+    tags=("similarity", "retrieval"),
+    priority=110,  # new r8 carve-out (window full of the rotated-in r7 batch); local-green; rotate in r9 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by Reciprocal Rank Fusion (Cormack et al.
+    2009, the fusion rule behind most production BM25+vector search):
+    a lexical candidate list (distinct-word overlap with the query
+    document, the BM25 stand-in that stays integer-exact cross-engine)
+    and a vector candidate list (exact cosine, the
+    sim_topk_bruteforce kernel) are each ranked to depth 50, then
+    fused by ``sum(1 / (60 + rank))`` over the lists containing the
+    doc.  doc_id and vec_id share the fixture's id space (one
+    embedding per document), so the fusion join is id = id.
+
+    Determinism: both rank lists order by (score DESC, id) — integer
+    overlap and the bit-identical sequential-fold cosine — so ranks
+    are exact; the fused score is two fixed-order IEEE divisions and
+    one add.  Absent-from-list is rank 0, not NULL (nullable ints
+    render as floats in pandas and would poison the driver hash).
+
+    Scale: the query word set and query vector broadcast (one row
+    each); the lexical side is explode -> semi-join -> count (one
+    shuffle over matching words only); each rank list is a top-50
+    TakeOrdered; the fusion join holds 2x50 rows.  Nothing grows with
+    corpus size except the two candidate scans."""
+    from rados_timestore_spark.queries_text import _words_col
+
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
+    words = docs.select(
+        "doc_id", F.explode(_words_col()).alias("w")
+    ).distinct()
+    qw = words.filter(F.col("doc_id") == 0).select("w")
+    lex = (
+        words.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(qw), "w")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("overlap"))
+    )
+    wl = Window.orderBy(F.desc("overlap"), "doc_id")
+    lrank = (
+        lex.withColumn("lr", F.row_number().over(wl))
+        .filter(F.col("lr") <= _RRF_DEPTH).select("doc_id", "lr")
+    )
+
+    emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id",
+                _cos_seq(F.col("embedding"), F.col("qe")).alias("cos"))
+    )
+    wv = Window.orderBy(F.desc("cos"), "vec_id")
+    vrank = (
+        scored.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") <= _RRF_DEPTH)
+        .select(F.col("vec_id").alias("doc_id"), "vr")
+    )
+
+    fused = lrank.join(vrank, "doc_id", "full").select(
+        "doc_id",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("lr")),
+                       F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("vr")),
+                         F.lit(0.0))
+        ).alias("rrf"),
+        F.coalesce(F.col("lr"), F.lit(0)).cast("long").alias("lex_rank"),
+        F.coalesce(F.col("vr"), F.lit(0)).cast("long").alias("vec_rank"),
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(10)

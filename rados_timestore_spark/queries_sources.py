@@ -120,3 +120,59 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Spark reads ORC natively with its own schema; the oracle still
     aggregates straight from parquet)."""
     return _roundtrip(spark, sf_dir, "orc")
+
+
+_US_PER_DAY = 86_400_000_000
+#: 2024-01-04 / 2024-01-07 00:00 UTC as day ordinals — the pruned
+#: read's closed day range.
+_DAY_LO = 1_704_326_400_000_000 // _US_PER_DAY
+_DAY_HI = 1_704_585_600_000_000 // _US_PER_DAY
+
+
+@register(
+    "src_partitioned_roundtrip",
+    oracle=_PTS_SQL + f"""
+SELECT t // {_US_PER_DAY} AS day, address, count(*) AS n,
+       CAST(sum(value) AS BIGINT) AS sum_value
+FROM pts
+WHERE t // {_US_PER_DAY} BETWEEN {_DAY_LO} AND {_DAY_HI}
+GROUP BY 1, 2
+""",
+    tags=("sources",),
+    priority=110,  # new r8 carve-out (window full of the rotated-in r7 batch); local-green; rotate in r9 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def src_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned dataset round-trip with PARTITION PRUNING:
+    write the point projection partitioned by day
+    (``partitionBy("day")`` — the directory layout every lake-house
+    ingest lands in), read it back through partition discovery with a
+    closed day-range predicate, and aggregate per (day, address).
+
+    The certificate is two-sided: values hash-match the oracle's
+    straight-from-parquet aggregate (the partition column round-trips
+    losslessly through its directory-name encoding), and the range
+    predicate resolves against DIRECTORY names, never data files —
+    ``PartitionFilters`` in the scan, asserted by
+    tests/test_plans.py::test_partitioned_source_scan_prunes — which
+    is what makes a day-ranged query on a year of 100 TB ingest read
+    3 directories instead of 365."""
+    from rados_timestore_spark.queries_streaming import stream_workdir
+
+    pts = _points(spark, sf_dir).withColumn(
+        "day", F.expr(f"t div {_US_PER_DAY}")
+    )
+    work = stream_workdir(spark, "ts_src_part_")
+    path = f"{work}/pts"
+    pts.write.mode("overwrite").partitionBy("day").parquet(path)
+    back = spark.read.parquet(path).filter(
+        F.col("day").between(_DAY_LO, _DAY_HI)
+    )
+    return back.groupBy("day", "address").agg(
+        F.count("*").alias("n"),
+        F.sum("value").cast("long").alias("sum_value"),
+    ).select(
+        # partition-column discovery types day int32; the oracle's
+        # integer division is BIGINT — unify
+        F.col("day").cast("long").alias("day"),
+        "address", "n", "sum_value",
+    )

@@ -932,6 +932,62 @@ class TimeStore:
         meta.index = Index(meta.index.entries + ((boundary, buckets),))
         self._write_meta_cas(ns, meta)
 
+    def expire(self, ns: str, older_than_us: int) -> list[int]:
+        """TTL retention by EPOCH-PARTITION DROP: delete every epoch
+        whose covered time range lies entirely before
+        ``older_than_us``; returns the dropped epoch starts.
+
+        An epoch ``e_i`` covers ``[e_i, e_{i+1})`` (Index.hs: entries
+        are start-keyed, lookups stab the covering epoch), so it is
+        fully expired iff the NEXT boundary is <= the cutoff.  The
+        latest (open) epoch is never dropped.  Granularity is a whole
+        epoch: a partially-covered epoch is retained in full —
+        retention that rewrites files to split an epoch would be a
+        data-size job, while this is one directory delete per expired
+        (epoch x all buckets), i.e. metadata-rate work regardless of
+        data size — the property that makes TTL viable at 100 TB
+        (the same reason time-partitioned stores expire by dropping
+        chunks, not by DELETE).
+
+        The index keeps its expired entries: routing stays historical,
+        so a point re-ingested with a pre-cutoff timestamp lands back
+        in its original (recreated) epoch directory — append
+        semantics, documented resurrect-on-replay.  Reads of expired
+        ranges see no rows because the partition directories are gone
+        (the scan's ``PartitionFilters`` prune against the live
+        listing, never against the index).
+
+        Maintenance verbs (``expire``, ``compact``, ``gc``) are
+        scheduled serially by the operator, as with OPTIMIZE/VACUUM
+        elsewhere: an expire racing a compact can resurrect expired
+        rows from the pre-flip generation it read.
+        """
+        meta = self._read_meta(ns)
+        entries = sorted(e for e, _b in meta.index.entries)
+        expired = {
+            entries[i] for i in range(len(entries) - 1)
+            if entries[i + 1] <= older_than_us
+        }
+        pdir = self._points_dir(ns, meta)
+        dropped = []
+        if self.fs.is_dir(pdir):
+            for name in self.fs.list_dirs(pdir):
+                if not name.startswith("epoch="):
+                    continue
+                e = int(name[len("epoch="):])
+                if e in expired:
+                    self.fs.delete(f"{pdir}/{name}", recursive=True)
+                    dropped.append(e)
+            if dropped and not any(
+                n.startswith("epoch=") for n in self.fs.list_dirs(pdir)
+            ):
+                # all epochs expired: drop the husk (marker files only)
+                # so the read path's missing-dir branch serves the
+                # empty store — a file-less parquet dir fails schema
+                # inference; the next append recreates the layout
+                self.fs.delete(pdir, recursive=True)
+        return sorted(dropped)
+
     def compact(self, ns: str, target_partitions_per_bucket: int = 1,
                 sort_within: Sequence[str] | None = ("address", "time"),
                 dedup: bool = False,

@@ -116,6 +116,28 @@ def test_tpch_q1_pushes_shipdate_filter(spark):
     assert "l_comment" not in read, read
 
 
+def test_partitioned_source_scan_prunes(spark, tmp_path):
+    # src_partitioned_roundtrip's claim: a day-range predicate on a
+    # hive-partitioned dataset resolves against directory names
+    # (PartitionFilters), so a 3-day query on a year of ingest lists 3
+    # directories — it must never appear as a post-scan data filter.
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 10).alias("day")
+    )
+    path = str(tmp_path / "part")
+    df.write.partitionBy("day").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("day").between(2, 4))
+    plan = plan_str(back)
+    part = plan.split("PartitionFilters", 1)[1][:300]
+    assert "day" in part, part
+    # the predicate must be FULLY absorbed by pruning: no data-side
+    # filter on day (a pure partition predicate produces no
+    # PushedFilters line at all)
+    if "PushedFilters" in plan:
+        pushed = plan.split("PushedFilters", 1)[1][:200]
+        assert "day" not in pushed, pushed
+
+
 def test_no_cartesian_product_in_any_bench_plan(spark):
     # Every crossJoin in the repo broadcasts a bounded side
     # (BroadcastNestedLoopJoin); an unconstrained CartesianProduct in

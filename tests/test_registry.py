@@ -112,10 +112,12 @@ EXPECTED_WINDOW = {
 # one round") — any name added here is a standing debt that the next
 # round's rotation has to clear.
 # r8 rotation cleared the whole 24-query r7 backlog (all promoted to
-# p=60 for first driver evidence).  Empty = no query is waiting past
-# the window; any r8-new registration added here must name the round
-# that rotates it in.
-EXPECTED_CARVEOUT_BACKLOG: set[str] = set()
+# p=60 for first driver evidence).  The entries below are NEW in r8
+# (the window is full of never-checked promotions) and MUST be
+# rotated into the driver window in r9.
+EXPECTED_CARVEOUT_BACKLOG: set[str] = {
+    "ts_ttl_expire", "src_partitioned_roundtrip", "sim_rrf_fusion",
+}
 
 
 def test_carveout_backlog_is_rotated():

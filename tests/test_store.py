@@ -703,3 +703,73 @@ def test_compact_dedup_removes_cross_epoch_duplicates(spark, tmp_path):
     got = {(r.time, r.value)
            for r in store.read_simple("XE", 0, 10, [2]).collect()}
     assert got == {(1, 1), (2, 2), (3, 3)}  # originals won
+
+
+# ------------------------------------------------- TTL expire (r8)
+
+_DAY = 86_400_000_000
+
+
+def _ttl_store(spark, tmp_path, days=4, rows_per_day=3):
+    """Per-day epoch layout: rollover_bytes=1 cuts an epoch after
+    every day batch (watermark+1 boundary), so epoch i covers day i
+    exactly — the relational shape ts_ttl_expire relies on."""
+    from rados_timestore_spark.store import TimeStore
+
+    store = TimeStore(spark, str(tmp_path / "ttl_wh"), rollover_bytes=1)
+    store.register_namespace("T", buckets=4)
+    for d in range(days):
+        rows = [(2 * a, d * _DAY + 1000 * a, d * 100 + a)
+                for a in range(rows_per_day)]
+        df = spark.createDataFrame(
+            rows, "address long, time long, value long")
+        store.write_points("T", df)
+    return store
+
+
+def test_expire_drops_only_fully_covered_epochs(spark, tmp_path):
+    store = _ttl_store(spark, tmp_path)
+    # cutoff at day-2 start: day 0/1 epochs end before it (dropped);
+    # day 2's epoch starts before the cutoff but extends past it —
+    # PARTIAL, must be retained in full
+    dropped = store.expire("T", 2 * _DAY)
+    assert len(dropped) == 2
+    got = sorted(
+        (r.time // _DAY, r.address)
+        for r in store.read_simple("T", 0, 1 << 62, [0, 2, 4]).collect()
+    )
+    assert got == sorted((d, 2 * a) for d in (2, 3) for a in range(3))
+
+
+def test_expire_is_idempotent_and_preserves_index(spark, tmp_path):
+    store = _ttl_store(spark, tmp_path)
+    before = store.index("T").entries
+    assert store.expire("T", 2 * _DAY)
+    assert store.expire("T", 2 * _DAY) == []
+    # routing history is never rewritten (resurrect-on-replay contract)
+    assert store.index("T").entries == before
+
+
+def test_expire_never_drops_open_epoch(spark, tmp_path):
+    store = _ttl_store(spark, tmp_path)
+    store.expire("T", 1 << 62)
+    # every CLOSED epoch is gone, the open one has no successor
+    # boundary and survives; the store stays writable
+    assert store.read_simple("T", 0, 1 << 62, [0, 2, 4]).count() == 0
+    df = spark.createDataFrame(
+        [(0, 10 * _DAY, 7)], "address long, time long, value long")
+    store.write_points("T", df)
+    assert store.read_simple("T", 0, 1 << 62, [0]).count() == 1
+
+
+def test_expire_resurrects_on_replay(spark, tmp_path):
+    # append semantics: re-ingesting pre-cutoff data recreates the
+    # original epoch directory (the documented non-goal of a write
+    # fence — retention here is partition lifecycle, not an ACL)
+    store = _ttl_store(spark, tmp_path)
+    store.expire("T", 2 * _DAY)
+    df = spark.createDataFrame(
+        [(0, 0, 0), (2, 1000, 1)], "address long, time long, value long")
+    store.write_points("T", df)
+    got = store.read_simple("T", 0, _DAY - 1, [0, 2])
+    assert got.count() == 2
