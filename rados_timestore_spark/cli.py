@@ -80,6 +80,14 @@ def _parser() -> argparse.ArgumentParser:
     sub.add_parser("compact", help="rewrite live generation compacted")
     sub.add_parser("gc", help="delete stale compaction generations")
 
+    ex = sub.add_parser(
+        "expire",
+        help="drop every epoch fully older than the cutoff (TTL "
+             "retention by partition delete; the open epoch survives)")
+    ex.add_argument("--older-than-us", type=int, required=True,
+                    help="epoch-microsecond cutoff; an epoch is "
+                         "dropped iff its NEXT boundary is <= this")
+
     q = sub.add_parser(
         "query",
         help="run a registered analytics query (sketch_*, dedup_*, "
@@ -172,6 +180,8 @@ def main(argv: Sequence[str] | None = None,
         print("ok")
     elif args.cmd == "gc":
         print(json.dumps(store.gc(args.ns)))
+    elif args.cmd == "expire":
+        print(json.dumps(store.expire(args.ns, args.older_than_us)))
     return 0
 
 

@@ -109,3 +109,29 @@ def test_cli_query_runs_sketches_and_lists(spark, tmp_path, capsys):
     assert main([*base, "query", "--name", "nope"], spark=spark) == 1
     # store verbs without --root/--ns fail cleanly
     assert main(["latest"], spark=spark) == 1
+
+
+def test_cli_expire(spark, tmp_path, capsys):
+    root = str(tmp_path / "wh4")
+    base = ["--root", root, "--ns", "TTL"]
+    assert main([*base, "register", "--buckets", "4"], spark=spark) == 0
+    src = str(tmp_path / "ttl.parquet")
+    day = 86_400_000_000
+    spark.createDataFrame(
+        [(2, 10, 1), (2, day + 10, 2), (2, 2 * day + 10, 3)],
+        "address long, time long, value long",
+    ).write.parquet(src)
+    assert main([*base, "backfill", "--parquet", src], spark=spark) == 0
+    capsys.readouterr()
+    # cutoff at day 2: day-0 and day-1 epochs end before it
+    assert main(
+        [*base, "expire", "--older-than-us", str(2 * day)], spark=spark
+    ) == 0
+    dropped = json.loads(capsys.readouterr().out)
+    assert len(dropped) == 2
+    capsys.readouterr()
+    assert main([*base, "read", "--start", "0", "--end", str(3 * day),
+                 "--addresses", "2"], spark=spark) == 0
+    rows = [json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines()]
+    assert {(r["time"], r["value"]) for r in rows} == {(2 * day + 10, 3)}

@@ -138,6 +138,7 @@ _LIFECYCLE_OP = st.one_of(
     st.tuples(st.just("compact_dedup"), st.none()),
     st.tuples(st.just("gc"), st.none()),
     st.tuples(st.just("rescale"), st.integers(1, 16)),
+    st.tuples(st.just("expire"), st.integers(0, 60)),
     st.tuples(st.just("read"), st.none()),
 )
 
@@ -150,13 +151,17 @@ _LIFECYCLE_OP = st.one_of(
 def test_lifecycle_law(spark, tmp_path_factory, ops):
     """Stateful lifecycle law (FuzzyTests.hs round-trip at lifecycle
     level): under ANY interleaving of write_points / compact (plain or
-    dedup) / gc / rescale / read, a full-range read always sees
-    exactly the first-wins set of every point written so far — reads
-    are invariant to every maintenance operation, including bucket-
-    count changes mid-history.  Every example finishes with
-    compact -> gc -> read so the generation flip + stale-dir removal
-    is exercised even when Hypothesis draws no explicit maintenance
-    ops."""
+    dedup) / gc / rescale / expire / read, a full-range read always
+    sees exactly the first-wins set of every point written so far
+    MINUS the points in epochs dropped by expire — reads are invariant
+    to every other maintenance operation, including bucket-count
+    changes mid-history.  expire's model update derives the dropped
+    ranges from its return value against the (independently law-
+    tested) index boundaries; write_points routes by time, so a key
+    lives in exactly one epoch and the range subtraction is exact.
+    Every example finishes with compact -> gc -> read so the
+    generation flip + stale-dir removal is exercised even when
+    Hypothesis draws no explicit maintenance ops."""
     store = TimeStore(spark, str(tmp_path_factory.mktemp("lc")))
     store.register_namespace("NS", buckets=8)
     model = {}  # (addr, time) -> first-written value
@@ -186,6 +191,14 @@ def test_lifecycle_law(spark, tmp_path_factory, ops):
             store.gc("NS")
         elif op == "rescale":
             store.rescale("NS", arg)
+        elif op == "expire":
+            entries = sorted(e for e, _ in store.index("NS").entries)
+            dropped = store.expire("NS", arg)
+            nxt = {entries[i]: entries[i + 1]
+                   for i in range(len(entries) - 1)}
+            for e in dropped:
+                model = {(a, t): v for (a, t), v in model.items()
+                         if not (e <= t < nxt[e])}
         else:
             check_read()
 
