@@ -522,3 +522,107 @@ def trigram_cms_cells(df: DataFrame) -> DataFrame:
         .select(F.col("jp.j").alias("j"), F.col("jp.p").alias("p"))
         .groupBy("j", "p").agg(F.count("*").alias("c"))
     )
+
+
+# ---------------------------------------------- r8: quantile histogram
+
+#: Significant-bit precision of the log-bucketed quantile histogram:
+#: values are quantized to their top P+1 significant bits, so the
+#: relative bucket width (and the quantile estimate's one-sided
+#: relative error bound) is 2^-P = 1/16.
+_HDR_P = 4
+
+
+def hdr_lb(v: str = "v"):
+    """Bucket lower bound: ``v`` quantized to its top P+1 significant
+    bits (pure integer shift math — shared by the registered query and
+    the law tests so the two can't drift)."""
+    s = f"greatest(length(bin({v})) - 1 - {_HDR_P}, 0)"
+    return F.expr(
+        f"shiftleft(shiftright({v}, CAST({s} AS INT)), CAST({s} AS INT))"
+    )
+
+
+@register(
+    "sketch_hdr_quantiles",
+    oracle=f"""
+WITH iv AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM events),
+b AS (
+  SELECT event_type, v,
+         greatest(length(bin(v)) - 1 - {_HDR_P}, 0) AS s
+  FROM iv),
+h AS (
+  SELECT event_type, (v >> s) << s AS lb, count(*) AS c
+  FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, lb, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY lb) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM h)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN lb END)
+            AS BIGINT) AS p50_lb,
+       CAST(min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN lb END)
+            AS BIGINT) AS p90_lb,
+       CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN lb END)
+            AS BIGINT) AS p99_lb
+FROM cum GROUP BY event_type
+""",
+    tags=("sketch", "timeseries"),
+    priority=110,  # new r8 carve-out (window full of the rotated-in r7 batch); local-green; rotate in r9 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def sketch_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable log-bucketed quantile histogram (the HDR-histogram /
+    Prometheus-native-histogram model): each value is quantized to its
+    top P+1 = 5 significant bits (integer shift math on exact
+    DECIMAL-derived centi-units — no float log2 anywhere), per-series
+    bucket counts are ONE bounded hash aggregate, and pXX estimates
+    are the smallest bucket lower bound whose cumulative count reaches
+    ceil(q*n).  Unlike the exact rank rule (ts_quantiles: a per-series
+    sort), bucket counts merge ASSOCIATIVELY — across partitions,
+    days, or cluster tiers — which is what makes p99 dashboards
+    maintainable over 100 TB of history: state is <= ~16 buckets per
+    octave per series forever, and the one-sided relative error is
+    bounded by 2^-P = 1/16 (law-tested against the exact quantile in
+    tests/test_sketch.py).  Estimates are bucket LOWER bounds in
+    centi-units."""
+    ev = load_parallel(spark, sf_dir, "events", "event_id")
+    iv = ev.select(
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .alias("v"),
+    )
+    h = (
+        iv.select("event_type", hdr_lb("v").alias("lb"))
+        .groupBy("event_type", "lb")
+        .agg(F.count("*").alias("c"))
+    )
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy("event_type").orderBy("lb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = h.select(
+        "event_type", "lb", "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+
+    def _q(pct: int):
+        thresh = F.expr(f"(n * {pct} + 99) div 100")
+        return F.min(
+            F.when(F.col("cum") >= thresh, F.col("lb"))
+        ).cast("long").alias(f"p{pct}_lb")
+
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_buckets"),
+        _q(50), _q(90), _q(99),
+    ).select("event_type", "n", "n_buckets", "p50_lb", "p90_lb", "p99_lb")

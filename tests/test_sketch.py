@@ -4,6 +4,8 @@ bound, and streamed-sketch == batch-sketch equality."""
 
 import os
 
+from pyspark.sql import functions as F
+
 from tests.conftest import SF_DIR
 
 
@@ -111,3 +113,63 @@ def test_streaming_hll_checkpoint_recovery(spark, tmp_path):
     run_once()  # restart: recovers state from ck, folds half_b in
     final = _rows(spark.read.parquet(out))
     assert final == _rows(trigram_hll_registers(docs))
+
+
+# ------------------------------------------- HDR quantile histogram (r8)
+
+
+def test_hdr_quantile_estimate_brackets_exact(spark):
+    # The pXX estimate is the lower bound of the bucket holding the
+    # exact ceil-rank quantile: lb <= exact < lb + bucket_width, with
+    # relative width 2^-P = 1/16.  lb(v) is monotone in v, so the
+    # k-th smallest value lies in exactly the bucket the cumulative
+    # rule selects — the bracket is a theorem, this pins the code to it.
+    from rados_timestore_spark.queries_sketch import _HDR_P, hdr_lb
+    from rados_timestore_spark.registry import queries
+
+    sf = "/root/testdata/sf0.001"
+    out = {r.event_type: r for r in
+           queries()["sketch_hdr_quantiles"](spark, sf).collect()}
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_type",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .alias("v"),
+    )
+    rows = ev.collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r.v)
+    assert set(by_type) == set(out)
+    for et, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        for pct in (50, 90, 99):
+            k = (n * pct + 99) // 100
+            exact = vals[k - 1]
+            lb = getattr(out[et], f"p{pct}_lb")
+            e = exact.bit_length() - 1
+            width = 1 << max(e - _HDR_P, 0)
+            assert lb <= exact < lb + width, (et, pct, lb, exact, width)
+
+
+def test_hdr_histogram_is_mergeable(spark):
+    # Bucket counts are associative: histogram(A) + histogram(B) ==
+    # histogram(A union B) — the property that lets per-day/per-tier
+    # sketches roll up without touching raw data.
+    from rados_timestore_spark.queries_sketch import hdr_lb
+
+    df = spark.range(1, 2001).select(
+        (F.col("id") * 37 % 5000 + 1).alias("v"))
+    a = df.filter(F.col("v") % 2 == 0)
+    b = df.filter(F.col("v") % 2 == 1)
+
+    def hist(d):
+        return {
+            r.lb: r.c
+            for r in d.select(hdr_lb("v").alias("lb"))
+            .groupBy("lb").agg(F.count("*").alias("c")).collect()
+        }
+
+    ha, hb, hu = hist(a), hist(b), hist(df)
+    merged = {k: ha.get(k, 0) + hb.get(k, 0) for k in set(ha) | set(hb)}
+    assert merged == hu
