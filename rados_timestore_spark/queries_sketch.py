@@ -592,16 +592,31 @@ def sketch_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_sketch.py).  Estimates are bucket LOWER bounds in
     centi-units."""
     ev = load_parallel(spark, sf_dir, "events", "event_id")
-    iv = ev.select(
+    return _hdr_quantiles(hdr_histogram(ev))
+
+
+def hdr_histogram(events: DataFrame) -> DataFrame:
+    """(event_type, lb) -> additive bucket counts over an events-like
+    frame with a double ``value`` column; identical on batch and
+    streaming frames (counts merge associatively across
+    micro-batches)."""
+    iv = events.select(
         "event_type",
         F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
         .alias("v"),
     )
-    h = (
+    return (
         iv.select("event_type", hdr_lb("v").alias("lb"))
         .groupBy("event_type", "lb")
         .agg(F.count("*").alias("c"))
     )
+
+
+def _hdr_quantiles(h: DataFrame) -> DataFrame:
+    """Quantile extraction over a (event_type, lb, c) histogram — the
+    batch-side read path shared by the batch query and the streaming
+    twin (the cumulative window is not streamable; the HISTOGRAM is
+    the maintained state, this is the dashboard read)."""
     from pyspark.sql import Window
 
     wcum = (
@@ -626,3 +641,89 @@ def sketch_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_buckets"),
         _q(50), _q(90), _q(99),
     ).select("event_type", "n", "n_buckets", "p50_lb", "p90_lb", "p99_lb")
+
+
+@register(
+    "streaming_hdr_quantiles",
+    oracle=f"""
+WITH iv AS (
+  SELECT event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM events),
+b AS (
+  SELECT event_type, v,
+         greatest(length(bin(v)) - 1 - {_HDR_P}, 0) AS s
+  FROM iv),
+h AS (
+  SELECT event_type, (v >> s) << s AS lb, count(*) AS c
+  FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, lb, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY lb) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM h)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN lb END)
+            AS BIGINT) AS p50_lb,
+       CAST(min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN lb END)
+            AS BIGINT) AS p90_lb,
+       CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN lb END)
+            AS BIGINT) AS p99_lb
+FROM cum GROUP BY event_type
+""",
+    tags=("sketch", "streaming"),
+    priority=110,  # new r8 carve-out (window full of the rotated-in r7 batch); local-green; rotate in r9 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def streaming_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HDR quantile histogram maintained INCREMENTALLY by a real
+    Structured Streaming job — the quantile twin of
+    :func:`streaming_cms_cells`: two micro-batches of events fold into
+    the running per-(series, bucket) counts (complete-mode streaming
+    aggregation, bounded state: <= ~16 buckets per octave per series).
+    Bucket counts are additive, so the streamed histogram is IDENTICAL
+    to the batch histogram over the union, and the batch-side quantile
+    read (:func:`_hdr_quantiles` — the cumulative walk a dashboard
+    runs, not streamable and not state) yields the same p50/p90/p99 as
+    :func:`sketch_hdr_quantiles` — latency dashboards stay
+    incrementally maintainable at 100 TB.  Same staging contract as
+    the HLL/CMS twins (stream_workdir: shared-path staging on a
+    cluster)."""
+    from rados_timestore_spark.queries_common import load
+    from rados_timestore_spark.queries_streaming import (
+        _await, _few_state_partitions, stream_workdir,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    work = stream_workdir(spark, "ts_stream_hdr_")
+    src = f"{work}/src"
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1) \
+        .write.parquet(src)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    name = f"hdr_hist_sink_{next(_HLL_SINK_IDS)}"
+    try:
+        with _few_state_partitions(spark):
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1).parquet(src)
+            )
+            q = (
+                hdr_histogram(stream)
+                .writeStream.format("memory").queryName(name)
+                .outputMode("complete").trigger(availableNow=True).start()
+            )
+            _await(q)
+        hist = spark.table(name).select("event_type", "lb", "c")
+        pdf = hist.toPandas()
+        spark.catalog.dropTempView(name)
+        return _hdr_quantiles(
+            spark.createDataFrame(pdf, schema=hist.schema)
+        )
+    finally:
+        from rados_timestore_spark.queries_streaming import _rm_work
+
+        _rm_work(spark, work)

@@ -117,7 +117,7 @@ EXPECTED_WINDOW = {
 # rotated into the driver window in r9.
 EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "ts_ttl_expire", "src_partitioned_roundtrip", "sim_rrf_fusion",
-    "sketch_hdr_quantiles",
+    "sketch_hdr_quantiles", "streaming_hdr_quantiles",
 }
 
 

@@ -988,3 +988,62 @@ def test_stream_workdir_under_shared_root(spark, tmp_path):
         assert any(name.startswith("ts_stream_dd_") for name in staged)
     finally:
         spark.conf.unset("spark.rados_timestore.stream_dir")
+
+
+def test_streaming_hdr_checkpoint_recovery(spark, tmp_path):
+    # The per-(series, bucket) histogram is a complete-mode streaming
+    # agg; a restart must resume from the checkpointed counts so the
+    # final histogram equals the batch histogram over BOTH phases'
+    # events (counts are additive — a lost batch undercounts, a
+    # replayed one overcounts; equality pins exactly-once recovery).
+    from rados_timestore_spark.queries_sketch import hdr_histogram
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .select("event_id", "event_type", "value")
+    schema = ev.schema
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    import glob
+    import os
+    import shutil
+    import time as _t
+
+    os.makedirs(src)
+
+    def deliver(i, df):
+        tmp = str(tmp_path / f"w{i}")
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dest = f"{src}/b{i}.parquet"
+        shutil.move(part, dest)
+        os.utime(dest, (_t.time() + i, _t.time() + i))
+
+    out = str(tmp_path / "out")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+
+        def sink(df, bid):
+            df.write.mode("overwrite").parquet(out)
+
+        q = (
+            hdr_histogram(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(300)
+
+    deliver(0, ev.filter(F.col("event_id") % 2 == 0))
+    run_once()
+    deliver(1, ev.filter(F.col("event_id") % 2 == 1))
+    run_once()
+
+    streamed = {(r.event_type, r.lb): r.c
+                for r in spark.read.parquet(out).collect()}
+    batch = {(r.event_type, r.lb): r.c
+             for r in hdr_histogram(ev).collect()}
+    assert streamed == batch
