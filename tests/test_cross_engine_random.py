@@ -11,13 +11,18 @@ fixture-independent evidence that the oracle equivalences are laws,
 not coincidences.
 """
 
+import os
 import random
+import sys
 
 import duckdb
 import pandas as pd
 import pytest
 
 from rados_timestore_spark import registry
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+from check_correctness import normalize as _kind_normalize  # noqa: E402
 
 #: Cheap, corpus-shaped queries worth fuzzing (single scan / small
 #: agg; no minutes-long ANN or streaming rigs).
@@ -40,6 +45,11 @@ EVENT_QUERIES = [
     "ts_funnel", "ts_cohort_retention", "ts_anomaly_zscore",
     "ts_gapfill_locf", "ts_time_weighted_avg", "ts_delta_encode",
     "ts_topk_per_series", "ts_sessionize", "ts_value_percentiles",
+    # r8 additions: quantile histogram (random value distribution
+    # probes bucket boundaries), partitioned round-trip (random day
+    # spread), TTL expiry (random per-day epoch populations)
+    "sketch_hdr_quantiles", "src_partitioned_roundtrip",
+    "ts_ttl_expire",
 ]
 #: Embedding-driven queries: random float32 vectors probe the
 #: float-determinism choreography (sequential-fold cosine, SQ8
@@ -47,6 +57,8 @@ EVENT_QUERIES = [
 EMB_QUERIES = [
     "sim_topk_bruteforce", "sim_sq8_ann", "sim_sq8_recall",
     "sim_label_centroids",
+    # docs + embeddings: fusion join across both random tables
+    "sim_rrf_fusion",
 ]
 
 WORDS = ("the a of and to in is on for data spark query time "
@@ -111,21 +123,11 @@ def _rand_events(rng, n):
     return df
 
 
+# dtype-kind-preserving normalize shared with the merge gate — the
+# old float-widening local copy would mask exactly the HUGEINT->float
+# class the r7 driver caught (VERDICT r7 "What's wrong" #2)
 def _normalize(df):
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].map(
-                lambda v: v.hex() if isinstance(v, (bytes, bytearray))
-                else v
-            )
-        if str(df[c].dtype) in ("Int64", "Int32"):
-            df[c] = df[c].astype("float64")
-        if str(df[c].dtype).startswith("int"):
-            df[c] = df[c].astype("int64")
-        if str(df[c].dtype) == "float32":
-            df[c] = df[c].astype("float64")
-    return df.sort_values(list(df.columns), ignore_index=True)
+    return _kind_normalize(df)
 
 
 TABLES = (
@@ -182,9 +184,10 @@ def corpus(request, spark, tmp_path_factory):
 def test_cross_engine_on_random_corpus(corpus, spark, name):
     root, con = corpus
     qs, oracles = registry.queries(), registry.oracle_sql()
-    got = _normalize(qs[name](spark, root).toPandas())
-    want = _normalize(con.execute(oracles[name]).fetchdf())
+    got, gk = _normalize(qs[name](spark, root).toPandas())
+    want, wk = _normalize(con.execute(oracles[name]).fetchdf())
     assert list(got.columns) == list(want.columns), name
+    assert gk == wk, (name, gk, wk)  # int-vs-float kind = driver hash miss
     assert len(got) == len(want), name
     pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                   check_exact=True)
