@@ -1229,3 +1229,85 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("label").alias("component"), "comp_size",
                 F.col("n").alias("n_unconverged"))
     )
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+WITH {_FUZZY_PAIRS_SQL},
+e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+deg AS (SELECT u, count(*) AS d FROM e GROUP BY u),
+o AS (
+  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND p.doc_a < p.doc_b)
+              THEN p.doc_a ELSE p.doc_b END AS u,
+         CASE WHEN da.d < db.d OR (da.d = db.d AND p.doc_a < p.doc_b)
+              THEN p.doc_b ELSE p.doc_a END AS v
+  FROM pairs p JOIN deg da ON da.u = p.doc_a
+               JOIN deg db ON db.u = p.doc_b),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM o e1 JOIN o e2 ON e2.u = e1.v
+            JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v),
+nodes AS (
+  SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri)
+SELECT n AS doc_id, CAST(count(*) AS BIGINT) AS triangles
+FROM nodes GROUP BY n
+""",
+    tags=("dedup", "graph"),
+    priority=110,  # new r8 carve-out (window full of the rotated-in r7 batch); local-green; rotate in r9 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the fuzzy-match similarity graph
+    (the clustering-coefficient numerator — the local-density signal
+    behind community detection and near-dup cluster QA, completing
+    the graph family next to PageRank and CC).
+
+    Scale shape: the degree-ordered ORIENTATION (orient each edge
+    from its lower-(degree, id) endpoint — the compact-forward /
+    node-iterator-ordered algorithm, Schank & Wagner 2005) bounds
+    every node's out-degree by O(sqrt(m)), so the wedge join
+    ``o(u,v) x o(v,w)`` enumerates each triangle exactly once and the
+    candidate wedge count is O(m^1.5) worst-case instead of the
+    naive sum of deg^2 — the standard distributed triangle bound.
+    Two equi-joins + one hash aggregate; integers end to end."""
+    edges = dedup_fuzzy_prefix(spark, sf_dir).select("doc_a", "doc_b")
+    e = edges.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    deg = e.groupBy("u").agg(F.count("*").alias("d"))
+    da = deg.select(F.col("u").alias("doc_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("doc_b"), F.col("d").alias("db"))
+    fwd = (
+        edges.join(da, "doc_a").join(db, "doc_b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db"))
+                   & (F.col("doc_a") < F.col("doc_b"))),
+                F.col("doc_a"),
+            ).otherwise(F.col("doc_b")).alias("u"),
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db"))
+                   & (F.col("doc_a") < F.col("doc_b"))),
+                F.col("doc_b"),
+            ).otherwise(F.col("doc_a")).alias("v"),
+        )
+        .transform(pin)  # feeds the wedge join AND the closing join
+    )
+    e1 = fwd.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = fwd.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = fwd.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    nodes = (
+        tri.select(F.col("a").alias("n"))
+        .unionByName(tri.select(F.col("b").alias("n")))
+        .unionByName(tri.select(F.col("c").alias("n")))
+    )
+    return nodes.groupBy(F.col("n").alias("doc_id")).agg(
+        F.count("*").cast("long").alias("triangles")
+    )

@@ -75,3 +75,43 @@ def test_salted_candidates_hot_bucket_is_lossless(spark, monkeypatch):
         .count()
     )
     assert salted.agg(F.max("count")).collect()[0][0] <= 2 * 8
+
+
+def test_triangle_orientation_counts_each_triangle_once(spark):
+    # Known graph: K4 on {1,2,3,4} (4 triangles, each node in 3) plus
+    # a pendant edge (5-1: no triangles) plus a disjoint triangle
+    # {6,7,8}.  The degree-ordered orientation must enumerate each
+    # triangle exactly once regardless of degree ties (K4 is all-ties,
+    # exercising the id tiebreak).
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    edges = (
+        list(itertools.combinations([1, 2, 3, 4], 2))
+        + [(1, 5)]
+        + list(itertools.combinations([6, 7, 8], 2))
+    )
+    ep = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    e = ep.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")) \
+        .unionByName(ep.select(F.col("doc_b").alias("u"),
+                               F.col("doc_a").alias("v")))
+    deg = e.groupBy("u").agg(F.count("*").alias("d"))
+    da = deg.select(F.col("u").alias("doc_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("doc_b"), F.col("d").alias("db"))
+    lower = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("doc_a") < F.col("doc_b")))
+    fwd = ep.join(da, "doc_a").join(db, "doc_b").select(
+        F.when(lower, F.col("doc_a")).otherwise(F.col("doc_b")).alias("u"),
+        F.when(lower, F.col("doc_b")).otherwise(F.col("doc_a")).alias("v"),
+    )
+    e1 = fwd.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = fwd.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = fwd.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    triangles = sorted(tuple(sorted((r.a, r.b, r.c)))
+                       for r in tri.collect())
+    assert triangles == sorted(
+        [t for t in itertools.combinations([1, 2, 3, 4], 3)]
+        + [(6, 7, 8)]
+    )
