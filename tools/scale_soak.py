@@ -213,6 +213,13 @@ SOAK_R8_QUERIES = (
     "src_orc_roundtrip",
     "sim_sq8_recall",
     "sim_ivfsq8_recall",
+    # late-r8 additions
+    "ts_ttl_expire",
+    "src_partitioned_roundtrip",
+    "sim_rrf_fusion",
+    "sketch_hdr_quantiles",
+    "streaming_hdr_quantiles",
+    "graph_triangle_count",
 )
 
 
