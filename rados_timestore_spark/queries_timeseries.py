@@ -1174,3 +1174,52 @@ def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", (F.col("h") * F.lit(3_600_000_000)).alias("hour_us"),
                 "n", "v_min", "v_max", "v_first", "v_last")
     )
+
+
+@register(
+    "ts_rollup_cascade",
+    oracle=f"""{_EV_CTE}
+SELECT t // 86400000000 AS day, event_type, count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       min(t) AS first_t, max(t) AS last_t
+FROM ev GROUP BY 1, 2
+""",
+    tags=("timeseries", "agg"),
+    priority=110,  # new r8 carve-out (window full of the rotated-in r7 batch); local-green; rotate in r9 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def ts_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup REUSE: the daily aggregate is computed FROM
+    the hourly continuous aggregate (ts_rollup_hourly's shape), never
+    from raw — counts add, exact DECIMAL sums add, min/max compose —
+    while the oracle computes the day aggregate straight from raw.
+    The hash match IS the associativity law that makes materialized
+    rollup cascades (1m -> 1h -> 1d, the TimescaleDB continuous-
+    aggregate / lambda-architecture pattern) sound: at 100 TB the day
+    tier reads 24 hourly rows per series instead of re-scanning a day
+    of raw events.  The intermediate keeps the DECIMAL sum exact and
+    only the FINAL tier casts to double, so the cascade is
+    bit-identical to the direct aggregate regardless of shuffle
+    order."""
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.withColumn("hour", F.expr("t div 3600000000"))
+        .groupBy("hour", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+            F.min("t").alias("first_t"),
+            F.max("t").alias("last_t"),
+        )
+    )
+    return (
+        hourly.withColumn("day", F.expr("hour div 24"))
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sv").cast("double").alias("sum_value"),
+            F.min("first_t").alias("first_t"),
+            F.max("last_t").alias("last_t"),
+        )
+        .select("day", "event_type", "n", "sum_value", "first_t",
+                "last_t")
+    )
