@@ -2212,3 +2212,120 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("vr"), F.lit(0)).cast("long").alias("vec_rank"),
     )
     return fused.orderBy(F.desc("rrf"), "doc_id").limit(10)
+
+
+# --------------------------------------- r8: diversity selection (MMR)
+
+#: MMR trade-off weight: score = LAMBDA*relevance - (1-LAMBDA)*max
+#: similarity to the already-selected set (Carbonell & Goldstein 1998).
+_MMR_LAMBDA = 0.7
+
+
+def _mmr_cos_sql(a: str, b: str) -> str:
+    # parenthesized: * and / share precedence and left-associate, so
+    # an unwrapped "0.3 * dot / na / nb" would round as
+    # ((0.3*dot)/na)/nb — one ulp off Spark's 0.3*(dot/na/nb)
+    # (caught by the seed-47 fuzz corpus)
+    return (f"({_dot_sql(a, b)} / {_norm_sql(a)} / {_norm_sql(b)})")
+
+
+@register(
+    "sim_mmr_select",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+c AS (
+  SELECT vec_id, embedding,
+         {_mmr_cos_sql("embedding", "qe")} AS rel
+  FROM embeddings, q WHERE vec_id <> 0),
+s1 AS (SELECT vec_id, embedding, rel,
+              0.7::DOUBLE * rel - 0.3::DOUBLE * 0.0::DOUBLE AS score
+       FROM c ORDER BY rel DESC, vec_id LIMIT 1),
+c2 AS (
+  SELECT c.vec_id, c.embedding, c.rel,
+         0.7::DOUBLE * c.rel - 0.3::DOUBLE *
+           {_mmr_cos_sql("c.embedding", "s1.embedding")} AS score
+  FROM c, s1 WHERE c.vec_id <> s1.vec_id),
+s2 AS (SELECT vec_id, embedding, rel, score
+       FROM c2 ORDER BY score DESC, vec_id LIMIT 1),
+c3 AS (
+  SELECT c.vec_id, c.rel,
+         0.7::DOUBLE * c.rel - 0.3::DOUBLE * greatest(
+           {_mmr_cos_sql("c.embedding", "s1.embedding")},
+           {_mmr_cos_sql("c.embedding", "s2.embedding")}) AS score
+  FROM c, s1, s2 WHERE c.vec_id NOT IN (s1.vec_id, s2.vec_id)),
+s3 AS (SELECT vec_id, rel, score
+       FROM c3 ORDER BY score DESC, vec_id LIMIT 1)
+SELECT 1 AS rank, vec_id, rel, score FROM s1
+UNION ALL SELECT 2, vec_id, rel, score FROM s2
+UNION ALL SELECT 3, vec_id, rel, score FROM s3
+""",
+    tags=("similarity", "curation"),
+    priority=110,  # new r8 carve-out (window full of the rotated-in r7 batch); local-green; rotate in r9 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def sim_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy diversity selection by Maximal Marginal Relevance
+    (Carbonell & Goldstein 1998) — the dataset-curation /
+    retrieval-rerank step that trades relevance against redundancy:
+    pick argmax ``0.7*rel - 0.3*max_sim_to_selected`` three times.
+
+    Determinism: every cosine is the bit-identical sequential fold
+    (sim_topk_bruteforce's kernel), the score is a fixed
+    mul-mul-subtract, the max over the selected set is a 2-element
+    comparison identical to SQL ``greatest``, and every argmax breaks
+    ties by vec_id — so the unrolled 3-step oracle reproduces the
+    greedy trajectory exactly.
+
+    Scale: each round is ONE scan of the candidate scores against a
+    BROADCAST selected set (|S| rows of k x DIM floats) plus a
+    1-row TakeOrdered — the selected set, not the corpus, is the
+    driver state, exactly like the k-means trainers.  k rounds = k
+    scans; production MMR over a 100 TB corpus runs the same loop on
+    a pre-filtered top-N candidate pool."""
+    emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"))
+    cand = pin(
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "embedding",
+                _cos_seq(F.col("embedding"), F.col("qe")).alias("rel"))
+    )
+    # literal 0.3, NOT 1.0 - 0.7 (= 0.30000000000000004 in IEEE —
+    # the oracle's 0.3::DOUBLE would differ in the last bits)
+    lam, lam1 = _MMR_LAMBDA, 0.3
+    sel: list[int] = []
+    out_rows = []
+    for rank in (1, 2, 3):
+        if not sel:
+            picked = cand.select(
+                "vec_id", "rel",
+                (F.lit(lam) * F.col("rel")
+                 - F.lit(lam1) * F.lit(0.0)).alias("score"),
+            )
+        else:
+            selemb = emb.filter(F.col("vec_id").isin(sel)).select(
+                F.col("embedding").alias("se"))
+            maxsim = (
+                cand.crossJoin(F.broadcast(selemb))
+                .select("vec_id",
+                        _cos_seq(F.col("embedding"),
+                                 F.col("se")).alias("sim"))
+                .groupBy("vec_id")
+                .agg(F.max("sim").alias("maxsim"))
+            )
+            picked = (
+                cand.join(maxsim, "vec_id")
+                .filter(~F.col("vec_id").isin(sel))
+                .select(
+                    "vec_id", "rel",
+                    (F.lit(lam) * F.col("rel")
+                     - F.lit(lam1) * F.col("maxsim")).alias("score"),
+                )
+            )
+        top = picked.orderBy(F.desc("score"), "vec_id").limit(1) \
+            .collect()[0]
+        out_rows.append((rank, top.vec_id, float(top.rel),
+                         float(top.score)))
+        sel.append(top.vec_id)
+    return spark.createDataFrame(
+        out_rows, "rank long, vec_id long, rel double, score double")
