@@ -330,6 +330,9 @@ def decode_image_real(payload: bytes) -> dict:
 #: mm_decode_ppm geometry: width/height derived from the byte length so
 #: the oracle can reproduce the raster without parsing any binary.
 _PPM_W_MOD, _PPM_H_MOD = 31, 17
+#: upper bound on w*h (constant generate_series bound — DuckDB's
+#: table function rejects lateral column parameters)
+_PPM_MAX_PIX = _PPM_W_MOD * (_PPM_H_MOD + 1) - 1
 
 
 @register(
@@ -1111,4 +1114,127 @@ def mm_jpeg_header(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, width int, height int, components int, "
         "precision int, progressive boolean, n_segments int, "
         "com_md5 string",
+    )
+
+
+# ------------------------------------------- r8: perceptual image hash
+
+#: aHash grid: 4x4 cells -> 16-bit hash (the classic average-hash
+#: geometry shrunk to the synthetic rasters' size; production uses 8x8
+#: over 64px thumbnails — same math, bigger constants).
+_AHASH_G = 4
+
+
+@register(
+    "mm_image_ahash",
+    oracle=f"""
+WITH g0 AS (
+  SELECT doc_id,
+         CASE WHEN octet_length(encode(text)) = 0 THEN ' '
+              ELSE text END AS text,
+         GREATEST(octet_length(encode(text)), 1) AS n
+  FROM documents),
+g AS (
+  SELECT doc_id, text, n,
+         n % {_PPM_W_MOD} + 1 AS w,
+         n % {_PPM_H_MOD} + 2 AS h
+  FROM g0),
+p AS (
+  SELECT doc_id, w, h,
+         substr(repeat(text, ((w * h * 3 + n - 1) // n)::INT),
+                1, w * h * 3) AS pix
+  FROM g),
+px AS (
+  SELECT doc_id, w, h,
+         ascii(substr(pix, 3 * i + 1, 1))
+           + ascii(substr(pix, 3 * i + 2, 1))
+           + ascii(substr(pix, 3 * i + 3, 1)) AS lum,
+         ((i % w) * {_AHASH_G}) // w AS gx,
+         ((i // w) * {_AHASH_G}) // h AS gy
+  FROM p, generate_series(0, {_PPM_MAX_PIX}) s(i)
+  WHERE i < w * h),
+cells AS (
+  SELECT doc_id, w, h, gx, gy,
+         CAST(sum(lum) AS BIGINT) AS cs, count(*) AS cn
+  FROM px GROUP BY 1, 2, 3, 4, 5),
+tot AS (
+  SELECT doc_id, CAST(sum(cs) AS BIGINT) AS gs,
+         CAST(sum(cn) AS BIGINT) AS gn
+  FROM cells GROUP BY 1),
+bits AS (
+  SELECT c.doc_id, c.w, c.h,
+         CASE WHEN c.cs * t.gn >= t.gs * c.cn THEN 1 ELSE 0 END
+           * (1::BIGINT << (c.gy * {_AHASH_G} + c.gx)) AS bv
+  FROM cells c JOIN tot t USING (doc_id))
+SELECT doc_id, CAST(max(w) AS BIGINT) AS width,
+       CAST(max(h) AS BIGINT) AS height,
+       CAST(sum(bv) AS BIGINT) AS ahash
+FROM bits GROUP BY doc_id
+""",
+    tags=("multimodal", "dedup"),
+    priority=110,  # new r8 carve-out (window full of the rotated-in r7 batch); local-green; rotate in r9 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash over REAL image decode — the image-side
+    near-dup primitive (two images whose aHashes sit within a small
+    Hamming distance are visual duplicates; banding then follows
+    dedup_simhash's blocking exactly).  Each synthesized P6 payload is
+    parsed from its actual bytes (header tokens + raster slice — the
+    same parser mm_decode_ppm drives), the raster is reduced to a
+    {_AHASH_G}x{_AHASH_G} luminance grid with floor-mapped cells, and
+    bit (gy,gx) is set iff the cell's mean luminance >= the global
+    mean — compared as exact integer cross-products (cs*gn >= gs*cn),
+    so no float ever appears and the oracle reproduces the hash from
+    the generation formulas alone.  Scale shape: executor-local Arrow
+    batches through ``mapInPandas``, one small output row per image,
+    no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
+    n0 = F.octet_length("text")
+    n = F.greatest(n0, F.lit(1))
+    src = F.when(n0 == 0, F.lit(" ")).otherwise(F.col("text"))
+    sized = docs.select(
+        "doc_id", src.alias("text"), n.alias("n"),
+        (n % _PPM_W_MOD + 1).alias("w"),
+        (n % _PPM_H_MOD + 2).alias("h"),
+    )
+    pix = F.expr("substring(repeat(text, CAST((w * h * 3 + n - 1) "
+                 "DIV n AS INT)), 1, w * h * 3)")
+    payload = F.encode(
+        F.concat(
+            F.lit("P6\n"), F.col("w").cast("string"), F.lit(" "),
+            F.col("h").cast("string"), F.lit("\n255\n"), pix,
+        ),
+        "UTF-8",
+    )
+    p = sized.select("doc_id", payload.alias("payload"))
+    G = _AHASH_G
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(blob)
+                (w, h, maxval), off = _pnm_header_tokens(b, 3)
+                raster = np.frombuffer(
+                    b, dtype=np.uint8, count=w * h * 3, offset=off
+                ).astype(np.int64)
+                lum = raster.reshape(h, w, 3).sum(axis=2)
+                ys, xs = np.indices((h, w))
+                cell = (ys * G) // h * G + (xs * G) // w
+                cs = np.bincount(cell.ravel(), weights=lum.ravel(),
+                                 minlength=G * G).astype(np.int64)
+                cn = np.bincount(cell.ravel(), minlength=G * G) \
+                    .astype(np.int64)
+                gs, gn = int(cs.sum()), int(cn.sum())
+                bits = (cs * gn >= gs * cn) & (cn > 0)
+                ahash = int(sum(1 << k for k in np.nonzero(bits)[0]))
+                out.append((int(doc_id), w, h, ahash))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "ahash"])
+
+    return p.mapInPandas(
+        kernel, "doc_id long, width long, height long, ahash long"
     )
