@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rados_timestore_spark.queries_common import load, load_parallel
+from rados_timestore_spark.queries_common import load, load_parallel, pin
 from rados_timestore_spark.registry import register
 
 #: Fixed fake "frame" size for the frame-sampling plumbing.
@@ -1125,10 +1125,11 @@ def mm_jpeg_header(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AHASH_G = 4
 
 
-@register(
-    "mm_image_ahash",
-    oracle=f"""
-WITH g0 AS (
+def _ahash_cte_sql(g: int) -> str:
+    """Oracle CTE chain computing (doc_id, w, h, ahash) at grid
+    ``g``x``g`` from the generation formulas — shared by
+    mm_image_ahash (g=4) and mm_ahash_neardup_pairs (g=7)."""
+    return f"""g0 AS (
   SELECT doc_id,
          CASE WHEN octet_length(encode(text)) = 0 THEN ' '
               ELSE text END AS text,
@@ -1149,8 +1150,8 @@ px AS (
          ascii(substr(pix, 3 * i + 1, 1))
            + ascii(substr(pix, 3 * i + 2, 1))
            + ascii(substr(pix, 3 * i + 3, 1)) AS lum,
-         ((i % w) * {_AHASH_G}) // w AS gx,
-         ((i // w) * {_AHASH_G}) // h AS gy
+         ((i % w) * {g}) // w AS gx,
+         ((i // w) * {g}) // h AS gy
   FROM p, generate_series(0, {_PPM_MAX_PIX}) s(i)
   WHERE i < w * h),
 cells AS (
@@ -1164,12 +1165,20 @@ tot AS (
 bits AS (
   SELECT c.doc_id, c.w, c.h,
          CASE WHEN c.cs * t.gn >= t.gs * c.cn THEN 1 ELSE 0 END
-           * (1::BIGINT << (c.gy * {_AHASH_G} + c.gx)) AS bv
-  FROM cells c JOIN tot t USING (doc_id))
-SELECT doc_id, CAST(max(w) AS BIGINT) AS width,
-       CAST(max(h) AS BIGINT) AS height,
-       CAST(sum(bv) AS BIGINT) AS ahash
-FROM bits GROUP BY doc_id
+           * (1::BIGINT << (c.gy * {g} + c.gx)) AS bv
+  FROM cells c JOIN tot t USING (doc_id)),
+hashes AS (
+  SELECT doc_id, CAST(max(w) AS BIGINT) AS width,
+         CAST(max(h) AS BIGINT) AS height,
+         CAST(sum(bv) AS BIGINT) AS ahash
+  FROM bits GROUP BY doc_id)"""
+
+
+@register(
+    "mm_image_ahash",
+    oracle=f"""
+WITH {_ahash_cte_sql(_AHASH_G)}
+SELECT doc_id, width, height, ahash FROM hashes
 """,
     tags=("multimodal", "dedup"),
     priority=110,  # new r8 carve-out (window full of the rotated-in r7 batch); local-green; rotate in r9 — pinned by EXPECTED_CARVEOUT_BACKLOG
@@ -1188,6 +1197,12 @@ def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the generation formulas alone.  Scale shape: executor-local Arrow
     batches through ``mapInPandas``, one small output row per image,
     no shuffle."""
+    return _ahash_df(spark, sf_dir, _AHASH_G)
+
+
+def _ahash_df(spark: SparkSession, sf_dir: str, g: int) -> DataFrame:
+    """(doc_id, width, height, ahash) at grid ``g``x``g`` via the real
+    P6 parse — the Spark twin of :func:`_ahash_cte_sql`."""
     import numpy as np
     import pandas as pd
 
@@ -1210,7 +1225,7 @@ def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "UTF-8",
     )
     p = sized.select("doc_id", payload.alias("payload"))
-    G = _AHASH_G
+    G = g
 
     def kernel(batches):
         for pdf in batches:
@@ -1237,4 +1252,82 @@ def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return p.mapInPandas(
         kernel, "doc_id long, width long, height long, ahash long"
+    )
+
+
+#: Banded-Hamming geometry for image near-dup pairs: 7x7 grid ->
+#: 49-bit hash, 7 bands of 7 bits; hd <= _AHASH_MAX_HD pairs survive.
+#: Pigeonhole: two hashes within Hamming distance 6 must agree on at
+#: least one of 7 bands, so the band equi-join loses nothing.
+_AHASH_PAIR_G = 7
+_AHASH_BANDS = 7
+_AHASH_MAX_HD = 6
+
+
+@register(
+    "mm_ahash_neardup_pairs",
+    oracle=f"""
+WITH {_ahash_cte_sql(_AHASH_PAIR_G)},
+banded AS (
+  SELECT doc_id, ahash, b,
+         (ahash >> (b * {_AHASH_BANDS})) & 127 AS bandval
+  FROM hashes, generate_series(0, {_AHASH_BANDS - 1}) s(b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.ahash AS ha, b.ahash AS hb
+  FROM banded a JOIN banded b
+    ON a.b = b.b AND a.bandval = b.bandval
+   AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hd
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= {_AHASH_MAX_HD}
+""",
+    tags=("multimodal", "dedup"),
+    priority=110,  # new r8 carve-out (window full of the rotated-in r7 batch); local-green; rotate in r9 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def mm_ahash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate pairs by banded Hamming blocking over the
+    perceptual hash — dedup_simhash_pairs' architecture applied to the
+    image modality: a 7x7 (49-bit) average-hash per image, split into
+    7 bands of 7 bits; candidate pairs share at least one exact band
+    (pigeonhole: hd <= 6 over 49 bits guarantees an agreeing band, so
+    blocking is LOSSLESS for the threshold), then the exact Hamming
+    distance verifies.  Never all-pairs: the join is a band-value
+    equi-join whose bucket sizes the 128-value band domain bounds.
+    One decode scan + one bounded self-join — the image twin of the
+    text near-dup plan, proving the dedup architecture is
+    modality-generic."""
+    hashes = _ahash_df(spark, sf_dir, _AHASH_PAIR_G).select(
+        "doc_id", "ahash").transform(pin)
+    bands = hashes.select(
+        "doc_id", "ahash",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(_AHASH_BANDS)])
+        ).alias("b"),
+    ).select(
+        "doc_id", "ahash", "b",
+        F.expr(f"shiftright(ahash, CAST(b * {_AHASH_BANDS} AS INT)) "
+               f"& 127").alias("bandval"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.bandval") == F.col("b.bandval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.ahash").alias("ha"),
+            F.col("b.ahash").alias("hb"),
+        )
+        .distinct()
+    )
+    hd = F.bit_count(F.expr("ha ^ hb"))
+    return (
+        cand.filter(hd <= _AHASH_MAX_HD)
+        .select("doc_a", "doc_b", hd.cast("long").alias("hd"))
     )

@@ -37,7 +37,7 @@ DOC_QUERIES = [
     # mm codecs: their char-vs-byte oracle precondition needs a pure
     # ASCII corpus, which _rand_docs guarantees by construction
     "mm_jpeg_header", "mm_wav_meta", "mm_decode_png",
-    "mm_image_ahash",
+    "mm_image_ahash", "mm_ahash_neardup_pairs",
     "graph_triangle_count",
 ]
 EVENT_QUERIES = [

@@ -119,7 +119,7 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "ts_ttl_expire", "src_partitioned_roundtrip", "sim_rrf_fusion",
     "sketch_hdr_quantiles", "streaming_hdr_quantiles",
     "graph_triangle_count", "ts_rollup_cascade", "sim_mmr_select",
-    "mm_image_ahash",
+    "mm_image_ahash", "mm_ahash_neardup_pairs",
 }
 
 
