@@ -201,3 +201,32 @@ def test_mutable_kv_under_object_semantics(spark, tmp_path):
     got = {(r.key, bytes(r.value)) for r in kv.enumerate().collect()}
     assert got == {(7, b"gamma"), (9, b"beta")}
     assert store.fs.renames > 0
+
+
+def test_full_maintenance_lifecycle_under_object_semantics(spark, tmp_path):
+    # Every maintenance verb — rollover, expire (TTL partition drop),
+    # rescale, dedup compaction, gc — through the copy-then-delete
+    # rename semantics, with reads law-checked at each step.  This is
+    # the operational loop a real object-store deployment runs.
+    store = TimeStore(spark, str(tmp_path / "objlife"),
+                      rollover_bytes=1, fs_class=ObjectStoreFS)
+    store.register_namespace("L", buckets=4)
+    day = 100
+    for d in range(4):
+        _write(store, "L", [(2, d * day + i, d * 10 + i)
+                            for i in range(3)])
+    assert _vals(store, "L") == sorted(
+        (2, d * day + i, d * 10 + i) for d in range(4) for i in range(3))
+    # TTL: drop everything before day 2 (days 0 and 1 are whole epochs)
+    dropped = store.expire("L", 2 * day)
+    assert len(dropped) == 2
+    want = sorted(
+        (2, d * day + i, d * 10 + i) for d in (2, 3) for i in range(3))
+    assert _vals(store, "L") == want
+    # forward rescale + replayed duplicate + dedup compaction + gc
+    store.rescale("L", 8)
+    _write(store, "L", [(2, 2 * day, 999)])  # first-wins loser
+    store.compact("L", dedup=True)
+    store.gc("L")
+    assert _vals(store, "L") == want  # original (2, 200, 20) won
+    assert store.fs.renames > 0

@@ -220,6 +220,10 @@ SOAK_R8_QUERIES = (
     "sketch_hdr_quantiles",
     "streaming_hdr_quantiles",
     "graph_triangle_count",
+    "ts_rollup_cascade",
+    "sim_mmr_select",
+    "mm_image_ahash",
+    "mm_ahash_neardup_pairs",
 )
 
 
