@@ -2239,7 +2239,7 @@ c AS (
   FROM embeddings, q WHERE vec_id <> 0),
 s1 AS (SELECT vec_id, embedding, rel,
               0.7::DOUBLE * rel - 0.3::DOUBLE * 0.0::DOUBLE AS score
-       FROM c ORDER BY rel DESC, vec_id LIMIT 1),
+       FROM c ORDER BY score DESC, vec_id LIMIT 1),
 c2 AS (
   SELECT c.vec_id, c.embedding, c.rel,
          0.7::DOUBLE * c.rel - 0.3::DOUBLE *

@@ -536,16 +536,27 @@ _HDR_P = 4
 def hdr_lb(v: str = "v"):
     """Bucket lower bound: ``v`` quantized to its top P+1 significant
     bits (pure integer shift math — shared by the registered query and
-    the law tests so the two can't drift)."""
+    the law tests so the two can't drift).
+
+    PRECONDITION: ``v >= 0``.  bin() of a negative BIGINT is the
+    64-char two's complement in both engines, so s becomes 59 and the
+    engines DIVERGE (DuckDB raises on the negative left-shift, Spark
+    wraps) — guard loudly on the Spark side so a signed metric fails
+    the job instead of hashing garbage (r8 review finding).  Signed
+    metrics need an offset or a sign-split histogram first."""
+    v = (f"IF({v} >= 0, {v}, "
+         f"raise_error('hdr_lb: negative value — the log-bucketed "
+         f"histogram requires nonnegative input'))")
     s = f"greatest(length(bin({v})) - 1 - {_HDR_P}, 0)"
     return F.expr(
         f"shiftleft(shiftright({v}, CAST({s} AS INT)), CAST({s} AS INT))"
     )
 
 
-@register(
-    "sketch_hdr_quantiles",
-    oracle=f"""
+#: Shared oracle for the batch query and its streaming twin — the
+#: batch==streaming histogram equivalence is the law, so the SQL must
+#: be literally one definition (r8 review finding).
+_HDR_ORACLE_SQL = f"""
 WITH iv AS (
   SELECT event_type,
          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
@@ -572,7 +583,12 @@ SELECT event_type,
        CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN lb END)
             AS BIGINT) AS p99_lb
 FROM cum GROUP BY event_type
-""",
+"""
+
+
+@register(
+    "sketch_hdr_quantiles",
+    oracle=_HDR_ORACLE_SQL,
     tags=("sketch", "timeseries"),
     priority=110,  # new r8 carve-out (window full of the rotated-in r7 batch); local-green; rotate in r9 — pinned by EXPECTED_CARVEOUT_BACKLOG
 )
@@ -645,34 +661,7 @@ def _hdr_quantiles(h: DataFrame) -> DataFrame:
 
 @register(
     "streaming_hdr_quantiles",
-    oracle=f"""
-WITH iv AS (
-  SELECT event_type,
-         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
-  FROM events),
-b AS (
-  SELECT event_type, v,
-         greatest(length(bin(v)) - 1 - {_HDR_P}, 0) AS s
-  FROM iv),
-h AS (
-  SELECT event_type, (v >> s) << s AS lb, count(*) AS c
-  FROM b GROUP BY 1, 2),
-cum AS (
-  SELECT event_type, lb, c,
-         sum(c) OVER (PARTITION BY event_type ORDER BY lb) AS cum,
-         sum(c) OVER (PARTITION BY event_type) AS n
-  FROM h)
-SELECT event_type,
-       CAST(max(n) AS BIGINT) AS n,
-       CAST(count(*) AS BIGINT) AS n_buckets,
-       CAST(min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN lb END)
-            AS BIGINT) AS p50_lb,
-       CAST(min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN lb END)
-            AS BIGINT) AS p90_lb,
-       CAST(min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN lb END)
-            AS BIGINT) AS p99_lb
-FROM cum GROUP BY event_type
-""",
+    oracle=_HDR_ORACLE_SQL,
     tags=("sketch", "streaming"),
     priority=110,  # new r8 carve-out (window full of the rotated-in r7 batch); local-green; rotate in r9 — pinned by EXPECTED_CARVEOUT_BACKLOG
 )

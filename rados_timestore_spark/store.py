@@ -82,6 +82,7 @@ class _Meta:
     seq_base: int = 0                   # next ingest-sequence block
     points_version: int = 0             # compaction generation
     txn: int = 0                        # writer fencing counter (CAS)
+    expire_gen: int = 0                 # TTL-expiry generation (r8)
 
     def to_json(self) -> dict:
         return {
@@ -91,6 +92,7 @@ class _Meta:
             "seq_base": self.seq_base,
             "points_version": self.points_version,
             "txn": self.txn,
+            "expire_gen": self.expire_gen,
         }
 
     @classmethod
@@ -102,6 +104,7 @@ class _Meta:
             seq_base=int(d.get("seq_base", 0)),
             points_version=int(d.get("points_version", 0)),
             txn=int(d.get("txn", 0)),
+            expire_gen=int(d.get("expire_gen", 0)),
         )
 
 
@@ -438,6 +441,14 @@ class TimeStore:
                 if fresh.index.entries != meta.index.entries:
                     # Placement was routed under a stale index — a flip
                     # merge would strand rows behind the new epoch cut.
+                    raise
+                if fresh.expire_gen != meta.expire_gen:
+                    # An expire ran between our file write and this
+                    # flip: our just-committed files may be among the
+                    # dropped partitions, so a merge-fold would record
+                    # watermarks for vanished data.  Refuse — the
+                    # caller re-runs the batch, rewriting the files
+                    # (r8 review finding).
                     raise
                 meta = fresh  # re-fold our maxima into the fresh doc
 
@@ -961,31 +972,53 @@ class TimeStore:
         scheduled serially by the operator, as with OPTIMIZE/VACUUM
         elsewhere: an expire racing a compact can resurrect expired
         rows from the pre-flip generation it read.
+
+        CONCURRENT-INGEST fence (r8 review finding): a writer
+        replaying pre-cutoff data (resurrect-on-replay is a documented
+        write path) could have its just-committed files deleted here
+        between ITS file write and ITS meta flip — a loss the txn CAS
+        alone cannot see, because expire changes no field the fold
+        touches.  So expire runs under the flip lock, re-reads the
+        meta inside it, and (when anything was dropped) bumps
+        ``expire_gen`` alongside ``txn``: the racing writer's CAS then
+        fails, and its retry path REFUSES to merge-fold across an
+        expire_gen change (write_points' retry loop) so the caller
+        re-runs the batch, rewriting the files.
         """
-        meta = self._read_meta(ns)
-        entries = sorted(e for e, _b in meta.index.entries)
-        expired = {
-            entries[i] for i in range(len(entries) - 1)
-            if entries[i + 1] <= older_than_us
-        }
-        pdir = self._points_dir(ns, meta)
-        dropped = []
-        if self.fs.is_dir(pdir):
-            for name in self.fs.list_dirs(pdir):
-                if not name.startswith("epoch="):
-                    continue
-                e = int(name[len("epoch="):])
-                if e in expired:
-                    self.fs.delete(f"{pdir}/{name}", recursive=True)
-                    dropped.append(e)
-            if dropped and not any(
-                n.startswith("epoch=") for n in self.fs.list_dirs(pdir)
-            ):
-                # all epochs expired: drop the husk (marker files only)
-                # so the read path's missing-dir branch serves the
-                # empty store — a file-less parquet dir fails schema
-                # inference; the next append recreates the layout
-                self.fs.delete(pdir, recursive=True)
+        with self._flip_lock(ns):
+            meta = self._read_meta(ns)
+            entries = sorted(e for e, _b in meta.index.entries)
+            expired = {
+                entries[i] for i in range(len(entries) - 1)
+                if entries[i + 1] <= older_than_us
+            }
+            pdir = self._points_dir(ns, meta)
+            dropped = []
+            if self.fs.is_dir(pdir):
+                for name in self.fs.list_dirs(pdir):
+                    if not name.startswith("epoch="):
+                        continue
+                    e = int(name[len("epoch="):])
+                    if e in expired:
+                        self.fs.delete(f"{pdir}/{name}", recursive=True)
+                        dropped.append(e)
+                if dropped and not any(
+                    n.startswith("epoch=")
+                    for n in self.fs.list_dirs(pdir)
+                ):
+                    # all epochs expired: drop the husk (marker files
+                    # only) so the read path's missing-dir branch
+                    # serves the empty store — a file-less parquet dir
+                    # fails schema inference; the next append
+                    # recreates the layout
+                    self.fs.delete(pdir, recursive=True)
+            if dropped:
+                # CAS body inline — we hold the flip lock and read the
+                # doc inside it, so the re-check is already satisfied
+                # (_write_meta_cas would deadlock re-acquiring).
+                meta.txn += 1
+                meta.expire_gen += 1
+                self._write_meta(ns, meta)
         return sorted(dropped)
 
     def compact(self, ns: str, target_partitions_per_bucket: int = 1,

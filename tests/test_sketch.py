@@ -127,7 +127,7 @@ def test_hdr_quantile_estimate_brackets_exact(spark):
     from rados_timestore_spark.queries_sketch import _HDR_P, hdr_lb
     from rados_timestore_spark.registry import queries
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF_DIR
     out = {r.event_type: r for r in
            queries()["sketch_hdr_quantiles"](spark, sf).collect()}
     ev = spark.read.parquet(f"{sf}/events.parquet").select(
@@ -173,3 +173,19 @@ def test_hdr_histogram_is_mergeable(spark):
     ha, hb, hu = hist(a), hist(b), hist(df)
     merged = {k: ha.get(k, 0) + hb.get(k, 0) for k in set(ha) | set(hb)}
     assert merged == hu
+
+
+def test_hdr_negative_value_fails_loudly(spark):
+    # Signed input breaks the two's-complement bin() bucket math in
+    # DIFFERENT ways per engine (DuckDB raises, Spark would wrap) —
+    # the Spark side must fail the job, not hash garbage.
+    import pytest
+    from pyspark.sql import functions as F2
+
+    from rados_timestore_spark.queries_sketch import hdr_lb
+
+    df = spark.createDataFrame([(7,), (-5,)], "v long")
+    with pytest.raises(Exception, match="negative"):
+        df.select(hdr_lb("v").alias("lb")).collect()
+    ok = spark.createDataFrame([(7,), (5,)], "v long")
+    assert ok.select(hdr_lb("v").alias("lb")).count() == 2

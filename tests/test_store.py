@@ -773,3 +773,50 @@ def test_expire_resurrects_on_replay(spark, tmp_path):
     store.write_points("T", df)
     got = store.read_simple("T", 0, _DAY - 1, [0, 2])
     assert got.count() == 2
+
+
+def test_expire_interleaved_with_write_refuses_merge(spark, tmp_path):
+    # r8 review finding: a writer whose files land before an expire's
+    # partition delete must NOT merge-fold its meta flip across the
+    # expire — its data may be among the dropped files, so the retry
+    # path refuses and the caller re-runs the whole batch.  Simulate
+    # the interleave by running expire inside the writer's first CAS
+    # attempt (monkeypatched), exactly the window the fence guards.
+    from rados_timestore_spark.store import ConcurrentWriterError
+
+    store = _ttl_store(spark, tmp_path)
+    real_cas = store._write_meta_cas
+    fired = {"n": 0}
+
+    def cas_with_interleaved_expire(ns, meta):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            store.expire(ns, 2 * _DAY)  # bumps txn + expire_gen
+        return real_cas(ns, meta)
+
+    store._write_meta_cas = cas_with_interleaved_expire
+    df = spark.createDataFrame(
+        [(0, 10 * _DAY, 1)], "address long, time long, value long")
+    try:
+        import pytest
+
+        with pytest.raises(ConcurrentWriterError):
+            store.write_points("T", df, retries=5)
+    finally:
+        store._write_meta_cas = real_cas
+    # sanity: without an interleaved expire the same retried write works
+    store.write_points("T", df, retries=5)
+    assert store.read_simple(
+        "T", 10 * _DAY, 10 * _DAY, [0]).count() == 1
+
+
+def test_expire_bumps_fencing_counters_only_when_dropping(spark, tmp_path):
+    store = _ttl_store(spark, tmp_path)
+    before = store._read_meta("T")
+    assert store.expire("T", 0) == []  # nothing expired
+    mid = store._read_meta("T")
+    assert (mid.txn, mid.expire_gen) == (before.txn, before.expire_gen)
+    assert store.expire("T", 2 * _DAY)
+    after = store._read_meta("T")
+    assert after.txn == mid.txn + 1
+    assert after.expire_gen == mid.expire_gen + 1

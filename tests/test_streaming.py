@@ -14,6 +14,27 @@ from rados_timestore_spark.store import TimeStore
 from rados_timestore_spark.streaming.ingest import stream_points
 
 
+def _deliver_file(tmp_path, src, i, df):
+    """Land ``df`` as the i-th single-file micro-batch under ``src``
+    with a strictly increasing mtime.  The file source orders batches
+    by MODIFICATION TIME, so the utime bump is load-bearing — it is
+    what makes multi-batch delivery deterministic and chronological
+    (one shared implementation; the copies it replaced could drift,
+    r8 review finding)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    tmp = str(tmp_path / f"w{i}")
+    df.coalesce(1).write.parquet(tmp)
+    part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+    dest = f"{src}/b{i}.parquet"
+    _shutil.move(part, dest)
+    _os.utime(dest, (_time.time() + i, _time.time() + i))
+
+
+
 def test_streaming_ingest_matches_batch(spark, tmp_path):
     # Source: the sf0.001 events as a rate-limited file stream —
     # split into several parquet files so multiple micro-batches fire.
@@ -176,13 +197,8 @@ def test_stream_rollup_multibatch_chronological(spark, tmp_path):
         import glob
         import shutil
 
-        tmp = str(tmp_path / f"w{i}")
-        pts.filter(F.col("day") == day).drop("day").coalesce(1) \
-            .write.parquet(tmp)
-        part = glob.glob(f"{tmp}/part-*.parquet")[0]
-        dest = f"{src}/b{i}.parquet"
-        shutil.move(part, dest)
-        os.utime(dest, (now + i, now + i))
+        _deliver_file(tmp_path, src, i,
+                      pts.filter(F.col("day") == day).drop("day"))
     used = pts.filter(F.col("day").isin([int(d) for d in days])).drop("day")
 
     stream = (
@@ -588,12 +604,8 @@ def test_stream_asof_checkpoint_recovery(spark, tmp_path):
     os.makedirs(src)
 
     def deliver(i, rows):
-        tmp = str(tmp_path / f"w{i}")
-        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(tmp)
-        part = glob.glob(f"{tmp}/part-*.parquet")[0]
-        dest = f"{src}/b{i}.parquet"
-        shutil.move(part, dest)
-        os.utime(dest, (_t.time() + i, _t.time() + i))
+        _deliver_file(tmp_path, src, i,
+                      spark.createDataFrame(rows, schema))
 
     out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
 
@@ -644,12 +656,8 @@ def _deliver_files(spark, tmp_path, src, schema, batches):
     os.makedirs(src, exist_ok=True)
     base = len(glob.glob(f"{src}/b*.parquet"))
     for i, rows in enumerate(batches, start=base):
-        tmp = str(tmp_path / f"w{i}")
-        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(tmp)
-        part = glob.glob(f"{tmp}/part-*.parquet")[0]
-        dest = f"{src}/b{i}.parquet"
-        shutil.move(part, dest)
-        os.utime(dest, (_t.time() + i, _t.time() + i))
+        _deliver_file(tmp_path, src, i,
+                      spark.createDataFrame(rows, schema))
 
 
 def test_stream_latest_per_key_checkpoint_recovery(spark, tmp_path):
@@ -778,12 +786,7 @@ def test_streaming_hll_checkpoint_recovery(spark, tmp_path):
     os.makedirs(src)
 
     def deliver(i, df):
-        tmp = str(tmp_path / f"w{i}")
-        df.coalesce(1).write.parquet(tmp)
-        part = glob.glob(f"{tmp}/part-*.parquet")[0]
-        dest = f"{src}/b{i}.parquet"
-        shutil.move(part, dest)
-        os.utime(dest, (_t.time() + i, _t.time() + i))
+        _deliver_file(tmp_path, src, i, df)
 
     out = str(tmp_path / "out")
 
@@ -838,12 +841,7 @@ def test_streaming_cms_checkpoint_recovery(spark, tmp_path):
     os.makedirs(src)
 
     def deliver(i, df):
-        tmp = str(tmp_path / f"w{i}")
-        df.coalesce(1).write.parquet(tmp)
-        part = glob.glob(f"{tmp}/part-*.parquet")[0]
-        dest = f"{src}/b{i}.parquet"
-        shutil.move(part, dest)
-        os.utime(dest, (_t.time() + i, _t.time() + i))
+        _deliver_file(tmp_path, src, i, df)
 
     out = str(tmp_path / "out")
 
@@ -907,12 +905,7 @@ def test_stream_sliding_counts_checkpoint_recovery(spark, tmp_path):
     now = _t.time()
 
     def deliver(i, df):
-        tmp = str(tmp_path / f"w{i}")
-        df.coalesce(1).write.parquet(tmp)
-        part = glob.glob(f"{tmp}/part-*.parquet")[0]
-        dest = f"{src}/b{i}.parquet"
-        shutil.move(part, dest)
-        os.utime(dest, (now + i, now + i))
+        _deliver_file(tmp_path, src, i, df)
 
     def run_once():
         stream = (
@@ -1010,12 +1003,7 @@ def test_streaming_hdr_checkpoint_recovery(spark, tmp_path):
     os.makedirs(src)
 
     def deliver(i, df):
-        tmp = str(tmp_path / f"w{i}")
-        df.coalesce(1).write.parquet(tmp)
-        part = glob.glob(f"{tmp}/part-*.parquet")[0]
-        dest = f"{src}/b{i}.parquet"
-        shutil.move(part, dest)
-        os.utime(dest, (_t.time() + i, _t.time() + i))
+        _deliver_file(tmp_path, src, i, df)
 
     out = str(tmp_path / "out")
 
