@@ -1223,3 +1223,112 @@ def ts_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "event_type", "n", "sum_value", "first_t",
                 "last_t")
     )
+
+
+@register(
+    "ts_gapfill_interpolate",
+    oracle=f"""{_EV_CTE},
+hourly AS (
+  SELECT user_id, h, v, n FROM (
+    SELECT user_id, t // 3600000000 AS h,
+           CAST(value AS DECIMAL(12,2)) AS v,
+           row_number() OVER (PARTITION BY user_id, t // 3600000000
+                              ORDER BY t DESC, event_id DESC) AS rn,
+           count(*) OVER (PARTITION BY user_id, t // 3600000000) AS n
+    FROM ev) WHERE rn = 1),
+spans AS (
+  SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+grid AS (
+  SELECT s.user_id, g.h
+  FROM spans s, unnest(generate_series(s.h0, s.h1)) AS g(h)),
+joined AS (
+  SELECT g.user_id, g.h, hv.v, coalesce(hv.n, 0) AS n
+  FROM grid g LEFT JOIN hourly hv
+    ON hv.user_id = g.user_id AND hv.h = g.h),
+nb AS (
+  SELECT user_id, h, v, n,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+         first_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+  FROM joined)
+SELECT user_id, h * 3600000000 AS hour_us, n,
+       CAST(n = 0 AS INT) AS interpolated,
+       CASE WHEN n > 0 THEN CAST(v AS DOUBLE)
+            ELSE (CAST(pv AS DOUBLE)
+                  + ((CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+                     * (CAST(h - ph AS DOUBLE)
+                        / CAST(nh - ph AS DOUBLE))))
+       END AS value_out
+FROM nb
+""",
+    tags=("timeseries",),
+    priority=110,  # new r8 carve-out (window full of the rotated-in r7 batch); local-green; rotate in r9 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap fill by LINEAR INTERPOLATION — the ``interpolate()`` sibling
+    of :func:`ts_gapfill_locf` (TimescaleDB's other gapfill mode):
+    missing hours get ``pv + (nv - pv) * (h - ph)/(nh - ph)`` from the
+    nearest observed neighbors on each side.  Span endpoints are
+    observed by construction (the grid runs first..last ACTIVE hour),
+    so every gap is interior and both neighbors always exist — the
+    formula is total, no NULL doubles reach the hash.  Float
+    determinism: every operand is cast to DOUBLE explicitly and the
+    expression is FULLY parenthesized — * and / share precedence and
+    left-associate, so an unparenthesized chain would round
+    differently per engine (the sim_mmr_select lesson); with identical
+    trees both engines produce identical bits.
+
+    Scale: same shape as locf — one (user, hour) hash aggregate, span
+    explode, and per-user windows (two directions); no global sort."""
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.groupBy("user_id", F.expr("t div 3600000000").alias("h"))
+        .agg(
+            F.max_by(
+                F.col("value").cast("decimal(12,2)"),
+                F.struct("t", "event_id"),
+            ).alias("v"),
+            F.count("*").alias("n"),
+        )
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = spans.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("h"))
+    joined = grid.join(hourly, ["user_id", "h"], "left").select(
+        "user_id", "h", "v", F.coalesce("n", F.lit(0)).alias("n"))
+    from pyspark.sql import Window
+
+    wp = (Window.partitionBy("user_id").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wf = (Window.partitionBy("user_id").orderBy("h")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    nb = joined.select(
+        "user_id", "h", "v", "n",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_h, ignorenulls=True).over(wp).alias("ph"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_h, ignorenulls=True).over(wf).alias("nh"),
+    )
+    interp = F.expr(
+        "CAST(pv AS DOUBLE) + ((CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))"
+        " * (CAST(h - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE)))"
+    )
+    return nb.select(
+        "user_id",
+        (F.col("h") * 3_600_000_000).alias("hour_us"),
+        "n",
+        (F.col("n") == 0).cast("int").alias("interpolated"),
+        F.when(F.col("n") > 0, F.col("v").cast("double"))
+        .otherwise(interp).alias("value_out"),
+    )

@@ -51,7 +51,7 @@ EVENT_QUERIES = [
     # probes bucket boundaries), partitioned round-trip (random day
     # spread), TTL expiry (random per-day epoch populations)
     "sketch_hdr_quantiles", "src_partitioned_roundtrip",
-    "ts_ttl_expire", "ts_rollup_cascade",
+    "ts_ttl_expire", "ts_rollup_cascade", "ts_gapfill_interpolate",
 ]
 #: Embedding-driven queries: random float32 vectors probe the
 #: float-determinism choreography (sequential-fold cosine, SQ8
