@@ -716,3 +716,103 @@ def streaming_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         from rados_timestore_spark.queries_streaming import _rm_work
 
         _rm_work(spark, work)
+
+
+@register(
+    "sketch_hll_daily_users",
+    oracle=f"""
+WITH ux AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+         ('0x' || substr(md5('u' || user_id), 1, 15))::BIGINT AS h
+  FROM events),
+reg AS (
+  SELECT day, h & {_HLL_M - 1} AS bucket,
+         max(CASE WHEN (h >> {_HLL_P}) = 0 THEN {_HLL_RHO0}
+                  ELSE {_HLL_RHO0}
+                       - length(format('{{:b}}', h >> {_HLL_P}))
+             END) AS rho
+  FROM ux GROUP BY day, bucket),
+allreg AS (
+  SELECT -1 AS day, bucket, max(rho) AS rho FROM reg GROUP BY bucket),
+merged AS (SELECT * FROM reg UNION ALL SELECT * FROM allreg),
+s AS (
+  SELECT day,
+         CAST(sum(1::BIGINT << ({_HLL_SCALE_POW} - rho)) AS BIGINT)
+           + ({_HLL_M} - count(*))
+             * (1::BIGINT << {_HLL_SCALE_POW}) AS s_scaled,
+         count(*) AS n_registers
+  FROM merged GROUP BY day),
+ex AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         count(DISTINCT user_id) AS n_exact
+  FROM events GROUP BY 1
+  UNION ALL
+  SELECT -1, count(DISTINCT user_id) FROM events)
+SELECT ex.day, ex.n_exact, s.n_registers, s.s_scaled,
+       {_HLL_EST_SQL} AS n_hll
+FROM ex JOIN s ON s.day = ex.day
+""",
+    tags=("sketch", "timeseries", "streaming"),
+    priority=110,  # new r8 carve-out (window full of the rotated-in r7 batch); local-green; rotate in r9 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def sketch_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users PER DAY by HyperLogLog, next to the exact count —
+    the daily-active-users dashboard at sketch cost — plus an ALL row
+    (day = -1) whose registers are RE-MERGED FROM THE DAY REGISTERS,
+    never from raw data: the in-query mergeability certificate (max is
+    associative per bucket, so day sketches roll up to month/all-time tiers
+    exactly like ts_rollup_cascade's sums).  At 100 TB this replaces a
+    per-day distinct shuffle with one map-side-combined aggregate of
+    256 longs per day, and historical tiers merge without rescanning.
+    Hashing is the repo's md5 60-bit rule, bit-identical cross-engine."""
+    from rados_timestore_spark.queries_common import event_us
+
+    ev = load_parallel(spark, sf_dir, "events", "event_id")
+    day = (event_us(ev) / F.lit(86_400_000_000)).cast("long")
+    ux = ev.select(
+        day.alias("day"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("u"),
+                               F.col("user_id").cast("string"))),
+                1, 15),
+            16, 10,
+        ).cast("long").alias("h"),
+    ).distinct()
+    suffix = F.shiftrightunsigned("h", _HLL_P)
+    rho = F.when(suffix == 0, _HLL_RHO0).otherwise(
+        _HLL_RHO0 - F.length(F.bin(suffix))
+    )
+    reg = (
+        ux.select("day",
+                  F.col("h").bitwiseAND(_HLL_M - 1).alias("bucket"),
+                  rho.alias("rho"))
+        .groupBy("day", "bucket").agg(F.max("rho").alias("rho"))
+        .transform(pin)  # feeds the per-day AND the re-merged ALL tier
+    )
+    allreg = reg.groupBy("bucket").agg(F.max("rho").alias("rho")) \
+        .select(F.lit(-1).cast("long").alias("day"), "bucket", "rho")
+    merged = reg.unionByName(allreg)
+    s = merged.groupBy("day").agg(
+        (
+            F.sum(F.expr(
+                f"shiftleft(1L, CAST({_HLL_SCALE_POW} - rho AS INT))"))
+            + (_HLL_M - F.count("*"))
+            * F.lit(1 << _HLL_SCALE_POW).cast("long")
+        ).cast("long").alias("s_scaled"),
+        F.count("*").alias("n_registers"),
+    )
+    ex = ev.select(day.alias("day"), "user_id").groupBy("day").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    ).unionByName(
+        ev.select(F.lit(-1).cast("long").alias("day"), "user_id")
+        .groupBy("day").agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    est = (
+        F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(_HLL_M)))
+        * F.lit(float(_HLL_M * _HLL_M))
+        * F.lit(float(1 << _HLL_SCALE_POW))
+        / F.col("s_scaled").cast("double")
+    )
+    return ex.join(s, "day").select(
+        "day", "n_exact", "n_registers", "s_scaled", est.alias("n_hll"))

@@ -120,7 +120,7 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "sketch_hdr_quantiles", "streaming_hdr_quantiles",
     "graph_triangle_count", "ts_rollup_cascade", "sim_mmr_select",
     "mm_image_ahash", "mm_ahash_neardup_pairs",
-    "ts_gapfill_interpolate",
+    "ts_gapfill_interpolate", "sketch_hll_daily_users",
 }
 
 
