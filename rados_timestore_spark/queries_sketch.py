@@ -816,3 +816,125 @@ def sketch_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ex.join(s, "day").select(
         "day", "n_exact", "n_registers", "s_scaled", est.alias("n_hll"))
+
+
+#: KMV set-operation sketch size and the time split for the two sets.
+_KMV_SET_K = 128
+_T_JAN16_US = 1_705_363_200_000_000  # 2024-01-16 00:00:00 UTC
+_USER_HASH_SQL = "('0x' || substr(md5('u' || user_id), 1, 15))::BIGINT"
+_POW60 = "1152921504606846976.0"  # 2^60 as a double literal
+
+
+@register(
+    "sketch_kmv_set_ops",
+    oracle=f"""
+WITH ua AS (SELECT DISTINCT {_USER_HASH_SQL} AS h FROM events
+            WHERE epoch_us(ts) < {_T_JAN16_US}),
+ub AS (SELECT DISTINCT {_USER_HASH_SQL} AS h FROM events
+       WHERE epoch_us(ts) >= {_T_JAN16_US}),
+ka AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                      FROM ua) WHERE rn <= {_KMV_SET_K}),
+kb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                      FROM ub) WHERE rn <= {_KMV_SET_K}),
+un AS (SELECT h FROM ua UNION SELECT h FROM ub),
+ku AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                      FROM un) WHERE rn <= {_KMV_SET_K}),
+kth AS (SELECT max(h) AS hk, count(*) AS k FROM ku),
+common AS (
+  SELECT count(*) AS c
+  FROM ku WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+exact AS (
+  SELECT (SELECT count(*) FROM ua) AS na,
+         (SELECT count(*) FROM ub) AS nb,
+         (SELECT count(*) FROM un) AS nu,
+         (SELECT count(*) FROM ua WHERE h IN (SELECT h FROM ub)) AS ni)
+SELECT CAST(na AS BIGINT) AS n_exact_a, CAST(nb AS BIGINT) AS n_exact_b,
+       CAST(nu AS BIGINT) AS n_exact_union,
+       CAST(ni AS BIGINT) AS n_exact_inter,
+       CAST(k AS BIGINT) AS k, CAST(c AS BIGINT) AS k_common,
+       (CASE WHEN k < {_KMV_SET_K} THEN CAST(k AS DOUBLE)
+             ELSE ((CAST(k AS DOUBLE) - 1.0)
+                   / (CAST(hk AS DOUBLE) / {_POW60}))
+        END) AS est_union,
+       (CAST(c AS DOUBLE) / CAST(k AS DOUBLE)) AS jaccard_est,
+       ((CAST(c AS DOUBLE) / CAST(k AS DOUBLE))
+        * (CASE WHEN k < {_KMV_SET_K} THEN CAST(k AS DOUBLE)
+                ELSE ((CAST(k AS DOUBLE) - 1.0)
+                      / (CAST(hk AS DOUBLE) / {_POW60}))
+           END)) AS est_inter
+FROM exact, kth, common
+""",
+    tags=("sketch", "timeseries"),
+    priority=110,  # new r8 carve-out (window full of the rotated-in r7 batch); local-green; rotate in r9 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET-OPERATION estimates from KMV sketches (the theta-sketch
+    capability): distinct users of the first half-month (A) vs the
+    second (B), with |A∪B| from the merged bottom-k, Jaccard from the
+    fraction of the union's bottom-k present in BOTH per-set sketches,
+    and |A∩B| = J * |A∪B| — all next to the exact counts.  This is
+    what exact distinct-counts cannot do at 100 TB: audience overlap,
+    churn and retention between arbitrary segments come from merging
+    two 128-hash sketches instead of re-shuffling raw history.
+    Determinism: bottom-k over the md5 60-bit hash total order;
+    estimates are fixed, fully-parenthesized double expressions; the
+    small-regime branch (k < K) returns the sketch's exact content
+    count, identically in both engines."""
+    from rados_timestore_spark.queries_common import event_us
+
+    ev = load_parallel(spark, sf_dir, "events", "event_id")
+    t = event_us(ev)
+    uh = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("u"), F.col("user_id").cast("string"))),
+            1, 15),
+        16, 10,
+    ).cast("long")
+    ua = ev.filter(t < _T_JAN16_US).select(uh.alias("h")).distinct() \
+        .transform(pin)
+    ub = ev.filter(t >= _T_JAN16_US).select(uh.alias("h")).distinct() \
+        .transform(pin)
+
+    def bottom_k(df):
+        w = Window.orderBy("h")
+        return (df.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= _KMV_SET_K).select("h"))
+
+    from pyspark.sql import Window
+
+    ka, kb = bottom_k(ua), bottom_k(ub)
+    un = ua.unionByName(ub).distinct().transform(pin)
+    ku = bottom_k(un)
+    kth = ku.agg(F.max("h").alias("hk"), F.count("*").alias("k"))
+    common = (
+        ku.join(ka, "h", "left_semi").join(kb, "h", "left_semi")
+        .agg(F.count("*").alias("c"))
+    )
+    exact = (
+        ua.agg(F.count("*").alias("na"))
+        .crossJoin(ub.agg(F.count("*").alias("nb")))
+        .crossJoin(un.agg(F.count("*").alias("nu")))
+        .crossJoin(ua.join(ub, "h", "left_semi")
+                   .agg(F.count("*").alias("ni")))
+    )
+    est_union = F.when(
+        F.col("k") < _KMV_SET_K, F.col("k").cast("double")
+    ).otherwise(
+        (F.col("k").cast("double") - F.lit(1.0))
+        / (F.col("hk").cast("double") / F.lit(float(1 << 60)))
+    )
+    jac = F.col("c").cast("double") / F.col("k").cast("double")
+    return (
+        exact.crossJoin(kth).crossJoin(common)
+        .select(
+            F.col("na").alias("n_exact_a"),
+            F.col("nb").alias("n_exact_b"),
+            F.col("nu").alias("n_exact_union"),
+            F.col("ni").alias("n_exact_inter"),
+            F.col("k").cast("long").alias("k"),
+            F.col("c").cast("long").alias("k_common"),
+            est_union.alias("est_union"),
+            jac.alias("jaccard_est"),
+            (jac * est_union).alias("est_inter"),
+        )
+    )
