@@ -1332,3 +1332,55 @@ def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n") > 0, F.col("v").cast("double"))
         .otherwise(interp).alias("value_out"),
     )
+
+
+@register(
+    "ts_ooo_lateness",
+    oracle=f"""{_EV_CTE},
+lat AS (
+  SELECT user_id, t, event_id,
+         max(t) OVER (PARTITION BY user_id ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS seen_max
+  FROM ev)
+SELECT user_id, count(*) AS n,
+       CAST(sum(CASE WHEN seen_max > t THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late,
+       CAST(max(CASE WHEN seen_max > t THEN seen_max - t ELSE 0 END)
+            AS BIGINT) AS max_lateness_us,
+       CAST(sum(CASE WHEN seen_max > t THEN seen_max - t ELSE 0 END)
+            AS BIGINT) AS sum_lateness_us
+FROM lat GROUP BY user_id
+""",
+    tags=("timeseries", "streaming"),
+    priority=110,  # new r8 carve-out (window full of the rotated-in r7 batch); local-green; rotate in r9 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def ts_ooo_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order-arrival profile — the WATERMARK-SIZING report:
+    treating event_id as arrival order, an event is late iff some
+    earlier-arriving event of the same user carries a LARGER event
+    time; its lateness is the gap to that running maximum.  Per-user
+    late counts, max and total lateness (integer µs end to end) are
+    exactly the numbers that justify a ``withWatermark`` bound: a 30
+    minute watermark drops precisely the events whose lateness here
+    exceeds 30 minutes.  One window over (user, arrival order) + one
+    hash aggregate; no global sort."""
+    ev = _events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lat = ev.select(
+        "user_id", "t", "event_id",
+        F.max("t").over(w).alias("seen_max"),
+    )
+    late = F.col("seen_max") > F.col("t")
+    gap = F.when(late, F.col("seen_max") - F.col("t")).otherwise(0)
+    return lat.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(late.cast("int")).cast("long").alias("n_late"),
+        F.max(gap).cast("long").alias("max_lateness_us"),
+        F.sum(gap).cast("long").alias("sum_lateness_us"),
+    )
