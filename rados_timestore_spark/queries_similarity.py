@@ -2329,3 +2329,86 @@ def sim_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         sel.append(top.vec_id)
     return spark.createDataFrame(
         out_rows, "rank long, vec_id long, rel double, score double")
+
+
+@register(
+    "sim_centroid_drift",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id % 2 AS half, label, embedding FROM embeddings),
+s AS (
+  SELECT label, half, d.dim AS dim,
+         CAST(SUM(CAST(floor(embedding[d.dim + 1]::DOUBLE
+                             * {_CENT_SCALE}) AS BIGINT)) AS BIGINT)
+           AS sv,
+         COUNT(*) AS n
+  FROM e, generate_series(0, {DIM - 1}) d(dim)
+  GROUP BY label, half, d.dim),
+p AS (
+  SELECT a.label, a.dim,
+         (b.sv * a.n - a.sv * b.n) AS diff, a.n AS n0, b.n AS n1
+  FROM s a JOIN s b ON a.label = b.label AND a.dim = b.dim
+  WHERE a.half = 0 AND b.half = 1),
+q AS (
+  SELECT label, n0, n1,
+         SUM(CAST(diff AS DECIMAL(18,0))
+             * CAST(diff AS DECIMAL(18,0))) AS sq
+  FROM p GROUP BY label, n0, n1)
+SELECT label, CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
+       (sqrt(CAST(sq AS DOUBLE))
+        / CAST(n0 * n1 * {_CENT_SCALE} AS DOUBLE)) AS drift_l2
+FROM q
+""",
+    tags=("similarity", "ml"),
+    priority=110,  # new r8 carve-out (window full of the rotated-in r7 batch); local-green; rotate in r9 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding DRIFT monitoring: per-label L2 distance between the
+    class centroids of two corpus halves (vec_id parity stands in for
+    old-batch vs new-batch) — the production check that a retrained
+    embedder or a shifted data source hasn't moved the geometry.
+
+    Exactness: centroids are rational (fixed-point int sums over
+    counts), so the squared distance is computed on EXACT integers —
+    per dim, ``diff = S1*n0 - S0*n1`` (int64, |emb| <= 1 keeps it
+    under 2^43), squared and summed as DECIMAL(38,0) (exact, order
+    free), with ONE final sqrt/divide in double — both engines emit
+    identical bits, no float accumulation anywhere.  One posexplode +
+    two bounded hash aggregates (labels x dims x 2 rows of state)."""
+    emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    e = emb.select(
+        (F.col("vec_id") % 2).alias("half"), "label",
+        F.posexplode("embedding").alias("dim", "v"),
+    )
+    s = e.groupBy("label", "half", "dim").agg(
+        F.sum(
+            F.floor(F.col("v").cast("double") * _CENT_SCALE)
+            .cast("long")
+        ).cast("long").alias("sv"),
+        F.count("*").alias("n"),
+    )
+    a = s.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("sv").alias("s0"), F.col("n").alias("n0"))
+    b = s.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("sv").alias("s1"), F.col("n").alias("n1"))
+    p = a.join(b, ["label", "dim"]).select(
+        "label", "n0", "n1",
+        (F.col("s1") * F.col("n0") - F.col("s0") * F.col("n1"))
+        .alias("diff"),
+    )
+    q = p.groupBy("label", "n0", "n1").agg(
+        F.sum(
+            F.col("diff").cast("decimal(18,0)")
+            * F.col("diff").cast("decimal(18,0)")
+        ).alias("sq")
+    )
+    return q.select(
+        "label",
+        F.col("n0").cast("long").alias("n_a"),
+        F.col("n1").cast("long").alias("n_b"),
+        (
+            F.sqrt(F.col("sq").cast("double"))
+            / (F.col("n0") * F.col("n1") * F.lit(_CENT_SCALE))
+            .cast("double")
+        ).alias("drift_l2"),
+    )

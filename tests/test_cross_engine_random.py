@@ -63,7 +63,7 @@ EMB_QUERIES = [
     "sim_label_centroids",
     # docs + embeddings: fusion join across both random tables
     "sim_rrf_fusion",
-    "sim_mmr_select",
+    "sim_mmr_select", "sim_centroid_drift",
 ]
 
 WORDS = ("the a of and to in is on for data spark query time "

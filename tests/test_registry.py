@@ -121,7 +121,7 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "graph_triangle_count", "ts_rollup_cascade", "sim_mmr_select",
     "mm_image_ahash", "mm_ahash_neardup_pairs",
     "ts_gapfill_interpolate", "sketch_hll_daily_users",
-    "sketch_kmv_set_ops", "ts_ooo_lateness",
+    "sketch_kmv_set_ops", "ts_ooo_lateness", "sim_centroid_drift",
 }
 
 
