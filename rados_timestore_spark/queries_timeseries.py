@@ -1384,3 +1384,54 @@ def ts_ooo_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(gap).cast("long").alias("max_lateness_us"),
         F.sum(gap).cast("long").alias("sum_lateness_us"),
     )
+
+
+#: Gap threshold for ts_heartbeat_gaps: 6h of event-time silence.
+_GAP_THRESHOLD_US = 6 * 3600 * 1_000_000
+
+
+@register(
+    "ts_heartbeat_gaps",
+    oracle=f"""{_EV_CTE},
+d AS (
+  SELECT user_id, t,
+         t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+           AS gap
+  FROM ev)
+SELECT user_id, count(*) AS n,
+       CAST(count(gap) AS BIGINT) AS n_intervals,
+       CAST(max(gap) AS BIGINT) AS max_gap_us,
+       CAST(sum(CASE WHEN gap > {_GAP_THRESHOLD_US} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outages,
+       CAST(sum(CASE WHEN gap > {_GAP_THRESHOLD_US} THEN gap ELSE 0 END)
+            AS BIGINT) AS downtime_us
+FROM d GROUP BY user_id
+""",
+    tags=("timeseries",),
+    priority=110,  # new r8 carve-out (window full of the rotated-in r7 batch); local-green; rotate in r9 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def ts_heartbeat_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heartbeat/outage detection: per series, inter-event gaps in
+    event time, the largest silence, and the count/total duration of
+    gaps beyond a 6h threshold — the liveness report a metrics store
+    ships next to its dashboards (Prometheus' ``absent()``/staleness
+    reduced to a batch certificate).  Integer µs end to end; one lag
+    window over (series, time) + one hash aggregate, no global
+    sort."""
+    ev = _events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    d = ev.select(
+        "user_id", "t",
+        (F.col("t") - F.lag("t").over(w)).alias("gap"),
+    )
+    big = F.col("gap") > _GAP_THRESHOLD_US
+    return d.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.count("gap").cast("long").alias("n_intervals"),
+        F.max("gap").cast("long").alias("max_gap_us"),
+        F.sum(big.cast("int")).cast("long").alias("n_outages"),
+        F.sum(F.when(big, F.col("gap")).otherwise(0)).cast("long")
+        .alias("downtime_us"),
+    )

@@ -53,7 +53,7 @@ EVENT_QUERIES = [
     "sketch_hdr_quantiles", "src_partitioned_roundtrip",
     "ts_ttl_expire", "ts_rollup_cascade", "ts_gapfill_interpolate",
     "sketch_hll_daily_users", "sketch_kmv_set_ops",
-    "ts_ooo_lateness",
+    "ts_ooo_lateness", "ts_heartbeat_gaps",
 ]
 #: Embedding-driven queries: random float32 vectors probe the
 #: float-determinism choreography (sequential-fold cosine, SQ8

@@ -122,6 +122,7 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "mm_image_ahash", "mm_ahash_neardup_pairs",
     "ts_gapfill_interpolate", "sketch_hll_daily_users",
     "sketch_kmv_set_ops", "ts_ooo_lateness", "sim_centroid_drift",
+    "ts_heartbeat_gaps",
 }
 
 
