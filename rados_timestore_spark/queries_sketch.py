@@ -53,6 +53,57 @@ _CMS_SHIFT = 12
 _HASH_SQL = "('0x' || substr(md5(g), 1, 15))::BIGINT"
 
 
+#: 60-bit user hash ("u" || user_id through md5) — shared by the
+#: daily-users HLL and the KMV set-ops queries, Spark twin below.
+_USER_HASH_SQL = "('0x' || substr(md5('u' || user_id), 1, 15))::BIGINT"
+
+
+def _user_hash_col():
+    """Spark twin of :data:`_USER_HASH_SQL`."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("u"), F.col("user_id").cast("string"))),
+            1, 15),
+        16, 10,
+    ).cast("long")
+
+
+def _hll_rho_col():
+    """rho(h) as a Column over column ``h`` — ONE definition for every
+    HLL register builder (ngrams, streaming registers, daily users);
+    a retune of the geometry constants must hit all of them at once
+    (r8 review finding)."""
+    suffix = F.shiftrightunsigned("h", _HLL_P)
+    return F.when(suffix == 0, _HLL_RHO0).otherwise(
+        _HLL_RHO0 - F.length(F.bin(suffix))
+    )
+
+
+def _hll_s_scaled_agg():
+    """The two aggregate columns (s_scaled, n_registers) over a
+    register frame with column ``rho`` — shared by every estimator."""
+    return [
+        (
+            F.sum(F.expr(
+                f"shiftleft(1L, CAST({_HLL_SCALE_POW} - rho AS INT))"))
+            + (_HLL_M - F.count("*"))
+            * F.lit(1 << _HLL_SCALE_POW).cast("long")
+        ).cast("long").alias("s_scaled"),
+        F.count("*").alias("n_registers"),
+    ]
+
+
+def _hll_est_col():
+    """The raw-HLL estimate over column ``s_scaled`` — the Spark twin
+    of ``_HLL_EST_SQL`` (one fixed left-associated IEEE chain)."""
+    return (
+        F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(_HLL_M)))
+        * F.lit(float(_HLL_M * _HLL_M))
+        * F.lit(float(1 << _HLL_SCALE_POW))
+        / F.col("s_scaled").cast("double")
+    )
+
+
 def _cms_positions(col: str = "h") -> "F.Column":
     """Exploded (row j, column p) CMS cell coordinates for one gram
     hash — shared by the batch sketch, its point queries, and the
@@ -191,31 +242,15 @@ def sketch_hll_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
         .alias("h"),
     ).distinct()
-    suffix = F.shiftrightunsigned("h", _HLL_P)
-    rho = F.when(suffix == 0, _HLL_RHO0).otherwise(
-        _HLL_RHO0 - F.length(F.bin(suffix))
-    )
+    rho = _hll_rho_col()
     reg = (
         hx.select("n", F.col("h").bitwiseAND(_HLL_M - 1).alias("bucket"),
                   rho.alias("rho"))
         .groupBy("n", "bucket").agg(F.max("rho").alias("rho"))
     )
-    s = reg.groupBy("n").agg(
-        (
-            F.sum(F.expr(
-                f"shiftleft(1L, CAST({_HLL_SCALE_POW} - rho AS INT))"))
-            + (_HLL_M - F.count("*"))
-            * F.lit(1 << _HLL_SCALE_POW).cast("long")
-        ).cast("long").alias("s_scaled"),
-        F.count("*").alias("n_registers"),
-    )
+    s = reg.groupBy("n").agg(*_hll_s_scaled_agg())
     ex = gx.groupBy("n").agg(F.countDistinct("g").alias("n_exact"))
-    est = (
-        F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(_HLL_M)))
-        * F.lit(float(_HLL_M * _HLL_M))
-        * F.lit(float(1 << _HLL_SCALE_POW))
-        / F.col("s_scaled").cast("double")
-    )
+    est = _hll_est_col()
     return (
         ex.join(s, "n")
         .select(F.col("n").alias("gram_n"), "n_exact", "n_registers",
@@ -440,10 +475,7 @@ def trigram_hll_registers(df: DataFrame) -> DataFrame:
     streaming frames (the streamed-equals-batch law and the
     checkpoint-recovery test both pin it)."""
     hx = _trigram_hashes(df).select("h")
-    suffix = F.shiftrightunsigned("h", _HLL_P)
-    rho = F.when(suffix == 0, _HLL_RHO0).otherwise(
-        _HLL_RHO0 - F.length(F.bin(suffix))
-    )
+    rho = _hll_rho_col()
     return (
         hx.select(F.col("h").bitwiseAND(_HLL_M - 1).alias("bucket"),
                   rho.alias("rho"))
@@ -723,7 +755,7 @@ def streaming_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH ux AS (
   SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
-         ('0x' || substr(md5('u' || user_id), 1, 15))::BIGINT AS h
+         {_USER_HASH_SQL} AS h
   FROM events),
 reg AS (
   SELECT day, h & {_HLL_M - 1} AS bucket,
@@ -767,22 +799,17 @@ def sketch_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hashing is the repo's md5 60-bit rule, bit-identical cross-engine."""
     from rados_timestore_spark.queries_common import event_us
 
-    ev = load_parallel(spark, sf_dir, "events", "event_id")
-    day = (event_us(ev) / F.lit(86_400_000_000)).cast("long")
+    ev0 = load_parallel(spark, sf_dir, "events", "event_id")
+    # integer `div`, never a float quotient cast: truncation-toward-
+    # zero would disagree with the oracle's floor division on any
+    # pre-epoch timestamp AND collide with the day=-1 ALL-tier
+    # sentinel (r8 review #3)
+    ev = ev0.select("user_id", event_us(ev0).alias("tus"))
+    day = F.expr("tus div 86400000000")
     ux = ev.select(
-        day.alias("day"),
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("u"),
-                               F.col("user_id").cast("string"))),
-                1, 15),
-            16, 10,
-        ).cast("long").alias("h"),
+        day.alias("day"), _user_hash_col().alias("h")
     ).distinct()
-    suffix = F.shiftrightunsigned("h", _HLL_P)
-    rho = F.when(suffix == 0, _HLL_RHO0).otherwise(
-        _HLL_RHO0 - F.length(F.bin(suffix))
-    )
+    rho = _hll_rho_col()
     reg = (
         ux.select("day",
                   F.col("h").bitwiseAND(_HLL_M - 1).alias("bucket"),
@@ -793,27 +820,14 @@ def sketch_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     allreg = reg.groupBy("bucket").agg(F.max("rho").alias("rho")) \
         .select(F.lit(-1).cast("long").alias("day"), "bucket", "rho")
     merged = reg.unionByName(allreg)
-    s = merged.groupBy("day").agg(
-        (
-            F.sum(F.expr(
-                f"shiftleft(1L, CAST({_HLL_SCALE_POW} - rho AS INT))"))
-            + (_HLL_M - F.count("*"))
-            * F.lit(1 << _HLL_SCALE_POW).cast("long")
-        ).cast("long").alias("s_scaled"),
-        F.count("*").alias("n_registers"),
-    )
+    s = merged.groupBy("day").agg(*_hll_s_scaled_agg())
     ex = ev.select(day.alias("day"), "user_id").groupBy("day").agg(
         F.countDistinct("user_id").alias("n_exact")
     ).unionByName(
         ev.select(F.lit(-1).cast("long").alias("day"), "user_id")
         .groupBy("day").agg(F.countDistinct("user_id").alias("n_exact"))
     )
-    est = (
-        F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(_HLL_M)))
-        * F.lit(float(_HLL_M * _HLL_M))
-        * F.lit(float(1 << _HLL_SCALE_POW))
-        / F.col("s_scaled").cast("double")
-    )
+    est = _hll_est_col()
     return ex.join(s, "day").select(
         "day", "n_exact", "n_registers", "s_scaled", est.alias("n_hll"))
 
@@ -821,7 +835,6 @@ def sketch_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: KMV set-operation sketch size and the time split for the two sets.
 _KMV_SET_K = 128
 _T_JAN16_US = 1_705_363_200_000_000  # 2024-01-16 00:00:00 UTC
-_USER_HASH_SQL = "('0x' || substr(md5('u' || user_id), 1, 15))::BIGINT"
 _POW60 = "1152921504606846976.0"  # 2^60 as a double literal
 
 
@@ -884,23 +897,18 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_parallel(spark, sf_dir, "events", "event_id")
     t = event_us(ev)
-    uh = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("u"), F.col("user_id").cast("string"))),
-            1, 15),
-        16, 10,
-    ).cast("long")
+    uh = _user_hash_col()
     ua = ev.filter(t < _T_JAN16_US).select(uh.alias("h")).distinct() \
         .transform(pin)
     ub = ev.filter(t >= _T_JAN16_US).select(uh.alias("h")).distinct() \
         .transform(pin)
 
     def bottom_k(df):
-        w = Window.orderBy("h")
-        return (df.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") <= _KMV_SET_K).select("h"))
-
-    from pyspark.sql import Window
+        # TakeOrdered (per-partition heaps), NOT an unpartitioned
+        # row_number window that funnels every distinct hash through
+        # one partition — the same choice sketch_kmv_sample made
+        # (r8 review #6)
+        return df.orderBy("h").limit(_KMV_SET_K)
 
     ka, kb = bottom_k(ua), bottom_k(ub)
     un = ua.unionByName(ub).distinct().transform(pin)

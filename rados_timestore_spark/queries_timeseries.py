@@ -827,10 +827,11 @@ def ts_moving_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------ r6: gap fill / LOCF
 
 
-@register(
-    "ts_gapfill_locf",
-    oracle=f"""{_EV_CTE},
-hourly AS (
+#: Shared gapfill scaffold (oracle side): latest-in-hour reduction,
+#: per-user span, hour grid, left join — ONE definition for the locf
+#: and interpolate variants so the tie-break/DECIMAL rules cannot
+#: drift between them (r8 review finding).
+_HOUR_GRID_CTE_SQL = """hourly AS (
   -- latest-in-hour winner via row_number (DuckDB's arg_max lacks a
   -- composite-key overload; same (t, event_id) total order as the
   -- Spark max_by struct)
@@ -849,7 +850,36 @@ grid AS (
 joined AS (
   SELECT g.user_id, g.h, hv.v, coalesce(hv.n, 0) AS n
   FROM grid g LEFT JOIN hourly hv
-    ON hv.user_id = g.user_id AND hv.h = g.h)
+    ON hv.user_id = g.user_id AND hv.h = g.h)"""
+
+
+def _hour_grid(ev):
+    """Spark twin of :data:`_HOUR_GRID_CTE_SQL`: (user_id, h, v, n)
+    over the per-user active-hour grid, v = latest-in-hour
+    DECIMAL(12,2) (max_by over (t, event_id) — same total order as
+    the oracle's row_number), n = observations in the hour."""
+    hourly = (
+        ev.groupBy("user_id", F.expr("t div 3600000000").alias("h"))
+        .agg(
+            F.max_by(
+                F.col("value").cast("decimal(12,2)"),
+                F.struct("t", "event_id"),
+            ).alias("v"),
+            F.count("*").alias("n"),
+        )
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = spans.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("h"))
+    return grid.join(hourly, ["user_id", "h"], "left").select(
+        "user_id", "h", "v", F.coalesce("n", F.lit(0)).alias("n"))
+
+
+@register(
+    "ts_gapfill_locf",
+    oracle=f"""{_EV_CTE},
+{_HOUR_GRID_CTE_SQL}
 SELECT user_id, h * 3600000000 AS hour_us, n,
        CAST(n = 0 AS INT) AS filled,
        CAST(last_value(v IGNORE NULLS) OVER (
@@ -879,28 +909,7 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final double cast.
     """
     ev = _events(spark, sf_dir)
-    hourly = (
-        ev.groupBy(
-            "user_id", F.expr("t div 3600000000").alias("h"),
-        )
-        .agg(
-            F.max_by(
-                F.col("value").cast("decimal(12,2)"),
-                F.struct("t", "event_id"),
-            ).alias("v"),
-            F.count("*").alias("n"),
-        )
-    )
-    spans = hourly.groupBy("user_id").agg(
-        F.min("h").alias("h0"), F.max("h").alias("h1")
-    )
-    grid = spans.select(
-        "user_id", F.explode(F.sequence("h0", "h1")).alias("h")
-    )
-    joined = (
-        grid.join(hourly, ["user_id", "h"], "left")
-        .select("user_id", "h", "v", F.coalesce("n", F.lit(0)).alias("n"))
-    )
+    joined = _hour_grid(ev)
     w = (
         Window.partitionBy("user_id").orderBy("h")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1228,23 +1237,7 @@ def ts_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ts_gapfill_interpolate",
     oracle=f"""{_EV_CTE},
-hourly AS (
-  SELECT user_id, h, v, n FROM (
-    SELECT user_id, t // 3600000000 AS h,
-           CAST(value AS DECIMAL(12,2)) AS v,
-           row_number() OVER (PARTITION BY user_id, t // 3600000000
-                              ORDER BY t DESC, event_id DESC) AS rn,
-           count(*) OVER (PARTITION BY user_id, t // 3600000000) AS n
-    FROM ev) WHERE rn = 1),
-spans AS (
-  SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
-grid AS (
-  SELECT s.user_id, g.h
-  FROM spans s, unnest(generate_series(s.h0, s.h1)) AS g(h)),
-joined AS (
-  SELECT g.user_id, g.h, hv.v, coalesce(hv.n, 0) AS n
-  FROM grid g LEFT JOIN hourly hv
-    ON hv.user_id = g.user_id AND hv.h = g.h),
+{_HOUR_GRID_CTE_SQL},
 nb AS (
   SELECT user_id, h, v, n,
          last_value(v IGNORE NULLS) OVER (
@@ -1290,24 +1283,7 @@ def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: same shape as locf — one (user, hour) hash aggregate, span
     explode, and per-user windows (two directions); no global sort."""
     ev = _events(spark, sf_dir)
-    hourly = (
-        ev.groupBy("user_id", F.expr("t div 3600000000").alias("h"))
-        .agg(
-            F.max_by(
-                F.col("value").cast("decimal(12,2)"),
-                F.struct("t", "event_id"),
-            ).alias("v"),
-            F.count("*").alias("n"),
-        )
-    )
-    spans = hourly.groupBy("user_id").agg(
-        F.min("h").alias("h0"), F.max("h").alias("h1"))
-    grid = spans.select(
-        "user_id", F.explode(F.sequence("h0", "h1")).alias("h"))
-    joined = grid.join(hourly, ["user_id", "h"], "left").select(
-        "user_id", "h", "v", F.coalesce("n", F.lit(0)).alias("n"))
-    from pyspark.sql import Window
-
+    joined = _hour_grid(ev)
     wp = (Window.partitionBy("user_id").orderBy("h")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     wf = (Window.partitionBy("user_id").orderBy("h")
@@ -1366,8 +1342,6 @@ def ts_ooo_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
     exceeds 30 minutes.  One window over (user, arrival order) + one
     hash aggregate; no global sort."""
     ev = _events(spark, sf_dir)
-    from pyspark.sql import Window
-
     w = (
         Window.partitionBy("user_id").orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -1380,7 +1354,10 @@ def ts_ooo_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap = F.when(late, F.col("seen_max") - F.col("t")).otherwise(0)
     return lat.groupBy("user_id").agg(
         F.count("*").alias("n"),
-        F.sum(late.cast("int")).cast("long").alias("n_late"),
+        # when/otherwise, NOT late.cast: a single-event user's frame is
+        # empty, late is NULL, and sum over an all-NULL group returns
+        # NULL where the oracle's CASE ELSE 0 returns 0 (r8 review #2)
+        F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("n_late"),
         F.max(gap).cast("long").alias("max_lateness_us"),
         F.sum(gap).cast("long").alias("sum_lateness_us"),
     )
@@ -1419,8 +1396,6 @@ def ts_heartbeat_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over (series, time) + one hash aggregate, no global
     sort."""
     ev = _events(spark, sf_dir)
-    from pyspark.sql import Window
-
     w = Window.partitionBy("user_id").orderBy("t", "event_id")
     d = ev.select(
         "user_id", "t",
@@ -1431,7 +1406,10 @@ def ts_heartbeat_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.count("gap").cast("long").alias("n_intervals"),
         F.max("gap").cast("long").alias("max_gap_us"),
-        F.sum(big.cast("int")).cast("long").alias("n_outages"),
+        # when/otherwise: a single-event user's gap is NULL and an
+        # all-NULL sum returns NULL vs the oracle's 0 (r8 review #2)
+        F.sum(F.when(big, 1).otherwise(0)).cast("long")
+        .alias("n_outages"),
         F.sum(F.when(big, F.col("gap")).otherwise(0)).cast("long")
         .alias("downtime_us"),
     )

@@ -122,6 +122,14 @@ def _rand_events(rng, n):
             rng.randrange(0, 1000),
             '{"k": %d}' % rng.randrange(10),
         ))
+    # Guaranteed SINGLE-EVENT user: empty lag/lead frames produce
+    # all-NULL groups whose Spark sums return NULL where a CASE ELSE 0
+    # oracle returns 0 — the r8 review bug class in ts_ooo_lateness /
+    # ts_heartbeat_gaps that 40-user random draws rarely exercise.
+    rows.append((
+        n, pd.Timestamp(base + 12_345, unit="us"), 991,
+        rng.choice(EVENT_TYPES), rng.randrange(0, 1000), '{"k": 0}',
+    ))
     df = pd.DataFrame(rows, columns=[
         "event_id", "ts", "user_id", "event_type", "value", "props"])
     df["ts"] = df["ts"].astype("datetime64[us]")
