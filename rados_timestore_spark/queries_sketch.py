@@ -575,8 +575,16 @@ def hdr_lb(v: str = "v"):
     engines DIVERGE (DuckDB raises on the negative left-shift, Spark
     wraps) — guard loudly on the Spark side so a signed metric fails
     the job instead of hashing garbage (r8 review finding).  Signed
-    metrics need an offset or a sign-split histogram first."""
-    v = (f"IF({v} >= 0, {v}, "
+    metrics need an offset or a sign-split histogram first.
+
+    NULL passes through as NULL (ADVICE r8: ``NULL >= 0`` is NULL, so
+    without the explicit IS NULL arm the guard took the raise_error
+    branch and a NULL metric failed the whole Spark job while DuckDB
+    emitted a NULL-bucket row — an engine divergence).  Callers decide
+    NULL policy explicitly: ``hdr_histogram`` and the oracle both
+    FILTER NULL values before bucketing, so the engines agree by
+    construction."""
+    v = (f"IF({v} IS NULL OR {v} >= 0, {v}, "
          f"raise_error('hdr_lb: negative value — the log-bucketed "
          f"histogram requires nonnegative input'))")
     s = f"greatest(length(bin({v})) - 1 - {_HDR_P}, 0)"
@@ -592,7 +600,7 @@ _HDR_ORACLE_SQL = f"""
 WITH iv AS (
   SELECT event_type,
          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
-  FROM events),
+  FROM events WHERE value IS NOT NULL),
 b AS (
   SELECT event_type, v,
          greatest(length(bin(v)) - 1 - {_HDR_P}, 0) AS s
@@ -648,11 +656,12 @@ def hdr_histogram(events: DataFrame) -> DataFrame:
     frame with a double ``value`` column; identical on batch and
     streaming frames (counts merge associatively across
     micro-batches)."""
-    iv = events.select(
+    iv = events.where(F.col("value").isNotNull()).select(
         "event_type",
         F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
         .alias("v"),
-    )
+    )  # NULL metrics carry no quantile information — filtered here
+    #    and in the oracle's iv CTE identically (ADVICE r8)
     return (
         iv.select("event_type", hdr_lb("v").alias("lb"))
         .groupBy("event_type", "lb")

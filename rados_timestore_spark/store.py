@@ -186,6 +186,12 @@ class TimeStore:
                 # ValueError; from_json raises KeyError/TypeError on a
                 # truncated dict) — the transient the retry exists for
                 last_exc = exc
+            except FileNotFoundError as exc:
+                # the same vanished-primary transient surfaced by a
+                # PYTHON FS layer ('[Errno 2] ...' — no JVM class name
+                # in str, so the substring match below can't see it;
+                # ADVICE r8)
+                last_exc = exc
             except Exception as exc:
                 # only a vanished primary is part of the replace
                 # window; permission errors, py4j failures and other
@@ -1013,12 +1019,22 @@ class TimeStore:
                     # recreates the layout
                     self.fs.delete(pdir, recursive=True)
             if dropped:
-                # CAS body inline — we hold the flip lock and read the
-                # doc inside it, so the re-check is already satisfied
-                # (_write_meta_cas would deadlock re-acquiring).
-                meta.txn += 1
-                meta.expire_gen += 1
-                self._write_meta(ns, meta)
+                # The deletes above are O(#expired epochs) and can
+                # outlast the lock's stale_after, in which case a
+                # waiter LEGITIMATELY breaks our lock and a concurrent
+                # writer flips meta — writing the doc we read at lock
+                # entry would then silently clobber that writer's
+                # watermark/seq_base/txn updates (ADVICE r8: unlike
+                # _write_meta_cas's microsecond window, this window is
+                # unbounded).  Re-read AFTER the deletes and fold the
+                # bump into the fresh document: expire changes no
+                # other field, so the fold is exact and preserves a
+                # superseding writer's updates.  (_write_meta_cas
+                # itself would deadlock re-acquiring the flip lock.)
+                fresh = self._read_meta(ns)
+                fresh.txn += 1
+                fresh.expire_gen += 1
+                self._write_meta(ns, fresh)
         return sorted(dropped)
 
     def compact(self, ns: str, target_partitions_per_bucket: int = 1,

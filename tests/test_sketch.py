@@ -189,3 +189,26 @@ def test_hdr_negative_value_fails_loudly(spark):
         df.select(hdr_lb("v").alias("lb")).collect()
     ok = spark.createDataFrame([(7,), (5,)], "v long")
     assert ok.select(hdr_lb("v").alias("lb")).count() == 2
+
+
+def test_hdr_null_value_passes_through_and_is_filtered(spark):
+    # ADVICE r8: NULL >= 0 is NULL, so the original guard took the
+    # raise_error branch on NULL metrics — failing the whole Spark job
+    # while the DuckDB oracle emitted a NULL-bucket row.  Policy now:
+    # hdr_lb is NULL-transparent (NULL in -> NULL out, no error), and
+    # hdr_histogram filters NULL values before bucketing (as does the
+    # oracle's iv CTE), so the two engines agree by construction.
+    from rados_timestore_spark.queries_sketch import hdr_histogram, hdr_lb
+
+    df = spark.createDataFrame([(7,), (None,), (5,)], "v long")
+    lbs = [r.lb for r in df.select(hdr_lb("v").alias("lb")).collect()]
+    assert sorted(x for x in lbs if x is not None) == [5, 7]
+    assert lbs.count(None) == 1
+
+    ev = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("b", 2.0)],
+        "event_type string, value double",
+    )
+    h = hdr_histogram(ev)
+    assert h.agg(F.sum("c")).collect()[0][0] == 2  # NULL row dropped
+    assert h.filter(F.col("lb").isNull()).count() == 0

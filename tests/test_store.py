@@ -810,6 +810,45 @@ def test_expire_interleaved_with_write_refuses_merge(spark, tmp_path):
         "T", 10 * _DAY, 10 * _DAY, [0]).count() == 1
 
 
+def test_expire_preserves_meta_flipped_during_deletes(spark, tmp_path):
+    # ADVICE r8: the epoch-directory deletes are O(#expired epochs)
+    # and can outlast the flip lock's stale_after, after which a
+    # waiter legitimately stale-breaks the lock and a concurrent
+    # writer flips meta.  expire must NOT write the document it read
+    # at lock entry (that clobbers the writer's watermark/seq_base/txn)
+    # — it re-reads after the deletes and folds its bump into the
+    # fresh doc.  Simulate the supersession by flipping meta directly
+    # from inside the first directory delete.
+    store = _ttl_store(spark, tmp_path)
+    real_delete = store.fs.delete
+    fired = {"n": 0}
+
+    def delete_with_interleaved_flip(path, recursive=False):
+        if "epoch=" in str(path) and fired["n"] == 0:
+            fired["n"] += 1
+            m = store._read_meta("T")
+            m.latest_simple = 999_999  # the superseding writer's flip
+            m.seq_base += 7
+            m.txn += 1
+            store._write_meta("T", m)
+        return real_delete(path, recursive)
+
+    store.fs.delete = delete_with_interleaved_flip
+    try:
+        before = store._read_meta("T")
+        assert store.expire("T", 2 * _DAY)
+    finally:
+        store.fs.delete = real_delete
+    after = store._read_meta("T")
+    assert fired["n"] == 1
+    # the interleaved writer's updates SURVIVE expire's meta write...
+    assert after.latest_simple == 999_999
+    assert after.seq_base == before.seq_base + 7
+    # ...and expire's bump is folded on top of the fresh doc
+    assert after.txn == before.txn + 2
+    assert after.expire_gen == before.expire_gen + 1
+
+
 def test_expire_bumps_fencing_counters_only_when_dropping(spark, tmp_path):
     store = _ttl_store(spark, tmp_path)
     before = store._read_meta("T")
