@@ -508,7 +508,7 @@ SELECT address | 1 AS key, md5(payload_str) AS value_md5 FROM (
 WHERE rn = 1
 """,
     tags=("M2", "M4"),
-    priority=900,  # demoted in r5 to refresh the tpch part-1 driver evidence (r4-green; verified locally by tools/check_correctness.py)
+    priority=75,  # re-promoted in r9: r4-green oldest-evidence refresh (swap candidate if the r9 round registers new queries)
 )
 def ts_kv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MutableKV end-to-end: bulk-insert the latest value per key into
@@ -644,7 +644,7 @@ WHERE address % 2 = 0 AND time < {T_JAN10}
   AND time // {US_PER_DAY} >= {T_JAN05 // US_PER_DAY}
 """,
     tags=("R1", "S5"),
-    priority=110,  # new r8 carve-out (window full of the rotated-in r7 batch); local-green; rotate in r9 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r9: first driver evidence for the r8 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def ts_ttl_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TTL retention by epoch drop (:meth:`TimeStore.expire`): build
@@ -904,7 +904,7 @@ WHERE rn = 1 AND address % 2 = 0
   AND time BETWEEN {T_JAN10} AND {T_JAN20}
 """,
     tags=("W5", "streaming"),
-    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r9 after r8 driver green, to rotate the r8 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def ts_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The continuous-writer daemon path, driver-visible: points
@@ -961,7 +961,7 @@ FROM (
   GROUP BY address, time) d
 """,
     tags=("S2", "Q5"),
-    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r9 after r8 driver green, to rotate the r8 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def ts_compact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup compaction, driver-visible: ingest the simple points

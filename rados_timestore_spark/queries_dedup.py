@@ -1175,7 +1175,7 @@ SELECT a.node, a.label AS component, sz.comp_size,
 FROM l{_CC_ITERS} a JOIN sz ON sz.label = a.label
 """,
     tags=("dedup", "graph"),
-    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r9 after r8 driver green, to rotate the r8 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components surfaced as a first-class query (the CC
@@ -1256,7 +1256,7 @@ SELECT n AS doc_id, CAST(count(*) AS BIGINT) AS triangles
 FROM nodes GROUP BY n
 """,
     tags=("dedup", "graph"),
-    priority=110,  # new r8 carve-out (window full of the rotated-in r7 batch); local-green; rotate in r9 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r9: first driver evidence for the r8 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts over the fuzzy-match similarity graph

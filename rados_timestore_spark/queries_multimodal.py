@@ -225,7 +225,7 @@ SELECT doc_id, n AS orig_bytes,
 FROM t
 """,
     tags=("multimodal",),
-    priority=900,  # demoted very-late-r5 for the new streaming_asof_update (r3-green; verified locally by tools/check_correctness.py)
+    priority=70,  # re-promoted in r9: oldest driver evidence in the registry (r3-green) — refresh rotation per registry policy
 )
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize/downsample plumbing via ``mapInPandas``: Arrow batches of
@@ -1096,7 +1096,7 @@ SELECT doc_id,
 FROM g
 """,
     tags=("multimodal",),
-    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r9 after r8 driver green, to rotate the r8 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def mm_jpeg_header(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL JPEG header parse, end to end: synthesize a structurally-
@@ -1181,7 +1181,7 @@ WITH {_ahash_cte_sql(_AHASH_G)}
 SELECT doc_id, width, height, ahash FROM hashes
 """,
     tags=("multimodal", "dedup"),
-    priority=110,  # new r8 carve-out (window full of the rotated-in r7 batch); local-green; rotate in r9 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r9: first driver evidence for the r8 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual average-hash over REAL image decode — the image-side
@@ -1284,7 +1284,7 @@ FROM cand
 WHERE bit_count(xor(ha, hb)) <= {_AHASH_MAX_HD}
 """,
     tags=("multimodal", "dedup"),
-    priority=110,  # new r8 carve-out (window full of the rotated-in r7 batch); local-green; rotate in r9 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r9: first driver evidence for the r8 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def mm_ahash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IMAGE near-duplicate pairs by banded Hamming blocking over the

@@ -1795,7 +1795,7 @@ ftop AS (
 SELECT query_id, neighbor_id, cos, rank FROM ftop
 """,
     tags=("similarity", "ann", "filtered"),
-    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r9 after r8 driver green, to rotate the r8 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def sim_ivf_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered vector search over the IVF index (module note above):
@@ -1914,7 +1914,7 @@ WITH {_SQ8_CODES_CTE}
 SELECT query_id, neighbor_id, score, rank FROM sq8_top
 """,
     tags=("similarity", "ann", "quantization"),
-    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r9 after r8 driver green, to rotate the r8 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def sim_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 ANN (module note above): one quantization scan, broadcast
@@ -1945,7 +1945,7 @@ def sim_sq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_sq8_recall",
     oracle=_recall_sql(_SQ8_CODES_CTE.strip().rstrip(), "sq8_top"),
     tags=("similarity", "ann", "quantization"),
-    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r9 after r8 driver green, to rotate the r8 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def sim_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of SQ8 integer-dot ranking vs exact float cosine —
@@ -1997,7 +1997,7 @@ WITH {_IVFSQ8_CTES}
 SELECT query_id, neighbor_id, score, rank FROM ivfsq8_top
 """,
     tags=("similarity", "ann", "quantization"),
-    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r9 after r8 driver green, to rotate the r8 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def sim_ivfsq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+SQ8 (module note above): shared IVF assignment/probes, then
@@ -2031,7 +2031,7 @@ def sim_ivfsq8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ivfsq8_recall",
     oracle=_recall_sql(_IVFSQ8_CTES.strip(), "ivfsq8_top"),
     tags=("similarity", "ann", "quantization"),
-    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r9 after r8 driver green, to rotate the r8 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def sim_ivfsq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the IVF+SQ8 composition vs exact float cosine —
@@ -2058,7 +2058,7 @@ FROM embeddings, generate_series(0, {DIM - 1}) d(dim)
 GROUP BY label, d.dim
 """,
     tags=("similarity", "ml"),
-    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r9 after r8 driver green, to rotate the r8 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Class centroids (mean embedding per label) — the prototype
@@ -2140,7 +2140,7 @@ SELECT doc_id, rrf, lex_rank, vec_rank
 FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
 """,
     tags=("similarity", "retrieval"),
-    priority=110,  # new r8 carve-out (window full of the rotated-in r7 batch); local-green; rotate in r9 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r9: first driver evidence for the r8 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval by Reciprocal Rank Fusion (Cormack et al.
@@ -2260,7 +2260,7 @@ UNION ALL SELECT 2, vec_id, rel, score FROM s2
 UNION ALL SELECT 3, vec_id, rel, score FROM s3
 """,
     tags=("similarity", "curation"),
-    priority=110,  # new r8 carve-out (window full of the rotated-in r7 batch); local-green; rotate in r9 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r9: first driver evidence for the r8 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def sim_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy diversity selection by Maximal Marginal Relevance
@@ -2360,7 +2360,7 @@ SELECT label, CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
 FROM q
 """,
     tags=("similarity", "ml"),
-    priority=110,  # new r8 carve-out (window full of the rotated-in r7 batch); local-green; rotate in r9 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r9: first driver evidence for the r8 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding DRIFT monitoring: per-label L2 distance between the

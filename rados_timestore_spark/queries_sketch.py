@@ -496,7 +496,7 @@ FROM occ, generate_series(0, {_CMS_D - 1}) gs(j)
 GROUP BY j, p
 """,
     tags=("sketch", "streaming"),
-    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r9 after r8 driver green, to rotate the r8 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def streaming_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min cells maintained INCREMENTALLY by a real Structured
@@ -630,7 +630,7 @@ FROM cum GROUP BY event_type
     "sketch_hdr_quantiles",
     oracle=_HDR_ORACLE_SQL,
     tags=("sketch", "timeseries"),
-    priority=110,  # new r8 carve-out (window full of the rotated-in r7 batch); local-green; rotate in r9 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r9: first driver evidence for the r8 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def sketch_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable log-bucketed quantile histogram (the HDR-histogram /
@@ -704,7 +704,7 @@ def _hdr_quantiles(h: DataFrame) -> DataFrame:
     "streaming_hdr_quantiles",
     oracle=_HDR_ORACLE_SQL,
     tags=("sketch", "streaming"),
-    priority=110,  # new r8 carve-out (window full of the rotated-in r7 batch); local-green; rotate in r9 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r9: first driver evidence for the r8 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def streaming_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The HDR quantile histogram maintained INCREMENTALLY by a real
@@ -794,7 +794,7 @@ SELECT ex.day, ex.n_exact, s.n_registers, s.s_scaled,
 FROM ex JOIN s ON s.day = ex.day
 """,
     tags=("sketch", "timeseries", "streaming"),
-    priority=110,  # new r8 carve-out (window full of the rotated-in r7 batch); local-green; rotate in r9 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r9: first driver evidence for the r8 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def sketch_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users PER DAY by HyperLogLog, next to the exact count —
@@ -887,7 +887,7 @@ SELECT CAST(na AS BIGINT) AS n_exact_a, CAST(nb AS BIGINT) AS n_exact_b,
 FROM exact, kth, common
 """,
     tags=("sketch", "timeseries"),
-    priority=110,  # new r8 carve-out (window full of the rotated-in r7 batch); local-green; rotate in r9 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r9: first driver evidence for the r8 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SET-OPERATION estimates from KMV sketches (the theta-sketch

@@ -88,7 +88,7 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     "src_csv_roundtrip",
     oracle=_PTS_SQL + _AGG_SQL,
     tags=("sources",),
-    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r9 after r8 driver green, to rotate the r8 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV source/sink round-trip (module doc): the aggregate computed
@@ -101,7 +101,7 @@ def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "src_jsonl_roundtrip",
     oracle=_PTS_SQL + _AGG_SQL,
     tags=("sources",),
-    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r9 after r8 driver green, to rotate the r8 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines source/sink round-trip — same certificate as
@@ -113,7 +113,7 @@ def src_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "src_orc_roundtrip",
     oracle=_PTS_SQL + _AGG_SQL,
     tags=("sources",),
-    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r9 after r8 driver green, to rotate the r8 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source/sink round-trip — the columnar sibling certificate
@@ -139,7 +139,7 @@ WHERE t // {_US_PER_DAY} BETWEEN {_DAY_LO} AND {_DAY_HI}
 GROUP BY 1, 2
 """,
     tags=("sources",),
-    priority=110,  # new r8 carve-out (window full of the rotated-in r7 batch); local-green; rotate in r9 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r9: first driver evidence for the r8 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def src_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-partitioned dataset round-trip with PARTITION PRUNING:

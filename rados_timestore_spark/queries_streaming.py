@@ -134,7 +134,7 @@ SELECT DISTINCT user_id * 2 AS address, epoch_us(ts) AS time
 FROM events
 """,
     tags=("streaming", "dedup"),
-    priority=900,  # demoted in r5 to refresh the tpch part-1 driver evidence (r4-green; verified locally by tools/check_correctness.py)
+    priority=75,  # re-promoted in r9: r4-green oldest-evidence refresh (swap candidate if the r9 round registers new queries)
 )
 def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay-safe streaming dedup end-to-end: the events table is
@@ -840,7 +840,7 @@ FROM agg, wm
 WHERE ws + {_HOUR_US} <= watermark
 """,
     tags=("streaming",),
-    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r9 after r8 driver green, to rotate the r8 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end SLIDING-window streaming aggregate (1h window, 15min

@@ -121,7 +121,7 @@ FROM top GROUP BY lang, pred_lang
 
 @register(
     "text_lang_id", oracle=_langid_sql(), tags=("text",),
-    priority=900,  # driver-green in r2/r3/r4; demoted in r5 (the r4 demotion line was misplaced dead code — ADVICE r4)
+    priority=75,  # re-promoted in r9: r4-green oldest-evidence refresh (swap candidate if the r9 round registers new queries)
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID: score = |distinct words ∩ profile|
@@ -202,7 +202,7 @@ SELECT doc_id,
 FROM documents
 """,
     tags=("text",),
-    priority=900,  # was re-promoted early in r5, swapped back out for the new streaming_asof_exact (r2/r3-green; verified locally by tools/check_correctness.py)
+    priority=70,  # re-promoted in r9: oldest driver evidence in the registry (r3-green) — refresh rotation per registry policy
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: 60-bit integer fingerprint from the
@@ -911,7 +911,7 @@ SELECT CAST(cum_before // {PACK_BUDGET} AS BIGINT) AS bin_id,
 FROM cum GROUP BY 1
 """,
     tags=("text", "llm"),
-    priority=60,  # kept in the r8 window: r7 driver hash FAIL fixed (oracle bin_id cast to BIGINT — was HUGEINT->float64); needs a green driver row
+    priority=900,  # demoted in r9 after r8 driver green, to rotate the r8 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for pretraining: documents concatenated in
@@ -1103,7 +1103,7 @@ SELECT shard, CAST(cum_before // {PACK_BUDGET} AS BIGINT) AS bin_id,
 FROM cum GROUP BY 1, 2
 """,
     tags=("text", "llm"),
-    priority=60,  # kept in the r8 window: r7 driver hash FAIL fixed (oracle bin_id cast to BIGINT — was HUGEINT->float64); needs a green driver row
+    priority=900,  # demoted in r9 after r8 driver green, to rotate the r8 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def text_pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION shape of sequence packing: documents are packed
@@ -1164,7 +1164,7 @@ SELECT pair, count(*) AS n
 FROM pairs GROUP BY 1 ORDER BY n DESC, pair LIMIT 25
 """,
     tags=("text", "tokenizer"),
-    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r9 after r8 driver green, to rotate the r8 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25 BPE merge candidates (module note above).  All JVM-side:
@@ -1217,7 +1217,7 @@ SELECT source, rate_bps,
 FROM rated GROUP BY source, rate_bps
 """,
     tags=("text", "pipeline"),
-    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r9 after r8 driver green, to rotate the r8 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def text_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic mixture sampling (module note above): one scan,
@@ -1314,7 +1314,7 @@ SELECT doc_id, chunk_id, start,
 FROM c WHERE length(chunk) > 0
 """,
     tags=("text", "pipeline"),
-    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r9 after r8 driver green, to rotate the r8 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping-window chunking (module note): chunk i covers
@@ -1347,7 +1347,7 @@ FROM ch JOIN df ON df.h = ch.h
 GROUP BY ch.doc_id
 """,
     tags=("dedup", "text", "pipeline"),
-    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r9 after r8 driver green, to rotate the r8 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-granular exact dedup signal: how much of each document is
@@ -1402,7 +1402,7 @@ FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
 GROUP BY d.source
 """,
     tags=("text", "tokenizer"),
-    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r9 after r8 driver green, to rotate the r8 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary coverage / OOV accounting per source: fit a top-K

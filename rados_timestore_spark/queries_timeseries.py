@@ -119,7 +119,7 @@ JOIN (SELECT * FROM ev WHERE event_type = 'error') e
 GROUP BY p.event_id
 """,
     tags=("timeseries", "join"),
-    priority=900,  # demoted late-r5 for the new ts_bulk_backfill (r2+r3-green, twice driver-proven; verified locally by tools/check_correctness.py)
+    priority=70,  # re-promoted in r9: oldest driver evidence in the registry (r3-green) — refresh rotation per registry policy
 )
 def ts_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (interval) join: errors within ±5 min of each purchase by
@@ -211,7 +211,7 @@ SELECT user_id, session_no, count(*) AS n_events,
 FROM sessions GROUP BY user_id, session_no
 """,
     tags=("timeseries", "window"),
-    priority=900,  # demoted late-r5 for the new sim_kmeans_quantizer (r2+r3-green, twice driver-proven; verified locally by tools/check_correctness.py)
+    priority=70,  # re-promoted in r9: oldest driver evidence in the registry (r3-green) — refresh rotation per registry policy
 )
 def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization with a 30-minute inactivity gap: lag marks
@@ -252,7 +252,7 @@ SELECT user_id, event_id, t, rk FROM (
 WHERE rk <= 3
 """,
     tags=("timeseries", "window"),
-    priority=900,  # was re-promoted early in r5, swapped back out for the new sim_ivf_recall (r2/r3-green; verified locally by tools/check_correctness.py)
+    priority=70,  # re-promoted in r9: oldest driver evidence in the registry (r3-green) — refresh rotation per registry policy
 )
 def ts_topk_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series top-k: the highest-value events per user — one
@@ -333,7 +333,7 @@ SELECT h.hour, COALESCE(a.n, 0) AS n,
 FROM hours h LEFT JOIN agg a ON h.hour = a.hour
 """,
     tags=("timeseries",),
-    priority=900,  # was re-promoted early in r5, swapped back out for the new text_filter_pipeline (r2/r3-green; verified locally by tools/check_correctness.py)
+    priority=70,  # re-promoted in r9: oldest driver evidence in the registry (r3-green) — refresh rotation per registry policy
 )
 def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap filling: generate the dense hour spine between min and max
@@ -372,7 +372,7 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """,
     tags=("timeseries", "agg"),
-    priority=900,  # demoted late-r5 for the new sim_ivf_kmeans (r2+r3-green, twice driver-proven; verified locally by tools/check_correctness.py)
+    priority=70,  # re-promoted in r9: oldest driver evidence in the registry (r3-green) — refresh rotation per registry policy
 )
 def ts_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per event type: Spark
@@ -1194,7 +1194,7 @@ SELECT t // 86400000000 AS day, event_type, count(*) AS n,
 FROM ev GROUP BY 1, 2
 """,
     tags=("timeseries", "agg"),
-    priority=110,  # new r8 carve-out (window full of the rotated-in r7 batch); local-green; rotate in r9 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r9: first driver evidence for the r8 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def ts_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup REUSE: the daily aggregate is computed FROM
@@ -1264,7 +1264,7 @@ SELECT user_id, h * 3600000000 AS hour_us, n,
 FROM nb
 """,
     tags=("timeseries",),
-    priority=110,  # new r8 carve-out (window full of the rotated-in r7 batch); local-green; rotate in r9 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r9: first driver evidence for the r8 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap fill by LINEAR INTERPOLATION — the ``interpolate()`` sibling
@@ -1329,7 +1329,7 @@ SELECT user_id, count(*) AS n,
 FROM lat GROUP BY user_id
 """,
     tags=("timeseries", "streaming"),
-    priority=110,  # new r8 carve-out (window full of the rotated-in r7 batch); local-green; rotate in r9 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r9: first driver evidence for the r8 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def ts_ooo_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-of-order-arrival profile — the WATERMARK-SIZING report:
@@ -1385,7 +1385,7 @@ SELECT user_id, count(*) AS n,
 FROM d GROUP BY user_id
 """,
     tags=("timeseries",),
-    priority=110,  # new r8 carve-out (window full of the rotated-in r7 batch); local-green; rotate in r9 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r9: first driver evidence for the r8 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def ts_heartbeat_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heartbeat/outage detection: per series, inter-event gaps in

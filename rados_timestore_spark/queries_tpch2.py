@@ -127,7 +127,7 @@ FROM (
 ) t GROUP BY o_year
 """,
     tags=("join", "agg"),
-    priority=70,  # re-promoted in r8: oldest driver evidence in the registry (r4-green) — refresh rotation per registry policy
+    priority=900,  # demoted in r9 after r8 driver green, to rotate the r8 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8 (faithful shape): NATION_3's share of ECONOMY-part revenue
@@ -227,7 +227,7 @@ GROUP BY l_returnflag
     tags=("join", "agg"),
     # r2 hash-mismatch (oracle HUGEINT, now CAST to BIGINT) — promoted
     # into the driver's bounded check window so the fix is visible.
-    priority=900,  # demoted in r5 to refresh the tpch part-1 driver evidence (r4-green; verified locally by tools/check_correctness.py)
+    priority=75,  # re-promoted in r9: r4-green oldest-evidence refresh (swap candidate if the r9 round registers new queries)
 )
 def tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q12 ADAPTED: no shipmode/commitdate/receiptdate columns — the

@@ -114,7 +114,7 @@ ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
 LIMIT 20
 """,
     tags=("join", "agg", "topk"),
-    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r9 after r8 driver green, to rotate the r8 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def tpch_q2_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2 UN-adapted over the derived partsupp: region-filtered
@@ -169,7 +169,7 @@ GROUP BY ps_partkey, total, np
 HAVING CAST(SUM(v) AS BIGINT) * np > 2 * total
 """,
     tags=("join", "agg"),
-    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r9 after r8 driver green, to rotate the r8 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def tpch_q11_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11 UN-adapted over the derived partsupp: one nation's
@@ -226,7 +226,7 @@ FROM supplier JOIN excess ON s_suppkey = ps_suppkey
 WHERE r_name = 'ASIA'
 """,
     tags=("join", "agg", "semijoin"),
-    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r9 after r8 driver green, to rotate the r8 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def tpch_q20_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q20 UN-adapted — availqty vs half the year's shipped quantity,
@@ -286,7 +286,7 @@ WHERE p_name LIKE '%red%'
 GROUP BY n_name, year(o_orderdate)
 """,
     tags=("join", "agg"),
-    priority=60,  # promoted in r8: first driver evidence for the r7 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r9 after r8 driver green, to rotate the r8 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def tpch_q9_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q9 with the supply-cost leg RESTORED via the derived partsupp:

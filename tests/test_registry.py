@@ -76,23 +76,25 @@ def test_bench_set_nonempty():
 # window) — membership drift must fail loudly, so any intentional
 # rotation edits this set in the same commit.
 EXPECTED_WINDOW = {
-    # r8 rotation part 1 (p=60): the 24 r7 carve-out queries, promoted
-    # for their FIRST driver evidence; the 25 r7-green incumbents were
-    # demoted in exchange (VERDICT r7 "Next round" #3)
-    "ts_streaming_ingest", "ts_compact_dedup", "streaming_sliding_counts",
-    "text_bpe_merge_candidates", "text_mixture_sample",
-    "text_chunk_overlap", "dedup_chunk_exact", "text_vocab_coverage",
-    "graph_connected_components", "sim_ivf_ann_filtered",
-    "sim_sq8_ann", "sim_sq8_recall", "sim_ivfsq8_ann", "sim_ivfsq8_recall",
-    "sim_label_centroids", "mm_jpeg_header",
-    "tpch_q2_partsupp", "tpch_q11_partsupp", "tpch_q20_partsupp",
-    "tpch_q9_partsupp", "streaming_cms_cells",
-    "src_csv_roundtrip", "src_jsonl_roundtrip", "src_orc_roundtrip",
-    # r8 part 2: the two r7 driver-red queries stay in the window until
-    # their oracle fix (bin_id CAST AS BIGINT) earns a green hash row
-    "text_pack_sequences", "text_pack_sequences_sharded",
-    # r8 part 3 (p=70): oldest-evidence refresh (r4-green, unseen since)
-    "tpch_q8_market_share",
+    # r9 rotation part 1 (p=60): the 16 r8 carve-out queries, promoted
+    # for their FIRST driver evidence; the 27 r8-green incumbents were
+    # demoted in exchange (VERDICT r8 "Next round" #1)
+    "ts_ttl_expire", "src_partitioned_roundtrip", "sim_rrf_fusion",
+    "sketch_hdr_quantiles", "streaming_hdr_quantiles",
+    "graph_triangle_count", "ts_rollup_cascade", "sim_mmr_select",
+    "mm_image_ahash", "mm_ahash_neardup_pairs",
+    "ts_gapfill_interpolate", "sketch_hll_daily_users",
+    "sketch_kmv_set_ops", "ts_ooo_lateness", "sim_centroid_drift",
+    "ts_heartbeat_gaps",
+    # r9 part 2 (p=70): oldest-evidence refresh — the r3-green family,
+    # now the oldest driver evidence in the registry
+    "ts_range_join", "ts_sessionize", "ts_topk_per_series",
+    "ts_gap_fill", "ts_value_percentiles", "text_fingerprint",
+    "mm_resize",
+    # r9 part 3 (p=75): r4-green refresh filling the window to exactly
+    # 50 — swap candidates if the round registers new queries
+    "streaming_dedup_replay", "text_lang_id", "ts_kv_roundtrip",
+    "tpch_q12_late_shipments",
     # the bench/headline set (must always be driver-visible)
     "ts_bulk_backfill", "text_winnow_fingerprint", "sim_ivf_kmeans",
     "sim_pq_ann", "sim_ivfpq_ann",
@@ -111,19 +113,10 @@ EXPECTED_WINDOW = {
 # registry test asserting no query stays past the window for more than
 # one round") — any name added here is a standing debt that the next
 # round's rotation has to clear.
-# r8 rotation cleared the whole 24-query r7 backlog (all promoted to
-# p=60 for first driver evidence).  The entries below are NEW in r8
-# (the window is full of never-checked promotions) and MUST be
-# rotated into the driver window in r9.
-EXPECTED_CARVEOUT_BACKLOG: set[str] = {
-    "ts_ttl_expire", "src_partitioned_roundtrip", "sim_rrf_fusion",
-    "sketch_hdr_quantiles", "streaming_hdr_quantiles",
-    "graph_triangle_count", "ts_rollup_cascade", "sim_mmr_select",
-    "mm_image_ahash", "mm_ahash_neardup_pairs",
-    "ts_gapfill_interpolate", "sketch_hll_daily_users",
-    "sketch_kmv_set_ops", "ts_ooo_lateness", "sim_centroid_drift",
-    "ts_heartbeat_gaps",
-}
+# r9 rotation cleared the whole 16-query r8 backlog (all promoted to
+# p=60 for first driver evidence).  Only same-round NEW registrations
+# may appear here; each MUST be rotated into the driver window in r10.
+EXPECTED_CARVEOUT_BACKLOG: set[str] = set()
 
 
 def test_carveout_backlog_is_rotated():
