@@ -2161,9 +2161,14 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the query word set and query vector broadcast (one row
     each); the lexical side is explode -> semi-join -> count (one
-    shuffle over matching words only); each rank list is a top-50
-    TakeOrdered; the fusion join holds 2x50 rows.  Nothing grows with
-    corpus size except the two candidate scans."""
+    shuffle over matching words only); each rank list is a rank-filter
+    over an UNPARTITIONED window that Catalyst's
+    LimitPushDownThroughWindow rewrite plans as a distributed top-50
+    TakeOrderedAndProject feeding a 50-row single-partition window —
+    that rewrite is load-bearing (it un-fires if the rank is consumed
+    elsewhere or a second window function is added) and is pinned by
+    tests/test_plans.py; the fusion join holds 2x50 rows.  Nothing
+    grows with corpus size except the two candidate scans."""
     from rados_timestore_spark.queries_text import _words_col
 
     docs = load_parallel(spark, sf_dir, "documents", "doc_id")

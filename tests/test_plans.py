@@ -151,3 +151,32 @@ def test_no_cartesian_product_in_any_bench_plan(spark):
         if "CartesianProduct" in plan_str(df, "simple"):
             offenders.append(name)
     assert offenders == [], offenders
+
+
+def test_rrf_rank_filters_plan_as_take_ordered(spark):
+    # PLANS.md "sim_rrf_fusion": both depth-50 rank lists are built as
+    # row_number() over an UNPARTITIONED Window followed by
+    # filter(rank <= 50).  The scale-safety of that shape rests
+    # entirely on Catalyst's LimitPushDownThroughWindow rewrite
+    # (rank-filter -> Sort+Limit BELOW the window), which plans each
+    # branch as a distributed TakeOrderedAndProject feeding a
+    # single-partition window over only 50 rows.  If a refactor ever
+    # consumes the rank in another expression or adds a second window
+    # function, the rewrite silently stops firing and the query
+    # degrades to a full single-partition sort of every candidate —
+    # with every value-level oracle still green (VERDICT r8).  Pin it:
+    # three TakeOrderedAndProject nodes (two rank branches + the final
+    # top-10) and no full-width Sort left anywhere in the plan.
+    from rados_timestore_spark.queries_similarity import sim_rrf_fusion
+
+    plan = plan_str(sim_rrf_fusion(spark, SF_DIR))
+    import re
+
+    takes = re.findall(r"\(\d+\) TakeOrderedAndProject", plan)
+    assert len(takes) == 3, f"expected 3 TakeOrderedAndProject: {takes}"
+    windows = re.findall(r"\(\d+\) Window\b", plan)
+    assert len(windows) == 2, f"expected 2 Window nodes: {windows}"
+    # (the plan's only Sort nodes belong to the <=100-row fusion
+    # SortMergeJoin, which is bounded; the degradation signature is a
+    # TakeOrderedAndProject count of 1 — the final top-10 only — with
+    # the candidate scans sorted whole under each Window instead)
