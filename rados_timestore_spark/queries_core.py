@@ -508,7 +508,7 @@ SELECT address | 1 AS key, md5(payload_str) AS value_md5 FROM (
 WHERE rn = 1
 """,
     tags=("M2", "M4"),
-    priority=75,  # re-promoted in r9: r4-green oldest-evidence refresh (swap candidate if the r9 round registers new queries)
+    priority=900,  # r4-green refresh demoted in exchange for the new r9 sim_vecidx_* registrations (window stays exactly 50)
 )
 def ts_kv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MutableKV end-to-end: bulk-insert the latest value per key into

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import tempfile
 
 import numpy as np
 import pandas as pd
@@ -481,13 +482,16 @@ _N_CENTROIDS = 256
 _N_PROBE = 4
 
 
-#: IVF pipeline as reusable CTEs — shared by the sim_ivf_ann oracle
-#: and the sim_ivf_recall oracle (which joins its output against the
-#: exact top-k).
-_IVF_CTES = f"""
+#: IVF pipeline as reusable CTEs — shared by the sim_ivf_ann oracle,
+#: the sim_ivf_recall oracle (which joins its output against the
+#: exact top-k), and the persisted-index probes (sim_vecidx_probe
+#: reuses the default; sim_vecidx_append_probe swaps the centroid
+#: predicate for the build-subset trainer via _ivf_ctes).
+def _ivf_ctes(cent_pred: str = f"vec_id < {_N_CENTROIDS}") -> str:
+    return f"""
 cent AS (
   SELECT vec_id AS cid, embedding AS ce, {_norm_sql("embedding")} AS cn
-  FROM embeddings WHERE vec_id < {_N_CENTROIDS}),
+  FROM embeddings WHERE {cent_pred}),
 assigned AS (
   SELECT vec_id, embedding, bucket FROM (
     SELECT e.vec_id, e.embedding, c.cid AS bucket,
@@ -519,6 +523,9 @@ ivf_top AS (
 """
 
 
+_IVF_CTES = _ivf_ctes()
+
+
 def _ivf_parts(spark: SparkSession, sf_dir: str):
     """Shared IVF machinery (sampled coarse quantizer): returns
     ``(assigned, probes)`` — the bucket-assigned corpus and the
@@ -533,34 +540,15 @@ def _ivf_parts(spark: SparkSession, sf_dir: str):
     # Tiny driver-side collect (k = 256 rows) -> numpy matrix shipped
     # in the UDF closure; rows sorted by cid so np.argmax's
     # first-max-wins tie rule == the oracle's ORDER BY cos DESC, cid.
+    # The assignment kernel itself lives in vector_index (ONE
+    # definition shared with the persisted build path, so the
+    # in-query and build-once routes can't drift).
+    from rados_timestore_spark.vector_index import assign_to_centroids
+
     cent_pdf = cent.toPandas().sort_values("cid")
     cids = cent_pdf["cid"].to_numpy().astype(np.int64)
     C = np.stack(cent_pdf["ce"].to_numpy()).astype(np.float64)
-    cn = np.zeros(len(C))
-    for i in range(DIM):  # sequential fold: bit-identical norms
-        cn += C[:, i] * C[:, i]
-    cn = np.sqrt(cn)
-
-    def assign(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            acc = np.zeros((len(E), len(C)))
-            nn = np.zeros(len(E))
-            for i in range(DIM):
-                acc += E[:, i : i + 1] * C[:, i][None, :]
-                nn += E[:, i] * E[:, i]
-            cos = acc / np.sqrt(nn)[:, None] / cn[None, :]
-            yield pd.DataFrame({
-                "vec_id": pdf["vec_id"],
-                "embedding": pdf["embedding"],
-                "bucket": cids[np.argmax(cos, axis=1)],
-            })
-
-    assigned = emb.select("vec_id", "embedding").mapInPandas(
-        assign, "vec_id long, embedding array<float>, bucket long"
-    )
+    assigned = assign_to_centroids(emb, cids, C, DIM)
     # The oracle's probes CTE reads only (vec_id, embedding) from
     # assigned — identical to the base table, so queries skip the
     # assignment pass entirely.
@@ -2417,3 +2405,112 @@ def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
         ).alias("drift_l2"),
     )
+
+
+# ----------------------------------- r9: persisted vector index (IVF)
+#
+# Every sim_* ANN query above trains its quantizer INSIDE the query —
+# correct, but the production shape at 100 TB is build-once/
+# probe-many: routing persisted at build time and reused by every
+# probe, exactly the reference's Index model (persisted routing
+# metadata written at register, fetched by every read —
+# Index.hs:37-49, UnitTests.hs:140-147 registerWritesIndex).
+# vector_index.VectorIndex applies that model to embeddings; these two
+# queries hash-check the persisted path against the SAME DuckDB
+# oracle family as the in-query IVF — proving the build->persist->
+# probe route loses nothing.
+
+_VIDX_CACHE: dict = {}
+
+
+def _vecidx(spark: SparkSession, sf_dir: str, variant: str):
+    """Build (once per process per sf_dir x variant) a persisted
+    VectorIndex from the embeddings table.
+
+    ``full``: one build over the whole corpus.
+    ``append``: build over the EVEN vec_ids, then append the odd ones
+    — the incremental-ingest path (no retrain; the routing table is
+    the build subset's 256 lowest ids)."""
+    from rados_timestore_spark.vector_index import VectorIndex
+
+    key = (sf_dir, variant)
+    if key in _VIDX_CACHE:
+        return _VIDX_CACHE[key]
+    root = tempfile.mkdtemp(prefix="vidx_driver_")
+    vi = VectorIndex(spark, root)
+    emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    if variant == "full":
+        vi.build("e", emb, k=_N_CENTROIDS)
+    else:
+        vi.build("e", emb.filter(F.col("vec_id") % 2 == 0),
+                 k=_N_CENTROIDS)
+        vi.append("e", emb.filter(F.col("vec_id") % 2 == 1))
+    _VIDX_CACHE[key] = vi
+    return vi
+
+
+_VIDX_QUERY_CACHE: dict = {}
+
+
+def _vidx_queries(spark: SparkSession, sf_dir: str):
+    """The standard bounded query set (vec_id < 5) as (id, vector)
+    pairs for VectorIndex.probe — cached per sf_dir (5 rows of driver
+    state; the query vectors are probe INPUT, not index state, so
+    re-collecting them per bench run would just re-measure the
+    fixture read)."""
+    if sf_dir in _VIDX_QUERY_CACHE:
+        return _VIDX_QUERY_CACHE[sf_dir]
+    emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    rows = emb.filter(F.col("vec_id") < 5).collect()
+    out = [(r.vec_id, list(r.embedding)) for r in rows]
+    _VIDX_QUERY_CACHE[sf_dir] = out
+    return out
+
+
+@register(
+    "sim_vecidx_probe",
+    oracle=f"""
+WITH {_IVF_CTES}
+SELECT query_id, neighbor_id, cos, rank FROM ivf_top
+""",
+    tags=("similarity", "ann", "index"),
+    bench=True,  # the build-once/probe-many headline: probe cost only
+    priority=65,  # new in r9 — promoted for first driver evidence (ts_kv_roundtrip refresh demoted in exchange)
+)
+def sim_vecidx_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN probe against a PERSISTED IVF index (vector_index.py) —
+    the build-once/probe-many production shape: centroids + hive-
+    partitioned bucket assignments are written once (cached per
+    process here, as the store round-trips do), and the probe reuses
+    them with NO trainer and NO corpus-wide assignment pass.  The
+    probed-bucket predicate prunes the assignment scan to nprobe
+    directories (PartitionFilters, pinned by tests/test_plans.py).
+    Output is identical to sim_ivf_ann — same centroids, same probe
+    rule, same exact in-bucket ranking — so the same DuckDB oracle
+    hash-checks that persistence loses nothing."""
+    vi = _vecidx(spark, sf_dir, "full")
+    return vi.probe("e", _vidx_queries(spark, sf_dir),
+                    topk=5, nprobe=_N_PROBE)
+
+
+@register(
+    "sim_vecidx_append_probe",
+    oracle=f"""
+WITH {_ivf_ctes(f"vec_id % 2 = 0 AND vec_id < {2 * _N_CENTROIDS}")}
+SELECT query_id, neighbor_id, cos, rank FROM ivf_top
+""",
+    tags=("similarity", "ann", "index"),
+    priority=65,  # new in r9 — promoted for first driver evidence (tpch_q12 refresh demoted in exchange)
+)
+def sim_vecidx_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest against a persisted index: build over the
+    even vec_ids, append the odds with NO retrain, probe.  Because
+    assignment is per-vector given a fixed routing table, the result
+    equals a single build of the full corpus with the even-subset
+    centroids — which is exactly what the oracle states (centroid CTE
+    = the 256 lowest even ids, assignment over ALL vectors).  The
+    law build(A) + append(B) == build(A ∪ B | A's routing) is also
+    exercised structurally in tests/test_vector_index.py."""
+    vi = _vecidx(spark, sf_dir, "append")
+    return vi.probe("e", _vidx_queries(spark, sf_dir),
+                    topk=5, nprobe=_N_PROBE)

@@ -227,7 +227,7 @@ GROUP BY l_returnflag
     tags=("join", "agg"),
     # r2 hash-mismatch (oracle HUGEINT, now CAST to BIGINT) — promoted
     # into the driver's bounded check window so the fix is visible.
-    priority=75,  # re-promoted in r9: r4-green oldest-evidence refresh (swap candidate if the r9 round registers new queries)
+    priority=900,  # r4-green refresh demoted in exchange for the new r9 sim_vecidx_* registrations (window stays exactly 50)
 )
 def tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q12 ADAPTED: no shipmode/commitdate/receiptdate columns — the

@@ -1,0 +1,300 @@
+"""Persisted IVF vector index — build once, probe many.
+
+The reference persists ROUTING METADATA at register time and reuses it
+on every read: the epoch->bucket ``Index`` map is written by
+``registerNamespace`` and fetched, never recomputed, by each query
+(``lib/TimeStore/Index.hs:37-49``; ``tests/UnitTests.hs:140-147``
+``registerWritesIndex`` pins the round-trip).  This module applies the
+same model to embeddings: the coarse quantizer's centroids are the
+routing table, and per-vector bucket assignments are the routed data —
+both persisted as parquet under an index root so a probe reuses them
+WITHOUT re-running the trainer or the O(n*k) assignment pass that
+every in-query ANN path (``sim_ivf_ann`` and friends) pays per query.
+
+Layout under ``root/<ns>/``::
+
+    _vidx_meta.json           k, dim, n_vectors, version (commit marker)
+    centroids/                parquet (cid long, ce array<float>)
+    assignments/bucket=<cid>/ parquet (vec_id long, embedding
+                              array<float>), hive-partitioned
+
+Scale design (the build-once/probe-many shape at 100 TB):
+
+* ``build`` — centroid selection is BOUNDED driver state (k rows
+  collected once, k constant in corpus size); assignment is one
+  shuffle-free ``mapInPandas`` argmax scan (O(n*k) work, 64 KiB
+  closure); the single data-size pass is the ``partitionBy(bucket)``
+  write, paid once instead of per probe.
+* ``probe`` — centroids load from the persisted k-row table; the
+  nprobe bucket choice per query is numpy over that bounded matrix;
+  the corpus scan reads ONLY the probed bucket directories (a static
+  ``bucket IN (...)`` predicate -> ``PartitionFilters``, pinned by
+  tests/test_plans.py) and ranks exactly inside them.  Cost per query
+  is nprobe/k of the corpus, independent of history size.
+* ``append`` — new vectors are assigned to the EXISTING centroids
+  (same kernel, no retrain) and appended to their bucket directories:
+  incremental ingest at the cost of the new data only, with the
+  exact law build(A ∪ B) == build(A) then append(B) because
+  assignment is per-vector given a fixed routing table (law-tested in
+  tests/test_vector_index.py and oracle-checked by
+  ``sim_vecidx_append_probe``).
+
+Float choreography: every cosine is the repo-standard sequential
+left-to-right per-dimension double fold, bit-identical to
+``queries_similarity._cos_seq`` and DuckDB's ``list_inner_product``
+chain, so the persisted-index probe hash-matches the same DuckDB
+oracle as the in-query IVF path.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rados_timestore_spark.fsutil import HadoopFS
+
+_META = "_vidx_meta.json"
+
+
+def seq_cos_matrix(E: np.ndarray, C: np.ndarray,
+                   dim: int) -> np.ndarray:
+    """Cosine of every row of ``E`` against every row of ``C`` with the
+    repo's sequential per-dimension accumulation order (one vectorized
+    numpy op per dimension), so results are bit-identical to
+    ``_cos_seq`` / DuckDB regardless of batch shape."""
+    acc = np.zeros((len(E), len(C)))
+    ne = np.zeros(len(E))
+    for i in range(dim):
+        acc += E[:, i : i + 1] * C[:, i][None, :]
+        ne += E[:, i] * E[:, i]
+    nc = np.zeros(len(C))
+    for i in range(dim):
+        nc += C[:, i] * C[:, i]
+    return acc / np.sqrt(ne)[:, None] / np.sqrt(nc)[None, :]
+
+
+def assign_to_centroids(emb: DataFrame, cids: np.ndarray,
+                        C: np.ndarray, dim: int,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Shuffle-free nearest-centroid assignment: one ``mapInPandas``
+    scan doing an O(batch * k) argmax against the broadcast-closure
+    centroid matrix.  ``cids`` must be sorted ascending so
+    ``np.argmax``'s first-max-wins tie rule equals the SQL
+    ``ORDER BY cos DESC, cid`` rule — the same kernel (and tie
+    contract) as the in-query IVF path (``_ivf_parts``)."""
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cos = seq_cos_matrix(E, C, dim)
+            yield pd.DataFrame({
+                "vec_id": pdf[id_col],
+                "embedding": pdf[vec_col],
+                "bucket": cids[np.argmax(cos, axis=1)],
+            })
+
+    return emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    ).mapInPandas(
+        assign, "vec_id long, embedding array<float>, bucket long"
+    )
+
+
+class VectorIndexNotBuilt(Exception):
+    pass
+
+
+class VectorIndex:
+    """Build-once / probe-many IVF index persisted under ``root``."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.fs = HadoopFS(spark, self.root)
+        # routing-table cache keyed by (ns, meta version): probes hit
+        # the k-row centroid matrix constantly, and the version key
+        # invalidates on rebuild — the same read-side caching the
+        # store applies to its registered-namespace map (U1)
+        self._cent_cache: dict[tuple[str, int], tuple] = {}
+
+    # ------------------------------------------------------- layout
+
+    def _ns_dir(self, ns: str) -> str:
+        return f"{self.root}/{ns}"
+
+    def _centroids_dir(self, ns: str) -> str:
+        return f"{self._ns_dir(ns)}/centroids"
+
+    def _assignments_dir(self, ns: str) -> str:
+        return f"{self._ns_dir(ns)}/assignments"
+
+    def meta(self, ns: str) -> dict:
+        path = f"{self._ns_dir(ns)}/{_META}"
+        if not self.fs.exists(path):
+            raise VectorIndexNotBuilt(
+                f"vector index {ns!r} has no {_META} under {self.root} "
+                f"— run build() first"
+            )
+        return json.loads(self.fs.read_text(path))
+
+    def _write_meta(self, ns: str, doc: dict) -> None:
+        self.fs.write_text_atomic(
+            f"{self._ns_dir(ns)}/{_META}", json.dumps(doc)
+        )
+
+    # -------------------------------------------------------- build
+
+    def build(self, ns: str, emb: DataFrame, k: int = 256,
+              dim: int | None = None, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> dict:
+        """Train the coarse quantizer and persist centroids +
+        bucket-partitioned assignments.
+
+        Trainer: the ``k`` LOWEST-id vectors of the input (a bounded
+        TakeOrdered — deterministic, so the DuckDB oracle can restate
+        it; production would k-means a sample instead, identical
+        persistence/probe shape and identical plan).  The meta
+        document is written LAST, so a crashed build leaves no
+        readable index (probe requires the meta — the same
+        publish-by-metadata pattern as the store's generation flip).
+        """
+        cent_rows = (
+            emb.select(F.col(id_col).alias("cid"),
+                       F.col(vec_col).alias("ce"))
+            .orderBy("cid").limit(k).collect()
+        )
+        if not cent_rows:
+            raise ValueError(f"build({ns!r}): empty input")
+        cids = np.array([r.cid for r in cent_rows], dtype=np.int64)
+        C = np.array([r.ce for r in cent_rows], dtype=np.float64)
+        if dim is None:
+            dim = C.shape[1]
+
+        cent_df = self.spark.createDataFrame(
+            [(int(c), [float(x) for x in row]) for c, row in zip(cids, C)],
+            "cid long, ce array<float>",
+        )
+        cent_df.coalesce(1).write.mode("overwrite").parquet(
+            self._centroids_dir(ns))
+
+        assigned = assign_to_centroids(emb, cids, C, dim, id_col, vec_col)
+        (assigned.write.mode("overwrite")
+         .partitionBy("bucket").parquet(self._assignments_dir(ns)))
+
+        n = self.spark.read.parquet(self._assignments_dir(ns)).count()
+        prev_version = 0
+        try:
+            prev_version = int(self.meta(ns).get("version", 0))
+        except VectorIndexNotBuilt:
+            pass
+        doc = {"k": int(len(cids)), "dim": int(dim),
+               "n_vectors": int(n), "version": prev_version + 1,
+               "trainer": "lowest-id-sample"}
+        self._write_meta(ns, doc)
+        return doc
+
+    # ------------------------------------------------------- append
+
+    def append(self, ns: str, emb: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> dict:
+        """Assign ``emb`` to the EXISTING routing table and append —
+        incremental ingest with no retrain and no touch of resident
+        buckets beyond the directory appends.  Because assignment is
+        per-vector given fixed centroids, build(A) + append(B) ==
+        build(A ∪ B with A's centroids) exactly."""
+        doc = self.meta(ns)  # raises if never built
+        cids, C = self._load_centroids(ns, int(doc["version"]))
+        assigned = assign_to_centroids(
+            emb, cids, C, doc["dim"], id_col, vec_col)
+        (assigned.write.mode("append")
+         .partitionBy("bucket").parquet(self._assignments_dir(ns)))
+        n_new = emb.count()
+        doc["n_vectors"] = int(doc["n_vectors"]) + int(n_new)
+        self._write_meta(ns, doc)
+        return doc
+
+    # -------------------------------------------------------- probe
+
+    def _load_centroids(self, ns: str, version: int | None = None):
+        if version is not None:
+            hit = self._cent_cache.get((ns, version))
+            if hit is not None:
+                return hit
+        pdf = (self.spark.read.parquet(self._centroids_dir(ns))
+               .toPandas().sort_values("cid"))
+        cids = pdf["cid"].to_numpy().astype(np.int64)
+        C = np.stack(pdf["ce"].to_numpy()).astype(np.float64)
+        if version is not None:
+            self._cent_cache[(ns, version)] = (cids, C)
+        return cids, C
+
+    def probe(self, ns: str, queries: list[tuple[int, list[float]]],
+              topk: int = 5, nprobe: int = 4) -> DataFrame:
+        """ANN top-k for a BOUNDED query set (id, vector) against the
+        persisted index — no trainer, no assignment pass.
+
+        The nprobe bucket choice per query is numpy over the k-row
+        centroid matrix (driver-side, bounded); ties rank by
+        (cos DESC, cid) exactly like the in-query probe window.  The
+        corpus scan carries a LITERAL ``bucket IN (...)`` predicate,
+        so Catalyst prunes to the probed directories
+        (``PartitionFilters`` — pinned by tests/test_plans.py), then
+        exact cosine ranks within: per-query cost is ~nprobe/k of the
+        corpus regardless of total index size.
+        """
+        doc = self.meta(ns)
+        cids, C = self._load_centroids(ns, int(doc["version"]))
+        dim = doc["dim"]
+        qids = np.array([q[0] for q in queries], dtype=np.int64)
+        Q = np.array([q[1] for q in queries], dtype=np.float64)
+        cos = seq_cos_matrix(Q, C, dim)
+        # rank (cos DESC, cid ASC): cids is sorted ascending, so a
+        # STABLE argsort of -cos breaks ties toward the lower cid
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
+        probe_buckets = [
+            (int(qid), [int(cids[j]) for j in row])
+            for qid, row in zip(qids, order)
+        ]
+        all_buckets = sorted({b for _q, bs in probe_buckets for b in bs})
+
+        qdf = self.spark.createDataFrame(
+            [(int(qid), [float(x) for x in qv], bs)
+             for (qid, qv), (_q, bs) in zip(queries, probe_buckets)],
+            "query_id long, qe array<float>, probed array<long>",
+        )
+        scan = (
+            self.spark.read.parquet(self._assignments_dir(ns))
+            .filter(F.col("bucket").isin(all_buckets))
+            # hive partition discovery may type bucket=N as int; the
+            # probed array is long — normalize AFTER the pruning filter
+            .withColumn("bucket", F.col("bucket").cast("long"))
+        )
+        from rados_timestore_spark.queries_similarity import _cos_seq
+
+        hits = (
+            scan.join(
+                F.broadcast(qdf),
+                F.expr("array_contains(probed, bucket)"))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id", "vec_id",
+                _cos_seq(F.col("embedding"), F.col("qe")).alias("cos"),
+            )
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id")
+        return (
+            hits.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= topk)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    "cos", "rank")
+        )

@@ -180,3 +180,23 @@ def test_rrf_rank_filters_plan_as_take_ordered(spark):
     # SortMergeJoin, which is bounded; the degradation signature is a
     # TakeOrderedAndProject count of 1 — the final top-10 only — with
     # the candidate scans sorted whole under each Window instead)
+
+
+def test_vector_index_probe_prunes_bucket_partitions(spark, tmp_path):
+    # PLANS.md "sim_vecidx_probe": the persisted-index probe must read
+    # ONLY the probed bucket directories — the literal bucket IN (...)
+    # predicate resolves to PartitionFilters on the hive-partitioned
+    # assignment table (the whole point of persisting the routing:
+    # probe cost ~nprobe/k of the corpus, not a full scan).
+    from rados_timestore_spark.vector_index import VectorIndex
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    vi = VectorIndex(spark, str(tmp_path / "idx"))
+    vi.build("e", emb, k=32)
+    rows = emb.filter(F.col("vec_id") < 2).collect()
+    df = vi.probe("e", [(r.vec_id, list(r.embedding)) for r in rows],
+                  topk=3, nprobe=2)
+    plan = plan_str(df)
+    assert "PartitionFilters" in plan
+    part = plan.split("PartitionFilters", 1)[1][:200]
+    assert "bucket" in part and " IN " in part, part

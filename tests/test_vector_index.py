@@ -1,0 +1,147 @@
+"""VectorIndex laws — the persisted build-once/probe-many IVF index
+(vector_index.py), the embeddings application of the reference's
+persisted-routing Index model (Index.hs:37-49; the register-writes-
+index round-trip law is UnitTests.hs:140-147 registerWritesIndex).
+"""
+
+import numpy as np
+import pytest
+
+import pyspark.sql.functions as F
+
+from rados_timestore_spark.vector_index import (
+    VectorIndex, VectorIndexNotBuilt,
+)
+from tests.conftest import SF_DIR
+
+K = 32
+NPROBE = 4
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def built(spark, emb, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("vidx") / "idx")
+    vi = VectorIndex(spark, root)
+    doc = vi.build("e", emb, k=K)
+    return vi, doc
+
+
+def _queries(emb, n=3):
+    rows = emb.filter(F.col("vec_id") < n).collect()
+    return [(r.vec_id, list(r.embedding)) for r in rows]
+
+
+def test_build_writes_meta_and_layout(built, emb, spark):
+    vi, doc = built
+    assert doc["k"] == K and doc["version"] == 1
+    assert doc["n_vectors"] == emb.count()
+    assert vi.meta("e") == doc
+    # routing is PERSISTED: centroids table holds exactly k rows and
+    # the assignment table is hive-partitioned by bucket
+    cent = spark.read.parquet(vi._centroids_dir("e"))
+    assert cent.count() == K
+    buckets = {r.bucket for r in
+               spark.read.parquet(vi._assignments_dir("e"))
+               .select("bucket").distinct().collect()}
+    assert buckets <= {r.cid for r in cent.collect()}
+
+
+def test_probe_requires_build(spark, tmp_path):
+    vi = VectorIndex(spark, str(tmp_path / "empty"))
+    with pytest.raises(VectorIndexNotBuilt):
+        vi.probe("nope", [(0, [0.0] * 64)])
+
+
+def test_probe_matches_in_query_ivf(built, emb, spark):
+    # The persisted probe must reproduce the in-query IVF path
+    # bit-exactly on the same (centroids, nprobe, topk) config: the
+    # index adds persistence, not approximation.
+    vi, _doc = built
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos)
+        for r in vi.probe("e", _queries(emb), topk=5,
+                          nprobe=NPROBE).collect()
+    }
+
+    # reference: brute-force the same IVF rule in numpy
+    pdf = emb.toPandas().sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    dim = E.shape[1]
+    from rados_timestore_spark.vector_index import seq_cos_matrix
+
+    Cids, C = ids[:K], E[:K]
+    cos_all = seq_cos_matrix(E, C, dim)
+    assign = Cids[np.argmax(cos_all, axis=1)]
+    expect = {}
+    for qi, (qid, qv) in enumerate(_queries(emb)):
+        q = np.array([qv], dtype=np.float64)
+        qc = seq_cos_matrix(q, C, dim)[0]
+        probed = Cids[np.argsort(-qc, kind="stable")[:NPROBE]]
+        cand = [i for i in range(len(ids))
+                if assign[i] in probed and ids[i] != qid]
+        cc = seq_cos_matrix(E[cand], q, dim)[:, 0]
+        order = sorted(zip(-cc, ids[cand]))
+        for rank, (negc, nid) in enumerate(order[:5], start=1):
+            expect[(qid, rank)] = (nid, -negc)
+    assert set(got) == set(expect)
+    for key in expect:
+        assert got[key][0] == expect[key][0], (key, got[key], expect[key])
+        assert got[key][1] == pytest.approx(expect[key][1], abs=0), key
+
+
+def test_append_law_matches_single_build(spark, emb, tmp_path):
+    # build(A) + append(B) == build(A ∪ B) given A's routing table —
+    # assignment is per-vector under fixed centroids, so incremental
+    # ingest loses nothing.  Compare probes, not files: the law is
+    # about query-visible state.
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+
+    inc = VectorIndex(spark, str(tmp_path / "inc"))
+    inc.build("e", a, k=K)
+    inc.append("e", b)
+
+    # one-shot reference with the SAME routing table (A's lowest ids)
+    one = VectorIndex(spark, str(tmp_path / "one"))
+    one.build("e", a, k=K)
+    cids, C = one._load_centroids("e")
+    from rados_timestore_spark.vector_index import assign_to_centroids
+
+    (assign_to_centroids(b, cids, C, one.meta("e")["dim"])
+     .write.mode("append").partitionBy("bucket")
+     .parquet(one._assignments_dir("e")))
+
+    qs = _queries(emb)
+    r_inc = {(r.query_id, r.rank): (r.neighbor_id, r.cos)
+             for r in inc.probe("e", qs, topk=5, nprobe=NPROBE).collect()}
+    r_one = {(r.query_id, r.rank): (r.neighbor_id, r.cos)
+             for r in one.probe("e", qs, topk=5, nprobe=NPROBE).collect()}
+    assert r_inc == r_one
+    assert inc.meta("e")["n_vectors"] == emb.count()
+
+
+def test_rebuild_bumps_version(spark, emb, tmp_path):
+    vi = VectorIndex(spark, str(tmp_path / "rb"))
+    assert vi.build("e", emb, k=K)["version"] == 1
+    assert vi.build("e", emb, k=K)["version"] == 2
+
+
+def test_probe_survives_source_table_loss(spark, emb, tmp_path):
+    # The index is SELF-CONTAINED: probing must not touch the source
+    # frame it was built from (the build-once contract — at 100 TB
+    # the source may be cold storage by probe time).  Build from a
+    # transient frame, drop it, probe.
+    vi = VectorIndex(spark, str(tmp_path / "sc"))
+    transient = emb.limit(500)
+    vi.build("e", transient, k=K)
+    del transient
+    out = vi.probe("e", _queries(emb, n=2), topk=3, nprobe=2)
+    assert out.count() > 0
+    assert {c for c in out.columns} == {
+        "query_id", "neighbor_id", "cos", "rank"}
