@@ -1311,3 +1311,124 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes.groupBy(F.col("n").alias("doc_id")).agg(
         F.count("*").cast("long").alias("triangles")
     )
+
+
+# ------------------------------ r9: exact substring dedup (Lee 2022)
+
+#: Exact-substring geometry: spans are runs of duplicated K-grams, so
+#: the smallest detectable duplicate is K tokens and reported spans
+#: are >= _SUBSTR_MIN tokens (Lee et al. 2022 use 50 BPE tokens; the
+#: fixture docs are <= ~100 words, so 8/16 keeps the op meaningful).
+_SUBSTR_K = 8
+_SUBSTR_MIN = 16
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+WITH ws AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents),
+gp AS (
+  SELECT doc_id, w,
+         unnest(generate_series(1, len(w) - {_SUBSTR_K - 1})) AS pos
+  FROM ws WHERE len(w) >= {_SUBSTR_K}),
+g AS (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5(array_to_string(
+            list_slice(w, pos, pos + {_SUBSTR_K - 1}), ' ')), 1, 15)
+         )::BIGINT AS h
+  FROM gp),
+d AS (
+  SELECT h FROM g GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+m AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM d)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+           AS grp
+  FROM m),
+sp AS (
+  SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_pos,
+         CAST(count(*) + {_SUBSTR_K - 1} AS BIGINT) AS span_tokens
+  FROM isl GROUP BY doc_id, grp)
+SELECT doc_id, start_pos, span_tokens
+FROM sp WHERE span_tokens >= {_SUBSTR_MIN}
+""",
+    tags=("dedup", "text"),
+    priority=65,  # new in r9 — promoted for first driver evidence (text_lang_id refresh demoted in exchange)
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring deduplication — maximal cross-document
+    duplicated token spans (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better": their ExactSubstr pass removes
+    any >=50-token span shared between documents).  The published
+    implementation builds a monolithic suffix array; the distributed
+    restatement is duplicated-K-gram RUNS, which finds exactly the
+    spans of length >= K shared across documents (a span of length L
+    duplicated across docs is L-K+1 consecutive duplicated K-grams,
+    and conversely every maximal run of duplicated K-grams extends to
+    a maximal duplicated span):
+
+    1. one scan explodes each doc into (pos, 60-bit md5 of the
+       K-token gram) — hashes, never gram strings, leave the scan;
+    2. a gram is CROSS-DOC duplicated iff min(doc_id) <> max(doc_id)
+       over its occurrences — one hash aggregate, no count-distinct
+       expansion, no pair generator anywhere (the op is LINEAR in
+       corpus tokens; contrast dedup_minhash_lsh's banded candidate
+       pairs);
+    3. gaps-and-islands per document (pos - row_number window,
+       partitioned by doc_id — bounded by document length) turns
+       consecutive duplicated positions into maximal runs;
+    4. runs aggregate to (start_pos, span_tokens = run + K - 1),
+       reported at >= {_SUBSTR_MIN} tokens.
+
+    chunk_exact (fixed 64-token blocks) and winnow_fingerprint
+    (sampled fingerprints) APPROXIMATE this modality; this is the
+    exact variant — unaligned spans are found at their true
+    boundaries.  The reference's dedup kernel handles point
+    collisions (deDuplicate, TimeStore/Algorithms.hs via
+    processSimple); span-level text dedup is north-star extension
+    surface."""
+    from rados_timestore_spark.queries_text import _words_col
+
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
+    k = _SUBSTR_K
+    grams = (
+        docs.select("doc_id", _words_col().alias("w"))
+        .filter(F.size("w") >= k)
+        .select(
+            "doc_id",
+            F.explode(F.expr(
+                f"transform(sequence(1, size(w) - {k - 1}), "
+                f"i -> struct(i AS pos, "
+                f"array_join(slice(w, i, {k}), ' ') AS gram))"
+            )).alias("pg"),
+        )
+        .select(
+            "doc_id", F.col("pg.pos").alias("pos"),
+            F.conv(F.substring(F.md5("pg.gram"), 1, 15), 16, 10)
+            .cast("long").alias("h"),
+        )
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("h")
+    )
+    marked = grams.join(dup, "h").select("doc_id", "pos")
+    from pyspark.sql import Window
+
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    isl = marked.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w_doc)
+    )
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("long").alias("start_pos"),
+            (F.count("*") + (k - 1)).cast("long").alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= _SUBSTR_MIN)
+        .select("doc_id", "start_pos", "span_tokens")
+    )

@@ -121,7 +121,7 @@ FROM top GROUP BY lang, pred_lang
 
 @register(
     "text_lang_id", oracle=_langid_sql(), tags=("text",),
-    priority=75,  # re-promoted in r9: r4-green oldest-evidence refresh (swap candidate if the r9 round registers new queries)
+    priority=900,  # r4-green refresh demoted in exchange for the new r9 dedup_substring_spans registration (window stays exactly 50)
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID: score = |distinct words ∩ profile|

@@ -39,6 +39,9 @@ DOC_QUERIES = [
     "mm_jpeg_header", "mm_wav_meta", "mm_decode_png",
     "mm_image_ahash", "mm_ahash_neardup_pairs",
     "graph_triangle_count",
+    # r9: random small-vocabulary corpora produce accidental cross-doc
+    # K-gram runs, probing span-boundary arithmetic off the fixture
+    "dedup_substring_spans",
 ]
 EVENT_QUERIES = [
     "ts_rollup_hourly", "ts_value_histogram", "ts_ohlc_hourly",

@@ -52,6 +52,8 @@ QUERIES = [
     "text_chunk_overlap",
     "dedup_chunk_exact",
     "text_vocab_coverage",
+    # r9 doc-driven queries
+    "dedup_substring_spans",
 ]
 
 

@@ -92,12 +92,14 @@ EXPECTED_WINDOW = {
     "ts_gap_fill", "ts_value_percentiles", "text_fingerprint",
     "mm_resize",
     # r9 part 3 (p=75): r4-green refresh filling the window to exactly
-    # 50 (ts_kv_roundtrip and tpch_q12_late_shipments were swapped
-    # back out for the two new r9 registrations below)
-    "streaming_dedup_replay", "text_lang_id",
+    # 50 (ts_kv_roundtrip, tpch_q12_late_shipments and text_lang_id
+    # were swapped back out for the three new r9 registrations below)
+    "streaming_dedup_replay",
     # r9 part 4 (p=65): NEW registrations — persisted vector index
-    # build/probe/append, promoted for first driver evidence
+    # build/probe/append and exact substring dedup, promoted for
+    # first driver evidence
     "sim_vecidx_probe", "sim_vecidx_append_probe",
+    "dedup_substring_spans",
     # the bench/headline set (must always be driver-visible)
     "ts_bulk_backfill", "text_winnow_fingerprint", "sim_ivf_kmeans",
     "sim_pq_ann", "sim_ivfpq_ann",

@@ -227,6 +227,108 @@ SOAK_R8_QUERIES = (
 )
 
 
+#: SOAK_FAMILY=r9: the r9-new operators at 10x — exact substring
+#: dedup (expected ~linear: one gram scan + hash agg, no pair
+#: generator) and the persisted vector-index probes (expected ~linear
+#: in probed-bucket bytes: k is fixed, so buckets grow with the
+#: corpus; the win vs in-query ANN is the nprobe/k fraction and the
+#: absent trainer/assignment, not sub-linear probing).
+SOAK_R9_QUERIES = (
+    "dedup_substring_spans",
+    "sim_vecidx_probe",
+    "sim_vecidx_append_probe",
+)
+
+#: SOAK_FAMILY=skew (VERDICT r8 item 4): the shuffle-heavy set under
+#: ENGINEERED key skew vs a same-size uniform corpus.  The 10x soaks
+#: scale uniformly, so hot-key mitigations (LSH hot-bucket salting,
+#: per-user windows, fuzzy-prefix blocking) had never been MEASURED
+#: under the shape they exist for.  Skew corpus: one user owns ~50%
+#: of events; one document is duplicated _SKEW_CLUSTER times
+#: verbatim (a dominant exact/minhash/simhash/ahash bucket and a
+#: dense similarity-graph community).  Reported metric is
+#: t_skew / t_uniform at equal row counts — >3x flags a missing
+#: mitigation (BENCH_NOTES r9 records the table).
+SOAK_SKEW_QUERIES = (
+    "ts_sessionize",
+    "ts_latest_per_key",
+    "ts_dedup_first_wins",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "mm_ahash_neardup_pairs",
+    "graph_connected_components",
+    "graph_triangle_count",
+)
+
+_SKEW_CLUSTER = 300
+
+
+def build_events_skewed(spark, out_dir: str) -> None:
+    """Same row count as build_events, but the first COPIES/2 copies
+    collapse every user onto user_id 0 — one user owns ~half of all
+    events while the remaining copies stay an honest uniform
+    scale-up.  Stresses every per-user window/aggregate with one
+    giant partition key."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    n_users = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    n_events = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    parts = []
+    for k in range(COPIES):
+        uid = (F.lit(0) if k < COPIES // 2
+               else F.col("user_id") + F.lit(k * n_users))
+        parts.append(ev.select(
+            (F.col("event_id") + F.lit(k * n_events)).alias("event_id"),
+            "ts",
+            uid.cast("int").alias("user_id"),
+            *[c for c in ev.columns
+              if c not in ("event_id", "ts", "user_id")],
+        ))
+    allev = parts[0]
+    for p in parts[1:]:
+        allev = allev.unionByName(p)
+    os.makedirs(out_dir, exist_ok=True)
+    allev.repartition(8).write.mode("overwrite") \
+        .parquet(f"{out_dir}/events.parquet")
+
+
+def build_corpus_skewed(spark, out_dir: str) -> None:
+    """Same row count as build_corpus, but the first _SKEW_CLUSTER
+    docs of copy 1 are replaced with doc 0's text VERBATIM — one
+    dominant duplicate cluster that lands in a single bucket of every
+    banded scheme (minhash LSH bands, simhash Hamming bands, image
+    ahash bands) and forms a dense community in the fuzzy similarity
+    graph.  True-pair output grows quadratically in the cluster size
+    by definition (C(300,2) pairs); what must NOT explode is the time
+    spent outside that legitimate output."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    n_docs = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    seed_text = (docs.filter(F.col("doc_id") == 0)
+                 .select("text").collect()[0][0])
+    other = [c for c in docs.columns if c not in ("doc_id", "text")]
+    parts = [docs]
+    for k in range(1, COPIES):
+        new_id = F.col("doc_id") + F.lit(k * n_docs)
+        src = k * len(_ALPHA) // COPIES
+        rot = _ALPHA[src:] + _ALPHA[:src]
+        text = F.translate("text", _ALPHA, rot)
+        if k == 1:
+            text = F.when(
+                F.col("doc_id") < _SKEW_CLUSTER, F.lit(seed_text)
+            ).otherwise(text)
+        parts.append(docs.select(
+            new_id.alias("doc_id"), text.alias("text"), *other))
+    alldocs = parts[0]
+    for p in parts[1:]:
+        alldocs = alldocs.unionByName(p)
+    os.makedirs(out_dir, exist_ok=True)
+    alldocs.repartition(8).write.mode("overwrite") \
+        .parquet(f"{out_dir}/documents.parquet")
+
+
 def build_corpus_const_density(spark, out_dir: str) -> None:
     """COPIES x documents with near-dup density held CONSTANT.
 
@@ -312,7 +414,41 @@ def main() -> None:
              "const_density": SOAK_CONST_DENSITY_QUERIES,
              "heavy": SOAK_HEAVY_QUERIES,
              "r8": SOAK_R8_QUERIES,
+             "r9": SOAK_R9_QUERIES,
+             "skew": SOAK_SKEW_QUERIES,
              }.get(family, SOAK_QUERIES)
+    if family == "skew":
+        # skew-vs-uniform at EQUAL row counts (not 1x-vs-10x): build
+        # both 10x corpora and report t_skew / t_uniform per query.
+        uni, skw = f"{out_dir}/uniform", f"{out_dir}/skew"
+        if not os.path.exists(f"{uni}/events.parquet"):
+            print(f"# building {COPIES}x uniform events ...",
+                  file=sys.stderr)
+            build_events(spark, uni)
+        if not os.path.exists(f"{uni}/documents.parquet"):
+            print(f"# building {COPIES}x uniform corpus ...",
+                  file=sys.stderr)
+            build_corpus(spark, uni)
+        if not os.path.exists(f"{skw}/events.parquet"):
+            print(f"# building {COPIES}x skewed events ...",
+                  file=sys.stderr)
+            build_events_skewed(spark, skw)
+        if not os.path.exists(f"{skw}/documents.parquet"):
+            print(f"# building {COPIES}x skewed corpus ...",
+                  file=sys.stderr)
+            build_corpus_skewed(spark, skw)
+        print("# timing uniform ...", file=sys.stderr)
+        t_u = time_queries(spark, uni, names)
+        print("# timing skewed ...", file=sys.stderr)
+        t_s = time_queries(spark, skw, names)
+        table = {
+            q: {"t_uniform": t_u[q], "t_skew": t_s[q],
+                "ratio": round(t_s[q] / max(t_u[q], 1e-3), 2)}
+            for q in names
+        }
+        print(json.dumps({"metric": "skew_soak", "copies": COPIES,
+                          "cluster": _SKEW_CLUSTER, "queries": table}))
+        return
     if family == "r8":
         if not os.path.exists(f"{out_dir}/events.parquet"):
             print(f"# building {COPIES}x events ...", file=sys.stderr)
