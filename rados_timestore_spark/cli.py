@@ -88,6 +88,34 @@ def _parser() -> argparse.ArgumentParser:
                     help="epoch-microsecond cutoff; an epoch is "
                          "dropped iff its NEXT boundary is <= this")
 
+    vb = sub.add_parser(
+        "vecidx-build",
+        help="build (or rebuild) a persisted IVF vector index from a "
+             "parquet table with (vec_id, embedding) columns")
+    vb.add_argument("--parquet", required=True)
+    vb.add_argument("--k", type=int, default=256,
+                    help="coarse-quantizer size (constant in corpus)")
+
+    va = sub.add_parser(
+        "vecidx-append",
+        help="assign new vectors to the existing routing table and "
+             "append (no retrain)")
+    va.add_argument("--parquet", required=True)
+
+    vp = sub.add_parser(
+        "vecidx-probe",
+        help="ANN top-k for query vec_ids drawn from a parquet table")
+    vp.add_argument("--parquet", required=True,
+                    help="table holding the query vectors")
+    vp.add_argument("--ids", required=True,
+                    help="comma-separated query vec_id list")
+    vp.add_argument("--topk", type=int, default=5)
+    vp.add_argument("--nprobe", type=int, default=4)
+
+    sub.add_parser(
+        "vecidx-compact",
+        help="collapse each bucket's append files into one file")
+
     q = sub.add_parser(
         "query",
         help="run a registered analytics query (sketch_*, dedup_*, "
@@ -138,6 +166,32 @@ def main(argv: Sequence[str] | None = None,
         print("--root and --ns are required for store commands",
               file=sys.stderr)
         return 1
+
+    if args.cmd.startswith("vecidx-"):
+        from pyspark.sql import functions as F
+
+        from rados_timestore_spark.vector_index import VectorIndex
+
+        vi = VectorIndex(spark, args.root)
+        if args.cmd == "vecidx-build":
+            print(json.dumps(vi.build(
+                args.ns, spark.read.parquet(args.parquet), k=args.k)))
+        elif args.cmd == "vecidx-append":
+            print(json.dumps(vi.append(
+                args.ns, spark.read.parquet(args.parquet))))
+        elif args.cmd == "vecidx-probe":
+            ids = [int(a) for a in args.ids.split(",") if a]
+            rows = (spark.read.parquet(args.parquet)
+                    .filter(F.col("vec_id").isin(ids)).collect())
+            qs = [(r.vec_id, list(r.embedding)) for r in rows]
+            out = vi.probe(args.ns, qs, topk=args.topk,
+                           nprobe=args.nprobe)
+            for row in out.collect():
+                print(json.dumps(row.asDict()))
+        elif args.cmd == "vecidx-compact":
+            print(json.dumps({"files": vi.compact(args.ns)}))
+        return 0
+
     store = TimeStore(spark, args.root)
 
     if args.cmd == "register":

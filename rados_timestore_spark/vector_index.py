@@ -221,6 +221,49 @@ class VectorIndex:
         self._write_meta(ns, doc)
         return doc
 
+    # ------------------------------------------------------ compact
+
+    def compact(self, ns: str) -> int:
+        """Small-files maintenance: every ``append`` leaves one parquet
+        file per (append x touched bucket), so a high-frequency ingest
+        degrades probes into many-small-file scans (each file costs a
+        footer read + task).  Rewrite the assignment table so each
+        bucket holds ONE file, preserving rows exactly.
+
+        Mechanics: rewrite into a staging directory, then swap via two
+        renames (live -> .old, staging -> live) and drop the old
+        generation — the directory-level analog of TimeStore.compact's
+        generation flip.  Like the store's maintenance verbs
+        (compact/gc/expire), this is scheduled serially by the
+        operator; a probe planned in the instant between the renames
+        would see a missing directory and should be retried.  Returns
+        the number of data files after compaction.
+        """
+        self.meta(ns)  # raises if never built
+        live = self._assignments_dir(ns)
+        staging, old = f"{live}.compacting", f"{live}.old"
+        for leftover in (staging, old):
+            if self.fs.exists(leftover):
+                self.fs.delete(leftover, recursive=True)
+        df = self.spark.read.parquet(live)
+        # hash-distribute buckets, then partitionBy: each bucket lives
+        # in exactly one task => exactly one file per bucket directory
+        (df.repartition("bucket").write.mode("overwrite")
+         .partitionBy("bucket").parquet(staging))
+        if not self.fs.rename(live, old):
+            raise IOError(f"compact({ns!r}): cannot move live dir aside")
+        if not self.fs.rename(staging, live):
+            # roll back so the index stays readable
+            self.fs.rename(old, live)
+            raise IOError(f"compact({ns!r}): staging swap failed")
+        self.fs.delete(old, recursive=True)
+        return sum(
+            1 for d in self.fs.list_dirs(live) if d.startswith("bucket=")
+            for st in self.fs.fs.listStatus(
+                self.fs._path(f"{live}/{d}"))
+            if st.getPath().getName().startswith("part-")
+        )
+
     # -------------------------------------------------------- probe
 
     def _load_centroids(self, ns: str, version: int | None = None):

@@ -135,3 +135,39 @@ def test_cli_expire(spark, tmp_path, capsys):
     rows = [json.loads(line) for line in
             capsys.readouterr().out.strip().splitlines()]
     assert {(r["time"], r["value"]) for r in rows} == {(2 * day + 10, 3)}
+
+
+def test_cli_vecidx_lifecycle(spark, tmp_path, capsys):
+    # build -> append -> probe -> compact through the CLI verbs, the
+    # scriptable surface of vector_index.VectorIndex.
+    root = str(tmp_path / "vidx")
+    base = ["--root", root, "--ns", "E"]
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    import pyspark.sql.functions as F
+
+    emb = spark.read.parquet(src)
+    a, b = (str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet"))
+    emb.filter(F.col("vec_id") % 2 == 0).write.parquet(a)
+    emb.filter(F.col("vec_id") % 2 == 1).write.parquet(b)
+
+    assert main([*base, "vecidx-build", "--parquet", a, "--k", "32"],
+                spark=spark) == 0
+    doc = json.loads(capsys.readouterr().out)
+    assert doc["k"] == 32 and doc["version"] == 1
+
+    assert main([*base, "vecidx-append", "--parquet", b],
+                spark=spark) == 0
+    doc = json.loads(capsys.readouterr().out)
+    assert doc["n_vectors"] == emb.count()
+
+    assert main([*base, "vecidx-probe", "--parquet", src,
+                 "--ids", "0,1", "--topk", "3", "--nprobe", "2"],
+                spark=spark) == 0
+    rows = [json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines()]
+    assert {r["query_id"] for r in rows} == {0, 1}
+    assert all(1 <= r["rank"] <= 3 for r in rows)
+
+    assert main([*base, "vecidx-compact"], spark=spark) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["files"] > 0

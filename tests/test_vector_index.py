@@ -145,3 +145,35 @@ def test_probe_survives_source_table_loss(spark, emb, tmp_path):
     assert out.count() > 0
     assert {c for c in out.columns} == {
         "query_id", "neighbor_id", "cos", "rank"}
+
+
+def test_compact_collapses_append_files_and_preserves_probes(
+        spark, emb, tmp_path):
+    # Repeated appends leave one file per (append x bucket); compact
+    # must collapse each bucket to ONE file while the probe results
+    # stay byte-identical (rows preserved exactly).
+    import glob
+
+    vi = VectorIndex(spark, str(tmp_path / "cp"))
+    parts = [emb.filter(F.col("vec_id") % 4 == r) for r in range(4)]
+    vi.build("e", parts[0], k=K)
+    for p in parts[1:]:
+        vi.append("e", p)
+
+    def n_files():
+        return len(glob.glob(
+            f"{vi._assignments_dir('e')}/bucket=*/part-*"))
+
+    qs = _queries(emb)
+    before_files = n_files()
+    before = {(r.query_id, r.rank): (r.neighbor_id, r.cos)
+              for r in vi.probe("e", qs, topk=5,
+                                nprobe=NPROBE).collect()}
+    n_buckets = len(glob.glob(f"{vi._assignments_dir('e')}/bucket=*"))
+    total = vi.compact("e")
+    assert total == n_buckets  # exactly one file per bucket
+    assert n_files() == n_buckets < before_files
+    after = {(r.query_id, r.rank): (r.neighbor_id, r.cos)
+             for r in vi.probe("e", qs, topk=5, nprobe=NPROBE).collect()}
+    assert after == before
+    assert vi.meta("e")["n_vectors"] == emb.count()
