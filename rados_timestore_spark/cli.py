@@ -112,6 +112,12 @@ def _parser() -> argparse.ArgumentParser:
     vp.add_argument("--topk", type=int, default=5)
     vp.add_argument("--nprobe", type=int, default=4)
 
+    vd = sub.add_parser(
+        "vecidx-delete",
+        help="retract vectors by id (rewrites only affected buckets)")
+    vd.add_argument("--ids", required=True,
+                    help="comma-separated vec_id list")
+
     sub.add_parser(
         "vecidx-compact",
         help="collapse each bucket's append files into one file")
@@ -188,6 +194,9 @@ def main(argv: Sequence[str] | None = None,
                            nprobe=args.nprobe)
             for row in out.collect():
                 print(json.dumps(row.asDict()))
+        elif args.cmd == "vecidx-delete":
+            ids = [int(a) for a in args.ids.split(",") if a]
+            print(json.dumps({"removed": vi.delete(args.ns, ids)}))
         elif args.cmd == "vecidx-compact":
             print(json.dumps({"files": vi.compact(args.ns)}))
         return 0

@@ -185,6 +185,45 @@ class HadoopFS:
     def delete(self, p: str, recursive: bool = True) -> bool:
         return bool(self.fs.delete(self._path(p), recursive))
 
+    def promote_dir_tree(self, stage: str, dest: str) -> int:
+        """Move every DATA file under ``stage`` into ``dest``,
+        preserving relative directory layout (hidden ``_``/``.``
+        entries like _SUCCESS are skipped); returns the move count.
+
+        This is how a partitioned batch is APPENDED concurrently:
+        ``df.write.mode("append")`` into a shared directory funnels
+        every concurrent job through ONE Hadoop committer
+        ``_temporary`` tree, and the first job to commit deletes the
+        others' in-flight task files (TASK_WRITE_FAILED — observed
+        under the 4-writer stress test).  Writing to a per-batch
+        staging dir and renaming files into place gives each job its
+        own committer tree; part-file names carry the writing job's
+        UUID, so two promotions can never collide on a name.  Renames
+        are metadata-rate on a real FS; per-file visibility matches
+        the direct append's (readers could always see a partially
+        committed batch — the meta flip is the publish point).
+        """
+        stage_q = self.fs.makeQualified(self._path(stage)).toString()
+        dest_q = self.fs.makeQualified(self._path(dest)).toString()
+        moved = 0
+        made_dirs: set[str] = set()
+        it = self.fs.listFiles(self._path(stage), True)
+        while it.hasNext():
+            f = it.next().getPath()
+            if f.getName().startswith(("_", ".")):
+                continue
+            rel = f.toString()[len(stage_q) + 1:]
+            target = f"{dest_q}/{rel}"
+            parent = target.rsplit("/", 1)[0]
+            if parent not in made_dirs:
+                self.fs.mkdirs(self._path(parent))
+                made_dirs.add(parent)
+            if not self.fs.rename(f, self._path(target)):
+                raise IOError(
+                    f"promote_dir_tree: rename failed {f} -> {target}")
+            moved += 1
+        return moved
+
 
 class SimulatedCrash(Exception):
     """Raised by :class:`ObjectStoreFS` fault injection — models the

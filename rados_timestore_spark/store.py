@@ -419,11 +419,28 @@ class TimeStore:
             F.max("seq").alias("max_seq"),
         )
 
-        (
-            routed.write.mode("append")
-            .partitionBy("epoch", "bucket")
-            .parquet(self._points_dir(ns, meta))
-        )
+        # Staged append (r9): a direct mode("append") into the shared
+        # points dir funnels every CONCURRENT writer through one
+        # Hadoop committer _temporary tree — the first job to commit
+        # deletes the others' in-flight task files (TASK_WRITE_FAILED
+        # under the interleaved-writers stress test).  Each batch
+        # writes its own staging dir (own committer tree) and promotes
+        # files by rename; part names carry the job UUID, so
+        # promotions never collide.  Crash between write and promote
+        # leaves a hidden .stage_* dir (invisible to scans); gc()
+        # sweeps them.
+        import uuid as _uuid
+
+        stage = f"{self._ns_dir(ns)}/.stage_{_uuid.uuid4().hex}"
+        try:
+            (
+                routed.write.mode("overwrite")
+                .partitionBy("epoch", "bucket")
+                .parquet(stage)
+            )
+            self.fs.promote_dir_tree(stage, self._points_dir(ns, meta))
+        finally:
+            self.fs.delete(stage, recursive=True)
 
         got = obs.get
         for attempt in range(retries + 1):
@@ -717,6 +734,11 @@ class TimeStore:
         )
         obs = Observation()
         routed = routed.observe(obs, F.max("seq").alias("max_seq"))
+        # Direct append is safe HERE: bulk backfill is a single-writer
+        # maintenance verb (it installs a new index wholesale — two
+        # concurrent backfills already conflict semantically), so no
+        # second job can share this committer's _temporary tree.  The
+        # concurrent path (write_points) stages + promotes instead.
         (
             routed.write.mode("append")
             .partitionBy("epoch", "bucket")
@@ -1122,6 +1144,14 @@ class TimeStore:
                 stale = live_v > 0  # legacy generation 0
             elif name.startswith("points_v") and name[len("points_v"):].isdigit():
                 stale = int(name[len("points_v"):]) < live_v
+            elif name.startswith(".stage_"):
+                # a crashed write_points left its staging dir behind
+                # (never promoted — the batch was lost with the
+                # writer, exactly like a crashed direct append's
+                # uncommitted task files).  gc runs serially with
+                # writers by the maintenance contract, so no LIVE
+                # stage can be swept here.
+                stale = True
             else:
                 stale = False
             if stale:

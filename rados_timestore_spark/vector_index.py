@@ -221,6 +221,63 @@ class VectorIndex:
         self._write_meta(ns, doc)
         return doc
 
+    # ------------------------------------------------------- delete
+
+    def delete(self, ns: str, vec_ids) -> int:
+        """Remove vectors by id, rewriting ONLY the buckets that hold
+        them — the retraction path (takedowns, opt-outs, corrections)
+        at bounded cost: untouched buckets' files are not read,
+        written, or moved.  Returns the number of vectors removed.
+
+        Mechanics: one pruned scan finds the affected buckets (the id
+        predicate pushes into parquet row-group stats), then a single
+        job rewrites those buckets minus the victims into a staging
+        dir, and each affected bucket directory is swapped by rename
+        (the per-bucket analog of compact's generation flip).  Like
+        the other maintenance verbs, schedule serially with
+        appends/compactions.
+        """
+        ids = [int(v) for v in vec_ids]
+        if not ids:
+            return 0
+        self.meta(ns)  # raises if never built
+        live = self._assignments_dir(ns)
+        scan = self.spark.read.parquet(live)
+        affected = sorted(
+            r.bucket for r in scan.filter(F.col("vec_id").isin(ids))
+            .select("bucket").distinct().collect()
+        )
+        if not affected:
+            return 0
+        removed = (scan.filter(F.col("bucket").isin(affected))
+                   .filter(F.col("vec_id").isin(ids)).count())
+        staging = f"{live}.deleting"
+        if self.fs.exists(staging):
+            self.fs.delete(staging, recursive=True)
+        survivors = (
+            scan.filter(F.col("bucket").isin(affected))
+            .filter(~F.col("vec_id").isin(ids))
+        )
+        (survivors.repartition("bucket").write.mode("overwrite")
+         .partitionBy("bucket").parquet(staging))
+        for b in affected:
+            old = f"{live}/bucket={b}.old"
+            if not self.fs.rename(f"{live}/bucket={b}", old):
+                raise IOError(f"delete({ns!r}): cannot move bucket {b}")
+            src = f"{staging}/bucket={b}"
+            if self.fs.exists(src):
+                if not self.fs.rename(src, f"{live}/bucket={b}"):
+                    self.fs.rename(old, f"{live}/bucket={b}")
+                    raise IOError(
+                        f"delete({ns!r}): swap failed for bucket {b}")
+            # else: the bucket held only victims — it simply vanishes
+            self.fs.delete(old, recursive=True)
+        self.fs.delete(staging, recursive=True)
+        doc = self.meta(ns)
+        doc["n_vectors"] = int(doc["n_vectors"]) - int(removed)
+        self._write_meta(ns, doc)
+        return removed
+
     # ------------------------------------------------------ compact
 
     def compact(self, ns: str) -> int:

@@ -171,3 +171,8 @@ def test_cli_vecidx_lifecycle(spark, tmp_path, capsys):
     assert main([*base, "vecidx-compact"], spark=spark) == 0
     out = json.loads(capsys.readouterr().out)
     assert out["files"] > 0
+
+    assert main([*base, "vecidx-delete", "--ids", "7,9"],
+                spark=spark) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["removed"] == 2

@@ -859,3 +859,55 @@ def test_expire_bumps_fencing_counters_only_when_dropping(spark, tmp_path):
     after = store._read_meta("T")
     assert after.txn == mid.txn + 1
     assert after.expire_gen == mid.expire_gen + 1
+
+
+# --------------------------------------- staged append promotion (r9)
+
+
+def test_promote_dir_tree_moves_data_files_only(spark, tmp_path):
+    from rados_timestore_spark.fsutil import HadoopFS
+
+    fs = HadoopFS(spark, str(tmp_path))
+    stage, dest = str(tmp_path / "stage"), str(tmp_path / "dest")
+    df = spark.createDataFrame(
+        [(e, b, e * 10 + b) for e in range(2) for b in range(3)],
+        "epoch long, bucket long, v long",
+    )
+    df.write.partitionBy("epoch", "bucket").parquet(stage)
+    import glob
+    import os
+
+    staged = glob.glob(f"{stage}/epoch=*/bucket=*/part-*")
+    assert staged
+    moved = fs.promote_dir_tree(stage, dest)
+    assert moved == len(staged)
+    # every data file moved, layout preserved, hidden markers skipped
+    assert glob.glob(f"{stage}/epoch=*/bucket=*/part-*") == []
+    assert os.path.exists(f"{stage}/_SUCCESS")  # marker left behind
+    got = spark.read.parquet(dest)
+    assert got.count() == 6
+    assert {(r.epoch, r.bucket, r.v) for r in got.collect()} == {
+        (e, b, e * 10 + b) for e in range(2) for b in range(3)
+    }
+
+
+def test_write_points_leaves_no_stage_dirs_and_gc_sweeps_orphans(
+        spark, tmp_path):
+    from rados_timestore_spark.store import TimeStore
+
+    store = TimeStore(spark, str(tmp_path / "wh"))
+    store.register_namespace("S", buckets=4)
+    df = spark.createDataFrame(
+        [(2, 10, 1), (4, 20, 2)], "address long, time long, value long")
+    store.write_points("S", df)
+    names = store.fs.list_dirs(store._ns_dir("S"))
+    assert not any(n.startswith(".stage_") for n in names)
+    assert store.read_simple("S", 0, 100, [2, 4]).count() == 2
+    # a crashed writer's orphaned staging dir is swept by gc and
+    # invisible to reads (hidden directory)
+    orphan = f"{store._ns_dir('S')}/.stage_deadbeef"
+    store.fs.mkdirs(orphan)
+    store.fs.write_text_atomic(f"{orphan}/part-0.parquet", "junk")
+    assert store.read_simple("S", 0, 100, [2, 4]).count() == 2
+    assert ".stage_deadbeef" in store.gc("S")
+    assert not store.fs.exists(orphan)

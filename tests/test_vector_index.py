@@ -177,3 +177,38 @@ def test_compact_collapses_append_files_and_preserves_probes(
              for r in vi.probe("e", qs, topk=5, nprobe=NPROBE).collect()}
     assert after == before
     assert vi.meta("e")["n_vectors"] == emb.count()
+
+
+def test_delete_rewrites_only_affected_buckets(spark, emb, tmp_path):
+    # Retraction: victims vanish from probes, n_vectors is adjusted,
+    # and UNAFFECTED bucket directories keep their exact files (no
+    # read, no rewrite, no move — bounded maintenance cost).
+    import glob
+    import os
+
+    vi = VectorIndex(spark, str(tmp_path / "dl"))
+    vi.build("e", emb, k=K)
+    scan = spark.read.parquet(vi._assignments_dir("e"))
+    # pick 3 victims from ONE bucket so most buckets are unaffected
+    some = scan.groupBy("bucket").count().orderBy(F.desc("count")) \
+        .limit(1).collect()[0]
+    victims = [r.vec_id for r in
+               scan.filter(F.col("bucket") == some.bucket)
+               .limit(3).collect()]
+    before_meta = vi.meta("e")
+    untouched = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{vi._assignments_dir('e')}/bucket=*/part-*")
+        if f"bucket={some.bucket}/" not in p
+    }
+    assert vi.delete("e", victims) == 3
+    after = spark.read.parquet(vi._assignments_dir("e"))
+    assert after.filter(F.col("vec_id").isin(victims)).count() == 0
+    assert vi.meta("e")["n_vectors"] == before_meta["n_vectors"] - 3
+    for p, mtime in untouched.items():
+        assert os.path.getmtime(p) == mtime, p  # file not rewritten
+    # deleting ids that do not exist is a no-op
+    assert vi.delete("e", [10 ** 9]) == 0
+    # the victims never come back from a probe
+    got = vi.probe("e", _queries(emb), topk=5, nprobe=K)  # probe ALL
+    assert got.filter(F.col("neighbor_id").isin(victims)).count() == 0
