@@ -95,6 +95,12 @@ def _parser() -> argparse.ArgumentParser:
     vb.add_argument("--parquet", required=True)
     vb.add_argument("--k", type=int, default=256,
                     help="coarse-quantizer size (constant in corpus)")
+    vb.add_argument("--trainer", choices=("sample", "kmeans"),
+                    default="sample",
+                    help="sample = k lowest-id vectors; kmeans = "
+                         "distributed Lloyd seeded from that sample")
+    vb.add_argument("--iters", type=int, default=2,
+                    help="Lloyd iterations (kmeans trainer only)")
 
     va = sub.add_parser(
         "vecidx-append",
@@ -181,7 +187,8 @@ def main(argv: Sequence[str] | None = None,
         vi = VectorIndex(spark, args.root)
         if args.cmd == "vecidx-build":
             print(json.dumps(vi.build(
-                args.ns, spark.read.parquet(args.parquet), k=args.k)))
+                args.ns, spark.read.parquet(args.parquet), k=args.k,
+                trainer=args.trainer, iters=args.iters)))
         elif args.cmd == "vecidx-append":
             print(json.dumps(vi.append(
                 args.ns, spark.read.parquet(args.parquet))))

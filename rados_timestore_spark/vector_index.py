@@ -108,6 +108,80 @@ def assign_to_centroids(emb: DataFrame, cids: np.ndarray,
     )
 
 
+#: Fixed-point scale for the k-means update step — floor(x * 2^20)
+#: sums are exact BIGINTs, so the distributed mean is shuffle-order
+#: independent (the same choreography as sim_kmeans_quantizer's
+#: oracle-checked trainer).
+_KM_SCALE = 1 << 20
+
+
+def train_kmeans_centroids(emb: DataFrame, k: int, dim: int,
+                           iters: int = 2, id_col: str = "vec_id",
+                           vec_col: str = "embedding"):
+    """Driver-coordinated Lloyd iterations over ANY embedding frame
+    (the MLlib pattern): per iteration one shuffle-free mapInPandas
+    nearest-centroid pass (squared L2, ties to the lowest cid) + one
+    hash aggregate of fixed-point dimension sums; only the k x dim
+    centroid matrix ever reaches the driver.  Deterministic: seeds
+    are the k lowest ids, update means are exact-integer sums divided
+    in one fixed IEEE order.  Returns (cids, centroid matrix) —
+    centroid ids are the surviving seed ids (empty clusters drop).
+    """
+    import pyspark.sql.functions as _F
+
+    seed = (
+        emb.select(_F.col(id_col).alias("vec_id"),
+                   _F.col(vec_col).alias("embedding"))
+        .orderBy("vec_id").limit(k).collect()
+    )
+    if not seed:
+        raise ValueError("train_kmeans_centroids: empty input")
+    cids = np.array([r.vec_id for r in seed], dtype=np.int64)
+    C = np.array([r.embedding for r in seed], dtype=np.float64)
+
+    sum_cols = [
+        _F.sum(
+            _F.floor(_F.col("embedding")[i].cast("double")
+                     * _F.lit(float(_KM_SCALE))).cast("long")
+        ).alias(f"s{i}")
+        for i in range(dim)
+    ]
+    base = emb.select(_F.col(id_col).alias("vec_id"),
+                      _F.col(vec_col).alias("embedding"))
+    for _ in range(iters):
+        cid_arr, Cm = cids, C
+
+        def assign(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                E = np.stack(
+                    pdf["embedding"].to_numpy()).astype(np.float64)
+                # squared L2 via the sequential per-dimension fold
+                d = np.zeros((len(E), len(Cm)))
+                for i in range(dim):
+                    diff = E[:, i : i + 1] - Cm[:, i][None, :]
+                    d += diff * diff
+                yield pd.DataFrame({
+                    "embedding": pdf["embedding"],
+                    "cid": cid_arr[np.argmin(d, axis=1)],
+                })
+
+        assigned = base.mapInPandas(
+            assign, "embedding array<float>, cid long")
+        rows = sorted(
+            assigned.groupBy("cid").agg(
+                _F.count("*").alias("n"), *sum_cols).collect(),
+            key=lambda r: r["cid"],
+        )
+        cids = np.array([int(r["cid"]) for r in rows], dtype=np.int64)
+        C = np.array(
+            [[float(r[f"s{i}"]) / r["n"] / float(_KM_SCALE)
+              for i in range(dim)] for r in rows]
+        )
+    return cids, C
+
+
 class VectorIndexNotBuilt(Exception):
     pass
 
@@ -154,29 +228,57 @@ class VectorIndex:
 
     def build(self, ns: str, emb: DataFrame, k: int = 256,
               dim: int | None = None, id_col: str = "vec_id",
-              vec_col: str = "embedding") -> dict:
+              vec_col: str = "embedding", trainer: str = "sample",
+              iters: int = 2) -> dict:
         """Train the coarse quantizer and persist centroids +
         bucket-partitioned assignments.
 
-        Trainer: the ``k`` LOWEST-id vectors of the input (a bounded
-        TakeOrdered — deterministic, so the DuckDB oracle can restate
-        it; production would k-means a sample instead, identical
-        persistence/probe shape and identical plan).  The meta
-        document is written LAST, so a crashed build leaves no
-        readable index (probe requires the meta — the same
-        publish-by-metadata pattern as the store's generation flip).
+        Trainers (both deterministic, both bounded driver state):
+
+        * ``"sample"`` (default): the ``k`` LOWEST-id vectors of the
+          input (a bounded TakeOrdered) — simple enough for the DuckDB
+          oracle to restate, which is what the driver-checked queries
+          use.
+        * ``"kmeans"``: ``iters`` distributed Lloyd rounds
+          (:func:`train_kmeans_centroids`) seeded from the same
+          sample — the production quantizer; identical persistence,
+          probe plan and laws.
+
+        Either way the centroid matrix is quantized to the persisted
+        float32 precision BEFORE assignment, so the routing the build
+        uses is bit-identical to the routing every later probe/append
+        loads from disk.  The meta document is written LAST, so a
+        crashed build leaves no readable index (probe requires the
+        meta — the same publish-by-metadata pattern as the store's
+        generation flip).
         """
-        cent_rows = (
-            emb.select(F.col(id_col).alias("cid"),
-                       F.col(vec_col).alias("ce"))
-            .orderBy("cid").limit(k).collect()
-        )
-        if not cent_rows:
-            raise ValueError(f"build({ns!r}): empty input")
-        cids = np.array([r.cid for r in cent_rows], dtype=np.int64)
-        C = np.array([r.ce for r in cent_rows], dtype=np.float64)
-        if dim is None:
-            dim = C.shape[1]
+        if trainer == "kmeans":
+            probe_dim = dim
+            if probe_dim is None:
+                first = emb.select(F.col(vec_col)).head()
+                if first is None:
+                    raise ValueError(f"build({ns!r}): empty input")
+                probe_dim = len(first[0])
+            cids, C = train_kmeans_centroids(
+                emb, k, probe_dim, iters=iters,
+                id_col=id_col, vec_col=vec_col)
+            dim = probe_dim
+        elif trainer == "sample":
+            cent_rows = (
+                emb.select(F.col(id_col).alias("cid"),
+                           F.col(vec_col).alias("ce"))
+                .orderBy("cid").limit(k).collect()
+            )
+            if not cent_rows:
+                raise ValueError(f"build({ns!r}): empty input")
+            cids = np.array([r.cid for r in cent_rows], dtype=np.int64)
+            C = np.array([r.ce for r in cent_rows], dtype=np.float64)
+            if dim is None:
+                dim = C.shape[1]
+        else:
+            raise ValueError(f"unknown trainer {trainer!r}")
+        # persisted precision IS the routing precision
+        C = C.astype(np.float32).astype(np.float64)
 
         cent_df = self.spark.createDataFrame(
             [(int(c), [float(x) for x in row]) for c, row in zip(cids, C)],
@@ -197,7 +299,7 @@ class VectorIndex:
             pass
         doc = {"k": int(len(cids)), "dim": int(dim),
                "n_vectors": int(n), "version": prev_version + 1,
-               "trainer": "lowest-id-sample"}
+               "trainer": trainer}
         self._write_meta(ns, doc)
         return doc
 

@@ -212,3 +212,36 @@ def test_delete_rewrites_only_affected_buckets(spark, emb, tmp_path):
     # the victims never come back from a probe
     got = vi.probe("e", _queries(emb), topk=5, nprobe=K)  # probe ALL
     assert got.filter(F.col("neighbor_id").isin(victims)).count() == 0
+
+
+def test_kmeans_trainer_is_deterministic_and_probeable(spark, emb, tmp_path):
+    # The production trainer: distributed Lloyd seeded from the k
+    # lowest ids, fixed-point update sums.  Two independent builds
+    # must produce byte-identical centroid tables (shuffle-order
+    # independence), probes must serve from the persisted routing,
+    # and the incremental-append law must hold exactly as for the
+    # sample trainer (it only depends on a FIXED routing table).
+    a = VectorIndex(spark, str(tmp_path / "km_a"))
+    b = VectorIndex(spark, str(tmp_path / "km_b"))
+    da = a.build("e", emb, k=K, trainer="kmeans", iters=2)
+    db = b.build("e", emb, k=K, trainer="kmeans", iters=2)
+    assert da["trainer"] == "kmeans"
+    ca = {r.cid: list(r.ce) for r in
+          spark.read.parquet(a._centroids_dir("e")).collect()}
+    cb = {r.cid: list(r.ce) for r in
+          spark.read.parquet(b._centroids_dir("e")).collect()}
+    assert ca == cb  # bit-identical training
+    qs = _queries(emb)
+    ra = {(r.query_id, r.rank): (r.neighbor_id, r.cos)
+          for r in a.probe("e", qs, topk=5, nprobe=NPROBE).collect()}
+    assert ra and len({q for q, _ in ra}) == len(qs)
+
+    # append law under the trained routing
+    ev = emb.filter(F.col("vec_id") % 2 == 0)
+    od = emb.filter(F.col("vec_id") % 2 == 1)
+    inc = VectorIndex(spark, str(tmp_path / "km_inc"))
+    inc.build("e", ev, k=K, trainer="kmeans", iters=2)
+    inc.append("e", od)
+    assert inc.meta("e")["n_vectors"] == emb.count()
+    got = inc.probe("e", qs, topk=5, nprobe=NPROBE)
+    assert got.count() == len(qs) * 5
