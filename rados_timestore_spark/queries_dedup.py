@@ -1432,3 +1432,156 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("span_tokens") >= _SUBSTR_MIN)
         .select("doc_id", "start_pos", "span_tokens")
     )
+
+
+@register(
+    "dedup_substring_scrub",
+    oracle=f"""
+WITH ws AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents),
+gp AS (
+  SELECT doc_id, w,
+         unnest(generate_series(1, len(w) - {_SUBSTR_K - 1})) AS pos
+  FROM ws WHERE len(w) >= {_SUBSTR_K}),
+g AS (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5(array_to_string(
+            list_slice(w, pos, pos + {_SUBSTR_K - 1}), ' ')), 1, 15)
+         )::BIGINT AS h
+  FROM gp),
+d AS (
+  SELECT h FROM g GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+m AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM d)),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+           AS grp
+  FROM m),
+sp AS (
+  SELECT doc_id, min(pos) AS start_pos,
+         count(*) + {_SUBSTR_K - 1} AS span_tokens
+  FROM isl GROUP BY doc_id, grp
+  HAVING count(*) + {_SUBSTR_K - 1} >= {_SUBSTR_MIN}),
+tok AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w))) AS pos
+  FROM ws),
+cut AS (
+  SELECT DISTINCT t.doc_id, t.pos
+  FROM tok t JOIN sp
+    ON sp.doc_id = t.doc_id
+   AND t.pos BETWEEN sp.start_pos
+                 AND sp.start_pos + sp.span_tokens - 1),
+kept AS (
+  SELECT t.doc_id, t.pos, t.w[t.pos] AS word
+  FROM tok t LEFT JOIN cut
+    ON cut.doc_id = t.doc_id AND cut.pos = t.pos
+  WHERE cut.pos IS NULL)
+SELECT ws.doc_id,
+       CAST(len(ws.w) - coalesce(k.n_kept, 0) AS BIGINT)
+         AS removed_tokens,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS kept_tokens,
+       md5(coalesce(k.cleaned, '')) AS cleaned_md5
+FROM ws LEFT JOIN (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(word, ' ' ORDER BY pos) AS cleaned
+  FROM kept GROUP BY doc_id) k
+  ON k.doc_id = ws.doc_id
+WHERE len(ws.w) - coalesce(k.n_kept, 0) > 0
+""",
+    tags=("dedup", "text"),
+    priority=65,  # new in r9 — promoted for first driver evidence (streaming_dedup_replay refresh demoted in exchange)
+)
+def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY exact substring dedup — the second half of the Lee et al.
+    2022 ExactSubstr pass: having found the maximal cross-document
+    duplicated spans (:func:`dedup_substring_spans`' kernel), REMOVE
+    those token ranges from each affected document and report
+    (removed_tokens, kept_tokens, md5 of the cleaned text).  The
+    detect -> scrub pair mirrors the repo's text_pii_scrub precedent:
+    the detector is a signal, the scrubber is the curation action a
+    pipeline actually ships.
+
+    Plan shape on top of the detector: one extra tokens explode, one
+    span-range semi-join (spans are per-doc and bounded by document
+    length, so the BETWEEN join is a per-doc nested loop over a
+    handful of spans — no cross-doc blowup), and one per-doc
+    string_agg ordered by position.  Still linear in corpus tokens;
+    docs with nothing to scrub are filtered out (removed_tokens > 0),
+    so output is proportional to actual duplication."""
+    from rados_timestore_spark.queries_text import _words_col
+
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
+    k = _SUBSTR_K
+    ws = docs.select("doc_id", _words_col().alias("w")).transform(pin)
+    grams = (
+        ws.filter(F.size("w") >= k)
+        .select(
+            "doc_id",
+            F.explode(F.expr(
+                f"transform(sequence(1, size(w) - {k - 1}), "
+                f"i -> struct(i AS pos, "
+                f"array_join(slice(w, i, {k}), ' ') AS gram))"
+            )).alias("pg"),
+        )
+        .select(
+            "doc_id", F.col("pg.pos").alias("pos"),
+            F.conv(F.substring(F.md5("pg.gram"), 1, 15), 16, 10)
+            .cast("long").alias("h"),
+        )
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("h")
+    )
+    marked = grams.join(dup, "h").select("doc_id", "pos")
+    from pyspark.sql import Window
+
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        marked.withColumn(
+            "grp", F.col("pos") - F.row_number().over(w_doc))
+        .groupBy("doc_id", "grp")
+        .agg(F.min("pos").alias("start_pos"),
+             (F.count("*") + (k - 1)).alias("span_tokens"))
+        .filter(F.col("span_tokens") >= _SUBSTR_MIN)
+        .select("doc_id", "start_pos",
+                (F.col("start_pos") + F.col("span_tokens") - 1)
+                .alias("end_pos"))
+    )
+    tok = ws.select(
+        "doc_id", F.size("w").alias("n_tokens"),
+        F.posexplode("w").alias("pos0", "word"),
+    ).select("doc_id", "n_tokens",
+             (F.col("pos0") + 1).alias("pos"), "word")
+    cut = (
+        tok.join(spans, "doc_id")
+        .filter(F.col("pos").between(F.col("start_pos"),
+                                     F.col("end_pos")))
+        .select("doc_id", "pos").distinct()
+    )
+    kept = tok.join(cut, ["doc_id", "pos"], "left_anti")
+    agg = kept.groupBy("doc_id", "n_tokens").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.array_sort(F.collect_list(F.struct("pos", "word")))
+            .getField("word"), " ").alias("cleaned"),
+    )
+    full = ws.select("doc_id", F.size("w").alias("n_tokens"))
+    out = (
+        full.join(agg.select("doc_id", "n_kept", "cleaned"),
+                  "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long").alias("removed_tokens"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long")
+            .alias("kept_tokens"),
+            F.md5(F.coalesce(F.col("cleaned"), F.lit("")))
+            .alias("cleaned_md5"),
+        )
+        .filter(F.col("removed_tokens") > 0)
+    )
+    return out

@@ -134,7 +134,7 @@ SELECT DISTINCT user_id * 2 AS address, epoch_us(ts) AS time
 FROM events
 """,
     tags=("streaming", "dedup"),
-    priority=75,  # re-promoted in r9: r4-green oldest-evidence refresh (swap candidate if the r9 round registers new queries)
+    priority=900,  # r4-green refresh demoted in exchange for the new r9 dedup_substring_scrub registration (window stays exactly 50)
 )
 def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay-safe streaming dedup end-to-end: the events table is

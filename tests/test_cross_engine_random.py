@@ -42,6 +42,7 @@ DOC_QUERIES = [
     # r9: random small-vocabulary corpora produce accidental cross-doc
     # K-gram runs, probing span-boundary arithmetic off the fixture
     "dedup_substring_spans",
+    "dedup_substring_scrub",
 ]
 EVENT_QUERIES = [
     "ts_rollup_hourly", "ts_value_histogram", "ts_ohlc_hourly",

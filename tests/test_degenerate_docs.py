@@ -54,6 +54,7 @@ QUERIES = [
     "text_vocab_coverage",
     # r9 doc-driven queries
     "dedup_substring_spans",
+    "dedup_substring_scrub",
 ]
 
 

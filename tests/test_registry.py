@@ -91,15 +91,14 @@ EXPECTED_WINDOW = {
     "ts_range_join", "ts_sessionize", "ts_topk_per_series",
     "ts_gap_fill", "ts_value_percentiles", "text_fingerprint",
     "mm_resize",
-    # r9 part 3 (p=75): r4-green refresh filling the window to exactly
-    # 50 (ts_kv_roundtrip, tpch_q12_late_shipments and text_lang_id
-    # were swapped back out for the three new r9 registrations below)
-    "streaming_dedup_replay",
-    # r9 part 4 (p=65): NEW registrations — persisted vector index
-    # build/probe/append and exact substring dedup, promoted for
-    # first driver evidence
+    # r9 part 3 (p=65): NEW registrations — persisted vector index
+    # build/probe/append and exact substring dedup detect+scrub —
+    # promoted for first driver evidence; the four r4-green p=75
+    # refreshes initially seated here (ts_kv_roundtrip,
+    # tpch_q12_late_shipments, text_lang_id, streaming_dedup_replay)
+    # were swapped back out one-for-one as each new query registered
     "sim_vecidx_probe", "sim_vecidx_append_probe",
-    "dedup_substring_spans",
+    "dedup_substring_spans", "dedup_substring_scrub",
     # the bench/headline set (must always be driver-visible)
     "ts_bulk_backfill", "text_winnow_fingerprint", "sim_ivf_kmeans",
     "sim_pq_ann", "sim_ivfpq_ann",

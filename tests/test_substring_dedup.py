@@ -95,3 +95,47 @@ def test_whole_doc_duplicate_is_one_full_span(spark, tmp_path):
     got = {(r.doc_id, r.start_pos, r.span_tokens)
            for r in dedup_substring_spans(spark, sf).collect()}
     assert got == {(0, 1, 40), (1, 1, 40)}
+
+
+def test_scrub_removes_exact_spans_and_hashes_cleaned_text(
+        spark, tmp_path):
+    # The scrubber's cleaned_md5 must equal the md5 of the document
+    # with EXACTLY the reported spans cut out, and untouched docs
+    # (removed_tokens == 0) must not appear at all.
+    import hashlib
+
+    from rados_timestore_spark.queries_dedup import (
+        dedup_substring_scrub,
+    )
+
+    shared = _words("s", 20)
+    pre0, post0 = _words("a", 5), _words("b", 7)
+    pre1, post1 = _words("c", 11), _words("d", 3)
+    d0 = pre0 + " " + shared + " " + post0
+    d1 = pre1 + " " + shared + " " + post1
+    d2 = _words("z", 30)  # untouched
+    sf = _corpus(tmp_path, [d0, d1, d2])
+    got = {r.doc_id: (r.removed_tokens, r.kept_tokens, r.cleaned_md5)
+           for r in dedup_substring_scrub(spark, sf).collect()}
+    assert set(got) == {0, 1}
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert got[0] == (20, 12, h(pre0 + " " + post0))
+    assert got[1] == (20, 14, h(pre1 + " " + post1))
+
+
+def test_scrub_whole_doc_duplicate_yields_empty_clean(spark, tmp_path):
+    import hashlib
+
+    from rados_timestore_spark.queries_dedup import (
+        dedup_substring_scrub,
+    )
+
+    t = _words("w", 40)
+    sf = _corpus(tmp_path, [t, t, _words("z", 25)])
+    got = {r.doc_id: (r.removed_tokens, r.kept_tokens, r.cleaned_md5)
+           for r in dedup_substring_scrub(spark, sf).collect()}
+    empty = hashlib.md5(b"").hexdigest()
+    assert got == {0: (40, 0, empty), 1: (40, 0, empty)}

@@ -235,6 +235,7 @@ SOAK_R8_QUERIES = (
 #: absent trainer/assignment, not sub-linear probing).
 SOAK_R9_QUERIES = (
     "dedup_substring_spans",
+    "dedup_substring_scrub",
     "sim_vecidx_probe",
     "sim_vecidx_append_probe",
 )
