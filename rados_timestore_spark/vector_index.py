@@ -323,6 +323,70 @@ class VectorIndex:
         self._write_meta(ns, doc)
         return doc
 
+    def append_batch(self, ns: str, emb: DataFrame, batch_id: int,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> dict:
+        """IDEMPOTENT append keyed by a monotone ``batch_id`` — the
+        exactly-once ingest primitive for streaming (foreachBatch
+        passes its micro-batch id).  Replaying any prefix of batches
+        after a crash converges to single-copy file state:
+
+        * fence: a batch at or below ``meta['last_batch_id']`` is a
+          completed replay — skipped outright;
+        * files promote under a deterministic ``b<batch_id>-`` name
+          prefix, and the promote FIRST sweeps any files with that
+          prefix from the affected buckets (leftovers of a crashed
+          mid-promote attempt of the SAME batch), so re-running the
+          promote replaces rather than duplicates;
+        * the meta write (n_vectors + last_batch_id) is the commit
+          point, after which the fence makes the batch a no-op.
+
+        Batch ids must be handed in monotonically increasing order
+        (Structured Streaming's contract for foreachBatch).
+        """
+        doc = self.meta(ns)
+        if int(batch_id) <= int(doc.get("last_batch_id", -1)):
+            return doc
+        cids, C = self._load_centroids(ns, int(doc["version"]))
+        live = self._assignments_dir(ns)
+        stage = f"{live}.batch_{int(batch_id)}"
+        if self.fs.exists(stage):
+            self.fs.delete(stage, recursive=True)
+        assigned = assign_to_centroids(
+            emb, cids, C, doc["dim"], id_col, vec_col)
+        (assigned.write.mode("overwrite")
+         .partitionBy("bucket").parquet(stage))
+        prefix = f"b{int(batch_id)}-"
+        staged_buckets = [d for d in self.fs.list_dirs(stage)
+                          if d.startswith("bucket=")]
+        for d in staged_buckets:
+            tgt = f"{live}/{d}"
+            if self.fs.is_dir(tgt):
+                for st in self.fs.fs.listStatus(self.fs._path(tgt)):
+                    name = st.getPath().getName()
+                    if name.startswith(prefix):
+                        # crashed earlier attempt of THIS batch
+                        self.fs.delete(f"{tgt}/{name}", recursive=False)
+            else:
+                self.fs.mkdirs(tgt)
+            for st in self.fs.fs.listStatus(
+                    self.fs._path(f"{stage}/{d}")):
+                name = st.getPath().getName()
+                if name.startswith(("_", ".")):
+                    continue
+                if not self.fs.rename(f"{stage}/{d}/{name}",
+                                      f"{tgt}/{prefix}{name}"):
+                    raise IOError(
+                        f"append_batch({ns!r}, {batch_id}): rename "
+                        f"failed for {d}/{name}")
+        self.fs.delete(stage, recursive=True)
+        n_new = emb.count()
+        doc = self.meta(ns)
+        doc["n_vectors"] = int(doc["n_vectors"]) + int(n_new)
+        doc["last_batch_id"] = int(batch_id)
+        self._write_meta(ns, doc)
+        return doc
+
     # ------------------------------------------------------- delete
 
     def delete(self, ns: str, vec_ids) -> int:
@@ -485,6 +549,79 @@ class VectorIndex:
             scan.join(
                 F.broadcast(qdf),
                 F.expr("array_contains(probed, bucket)"))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id", "vec_id",
+                _cos_seq(F.col("embedding"), F.col("qe")).alias("cos"),
+            )
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "vec_id")
+        return (
+            hits.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= topk)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    "cos", "rank")
+        )
+
+    def probe_df(self, ns: str, queries: DataFrame, topk: int = 5,
+                 nprobe: int = 4, id_col: str = "query_id",
+                 vec_col: str = "qe") -> DataFrame:
+        """Distributed ANN top-k for an UNBOUNDED query frame — the
+        batch-serving shape (re-embedding a corpus, nightly k-NN
+        joins): :meth:`probe` collects its query list to the driver,
+        which caps it at thousands; this variant keeps queries in a
+        DataFrame end to end.
+
+        Plan: the k-row routing table ships in a mapInPandas closure
+        that computes each query's nprobe buckets (the same
+        stable-argsort tie rule as :meth:`probe`); the probe frame
+        explodes to (query, bucket) rows and equi-joins the
+        assignment scan on ``bucket``.  The probe side broadcasts, so
+        Spark's dynamic partition pruning can skip unprobed bucket
+        directories at runtime; with DPP unavailable the join itself
+        still touches only matching buckets after the scan.  Exact
+        in-bucket cosine ranking and the per-query top-k window are
+        identical to :meth:`probe` (law-tested equal on the same
+        query set).
+        """
+        doc = self.meta(ns)
+        cids, C = self._load_centroids(ns, int(doc["version"]))
+        dim = doc["dim"]
+
+        def choose(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                Q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                cos = seq_cos_matrix(Q, C, dim)
+                order = np.argsort(-cos, axis=1,
+                                   kind="stable")[:, :nprobe]
+                yield pd.DataFrame({
+                    "query_id": pdf[id_col],
+                    "qe": pdf[vec_col],
+                    "probed": [[int(cids[j]) for j in row]
+                               for row in order],
+                })
+
+        probes = (
+            queries.select(F.col(id_col).alias(id_col),
+                           F.col(vec_col).alias(vec_col))
+            .mapInPandas(
+                choose,
+                "query_id long, qe array<float>, probed array<long>")
+            .select("query_id", "qe",
+                    F.explode("probed").alias("bucket"))
+        )
+        scan = (
+            self.spark.read.parquet(self._assignments_dir(ns))
+            .withColumn("bucket", F.col("bucket").cast("long"))
+        )
+        from rados_timestore_spark.queries_similarity import _cos_seq
+
+        hits = (
+            scan.join(F.broadcast(probes), "bucket")
             .filter(F.col("vec_id") != F.col("query_id"))
             .select(
                 "query_id", "vec_id",

@@ -200,3 +200,23 @@ def test_vector_index_probe_prunes_bucket_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan
     part = plan.split("PartitionFilters", 1)[1][:200]
     assert "bucket" in part and " IN " in part, part
+
+
+def test_vector_index_probe_df_uses_dynamic_partition_pruning(
+        spark, tmp_path):
+    # probe_df keeps queries distributed, so the bucket predicate is
+    # only known at runtime — the scan must carry a DPP expression on
+    # the partition column (unprobed bucket directories skipped at
+    # execution), the distributed analog of probe()'s literal IN.
+    from rados_timestore_spark.vector_index import VectorIndex
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    vi = VectorIndex(spark, str(tmp_path / "idxdf"))
+    vi.build("e", emb, k=32)
+    qdf = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+    )
+    plan = plan_str(vi.probe_df("e", qdf, topk=3, nprobe=2))
+    part = plan.split("PartitionFilters", 1)[1][:300]
+    assert "dynamicpruning" in part, part

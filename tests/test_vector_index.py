@@ -245,3 +245,21 @@ def test_kmeans_trainer_is_deterministic_and_probeable(spark, emb, tmp_path):
     assert inc.meta("e")["n_vectors"] == emb.count()
     got = inc.probe("e", qs, topk=5, nprobe=NPROBE)
     assert got.count() == len(qs) * 5
+
+
+def test_probe_df_matches_driver_probe(spark, emb, built):
+    # The distributed probe (queries stay a DataFrame) must equal the
+    # driver-list probe on the same query set — same bucket choice
+    # (stable-argsort ties), same exact in-bucket ranking.
+    vi, _doc = built
+    qs = _queries(emb, n=4)
+    want = {(r.query_id, r.rank): (r.neighbor_id, r.cos)
+            for r in vi.probe("e", qs, topk=5, nprobe=NPROBE).collect()}
+    qdf = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+    )
+    got = {(r.query_id, r.rank): (r.neighbor_id, r.cos)
+           for r in vi.probe_df("e", qdf, topk=5,
+                                nprobe=NPROBE).collect()}
+    assert got == want

@@ -1,0 +1,133 @@
+"""Streaming vector-index ingest laws: exactly-once append through
+append_batch's batch-id fence + deterministic file prefixes, and
+kill-and-resume equivalence with a one-shot build."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from rados_timestore_spark.vector_index import VectorIndex
+from tests.conftest import SF_DIR
+
+K = 32
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _probe_all(vi, emb, n=3):
+    rows = emb.filter(F.col("vec_id") < n).collect()
+    qs = [(r.vec_id, list(r.embedding)) for r in rows]
+    return {(r.query_id, r.rank): (r.neighbor_id, r.cos)
+            for r in vi.probe("e", qs, topk=5, nprobe=4).collect()}
+
+
+def test_append_batch_is_idempotent(spark, emb, tmp_path):
+    vi = VectorIndex(spark, str(tmp_path / "ab"))
+    a = emb.filter(F.col("vec_id") % 3 == 0)
+    b = emb.filter(F.col("vec_id") % 3 == 1)
+    vi.build("e", a, k=K)
+    vi.append_batch("e", b, 0)
+    n1 = vi.meta("e")["n_vectors"]
+    snap = _probe_all(vi, emb)
+    # replaying the SAME batch id is a complete no-op
+    vi.append_batch("e", b, 0)
+    assert vi.meta("e")["n_vectors"] == n1
+    assert _probe_all(vi, emb) == snap
+
+
+def test_append_batch_recovers_from_crash_mid_promote(
+        spark, emb, tmp_path):
+    # Simulate a writer that died after promoting SOME of a batch's
+    # files but before the meta commit: replaying the batch must sweep
+    # the partial files and converge to exactly one copy.
+    import glob
+
+    vi = VectorIndex(spark, str(tmp_path / "cr"))
+    a = emb.filter(F.col("vec_id") % 3 == 0)
+    b = emb.filter(F.col("vec_id") % 3 == 1)
+    vi.build("e", a, k=K)
+
+    # plant fake partial files from a "crashed" attempt of batch 0
+    live = vi._assignments_dir("e")
+    victims = sorted(glob.glob(f"{live}/bucket=*"))[:2]
+    for d in victims:
+        with open(f"{d}/b0-part-crashed.parquet", "wb") as fh:
+            fh.write(b"partial")
+    vi.append_batch("e", b, 0)
+    assert glob.glob(f"{live}/bucket=*/b0-part-crashed.parquet") == []
+    # every surviving b0- file is valid parquet: the full table reads
+    total = spark.read.parquet(live).count()
+    assert total == a.count() + b.count()
+    assert vi.meta("e")["n_vectors"] == total
+
+
+def test_stream_vectors_kill_and_resume_equals_one_shot(
+        spark, emb, tmp_path):
+    # Two availableNow runs over one checkpoint (the restart
+    # boundary), three micro-batch files; the final probe state must
+    # equal a single build+append of everything under the same
+    # routing.
+    import os
+    import time as _t
+
+    from rados_timestore_spark.streaming.vector_ingest import (
+        stream_vectors,
+    )
+
+    base = emb.filter(F.col("vec_id") % 4 == 0)
+    parts = [emb.filter(F.col("vec_id") % 4 == r) for r in (1, 2, 3)]
+
+    vi = VectorIndex(spark, str(tmp_path / "sv"))
+    vi.build("e", base, k=K)
+
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    os.makedirs(src)
+
+    def deliver(i, df):
+        df.coalesce(1).write.parquet(f"{src}/b{i}")
+        _t.sleep(0.05)
+        os.utime(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/b*")
+        )
+        q = stream_vectors(vi, "e", stream, ck)
+        assert q.awaitTermination(180)
+
+    deliver(0, parts[0])
+    run_once()
+    deliver(1, parts[1])
+    deliver(2, parts[2])
+    run_once()
+
+    assert vi.meta("e")["n_vectors"] == emb.count()
+    got = _probe_all(vi, emb)
+
+    ref = VectorIndex(spark, str(tmp_path / "ref"))
+    ref.build("e", base, k=K)
+    for i, p in enumerate(parts):
+        ref.append("e", p)
+    assert got == _probe_all(ref, emb)
+
+
+def test_stream_vectors_requires_built_index(spark, emb, tmp_path):
+    from rados_timestore_spark.streaming.vector_ingest import (
+        stream_vectors,
+    )
+    from rados_timestore_spark.vector_index import VectorIndexNotBuilt
+
+    vi = VectorIndex(spark, str(tmp_path / "nb"))
+    import os
+
+    src = str(tmp_path / "empty_src")
+    os.makedirs(src)
+    stream = (
+        spark.readStream.schema(emb.schema).parquet(src)
+    )
+    with pytest.raises(VectorIndexNotBuilt):
+        stream_vectors(vi, "e", stream, str(tmp_path / "ck"))
