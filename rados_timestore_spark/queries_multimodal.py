@@ -225,7 +225,7 @@ SELECT doc_id, n AS orig_bytes,
 FROM t
 """,
     tags=("multimodal",),
-    priority=70,  # re-promoted in r9: oldest driver evidence in the registry (r3-green) — refresh rotation per registry policy
+    priority=900,  # r3-green refresh demoted in exchange for the new r9 sim_vecidx_probe_filtered registration (first-evidence outranks refresh; window stays exactly 50)
 )
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize/downsample plumbing via ``mapInPandas``: Arrow batches of

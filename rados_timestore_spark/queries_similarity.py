@@ -1763,9 +1763,10 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FILTER_LABELS = (1, 3, 5, 7, 9)
 
 
-@register(
-    "sim_ivf_ann_filtered",
-    oracle=f"""
+#: One filtered-IVF oracle shared by the in-query variant and the
+#: persisted-index probe (sim_vecidx_probe_filtered) — identical
+#: semantics (filter prunes candidates pre-ranking), so one SQL text.
+_IVF_FILTERED_ORACLE = f"""
 WITH {_IVF_CTES},
 fhits AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
@@ -1781,7 +1782,12 @@ ftop AS (
     FROM fhits) t
   WHERE rank <= 5)
 SELECT query_id, neighbor_id, cos, rank FROM ftop
-""",
+"""
+
+
+@register(
+    "sim_ivf_ann_filtered",
+    oracle=_IVF_FILTERED_ORACLE,
     tags=("similarity", "ann", "filtered"),
     priority=900,  # demoted in r9 after r8 driver green, to rotate the r8 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
@@ -2441,6 +2447,10 @@ def _vecidx(spark: SparkSession, sf_dir: str, variant: str):
     emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
     if variant == "full":
         vi.build("e", emb, k=_N_CENTROIDS)
+    elif variant == "full_meta":
+        # label persisted NEXT TO the vectors, so the filtered probe's
+        # predicate evaluates inside the bucket-pruned scan
+        vi.build("e", emb, k=_N_CENTROIDS, meta_cols=("label",))
     else:
         vi.build("e", emb.filter(F.col("vec_id") % 2 == 0),
                  k=_N_CENTROIDS)
@@ -2514,3 +2524,26 @@ def sim_vecidx_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     vi = _vecidx(spark, sf_dir, "append")
     return vi.probe("e", _vidx_queries(spark, sf_dir),
                     topk=5, nprobe=_N_PROBE)
+
+
+@register(
+    "sim_vecidx_probe_filtered",
+    oracle=_IVF_FILTERED_ORACLE,
+    tags=("similarity", "ann", "index", "filtered"),
+    priority=65,  # new in r9 — promoted for first driver evidence (mm_resize r3-refresh demoted in exchange; first-evidence outranks refresh per registry policy)
+)
+def sim_vecidx_probe_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered search against the PERSISTED index: the label column
+    rides the assignment table (``meta_cols`` at build), so the
+    metadata predicate evaluates INSIDE the bucket-pruned scan —
+    pushed to parquet row-group stats, no join back to the source
+    table (the production filtered-ANN layout; contrast
+    sim_ivf_ann_filtered, whose in-query path joins labels from the
+    base table each call).  Filter prunes candidates before ranking
+    and never reorders survivors, so the SAME oracle text checks both
+    variants."""
+    vi = _vecidx(spark, sf_dir, "full_meta")
+    return vi.probe(
+        "e", _vidx_queries(spark, sf_dir), topk=5, nprobe=_N_PROBE,
+        where=F.col("label").isin(*_FILTER_LABELS),
+    )

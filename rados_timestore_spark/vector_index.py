@@ -81,30 +81,48 @@ def seq_cos_matrix(E: np.ndarray, C: np.ndarray,
 def assign_to_centroids(emb: DataFrame, cids: np.ndarray,
                         C: np.ndarray, dim: int,
                         id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> DataFrame:
+                        vec_col: str = "embedding",
+                        meta_cols: tuple = ()) -> DataFrame:
     """Shuffle-free nearest-centroid assignment: one ``mapInPandas``
     scan doing an O(batch * k) argmax against the broadcast-closure
     centroid matrix.  ``cids`` must be sorted ascending so
     ``np.argmax``'s first-max-wins tie rule equals the SQL
     ``ORDER BY cos DESC, cid`` rule — the same kernel (and tie
-    contract) as the in-query IVF path (``_ivf_parts``)."""
+    contract) as the in-query IVF path (``_ivf_parts``).
+
+    ``meta_cols`` ride through unchanged (filtered-search metadata
+    persisted NEXT TO the vectors, so probe predicates push into the
+    bucket scan instead of joining the source table — the production
+    filtered-ANN index layout)."""
 
     def assign(batches):
+        # input columns are NORMALIZED to vec_id/embedding by the
+        # select below, regardless of the caller's id_col/vec_col
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            E = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             cos = seq_cos_matrix(E, C, dim)
-            yield pd.DataFrame({
-                "vec_id": pdf[id_col],
-                "embedding": pdf[vec_col],
+            out = {
+                "vec_id": pdf["vec_id"],
+                "embedding": pdf["embedding"],
                 "bucket": cids[np.argmax(cos, axis=1)],
-            })
+            }
+            for c in meta_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
+    meta_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in emb.schema if f.name in meta_cols
+    )
     return emb.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        *[F.col(c) for c in meta_cols],
     ).mapInPandas(
-        assign, "vec_id long, embedding array<float>, bucket long"
+        assign,
+        f"vec_id long, embedding array<float>, bucket long{meta_schema}",
     )
 
 
@@ -229,7 +247,7 @@ class VectorIndex:
     def build(self, ns: str, emb: DataFrame, k: int = 256,
               dim: int | None = None, id_col: str = "vec_id",
               vec_col: str = "embedding", trainer: str = "sample",
-              iters: int = 2) -> dict:
+              iters: int = 2, meta_cols: tuple = ()) -> dict:
         """Train the coarse quantizer and persist centroids +
         bucket-partitioned assignments.
 
@@ -287,7 +305,8 @@ class VectorIndex:
         cent_df.coalesce(1).write.mode("overwrite").parquet(
             self._centroids_dir(ns))
 
-        assigned = assign_to_centroids(emb, cids, C, dim, id_col, vec_col)
+        assigned = assign_to_centroids(
+            emb, cids, C, dim, id_col, vec_col, meta_cols=meta_cols)
         (assigned.write.mode("overwrite")
          .partitionBy("bucket").parquet(self._assignments_dir(ns)))
 
@@ -299,7 +318,7 @@ class VectorIndex:
             pass
         doc = {"k": int(len(cids)), "dim": int(dim),
                "n_vectors": int(n), "version": prev_version + 1,
-               "trainer": trainer}
+               "trainer": trainer, "meta_cols": list(meta_cols)}
         self._write_meta(ns, doc)
         return doc
 
@@ -315,7 +334,8 @@ class VectorIndex:
         doc = self.meta(ns)  # raises if never built
         cids, C = self._load_centroids(ns, int(doc["version"]))
         assigned = assign_to_centroids(
-            emb, cids, C, doc["dim"], id_col, vec_col)
+            emb, cids, C, doc["dim"], id_col, vec_col,
+            meta_cols=tuple(doc.get("meta_cols", ())))
         (assigned.write.mode("append")
          .partitionBy("bucket").parquet(self._assignments_dir(ns)))
         n_new = emb.count()
@@ -353,7 +373,8 @@ class VectorIndex:
         if self.fs.exists(stage):
             self.fs.delete(stage, recursive=True)
         assigned = assign_to_centroids(
-            emb, cids, C, doc["dim"], id_col, vec_col)
+            emb, cids, C, doc["dim"], id_col, vec_col,
+            meta_cols=tuple(doc.get("meta_cols", ())))
         (assigned.write.mode("overwrite")
          .partitionBy("bucket").parquet(stage))
         prefix = f"b{int(batch_id)}-"
@@ -503,7 +524,8 @@ class VectorIndex:
         return cids, C
 
     def probe(self, ns: str, queries: list[tuple[int, list[float]]],
-              topk: int = 5, nprobe: int = 4) -> DataFrame:
+              topk: int = 5, nprobe: int = 4,
+              where=None) -> DataFrame:
         """ANN top-k for a BOUNDED query set (id, vector) against the
         persisted index — no trainer, no assignment pass.
 
@@ -543,6 +565,14 @@ class VectorIndex:
             # probed array is long — normalize AFTER the pruning filter
             .withColumn("bucket", F.col("bucket").cast("long"))
         )
+        if where is not None:
+            # filtered search: the metadata predicate evaluates inside
+            # the (already bucket-pruned) scan — with meta_cols
+            # persisted in the assignment table it pushes to parquet
+            # row-group stats; applied BEFORE ranking, so the filter
+            # prunes candidates and never reorders survivors (the
+            # sim_ivf_ann_filtered contract)
+            scan = scan.filter(where)
         from rados_timestore_spark.queries_similarity import _cos_seq
 
         hits = (

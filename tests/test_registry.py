@@ -87,10 +87,11 @@ EXPECTED_WINDOW = {
     "sketch_kmv_set_ops", "ts_ooo_lateness", "sim_centroid_drift",
     "ts_heartbeat_gaps",
     # r9 part 2 (p=70): oldest-evidence refresh — the r3-green family,
-    # now the oldest driver evidence in the registry
+    # now the oldest driver evidence in the registry (mm_resize was
+    # swapped back out for sim_vecidx_probe_filtered; first-evidence
+    # outranks refresh)
     "ts_range_join", "ts_sessionize", "ts_topk_per_series",
     "ts_gap_fill", "ts_value_percentiles", "text_fingerprint",
-    "mm_resize",
     # r9 part 3 (p=65): NEW registrations — persisted vector index
     # build/probe/append and exact substring dedup detect+scrub —
     # promoted for first driver evidence; the four r4-green p=75
@@ -98,6 +99,7 @@ EXPECTED_WINDOW = {
     # tpch_q12_late_shipments, text_lang_id, streaming_dedup_replay)
     # were swapped back out one-for-one as each new query registered
     "sim_vecidx_probe", "sim_vecidx_append_probe",
+    "sim_vecidx_probe_filtered",
     "dedup_substring_spans", "dedup_substring_scrub",
     # the bench/headline set (must always be driver-visible)
     "ts_bulk_backfill", "text_winnow_fingerprint", "sim_ivf_kmeans",

@@ -263,3 +263,41 @@ def test_probe_df_matches_driver_probe(spark, emb, built):
            for r in vi.probe_df("e", qdf, topk=5,
                                 nprobe=NPROBE).collect()}
     assert got == want
+
+
+def test_meta_cols_persist_and_filter_probes(spark, emb, tmp_path):
+    # meta_cols ride the assignment table through build AND append, so
+    # a filtered probe's predicate evaluates inside the bucket-pruned
+    # scan; the filter prunes candidates pre-ranking (never reorders),
+    # so the filtered result == unfiltered result restricted to
+    # matching neighbors, re-ranked.
+    vi = VectorIndex(spark, str(tmp_path / "mc"))
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    vi.build("e", a, k=K, meta_cols=("label",))
+    vi.append("e", b)  # inherits meta_cols from the meta document
+    scan = spark.read.parquet(vi._assignments_dir("e"))
+    assert "label" in scan.columns
+    assert scan.filter(F.col("label").isNull()).count() == 0
+
+    qs = _queries(emb)
+    flt = F.col("label") % 2 == 1
+    got = {(r.query_id, r.rank): r.neighbor_id
+           for r in vi.probe("e", qs, topk=3, nprobe=NPROBE,
+                             where=flt).collect()}
+    # reference: unfiltered probe at full depth, filter, re-rank
+    deep = vi.probe("e", qs, topk=10 ** 6, nprobe=NPROBE)
+    lab = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+    want = {}
+    rows = (deep.join(lab, "neighbor_id")
+            .filter(F.col("label") % 2 == 1)
+            .select("query_id", "neighbor_id", "cos").collect())
+    from collections import defaultdict
+
+    per_q = defaultdict(list)
+    for r in rows:
+        per_q[r.query_id].append((-r.cos, r.neighbor_id))
+    for q, lst in per_q.items():
+        for rank, (_negc, nid) in enumerate(sorted(lst)[:3], start=1):
+            want[(q, rank)] = nid
+    assert got == want
