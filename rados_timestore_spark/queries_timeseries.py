@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from rados_timestore_spark.queries_common import load
+from rados_timestore_spark.queries_common import load, pin
 from rados_timestore_spark.registry import register
 
 _US_PER_MIN = 60_000_000
@@ -1412,4 +1412,121 @@ def ts_heartbeat_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_outages"),
         F.sum(F.when(big, F.col("gap")).otherwise(0)).cast("long")
         .alias("downtime_us"),
+    )
+
+
+# ------------------------------------ r9: LTTB-style downsampling
+
+
+@register(
+    "ts_lttb_downsample",
+    oracle=f"""{_EV_CTE},
+iv AS (
+  SELECT user_id, event_id, t, t // 86400000000 AS h,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+  FROM ev),
+st AS (
+  SELECT user_id, h,
+         CAST(count(*) AS DECIMAL(38,0)) AS n,
+         CAST(sum(CAST(t AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS st,
+         CAST(sum(CAST(v AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sv
+  FROM iv GROUP BY 1, 2),
+cand AS (
+  SELECT c.user_id, c.h, c.t, c.v, c.event_id,
+         abs(
+           (p.st * x.n - x.st * p.n)
+             * (CAST(c.v AS DECIMAL(38,0)) * p.n - p.sv)
+           - (p.st - CAST(c.t AS DECIMAL(38,0)) * p.n)
+             * (x.sv * p.n - p.sv * x.n)
+         ) AS area
+  FROM iv c
+  JOIN st p ON p.user_id = c.user_id AND p.h = c.h - 1
+  JOIN st x ON x.user_id = c.user_id AND x.h = c.h + 1),
+pick AS (
+  SELECT user_id, h, t, v,
+         row_number() OVER (PARTITION BY user_id, h
+                            ORDER BY area DESC, t, event_id) AS rn
+  FROM cand)
+SELECT user_id, h * 86400000000 AS day_us, t AS t_sel,
+       CAST(v AS BIGINT) AS v_centi
+FROM pick WHERE rn = 1
+""",
+    tags=("timeseries", "agg"),
+    priority=110,  # new late-r9 (window already full of this round's promotions); local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB-style downsampling (Steinarsson 2013, Largest-Triangle-
+    Three-Buckets) — per (series, day bucket) keep the ONE point
+    sweeping the largest triangle against the neighboring buckets,
+    the perceptually-best single-point-per-bucket chart reduction
+    next to :func:`ts_m4_downsample`'s four-point envelope.
+
+    The published algorithm anchors each triangle on the PREVIOUSLY
+    SELECTED point — a sequential chain that cannot parallelize; the
+    standard distributed restatement (used here) anchors on the
+    neighbor buckets' MEAN points instead, which drops the sequential
+    dependence while keeping the area heuristic.  Determinism: the
+    area comparison is EXACT — means are never materialized as
+    floats; the cross-product is multiplied through by the neighbor
+    counts so every term is DECIMAL(38,0) integer arithmetic
+    (times in µs x counts x centi-values stay under 1e28), ties
+    break on (t, event_id).  Boundary buckets (no prev or no next
+    neighbor in the series) are excluded by the inner joins,
+    identically in both engines.
+
+    Scale: one hash aggregate for the per-bucket stats (|series| x
+    |buckets| rows), two equi-joins of candidates against that tiny
+    stats relation, one per-bucket window — no corpus-wide sort, no
+    pair generation; the same shape as the rollup family."""
+    ev = _events(spark, sf_dir)
+    iv = ev.select(
+        "user_id", "event_id", "t",
+        F.expr("t div 86400000000").alias("h"),
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .alias("v"),
+    ).transform(pin)
+    d38 = "decimal(38,0)"
+    st = iv.groupBy("user_id", "h").agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum(F.col("t").cast(d38)).cast(d38).alias("st"),
+        F.sum(F.col("v").cast(d38)).cast(d38).alias("sv"),
+    )
+    p = st.select(F.col("user_id").alias("pu"),
+                  (F.col("h") + 1).alias("ph"),
+                  F.col("n").alias("pn"), F.col("st").alias("pst"),
+                  F.col("sv").alias("psv"))
+    x = st.select(F.col("user_id").alias("xu"),
+                  (F.col("h") - 1).alias("xh"),
+                  F.col("n").alias("xn"), F.col("st").alias("xst"),
+                  F.col("sv").alias("xsv"))
+    cand = (
+        iv.join(p, (F.col("user_id") == F.col("pu"))
+                & (F.col("h") == F.col("ph")))
+        .join(x, (F.col("user_id") == F.col("xu"))
+              & (F.col("h") == F.col("xh")))
+        .select(
+            "user_id", "h", "t", "v", "event_id",
+            F.abs(
+                (F.col("pst") * F.col("xn")
+                 - F.col("xst") * F.col("pn"))
+                * (F.col("v").cast(d38) * F.col("pn") - F.col("psv"))
+                - (F.col("pst") - F.col("t").cast(d38) * F.col("pn"))
+                * (F.col("xsv") * F.col("pn")
+                   - F.col("psv") * F.col("xn"))
+            ).alias("area"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "h").orderBy(
+        F.desc("area"), "t", "event_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            (F.col("h") * 86400000000).cast("long").alias("day_us"),
+            F.col("t").alias("t_sel"),
+            F.col("v").cast("long").alias("v_centi"),
+        )
     )

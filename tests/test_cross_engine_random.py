@@ -58,6 +58,9 @@ EVENT_QUERIES = [
     "ts_ttl_expire", "ts_rollup_cascade", "ts_gapfill_interpolate",
     "sketch_hll_daily_users", "sketch_kmv_set_ops",
     "ts_ooo_lateness", "ts_heartbeat_gaps",
+    # r9: random timestamps/values probe the LTTB area arithmetic
+    # (DECIMAL cross-products, neighbor-mean anchors) off the fixture
+    "ts_lttb_downsample",
 ]
 #: Embedding-driven queries: random float32 vectors probe the
 #: float-determinism choreography (sequential-fold cosine, SQ8

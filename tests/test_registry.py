@@ -122,7 +122,12 @@ EXPECTED_WINDOW = {
 # r9 rotation cleared the whole 16-query r8 backlog (all promoted to
 # p=60 for first driver evidence).  Only same-round NEW registrations
 # may appear here; each MUST be rotated into the driver window in r10.
-EXPECTED_CARVEOUT_BACKLOG: set[str] = set()
+EXPECTED_CARVEOUT_BACKLOG: set[str] = {
+    # NEW late-r9 (registered after the r9 window filled with this
+    # round's 21 promotions) — rotate into the r10 window for first
+    # driver evidence
+    "ts_lttb_downsample",
+}
 
 
 def test_carveout_backlog_is_rotated():
