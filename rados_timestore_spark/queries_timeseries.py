@@ -1530,3 +1530,186 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").cast("long").alias("v_centi"),
         )
     )
+
+
+# ------------------------------------ r9: CUSUM changepoint detection
+
+
+@register(
+    "ts_cusum_changepoint",
+    oracle=f"""{_EV_CTE},
+x0 AS (SELECT user_id, event_id, t,
+              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+       FROM ev),
+mn AS (SELECT user_id, min(v) AS mnv,
+              max(v) - min(v) AS rng, count(*) AS n
+       FROM x0 GROUP BY user_id),
+x AS (SELECT x0.user_id, x0.event_id, x0.t, x0.v - mn.mnv AS vc, mn.n
+      FROM x0 JOIN mn ON mn.user_id = x0.user_id
+      WHERE CASE WHEN mn.n * mn.n * greatest(mn.rng, 1)
+                      > 2000000000000000000
+                 THEN error('cusum int64 precondition violated')
+                 ELSE TRUE END),
+c AS (SELECT user_id, event_id, t, n,
+             CAST(sum(vc) OVER (PARTITION BY user_id
+                                ORDER BY t, event_id
+                                ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS s,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY t, event_id) AS i
+      FROM x),
+tot AS (SELECT user_id, CAST(sum(vc) AS BIGINT) AS sn
+        FROM x GROUP BY user_id),
+d AS (SELECT c.user_id, c.n, c.t, c.i,
+             abs(c.n * c.s - c.i * tot.sn) AS dabs
+      FROM c JOIN tot ON tot.user_id = c.user_id),
+pick AS (SELECT user_id, n, t, i, dabs,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY dabs DESC, t, i) AS rn
+         FROM d)
+SELECT user_id, CAST(n AS BIGINT) AS n, t AS t_cp,
+       CAST(i AS BIGINT) AS cp_idx, CAST(dabs AS BIGINT) AS d_abs
+FROM pick WHERE rn = 1
+""",
+    tags=("timeseries", "analytics"),
+    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM changepoint detection per series (Page 1954 /
+    the standard single-changepoint location statistic): the split
+    point maximizing |mean(prefix) - mean(series)| weighted by the
+    prefix length — evaluated as the cross-multiplied EXACT integer
+    ``|n*S_i - i*S_n|`` (S = prefix sums of centi-values) so no
+    float accumulation order can move the argmax across engines.
+    Values are centered on the per-series minimum first (the
+    statistic is translation-invariant, the intermediates then bound
+    by n^2 * range — loud ``raise_error`` precondition, same device
+    as :func:`ts_anomaly_zscore`); ties break on (t, event_id).
+
+    Plan: one stats aggregate, one cumulative-sum window and one
+    ranking window both partitioned by the series key (a single
+    shuffle serves both), one join against the tiny per-series
+    totals — no corpus-wide sort, state O(|series|)."""
+    ev = _events(spark, sf_dir)
+    x0 = ev.select(
+        "user_id", "event_id", "t",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .alias("v"),
+    )
+    mn = x0.groupBy("user_id").agg(
+        F.min("v").alias("mnv"),
+        (F.max("v") - F.min("v")).alias("rng"),
+        F.count("*").alias("n"),
+    )
+    x = (
+        x0.join(mn, "user_id")
+        .filter(F.expr(
+            "CASE WHEN n * n * greatest(rng, 1) > 2000000000000000000 "
+            "THEN raise_error('cusum int64 precondition violated') "
+            "ELSE TRUE END"
+        ))
+        .select("user_id", "event_id", "t",
+                (F.col("v") - F.col("mnv")).alias("vc"), "n")
+        .transform(pin)  # feeds the window pass AND the totals agg
+    )
+    wcum = (
+        Window.partitionBy("user_id").orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wseq = Window.partitionBy("user_id").orderBy("t", "event_id")
+    c = x.select(
+        "user_id", "event_id", "t", "n",
+        F.sum("vc").over(wcum).cast("long").alias("s"),
+        F.row_number().over(wseq).alias("i"),
+    )
+    tot = x.groupBy("user_id").agg(
+        F.sum("vc").cast("long").alias("sn"))
+    d = c.join(tot, "user_id").select(
+        "user_id", "n", "t", "i",
+        F.abs(F.col("n") * F.col("s") - F.col("i") * F.col("sn"))
+        .alias("dabs"),
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.desc("dabs"), "t", "i")
+    return (
+        d.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", F.col("n").cast("long").alias("n"),
+            F.col("t").alias("t_cp"),
+            F.col("i").cast("long").alias("cp_idx"),
+            F.col("dabs").cast("long").alias("d_abs"),
+        )
+    )
+
+
+# ------------------------------------ r9: seasonal (hour-of-day) baseline
+
+
+@register(
+    "ts_seasonal_baseline",
+    oracle=f"""{_EV_CTE},
+x AS (SELECT user_id, event_id, t,
+             (t // 3600000000) % 24 AS hod,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM ev),
+st AS (SELECT user_id, hod, count(*) AS n,
+              CAST(sum(v) AS BIGINT) AS sv
+       FROM x GROUP BY user_id, hod),
+dev AS (SELECT x.user_id, x.hod, st.n, st.sv, x.t, x.v,
+               abs(x.v * st.n - st.sv) AS dnum
+        FROM x JOIN st ON st.user_id = x.user_id
+                      AND st.hod = x.hod),
+pick AS (SELECT user_id, hod, n, sv, t, v, dnum,
+                row_number() OVER (PARTITION BY user_id, hod
+                                   ORDER BY dnum DESC, t, v) AS rn
+         FROM dev)
+SELECT user_id, CAST(hod AS BIGINT) AS hod, CAST(n AS BIGINT) AS n,
+       sv AS sum_centi, t AS t_peak, v AS v_centi_peak,
+       CAST(dnum AS BIGINT) AS dev_num
+FROM pick WHERE rn = 1
+""",
+    tags=("timeseries", "analytics"),
+    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile with peak-residual detection —
+    the classic ops decomposition (TimescaleDB time_bucket +
+    seasonal baseline): per (series, hour-of-day) cell, the count,
+    the value sum (the baseline numerator; baseline mean = sv/n),
+    and the ONE observation deviating most from that cell's mean.
+    The deviation is ranked by the cross-multiplied exact integer
+    ``|v*n - sum|`` (= n * |v - mean|), so the argmax is
+    float-free and hash-stable; ties break on (t, v).
+
+    Plan: one hash aggregate for the 24-per-series profile, one join
+    back on the (series, hod) key — the same partitioning, so AQE
+    coalesces it — one per-cell ranking window.  State O(|series| x
+    24); no corpus-wide sort."""
+    ev = _events(spark, sf_dir)
+    x = ev.select(
+        "user_id", "event_id", "t",
+        (F.expr("t div 3600000000") % 24).alias("hod"),
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .alias("v"),
+    ).transform(pin)  # feeds the profile agg AND the join back
+    st = x.groupBy("user_id", "hod").agg(
+        F.count("*").alias("n"), F.sum("v").cast("long").alias("sv"))
+    dev = x.join(st, ["user_id", "hod"]).select(
+        "user_id", "hod", "n", "sv", "t", "v",
+        F.abs(F.col("v") * F.col("n") - F.col("sv")).alias("dnum"),
+    )
+    wr = Window.partitionBy("user_id", "hod").orderBy(
+        F.desc("dnum"), "t", "v")
+    return (
+        dev.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", F.col("hod").cast("long").alias("hod"),
+            F.col("n").cast("long").alias("n"),
+            F.col("sv").alias("sum_centi"),
+            F.col("t").alias("t_peak"),
+            F.col("v").alias("v_centi_peak"),
+            F.col("dnum").cast("long").alias("dev_num"),
+        )
+    )

@@ -61,6 +61,9 @@ EVENT_QUERIES = [
     # r9: random timestamps/values probe the LTTB area arithmetic
     # (DECIMAL cross-products, neighbor-mean anchors) off the fixture
     "ts_lttb_downsample",
+    # r9: random values probe the CUSUM cross-multiplied argmax and
+    # the seasonal-cell residual ranking off the fixture
+    "ts_cusum_changepoint", "ts_seasonal_baseline",
 ]
 #: Embedding-driven queries: random float32 vectors probe the
 #: float-determinism choreography (sequential-fold cosine, SQ8

@@ -127,6 +127,8 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     # round's 21 promotions) — rotate into the r10 window for first
     # driver evidence
     "ts_lttb_downsample",
+    "ts_cusum_changepoint",
+    "ts_seasonal_baseline",
 }
 
 

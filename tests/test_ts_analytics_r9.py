@@ -1,0 +1,108 @@
+"""Semantic law tests for the late-r9 timeseries analytics batch
+(CUSUM changepoint, seasonal hour-of-day baseline).
+
+Hand-crafted series pin the WHY behind the oracle hash (the level
+shift IS found; the seasonal peak IS the outlier), plus fixture-level
+invariants on sf0.001."""
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from rados_timestore_spark.queries_timeseries import (
+    ts_cusum_changepoint,
+    ts_seasonal_baseline,
+)
+
+SF = "/root/testdata/sf0.001"
+_HOUR = 3_600_000_000
+_DAY = 86_400_000_000
+
+
+def _write_events(tmp_path, rows):
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts", "value"])
+    pdf["event_type"] = "view"
+    pdf["props"] = "{}"
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(tmp_path / "events.parquet", index=False)
+
+
+def test_cusum_finds_the_level_shift(spark, tmp_path):
+    # 4 points at 10.0 then 4 at 50.0 — the classic step change.
+    # |n*S_i - i*S_n| peaks at the LAST pre-shift index (i=4).
+    rows = [
+        (i, 1, pd.Timestamp(i * _HOUR, unit="us"),
+         10.0 if i < 4 else 50.0)
+        for i in range(8)
+    ]
+    _write_events(tmp_path, rows)
+    out = ts_cusum_changepoint(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.user_id == 1 and r.n == 8
+    assert r.cp_idx == 4
+    assert r.t_cp == 3 * _HOUR  # the 4th point (i=1-based)
+    # centered centi-values: 0 x4, 4000 x4; S_4=0, S_n=16000
+    # D_4 = 8*0 - 4*16000 = -64000
+    assert r.d_abs == 64_000
+
+
+def test_cusum_constant_series_is_flat(spark, tmp_path):
+    # No shift -> every D_i = 0; tie-break picks the FIRST point.
+    rows = [(i, 2, pd.Timestamp(i * _HOUR, unit="us"), 7.5)
+            for i in range(5)]
+    _write_events(tmp_path, rows)
+    r = ts_cusum_changepoint(spark, str(tmp_path)).collect()[0]
+    assert r.d_abs == 0 and r.cp_idx == 1 and r.t_cp == 0
+
+
+def test_cusum_fixture_invariants(spark):
+    out = ts_cusum_changepoint(spark, SF)
+    pdf = out.toPandas()
+    # exactly one changepoint row per series present in the fixture
+    assert pdf["user_id"].is_unique
+    assert (pdf["cp_idx"] >= 1).all()
+    assert (pdf["cp_idx"] <= pdf["n"]).all()
+    assert (pdf["d_abs"] >= 0).all()
+
+
+def test_seasonal_peak_is_the_outlier(spark, tmp_path):
+    # hod-0 cell: three 10.0s and one 100.0 across four days ->
+    # the 100.0 event is the peak residual of its cell.
+    rows = [
+        (d, 3, pd.Timestamp(d * _DAY, unit="us"),
+         100.0 if d == 2 else 10.0)
+        for d in range(4)
+    ]
+    # and a second cell (hod 5) with constant values -> dev_num 0
+    rows += [
+        (10 + d, 3, pd.Timestamp(d * _DAY + 5 * _HOUR, unit="us"), 4.0)
+        for d in range(3)
+    ]
+    _write_events(tmp_path, rows)
+    out = {r.hod: r for r in
+           ts_seasonal_baseline(spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 5}
+    r0 = out[0]
+    assert r0.n == 4 and r0.sum_centi == 13_000
+    assert r0.v_centi_peak == 10_000 and r0.t_peak == 2 * _DAY
+    assert r0.dev_num == abs(10_000 * 4 - 13_000)
+    r5 = out[5]
+    assert r5.n == 3 and r5.dev_num == 0
+    # tie-break on (t, v): earliest time wins among equal deviations
+    assert r5.t_peak == 5 * _HOUR
+
+
+def test_seasonal_fixture_invariants(spark):
+    out = ts_seasonal_baseline(spark, SF)
+    assert out.filter((F.col("hod") < 0) | (F.col("hod") > 23)) \
+        .count() == 0
+    # one row per (user, hod) cell
+    assert out.groupBy("user_id", "hod").count() \
+        .filter(F.col("count") > 1).count() == 0
+    # dev_num is n*|v - mean| >= 0 and 0 only if peak equals the mean
+    bad = out.filter(
+        (F.col("dev_num") == 0)
+        & (F.col("v_centi_peak") * F.col("n") != F.col("sum_centi"))
+    ).count()
+    assert bad == 0
