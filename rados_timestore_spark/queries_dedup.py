@@ -1313,6 +1313,198 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KCORE_K = 2
+_KCORE_ITERS = 4
+
+
+def _kcore_ctes() -> str:
+    """Unrolled k-core peeling CTEs k0..k{_KCORE_ITERS} over the
+    symmetrized fuzzy-pair edge list ``e``: each round recomputes
+    degrees within the surviving induced subgraph and keeps nodes
+    with degree >= {_KCORE_K} (same edge set as graph_pagerank)."""
+    ctes = ["k0 AS (SELECT DISTINCT u AS node FROM e)"]
+    for r in range(1, _KCORE_ITERS + 1):
+        ctes.append(f"""d{r} AS (
+  SELECT e.u AS node, count(*) AS d
+  FROM e JOIN k{r - 1} a ON a.node = e.u
+         JOIN k{r - 1} b ON b.node = e.v
+  GROUP BY e.u),
+k{r} AS (SELECT node FROM d{r} WHERE d >= {_KCORE_K})""")
+    return ",\n".join(ctes)
+
+
+@register(
+    "graph_kcore",
+    oracle=f"""
+WITH {_FUZZY_PAIRS_SQL},
+e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+{_kcore_ctes()},
+dfin AS (
+  SELECT e.u AS node, count(*) AS d
+  FROM e JOIN k{_KCORE_ITERS} a ON a.node = e.u
+         JOIN k{_KCORE_ITERS} b ON b.node = e.v
+  GROUP BY e.u),
+chg AS (SELECT (SELECT count(*) FROM k{_KCORE_ITERS - 1})
+              - (SELECT count(*) FROM k{_KCORE_ITERS}) AS n)
+SELECT f.node AS doc_id, CAST(f.d AS BIGINT) AS core_deg,
+       (SELECT n FROM chg) AS n_unconverged
+FROM dfin f
+""",
+    tags=("dedup", "graph"),
+    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{k}-core decomposition over the fuzzy-match similarity graph
+    (Seidman 1983; the cohesion filter behind community cores and
+    dense-cluster QA — a 2-core strips pendant matches, keeping only
+    nodes embedded in cycles of duplication).  ``_KCORE_ITERS``
+    peeling rounds — drop every node whose degree in the SURVIVING
+    induced subgraph is < {k} — unrolled identically in both engines;
+    survivors report their final induced degree.  ``n_unconverged``
+    (nodes removed in the last round) is the honesty column: 0 when
+    peeling has reached its fixed point, and the convergence
+    criterion a production loop iterates on.
+
+    Per round: two semi-join-shaped joins of the edge list against
+    the O(nodes) survivor vector + one hash aggregate — the same
+    Pregel message pattern as :func:`graph_connected_components`,
+    with the identical localCheckpoint lineage cut per round."""
+    edges = dedup_fuzzy_prefix(spark, sf_dir).select("doc_a", "doc_b")
+    e = edges.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    ).transform(pin)  # feeds every peeling round + the final degrees
+    nodes = e.select("u").distinct().select(F.col("u").alias("node"))
+    prev = nodes
+    for _ in range(_KCORE_ITERS):
+        prev = nodes
+        a = nodes.select(F.col("node").alias("u"))
+        b = nodes.select(F.col("node").alias("v"))
+        d = (
+            e.join(a, "u").join(b, "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.count("*").alias("d"))
+        )
+        # Lineage cut per round (see graph_connected_components): the
+        # survivor vector is O(nodes), tiny at any corpus scale.
+        nodes = d.filter(F.col("d") >= _KCORE_K).select("node") \
+            .localCheckpoint(eager=False)
+    a = nodes.select(F.col("node").alias("u"))
+    b = nodes.select(F.col("node").alias("v"))
+    dfin = (
+        e.join(a, "u").join(b, "v")
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.count("*").alias("d"))
+    )
+    chg = (
+        prev.join(nodes, "node", "left_anti")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        dfin.crossJoin(F.broadcast(chg))
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("d").cast("long").alias("core_deg"),
+            F.col("n").alias("n_unconverged"),
+        )
+    )
+
+
+graph_kcore.__doc__ = graph_kcore.__doc__.format(k=_KCORE_K)
+
+#: Common-neighbor enumeration goes through wedge CENTERS; capping the
+#: center degree bounds the per-node wedge fan-out (a hub of degree d
+#: would otherwise emit d^2/2 pairs).  Both engines apply the cap, so
+#: ``common_cnt`` is the capped count by definition — the standard
+#: large-scale link-prediction compromise (full counts need the
+#: triangle-style orientation join, see graph_triangle_count).
+_JACCARD_CENTER_CAP = 32
+
+
+@register(
+    "graph_jaccard_neighbors",
+    oracle=f"""
+WITH {_FUZZY_PAIRS_SQL},
+e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+deg AS (SELECT u, count(*) AS d FROM e GROUP BY u),
+ctr AS (SELECT u AS c FROM deg WHERE d <= {_JACCARD_CENTER_CAP}),
+ec AS (SELECT e.u AS c, e.v AS n1 FROM e JOIN ctr ON ctr.c = e.u),
+w AS (SELECT x.n1 AS a, y.n1 AS b
+      FROM ec x JOIN ec y ON x.c = y.c AND x.n1 < y.n1),
+cn AS (SELECT a, b, count(*) AS common FROM w GROUP BY a, b),
+ne AS (SELECT cn.a, cn.b, cn.common FROM cn
+       LEFT JOIN pairs p ON p.doc_a = cn.a AND p.doc_b = cn.b
+       WHERE p.doc_a IS NULL)
+SELECT ne.a AS doc_a, ne.b AS doc_b,
+       CAST(ne.common AS BIGINT) AS common_cnt,
+       CAST(da.d AS BIGINT) AS deg_a, CAST(db.d AS BIGINT) AS deg_b,
+       CAST((ne.common * 1000000)
+            // (da.d + db.d - ne.common) AS BIGINT) AS jaccard_ppm
+FROM ne JOIN deg da ON da.u = ne.a JOIN deg db ON db.u = ne.b
+""",
+    tags=("dedup", "graph"),
+    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction (Liben-Nowell & Kleinberg
+    2003): for every NON-edge pair sharing >= 1 neighbor, the shared
+    neighbor count and the neighborhood Jaccard — the similarity
+    graph's "these two records are probably the same entity even
+    though no rule fired" signal, completing the graph family's
+    analytics tier.  Jaccard is emitted as exact integer ppm,
+    ``common * 1e6 div (deg_a + deg_b - common)`` — no float ratio.
+
+    Scale shape: candidate pairs are wedges through CENTERS of
+    degree <= {cap} (the cap bounds per-center fan-out at {cap}^2/2
+    — both engines apply it, so the capped ``common_cnt`` is the
+    operator's definition; a hub cannot explode the pair space).
+    One equi-join on the center key + one hash aggregate + one
+    anti-join against the edge list + two joins against the tiny
+    degree table — never all-pairs."""
+    edges = dedup_fuzzy_prefix(spark, sf_dir).select("doc_a", "doc_b")
+    e = edges.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    ).transform(pin)  # feeds degrees, wedge sides, and the anti-join
+    deg = e.groupBy("u").agg(F.count("*").alias("d"))
+    ctr = deg.filter(F.col("d") <= _JACCARD_CENTER_CAP) \
+        .select(F.col("u").alias("c"))
+    ec = e.join(ctr, F.col("u") == F.col("c")) \
+        .select("c", F.col("v").alias("n1"))
+    x, y = ec.alias("x"), ec.alias("y")
+    w = x.join(
+        y, (F.col("x.c") == F.col("y.c"))
+        & (F.col("x.n1") < F.col("y.n1"))
+    ).select(F.col("x.n1").alias("a"), F.col("y.n1").alias("b"))
+    cn = w.groupBy("a", "b").agg(F.count("*").alias("common"))
+    ne = cn.join(
+        edges,
+        (F.col("a") == F.col("doc_a")) & (F.col("b") == F.col("doc_b")),
+        "left_anti",
+    )
+    da = deg.select(F.col("u").alias("a"), F.col("d").alias("dga"))
+    db = deg.select(F.col("u").alias("b"), F.col("d").alias("dgb"))
+    return (
+        ne.join(da, "a").join(db, "b")
+        .select(
+            F.col("a").alias("doc_a"), F.col("b").alias("doc_b"),
+            F.col("common").cast("long").alias("common_cnt"),
+            F.col("dga").cast("long").alias("deg_a"),
+            F.col("dgb").cast("long").alias("deg_b"),
+            F.expr("(common * 1000000) div (dga + dgb - common)")
+            .cast("long").alias("jaccard_ppm"),
+        )
+    )
+
+
+graph_jaccard_neighbors.__doc__ = graph_jaccard_neighbors.__doc__.format(
+    cap=_JACCARD_CENTER_CAP)
+
+
 # ------------------------------ r9: exact substring dedup (Lee 2022)
 
 #: Exact-substring geometry: spans are runs of duplicated K-grams, so

@@ -43,6 +43,10 @@ DOC_QUERIES = [
     # K-gram runs, probing span-boundary arithmetic off the fixture
     "dedup_substring_spans",
     "dedup_substring_scrub",
+    # r9: the random corpora's accidental fuzzy-prefix graph probes
+    # the peeling fixed point and the wedge/anti-join pair space
+    "graph_kcore",
+    "graph_jaccard_neighbors",
 ]
 EVENT_QUERIES = [
     "ts_rollup_hourly", "ts_value_histogram", "ts_ohlc_hourly",

@@ -1,0 +1,101 @@
+"""Semantic laws for the late-r9 graph batch (k-core peeling,
+common-neighbor Jaccard link prediction) on hand-crafted corpora whose
+fuzzy-prefix graph is known exactly, plus fixture invariants."""
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from rados_timestore_spark.queries_dedup import (
+    _KCORE_K,
+    dedup_fuzzy_prefix,
+    graph_jaccard_neighbors,
+    graph_kcore,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _corpus(tmp_path, texts):
+    pdf = pd.DataFrame({
+        "doc_id": list(range(len(texts))),
+        "text": texts,
+        "lang": ["en"] * len(texts),
+        "source": ["t"] * len(texts),
+        "n_chars": [len(t) for t in texts],
+    })
+    pdf.to_parquet(tmp_path / "documents.parquet", index=False)
+    return str(tmp_path)
+
+
+# A 3-path (a-b-c: a~b and b~c within Levenshtein 10 on the 5-word
+# prefix, a and c at distance 12 — NOT an edge) plus a disjoint
+# triangle (d-e-f pairwise within distance).  First-word blocking
+# keeps the two gadgets in separate blocks.
+_PATH_TRIANGLE = [
+    "k aaaaaa bbbbbb cccccc dddddd",    # 0: a
+    "k zzzzzz bbbbbb cccccc dddddd",    # 1: b  (a<->b dist 6)
+    "k zzzzzz yyyyyy cccccc dddddd",    # 2: c  (b<->c 6, a<->c 12)
+    "m aaaaaa bbbbbb cccccc dddddd",    # 3: d
+    "m aazzaa bbbbbb cccccc dddddd",    # 4: e  (d<->e dist 2)
+    "m aaaaaa bbzzbb cccccc dddddd",    # 5: f  (d<->f 2, e<->f 4)
+]
+
+
+def test_gadget_edges_are_as_designed(spark, tmp_path):
+    sf = _corpus(tmp_path, _PATH_TRIANGLE)
+    got = {(r.doc_a, r.doc_b)
+           for r in dedup_fuzzy_prefix(spark, sf).collect()}
+    assert got == {(0, 1), (1, 2), (3, 4), (3, 5), (4, 5)}
+
+
+def test_kcore_keeps_the_triangle_drops_the_path(spark, tmp_path):
+    sf = _corpus(tmp_path, _PATH_TRIANGLE)
+    out = {r.doc_id: r for r in graph_kcore(spark, sf).collect()}
+    # path endpoints peel in round 1, the middle in round 2; the
+    # triangle is the whole 2-core with induced degree 2 everywhere
+    assert set(out) == {3, 4, 5}
+    assert all(r.core_deg == 2 for r in out.values())
+    assert all(r.n_unconverged == 0 for r in out.values())
+
+
+def test_jaccard_predicts_the_path_closure_only(spark, tmp_path):
+    sf = _corpus(tmp_path, _PATH_TRIANGLE)
+    rows = graph_jaccard_neighbors(spark, sf).collect()
+    # the only non-edge 2-path is a-c through b; the triangle's
+    # wedges all close into existing edges and are anti-joined away
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (0, 2)
+    assert r.common_cnt == 1 and r.deg_a == 1 and r.deg_b == 1
+    assert r.jaccard_ppm == 1_000_000
+
+
+def test_kcore_fixture_invariants(spark):
+    out = graph_kcore(spark, SF).toPandas()
+    # peeling converged on the fixture
+    assert (out["n_unconverged"] == 0).all()
+    # every survivor's induced degree satisfies the core condition
+    assert (out["core_deg"] >= _KCORE_K).all()
+    # the core is a subset of nodes whose FULL degree >= K (induced
+    # degree can only shrink)
+    e = dedup_fuzzy_prefix(spark, SF).select("doc_a", "doc_b")
+    deg = (
+        e.select(F.col("doc_a").alias("u"))
+        .unionByName(e.select(F.col("doc_b").alias("u")))
+        .groupBy("u").count().toPandas().set_index("u")["count"]
+    )
+    assert all(deg[n] >= _KCORE_K for n in out["doc_id"])
+
+
+def test_jaccard_fixture_invariants(spark):
+    out = graph_jaccard_neighbors(spark, SF).toPandas()
+    assert (out["doc_a"] < out["doc_b"]).all()
+    assert (out["common_cnt"] >= 1).all()
+    assert (out["common_cnt"]
+            <= out[["deg_a", "deg_b"]].min(axis=1)).all()
+    assert (out["jaccard_ppm"] >= 0).all()
+    assert (out["jaccard_ppm"] <= 1_000_000).all()
+    # predicted links are NOT edges
+    e = {(r.doc_a, r.doc_b) for r in
+         dedup_fuzzy_prefix(spark, SF).collect()}
+    assert not (set(zip(out["doc_a"], out["doc_b"])) & e)

@@ -129,6 +129,8 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "ts_lttb_downsample",
     "ts_cusum_changepoint",
     "ts_seasonal_baseline",
+    "graph_kcore",
+    "graph_jaccard_neighbors",
 }
 
 
