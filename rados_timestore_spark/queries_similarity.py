@@ -487,7 +487,12 @@ _N_PROBE = 4
 #: exact top-k), and the persisted-index probes (sim_vecidx_probe
 #: reuses the default; sim_vecidx_append_probe swaps the centroid
 #: predicate for the build-subset trainer via _ivf_ctes).
-def _ivf_ctes(cent_pred: str = f"vec_id < {_N_CENTROIDS}") -> str:
+def _ivf_ctes(cent_pred: str = f"vec_id < {_N_CENTROIDS}",
+              assign_pred: str = "TRUE") -> str:
+    """``cent_pred`` selects the routing-table source vectors;
+    ``assign_pred`` restricts the ASSIGNED corpus (the delete-probe
+    oracle: routing is persisted at build, so deletions shrink the
+    assignment set but never the centroid set)."""
     return f"""
 cent AS (
   SELECT vec_id AS cid, embedding AS ce, {_norm_sql("embedding")} AS cn
@@ -498,7 +503,7 @@ assigned AS (
            row_number() OVER (PARTITION BY e.vec_id ORDER BY
              {_dot_sql("e.embedding", "ce")} / {_norm_sql("e.embedding")} / cn
              DESC, c.cid) AS rk
-    FROM embeddings e, cent c) x
+    FROM embeddings e, cent c WHERE {assign_pred}) x
   WHERE rk = 1),
 probes AS (
   SELECT query_id, qe, bucket FROM (
@@ -2451,6 +2456,16 @@ def _vecidx(spark: SparkSession, sf_dir: str, variant: str):
         # label persisted NEXT TO the vectors, so the filtered probe's
         # predicate evaluates inside the bucket-pruned scan
         vi.build("e", emb, k=_N_CENTROIDS, meta_cols=("label",))
+    elif variant == "full_delete":
+        # build the full index, then retract every vec_id % 7 == 5
+        # (never a query id — queries are vec_id < 5).  The victim
+        # list is a bounded collect at fixture scale; production
+        # deletes arrive as explicit takedown id lists anyway.
+        vi.build("e", emb, k=_N_CENTROIDS)
+        victims = [r.vec_id for r in
+                   emb.filter(F.col("vec_id") % 7 == 5)
+                   .select("vec_id").collect()]
+        vi.delete("e", victims)
     else:
         vi.build("e", emb.filter(F.col("vec_id") % 2 == 0),
                  k=_N_CENTROIDS)
@@ -2547,3 +2562,29 @@ def sim_vecidx_probe_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         "e", _vidx_queries(spark, sf_dir), topk=5, nprobe=_N_PROBE,
         where=F.col("label").isin(*_FILTER_LABELS),
     )
+
+
+@register(
+    "sim_vecidx_delete_probe",
+    oracle=f"""
+WITH {_ivf_ctes(assign_pred="vec_id % 7 <> 5")}
+SELECT query_id, neighbor_id, cos, rank FROM ivf_top
+""",
+    tags=("similarity", "ann", "index"),
+    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def sim_vecidx_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction against the persisted index: build the full index,
+    ``delete`` every ``vec_id % 7 == 5`` (the takedown/opt-out path —
+    only the buckets holding victims are rewritten, swapped in by
+    rename), then probe.  Deletion never touches the ROUTING table —
+    centroids persist from the build — so the result equals IVF with
+    the full-corpus centroids over the surviving assignment set,
+    which is exactly what the oracle states (``cent`` unchanged,
+    ``assigned`` filtered).  Structural delete laws (untouched
+    buckets byte-identical, vanishing buckets, meta count) live in
+    tests/test_vector_index.py; this query adds the end-to-end
+    value-hash evidence that retraction loses nothing else."""
+    vi = _vecidx(spark, sf_dir, "full_delete")
+    return vi.probe("e", _vidx_queries(spark, sf_dir),
+                    topk=5, nprobe=_N_PROBE)

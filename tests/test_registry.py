@@ -131,6 +131,7 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "ts_seasonal_baseline",
     "graph_kcore",
     "graph_jaccard_neighbors",
+    "sim_vecidx_delete_probe",
 }
 
 

@@ -301,3 +301,22 @@ def test_meta_cols_persist_and_filter_probes(spark, emb, tmp_path):
         for rank, (_negc, nid) in enumerate(sorted(lst)[:3], start=1):
             want[(q, rank)] = nid
     assert got == want
+
+
+def test_delete_probe_query_excludes_victims(spark):
+    # The registered end-to-end retraction query: no deleted id may
+    # surface as a neighbor, per-query result stays a top-<=5 ranked
+    # list, and the probe demonstrably DIFFERS from the full-index
+    # probe (the victims included real neighbors on the fixture).
+    from rados_timestore_spark.queries_similarity import (
+        sim_vecidx_delete_probe, sim_vecidx_probe,
+    )
+
+    out = sim_vecidx_delete_probe(spark, SF_DIR).toPandas()
+    assert (out["neighbor_id"] % 7 != 5).all()
+    g = out.groupby("query_id")["rank"]
+    assert (g.max() <= 5).all()
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in g.apply(list))
+    full = sim_vecidx_probe(spark, SF_DIR).toPandas()
+    assert not full.equals(out)
