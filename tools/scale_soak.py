@@ -240,6 +240,21 @@ SOAK_R9_QUERIES = (
     "sim_vecidx_append_probe",
 )
 
+#: SOAK_FAMILY=r9b: the late-r9 operator batch at 10x — downsampling
+#: /changepoint/seasonal (expected ~linear: windows and hash aggs
+#: partitioned by series key), the graph additions (k-core peeling is
+#: O(edges) per round; jaccard wedges bounded by the center cap), and
+#: the index retraction probe (delete cost is victim-bucket-bounded;
+#: the probe is the usual nprobe fraction).
+SOAK_R9B_QUERIES = (
+    "ts_lttb_downsample",
+    "ts_cusum_changepoint",
+    "ts_seasonal_baseline",
+    "graph_kcore",
+    "graph_jaccard_neighbors",
+    "sim_vecidx_delete_probe",
+)
+
 #: SOAK_FAMILY=skew (VERDICT r8 item 4): the shuffle-heavy set under
 #: ENGINEERED key skew vs a same-size uniform corpus.  The 10x soaks
 #: scale uniformly, so hot-key mitigations (LSH hot-bucket salting,
@@ -416,6 +431,7 @@ def main() -> None:
              "heavy": SOAK_HEAVY_QUERIES,
              "r8": SOAK_R8_QUERIES,
              "r9": SOAK_R9_QUERIES,
+             "r9b": SOAK_R9B_QUERIES,
              "skew": SOAK_SKEW_QUERIES,
              }.get(family, SOAK_QUERIES)
     if family == "skew":
@@ -450,7 +466,7 @@ def main() -> None:
         print(json.dumps({"metric": "skew_soak", "copies": COPIES,
                           "cluster": _SKEW_CLUSTER, "queries": table}))
         return
-    if family == "r8":
+    if family in ("r8", "r9b"):
         if not os.path.exists(f"{out_dir}/events.parquet"):
             print(f"# building {COPIES}x events ...", file=sys.stderr)
             build_events(spark, out_dir)
