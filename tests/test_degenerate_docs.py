@@ -55,6 +55,8 @@ QUERIES = [
     # r9 doc-driven queries
     "dedup_substring_spans",
     "dedup_substring_scrub",
+    "graph_kcore",
+    "graph_jaccard_neighbors",
 ]
 
 
