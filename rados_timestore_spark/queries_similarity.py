@@ -335,6 +335,57 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Range-search similarity floor, as integer hundredths (compared via
+#: ``cos * 100 >= 20`` — the same literal-free device as _TAU100, so
+#: no non-representable float threshold can split the engines).
+_RANGE_TAU100 = 20
+
+
+@register(
+    "sim_range_search",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+                  {_norm_sql("embedding")} AS qn
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         {_dot_sql("e.embedding", "qe")} / {_norm_sql("e.embedding")} / qn
+           AS cos
+  FROM embeddings e, q WHERE e.vec_id <> query_id)
+SELECT query_id, neighbor_id, cos FROM scored
+WHERE cos * 100 >= {_RANGE_TAU100}
+""",
+    tags=("similarity",),
+    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search — ALL neighbors above a similarity floor, not a
+    fixed k (FAISS ``range_search``; the retrieval mode behind "give
+    me every candidate above threshold" dedup sweeps and recall-
+    complete retrieval, where top-k silently truncates dense
+    neighborhoods).  Same plan family as :func:`sim_knn_join`: 5
+    broadcast queries x ONE corpus scan, the sequential-fold cosine
+    choreography, then a scan-side filter — no window, no ranking
+    shuffle at all, since range semantics are set-shaped.  The floor
+    compares ``cos * 100`` against an integer so no float literal
+    can split the engines."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+    )
+    j = emb.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    return (
+        j.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            _cos_seq(F.col("embedding"), F.col("qe")).alias("cos"),
+        )
+        .filter(F.col("cos") * 100 >= _RANGE_TAU100)
+    )
+
+
 # ------------------------------------------------- sign-LSH near-dup
 
 

@@ -1713,3 +1713,67 @@ def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dnum").cast("long").alias("dev_num"),
         )
     )
+
+
+# ------------------------------------ r9: rolling active users (DAU/WAU)
+
+
+@register(
+    "ts_rolling_active_users",
+    oracle=f"""{_EV_CTE},
+du AS (SELECT DISTINCT user_id, t // 86400000000 AS day FROM ev),
+days AS (SELECT DISTINCT day FROM du),
+contrib AS (SELECT du.user_id, du.day + g.x AS day
+            FROM du, (SELECT unnest(range(0, 7)) AS x) g),
+wau AS (SELECT c.day, count(DISTINCT c.user_id) AS wau
+        FROM contrib c JOIN days d ON d.day = c.day
+        GROUP BY c.day),
+dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day)
+SELECT dau.day * 86400000000 AS day_us,
+       CAST(dau.dau AS BIGINT) AS dau, CAST(wau.wau AS BIGINT) AS wau
+FROM dau JOIN wau ON wau.day = dau.day
+""",
+    tags=("timeseries", "analytics"),
+    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def ts_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT rolling engagement counts — per active day, the distinct
+    users active that day (DAU) and within the trailing 7 days (WAU)
+    — the product-metric pair :func:`queries_sketch.sketch_hll_daily_
+    users` answers approximately with mergeable registers; this is
+    the exact counterpart, and the standard contribution-explosion
+    restatement of a sliding COUNT DISTINCT (a distinct user-day
+    contributes to the 7 target days it can be seen from — a bounded
+    7x fan-out on the ALREADY-DEDUPLICATED user-day table, never on
+    raw events).
+
+    Plan: one distinct over (user, day) — the only event-scale
+    shuffle — then a 7x explode of that small relation, a semi-join
+    onto observed days, and two hash aggregates.  At 100 TB the
+    user-day relation is orders of magnitude below the event count,
+    and the explode factor is the window length, not the data."""
+    ev = _events(spark, sf_dir)
+    du = (
+        ev.select("user_id", F.expr("t div 86400000000").alias("day"))
+        .distinct()
+        .transform(pin)  # feeds dau, the day grid, and the explode
+    )
+    days = du.select("day").distinct()
+    contrib = du.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6))
+        .alias("day"),
+    )
+    wau = (
+        contrib.join(days, "day")
+        .groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            (F.col("day") * 86400000000).cast("long").alias("day_us"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+        )
+    )

@@ -159,3 +159,21 @@ def test_pq_rerank_recall_dominates_plain_pq(spark):
     for qid in pq:
         assert rr[qid] >= pq[qid], (qid, rr[qid], pq[qid])
     assert sum(rr.values()) > sum(pq.values())
+
+
+def test_range_search_laws(spark):
+    # Range results respect the floor, exclude self-matches, and
+    # contain every knn_join top-3 hit that clears the floor (range
+    # search must never MISS a neighbor top-k would return).
+    from rados_timestore_spark.queries_similarity import (
+        _RANGE_TAU100, sim_knn_join, sim_range_search,
+    )
+    from tests.conftest import SF_DIR
+
+    out = sim_range_search(spark, SF_DIR).toPandas()
+    assert (out["cos"] * 100 >= _RANGE_TAU100).all()
+    assert (out["query_id"] != out["neighbor_id"]).all()
+    got = set(zip(out["query_id"], out["neighbor_id"]))
+    knn = sim_knn_join(spark, SF_DIR).toPandas()
+    must = knn[knn["cos"] * 100 >= _RANGE_TAU100]
+    assert set(zip(must["query_id"], must["neighbor_id"])) <= got

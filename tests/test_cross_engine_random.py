@@ -68,6 +68,8 @@ EVENT_QUERIES = [
     # r9: random values probe the CUSUM cross-multiplied argmax and
     # the seasonal-cell residual ranking off the fixture
     "ts_cusum_changepoint", "ts_seasonal_baseline",
+    # r9: random day spreads probe the 7-day contribution explosion
+    "ts_rolling_active_users",
 ]
 #: Embedding-driven queries: random float32 vectors probe the
 #: float-determinism choreography (sequential-fold cosine, SQ8
@@ -78,6 +80,9 @@ EMB_QUERIES = [
     # docs + embeddings: fusion join across both random tables
     "sim_rrf_fusion",
     "sim_mmr_select", "sim_centroid_drift",
+    # r9: random geometry probes the threshold comparison (cos*100
+    # vs integer floor) right at the boundary
+    "sim_range_search",
 ]
 
 WORDS = ("the a of and to in is on for data spark query time "

@@ -132,6 +132,8 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "graph_kcore",
     "graph_jaccard_neighbors",
     "sim_vecidx_delete_probe",
+    "sim_range_search",
+    "ts_rolling_active_users",
 }
 
 

@@ -106,3 +106,38 @@ def test_seasonal_fixture_invariants(spark):
         & (F.col("v_centi_peak") * F.col("n") != F.col("sum_centi"))
     ).count()
     assert bad == 0
+
+
+def test_rolling_active_users_windows(spark, tmp_path):
+    from rados_timestore_spark.queries_timeseries import (
+        ts_rolling_active_users,
+    )
+
+    # user 1 on day 0, user 2 on day 3, user 3 on day 10:
+    # WAU(d) counts users active in [d-6, d]
+    rows = [
+        (0, 1, pd.Timestamp(0, unit="us"), 1.0),
+        (1, 2, pd.Timestamp(3 * _DAY, unit="us"), 1.0),
+        (2, 3, pd.Timestamp(10 * _DAY, unit="us"), 1.0),
+        # same user twice on one day must count once
+        (3, 2, pd.Timestamp(3 * _DAY + _HOUR, unit="us"), 2.0),
+    ]
+    _write_events(tmp_path, rows)
+    out = {r.day_us // _DAY: r for r in
+           ts_rolling_active_users(spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 3, 10}
+    assert (out[0].dau, out[0].wau) == (1, 1)
+    assert (out[3].dau, out[3].wau) == (1, 2)   # users 1 and 2
+    assert (out[10].dau, out[10].wau) == (1, 1)  # day-0/3 aged out
+
+
+def test_rolling_active_users_fixture_invariants(spark):
+    from rados_timestore_spark.queries_timeseries import (
+        _events, ts_rolling_active_users,
+    )
+
+    out = ts_rolling_active_users(spark, SF).toPandas()
+    total = _events(spark, SF).select("user_id").distinct().count()
+    assert (out["wau"] >= out["dau"]).all()
+    assert (out["wau"] <= total).all()
+    assert out["day_us"].is_unique
