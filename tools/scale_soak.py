@@ -253,6 +253,8 @@ SOAK_R9B_QUERIES = (
     "graph_kcore",
     "graph_jaccard_neighbors",
     "sim_vecidx_delete_probe",
+    "sim_range_search",
+    "ts_rolling_active_users",
 )
 
 #: SOAK_FAMILY=skew (VERDICT r8 item 4): the shuffle-heavy set under
