@@ -722,6 +722,120 @@ def mm_wav_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wav_synth_zcr(batches):
+    """mapInPandas kernel: same WAV synthesis/decode as mm_wav_rms,
+    then the DC-REMOVED zero-crossing count computed CHANNEL-
+    CORRECTLY — the interleaved int16 stream reshaped (frames,
+    channels) and adjacent FRAMES compared per channel (stride =
+    channels; comparing interleaved neighbors would count L/R
+    alternation as signal).  Crossings are counted about the stream
+    MEAN, not raw zero (standard practice — and on this corpus raw
+    zero would be vacuous: pure-ASCII high bytes can never set the
+    int16 sign bit).  The mean never materializes: ``s*N >= S`` is
+    the cross-multiplied exact integer form of ``s >= mean``."""
+    import struct
+
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            src = text.encode("utf-8") or b" "
+            n = len(src)
+            rate = _WAV_RATES[n % len(_WAV_RATES)]
+            channels = n % 2 + 1
+            bits = 16
+            block = channels * (bits // 8)
+            frames = n % _WAV_FRAMES_MOD + _WAV_FRAMES_MIN
+            dl = frames * block
+            data = (src * ((dl + n - 1) // n))[:dl]
+            fmt = struct.pack(
+                "<HHIIHH", 1, channels, rate, rate * block, block, bits
+            )
+            chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            if n % 2 == 0:
+                chunks += b"LIST" + struct.pack("<I", 5) + b"INFOJ" + b"\0"
+            chunks += b"data" + struct.pack("<I", dl) + data
+            payload = (
+                b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE"
+                + chunks
+            )
+            decode_wav_real(payload)  # container verified as in rms
+            s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+            fr = s.reshape(frames, channels)
+            nonneg = fr * s.size >= s.sum()
+            zc = int((nonneg[1:] != nonneg[:-1]).sum())
+            rows.append((int(doc_id), channels, frames, zc))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "channels", "n_frames",
+                           "zero_crossings"],
+        )
+
+
+@register(
+    "mm_wav_zero_crossings",
+    # ASCII PRECONDITION: same character-wise PCM rebuild as
+    # mm_wav_rms (ord == byte only for the pure-ASCII corpus).
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN octet_length(encode(text)) = 0 THEN ' '
+              ELSE text END AS text,
+         GREATEST(octet_length(encode(text)), 1) AS n
+  FROM documents),
+p AS (
+  SELECT doc_id, text, n,
+         n % 2 + 1 AS ch,
+         (n % 2 + 1) * 2 AS block,
+         (n % {_WAV_FRAMES_MOD} + {_WAV_FRAMES_MIN}) AS frames
+  FROM g),
+d AS (
+  SELECT doc_id, ch, frames, frames * block AS dl,
+         substr(repeat(text, ((frames * block + n - 1) // n)::INT),
+                1, frames * block) AS raw
+  FROM p),
+sm AS (
+  SELECT doc_id, ch, frames,
+         list_transform(generate_series(1, dl // 2), i ->
+           CASE WHEN ord(raw[2*i-1]) + 256 * ord(raw[2*i]) >= 32768
+                THEN ord(raw[2*i-1]) + 256 * ord(raw[2*i]) - 65536
+                ELSE ord(raw[2*i-1]) + 256 * ord(raw[2*i]) END) AS s
+  FROM d),
+t AS (
+  SELECT doc_id, ch, frames, s,
+         list_sum(s) AS ssum, ch * frames AS ns
+  FROM sm)
+SELECT doc_id, CAST(ch AS INT) AS channels,
+       CAST(frames AS BIGINT) AS n_frames,
+       CAST(COALESCE(list_sum(list_transform(
+         generate_series(1, ns - ch), i ->
+           CASE WHEN (s[i] * ns >= ssum) <> (s[i + ch] * ns >= ssum)
+                THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
+FROM t
+""",
+    tags=("multimodal",),
+    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def mm_wav_zero_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-crossing rate over REAL decoded PCM — with energy (RMS),
+    the other workhorse frame feature of audio curation (voiced/
+    unvoiced and speech/noise screens use exactly the ZCR x energy
+    plane).  Crossings are counted about the stream MEAN (DC-offset
+    removal, as real pipelines do before counting — and required
+    here, where ASCII-derived samples are never negative), via the
+    cross-multiplied exact integer compare ``s*N >= S``.  The count
+    is channel-correct: the stream is compared at stride
+    ``channels``, so only genuine within-channel sign changes count
+    (the oracle states the same stride over the flat sample list).
+    Integer compares end to end; one ``mapInPandas`` map stage, zero
+    shuffle."""
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
+    return docs.select("doc_id", "text").mapInPandas(
+        _wav_synth_zcr,
+        "doc_id long, channels int, n_frames long, zero_crossings long",
+    )
+
+
 # -------------------------------------------------- real PNG decode
 
 #: mm_decode_png geometry (byte-length-derived, like mm_decode_ppm).

@@ -57,6 +57,7 @@ QUERIES = [
     "dedup_substring_scrub",
     "graph_kcore",
     "graph_jaccard_neighbors",
+    "mm_wav_zero_crossings",
 ]
 
 

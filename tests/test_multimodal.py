@@ -336,3 +336,25 @@ def test_jpeg_header_skips_fill_bytes_and_standalone_markers():
     # insert fill FFs and a standalone TEM marker after SOI
     padded = good[:2] + b"\xff\xff" + b"\xff\x01" + good[2:]
     assert decode_jpeg_header(padded) == decode_jpeg_header(good)
+
+
+def test_wav_zero_crossings_laws(spark):
+    # DC-removed ZCR: bounded by (frames-1)*channels; geometry agrees
+    # with mm_wav_meta; non-trivial on the fixture (the mean split
+    # guarantees both sides are populated for any non-constant doc).
+    from rados_timestore_spark.queries_multimodal import (
+        mm_wav_meta, mm_wav_zero_crossings,
+    )
+    from tests.conftest import SF_DIR
+
+    zc = mm_wav_zero_crossings(spark, SF_DIR).toPandas() \
+        .set_index("doc_id")
+    meta = mm_wav_meta(spark, SF_DIR).toPandas().set_index("doc_id")
+    assert set(zc.index) == set(meta.index)
+    j = zc.join(meta, lsuffix="_z")
+    assert (j["channels_z"] == j["channels"]).all()
+    assert (j["n_frames_z"] == j["n_frames"]).all()
+    assert (j["zero_crossings"] >= 0).all()
+    assert (j["zero_crossings"]
+            <= (j["n_frames"] - 1) * j["channels"]).all()
+    assert (j["zero_crossings"] > 0).any()

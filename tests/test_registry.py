@@ -134,6 +134,7 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "sim_vecidx_delete_probe",
     "sim_range_search",
     "ts_rolling_active_users",
+    "mm_wav_zero_crossings",
 }
 
 
