@@ -1777,3 +1777,60 @@ def ts_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("wau").cast("long").alias("wau"),
         )
     )
+
+
+# ------------------------------------ r9: rolling volatility (control chart)
+
+
+@register(
+    "ts_rolling_volatility",
+    oracle=f"""{_EV_CTE},
+x AS (SELECT event_id, user_id, t,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM ev)
+SELECT event_id, user_id, t,
+       CAST(count(*) OVER w AS BIGINT) AS n_win,
+       CAST(sum(v) OVER w AS BIGINT) AS sum_centi,
+       CAST(count(*) OVER w * sum(v * v) OVER w
+            - sum(v) OVER w * sum(v) OVER w AS BIGINT) AS var_num
+FROM x
+WINDOW w AS (PARTITION BY user_id ORDER BY t
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+    tags=("timeseries", "window"),
+    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def ts_rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling volatility / control-chart statistic: per event, the
+    trailing-hour window's count, sum, and the EXACT integer variance
+    numerator ``n*sum(v^2) - sum(v)^2`` (= n^2 * population variance
+    in centi-units^2) — the quantity control charts threshold on,
+    emitted un-divided so no float ratio enters the hash (the same
+    cross-multiplication device as :func:`ts_anomaly_zscore`, here
+    over a sliding RANGE frame instead of the whole series).
+
+    Same plan as :func:`ts_moving_window_sum`: one shuffle on the
+    series key, the three window aggregates share one frame scan
+    (Spark evaluates same-frame functions together).  Magnitudes:
+    |v| <= 1e5 centi-units, so a million-event window stays under
+    int64 via n*sumsq <= n^2 * max_v^2 — the fixtures and any
+    realistic per-series hourly rate are far below the 9e18 line."""
+    ev = _events(spark, sf_dir)
+    x = ev.select(
+        "event_id", "user_id", "t",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id").orderBy("t")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    n = F.count("*").over(w)
+    s = F.sum("v").over(w)
+    ss = F.sum(F.col("v") * F.col("v")).over(w)
+    return x.select(
+        "event_id", "user_id", "t",
+        n.cast("long").alias("n_win"),
+        s.cast("long").alias("sum_centi"),
+        (n * ss - s * s).cast("long").alias("var_num"),
+    )

@@ -71,6 +71,9 @@ EVENT_QUERIES = [
     "ts_cusum_changepoint", "ts_seasonal_baseline",
     # r9: random day spreads probe the 7-day contribution explosion
     "ts_rolling_active_users",
+    # r9: random values/timestamps probe the sliding-frame variance
+    # numerator (n*sumsq - sum^2 over a RANGE frame)
+    "ts_rolling_volatility",
 ]
 #: Embedding-driven queries: random float32 vectors probe the
 #: float-determinism choreography (sequential-fold cosine, SQ8

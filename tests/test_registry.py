@@ -135,6 +135,7 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "sim_range_search",
     "ts_rolling_active_users",
     "mm_wav_zero_crossings",
+    "ts_rolling_volatility",
 }
 
 

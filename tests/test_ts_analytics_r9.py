@@ -141,3 +141,41 @@ def test_rolling_active_users_fixture_invariants(spark):
     assert (out["wau"] >= out["dau"]).all()
     assert (out["wau"] <= total).all()
     assert out["day_us"].is_unique
+
+
+def test_rolling_volatility_laws(spark, tmp_path):
+    from rados_timestore_spark.queries_timeseries import (
+        ts_rolling_volatility,
+    )
+
+    # three events 10 min apart then one 2h later: the trailing-hour
+    # frame contains exactly the in-range rows; var_num is the exact
+    # n*sumsq - sum^2 of centi-values
+    rows = [
+        (0, 1, pd.Timestamp(0, unit="us"), 10.0),
+        (1, 1, pd.Timestamp(600_000_000, unit="us"), 20.0),
+        (2, 1, pd.Timestamp(1_200_000_000, unit="us"), 40.0),
+        (3, 1, pd.Timestamp(2 * _HOUR + 1_200_000_000, unit="us"), 5.0),
+    ]
+    _write_events(tmp_path, rows)
+    out = {r.event_id: r for r in
+           ts_rolling_volatility(spark, str(tmp_path)).collect()}
+    assert out[0].n_win == 1 and out[0].var_num == 0
+    # event 2: window holds 1000, 2000, 4000 centi
+    r2 = out[2]
+    assert r2.n_win == 3 and r2.sum_centi == 7000
+    assert r2.var_num == 3 * (1000**2 + 2000**2 + 4000**2) - 7000**2
+    # event 3 is alone again after the 2h gap
+    assert out[3].n_win == 1 and out[3].var_num == 0
+
+
+def test_rolling_volatility_fixture_invariants(spark):
+    from rados_timestore_spark.queries_timeseries import (
+        ts_rolling_volatility,
+    )
+
+    out = ts_rolling_volatility(spark, SF).toPandas()
+    # variance numerator is non-negative (Cauchy-Schwarz) and zero
+    # exactly when the window is a single repeated value
+    assert (out["var_num"] >= 0).all()
+    assert ((out["n_win"] == 1) <= (out["var_num"] == 0)).all()
