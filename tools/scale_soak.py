@@ -255,6 +255,8 @@ SOAK_R9B_QUERIES = (
     "sim_vecidx_delete_probe",
     "sim_range_search",
     "ts_rolling_active_users",
+    "mm_wav_zero_crossings",
+    "ts_rolling_volatility",
 )
 
 #: SOAK_FAMILY=skew (VERDICT r8 item 4): the shuffle-heavy set under
