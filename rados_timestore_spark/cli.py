@@ -128,6 +128,29 @@ def _parser() -> argparse.ArgumentParser:
         "vecidx-compact",
         help="collapse each bucket's append files into one file")
 
+    vq = sub.add_parser(
+        "vecidx-enable-pq",
+        help="add product-quantization codes to the index (persisted "
+             "sub-codebooks + a pq_code column; one rewrite)")
+    vq.add_argument("--m", type=int, default=4,
+                    help="subspaces (dim must divide evenly)")
+    vq.add_argument("--ksub", type=int, default=16,
+                    help="codewords per subspace")
+
+    vpq = sub.add_parser(
+        "vecidx-probe-pq",
+        help="compressed ADC probe over the persisted codes "
+             "(optionally exact-reranked)")
+    vpq.add_argument("--parquet", required=True,
+                     help="table holding the query vectors")
+    vpq.add_argument("--ids", required=True,
+                     help="comma-separated query vec_id list")
+    vpq.add_argument("--topk", type=int, default=5)
+    vpq.add_argument("--nprobe", type=int, default=4)
+    vpq.add_argument("--rerank", type=int, default=None,
+                     help="widen the ADC cut to N candidates and "
+                          "re-rank them by exact cosine")
+
     q = sub.add_parser(
         "query",
         help="run a registered analytics query (sketch_*, dedup_*, "
@@ -206,6 +229,18 @@ def main(argv: Sequence[str] | None = None,
             print(json.dumps({"removed": vi.delete(args.ns, ids)}))
         elif args.cmd == "vecidx-compact":
             print(json.dumps({"files": vi.compact(args.ns)}))
+        elif args.cmd == "vecidx-enable-pq":
+            print(json.dumps(vi.enable_pq(
+                args.ns, m=args.m, ksub=args.ksub)))
+        elif args.cmd == "vecidx-probe-pq":
+            ids = [int(a) for a in args.ids.split(",") if a]
+            rows = (spark.read.parquet(args.parquet)
+                    .filter(F.col("vec_id").isin(ids)).collect())
+            qs = [(r.vec_id, list(r.embedding)) for r in rows]
+            out = vi.probe_pq(args.ns, qs, topk=args.topk,
+                              nprobe=args.nprobe, rerank=args.rerank)
+            for row in out.collect():
+                print(json.dumps(row.asDict()))
         return 0
 
     store = TimeStore(spark, args.root)

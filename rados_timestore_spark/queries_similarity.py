@@ -2517,6 +2517,11 @@ def _vecidx(spark: SparkSession, sf_dir: str, variant: str):
                    emb.filter(F.col("vec_id") % 7 == 5)
                    .select("vec_id").collect()]
         vi.delete("e", victims)
+    elif variant == "full_pq":
+        # build, then add the compressed read path: persisted
+        # sub-codebooks + a pq_code column in the assignment rows
+        vi.build("e", emb, k=_N_CENTROIDS)
+        vi.enable_pq("e", m=_PQ_M, ksub=_PQ_K)
     else:
         vi.build("e", emb.filter(F.col("vec_id") % 2 == 0),
                  k=_N_CENTROIDS)
@@ -2639,3 +2644,122 @@ def sim_vecidx_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     vi = _vecidx(spark, sf_dir, "full_delete")
     return vi.probe("e", _vidx_queries(spark, sf_dir),
                     topk=5, nprobe=_N_PROBE)
+
+
+# ------------------------------- r9: persisted IVF-PQ (codes at rest)
+#
+# The compressed read path of the persisted index: enable_pq()
+# persists global sub-codebooks (FAISS IVFPQ with by_residual=False —
+# non-residual codes are routing-independent, so append/delete/compact
+# never invalidate them) and a pq_code column INSIDE the assignment
+# rows.  The ADC probe then reads ONLY (vec_id, bucket, pq_code) from
+# the nprobe-pruned bucket directories — parquet column projection
+# delivers the Jégou et al. 2011 bandwidth reduction (m*2 B vs dim*4 B
+# per vector) on columnar storage instead of a bespoke code layout.
+# Oracles compose the persisted-IVF routing CTEs (_ivf_ctes) with the
+# PQ encode/LUT CTEs of the in-query ADC family, restricted to the
+# probed buckets — proving build -> enable_pq -> probe_pq loses
+# nothing vs the oracle-stated composition.
+
+
+def _vidxpq_ctes(k: int, top: str = "vpq_top") -> str:
+    """ADC-over-the-persisted-index CTE chain: IVF routing (cent /
+    assigned / probes from ``_ivf_ctes``) x PQ encode + LUT (the
+    ``_pq_ctes`` shapes, codebooks = the ksub lowest vec_ids — the
+    enable_pq "sample" trainer), with the ADC sum restricted to each
+    query's probed buckets."""
+    return f"""{_ivf_ctes()},
+cb AS (
+  SELECT s, vec_id AS code,
+         list_transform(embedding[s*{_PQ_DSUB}+1 : s*{_PQ_DSUB}+{_PQ_DSUB}],
+                        x -> x::DOUBLE) AS cv
+  FROM embeddings, generate_series(0,{_PQ_M - 1}) g(s)
+  WHERE vec_id < {_PQ_K}),
+enc AS (
+  SELECT vec_id, s, code FROM (
+    SELECT e.vec_id, c.s, c.code,
+           row_number() OVER (PARTITION BY e.vec_id, c.s ORDER BY
+             {_pq_sub_l2_sql("e.embedding", f"c.s*{_PQ_DSUB}", "c.cv")} ASC,
+             c.code) AS rk
+    FROM embeddings e, cb c) x
+  WHERE rk = 1),
+lut AS (
+  SELECT q.vec_id AS query_id, c.s, c.code,
+         {_pq_sub_l2_sql("q.embedding", f"c.s*{_PQ_DSUB}", "c.cv")} AS d
+  FROM embeddings q, cb c WHERE q.vec_id < 5),
+vadc AS (
+  SELECT l.query_id, e.vec_id,
+         list_sum(list(l.d ORDER BY l.s)) AS approx_d2
+  FROM enc e
+  JOIN assigned a ON a.vec_id = e.vec_id
+  JOIN probes p ON p.bucket = a.bucket
+  JOIN lut l ON l.query_id = p.query_id AND l.s = e.s
+            AND l.code = e.code
+  WHERE e.vec_id <> l.query_id
+  GROUP BY l.query_id, e.vec_id),
+{top} AS (
+  SELECT query_id, vec_id AS neighbor_id, approx_d2, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY approx_d2 ASC, vec_id) AS rank FROM vadc) t
+  WHERE rank <= {k})"""
+
+
+@register(
+    "sim_vecidxpq_probe",
+    oracle=f"""
+WITH {_vidxpq_ctes(5)}
+SELECT query_id, neighbor_id, approx_d2, rank FROM vpq_top
+""",
+    tags=("similarity", "ann", "index"),
+    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def sim_vecidxpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC probe against PERSISTED PQ codes — the compressed
+    build-once/probe-many path: ``enable_pq`` wrote global
+    sub-codebooks and a ``pq_code`` column into the assignment rows
+    once; the probe loads the (m x ksub)-row codebook table (bounded
+    driver state, version-cached like the centroids), routes queries
+    to nprobe buckets, and ranks by an m-term LUT sum over a scan
+    that reads ONLY the code column of the probed bucket directories
+    (PartitionFilters x parquet column projection — see
+    vector_index.enable_pq for the bandwidth arithmetic).  Codes are
+    non-residual, so this oracle is exactly the in-query PQ encode
+    CTEs intersected with the persisted-IVF probe routing."""
+    vi = _vecidx(spark, sf_dir, "full_pq")
+    return vi.probe_pq("e", _vidx_queries(spark, sf_dir),
+                       topk=5, nprobe=_N_PROBE)
+
+
+@register(
+    "sim_vecidxpq_rerank",
+    oracle=f"""
+WITH {_vidxpq_ctes(_RERANK_CAND, "vpq_cand")},
+vrr AS (
+  SELECT c.query_id, c.neighbor_id,
+         {_dot_sql("e.embedding", "q.embedding")}
+           / {_norm_sql("e.embedding")} / {_norm_sql("q.embedding")} AS cos
+  FROM vpq_cand c
+  JOIN embeddings e ON e.vec_id = c.neighbor_id
+  JOIN embeddings q ON q.vec_id = c.query_id),
+vrr_top AS (
+  SELECT query_id, neighbor_id, cos, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY cos DESC, neighbor_id) AS rank FROM vrr) t
+  WHERE rank <= 5)
+SELECT query_id, neighbor_id, cos, rank FROM vrr_top
+""",
+    tags=("similarity", "ann", "index"),
+    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def sim_vecidxpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC-R against the persisted index: the code-column scan
+    proposes top-20 by approximate distance, then the SAME
+    bucket-pruned scan's raw-vector column refines just those
+    candidates by exact cosine (a bounded Q x 20 broadcast semi-join
+    — never a second full scan) and re-sorts to top-5.  Completes the
+    persisted index's production read stack: routing prunes the
+    corpus, codes compress the scan, re-ranking restores exactness at
+    the top — all from state written once at build/enable time."""
+    vi = _vecidx(spark, sf_dir, "full_pq")
+    return vi.probe_pq("e", _vidx_queries(spark, sf_dir),
+                       topk=5, nprobe=_N_PROBE, rerank=_RERANK_CAND)

@@ -16,7 +16,10 @@ Layout under ``root/<ns>/``::
     _vidx_meta.json           k, dim, n_vectors, version (commit marker)
     centroids/                parquet (cid long, ce array<float>)
     assignments/bucket=<cid>/ parquet (vec_id long, embedding
-                              array<float>), hive-partitioned
+                              array<float>[, meta_cols...,
+                              pq_code array<smallint>]), hive-partitioned
+    pq_codebooks/             parquet (s int, code int, cv
+                              array<float>) — after enable_pq()
 
 Scale design (the build-once/probe-many shape at 100 TB):
 
@@ -82,7 +85,8 @@ def assign_to_centroids(emb: DataFrame, cids: np.ndarray,
                         C: np.ndarray, dim: int,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding",
-                        meta_cols: tuple = ()) -> DataFrame:
+                        meta_cols: tuple = (),
+                        pq_cb: np.ndarray | None = None) -> DataFrame:
     """Shuffle-free nearest-centroid assignment: one ``mapInPandas``
     scan doing an O(batch * k) argmax against the broadcast-closure
     centroid matrix.  ``cids`` must be sorted ascending so
@@ -93,7 +97,22 @@ def assign_to_centroids(emb: DataFrame, cids: np.ndarray,
     ``meta_cols`` ride through unchanged (filtered-search metadata
     persisted NEXT TO the vectors, so probe predicates push into the
     bucket scan instead of joining the source table — the production
-    filtered-ANN index layout)."""
+    filtered-ANN index layout).
+
+    ``pq_cb`` — an (m, ksub, dsub) PQ codebook tensor — additionally
+    emits a ``pq_code array<smallint>`` column (nearest sub-codeword
+    per subspace, squared-L2 with the canonical sequential fold,
+    np.argmin first-min == ties to the lowest code).  Codes live IN
+    the assignment rows, so every maintenance verb (delete, compact)
+    keeps them consistent for free, and the ADC probe reads just this
+    one column out of the bucket files (parquet column projection =
+    the PQ bandwidth win)."""
+    if pq_cb is not None:
+        # canonical fold lives in queries_similarity; deferred import
+        # breaks the module cycle (that module imports this one)
+        from rados_timestore_spark.queries_similarity import _sq_dists
+        CBm = np.asarray(pq_cb, dtype=np.float64)
+        m, _ksub, dsub = CBm.shape
 
     def assign(batches):
         # input columns are NORMALIZED to vec_id/embedding by the
@@ -110,19 +129,28 @@ def assign_to_centroids(emb: DataFrame, cids: np.ndarray,
             }
             for c in meta_cols:
                 out[c] = pdf[c]
+            if pq_cb is not None:
+                codes = np.empty((len(E), m), dtype=np.int16)
+                for s in range(m):
+                    sub = E[:, s * dsub:(s + 1) * dsub]
+                    codes[:, s] = np.argmin(
+                        _sq_dists(sub, CBm[s]), axis=1)
+                out["pq_code"] = list(codes)
             yield pd.DataFrame(out)
 
     meta_schema = "".join(
         f", {f.name} {f.dataType.simpleString()}"
         for f in emb.schema if f.name in meta_cols
     )
+    pq_schema = ", pq_code array<smallint>" if pq_cb is not None else ""
     return emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
         *[F.col(c) for c in meta_cols],
     ).mapInPandas(
         assign,
-        f"vec_id long, embedding array<float>, bucket long{meta_schema}",
+        f"vec_id long, embedding array<float>, bucket long"
+        f"{meta_schema}{pq_schema}",
     )
 
 
@@ -227,6 +255,9 @@ class VectorIndex:
 
     def _assignments_dir(self, ns: str) -> str:
         return f"{self._ns_dir(ns)}/assignments"
+
+    def _pq_dir(self, ns: str) -> str:
+        return f"{self._ns_dir(ns)}/pq_codebooks"
 
     def meta(self, ns: str) -> dict:
         path = f"{self._ns_dir(ns)}/{_META}"
@@ -335,7 +366,9 @@ class VectorIndex:
         cids, C = self._load_centroids(ns, int(doc["version"]))
         assigned = assign_to_centroids(
             emb, cids, C, doc["dim"], id_col, vec_col,
-            meta_cols=tuple(doc.get("meta_cols", ())))
+            meta_cols=tuple(doc.get("meta_cols", ())),
+            pq_cb=(self._load_pq(ns, int(doc["version"]))
+                   if "pq" in doc else None))
         (assigned.write.mode("append")
          .partitionBy("bucket").parquet(self._assignments_dir(ns)))
         n_new = emb.count()
@@ -374,7 +407,9 @@ class VectorIndex:
             self.fs.delete(stage, recursive=True)
         assigned = assign_to_centroids(
             emb, cids, C, doc["dim"], id_col, vec_col,
-            meta_cols=tuple(doc.get("meta_cols", ())))
+            meta_cols=tuple(doc.get("meta_cols", ())),
+            pq_cb=(self._load_pq(ns, int(doc["version"]))
+                   if "pq" in doc else None))
         (assigned.write.mode("overwrite")
          .partitionBy("bucket").parquet(stage))
         prefix = f"b{int(batch_id)}-"
@@ -407,6 +442,204 @@ class VectorIndex:
         doc["last_batch_id"] = int(batch_id)
         self._write_meta(ns, doc)
         return doc
+
+    # ----------------------------------------------------------- pq
+
+    def enable_pq(self, ns: str, m: int = 4, ksub: int = 16) -> dict:
+        """Add product-quantization codes to the index — the FAISS
+        IVFPQ composition WITHOUT residuals (``by_residual=False``):
+        global sub-codebooks over raw vectors, IVF routing unchanged.
+        Non-residual codes are routing-independent, so appends encode
+        with no bucket context and delete/compact never invalidate a
+        code — the property that makes the codes safe to persist
+        INSIDE the assignment rows.
+
+        Codebooks are the ``ksub`` lowest-vec_id vectors of the index
+        (a bounded TakeOrdered — the same deterministic "sample"
+        trainer as :meth:`build`, restatable by the DuckDB oracle),
+        reshaped to (m, ksub, dim/m) and persisted as a parquet table.
+        The assignment table is then rewritten ONCE (staging + rename
+        swap, the :meth:`compact` mechanics — enable_pq doubles as a
+        compaction) with a ``pq_code array<smallint>`` column; the
+        meta update is the commit point.
+
+        At 100 TB the ADC probe reads only (vec_id, bucket, pq_code)
+        from nprobe bucket directories: parquet column projection
+        skips the raw-vector column entirely, so scan bandwidth per
+        vector drops from dim*4 bytes to m*2 bytes (~128x at dim=64,
+        m=4) — the Jégou et al. 2011 memory-bandwidth economics on
+        columnar storage instead of a bespoke code layout.
+        """
+        doc = self.meta(ns)
+        dim = int(doc["dim"])
+        if dim % m:
+            raise ValueError(f"enable_pq({ns!r}): dim {dim} not "
+                             f"divisible by m {m}")
+        dsub = dim // m
+        live = self._assignments_dir(ns)
+        scan = self.spark.read.parquet(live)
+        cb_rows = (scan.select("vec_id", "embedding")
+                   .orderBy("vec_id").limit(ksub).collect())
+        if len(cb_rows) < ksub:
+            raise ValueError(
+                f"enable_pq({ns!r}): need {ksub} vectors to train, "
+                f"index holds {len(cb_rows)}")
+        CB = np.array([r.embedding for r in cb_rows], dtype=np.float64)
+        # persisted precision IS the encode precision (same contract
+        # as the centroid table)
+        CB = CB.astype(np.float32).astype(np.float64)
+        CBm = CB.reshape(ksub, m, dsub).transpose(1, 0, 2)
+        cb_df = self.spark.createDataFrame(
+            [(s, c, [float(x) for x in CBm[s, c]])
+             for s in range(m) for c in range(ksub)],
+            "s int, code int, cv array<float>",
+        )
+        cb_df.coalesce(1).write.mode("overwrite").parquet(
+            self._pq_dir(ns))
+
+        staging, old = f"{live}.pq_encoding", f"{live}.old"
+        for leftover in (staging, old):
+            if self.fs.exists(leftover):
+                self.fs.delete(leftover, recursive=True)
+        encoded = assign_to_centroids(
+            scan.drop("bucket", "pq_code"),
+            *self._load_centroids(ns, int(doc["version"])),
+            dim=dim, meta_cols=tuple(doc.get("meta_cols", ())),
+            pq_cb=CBm,
+        )
+        (encoded.repartition("bucket").write.mode("overwrite")
+         .partitionBy("bucket").parquet(staging))
+        if not self.fs.rename(live, old):
+            raise IOError(f"enable_pq({ns!r}): cannot move live dir")
+        if not self.fs.rename(staging, live):
+            self.fs.rename(old, live)
+            raise IOError(f"enable_pq({ns!r}): staging swap failed")
+        self.fs.delete(old, recursive=True)
+        doc = self.meta(ns)
+        doc["pq"] = {"m": int(m), "ksub": int(ksub), "dsub": int(dsub)}
+        self._write_meta(ns, doc)
+        return doc
+
+    def _load_pq(self, ns: str, version: int) -> np.ndarray:
+        hit = self._cent_cache.get(("pq", ns, version))
+        if hit is not None:
+            return hit
+        pdf = (self.spark.read.parquet(self._pq_dir(ns))
+               .toPandas().sort_values(["s", "code"]))
+        m = int(pdf["s"].max()) + 1
+        ksub = int(pdf["code"].max()) + 1
+        CBm = np.stack(pdf["cv"].to_numpy()).astype(
+            np.float64).reshape(m, ksub, -1)
+        self._cent_cache[("pq", ns, version)] = CBm
+        return CBm
+
+    def probe_pq(self, ns: str, queries: list[tuple[int, list[float]]],
+                 topk: int = 5, nprobe: int = 4,
+                 rerank: int | None = None) -> DataFrame:
+        """ADC probe against the persisted codes — the compressed
+        read path: route each query to its nprobe buckets (driver
+        numpy over the k-row centroid matrix, exactly like
+        :meth:`probe`), build the per-query distance lookup table
+        driver-side (m x ksub doubles per query; queries are bounded
+        by the same contract as probe), then scan ONLY the
+        (vec_id, bucket, pq_code) columns of the probed bucket
+        directories and rank by the m-term LUT sum.
+
+        ``rerank=R`` widens the ADC cut to R candidates and refines
+        them by exact cosine against the raw vectors of the SAME
+        bucket-pruned scan (a bounded Q x R broadcast semi-join —
+        never a second full scan), returning
+        (query_id, neighbor_id, cos, rank) — the IVFADC-R shape.
+        Without rerank, returns (query_id, neighbor_id, approx_d2,
+        rank).
+        """
+        doc = self.meta(ns)
+        if "pq" not in doc:
+            raise VectorIndexNotBuilt(
+                f"vector index {ns!r} has no PQ codes — run "
+                f"enable_pq() first")
+        m = int(doc["pq"]["m"])
+        ksub = int(doc["pq"]["ksub"])
+        dsub = int(doc["pq"]["dsub"])
+        cids, C = self._load_centroids(ns, int(doc["version"]))
+        CBm = self._load_pq(ns, int(doc["version"]))
+        dim = doc["dim"]
+        Q = np.array([q[1] for q in queries], dtype=np.float64)
+        cos = seq_cos_matrix(Q, C, dim)
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
+        probe_buckets = [
+            [int(cids[j]) for j in row] for row in order
+        ]
+        all_buckets = sorted({b for bs in probe_buckets for b in bs})
+        # per-query LUTs: the same sequential per-dimension fold as
+        # the in-query ADC path (_pq_ann), so the m-term sums are
+        # bit-identical to the oracle's list_sum(list(d ORDER BY s))
+        rows = []
+        for (qid, qv), bs in zip(queries, probe_buckets):
+            luts = []
+            for s in range(m):
+                lut = []
+                for c in range(ksub):
+                    acc = 0.0
+                    for i in range(dsub):
+                        d = float(qv[s * dsub + i]) - float(CBm[s][c][i])
+                        acc += d * d
+                    lut.append(acc)
+                luts.append(lut)
+            rows.append((int(qid), [float(x) for x in qv], bs, *luts))
+        qdf = self.spark.createDataFrame(
+            rows,
+            "query_id long, qe array<float>, probed array<long>, "
+            + ", ".join(f"l{s} array<double>" for s in range(m)),
+        )
+        scan = (
+            self.spark.read.parquet(self._assignments_dir(ns))
+            .filter(F.col("bucket").isin(all_buckets))
+            .withColumn("bucket", F.col("bucket").cast("long"))
+        )
+        codes = scan.select("vec_id", "bucket", "pq_code")
+        approx = None
+        for s in range(m):
+            t = F.element_at(
+                F.col(f"l{s}"),
+                (F.element_at(F.col("pq_code"), s + 1) + 1).cast("int"))
+            approx = t if approx is None else approx + t
+        adc = (
+            codes.join(F.broadcast(qdf),
+                       F.expr("array_contains(probed, bucket)"))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id", approx.alias("approx_d2"))
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy("approx_d2", "vec_id")
+        cut = (
+            adc.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= (rerank or topk))
+        )
+        if rerank is None:
+            return cut.select(
+                "query_id", F.col("vec_id").alias("neighbor_id"),
+                "approx_d2", "rank")
+        from rados_timestore_spark.queries_similarity import _cos_seq
+
+        cand = cut.select("query_id", "vec_id")
+        refined = (
+            scan.join(F.broadcast(cand), "vec_id")
+            .join(F.broadcast(qdf.select("query_id", "qe")), "query_id")
+            .select(
+                "query_id", "vec_id",
+                _cos_seq(F.col("embedding"), F.col("qe")).alias("cos"),
+            )
+        )
+        w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                                    "vec_id")
+        return (
+            refined.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= topk)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    "cos", "rank")
+        )
 
     # ------------------------------------------------------- delete
 

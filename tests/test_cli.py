@@ -176,3 +176,34 @@ def test_cli_vecidx_lifecycle(spark, tmp_path, capsys):
                 spark=spark) == 0
     out = json.loads(capsys.readouterr().out)
     assert out["removed"] == 2
+
+
+def test_cli_vecidx_pq_verbs(spark, tmp_path, capsys):
+    # enable-pq -> probe-pq (plain ADC, then exact-reranked) — the
+    # scriptable surface of the compressed read path.
+    root = str(tmp_path / "vidxpq")
+    base = ["--root", root, "--ns", "E"]
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+
+    assert main([*base, "vecidx-build", "--parquet", src,
+                 "--k", "32"], spark=spark) == 0
+    capsys.readouterr()
+    assert main([*base, "vecidx-enable-pq", "--m", "4",
+                 "--ksub", "16"], spark=spark) == 0
+    doc = json.loads(capsys.readouterr().out)
+    assert doc["pq"] == {"m": 4, "ksub": 16, "dsub": 16}
+
+    assert main([*base, "vecidx-probe-pq", "--parquet", src,
+                 "--ids", "0,1", "--topk", "3", "--nprobe", "2"],
+                spark=spark) == 0
+    rows = [json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines()]
+    assert {r["query_id"] for r in rows} == {0, 1}
+    assert all("approx_d2" in r for r in rows)
+
+    assert main([*base, "vecidx-probe-pq", "--parquet", src,
+                 "--ids", "0,1", "--topk", "3", "--nprobe", "2",
+                 "--rerank", "20"], spark=spark) == 0
+    rows = [json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines()]
+    assert all("cos" in r and 1 <= r["rank"] <= 3 for r in rows)

@@ -220,3 +220,28 @@ def test_vector_index_probe_df_uses_dynamic_partition_pruning(
     plan = plan_str(vi.probe_df("e", qdf, topk=3, nprobe=2))
     part = plan.split("PartitionFilters", 1)[1][:300]
     assert "dynamicpruning" in part, part
+
+
+def test_vector_index_probe_pq_prunes_and_projects_codes_only(
+        spark, tmp_path):
+    # PLANS.md "sim_vecidxpq_probe": the ADC probe must (a) keep the
+    # literal bucket IN (...) PartitionFilters of the plain probe and
+    # (b) read ONLY (vec_id, pq_code) from the bucket files — the raw
+    # embedding column absent from the scan's ReadSchema is the
+    # parquet column projection that delivers the PQ bandwidth win
+    # (m*2 B instead of dim*4 B per vector).
+    from rados_timestore_spark.vector_index import VectorIndex
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    vi = VectorIndex(spark, str(tmp_path / "idxpq"))
+    vi.build("e", emb, k=32)
+    vi.enable_pq("e", m=4, ksub=16)
+    rows = emb.filter(F.col("vec_id") < 2).collect()
+    df = vi.probe_pq("e", [(r.vec_id, list(r.embedding))
+                           for r in rows], topk=3, nprobe=2)
+    plan = plan_str(df)
+    assert "PartitionFilters" in plan
+    part = plan.split("PartitionFilters", 1)[1][:200]
+    assert "bucket" in part and " IN " in part, part
+    scan = plan.split("ReadSchema", 1)[1][:300]
+    assert "pq_code" in scan and "embedding" not in scan, scan

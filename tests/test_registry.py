@@ -136,6 +136,8 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "ts_rolling_active_users",
     "mm_wav_zero_crossings",
     "ts_rolling_volatility",
+    "sim_vecidxpq_probe",
+    "sim_vecidxpq_rerank",
 }
 
 

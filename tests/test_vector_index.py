@@ -320,3 +320,125 @@ def test_delete_probe_query_excludes_victims(spark):
                for v in g.apply(list))
     full = sim_vecidx_probe(spark, SF_DIR).toPandas()
     assert not full.equals(out)
+
+
+# ------------------------------------------------- PQ codes at rest
+
+
+@pytest.fixture(scope="module")
+def pq_built(spark, emb, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("vidxpq") / "idx")
+    vi = VectorIndex(spark, root)
+    vi.build("e", emb, k=K)
+    doc = vi.enable_pq("e", m=4, ksub=16)
+    return vi, doc
+
+
+def test_enable_pq_layout_and_code_validity(pq_built, emb, spark):
+    vi, doc = pq_built
+    assert doc["pq"] == {"m": 4, "ksub": 16, "dsub": 16}
+    cb = spark.read.parquet(vi._pq_dir("e"))
+    assert cb.count() == 4 * 16
+    rows = spark.read.parquet(vi._assignments_dir("e"))
+    # every row carries a valid code word; no row was lost or gained
+    assert rows.count() == emb.count()
+    assert rows.filter(F.col("pq_code").isNull()).count() == 0
+    bad = rows.filter(
+        (F.size("pq_code") != 4)
+        | F.exists("pq_code",
+                   lambda c: (c < 0) | (c >= 16))).count()
+    assert bad == 0
+
+
+def test_enable_pq_codes_match_direct_encode(pq_built, spark):
+    # every persisted code equals a driver-side re-encode with the
+    # persisted codebooks (argmin over the canonical sequential
+    # squared-L2 fold, first-min ties) — the encode law, checked row
+    # by row on the fixture corpus
+    from rados_timestore_spark.queries_similarity import _sq_dists
+
+    vi, doc = pq_built
+    CBm = vi._load_pq("e", int(doc["version"]))
+    pdf = (spark.read.parquet(vi._assignments_dir("e"))
+           .select("vec_id", "embedding", "pq_code").toPandas())
+    E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    dsub = doc["pq"]["dsub"]
+    for s in range(doc["pq"]["m"]):
+        want = np.argmin(
+            _sq_dists(E[:, s * dsub:(s + 1) * dsub], CBm[s]), axis=1)
+        got = np.array([c[s] for c in pdf["pq_code"]])
+        assert (got == want).all()
+
+
+def test_probe_pq_requires_enable(built):
+    vi, _ = built
+    with pytest.raises(VectorIndexNotBuilt):
+        vi.probe_pq("e", [(0, [0.0] * 64)])
+
+
+def test_probe_pq_full_rerank_equals_exact_probe(pq_built, emb):
+    # with a rerank budget covering every probed candidate, the ADC
+    # cut is a no-op and the exact re-rank MUST reproduce probe()'s
+    # exact cosine top-k bit for bit — the lossless-degeneracy law
+    # tying the compressed path to the exact path
+    vi, _doc = pq_built
+    qs = _queries(emb)
+    exact = {(r.query_id, r.rank): (r.neighbor_id, r.cos)
+             for r in vi.probe("e", qs, topk=5,
+                               nprobe=NPROBE).collect()}
+    rr = {(r.query_id, r.rank): (r.neighbor_id, r.cos)
+          for r in vi.probe_pq("e", qs, topk=5, nprobe=NPROBE,
+                               rerank=10 ** 9).collect()}
+    assert rr == exact
+
+
+def test_append_after_enable_pq_encodes_new_rows(spark, emb, tmp_path):
+    # appends on a PQ-enabled index encode inline with the PERSISTED
+    # codebooks (no re-train, no rewrite of resident rows), so the
+    # code column never goes stale — checked by re-encoding the
+    # appended rows directly
+    from rados_timestore_spark.queries_similarity import _sq_dists
+
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    vi = VectorIndex(spark, str(tmp_path / "pqapp"))
+    vi.build("e", a, k=K)
+    doc = vi.enable_pq("e", m=4, ksub=16)
+    CBm = vi._load_pq("e", int(doc["version"]))
+    vi.append("e", b)
+    rows = spark.read.parquet(vi._assignments_dir("e"))
+    assert rows.filter(F.col("pq_code").isNull()).count() == 0
+    pdf = (rows.filter(F.col("vec_id") % 2 == 1)
+           .select("vec_id", "embedding", "pq_code").toPandas())
+    E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    dsub = doc["pq"]["dsub"]
+    for s in range(doc["pq"]["m"]):
+        want = np.argmin(
+            _sq_dists(E[:, s * dsub:(s + 1) * dsub], CBm[s]), axis=1)
+        got = np.array([c[s] for c in pdf["pq_code"]])
+        assert (got == want).all()
+
+
+def test_delete_preserves_survivor_codes_and_probe_pq(spark, emb,
+                                                     tmp_path):
+    # retraction on a PQ-enabled index: victims vanish from the ADC
+    # probe, survivors keep their exact code words (codes live IN the
+    # assignment rows, so the bucket rewrite carries them verbatim)
+    vi = VectorIndex(spark, str(tmp_path / "pqdel"))
+    vi.build("e", emb, k=K)
+    vi.enable_pq("e", m=4, ksub=16)
+    before = {r.vec_id: list(r.pq_code) for r in
+              spark.read.parquet(vi._assignments_dir("e"))
+              .select("vec_id", "pq_code").collect()}
+    victims = [r.vec_id for r in
+               emb.filter(F.col("vec_id") % 7 == 5)
+               .select("vec_id").collect()]
+    vi.delete("e", victims)
+    after = {r.vec_id: list(r.pq_code) for r in
+             spark.read.parquet(vi._assignments_dir("e"))
+             .select("vec_id", "pq_code").collect()}
+    assert set(after) == set(before) - set(victims)
+    assert all(after[v] == before[v] for v in after)
+    out = vi.probe_pq("e", _queries(emb), topk=5,
+                      nprobe=NPROBE).toPandas()
+    assert (out["neighbor_id"] % 7 != 5).all()
