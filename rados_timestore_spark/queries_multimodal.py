@@ -836,6 +836,126 @@ def mm_wav_zero_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _wav_synth_autocorr(batches):
+    """mapInPandas kernel: same WAV synthesis/decode as mm_wav_rms,
+    then the DC-removed LAG-1 AUTOCORRELATION components, channel-
+    correctly (stride = channels) and in exact integers: with
+    ``d_i = s_i*N - S`` (the cross-multiplied deviation, as in the
+    ZCR kernel), the numerator is sum(d_i * d_{i+ch}) over adjacent
+    same-channel frames and the denominator sum(d_i^2) over all
+    samples — their ratio (computed downstream) is the classic
+    normalized rho_1 of voiced/unvoiced detection.  Bounded exactly:
+    |d| <= 2*32639*N with N <= 118 on this corpus, so every product
+    and sum stays far inside int64."""
+    import struct
+
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            src = text.encode("utf-8") or b" "
+            n = len(src)
+            rate = _WAV_RATES[n % len(_WAV_RATES)]
+            channels = n % 2 + 1
+            bits = 16
+            block = channels * (bits // 8)
+            frames = n % _WAV_FRAMES_MOD + _WAV_FRAMES_MIN
+            dl = frames * block
+            data = (src * ((dl + n - 1) // n))[:dl]
+            fmt = struct.pack(
+                "<HHIIHH", 1, channels, rate, rate * block, block, bits
+            )
+            chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            if n % 2 == 0:
+                chunks += b"LIST" + struct.pack("<I", 5) + b"INFOJ" + b"\0"
+            chunks += b"data" + struct.pack("<I", dl) + data
+            payload = (
+                b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE"
+                + chunks
+            )
+            decode_wav_real(payload)  # container verified as in rms
+            s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+            N = s.size
+            S = int(s.sum())
+            d = s * N - S
+            fr = d.reshape(frames, channels)
+            lag1 = int((fr[1:] * fr[:-1]).sum())
+            sumsq = int((d * d).sum())
+            rows.append((int(doc_id), channels, frames, lag1, sumsq))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "channels", "n_frames",
+                           "lag1_num", "sumsq_dev"],
+        )
+
+
+@register(
+    "mm_wav_autocorr",
+    # ASCII PRECONDITION: same character-wise PCM rebuild as
+    # mm_wav_rms (ord == byte only for the pure-ASCII corpus).
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN octet_length(encode(text)) = 0 THEN ' '
+              ELSE text END AS text,
+         GREATEST(octet_length(encode(text)), 1) AS n
+  FROM documents),
+p AS (
+  SELECT doc_id, text, n,
+         n % 2 + 1 AS ch,
+         (n % 2 + 1) * 2 AS block,
+         (n % {_WAV_FRAMES_MOD} + {_WAV_FRAMES_MIN}) AS frames
+  FROM g),
+d AS (
+  SELECT doc_id, ch, frames, frames * block AS dl,
+         substr(repeat(text, ((frames * block + n - 1) // n)::INT),
+                1, frames * block) AS raw
+  FROM p),
+sm AS (
+  SELECT doc_id, ch, frames,
+         list_transform(generate_series(1, dl // 2), i ->
+           CASE WHEN ord(raw[2*i-1]) + 256 * ord(raw[2*i]) >= 32768
+                THEN ord(raw[2*i-1]) + 256 * ord(raw[2*i]) - 65536
+                ELSE ord(raw[2*i-1]) + 256 * ord(raw[2*i]) END) AS s
+  FROM d),
+t AS (
+  SELECT doc_id, ch, frames, s,
+         list_sum(s) AS ssum, ch * frames AS ns
+  FROM sm)
+SELECT doc_id, CAST(ch AS INT) AS channels,
+       CAST(frames AS BIGINT) AS n_frames,
+       CAST(COALESCE(list_sum(list_transform(
+         generate_series(1, ns - ch), i ->
+           (s[i] * ns - ssum) * (s[i + ch] * ns - ssum))), 0)
+         AS BIGINT) AS lag1_num,
+       CAST(list_sum(list_transform(generate_series(1, ns), i ->
+           (s[i] * ns - ssum) * (s[i] * ns - ssum)))
+         AS BIGINT) AS sumsq_dev
+FROM t
+""",
+    tags=("multimodal",),
+    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def mm_wav_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation over REAL decoded PCM — the third frame
+    feature of the audio-curation screen (with RMS energy and ZCR):
+    normalized rho_1 separates voiced/tonal content (rho_1 -> 1) from
+    noise (rho_1 -> 0), and is the 1-tap special case of the
+    autocorrelation pitch detectors.  Both the numerator (adjacent
+    same-channel frame products, stride = channels like the ZCR
+    kernel) and the denominator (total squared deviation) are emitted
+    as EXACT integers in the cross-multiplied ``s*N - S`` form, so no
+    float enters either engine.  One ``mapInPandas`` map stage, zero
+    shuffle — audio shards linearly at 100 TB."""
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
+    return docs.select("doc_id", "text").mapInPandas(
+        _wav_synth_autocorr,
+        "doc_id long, channels int, n_frames long, lag1_num long, "
+        "sumsq_dev long",
+    )
+
+
 # -------------------------------------------------- real PNG decode
 
 #: mm_decode_png geometry (byte-length-derived, like mm_decode_ppm).

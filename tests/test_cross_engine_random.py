@@ -39,6 +39,7 @@ DOC_QUERIES = [
     "mm_jpeg_header", "mm_wav_meta", "mm_decode_png",
     "mm_image_ahash", "mm_ahash_neardup_pairs",
     "mm_wav_zero_crossings",
+    "mm_wav_autocorr",
     "graph_triangle_count",
     # r9: random small-vocabulary corpora produce accidental cross-doc
     # K-gram runs, probing span-boundary arithmetic off the fixture

@@ -58,6 +58,7 @@ QUERIES = [
     "graph_kcore",
     "graph_jaccard_neighbors",
     "mm_wav_zero_crossings",
+    "mm_wav_autocorr",
 ]
 
 

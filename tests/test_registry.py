@@ -138,6 +138,7 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "ts_rolling_volatility",
     "sim_vecidxpq_probe",
     "sim_vecidxpq_rerank",
+    "mm_wav_autocorr",
 }
 
 
