@@ -1505,6 +1505,108 @@ graph_jaccard_neighbors.__doc__ = graph_jaccard_neighbors.__doc__.format(
     cap=_JACCARD_CENTER_CAP)
 
 
+_LPA_ITERS = 3
+
+
+def _lpa_ctes() -> str:
+    """Unrolled synchronous label-propagation CTEs l0..l{_LPA_ITERS}
+    over the symmetrized fuzzy-pair edge list ``e``: each round every
+    node adopts the most frequent label among its neighbors, ties to
+    the smallest label (the deterministic variant of Raghavan et al.
+    2007 — synchronous sweep + total tie order, so both engines and
+    any execution order agree exactly)."""
+    ctes = ["l0 AS (SELECT DISTINCT u AS node, u AS label FROM e)"]
+    for k in range(_LPA_ITERS):
+        ctes.append(f"""c{k + 1} AS (
+  SELECT e.u AS node, l.label, count(*) AS c
+  FROM e JOIN l{k} l ON l.node = e.v
+  GROUP BY e.u, l.label),
+l{k + 1} AS (
+  SELECT node, label FROM (
+    SELECT node, label, row_number() OVER (PARTITION BY node
+      ORDER BY c DESC, label) AS rk FROM c{k + 1}) t
+  WHERE rk = 1)""")
+    return ",\n".join(ctes)
+
+
+@register(
+    "graph_label_propagation",
+    oracle=f"""
+WITH {_FUZZY_PAIRS_SQL},
+e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+{_lpa_ctes()},
+sz AS (SELECT label, count(*) AS comm_size
+       FROM l{_LPA_ITERS} GROUP BY label),
+chg AS (SELECT count(*) AS n FROM l{_LPA_ITERS} a
+        JOIN l{_LPA_ITERS - 1} b ON a.node = b.node
+        WHERE a.label <> b.label)
+SELECT a.node AS doc_id, a.label AS community,
+       CAST(sz.comm_size AS BIGINT) AS comm_size,
+       (SELECT n FROM chg) AS n_unconverged
+FROM l{_LPA_ITERS} a JOIN sz ON sz.label = a.label
+""",
+    tags=("dedup", "graph"),
+    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over the fuzzy-match similarity graph — the
+    modularity-free community pass record-linkage pipelines run where
+    connected components over-merge (CC unifies through ONE spurious
+    edge; LPA requires a node's PLURALITY of neighbors to agree).
+    Deterministic variant: every node simultaneously adopts the most
+    frequent neighbor label, ties to the smallest label —
+    ``_LPA_ITERS`` rounds unrolled identically in both engines.
+    ``n_unconverged`` (labels still moving in the last round) is the
+    honesty column, as in :func:`graph_connected_components`.
+
+    Per round: one edge-list join against the O(nodes) label vector,
+    one (node, label) count aggregate, one per-node top-1 window —
+    all shuffles keyed on node ids, the Pregel message pattern
+    relationally, with the per-round localCheckpoint lineage cut of
+    the other iterative graph queries."""
+    from pyspark.sql import Window
+
+    edges = dedup_fuzzy_prefix(spark, sf_dir).select("doc_a", "doc_b")
+    e = edges.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    ).transform(pin)  # feeds every propagation round
+    labels = e.select("u").distinct().select(
+        F.col("u").alias("node"), F.col("u").alias("label"))
+    prev = labels
+    w = Window.partitionBy("node").orderBy(F.desc("c"), "label")
+    for _ in range(_LPA_ITERS):
+        prev = labels
+        cnt = (
+            e.join(labels.select(F.col("node").alias("v"), "label"), "v")
+            .groupBy(F.col("u").alias("node"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            cnt.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1).select("node", "label")
+            .localCheckpoint(eager=False)
+        )
+    sz = labels.groupBy("label").agg(F.count("*").alias("comm_size"))
+    chg = (
+        labels.join(prev.withColumnRenamed("label", "plabel"), "node")
+        .filter(F.col("label") != F.col("plabel"))
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        labels.join(sz, "label").crossJoin(F.broadcast(chg))
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("community"),
+            F.col("comm_size").cast("long").alias("comm_size"),
+            F.col("n").alias("n_unconverged"),
+        )
+    )
+
+
 # ------------------------------ r9: exact substring dedup (Lee 2022)
 
 #: Exact-substring geometry: spans are runs of duplicated K-grams, so

@@ -10,6 +10,7 @@ from rados_timestore_spark.queries_dedup import (
     dedup_fuzzy_prefix,
     graph_jaccard_neighbors,
     graph_kcore,
+    graph_label_propagation,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -99,3 +100,29 @@ def test_jaccard_fixture_invariants(spark):
     e = {(r.doc_a, r.doc_b) for r in
          dedup_fuzzy_prefix(spark, SF).collect()}
     assert not (set(zip(out["doc_a"], out["doc_b"])) & e)
+
+
+def test_label_propagation_refines_connected_components(spark):
+    # labels only flow along edges, so a community can never span two
+    # connected components; and every label is the id of some node in
+    # the graph (labels originate as node ids)
+    from rados_timestore_spark.queries_dedup import (
+        graph_connected_components,
+    )
+
+    lpa = graph_label_propagation(spark, SF).toPandas()
+    cc = graph_connected_components(spark, SF).toPandas()
+    assert set(lpa["doc_id"]) == set(cc["node"])
+    assert set(lpa["community"]) <= set(lpa["doc_id"])
+    merged = lpa.merge(cc, left_on="doc_id", right_on="node")
+    # each LPA community maps into exactly one CC component
+    assert (merged.groupby("community")["component"].nunique() == 1).all()
+    # comm_size is consistent with the labeling itself
+    sizes = lpa.groupby("community")["doc_id"].count()
+    assert all(sizes[c] == s for c, s in
+               zip(lpa["community"], lpa["comm_size"]))
+    assert (lpa["n_unconverged"] >= 0).all()
+    # plurality refinement is REAL on this fixture: at least as many
+    # communities as components (strictly more when a spurious bridge
+    # is out-voted)
+    assert lpa["community"].nunique() >= cc["component"].nunique()

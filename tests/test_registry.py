@@ -139,6 +139,7 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "sim_vecidxpq_probe",
     "sim_vecidxpq_rerank",
     "mm_wav_autocorr",
+    "graph_label_propagation",
 }
 
 
