@@ -1834,3 +1834,77 @@ def ts_rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.cast("long").alias("sum_centi"),
         (n * ss - s * s).cast("long").alias("var_num"),
     )
+
+
+@register(
+    "ts_interval_coalesce",
+    oracle=f"""{_EV_CTE},
+iv AS (
+  SELECT user_id, t, event_id,
+         t + (event_id % 300 + 60) * 1000000 AS e
+  FROM ev),
+marked AS (
+  SELECT user_id, t, event_id, e,
+         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY t, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= t
+              THEN 0 ELSE 1 END AS is_start
+  FROM iv),
+isl AS (
+  SELECT user_id, t, e,
+         CAST(sum(is_start) OVER (PARTITION BY user_id
+              ORDER BY t, event_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island_no
+  FROM marked)
+SELECT user_id, island_no, count(*) AS n_intervals,
+       min(t) AS start_us, max(e) AS end_us,
+       max(e) - min(t) AS duration_us
+FROM isl GROUP BY user_id, island_no
+""",
+    tags=("timeseries", "window"),
+    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def ts_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping intervals per series — the maintenance-
+    window / downtime / alert-dedup coalescing op (the interval twin
+    of :func:`ts_sessionize`: sessions split on a GAP RULE, coalesce
+    unions on ACTUAL extents).  Each event opens an interval
+    [t, t + dur] with an integer-derived duration (no float enters
+    the arithmetic); an interval starts a new island iff its start
+    exceeds the running maximum end of every earlier interval of the
+    same series (the cumulative-max gaps-and-islands form, which is
+    correct even when a long interval swallows later short ones —
+    lag(end) alone is not).  Touching endpoints (start == max end)
+    merge.
+
+    Plan: one shuffle on user_id feeds both analytic windows
+    (cumulative max over preceding rows, running sum island
+    numbering) and the final (user, island) hash aggregate — the
+    same single-exchange three-stage shape as sessionize; per-series
+    state is one row in flight at 100 TB."""
+    ev = _events(spark, sf_dir)
+    iv = ev.select(
+        "user_id", "t", "event_id",
+        (F.col("t") + (F.col("event_id") % 300 + 60) * 1_000_000)
+        .alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id").orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.withColumn(
+        "is_start",
+        F.when(F.max("e").over(w_prev) >= F.col("t"), 0).otherwise(1),
+    )
+    run = (
+        Window.partitionBy("user_id").orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = marked.withColumn(
+        "island_no", F.sum("is_start").over(run).cast("long")
+    )
+    return isl.groupBy("user_id", "island_no").agg(
+        F.count("*").alias("n_intervals"),
+        F.min("t").alias("start_us"),
+        F.max("e").alias("end_us"),
+        (F.max("e") - F.min("t")).alias("duration_us"),
+    )

@@ -75,6 +75,9 @@ EVENT_QUERIES = [
     # r9: random values/timestamps probe the sliding-frame variance
     # numerator (n*sumsq - sum^2 over a RANGE frame)
     "ts_rolling_volatility",
+    # late r9: random (t, event_id) interval layouts probe the
+    # cumulative-max islands rule (swallowed intervals, touching ends)
+    "ts_interval_coalesce",
 ]
 #: Embedding-driven queries: random float32 vectors probe the
 #: float-determinism choreography (sequential-fold cosine, SQ8

@@ -140,6 +140,7 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "sim_vecidxpq_rerank",
     "mm_wav_autocorr",
     "graph_label_propagation",
+    "ts_interval_coalesce",
 }
 
 

@@ -179,3 +179,74 @@ def test_rolling_volatility_fixture_invariants(spark):
     # exactly when the window is a single repeated value
     assert (out["var_num"] >= 0).all()
     assert ((out["n_win"] == 1) <= (out["var_num"] == 0)).all()
+
+
+# ------------------------------------------------ interval coalesce
+
+
+def test_coalesce_long_interval_swallows_short_ones(spark, tmp_path):
+    # One long interval covering two later short ones — the case that
+    # distinguishes the cumulative-max rule from lag(end): event 300
+    # opens [0, 360s]; events at 100s and 200s open sub-minute-6
+    # intervals entirely inside it; an event at 400s starts island 2.
+    from rados_timestore_spark.queries_timeseries import (
+        ts_interval_coalesce,
+    )
+
+    s = 1_000_000
+    rows = [
+        (240, 9, pd.Timestamp(0, unit="us"), 1.0),        # [0, 300s]
+        (0, 9, pd.Timestamp(100 * s, unit="us"), 1.0),    # [100, 160]
+        (1, 9, pd.Timestamp(200 * s, unit="us"), 1.0),    # [200, 261]
+        (2, 9, pd.Timestamp(400 * s, unit="us"), 1.0),    # [400, 462]
+    ]
+    _write_events(tmp_path, rows)
+    out = sorted(
+        ts_interval_coalesce(spark, str(tmp_path)).collect(),
+        key=lambda r: r.island_no)
+    assert len(out) == 2
+    a, b = out
+    assert (a.n_intervals, a.start_us, a.end_us) == (3, 0, 300 * s)
+    assert (b.n_intervals, b.start_us, b.end_us) == (1, 400 * s,
+                                                     462 * s)
+
+
+def test_coalesce_touching_endpoints_merge(spark, tmp_path):
+    # start == running max end merges (closed intervals): event 240
+    # opens [0, 300s]; an event exactly at 300s joins the island.
+    from rados_timestore_spark.queries_timeseries import (
+        ts_interval_coalesce,
+    )
+
+    s = 1_000_000
+    rows = [
+        (240, 9, pd.Timestamp(0, unit="us"), 1.0),        # [0, 300s]
+        (0, 9, pd.Timestamp(300 * s, unit="us"), 1.0),    # [300, 360]
+    ]
+    _write_events(tmp_path, rows)
+    out = ts_interval_coalesce(spark, str(tmp_path)).collect()
+    assert len(out) == 1 and out[0].n_intervals == 2
+    assert out[0].end_us == 360 * s
+
+
+def test_coalesce_fixture_invariants(spark):
+    from rados_timestore_spark.queries_timeseries import (
+        ts_interval_coalesce,
+    )
+
+    out = ts_interval_coalesce(spark, SF).toPandas()
+    # islands of one user are disjoint AND separated (touching merged)
+    for _u, g in out.groupby("user_id"):
+        g = g.sort_values("island_no")
+        assert (g["island_no"].to_numpy()
+                == range(1, len(g) + 1)).all()
+        assert (g["start_us"].to_numpy()[1:]
+                > g["end_us"].to_numpy()[:-1]).all()
+    assert (out["duration_us"]
+            == out["end_us"] - out["start_us"]).all()
+    # every event lands in exactly one island
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    per_user = ev.groupBy("user_id").count().toPandas() \
+        .set_index("user_id")["count"]
+    got = out.groupby("user_id")["n_intervals"].sum()
+    assert got.to_dict() == per_user.to_dict()
