@@ -131,3 +131,37 @@ def test_stream_vectors_requires_built_index(spark, emb, tmp_path):
     )
     with pytest.raises(VectorIndexNotBuilt):
         stream_vectors(vi, "e", stream, str(tmp_path / "ck"))
+
+
+def test_append_batch_encodes_pq_inline(spark, emb, tmp_path):
+    # exactly-once streaming ingest into a PQ-ENABLED index: the
+    # micro-batch path must encode codes inline with the persisted
+    # codebooks (append_batch loads them when meta has pq), so the
+    # code column never goes stale under continuous ingest — and the
+    # idempotent replay keeps single-copy state with codes intact
+    from rados_timestore_spark.queries_similarity import _sq_dists
+
+    import numpy as np
+
+    vi = VectorIndex(spark, str(tmp_path / "pqab"))
+    a = emb.filter(F.col("vec_id") % 3 == 0)
+    b = emb.filter(F.col("vec_id") % 3 == 1)
+    vi.build("e", a, k=K)
+    doc = vi.enable_pq("e", m=4, ksub=16)
+    vi.append_batch("e", b, 0)
+    vi.append_batch("e", b, 0)  # replay — must stay single-copy
+    rows = spark.read.parquet(vi._assignments_dir("e"))
+    assert rows.count() == a.count() + b.count()
+    assert rows.filter(F.col("pq_code").isNull()).count() == 0
+    # appended rows' codes equal a direct re-encode with the
+    # persisted codebooks
+    CBm = vi._load_pq("e", int(doc["version"]))
+    pdf = (rows.filter(F.col("vec_id") % 3 == 1)
+           .select("embedding", "pq_code").toPandas())
+    E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    dsub = doc["pq"]["dsub"]
+    for s in range(doc["pq"]["m"]):
+        want = np.argmin(
+            _sq_dists(E[:, s * dsub:(s + 1) * dsub], CBm[s]), axis=1)
+        got = np.array([c[s] for c in pdf["pq_code"]])
+        assert (got == want).all()

@@ -259,6 +259,21 @@ SOAK_R9B_QUERIES = (
     "ts_rolling_volatility",
 )
 
+#: SOAK_FAMILY=r9c: the final late-r9 batch at 10x — the persisted
+#: PQ probes (expected ~linear in probed-bucket CODE bytes: the ADC
+#: scan reads m*2 B per vector of nprobe/k of the corpus; rerank adds
+#: a bounded Q x 20 semi-join), the audio autocorrelation (one
+#: map stage), label propagation (3 rounds of edge join + count agg +
+#: per-node top-1 — O(edges) per round like CC), and interval
+#: coalescing (one exchange on user_id, per-series window state).
+SOAK_R9C_QUERIES = (
+    "sim_vecidxpq_probe",
+    "sim_vecidxpq_rerank",
+    "mm_wav_autocorr",
+    "graph_label_propagation",
+    "ts_interval_coalesce",
+)
+
 #: SOAK_FAMILY=skew (VERDICT r8 item 4): the shuffle-heavy set under
 #: ENGINEERED key skew vs a same-size uniform corpus.  The 10x soaks
 #: scale uniformly, so hot-key mitigations (LSH hot-bucket salting,
@@ -436,6 +451,7 @@ def main() -> None:
              "r8": SOAK_R8_QUERIES,
              "r9": SOAK_R9_QUERIES,
              "r9b": SOAK_R9B_QUERIES,
+             "r9c": SOAK_R9C_QUERIES,
              "skew": SOAK_SKEW_QUERIES,
              }.get(family, SOAK_QUERIES)
     if family == "skew":
@@ -470,7 +486,7 @@ def main() -> None:
         print(json.dumps({"metric": "skew_soak", "copies": COPIES,
                           "cluster": _SKEW_CLUSTER, "queries": table}))
         return
-    if family in ("r8", "r9b"):
+    if family in ("r8", "r9b", "r9c"):
         if not os.path.exists(f"{out_dir}/events.parquet"):
             print(f"# building {COPIES}x events ...", file=sys.stderr)
             build_events(spark, out_dir)
