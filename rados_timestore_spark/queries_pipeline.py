@@ -21,6 +21,7 @@ from rados_timestore_spark import queries_similarity, queries_text  # noqa: F401
 from rados_timestore_spark.queries_common import load_parallel
 from rados_timestore_spark.queries_similarity import dedup_semantic
 from rados_timestore_spark.queries_text import (
+    _WORDS_SQL,
     _filter_pipeline_sql,
     text_filter_pipeline,
 )
@@ -129,4 +130,84 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("doc_id") == F.col("ex_surv"))
                & (F.col("doc_id") == F.col("sem_surv")), 1)
         .otherwise(0).alias("keep"),
+    )
+
+
+_CURATION_SQL = QUERIES["pipeline_corpus_curation"].oracle
+_WORDS_ON_D = _WORDS_SQL.replace("text", "d.text")
+
+
+@register(
+    "pipeline_curated_packing",
+    oracle=f"""
+WITH cur AS (
+  SELECT doc_id FROM ({_CURATION_SQL}) t
+  WHERE keep = 1),
+toks AS (
+  SELECT d.doc_id, len({_WORDS_ON_D}) AS n_tok
+  FROM documents d JOIN cur ON cur.doc_id = d.doc_id),
+cum AS (
+  SELECT doc_id, n_tok,
+         sum(n_tok) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) - n_tok AS cum_before
+  FROM toks)
+SELECT CAST(cum_before // 512 AS BIGINT) AS bin_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       CAST(sum(CASE WHEN (cum_before + n_tok - 1) // 512
+                          > cum_before // 512
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs
+FROM cum GROUP BY 1
+""",
+    tags=("pipeline", "text", "llm"),
+    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def pipeline_curated_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialization step AFTER the retention decision: pack
+    only the documents :func:`pipeline_corpus_curation` kept (quality
+    filters + exact dedup + semantic dedup survivors) into 512-token
+    context windows, with the same concat-and-chunk semantics and
+    per-bin report as ``text_pack_sequences``.  This is the actual
+    training-shard writer's plan — curation feeds packing in ONE
+    lineage, no intermediate table — and the oracle composes the
+    curation oracle as a subquery, so the composition can never
+    drift from the stage it builds on.
+
+    Scale: the curation stages are id-keyed joins/windows (see
+    pipeline_corpus_curation); packing adds one per-row token count
+    and the one global cumulative window that concat-and-chunk
+    requires (per-shard in production, global here so the oracle
+    stays exact)."""
+    from rados_timestore_spark.queries_text import _words_col
+
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
+    kept = (pipeline_corpus_curation(spark, sf_dir)
+            .filter(F.col("keep") == 1).select("doc_id"))
+    toks = (
+        docs.join(kept, "doc_id")
+        .select("doc_id", F.size(_words_col()).alias("n_tok"))
+    )
+    w = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.select(
+        "doc_id", "n_tok",
+        (F.sum("n_tok").over(w) - F.col("n_tok")).alias("cum_before"),
+    )
+    return cum.groupBy(
+        F.expr("cum_before div 512").alias("bin_id")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.sum(
+            F.when(
+                F.expr("(cum_before + n_tok - 1) div 512")
+                > F.expr("cum_before div 512"), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_boundary_docs"),
     )

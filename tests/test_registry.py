@@ -141,6 +141,7 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "mm_wav_autocorr",
     "graph_label_propagation",
     "ts_interval_coalesce",
+    "pipeline_curated_packing",
 }
 
 
