@@ -886,3 +886,89 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("window.start")).alias("window_start_us"),
         "address", "n", "sum_value",
     )
+
+
+@register(
+    "streaming_interval_coalesce",
+    oracle=f"""
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         epoch_us(ts) + (event_id % 300 + 60) * 1000000 AS e
+  FROM events),
+wm AS (SELECT max(t) - {_DELAY_US} AS watermark FROM iv),
+marked AS (
+  SELECT user_id, t, e,
+         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY t, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) > t
+              THEN 0 ELSE 1 END AS is_start
+  FROM iv),
+isl AS (
+  SELECT user_id, t, e,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY t, e
+                             ROWS UNBOUNDED PRECEDING) AS island_no
+  FROM marked),
+agg AS (
+  SELECT user_id, island_no, min(t) AS start_us, max(e) AS end_us,
+         count(*) AS n_intervals
+  FROM isl GROUP BY 1, 2)
+SELECT user_id, start_us, end_us, n_intervals
+FROM agg, wm
+WHERE end_us <= watermark
+""",
+    tags=("streaming", "window"),
+    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def streaming_interval_coalesce(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Streaming interval coalescing end to end, on Spark's native
+    DYNAMIC-GAP session window (the per-row gap duration feature):
+    each event opens ``[t, t + (event_id % 300 + 60) s)`` — the same
+    integer-derived duration as the batch ``ts_interval_coalesce`` —
+    and the engine merges overlapping same-user intervals
+    INCREMENTALLY, emitting each island once the watermark passes its
+    coalesced end (append mode; the oracle applies the identical
+    watermark cut, like streaming_sessionize).  One deliberate
+    deviation from the batch op, stated here because the oracle
+    encodes it: session windows are half-open, so TOUCHING endpoints
+    (next start == running max end) do NOT merge (strict ``>`` in
+    the oracle's islands rule; the batch op's closed intervals merge
+    them with ``>=``).
+
+    Scale: state per key is the single open session the engine
+    maintains (merged on arrival, evicted at watermark) — the
+    streaming analog of the batch plan's one-row-in-flight cumulative
+    max, with out-of-order arrivals handled by the engine's session
+    merge instead of a sort."""
+    from rados_timestore_spark.queries_common import event_us, load
+    from rados_timestore_spark.streaming.windows import (
+        stream_interval_coalesce,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        event_us(ev).alias("time"),
+        (F.col("event_id") % 300 + 60).alias("dur_s"),
+    )
+    work = stream_workdir(spark, "ts_stream_coalesce_")
+    src, out, ck = f"{work}/src", f"{work}/out", f"{work}/ck"
+    pts.coalesce(1).write.parquet(src)
+
+    with _few_state_partitions(spark):
+        stream = spark.readStream.schema(pts.schema).parquet(src)
+        q = (
+            stream_interval_coalesce(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+    got = spark.read.parquet(out)
+    return got.select(
+        "user_id", "start_us",
+        F.unix_micros(F.col("session_window.end")).alias("end_us"),
+        "n_intervals",
+    )

@@ -747,3 +747,34 @@ def stream_rollup_sliding(
             F.sum("value").alias("sum_value"),
         )
     )
+
+
+def stream_interval_coalesce(
+    events: DataFrame,
+    watermark: str = "30 minutes",
+    time_col: str = "time",
+    key_col: str = "user_id",
+    dur_s_col: str = "dur_s",
+) -> DataFrame:
+    """Streaming interval coalescing — the streaming twin of the batch
+    ``ts_interval_coalesce``, built on Spark's native DYNAMIC-GAP
+    session window: each event opens an interval
+    ``[t, t + dur_s)`` (per-row duration column, passed as the
+    session gap), and the engine MERGES overlapping intervals of the
+    same key incrementally, with watermark-bounded state and
+    watermark-closed emission.  Session semantics are half-open, so
+    touching endpoints start a new island (the batch op's closed
+    intervals merge them — deviation documented in the registered
+    query).  The merged window's end is ``max(t + dur)`` over its
+    members — exactly the coalesced extent."""
+    ts = F.timestamp_micros(F.col(time_col)).alias("event_ts")
+    gap = F.concat(F.col(dur_s_col).cast("string"), F.lit(" seconds"))
+    return (
+        events.withColumn("event_ts", ts)
+        .withWatermark("event_ts", watermark)
+        .groupBy(F.session_window("event_ts", gap), F.col(key_col))
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.min(time_col).alias("start_us"),
+        )
+    )

@@ -142,6 +142,7 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "graph_label_propagation",
     "ts_interval_coalesce",
     "pipeline_curated_packing",
+    "streaming_interval_coalesce",
 }
 
 

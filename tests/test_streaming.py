@@ -1035,3 +1035,88 @@ def test_streaming_hdr_checkpoint_recovery(spark, tmp_path):
     batch = {(r.event_type, r.lb): r.c
              for r in hdr_histogram(ev).collect()}
     assert streamed == batch
+
+
+def test_stream_interval_coalesce_checkpoint_recovery(spark, tmp_path):
+    # Kill-and-resume for the dynamic-gap session window: islands
+    # straddling the restart boundary only come out right if the
+    # second run restores the first run's open-session state (and
+    # merges late-arriving overlaps into it).  Final sink == batch
+    # islands (strict-overlap rule, matching half-open session
+    # semantics) restricted to watermark-closed islands.
+    import os
+
+    from pyspark.sql import Window
+    from rados_timestore_spark.streaming.windows import (
+        stream_interval_coalesce,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    pts = ev.select(
+        "user_id",
+        event_us(ev).alias("time"),
+        (F.col("event_id") % 300 + 60).alias("dur_s"),
+    )
+    mid = pts.approxQuantile("time", [0.5], 0.0)[0]
+    src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+    os.makedirs(src)
+
+    def deliver(i, df):
+        _deliver_file(tmp_path, src, i, df)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(pts.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = (
+            stream_interval_coalesce(stream, watermark="30 minutes")
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(180)
+
+    deliver(0, pts.filter(F.col("time") <= mid))
+    run_once()
+    deliver(1, pts.filter(F.col("time") > mid))
+    run_once()
+
+    got = {
+        (r.user_id, r.start_us, r.end_us, r.n_intervals)
+        for r in spark.read.parquet(out).select(
+            "user_id", "start_us",
+            F.unix_micros(F.col("session_window.end")).alias("end_us"),
+            "n_intervals",
+        ).collect()
+    }
+    assert got
+    # batch truth: strict-overlap cumulative-max islands + watermark
+    iv = pts.select(
+        "user_id", F.col("time").alias("t"),
+        (F.col("time") + F.col("dur_s") * 1_000_000).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id").orderBy("t", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.withColumn(
+        "is_start",
+        F.when(F.max("e").over(w_prev) > F.col("t"), 0).otherwise(1),
+    )
+    run = (
+        Window.partitionBy("user_id").orderBy("t", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = marked.withColumn("island_no", F.sum("is_start").over(run))
+    agg = isl.groupBy("user_id", "island_no").agg(
+        F.min("t").alias("start_us"), F.max("e").alias("end_us"),
+        F.count("*").alias("n_intervals"),
+    )
+    max_us = pts.agg(F.max("time")).collect()[0][0]
+    wm_us = max_us - 30 * 60 * 1_000_000
+    want = {
+        (r.user_id, r.start_us, r.end_us, r.n_intervals)
+        for r in agg.collect() if r.end_us <= wm_us
+    }
+    assert got == want
