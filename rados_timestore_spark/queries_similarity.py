@@ -2763,3 +2763,24 @@ def sim_vecidxpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     vi = _vecidx(spark, sf_dir, "full_pq")
     return vi.probe_pq("e", _vidx_queries(spark, sf_dir),
                        topk=5, nprobe=_N_PROBE, rerank=_RERANK_CAND)
+
+
+@register(
+    "sim_vecidxpq_recall",
+    oracle=_recall_sql(_vidxpq_ctes(5, "vpq_top"), "vpq_top"),
+    tags=("similarity", "ann", "index"),
+    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def sim_vecidxpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the persisted-codes ADC probe against exact brute
+    force — the persisted-index member of the recall family, directly
+    comparable with :func:`sim_pq_recall` (same codes family, same
+    top-k contract): the delta is what IVF bucket pruning ON TOP of
+    PQ compression costs, and the twin of the delta
+    :func:`sim_ivfpq_recall` measures for the residual in-query
+    composition.  Same shape as :func:`sim_ivf_recall`."""
+    vi = _vecidx(spark, sf_dir, "full_pq")
+    ann = vi.probe_pq("e", _vidx_queries(spark, sf_dir),
+                      topk=5, nprobe=_N_PROBE) \
+        .select("query_id", "neighbor_id")
+    return _recall_at_5(spark, sf_dir, ann)

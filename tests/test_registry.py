@@ -143,6 +143,7 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "ts_interval_coalesce",
     "pipeline_curated_packing",
     "streaming_interval_coalesce",
+    "sim_vecidxpq_recall",
 }
 
 
