@@ -406,6 +406,104 @@ def mm_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: mm_decode_bmp geometry (byte-length-derived like the PPM twin;
+#: widths 1..13 sweep every stride-padding residue mod 4).
+_BMP_W_MOD, _BMP_H_MOD = 13, 17
+
+
+def _bmp_synth_decode(batches):
+    """mapInPandas kernel: build a REAL 24-bit BI_RGB BMP per document
+    (binary 54-byte header struct-packed little-endian, rows padded to
+    4-byte file strides with spaces, bottom-up h) and decode it with
+    :func:`decode_image_real` — the parser sees only bytes."""
+    import struct
+
+    for pdf in batches:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            src = text.encode("utf-8") or b" "
+            n = len(src)
+            w = n % _BMP_W_MOD + 1
+            h = n % _BMP_H_MOD + 2
+            stride = (w * 3 + 3) & ~3
+            pad = stride - w * 3
+            need = w * 3 * h
+            body = (src * ((need + n - 1) // n))[:need]
+            raster = b"".join(
+                body[r * w * 3:(r + 1) * w * 3] + b" " * pad
+                for r in range(h)
+            )
+            header = (
+                b"BM"
+                + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+                + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                              len(raster), 2835, 2835, 0, 0)
+            )
+            payload = header + raster
+            d = decode_image_real(payload)
+            rows.append((int(doc_id), len(payload), d["width"],
+                         d["height"], d["channels"], d["feat_hash"]))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "n_bytes", "width", "height",
+                           "channels", "feat_hash"],
+        )
+
+
+@register(
+    "mm_decode_bmp",
+    # ASCII PRECONDITION: the oracle rebuilds the raster from VARCHAR
+    # characters (ord == byte only for the pure-ASCII corpus, pinned
+    # by test_documents_corpus_is_pure_ascii).
+    oracle=f"""
+WITH g0 AS (
+  SELECT doc_id,
+         CASE WHEN octet_length(encode(text)) = 0 THEN ' '
+              ELSE text END AS text,
+         GREATEST(octet_length(encode(text)), 1) AS n
+  FROM documents),
+g AS (
+  SELECT doc_id, text, n,
+         n % {_BMP_W_MOD} + 1 AS w,
+         n % {_BMP_H_MOD} + 2 AS h
+  FROM g0),
+p AS (
+  SELECT doc_id, w, h,
+         ((w * 3 + 3) // 4) * 4 AS stride,
+         substr(repeat(text, ((w * 3 * h + n - 1) // n)::INT),
+                1, w * 3 * h) AS body
+  FROM g),
+r AS (
+  SELECT doc_id, w, h, stride,
+         list_aggregate(list_transform(generate_series(0, h - 1), rr ->
+             substr(body, rr * w * 3 + 1, w * 3)
+               || repeat(' ', stride - w * 3)),
+           'string_agg', '') AS raster
+  FROM p)
+SELECT doc_id, CAST(54 + stride * h AS BIGINT) AS n_bytes,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       3 AS channels, substr(md5(raster), 1, 8) AS feat_hash
+FROM r
+""",
+    tags=("multimodal",),
+    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def mm_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP decode end to end — the third raster container after
+    PPM and PNG: a binary BI_RGB 24-bit BMP per document
+    (struct-packed 54-byte header, rows padded to 4-byte FILE strides
+    — the BMP-specific parsing hazard, swept across every w*3 mod 4
+    residue by the width formula) is built and then parsed back by
+    :func:`decode_image_real`, which validates header geometry,
+    compression mode and raster length and hashes the padded raster.
+    The oracle rebuilds the same padded raster character-wise (row
+    slices + space padding) and must match the parser bit-exactly.
+    One ``mapInPandas`` map stage, zero shuffle."""
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
+    return docs.select("doc_id", "text").mapInPandas(
+        _bmp_synth_decode, _FEATURES_DDL,
+    )
+
+
 @register(
     "mm_modality_routing",
     oracle="""

@@ -40,6 +40,7 @@ DOC_QUERIES = [
     "mm_image_ahash", "mm_ahash_neardup_pairs",
     "mm_wav_zero_crossings",
     "mm_wav_autocorr",
+    "mm_decode_bmp",
     "graph_triangle_count",
     # r9: random small-vocabulary corpora produce accidental cross-doc
     # K-gram runs, probing span-boundary arithmetic off the fixture

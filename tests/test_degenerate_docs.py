@@ -59,6 +59,7 @@ QUERIES = [
     "graph_jaccard_neighbors",
     "mm_wav_zero_crossings",
     "mm_wav_autocorr",
+    "mm_decode_bmp",
 ]
 
 

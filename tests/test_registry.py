@@ -144,6 +144,7 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "pipeline_curated_packing",
     "streaming_interval_coalesce",
     "sim_vecidxpq_recall",
+    "mm_decode_bmp",
 }
 
 
