@@ -19,7 +19,9 @@ Layout under ``root/<ns>/``::
                               array<float>[, meta_cols...,
                               pq_code array<smallint>]), hive-partitioned
     pq_codebooks/             parquet (s int, code int, cv
-                              array<float>) — after enable_pq()
+                              array<float>) + _pq_meta.json marker
+                              (m/ksub/gen, cross-checked against the
+                              meta's pq block) — after enable_pq()
 
 Scale design (the build-once/probe-many shape at 100 TB):
 
@@ -62,6 +64,42 @@ from pyspark.sql import functions as F
 from rados_timestore_spark.fsutil import HadoopFS
 
 _META = "_vidx_meta.json"
+_PQ_MARKER = "_pq_meta.json"
+
+
+def _append_pq_codes(df: DataFrame, CBm: np.ndarray) -> DataFrame:
+    """Encode-only ``mapInPandas`` pass: append a ``pq_code
+    array<smallint>`` column (nearest sub-codeword per subspace,
+    canonical sequential squared-L2 fold, first-min ties) while every
+    existing column — including the stored ``bucket`` — rides through
+    untouched.  Used by :meth:`VectorIndex.enable_pq`, which must not
+    pay a nearest-centroid re-assignment just to re-obtain buckets it
+    already persisted."""
+    CBm = np.asarray(CBm, dtype=np.float64)
+    m, _ksub, dsub = CBm.shape
+    cols = [c for c in df.columns if c != "pq_code"]
+
+    def enc(batches):
+        from rados_timestore_spark.queries_similarity import _sq_dists
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            out = {c: pdf[c] for c in cols}
+            codes = np.empty((len(E), m), dtype=np.int16)
+            for s in range(m):
+                sub = E[:, s * dsub:(s + 1) * dsub]
+                codes[:, s] = np.argmin(_sq_dists(sub, CBm[s]), axis=1)
+            out["pq_code"] = list(codes)
+            yield pd.DataFrame(out)
+
+    in_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema if f.name != "pq_code"
+    )
+    return df.select(*cols).mapInPandas(
+        enc, f"{in_schema}, pq_code array<smallint>")
 
 
 def seq_cos_matrix(E: np.ndarray, C: np.ndarray,
@@ -367,7 +405,7 @@ class VectorIndex:
         assigned = assign_to_centroids(
             emb, cids, C, doc["dim"], id_col, vec_col,
             meta_cols=tuple(doc.get("meta_cols", ())),
-            pq_cb=(self._load_pq(ns, int(doc["version"]))
+            pq_cb=(self._load_pq(ns, doc)
                    if "pq" in doc else None))
         (assigned.write.mode("append")
          .partitionBy("bucket").parquet(self._assignments_dir(ns)))
@@ -408,7 +446,7 @@ class VectorIndex:
         assigned = assign_to_centroids(
             emb, cids, C, doc["dim"], id_col, vec_col,
             meta_cols=tuple(doc.get("meta_cols", ())),
-            pq_cb=(self._load_pq(ns, int(doc["version"]))
+            pq_cb=(self._load_pq(ns, doc)
                    if "pq" in doc else None))
         (assigned.write.mode("overwrite")
          .partitionBy("bucket").parquet(stage))
@@ -460,8 +498,21 @@ class VectorIndex:
         reshaped to (m, ksub, dim/m) and persisted as a parquet table.
         The assignment table is then rewritten ONCE (staging + rename
         swap, the :meth:`compact` mechanics — enable_pq doubles as a
-        compaction) with a ``pq_code array<smallint>`` column; the
-        meta update is the commit point.
+        compaction; the rewrite only ENCODES — the stored bucket
+        column is carried through, never recomputed) with a
+        ``pq_code array<smallint>`` column; the meta update is the
+        commit point.
+
+        Crash/re-run safety: both the codebook table and the
+        assignment rewrite stage first and promote by rename, and the
+        codebook directory carries a ``_pq_meta.json`` marker with
+        the PQ GENERATION that the meta commit also records —
+        :meth:`_load_pq` refuses to serve when marker and meta
+        disagree (raises instead of silently ranking new codes
+        against old codebooks, or vice versa), so every crash window
+        between the promotes is loud-and-retryable, never servable-
+        and-wrong.  Like compact/delete, schedule serially with other
+        maintenance verbs.
 
         At 100 TB the ADC probe reads only (vec_id, bucket, pq_code)
         from nprobe bucket directories: parquet column projection
@@ -489,26 +540,42 @@ class VectorIndex:
         # as the centroid table)
         CB = CB.astype(np.float32).astype(np.float64)
         CBm = CB.reshape(ksub, m, dsub).transpose(1, 0, 2)
+        gen = int(doc.get("pq", {}).get("gen", 0)) + 1
+        cb_live = self._pq_dir(ns)
+        cb_staging, cb_old = f"{cb_live}.staging", f"{cb_live}.old"
+        staging, old = f"{live}.pq_encoding", f"{live}.old"
+        for leftover in (cb_staging, cb_old, staging, old):
+            if self.fs.exists(leftover):
+                self.fs.delete(leftover, recursive=True)
         cb_df = self.spark.createDataFrame(
             [(s, c, [float(x) for x in CBm[s, c]])
              for s in range(m) for c in range(ksub)],
             "s int, code int, cv array<float>",
         )
-        cb_df.coalesce(1).write.mode("overwrite").parquet(
-            self._pq_dir(ns))
+        cb_df.coalesce(1).write.mode("overwrite").parquet(cb_staging)
+        self.fs.write_text_atomic(
+            f"{cb_staging}/{_PQ_MARKER}",
+            json.dumps({"m": int(m), "ksub": int(ksub),
+                        "dsub": int(dsub), "gen": gen}))
 
-        staging, old = f"{live}.pq_encoding", f"{live}.old"
-        for leftover in (staging, old):
-            if self.fs.exists(leftover):
-                self.fs.delete(leftover, recursive=True)
-        encoded = assign_to_centroids(
-            scan.drop("bucket", "pq_code"),
-            *self._load_centroids(ns, int(doc["version"])),
-            dim=dim, meta_cols=tuple(doc.get("meta_cols", ())),
-            pq_cb=CBm,
-        )
+        # encode-only rewrite: the stored bucket rides through — no
+        # O(n*k*dim) re-assignment pass (review finding); cost is
+        # m*ksub*dsub per vector
+        encoded = _append_pq_codes(scan.drop("pq_code"), CBm)
         (encoded.repartition("bucket").write.mode("overwrite")
          .partitionBy("bucket").parquet(staging))
+        # promote: codebooks, then assignments, then the meta commit —
+        # _load_pq's gen cross-check makes every window in between a
+        # loud retry, never a silently-wrong serve
+        if self.fs.exists(cb_live):
+            if not self.fs.rename(cb_live, cb_old):
+                raise IOError(
+                    f"enable_pq({ns!r}): cannot move codebook dir")
+        if not self.fs.rename(cb_staging, cb_live):
+            if self.fs.exists(cb_old):
+                self.fs.rename(cb_old, cb_live)
+            raise IOError(f"enable_pq({ns!r}): codebook swap failed")
+        self.fs.delete(cb_old, recursive=True)
         if not self.fs.rename(live, old):
             raise IOError(f"enable_pq({ns!r}): cannot move live dir")
         if not self.fs.rename(staging, live):
@@ -516,26 +583,43 @@ class VectorIndex:
             raise IOError(f"enable_pq({ns!r}): staging swap failed")
         self.fs.delete(old, recursive=True)
         doc = self.meta(ns)
-        doc["pq"] = {"m": int(m), "ksub": int(ksub), "dsub": int(dsub)}
+        doc["pq"] = {"m": int(m), "ksub": int(ksub),
+                     "dsub": int(dsub), "gen": gen}
         self._write_meta(ns, doc)
         return doc
 
-    def _load_pq(self, ns: str, version: int) -> np.ndarray:
-        hit = self._cent_cache.get(("pq", ns, version))
+    def _load_pq(self, ns: str, doc: dict) -> np.ndarray:
+        """Codebook tensor for the PQ generation the meta commits to —
+        cached per (ns, gen); the codebook dir's marker must agree
+        with the meta block (m, ksub, gen) or the load REFUSES
+        (a crashed enable_pq left marker and meta out of step — the
+        state is retryable by re-running enable_pq, and must never be
+        served)."""
+        pq = doc["pq"]
+        gen = int(pq.get("gen", 1))
+        hit = self._cent_cache.get(("pq", ns, gen))
         if hit is not None:
             return hit
+        marker = json.loads(self.fs.read_text(
+            f"{self._pq_dir(ns)}/{_PQ_MARKER}"))
+        if (marker.get("gen"), marker.get("m"), marker.get("ksub")) != \
+                (gen, int(pq["m"]), int(pq["ksub"])):
+            raise IOError(
+                f"vector index {ns!r}: persisted codebooks "
+                f"(gen {marker.get('gen')}, m {marker.get('m')}, "
+                f"ksub {marker.get('ksub')}) do not match the meta's "
+                f"pq block {pq} — an enable_pq() run did not complete; "
+                f"re-run enable_pq() to repair")
         pdf = (self.spark.read.parquet(self._pq_dir(ns))
                .toPandas().sort_values(["s", "code"]))
-        m = int(pdf["s"].max()) + 1
-        ksub = int(pdf["code"].max()) + 1
         CBm = np.stack(pdf["cv"].to_numpy()).astype(
-            np.float64).reshape(m, ksub, -1)
-        self._cent_cache[("pq", ns, version)] = CBm
+            np.float64).reshape(int(pq["m"]), int(pq["ksub"]), -1)
+        self._cent_cache[("pq", ns, gen)] = CBm
         return CBm
 
     def probe_pq(self, ns: str, queries: list[tuple[int, list[float]]],
                  topk: int = 5, nprobe: int = 4,
-                 rerank: int | None = None) -> DataFrame:
+                 rerank: int | None = None, where=None) -> DataFrame:
         """ADC probe against the persisted codes — the compressed
         read path: route each query to its nprobe buckets (driver
         numpy over the k-row centroid matrix, exactly like
@@ -551,7 +635,9 @@ class VectorIndex:
         never a second full scan), returning
         (query_id, neighbor_id, cos, rank) — the IVFADC-R shape.
         Without rerank, returns (query_id, neighbor_id, approx_d2,
-        rank).
+        rank).  ``where`` is the same filtered-search predicate as
+        :meth:`probe` (evaluates inside the pruned scan, against the
+        persisted meta_cols, before any ranking).
         """
         doc = self.meta(ns)
         if "pq" not in doc:
@@ -561,16 +647,9 @@ class VectorIndex:
         m = int(doc["pq"]["m"])
         ksub = int(doc["pq"]["ksub"])
         dsub = int(doc["pq"]["dsub"])
-        cids, C = self._load_centroids(ns, int(doc["version"]))
-        CBm = self._load_pq(ns, int(doc["version"]))
-        dim = doc["dim"]
-        Q = np.array([q[1] for q in queries], dtype=np.float64)
-        cos = seq_cos_matrix(Q, C, dim)
-        order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
-        probe_buckets = [
-            [int(cids[j]) for j in row] for row in order
-        ]
-        all_buckets = sorted({b for bs in probe_buckets for b in bs})
+        CBm = self._load_pq(ns, doc)
+        probe_buckets, all_buckets = self._route_buckets(
+            ns, queries, nprobe, doc)
         # per-query LUTs: the same sequential per-dimension fold as
         # the in-query ADC path (_pq_ann), so the m-term sums are
         # bit-identical to the oracle's list_sum(list(d ORDER BY s))
@@ -592,11 +671,7 @@ class VectorIndex:
             "query_id long, qe array<float>, probed array<long>, "
             + ", ".join(f"l{s} array<double>" for s in range(m)),
         )
-        scan = (
-            self.spark.read.parquet(self._assignments_dir(ns))
-            .filter(F.col("bucket").isin(all_buckets))
-            .withColumn("bucket", F.col("bucket").cast("long"))
-        )
+        scan = self._pruned_scan(ns, all_buckets, where)
         codes = scan.select("vec_id", "bucket", "pq_code")
         approx = None
         for s in range(m):
@@ -615,7 +690,11 @@ class VectorIndex:
         w = Window.partitionBy("query_id").orderBy("approx_d2", "vec_id")
         cut = (
             adc.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= (rerank or topk))
+            # rerank=0 is a legitimate empty-candidate request — only
+            # None means "no refine stage" (review finding: `or` would
+            # silently reinterpret 0 as topk)
+            .filter(F.col("rank") <= (topk if rerank is None
+                                      else rerank))
         )
         if rerank is None:
             return cut.select(
@@ -743,6 +822,39 @@ class VectorIndex:
 
     # -------------------------------------------------------- probe
 
+    def _route_buckets(self, ns: str, queries, nprobe: int, doc: dict):
+        """Shared nprobe routing for a bounded query set: per-query
+        bucket lists (STABLE argsort of -cos == the oracle's
+        ``ORDER BY cos DESC, cid`` tie rule, since cids are sorted
+        ascending) plus their sorted union — the literal pruning
+        predicate.  One definition serves :meth:`probe` and
+        :meth:`probe_pq` so the two read paths cannot drift."""
+        cids, C = self._load_centroids(ns, int(doc["version"]))
+        Q = np.array([q[1] for q in queries], dtype=np.float64)
+        cos = seq_cos_matrix(Q, C, doc["dim"])
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
+        probe_buckets = [[int(cids[j]) for j in row] for row in order]
+        all_buckets = sorted({b for bs in probe_buckets for b in bs})
+        return probe_buckets, all_buckets
+
+    def _pruned_scan(self, ns: str, all_buckets, where=None):
+        """Bucket-pruned assignment scan: the literal ``bucket IN``
+        resolves to PartitionFilters (pinned by tests/test_plans.py);
+        hive partition discovery may type bucket=N as int and the
+        probed arrays are long, so the cast normalizes AFTER the
+        pruning filter.  ``where`` (filtered search over persisted
+        meta_cols) evaluates inside the pruned scan — pushed to
+        parquet row-group stats, applied BEFORE ranking so it prunes
+        candidates and never reorders survivors."""
+        scan = (
+            self.spark.read.parquet(self._assignments_dir(ns))
+            .filter(F.col("bucket").isin(all_buckets))
+            .withColumn("bucket", F.col("bucket").cast("long"))
+        )
+        if where is not None:
+            scan = scan.filter(where)
+        return scan
+
     def _load_centroids(self, ns: str, version: int | None = None):
         if version is not None:
             hit = self._cent_cache.get((ns, version))
@@ -772,40 +884,14 @@ class VectorIndex:
         corpus regardless of total index size.
         """
         doc = self.meta(ns)
-        cids, C = self._load_centroids(ns, int(doc["version"]))
-        dim = doc["dim"]
-        qids = np.array([q[0] for q in queries], dtype=np.int64)
-        Q = np.array([q[1] for q in queries], dtype=np.float64)
-        cos = seq_cos_matrix(Q, C, dim)
-        # rank (cos DESC, cid ASC): cids is sorted ascending, so a
-        # STABLE argsort of -cos breaks ties toward the lower cid
-        order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
-        probe_buckets = [
-            (int(qid), [int(cids[j]) for j in row])
-            for qid, row in zip(qids, order)
-        ]
-        all_buckets = sorted({b for _q, bs in probe_buckets for b in bs})
-
+        probe_buckets, all_buckets = self._route_buckets(
+            ns, queries, nprobe, doc)
         qdf = self.spark.createDataFrame(
             [(int(qid), [float(x) for x in qv], bs)
-             for (qid, qv), (_q, bs) in zip(queries, probe_buckets)],
+             for (qid, qv), bs in zip(queries, probe_buckets)],
             "query_id long, qe array<float>, probed array<long>",
         )
-        scan = (
-            self.spark.read.parquet(self._assignments_dir(ns))
-            .filter(F.col("bucket").isin(all_buckets))
-            # hive partition discovery may type bucket=N as int; the
-            # probed array is long — normalize AFTER the pruning filter
-            .withColumn("bucket", F.col("bucket").cast("long"))
-        )
-        if where is not None:
-            # filtered search: the metadata predicate evaluates inside
-            # the (already bucket-pruned) scan — with meta_cols
-            # persisted in the assignment table it pushes to parquet
-            # row-group stats; applied BEFORE ranking, so the filter
-            # prunes candidates and never reorders survivors (the
-            # sim_ivf_ann_filtered contract)
-            scan = scan.filter(where)
+        scan = self._pruned_scan(ns, all_buckets, where)
         from rados_timestore_spark.queries_similarity import _cos_seq
 
         hits = (

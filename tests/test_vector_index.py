@@ -336,7 +336,7 @@ def pq_built(spark, emb, tmp_path_factory):
 
 def test_enable_pq_layout_and_code_validity(pq_built, emb, spark):
     vi, doc = pq_built
-    assert doc["pq"] == {"m": 4, "ksub": 16, "dsub": 16}
+    assert doc["pq"] == {"m": 4, "ksub": 16, "dsub": 16, "gen": 1}
     cb = spark.read.parquet(vi._pq_dir("e"))
     assert cb.count() == 4 * 16
     rows = spark.read.parquet(vi._assignments_dir("e"))
@@ -358,7 +358,7 @@ def test_enable_pq_codes_match_direct_encode(pq_built, spark):
     from rados_timestore_spark.queries_similarity import _sq_dists
 
     vi, doc = pq_built
-    CBm = vi._load_pq("e", int(doc["version"]))
+    CBm = vi._load_pq("e", doc)
     pdf = (spark.read.parquet(vi._assignments_dir("e"))
            .select("vec_id", "embedding", "pq_code").toPandas())
     E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
@@ -404,7 +404,7 @@ def test_append_after_enable_pq_encodes_new_rows(spark, emb, tmp_path):
     vi = VectorIndex(spark, str(tmp_path / "pqapp"))
     vi.build("e", a, k=K)
     doc = vi.enable_pq("e", m=4, ksub=16)
-    CBm = vi._load_pq("e", int(doc["version"]))
+    CBm = vi._load_pq("e", doc)
     vi.append("e", b)
     rows = spark.read.parquet(vi._assignments_dir("e"))
     assert rows.filter(F.col("pq_code").isNull()).count() == 0
@@ -442,3 +442,71 @@ def test_delete_preserves_survivor_codes_and_probe_pq(spark, emb,
     out = vi.probe_pq("e", _queries(emb), topk=5,
                       nprobe=NPROBE).toPandas()
     assert (out["neighbor_id"] % 7 != 5).all()
+
+
+def test_enable_pq_rerun_with_new_params_serves_new_codebooks(
+        spark, emb, tmp_path):
+    # re-running enable_pq with different geometry must serve the NEW
+    # codebooks (generation-keyed cache — a stale (m, ksub) tensor
+    # would IndexError or silently mis-rank) and keep the lossless-
+    # degeneracy law intact under the new codes
+    vi = VectorIndex(spark, str(tmp_path / "pqre"))
+    vi.build("e", emb, k=K)
+    d1 = vi.enable_pq("e", m=4, ksub=16)
+    vi.probe_pq("e", _queries(emb), topk=3, nprobe=2).collect()
+    d2 = vi.enable_pq("e", m=8, ksub=8)
+    assert d2["pq"] == {"m": 8, "ksub": 8, "dsub": 8,
+                        "gen": d1["pq"]["gen"] + 1}
+    CBm = vi._load_pq("e", d2)
+    assert CBm.shape == (8, 8, 8)
+    out = vi.probe_pq("e", _queries(emb), topk=3, nprobe=2).toPandas()
+    assert (out.groupby("query_id")["rank"].max() <= 3).all()
+    rows = spark.read.parquet(vi._assignments_dir("e"))
+    assert rows.filter(F.size("pq_code") != 8).count() == 0
+
+
+def test_load_pq_refuses_marker_meta_mismatch(spark, emb, tmp_path):
+    # the crashed-enable_pq guard: when the codebook marker and the
+    # meta's pq block disagree (a run promoted codebooks but died
+    # before the meta commit, or vice versa), the load must raise —
+    # never rank codes against the wrong codebooks
+    import json as _json
+
+    vi = VectorIndex(spark, str(tmp_path / "pqcr"))
+    vi.build("e", emb, k=K)
+    vi.enable_pq("e", m=4, ksub=16)
+    doc = vi.meta("e")
+    doc["pq"]["gen"] += 1  # meta claims a generation never promoted
+    vi._write_meta("e", _json.loads(_json.dumps(doc)) and doc)
+    with pytest.raises(IOError, match="did not complete"):
+        vi.probe_pq("e", _queries(emb), topk=3, nprobe=2)
+
+
+def test_probe_pq_rerank_zero_is_empty(pq_built, emb):
+    # rerank=0 is an explicit empty-candidate request, not rerank=topk
+    vi, _doc = pq_built
+    assert vi.probe_pq("e", _queries(emb), topk=3, nprobe=2,
+                       rerank=0).count() == 0
+
+
+def test_probe_pq_filtered_search(spark, emb, tmp_path):
+    # the compressed path supports the same filtered search as probe:
+    # the meta_cols predicate evaluates inside the pruned scan and
+    # prunes candidates without reordering survivors
+    vi = VectorIndex(spark, str(tmp_path / "pqfl"))
+    vi.build("e", emb, k=K, meta_cols=("label",))
+    vi.enable_pq("e", m=4, ksub=16)
+    labels = {r.label for r in emb.select("label").distinct().collect()}
+    pick = sorted(labels)[0]
+    out = vi.probe_pq("e", _queries(emb), topk=5, nprobe=NPROBE,
+                      where=F.col("label") == pick,
+                      rerank=10 ** 9).toPandas()
+    allowed = {r.vec_id for r in
+               emb.filter(F.col("label") == pick).collect()}
+    assert set(out["neighbor_id"]) <= allowed
+    # equals the exact filtered probe under the full-rerank degeneracy
+    exact = vi.probe("e", _queries(emb), topk=5, nprobe=NPROBE,
+                     where=F.col("label") == pick).toPandas()
+    a = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = exact.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)

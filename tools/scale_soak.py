@@ -260,18 +260,26 @@ SOAK_R9B_QUERIES = (
 )
 
 #: SOAK_FAMILY=r9c: the final late-r9 batch at 10x — the persisted
-#: PQ probes (expected ~linear in probed-bucket CODE bytes: the ADC
-#: scan reads m*2 B per vector of nprobe/k of the corpus; rerank adds
-#: a bounded Q x 20 semi-join), the audio autocorrelation (one
-#: map stage), label propagation (3 rounds of edge join + count agg +
-#: per-node top-1 — O(edges) per round like CC), and interval
-#: coalescing (one exchange on user_id, per-series window state).
+#: PQ probes + recall (expected ~linear in probed-bucket CODE bytes:
+#: the ADC scan reads m*2 B per vector of nprobe/k of the corpus;
+#: rerank adds a bounded Q x 20 semi-join; recall adds the broadcast
+#: brute-force ground truth), the audio autocorrelation and BMP
+#: decode (one map stage each), label propagation (3 rounds of edge
+#: join + count agg + per-node top-1 — O(edges) per round like CC),
+#: batch + streaming interval coalescing (one exchange on user_id /
+#: watermark-bounded session state), and curated packing (the
+#: curation stages' id-keyed joins + the one global cumulative window
+#: that concat-and-chunk semantics require).
 SOAK_R9C_QUERIES = (
     "sim_vecidxpq_probe",
     "sim_vecidxpq_rerank",
+    "sim_vecidxpq_recall",
     "mm_wav_autocorr",
+    "mm_decode_bmp",
     "graph_label_propagation",
     "ts_interval_coalesce",
+    "streaming_interval_coalesce",
+    "pipeline_curated_packing",
 )
 
 #: SOAK_FAMILY=skew (VERDICT r8 item 4): the shuffle-heavy set under
