@@ -1908,3 +1908,128 @@ def ts_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("e").alias("end_us"),
         (F.max("e") - F.min("t")).alias("duration_us"),
     )
+
+
+# --------------------------- r9: EWMA smoothing (dyadic, exact integers)
+
+_EWMA_DEPTH = 16  # alpha = 1/2 truncated at 16 lags; tail weight 2^-16
+
+
+def _ewma_lag_sql() -> str:
+    terms = " + ".join(
+        f"COALESCE(lag(v, {j}) OVER w, 0) * {1 << (_EWMA_DEPTH - 1 - j)}"
+        for j in range(_EWMA_DEPTH)
+    )
+    return terms
+
+
+@register(
+    "ts_ewma_smooth",
+    oracle=f"""{_EV_CTE},
+x AS (SELECT event_id, user_id, t,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM ev)
+SELECT event_id, user_id, t, v,
+       CAST({_ewma_lag_sql()} AS BIGINT) AS ewma_x65536
+FROM x
+WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+""",
+    tags=("timeseries", "window"),
+    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def ts_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per series — the classic
+    smoother (monitoring dashboards, EWMA control charts), stated so
+    the hash is EXACT: alpha = 1/2 makes every weight a dyadic
+    rational, truncating at 16 lags makes the tail weight 2^-16
+    (below one centi-unit for any |v| < 655 — the smoother users see
+    is unchanged), and scaling by 2^16 makes the output an INTEGER:
+    ``ewma_x65536 = sum_{{j=0..15}} v_{{i-j}} * 2^(15-j)`` — the
+    recurrence ``s = (v + s_prev)/2`` unrolled, with missing lags at
+    a series head contributing zero (truncated-window semantics, same
+    on both engines).
+
+    Plan: one shuffle on user_id; all 16 ``lag`` expressions share
+    ONE Window operator (same partition/order spec), so the cost is
+    one ordered pass with a 16-row ring buffer per series — O(1)
+    state at 100 TB, no frame re-scan, no float ever enters."""
+    ev = _events(spark, sf_dir)
+    x = ev.select(
+        "event_id", "user_id", "t",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    ewma = None
+    for j in range(_EWMA_DEPTH):
+        term = (
+            F.coalesce(F.lag("v", j).over(w), F.lit(0))
+            * F.lit(1 << (_EWMA_DEPTH - 1 - j))
+        )
+        ewma = term if ewma is None else ewma + term
+    return x.select(
+        "event_id", "user_id", "t", "v",
+        ewma.cast("long").alias("ewma_x65536"),
+    )
+
+
+# ------------------------------ r9: rolling median (exact, 2x-scaled)
+
+
+@register(
+    "ts_rolling_median",
+    oracle=f"""{_EV_CTE},
+x AS (SELECT event_id, user_id, t,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM ev),
+fr AS (SELECT event_id, user_id, t,
+              CAST(count(*) OVER w AS BIGINT) AS n_win,
+              list_sort(list(v) OVER w) AS a
+       FROM x
+       WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+SELECT event_id, user_id, t, n_win,
+       CAST(a[CAST((n_win + 1) // 2 AS INT)]
+            + a[CAST(n_win // 2 + 1 AS INT)] AS BIGINT) AS median2x
+FROM fr
+""",
+    tags=("timeseries", "window"),
+    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median over the trailing 7 observations per series —
+    the robust smoother (median filters shrug off the spikes that
+    drag an EWMA), exact by the 2x device: ``median2x = a[(n+1)//2]
+    + a[n//2+1]`` over the sorted frame (1-based) is twice the
+    median — both middle elements summed when the frame is even, the
+    middle doubled when odd — so the interpolated ``.5`` never
+    becomes a float in the hash.
+
+    Plan: one shuffle on user_id; ``collect_list`` over a ROWS
+    BETWEEN 6 PRECEDING frame keeps at most 7 values in flight per
+    row, and the sort is O(K log K) with K=7 CONSTANT — per-row cost
+    is fixed, per-series state is the 7-row frame, and nothing about
+    the plan changes at 100 TB (contrast a percentile_approx sketch:
+    this is exact because the frame is bounded by construction)."""
+    ev = _events(spark, sf_dir)
+    x = ev.select(
+        "event_id", "user_id", "t",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id").orderBy("t", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    fr = x.select(
+        "event_id", "user_id", "t",
+        F.count("*").over(w).cast("long").alias("n_win"),
+        F.sort_array(F.collect_list("v").over(w)).alias("a"),
+    )
+    mid1 = ((F.col("n_win") + 1) / 2).cast("int")
+    mid2 = (F.col("n_win") / 2 + 1).cast("int")
+    return fr.select(
+        "event_id", "user_id", "t", "n_win",
+        (F.element_at("a", mid1) + F.element_at("a", mid2))
+        .cast("long").alias("median2x"),
+    )

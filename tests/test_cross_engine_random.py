@@ -79,6 +79,9 @@ EVENT_QUERIES = [
     # late r9: random (t, event_id) interval layouts probe the
     # cumulative-max islands rule (swallowed intervals, touching ends)
     "ts_interval_coalesce",
+    # late r9: random values probe the dyadic lag-weight unroll and
+    # the sorted-frame 2x-median indexing at every frame size 1..7
+    "ts_ewma_smooth", "ts_rolling_median",
 ]
 #: Embedding-driven queries: random float32 vectors probe the
 #: float-determinism choreography (sequential-fold cosine, SQ8

@@ -145,6 +145,8 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "streaming_interval_coalesce",
     "sim_vecidxpq_recall",
     "mm_decode_bmp",
+    "ts_ewma_smooth",
+    "ts_rolling_median",
 }
 
 

@@ -250,3 +250,109 @@ def test_coalesce_fixture_invariants(spark):
         .set_index("user_id")["count"]
     got = out.groupby("user_id")["n_intervals"].sum()
     assert got.to_dict() == per_user.to_dict()
+
+
+# -------------------------------------------------- EWMA smoothing
+
+
+def test_ewma_recurrence_unroll(spark, tmp_path):
+    # ewma_x65536 IS the alpha=1/2 recurrence unrolled: for values
+    # 10, 20, 40 (centi 1000, 2000, 4000) the exact terms are
+    # s1 = 1000*2^15, s2 = 2000*2^15 + 1000*2^14, ...
+    from rados_timestore_spark.queries_timeseries import (
+        ts_ewma_smooth,
+    )
+
+    rows = [
+        (0, 1, pd.Timestamp(0, unit="us"), 10.0),
+        (1, 1, pd.Timestamp(_HOUR, unit="us"), 20.0),
+        (2, 1, pd.Timestamp(2 * _HOUR, unit="us"), 40.0),
+    ]
+    _write_events(tmp_path, rows)
+    out = {r.event_id: r.ewma_x65536 for r in
+           ts_ewma_smooth(spark, str(tmp_path)).collect()}
+    assert out[0] == 1000 * (1 << 15)
+    assert out[1] == 2000 * (1 << 15) + 1000 * (1 << 14)
+    assert out[2] == (4000 * (1 << 15) + 2000 * (1 << 14)
+                      + 1000 * (1 << 13))
+
+
+def test_ewma_constant_series_converges_geometrically(spark, tmp_path):
+    # constant v: s_n/2^16 = v * (1 - 2^-n) — after 16 points the
+    # truncated sum equals v*(2^16 - 1), one tail-weight short of v
+    from rados_timestore_spark.queries_timeseries import (
+        ts_ewma_smooth,
+    )
+
+    rows = [(i, 3, pd.Timestamp(i * _HOUR, unit="us"), 5.0)
+            for i in range(20)]
+    _write_events(tmp_path, rows)
+    out = {r.event_id: r.ewma_x65536 for r in
+           ts_ewma_smooth(spark, str(tmp_path)).collect()}
+    assert out[15] == 500 * ((1 << 16) - 1)
+    assert out[19] == out[15]  # steady state: window saturated
+
+
+def test_ewma_fixture_bounds(spark):
+    # the smoother never leaves the convex hull of the inputs:
+    # min(v)*(2^16-1) <= ewma <= max(v)*(2^16-1) for same-sign hulls,
+    # and a 1-row head is exactly v*2^15
+    from rados_timestore_spark.queries_timeseries import (
+        ts_ewma_smooth,
+    )
+
+    out = ts_ewma_smooth(spark, SF).toPandas()
+    lo, hi = out["v"].min(), out["v"].max()
+    bound = max(abs(lo), abs(hi)) * ((1 << 16) - 1)
+    assert (out["ewma_x65536"].abs() <= bound).all()
+
+
+# ------------------------------------------------- rolling median
+
+
+def test_rolling_median_odd_even_frames(spark, tmp_path):
+    # frame sizes 1..4 over values 30, 10, 20, 40 — pins the sorted
+    # indexing: n=1 -> 2*30; n=2 -> 10+30; n=3 -> 2*20; n=4 -> 20+30
+    from rados_timestore_spark.queries_timeseries import (
+        ts_rolling_median,
+    )
+
+    vals = [30.0, 10.0, 20.0, 40.0]
+    rows = [(i, 1, pd.Timestamp(i * _HOUR, unit="us"), v)
+            for i, v in enumerate(vals)]
+    _write_events(tmp_path, rows)
+    out = {r.event_id: (r.n_win, r.median2x) for r in
+           ts_rolling_median(spark, str(tmp_path)).collect()}
+    assert out[0] == (1, 2 * 3000)
+    assert out[1] == (2, 1000 + 3000)
+    assert out[2] == (3, 2 * 2000)
+    assert out[3] == (4, 2000 + 3000)
+
+
+def test_rolling_median_frame_caps_at_seven(spark, tmp_path):
+    # 10 points, value = index: at i=9 the frame is [3..9] (7 rows),
+    # median = 6 -> median2x = 1200 centi
+    from rados_timestore_spark.queries_timeseries import (
+        ts_rolling_median,
+    )
+
+    rows = [(i, 2, pd.Timestamp(i * _HOUR, unit="us"), float(i))
+            for i in range(10)]
+    _write_events(tmp_path, rows)
+    out = {r.event_id: (r.n_win, r.median2x) for r in
+           ts_rolling_median(spark, str(tmp_path)).collect()}
+    assert out[9] == (7, 2 * 600)
+    assert out[6] == (7, 2 * 300)
+
+
+def test_rolling_median_fixture_invariants(spark):
+    from rados_timestore_spark.queries_timeseries import (
+        ts_rolling_median,
+    )
+
+    out = ts_rolling_median(spark, SF).toPandas()
+    assert (out["n_win"] >= 1).all() and (out["n_win"] <= 7).all()
+    # odd frames double ONE integer element -> median2x is even;
+    # (even frames sum two distinct-index elements, no parity law)
+    odd = out[out["n_win"] % 2 == 1]
+    assert len(odd) > 0 and (odd["median2x"] % 2 == 0).all()
