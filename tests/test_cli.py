@@ -191,7 +191,7 @@ def test_cli_vecidx_pq_verbs(spark, tmp_path, capsys):
     assert main([*base, "vecidx-enable-pq", "--m", "4",
                  "--ksub", "16"], spark=spark) == 0
     doc = json.loads(capsys.readouterr().out)
-    assert doc["pq"] == {"m": 4, "ksub": 16, "dsub": 16}
+    assert doc["pq"] == {"m": 4, "ksub": 16, "dsub": 16, "gen": 1}
 
     assert main([*base, "vecidx-probe-pq", "--parquet", src,
                  "--ids", "0,1", "--topk", "3", "--nprobe", "2"],

@@ -282,6 +282,15 @@ SOAK_R9C_QUERIES = (
     "pipeline_curated_packing",
 )
 
+#: SOAK_FAMILY=r9d: the closing-r9 exact smoothers at 10x — both are
+#: one-exchange single-Window ops with CONSTANT per-row state (a
+#: 16-lag ring buffer / a 7-row frame), so the expected exponent is
+#: ~log-linear in rows like the other per-series window family.
+SOAK_R9D_QUERIES = (
+    "ts_ewma_smooth",
+    "ts_rolling_median",
+)
+
 #: SOAK_FAMILY=skew (VERDICT r8 item 4): the shuffle-heavy set under
 #: ENGINEERED key skew vs a same-size uniform corpus.  The 10x soaks
 #: scale uniformly, so hot-key mitigations (LSH hot-bucket salting,
@@ -460,6 +469,7 @@ def main() -> None:
              "r9": SOAK_R9_QUERIES,
              "r9b": SOAK_R9B_QUERIES,
              "r9c": SOAK_R9C_QUERIES,
+             "r9d": SOAK_R9D_QUERIES,
              "skew": SOAK_SKEW_QUERIES,
              }.get(family, SOAK_QUERIES)
     if family == "skew":
@@ -501,7 +511,7 @@ def main() -> None:
         if not os.path.exists(f"{out_dir}/documents.parquet"):
             print(f"# building {COPIES}x corpus ...", file=sys.stderr)
             build_corpus(spark, out_dir)
-    elif family == "ts":
+    elif family in ("ts", "r9d"):
         if not os.path.exists(f"{out_dir}/events.parquet"):
             print(f"# building {COPIES}x events ...", file=sys.stderr)
             build_events(spark, out_dir)
