@@ -136,6 +136,9 @@ def _parser() -> argparse.ArgumentParser:
                     help="subspaces (dim must divide evenly)")
     vq.add_argument("--ksub", type=int, default=16,
                     help="codewords per subspace")
+    vq.add_argument("--residual", action="store_true",
+                    help="quantize embedding - assigned centroid "
+                         "(FAISS by_residual=True)")
 
     vpq = sub.add_parser(
         "vecidx-probe-pq",
@@ -231,7 +234,8 @@ def main(argv: Sequence[str] | None = None,
             print(json.dumps({"files": vi.compact(args.ns)}))
         elif args.cmd == "vecidx-enable-pq":
             print(json.dumps(vi.enable_pq(
-                args.ns, m=args.m, ksub=args.ksub)))
+                args.ns, m=args.m, ksub=args.ksub,
+                residual=args.residual)))
         elif args.cmd == "vecidx-probe-pq":
             ids = [int(a) for a in args.ids.split(",") if a]
             rows = (spark.read.parquet(args.parquet)

@@ -2522,6 +2522,11 @@ def _vecidx(spark: SparkSession, sf_dir: str, variant: str):
         # sub-codebooks + a pq_code column in the assignment rows
         vi.build("e", emb, k=_N_CENTROIDS)
         vi.enable_pq("e", m=_PQ_M, ksub=_PQ_K)
+    elif variant == "full_pqr":
+        # the full FAISS IVFPQ shape: codes quantize the residual
+        # against each vector's assigned centroid (by_residual=True)
+        vi.build("e", emb, k=_N_CENTROIDS)
+        vi.enable_pq("e", m=_PQ_M, ksub=_PQ_K, residual=True)
     else:
         vi.build("e", emb.filter(F.col("vec_id") % 2 == 0),
                  k=_N_CENTROIDS)
@@ -2780,6 +2785,105 @@ def sim_vecidxpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`sim_ivfpq_recall` measures for the residual in-query
     composition.  Same shape as :func:`sim_ivf_recall`."""
     vi = _vecidx(spark, sf_dir, "full_pq")
+    ann = vi.probe_pq("e", _vidx_queries(spark, sf_dir),
+                      topk=5, nprobe=_N_PROBE) \
+        .select("query_id", "neighbor_id")
+    return _recall_at_5(spark, sf_dir, ann)
+
+
+def _vidxpqr_ctes(k: int, top: str = "vpqr_top") -> str:
+    """Residual ADC over the persisted index: IVF routing from
+    ``_ivf_ctes`` (cosine routing, persisted-centroid CTEs), residual
+    vectors per ASSIGNED bucket, sub-codebooks from the ksub
+    lowest-vec_id RESIDUALS (the enable_pq residual trainer), and a
+    per-(query, probed-bucket) LUT — the ``_ivfpq_ctes`` shapes
+    re-based from the in-query k-means quantizer onto the persisted
+    routing table."""
+    return f"""{_ivf_ctes()},
+vres AS (
+  SELECT a.vec_id, a.bucket,
+         list_transform(generate_series(1,{DIM}),
+                        i -> a.embedding[i]::DOUBLE - c.ce[i]) AS rv
+  FROM assigned a JOIN cent c ON c.cid = a.bucket),
+vcb AS (
+  SELECT s, r.vec_id AS code,
+         rv[s*{_PQ_DSUB}+1 : s*{_PQ_DSUB}+{_PQ_DSUB}] AS cv
+  FROM vres r, generate_series(0,{_PQ_M - 1}) g(s)
+  WHERE r.vec_id < {_PQ_K}),
+venc AS (
+  SELECT vec_id, bucket, s, code FROM (
+    SELECT r.vec_id, r.bucket, c.s, c.code,
+           row_number() OVER (PARTITION BY r.vec_id, c.s ORDER BY
+             {_pq_sub_res_l2_sql("r.rv", "c.s", "c.cv")} ASC,
+             c.code) AS rk
+    FROM vres r, vcb c) x
+  WHERE rk = 1),
+vqres AS (
+  SELECT p.query_id, p.bucket,
+         list_transform(generate_series(1,{DIM}),
+                        i -> p.qe[i]::DOUBLE - c.ce[i]) AS qrv
+  FROM probes p JOIN cent c ON c.cid = p.bucket),
+vplut AS (
+  SELECT q.query_id, q.bucket, c.s, c.code,
+         {_pq_sub_res_l2_sql("q.qrv", "c.s", "c.cv")} AS d
+  FROM vqres q, vcb c),
+vradc AS (
+  SELECT l.query_id, e.vec_id,
+         list_sum(list(l.d ORDER BY l.s)) AS approx_d2
+  FROM venc e JOIN vplut l
+    ON l.bucket = e.bucket AND l.s = e.s AND l.code = e.code
+  WHERE e.vec_id <> l.query_id
+  GROUP BY l.query_id, e.vec_id),
+{top} AS (
+  SELECT query_id, vec_id AS neighbor_id, approx_d2, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY approx_d2 ASC, vec_id) AS rank FROM vradc) t
+  WHERE rank <= {k})"""
+
+
+@register(
+    "sim_vecidxpq_residual_probe",
+    oracle=f"""
+WITH {_vidxpqr_ctes(5)}
+SELECT query_id, neighbor_id, approx_d2, rank FROM vpqr_top
+""",
+    tags=("similarity", "ann", "index"),
+    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def sim_vecidxpq_residual_probe(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """ADC probe against persisted RESIDUAL codes — the full FAISS
+    IVFPQ shape (``by_residual=True``) on the persisted index:
+    ``enable_pq(residual=True)`` quantizes each vector's offset from
+    its assigned centroid (on clustered corpora residuals concentrate
+    near zero, buying recall at the same m x ksub code budget; the
+    isotropic fixture measures a wash — 0.64 vs 0.64 at sf0.01 —
+    compare sim_vecidxpq_residual_recall vs sim_vecidxpq_recall), and
+    the probe builds one LUT PER (query, probed bucket) from the
+    query's residual against THAT bucket's centroid, turning the
+    broadcast into a plain bucket equi-join.  Everything else —
+    bucket-pruned code-column scan, bounded driver LUT state —
+    matches sim_vecidxpq_probe."""
+    vi = _vecidx(spark, sf_dir, "full_pqr")
+    return vi.probe_pq("e", _vidx_queries(spark, sf_dir),
+                       topk=5, nprobe=_N_PROBE)
+
+
+@register(
+    "sim_vecidxpq_residual_recall",
+    oracle=_recall_sql(_vidxpqr_ctes(5, "vpqr_top"), "vpqr_top"),
+    tags=("similarity", "ann", "index"),
+    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def sim_vecidxpq_residual_recall(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Recall@5 of the residual-codes ADC probe — the direct
+    measurement of what residual encoding buys over the raw-vector
+    codes of :func:`sim_vecidxpq_recall` at the identical
+    (m, ksub, nprobe) budget (a wash on the isotropic fixture, a win
+    on clustered corpora); the persisted twin of the in-query
+    :func:`sim_ivfpq_recall`."""
+    vi = _vecidx(spark, sf_dir, "full_pqr")
     ann = vi.probe_pq("e", _vidx_queries(spark, sf_dir),
                       topk=5, nprobe=_N_PROBE) \
         .select("query_id", "neighbor_id")

@@ -19,9 +19,11 @@ Layout under ``root/<ns>/``::
                               array<float>[, meta_cols...,
                               pq_code array<smallint>]), hive-partitioned
     pq_codebooks/             parquet (s int, code int, cv
-                              array<float>) + _pq_meta.json marker
-                              (m/ksub/gen, cross-checked against the
-                              meta's pq block) — after enable_pq()
+                              array<float>; array<double> in residual
+                              mode) + _pq_meta.json marker
+                              (m/ksub/gen/residual, cross-checked
+                              against the meta's pq block) — after
+                              enable_pq()
 
 Scale design (the build-once/probe-many shape at 100 TB):
 
@@ -67,17 +69,27 @@ _META = "_vidx_meta.json"
 _PQ_MARKER = "_pq_meta.json"
 
 
-def _append_pq_codes(df: DataFrame, CBm: np.ndarray) -> DataFrame:
+def _append_pq_codes(df: DataFrame, CBm: np.ndarray,
+                     res: tuple | None = None) -> DataFrame:
     """Encode-only ``mapInPandas`` pass: append a ``pq_code
     array<smallint>`` column (nearest sub-codeword per subspace,
     canonical sequential squared-L2 fold, first-min ties) while every
     existing column — including the stored ``bucket`` — rides through
     untouched.  Used by :meth:`VectorIndex.enable_pq`, which must not
     pay a nearest-centroid re-assignment just to re-obtain buckets it
-    already persisted."""
+    already persisted.
+
+    ``res`` = (cids, C) switches to RESIDUAL encoding (FAISS
+    by_residual=True): each row's stored bucket looks up its centroid
+    and the codes quantize ``embedding - centroid`` — the residual is
+    exact float64 arithmetic on float32-representable inputs, so the
+    encode stays oracle-restatable."""
     CBm = np.asarray(CBm, dtype=np.float64)
     m, _ksub, dsub = CBm.shape
     cols = [c for c in df.columns if c != "pq_code"]
+    if res is not None:
+        res_cids = np.asarray(res[0], dtype=np.int64)
+        res_C = np.asarray(res[1], dtype=np.float64)
 
     def enc(batches):
         from rados_timestore_spark.queries_similarity import _sq_dists
@@ -86,6 +98,10 @@ def _append_pq_codes(df: DataFrame, CBm: np.ndarray) -> DataFrame:
             if len(pdf) == 0:
                 continue
             E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            if res is not None:
+                pos = np.searchsorted(
+                    res_cids, pdf["bucket"].to_numpy().astype(np.int64))
+                E = E - res_C[pos]
             out = {c: pdf[c] for c in cols}
             codes = np.empty((len(E), m), dtype=np.int16)
             for s in range(m):
@@ -124,7 +140,8 @@ def assign_to_centroids(emb: DataFrame, cids: np.ndarray,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         meta_cols: tuple = (),
-                        pq_cb: np.ndarray | None = None) -> DataFrame:
+                        pq_cb: np.ndarray | None = None,
+                        pq_residual: bool = False) -> DataFrame:
     """Shuffle-free nearest-centroid assignment: one ``mapInPandas``
     scan doing an O(batch * k) argmax against the broadcast-closure
     centroid matrix.  ``cids`` must be sorted ascending so
@@ -144,7 +161,10 @@ def assign_to_centroids(emb: DataFrame, cids: np.ndarray,
     the assignment rows, so every maintenance verb (delete, compact)
     keeps them consistent for free, and the ADC probe reads just this
     one column out of the bucket files (parquet column projection =
-    the PQ bandwidth win)."""
+    the PQ bandwidth win).  ``pq_residual`` quantizes
+    ``embedding - assigned_centroid`` instead of the raw vector
+    (FAISS by_residual=True) — assignment happens in this same pass,
+    so the bucket context is free."""
     if pq_cb is not None:
         # canonical fold lives in queries_similarity; deferred import
         # breaks the module cycle (that module imports this one)
@@ -160,17 +180,19 @@ def assign_to_centroids(emb: DataFrame, cids: np.ndarray,
                 continue
             E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             cos = seq_cos_matrix(E, C, dim)
+            rows = np.argmax(cos, axis=1)
             out = {
                 "vec_id": pdf["vec_id"],
                 "embedding": pdf["embedding"],
-                "bucket": cids[np.argmax(cos, axis=1)],
+                "bucket": cids[rows],
             }
             for c in meta_cols:
                 out[c] = pdf[c]
             if pq_cb is not None:
+                Eq = E - C[rows] if pq_residual else E
                 codes = np.empty((len(E), m), dtype=np.int16)
                 for s in range(m):
-                    sub = E[:, s * dsub:(s + 1) * dsub]
+                    sub = Eq[:, s * dsub:(s + 1) * dsub]
                     codes[:, s] = np.argmin(
                         _sq_dists(sub, CBm[s]), axis=1)
                 out["pq_code"] = list(codes)
@@ -406,7 +428,8 @@ class VectorIndex:
             emb, cids, C, doc["dim"], id_col, vec_col,
             meta_cols=tuple(doc.get("meta_cols", ())),
             pq_cb=(self._load_pq(ns, doc)
-                   if "pq" in doc else None))
+                   if "pq" in doc else None),
+            pq_residual=bool(doc.get("pq", {}).get("residual")))
         (assigned.write.mode("append")
          .partitionBy("bucket").parquet(self._assignments_dir(ns)))
         n_new = emb.count()
@@ -447,7 +470,8 @@ class VectorIndex:
             emb, cids, C, doc["dim"], id_col, vec_col,
             meta_cols=tuple(doc.get("meta_cols", ())),
             pq_cb=(self._load_pq(ns, doc)
-                   if "pq" in doc else None))
+                   if "pq" in doc else None),
+            pq_residual=bool(doc.get("pq", {}).get("residual")))
         (assigned.write.mode("overwrite")
          .partitionBy("bucket").parquet(stage))
         prefix = f"b{int(batch_id)}-"
@@ -483,18 +507,36 @@ class VectorIndex:
 
     # ----------------------------------------------------------- pq
 
-    def enable_pq(self, ns: str, m: int = 4, ksub: int = 16) -> dict:
+    def enable_pq(self, ns: str, m: int = 4, ksub: int = 16,
+                  residual: bool = False) -> dict:
         """Add product-quantization codes to the index — the FAISS
-        IVFPQ composition WITHOUT residuals (``by_residual=False``):
-        global sub-codebooks over raw vectors, IVF routing unchanged.
+        IVFPQ composition.  Default is ``by_residual=False``: global
+        sub-codebooks over raw vectors, IVF routing unchanged.
         Non-residual codes are routing-independent, so appends encode
         with no bucket context and delete/compact never invalidate a
         code — the property that makes the codes safe to persist
         INSIDE the assignment rows.
 
+        ``residual=True`` is the full FAISS IVFPQ shape
+        (``by_residual=True``): codes quantize ``embedding -
+        assigned_centroid``, which on clustered corpora concentrates
+        the quantized distribution near zero and buys recall at the
+        same code budget (a wash on isotropic vectors — measured by
+        the sim_vecidxpq_residual_recall / sim_vecidxpq_recall pair).  Residual codes keep every maintenance property —
+        assignment rows carry their bucket, so encode context is
+        free at append/compact/delete time; the one thing that would
+        invalidate them is a centroid RETRAIN, which is already a
+        full :meth:`build` (new version, fresh assignment rewrite).
+        Residual codebooks persist as ``array<double>`` (residuals
+        are float64 differences of float32 values — a float32
+        round-trip would break the oracle-exact encode; the codebook
+        is m x ksub rows, so doubling its bytes is noise).
+
         Codebooks are the ``ksub`` lowest-vec_id vectors of the index
         (a bounded TakeOrdered — the same deterministic "sample"
         trainer as :meth:`build`, restatable by the DuckDB oracle),
+        residualized against their stored buckets when
+        ``residual=True``,
         reshaped to (m, ksub, dim/m) and persisted as a parquet table.
         The assignment table is then rewritten ONCE (staging + rename
         swap, the :meth:`compact` mechanics — enable_pq doubles as a
@@ -529,16 +571,28 @@ class VectorIndex:
         dsub = dim // m
         live = self._assignments_dir(ns)
         scan = self.spark.read.parquet(live)
-        cb_rows = (scan.select("vec_id", "embedding")
+        cb_rows = (scan.select("vec_id", "embedding", "bucket")
                    .orderBy("vec_id").limit(ksub).collect())
         if len(cb_rows) < ksub:
             raise ValueError(
                 f"enable_pq({ns!r}): need {ksub} vectors to train, "
                 f"index holds {len(cb_rows)}")
         CB = np.array([r.embedding for r in cb_rows], dtype=np.float64)
-        # persisted precision IS the encode precision (same contract
-        # as the centroid table)
-        CB = CB.astype(np.float32).astype(np.float64)
+        res = None
+        if residual:
+            cids, C = self._load_centroids(ns, int(doc["version"]))
+            res = (cids, C)
+            pos = np.searchsorted(
+                np.asarray(cids, dtype=np.int64),
+                np.array([int(r.bucket) for r in cb_rows],
+                         dtype=np.int64))
+            # residuals are exact float64 differences; persisted as
+            # doubles, so persisted precision == encode precision
+            CB = CB - C[pos]
+        else:
+            # persisted precision IS the encode precision (same
+            # contract as the centroid table)
+            CB = CB.astype(np.float32).astype(np.float64)
         CBm = CB.reshape(ksub, m, dsub).transpose(1, 0, 2)
         gen = int(doc.get("pq", {}).get("gen", 0)) + 1
         cb_live = self._pq_dir(ns)
@@ -547,21 +601,23 @@ class VectorIndex:
         for leftover in (cb_staging, cb_old, staging, old):
             if self.fs.exists(leftover):
                 self.fs.delete(leftover, recursive=True)
+        cv_type = "array<double>" if residual else "array<float>"
         cb_df = self.spark.createDataFrame(
             [(s, c, [float(x) for x in CBm[s, c]])
              for s in range(m) for c in range(ksub)],
-            "s int, code int, cv array<float>",
+            f"s int, code int, cv {cv_type}",
         )
         cb_df.coalesce(1).write.mode("overwrite").parquet(cb_staging)
         self.fs.write_text_atomic(
             f"{cb_staging}/{_PQ_MARKER}",
             json.dumps({"m": int(m), "ksub": int(ksub),
-                        "dsub": int(dsub), "gen": gen}))
+                        "dsub": int(dsub), "gen": gen,
+                        "residual": bool(residual)}))
 
         # encode-only rewrite: the stored bucket rides through — no
         # O(n*k*dim) re-assignment pass (review finding); cost is
         # m*ksub*dsub per vector
-        encoded = _append_pq_codes(scan.drop("pq_code"), CBm)
+        encoded = _append_pq_codes(scan.drop("pq_code"), CBm, res=res)
         (encoded.repartition("bucket").write.mode("overwrite")
          .partitionBy("bucket").parquet(staging))
         # promote: codebooks, then assignments, then the meta commit —
@@ -585,6 +641,8 @@ class VectorIndex:
         doc = self.meta(ns)
         doc["pq"] = {"m": int(m), "ksub": int(ksub),
                      "dsub": int(dsub), "gen": gen}
+        if residual:
+            doc["pq"]["residual"] = True
         self._write_meta(ns, doc)
         return doc
 
@@ -602,8 +660,10 @@ class VectorIndex:
             return hit
         marker = json.loads(self.fs.read_text(
             f"{self._pq_dir(ns)}/{_PQ_MARKER}"))
-        if (marker.get("gen"), marker.get("m"), marker.get("ksub")) != \
-                (gen, int(pq["m"]), int(pq["ksub"])):
+        if (marker.get("gen"), marker.get("m"), marker.get("ksub"),
+                bool(marker.get("residual", False))) != \
+                (gen, int(pq["m"]), int(pq["ksub"]),
+                 bool(pq.get("residual", False))):
             raise IOError(
                 f"vector index {ns!r}: persisted codebooks "
                 f"(gen {marker.get('gen')}, m {marker.get('m')}, "
@@ -647,30 +707,60 @@ class VectorIndex:
         m = int(doc["pq"]["m"])
         ksub = int(doc["pq"]["ksub"])
         dsub = int(doc["pq"]["dsub"])
+        residual = bool(doc["pq"].get("residual"))
         CBm = self._load_pq(ns, doc)
         probe_buckets, all_buckets = self._route_buckets(
             ns, queries, nprobe, doc)
-        # per-query LUTs: the same sequential per-dimension fold as
-        # the in-query ADC path (_pq_ann), so the m-term sums are
-        # bit-identical to the oracle's list_sum(list(d ORDER BY s))
-        rows = []
-        for (qid, qv), bs in zip(queries, probe_buckets):
+
+        def _lut(qv, off):
+            # the same sequential per-dimension fold as the in-query
+            # ADC path (_pq_ann), so the m-term sums are bit-identical
+            # to the oracle's list_sum(list(d ORDER BY s)); ``off`` is
+            # the query-side residual offset (the bucket centroid) —
+            # None for raw-vector codes
             luts = []
             for s in range(m):
                 lut = []
                 for c in range(ksub):
                     acc = 0.0
                     for i in range(dsub):
-                        d = float(qv[s * dsub + i]) - float(CBm[s][c][i])
+                        q = float(qv[s * dsub + i])
+                        if off is not None:
+                            q = q - float(off[s * dsub + i])
+                        d = q - float(CBm[s][c][i])
                         acc += d * d
                     lut.append(acc)
                 luts.append(lut)
-            rows.append((int(qid), [float(x) for x in qv], bs, *luts))
-        qdf = self.spark.createDataFrame(
-            rows,
-            "query_id long, qe array<float>, probed array<long>, "
-            + ", ".join(f"l{s} array<double>" for s in range(m)),
-        )
+            return luts
+
+        lcols = ", ".join(f"l{s} array<double>" for s in range(m))
+        if residual:
+            # per-(query, probed-bucket) LUTs: the query residual —
+            # and therefore the whole table — depends on the bucket
+            # centroid (FAISS by_residual probe); Q x nprobe rows of
+            # m x ksub doubles stay bounded driver state, and the
+            # broadcast join becomes a plain bucket equi-join
+            cids, C = self._load_centroids(ns, int(doc["version"]))
+            cpos = {int(c): i for i, c in enumerate(cids)}
+            rows = []
+            for (qid, qv), bs in zip(queries, probe_buckets):
+                for b in bs:
+                    rows.append((int(qid), [float(x) for x in qv],
+                                 int(b), *_lut(qv, C[cpos[b]])))
+            qdf = self.spark.createDataFrame(
+                rows,
+                f"query_id long, qe array<float>, bucket long, {lcols}",
+            )
+        else:
+            rows = []
+            for (qid, qv), bs in zip(queries, probe_buckets):
+                rows.append((int(qid), [float(x) for x in qv], bs,
+                             *_lut(qv, None)))
+            qdf = self.spark.createDataFrame(
+                rows,
+                f"query_id long, qe array<float>, probed array<long>, "
+                f"{lcols}",
+            )
         scan = self._pruned_scan(ns, all_buckets, where)
         codes = scan.select("vec_id", "bucket", "pq_code")
         approx = None
@@ -679,9 +769,14 @@ class VectorIndex:
                 F.col(f"l{s}"),
                 (F.element_at(F.col("pq_code"), s + 1) + 1).cast("int"))
             approx = t if approx is None else approx + t
+        if residual:
+            joined = codes.join(F.broadcast(qdf), "bucket")
+        else:
+            joined = codes.join(
+                F.broadcast(qdf),
+                F.expr("array_contains(probed, bucket)"))
         adc = (
-            codes.join(F.broadcast(qdf),
-                       F.expr("array_contains(probed, bucket)"))
+            joined
             .filter(F.col("vec_id") != F.col("query_id"))
             .select("query_id", "vec_id", approx.alias("approx_d2"))
         )
@@ -703,9 +798,12 @@ class VectorIndex:
         from rados_timestore_spark.queries_similarity import _cos_seq
 
         cand = cut.select("query_id", "vec_id")
+        # residual qdf carries one row per (query, probed bucket) —
+        # dedupe to one (query_id, qe) row before the refine join
+        qvecs = qdf.select("query_id", "qe").dropDuplicates(["query_id"])
         refined = (
             scan.join(F.broadcast(cand), "vec_id")
-            .join(F.broadcast(qdf.select("query_id", "qe")), "query_id")
+            .join(F.broadcast(qvecs), "query_id")
             .select(
                 "query_id", "vec_id",
                 _cos_seq(F.col("embedding"), F.col("qe")).alias("cos"),

@@ -147,6 +147,8 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "mm_decode_bmp",
     "ts_ewma_smooth",
     "ts_rolling_median",
+    "sim_vecidxpq_residual_probe",
+    "sim_vecidxpq_residual_recall",
 }
 
 

@@ -510,3 +510,76 @@ def test_probe_pq_filtered_search(spark, emb, tmp_path):
     a = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
     b = exact.sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_enable_pq_residual_lifecycle(spark, emb, tmp_path):
+    # the FAISS by_residual=True shape end-to-end: enable -> ADC
+    # probe -> full-rerank degeneracy (exhaustive rerank of residual
+    # candidates == the exact probe), append encodes residual codes
+    # for new rows, and the marker/meta carry the residual flag
+    vi = VectorIndex(spark, str(tmp_path / "pqr"))
+    vi.build("e", emb.filter(F.col("vec_id") % 2 == 0), k=K)
+    doc = vi.enable_pq("e", m=4, ksub=16, residual=True)
+    assert doc["pq"] == {"m": 4, "ksub": 16, "dsub": 16, "gen": 1,
+                         "residual": True}
+    vi.append("e", emb.filter(F.col("vec_id") % 2 == 1))
+    rows = spark.read.parquet(vi._assignments_dir("e"))
+    assert rows.filter(F.size("pq_code") != 4).count() == 0
+    qs = _queries(emb)
+    adc = vi.probe_pq("e", qs, topk=5, nprobe=NPROBE).toPandas()
+    assert (adc.groupby("query_id")["rank"].max() <= 5).all()
+    full = vi.probe_pq("e", qs, topk=5, nprobe=NPROBE,
+                       rerank=10 ** 9).toPandas()
+    exact = vi.probe("e", qs, topk=5, nprobe=NPROBE).toPandas()
+    a = full.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = exact.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_residual_codes_match_direct_encode(spark, emb, tmp_path):
+    # white-box: stored residual codes equal the canonical kernel's
+    # encode of (embedding - assigned centroid) against the persisted
+    # DOUBLE codebooks — the exact arithmetic the oracle restates
+    import numpy as np
+    from rados_timestore_spark.queries_similarity import _sq_dists
+
+    vi = VectorIndex(spark, str(tmp_path / "pqrw"))
+    vi.build("e", emb, k=K)
+    doc = vi.enable_pq("e", m=4, ksub=16, residual=True)
+    CBm = vi._load_pq("e", doc)
+    cids, C = vi._load_centroids("e")
+    pdf = (spark.read.parquet(vi._assignments_dir("e"))
+           .select("vec_id", "embedding", "bucket", "pq_code")
+           .toPandas().sort_values("vec_id"))
+    E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    pos = np.searchsorted(np.asarray(cids, dtype=np.int64),
+                          pdf["bucket"].to_numpy().astype(np.int64))
+    R = E - np.asarray(C, dtype=np.float64)[pos]
+    dsub = E.shape[1] // 4
+    got = np.stack(pdf["pq_code"].to_numpy())
+    for s in range(4):
+        want = np.argmin(
+            _sq_dists(R[:, s * dsub:(s + 1) * dsub], CBm[s]), axis=1)
+        assert (got[:, s] == want).all()
+
+
+def test_residual_and_plain_pq_are_distinct_generations(
+        spark, emb, tmp_path):
+    # switching residual mode re-runs the whole enable (new gen, new
+    # codebooks, re-encoded rows) — and the marker guard refuses a
+    # meta that claims the other mode
+    import json as _json
+
+    vi = VectorIndex(spark, str(tmp_path / "pqsw"))
+    vi.build("e", emb, k=K)
+    d1 = vi.enable_pq("e", m=4, ksub=16)
+    d2 = vi.enable_pq("e", m=4, ksub=16, residual=True)
+    assert d2["pq"]["gen"] == d1["pq"]["gen"] + 1
+    out = vi.probe_pq("e", _queries(emb), topk=3, nprobe=2)
+    assert out.count() > 0
+    doc = vi.meta("e")
+    del doc["pq"]["residual"]  # meta now claims plain codes
+    vi._write_meta("e", doc)
+    vi._cent_cache.clear()
+    with pytest.raises(IOError, match="did not complete"):
+        vi.probe_pq("e", _queries(emb), topk=3, nprobe=2)
