@@ -155,7 +155,7 @@ def test_append_batch_encodes_pq_inline(spark, emb, tmp_path):
     assert rows.filter(F.col("pq_code").isNull()).count() == 0
     # appended rows' codes equal a direct re-encode with the
     # persisted codebooks
-    CBm = vi._load_pq("e", int(doc["version"]))
+    CBm = vi._load_pq("e", doc)
     pdf = (rows.filter(F.col("vec_id") % 3 == 1)
            .select("embedding", "pq_code").toPandas())
     E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
