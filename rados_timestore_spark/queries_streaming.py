@@ -972,3 +972,86 @@ def streaming_interval_coalesce(spark: SparkSession,
         F.unix_micros(F.col("session_window.end")).alias("end_us"),
         "n_intervals",
     )
+
+
+from rados_timestore_spark.queries_timeseries import (  # noqa: E402
+    _EV_CTE as _TS_EV_CTE,
+    _ewma_lag_sql,
+)
+
+
+@register(
+    "streaming_ewma",
+    oracle=f"""{_TS_EV_CTE},
+x AS (SELECT event_id, user_id, t,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM ev)
+SELECT event_id, user_id, t, v,
+       CAST({_ewma_lag_sql()} AS BIGINT) AS ewma_x65536
+FROM x
+WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+""",
+    tags=("streaming", "window"),
+    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dyadic EWMA end to end (windows.stream_ewma), with
+    the adversarial multi-batch delivery of streaming_asof_exact —
+    3 unordered data files + a later-mtime per-key flush file,
+    maxFilesPerTrigger=1 — so rows reach the operator OUT of order
+    and across micro-batches, and the smoother still emits every row
+    in exact (t, event_id) sequence: the oracle is the IDENTICAL SQL
+    as the batch ts_ewma_smooth, no watermark cut, because the
+    lateness bound here is the fixture's whole span and the sentinels
+    finalize every row.
+
+    Why a custom stateful operator: an EWMA is order-dependent, so it
+    is not a mergeable windowed aggregate — but it IS replayable
+    state (depth-1 tail values + pending buffer), which is what the
+    checkpoint holds (kill-and-resume tested in
+    tests/test_streaming.py)."""
+    import time as _time
+
+    from rados_timestore_spark.queries_common import event_us, load
+    from rados_timestore_spark.streaming.windows import stream_ewma
+
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        event_us(ev).alias("t"),
+        "event_id",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .alias("v"),
+    )
+    lo, hi = pts.agg(F.min("t"), F.max("t")).collect()[0]
+    delay_us = int(hi) - int(lo) + 1
+    work = stream_workdir(spark, "ts_stream_ewma_")
+    src, out, ck = f"{work}/src", f"{work}/out", f"{work}/ck"
+    pts.repartition(3).write.parquet(src)
+    sent_t = int(hi) + delay_us + 1
+    before = _list_parts(spark, src)
+    pts.select("user_id").distinct().select(
+        "user_id", F.lit(sent_t).alias("t"),
+        F.lit(-1).alias("event_id"), F.lit(0).cast("long").alias("v"),
+    ).coalesce(1).write.mode("append").parquet(src)
+    _bump_mtimes(spark, _list_parts(spark, src) - before,
+                 _time.time() + 60)
+
+    with _few_state_partitions(spark):
+        stream = (
+            spark.readStream.schema(pts.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        data = stream.filter(F.col("event_id") >= 0)
+        flush = stream.filter(F.col("event_id") < 0)
+        q = (
+            stream_ewma(data, delay_us=delay_us, flush=flush)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+    return spark.read.parquet(out)

@@ -778,3 +778,107 @@ def stream_interval_coalesce(
             F.min(time_col).alias("start_us"),
         )
     )
+
+
+# ------------------------------------------------- streaming EWMA
+
+_EWMA_OUT = StructType([
+    StructField("event_id", LongType()),
+    StructField("user_id", LongType()),
+    StructField("t", LongType()),
+    StructField("v", LongType()),
+    StructField("ewma_x65536", LongType()),
+])
+
+_EWMA_STATE = StructType([
+    StructField("pend_t", ArrayType(LongType())),
+    StructField("pend_eid", ArrayType(LongType())),
+    StructField("pend_v", ArrayType(LongType())),
+    StructField("tail_v", ArrayType(LongType())),
+    StructField("frontier", LongType()),
+])
+
+
+def _ewma_update(key, pdfs, state: GroupState, delay_us: int,
+                 depth: int = 16):
+    """Per-key dyadic EWMA, watermark-exact: rows buffer until the
+    key's event-time frontier passes ``t + delay_us``, then finalize
+    IN (t, event_id) ORDER — each finalized row's smoother value is
+    the alpha=1/2 recurrence over the last ``depth`` finalized values
+    (all-integer: ``sum v_j * 2^(depth-1-j)``), identical to the
+    batch ``ts_ewma_smooth``.  Order-dependence is why this is a
+    custom stateful operator and not a windowed aggregate: an EWMA is
+    not mergeable state, but it IS replayable state — the tail of the
+    last ``depth - 1`` finalized values plus the pending buffer fully
+    determine every future emission, which is exactly what lives in
+    the checkpoint.
+
+    Rows are tagged 0 = data, 2 = flush sentinel (advances the
+    frontier only — the bounded-fixture finalizer; live pipelines
+    advance from data flow).  State per key is the ``depth - 1`` tail
+    values plus at most ``delay_us`` of pending event time."""
+    if state.exists:
+        pt, pe, pv, tail, frontier = state.get
+        pending = list(zip(pt, pe, pv))
+        tail = list(tail)
+    else:
+        pending, tail, frontier = [], [], None
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    for t, tag, eid, v in zip(batch["t"], batch["tag"],
+                              batch["event_id"], batch["v"]):
+        t, tag = int(t), int(tag)
+        frontier = t if frontier is None else max(frontier, t)
+        if tag == 0:
+            pending.append((t, int(eid), int(v)))
+    pending.sort()
+    out = []
+    i = 0
+    while i < len(pending) and frontier - pending[i][0] >= delay_us:
+        t, eid, v = pending[i]
+        window = (tail + [v])[-depth:]
+        ew = 0
+        for j, val in enumerate(reversed(window)):
+            ew += val << (depth - 1 - j)
+        out.append((eid, int(key[0]), t, v, ew))
+        tail = (tail + [v])[-(depth - 1):]
+        i += 1
+    pending = pending[i:]
+    state.update((
+        [t for t, _, _ in pending], [e for _, e, _ in pending],
+        [v for _, _, v in pending], tail, frontier,
+    ))
+    yield pd.DataFrame(
+        out, columns=["event_id", "user_id", "t", "v", "ewma_x65536"])
+
+
+def stream_ewma(points: DataFrame, delay_us: int,
+                flush: DataFrame | None = None,
+                depth: int = 16, key_col: str = "user_id") -> DataFrame:
+    """Streaming dyadic EWMA — the streaming twin of the batch
+    ``ts_ewma_smooth`` (alpha=1/2, ``depth`` lags, scale
+    ``2**depth``), watermark-exact under bounded lateness: a row
+    finalizes (and emits its smoother value) only once the per-key
+    event-time frontier passes ``t + delay_us``, so any row delivered
+    within the bound lands in its correct sequence position first —
+    with batch-complete or bounded-lateness delivery the sink equals
+    the batch operator row for row.
+
+    Input needs columns ``(key_col, t, event_id, v)``; ``flush``
+    rows (same columns) are per-key frontier advancers for bounded
+    runs."""
+    tagged = points.select(
+        F.col(key_col).alias("user_id"), "t", "event_id", "v",
+        F.lit(0).alias("tag"),
+    )
+    if flush is not None:
+        tagged = tagged.unionByName(flush.select(
+            F.col(key_col).alias("user_id"), "t", "event_id", "v",
+            F.lit(2).alias("tag"),
+        ))
+    return tagged.groupBy("user_id").applyInPandasWithState(
+        partial(_ewma_update, delay_us=delay_us, depth=depth),
+        outputStructType=_EWMA_OUT,
+        stateStructType=_EWMA_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

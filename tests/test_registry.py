@@ -149,6 +149,7 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "ts_rolling_median",
     "sim_vecidxpq_residual_probe",
     "sim_vecidxpq_residual_recall",
+    "streaming_ewma",
 }
 
 

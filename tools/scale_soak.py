@@ -285,10 +285,13 @@ SOAK_R9C_QUERIES = (
 #: SOAK_FAMILY=r9d: the closing-r9 exact smoothers at 10x — both are
 #: one-exchange single-Window ops with CONSTANT per-row state (a
 #: 16-lag ring buffer / a 7-row frame), so the expected exponent is
-#: ~log-linear in rows like the other per-series window family.
+#: ~log-linear in rows like the other per-series window family; the
+#: streaming twin adds the stateful applyInPandasWithState pass whose
+#: cost tracks micro-batch count like streaming_interval_coalesce.
 SOAK_R9D_QUERIES = (
     "ts_ewma_smooth",
     "ts_rolling_median",
+    "streaming_ewma",
 )
 
 #: SOAK_FAMILY=skew (VERDICT r8 item 4): the shuffle-heavy set under
