@@ -1879,3 +1879,99 @@ def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("removed_tokens") > 0)
     )
     return out
+
+
+# ---------------------------------------- late r9: single-source BFS
+
+
+_BFS_ITERS = 4
+
+
+def _bfs_dist_ctes() -> str:
+    """Unrolled min-distance propagation CTEs d0..d{_BFS_ITERS} over
+    the symmetrized fuzzy-pair edge list ``e`` — the same edge set
+    (and the same unroll device) as graph_connected_components, with
+    labels replaced by hop counts."""
+    ctes = ["""src AS (SELECT min(u) AS s FROM e),
+d0 AS (SELECT s AS node, 0 AS dist FROM src)"""]
+    for k in range(_BFS_ITERS):
+        ctes.append(f"""d{k + 1} AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT e.u AS node, l.dist + 1 AS dist
+    FROM e JOIN d{k} l ON l.node = e.v
+    UNION ALL SELECT node, dist FROM d{k}) t
+  GROUP BY node)""")
+    return ",\n".join(ctes)
+
+
+@register(
+    "graph_bfs_hops",
+    oracle=f"""
+WITH {_FUZZY_PAIRS_SQL},
+e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+{_bfs_dist_ctes()},
+chg AS (
+  SELECT count(*) AS n FROM d{_BFS_ITERS} a
+  LEFT JOIN d{_BFS_ITERS - 1} b ON a.node = b.node
+  WHERE b.node IS NULL OR a.dist <> b.dist)
+SELECT a.node, CAST(a.dist AS BIGINT) AS hops,
+       (SELECT CAST(n AS BIGINT) FROM chg) AS n_frontier
+FROM d{_BFS_ITERS} a
+""",
+    tags=("dedup", "graph"),
+    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS / unweighted shortest path — hop distance
+    from the similarity graph's minimum node id, ``_BFS_ITERS``
+    rounds of min-distance propagation (dist(u) <- min(dist(u),
+    min over neighbors + 1)) unrolled identically in both engines:
+    the Pregel SSSP pattern relationally, completing the traversal
+    family next to components (min-LABEL propagation), k-core
+    (peeling) and label-propagation communities.  Nodes unreached
+    within the hop budget are absent (bounded-hop semantics — at
+    fixture diameters every reachable node settles); ``n_frontier``
+    is the honesty column: nodes whose distance was still new or
+    improving in the final round, the production loop's convergence
+    criterion.
+
+    Plan per round: one edge-list equi-join against the O(reached)
+    distance vector + one min hash-aggregate, with a localCheckpoint
+    lineage cut per round (the CC device) — O(edges) per round, no
+    all-pairs anything; distance vectors stay node-sized at any
+    corpus scale."""
+    edges = dedup_fuzzy_prefix(spark, sf_dir).select("doc_a", "doc_b")
+    e = edges.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    ).transform(pin)  # feeds every propagation round
+    dist = (
+        e.agg(F.min("u").alias("node"))
+        .select("node", F.lit(0).alias("dist"))
+    )
+    prev = dist
+    for _ in range(_BFS_ITERS):
+        prev = dist
+        nb = e.join(dist, dist["node"] == e["v"]).select(
+            F.col("u").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = (
+            nb.unionByName(prev)
+            .groupBy("node").agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    chg = (
+        dist.alias("a")
+        .join(prev.alias("b"), F.col("a.node") == F.col("b.node"),
+              "left")
+        .filter(F.col("b.node").isNull()
+                | (F.col("a.dist") != F.col("b.dist")))
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        dist.crossJoin(F.broadcast(chg))
+        .select("node", F.col("dist").cast("long").alias("hops"),
+                F.col("n").cast("long").alias("n_frontier"))
+    )

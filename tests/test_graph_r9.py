@@ -126,3 +126,54 @@ def test_label_propagation_refines_connected_components(spark):
     # communities as components (strictly more when a spurious bridge
     # is out-voted)
     assert lpa["community"].nunique() >= cc["component"].nunique()
+
+
+# ------------------------------------------------ single-source BFS
+
+
+def test_bfs_hops_on_the_path_gadget(spark, tmp_path):
+    # source = min node = 0; the 3-path gives hops 0-1-2; the
+    # disjoint triangle is unreachable and must be absent
+    from rados_timestore_spark.queries_dedup import graph_bfs_hops
+
+    sf = _corpus(tmp_path, _PATH_TRIANGLE)
+    out = {r.node: r for r in graph_bfs_hops(spark, sf).collect()}
+    assert {n: r.hops for n, r in out.items()} == {0: 0, 1: 1, 2: 2}
+    assert all(r.n_frontier == 0 for r in out.values())
+
+
+def test_bfs_takes_the_shorter_of_two_routes(spark, tmp_path):
+    # a 4-cycle 0-1-2-3-0 (one block, prefixes within distance of
+    # their cyclic neighbors only): node 2 is 2 hops from 0 either
+    # way, nodes 1 and 3 are both 1 hop — min-propagation must not
+    # accumulate the long way around
+    from rados_timestore_spark.queries_dedup import graph_bfs_hops
+
+    texts = [
+        "k aaaaaa aaaaaa cccccc dddddd",    # 0
+        "k zzzaaa aaaaaa cccccc dddddd",    # 1 (0<->1 close)
+        "k zzzzzz aaazzz cccccc dddddd",    # 2 (1<->2 close)
+        "k aaazzz aaazzz cccccc dddddd",    # 3 (2<->3, 3<->0 close)
+    ]
+    sf = _corpus(tmp_path, texts)
+    from rados_timestore_spark.queries_dedup import dedup_fuzzy_prefix
+
+    edges = {(r.doc_a, r.doc_b)
+             for r in dedup_fuzzy_prefix(spark, sf).collect()}
+    # law only meaningful if the gadget built a cycle containing 0
+    assert (0, 1) in edges and (0, 3) in edges
+    out = {r.node: r.hops for r in graph_bfs_hops(spark, sf).collect()}
+    assert out[0] == 0 and out[1] == 1 and out[3] == 1
+    assert out[2] <= 2
+
+
+def test_bfs_fixture_invariants(spark):
+    from rados_timestore_spark.queries_dedup import graph_bfs_hops
+
+    out = graph_bfs_hops(spark, SF).toPandas()
+    assert (out["hops"] == 0).sum() == 1        # exactly one source
+    assert (out["hops"] >= 0).all()
+    # hop levels are contiguous: a node at hop h>0 implies some node
+    # at hop h-1 (BFS frontier cannot skip a level)
+    hops = set(out["hops"])
+    assert hops == set(range(max(hops) + 1))

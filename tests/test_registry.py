@@ -150,6 +150,7 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "sim_vecidxpq_residual_probe",
     "sim_vecidxpq_residual_recall",
     "streaming_ewma",
+    "graph_bfs_hops",
 }
 
 
