@@ -1663,3 +1663,294 @@ def mm_ahash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.filter(hd <= _AHASH_MAX_HD)
         .select("doc_a", "doc_b", hd.cast("long").alias("hd"))
     )
+
+
+# ------------------------- late r9: real GIF decode (real LZW codec)
+
+_GIF_W_MOD, _GIF_H_MOD = 11, 7
+_GIF_MAX_WIDTH = 12  # spec: LZW codes never exceed 12 bits
+
+
+def _gif_lzw_encode(indices: bytes, mcs: int) -> bytes:
+    """REAL variable-width GIF LZW encoder: dictionary-building
+    phrase compression, the 4096-entry cap handled by an emitted
+    CLEAR + reset, LSB-first bit packing.  Code WIDTH is driven by a
+    simulation of the DECODER's table growth (the decoder adds one
+    entry per code read except the first after a clear, so its table
+    lags the encoder's by one except at the final flush code — no
+    static rule on the encoder's own table stays in sync at both
+    places; tracking the reader's state does, by construction).
+    Round-trip fuzzed incl. width bumps, KwKwK and the cap in
+    tests/test_multimodal.py."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    bits, nbits = 0, 0
+    out = bytearray()
+    dec_len, dec_width, first = eoi + 1, mcs + 1, True
+
+    def emit(code: int) -> None:
+        nonlocal bits, nbits
+        bits |= code << nbits
+        nbits += dec_width
+        while nbits >= 8:
+            out.append(bits & 0xFF)
+            bits >>= 8
+            nbits -= 8
+
+    def emit_data(code: int) -> None:
+        # a data code: after reading it the decoder adds one table
+        # entry (unless it is the first after a clear) and may widen
+        nonlocal dec_len, dec_width, first
+        emit(code)
+        if first:
+            first = False
+            return
+        dec_len += 1
+        if dec_len == (1 << dec_width) and dec_width < _GIF_MAX_WIDTH:
+            dec_width += 1
+
+    def reset_reader() -> None:
+        nonlocal dec_len, dec_width, first
+        dec_len, dec_width, first = eoi + 1, mcs + 1, True
+
+    table = {(i,): i for i in range(1 << mcs)}
+    next_code = eoi + 1
+    emit(clear)
+    w: tuple = ()
+    for k in indices:
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit_data(table[w])
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << _GIF_MAX_WIDTH):
+            emit(clear)
+            reset_reader()
+            table = {(i,): i for i in range(1 << mcs)}
+            next_code = eoi + 1
+        w = (k,)
+    if w:
+        emit_data(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(bits & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, mcs: int) -> bytes:
+    """REAL GIF LZW decoder: variable code width, the KwKwK
+    first-use case, CLEAR resets, EOI termination — raises on any
+    malformed stream (code beyond the table, missing EOI)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    pos = 0  # bit cursor
+    total = len(data) * 8
+
+    def read(width: int) -> int:
+        nonlocal pos
+        if pos + width > total:
+            raise ValueError("gif: LZW stream truncated")
+        byte, bit = pos >> 3, pos & 7
+        val = int.from_bytes(
+            data[byte:byte + (bit + width + 7) // 8 + 1], "little")
+        pos += width
+        return (val >> bit) & ((1 << width) - 1)
+
+    def fresh():
+        return ([bytes([i]) for i in range(1 << mcs)]
+                + [b"", b""]), mcs + 1
+
+    table, width = fresh()
+    out = bytearray()
+    prev = None
+    while True:
+        code = read(width)
+        if code == clear:
+            table, width = fresh()
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"gif: LZW code {code} beyond table")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if (len(table) == (1 << width)
+                    and width < _GIF_MAX_WIDTH):
+                width += 1
+        prev = entry
+    raise ValueError("gif: missing EOI")
+
+
+def decode_gif_real(payload: bytes) -> dict:
+    """REAL dependency-free GIF decode: validates the GIF87a/89a
+    signature, reads the logical screen descriptor + global color
+    table, SKIPS extension blocks generically (0x21 introducer +
+    sub-block walk — the way a real parser must), parses the image
+    descriptor, then LZW-decompresses the pixel data from its
+    sub-block chain and verifies the index raster's length and range
+    against the descriptor and palette.  Returns width / height /
+    ncolors / n_pixels / md5-of-index-raster."""
+    import hashlib
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("gif: bad signature")
+    w_s, h_s, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    off = 13
+    ncolors = 0
+    if flags & 0x80:
+        ncolors = 2 << (flags & 0x07)
+        off += 3 * ncolors
+    while True:
+        if off >= len(payload):
+            raise ValueError("gif: no image descriptor")
+        intro = payload[off]
+        if intro == 0x21:  # extension: label + sub-blocks
+            off += 2
+            while payload[off]:
+                off += 1 + payload[off]
+            off += 1
+        elif intro == 0x2C:
+            break
+        else:
+            raise ValueError(f"gif: unexpected block 0x{intro:02x}")
+    left, top, w, h, iflags = struct.unpack_from("<HHHHB", payload,
+                                                 off + 1)
+    off += 10
+    if iflags & 0x80:
+        raise ValueError("gif: local color tables unsupported here")
+    if iflags & 0x40:
+        raise ValueError("gif: interlace unsupported here")
+    mcs = payload[off]
+    off += 1
+    lzw = bytearray()
+    while payload[off]:
+        n = payload[off]
+        lzw += payload[off + 1:off + 1 + n]
+        off += 1 + n
+    off += 1
+    if payload[off:off + 1] != b"\x3b":
+        raise ValueError("gif: missing trailer")
+    idx = _gif_lzw_decode(bytes(lzw), mcs)
+    if len(idx) != w * h:
+        raise ValueError(
+            f"gif: decoded {len(idx)} pixels for {w}x{h}")
+    if ncolors and idx and max(idx) >= ncolors:
+        raise ValueError("gif: index beyond palette")
+    return {
+        "width": int(w), "height": int(h), "ncolors": int(ncolors),
+        "n_pixels": len(idx),
+        "feat_hash": hashlib.md5(idx).hexdigest()[:8],
+    }
+
+
+def _gif_synth_decode(batches):
+    """mapInPandas kernel: build a REAL GIF87a per document (global
+    color table, a skipped 0x21 comment extension for parser realism,
+    LZW-compressed index raster in sub-blocks) and decode it with
+    :func:`decode_gif_real` — the parser sees only bytes."""
+    import struct
+
+    for pdf in batches:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            src = text.encode("utf-8") or b" "
+            n = len(src)
+            w = n % _GIF_W_MOD + 2
+            h = n % _GIF_H_MOD + 2
+            mcs = n % 3 + 2
+            nc = 1 << mcs
+            need = w * h
+            body = (src * ((need + n - 1) // n))[:need]
+            idx = bytes(b % (nc - 1) + 1 for b in body)
+            gct = bytes(
+                x for i in range(nc)
+                for x in ((i * 37) % 256, (i * 59) % 256,
+                          (i * 83) % 256))
+            lzw = _gif_lzw_encode(idx, mcs)
+            blocks = b"".join(
+                bytes([len(lzw[i:i + 255])]) + lzw[i:i + 255]
+                for i in range(0, len(lzw), 255)) + b"\x00"
+            payload = (
+                b"GIF87a"
+                + struct.pack("<HHBBB", w, h, 0x80 | (mcs - 1), 0, 0)
+                + gct
+                + b"\x21\xfe\x04gifc\x00"  # comment ext (skipped)
+                + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+                + bytes([mcs]) + blocks + b"\x3b"
+            )
+            d = decode_gif_real(payload)
+            rows.append((int(doc_id), d["n_pixels"], d["width"],
+                         d["height"], d["ncolors"], d["feat_hash"]))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "n_pixels", "width", "height",
+                           "ncolors", "feat_hash"],
+        )
+
+
+@register(
+    "mm_decode_gif",
+    # ASCII PRECONDITION: the oracle rebuilds the index raster from
+    # VARCHAR characters (same contract as mm_decode_bmp); indices
+    # are 1..ncolors-1 so chr() never needs NUL.
+    oracle=f"""
+WITH g0 AS (
+  SELECT doc_id,
+         CASE WHEN octet_length(encode(text)) = 0 THEN ' '
+              ELSE text END AS text,
+         GREATEST(octet_length(encode(text)), 1) AS n
+  FROM documents),
+g AS (
+  SELECT doc_id, text, n,
+         n % {_GIF_W_MOD} + 2 AS w,
+         n % {_GIF_H_MOD} + 2 AS h,
+         1 << (n % 3 + 2) AS nc
+  FROM g0),
+px AS (
+  SELECT doc_id, w, h, nc,
+         substr(repeat(text, ((w * h + n - 1) // n)::INT),
+                1, w * h) AS body
+  FROM g),
+idx AS (
+  SELECT doc_id, w, h, nc,
+         list_aggregate(list_transform(generate_series(1, w * h),
+             i -> chr(CAST(ord(substr(body, i, 1)) % (nc - 1) + 1
+                           AS INT))),
+           'string_agg', '') AS raster
+  FROM px)
+SELECT doc_id, CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(nc AS INT) AS ncolors,
+       substr(md5(raster), 1, 8) AS feat_hash
+FROM idx
+""",
+    tags=("multimodal",),
+    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def mm_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode end to end — the fourth raster container
+    (after PPM, PNG, BMP) and the first with a REAL dictionary
+    compression codec: each document becomes a GIF87a with a global
+    color table, a comment extension the parser must skip, and an
+    LZW-compressed index raster (variable code widths swept by the
+    mcs = n%3+2 formula; the sub-block chain split at 255 bytes),
+    decoded back by :func:`decode_gif_real` whose
+    :func:`_gif_lzw_decode` is a full decoder — width growth, KwKwK,
+    CLEAR resets (round-trip fuzzed incl. the 4096-entry cap in
+    tests/test_multimodal.py).  The oracle restates only
+    POST-decode facts (geometry, palette size, md5 of the index
+    raster rebuilt character-wise) — compressed byte counts are
+    dictionary-dependent and deliberately absent.  One
+    ``mapInPandas`` map stage, zero shuffle."""
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
+    return docs.select("doc_id", "text").mapInPandas(
+        _gif_synth_decode,
+        "doc_id long, n_pixels long, width int, height int, "
+        "ncolors int, feat_hash string",
+    )

@@ -358,3 +358,85 @@ def test_wav_zero_crossings_laws(spark):
     assert (j["zero_crossings"]
             <= (j["n_frames"] - 1) * j["channels"]).all()
     assert (j["zero_crossings"] > 0).any()
+
+
+# ---------------------------------------------- GIF / LZW round-trip
+
+
+def test_gif_lzw_roundtrip_fuzz():
+    # seeded fuzz over every mcs the query sweeps plus 8-bit, lengths
+    # crossing several width bumps — encode/decode must be identity
+    import random
+
+    from rados_timestore_spark.queries_multimodal import (
+        _gif_lzw_decode, _gif_lzw_encode,
+    )
+
+    random.seed(42)
+    for _ in range(400):
+        mcs = random.choice([2, 3, 4, 8])
+        nc = 1 << mcs
+        n = random.randint(1, 600)
+        idx = bytes(random.randint(1, nc - 1) for _ in range(n))
+        assert _gif_lzw_decode(_gif_lzw_encode(idx, mcs), mcs) == idx
+
+
+def test_gif_lzw_kwkwk_and_dict_cap():
+    import random
+
+    from rados_timestore_spark.queries_multimodal import (
+        _gif_lzw_decode, _gif_lzw_encode,
+    )
+
+    # the cScSc first-use pattern (decoder must synthesize the entry
+    # it has not seen yet)
+    idx = b"\x01" * 400
+    assert _gif_lzw_decode(_gif_lzw_encode(idx, 2), 2) == idx
+    # force the 4096-entry cap -> emitted CLEAR + reset mid-stream
+    random.seed(11)
+    big = bytes(random.randint(1, 3) for _ in range(120_000))
+    assert _gif_lzw_decode(_gif_lzw_encode(big, 2), 2) == big
+
+
+def test_gif_decoder_rejects_malformed():
+    import struct
+
+    import pytest
+
+    from rados_timestore_spark.queries_multimodal import (
+        _gif_lzw_decode, _gif_lzw_encode, decode_gif_real,
+    )
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif_real(b"NOTAGIF" + b"\x00" * 20)
+    # truncated LZW stream
+    good = _gif_lzw_encode(b"\x01\x02\x03\x01\x02\x03", 2)
+    with pytest.raises(ValueError, match="truncated"):
+        _gif_lzw_decode(good[:-1] if len(good) > 1 else b"", 2)
+    # a code beyond the table
+    with pytest.raises(ValueError, match="beyond table"):
+        _gif_lzw_decode(bytes([0xFF, 0xFF, 0xFF]), 2)
+    # wrong raster length vs descriptor: build a 2x2 GIF claiming 3x2
+    idx = bytes([1, 2, 3, 1])
+    lzw = _gif_lzw_encode(idx, 2)
+    payload = (
+        b"GIF87a" + struct.pack("<HHBBB", 3, 2, 0x80 | 1, 0, 0)
+        + bytes(12)  # 4-entry GCT
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 3, 2, 0)
+        + bytes([2]) + bytes([len(lzw)]) + lzw + b"\x00\x3b"
+    )
+    with pytest.raises(ValueError, match="decoded"):
+        decode_gif_real(payload)
+
+
+def test_gif_decoder_skips_extensions_and_validates_palette(spark):
+    # end-to-end on the fixture path: the synth kernel embeds a
+    # comment extension the parser must skip; every decoded index
+    # must sit inside the declared palette (enforced by the decoder,
+    # so a pass here pins both)
+    from rados_timestore_spark.queries_multimodal import mm_decode_gif
+
+    out = mm_decode_gif(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(out) == 500
+    assert (out["n_pixels"] == out["width"] * out["height"]).all()
+    assert set(out["ncolors"]) <= {4, 8, 16}

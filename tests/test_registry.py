@@ -151,6 +151,7 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "sim_vecidxpq_residual_recall",
     "streaming_ewma",
     "graph_bfs_hops",
+    "mm_decode_gif",
 }
 
 
