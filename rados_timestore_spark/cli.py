@@ -79,6 +79,10 @@ def _parser() -> argparse.ArgumentParser:
     rs.add_argument("--buckets", type=int, required=True)
     sub.add_parser("compact", help="rewrite live generation compacted")
     sub.add_parser("gc", help="delete stale compaction generations")
+    sub.add_parser(
+        "verify",
+        help="read-only integrity scrub: routing/watermark/seq "
+             "invariants over every live row + orphan report")
 
     ex = sub.add_parser(
         "expire",
@@ -289,6 +293,10 @@ def main(argv: Sequence[str] | None = None,
         print("ok")
     elif args.cmd == "gc":
         print(json.dumps(store.gc(args.ns)))
+    elif args.cmd == "verify":
+        report = store.verify(args.ns)
+        print(json.dumps(report))
+        return 0 if report["ok"] else 3
     elif args.cmd == "expire":
         print(json.dumps(store.expire(args.ns, args.older_than_us)))
     return 0

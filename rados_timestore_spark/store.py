@@ -1123,6 +1123,106 @@ class TimeStore:
         self._write_meta_cas(ns, meta)
         self.fs.delete(pdir, recursive=True)
 
+    def verify(self, ns: str) -> dict:
+        """Integrity scrub — the read-only fsck for a namespace (the
+        operational twin of :meth:`gc`: gc SWEEPS known-stale state,
+        verify PROVES the live state is internally consistent).  One
+        distributed aggregate over the live points generation checks
+        every persisted row against the invariants the write path
+        maintains:
+
+        * **routing**: each row's (epoch, bucket) partition matches a
+          fresh evaluation of the index placement (``epoch_col`` stab
+          + Word64 bucket mod) — a mismatch means a row became
+          unreachable to the pruned read path (``_scan`` would never
+          look in its directory);
+        * **watermark**: no simple/extended row's time exceeds the
+          corresponding meta watermark (``latest_*`` is the max the
+          writers observed — a row beyond it means a lost meta
+          update);
+        * **sequence fence**: ``max(seq) < seq_base`` — every ingest
+          sequence was allocated from a reserved block;
+        * **readability**: the scan itself proves every live parquet
+          footer/page decodes (corruption raises, loudly);
+        * **orphans**: stale generations / crashed staging dirs are
+          REPORTED (gc's sweep preconditions, here without deleting).
+
+        Returns a report dict; ``ok`` is True iff every check passed
+        and there is nothing to sweep.  Read-only — safe to run
+        concurrently with readers; run serially with writers for an
+        exact watermark/seq comparison (a concurrent writer can
+        legitimately be mid-flight between data write and meta flip).
+
+        Reference parity: the reference's store laws assert exactly
+        these invariants from the outside (tests/StoreTests.hs
+        round-trip + index laws); verify() packages them as an
+        in-engine verb a production operator can schedule.
+        """
+        from rados_timestore_spark.core import kind_col
+
+        meta = self._read_meta(ns)
+        pdir = self._points_dir(ns, meta)
+        report: dict = {
+            "ns": ns,
+            "points_version": meta.points_version,
+            "n_rows": 0,
+            "misplaced_bucket": 0,
+            "misplaced_epoch": 0,
+            "beyond_watermark": 0,
+            "seq_beyond_base": 0,
+            "orphan_dirs": [],
+        }
+        live_v = meta.points_version
+        for name in self.fs.list_dirs(self._ns_dir(ns)):
+            if name == "points" and live_v > 0:
+                report["orphan_dirs"].append(name)
+            elif (name.startswith("points_v")
+                    and name[len("points_v"):].isdigit()
+                    and int(name[len("points_v"):]) < live_v):
+                report["orphan_dirs"].append(name)
+            elif name.startswith(".stage_"):
+                report["orphan_dirs"].append(name)
+        if self.fs.is_dir(pdir):
+            df = self.spark.read.parquet(pdir)
+            want_epoch = meta.index.epoch_col("time")
+            want_bucket = place_bucket_by_index(
+                meta.index, "time", "address")
+            kind = kind_col("address")
+            wm_s = meta.latest_simple
+            wm_x = meta.latest_extended
+            beyond = F.lit(False)
+            if wm_s is not None:
+                beyond = beyond | ((kind == 0) & (F.col("time") > wm_s))
+            else:
+                beyond = beyond | (kind == 0)
+            if wm_x is not None:
+                beyond = beyond | ((kind == 1) & (F.col("time") > wm_x))
+            else:
+                beyond = beyond | (kind == 1)
+            row = df.agg(
+                F.count("*").alias("n"),
+                F.sum((F.col("bucket").cast("long")
+                       != want_bucket).cast("long")).alias("mb"),
+                F.sum((F.col("epoch").cast("long")
+                       != want_epoch).cast("long")).alias("me"),
+                F.sum(beyond.cast("long")).alias("bw"),
+                F.sum((F.col("seq") >= F.lit(int(meta.seq_base)))
+                      .cast("long")).alias("sb"),
+            ).collect()[0]
+            report["n_rows"] = int(row.n or 0)
+            report["misplaced_bucket"] = int(row.mb or 0)
+            report["misplaced_epoch"] = int(row.me or 0)
+            report["beyond_watermark"] = int(row.bw or 0)
+            report["seq_beyond_base"] = int(row.sb or 0)
+        report["ok"] = (
+            report["misplaced_bucket"] == 0
+            and report["misplaced_epoch"] == 0
+            and report["beyond_watermark"] == 0
+            and report["seq_beyond_base"] == 0
+            and not report["orphan_dirs"]
+        )
+        return report
+
     def gc(self, ns: str) -> list[str]:
         """Remove stale points generations (crashed compactions leave
         orphan ``points_v{N}`` directories that were never flipped

@@ -207,3 +207,24 @@ def test_cli_vecidx_pq_verbs(spark, tmp_path, capsys):
     rows = [json.loads(line) for line in
             capsys.readouterr().out.strip().splitlines()]
     assert all("cos" in r and 1 <= r["rank"] <= 3 for r in rows)
+
+
+def test_cli_verify(spark, tmp_path, capsys):
+    root = str(tmp_path / "wh9")
+    base = ["--root", root, "--ns", "PONY"]
+    assert main([*base, "register", "--buckets", "4"], spark=spark) == 0
+    src = str(tmp_path / "pts9.parquet")
+    spark.createDataFrame(
+        [(2, 5, 7)], "address long, time long, value long"
+    ).write.parquet(src)
+    assert main([*base, "write", "--parquet", src], spark=spark) == 0
+    capsys.readouterr()
+    assert main([*base, "verify"], spark=spark) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["ok"] and rep["n_rows"] == 1
+    # plant a crashed stage -> non-zero exit + reported orphan
+    import os
+    os.makedirs(f"{root}/PONY/.stage_x")
+    assert main([*base, "verify"], spark=spark) == 3
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["orphan_dirs"] == [".stage_x"] and not rep["ok"]

@@ -911,3 +911,58 @@ def test_write_points_leaves_no_stage_dirs_and_gc_sweeps_orphans(
     assert store.read_simple("S", 0, 100, [2, 4]).count() == 2
     assert ".stage_deadbeef" in store.gc("S")
     assert not store.fs.exists(orphan)
+
+
+# ---------------------------------------------------- verify (scrub)
+
+
+def test_verify_clean_store_is_ok(store):
+    store.register_namespace("PONY", buckets=4)
+    _write(store, "PONY", [(0, 0, 10), (2, 2, 20), (4, 4, 30)])
+    rep = store.verify("PONY")
+    assert rep["ok"] and rep["n_rows"] == 3
+    assert rep["misplaced_bucket"] == 0 and rep["misplaced_epoch"] == 0
+    assert rep["beyond_watermark"] == 0 and rep["seq_beyond_base"] == 0
+    assert rep["orphan_dirs"] == []
+    # still ok across a compaction generation flip + rollover epochs
+    store.compact("PONY")
+    assert store.verify("PONY")["ok"]
+
+
+def test_verify_reports_orphans_without_deleting(store):
+    store.register_namespace("PONY", buckets=4)
+    _write(store, "PONY", [(2, 1, 1)])
+    store.compact("PONY")
+    ns_dir = store._ns_dir("PONY")
+    store.fs.mkdirs(f"{ns_dir}/points")          # resurrected gen 0
+    store.fs.mkdirs(f"{ns_dir}/.stage_deadbeef")  # crashed stage
+    rep = store.verify("PONY")
+    assert not rep["ok"]
+    assert set(rep["orphan_dirs"]) == {"points", ".stage_deadbeef"}
+    # verify is READ-ONLY: both dirs still there, gc does the sweep
+    assert store.fs.is_dir(f"{ns_dir}/points")
+    store.gc("PONY")
+    assert store.verify("PONY")["ok"]
+
+
+def test_verify_detects_misplaced_rows_and_lost_watermark(store, spark):
+    store.register_namespace("PONY", buckets=4)
+    _write(store, "PONY", [(2, 1, 1), (2, 2, 2)])
+    meta = store._read_meta("PONY")
+    pdir = store._points_dir("PONY", meta)
+    # inject a row into the WRONG bucket directory (address 2 routes
+    # to bucket 2; plant it in bucket 3) with a time beyond the
+    # watermark and a seq beyond the reserved base — the three row
+    # invariants trip at once
+    bad = spark.createDataFrame(
+        [(2, 10**15, 99, None, 10**18)],
+        "address long, time long, value long, payload binary, seq long",
+    ).withColumn("kind", F.lit(0))
+    bad.coalesce(1).write.mode("append").parquet(
+        f"{pdir}/epoch=0/bucket=3")
+    rep = store.verify("PONY")
+    assert not rep["ok"]
+    assert rep["misplaced_bucket"] == 1
+    assert rep["beyond_watermark"] == 1
+    assert rep["seq_beyond_base"] == 1
+    assert rep["n_rows"] == 3

@@ -294,6 +294,15 @@ SOAK_R9D_QUERIES = (
     "streaming_ewma",
 )
 
+#: SOAK_FAMILY=r9e: the closing-r9 document-table ops at 10x — the
+#: GIF decode is one mapInPandas map stage (cost ~ total pixels); BFS
+#: is _BFS_ITERS edge joins whose cost tracks the fuzzy-pair edge
+#: count (reached-set bounded, like CC).
+SOAK_R9E_QUERIES = (
+    "mm_decode_gif",
+    "graph_bfs_hops",
+)
+
 #: SOAK_FAMILY=skew (VERDICT r8 item 4): the shuffle-heavy set under
 #: ENGINEERED key skew vs a same-size uniform corpus.  The 10x soaks
 #: scale uniformly, so hot-key mitigations (LSH hot-bucket salting,
@@ -473,6 +482,7 @@ def main() -> None:
              "r9b": SOAK_R9B_QUERIES,
              "r9c": SOAK_R9C_QUERIES,
              "r9d": SOAK_R9D_QUERIES,
+             "r9e": SOAK_R9E_QUERIES,
              "skew": SOAK_SKEW_QUERIES,
              }.get(family, SOAK_QUERIES)
     if family == "skew":
