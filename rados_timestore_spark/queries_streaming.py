@@ -1055,3 +1055,82 @@ def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _await(q)
     return spark.read.parquet(out)
+
+
+@register(
+    "streaming_rolling_median",
+    oracle=f"""{_TS_EV_CTE},
+x AS (SELECT event_id, user_id, t,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      FROM ev),
+fr AS (SELECT event_id, user_id, t,
+              CAST(count(*) OVER w AS BIGINT) AS n_win,
+              list_sort(list(v) OVER w) AS a
+       FROM x
+       WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+SELECT event_id, user_id, t, n_win,
+       CAST(a[CAST((n_win + 1) // 2 AS INT)]
+            + a[CAST(n_win // 2 + 1 AS INT)] AS BIGINT) AS median2x
+FROM fr
+""",
+    tags=("streaming", "window"),
+    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def streaming_rolling_median(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Streaming rolling median end to end — the second operator on
+    the shared ordered tail-window kernel (windows.
+    _tail_window_update): same adversarial delivery as streaming_ewma
+    (3 unordered files + later-mtime flush sentinels, one file per
+    micro-batch), same oracle SQL as the batch ts_rolling_median.
+    Together the pair pins the kernel from two folds: a weighted
+    linear recurrence and an order statistic."""
+    import time as _time
+
+    from rados_timestore_spark.queries_common import event_us, load
+    from rados_timestore_spark.streaming.windows import (
+        stream_rolling_median,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        event_us(ev).alias("t"),
+        "event_id",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .alias("v"),
+    )
+    lo, hi = pts.agg(F.min("t"), F.max("t")).collect()[0]
+    delay_us = int(hi) - int(lo) + 1
+    work = stream_workdir(spark, "ts_stream_median_")
+    src, out, ck = f"{work}/src", f"{work}/out", f"{work}/ck"
+    pts.repartition(3).write.parquet(src)
+    sent_t = int(hi) + delay_us + 1
+    before = _list_parts(spark, src)
+    pts.select("user_id").distinct().select(
+        "user_id", F.lit(sent_t).alias("t"),
+        F.lit(-1).alias("event_id"), F.lit(0).cast("long").alias("v"),
+    ).coalesce(1).write.mode("append").parquet(src)
+    _bump_mtimes(spark, _list_parts(spark, src) - before,
+                 _time.time() + 60)
+
+    with _few_state_partitions(spark):
+        stream = (
+            spark.readStream.schema(pts.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = (
+            stream_rolling_median(
+                stream.filter(F.col("event_id") >= 0),
+                delay_us=delay_us,
+                flush=stream.filter(F.col("event_id") < 0))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+    return spark.read.parquet(out)

@@ -799,24 +799,23 @@ _EWMA_STATE = StructType([
 ])
 
 
-def _ewma_update(key, pdfs, state: GroupState, delay_us: int,
-                 depth: int = 16):
-    """Per-key dyadic EWMA, watermark-exact: rows buffer until the
-    key's event-time frontier passes ``t + delay_us``, then finalize
-    IN (t, event_id) ORDER — each finalized row's smoother value is
-    the alpha=1/2 recurrence over the last ``depth`` finalized values
-    (all-integer: ``sum v_j * 2^(depth-1-j)``), identical to the
-    batch ``ts_ewma_smooth``.  Order-dependence is why this is a
-    custom stateful operator and not a windowed aggregate: an EWMA is
-    not mergeable state, but it IS replayable state — the tail of the
-    last ``depth - 1`` finalized values plus the pending buffer fully
-    determine every future emission, which is exactly what lives in
-    the checkpoint.
+def _tail_window_update(key, pdfs, state: GroupState, delay_us: int,
+                        depth: int, fold, out_cols):
+    """Generic per-key ORDERED tail-window operator, watermark-exact:
+    rows buffer until the key's event-time frontier passes
+    ``t + delay_us``, then finalize in (t, event_id) order; each
+    finalized row emits ``fold(window)`` where ``window`` is the last
+    <= ``depth`` finalized values ending at the row — the streaming
+    form of every bounded-frame batch window op (EWMA, rolling
+    median, ...).  Order-dependence is why this is a custom stateful
+    operator and not a windowed aggregate; it IS replayable state —
+    the depth-1 tail plus the pending buffer fully determine every
+    future emission, which is exactly what the checkpoint holds.
 
     Rows are tagged 0 = data, 2 = flush sentinel (advances the
     frontier only — the bounded-fixture finalizer; live pipelines
-    advance from data flow).  State per key is the ``depth - 1`` tail
-    values plus at most ``delay_us`` of pending event time."""
+    advance from data flow).  State per key is the depth-1 tail plus
+    at most ``delay_us`` of pending event time."""
     if state.exists:
         pt, pe, pv, tail, frontier = state.get
         pending = list(zip(pt, pe, pv))
@@ -836,10 +835,7 @@ def _ewma_update(key, pdfs, state: GroupState, delay_us: int,
     while i < len(pending) and frontier - pending[i][0] >= delay_us:
         t, eid, v = pending[i]
         window = (tail + [v])[-depth:]
-        ew = 0
-        for j, val in enumerate(reversed(window)):
-            ew += val << (depth - 1 - j)
-        out.append((eid, int(key[0]), t, v, ew))
+        out.append((eid, int(key[0]), t) + tuple(fold(window)))
         tail = (tail + [v])[-(depth - 1):]
         i += 1
     pending = pending[i:]
@@ -847,8 +843,36 @@ def _ewma_update(key, pdfs, state: GroupState, delay_us: int,
         [t for t, _, _ in pending], [e for _, e, _ in pending],
         [v for _, _, v in pending], tail, frontier,
     ))
-    yield pd.DataFrame(
-        out, columns=["event_id", "user_id", "t", "v", "ewma_x65536"])
+    yield pd.DataFrame(out, columns=["event_id", "user_id", "t",
+                                     *out_cols])
+
+
+def _ewma_fold(depth: int):
+    def fold(window):
+        ew = 0
+        for j, val in enumerate(reversed(window)):
+            ew += val << (depth - 1 - j)
+        return (window[-1], ew)
+    return fold
+
+
+def _median2x_fold(window):
+    a = sorted(window)
+    n = len(a)
+    return (n, a[(n + 1) // 2 - 1] + a[n // 2])
+
+
+def _tagged_points(points: DataFrame, flush, key_col: str) -> DataFrame:
+    tagged = points.select(
+        F.col(key_col).alias("user_id"), "t", "event_id", "v",
+        F.lit(0).alias("tag"),
+    )
+    if flush is not None:
+        tagged = tagged.unionByName(flush.select(
+            F.col(key_col).alias("user_id"), "t", "event_id", "v",
+            F.lit(2).alias("tag"),
+        ))
+    return tagged
 
 
 def stream_ewma(points: DataFrame, delay_us: int,
@@ -861,24 +885,50 @@ def stream_ewma(points: DataFrame, delay_us: int,
     event-time frontier passes ``t + delay_us``, so any row delivered
     within the bound lands in its correct sequence position first —
     with batch-complete or bounded-lateness delivery the sink equals
-    the batch operator row for row.
+    the batch operator row for row.  Built on
+    :func:`_tail_window_update`.
 
     Input needs columns ``(key_col, t, event_id, v)``; ``flush``
     rows (same columns) are per-key frontier advancers for bounded
     runs."""
-    tagged = points.select(
-        F.col(key_col).alias("user_id"), "t", "event_id", "v",
-        F.lit(0).alias("tag"),
-    )
-    if flush is not None:
-        tagged = tagged.unionByName(flush.select(
-            F.col(key_col).alias("user_id"), "t", "event_id", "v",
-            F.lit(2).alias("tag"),
-        ))
-    return tagged.groupBy("user_id").applyInPandasWithState(
-        partial(_ewma_update, delay_us=delay_us, depth=depth),
-        outputStructType=_EWMA_OUT,
-        stateStructType=_EWMA_STATE,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+    return _tagged_points(points, flush, key_col) \
+        .groupBy("user_id").applyInPandasWithState(
+            partial(_tail_window_update, delay_us=delay_us,
+                    depth=depth, fold=_ewma_fold(depth),
+                    out_cols=["v", "ewma_x65536"]),
+            outputStructType=_EWMA_OUT,
+            stateStructType=_EWMA_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+
+_MEDIAN_OUT = StructType([
+    StructField("event_id", LongType()),
+    StructField("user_id", LongType()),
+    StructField("t", LongType()),
+    StructField("n_win", LongType()),
+    StructField("median2x", LongType()),
+])
+
+
+def stream_rolling_median(points: DataFrame, delay_us: int,
+                          flush: DataFrame | None = None,
+                          depth: int = 7,
+                          key_col: str = "user_id") -> DataFrame:
+    """Streaming rolling median — the streaming twin of the batch
+    ``ts_rolling_median`` (trailing ``depth`` observations per
+    series, exact 2x-scaled integer median), watermark-exact under
+    bounded lateness via the same :func:`_tail_window_update`
+    kernel as :func:`stream_ewma` (state = depth-1 tail + pending
+    buffer).  Same input/flush contract."""
+    return _tagged_points(points, flush, key_col) \
+        .groupBy("user_id").applyInPandasWithState(
+            partial(_tail_window_update, delay_us=delay_us,
+                    depth=depth, fold=_median2x_fold,
+                    out_cols=["n_win", "median2x"]),
+            outputStructType=_MEDIAN_OUT,
+            stateStructType=_EWMA_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )

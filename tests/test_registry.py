@@ -152,6 +152,7 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "streaming_ewma",
     "graph_bfs_hops",
     "mm_decode_gif",
+    "streaming_rolling_median",
 }
 
 

@@ -1184,3 +1184,70 @@ def test_stream_ewma_checkpoint_recovery(spark, tmp_path):
         for r in ts_ewma_smooth(spark, sf).collect()
     }
     assert got == want
+
+
+def test_stream_rolling_median_checkpoint_recovery(spark, tmp_path):
+    # the second fold on the shared tail-window kernel: frames
+    # straddling the restart (rows finalized in run 2 whose 7-frame
+    # reaches back into run-1 values) only come out right if the
+    # 6-value tail survived the checkpoint
+    from rados_timestore_spark.queries_timeseries import (
+        ts_rolling_median,
+    )
+    from rados_timestore_spark.streaming.windows import (
+        stream_rolling_median,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    pts = ev.select(
+        "user_id",
+        event_us(ev).alias("t"),
+        "event_id",
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .alias("v"),
+    )
+    lo, hi = pts.agg(F.min("t"), F.max("t")).collect()[0]
+    span = int(hi) - int(lo)
+    delay_us = span // 4 + 1
+    mid = int(lo) + span // 2
+    sent_t = int(hi) + delay_us + 1
+    sentinels = pts.select("user_id").distinct().select(
+        "user_id", F.lit(sent_t).alias("t"),
+        F.lit(-1).alias("event_id"), F.lit(0).cast("long").alias("v"),
+    )
+    src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+    os.makedirs(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(pts.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = (
+            stream_rolling_median(
+                stream.filter(F.col("event_id") >= 0),
+                delay_us=delay_us,
+                flush=stream.filter(F.col("event_id") < 0))
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(180)
+
+    _deliver_file(tmp_path, src, 0, pts.filter(F.col("t") <= mid))
+    run_once()
+    assert spark.read.parquet(out).count() > 0
+    _deliver_file(tmp_path, src, 1, pts.filter(F.col("t") > mid))
+    _deliver_file(tmp_path, src, 2, sentinels)
+    run_once()
+
+    got = {
+        (r.event_id, r.user_id, r.t, r.n_win, r.median2x)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.event_id, r.user_id, r.t, r.n_win, r.median2x)
+        for r in ts_rolling_median(spark, sf).collect()
+    }
+    assert got == want
