@@ -955,3 +955,60 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             (jac * est_union).alias("est_inter"),
         )
     )
+
+
+# ------------------------- late r9: moment sketch (mergeable moments)
+
+
+@register(
+    "sketch_moments",
+    oracle="""
+WITH ev AS (
+  SELECT event_type, CAST(floor(value) AS BIGINT) AS v FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(v) AS BIGINT) AS s1,
+       CAST(sum(v * v) AS BIGINT) AS s2,
+       CAST(sum(v * v * v) AS BIGINT) AS s3,
+       CAST(sum(v * v * v * v) AS BIGINT) AS s4,
+       CAST(count(*) * sum(v * v) - sum(v) * sum(v) AS BIGINT)
+         AS m2_num
+FROM ev GROUP BY event_type
+""",
+    tags=("sketch",),
+    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def sketch_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moment sketch (Gan et al., VLDB 2018 — the moments-based
+    quantile/statistics summary): per group, the MERGEABLE power-sum
+    state (n, sum v, sum v^2, sum v^3, sum v^4) over integer-floored
+    values, plus the exact variance numerator ``n*s2 - s1^2`` (= n^2
+    * population variance) emitted un-divided — the same
+    cross-multiplication device as ts_anomaly_zscore.  The power sums
+    are the whole point at 100 TB: like the HLL registers and KMV
+    bottom-k in this family, they REPLACE a per-group sort/quantile
+    shuffle with constant mergeable state — partial aggregates
+    combine map-side, shards merge by plain addition (the
+    mergeability law test adds two halves and asserts equality with
+    the whole), and downstream consumers derive variance / skewness /
+    kurtosis / moment-matched quantile estimates from 5 numbers per
+    group.  Integer-floored values keep every sum exact and inside
+    int64 (|v| <= ~1e3 on the fixture leaves s4 headroom to n ~ 9e6
+    per group; beyond that, shard the group key and merge — the sums
+    are associative).
+
+    Plan: ONE hash aggregate with map-side partial combine, nothing
+    else."""
+    ev = load_parallel(spark, sf_dir, "events", "event_id")
+    v = F.floor(F.col("value")).cast("long")
+    x = ev.select("event_type", v.alias("v"))
+    n = F.count("*")
+    s1, s2 = F.sum("v"), F.sum(F.expr("v * v"))
+    return x.groupBy("event_type").agg(
+        n.cast("long").alias("n"),
+        s1.cast("long").alias("s1"),
+        s2.cast("long").alias("s2"),
+        F.sum(F.expr("v * v * v")).cast("long").alias("s3"),
+        F.sum(F.expr("v * v * v * v")).cast("long").alias("s4"),
+        (n * s2 - s1 * s1).cast("long").alias("m2_num"),
+    )

@@ -176,3 +176,55 @@ def src_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").cast("long").alias("day"),
         "address", "n", "sum_value",
     )
+
+
+@register(
+    "src_schema_evolution",
+    oracle=_PTS_SQL + """
+SELECT address, count(*) AS n,
+       CAST(sum(value) AS BIGINT) AS sum_value,
+       CAST(count(quality) AS BIGINT) AS n_quality,
+       CAST(sum(quality) AS BIGINT) AS sum_quality
+FROM (
+  SELECT address, t, value, NULL AS quality
+  FROM pts WHERE value % 2 = 0
+  UNION ALL
+  SELECT address, t, value, value % 100 AS quality
+  FROM pts WHERE value % 2 = 1) u
+GROUP BY address
+""",
+    tags=("sources",),
+    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution ingest certificate: an early batch lands
+    WITHOUT the ``quality`` column, a later batch lands WITH it (the
+    add-a-column evolution every long-lived ingest pipeline goes
+    through), both into one dataset directory; the read resolves the
+    union schema via parquet footer merging (``mergeSchema``) and the
+    aggregate proves old rows surface the new column as NULL while
+    new rows round-trip it losslessly — exactly the semantics the
+    oracle states with a NULL-padded UNION.
+
+    Scale note: ``mergeSchema`` reads every file footer at planning
+    time — the certificate of CORRECTNESS here; at 100 TB you pin the
+    merged schema in a metastore/table format and pay the footer
+    sweep never — but the NULL-fill read semantics this query hashes
+    are identical either way."""
+    from rados_timestore_spark.queries_streaming import stream_workdir
+
+    pts = _points(spark, sf_dir)
+    work = stream_workdir(spark, "ts_src_evo_")
+    path = f"{work}/pts"
+    old = pts.filter(F.col("value") % 2 == 0)
+    new = pts.filter(F.col("value") % 2 == 1).withColumn(
+        "quality", F.col("value") % 100)
+    old.coalesce(2).write.mode("overwrite").parquet(path)
+    new.coalesce(2).write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", True).parquet(path)
+    return back.groupBy("address").agg(
+        F.count("*").alias("n"),
+        F.sum("value").cast("long").alias("sum_value"),
+        F.count("quality").cast("long").alias("n_quality"),
+        F.sum("quality").cast("long").alias("sum_quality"),
+    )

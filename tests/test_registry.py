@@ -153,6 +153,8 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "graph_bfs_hops",
     "mm_decode_gif",
     "streaming_rolling_median",
+    "src_schema_evolution",
+    "sketch_moments",
 }
 
 

@@ -212,3 +212,39 @@ def test_hdr_null_value_passes_through_and_is_filtered(spark):
     h = hdr_histogram(ev)
     assert h.agg(F.sum("c")).collect()[0][0] == 2  # NULL row dropped
     assert h.filter(F.col("lb").isNull()).count() == 0
+
+
+def test_moment_sketch_merges_by_addition(spark):
+    # the mergeability certificate: power sums of two disjoint shards
+    # ADD to the whole corpus's sums (the property that replaces a
+    # per-group shuffle with map-side partials at scale), and the
+    # derived variance numerator obeys Cauchy-Schwarz
+    import pyspark.sql.functions as F
+
+    from rados_timestore_spark.queries_sketch import sketch_moments
+
+    sf = "/root/testdata/sf0.001"
+    whole = {r.event_type: r for r in
+             sketch_moments(spark, sf).collect()}
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    v = F.floor(F.col("value")).cast("long").alias("v")
+    sums = ["n", "s1", "s2", "s3", "s4"]
+
+    def shard(pred):
+        x = ev.filter(pred).select("event_type", v)
+        return {r.event_type: r for r in x.groupBy("event_type").agg(
+            F.count("*").alias("n"), F.sum("v").alias("s1"),
+            F.sum(F.expr("v*v")).alias("s2"),
+            F.sum(F.expr("v*v*v")).alias("s3"),
+            F.sum(F.expr("v*v*v*v")).alias("s4")).collect()}
+
+    a = shard(F.col("event_id") % 2 == 0)
+    b = shard(F.col("event_id") % 2 == 1)
+    for et, w in whole.items():
+        for c in sums:
+            merged = (a[et][c] if et in a else 0) + \
+                     (b[et][c] if et in b else 0)
+            assert merged == w[c], (et, c)
+        assert w.m2_num == w.n * w.s2 - w.s1 * w.s1
+        assert w.m2_num >= 0
