@@ -245,3 +245,26 @@ def test_vector_index_probe_pq_prunes_and_projects_codes_only(
     assert "bucket" in part and " IN " in part, part
     scan = plan.split("ReadSchema", 1)[1][:300]
     assert "pq_code" in scan and "embedding" not in scan, scan
+
+
+def test_smoothers_plan_one_window_one_exchange(spark):
+    # PLANS.md "Closing-r9 batch": both exact smoothers must stay ONE
+    # Window operator over ONE Exchange — 16 lag expressions fusing
+    # into a single ordered pass is the whole cost model of
+    # ts_ewma_smooth, and a refactor that splits the window spec (or
+    # adds a second sort) would silently double the shuffle.
+    from rados_timestore_spark.queries_timeseries import (
+        ts_ewma_smooth, ts_rolling_median,
+    )
+
+    for q in (ts_ewma_smooth, ts_rolling_median):
+        p = plan_str(q(spark, SF_DIR))
+        assert p.count("Window") >= 1
+        # one Window operator: the formatted plan numbers operators,
+        # count the "Window" node headers
+        import re
+
+        windows = re.findall(r"\(\d+\) Window", p)
+        exchanges = re.findall(r"\(\d+\) Exchange", p)
+        assert len(windows) == 1, (q.__name__, p[:800])
+        assert len(exchanges) == 1, (q.__name__, p[:800])

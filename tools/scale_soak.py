@@ -314,6 +314,8 @@ SOAK_R9E_QUERIES = (
 #: t_skew / t_uniform at equal row counts — >3x flags a missing
 #: mitigation (BENCH_NOTES r9 records the table).
 SOAK_SKEW_QUERIES = (
+    "ts_ewma_smooth",
+    "ts_rolling_median",
     "ts_sessionize",
     "ts_latest_per_key",
     "ts_dedup_first_wins",
