@@ -966,3 +966,25 @@ def test_verify_detects_misplaced_rows_and_lost_watermark(store, spark):
     assert rep["beyond_watermark"] == 1
     assert rep["seq_beyond_base"] == 1
     assert rep["n_rows"] == 3
+
+
+def test_verify_holds_across_rollover_and_expire(spark, tmp_path):
+    # the scrub must re-evaluate routing against the CURRENT index:
+    # rows written before later rollovers (old epochs, possibly
+    # different bucket counts) and survivors of a TTL expiry all
+    # still stab to the directories they sit in
+    from rados_timestore_spark.store import TimeStore
+
+    store = TimeStore(spark, str(tmp_path / "wh"), rollover_bytes=1)
+    store.register_namespace("R", buckets=4)
+    for k in range(3):
+        d = spark.range(200).select(
+            (F.col("id") % 10 * 2).alias("address"),
+            (F.col("id") + k * 10_000_000).alias("time"),
+            F.col("id").alias("value"))
+        store.write_points("R", d)
+    assert len(store.index("R").entries) > 1  # rollovers happened
+    assert store.verify("R")["ok"]
+    store.expire("R", 10_000_000)
+    rep = store.verify("R")
+    assert rep["ok"] and rep["n_rows"] == 400
