@@ -1000,6 +1000,14 @@ def sketch_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: ONE hash aggregate with map-side partial combine, nothing
     else."""
     ev = load_parallel(spark, sf_dir, "events", "event_id")
+    return moment_sums(ev)
+
+
+def moment_sums(ev: "DataFrame") -> "DataFrame":
+    """The ONE moment-sketch aggregate (shared by the batch query and
+    the streaming twin, so the two can never drift): per event_type,
+    (n, s1..s4) power sums over integer-floored values plus the
+    n*s2 - s1^2 variance numerator."""
     v = F.floor(F.col("value")).cast("long")
     x = ev.select("event_type", v.alias("v"))
     n = F.count("*")
@@ -1012,3 +1020,70 @@ def sketch_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("v * v * v * v")).cast("long").alias("s4"),
         (n * s2 - s1 * s1).cast("long").alias("m2_num"),
     )
+
+
+@register(
+    "streaming_moments",
+    oracle="""
+WITH ev AS (
+  SELECT event_type, CAST(floor(value) AS BIGINT) AS v FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(v) AS BIGINT) AS s1,
+       CAST(sum(v * v) AS BIGINT) AS s2,
+       CAST(sum(v * v * v) AS BIGINT) AS s3,
+       CAST(sum(v * v * v * v) AS BIGINT) AS s4,
+       CAST(count(*) * sum(v * v) - sum(v) * sum(v) AS BIGINT)
+         AS m2_num
+FROM ev GROUP BY event_type
+""",
+    tags=("sketch", "streaming"),
+    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def streaming_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The moment sketch maintained INCREMENTALLY by a real
+    Structured Streaming job — power sums are additive, so the
+    complete-mode streaming aggregate folds each micro-batch into the
+    running (n, s1..s4) per group and the streamed state is IDENTICAL
+    to the batch sums over the union (the same mergeability the
+    HLL/CMS/HDR twins certify for their register states); delivered
+    in two micro-batches like streaming_hdr_quantiles, hashed against
+    the SAME oracle as sketch_moments.  The state that makes running
+    variance / skew / kurtosis dashboards incrementally maintainable
+    at 100 TB is these 5 numbers per group — nothing else."""
+    from rados_timestore_spark.queries_common import load
+    from rados_timestore_spark.queries_streaming import (
+        _await, _few_state_partitions, _rm_work, stream_workdir,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    work = stream_workdir(spark, "ts_stream_mom_")
+    src = f"{work}/src"
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1) \
+        .write.parquet(src)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    name = f"moments_sink_{next(_HLL_SINK_IDS)}"
+    try:
+        with _few_state_partitions(spark):
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1).parquet(src)
+            )
+            q = (
+                moment_sums(stream)
+                .writeStream.format("memory").queryName(name)
+                .outputMode("complete").trigger(availableNow=True).start()
+            )
+            _await(q)
+        out = spark.table(name).toPandas()
+        spark.catalog.dropTempView(name)
+        return spark.createDataFrame(
+            out,
+            schema="event_type string, n long, s1 long, s2 long, "
+                   "s3 long, s4 long, m2_num long",
+        )
+    finally:
+        _rm_work(spark, work)

@@ -155,6 +155,7 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "streaming_rolling_median",
     "src_schema_evolution",
     "sketch_moments",
+    "streaming_moments",
 }
 
 
