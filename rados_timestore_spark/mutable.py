@@ -64,6 +64,8 @@ class MutableKV:
         cur = self._lookup_versioned(addr)
         if cur is None:
             out, ver = value, 0
+        elif cur[0] is None:  # tombstoned: fresh value, version above
+            out, ver = value, cur[1] + 1
         else:
             out, ver = merge(value, cur[0]), cur[1] + 1
         df = self.store.spark.createDataFrame(
@@ -72,6 +74,48 @@ class MutableKV:
         self.store.write_points(self.ns, df)
         return out
 
+    def delete(self, key: int) -> None:
+        """Tombstone delete: append a NULL-payload version above the
+        chain head — :meth:`lookup` reads the key as absent,
+        :meth:`enumerate` omits it, a later :meth:`insert` resurrects
+        it at the next version, and :meth:`vacuum` reclaims the dead
+        chain at rest.  The log stays append-only (the store never
+        mutates files), exactly like every LSM/KV delete."""
+        addr = self._key(key)
+        cur = self._lookup_versioned(addr)
+        if cur is None:
+            return  # deleting an absent key is a no-op
+        df = self.store.spark.createDataFrame(
+            [(addr, cur[1] + 1, None)],
+            "address long, time long, payload binary",
+        )
+        self.store.write_points(self.ns, df)
+
+    def vacuum(self) -> None:
+        """Compact the KV at rest: rewrite the shadow namespace
+        keeping ONLY each key's winning version (highest version,
+        lowest seq — the exact :meth:`lookup` rule) and dropping
+        tombstoned chains entirely.  Read results are invariant
+        (reads resolve latest-per-key on the fly either way); what
+        changes is the at-rest cost — a hot key's thousand dead
+        versions stop being scanned and stored.  Rides the store's
+        generation-flip rewrite (staging dir + atomic meta pointer
+        flip + txn CAS), so it is crash-safe and serializes with
+        writers like compact/expire."""
+        from pyspark.sql import Window
+
+        def keep_latest(df: DataFrame) -> DataFrame:
+            w = Window.partitionBy("address").orderBy(
+                F.desc("time"), F.asc("seq"))
+            return (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+                .filter(F.col("payload").isNotNull())
+            )
+
+        self.store._rewrite_generation(self.ns, keep_latest)
+
     # ----------------------------------------------------------- reads
 
     def lookup(self, key: int) -> bytes | None:
@@ -79,14 +123,21 @@ class MutableKV:
         got = self._lookup_versioned(self._key(key))
         return None if got is None else got[0]
 
-    def _lookup_versioned(self, addr: int) -> tuple[bytes, int] | None:
+    def _lookup_versioned(self, addr: int) -> tuple[bytes | None, int] | None:
         # Bucket-pruned point read over the full version range
-        # (lookup' reads [0, maxBound], Mutable.hs:61-73).
+        # (lookup' reads [0, maxBound], Mutable.hs:61-73).  A NULL
+        # payload at the head of the chain is a TOMBSTONE: the key
+        # reads as absent, but the version keeps counting so a
+        # re-insert lands ABOVE the tombstone (returning None here
+        # would restart at version 0 underneath it — the key would
+        # stay deleted forever).
         df = self.store.read_extended(self.ns, 0, (1 << 62), [addr])
         row = df.orderBy(F.desc("time"), F.asc("seq")).limit(1).collect()
         if not row:
             return None
-        return bytes(row[0]["payload"]), int(row[0]["time"])
+        payload = row[0]["payload"]
+        return (None if payload is None else bytes(payload),
+                int(row[0]["time"]))
 
     def enumerate(self) -> DataFrame:
         """All (key, value) pairs at their latest version
@@ -98,7 +149,7 @@ class MutableKV:
             )
         df = self.store.spark.read.parquet(pdir).filter(F.col("kind") == 1)
         out = latest_per_key(df, payload_cols=("payload",))
-        return out.select(
+        return out.filter(F.col("payload").isNotNull()).select(
             F.col("address").alias("key"), F.col("payload").alias("value")
         )
 
@@ -167,8 +218,13 @@ class MutableKV:
             pdf = pdf.sort_values(["time", "seq"])
             acc: bytes | None = None
             for blob in pdf["payload"]:
+                if blob is None:  # tombstone: the chain restarts
+                    acc = None
+                    continue
                 b = bytes(blob)
                 acc = b if acc is None else merge(b, acc)
+            if acc is None:  # deleted (or tombstone-only) key
+                return pd.DataFrame({"key": [], "value": []})
             return pd.DataFrame(
                 {"key": [int(pdf["address"].iloc[0])], "value": [acc]}
             )

@@ -1091,15 +1091,36 @@ class TimeStore:
         partials, no per-partition sort); the winner keeps its OWN
         (epoch, bucket) placement columns.
         """
+        if dedup:
+            from rados_timestore_spark.core import first_wins_dedup
+
+            transform = (lambda df:
+                         first_wins_dedup(df, keys=("address", "time")))
+        else:
+            transform = None
+        self._rewrite_generation(
+            ns, transform, target_partitions_per_bucket, sort_within)
+
+    def _rewrite_generation(self, ns: str, transform,
+                            target_partitions_per_bucket: int = 1,
+                            sort_within: Sequence[str] | None = (
+                                "address", "time"),
+                            ) -> None:
+        """Shared generation-flip rewrite: read the live points
+        generation, apply ``transform`` (row-preserving or
+        row-dropping — compact's dedup and MutableKV.vacuum's
+        latest-per-key both ride this), write ``points_v{v+1}``, flip
+        the meta pointer atomically (txn-CAS), delete the old dir.
+        Crash-safe at every step: before the flip the old generation
+        stays live (the new dir is a gc-able orphan); after it, only
+        the old dir remains to delete."""
         meta = self._read_meta(ns)
         pdir = self._points_dir(ns, meta)
         if not self.fs.is_dir(pdir):
             return
         df = self.spark.read.parquet(pdir)
-        if dedup:
-            from rados_timestore_spark.core import first_wins_dedup
-
-            df = first_wins_dedup(df, keys=("address", "time"))
+        if transform is not None:
+            df = transform(df)
         next_version = meta.points_version + 1
         new_dir = f"{self._ns_dir(ns)}/points_v{next_version}"
         out = df.repartition(
