@@ -91,6 +91,22 @@ class MutableKV:
         )
         self.store.write_points(self.ns, df)
 
+    def delete_bulk(self, keys: DataFrame) -> None:
+        """Tombstone many keys in ONE pass (the takedown-list shape —
+        per-key :meth:`delete` would be a driver loop): join the key
+        list against the current version vector, append one
+        NULL-payload tombstone above each EXISTING chain (absent keys
+        are no-ops, same as delete).  ``keys``: a (key long) frame."""
+        k = keys.select(
+            F.col("key").bitwiseOR(F.lit(1)).alias("key")).distinct()
+        cur = self.enumerate_versions().join(k, "key")
+        tomb = cur.select(
+            F.col("key").alias("address"),
+            (F.col("time") + 1).alias("time"),
+            F.lit(None).cast("binary").alias("payload"),
+        )
+        self.store.write_points(self.ns, tomb)
+
     def vacuum(self) -> None:
         """Compact the KV at rest: rewrite the shadow namespace
         keeping ONLY each key's winning version (highest version,

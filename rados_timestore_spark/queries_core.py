@@ -530,6 +530,49 @@ def ts_kv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_kv_tombstone",
+    oracle=f"""{PTS_CTE}
+SELECT address | 1 AS key, md5(payload_str) AS value_md5 FROM (
+  SELECT *, row_number() OVER (PARTITION BY address
+             ORDER BY time DESC, seq ASC) AS rn
+  FROM pts WHERE address % 2 = 1 AND address % 8 <> 1) d
+WHERE rn = 1
+""",
+    tags=("M2", "M4"),
+    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def ts_kv_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KV retraction end-to-end: bulk-insert the latest value per
+    key, TOMBSTONE every key with ``address % 8 == 1`` in one
+    delete_bulk pass (the takedown-list shape), VACUUM the namespace
+    (at-rest reclamation through the store's generation-flip
+    rewrite), then enumerate — deleted keys are gone, survivors
+    hash-match the same latest-per-key oracle as ts_kv_roundtrip
+    restricted to the survivor set.  Exercises the full
+    delete -> vacuum -> read lifecycle against the oracle, not just
+    the law tests."""
+    from rados_timestore_spark.mutable import MutableKV
+
+    store, _ = _roundtrip_store(spark, sf_dir)
+    kv = MutableKV(store, "kvtomb")
+    pts = events_points(spark, sf_dir).filter(F.col("address") % 2 == 1)
+    latest = latest_per_key(pts, payload_cols=("payload_str",))
+    kv.insert_bulk(
+        latest.select(
+            F.col("address").alias("key"),
+            F.encode("payload_str", "UTF-8").alias("value"),
+        )
+    )
+    kv.delete_bulk(
+        latest.filter(F.col("address") % 8 == 1)
+        .select(F.col("address").alias("key"))
+    )
+    kv.vacuum()
+    out = kv.enumerate()
+    return out.select("key", F.md5("value").alias("value_md5"))
+
+
+@register(
     "ts_rollover",
     oracle=f"""{PTS_CTE},
 sp AS (SELECT * FROM pts WHERE address % 2 = 0 AND time < {T_JAN10}),

@@ -130,3 +130,22 @@ def test_vacuum_reclaims_dead_versions_and_tombstones(store):
     # re-insert after vacuum keeps versioning monotone
     kv.insert(2, b"v6")
     assert kv.lookup(2) == b"v6"
+
+
+def test_delete_bulk_matches_sequential_deletes(store):
+    from pyspark.sql import functions as F
+
+    store.register_namespace("PONY", buckets=4)
+    kv = MutableKV(store, "PONY")
+    for k in range(8):
+        kv.insert(k * 2, f"v{k}".encode())
+    victims = store.spark.createDataFrame(
+        [(0,), (4,), (99,)], "key long")  # 99 is absent -> no-op
+    kv.delete_bulk(victims)
+    got = {r.key for r in kv.enumerate().collect()}
+    assert got == {(k * 2) | 1 for k in range(8)} - {0 | 1, 4 | 1}
+    assert kv.lookup(0) is None and kv.lookup(4) is None
+    assert kv.lookup(2) == b"v1"
+    # resurrect above the bulk tombstone
+    kv.insert(0, b"back")
+    assert kv.lookup(0) == b"back"

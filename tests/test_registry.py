@@ -156,6 +156,7 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "src_schema_evolution",
     "sketch_moments",
     "streaming_moments",
+    "ts_kv_tombstone",
 }
 
 
