@@ -50,6 +50,12 @@ DOC_QUERIES = [
     # the peeling fixed point and the wedge/anti-join pair space
     "graph_kcore",
     "graph_jaccard_neighbors",
+    # late r9: random ASCII drives the REAL LZW encoder through
+    # arbitrary dictionary dynamics (width bumps at random points),
+    # and the random fuzzy-prefix graph probes the BFS min-distance
+    # fixed point from an arbitrary min-id source
+    "mm_decode_gif",
+    "graph_bfs_hops",
 ]
 EVENT_QUERIES = [
     "ts_rollup_hourly", "ts_value_histogram", "ts_ohlc_hourly",
@@ -82,6 +88,10 @@ EVENT_QUERIES = [
     # late r9: random values probe the dyadic lag-weight unroll and
     # the sorted-frame 2x-median indexing at every frame size 1..7
     "ts_ewma_smooth", "ts_rolling_median",
+    # late r9: random (possibly extreme) values probe the power-sum
+    # overflow headroom and floor semantics cross-engine, and the
+    # NULL-padded union of the schema-evolution certificate
+    "sketch_moments", "src_schema_evolution",
 ]
 #: Embedding-driven queries: random float32 vectors probe the
 #: float-determinism choreography (sequential-fold cosine, SQ8
