@@ -1439,3 +1439,77 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_words") - F.col("n_in_vocab"))
         .cast("long").alias("n_oov"),
     )
+
+
+# -------------------------- late r9: cross-source vocabulary overlap
+
+
+@register(
+    "text_source_overlap",
+    oracle=f"""
+WITH sw AS (
+  SELECT DISTINCT source, unnest({_WORDS_SQL}) AS w
+  FROM documents WHERE trim(text) <> ''),
+sz AS (SELECT source, count(*) AS n FROM sw GROUP BY source),
+ov AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+  FROM sw a JOIN sw b ON a.w = b.w AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT o.src_a, o.src_b,
+       CAST(o.n_common AS BIGINT) AS n_common,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       CAST(sa.n + sb.n - o.n_common AS BIGINT) AS n_union
+FROM ov o JOIN sz sa ON sa.source = o.src_a
+          JOIN sz sb ON sb.source = o.src_b
+""",
+    tags=("text", "analytics"),
+    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary overlap — the source-level
+    dedup/contamination signal a corpus curator reads before mixing
+    datasets: for every source pair, the EXACT Jaccard components
+    (|A ∩ B|, |A|, |B|, |A ∪ B|) of their distinct word sets, emitted
+    un-divided (the cross-multiplication discipline — consumers rank
+    pairs by n_common * 1.0 / n_union downstream, or compare pairs
+    exactly via n_common_1 * n_union_2 vs n_common_2 * n_union_1).
+
+    Plan: one distinct (source, word) explode (map-side combine),
+    one vocabulary-keyed self-join — the join key is the WORD, so
+    fan-out per word is the number of sources containing it (bounded
+    by the source count, NOT document count: at 100 TB with S sources
+    the pair space is S^2 and the join traffic is vocabulary-sized x
+    S) — and two broadcast-sized size joins."""
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
+    sw = (
+        docs.filter(F.trim(F.col("text")) != "")
+        .select("source", F.explode(F.array_distinct(_words_col()))
+                .alias("w"))
+        .distinct()
+        .transform(pin)  # feeds sizes + both sides of the pair join
+    )
+    sz = sw.groupBy("source").agg(F.count("*").alias("n"))
+    a, b = sw.alias("a"), sw.alias("b")
+    ov = (
+        a.join(b, (F.col("a.w") == F.col("b.w"))
+               & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"),
+                 F.col("b.source").alias("src_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sz.select(F.col("source").alias("src_a"),
+                   F.col("n").alias("n_a"))
+    sb = sz.select(F.col("source").alias("src_b"),
+                   F.col("n").alias("n_b"))
+    return (
+        ov.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a", "src_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            .cast("long").alias("n_union"),
+        )
+    )

@@ -56,6 +56,9 @@ DOC_QUERIES = [
     # fixed point from an arbitrary min-id source
     "mm_decode_gif",
     "graph_bfs_hops",
+    # late r9: random source assignment probes the pair-space and
+    # empty-text exclusion of the vocabulary-overlap join
+    "text_source_overlap",
 ]
 EVENT_QUERIES = [
     "ts_rollup_hourly", "ts_value_histogram", "ts_ohlc_hourly",

@@ -157,6 +157,7 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "sketch_moments",
     "streaming_moments",
     "ts_kv_tombstone",
+    "text_source_overlap",
 }
 
 
