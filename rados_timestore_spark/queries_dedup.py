@@ -1975,3 +1975,86 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("dist").cast("long").alias("hops"),
                 F.col("n").cast("long").alias("n_frontier"))
     )
+
+
+# ------------------------------------ late r9: community modularity
+
+
+@register(
+    "graph_modularity",
+    oracle=f"""
+WITH {_FUZZY_PAIRS_SQL},
+e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+{_lpa_ctes()},
+lab AS (SELECT node, label FROM l{_LPA_ITERS}),
+deg AS (SELECT u, count(*) AS d FROM e GROUP BY u),
+mm AS (SELECT count(*) // 2 AS m FROM e),
+intra AS (
+  SELECT la.label AS community, count(*) AS e2
+  FROM e JOIN lab la ON la.node = e.u
+         JOIN lab lb ON lb.node = e.v
+  WHERE la.label = lb.label
+  GROUP BY 1),
+dsum AS (
+  SELECT la.label AS community, sum(deg.d) AS d_c
+  FROM deg JOIN lab la ON la.node = deg.u GROUP BY 1)
+SELECT d.community,
+       CAST(COALESCE(i.e2, 0) // 2 AS BIGINT) AS e_in,
+       CAST(d.d_c AS BIGINT) AS d_c,
+       CAST(2 * mm.m * COALESCE(i.e2, 0) - d.d_c * d.d_c AS BIGINT)
+         AS q_num_x4m2
+FROM dsum d LEFT JOIN intra i ON i.community = d.community, mm
+""",
+    tags=("dedup", "graph"),
+    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the label-propagation communities — the
+    quality score that tells a curator whether the detected clusters
+    are real structure or noise, EXACT by the cross-multiplication
+    device: per community, ``q_num_x4m2 = 4m*e_in - d_c^2``
+    (= that community's share of Q * 4m^2, emitted un-divided with
+    its integer components e_in and d_c), so
+    Q = sum(q_num_x4m2) / (4 m^2) downstream with one float division.
+
+    Plan: reuses the LPA label vector (O(nodes)); intra-edge counts
+    are ONE edge-list join against two broadcast-able label copies;
+    degree sums one hash aggregate — all O(edges), no pair blow-up,
+    same scale behavior as the propagation itself."""
+    edges = dedup_fuzzy_prefix(spark, sf_dir).select("doc_a", "doc_b")
+    e = edges.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    ).transform(pin)  # feeds deg, m, and the intra-edge join
+    lab = graph_label_propagation(spark, sf_dir).select(
+        F.col("doc_id").alias("node"), F.col("community").alias("label")
+    ).transform(pin)  # O(nodes); joined twice + degree-summed
+    deg = e.groupBy("u").agg(F.count("*").alias("d"))
+    m = e.agg((F.count("*") / 2).cast("long").alias("m"))
+    la = lab.select(F.col("node").alias("u"), F.col("label").alias("cu"))
+    lb = lab.select(F.col("node").alias("v"), F.col("label").alias("cv"))
+    intra = (
+        e.join(la, "u").join(lb, "v")
+        .filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count("*").alias("e2"))
+    )
+    dsum = (
+        deg.join(la, "u")
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.sum("d").alias("d_c"))
+    )
+    e2 = F.coalesce(F.col("e2"), F.lit(0))
+    return (
+        dsum.join(intra, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            (e2 / 2).cast("long").alias("e_in"),
+            F.col("d_c").cast("long").alias("d_c"),
+            (2 * F.col("m") * e2 - F.col("d_c") * F.col("d_c"))
+            .cast("long").alias("q_num_x4m2"),
+        )
+    )

@@ -59,6 +59,9 @@ DOC_QUERIES = [
     # late r9: random source assignment probes the pair-space and
     # empty-text exclusion of the vocabulary-overlap join
     "text_source_overlap",
+    # late r9: random community structure probes the exact
+    # modularity identities (4m*e_in - d_c^2 shares, LEFT-join zeros)
+    "graph_modularity",
 ]
 EVENT_QUERIES = [
     "ts_rollup_hourly", "ts_value_histogram", "ts_ohlc_hourly",

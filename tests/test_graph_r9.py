@@ -177,3 +177,39 @@ def test_bfs_fixture_invariants(spark):
     # at hop h-1 (BFS frontier cannot skip a level)
     hops = set(out["hops"])
     assert hops == set(range(max(hops) + 1))
+
+
+# --------------------------------------------------- modularity
+
+
+def test_modularity_on_the_gadget(spark, tmp_path):
+    # path(0-1-2) + triangle(3-4-5): m=5; LPA keeps the two gadgets
+    # apart, so whatever the final label split, the modularity
+    # identities must hold exactly: sum(d_c) = 2m, sum(e_in) <= m,
+    # and every q_num is the integer 4m*e_in - d_c^2
+    from rados_timestore_spark.queries_dedup import graph_modularity
+
+    sf = _corpus(tmp_path, _PATH_TRIANGLE)
+    out = graph_modularity(spark, sf).toPandas()
+    m = 5
+    assert out["d_c"].sum() == 2 * m
+    assert out["e_in"].sum() <= m
+    assert (out["q_num_x4m2"]
+            == 4 * m * out["e_in"] - out["d_c"] ** 2).all()
+    # the triangle community exists and is perfectly assortative:
+    # one community with e_in=3, d_c=6 -> share 4*5*3 - 36 = 24
+    tri = out[(out["e_in"] == 3) & (out["d_c"] == 6)]
+    assert len(tri) == 1 and int(tri["q_num_x4m2"].iloc[0]) == 24
+
+
+def test_modularity_fixture_invariants(spark):
+    from rados_timestore_spark.queries_dedup import graph_modularity
+
+    out = graph_modularity(spark, SF).toPandas()
+    two_m = out["d_c"].sum()
+    assert two_m % 2 == 0
+    m = two_m // 2
+    assert out["e_in"].sum() <= m
+    # Q = sum(q_num) / 4m^2 is a valid modularity (-0.5 <= Q <= 1)
+    q = out["q_num_x4m2"].sum() / (4 * m * m)
+    assert -0.5 <= q <= 1.0

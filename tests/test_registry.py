@@ -158,6 +158,7 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "streaming_moments",
     "ts_kv_tombstone",
     "text_source_overlap",
+    "graph_modularity",
 }
 
 
