@@ -688,10 +688,12 @@ _WINNOW_K = 5
 _WINNOW_W = 4
 
 
-@register(
-    "text_winnow_fingerprint",
-    oracle=f"""
-WITH w0 AS (
+
+
+#: The winnow selection CTE chain (-> ``sel`` = DISTINCT
+#: (doc_id, n_grams, wh)) — shared by the fingerprint and pair
+#: oracles, mirroring the shared Spark ``_winnow_sel``.
+_WINNOW_SEL_SQL = f"""w0 AS (
   SELECT doc_id, {_WORDS_SQL} AS words
   FROM documents),
 g AS (
@@ -712,31 +714,14 @@ wm AS (
   FROM h),
 sel AS (
   SELECT DISTINCT doc_id, n_grams, wh FROM wm
-  WHERE pos <= greatest(n_grams - {_WINNOW_W}, 0))
-SELECT doc_id, CAST(max(n_grams) AS BIGINT) AS n_grams,
-       count(*) AS n_fp, min(wh) AS fp_min, max(wh) AS fp_max
-FROM sel GROUP BY doc_id
-""",
-    tags=("text", "dedup"),
-    bench=True,  # gram explode + window min: the positional-fingerprint cost shape
-    priority=90,  # new final-r5, bench-tagged => must be driver-visible (window invariant); tpch_q10 demoted in exchange
-)
-def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing document fingerprints (MOSS): hash every
-    ``_WINNOW_K``-word gram, slide a ``_WINNOW_W``-wide window over
-    the gram-hash sequence, keep the window minimum — a position-
-    robust fingerprint set that localizes shared passages (unlike the
-    whole-document :func:`text_fingerprint` and unlike minhash, which
-    loses positions).  Returns per-doc fingerprint-set stats
-    (count + min/max — all integers, hash-exact).
+  WHERE pos <= greatest(n_grams - {_WINNOW_W}, 0))"""
 
-    Plan shape: one scan -> per-doc gram explode (JVM built-ins:
-    transform/sequence/slice, no Python) -> window min partitioned by
-    doc_id (the shuffle key is doc_id, so 100 TB of docs spread
-    evenly; no cross-doc traffic) -> per-doc hash aggregate.  Docs
-    shorter than k words yield no grams on either engine; docs with
-    fewer than w grams keep one window covering all of them
-    (``pos <= greatest(n_grams - w, 0)``)."""
+
+def _winnow_sel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The winnow selection chain (doc_id, n_grams, wh), DISTINCT per
+    (doc, fingerprint) — the ONE implementation behind both
+    text_winnow_fingerprint and dedup_winnow_pairs (a drifting copy
+    would hash-mismatch only one of them — the r5 review lesson)."""
     docs = load_parallel(spark, sf_dir, "documents", "doc_id")
     words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     w0 = docs.select("doc_id", words.alias("words")).filter(
@@ -763,9 +748,40 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     wm = h.select(
         "doc_id", "n_grams", "pos", F.min("hv").over(win).alias("wh")
     )
-    sel = wm.filter(
+    return wm.filter(
         F.col("pos") <= F.greatest(F.col("n_grams") - _WINNOW_W, F.lit(0))
     ).select("doc_id", "n_grams", "wh").distinct()
+
+
+@register(
+    "text_winnow_fingerprint",
+    oracle=f"""
+WITH {_WINNOW_SEL_SQL}
+SELECT doc_id, CAST(max(n_grams) AS BIGINT) AS n_grams,
+       count(*) AS n_fp, min(wh) AS fp_min, max(wh) AS fp_max
+FROM sel GROUP BY doc_id
+""",
+    tags=("text", "dedup"),
+    bench=True,  # gram explode + window min: the positional-fingerprint cost shape
+    priority=90,  # new final-r5, bench-tagged => must be driver-visible (window invariant); tpch_q10 demoted in exchange
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (MOSS): hash every
+    ``_WINNOW_K``-word gram, slide a ``_WINNOW_W``-wide window over
+    the gram-hash sequence, keep the window minimum — a position-
+    robust fingerprint set that localizes shared passages (unlike the
+    whole-document :func:`text_fingerprint` and unlike minhash, which
+    loses positions).  Returns per-doc fingerprint-set stats
+    (count + min/max — all integers, hash-exact).
+
+    Plan shape: one scan -> per-doc gram explode (JVM built-ins:
+    transform/sequence/slice, no Python) -> window min partitioned by
+    doc_id (the shuffle key is doc_id, so 100 TB of docs spread
+    evenly; no cross-doc traffic) -> per-doc hash aggregate.  Docs
+    shorter than k words yield no grams on either engine; docs with
+    fewer than w grams keep one window covering all of them
+    (``pos <= greatest(n_grams - w, 0)``)."""
+    sel = _winnow_sel(spark, sf_dir)
     return sel.groupBy("doc_id").agg(
         F.max("n_grams").cast("long").alias("n_grams"),
         F.count("*").alias("n_fp"),
@@ -1513,3 +1529,82 @@ def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("n_union"),
         )
     )
+
+
+# ------------------------------ late r9: winnow near-dup pair mining
+
+_WINNOW_DF_CAP = 50      # hot-fingerprint bucket cap (stop-passages)
+_WINNOW_MIN_SHARED = 3   # pair threshold: >= 3 shared fingerprints
+
+
+@register(
+    "dedup_winnow_pairs",
+    oracle=f"""
+WITH {_WINNOW_SEL_SQL},
+dfc AS (SELECT wh, count(*) AS df FROM sel GROUP BY wh),
+keep AS (
+  SELECT s.doc_id, s.wh FROM sel s JOIN dfc ON dfc.wh = s.wh
+  WHERE dfc.df <= {_WINNOW_DF_CAP}),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM keep a JOIN keep b ON a.wh = b.wh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {_WINNOW_MIN_SHARED}),
+szs AS (SELECT doc_id, count(*) AS n_fp FROM sel GROUP BY doc_id)
+SELECT p.doc_a, p.doc_b, CAST(p.n_shared AS BIGINT) AS n_shared,
+       CAST(sa.n_fp AS BIGINT) AS n_fp_a,
+       CAST(sb.n_fp AS BIGINT) AS n_fp_b
+FROM p JOIN szs sa ON sa.doc_id = p.doc_a
+       JOIN szs sb ON sb.doc_id = p.doc_b
+""",
+    tags=("text", "dedup"),
+    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-dup pair mining (the MOSS report): documents
+    sharing >= {min_shared} winnow fingerprints, with each pair's
+    shared count and both fingerprint-set sizes (exact integers —
+    overlap coefficients divide downstream).  Completes the dedup
+    modality set with the POSITION-ROBUST member: minhash/simhash
+    estimate whole-document similarity, chunk/substring need exact
+    runs — winnowing catches a plagiarized PASSAGE inside otherwise
+    different documents, which is the curation case the others miss.
+
+    Scale: the pair generator is the standard blocked equi-join on
+    the fingerprint value — never all-pairs — with a df <= {cap}
+    stop-passage cap bounding any bucket's fan-out (boilerplate
+    shared by thousands of docs is excluded the same way
+    dedup_ngram_jaccard caps shingles); fingerprint sets are winnow-
+    sparse (~n_grams/w per doc), so join traffic is a fraction of the
+    gram count.  One shared selection chain (:func:`_winnow_sel`)
+    feeds this, the per-doc fingerprint stats, and the size joins.
+    """
+    sel = _winnow_sel(spark, sf_dir).transform(pin)
+    fps = sel.select("doc_id", "wh")
+    dfc = fps.groupBy("wh").agg(F.count("*").alias("df"))
+    keep = fps.join(
+        dfc.filter(F.col("df") <= _WINNOW_DF_CAP).select("wh"), "wh")
+    a = keep.select(F.col("doc_id").alias("doc_a"), "wh")
+    b = keep.select(F.col("doc_id").alias("doc_b"), "wh")
+    p = (
+        a.join(b, (a["wh"] == b["wh"]) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
+    )
+    szs = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    sa = szs.select(F.col("doc_id").alias("doc_a"),
+                    F.col("n_fp").alias("n_fp_a"))
+    sb = szs.select(F.col("doc_id").alias("doc_b"),
+                    F.col("n_fp").alias("n_fp_b"))
+    return (
+        p.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b",
+                F.col("n_shared").cast("long").alias("n_shared"),
+                F.col("n_fp_a").cast("long").alias("n_fp_a"),
+                F.col("n_fp_b").cast("long").alias("n_fp_b"))
+    )
+
+
+dedup_winnow_pairs.__doc__ = dedup_winnow_pairs.__doc__.format(
+    min_shared=_WINNOW_MIN_SHARED, cap=_WINNOW_DF_CAP)

@@ -62,6 +62,9 @@ DOC_QUERIES = [
     # late r9: random community structure probes the exact
     # modularity identities (4m*e_in - d_c^2 shares, LEFT-join zeros)
     "graph_modularity",
+    # late r9: random small-vocab corpora produce accidental shared
+    # winnow fingerprints, probing the df cap + threshold boundary
+    "dedup_winnow_pairs",
 ]
 EVENT_QUERIES = [
     "ts_rollup_hourly", "ts_value_histogram", "ts_ohlc_hourly",

@@ -159,6 +159,7 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "ts_kv_tombstone",
     "text_source_overlap",
     "graph_modularity",
+    "dedup_winnow_pairs",
 }
 
 
