@@ -301,6 +301,10 @@ SOAK_R9D_QUERIES = (
 SOAK_R9E_QUERIES = (
     "mm_decode_gif",
     "graph_bfs_hops",
+    "text_source_overlap",
+    "graph_modularity",
+    "dedup_winnow_pairs",
+    "sketch_moments",
 )
 
 #: SOAK_FAMILY=skew (VERDICT r8 item 4): the shuffle-heavy set under
