@@ -2033,3 +2033,65 @@ def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.element_at("a", mid1) + F.element_at("a", mid2))
         .cast("long").alias("median2x"),
     )
+
+
+# ----------------------- late r9: period-over-period (WoW/DoD delta)
+
+
+@register(
+    "ts_period_over_period",
+    oracle=f"""{_EV_CTE},
+d AS (
+  SELECT event_type, t // 86400000000 AS day, count(*) AS n,
+         CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS sum_centi
+  FROM ev GROUP BY 1, 2)
+SELECT event_type, day * 86400000000 AS day_us,
+       CAST(n AS BIGINT) AS n,
+       sum_centi,
+       CAST(n - lag(n) OVER w AS BIGINT) AS n_delta,
+       CAST(CASE WHEN lag(day) OVER w = day - 1
+                 THEN n - lag(n) OVER w END AS BIGINT) AS n_delta_dod
+FROM d
+WINDOW w AS (PARTITION BY event_type ORDER BY day)
+""",
+    tags=("timeseries", "window"),
+    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def ts_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period comparison — the dashboard staple: per
+    (event_type, day), the count and exact centi-sum plus the delta
+    against the PREVIOUS OBSERVED period (``n_delta``) and against
+    the strictly-previous CALENDAR day (``n_delta_dod`` — NULL across
+    gaps, so a metric that went dark for a day never fabricates a
+    day-over-day move; the distinction between observed-lag and
+    calendar-lag is exactly what naive lag() dashboards get wrong).
+    All-integer arithmetic.
+
+    Plan: one hash aggregate to the (type, day) grid — the ONLY
+    event-scale work — then a lag window over the tiny grid relation
+    (|types| x |days| rows at any corpus size)."""
+    ev = _events(spark, sf_dir)
+    d = (
+        ev.groupBy(
+            "event_type",
+            F.expr("t div 86400000000").alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr(
+                "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .cast("long").alias("sum_centi"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lag_n = F.lag("n").over(w)
+    lag_day = F.lag("day").over(w)
+    return d.select(
+        "event_type",
+        (F.col("day") * 86400000000).cast("long").alias("day_us"),
+        F.col("n").cast("long").alias("n"),
+        "sum_centi",
+        (F.col("n") - lag_n).cast("long").alias("n_delta"),
+        F.when(lag_day == F.col("day") - 1, F.col("n") - lag_n)
+        .cast("long").alias("n_delta_dod"),
+    )

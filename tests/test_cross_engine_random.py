@@ -101,6 +101,9 @@ EVENT_QUERIES = [
     # overflow headroom and floor semantics cross-engine, and the
     # NULL-padded union of the schema-evolution certificate
     "sketch_moments", "src_schema_evolution",
+    # late r9: random day spreads probe the observed-lag vs
+    # calendar-lag distinction (NULL across gaps)
+    "ts_period_over_period",
 ]
 #: Embedding-driven queries: random float32 vectors probe the
 #: float-determinism choreography (sequential-fold cosine, SQ8

@@ -160,6 +160,7 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "text_source_overlap",
     "graph_modularity",
     "dedup_winnow_pairs",
+    "ts_period_over_period",
 }
 
 
