@@ -2058,3 +2058,66 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("q_num_x4m2"),
         )
     )
+
+
+# ------------------------------- late r9: degree assortativity
+
+
+@register(
+    "graph_assortativity",
+    oracle=f"""
+WITH {_FUZZY_PAIRS_SQL},
+e AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+deg AS (SELECT u, count(*) AS d FROM e GROUP BY u),
+ed AS (
+  SELECT da.d AS du, db.d AS dv
+  FROM e JOIN deg da ON da.u = e.u JOIN deg db ON db.u = e.v)
+SELECT CAST(count(*) AS BIGINT) AS m2,
+       CAST(sum(du) AS BIGINT) AS s_d,
+       CAST(sum(du * du) AS BIGINT) AS s_d2,
+       CAST(sum(du * dv) AS BIGINT) AS s_dd,
+       CAST(count(*) * sum(du * dv) - sum(du) * sum(dv) AS BIGINT)
+         AS cov_num,
+       CAST(count(*) * sum(du * du) - sum(du) * sum(du) AS BIGINT)
+         AS var_num
+FROM ed
+""",
+    tags=("dedup", "graph"),
+    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the similarity graph —
+    do high-degree records link to other high-degree records (a hub
+    structure a dedup pipeline must salt) or to low-degree ones?
+    Exact by the cross-multiplication device: over the SYMMETRIZED
+    edge list (each undirected edge contributes both orientations, so
+    the du/dv marginals coincide and sum(du) = sum(dv)), emit the
+    power sums plus the Pearson numerators ``cov_num = m*s_dd -
+    s_d^2`` and ``var_num = m*s_d2 - s_d^2`` — r = cov_num / var_num
+    downstream with one division (both share the same m^2 scale).
+
+    Plan: one degree hash aggregate, two broadcast-able joins of the
+    edge list against the O(nodes) degree vector, one global
+    aggregate — O(edges), nothing quadratic."""
+    edges = dedup_fuzzy_prefix(spark, sf_dir).select("doc_a", "doc_b")
+    e = edges.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    ).transform(pin)  # feeds deg and the two endpoint joins
+    deg = e.groupBy("u").agg(F.count("*").alias("d"))
+    da = deg.select(F.col("u"), F.col("d").alias("du"))
+    db = deg.select(F.col("u").alias("v"), F.col("d").alias("dv"))
+    ed = e.join(da, "u").join(db, "v").select("du", "dv")
+    m = F.count("*")
+    sd, sd2, sdd = (F.sum("du"), F.sum(F.expr("du * du")),
+                    F.sum(F.expr("du * dv")))
+    return ed.agg(
+        m.cast("long").alias("m2"),
+        sd.cast("long").alias("s_d"),
+        sd2.cast("long").alias("s_d2"),
+        sdd.cast("long").alias("s_dd"),
+        (m * sdd - sd * F.sum("dv")).cast("long").alias("cov_num"),
+        (m * sd2 - sd * sd).cast("long").alias("var_num"),
+    )

@@ -1134,3 +1134,88 @@ def streaming_rolling_median(spark: SparkSession,
         )
         _await(q)
     return spark.read.parquet(out)
+
+
+@register(
+    "streaming_period_over_period",
+    oracle=f"""{_TS_EV_CTE},
+d AS (
+  SELECT event_type, t // 86400000000 AS day, count(*) AS n,
+         CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS sum_centi
+  FROM ev GROUP BY 1, 2)
+SELECT event_type, day * 86400000000 AS day_us,
+       CAST(n AS BIGINT) AS n,
+       sum_centi,
+       CAST(n - lag(n) OVER w AS BIGINT) AS n_delta,
+       CAST(CASE WHEN lag(day) OVER w = day - 1
+                 THEN n - lag(n) OVER w END AS BIGINT) AS n_delta_dod
+FROM d
+WINDOW w AS (PARTITION BY event_type ORDER BY day)
+""",
+    tags=("streaming", "window"),
+    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def streaming_period_over_period(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The period-over-period grid maintained INCREMENTALLY: the
+    (event_type, day) counts/sums are additive, so a complete-mode
+    streaming aggregate folds each micro-batch into the running grid
+    (the only event-scale state — |types| x |days| rows), and the
+    observed-vs-calendar lag comparison is the DASHBOARD READ over
+    that tiny relation (like streaming_hdr_quantiles' cumulative
+    walk: not state, not streamed).  Same oracle as the batch
+    ts_period_over_period; two-micro-batch delivery."""
+    from rados_timestore_spark.queries_common import event_us, load
+    from pyspark.sql import Window
+
+    ev0 = load(spark, sf_dir, "events")
+    ev = ev0.select(
+        "event_id", "event_type",
+        event_us(ev0).alias("t"),
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .alias("v"),
+    )
+    work = stream_workdir(spark, "ts_stream_pop_")
+    src = f"{work}/src"
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(src)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    name = f"pop_sink_{next(_POP_SINK_IDS)}"
+    with _few_state_partitions(spark):
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        grid = stream.groupBy(
+            "event_type", F.expr("t div 86400000000").alias("day")
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum("v").cast("long").alias("sum_centi"),
+        )
+        q = (
+            grid.writeStream.format("memory").queryName(name)
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        _await(q)
+    pdf = spark.table(name).toPandas()
+    spark.catalog.dropTempView(name)
+    d = spark.createDataFrame(
+        pdf, schema="event_type string, day long, n long, sum_centi long")
+    w = Window.partitionBy("event_type").orderBy("day")
+    lag_n, lag_day = F.lag("n").over(w), F.lag("day").over(w)
+    return d.select(
+        "event_type",
+        (F.col("day") * 86400000000).cast("long").alias("day_us"),
+        F.col("n").cast("long").alias("n"),
+        "sum_centi",
+        (F.col("n") - lag_n).cast("long").alias("n_delta"),
+        F.when(lag_day == F.col("day") - 1, F.col("n") - lag_n)
+        .cast("long").alias("n_delta_dod"),
+    )
+
+
+import itertools as _itertools  # noqa: E402
+
+_POP_SINK_IDS = _itertools.count()

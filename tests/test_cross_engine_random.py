@@ -65,6 +65,9 @@ DOC_QUERIES = [
     # late r9: random small-vocab corpora produce accidental shared
     # winnow fingerprints, probing the df cap + threshold boundary
     "dedup_winnow_pairs",
+    # late r9: random degree structure probes the assortativity
+    # numerator identities (symmetrized marginals coincide)
+    "graph_assortativity",
 ]
 EVENT_QUERIES = [
     "ts_rollup_hourly", "ts_value_histogram", "ts_ohlc_hourly",

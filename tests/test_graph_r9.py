@@ -213,3 +213,23 @@ def test_modularity_fixture_invariants(spark):
     # Q = sum(q_num) / 4m^2 is a valid modularity (-0.5 <= Q <= 1)
     q = out["q_num_x4m2"].sum() / (4 * m * m)
     assert -0.5 <= q <= 1.0
+
+
+def test_assortativity_identities(spark, tmp_path):
+    # symmetrized edge list: sum(du) == sum(dv) (coinciding
+    # marginals), m2 == 2*undirected edges, var_num >= 0, and on the
+    # gadget the exact numerators are hand-checkable: path degrees
+    # (1,2,1), triangle degrees (2,2,2)
+    from rados_timestore_spark.queries_dedup import graph_assortativity
+
+    sf = _corpus(tmp_path, _PATH_TRIANGLE)
+    r = graph_assortativity(spark, sf).collect()[0]
+    assert r.m2 == 10  # 5 undirected edges, both orientations
+    # directed endpoint degrees: path edges contribute (1,2),(2,1),
+    # (2,1),(1,2); triangle edges all (2,2) x6
+    assert r.s_d == 1 + 2 + 2 + 1 + 12
+    assert r.s_d2 == 1 + 4 + 4 + 1 + 24
+    assert r.s_dd == 2 + 2 + 2 + 2 + 24
+    assert r.cov_num == r.m2 * r.s_dd - r.s_d * r.s_d
+    assert r.var_num == r.m2 * r.s_d2 - r.s_d * r.s_d
+    assert r.var_num >= 0

@@ -161,6 +161,8 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "graph_modularity",
     "dedup_winnow_pairs",
     "ts_period_over_period",
+    "streaming_period_over_period",
+    "graph_assortativity",
 }
 
 
