@@ -539,7 +539,7 @@ SELECT address | 1 AS key, md5(payload_str) AS value_md5 FROM (
 WHERE rn = 1
 """,
     tags=("M2", "M4"),
-    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=110,  # r9 carve-out overflow (window exactly full: 24 bench + 26 r10 promotions); rotate in r11 — pinned by EXPECTED_CARVEOUT_BACKLOG
 )
 def ts_kv_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KV retraction end-to-end: bulk-insert the latest value per
@@ -687,7 +687,7 @@ WHERE address % 2 = 0 AND time < {T_JAN10}
   AND time // {US_PER_DAY} >= {T_JAN05 // US_PER_DAY}
 """,
     tags=("R1", "S5"),
-    priority=60,  # promoted in r9: first driver evidence for the r8 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r10 after r9 driver green, to rotate the r9 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def ts_ttl_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TTL retention by epoch drop (:meth:`TimeStore.expire`): build

@@ -1256,7 +1256,7 @@ SELECT n AS doc_id, CAST(count(*) AS BIGINT) AS triangles
 FROM nodes GROUP BY n
 """,
     tags=("dedup", "graph"),
-    priority=60,  # promoted in r9: first driver evidence for the r8 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r10 after r9 driver green, to rotate the r9 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts over the fuzzy-match similarity graph
@@ -1352,7 +1352,7 @@ SELECT f.node AS doc_id, CAST(f.d AS BIGINT) AS core_deg,
 FROM dfin f
 """,
     tags=("dedup", "graph"),
-    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """{k}-core decomposition over the fuzzy-match similarity graph
@@ -1446,7 +1446,7 @@ SELECT ne.a AS doc_a, ne.b AS doc_b,
 FROM ne JOIN deg da ON da.u = ne.a JOIN deg db ON db.u = ne.b
 """,
     tags=("dedup", "graph"),
-    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-neighbor link prediction (Liben-Nowell & Kleinberg
@@ -1547,7 +1547,7 @@ SELECT a.node AS doc_id, a.label AS community,
 FROM l{_LPA_ITERS} a JOIN sz ON sz.label = a.label
 """,
     tags=("dedup", "graph"),
-    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan
@@ -1649,7 +1649,7 @@ SELECT doc_id, start_pos, span_tokens
 FROM sp WHERE span_tokens >= {_SUBSTR_MIN}
 """,
     tags=("dedup", "text"),
-    priority=65,  # new in r9 — promoted for first driver evidence (text_lang_id refresh demoted in exchange)
+    priority=900,  # demoted in r10 after r9 driver green, to rotate the r9 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT substring deduplication — maximal cross-document
@@ -1784,7 +1784,7 @@ FROM ws LEFT JOIN (
 WHERE len(ws.w) - coalesce(k.n_kept, 0) > 0
 """,
     tags=("dedup", "text"),
-    priority=65,  # new in r9 — promoted for first driver evidence (streaming_dedup_replay refresh demoted in exchange)
+    priority=900,  # demoted in r10 after r9 driver green, to rotate the r9 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPLY exact substring dedup — the second half of the Lee et al.
@@ -1920,7 +1920,7 @@ SELECT a.node, CAST(a.dist AS BIGINT) AS hops,
 FROM d{_BFS_ITERS} a
 """,
     tags=("dedup", "graph"),
-    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-source BFS / unweighted shortest path — hop distance
@@ -2007,7 +2007,7 @@ SELECT d.community,
 FROM dsum d LEFT JOIN intra i ON i.community = d.community, mm
 """,
     tags=("dedup", "graph"),
-    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman modularity of the label-propagation communities — the
@@ -2084,7 +2084,7 @@ SELECT CAST(count(*) AS BIGINT) AS m2,
 FROM ed
 """,
     tags=("dedup", "graph"),
-    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity (Newman 2002) of the similarity graph —

@@ -485,7 +485,7 @@ SELECT doc_id, CAST(54 + stride * h AS BIGINT) AS n_bytes,
 FROM r
 """,
     tags=("multimodal",),
-    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def mm_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL BMP decode end to end — the third raster container after
@@ -912,7 +912,7 @@ SELECT doc_id, CAST(ch AS INT) AS channels,
 FROM t
 """,
     tags=("multimodal",),
-    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def mm_wav_zero_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-crossing rate over REAL decoded PCM — with energy (RMS),
@@ -1033,7 +1033,7 @@ SELECT doc_id, CAST(ch AS INT) AS channels,
 FROM t
 """,
     tags=("multimodal",),
-    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def mm_wav_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lag-1 autocorrelation over REAL decoded PCM — the third frame
@@ -1513,7 +1513,7 @@ WITH {_ahash_cte_sql(_AHASH_G)}
 SELECT doc_id, width, height, ahash FROM hashes
 """,
     tags=("multimodal", "dedup"),
-    priority=60,  # promoted in r9: first driver evidence for the r8 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r10 after r9 driver green, to rotate the r9 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual average-hash over REAL image decode — the image-side
@@ -1616,7 +1616,7 @@ FROM cand
 WHERE bit_count(xor(ha, hb)) <= {_AHASH_MAX_HD}
 """,
     tags=("multimodal", "dedup"),
-    priority=60,  # promoted in r9: first driver evidence for the r8 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r10 after r9 driver green, to rotate the r9 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def mm_ahash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IMAGE near-duplicate pairs by banded Hamming blocking over the
@@ -1931,7 +1931,7 @@ SELECT doc_id, CAST(w * h AS BIGINT) AS n_pixels,
 FROM idx
 """,
     tags=("multimodal",),
-    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def mm_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GIF decode end to end — the fourth raster container

@@ -356,7 +356,7 @@ SELECT query_id, neighbor_id, cos FROM scored
 WHERE cos * 100 >= {_RANGE_TAU100}
 """,
     tags=("similarity",),
-    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range search — ALL neighbors above a similarity floor, not a
@@ -2190,7 +2190,7 @@ SELECT doc_id, rrf, lex_rank, vec_rank
 FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
 """,
     tags=("similarity", "retrieval"),
-    priority=60,  # promoted in r9: first driver evidence for the r8 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r10 after r9 driver green, to rotate the r9 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval by Reciprocal Rank Fusion (Cormack et al.
@@ -2315,7 +2315,7 @@ UNION ALL SELECT 2, vec_id, rel, score FROM s2
 UNION ALL SELECT 3, vec_id, rel, score FROM s3
 """,
     tags=("similarity", "curation"),
-    priority=60,  # promoted in r9: first driver evidence for the r8 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r10 after r9 driver green, to rotate the r9 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def sim_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy diversity selection by Maximal Marginal Relevance
@@ -2415,7 +2415,7 @@ SELECT label, CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
 FROM q
 """,
     tags=("similarity", "ml"),
-    priority=60,  # promoted in r9: first driver evidence for the r8 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r10 after r9 driver green, to rotate the r9 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding DRIFT monitoring: per-label L2 distance between the
@@ -2586,7 +2586,7 @@ WITH {_ivf_ctes(f"vec_id % 2 = 0 AND vec_id < {2 * _N_CENTROIDS}")}
 SELECT query_id, neighbor_id, cos, rank FROM ivf_top
 """,
     tags=("similarity", "ann", "index"),
-    priority=65,  # new in r9 — promoted for first driver evidence (tpch_q12 refresh demoted in exchange)
+    priority=900,  # demoted in r10 after r9 driver green, to rotate the r9 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def sim_vecidx_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest against a persisted index: build over the
@@ -2606,7 +2606,7 @@ def sim_vecidx_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_vecidx_probe_filtered",
     oracle=_IVF_FILTERED_ORACLE,
     tags=("similarity", "ann", "index", "filtered"),
-    priority=65,  # new in r9 — promoted for first driver evidence (mm_resize r3-refresh demoted in exchange; first-evidence outranks refresh per registry policy)
+    priority=900,  # demoted in r10 after r9 driver green, to rotate the r9 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def sim_vecidx_probe_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered search against the PERSISTED index: the label column
@@ -2632,7 +2632,7 @@ WITH {_ivf_ctes(assign_pred="vec_id % 7 <> 5")}
 SELECT query_id, neighbor_id, cos, rank FROM ivf_top
 """,
     tags=("similarity", "ann", "index"),
-    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def sim_vecidx_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retraction against the persisted index: build the full index,
@@ -2716,7 +2716,7 @@ WITH {_vidxpq_ctes(5)}
 SELECT query_id, neighbor_id, approx_d2, rank FROM vpq_top
 """,
     tags=("similarity", "ann", "index"),
-    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def sim_vecidxpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC probe against PERSISTED PQ codes — the compressed
@@ -2754,7 +2754,7 @@ vrr_top AS (
 SELECT query_id, neighbor_id, cos, rank FROM vrr_top
 """,
     tags=("similarity", "ann", "index"),
-    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def sim_vecidxpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC-R against the persisted index: the code-column scan
@@ -2774,7 +2774,7 @@ def sim_vecidxpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_vecidxpq_recall",
     oracle=_recall_sql(_vidxpq_ctes(5, "vpq_top"), "vpq_top"),
     tags=("similarity", "ann", "index"),
-    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def sim_vecidxpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the persisted-codes ADC probe against exact brute
@@ -2848,7 +2848,7 @@ WITH {_vidxpqr_ctes(5)}
 SELECT query_id, neighbor_id, approx_d2, rank FROM vpqr_top
 """,
     tags=("similarity", "ann", "index"),
-    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def sim_vecidxpq_residual_probe(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
@@ -2873,7 +2873,7 @@ def sim_vecidxpq_residual_probe(spark: SparkSession,
     "sim_vecidxpq_residual_recall",
     oracle=_recall_sql(_vidxpqr_ctes(5, "vpqr_top"), "vpqr_top"),
     tags=("similarity", "ann", "index"),
-    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def sim_vecidxpq_residual_recall(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:

@@ -630,7 +630,7 @@ FROM cum GROUP BY event_type
     "sketch_hdr_quantiles",
     oracle=_HDR_ORACLE_SQL,
     tags=("sketch", "timeseries"),
-    priority=60,  # promoted in r9: first driver evidence for the r8 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r10 after r9 driver green, to rotate the r9 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def sketch_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable log-bucketed quantile histogram (the HDR-histogram /
@@ -704,7 +704,7 @@ def _hdr_quantiles(h: DataFrame) -> DataFrame:
     "streaming_hdr_quantiles",
     oracle=_HDR_ORACLE_SQL,
     tags=("sketch", "streaming"),
-    priority=60,  # promoted in r9: first driver evidence for the r8 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r10 after r9 driver green, to rotate the r9 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def streaming_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The HDR quantile histogram maintained INCREMENTALLY by a real
@@ -794,7 +794,7 @@ SELECT ex.day, ex.n_exact, s.n_registers, s.s_scaled,
 FROM ex JOIN s ON s.day = ex.day
 """,
     tags=("sketch", "timeseries", "streaming"),
-    priority=60,  # promoted in r9: first driver evidence for the r8 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r10 after r9 driver green, to rotate the r9 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def sketch_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users PER DAY by HyperLogLog, next to the exact count —
@@ -887,7 +887,7 @@ SELECT CAST(na AS BIGINT) AS n_exact_a, CAST(nb AS BIGINT) AS n_exact_b,
 FROM exact, kth, common
 """,
     tags=("sketch", "timeseries"),
-    priority=60,  # promoted in r9: first driver evidence for the r8 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r10 after r9 driver green, to rotate the r9 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SET-OPERATION estimates from KMV sketches (the theta-sketch
@@ -976,7 +976,7 @@ SELECT event_type,
 FROM ev GROUP BY event_type
 """,
     tags=("sketch",),
-    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=110,  # r9 carve-out overflow (window exactly full: 24 bench + 26 r10 promotions); rotate in r11 — pinned by EXPECTED_CARVEOUT_BACKLOG
 )
 def sketch_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moment sketch (Gan et al., VLDB 2018 — the moments-based
@@ -1038,7 +1038,7 @@ SELECT event_type,
 FROM ev GROUP BY event_type
 """,
     tags=("sketch", "streaming"),
-    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def streaming_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The moment sketch maintained INCREMENTALLY by a real

@@ -139,7 +139,7 @@ WHERE t // {_US_PER_DAY} BETWEEN {_DAY_LO} AND {_DAY_HI}
 GROUP BY 1, 2
 """,
     tags=("sources",),
-    priority=60,  # promoted in r9: first driver evidence for the r8 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r10 after r9 driver green, to rotate the r9 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def src_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-partitioned dataset round-trip with PARTITION PRUNING:
@@ -194,7 +194,7 @@ FROM (
 GROUP BY address
 """,
     tags=("sources",),
-    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-evolution ingest certificate: an early batch lands

@@ -916,7 +916,7 @@ FROM agg, wm
 WHERE end_us <= watermark
 """,
     tags=("streaming", "window"),
-    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def streaming_interval_coalesce(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
@@ -992,7 +992,7 @@ FROM x
 WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
 """,
     tags=("streaming", "window"),
-    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dyadic EWMA end to end (windows.stream_ewma), with
@@ -1075,7 +1075,7 @@ SELECT event_id, user_id, t, n_win,
 FROM fr
 """,
     tags=("streaming", "window"),
-    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def streaming_rolling_median(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
@@ -1154,7 +1154,7 @@ FROM d
 WINDOW w AS (PARTITION BY event_type ORDER BY day)
 """,
     tags=("streaming", "window"),
-    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def streaming_period_over_period(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:

@@ -202,7 +202,7 @@ SELECT doc_id,
 FROM documents
 """,
     tags=("text",),
-    priority=70,  # re-promoted in r9: oldest driver evidence in the registry (r3-green) — refresh rotation per registry policy
+    priority=900,  # demoted in r10 after r9 driver green, to rotate the r9 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: 60-bit integer fingerprint from the
@@ -1479,7 +1479,7 @@ FROM ov o JOIN sz sa ON sa.source = o.src_a
           JOIN sz sb ON sb.source = o.src_b
 """,
     tags=("text", "analytics"),
-    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source vocabulary overlap — the source-level
@@ -1558,7 +1558,7 @@ FROM p JOIN szs sa ON sa.doc_id = p.doc_a
        JOIN szs sb ON sb.doc_id = p.doc_b
 """,
     tags=("text", "dedup"),
-    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
 )
 def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing near-dup pair mining (the MOSS report): documents

@@ -119,7 +119,7 @@ JOIN (SELECT * FROM ev WHERE event_type = 'error') e
 GROUP BY p.event_id
 """,
     tags=("timeseries", "join"),
-    priority=70,  # re-promoted in r9: oldest driver evidence in the registry (r3-green) — refresh rotation per registry policy
+    priority=900,  # demoted in r10 after r9 driver green, to rotate the r9 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def ts_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (interval) join: errors within ±5 min of each purchase by
@@ -211,7 +211,7 @@ SELECT user_id, session_no, count(*) AS n_events,
 FROM sessions GROUP BY user_id, session_no
 """,
     tags=("timeseries", "window"),
-    priority=70,  # re-promoted in r9: oldest driver evidence in the registry (r3-green) — refresh rotation per registry policy
+    priority=900,  # demoted in r10 after r9 driver green, to rotate the r9 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization with a 30-minute inactivity gap: lag marks
@@ -252,7 +252,7 @@ SELECT user_id, event_id, t, rk FROM (
 WHERE rk <= 3
 """,
     tags=("timeseries", "window"),
-    priority=70,  # re-promoted in r9: oldest driver evidence in the registry (r3-green) — refresh rotation per registry policy
+    priority=900,  # demoted in r10 after r9 driver green, to rotate the r9 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def ts_topk_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series top-k: the highest-value events per user — one
@@ -333,7 +333,7 @@ SELECT h.hour, COALESCE(a.n, 0) AS n,
 FROM hours h LEFT JOIN agg a ON h.hour = a.hour
 """,
     tags=("timeseries",),
-    priority=70,  # re-promoted in r9: oldest driver evidence in the registry (r3-green) — refresh rotation per registry policy
+    priority=900,  # demoted in r10 after r9 driver green, to rotate the r9 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap filling: generate the dense hour spine between min and max
@@ -372,7 +372,7 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """,
     tags=("timeseries", "agg"),
-    priority=70,  # re-promoted in r9: oldest driver evidence in the registry (r3-green) — refresh rotation per registry policy
+    priority=900,  # demoted in r10 after r9 driver green, to rotate the r9 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def ts_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per event type: Spark
@@ -1194,7 +1194,7 @@ SELECT t // 86400000000 AS day, event_type, count(*) AS n,
 FROM ev GROUP BY 1, 2
 """,
     tags=("timeseries", "agg"),
-    priority=60,  # promoted in r9: first driver evidence for the r8 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r10 after r9 driver green, to rotate the r9 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def ts_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup REUSE: the daily aggregate is computed FROM
@@ -1264,7 +1264,7 @@ SELECT user_id, h * 3600000000 AS hour_us, n,
 FROM nb
 """,
     tags=("timeseries",),
-    priority=60,  # promoted in r9: first driver evidence for the r8 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r10 after r9 driver green, to rotate the r9 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap fill by LINEAR INTERPOLATION — the ``interpolate()`` sibling
@@ -1329,7 +1329,7 @@ SELECT user_id, count(*) AS n,
 FROM lat GROUP BY user_id
 """,
     tags=("timeseries", "streaming"),
-    priority=60,  # promoted in r9: first driver evidence for the r8 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r10 after r9 driver green, to rotate the r9 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def ts_ooo_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-of-order-arrival profile — the WATERMARK-SIZING report:
@@ -1385,7 +1385,7 @@ SELECT user_id, count(*) AS n,
 FROM d GROUP BY user_id
 """,
     tags=("timeseries",),
-    priority=60,  # promoted in r9: first driver evidence for the r8 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r10 after r9 driver green, to rotate the r9 carve-out batch into the window (verified locally by tools/check_correctness.py)
 )
 def ts_heartbeat_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heartbeat/outage detection: per series, inter-event gaps in
@@ -1452,7 +1452,7 @@ SELECT user_id, h * 86400000000 AS day_us, t AS t_sel,
 FROM pick WHERE rn = 1
 """,
     tags=("timeseries", "agg"),
-    priority=110,  # new late-r9 (window already full of this round's promotions); local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=110,  # r9 carve-out overflow (window exactly full: 24 bench + 26 r10 promotions); rotate in r11 — pinned by EXPECTED_CARVEOUT_BACKLOG
 )
 def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LTTB-style downsampling (Steinarsson 2013, Largest-Triangle-
@@ -1572,7 +1572,7 @@ SELECT user_id, CAST(n AS BIGINT) AS n, t AS t_cp,
 FROM pick WHERE rn = 1
 """,
     tags=("timeseries", "analytics"),
-    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=110,  # r9 carve-out overflow (window exactly full: 24 bench + 26 r10 promotions); rotate in r11 — pinned by EXPECTED_CARVEOUT_BACKLOG
 )
 def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offline CUSUM changepoint detection per series (Page 1954 /
@@ -1670,7 +1670,7 @@ SELECT user_id, CAST(hod AS BIGINT) AS hod, CAST(n AS BIGINT) AS n,
 FROM pick WHERE rn = 1
 """,
     tags=("timeseries", "analytics"),
-    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=110,  # r9 carve-out overflow (window exactly full: 24 bench + 26 r10 promotions); rotate in r11 — pinned by EXPECTED_CARVEOUT_BACKLOG
 )
 def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-of-day seasonal profile with peak-residual detection —
@@ -1734,7 +1734,7 @@ SELECT dau.day * 86400000000 AS day_us,
 FROM dau JOIN wau ON wau.day = dau.day
 """,
     tags=("timeseries", "analytics"),
-    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=110,  # r9 carve-out overflow (window exactly full: 24 bench + 26 r10 promotions); rotate in r11 — pinned by EXPECTED_CARVEOUT_BACKLOG
 )
 def ts_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT rolling engagement counts — per active day, the distinct
@@ -1798,7 +1798,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY t
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 """,
     tags=("timeseries", "window"),
-    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=110,  # r9 carve-out overflow (window exactly full: 24 bench + 26 r10 promotions); rotate in r11 — pinned by EXPECTED_CARVEOUT_BACKLOG
 )
 def ts_rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling volatility / control-chart statistic: per event, the
@@ -1861,7 +1861,7 @@ SELECT user_id, island_no, count(*) AS n_intervals,
 FROM isl GROUP BY user_id, island_no
 """,
     tags=("timeseries", "window"),
-    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=110,  # r9 carve-out overflow (window exactly full: 24 bench + 26 r10 promotions); rotate in r11 — pinned by EXPECTED_CARVEOUT_BACKLOG
 )
 def ts_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge overlapping intervals per series — the maintenance-
@@ -1935,7 +1935,7 @@ FROM x
 WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
 """,
     tags=("timeseries", "window"),
-    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=110,  # r9 carve-out overflow (window exactly full: 24 bench + 26 r10 promotions); rotate in r11 — pinned by EXPECTED_CARVEOUT_BACKLOG
 )
 def ts_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average per series — the classic
@@ -1994,7 +1994,7 @@ SELECT event_id, user_id, t, n_win,
 FROM fr
 """,
     tags=("timeseries", "window"),
-    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=110,  # r9 carve-out overflow (window exactly full: 24 bench + 26 r10 promotions); rotate in r11 — pinned by EXPECTED_CARVEOUT_BACKLOG
 )
 def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling median over the trailing 7 observations per series —
@@ -2056,7 +2056,7 @@ FROM d
 WINDOW w AS (PARTITION BY event_type ORDER BY day)
 """,
     tags=("timeseries", "window"),
-    priority=110,  # new late-r9; local-green; rotate in r10 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=110,  # r9 carve-out overflow (window exactly full: 24 bench + 26 r10 promotions); rotate in r11 — pinned by EXPECTED_CARVEOUT_BACKLOG
 )
 def ts_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Period-over-period comparison — the dashboard staple: per

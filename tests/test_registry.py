@@ -76,34 +76,27 @@ def test_bench_set_nonempty():
 # window) — membership drift must fail loudly, so any intentional
 # rotation edits this set in the same commit.
 EXPECTED_WINDOW = {
-    # r9 rotation part 1 (p=60): the 16 r8 carve-out queries, promoted
-    # for their FIRST driver evidence; the 27 r8-green incumbents were
-    # demoted in exchange (VERDICT r8 "Next round" #1)
-    "ts_ttl_expire", "src_partitioned_roundtrip", "sim_rrf_fusion",
-    "sketch_hdr_quantiles", "streaming_hdr_quantiles",
-    "graph_triangle_count", "ts_rollup_cascade", "sim_mmr_select",
-    "mm_image_ahash", "mm_ahash_neardup_pairs",
-    "ts_gapfill_interpolate", "sketch_hll_daily_users",
-    "sketch_kmv_set_ops", "ts_ooo_lateness", "sim_centroid_drift",
-    "ts_heartbeat_gaps",
-    # r9 part 2 (p=70): oldest-evidence refresh — the r3-green family,
-    # now the oldest driver evidence in the registry (mm_resize was
-    # swapped back out for sim_vecidx_probe_filtered; first-evidence
-    # outranks refresh)
-    "ts_range_join", "ts_sessionize", "ts_topk_per_series",
-    "ts_gap_fill", "ts_value_percentiles", "text_fingerprint",
-    # r9 part 3 (p=65): NEW registrations — persisted vector index
-    # build/probe/append and exact substring dedup detect+scrub —
-    # promoted for first driver evidence; the four r4-green p=75
-    # refreshes initially seated here (ts_kv_roundtrip,
-    # tpch_q12_late_shipments, text_lang_id, streaming_dedup_replay)
-    # were swapped back out one-for-one as each new query registered
-    "sim_vecidx_probe", "sim_vecidx_append_probe",
-    "sim_vecidx_probe_filtered",
-    "dedup_substring_spans", "dedup_substring_scrub",
+    # r10 rotation (p=60): 26 of the 37 never-driver-checked r9
+    # queries, promoted for their FIRST driver evidence (VERDICT r9
+    # "Next round" #1); the 26 r9-green incumbents were demoted in
+    # exchange.  The 11-query overflow (the batch ts smoothers +
+    # sketch_moments, the lowest-risk pure-window-function set) stays
+    # in EXPECTED_CARVEOUT_BACKLOG for r11.
+    "graph_kcore", "graph_jaccard_neighbors", "graph_label_propagation",
+    "graph_bfs_hops", "graph_modularity", "graph_assortativity",
+    "streaming_interval_coalesce", "streaming_ewma",
+    "streaming_rolling_median", "streaming_period_over_period",
+    "streaming_moments",
+    "sim_vecidxpq_probe", "sim_vecidxpq_rerank", "sim_vecidxpq_recall",
+    "sim_vecidxpq_residual_probe", "sim_vecidxpq_residual_recall",
+    "sim_vecidx_delete_probe", "sim_range_search",
+    "mm_decode_bmp", "mm_decode_gif", "mm_wav_zero_crossings",
+    "mm_wav_autocorr",
+    "text_source_overlap", "dedup_winnow_pairs",
+    "pipeline_curated_packing", "src_schema_evolution",
     # the bench/headline set (must always be driver-visible)
     "ts_bulk_backfill", "text_winnow_fingerprint", "sim_ivf_kmeans",
-    "sim_pq_ann", "sim_ivfpq_ann",
+    "sim_pq_ann", "sim_ivfpq_ann", "sim_vecidx_probe",
     "ts_read_simple", "ts_dedup_first_wins", "ts_latest_per_key",
     "ts_store_roundtrip", "ts_asof_join", "ts_rollup_hourly",
     "text_stats", "text_word_freq", "dedup_exact", "dedup_ngram_jaccard",
@@ -119,50 +112,25 @@ EXPECTED_WINDOW = {
 # registry test asserting no query stays past the window for more than
 # one round") — any name added here is a standing debt that the next
 # round's rotation has to clear.
-# r9 rotation cleared the whole 16-query r8 backlog (all promoted to
-# p=60 for first driver evidence).  Only same-round NEW registrations
-# may appear here; each MUST be rotated into the driver window in r10.
+# r10 rotation promoted 26 of the 37-query r9 backlog (p=60, first
+# driver evidence); the window is exactly full (24 bench + 26), so the
+# 11 lowest-risk queries below — plain window-function batch smoothers
+# and one sketch, all local-green at sf0.01 AND sf0.1 — overflow to
+# r11.  Only overflow + same-round NEW registrations may appear here;
+# each MUST be rotated into the driver window in r11.
 EXPECTED_CARVEOUT_BACKLOG: set[str] = {
-    # NEW late-r9 (registered after the r9 window filled with this
-    # round's 21 promotions) — rotate into the r10 window for first
-    # driver evidence
+    # r9 carve-out overflow — rotate into the r11 window
     "ts_lttb_downsample",
     "ts_cusum_changepoint",
     "ts_seasonal_baseline",
-    "graph_kcore",
-    "graph_jaccard_neighbors",
-    "sim_vecidx_delete_probe",
-    "sim_range_search",
     "ts_rolling_active_users",
-    "mm_wav_zero_crossings",
     "ts_rolling_volatility",
-    "sim_vecidxpq_probe",
-    "sim_vecidxpq_rerank",
-    "mm_wav_autocorr",
-    "graph_label_propagation",
     "ts_interval_coalesce",
-    "pipeline_curated_packing",
-    "streaming_interval_coalesce",
-    "sim_vecidxpq_recall",
-    "mm_decode_bmp",
     "ts_ewma_smooth",
     "ts_rolling_median",
-    "sim_vecidxpq_residual_probe",
-    "sim_vecidxpq_residual_recall",
-    "streaming_ewma",
-    "graph_bfs_hops",
-    "mm_decode_gif",
-    "streaming_rolling_median",
-    "src_schema_evolution",
-    "sketch_moments",
-    "streaming_moments",
-    "ts_kv_tombstone",
-    "text_source_overlap",
-    "graph_modularity",
-    "dedup_winnow_pairs",
     "ts_period_over_period",
-    "streaming_period_over_period",
-    "graph_assortativity",
+    "ts_kv_tombstone",
+    "sketch_moments",
 }
 
 
