@@ -185,10 +185,16 @@ class HadoopFS:
     def delete(self, p: str, recursive: bool = True) -> bool:
         return bool(self.fs.delete(self._path(p), recursive))
 
-    def promote_dir_tree(self, stage: str, dest: str) -> int:
+    def promote_dir_tree(self, stage: str, dest: str,
+                         prefix: str = "") -> int:
         """Move every DATA file under ``stage`` into ``dest``,
         preserving relative directory layout (hidden ``_``/``.``
         entries like _SUCCESS are skipped); returns the move count.
+        ``prefix`` is prepended to each promoted file's BASENAME —
+        callers use a per-batch tag so a failed half-promote can be
+        swept back out by :meth:`sweep_files` (ADVICE r9: without it,
+        a promote that dies partway leaves orphan rows the caller's
+        retry double-counts).
 
         This is how a partitioned batch is APPENDED concurrently:
         ``df.write.mode("append")`` into a shared directory funnels
@@ -213,6 +219,11 @@ class HadoopFS:
             if f.getName().startswith(("_", ".")):
                 continue
             rel = f.toString()[len(stage_q) + 1:]
+            if prefix and "/" in rel:
+                head, base = rel.rsplit("/", 1)
+                rel = f"{head}/{prefix}{base}"
+            elif prefix:
+                rel = prefix + rel
             target = f"{dest_q}/{rel}"
             parent = target.rsplit("/", 1)[0]
             if parent not in made_dirs:
@@ -223,6 +234,25 @@ class HadoopFS:
                     f"promote_dir_tree: rename failed {f} -> {target}")
             moved += 1
         return moved
+
+    def sweep_files(self, dest: str, prefix: str) -> int:
+        """Delete every file under ``dest`` whose basename starts with
+        ``prefix``; returns the delete count.  The undo of a partial
+        :meth:`promote_dir_tree` — the caller's per-batch prefix makes
+        the sweep exact (only THIS batch's files match), so a retry of
+        the whole batch cannot double-count the half-promoted rows."""
+        if not prefix:
+            raise ValueError("sweep_files requires a non-empty prefix")
+        if not self.is_dir(dest):
+            return 0
+        swept = 0
+        it = self.fs.listFiles(self._path(dest), True)
+        while it.hasNext():
+            f = it.next().getPath()
+            if f.getName().startswith(prefix):
+                self.fs.delete(f, False)
+                swept += 1
+        return swept
 
 
 class SimulatedCrash(Exception):

@@ -83,8 +83,12 @@ class MutableKV:
         mutates files), exactly like every LSM/KV delete."""
         addr = self._key(key)
         cur = self._lookup_versioned(addr)
-        if cur is None:
-            return  # deleting an absent key is a no-op
+        if cur is None or cur[0] is None:
+            # Absent key OR head already a tombstone: no-op.  Without
+            # the second check a replayed takedown list appends one
+            # more tombstone per replay and dead chains grow without
+            # bound between vacuums (ADVICE r9).
+            return
         df = self.store.spark.createDataFrame(
             [(addr, cur[1] + 1, None)],
             "address long, time long, payload binary",
@@ -95,11 +99,14 @@ class MutableKV:
         """Tombstone many keys in ONE pass (the takedown-list shape —
         per-key :meth:`delete` would be a driver loop): join the key
         list against the current version vector, append one
-        NULL-payload tombstone above each EXISTING chain (absent keys
-        are no-ops, same as delete).  ``keys``: a (key long) frame."""
+        NULL-payload tombstone above each EXISTING chain (absent and
+        already-tombstoned keys are no-ops, same as delete — replayed
+        takedown lists must not grow dead chains, ADVICE r9).
+        ``keys``: a (key long) frame."""
         k = keys.select(
             F.col("key").bitwiseOR(F.lit(1)).alias("key")).distinct()
-        cur = self.enumerate_versions().join(k, "key")
+        cur = (self.enumerate_versions().join(k, "key")
+               .filter(F.col("payload").isNotNull()))
         tomb = cur.select(
             F.col("key").alias("address"),
             (F.col("time") + 1).alias("time"),
@@ -107,30 +114,66 @@ class MutableKV:
         )
         self.store.write_points(self.ns, tomb)
 
-    def vacuum(self) -> None:
-        """Compact the KV at rest: rewrite the shadow namespace
-        keeping ONLY each key's winning version (highest version,
-        lowest seq — the exact :meth:`lookup` rule) and dropping
-        tombstoned chains entirely.  Read results are invariant
-        (reads resolve latest-per-key on the fly either way); what
-        changes is the at-rest cost — a hot key's thousand dead
-        versions stop being scanned and stored.  Rides the store's
-        generation-flip rewrite (staging dir + atomic meta pointer
-        flip + txn CAS), so it is crash-safe and serializes with
-        writers like compact/expire."""
+    def vacuum(self, merge: Callable[[bytes, bytes], bytes] | None = None,
+               ) -> None:
+        """Compact the KV at rest, dropping tombstoned chains entirely.
+        Rides the store's generation-flip rewrite (staging dir + atomic
+        meta pointer flip + txn CAS), so it is crash-safe and
+        serializes with writers like compact/expire.  What changes is
+        the at-rest cost — a hot key's thousand dead versions stop
+        being scanned and stored.  Which reads stay invariant depends
+        on how the chains below the head are interpreted, and the two
+        read APIs disagree (ADVICE r9), so the caller picks:
+
+        * ``merge=None`` (last-write-wins KV): keep ONLY each key's
+          winning version (highest version, lowest seq — the exact
+          :meth:`lookup` rule).  :meth:`lookup`/:meth:`enumerate` are
+          invariant.  :meth:`merge_with` is NOT invariant for chains
+          holding raw unmerged versions (:meth:`insert_bulk` writes
+          those): its fold collapses to just the head value, and the
+          dropped merge inputs are gone for good.
+
+        * ``merge=f`` (fold KV, the :meth:`insert_with`/:meth:`merge_with`
+          discipline): pre-fold each chain oldest→newest through ``f``
+          (exactly :meth:`merge_with`'s fold, tombstones restart it)
+          and keep ONE version carrying the folded value at the head's
+          position.  ``merge_with(f)`` is invariant — the compacted
+          chain folds to the same value, and a later append ``v`` folds
+          to ``f(v, acc)`` exactly as the full chain would have.
+          :meth:`lookup` now returns the folded value too (for raw
+          insert_bulk chains that differs from the pre-vacuum head)."""
         from pyspark.sql import Window
 
-        def keep_latest(df: DataFrame) -> DataFrame:
-            w = Window.partitionBy("address").orderBy(
-                F.desc("time"), F.asc("seq"))
-            return (
-                df.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn")
-                .filter(F.col("payload").isNotNull())
-            )
+        if merge is None:
+            def transform(df: DataFrame) -> DataFrame:
+                w = Window.partitionBy("address").orderBy(
+                    F.desc("time"), F.asc("seq"))
+                return (
+                    df.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn")
+                    .filter(F.col("payload").isNotNull())
+                )
+        else:
+            def transform(df: DataFrame) -> DataFrame:
+                def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+                    pdf = pdf.sort_values(["time", "seq"])
+                    acc: bytes | None = None
+                    for blob in pdf["payload"]:
+                        if blob is None:  # tombstone: chain restarts
+                            acc = None
+                            continue
+                        b = bytes(blob)
+                        acc = b if acc is None else merge(b, acc)
+                    if acc is None:  # deleted / tombstone-only chain
+                        return pdf.iloc[0:0]
+                    head = pdf.iloc[[-1]].copy()
+                    head["payload"] = [acc]
+                    return head
 
-        self.store._rewrite_generation(self.ns, keep_latest)
+                return df.groupBy("address").applyInPandas(fold, df.schema)
+
+        self.store._rewrite_generation(self.ns, transform)
 
     # ----------------------------------------------------------- reads
 

@@ -431,14 +431,26 @@ class TimeStore:
         # sweeps them.
         import uuid as _uuid
 
-        stage = f"{self._ns_dir(ns)}/.stage_{_uuid.uuid4().hex}"
+        batch_tag = _uuid.uuid4().hex
+        stage = f"{self._ns_dir(ns)}/.stage_{batch_tag}"
+        pdir = self._points_dir(ns, meta)
         try:
             (
                 routed.write.mode("overwrite")
                 .partitionBy("epoch", "bucket")
                 .parquet(stage)
             )
-            self.fs.promote_dir_tree(stage, self._points_dir(ns, meta))
+            try:
+                self.fs.promote_dir_tree(stage, pdir, prefix=f"s{batch_tag}-")
+            except BaseException:
+                # A promote that dies partway has already made SOME of
+                # this batch's files live; a caller retry re-writes the
+                # whole batch at fresh seqs and would double-count them
+                # (ADVICE r9).  The per-batch prefix makes the undo
+                # exact: sweep only THIS batch's promoted files, then
+                # raise — the points dir is back to its pre-call state.
+                self.fs.sweep_files(pdir, f"s{batch_tag}-")
+                raise
         finally:
             self.fs.delete(stage, recursive=True)
 

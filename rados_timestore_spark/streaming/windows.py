@@ -766,9 +766,18 @@ def stream_interval_coalesce(
     touching endpoints start a new island (the batch op's closed
     intervals merge them — deviation documented in the registered
     query).  The merged window's end is ``max(t + dur)`` over its
-    members — exactly the coalesced extent."""
+    members — exactly the coalesced extent.
+
+    The gap is clamped to >= 1 second: Spark's dynamic-gap
+    session_window silently FILTERS rows whose gap is non-positive, so
+    a zero-length interval would vanish from the streaming result
+    while the batch twin still counts it (ADVICE r9).  Clamping keeps
+    the twins aligned on degenerate durations (the registered source
+    is always >= 60 s, so the clamp never fires there)."""
     ts = F.timestamp_micros(F.col(time_col)).alias("event_ts")
-    gap = F.concat(F.col(dur_s_col).cast("string"), F.lit(" seconds"))
+    gap = F.concat(
+        F.greatest(F.col(dur_s_col), F.lit(1)).cast("string"),
+        F.lit(" seconds"))
     return (
         events.withColumn("event_ts", ts)
         .withWatermark("event_ts", watermark)

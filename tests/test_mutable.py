@@ -149,3 +149,78 @@ def test_delete_bulk_matches_sequential_deletes(store):
     # resurrect above the bulk tombstone
     kv.insert(0, b"back")
     assert kv.lookup(0) == b"back"
+
+# ------------------------------------------- ADVICE r10 fixes
+
+
+def _chain_len(store, kv, key):
+    from pyspark.sql import functions as F
+
+    pdir = store._points_dir(kv.ns)
+    return (store.spark.read.parquet(pdir)
+            .filter(F.col("address") == (key | 1)).count())
+
+
+def test_delete_is_idempotent_on_tombstoned_head(store):
+    # ADVICE r9: a replayed takedown must not grow the dead chain —
+    # a key whose head is already a tombstone gets no new tombstone.
+    store.register_namespace("PONY", buckets=4)
+    kv = MutableKV(store, "PONY")
+    kv.insert(2, b"a")
+    kv.delete(2)
+    n1 = _chain_len(store, kv, 2)
+    kv.delete(2)
+    kv.delete(2)
+    assert _chain_len(store, kv, 2) == n1
+    assert kv.lookup(2) is None
+    # resurrection still lands above the (single) tombstone
+    kv.insert(2, b"b")
+    assert kv.lookup(2) == b"b"
+
+
+def test_delete_bulk_is_idempotent_on_replay(store):
+    store.register_namespace("PONY", buckets=4)
+    kv = MutableKV(store, "PONY")
+    for k in (0, 2, 4):
+        kv.insert(k, f"v{k}".encode())
+    victims = store.spark.createDataFrame([(0,), (4,)], "key long")
+    kv.delete_bulk(victims)
+    lens = {k: _chain_len(store, kv, k) for k in (0, 4)}
+    kv.delete_bulk(victims)  # replayed takedown list: no-op
+    kv.delete_bulk(victims)
+    assert {k: _chain_len(store, kv, k) for k in (0, 4)} == lens
+    assert kv.lookup(2) == b"v2"
+
+
+def test_vacuum_with_merge_preserves_merge_with(store):
+    # ADVICE r9 (medium): plain vacuum destroys merge inputs for raw
+    # insert_bulk chains; vacuum(merge=f) pre-folds the chain so
+    # merge_with(f) is invariant — before == after — and a later
+    # append folds on top exactly as the full chain would have.
+    mrg = lambda new, old: old + new  # noqa: E731
+    store.register_namespace("PONY", buckets=4)
+    kv = MutableKV(store, "PONY")
+    rows = [(2, b"a"), (2, b"b"), (2, b"c"), (4, b"x"), (4, b"y")]
+    kv.insert_bulk(store.spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in rows], "key long, value binary"))
+    kv.insert(8, b"dead")
+    kv.delete(8)
+    before = {r.key: bytes(r.value) for r in kv.merge_with(mrg).collect()}
+    assert before == {2 | 1: b"abc", 4 | 1: b"xy"}
+
+    kv.vacuum(merge=mrg)
+
+    after = {r.key: bytes(r.value) for r in kv.merge_with(mrg).collect()}
+    assert after == before
+    # chains collapsed to one row each; tombstoned chain gone
+    pdir = store._points_dir(kv.ns)
+    assert store.spark.read.parquet(pdir).count() == 2
+    # lookup now returns the folded value (the documented fold-KV view)
+    assert kv.lookup(2) == b"abc"
+    # a later raw append still folds on top of the compacted value
+    kv.insert_bulk(store.spark.createDataFrame(
+        [(2, bytearray(b"d"))], "key long, value binary"))
+    got = {r.key: bytes(r.value) for r in kv.merge_with(mrg).collect()}
+    assert got[2 | 1] == b"abcd"
+    rep = store.verify(kv.ns)
+    assert rep["ok"], rep

@@ -988,3 +988,87 @@ def test_verify_holds_across_rollover_and_expire(spark, tmp_path):
     store.expire("R", 10_000_000)
     rep = store.verify("R")
     assert rep["ok"] and rep["n_rows"] == 400
+
+
+def test_promote_prefix_and_sweep_files(spark, tmp_path):
+    from rados_timestore_spark.fsutil import HadoopFS
+
+    fs = HadoopFS(spark, str(tmp_path))
+    stage, dest = str(tmp_path / "stage"), str(tmp_path / "dest")
+    df = spark.createDataFrame(
+        [(e, b, e * 10 + b) for e in range(2) for b in range(2)],
+        "epoch long, bucket long, v long",
+    )
+    df.write.partitionBy("epoch", "bucket").parquet(stage)
+    moved = fs.promote_dir_tree(stage, dest, prefix="sbatch1-")
+    import glob
+
+    promoted = glob.glob(f"{dest}/epoch=*/bucket=*/*")
+    assert moved == len(promoted)
+    assert all(p.rsplit("/", 1)[1].startswith("sbatch1-") for p in promoted)
+    assert spark.read.parquet(dest).count() == 4
+    # sweeping an unrelated prefix touches nothing
+    assert fs.sweep_files(dest, "sbatch2-") == 0
+    assert fs.sweep_files(dest, "sbatch1-") == moved
+    assert glob.glob(f"{dest}/epoch=*/bucket=*/*") == []
+
+
+def test_write_points_failed_promote_sweeps_partial_batch(store, spark):
+    """ADVICE r9: a promote that dies partway must not leave a
+    half-promoted batch live (a caller retry would double-count it).
+    Kill the promote after 2 file renames; the points dir must read
+    back exactly the pre-call rows, and the retry exactly once more.
+    """
+    from rados_timestore_spark.fsutil import HadoopFS
+
+    store.register_namespace("P", buckets=4)
+    base = spark.createDataFrame(
+        [(a * 2, t, t, a * 100 + t) for a in range(4) for t in range(8)],
+        "address long, time long, value long, seq long",
+    )
+    store.write_points("P", base)
+    n0 = store.read_simple("P", 0, 1 << 62, [a * 2 for a in range(4)]).count()
+    assert n0 == 32
+
+    real = HadoopFS.promote_dir_tree
+    calls = {"renames": 0}
+
+    def dying_promote(self, stage, dest, prefix=""):
+        # promote file-by-file via the real implementation, but crash
+        # after the first two renames (each single-file promote is one
+        # rename under the same prefix)
+        stage_q = self.fs.makeQualified(self._path(stage)).toString()
+        it = self.fs.listFiles(self._path(stage), True)
+        moved = 0
+        while it.hasNext():
+            f = it.next().getPath()
+            if f.getName().startswith(("_", ".")):
+                continue
+            if moved == 2:
+                raise IOError("injected: promote died mid-batch")
+            rel = f.toString()[len(stage_q) + 1:]
+            head, basename = rel.rsplit("/", 1)
+            tgt_dir = f"{dest}/{head}"
+            self.fs.mkdirs(self._path(tgt_dir))
+            assert self.fs.rename(
+                f, self._path(f"{tgt_dir}/{prefix}{basename}"))
+            moved += 1
+        return moved
+
+    batch = base.withColumn("time", base.time + 1000)
+    import pytest as _pytest
+
+    try:
+        HadoopFS.promote_dir_tree = dying_promote
+        with _pytest.raises(IOError, match="injected"):
+            store.write_points("P", batch)
+    finally:
+        HadoopFS.promote_dir_tree = real
+
+    # the partial batch was swept: reads see exactly the old rows
+    assert store.read_simple("P", 0, 1 << 62, [a * 2 for a in range(4)]).count() == n0
+    # the whole-batch retry lands exactly once (no double count)
+    store.write_points("P", batch)
+    assert store.read_simple("P", 0, 1 << 62, [a * 2 for a in range(4)]).count() == n0 + 32
+    rep = store.verify("P")
+    assert rep["ok"], rep

@@ -1251,3 +1251,28 @@ def test_stream_rolling_median_checkpoint_recovery(spark, tmp_path):
         for r in ts_rolling_median(spark, sf).collect()
     }
     assert got == want
+
+
+def test_stream_interval_coalesce_clamps_nonpositive_gap(spark):
+    # ADVICE r9: Spark's dynamic-gap session_window silently FILTERS
+    # rows with a non-positive gap, so zero-length intervals would
+    # vanish from the streaming result while the batch twin counts
+    # them.  The helper clamps the gap to >= 1 s; session_window also
+    # runs in batch mode, which is enough to prove the rows survive.
+    from rados_timestore_spark.streaming.windows import (
+        stream_interval_coalesce,
+    )
+
+    pts = spark.createDataFrame(
+        [(1, 1_000_000, 0), (1, 100_000_000, 0), (2, 1_000_000, 5)],
+        "user_id long, time long, dur_s long",
+    )
+    got = (
+        stream_interval_coalesce(pts, watermark="30 minutes")
+        .select("user_id", "n_intervals").collect()
+    )
+    per_user = {}
+    for r in got:
+        per_user[r.user_id] = per_user.get(r.user_id, 0) + r.n_intervals
+    # both zero-duration intervals of user 1 survive as islands
+    assert per_user == {1: 2, 2: 1}
