@@ -729,6 +729,68 @@ def ts_ttl_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_dual_index_rollover",
+    oracle=f"""{PTS_CTE}
+SELECT address, time, md5(payload_str) AS payload_md5, seq
+FROM (SELECT *, row_number() OVER (PARTITION BY address, time ORDER BY seq)
+        AS rn FROM pts) d
+WHERE rn = 1 AND address % 2 = 1
+  AND address IN ({", ".join(str(a | 1) for a in ADDRS)})
+  AND time < {T_JAN10}
+""",
+    tags=("U1", "R1", "Q9"),
+    priority=110,  # NEW r10 (window exactly full: 24 bench + 26 r10 promotions); local-green; rotate in r11 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def ts_dual_index_rollover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dual per-kind index parity (TimeStore.hs:74-90 registers
+    separate simple/extended bucket counts; Index.hs:45-49 keeps the
+    two kinds' indexes as separate documents with INDEPENDENT rollover,
+    StoreHelpers.hs:194-221) — the tests/UnitTests.hs:62-73
+    ``extAfterSimple`` corner case at data scale: with
+    ``rollover_bytes=1``, day-batched SIMPLE ingest cuts a simple
+    epoch per day; ONE extended batch written AFTER all those
+    rollovers must read back byte-exact, because extended rows route
+    through their own single-epoch index that the simple cuts never
+    touched.  The query asserts that independence structurally (the
+    extended index is still ``[(0, 4)]`` after the simple rollovers)
+    and the oracle proves it semantically (the read equals the pure
+    relational definition — nothing was stranded behind a foreign
+    epoch boundary)."""
+    from rados_timestore_spark.store import TimeStore
+
+    root = tempfile.mkdtemp(prefix="ts_dualidx_")
+    store = TimeStore(spark, root, rollover_bytes=1)
+    ns = "dual"
+    store.register_namespace(ns, buckets=8, extended_buckets=4)
+
+    pts = events_points(spark, sf_dir).filter(F.col("time") < T_JAN10)
+    simple = pts.filter(F.col("address") % 2 == 0).select(
+        "address", "time", "value", "seq")
+    day = F.expr(f"time div {US_PER_DAY}")
+    days = sorted(
+        r.d for r in simple.select(day.alias("d")).distinct().collect()
+    )
+    for d in days:
+        store.write_points(ns, simple.filter(day == d))
+
+    # structural certificate: many simple cuts, zero extended cuts
+    if len(store.index(ns).entries) < 2:
+        raise AssertionError("simple volume did not roll over")
+    if store.index(ns, extended=True).entries != ((0, 4),):
+        raise AssertionError(
+            "simple rollover leaked into the extended index")
+
+    ext = pts.filter(F.col("address") % 2 == 1).select(
+        "address", "time",
+        F.encode("payload_str", "UTF-8").alias("payload"), "seq")
+    store.write_points(ns, ext)
+
+    df = store.read_extended(ns, 0, 1 << 62, [a | 1 for a in ADDRS])
+    return df.select(
+        "address", "time", F.md5("payload").alias("payload_md5"), "seq")
+
+
+@register(
     "ts_bulk_backfill",
     oracle=f"""{PTS_CTE},
 sp AS (SELECT * FROM pts WHERE address % 2 = 0 AND time < {T_JAN20}),

@@ -83,9 +83,35 @@ class _Meta:
     points_version: int = 0             # compaction generation
     txn: int = 0                        # writer fencing counter (CAS)
     expire_gen: int = 0                 # TTL-expiry generation (r8)
+    #: Separate extended-kind index (reference parity: TimeStore.hs:74-90
+    #: registers simpleBucketCount and extendedBucketCount, and
+    #: Index.hs:45-49 keeps simple_days/extended_days as two documents
+    #: with INDEPENDENT rollover, StoreHelpers.hs:194-221).  ``None`` =
+    #: unified mode (one index governs both kinds, the r2-r9 layout) —
+    #: existing metas deserialize unchanged.
+    index_extended: Index | None = None
+
+    @property
+    def dual(self) -> bool:
+        return self.index_extended is not None
+
+    def index_for(self, kind: int) -> Index:
+        """The index governing ``kind`` rows (0=simple, 1=extended)."""
+        if kind == 1 and self.index_extended is not None:
+            return self.index_extended
+        return self.index
+
+    def part_cols(self) -> tuple[str, ...]:
+        """Physical partition columns.  Dual-index namespaces lead
+        with ``kind`` — the Parquet translation of the reference's
+        per-kind object sets (``<bucket>_<epoch>_simple`` vs
+        ``_extended``, Core.hs:203-208): per-kind rollover probes and
+        per-kind reads then prune whole directory trees."""
+        return ("kind", "epoch", "bucket") if self.dual else (
+            "epoch", "bucket")
 
     def to_json(self) -> dict:
-        return {
+        d = {
             "index": self.index.to_json(),
             "latest_simple": self.latest_simple,
             "latest_extended": self.latest_extended,
@@ -94,9 +120,13 @@ class _Meta:
             "txn": self.txn,
             "expire_gen": self.expire_gen,
         }
+        if self.index_extended is not None:
+            d["index_extended"] = self.index_extended.to_json()
+        return d
 
     @classmethod
     def from_json(cls, d: dict) -> "_Meta":
+        xe = d.get("index_extended")
         return cls(
             index=Index.from_json(d["index"]),
             latest_simple=d.get("latest_simple"),
@@ -105,6 +135,7 @@ class _Meta:
             points_version=int(d.get("points_version", 0)),
             txn=int(d.get("txn", 0)),
             expire_gen=int(d.get("expire_gen", 0)),
+            index_extended=None if xe is None else Index.from_json(xe),
         )
 
 
@@ -333,12 +364,30 @@ class TimeStore:
 
     # -------------------------------------------------------------- DDL
 
-    def register_namespace(self, ns: str, buckets: int = DEFAULT_BUCKETS) -> None:
+    def register_namespace(self, ns: str, buckets: int = DEFAULT_BUCKETS,
+                           extended_buckets: int | None = None) -> None:
         """Create a namespace with initial index ``[(0, buckets)]``
-        (TimeStore.hs:74-90).  Idempotent."""
+        (TimeStore.hs:74-90).  Idempotent.
+
+        ``extended_buckets`` mirrors the reference's second
+        ``registerNamespace`` argument (TimeStore.hs:74-90 takes
+        separate simple/extended bucket counts; Index.hs:45-49 keeps
+        the two kinds' indexes as separate documents): when given, the
+        namespace runs in DUAL-INDEX mode — extended rows route
+        through their own ``[(0, extended_buckets)]`` index, each
+        kind's epochs roll over independently of the other's volume
+        (the tests/UnitTests.hs:62-73 corner case: an extended write
+        after a simple-only rollover keeps its own epoch layout), and
+        the points table is partitioned ``(kind, epoch, bucket)`` so
+        per-kind reads prune the other kind's entire directory tree.
+        When ``None`` (default), one index governs both kinds — the
+        unified layout, oracle-identical for single-kind workloads."""
         self.fs.mkdirs(self._ns_dir(ns))
         if not self.is_registered(ns):
-            self._write_meta(ns, _Meta(index=Index(((0, buckets),))))
+            xidx = (None if extended_buckets is None
+                    else Index(((0, extended_buckets),)))
+            self._write_meta(ns, _Meta(index=Index(((0, buckets),)),
+                                       index_extended=xidx))
 
     def is_registered(self, ns: str) -> bool:
         """Registered iff the index exists (TimeStore.hs:92-95)."""
@@ -398,15 +447,30 @@ class TimeStore:
                 "seq", F.lit(meta.seq_base) + F.monotonically_increasing_id()
             )
 
-        routed = (
-            df.select("address", "time", "value", "payload", "seq")
-            .withColumn("kind", kind_col())
-            .withColumn("epoch", idx.epoch_col("time"))
-            .withColumn(
+        routed = df.select(
+            "address", "time", "value", "payload", "seq"
+        ).withColumn("kind", kind_col())
+        if meta.dual:
+            # Per-kind routing: each kind stabs ITS index (independent
+            # epochs and bucket counts, Index.hs:45-49) — still one
+            # literal CASE chain per column, JVM-side, no join.
+            xidx = meta.index_extended
+            routed = routed.withColumn(
+                "epoch",
+                F.when(F.col("kind") == 1, xidx.epoch_col("time"))
+                .otherwise(idx.epoch_col("time")),
+            ).withColumn(
                 "bucket",
-                place_bucket_by_index(idx, "time", "address"),
+                F.when(F.col("kind") == 1,
+                       place_bucket_by_index(xidx, "time", "address"))
+                .otherwise(place_bucket_by_index(idx, "time", "address")),
             )
-        )
+        else:
+            routed = routed.withColumn(
+                "epoch", idx.epoch_col("time")
+            ).withColumn(
+                "bucket", place_bucket_by_index(idx, "time", "address"),
+            )
 
         # Watermark maxima + seq high-water are observed during the
         # write itself (StoreHelpers.hs:241-259's updateLatest, minus
@@ -437,7 +501,7 @@ class TimeStore:
         try:
             (
                 routed.write.mode("overwrite")
-                .partitionBy("epoch", "bucket")
+                .partitionBy(*meta.part_cols())
                 .parquet(stage)
             )
             try:
@@ -473,7 +537,8 @@ class TimeStore:
 
                 time.sleep(random.uniform(0.01, 0.05 * (attempt + 1)))
                 fresh = self._read_meta(ns)
-                if fresh.index.entries != meta.index.entries:
+                if (fresh.index.entries != meta.index.entries
+                        or fresh.index_extended != meta.index_extended):
                     # Placement was routed under a stale index — a flip
                     # merge would strand rows behind the new epoch cut.
                     raise
@@ -505,6 +570,9 @@ class TimeStore:
         most one cut per flush is needed) and this writer simply
         returns; otherwise the cut is retried against the fresh doc.
         """
+        if meta.dual:
+            self._maybe_rollover_dual(ns, meta, retries=retries)
+            return
         latest_epoch, buckets = meta.index.latest()
         pdir = f"{self._points_dir(ns, meta)}/epoch={latest_epoch}"
         if not self.fs.is_dir(pdir):
@@ -550,6 +618,62 @@ class TimeStore:
                     meta.latest_simple or 0, meta.latest_extended or 0
                 )
                 new_entries = meta.index.entries + ((watermark + 1, buckets),)
+
+    def _maybe_rollover_dual(self, ns: str, meta: _Meta,
+                             retries: int = 0) -> None:
+        """Per-kind rollover for dual-index namespaces: each kind's
+        index is probed and cut against ITS OWN latest epoch volume
+        and ITS OWN watermark — simple-volume pressure never re-epochs
+        the extended layout and vice versa (StoreHelpers.hs:194-221
+        runs once per kind over separate index documents; corner case
+        tests/UnitTests.hs:62-73: an extended write after a
+        simple-only rollover still reads back under the extended
+        index's original epoch).  Both kinds' cuts — when both fire —
+        land in ONE fenced meta write."""
+        base = self._points_dir(ns, meta)
+
+        def cut_for(idx: Index, wm: int | None, kind: int) -> Index | None:
+            latest_epoch, buckets = idx.latest()
+            pdir = f"{base}/kind={kind}/epoch={latest_epoch}"
+            if not self.fs.is_dir(pdir):
+                return None
+            max_bucket_bytes = 0
+            for bucket_dir in self.fs.list_dirs(pdir):
+                max_bucket_bytes = max(
+                    max_bucket_bytes,
+                    self.fs.dir_size(f"{pdir}/{bucket_dir}"))
+            if max_bucket_bytes <= self.rollover_bytes:
+                return None
+            if wm is None or wm <= latest_epoch:
+                return None
+            # watermark + 1, same exact-boundary back-off as the
+            # unified cut (Index.hs:80-88)
+            return Index(idx.entries + ((wm + 1, buckets),))
+
+        for attempt in range(retries + 1):
+            new_s = cut_for(meta.index, meta.latest_simple, 0)
+            new_x = cut_for(meta.index_extended, meta.latest_extended, 1)
+            if new_s is None and new_x is None:
+                return
+            if new_s is not None:
+                meta.index = new_s
+            if new_x is not None:
+                meta.index_extended = new_x
+            try:
+                self._write_meta_cas(ns, meta)
+                return
+            except ConcurrentWriterError:
+                if attempt == retries:
+                    raise
+                import random
+                import time
+
+                time.sleep(random.uniform(0.01, 0.05 * (attempt + 1)))
+                # Re-derive both cuts from the fresh document: a
+                # superseding writer's cut empties the probe (its new
+                # latest epoch has no over-threshold dir yet) and the
+                # corresponding cut_for simply returns None.
+                meta = self._read_meta(ns)
 
     def write_points_batched(self, ns: str, df: DataFrame,
                              batch_col: str,
@@ -616,6 +740,15 @@ class TimeStore:
         from pyspark.sql import Observation
 
         meta = self._read_meta(ns)
+        if meta.dual:
+            # The batched fold replays the UNIFIED rollover rule (one
+            # watermark, one index).  Replaying two independent
+            # per-kind folds is a different derivation; until someone
+            # needs a dual-index bulk backfill, refuse loudly rather
+            # than route one kind under the other's cuts.
+            raise ValueError(
+                "write_points_batched does not support dual-index "
+                "namespaces; call write_points once per batch")
         cols = set(df.columns)
         if "value" not in cols:
             df = df.withColumn("value", F.lit(None).cast("long"))
@@ -767,18 +900,25 @@ class TimeStore:
     # ------------------------------------------------------------- read
 
     def _scan(self, ns: str, start: int, end: int,
-              addresses: Sequence[int] | None) -> DataFrame:
+              addresses: Sequence[int] | None,
+              kind: int = 0) -> DataFrame:
         """Pruned scan: partition predicates on (epoch, bucket) mirror
         ``targetObjs`` (StoreHelpers.hs:80-104), then row-level filter
         time BETWEEN start AND end — closed interval on both ends,
-        matching ``processSimple`` (Algorithms.hs:204-206)."""
+        matching ``processSimple`` (Algorithms.hs:204-206).
+
+        ``kind`` selects which index drives the pruning (dual-index
+        namespaces keep independent per-kind epoch layouts); callers
+        still apply their own ``kind == k`` row filter, which on a
+        dual namespace is itself a partition predicate (kind leads the
+        directory layout) and prunes the other kind's whole tree."""
         meta = self._read_meta(ns)
         pdir = self._points_dir(ns, meta)
         if not self.fs.is_dir(pdir):
             return self.spark.createDataFrame([], _scan_schema())
         df = self.spark.read.parquet(pdir)
 
-        entries = meta.index.range_lookup(start, end)
+        entries = meta.index_for(kind).range_lookup(start, end)
         epochs = [e for e, _ in entries]
         pred = F.col("epoch").isin(epochs)
         if addresses is not None:
@@ -812,7 +952,8 @@ class TimeStore:
             return self._scan(ns, start, end, []).filter(F.lit(False)) \
                 .select("address", "time", "value", "seq")
         addresses = [a for a in addresses if (a & 1) == 0]
-        df = self._scan(ns, start, end, addresses).filter(F.col("kind") == 0)
+        df = self._scan(ns, start, end, addresses, kind=0)
+        df = df.filter(F.col("kind") == 0)
         df = _dedup_agg(df, ("value",))
         df = self._ordered(df, global_order)
         return df.select("address", "time", "value", "seq")
@@ -828,7 +969,8 @@ class TimeStore:
             return self._scan(ns, start, end, []).filter(F.lit(False)) \
                 .select("address", "time", "payload", "seq")
         addresses = [a | 1 for a in addresses]
-        df = self._scan(ns, start, end, addresses).filter(F.col("kind") == 1)
+        df = self._scan(ns, start, end, addresses, kind=1)
+        df = df.filter(F.col("kind") == 1)
         df = _dedup_agg(df, ("payload",))
         df = self._ordered(df, global_order)
         return df.select("address", "time", "payload", "seq")
@@ -904,12 +1046,14 @@ class TimeStore:
         names in chunk order)."""
         if extended:
             addrs = [a | 1 for a in addresses]
-            df = self._scan(ns, start, end, addrs).filter(F.col("kind") == 1)
+            df = self._scan(ns, start, end, addrs, kind=1)
+            df = df.filter(F.col("kind") == 1)
             df = _dedup_agg(df, ("payload",))
             cols = ["address", "time", "payload", "seq"]
         else:
             addrs = [a for a in addresses if (a & 1) == 0]
-            df = self._scan(ns, start, end, addrs).filter(F.col("kind") == 0)
+            df = self._scan(ns, start, end, addrs, kind=0)
+            df = df.filter(F.col("kind") == 0)
             df = _dedup_agg(df, ("value",))
             cols = ["address", "time", "value", "seq"]
         return df, cols
@@ -933,7 +1077,8 @@ class TimeStore:
         if not addresses:
             return
         meta = self._read_meta(ns)
-        entries = sorted(meta.index.range_lookup(start, end))
+        entries = sorted(
+            meta.index_for(1 if extended else 0).range_lookup(start, end))
         df, cols = self._chunk_frame(ns, start, end, addresses, extended)
         for e, _n in entries:
             edf = (
@@ -960,10 +1105,12 @@ class TimeStore:
         meta = self._read_meta(ns)
         return meta.latest_simple, meta.latest_extended
 
-    def index(self, ns: str) -> Index:
-        return self._read_meta(ns).index
+    def index(self, ns: str, extended: bool = False) -> Index:
+        """The namespace's index; ``extended=True`` returns the
+        extended-kind index (same object on unified namespaces)."""
+        return self._read_meta(ns).index_for(1 if extended else 0)
 
-    def rescale(self, ns: str, buckets: int) -> None:
+    def rescale(self, ns: str, buckets: int, extended: bool = False) -> None:
         """Cut a new epoch with a DIFFERENT bucket count — the forward
         rescale the per-epoch index exists for (Index.hs: each entry
         is (epoch, buckets); lookups stab per epoch, so historical
@@ -971,16 +1118,34 @@ class TimeStore:
         new count).  The boundary is watermark + 1, exactly like
         :meth:`_maybe_rollover`'s cut, so no point seen so far can
         land behind it.  Idempotent when the latest epoch already has
-        ``buckets``."""
+        ``buckets``.  ``extended=True`` rescales the extended-kind
+        index of a dual-index namespace (per-kind layouts are
+        independent; on a unified namespace it is an error)."""
         if buckets < 1:
             raise ValueError(f"buckets must be >= 1: {buckets}")
         meta = self._read_meta(ns)
-        latest_epoch, cur = meta.index.latest()
+        if extended and not meta.dual:
+            raise ValueError(
+                f"namespace {ns!r} has no separate extended index; "
+                f"register with extended_buckets= for dual-index mode")
+        idx = meta.index_extended if extended else meta.index
+        latest_epoch, cur = idx.latest()
         if cur == buckets:
             return
-        watermark = max(meta.latest_simple or 0, meta.latest_extended or 0)
+        if meta.dual:
+            # per-kind boundary: the OTHER kind's watermark must not
+            # leak into this kind's epoch layout
+            watermark = ((meta.latest_extended if extended
+                          else meta.latest_simple) or 0)
+        else:
+            watermark = max(meta.latest_simple or 0,
+                            meta.latest_extended or 0)
         boundary = max(watermark, latest_epoch) + 1
-        meta.index = Index(meta.index.entries + ((boundary, buckets),))
+        new = Index(idx.entries + ((boundary, buckets),))
+        if extended:
+            meta.index_extended = new
+        else:
+            meta.index = new
         self._write_meta_cas(ns, meta)
 
     def expire(self, ns: str, older_than_us: int) -> list[int]:
@@ -1027,24 +1192,38 @@ class TimeStore:
         """
         with self._flip_lock(ns):
             meta = self._read_meta(ns)
-            entries = sorted(e for e, _b in meta.index.entries)
-            expired = {
-                entries[i] for i in range(len(entries) - 1)
-                if entries[i + 1] <= older_than_us
-            }
+
+            def _expired(idx: Index) -> set[int]:
+                es = sorted(e for e, _b in idx.entries)
+                return {
+                    es[i] for i in range(len(es) - 1)
+                    if es[i + 1] <= older_than_us
+                }
+
             pdir = self._points_dir(ns, meta)
             dropped = []
             if self.fs.is_dir(pdir):
-                for name in self.fs.list_dirs(pdir):
-                    if not name.startswith("epoch="):
-                        continue
-                    e = int(name[len("epoch="):])
-                    if e in expired:
-                        self.fs.delete(f"{pdir}/{name}", recursive=True)
-                        dropped.append(e)
+                if meta.dual:
+                    # per-kind epoch trees, per-kind boundaries
+                    scopes = [
+                        (f"{pdir}/kind={k}", _expired(meta.index_for(k)))
+                        for k in (0, 1)
+                        if self.fs.is_dir(f"{pdir}/kind={k}")
+                    ]
+                else:
+                    scopes = [(pdir, _expired(meta.index))]
+                for sdir, expired in scopes:
+                    for name in self.fs.list_dirs(sdir):
+                        if not name.startswith("epoch="):
+                            continue
+                        e = int(name[len("epoch="):])
+                        if e in expired:
+                            self.fs.delete(f"{sdir}/{name}", recursive=True)
+                            dropped.append(e)
                 if dropped and not any(
                     n.startswith("epoch=")
-                    for n in self.fs.list_dirs(pdir)
+                    for sdir, _x in scopes
+                    for n in self.fs.list_dirs(sdir)
                 ):
                     # all epochs expired: drop the husk (marker files
                     # only) so the read path's missing-dir branch
@@ -1069,7 +1248,7 @@ class TimeStore:
                 fresh.txn += 1
                 fresh.expire_gen += 1
                 self._write_meta(ns, fresh)
-        return sorted(dropped)
+        return sorted(set(dropped))
 
     def compact(self, ns: str, target_partitions_per_bucket: int = 1,
                 sort_within: Sequence[str] | None = ("address", "time"),
@@ -1135,17 +1314,17 @@ class TimeStore:
             df = transform(df)
         next_version = meta.points_version + 1
         new_dir = f"{self._ns_dir(ns)}/points_v{next_version}"
-        out = df.repartition(
-            target_partitions_per_bucket, "epoch", "bucket")
+        pcols = meta.part_cols()
+        out = df.repartition(target_partitions_per_bucket, *pcols)
         if sort_within:
             # Partition columns lead the sort: the partitioned writer
-            # re-sorts each task by (epoch, bucket) unless the incoming
-            # order already satisfies it — with this prefix Spark
-            # eliminates its own sort and the per-file clustering
+            # re-sorts each task by the partition cols unless the
+            # incoming order already satisfies it — with this prefix
+            # Spark eliminates its own sort and the per-file clustering
             # survives into the parquet row groups.
-            out = out.sortWithinPartitions("epoch", "bucket", *sort_within)
+            out = out.sortWithinPartitions(*pcols, *sort_within)
         (
-            out.write.mode("overwrite").partitionBy("epoch", "bucket")
+            out.write.mode("overwrite").partitionBy(*pcols)
             .parquet(new_dir)
         )
         # Atomic flip: readers resolve the directory via the meta
@@ -1217,10 +1396,21 @@ class TimeStore:
                 report["orphan_dirs"].append(name)
         if self.fs.is_dir(pdir):
             df = self.spark.read.parquet(pdir)
-            want_epoch = meta.index.epoch_col("time")
-            want_bucket = place_bucket_by_index(
-                meta.index, "time", "address")
             kind = kind_col("address")
+            if meta.dual:
+                xidx = meta.index_extended
+                want_epoch = (
+                    F.when(kind == 1, xidx.epoch_col("time"))
+                    .otherwise(meta.index.epoch_col("time")))
+                want_bucket = (
+                    F.when(kind == 1,
+                           place_bucket_by_index(xidx, "time", "address"))
+                    .otherwise(place_bucket_by_index(
+                        meta.index, "time", "address")))
+            else:
+                want_epoch = meta.index.epoch_col("time")
+                want_bucket = place_bucket_by_index(
+                    meta.index, "time", "address")
             wm_s = meta.latest_simple
             wm_x = meta.latest_extended
             beyond = F.lit(False)

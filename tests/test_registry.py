@@ -119,6 +119,8 @@ EXPECTED_WINDOW = {
 # r11.  Only overflow + same-round NEW registrations may appear here;
 # each MUST be rotated into the driver window in r11.
 EXPECTED_CARVEOUT_BACKLOG: set[str] = {
+    # NEW r10 registrations — rotate into the r11 window
+    "ts_dual_index_rollover",
     # r9 carve-out overflow — rotate into the r11 window
     "ts_lttb_downsample",
     "ts_cusum_changepoint",
