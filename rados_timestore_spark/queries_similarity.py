@@ -2509,14 +2509,13 @@ def _vecidx(spark: SparkSession, sf_dir: str, variant: str):
         vi.build("e", emb, k=_N_CENTROIDS, meta_cols=("label",))
     elif variant == "full_delete":
         # build the full index, then retract every vec_id % 7 == 5
-        # (never a query id — queries are vec_id < 5).  The victim
-        # list is a bounded collect at fixture scale; production
-        # deletes arrive as explicit takedown id lists anyway.
+        # (never a query id — queries are vec_id < 5).  The victims
+        # arrive as a DataFrame — the takedown-RELATION shape: the
+        # victim set is anti-joined against the affected buckets and
+        # never collected to the driver (r10, ADVICE r9 nit).
         vi.build("e", emb, k=_N_CENTROIDS)
-        victims = [r.vec_id for r in
-                   emb.filter(F.col("vec_id") % 7 == 5)
-                   .select("vec_id").collect()]
-        vi.delete("e", victims)
+        vi.delete("e", emb.filter(F.col("vec_id") % 7 == 5)
+                  .select("vec_id"))
     elif variant == "full_pq":
         # build, then add the compressed read path: persisted
         # sub-codebooks + a pq_code column in the assignment rows

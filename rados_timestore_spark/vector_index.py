@@ -826,35 +826,56 @@ class VectorIndex:
         at bounded cost: untouched buckets' files are not read,
         written, or moved.  Returns the number of vectors removed.
 
-        Mechanics: one pruned scan finds the affected buckets (the id
-        predicate pushes into parquet row-group stats), then a single
-        job rewrites those buckets minus the victims into a staging
-        dir, and each affected bucket directory is swapped by rename
-        (the per-bucket analog of compact's generation flip).  Like
-        the other maintenance verbs, schedule serially with
+        ``vec_ids`` is either a bounded Python iterable of ids (small
+        explicit takedown lists — the id predicate pushes into parquet
+        row-group stats) or a DataFrame with a ``vec_id`` column (a
+        takedown RELATION of any size: victims stay distributed, the
+        victim set is never collected to the driver, and the rewrite
+        is an anti-join — the 100 TB shape, ADVICE r9).  Only the
+        affected BUCKET ids (bounded by k) and per-bucket hit counts
+        are ever collected.
+
+        Mechanics: one pruned scan finds the affected buckets, then a
+        single job rewrites those buckets minus the victims into a
+        staging dir, and each affected bucket directory is swapped by
+        rename (the per-bucket analog of compact's generation flip).
+        Like the other maintenance verbs, schedule serially with
         appends/compactions.
         """
-        ids = [int(v) for v in vec_ids]
-        if not ids:
-            return 0
         self.meta(ns)  # raises if never built
         live = self._assignments_dir(ns)
         scan = self.spark.read.parquet(live)
-        affected = sorted(
-            r.bucket for r in scan.filter(F.col("vec_id").isin(ids))
-            .select("bucket").distinct().collect()
-        )
-        if not affected:
-            return 0
-        removed = (scan.filter(F.col("bucket").isin(affected))
-                   .filter(F.col("vec_id").isin(ids)).count())
+        if isinstance(vec_ids, DataFrame):
+            victims = vec_ids.select(
+                F.col("vec_id").cast("long").alias("vec_id")).distinct()
+            # one job: affected buckets AND per-bucket victim counts
+            hits = (scan.join(victims, "vec_id", "left_semi")
+                    .groupBy("bucket").count().collect())
+            affected = sorted(r.bucket for r in hits)
+            if not affected:
+                return 0
+            removed = sum(int(r["count"]) for r in hits)
+            survivors = (
+                scan.filter(F.col("bucket").isin(affected))
+                .join(victims, "vec_id", "left_anti")
+            )
+        else:
+            ids = [int(v) for v in vec_ids]
+            if not ids:
+                return 0
+            hits = (scan.filter(F.col("vec_id").isin(ids))
+                    .groupBy("bucket").count().collect())
+            affected = sorted(r.bucket for r in hits)
+            if not affected:
+                return 0
+            removed = sum(int(r["count"]) for r in hits)
+            survivors = (
+                scan.filter(F.col("bucket").isin(affected))
+                .filter(~F.col("vec_id").isin(ids))
+            )
         staging = f"{live}.deleting"
         if self.fs.exists(staging):
             self.fs.delete(staging, recursive=True)
-        survivors = (
-            scan.filter(F.col("bucket").isin(affected))
-            .filter(~F.col("vec_id").isin(ids))
-        )
         (survivors.repartition("bucket").write.mode("overwrite")
          .partitionBy("bucket").parquet(staging))
         for b in affected:

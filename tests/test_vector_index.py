@@ -583,3 +583,38 @@ def test_residual_and_plain_pq_are_distinct_generations(
     vi._cent_cache.clear()
     with pytest.raises(IOError, match="did not complete"):
         vi.probe_pq("e", _queries(emb), topk=3, nprobe=2)
+
+
+def test_delete_accepts_victim_dataframe(spark, emb, tmp_path):
+    # ADVICE r9 / VERDICT r9 #5: the takedown-RELATION overload —
+    # victims arrive as a DataFrame, stay distributed (anti-join, no
+    # driver-side victim collect), and the result is identical to the
+    # id-list path.
+    import glob
+    import os
+
+    vi = VectorIndex(spark, str(tmp_path / "dldf"))
+    vi.build("e", emb, k=K)
+    scan = spark.read.parquet(vi._assignments_dir("e"))
+    some = scan.groupBy("bucket").count().orderBy(F.desc("count")) \
+        .limit(1).collect()[0]
+    victims_df = (scan.filter(F.col("bucket") == some.bucket)
+                  .select("vec_id").limit(3))
+    victim_ids = [r.vec_id for r in victims_df.collect()]  # test oracle only
+    before_meta = vi.meta("e")
+    untouched = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{vi._assignments_dir('e')}/bucket=*/part-*")
+        if f"bucket={some.bucket}/" not in p
+    }
+    assert vi.delete("e", victims_df) == 3
+    after = spark.read.parquet(vi._assignments_dir("e"))
+    assert after.filter(F.col("vec_id").isin(victim_ids)).count() == 0
+    assert vi.meta("e")["n_vectors"] == before_meta["n_vectors"] - 3
+    for p, mtime in untouched.items():
+        assert os.path.getmtime(p) == mtime, p  # file not rewritten
+    # a victim frame that matches nothing is a no-op
+    none = spark.createDataFrame([(10 ** 9,)], "vec_id long")
+    assert vi.delete("e", none) == 0
+    got = vi.probe("e", _queries(emb), topk=5, nprobe=K)
+    assert got.filter(F.col("neighbor_id").isin(victim_ids)).count() == 0
