@@ -1276,3 +1276,66 @@ def test_stream_interval_coalesce_clamps_nonpositive_gap(spark):
         per_user[r.user_id] = per_user.get(r.user_id, 0) + r.n_intervals
     # both zero-duration intervals of user 1 survive as islands
     assert per_user == {1: 2, 2: 1}
+
+
+def test_stream_period_over_period_checkpoint_recovery(spark, tmp_path):
+    # Kill-and-resume for the additive (event_type, day) grid behind
+    # streaming_period_over_period: run 2 starts from the SAME
+    # checkpoint, so the file source skips run-1's files — the final
+    # complete-mode grid equals the batch truth over ALL rows only if
+    # run-1's aggregation state was restored from the checkpoint.
+    sf = "/root/testdata/sf0.001"
+    ev0 = spark.read.parquet(f"{sf}/events.parquet")
+    ev = ev0.select(
+        "event_id", "event_type",
+        event_us(ev0).alias("t"),
+        F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .alias("v"),
+    )
+    src, ck = (str(tmp_path / d) for d in ("src", "ck"))
+    os.makedirs(src)
+
+    def run_once(name):
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        grid = stream.groupBy(
+            "event_type", F.expr("t div 86400000000").alias("day")
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum("v").cast("long").alias("sum_centi"),
+        )
+        q = (
+            grid.writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", ck)
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(180)
+
+    _deliver_file(tmp_path, src, 0, ev.filter(F.col("event_id") % 2 == 0))
+    run_once("pop_ckpt_run1")
+    n_first = spark.table("pop_ckpt_run1").agg(F.sum("n")).collect()[0][0]
+    assert n_first and n_first > 0
+    spark.catalog.dropTempView("pop_ckpt_run1")
+
+    _deliver_file(tmp_path, src, 1, ev.filter(F.col("event_id") % 2 == 1))
+    run_once("pop_ckpt_run2")
+    got = {
+        (r.event_type, r.day, r.n, r.sum_centi)
+        for r in spark.table("pop_ckpt_run2").collect()
+    }
+    spark.catalog.dropTempView("pop_ckpt_run2")
+
+    want = {
+        (r.event_type, r.day, r.n, r.sum_centi)
+        for r in ev.groupBy(
+            "event_type", F.expr("t div 86400000000").alias("day")
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum("v").cast("long").alias("sum_centi"),
+        ).collect()
+    }
+    assert got == want
+    # run 2 genuinely resumed (its grid covers run-1-only rows)
+    assert sum(n for _t, _d, n, _s in got) > n_first
