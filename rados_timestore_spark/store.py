@@ -1335,6 +1335,73 @@ class TimeStore:
         self._write_meta_cas(ns, meta)
         self.fs.delete(pdir, recursive=True)
 
+    def _verify_check_cols(self, meta: _Meta):
+        """The integrity-scrub check columns shared by :meth:`verify`
+        and :meth:`verify_df`: (expected epoch, expected bucket,
+        beyond-watermark predicate) — all re-derived fresh from the
+        meta document so a persisted row disagreeing with them is a
+        genuine invariant violation."""
+        from rados_timestore_spark.core import kind_col
+
+        kind = kind_col("address")
+        if meta.dual:
+            xidx = meta.index_extended
+            want_epoch = (
+                F.when(kind == 1, xidx.epoch_col("time"))
+                .otherwise(meta.index.epoch_col("time")))
+            want_bucket = (
+                F.when(kind == 1,
+                       place_bucket_by_index(xidx, "time", "address"))
+                .otherwise(place_bucket_by_index(
+                    meta.index, "time", "address")))
+        else:
+            want_epoch = meta.index.epoch_col("time")
+            want_bucket = place_bucket_by_index(
+                meta.index, "time", "address")
+        wm_s = meta.latest_simple
+        wm_x = meta.latest_extended
+        beyond = F.lit(False)
+        if wm_s is not None:
+            beyond = beyond | ((kind == 0) & (F.col("time") > wm_s))
+        else:
+            beyond = beyond | (kind == 0)
+        if wm_x is not None:
+            beyond = beyond | ((kind == 1) & (F.col("time") > wm_x))
+        else:
+            beyond = beyond | (kind == 1)
+        return want_epoch, want_bucket, beyond
+
+    def verify_df(self, ns: str) -> DataFrame:
+        """The integrity scrub as a RELATION: one row per live epoch
+        with its row count and per-invariant violation counts —
+        :meth:`verify`'s distributed aggregate, grouped by epoch so
+        the verdict is itself oracle-checkable (a healthy store's
+        epochs carry exactly the relationally-predicted row counts and
+        all-zero violation columns; any misplaced row shifts a count
+        AND trips a violation column).  Read-only, one aggregate scan."""
+        meta = self._read_meta(ns)
+        pdir = self._points_dir(ns, meta)
+        empty = ("epoch long, n_rows long, misplaced_epoch long, "
+                 "misplaced_bucket long, beyond_watermark long, "
+                 "seq_beyond_base long")
+        if not self.fs.is_dir(pdir):
+            return self.spark.createDataFrame([], empty)
+        df = self.spark.read.parquet(pdir)
+        want_epoch, want_bucket, beyond = self._verify_check_cols(meta)
+        return (
+            df.groupBy(F.col("epoch").cast("long").alias("epoch"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum((F.col("epoch").cast("long") != want_epoch)
+                      .cast("long")).alias("misplaced_epoch"),
+                F.sum((F.col("bucket").cast("long") != want_bucket)
+                      .cast("long")).alias("misplaced_bucket"),
+                F.sum(beyond.cast("long")).alias("beyond_watermark"),
+                F.sum((F.col("seq") >= F.lit(int(meta.seq_base)))
+                      .cast("long")).alias("seq_beyond_base"),
+            )
+        )
+
     def verify(self, ns: str) -> dict:
         """Integrity scrub — the read-only fsck for a namespace (the
         operational twin of :meth:`gc`: gc SWEEPS known-stale state,
@@ -1370,8 +1437,6 @@ class TimeStore:
         round-trip + index laws); verify() packages them as an
         in-engine verb a production operator can schedule.
         """
-        from rados_timestore_spark.core import kind_col
-
         meta = self._read_meta(ns)
         pdir = self._points_dir(ns, meta)
         report: dict = {
@@ -1396,32 +1461,7 @@ class TimeStore:
                 report["orphan_dirs"].append(name)
         if self.fs.is_dir(pdir):
             df = self.spark.read.parquet(pdir)
-            kind = kind_col("address")
-            if meta.dual:
-                xidx = meta.index_extended
-                want_epoch = (
-                    F.when(kind == 1, xidx.epoch_col("time"))
-                    .otherwise(meta.index.epoch_col("time")))
-                want_bucket = (
-                    F.when(kind == 1,
-                           place_bucket_by_index(xidx, "time", "address"))
-                    .otherwise(place_bucket_by_index(
-                        meta.index, "time", "address")))
-            else:
-                want_epoch = meta.index.epoch_col("time")
-                want_bucket = place_bucket_by_index(
-                    meta.index, "time", "address")
-            wm_s = meta.latest_simple
-            wm_x = meta.latest_extended
-            beyond = F.lit(False)
-            if wm_s is not None:
-                beyond = beyond | ((kind == 0) & (F.col("time") > wm_s))
-            else:
-                beyond = beyond | (kind == 0)
-            if wm_x is not None:
-                beyond = beyond | ((kind == 1) & (F.col("time") > wm_x))
-            else:
-                beyond = beyond | (kind == 1)
+            want_epoch, want_bucket, beyond = self._verify_check_cols(meta)
             row = df.agg(
                 F.count("*").alias("n"),
                 F.sum((F.col("bucket").cast("long")

@@ -121,6 +121,7 @@ EXPECTED_WINDOW = {
 EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     # NEW r10 registrations — rotate into the r11 window
     "ts_dual_index_rollover",
+    "ts_verify_scrub",
     # r9 carve-out overflow — rotate into the r11 window
     "ts_lttb_downsample",
     "ts_cusum_changepoint",
