@@ -249,6 +249,114 @@ class MutableKV:
         )
         self.store.write_points(self.ns, new)
 
+    def merge_into(self, updates: DataFrame,
+                   merge: Callable[[bytes, bytes], bytes]) -> None:
+        """Bulk MERGE of an update batch into the latest-view — M3's
+        read-merge-append (``insertWith``, Mutable.hs:83-103)
+        re-expressed as the generation-swap MERGE a lakehouse table
+        runs (the Delta/Iceberg ``MERGE INTO`` production shape
+        SURVEY §2 maps M3 to): ONE shuffle + one Arrow-batched pass
+        computes, per key, ``fold(chain)`` (exactly
+        :meth:`merge_with`'s fold, tombstones restart it) and then
+        folds the batch's updates for that key (seq order) through
+        ``merge``; the namespace generation is swapped
+        (:meth:`TimeStore._rewrite_generation`: staging dir + atomic
+        meta flip + txn CAS) so each surviving key holds exactly ONE
+        version carrying the merged value.  Contrast with a loop of
+        :meth:`insert_with` calls: same end state
+        (**differential law, tested**: ``merge_into(b, f)`` then
+        ``enumerate()`` == ``insert_bulk(b)`` then ``merge_with(f)``),
+        but no per-key driver round-trips and the dead chain is
+        compacted away in the same pass.
+
+        Versions stay monotone: the merged row lands at
+        ``head_version + n_batch_rows_for_key`` (``n - 1`` for fresh
+        keys) — exactly where the equivalent ``insert_with`` sequence
+        would have put its head — so later writes still land above it.
+        ``updates``: (key long, value binary) plus an optional ``seq``
+        giving within-batch order (input order if absent)."""
+        from rados_timestore_spark.store import place_bucket_by_index
+
+        if "seq" not in updates.columns:
+            updates = updates.withColumn(
+                "seq", F.monotonically_increasing_id())
+        batch = updates.select(
+            F.col("key").bitwiseOR(F.lit(1)).alias("address"),
+            F.lit(1 << 62).alias("time"),  # sorts after every version
+            F.col("value").cast("binary").alias("payload"),
+            F.col("seq").cast("long").alias("seq"),
+            F.lit(1).alias("__src"),
+        )
+        idx = self.store.index(self.ns)
+
+        if not self.store.fs.is_dir(self.store._points_dir(self.ns)):
+            # Empty KV: the MERGE degenerates to folding the batch
+            # itself — one applyInPandas pass, written through the
+            # standard ingest path (no generation to swap yet).
+            def fold_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+                pdf = pdf.sort_values("seq")
+                acc: bytes | None = None
+                for blob in pdf["payload"]:
+                    b = bytes(blob)
+                    acc = b if acc is None else merge(b, acc)
+                return pd.DataFrame({
+                    "address": [int(pdf["address"].iloc[0])],
+                    "time": [len(pdf) - 1],
+                    "payload": [acc],
+                })
+
+            folded = batch.groupBy("address").applyInPandas(
+                fold_batch, "address long, time long, payload binary")
+            self.store.write_points(self.ns, folded)
+            return
+
+        def transform(df: DataFrame) -> DataFrame:
+            chain = df.select(
+                "address", "time", "payload", "seq",
+                F.lit(0).alias("__src"))
+            allrows = chain.unionByName(batch)
+
+            def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+                pdf = pdf.sort_values(["__src", "time", "seq"])
+                acc: bytes | None = None
+                head_t = -1
+                n_batch = 0
+                for src, t, blob in zip(
+                        pdf["__src"], pdf["time"], pdf["payload"]):
+                    if src == 0:
+                        head_t = max(head_t, int(t))
+                        if blob is None:  # tombstone: chain restarts
+                            acc = None
+                            continue
+                    else:
+                        n_batch += 1
+                    b = bytes(blob)
+                    acc = b if acc is None else merge(b, acc)
+                if acc is None:  # untouched dead chain: compacted away
+                    return pd.DataFrame(
+                        {"address": pd.Series([], dtype="int64"),
+                         "time": pd.Series([], dtype="int64"),
+                         "payload": pd.Series([], dtype="object")})
+                return pd.DataFrame({
+                    "address": [int(pdf["address"].iloc[0])],
+                    "time": [head_t + n_batch],
+                    "payload": [acc],
+                })
+
+            out = allrows.groupBy("address").applyInPandas(
+                fold, "address long, time long, payload binary")
+            return (
+                out.withColumn("value", F.lit(None).cast("long"))
+                .withColumn("seq", F.lit(0).cast("long"))
+                .withColumn("kind", F.lit(1))
+                .withColumn("epoch", idx.epoch_col("time"))
+                .withColumn(
+                    "bucket",
+                    place_bucket_by_index(idx, "time", "address"))
+            )
+
+        self.store._rewrite_generation(self.ns, transform)
+
     def enumerate_versions(self) -> DataFrame:
         pdir = self.store._points_dir(self.ns)
         if not self.store.fs.is_dir(pdir):

@@ -729,6 +729,55 @@ def ts_ttl_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_kv_merge_into",
+    oracle=f"""{PTS_CTE},
+chain AS (
+  SELECT address AS key,
+         string_agg(payload_str, '|' ORDER BY seq) AS folded
+  FROM pts WHERE address % 2 = 1 GROUP BY address)
+SELECT key,
+       CASE WHEN key % 4 = 1 THEN folded || '|UPD' ELSE folded END AS value
+FROM chain
+""",
+    tags=("M3",),
+    priority=110,  # NEW r10 (window exactly full); local-green; rotate in r11 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def ts_kv_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 as the lakehouse production shape (VERDICT r9 #8): the
+    read-merge-append of ``insertWith`` (Mutable.hs:83-103) executed
+    as ONE generation-swap MERGE over the latest-view
+    (:meth:`MutableKV.merge_into` — the Delta/Iceberg ``MERGE INTO``
+    equivalent, with the differential law vs the append-log
+    ``merge_with`` fold pinned in tests/test_mutable.py).  Chains are
+    seeded raw via ``insert_bulk`` (event payloads in seq order), a
+    takedown-sized update batch hits every ``key % 4 == 1``, and the
+    merged view reads back as one version per key — the oracle folds
+    the same chains with ``string_agg`` and appends the update."""
+    from rados_timestore_spark.mutable import MutableKV
+    from rados_timestore_spark.store import TimeStore
+
+    root = tempfile.mkdtemp(prefix="ts_kv_merge_into_")
+    store = TimeStore(spark, root)
+    kv = MutableKV(store, "mi")
+
+    pts = events_points(spark, sf_dir).filter(F.col("address") % 2 == 1)
+    kv.insert_bulk(pts.select(
+        F.col("address").alias("key"),
+        F.encode("payload_str", "UTF-8").alias("value"),
+        "seq",
+    ))
+    updates = (
+        pts.filter(F.col("address") % 4 == 1)
+        .select(F.col("address").alias("key")).distinct()
+        .withColumn("value", F.encode(F.lit("UPD"), "UTF-8"))
+        .withColumn("seq", F.lit(0).cast("long"))
+    )
+    kv.merge_into(updates, lambda new, old: old + b"|" + new)
+    return kv.enumerate().select(
+        "key", F.decode("value", "UTF-8").alias("value"))
+
+
+@register(
     "ts_verify_scrub",
     oracle=f"""{PTS_CTE}
 SELECT {_epoch_case_sql()} AS epoch,

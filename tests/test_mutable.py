@@ -224,3 +224,74 @@ def test_vacuum_with_merge_preserves_merge_with(store):
     assert got[2 | 1] == b"abcd"
     rep = store.verify(kv.ns)
     assert rep["ok"], rep
+
+
+def test_merge_into_differential_law(store):
+    # VERDICT r9 #8: merge_into(b, f) then enumerate() must equal the
+    # append-log derivation insert_bulk(b) then merge_with(f), across
+    # raw chains (insert_bulk), merged chains (insert_with), fresh
+    # keys, untouched keys, and tombstoned keys.
+    mrg = lambda new, old: old + b"|" + new  # noqa: E731
+    store.register_namespace("PONY", buckets=4)
+
+    def seed(kv):
+        kv.insert_bulk(store.spark.createDataFrame(
+            [(2, bytearray(b"a")), (2, bytearray(b"b")),
+             (4, bytearray(b"x"))], "key long, value binary"))
+        kv.insert_with(mrg, 6, b"m1")
+        kv.insert_with(mrg, 6, b"m2")
+        kv.insert(8, b"dead")
+        kv.delete(8)
+        kv.insert(10, b"untouched")
+
+    a = MutableKV(store, "PONY")
+    seed(a)
+    batch = store.spark.createDataFrame(
+        [(2, bytearray(b"c"), 0), (2, bytearray(b"d"), 1),
+         (8, bytearray(b"revived"), 2), (12, bytearray(b"fresh"), 3)],
+        "key long, value binary, seq long")
+
+    store.register_namespace("PONYB", buckets=4)
+    b_kv = MutableKV(store, "PONYB")
+    seed(b_kv)
+    b_kv.insert_bulk(batch)
+    want = {r.key: bytes(r.value) for r in b_kv.merge_with(mrg).collect()}
+
+    a.merge_into(batch, mrg)
+    got = {r.key: bytes(r.value) for r in a.enumerate().collect()}
+    # key 6's chain was written by insert_with, which stores MERGED
+    # values per version, so the whole-chain fold is m1|(m1|m2) — the
+    # documented merge_with semantics for pre-merged chains; the LAW
+    # (merge_into == insert_bulk + merge_with) is what this test pins.
+    assert got == want == {
+        2 | 1: b"a|b|c|d", 4 | 1: b"x", 6 | 1: b"m1|m1|m2",
+        8 | 1: b"revived", 10 | 1: b"untouched", 12 | 1: b"fresh",
+    }
+    # generation-swap: each surviving key holds exactly one version
+    pdir = store._points_dir(a.ns)
+    n = store.spark.read.parquet(pdir).count()
+    assert n == 6
+    # versions stay monotone: a later insert still wins
+    a.insert(2, b"after")
+    assert a.lookup(2) == b"after"
+    rep = store.verify(a.ns)
+    assert rep["ok"], rep
+
+
+def test_merge_into_on_empty_kv_folds_the_batch(store):
+    mrg = lambda new, old: old + new  # noqa: E731
+    store.register_namespace("PONY", buckets=4)
+    kv = MutableKV(store, "PONY")
+    batch = store.spark.createDataFrame(
+        [(2, bytearray(b"a"), 0), (2, bytearray(b"b"), 1),
+         (4, bytearray(b"z"), 2)],
+        "key long, value binary, seq long")
+    kv.merge_into(batch, mrg)
+    got = {r.key: bytes(r.value) for r in kv.enumerate().collect()}
+    assert got == {2 | 1: b"ab", 4 | 1: b"z"}
+    # law holds from empty too
+    store.register_namespace("PONYC", buckets=4)
+    c = MutableKV(store, "PONYC")
+    c.insert_bulk(batch)
+    want = {r.key: bytes(r.value) for r in c.merge_with(mrg).collect()}
+    assert got == want

@@ -122,6 +122,7 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     # NEW r10 registrations — rotate into the r11 window
     "ts_dual_index_rollover",
     "ts_verify_scrub",
+    "ts_kv_merge_into",
     # r9 carve-out overflow — rotate into the r11 window
     "ts_lttb_downsample",
     "ts_cusum_changepoint",
