@@ -1608,3 +1608,118 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 dedup_winnow_pairs.__doc__ = dedup_winnow_pairs.__doc__.format(
     min_shared=_WINNOW_MIN_SHARED, cap=_WINNOW_DF_CAP)
+
+
+# --------------------------------------------- r10: BPE training loop
+#
+# text_bpe_merge_candidates scores ONE round of merge candidates; this
+# completes the trainer (VERDICT r9 #7): iterate to a fixed merge
+# budget over the word-frequency relation — the classic BPE trainer
+# shape (Sennrich et al. 2016; the HF trainer aggregates the corpus to
+# (word, freq) first for the same reason), so the heavy distributed
+# work is ONE word-count aggregate and each round's pair count runs
+# over the tiny vocab relation.  Merge application is the
+# space-separated-symbols string replace, which both engines execute
+# with identical non-overlapping left-to-right semantics (probed:
+# replace(' a a a a ', ' a a ', ' aa ') == ' aa a a ' in Spark AND
+# DuckDB) — a documented deterministic variant of HF's greedy repeat
+# handling.  Ties break (n DESC, l, r): ASCII-only symbols make the
+# string order engine-identical.
+
+_BPE_ROUNDS = 8
+
+
+def _bpe_train_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    """Unrolled per-round CTE chain (the graph_pagerank pattern):
+    round k counts adjacent symbol pairs of the round-(k-1)
+    tokenization, argmaxes deterministically, and rewrites the
+    tokenization for round k+1."""
+    parts = [
+        ("w0 AS (SELECT w, count(*) AS freq FROM "
+         f"(SELECT unnest({_WORDS_SQL}) AS w FROM documents) t "
+         "WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2 "
+         "GROUP BY w)"),
+        ("r0 AS (SELECT ' ' || array_to_string(list_transform("
+         "generate_series(1, length(w)), i -> substr(w, i, 1)), ' ') "
+         "|| ' ' AS s, freq FROM w0)"),
+    ]
+    for k in range(1, rounds + 1):
+        prev = f"r{k - 1}"
+        parts.append(
+            f"t{k} AS (SELECT string_split(trim(s), ' ') AS t, freq "
+            f"FROM {prev})")
+        parts.append(
+            f"c{k} AS (SELECT t[i] AS l, t[i+1] AS r, "
+            f"CAST(sum(freq) AS BIGINT) AS n "
+            f"FROM t{k}, UNNEST(generate_series(1, length(t) - 1)) "
+            f"AS u{k}(i) GROUP BY 1, 2)")
+        parts.append(
+            f"b{k} AS (SELECT {k} AS merge_rank, l, r, n FROM c{k} "
+            f"ORDER BY n DESC, l, r LIMIT 1)")
+        if k < rounds:
+            parts.append(
+                f"r{k} AS (SELECT replace(s, ' ' || l || ' ' || r || ' ', "
+                f"' ' || l || r || ' ') AS s, freq "
+                f"FROM {prev} CROSS JOIN b{k})")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM b{k}" for k in range(1, rounds + 1))
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT CAST(merge_rank AS BIGINT) AS merge_rank, l, r, "
+          "l || r AS merged, n FROM (" + union + ") ORDER BY merge_rank"
+    )
+
+
+@register(
+    "text_bpe_train",
+    oracle=_bpe_train_oracle(),
+    tags=("text", "llm"),
+    priority=110,  # NEW r10 (window exactly full); local-green; rotate in r11 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete BPE trainer (module note above): one distributed
+    word-frequency aggregate, then _BPE_ROUNDS merge rounds over the
+    pinned vocab relation — per round ONE tiny pair-count aggregate,
+    a 1-row argmax collect, and a literal string-replace rewrite of
+    the tokenization.  Returns the (merge_rank, l, r, merged, n)
+    merges table — the trained artifact a tokenizer loads."""
+    docs = load_parallel(spark, sf_dir, "documents", "doc_id")
+    wf = (
+        docs.select(F.explode(_words_col()).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+        .groupBy("w").agg(F.count("*").alias("freq"))
+    )
+    cur = pin(wf.select(
+        F.concat(
+            F.lit(" "),
+            F.expr("concat_ws(' ', transform(sequence(1, length(w)), "
+                   "i -> substring(w, i, 1)))"),
+            F.lit(" "),
+        ).alias("s"),
+        "freq",
+    ))
+    merges = []
+    for rank in range(1, _BPE_ROUNDS + 1):
+        toks = cur.select(
+            F.split(F.trim(F.col("s")), " ").alias("t"), "freq"
+        ).filter(F.size("t") >= 2)
+        pairs = toks.select(
+            F.expr("explode(transform(sequence(1, size(t) - 1), "
+                   "i -> struct(t[i-1] AS l, t[i] AS r)))").alias("p"),
+            "freq",
+        ).select("p.l", "p.r", "freq")
+        best = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("freq").cast("long").alias("n"))
+            .orderBy(F.desc("n"), "l", "r").limit(1).collect()[0]
+        )
+        merges.append(
+            (rank, best.l, best.r, best.l + best.r, int(best.n)))
+        if rank < _BPE_ROUNDS:
+            cur = pin(cur.withColumn(
+                "s",
+                F.expr(f"replace(s, ' {best.l} {best.r} ', "
+                       f"' {best.l}{best.r} ')"),
+            ))
+    return spark.createDataFrame(
+        merges, "merge_rank long, l string, r string, merged string, n long")

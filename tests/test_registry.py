@@ -123,6 +123,7 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "ts_dual_index_rollover",
     "ts_verify_scrub",
     "ts_kv_merge_into",
+    "text_bpe_train",
     # r9 carve-out overflow — rotate into the r11 window
     "ts_lttb_downsample",
     "ts_cusum_changepoint",
