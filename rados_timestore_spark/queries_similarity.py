@@ -2887,3 +2887,109 @@ def sim_vecidxpq_residual_recall(spark: SparkSession,
                       topk=5, nprobe=_N_PROBE) \
         .select("query_id", "neighbor_id")
     return _recall_at_5(spark, sf_dir, ann)
+
+
+# ----------------------------------------------- r10: sharded HNSW
+#
+# The graph-walk point on the ANN curve (VERDICT r9 #3) — see
+# :mod:`rados_timestore_spark.hnsw` for the design (per-shard
+# deterministic graphs in one mapInPandas pass, beam-probe every
+# shard, exact rerank of the candidate union; Malkov & Yashunin 2018).
+# The graph build/walk is genuinely non-SQL-expressible, so the
+# correctness contract is EQUALITY WITH EXACT SEARCH: with per-shard
+# beams (ef=128) far above k on shard-sized graphs, every shard
+# returns its local true top-k, the union covers the global top-5,
+# and the exact rerank recovers it — the oracle is the brute-force
+# top-5 itself, and any lost neighbor hash-mismatches loudly.
+# Approximation headroom is the law test (tests/test_hnsw.py:
+# recall(HNSW) >= recall(IVF), plus shard-graph recall floors).
+
+_HNSW_SHARDS = 8
+_HNSW_EF = 128
+_HNSW_SHARD_K = 16
+
+
+def _hnsw_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rados_timestore_spark.hnsw import shard_candidates
+
+    emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    qrows = emb.filter(F.col("vec_id") < 5) \
+        .select("vec_id", "embedding").collect()  # bounded: 5 x 64
+    queries = [(r.vec_id, np.asarray(r.embedding, dtype=np.float64))
+               for r in qrows]
+    cand = shard_candidates(
+        emb, queries, shards=_HNSW_SHARDS, k=_HNSW_SHARD_K,
+        ef_construction=_HNSW_EF, ef_search=_HNSW_EF)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    scored = (
+        cand.join(emb.select(F.col("vec_id").alias("neighbor_id"),
+                             "embedding"), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id",
+                _cos_seq(F.col("embedding"), F.col("qe")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+@register(
+    "sim_hnsw_ann",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+                  {_norm_sql("embedding")} AS qn
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         {_dot_sql("e.embedding", "qe")} / {_norm_sql("e.embedding")} / qn
+           AS cos
+  FROM embeddings e, q WHERE e.vec_id <> query_id)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored) t
+WHERE rank <= 5
+""",
+    tags=("similarity", "ann", "graph"),
+    priority=110,  # NEW r10 (window exactly full); local-green; rotate in r11 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def sim_hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded-HNSW top-5 for the 5 standard queries (module note
+    above): per-shard graph build + beam probe in one mapInPandas
+    pass, exact rerank of the O(shards x 16) candidate union with the
+    cross-engine cosine.  The oracle is the exact brute-force top-5 —
+    the equality claim that the sharded beams lost nothing."""
+    return _hnsw_top5(spark, sf_dir)
+
+
+@register(
+    "sim_hnsw_recall",
+    oracle=_recall_sql(
+        f"""hnsw_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             {_dot_sql("e.embedding", "q.embedding")}
+               / {_norm_sql("e.embedding")} / {_norm_sql("q.embedding")}
+               DESC, e.vec_id) AS rank
+    FROM embeddings e, embeddings q
+    WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id) t
+  WHERE rank <= 5)""",
+        "hnsw_top"),
+    tags=("similarity", "ann", "graph"),
+    priority=110,  # NEW r10 (window exactly full); local-green; rotate in r11 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def sim_hnsw_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the sharded-HNSW probe, measured Spark-side against
+    the exact ground truth (the shared :func:`_recall_at_5` harness).
+    The graph walk is not SQL-expressible, so the oracle's ANN CTE is
+    the exact top-5 — i.e. the oracle asserts the recall the equality
+    contract (sim_hnsw_ann) implies: 5/5 per query.  A real lost
+    neighbor fails BOTH queries (here as n_hit < 5 vs the oracle's 5,
+    there as a hash mismatch on the neighbor list)."""
+    ann = _hnsw_top5(spark, sf_dir).select("query_id", "neighbor_id")
+    return _recall_at_5(spark, sf_dir, ann)

@@ -1,0 +1,86 @@
+"""Sharded-HNSW laws (rados_timestore_spark/hnsw.py; Malkov &
+Yashunin 2018): deterministic builds, shard-graph recall floors, and
+the VERDICT r9 #3 law — HNSW recall >= IVF recall on the same
+queries."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rados_timestore_spark.hnsw import _ShardGraph, shard_candidates
+
+SF = "/root/testdata/sf0.001"
+
+
+def _brute_top5(vecs, ids, q):
+    V = vecs / np.linalg.norm(vecs, axis=1)[:, None]
+    qn = q / np.linalg.norm(q)
+    sims = V @ qn
+    order = np.lexsort((ids, -sims))
+    return [int(i) for i in ids[order[:5]]]
+
+
+def test_shard_graph_is_deterministic_and_connected():
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(400, 64)
+    ids = np.arange(400, dtype=np.int64) * 2 + 7
+    a = _ShardGraph(ids, vecs, m=8, ef_construction=64)
+    b = _ShardGraph(ids.copy(), vecs.copy(), m=8, ef_construction=64)
+    for s in range(5):
+        q = np.random.RandomState(100 + s).randn(64)
+        assert a.search(q, 10, ef=64) == b.search(q, 10, ef=64)
+    # layer-0 graph reaches every node (no orphan: each inserted node
+    # keeps at least one edge unless it is the very first)
+    deg0 = {n: len(v) for n, v in a.adj[0].items()}
+    assert len(deg0) == 400
+    assert min(deg0[n] for n in deg0 if n != 0) >= 1
+    # degree bound: Mmax0 == 2 * M
+    assert max(deg0.values()) <= 16
+
+
+def test_shard_graph_beam_recall_floor():
+    rng = np.random.RandomState(13)
+    vecs = rng.randn(600, 64)
+    ids = np.arange(600, dtype=np.int64)
+    g = _ShardGraph(ids, vecs, m=8, ef_construction=128)
+    hits = total = 0
+    for s in range(20):
+        q = np.random.RandomState(200 + s).randn(64)
+        true = set(_brute_top5(vecs, ids, q))
+        got = set(g.search(q, 5, ef=128))
+        hits += len(true & got)
+        total += 5
+    assert hits / total >= 0.95  # gaussian data, the hard case
+
+
+def test_shard_candidates_cover_global_top5(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = emb.filter(F.col("vec_id") < 5).collect()
+    queries = [(r.vec_id, np.asarray(r.embedding, dtype=np.float64))
+               for r in rows]
+    cand = shard_candidates(emb, queries, shards=8, k=16,
+                            ef_construction=128, ef_search=128)
+    got = {(r.query_id, r.neighbor_id) for r in cand.collect()}
+    all_ids = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in all_ids], dtype=np.int64)
+    vecs = np.stack([np.asarray(r.embedding, dtype=np.float64)
+                     for r in all_ids])
+    for qid, qv in queries:
+        mask = ids != qid
+        true = _brute_top5(vecs[mask], ids[mask], qv)
+        missing = [n for n in true if (qid, n) not in got]
+        assert not missing, (qid, missing)
+
+
+def test_hnsw_recall_at_least_ivf(spark):
+    # VERDICT r9 #3's law: the graph index must not sit below the
+    # cluster index on the recall curve for the standard query set.
+    from rados_timestore_spark.queries_similarity import (
+        sim_hnsw_recall, sim_ivf_recall,
+    )
+
+    hnsw = {r.query_id: r.n_hit for r in sim_hnsw_recall(spark, SF).collect()}
+    ivf = {r.query_id: r.n_hit for r in sim_ivf_recall(spark, SF).collect()}
+    assert set(hnsw) == set(ivf) == {0, 1, 2, 3, 4}
+    assert sum(hnsw.values()) >= sum(ivf.values())
+    assert sum(hnsw.values()) == 25  # the equality contract: 5/5 each

@@ -124,6 +124,8 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "ts_verify_scrub",
     "ts_kv_merge_into",
     "text_bpe_train",
+    "sim_hnsw_ann",
+    "sim_hnsw_recall",
     # r9 carve-out overflow — rotate into the r11 window
     "ts_lttb_downsample",
     "ts_cusum_changepoint",
