@@ -46,6 +46,10 @@ def _parser() -> argparse.ArgumentParser:
     reg = sub.add_parser("register", help="register a namespace")
     reg.add_argument("--buckets", "-s", type=int, default=128,
                      help="bucket count (reference default 128)")
+    reg.add_argument("--extended-buckets", "-e", type=int, default=None,
+                     help="separate extended-kind bucket count — enables "
+                          "the dual per-kind index with independent "
+                          "rollover (Store.hs:30-88 takes both counts)")
 
     sub.add_parser("latest", help="print (simple, extended) watermarks")
 
@@ -257,8 +261,13 @@ def main(argv: Sequence[str] | None = None,
         if store.is_registered(args.ns):
             print(f"namespace {args.ns} already registered")
             return 1
-        store.register_namespace(args.ns, buckets=args.buckets)
-        print(f"registered {args.ns} ({args.buckets} buckets)")
+        store.register_namespace(args.ns, buckets=args.buckets,
+                                 extended_buckets=args.extended_buckets)
+        kinds = (f"{args.buckets} buckets"
+                 if args.extended_buckets is None else
+                 f"{args.buckets} simple / {args.extended_buckets} "
+                 f"extended buckets")
+        print(f"registered {args.ns} ({kinds})")
     elif args.cmd == "latest":
         simple, extended = store.latest(args.ns)
         print(json.dumps({"simple": simple, "extended": extended}))

@@ -2495,7 +2495,16 @@ def _vecidx(spark: SparkSession, sf_dir: str, variant: str):
     the build subset's 256 lowest ids)."""
     from rados_timestore_spark.vector_index import VectorIndex
 
-    key = (sf_dir, variant)
+    # Key the session cache by the fixture's identity, not just its
+    # path (VERDICT r9 #4): a testdata regen under the same sf_dir
+    # must invalidate, never serve a stale index.  os.stat is
+    # URI-blind, so non-local roots fall back to path-only keying.
+    try:
+        st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+        fixture_id = (st.st_size, int(st.st_mtime_ns))
+    except OSError:
+        fixture_id = None
+    key = (sf_dir, variant, fixture_id)
     if key in _VIDX_CACHE:
         return _VIDX_CACHE[key]
     root = tempfile.mkdtemp(prefix="vidx_driver_")

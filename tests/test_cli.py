@@ -228,3 +228,19 @@ def test_cli_verify(spark, tmp_path, capsys):
     assert main([*base, "verify"], spark=spark) == 3
     rep = json.loads(capsys.readouterr().out)
     assert rep["orphan_dirs"] == [".stage_x"] and not rep["ok"]
+
+
+def test_cli_register_dual_index(spark, tmp_path, capsys):
+    # Store.hs:30-88 parity: register takes BOTH per-kind bucket
+    # counts; the CLI's --extended-buckets enables the dual index.
+    from rados_timestore_spark.store import TimeStore
+
+    root = str(tmp_path / "wh")
+    base = ["--root", root, "--ns", "DUAL"]
+    assert main([*base, "register", "--buckets", "4",
+                 "--extended-buckets", "5"], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "4 simple / 5 extended" in out
+    store = TimeStore(spark, root)
+    assert store.index("DUAL").entries == ((0, 4),)
+    assert store.index("DUAL", extended=True).entries == ((0, 5),)

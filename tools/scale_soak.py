@@ -307,6 +307,22 @@ SOAK_R9E_QUERIES = (
     "sketch_moments",
 )
 
+#: SOAK_FAMILY=graph30 (VERDICT r9 #9): the graph family one decade
+#: deeper — the 10x soak put bfs_hops/modularity at exponent 0.45,
+#: explained as tracking the fuzzy-pair edge count; the 30x run
+#: confirms the exponent holds (i.e. the 0.45 is edge-density-driven,
+#: not a hidden superlinear term whose knee sits past 10x).  Run with
+#: ``SOAK_COPIES=30``.
+SOAK_GRAPH30_QUERIES = (
+    "graph_bfs_hops",
+    "graph_modularity",
+    "graph_kcore",
+    "graph_label_propagation",
+    "graph_jaccard_neighbors",
+    "graph_assortativity",
+    "graph_triangle_count",
+)
+
 #: SOAK_FAMILY=skew (VERDICT r8 item 4): the shuffle-heavy set under
 #: ENGINEERED key skew vs a same-size uniform corpus.  The 10x soaks
 #: scale uniformly, so hot-key mitigations (LSH hot-bucket salting,
@@ -489,6 +505,7 @@ def main() -> None:
              "r9c": SOAK_R9C_QUERIES,
              "r9d": SOAK_R9D_QUERIES,
              "r9e": SOAK_R9E_QUERIES,
+             "graph30": SOAK_GRAPH30_QUERIES,
              "skew": SOAK_SKEW_QUERIES,
              }.get(family, SOAK_QUERIES)
     if family == "skew":
