@@ -154,6 +154,26 @@ class _ShardGraph:
                 self.adj[lc][i] = self.adj[lc].get(i, [])
             self.entry, self.top = i, l_i
 
+    def _append_node(self, vec_id: int, vec: np.ndarray) -> None:
+        """Insert one NEW vector into an existing graph — the standard
+        HNSW insert, arrays extended in arrival order.  Reconstruction
+        (:meth:`HNSWIndex._from_rows`) re-sorts ids, so the persisted
+        adjacency stays position-independent."""
+        nv = float(np.linalg.norm(vec)) or 1.0
+        self.ids = np.append(self.ids, np.int64(vec_id))
+        self.vecs = np.vstack([self.vecs, vec / nv])
+        lvl = int(_levels(np.array([vec_id], dtype=np.int64), self.m)[0])
+        self.levels = np.append(self.levels, np.int64(lvl))
+        while len(self.adj) <= lvl:
+            self.adj.append({})
+        i = len(self.ids) - 1
+        if i == 0:
+            self.entry, self.top = 0, lvl
+            for lc in range(lvl + 1):
+                self.adj[lc][0] = []
+            return
+        self._insert(i)
+
     # ------------------------------------------------------- probe
 
     def search(self, q: np.ndarray, k: int,
@@ -212,3 +232,278 @@ def shard_candidates(df, queries: list[tuple[int, np.ndarray]],
         .repartition(shards, "vec_id")
         .mapInPandas(probe, "query_id long, neighbor_id long")
     )
+
+
+# ----------------------------------------------------------- persisted
+
+
+class HNSWIndexNotBuilt(Exception):
+    pass
+
+
+_HNSW_META = "_hnswidx_meta.json"
+
+
+class HNSWIndex:
+    """Build-once / probe-many persisted sharded-HNSW index — the
+    graph sibling of :class:`vector_index.VectorIndex`'s IVF layout.
+
+    Layout under ``root/ns``::
+
+        _hnswidx_meta.json        shards, m, ef_construction, dim,
+                                  n_vectors, version (commit marker)
+        graph/shard=S/            (vec_id, level, layer, neighbors) —
+                                  adjacency rows keyed by GLOBAL ids
+        vectors/shard=S/          (vec_id, embedding)
+
+    Shard routing is the explicit column ``pmod(hash(vec_id), shards)``
+    (persisted, so appends route identically forever).  Graphs are
+    deterministic (see module note), so reconstruction from the
+    adjacency rows reproduces the built graph exactly — the entry
+    point re-derives as the lowest id at the top level, which is the
+    node the ascending-id build promoted there.  Probes beam-search
+    every shard (cogrouped graph+vectors, one Arrow pass) and the
+    caller exact-reranks the candidate union; appends re-open each
+    affected shard's graph and run the standard inserts for the new
+    nodes (ascending id), then swap that shard's adjacency directory —
+    untouched shards' files are never read or moved."""
+
+    def __init__(self, spark, root: str):
+        from rados_timestore_spark.fsutil import HadoopFS
+
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.fs = HadoopFS(spark, self.root)
+
+    def _ns_dir(self, ns: str) -> str:
+        return f"{self.root}/{ns}"
+
+    def _graph_dir(self, ns: str) -> str:
+        return f"{self._ns_dir(ns)}/graph"
+
+    def _vectors_dir(self, ns: str) -> str:
+        return f"{self._ns_dir(ns)}/vectors"
+
+    def meta(self, ns: str) -> dict:
+        import json
+
+        path = f"{self._ns_dir(ns)}/{_HNSW_META}"
+        if not self.fs.exists(path):
+            raise HNSWIndexNotBuilt(
+                f"hnsw index {ns!r} has no {_HNSW_META} under "
+                f"{self.root} — run build() first")
+        return json.loads(self.fs.read_text(path))
+
+    def _write_meta(self, ns: str, doc: dict) -> None:
+        import json
+
+        self.fs.write_text_atomic(
+            f"{self._ns_dir(ns)}/{_HNSW_META}", json.dumps(doc))
+
+    @staticmethod
+    def _graph_rows(g: _ShardGraph, shard: int) -> pd.DataFrame:
+        vid, lvl, lay, nbr = [], [], [], []
+        for layer, adj in enumerate(g.adj):
+            for node, nbrs in adj.items():
+                vid.append(int(g.ids[node]))
+                lvl.append(int(g.levels[node]))
+                lay.append(layer)
+                nbr.append([int(g.ids[x]) for x in nbrs])
+        return pd.DataFrame({
+            "shard": shard, "vec_id": vid, "level": lvl,
+            "layer": lay, "neighbors": nbr,
+        })
+
+    @staticmethod
+    def _from_rows(gpdf: pd.DataFrame, vpdf: pd.DataFrame, m: int,
+                   ef_construction: int) -> _ShardGraph:
+        """Reconstruct the deterministic shard graph from persisted
+        adjacency rows without re-running inserts."""
+        ids = vpdf["vec_id"].to_numpy(dtype=np.int64)
+        vecs = np.stack(vpdf["embedding"].to_numpy()).astype(np.float64)
+        g = _ShardGraph.__new__(_ShardGraph)
+        order = np.argsort(ids)
+        g.ids = ids[order]
+        norms = np.linalg.norm(vecs[order], axis=1)
+        norms[norms == 0.0] = 1.0
+        g.vecs = vecs[order] / norms[:, None]
+        g.m = m
+        g.ef_c = ef_construction
+        g.levels = _levels(g.ids, m)
+        pos = {int(v): i for i, v in enumerate(g.ids)}
+        top = int(gpdf["layer"].max()) if len(gpdf) else 0
+        g.adj = [{} for _ in range(top + 1)]
+        for layer, vec_id, nbrs in zip(
+                gpdf["layer"], gpdf["vec_id"], gpdf["neighbors"]):
+            g.adj[int(layer)][pos[int(vec_id)]] = [
+                pos[int(x)] for x in nbrs]
+        g.top = top
+        # ascending-id build promotes the FIRST node reaching each new
+        # max level, so the entry point is the lowest id at the top
+        top_nodes = sorted(g.adj[top].keys()) if g.adj[top] else [0]
+        g.entry = top_nodes[0]
+        return g
+
+    # -------------------------------------------------------- build
+
+    def build(self, ns: str, emb, shards: int = 8,
+              m: int = DEFAULT_M,
+              ef_construction: int = DEFAULT_EF_CONSTRUCTION,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> dict:
+        from pyspark.sql import functions as F
+
+        sharded = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            F.pmod(F.hash(id_col), F.lit(shards)).alias("shard"),
+        )
+
+        def build_shard(batches):
+            parts = [pdf for pdf in batches]
+            if not parts:
+                return
+            pdf = pd.concat(parts, ignore_index=True)
+            for shard, grp in pdf.groupby("shard"):
+                ids = grp["vec_id"].to_numpy(dtype=np.int64)
+                vecs = np.stack(grp["embedding"].to_numpy()) \
+                    .astype(np.float64)
+                g = _ShardGraph(ids, vecs, m=m,
+                                ef_construction=ef_construction)
+                yield self._graph_rows(g, int(shard))
+
+        graph = sharded.repartition(shards, "shard").mapInPandas(
+            build_shard,
+            "shard int, vec_id long, level int, layer int, "
+            "neighbors array<long>")
+        (graph.write.mode("overwrite").partitionBy("shard")
+         .parquet(self._graph_dir(ns)))
+        (sharded.repartition(shards, "shard").write.mode("overwrite")
+         .partitionBy("shard").parquet(self._vectors_dir(ns)))
+        dim = len(emb.select(vec_col).head()[0])
+        doc = {
+            "shards": int(shards), "m": int(m),
+            "ef_construction": int(ef_construction), "dim": dim,
+            "n_vectors": emb.count(), "version": 1,
+        }
+        self._write_meta(ns, doc)  # commit marker LAST (crash-safe)
+        return doc
+
+    # ------------------------------------------------------- append
+
+    def append(self, ns: str, emb, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> int:
+        """Insert new vectors into their (persisted-routing) shards:
+        each affected shard's graph is reconstructed, the new nodes run
+        the standard ascending-id inserts, and the shard's adjacency
+        directory is swapped by rename — untouched shards keep their
+        exact files."""
+        from pyspark.sql import functions as F
+
+        doc = self.meta(ns)
+        shards, m, ef_c = doc["shards"], doc["m"], doc["ef_construction"]
+        new = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            F.pmod(F.hash(id_col), F.lit(shards)).alias("shard"),
+        )
+        affected = sorted(r.shard for r in
+                          new.select("shard").distinct().collect())
+        if not affected:
+            return 0
+        n_new = new.count()
+        gdir, vdir = self._graph_dir(ns), self._vectors_dir(ns)
+        old_g = self.spark.read.parquet(gdir) \
+            .filter(F.col("shard").isin(affected)) \
+            .withColumn("shard", F.col("shard").cast("int"))
+        old_v = self.spark.read.parquet(vdir) \
+            .filter(F.col("shard").isin(affected)) \
+            .withColumn("shard", F.col("shard").cast("int")) \
+            .withColumn("is_new", F.lit(0))
+        both_v = old_v.unionByName(new.withColumn("is_new", F.lit(1)))
+
+        def reinsert(key, gpdf, vpdf):
+            shard = int(key[0])
+            old = vpdf[vpdf["is_new"] == 0]
+            add = vpdf[vpdf["is_new"] == 1].sort_values("vec_id")
+            if not len(old):  # shard never populated: fresh build
+                g = _ShardGraph(
+                    add["vec_id"].to_numpy(dtype=np.int64),
+                    np.stack(add["embedding"].to_numpy())
+                    .astype(np.float64),
+                    m=m, ef_construction=ef_c)
+                return HNSWIndex._graph_rows(g, shard)
+            g = HNSWIndex._from_rows(gpdf, old, m, ef_c)
+            for vec_id, vec in zip(add["vec_id"], add["embedding"]):
+                g._append_node(int(vec_id),
+                               np.asarray(vec, dtype=np.float64))
+            return HNSWIndex._graph_rows(g, shard)
+
+        regraph = (
+            old_g.groupby("shard")
+            .cogroup(both_v.groupby("shard"))
+            .applyInPandas(reinsert,
+                           "shard int, vec_id long, level int, "
+                           "layer int, neighbors array<long>")
+        )
+        staging = f"{gdir}.appending"
+        if self.fs.exists(staging):
+            self.fs.delete(staging, recursive=True)
+        (regraph.write.mode("overwrite").partitionBy("shard")
+         .parquet(staging))
+        for s in affected:
+            old_dir = f"{gdir}/shard={s}.old"
+            if self.fs.exists(f"{gdir}/shard={s}"):
+                if not self.fs.rename(f"{gdir}/shard={s}", old_dir):
+                    raise IOError(f"append({ns!r}): cannot move shard {s}")
+            if not self.fs.rename(f"{staging}/shard={s}",
+                                  f"{gdir}/shard={s}"):
+                self.fs.rename(old_dir, f"{gdir}/shard={s}")
+                raise IOError(f"append({ns!r}): swap failed, shard {s}")
+            self.fs.delete(old_dir, recursive=True)
+        self.fs.delete(staging, recursive=True)
+        (new.write.mode("append").partitionBy("shard").parquet(vdir))
+        doc["n_vectors"] = int(doc["n_vectors"]) + int(n_new)
+        doc["version"] = int(doc["version"]) + 1
+        self._write_meta(ns, doc)
+        return int(n_new)
+
+    # -------------------------------------------------------- probe
+
+    def probe_candidates(self, ns: str,
+                         queries: list[tuple[int, np.ndarray]],
+                         k: int = 16,
+                         ef_search: int = DEFAULT_EF_SEARCH):
+        """(query_id, neighbor_id) candidates from beam-searching every
+        shard's persisted graph — one cogrouped Arrow pass, no
+        rebuild.  Callers exact-rerank the union."""
+        doc = self.meta(ns)
+        m, ef_c = doc["m"], doc["ef_construction"]
+        qs = [(int(qid), np.asarray(vec, dtype=np.float64))
+              for qid, vec in queries]
+        graph = self.spark.read.parquet(self._graph_dir(ns)) \
+            .withColumn("shard", _shard_int())
+        vectors = self.spark.read.parquet(self._vectors_dir(ns)) \
+            .withColumn("shard", _shard_int())
+
+        def probe(key, gpdf, vpdf):
+            if not len(vpdf):
+                return pd.DataFrame({"query_id": [], "neighbor_id": []})
+            g = HNSWIndex._from_rows(gpdf, vpdf, m, ef_c)
+            out_q, out_n = [], []
+            for qid, qv in qs:
+                for nid in g.search(qv, k, ef=ef_search):
+                    if nid != qid:
+                        out_q.append(qid)
+                        out_n.append(nid)
+            return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
+
+        return (
+            graph.groupby("shard").cogroup(vectors.groupby("shard"))
+            .applyInPandas(probe, "query_id long, neighbor_id long")
+        )
+
+
+def _shard_int():
+    from pyspark.sql import functions as F
+
+    return F.col("shard").cast("int")

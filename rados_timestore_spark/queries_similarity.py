@@ -2918,17 +2918,17 @@ _HNSW_EF = 128
 _HNSW_SHARD_K = 16
 
 
-def _hnsw_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rados_timestore_spark.hnsw import shard_candidates
-
-    emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
+def _hnsw_queries(emb) -> list:
     qrows = emb.filter(F.col("vec_id") < 5) \
         .select("vec_id", "embedding").collect()  # bounded: 5 x 64
-    queries = [(r.vec_id, np.asarray(r.embedding, dtype=np.float64))
-               for r in qrows]
-    cand = shard_candidates(
-        emb, queries, shards=_HNSW_SHARDS, k=_HNSW_SHARD_K,
-        ef_construction=_HNSW_EF, ef_search=_HNSW_EF)
+    return [(r.vec_id, np.asarray(r.embedding, dtype=np.float64))
+            for r in qrows]
+
+
+def _hnsw_rerank_top5(emb, cand: DataFrame) -> DataFrame:
+    """Exact top-5 over the HNSW candidate union, ranked by the
+    cross-engine cosine (shared by the one-pass and persisted-index
+    variants so the rerank can never drift between them)."""
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
     scored = (
@@ -2944,6 +2944,16 @@ def _hnsw_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def _hnsw_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rados_timestore_spark.hnsw import shard_candidates
+
+    emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    cand = shard_candidates(
+        emb, _hnsw_queries(emb), shards=_HNSW_SHARDS, k=_HNSW_SHARD_K,
+        ef_construction=_HNSW_EF, ef_search=_HNSW_EF)
+    return _hnsw_rerank_top5(emb, cand)
 
 
 @register(
@@ -3002,3 +3012,97 @@ def sim_hnsw_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     there as a hash mismatch on the neighbor list)."""
     ann = _hnsw_top5(spark, sf_dir).select("query_id", "neighbor_id")
     return _recall_at_5(spark, sf_dir, ann)
+
+
+# ------------------------------------- r10: persisted HNSW index
+
+_HNSWIDX_CACHE: dict = {}
+
+
+def _hnswidx(spark: SparkSession, sf_dir: str, variant: str):
+    """Build (once per process per fixture x variant) a persisted
+    :class:`hnsw.HNSWIndex`.  ``full``: one build over the corpus.
+    ``append``: build over the EVEN vec_ids then append the odd ones
+    — the incremental path (per-shard graph re-open + standard
+    inserts + directory swap)."""
+    from rados_timestore_spark.hnsw import HNSWIndex
+
+    try:
+        st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+        fixture_id = (st.st_size, int(st.st_mtime_ns))
+    except OSError:
+        fixture_id = None
+    key = (sf_dir, variant, fixture_id)
+    if key in _HNSWIDX_CACHE:
+        return _HNSWIDX_CACHE[key]
+    root = tempfile.mkdtemp(prefix="hnswidx_driver_")
+    vi = HNSWIndex(spark, root)
+    emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    if variant == "full":
+        vi.build("e", emb, shards=_HNSW_SHARDS, m=8,
+                 ef_construction=_HNSW_EF)
+    elif variant == "append":
+        vi.build("e", emb.filter(F.col("vec_id") % 2 == 0),
+                 shards=_HNSW_SHARDS, m=8, ef_construction=_HNSW_EF)
+        vi.append("e", emb.filter(F.col("vec_id") % 2 == 1))
+    else:
+        raise ValueError(variant)
+    _HNSWIDX_CACHE[key] = vi
+    return vi
+
+
+_HNSWIDX_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+                  {_norm_sql("embedding")} AS qn
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         {_dot_sql("e.embedding", "qe")} / {_norm_sql("e.embedding")} / qn
+           AS cos
+  FROM embeddings e, q WHERE e.vec_id <> query_id)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored) t
+WHERE rank <= 5
+"""
+
+
+@register(
+    "sim_hnswidx_probe",
+    oracle=_HNSWIDX_ORACLE,
+    tags=("similarity", "ann", "graph", "index"),
+    priority=110,  # NEW r10 (window exactly full); local-green; rotate in r11 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def sim_hnswidx_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe of the PERSISTED sharded-HNSW index (hnsw.HNSWIndex —
+    the graph sibling of sim_vecidx_probe's IVF layout): graphs are
+    built once and written as per-shard adjacency parquet; the probe
+    reconstructs each shard's graph in one cogrouped Arrow pass (no
+    rebuild, no trainer) and beam-searches it, and the exact rerank
+    recovers the brute-force top-5 — the same equality contract as
+    sim_hnsw_ann, now over the build-once/probe-many path."""
+    emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    vi = _hnswidx(spark, sf_dir, "full")
+    cand = vi.probe_candidates("e", _hnsw_queries(emb),
+                               k=_HNSW_SHARD_K, ef_search=_HNSW_EF)
+    return _hnsw_rerank_top5(emb, cand)
+
+
+@register(
+    "sim_hnswidx_append_probe",
+    oracle=_HNSWIDX_ORACLE,
+    tags=("similarity", "ann", "graph", "index"),
+    priority=110,  # NEW r10 (window exactly full); local-green; rotate in r11 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def sim_hnswidx_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest variant: build the persisted graph over the
+    even vec_ids, ``append`` the odd half (per-shard graph re-open +
+    standard inserts + atomic directory swap; untouched shards' files
+    never move), then probe — the full corpus's exact top-5 must come
+    back, proving appended vectors are first-class graph citizens."""
+    emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    vi = _hnswidx(spark, sf_dir, "append")
+    cand = vi.probe_candidates("e", _hnsw_queries(emb),
+                               k=_HNSW_SHARD_K, ef_search=_HNSW_EF)
+    return _hnsw_rerank_top5(emb, cand)

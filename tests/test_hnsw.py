@@ -84,3 +84,81 @@ def test_hnsw_recall_at_least_ivf(spark):
     assert set(hnsw) == set(ivf) == {0, 1, 2, 3, 4}
     assert sum(hnsw.values()) >= sum(ivf.values())
     assert sum(hnsw.values()) == 25  # the equality contract: 5/5 each
+
+
+def test_hnswidx_build_probe_and_reconstruction(spark, tmp_path):
+    from rados_timestore_spark.hnsw import HNSWIndex
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    vi = HNSWIndex(spark, str(tmp_path / "hx"))
+    doc = vi.build("e", emb, shards=4, m=8, ef_construction=128)
+    assert doc["n_vectors"] == emb.count()
+    rows = emb.filter(F.col("vec_id") < 3).collect()
+    queries = [(r.vec_id, np.asarray(r.embedding, dtype=np.float64))
+               for r in rows]
+    cand = {(r.query_id, r.neighbor_id)
+            for r in vi.probe_candidates(
+                "e", queries, k=16, ef_search=128).collect()}
+    # candidates cover the global exact top-5 for every query
+    allr = emb.collect()
+    ids = np.array([r.vec_id for r in allr], dtype=np.int64)
+    vecs = np.stack([np.asarray(r.embedding, dtype=np.float64)
+                     for r in allr])
+    for qid, qv in queries:
+        mask = ids != qid
+        for n in _brute_top5(vecs[mask], ids[mask], qv):
+            assert (qid, n) in cand, (qid, n)
+    # probes are deterministic across reconstructions
+    again = {(r.query_id, r.neighbor_id)
+             for r in vi.probe_candidates(
+                 "e", queries, k=16, ef_search=128).collect()}
+    assert again == cand
+
+
+def test_hnswidx_append_preserves_untouched_shards_and_exactness(
+        spark, tmp_path):
+    import glob
+    import os
+
+    from rados_timestore_spark.hnsw import HNSWIndex
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    vi = HNSWIndex(spark, str(tmp_path / "hx"))
+    vi.build("e", emb.filter(F.col("vec_id") % 2 == 0),
+             shards=4, m=8, ef_construction=128)
+    # append only vectors routed to a subset of shards: pick odd ids
+    # in shard 0 under the persisted routing
+    odd = emb.filter(F.col("vec_id") % 2 == 1).withColumn(
+        "shard", F.pmod(F.hash("vec_id"), F.lit(4)))
+    batch = odd.filter(F.col("shard") == 0).drop("shard")
+    n_batch = batch.count()
+    assert n_batch > 0
+    untouched = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{vi._graph_dir('e')}/shard=*/part-*")
+        if "/shard=0/" not in p
+    }
+    assert vi.append("e", batch) == n_batch
+    for p, mtime in untouched.items():
+        assert os.path.getmtime(p) == mtime, p
+    assert vi.meta("e")["n_vectors"] == \
+        emb.filter(F.col("vec_id") % 2 == 0).count() + n_batch
+    # appended vectors are probe-visible: global exact top-5 over the
+    # indexed subset must come back
+    indexed = emb.filter(
+        (F.col("vec_id") % 2 == 0)
+        | (F.pmod(F.hash("vec_id"), F.lit(4)) == 0))
+    rows = emb.filter(F.col("vec_id") < 3).collect()
+    queries = [(r.vec_id, np.asarray(r.embedding, dtype=np.float64))
+               for r in rows]
+    cand = {(r.query_id, r.neighbor_id)
+            for r in vi.probe_candidates(
+                "e", queries, k=16, ef_search=128).collect()}
+    allr = indexed.collect()
+    ids = np.array([r.vec_id for r in allr], dtype=np.int64)
+    vecs = np.stack([np.asarray(r.embedding, dtype=np.float64)
+                     for r in allr])
+    for qid, qv in queries:
+        mask = ids != qid
+        for n in _brute_top5(vecs[mask], ids[mask], qv):
+            assert (qid, n) in cand, (qid, n)

@@ -126,6 +126,8 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "text_bpe_train",
     "sim_hnsw_ann",
     "sim_hnsw_recall",
+    "sim_hnswidx_probe",
+    "sim_hnswidx_append_probe",
     # r9 carve-out overflow — rotate into the r11 window
     "ts_lttb_downsample",
     "ts_cusum_changepoint",
