@@ -358,6 +358,9 @@ class HNSWIndex:
             F.pmod(F.hash(id_col), F.lit(shards)).alias("shard"),
         )
 
+        rows_of = HNSWIndex._graph_rows  # no `self` in the closure —
+        # the instance holds the SparkContext and must not ship
+
         def build_shard(batches):
             parts = [pdf for pdf in batches]
             if not parts:
@@ -369,7 +372,7 @@ class HNSWIndex:
                     .astype(np.float64)
                 g = _ShardGraph(ids, vecs, m=m,
                                 ef_construction=ef_construction)
-                yield self._graph_rows(g, int(shard))
+                yield rows_of(g, int(shard))
 
         graph = sharded.repartition(shards, "shard").mapInPandas(
             build_shard,
