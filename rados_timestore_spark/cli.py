@@ -162,6 +162,35 @@ def _parser() -> argparse.ArgumentParser:
                      help="widen the ADC cut to N candidates and "
                           "re-rank them by exact cosine")
 
+    hb = sub.add_parser(
+        "hnsw-build",
+        help="build a persisted sharded-HNSW graph index from a "
+             "parquet table with (vec_id, embedding) columns")
+    hb.add_argument("--parquet", required=True)
+    hb.add_argument("--shards", type=int, default=8)
+    hb.add_argument("--m", type=int, default=8,
+                    help="max out-degree per layer (layer 0 allows 2x)")
+    hb.add_argument("--ef", type=int, default=64,
+                    help="construction beam width")
+
+    ha = sub.add_parser(
+        "hnsw-append",
+        help="insert new vectors into their persisted-routing shards "
+             "(only affected shard graphs are re-opened)")
+    ha.add_argument("--parquet", required=True)
+
+    hp = sub.add_parser(
+        "hnsw-probe",
+        help="beam-search every shard graph for query vec_ids and "
+             "print the exact-reranked top-k")
+    hp.add_argument("--parquet", required=True,
+                    help="table holding the query vectors")
+    hp.add_argument("--ids", required=True,
+                    help="comma-separated query vec_id list")
+    hp.add_argument("--topk", type=int, default=5)
+    hp.add_argument("--ef", type=int, default=64,
+                    help="search beam width per shard")
+
     q = sub.add_parser(
         "query",
         help="run a registered analytics query (sketch_*, dedup_*, "
@@ -251,6 +280,52 @@ def main(argv: Sequence[str] | None = None,
             qs = [(r.vec_id, list(r.embedding)) for r in rows]
             out = vi.probe_pq(args.ns, qs, topk=args.topk,
                               nprobe=args.nprobe, rerank=args.rerank)
+            for row in out.collect():
+                print(json.dumps(row.asDict()))
+        return 0
+
+    if args.cmd.startswith("hnsw-"):
+        import numpy as np
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from rados_timestore_spark.hnsw import HNSWIndex
+
+        hi = HNSWIndex(spark, args.root)
+        if args.cmd == "hnsw-build":
+            print(json.dumps(hi.build(
+                args.ns, spark.read.parquet(args.parquet),
+                shards=args.shards, m=args.m,
+                ef_construction=args.ef)))
+        elif args.cmd == "hnsw-append":
+            print(json.dumps({"appended": hi.append(
+                args.ns, spark.read.parquet(args.parquet))}))
+        elif args.cmd == "hnsw-probe":
+            ids = [int(a) for a in args.ids.split(",") if a]
+            emb = spark.read.parquet(args.parquet)
+            rows = emb.filter(F.col("vec_id").isin(ids)).collect()
+            qs = [(r.vec_id, np.asarray(r.embedding, dtype=np.float64))
+                  for r in rows]
+            cand = hi.probe_candidates(
+                args.ns, qs, k=max(args.topk, 16), ef_search=args.ef)
+            qdf = (emb.filter(F.col("vec_id").isin(ids))
+                   .select(F.col("vec_id").alias("query_id"),
+                           F.col("embedding").alias("qe")))
+            from rados_timestore_spark.queries_similarity import _cos_seq
+
+            scored = (
+                cand.join(emb.select(
+                    F.col("vec_id").alias("neighbor_id"), "embedding"),
+                    "neighbor_id")
+                .join(F.broadcast(qdf), "query_id")
+                .select("query_id", "neighbor_id",
+                        _cos_seq(F.col("embedding"),
+                                 F.col("qe")).alias("cos"))
+            )
+            w = Window.partitionBy("query_id").orderBy(
+                F.desc("cos"), "neighbor_id")
+            out = (scored.withColumn("rank", F.row_number().over(w))
+                   .filter(F.col("rank") <= args.topk))
             for row in out.collect():
                 print(json.dumps(row.asDict()))
         return 0

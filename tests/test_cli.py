@@ -244,3 +244,32 @@ def test_cli_register_dual_index(spark, tmp_path, capsys):
     store = TimeStore(spark, root)
     assert store.index("DUAL").entries == ((0, 4),)
     assert store.index("DUAL", extended=True).entries == ((0, 5),)
+
+
+def test_cli_hnsw_build_append_probe(spark, tmp_path, capsys):
+    import json as _json
+
+    root = str(tmp_path / "hx")
+    sf = "/root/testdata/sf0.001"
+    base = ["--root", root, "--ns", "E"]
+    src = f"{sf}/embeddings.parquet"
+    # build on even ids, append the odds, probe query 0
+    even = str(tmp_path / "even.parquet")
+    odd = str(tmp_path / "odd.parquet")
+    emb = spark.read.parquet(src)
+    emb.filter("vec_id % 2 = 0").write.parquet(even)
+    emb.filter("vec_id % 2 = 1").write.parquet(odd)
+    assert main([*base, "hnsw-build", "--parquet", even,
+                 "--shards", "4", "--ef", "128"], spark=spark) == 0
+    doc = _json.loads(capsys.readouterr().out.strip())
+    assert doc["n_vectors"] == emb.filter("vec_id % 2 = 0").count()
+    assert main([*base, "hnsw-append", "--parquet", odd],
+                spark=spark) == 0
+    capsys.readouterr()
+    assert main([*base, "hnsw-probe", "--parquet", src, "--ids", "0",
+                 "--topk", "3", "--ef", "128"], spark=spark) == 0
+    lines = [_json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 3
+    assert [l["rank"] for l in lines] == [1, 2, 3]
+    assert all(l["query_id"] == 0 for l in lines)
