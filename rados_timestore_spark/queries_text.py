@@ -1676,13 +1676,11 @@ def _bpe_train_oracle(rounds: int = _BPE_ROUNDS) -> str:
     tags=("text", "llm"),
     priority=110,  # NEW r10 (window exactly full); local-green; rotate in r11 — pinned by EXPECTED_CARVEOUT_BACKLOG
 )
-def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The complete BPE trainer (module note above): one distributed
-    word-frequency aggregate, then _BPE_ROUNDS merge rounds over the
-    pinned vocab relation — per round ONE tiny pair-count aggregate,
-    a 1-row argmax collect, and a literal string-replace rewrite of
-    the tokenization.  Returns the (merge_rank, l, r, merged, n)
-    merges table — the trained artifact a tokenizer loads."""
+def _bpe_fit(spark: SparkSession, sf_dir: str):
+    """Shared trainer loop: returns (merges list, final tokenized
+    (s, freq) DataFrame with EVERY learned merge applied — including
+    the last one, which the merges-table query never needs but the
+    encoder does)."""
     docs = load_parallel(spark, sf_dir, "documents", "doc_id")
     wf = (
         docs.select(F.explode(_words_col()).alias("w"))
@@ -1715,11 +1713,67 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         merges.append(
             (rank, best.l, best.r, best.l + best.r, int(best.n)))
-        if rank < _BPE_ROUNDS:
-            cur = pin(cur.withColumn(
-                "s",
-                F.expr(f"replace(s, ' {best.l} {best.r} ', "
-                       f"' {best.l}{best.r} ')"),
-            ))
+        cur = pin(cur.withColumn(
+            "s",
+            F.expr(f"replace(s, ' {best.l} {best.r} ', "
+                   f"' {best.l}{best.r} ')"),
+        ))
+    return merges, cur
+
+
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete BPE trainer (module note above): one distributed
+    word-frequency aggregate, then _BPE_ROUNDS merge rounds over the
+    pinned vocab relation — per round ONE tiny pair-count aggregate,
+    a 1-row argmax collect, and a literal string-replace rewrite of
+    the tokenization.  Returns the (merge_rank, l, r, merged, n)
+    merges table — the trained artifact a tokenizer loads."""
+    merges, _cur = _bpe_fit(spark, sf_dir)
     return spark.createDataFrame(
         merges, "merge_rank long, l string, r string, merged string, n long")
+
+
+def _bpe_encode_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    """The trainer chain extended by the FINAL merge application, then
+    the corpus token distribution under the learned vocabulary."""
+    train = _bpe_train_oracle(rounds)
+    # reuse the trainer's CTE chain verbatim; replace its SELECT tail
+    with_block = train[: train.rindex("\nSELECT")]
+    return (
+        with_block
+        + f""",
+rf AS (SELECT replace(s, ' ' || l || ' ' || r || ' ',
+                      ' ' || l || r || ' ') AS s, freq
+       FROM r{rounds - 1} CROSS JOIN b{rounds})
+SELECT t AS token, CAST(sum(freq) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(trim(s), ' ')) AS t, freq FROM rf) x
+GROUP BY t ORDER BY n DESC, token LIMIT 25
+"""
+    )
+
+
+@register(
+    "text_bpe_encode",
+    oracle=_bpe_encode_oracle(),
+    tags=("text", "llm"),
+    priority=110,  # NEW r10 (window exactly full); local-green; rotate in r11 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train -> APPLY: encode the corpus under the learned merges and
+    return the top-25 token distribution (frequency-weighted over the
+    word table — exactly the corpus token counts, since every
+    occurrence of a word tokenizes identically).  This closes the
+    tokenizer loop: text_bpe_train produces the merges table, this
+    query proves applying them yields the same token stream in both
+    engines (the oracle replays the trainer AND the final merge
+    application in one unrolled CTE chain)."""
+    _merges, cur = _bpe_fit(spark, sf_dir)
+    toks = cur.select(
+        F.explode(F.split(F.trim(F.col("s")), " ")).alias("token"),
+        "freq",
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.sum("freq").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "token").limit(25)
+    )

@@ -124,6 +124,7 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "ts_verify_scrub",
     "ts_kv_merge_into",
     "text_bpe_train",
+    "text_bpe_encode",
     "sim_hnsw_ann",
     "sim_hnsw_recall",
     "sim_hnswidx_probe",
