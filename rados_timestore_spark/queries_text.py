@@ -374,7 +374,6 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
 def _filter_pipeline_sql() -> str:
     """Oracle for text_filter_pipeline: same ordered first-fail rules
     over the same signals, stopword coverage = max across the four
@@ -686,7 +685,6 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: algorithm), while only ~2/(w+1) of gram hashes are kept.
 _WINNOW_K = 5
 _WINNOW_W = 4
-
 
 
 
@@ -1676,6 +1674,18 @@ def _bpe_train_oracle(rounds: int = _BPE_ROUNDS) -> str:
     tags=("text", "llm"),
     priority=110,  # NEW r10 (window exactly full); local-green; rotate in r11 — pinned by EXPECTED_CARVEOUT_BACKLOG
 )
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete BPE trainer (module note above): one distributed
+    word-frequency aggregate, then _BPE_ROUNDS merge rounds over the
+    pinned vocab relation — per round ONE tiny pair-count aggregate,
+    a 1-row argmax collect, and a literal string-replace rewrite of
+    the tokenization.  Returns the (merge_rank, l, r, merged, n)
+    merges table — the trained artifact a tokenizer loads."""
+    merges, _cur = _bpe_fit(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "merge_rank long, l string, r string, merged string, n long")
+
+
 def _bpe_fit(spark: SparkSession, sf_dir: str):
     """Shared trainer loop: returns (merges list, final tokenized
     (s, freq) DataFrame with EVERY learned merge applied — including
@@ -1721,16 +1731,6 @@ def _bpe_fit(spark: SparkSession, sf_dir: str):
     return merges, cur
 
 
-def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The complete BPE trainer (module note above): one distributed
-    word-frequency aggregate, then _BPE_ROUNDS merge rounds over the
-    pinned vocab relation — per round ONE tiny pair-count aggregate,
-    a 1-row argmax collect, and a literal string-replace rewrite of
-    the tokenization.  Returns the (merge_rank, l, r, merged, n)
-    merges table — the trained artifact a tokenizer loads."""
-    merges, _cur = _bpe_fit(spark, sf_dir)
-    return spark.createDataFrame(
-        merges, "merge_rank long, l string, r string, merged string, n long")
 
 
 def _bpe_encode_oracle(rounds: int = _BPE_ROUNDS) -> str:

@@ -307,6 +307,23 @@ SOAK_R9E_QUERIES = (
     "sketch_moments",
 )
 
+#: SOAK_FAMILY=r10: the r10-new operators at 10x — dual-index ingest
+#: + per-kind rollover, the verify_df scrub (one aggregate scan), the
+#: generation-swap KV MERGE, the BPE trainer/encoder (one corpus-scale
+#: word count + vocab-sized rounds), and the HNSW family (per-shard
+#: graph builds are n/shards-bounded; persisted probes reconstruct
+#: without rebuilding).
+SOAK_R10_QUERIES = (
+    "ts_dual_index_rollover",
+    "ts_verify_scrub",
+    "ts_kv_merge_into",
+    "text_bpe_train",
+    "text_bpe_encode",
+    "sim_hnsw_ann",
+    "sim_hnswidx_probe",
+    "sim_hnswidx_append_probe",
+)
+
 #: SOAK_FAMILY=graph30 (VERDICT r9 #9): the graph family one decade
 #: deeper — the 10x soak put bfs_hops/modularity at exponent 0.45,
 #: explained as tracking the fuzzy-pair edge count; the 30x run
@@ -505,6 +522,7 @@ def main() -> None:
              "r9c": SOAK_R9C_QUERIES,
              "r9d": SOAK_R9D_QUERIES,
              "r9e": SOAK_R9E_QUERIES,
+             "r10": SOAK_R10_QUERIES,
              "graph30": SOAK_GRAPH30_QUERIES,
              "skew": SOAK_SKEW_QUERIES,
              }.get(family, SOAK_QUERIES)
@@ -540,7 +558,7 @@ def main() -> None:
         print(json.dumps({"metric": "skew_soak", "copies": COPIES,
                           "cluster": _SKEW_CLUSTER, "queries": table}))
         return
-    if family in ("r8", "r9b", "r9c"):
+    if family in ("r8", "r9b", "r9c", "r10"):
         if not os.path.exists(f"{out_dir}/events.parquet"):
             print(f"# building {COPIES}x events ...", file=sys.stderr)
             build_events(spark, out_dir)
