@@ -210,3 +210,18 @@ def test_demoted_queries_have_prior_green_or_local_note():
         assert q.priority > 100, (
             f"{name}: outside the window without an explicit demotion"
         )
+
+
+def test_registered_name_matches_function_name():
+    # r10 regression guard: a refactor once left @register("x")
+    # attached to a helper defined where x used to be — the registry
+    # served the helper (wrong return type) under x's name.  The
+    # wrapper preserves __name__ via functools.wraps, so key ==
+    # function name holds for every correctly-attached registration.
+    mismatched = {
+        name: q.fn.__name__ for name, q in registry.QUERIES.items()
+        if q.fn.__name__ != name
+    }
+    assert not mismatched, (
+        f"registry key != decorated function name: {mismatched}"
+    )
