@@ -470,6 +470,102 @@ class HNSWIndex:
         self._write_meta(ns, doc)
         return int(n_new)
 
+    # ------------------------------------------------------- delete
+
+    def delete(self, ns: str, vec_ids) -> int:
+        """Retract vectors: anti-join the victims out of their shards'
+        vector tables and REBUILD those shards' graphs from the
+        survivors — untouched shards' files never move.
+
+        Because shard membership is a pure function of vec_id and each
+        shard's graph is a pure (deterministic) function of its
+        content, this gives the EXACT law ``delete(A, V) ==
+        build(A \\ V)`` (law-tested) — no tombstone markers, no
+        dangling edges, no recall decay near deleted hubs, which is
+        where mark-deleted graph indexes degrade.  Rebuild cost is
+        bounded by the shard size regardless of corpus size.
+
+        ``vec_ids``: iterable of ids or a DataFrame with ``vec_id``
+        (the takedown-relation shape; victims stay distributed)."""
+        from pyspark.sql import DataFrame as _DF
+        from pyspark.sql import functions as F
+
+        doc = self.meta(ns)
+        shards, m, ef_c = doc["shards"], doc["m"], doc["ef_construction"]
+        vdir, gdir = self._vectors_dir(ns), self._graph_dir(ns)
+        vecs = self.spark.read.parquet(vdir) \
+            .withColumn("shard", _shard_int())
+        if isinstance(vec_ids, _DF):
+            victims = vec_ids.select(
+                F.col("vec_id").cast("long").alias("vec_id")).distinct()
+            hit = vecs.join(victims, "vec_id", "left_semi")
+            survivors_of = lambda df: df.join(  # noqa: E731
+                victims, "vec_id", "left_anti")
+        else:
+            ids = [int(v) for v in vec_ids]
+            if not ids:
+                return 0
+            hit = vecs.filter(F.col("vec_id").isin(ids))
+            survivors_of = lambda df: df.filter(  # noqa: E731
+                ~F.col("vec_id").isin(ids))
+        hits = hit.groupBy("shard").count().collect()
+        affected = sorted(int(r.shard) for r in hits)
+        if not affected:
+            return 0
+        removed = sum(int(r["count"]) for r in hits)
+
+        surv = survivors_of(
+            vecs.filter(F.col("shard").isin(affected)))
+
+        def rebuild(batches):
+            parts = [pdf for pdf in batches]
+            if not parts:
+                return
+            pdf = pd.concat(parts, ignore_index=True)
+            for shard, grp in pdf.groupby("shard"):
+                if not len(grp):
+                    continue
+                g = _ShardGraph(
+                    grp["vec_id"].to_numpy(dtype=np.int64),
+                    np.stack(grp["embedding"].to_numpy())
+                    .astype(np.float64),
+                    m=m, ef_construction=ef_c)
+                yield HNSWIndex._graph_rows(g, int(shard))
+
+        new_graph = surv.repartition(len(affected), "shard").mapInPandas(
+            rebuild,
+            "shard int, vec_id long, level int, layer int, "
+            "neighbors array<long>")
+        g_stage = f"{gdir}.deleting"
+        v_stage = f"{vdir}.deleting"
+        for st in (g_stage, v_stage):
+            if self.fs.exists(st):
+                self.fs.delete(st, recursive=True)
+        (new_graph.write.mode("overwrite").partitionBy("shard")
+         .parquet(g_stage))
+        (surv.repartition(len(affected), "shard")
+         .write.mode("overwrite").partitionBy("shard").parquet(v_stage))
+        for base, stage in ((gdir, g_stage), (vdir, v_stage)):
+            for s in affected:
+                old_dir = f"{base}/shard={s}.old"
+                if self.fs.exists(f"{base}/shard={s}"):
+                    if not self.fs.rename(f"{base}/shard={s}", old_dir):
+                        raise IOError(
+                            f"delete({ns!r}): cannot move shard {s}")
+                src = f"{stage}/shard={s}"
+                if self.fs.exists(src):
+                    if not self.fs.rename(src, f"{base}/shard={s}"):
+                        self.fs.rename(old_dir, f"{base}/shard={s}")
+                        raise IOError(
+                            f"delete({ns!r}): swap failed, shard {s}")
+                # else: the shard held only victims — it vanishes
+                self.fs.delete(old_dir, recursive=True)
+            self.fs.delete(stage, recursive=True)
+        doc["n_vectors"] = int(doc["n_vectors"]) - removed
+        doc["version"] = int(doc["version"]) + 1
+        self._write_meta(ns, doc)
+        return removed
+
     # -------------------------------------------------------- probe
 
     def probe_candidates(self, ns: str,

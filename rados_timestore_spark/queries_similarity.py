@@ -3106,3 +3106,57 @@ def sim_hnswidx_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = vi.probe_candidates("e", _hnsw_queries(emb),
                                k=_HNSW_SHARD_K, ef_search=_HNSW_EF)
     return _hnsw_rerank_top5(emb, cand)
+
+
+@register(
+    "sim_hnswidx_delete_probe",
+    oracle=f"""
+WITH corpus AS (SELECT * FROM embeddings WHERE vec_id % 7 <> 5),
+q AS (SELECT vec_id AS query_id, embedding AS qe,
+             {_norm_sql("embedding")} AS qn
+      FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         {_dot_sql("e.embedding", "qe")} / {_norm_sql("e.embedding")} / qn
+           AS cos
+  FROM corpus e, q WHERE e.vec_id <> query_id)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored) t
+WHERE rank <= 5
+""",
+    tags=("similarity", "ann", "graph", "index"),
+    priority=110,  # NEW r10 (window exactly full); local-green; rotate in r11 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def sim_hnswidx_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction on the persisted graph index: delete every
+    ``vec_id % 7 == 5`` (a takedown-relation DataFrame — never a
+    query id), then probe.  HNSWIndex.delete REBUILDS only the
+    affected shards from the survivors — the exact law
+    ``delete(A, V) == build(A \\ V)`` (tests/test_hnsw.py pins the
+    adjacency rows byte-for-byte), so there are no tombstones and no
+    recall decay near deleted hubs.  The oracle is the exact top-5
+    over the surviving corpus."""
+    from rados_timestore_spark.hnsw import HNSWIndex
+
+    emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    try:
+        st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+        fixture_id = (st.st_size, int(st.st_mtime_ns))
+    except OSError:
+        fixture_id = None
+    key = (sf_dir, "delete", fixture_id)
+    if key not in _HNSWIDX_CACHE:
+        root = tempfile.mkdtemp(prefix="hnswidx_driver_")
+        vi = HNSWIndex(spark, root)
+        vi.build("e", emb, shards=_HNSW_SHARDS, m=8,
+                 ef_construction=_HNSW_EF)
+        vi.delete("e", emb.filter(F.col("vec_id") % 7 == 5)
+                  .select("vec_id"))
+        _HNSWIDX_CACHE[key] = vi
+    vi = _HNSWIDX_CACHE[key]
+    cand = vi.probe_candidates("e", _hnsw_queries(emb),
+                               k=_HNSW_SHARD_K, ef_search=_HNSW_EF)
+    surv = emb.filter(F.col("vec_id") % 7 != 5)
+    return _hnsw_rerank_top5(surv, cand)

@@ -162,3 +162,57 @@ def test_hnswidx_append_preserves_untouched_shards_and_exactness(
         mask = ids != qid
         for n in _brute_top5(vecs[mask], ids[mask], qv):
             assert (qid, n) in cand, (qid, n)
+
+
+def test_hnswidx_delete_equals_build_of_survivors(spark, tmp_path):
+    # The exact law: shard graphs are pure functions of shard content,
+    # so delete(A, V) == build(A \ V) byte-for-byte (adjacency rows),
+    # and untouched shards' files never move.
+    import glob
+    import os
+
+    from rados_timestore_spark.hnsw import HNSWIndex
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = HNSWIndex(spark, str(tmp_path / "a"))
+    a.build("e", emb, shards=4, m=8, ef_construction=64)
+    # victims: every vec_id % 7 == 3, delivered as a DataFrame
+    victims = emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    n_victims = victims.count()
+    victim_shards = {
+        r.shard for r in emb.filter(F.col("vec_id") % 7 == 3)
+        .select(F.pmod(F.hash("vec_id"), F.lit(4)).alias("shard"))
+        .distinct().collect()
+    }
+    untouched = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{a._graph_dir('e')}/shard=*/part-*")
+        if int(p.split("shard=")[1].split("/")[0]) not in victim_shards
+    }
+    assert a.delete("e", victims) == n_victims
+    for p, mtime in untouched.items():
+        assert os.path.getmtime(p) == mtime, p
+
+    b = HNSWIndex(spark, str(tmp_path / "b"))
+    b.build("e", emb.filter(F.col("vec_id") % 7 != 3),
+            shards=4, m=8, ef_construction=64)
+    cols = ["shard", "vec_id", "level", "layer", "neighbors"]
+
+    def rows(vi):
+        return sorted(
+            (int(r.shard), r.vec_id, r.level, r.layer, tuple(r.neighbors))
+            for r in spark.read.parquet(vi._graph_dir("e"))
+            .select(*cols).collect()
+        )
+
+    assert rows(a) == rows(b)
+    assert a.meta("e")["n_vectors"] == b.meta("e")["n_vectors"]
+    # deleting absent ids is a no-op
+    assert a.delete("e", [10 ** 9]) == 0
+    # victims never come back from a probe
+    qs = [(r.vec_id, np.asarray(r.embedding, dtype=np.float64))
+          for r in emb.filter(F.col("vec_id") < 3).collect()]
+    got = a.probe_candidates("e", qs, k=16, ef_search=64)
+    assert got.join(
+        victims.withColumnRenamed("vec_id", "neighbor_id"),
+        "neighbor_id").count() == 0

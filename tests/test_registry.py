@@ -129,6 +129,7 @@ EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     "sim_hnsw_recall",
     "sim_hnswidx_probe",
     "sim_hnswidx_append_probe",
+    "sim_hnswidx_delete_probe",
     # r9 carve-out overflow — rotate into the r11 window
     "ts_lttb_downsample",
     "ts_cusum_changepoint",
