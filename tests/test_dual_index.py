@@ -195,3 +195,46 @@ def test_write_points_batched_refuses_dual(dual, spark):
     df = _simple(spark, [(2, 10, 1)]).withColumn("b", F.lit(0))
     with pytest.raises(ValueError, match="dual-index"):
         dual.write_points_batched("PONIES", df, "b")
+
+
+def test_streaming_ingest_into_dual_namespace(spark, tmp_path):
+    # stream_points rides write_points, so dual routing comes free —
+    # certify it: micro-batched mixed-kind ingest reads back exactly,
+    # and the simple rollover mid-stream leaves extended routing alone.
+    import os
+
+    from rados_timestore_spark.streaming.ingest import stream_points
+
+    store = TimeStore(spark, str(tmp_path / "wh"), rollover_bytes=0)
+    store.register_namespace("S", buckets=4, extended_buckets=3)
+    rows = []
+    for t in range(6):
+        rows.append((2, 10 + t, t, None))              # simple
+        rows.append((3, 10 + t, None, bytearray(b"p%d" % t)))  # extended
+    df = spark.createDataFrame(
+        rows, "address long, time long, value long, payload binary")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i in range(3):  # 3 micro-batches of 4 rows
+        (df.filter((F.col("time") - 10) % 3 == i).coalesce(1)
+         .write.parquet(f"{src}/b{i}", mode="overwrite"))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1).parquet(f"{src}/b*")
+    )
+    q = stream_points(store, "S", stream, str(tmp_path / "ck"),
+                      trigger={"availableNow": True})
+    assert q.awaitTermination(180)
+
+    got_s = {(r.time, r.value)
+             for r in store.read_simple("S", 0, 1 << 62, [2]).collect()}
+    assert got_s == {(10 + t, t) for t in range(6)}
+    got_x = {(r.time, bytes(r.payload))
+             for r in store.read_extended("S", 0, 1 << 62, [3]).collect()}
+    assert got_x == {(10 + t, b"p%d" % t) for t in range(6)}
+    # per-kind rollovers fired independently per micro-batch
+    assert len(store.index("S").entries) >= 2
+    xe = store.index("S", extended=True).entries
+    assert xe[0] == (0, 3)
+    rep = store.verify("S")
+    assert rep["ok"], rep
