@@ -318,7 +318,13 @@ class HNSWIndex:
     def _from_rows(gpdf: pd.DataFrame, vpdf: pd.DataFrame, m: int,
                    ef_construction: int) -> _ShardGraph:
         """Reconstruct the deterministic shard graph from persisted
-        adjacency rows without re-running inserts."""
+        adjacency rows without re-running inserts.  Duplicate vec_ids
+        (a replayed crash-window append) and un-graphed vectors (a
+        crash between the vectors append and the graph swap) are
+        tolerated: the first row of a duplicate id wins, and vectors
+        the adjacency never references are simply unreachable — the
+        pre-append index is served exactly."""
+        vpdf = vpdf.drop_duplicates(subset=["vec_id"], keep="first")
         ids = vpdf["vec_id"].to_numpy(dtype=np.int64)
         vecs = np.stack(vpdf["embedding"].to_numpy()).astype(np.float64)
         g = _ShardGraph.__new__(_ShardGraph)
@@ -453,6 +459,16 @@ class HNSWIndex:
             self.fs.delete(staging, recursive=True)
         (regraph.write.mode("overwrite").partitionBy("shard")
          .parquet(staging))
+        # Vectors land BEFORE the graph swap: a crash between the two
+        # leaves extra vector rows that no adjacency references —
+        # probes still serve the PRE-append index exactly (the
+        # reconstruction ignores un-graphed vectors and dedups ids),
+        # whereas the opposite order would leave adjacency pointing at
+        # vectors that do not exist.  Appends are not crash-idempotent
+        # (a retry re-appends the vector rows); schedule serially and
+        # prefer the VectorIndex.append_batch pattern for
+        # exactly-once streaming ingest.
+        (new.write.mode("append").partitionBy("shard").parquet(vdir))
         for s in affected:
             old_dir = f"{gdir}/shard={s}.old"
             if self.fs.exists(f"{gdir}/shard={s}"):
@@ -464,7 +480,6 @@ class HNSWIndex:
                 raise IOError(f"append({ns!r}): swap failed, shard {s}")
             self.fs.delete(old_dir, recursive=True)
         self.fs.delete(staging, recursive=True)
-        (new.write.mode("append").partitionBy("shard").parquet(vdir))
         doc["n_vectors"] = int(doc["n_vectors"]) + int(n_new)
         doc["version"] = int(doc["version"]) + 1
         self._write_meta(ns, doc)
