@@ -581,6 +581,37 @@ class HNSWIndex:
         self._write_meta(ns, doc)
         return removed
 
+    # ------------------------------------------------------ compact
+
+    def compact(self, ns: str) -> int:
+        """Small-files maintenance for the VECTOR table (each append
+        adds one file per touched shard; graphs never fragment — every
+        append/delete rewrites the whole shard graph as one file):
+        rewrite the vectors so each shard holds ONE file, preserving
+        rows exactly.  Staging + two renames, the same swap discipline
+        as the other maintenance verbs.  Returns the file count
+        before compaction."""
+        doc = self.meta(ns)
+        vdir = self._vectors_dir(ns)
+        vecs = self.spark.read.parquet(vdir) \
+            .withColumn("shard", _shard_int())
+        n_files = vecs.inputFiles().__len__()
+        staging = f"{vdir}.compacting"
+        if self.fs.exists(staging):
+            self.fs.delete(staging, recursive=True)
+        (vecs.repartition(int(doc["shards"]), "shard")
+         .write.mode("overwrite").partitionBy("shard").parquet(staging))
+        old = f"{vdir}.old"
+        if self.fs.exists(old):
+            self.fs.delete(old, recursive=True)
+        if not self.fs.rename(vdir, old):
+            raise IOError(f"compact({ns!r}): cannot move live vectors")
+        if not self.fs.rename(staging, vdir):
+            self.fs.rename(old, vdir)
+            raise IOError(f"compact({ns!r}): swap failed")
+        self.fs.delete(old, recursive=True)
+        return int(n_files)
+
     # -------------------------------------------------------- probe
 
     def probe_candidates(self, ns: str,

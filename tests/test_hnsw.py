@@ -216,3 +216,28 @@ def test_hnswidx_delete_equals_build_of_survivors(spark, tmp_path):
     assert got.join(
         victims.withColumnRenamed("vec_id", "neighbor_id"),
         "neighbor_id").count() == 0
+
+
+def test_hnswidx_compact_preserves_probes(spark, tmp_path):
+    import glob
+
+    from rados_timestore_spark.hnsw import HNSWIndex
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    vi = HNSWIndex(spark, str(tmp_path / "hx"))
+    vi.build("e", emb.filter(F.col("vec_id") % 3 == 0),
+             shards=4, m=8, ef_construction=64)
+    vi.append("e", emb.filter(F.col("vec_id") % 3 == 1))
+    vi.append("e", emb.filter(F.col("vec_id") % 3 == 2))
+    qs = [(r.vec_id, np.asarray(r.embedding, dtype=np.float64))
+          for r in emb.filter(F.col("vec_id") < 3).collect()]
+    before = {(r.query_id, r.neighbor_id) for r in
+              vi.probe_candidates("e", qs, k=16, ef_search=64).collect()}
+    n_before = len(glob.glob(f"{vi._vectors_dir('e')}/shard=*/part-*"))
+    assert vi.compact("e") == n_before
+    n_after = len(glob.glob(f"{vi._vectors_dir('e')}/shard=*/part-*"))
+    assert n_after <= 4 < n_before
+    after = {(r.query_id, r.neighbor_id) for r in
+             vi.probe_candidates("e", qs, k=16, ef_search=64).collect()}
+    assert after == before
+    assert spark.read.parquet(vi._vectors_dir("e")).count() == emb.count()
