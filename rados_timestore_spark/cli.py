@@ -179,6 +179,17 @@ def _parser() -> argparse.ArgumentParser:
              "(only affected shard graphs are re-opened)")
     ha.add_argument("--parquet", required=True)
 
+    hd = sub.add_parser(
+        "hnsw-delete",
+        help="retract vectors by id (affected shards rebuild from "
+             "survivors: delete(A, V) == build(A minus V) exactly)")
+    hd.add_argument("--ids", required=True,
+                    help="comma-separated vec_id list")
+
+    sub.add_parser(
+        "hnsw-compact",
+        help="collapse each shard's vector append files into one file")
+
     hp = sub.add_parser(
         "hnsw-probe",
         help="beam-search every shard graph for query vec_ids and "
@@ -300,6 +311,11 @@ def main(argv: Sequence[str] | None = None,
         elif args.cmd == "hnsw-append":
             print(json.dumps({"appended": hi.append(
                 args.ns, spark.read.parquet(args.parquet))}))
+        elif args.cmd == "hnsw-delete":
+            ids = [int(a) for a in args.ids.split(",") if a]
+            print(json.dumps({"removed": hi.delete(args.ns, ids)}))
+        elif args.cmd == "hnsw-compact":
+            print(json.dumps({"files": hi.compact(args.ns)}))
         elif args.cmd == "hnsw-probe":
             ids = [int(a) for a in args.ids.split(",") if a]
             emb = spark.read.parquet(args.parquet)

@@ -273,3 +273,21 @@ def test_cli_hnsw_build_append_probe(spark, tmp_path, capsys):
     assert len(lines) == 3
     assert [l["rank"] for l in lines] == [1, 2, 3]
     assert all(l["query_id"] == 0 for l in lines)
+
+
+def test_cli_hnsw_delete_and_compact(spark, tmp_path, capsys):
+    import json as _json
+
+    root = str(tmp_path / "hx")
+    sf = "/root/testdata/sf0.001"
+    base = ["--root", root, "--ns", "E"]
+    src = f"{sf}/embeddings.parquet"
+    assert main([*base, "hnsw-build", "--parquet", src,
+                 "--shards", "4"], spark=spark) == 0
+    capsys.readouterr()
+    assert main([*base, "hnsw-delete", "--ids", "7,14,21"],
+                spark=spark) == 0
+    assert _json.loads(capsys.readouterr().out.strip()) == {"removed": 3}
+    assert main([*base, "hnsw-compact"], spark=spark) == 0
+    out = _json.loads(capsys.readouterr().out.strip())
+    assert out["files"] >= 4
