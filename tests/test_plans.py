@@ -268,3 +268,34 @@ def test_smoothers_plan_one_window_one_exchange(spark):
         exchanges = re.findall(r"\(\d+\) Exchange", p)
         assert len(windows) == 1, (q.__name__, p[:800])
         assert len(exchanges) == 1, (q.__name__, p[:800])
+
+
+def test_hnsw_plans_are_bounded_no_cartesian(spark):
+    # The HNSW family: candidates come from mapInPandas /
+    # FlatMapCoGroupsInPandas (shard-local graph walks), and the exact
+    # rerank joins a BOUNDED candidate set against broadcast queries —
+    # no CartesianProduct may appear at any stage.
+    from rados_timestore_spark.queries_similarity import (
+        sim_hnsw_ann, sim_hnswidx_probe,
+    )
+
+    p1 = plan_str(sim_hnsw_ann(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in p1
+    p2 = plan_str(sim_hnswidx_probe(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in p2
+    # the persisted probe serves from cogrouped per-shard scans, never
+    # a rebuild (no shuffling of the whole corpus back through a
+    # repartition-for-build)
+    assert "FlatMapCoGroupsInPandas" in p2
+
+
+def test_bpe_encode_plan_is_one_corpus_scan(spark):
+    # The trainer loop runs over the word-frequency relation; the
+    # corpus-scale work is exactly ONE word-count aggregate.  The
+    # final plan must contain no CartesianProduct and no join at all —
+    # merges are baked in as literal replace() chains.
+    from rados_timestore_spark.queries_text import text_bpe_encode
+
+    p = plan_str(text_bpe_encode(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in p
+    assert "Join" not in p
