@@ -173,3 +173,57 @@ def test_concurrent_write_points_with_retry(store):
     }
     assert {r.time for r in rows} == want_times
     assert store.latest("cw")[0] == max(want_times)
+
+
+def test_concurrent_writers_dual_index_per_kind(store):
+    # The r10 dual-index namespace under the same interleaved-writer
+    # stress: two simple writers + two extended writers, retries
+    # resolving CAS contention.  Every point of BOTH kinds present,
+    # per-kind watermarks exact, and the integrity scrub green — the
+    # per-kind rollover/CAS interplay must not lose an index cut or a
+    # watermark under contention.
+    store.register_namespace("dw", buckets=4, extended_buckets=3)
+    n_writers, per_writer, errors = 4, 2, []
+
+    def writer(w):
+        try:
+            for b in range(per_writer):
+                base = (w * per_writer + b) * 100
+                if w % 2 == 0:  # simple
+                    df = store.spark.createDataFrame(
+                        [(2, base + i, base + i) for i in range(5)],
+                        "address long, time long, value long")
+                else:  # extended
+                    df = store.spark.createDataFrame(
+                        [(3, base + i, bytearray(b"p%d" % (base + i)))
+                         for i in range(5)],
+                        "address long, time long, payload binary")
+                store.write_points("dw", df, retries=16)
+        except Exception as exc:
+            errors.append(repr(exc))
+
+    threads = [
+        threading.Thread(target=writer, args=(w,)) for w in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    s_times = {
+        (w * per_writer + b) * 100 + i
+        for w in (0, 2) for b in range(per_writer) for i in range(5)
+    }
+    x_times = {
+        (w * per_writer + b) * 100 + i
+        for w in (1, 3) for b in range(per_writer) for i in range(5)
+    }
+    got_s = {r.time for r in
+             store.read_simple("dw", 0, 1 << 40, [2]).collect()}
+    got_x = {(r.time, bytes(r.payload)) for r in
+             store.read_extended("dw", 0, 1 << 40, [3]).collect()}
+    assert got_s == s_times
+    assert got_x == {(t, b"p%d" % t) for t in x_times}
+    assert store.latest("dw") == (max(s_times), max(x_times))
+    rep = store.verify("dw")
+    assert rep["ok"], rep
