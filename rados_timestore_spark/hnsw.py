@@ -485,6 +485,126 @@ class HNSWIndex:
         self._write_meta(ns, doc)
         return int(n_new)
 
+    def append_batch(self, ns: str, emb, batch_id: int,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> dict:
+        """IDEMPOTENT append keyed by a monotone ``batch_id`` — the
+        exactly-once ingest primitive for streaming (foreachBatch
+        passes its micro-batch id), mirroring
+        :meth:`VectorIndex.append_batch`.  Replaying any prefix of
+        batches after a crash converges to single-copy state:
+
+        * fence: a batch at or below ``meta['last_batch_id']`` is a
+          completed replay — skipped outright;
+        * vector files promote under a deterministic ``b<id>-`` name
+          prefix, and the promote FIRST sweeps that prefix (leftovers
+          of a crashed attempt of the SAME batch), so re-promoting
+          replaces rather than duplicates;
+        * the graph reinsert skips nodes ALREADY in a shard's
+          adjacency, so a crash after the graph swap replays as a
+          deterministic no-op rewrite;
+        * the meta write (n_vectors + last_batch_id) is the commit
+          point, after which the fence makes the batch a no-op.
+        """
+        from pyspark.sql import functions as F
+
+        doc = self.meta(ns)
+        if int(batch_id) <= int(doc.get("last_batch_id", -1)):
+            return doc
+        shards, m, ef_c = doc["shards"], doc["m"], doc["ef_construction"]
+        new = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            F.pmod(F.hash(id_col), F.lit(shards)).alias("shard"),
+        ).dropDuplicates(["vec_id"])
+        affected = sorted(r.shard for r in
+                          new.select("shard").distinct().collect())
+        n_new = new.count()
+        vdir, gdir = self._vectors_dir(ns), self._graph_dir(ns)
+        prefix = f"b{int(batch_id)}-"
+        if affected:
+            # 1. vectors, exactly-once by prefix sweep + re-promote
+            self.fs.sweep_files(vdir, prefix)
+            stage = f"{vdir}.batch_{int(batch_id)}"
+            if self.fs.exists(stage):
+                self.fs.delete(stage, recursive=True)
+            (new.write.mode("overwrite").partitionBy("shard")
+             .parquet(stage))
+            self.fs.promote_dir_tree(stage, vdir, prefix=prefix)
+            self.fs.delete(stage, recursive=True)
+
+            # 2. graph: reinsert only the not-yet-present nodes
+            batch_ids = new.select("vec_id")
+            old_g = self.spark.read.parquet(gdir) \
+                .filter(F.col("shard").isin(affected)) \
+                .withColumn("shard", F.col("shard").cast("int"))
+            old_v = (self.spark.read.parquet(vdir)
+                     .filter(F.col("shard").isin(affected))
+                     .withColumn("shard", F.col("shard").cast("int"))
+                     .join(batch_ids, "vec_id", "left_anti")
+                     .withColumn("is_new", F.lit(0)))
+            both_v = old_v.unionByName(new.withColumn("is_new", F.lit(1)))
+
+            def reinsert(key, gpdf, vpdf):
+                shard = int(key[0])
+                present = set(int(v) for v in gpdf["vec_id"])
+                add = vpdf[(vpdf["is_new"] == 1)
+                           & ~vpdf["vec_id"].isin(present)] \
+                    .sort_values("vec_id")
+                if not len(gpdf):  # shard never populated: fresh build
+                    g = _ShardGraph(
+                        add["vec_id"].to_numpy(dtype=np.int64),
+                        np.stack(add["embedding"].to_numpy())
+                        .astype(np.float64),
+                        m=m, ef_construction=ef_c)
+                    return HNSWIndex._graph_rows(g, shard)
+                # reconstruction needs every vector the adjacency may
+                # reference: the pre-batch rows PLUS any batch node a
+                # crashed-after-swap attempt already graphed
+                graphed = vpdf[(vpdf["is_new"] == 0)
+                               | vpdf["vec_id"].isin(present)]
+                g = HNSWIndex._from_rows(gpdf, graphed, m, ef_c)
+                for vec_id, vec in zip(add["vec_id"], add["embedding"]):
+                    g._append_node(int(vec_id),
+                                   np.asarray(vec, dtype=np.float64))
+                return HNSWIndex._graph_rows(g, shard)
+
+            regraph = (
+                old_g.groupby("shard")
+                .cogroup(both_v.groupby("shard"))
+                .applyInPandas(reinsert,
+                               "shard int, vec_id long, level int, "
+                               "layer int, neighbors array<long>")
+            )
+            g_stage = f"{gdir}.batch_{int(batch_id)}"
+            if self.fs.exists(g_stage):
+                self.fs.delete(g_stage, recursive=True)
+            (regraph.write.mode("overwrite").partitionBy("shard")
+             .parquet(g_stage))
+            for s in affected:
+                old_dir = f"{gdir}/shard={s}.old"
+                if self.fs.exists(f"{gdir}/shard={s}"):
+                    if not self.fs.rename(f"{gdir}/shard={s}", old_dir):
+                        raise IOError(
+                            f"append_batch({ns!r}, {batch_id}): "
+                            f"cannot move shard {s}")
+                if not self.fs.rename(f"{g_stage}/shard={s}",
+                                      f"{gdir}/shard={s}"):
+                    self.fs.rename(old_dir, f"{gdir}/shard={s}")
+                    raise IOError(
+                        f"append_batch({ns!r}, {batch_id}): swap "
+                        f"failed, shard {s}")
+                self.fs.delete(old_dir, recursive=True)
+            self.fs.delete(g_stage, recursive=True)
+
+        # 3. commit point
+        doc = self.meta(ns)
+        doc["n_vectors"] = int(doc["n_vectors"]) + int(n_new)
+        doc["last_batch_id"] = int(batch_id)
+        doc["version"] = int(doc["version"]) + 1
+        self._write_meta(ns, doc)
+        return doc
+
     # ------------------------------------------------------- delete
 
     def delete(self, ns: str, vec_ids) -> int:

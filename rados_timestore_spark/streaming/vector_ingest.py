@@ -42,3 +42,28 @@ def stream_vectors(vi: VectorIndex, ns: str, stream: DataFrame,
     if trigger_available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_hnsw_vectors(hi, ns: str, stream: DataFrame,
+                        checkpoint: str, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        trigger_available_now: bool = True):
+    """The graph-index twin of :func:`stream_vectors`: continuous
+    exactly-once ingest into a persisted :class:`hnsw.HNSWIndex` via
+    ``HNSWIndex.append_batch`` (monotone batch-id fence + per-batch
+    vector-file prefixes + already-present graph reinsert filter, so
+    checkpoint replays converge to single-copy state).  The index must
+    be built first (shard routing is fixed at build time)."""
+    hi.meta(ns)  # fail fast if never built
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        hi.append_batch(ns, df, batch_id, id_col=id_col,
+                        vec_col=vec_col)
+
+    w = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

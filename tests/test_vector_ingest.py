@@ -165,3 +165,129 @@ def test_append_batch_encodes_pq_inline(spark, emb, tmp_path):
             _sq_dists(E[:, s * dsub:(s + 1) * dsub], CBm[s]), axis=1)
         got = np.array([c[s] for c in pdf["pq_code"]])
         assert (got == want).all()
+
+
+# ------------------------------------------- r10: HNSW ingest twins
+
+
+def _hnsw_probe_all(hi, emb, n=3):
+    import numpy as np
+
+    rows = emb.filter(F.col("vec_id") < n).collect()
+    qs = [(r.vec_id, np.asarray(r.embedding, dtype=np.float64))
+          for r in rows]
+    return {(r.query_id, r.neighbor_id) for r in
+            hi.probe_candidates("e", qs, k=16, ef_search=128).collect()}
+
+
+def test_hnsw_append_batch_is_idempotent(spark, emb, tmp_path):
+    from rados_timestore_spark.hnsw import HNSWIndex
+
+    hi = HNSWIndex(spark, str(tmp_path / "hab"))
+    a = emb.filter(F.col("vec_id") % 3 == 0)
+    b = emb.filter(F.col("vec_id") % 3 == 1)
+    hi.build("e", a, shards=4, m=8, ef_construction=128)
+    hi.append_batch("e", b, 0)
+    n1 = hi.meta("e")["n_vectors"]
+    assert n1 == a.count() + b.count()
+    snap = _hnsw_probe_all(hi, emb)
+    hi.append_batch("e", b, 0)  # replay: complete no-op
+    assert hi.meta("e")["n_vectors"] == n1
+    assert _hnsw_probe_all(hi, emb) == snap
+    # single-copy vectors on disk
+    assert spark.read.parquet(hi._vectors_dir("e")).count() == n1
+
+
+def test_hnsw_append_batch_recovers_from_crash_windows(
+        spark, emb, tmp_path):
+    # Crash window 1: partial vector files of THIS batch are swept and
+    # re-promoted.  Crash window 2: the graph already swapped (batch
+    # nodes present) but meta never committed — the replay's reinsert
+    # filter makes the graph rewrite a no-op and the commit lands once.
+    import glob
+
+    from rados_timestore_spark.hnsw import HNSWIndex
+
+    hi = HNSWIndex(spark, str(tmp_path / "hcr"))
+    a = emb.filter(F.col("vec_id") % 3 == 0)
+    b = emb.filter(F.col("vec_id") % 3 == 1)
+    hi.build("e", a, shards=4, m=8, ef_construction=128)
+
+    # window 1: plant a fake partial vector file from a crashed batch 0
+    vdir = hi._vectors_dir("e")
+    victim = sorted(glob.glob(f"{vdir}/shard=*"))[0]
+    with open(f"{victim}/b0-part-crashed.parquet", "wb") as fh:
+        fh.write(b"partial")
+    hi.append_batch("e", b, 0)
+    assert glob.glob(f"{vdir}/shard=*/b0-part-crashed.parquet") == []
+    assert spark.read.parquet(vdir).count() == a.count() + b.count()
+    n1 = hi.meta("e")["n_vectors"]
+    snap = _hnsw_probe_all(hi, emb)
+
+    # window 2: simulate crash-after-swap-before-commit for batch 1 by
+    # running it fully, then REWINDING the meta fence and replaying
+    c = emb.filter(F.col("vec_id") % 3 == 2)
+    hi.append_batch("e", c, 1)
+    done = _hnsw_probe_all(hi, emb)
+    doc = hi.meta("e")
+    doc["last_batch_id"] = 0
+    doc["n_vectors"] = int(doc["n_vectors"]) - c.count()
+    hi._write_meta("e", doc)
+    hi.append_batch("e", c, 1)  # replay with vectors+graph already live
+    assert hi.meta("e")["n_vectors"] == n1 + c.count() == emb.count()
+    assert spark.read.parquet(vdir).count() == emb.count()
+    # the replay converged bit-exactly to the pre-rewind state (beam
+    # candidates are NOT monotone in corpus growth, so equality with
+    # `done` is the right law, not superset of `snap`)
+    assert _hnsw_probe_all(hi, emb) == done
+    assert snap  # the window-1 state was actually probed
+
+
+def test_stream_hnsw_vectors_kill_and_resume_equals_batches(
+        spark, emb, tmp_path):
+    import os
+    import time as _t
+
+    from rados_timestore_spark.hnsw import HNSWIndex
+    from rados_timestore_spark.streaming.vector_ingest import (
+        stream_hnsw_vectors,
+    )
+
+    base = emb.filter(F.col("vec_id") % 4 == 0)
+    parts = [emb.filter(F.col("vec_id") % 4 == r) for r in (1, 2, 3)]
+
+    hi = HNSWIndex(spark, str(tmp_path / "shv"))
+    hi.build("e", base, shards=4, m=8, ef_construction=128)
+
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    os.makedirs(src)
+
+    def deliver(i, df):
+        df.coalesce(1).write.parquet(f"{src}/b{i}")
+        _t.sleep(0.05)
+        os.utime(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/b*")
+        )
+        q = stream_hnsw_vectors(hi, "e", stream, ck)
+        assert q.awaitTermination(180)
+
+    deliver(0, parts[0])
+    run_once()
+    deliver(1, parts[1])
+    deliver(2, parts[2])
+    run_once()
+
+    assert hi.meta("e")["n_vectors"] == emb.count()
+    assert spark.read.parquet(hi._vectors_dir("e")).count() == emb.count()
+    got = _hnsw_probe_all(hi, emb)
+
+    ref = HNSWIndex(spark, str(tmp_path / "href"))
+    ref.build("e", base, shards=4, m=8, ef_construction=128)
+    for i, p in enumerate(parts):
+        ref.append_batch("e", p, i)
+    assert got == _hnsw_probe_all(ref, emb)
