@@ -3,6 +3,9 @@ propMutableStore law (tests/FuzzyTests.hs:122-147)."""
 
 import random
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
 from rados_timestore_spark.mutable import MutableKV
 
 
@@ -295,3 +298,146 @@ def test_merge_into_on_empty_kv_folds_the_batch(store):
     c.insert_bulk(batch)
     want = {r.key: bytes(r.value) for r in c.merge_with(mrg).collect()}
     assert got == want
+
+
+# ---------------------------- r10: model-based differential fuzz
+
+
+def _fold(chain, mrg):
+    acc = None
+    for v in chain:
+        if v is None:
+            acc = None
+            continue
+        acc = v if acc is None else mrg(v, acc)
+    return acc
+
+
+class _ModelKV:
+    """Value-sequence model of MutableKV: per key, the ordered list of
+    written values (None = tombstone).  Versions never surface in any
+    read API, so the list alone determines every observable."""
+
+    def __init__(self):
+        self.chains: dict[int, list] = {}
+
+    def insert(self, key, v):
+        self.chains.setdefault(key | 1, []).append(v)
+
+    def insert_with(self, mrg, key, v):
+        c = self.chains.setdefault(key | 1, [])
+        head = c[-1] if c else None
+        c.append(v if head is None else mrg(v, head))
+
+    def insert_bulk(self, rows):  # [(key, value)] in seq order
+        for k, v in rows:
+            self.chains.setdefault(k | 1, []).append(v)
+
+    def delete(self, key):
+        c = self.chains.get(key | 1)
+        if c and c[-1] is not None:
+            c.append(None)
+
+    def vacuum(self, mrg=None):
+        out = {}
+        for k, c in self.chains.items():
+            head = _fold(c, mrg) if mrg else (c[-1] if c else None)
+            if head is not None:
+                out[k] = [head]
+        self.chains = out
+
+    def merge_into(self, rows, mrg):  # [(key, value)] in seq order
+        folded = {k: _fold(c, mrg) for k, c in self.chains.items()}
+        for k, v in rows:
+            a = k | 1
+            cur = folded.get(a)
+            folded[a] = v if cur is None else mrg(v, cur)
+        self.chains = {k: [v] for k, v in folded.items() if v is not None}
+
+    def enumerate(self):
+        return {k: c[-1] for k, c in self.chains.items()
+                if c and c[-1] is not None}
+
+    def merge_with(self, mrg):
+        out = {}
+        for k, c in self.chains.items():
+            acc = _fold(c, mrg)
+            if acc is not None:
+                out[k] = acc
+        return out
+
+
+_KEYS = [0, 2, 4]
+_VALS = [b"a", b"b", b"c"]
+_OP = st.one_of(
+    st.tuples(st.just("insert"), st.sampled_from(_KEYS),
+              st.sampled_from(_VALS)),
+    st.tuples(st.just("insert_with"), st.sampled_from(_KEYS),
+              st.sampled_from(_VALS)),
+    st.tuples(st.just("bulk"),
+              st.lists(st.tuples(st.sampled_from(_KEYS),
+                                 st.sampled_from(_VALS)),
+                       min_size=1, max_size=3)),
+    st.tuples(st.just("delete"), st.sampled_from(_KEYS)),
+    st.tuples(st.just("vacuum")),
+    st.tuples(st.just("vacuum_merge")),
+    st.tuples(st.just("merge_into"),
+              st.lists(st.tuples(st.sampled_from(_KEYS + [6]),
+                                 st.sampled_from(_VALS)),
+                       min_size=1, max_size=3)),
+)
+
+
+@settings(
+    max_examples=5, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_OP, min_size=1, max_size=6))
+def test_mutable_kv_differential_fuzz(spark, tmp_path_factory, ops):
+    # Every public mutation in one random program, engine vs the
+    # value-sequence model; observables (enumerate, merge_with,
+    # lookup) must agree after the full program.  The merge is
+    # order-sensitive (old|new), so any version-ordering or
+    # fold-boundary bug shows up as a byte diff.
+    from rados_timestore_spark.store import TimeStore
+
+    mrg = lambda new, old: old + b"|" + new  # noqa: E731
+    store = TimeStore(spark, str(tmp_path_factory.mktemp("kvfuzz")))
+    store.register_namespace("F", buckets=4)
+    kv = MutableKV(store, "F")
+    model = _ModelKV()
+    for op in ops:
+        if op[0] == "insert":
+            kv.insert(op[1], op[2])
+            model.insert(op[1], op[2])
+        elif op[0] == "insert_with":
+            kv.insert_with(mrg, op[1], op[2])
+            model.insert_with(mrg, op[1], op[2])
+        elif op[0] == "bulk":
+            rows = [(k, bytearray(v), i) for i, (k, v) in enumerate(op[1])]
+            kv.insert_bulk(store.spark.createDataFrame(
+                rows, "key long, value binary, seq long"))
+            model.insert_bulk(op[1])
+        elif op[0] == "delete":
+            kv.delete(op[1])
+            model.delete(op[1])
+        elif op[0] == "vacuum":
+            kv.vacuum()
+            model.vacuum()
+        elif op[0] == "vacuum_merge":
+            kv.vacuum(merge=mrg)
+            model.vacuum(mrg)
+        elif op[0] == "merge_into":
+            rows = [(k, bytearray(v), i) for i, (k, v) in enumerate(op[1])]
+            kv.merge_into(store.spark.createDataFrame(
+                rows, "key long, value binary, seq long"), mrg)
+            model.merge_into(op[1], mrg)
+
+    got = {r.key: bytes(r.value) for r in kv.enumerate().collect()}
+    assert got == model.enumerate()
+    folded = {r.key: bytes(r.value) for r in kv.merge_with(mrg).collect()}
+    assert folded == model.merge_with(mrg)
+    for k in _KEYS + [6, 8]:
+        want = model.chains.get(k | 1)
+        want_head = want[-1] if want else None
+        assert kv.lookup(k) == want_head
