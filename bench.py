@@ -109,14 +109,41 @@ def main() -> None:
             shutil.rmtree(root, ignore_errors=True)
         return round(best, 3)
 
+    def time_hnswidx_cold_build() -> float:
+        """Cold HNSWIndex.build (8 shards, m=8, ef=128 — the same
+        geometry the sim_hnswidx_* queries use) — perf-gates the graph
+        index's build path, which the query suite only pays once per
+        session via the fixture-keyed cache (VERDICT r10 #2).  Fresh
+        tmpdir per run; min-of-2 like every other entry."""
+        import shutil
+        import tempfile
+
+        from rados_timestore_spark.hnsw import HNSWIndex
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        best = None
+        for _ in range(2):
+            spark.catalog.clearCache()
+            root = tempfile.mkdtemp(prefix="hidx_bench_")
+            t0 = time.time()
+            vi = HNSWIndex(spark, root)
+            vi.build("e", emb, shards=8, m=8, ef_construction=128)
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            shutil.rmtree(root, ignore_errors=True)
+        return round(best, 3)
+
     timings = run_suite()
     # Headline total = the QUERY suite only (comparable round-over-
     # round and against BASELINE.md's per-query sums); the cold-build
-    # metric is perf-gated via its expectations row but is a one-time
-    # index-construction cost, not a query.
+    # metrics are perf-gated via their expectations rows but are
+    # one-time index-construction costs, not queries.
     total = round(sum(timings.values()), 3)
     timings["vecidx_cold_build"] = time_vecidx_cold_build()
     print(f"# vecidx_cold_build: {timings['vecidx_cold_build']}s "
+          f"(excluded from total)", file=sys.stderr)
+    timings["hnswidx_cold_build"] = time_hnswidx_cold_build()
+    print(f"# hnswidx_cold_build: {timings['hnswidx_cold_build']}s "
           f"(excluded from total)", file=sys.stderr)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
     if "--update-expectations" in sys.argv:
@@ -130,6 +157,7 @@ def main() -> None:
               "maxima", file=sys.stderr)
         second = run_suite()
         second["vecidx_cold_build"] = time_vecidx_cold_build()
+        second["hnswidx_cold_build"] = time_hnswidx_cold_build()
         expect = {q: max(timings[q], second[q]) for q in timings}
         fingerprint = fixture_fingerprint(sf_dir)
         if os.path.exists(EXPECTATIONS_PATH):

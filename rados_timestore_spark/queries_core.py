@@ -539,7 +539,7 @@ SELECT address | 1 AS key, md5(payload_str) AS value_md5 FROM (
 WHERE rn = 1
 """,
     tags=("M2", "M4"),
-    priority=110,  # r9 carve-out overflow (window exactly full: 24 bench + 26 r10 promotions); rotate in r11 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r11 (carve-out backlog cleared — first driver evidence)
 )
 def ts_kv_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KV retraction end-to-end: bulk-insert the latest value per
@@ -740,7 +740,8 @@ SELECT key,
 FROM chain
 """,
     tags=("M3",),
-    priority=110,  # NEW r10 (window exactly full); local-green; rotate in r11 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r11 (backlog) + bench-tagged per VERDICT r10 #3 — must stay driver-visible
+    bench=True,  # bench-tagged in r11 (VERDICT r10 #3)
 )
 def ts_kv_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M3 as the lakehouse production shape (VERDICT r9 #8): the
@@ -789,7 +790,7 @@ SELECT {_epoch_case_sql()} AS epoch,
 FROM pts GROUP BY 1
 """,
     tags=("R2", "X3", "W8"),
-    priority=110,  # NEW r10 (window exactly full); local-green; rotate in r11 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r11 (carve-out backlog cleared — first driver evidence)
 )
 def ts_verify_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The :meth:`TimeStore.verify` integrity scrub as a driver query
@@ -818,7 +819,7 @@ WHERE rn = 1 AND address % 2 = 1
   AND time < {T_JAN10}
 """,
     tags=("U1", "R1", "Q9"),
-    priority=110,  # NEW r10 (window exactly full: 24 bench + 26 r10 promotions); local-green; rotate in r11 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r11 (carve-out backlog cleared — first driver evidence)
 )
 def ts_dual_index_rollover(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dual per-kind index parity (TimeStore.hs:74-90 registers
@@ -951,7 +952,7 @@ SELECT count(*) AS n,
 FROM pts
 """,
     tags=("W2", "W3"),
-    priority=900,  # demoted in r5 to refresh the tpch part-1 driver evidence (r4-green; verified locally by tools/check_correctness.py)
+    priority=70,  # oldest-evidence refresh promoted in r11 (last driver green r3/r4 — VERDICT r10 #6)
 )
 def ts_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wire codec round-trip (Algorithms.hs:100-186): pack points into

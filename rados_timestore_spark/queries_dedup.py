@@ -1175,7 +1175,8 @@ SELECT a.node, a.label AS component, sz.comp_size,
 FROM l{_CC_ITERS} a JOIN sz ON sz.label = a.label
 """,
     tags=("dedup", "graph"),
-    priority=900,  # demoted in r9 after r8 driver green, to rotate the r8 carve-out batch into the window (verified locally by tools/check_correctness.py)
+    priority=65,  # bench-tagged + re-promoted in r11 per VERDICT r10 #3 — must stay driver-visible
+    bench=True,  # bench-tagged in r11 (VERDICT r10 #3)
 )
 def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components surfaced as a first-class query (the CC
@@ -1352,7 +1353,7 @@ SELECT f.node AS doc_id, CAST(f.d AS BIGINT) AS core_deg,
 FROM dfin f
 """,
     tags=("dedup", "graph"),
-    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r11 after r10 driver green, to rotate the r10/r9 carve-out backlog into the window (verified locally by tools/check_correctness.py)
 )
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """{k}-core decomposition over the fuzzy-match similarity graph
@@ -1446,7 +1447,7 @@ SELECT ne.a AS doc_a, ne.b AS doc_b,
 FROM ne JOIN deg da ON da.u = ne.a JOIN deg db ON db.u = ne.b
 """,
     tags=("dedup", "graph"),
-    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r11 after r10 driver green, to rotate the r10/r9 carve-out backlog into the window (verified locally by tools/check_correctness.py)
 )
 def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-neighbor link prediction (Liben-Nowell & Kleinberg
@@ -1547,7 +1548,7 @@ SELECT a.node AS doc_id, a.label AS community,
 FROM l{_LPA_ITERS} a JOIN sz ON sz.label = a.label
 """,
     tags=("dedup", "graph"),
-    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r11 after r10 driver green, to rotate the r10/r9 carve-out backlog into the window (verified locally by tools/check_correctness.py)
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan
@@ -1649,7 +1650,8 @@ SELECT doc_id, start_pos, span_tokens
 FROM sp WHERE span_tokens >= {_SUBSTR_MIN}
 """,
     tags=("dedup", "text"),
-    priority=900,  # demoted in r10 after r9 driver green, to rotate the r9 carve-out batch into the window (verified locally by tools/check_correctness.py)
+    priority=65,  # bench-tagged + re-promoted in r11 per VERDICT r10 #3 — must stay driver-visible
+    bench=True,  # bench-tagged in r11 (VERDICT r10 #3)
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT substring deduplication — maximal cross-document
@@ -1920,7 +1922,7 @@ SELECT a.node, CAST(a.dist AS BIGINT) AS hops,
 FROM d{_BFS_ITERS} a
 """,
     tags=("dedup", "graph"),
-    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r11 after r10 driver green, to rotate the r10/r9 carve-out backlog into the window (verified locally by tools/check_correctness.py)
 )
 def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-source BFS / unweighted shortest path — hop distance
@@ -2007,7 +2009,7 @@ SELECT d.community,
 FROM dsum d LEFT JOIN intra i ON i.community = d.community, mm
 """,
     tags=("dedup", "graph"),
-    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r11 after r10 driver green, to rotate the r10/r9 carve-out backlog into the window (verified locally by tools/check_correctness.py)
 )
 def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman modularity of the label-propagation communities — the
@@ -2084,7 +2086,7 @@ SELECT CAST(count(*) AS BIGINT) AS m2,
 FROM ed
 """,
     tags=("dedup", "graph"),
-    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r11 after r10 driver green, to rotate the r10/r9 carve-out backlog into the window (verified locally by tools/check_correctness.py)
 )
 def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity (Newman 2002) of the similarity graph —

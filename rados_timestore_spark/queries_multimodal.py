@@ -225,7 +225,7 @@ SELECT doc_id, n AS orig_bytes,
 FROM t
 """,
     tags=("multimodal",),
-    priority=900,  # r3-green refresh demoted in exchange for the new r9 sim_vecidx_probe_filtered registration (first-evidence outranks refresh; window stays exactly 50)
+    priority=70,  # oldest-evidence refresh promoted in r11 (last driver green r3/r4 — VERDICT r10 #6)
 )
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize/downsample plumbing via ``mapInPandas``: Arrow batches of
@@ -485,7 +485,7 @@ SELECT doc_id, CAST(54 + stride * h AS BIGINT) AS n_bytes,
 FROM r
 """,
     tags=("multimodal",),
-    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r11 after r10 driver green, to rotate the r10/r9 carve-out backlog into the window (verified locally by tools/check_correctness.py)
 )
 def mm_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL BMP decode end to end — the third raster container after
@@ -912,7 +912,7 @@ SELECT doc_id, CAST(ch AS INT) AS channels,
 FROM t
 """,
     tags=("multimodal",),
-    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r11 after r10 driver green, to rotate the r10/r9 carve-out backlog into the window (verified locally by tools/check_correctness.py)
 )
 def mm_wav_zero_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-crossing rate over REAL decoded PCM — with energy (RMS),
@@ -1033,7 +1033,7 @@ SELECT doc_id, CAST(ch AS INT) AS channels,
 FROM t
 """,
     tags=("multimodal",),
-    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r11 after r10 driver green, to rotate the r10/r9 carve-out backlog into the window (verified locally by tools/check_correctness.py)
 )
 def mm_wav_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lag-1 autocorrelation over REAL decoded PCM — the third frame
@@ -1931,7 +1931,7 @@ SELECT doc_id, CAST(w * h AS BIGINT) AS n_pixels,
 FROM idx
 """,
     tags=("multimodal",),
-    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r11 after r10 driver green, to rotate the r10/r9 carve-out backlog into the window (verified locally by tools/check_correctness.py)
 )
 def mm_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GIF decode end to end — the fourth raster container

@@ -162,7 +162,7 @@ SELECT CAST(cum_before // 512 AS BIGINT) AS bin_id,
 FROM cum GROUP BY 1
 """,
     tags=("pipeline", "text", "llm"),
-    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r11 after r10 driver green, to rotate the r10/r9 carve-out backlog into the window (verified locally by tools/check_correctness.py)
 )
 def pipeline_curated_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialization step AFTER the retention decision: pack

@@ -356,7 +356,7 @@ SELECT query_id, neighbor_id, cos FROM scored
 WHERE cos * 100 >= {_RANGE_TAU100}
 """,
     tags=("similarity",),
-    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r11 after r10 driver green, to rotate the r10/r9 carve-out backlog into the window (verified locally by tools/check_correctness.py)
 )
 def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range search — ALL neighbors above a similarity floor, not a
@@ -2640,7 +2640,7 @@ WITH {_ivf_ctes(assign_pred="vec_id % 7 <> 5")}
 SELECT query_id, neighbor_id, cos, rank FROM ivf_top
 """,
     tags=("similarity", "ann", "index"),
-    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r11 after r10 driver green, to rotate the r10/r9 carve-out backlog into the window (verified locally by tools/check_correctness.py)
 )
 def sim_vecidx_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retraction against the persisted index: build the full index,
@@ -2724,7 +2724,7 @@ WITH {_vidxpq_ctes(5)}
 SELECT query_id, neighbor_id, approx_d2, rank FROM vpq_top
 """,
     tags=("similarity", "ann", "index"),
-    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r11 after r10 driver green, to rotate the r10/r9 carve-out backlog into the window (verified locally by tools/check_correctness.py)
 )
 def sim_vecidxpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC probe against PERSISTED PQ codes — the compressed
@@ -2762,7 +2762,7 @@ vrr_top AS (
 SELECT query_id, neighbor_id, cos, rank FROM vrr_top
 """,
     tags=("similarity", "ann", "index"),
-    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r11 after r10 driver green, to rotate the r10/r9 carve-out backlog into the window (verified locally by tools/check_correctness.py)
 )
 def sim_vecidxpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC-R against the persisted index: the code-column scan
@@ -2782,7 +2782,7 @@ def sim_vecidxpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_vecidxpq_recall",
     oracle=_recall_sql(_vidxpq_ctes(5, "vpq_top"), "vpq_top"),
     tags=("similarity", "ann", "index"),
-    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r11 after r10 driver green, to rotate the r10/r9 carve-out backlog into the window (verified locally by tools/check_correctness.py)
 )
 def sim_vecidxpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the persisted-codes ADC probe against exact brute
@@ -2856,7 +2856,7 @@ WITH {_vidxpqr_ctes(5)}
 SELECT query_id, neighbor_id, approx_d2, rank FROM vpqr_top
 """,
     tags=("similarity", "ann", "index"),
-    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r11 after r10 driver green, to rotate the r10/r9 carve-out backlog into the window (verified locally by tools/check_correctness.py)
 )
 def sim_vecidxpq_residual_probe(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
@@ -2881,7 +2881,7 @@ def sim_vecidxpq_residual_probe(spark: SparkSession,
     "sim_vecidxpq_residual_recall",
     oracle=_recall_sql(_vidxpqr_ctes(5, "vpqr_top"), "vpqr_top"),
     tags=("similarity", "ann", "index"),
-    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r11 after r10 driver green, to rotate the r10/r9 carve-out backlog into the window (verified locally by tools/check_correctness.py)
 )
 def sim_vecidxpq_residual_recall(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
@@ -2974,7 +2974,7 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 WHERE rank <= 5
 """,
     tags=("similarity", "ann", "graph"),
-    priority=110,  # NEW r10 (window exactly full); local-green; rotate in r11 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r11 (carve-out backlog cleared — first driver evidence)
 )
 def sim_hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sharded-HNSW top-5 for the 5 standard queries (module note
@@ -3000,7 +3000,7 @@ def sim_hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
   WHERE rank <= 5)""",
         "hnsw_top"),
     tags=("similarity", "ann", "graph"),
-    priority=110,  # NEW r10 (window exactly full); local-green; rotate in r11 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r11 (carve-out backlog cleared — first driver evidence)
 )
 def sim_hnsw_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the sharded-HNSW probe, measured Spark-side against
@@ -3072,7 +3072,8 @@ WHERE rank <= 5
     "sim_hnswidx_probe",
     oracle=_HNSWIDX_ORACLE,
     tags=("similarity", "ann", "graph", "index"),
-    priority=110,  # NEW r10 (window exactly full); local-green; rotate in r11 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r11 (backlog) + bench-tagged per VERDICT r10 #3 — must stay driver-visible
+    bench=True,  # bench-tagged in r11 (VERDICT r10 #3)
 )
 def sim_hnswidx_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probe of the PERSISTED sharded-HNSW index (hnsw.HNSWIndex —
@@ -3093,7 +3094,7 @@ def sim_hnswidx_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_hnswidx_append_probe",
     oracle=_HNSWIDX_ORACLE,
     tags=("similarity", "ann", "graph", "index"),
-    priority=110,  # NEW r10 (window exactly full); local-green; rotate in r11 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r11 (carve-out backlog cleared — first driver evidence)
 )
 def sim_hnswidx_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest variant: build the persisted graph over the
@@ -3127,7 +3128,7 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 WHERE rank <= 5
 """,
     tags=("similarity", "ann", "graph", "index"),
-    priority=110,  # NEW r10 (window exactly full); local-green; rotate in r11 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r11 (carve-out backlog cleared — first driver evidence)
 )
 def sim_hnswidx_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retraction on the persisted graph index: delete every

@@ -976,7 +976,7 @@ SELECT event_type,
 FROM ev GROUP BY event_type
 """,
     tags=("sketch",),
-    priority=110,  # r9 carve-out overflow (window exactly full: 24 bench + 26 r10 promotions); rotate in r11 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r11 (carve-out backlog cleared — first driver evidence)
 )
 def sketch_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moment sketch (Gan et al., VLDB 2018 — the moments-based
@@ -1038,7 +1038,7 @@ SELECT event_type,
 FROM ev GROUP BY event_type
 """,
     tags=("sketch", "streaming"),
-    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r11 after r10 driver green, to rotate the r10/r9 carve-out backlog into the window (verified locally by tools/check_correctness.py)
 )
 def streaming_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The moment sketch maintained INCREMENTALLY by a real

@@ -194,7 +194,7 @@ FROM (
 GROUP BY address
 """,
     tags=("sources",),
-    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r11 after r10 driver green, to rotate the r10/r9 carve-out backlog into the window (verified locally by tools/check_correctness.py)
 )
 def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-evolution ingest certificate: an early batch lands

@@ -916,7 +916,7 @@ FROM agg, wm
 WHERE end_us <= watermark
 """,
     tags=("streaming", "window"),
-    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r11 after r10 driver green, to rotate the r10/r9 carve-out backlog into the window (verified locally by tools/check_correctness.py)
 )
 def streaming_interval_coalesce(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
@@ -992,7 +992,8 @@ FROM x
 WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
 """,
     tags=("streaming", "window"),
-    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=65,  # r10 driver green; bench-tagged in r11 per VERDICT r10 #3 — must stay driver-visible
+    bench=True,  # bench-tagged in r11 (VERDICT r10 #3)
 )
 def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dyadic EWMA end to end (windows.stream_ewma), with
@@ -1075,7 +1076,7 @@ SELECT event_id, user_id, t, n_win,
 FROM fr
 """,
     tags=("streaming", "window"),
-    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r11 after r10 driver green, to rotate the r10/r9 carve-out backlog into the window (verified locally by tools/check_correctness.py)
 )
 def streaming_rolling_median(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
@@ -1154,7 +1155,7 @@ FROM d
 WINDOW w AS (PARTITION BY event_type ORDER BY day)
 """,
     tags=("streaming", "window"),
-    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r11 after r10 driver green, to rotate the r10/r9 carve-out backlog into the window (verified locally by tools/check_correctness.py)
 )
 def streaming_period_over_period(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:

@@ -1477,7 +1477,7 @@ FROM ov o JOIN sz sa ON sa.source = o.src_a
           JOIN sz sb ON sb.source = o.src_b
 """,
     tags=("text", "analytics"),
-    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r11 after r10 driver green, to rotate the r10/r9 carve-out backlog into the window (verified locally by tools/check_correctness.py)
 )
 def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source vocabulary overlap — the source-level
@@ -1556,7 +1556,7 @@ FROM p JOIN szs sa ON sa.doc_id = p.doc_a
        JOIN szs sb ON sb.doc_id = p.doc_b
 """,
     tags=("text", "dedup"),
-    priority=60,  # promoted in r10: first driver evidence for the r9 carve-out batch (local-green via tools/check_correctness.py at sf0.01 AND sf0.1)
+    priority=900,  # demoted in r11 after r10 driver green, to rotate the r10/r9 carve-out backlog into the window (verified locally by tools/check_correctness.py)
 )
 def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing near-dup pair mining (the MOSS report): documents
@@ -1672,7 +1672,7 @@ def _bpe_train_oracle(rounds: int = _BPE_ROUNDS) -> str:
     "text_bpe_train",
     oracle=_bpe_train_oracle(),
     tags=("text", "llm"),
-    priority=110,  # NEW r10 (window exactly full); local-green; rotate in r11 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r11 (carve-out backlog cleared — first driver evidence)
 )
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete BPE trainer (module note above): one distributed
@@ -1756,7 +1756,7 @@ GROUP BY t ORDER BY n DESC, token LIMIT 25
     "text_bpe_encode",
     oracle=_bpe_encode_oracle(),
     tags=("text", "llm"),
-    priority=110,  # NEW r10 (window exactly full); local-green; rotate in r11 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r11 (carve-out backlog cleared — first driver evidence)
 )
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train -> APPLY: encode the corpus under the learned merges and

@@ -76,25 +76,29 @@ def test_bench_set_nonempty():
 # window) — membership drift must fail loudly, so any intentional
 # rotation edits this set in the same commit.
 EXPECTED_WINDOW = {
-    # r10 rotation (p=60): 26 of the 37 never-driver-checked r9
-    # queries, promoted for their FIRST driver evidence (VERDICT r9
-    # "Next round" #1); the 26 r9-green incumbents were demoted in
-    # exchange.  The 11-query overflow (the batch ts smoothers +
-    # sketch_moments, the lowest-risk pure-window-function set) stays
-    # in EXPECTED_CARVEOUT_BACKLOG for r11.
-    "graph_kcore", "graph_jaccard_neighbors", "graph_label_propagation",
-    "graph_bfs_hops", "graph_modularity", "graph_assortativity",
-    "streaming_interval_coalesce", "streaming_ewma",
-    "streaming_rolling_median", "streaming_period_over_period",
-    "streaming_moments",
-    "sim_vecidxpq_probe", "sim_vecidxpq_rerank", "sim_vecidxpq_recall",
-    "sim_vecidxpq_residual_probe", "sim_vecidxpq_residual_recall",
-    "sim_vecidx_delete_probe", "sim_range_search",
-    "mm_decode_bmp", "mm_decode_gif", "mm_wav_zero_crossings",
-    "mm_wav_autocorr",
-    "text_source_overlap", "dedup_winnow_pairs",
-    "pipeline_curated_packing", "src_schema_evolution",
-    # the bench/headline set (must always be driver-visible)
+    # r11 rotation (p=60): the ENTIRE 21-query carve-out backlog
+    # (10 r10 flagships + 11 r9 smoother overflow), promoted for their
+    # FIRST driver evidence (VERDICT r10 "Next round" #1); 25 of the
+    # 26 r10-green incumbents were demoted in exchange
+    # (streaming_ewma stays — bench-tagged per VERDICT r10 #3).
+    "ts_kv_tombstone", "ts_kv_merge_into", "ts_verify_scrub",
+    "ts_dual_index_rollover", "ts_lttb_downsample",
+    "ts_cusum_changepoint", "ts_seasonal_baseline",
+    "ts_rolling_active_users", "ts_rolling_volatility",
+    "ts_interval_coalesce", "ts_ewma_smooth", "ts_rolling_median",
+    "ts_period_over_period", "text_bpe_train", "text_bpe_encode",
+    "sim_hnsw_ann", "sim_hnsw_recall", "sim_hnswidx_probe",
+    "sim_hnswidx_append_probe", "sim_hnswidx_delete_probe",
+    "sketch_moments",
+    # oldest-evidence refreshes (VERDICT r10 #6: mm_resize last green
+    # r3, ts_codec_roundtrip r4 — the two oldest driver rows)
+    "ts_codec_roundtrip", "mm_resize",
+    # the bench/headline set (must always be driver-visible);
+    # r11 bench-tags one query per r9/r10 family (VERDICT r10 #3):
+    # streaming_ewma, graph_connected_components,
+    # dedup_substring_spans, sim_hnswidx_probe, ts_kv_merge_into
+    "streaming_ewma", "graph_connected_components",
+    "dedup_substring_spans",
     "ts_bulk_backfill", "text_winnow_fingerprint", "sim_ivf_kmeans",
     "sim_pq_ann", "sim_ivfpq_ann", "sim_vecidx_probe",
     "ts_read_simple", "ts_dedup_first_wins", "ts_latest_per_key",
@@ -112,37 +116,11 @@ EXPECTED_WINDOW = {
 # registry test asserting no query stays past the window for more than
 # one round") — any name added here is a standing debt that the next
 # round's rotation has to clear.
-# r10 rotation promoted 26 of the 37-query r9 backlog (p=60, first
-# driver evidence); the window is exactly full (24 bench + 26), so the
-# 11 lowest-risk queries below — plain window-function batch smoothers
-# and one sketch, all local-green at sf0.01 AND sf0.1 — overflow to
-# r11.  Only overflow + same-round NEW registrations may appear here;
-# each MUST be rotated into the driver window in r11.
-EXPECTED_CARVEOUT_BACKLOG: set[str] = {
-    # NEW r10 registrations — rotate into the r11 window
-    "ts_dual_index_rollover",
-    "ts_verify_scrub",
-    "ts_kv_merge_into",
-    "text_bpe_train",
-    "text_bpe_encode",
-    "sim_hnsw_ann",
-    "sim_hnsw_recall",
-    "sim_hnswidx_probe",
-    "sim_hnswidx_append_probe",
-    "sim_hnswidx_delete_probe",
-    # r9 carve-out overflow — rotate into the r11 window
-    "ts_lttb_downsample",
-    "ts_cusum_changepoint",
-    "ts_seasonal_baseline",
-    "ts_rolling_active_users",
-    "ts_rolling_volatility",
-    "ts_interval_coalesce",
-    "ts_ewma_smooth",
-    "ts_rolling_median",
-    "ts_period_over_period",
-    "ts_kv_tombstone",
-    "sketch_moments",
-}
+# r11 rotation promoted the ENTIRE 21-query backlog into the window
+# (VERDICT r10 #1) — every registered query now has driver evidence or
+# a seat in the r11 window.  Only same-round NEW registrations may
+# appear here; each MUST be rotated into the window next round.
+EXPECTED_CARVEOUT_BACKLOG: set[str] = set()
 
 
 def test_carveout_backlog_is_rotated():
