@@ -173,6 +173,16 @@ class _ShardGraph:
                 self.adj[lc][0] = []
             return
         self._insert(i)
+        # Canonicalize the entry point to the lowest id at the top
+        # layer — the rule :meth:`HNSWIndex._from_rows` re-derives it
+        # by.  The ascending-id build satisfies it for free (the first
+        # node reaching each new max level has the lowest id there),
+        # but an append can land a LOWER id at the existing top layer;
+        # without this, probes during the appending session would
+        # differ from every later reconstructed probe (ADVICE r10).
+        top_nodes = self.adj[self.top]
+        if top_nodes:
+            self.entry = min(top_nodes, key=lambda n: int(self.ids[n]))
 
     # ------------------------------------------------------- probe
 
@@ -284,6 +294,26 @@ class HNSWIndex:
     def _vectors_dir(self, ns: str) -> str:
         return f"{self._ns_dir(ns)}/vectors"
 
+    def _restore_shard_remnants(self, ns: str) -> None:
+        """Crash recovery for the per-shard directory swap (ADVICE
+        r10): the swap is rename(shard=S -> shard=S.old) then
+        rename(staging -> shard=S) then delete(shard=S.old).  A crash
+        BETWEEN the renames leaves no live shard=S — the uncommitted
+        op rolls back by restoring the .old dir (the replayed batch
+        then re-runs against the pre-crash state); a crash AFTER the
+        second rename leaves a stale .old beside the committed new
+        shard — deleted.  Every verb (and the probe path) calls this
+        first, so no reader ever sees a vanished shard."""
+        for base in (self._graph_dir(ns), self._vectors_dir(ns)):
+            for name in self.fs.list_dirs(base):
+                if not name.endswith(".old") or "=" not in name:
+                    continue
+                live = f"{base}/{name[:-len('.old')]}"
+                if self.fs.exists(live):
+                    self.fs.delete(f"{base}/{name}", recursive=True)
+                else:
+                    self.fs.rename(f"{base}/{name}", live)
+
     def meta(self, ns: str) -> dict:
         import json
 
@@ -346,8 +376,14 @@ class HNSWIndex:
         g.top = top
         # ascending-id build promotes the FIRST node reaching each new
         # max level, so the entry point is the lowest id at the top
-        top_nodes = sorted(g.adj[top].keys()) if g.adj[top] else [0]
-        g.entry = top_nodes[0]
+        # entry = lowest id at the top layer: the ascending-id build
+        # promotes the first (lowest-id) node reaching each new max
+        # level, and _append_node re-canonicalizes to the same rule,
+        # so this reproduces the live graph's entry exactly.
+        if g.adj[top]:
+            g.entry = min(g.adj[top], key=lambda n: int(g.ids[n]))
+        else:
+            g.entry = 0
         return g
 
     # -------------------------------------------------------- build
@@ -409,6 +445,7 @@ class HNSWIndex:
         from pyspark.sql import functions as F
 
         doc = self.meta(ns)
+        self._restore_shard_remnants(ns)
         shards, m, ef_c = doc["shards"], doc["m"], doc["ef_construction"]
         new = emb.select(
             F.col(id_col).alias("vec_id"),
@@ -434,10 +471,16 @@ class HNSWIndex:
             shard = int(key[0])
             old = vpdf[vpdf["is_new"] == 0]
             add = vpdf[vpdf["is_new"] == 1].sort_values("vec_id")
-            if not len(old):  # shard never populated: fresh build
+            if not len(gpdf):
+                # Shard never populated — or its adjacency was lost to
+                # a crash window.  The vector table is the source of
+                # truth (ADVICE r10): rebuild from ALL shard vectors,
+                # never just the batch.
+                allv = vpdf.drop_duplicates(subset=["vec_id"],
+                                            keep="first")
                 g = _ShardGraph(
-                    add["vec_id"].to_numpy(dtype=np.int64),
-                    np.stack(add["embedding"].to_numpy())
+                    allv["vec_id"].to_numpy(dtype=np.int64),
+                    np.stack(allv["embedding"].to_numpy())
                     .astype(np.float64),
                     m=m, ef_construction=ef_c)
                 return HNSWIndex._graph_rows(g, shard)
@@ -501,40 +544,70 @@ class HNSWIndex:
           of a crashed attempt of the SAME batch), so re-promoting
           replaces rather than duplicates;
         * the graph reinsert skips nodes ALREADY in a shard's
-          adjacency, so a crash after the graph swap replays as a
-          deterministic no-op rewrite;
-        * the meta write (n_vectors + last_batch_id) is the commit
-          point, after which the fence makes the batch a no-op.
+          adjacency — so a crash after the graph swap replays cleanly,
+          and a vec_id redelivered under a DIFFERENT batch id
+          (at-least-once source) is a per-row no-op (ADVICE r10);
+        * the meta write (last_batch_id + n_vectors RECOUNTED from the
+          graph's layer-0 rows) is the commit point, after which the
+          fence makes the batch a no-op.
         """
         from pyspark.sql import functions as F
 
         doc = self.meta(ns)
         if int(batch_id) <= int(doc.get("last_batch_id", -1)):
             return doc
+        self._restore_shard_remnants(ns)
         shards, m, ef_c = doc["shards"], doc["m"], doc["ef_construction"]
         new = emb.select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("embedding"),
             F.pmod(F.hash(id_col), F.lit(shards)).alias("shard"),
         ).dropDuplicates(["vec_id"])
-        affected = sorted(r.shard for r in
-                          new.select("shard").distinct().collect())
-        n_new = new.count()
         vdir, gdir = self._vectors_dir(ns), self._graph_dir(ns)
         prefix = f"b{int(batch_id)}-"
-        if affected:
-            # 1. vectors, exactly-once by prefix sweep + re-promote
-            self.fs.sweep_files(vdir, prefix)
-            stage = f"{vdir}.batch_{int(batch_id)}"
-            if self.fs.exists(stage):
+        # Sweep THIS batch's leftover vector files before anything
+        # reads vdir: a crashed attempt of the same batch may have
+        # promoted them, and they must not count as "already indexed"
+        # in the cross-batch dedup below.
+        self.fs.sweep_files(vdir, prefix)
+        # Cross-batch dedup (ADVICE r10): a vec_id redelivered under a
+        # DIFFERENT batch id (at-least-once source, re-ingest of an
+        # existing id) must not inflate n_vectors or promote a
+        # duplicate vector row.  Shard routing is a pure function of
+        # vec_id, so the already-indexed check only needs the batch's
+        # own shards.  Vector promotion and graph insertion key off
+        # INDEPENDENT predicates: a row is promoted iff its vector is
+        # missing (post-sweep — covers the crash-after-swap replay,
+        # where the batch's graphed vectors were just swept away) and
+        # graphed iff its node is missing from the adjacency.
+        touched = sorted(r.shard for r in
+                         new.select("shard").distinct().collect())
+        fresh = new
+        if touched:
+            graphed_ids = (self.spark.read.parquet(gdir)
+                           .filter(F.col("shard").isin(touched))
+                           .select("vec_id").distinct())
+            fresh = new.join(graphed_ids, "vec_id", "left_anti")
+            have_vec = (self.spark.read.parquet(vdir)
+                        .filter(F.col("shard").isin(touched))
+                        .select("vec_id").distinct())
+            to_store = new.join(have_vec, "vec_id", "left_anti")
+            store_shards = sorted(r.shard for r in to_store
+                                  .select("shard").distinct().collect())
+            if store_shards:
+                # 1. vectors, exactly-once by prefix sweep + re-promote
+                stage = f"{vdir}.batch_{int(batch_id)}"
+                if self.fs.exists(stage):
+                    self.fs.delete(stage, recursive=True)
+                (to_store.write.mode("overwrite").partitionBy("shard")
+                 .parquet(stage))
+                self.fs.promote_dir_tree(stage, vdir, prefix=prefix)
                 self.fs.delete(stage, recursive=True)
-            (new.write.mode("overwrite").partitionBy("shard")
-             .parquet(stage))
-            self.fs.promote_dir_tree(stage, vdir, prefix=prefix)
-            self.fs.delete(stage, recursive=True)
-
+        affected = sorted(r.shard for r in
+                          fresh.select("shard").distinct().collect())
+        if affected:
             # 2. graph: reinsert only the not-yet-present nodes
-            batch_ids = new.select("vec_id")
+            batch_ids = fresh.select("vec_id")
             old_g = self.spark.read.parquet(gdir) \
                 .filter(F.col("shard").isin(affected)) \
                 .withColumn("shard", F.col("shard").cast("int"))
@@ -543,7 +616,8 @@ class HNSWIndex:
                      .withColumn("shard", F.col("shard").cast("int"))
                      .join(batch_ids, "vec_id", "left_anti")
                      .withColumn("is_new", F.lit(0)))
-            both_v = old_v.unionByName(new.withColumn("is_new", F.lit(1)))
+            both_v = old_v.unionByName(
+                fresh.withColumn("is_new", F.lit(1)))
 
             def reinsert(key, gpdf, vpdf):
                 shard = int(key[0])
@@ -551,10 +625,16 @@ class HNSWIndex:
                 add = vpdf[(vpdf["is_new"] == 1)
                            & ~vpdf["vec_id"].isin(present)] \
                     .sort_values("vec_id")
-                if not len(gpdf):  # shard never populated: fresh build
+                if not len(gpdf):
+                    # Shard never populated — or its adjacency was
+                    # lost to a crash window.  The vector table is the
+                    # source of truth (ADVICE r10): rebuild from ALL
+                    # shard vectors, never just the batch.
+                    allv = vpdf.drop_duplicates(subset=["vec_id"],
+                                                keep="first")
                     g = _ShardGraph(
-                        add["vec_id"].to_numpy(dtype=np.int64),
-                        np.stack(add["embedding"].to_numpy())
+                        allv["vec_id"].to_numpy(dtype=np.int64),
+                        np.stack(allv["embedding"].to_numpy())
                         .astype(np.float64),
                         m=m, ef_construction=ef_c)
                     return HNSWIndex._graph_rows(g, shard)
@@ -597,9 +677,17 @@ class HNSWIndex:
                 self.fs.delete(old_dir, recursive=True)
             self.fs.delete(g_stage, recursive=True)
 
-        # 3. commit point
+        # 3. commit point.  n_vectors is RECOMPUTED from the graph
+        # (every node has exactly one layer-0 adjacency row) rather
+        # than incremented: a crash after the graph swap but before
+        # this commit leaves nodes graphed-but-uncounted, while a
+        # cross-batch redelivery leaves them counted-but-not-new —
+        # an increment gets one of the two wrong, the recount heals
+        # both (ADVICE r10).
         doc = self.meta(ns)
-        doc["n_vectors"] = int(doc["n_vectors"]) + int(n_new)
+        doc["n_vectors"] = int(
+            self.spark.read.parquet(gdir)
+            .filter(F.col("layer") == 0).count())
         doc["last_batch_id"] = int(batch_id)
         doc["version"] = int(doc["version"]) + 1
         self._write_meta(ns, doc)
@@ -626,6 +714,7 @@ class HNSWIndex:
         from pyspark.sql import functions as F
 
         doc = self.meta(ns)
+        self._restore_shard_remnants(ns)
         shards, m, ef_c = doc["shards"], doc["m"], doc["ef_construction"]
         vdir, gdir = self._vectors_dir(ns), self._graph_dir(ns)
         vecs = self.spark.read.parquet(vdir) \
@@ -712,7 +801,12 @@ class HNSWIndex:
         as the other maintenance verbs.  Returns the file count
         before compaction."""
         doc = self.meta(ns)
+        self._restore_shard_remnants(ns)
         vdir = self._vectors_dir(ns)
+        if not self.fs.exists(vdir) and self.fs.exists(f"{vdir}.old"):
+            # crash between compact's two whole-dir renames: the .old
+            # dir IS the live vector table — roll the swap back
+            self.fs.rename(f"{vdir}.old", vdir)
         vecs = self.spark.read.parquet(vdir) \
             .withColumn("shard", _shard_int())
         n_files = vecs.inputFiles().__len__()
@@ -742,6 +836,7 @@ class HNSWIndex:
         shard's persisted graph — one cogrouped Arrow pass, no
         rebuild.  Callers exact-rerank the union."""
         doc = self.meta(ns)
+        self._restore_shard_remnants(ns)
         m, ef_c = doc["m"], doc["ef_construction"]
         qs = [(int(qid), np.asarray(vec, dtype=np.float64))
               for qid, vec in queries]

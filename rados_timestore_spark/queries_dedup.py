@@ -616,8 +616,14 @@ def _connected_components(spark: SparkSession, edges: DataFrame) -> DataFrame:
     distributed min-id propagation above it (see call-site comment).
     """
     edges = edges.transform(pin)
-    n_edges = edges.count()
-    if n_edges <= _CC_LOCAL_MAX_EDGES:
+    # Local-vs-distributed cutover WITHOUT an eager full count
+    # (VERDICT r10): LIMIT MAX+1 short-circuits as soon as the cap is
+    # exceeded, where count() was a complete extra pass over the
+    # verified-pairs relation before the real work started.  When the
+    # limit comes back under the cap, the collected rows ARE the
+    # union-find input — one action either way.
+    probe = edges.limit(_CC_LOCAL_MAX_EDGES + 1).collect()
+    if len(probe) <= _CC_LOCAL_MAX_EDGES:
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -628,7 +634,7 @@ def _connected_components(spark: SparkSession, edges: DataFrame) -> DataFrame:
                 parent[x], x = root, parent[x]
             return root
 
-        for a, b in edges.collect():
+        for a, b in probe:
             if a not in parent:
                 parent[a] = a
             if b not in parent:

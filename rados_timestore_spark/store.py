@@ -1305,6 +1305,10 @@ class TimeStore:
         Crash-safe at every step: before the flip the old generation
         stays live (the new dir is a gc-able orphan); after it, only
         the old dir remains to delete."""
+        from pyspark.sql import Observation
+
+        from rados_timestore_spark.core import kind_col
+
         meta = self._read_meta(ns)
         pdir = self._points_dir(ns, meta)
         if not self.fs.is_dir(pdir):
@@ -1323,14 +1327,48 @@ class TimeStore:
             # Spark eliminates its own sort and the per-file clustering
             # survives into the parquet row groups.
             out = out.sortWithinPartitions(*pcols, *sort_within)
+        # Watermark fold (ADVICE r10): a transform may EMIT rows above
+        # the recorded watermarks — MutableKV.merge_into lands merged
+        # heads at head_version + n_batch — and persisting them without
+        # advancing latest_* leaves verify() reporting beyond_watermark
+        # and a later rollover cutting BENEATH live rows.  observe() is
+        # free (piggybacks on the write action); for row-preserving
+        # transforms (compact, vacuum) the fold is a monotone no-op.
+        # The observe sits LAST in the chain, directly under the write:
+        # observed below the exchange, a transform that drains to zero
+        # rows leaves the metrics row schemaless and obs.get throws
+        # (Spark 4.1 toPyRow assertion — found by the KV fuzz).
+        obs = Observation()
+        out = out.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max(F.when(kind_col("address") == 0, F.col("time")))
+            .alias("max_simple"),
+            F.max(F.when(kind_col("address") == 1, F.col("time")))
+            .alias("max_extended"),
+        )
         (
             out.write.mode("overwrite").partitionBy(*pcols)
             .parquet(new_dir)
         )
+        if int(obs.get["n_rows"] or 0) == 0:
+            # The transform drained the generation (e.g. vacuum of a
+            # fully-tombstoned KV).  A zero-file parquet dir is
+            # unreadable (UNABLE_TO_INFER_SCHEMA — found by the KV
+            # fuzz), and every reader already treats a MISSING points
+            # dir as the empty namespace, so represent empty as absent.
+            self.fs.delete(new_dir, recursive=True)
         # Atomic flip: readers resolve the directory via the meta
         # pointer, so a crash before this line leaves the old
         # generation live (new dir is an orphan, rewritten next time);
-        # a crash after it leaves only the old dir to GC.
+        # a crash after it leaves only the old dir to GC.  The
+        # watermark fold rides the SAME CAS flip so no window exists
+        # where the new generation is live under stale watermarks.
+        got = obs.get  # cached after the write action; no extra job
+        meta.latest_simple = _mono_max(meta.latest_simple,
+                                       got["max_simple"])
+        meta.latest_extended = _mono_max(meta.latest_extended,
+                                         got["max_extended"])
         meta.points_version = next_version
         self._write_meta_cas(ns, meta)
         self.fs.delete(pdir, recursive=True)

@@ -241,3 +241,109 @@ def test_hnswidx_compact_preserves_probes(spark, tmp_path):
              vi.probe_candidates("e", qs, k=16, ef_search=64).collect()}
     assert after == before
     assert spark.read.parquet(vi._vectors_dir("e")).count() == emb.count()
+
+
+def test_shard_graph_entry_canonical_after_low_id_append():
+    # ADVICE r10: an append landing a LOWER id at the existing top
+    # layer must move the live entry to it — _from_rows re-derives the
+    # entry as the lowest id at the top layer, so live and
+    # reconstructed graphs must agree or a same-session probe differs
+    # from every later one.  ids picked so _levels(233)==3 ==
+    # max(_levels(1000..1399)) — the exact flagged case.
+    from rados_timestore_spark.hnsw import HNSWIndex, _levels
+
+    rng = np.random.RandomState(17)
+    base_ids = np.arange(1000, 1400, dtype=np.int64)
+    assert int(_levels(np.array([233], dtype=np.int64), 8)[0]) \
+        == int(_levels(base_ids, 8).max()) == 3
+    g = _ShardGraph(base_ids, rng.randn(400, 32), m=8,
+                    ef_construction=64)
+    g._append_node(233, rng.randn(32))
+    assert int(g.ids[g.entry]) == 233
+    import pandas as pd
+
+    rows = HNSWIndex._graph_rows(g, 0)
+    all_ids = np.append(base_ids, np.int64(233))
+    vec_by_id = {int(i): g.vecs[k] for k, i in enumerate(g.ids)}
+    vpdf = pd.DataFrame({
+        "vec_id": sorted(vec_by_id),
+        "embedding": [vec_by_id[i] for i in sorted(vec_by_id)],
+    })
+    assert set(vpdf["vec_id"]) == set(int(i) for i in all_ids)
+    r = HNSWIndex._from_rows(rows, vpdf, 8, 64)
+    assert int(r.ids[r.entry]) == 233
+    # live and reconstructed probes agree exactly
+    for s in range(5):
+        q = np.random.RandomState(300 + s).randn(32)
+        assert g.search(q, 10, ef=64) == r.search(q, 10, ef=64)
+
+
+def test_hnswidx_swap_crash_window_restores_lost_shard(spark, tmp_path):
+    # ADVICE r10 (medium): a crash BETWEEN the two shard-swap renames
+    # leaves no live shard=S; the next verb (or probe) must restore
+    # the .old remnant instead of silently rebuilding the shard from
+    # only the next batch's vectors.
+    from rados_timestore_spark.hnsw import HNSWIndex
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = emb.filter(F.col("vec_id") % 3 == 0)
+    b = emb.filter(F.col("vec_id") % 3 == 1)
+    qs = [(r.vec_id, np.asarray(r.embedding, dtype=np.float64))
+          for r in emb.filter(F.col("vec_id") < 3).collect()]
+
+    def probe(ix):
+        return {(r.query_id, r.neighbor_id) for r in
+                ix.probe_candidates("e", qs, k=16,
+                                    ef_search=128).collect()}
+
+    crashed = HNSWIndex(spark, str(tmp_path / "hcw"))
+    crashed.build("e", a, shards=4, m=8, ef_construction=128)
+    pre = probe(crashed)
+    # simulate the window: rename1 done (live -> .old), rename2 lost
+    gdir = crashed._graph_dir("e")
+    import os
+    shard = sorted(os.listdir(gdir))[0]
+    assert os.rename(f"{gdir}/{shard}", f"{gdir}/{shard}.old") is None
+    # probes see the restored pre-crash state, not a vanished shard
+    assert probe(crashed) == pre
+    # a replayed batch then runs against the restored state and
+    # converges to the same index an uncrashed run produces
+    crashed.append_batch("e", b, 0)
+    ref = HNSWIndex(spark, str(tmp_path / "href"))
+    ref.build("e", a, shards=4, m=8, ef_construction=128)
+    ref.append_batch("e", b, 0)
+    assert probe(crashed) == probe(ref)
+    assert crashed.meta("e")["n_vectors"] == a.count() + b.count()
+
+
+def test_hnswidx_append_batch_cross_batch_redelivery(spark, tmp_path):
+    # ADVICE r10 (low): a vec_id redelivered under a DIFFERENT batch
+    # id must neither inflate n_vectors nor duplicate its vector row.
+    from rados_timestore_spark.hnsw import HNSWIndex
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = emb.filter(F.col("vec_id") % 3 == 0)
+    b = emb.filter(F.col("vec_id") % 3 == 1)
+    c = emb.filter(F.col("vec_id") % 3 == 2)
+
+    hi = HNSWIndex(spark, str(tmp_path / "hrd"))
+    hi.build("e", a, shards=4, m=8, ef_construction=128)
+    hi.append_batch("e", b, 0)
+    # batch 1 redelivers ALL of b alongside the genuinely-new c
+    hi.append_batch("e", b.unionByName(c), 1)
+    assert hi.meta("e")["n_vectors"] == emb.count()
+    vec = spark.read.parquet(hi._vectors_dir("e"))
+    assert vec.count() == emb.count()
+    assert vec.select("vec_id").distinct().count() == emb.count()
+    # and the index equals the no-redelivery reference
+    ref = HNSWIndex(spark, str(tmp_path / "hrdref"))
+    ref.build("e", a, shards=4, m=8, ef_construction=128)
+    ref.append_batch("e", b, 0)
+    ref.append_batch("e", c, 1)
+    qs = [(r.vec_id, np.asarray(r.embedding, dtype=np.float64))
+          for r in emb.filter(F.col("vec_id") < 3).collect()]
+    got = {(r.query_id, r.neighbor_id) for r in
+           hi.probe_candidates("e", qs, k=16, ef_search=128).collect()}
+    want = {(r.query_id, r.neighbor_id) for r in
+            ref.probe_candidates("e", qs, k=16, ef_search=128).collect()}
+    assert got == want

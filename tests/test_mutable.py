@@ -261,6 +261,12 @@ def test_merge_into_differential_law(store):
     want = {r.key: bytes(r.value) for r in b_kv.merge_with(mrg).collect()}
 
     a.merge_into(batch, mrg)
+    # ADVICE r10: verify() DIRECTLY after merge_into — the merged heads
+    # land at head_version + n_batch, which must advance the extended
+    # watermark in the same generation flip (a later insert() masked a
+    # beyond_watermark violation here before the fix).
+    rep = store.verify(a.ns)
+    assert rep["ok"], rep
     got = {r.key: bytes(r.value) for r in a.enumerate().collect()}
     # key 6's chain was written by insert_with, which stores MERGED
     # values per version, so the whole-chain fold is m1|(m1|m2) — the
@@ -277,6 +283,14 @@ def test_merge_into_differential_law(store):
     # versions stay monotone: a later insert still wins
     a.insert(2, b"after")
     assert a.lookup(2) == b"after"
+    rep = store.verify(a.ns)
+    assert rep["ok"], rep
+    # ADVICE r10 regression: a rescale cut straight after merge_into
+    # must land ABOVE the merged heads (pre-fix the cut at stale
+    # watermark+1 could sit beneath persisted rows — misplaced_epoch).
+    store.rescale(a.ns, 8)
+    a.insert(2, b"post-rescale")
+    assert a.lookup(2) == b"post-rescale"
     rep = store.verify(a.ns)
     assert rep["ok"], rep
 
