@@ -250,7 +250,9 @@ class MutableKV:
         self.store.write_points(self.ns, new)
 
     def merge_into(self, updates: DataFrame,
-                   merge: Callable[[bytes, bytes], bytes]) -> None:
+                   merge: Callable[[bytes, bytes], bytes],
+                   associative: bool = False,
+                   salt: int = 32) -> None:
         """Bulk MERGE of an update batch into the latest-view — M3's
         read-merge-append (``insertWith``, Mutable.hs:83-103)
         re-expressed as the generation-swap MERGE a lakehouse table
@@ -274,7 +276,20 @@ class MutableKV:
         keys) — exactly where the equivalent ``insert_with`` sequence
         would have put its head — so later writes still land above it.
         ``updates``: (key long, value binary) plus an optional ``seq``
-        giving within-batch order (input order if absent)."""
+        giving within-batch order (input order if absent).
+
+        ``associative=True`` (opt-in, VERDICT r10 #4): declares that
+        ``merge`` is associative AND commutative (counters, max,
+        set-union — the CRDT-merge shapes), which lets the fold split:
+        a JVM-side aggregate finds each key's head version / batch
+        count / last-tombstone cut, the surviving rows pre-fold in
+        ``salt``-way sub-groups (bounded task size however hot the
+        key), and a per-key combine of at most ``salt`` partials
+        finishes.  The default path keeps one task per key because the
+        general fold is order-dependent (PLANS.md r10) — a chain
+        cannot split without exactly this assumption.  Differential
+        law (tested): for a commutative-associative ``merge`` both
+        paths equal ``insert_bulk`` + ``merge_with``."""
         from rados_timestore_spark.store import place_bucket_by_index
 
         if "seq" not in updates.columns:
@@ -289,10 +304,58 @@ class MutableKV:
         )
         idx = self.store.index(self.ns)
 
+        def fold_sub(pdf: pd.DataFrame) -> pd.DataFrame:
+            # Sub-group partial fold for the associative path.  Any
+            # application order is legal (commutative + associative by
+            # the caller's declaration); sorting keeps reruns
+            # byte-reproducible.
+            pdf = pdf.sort_values(["__src", "time", "seq"])
+            acc: bytes | None = None
+            for blob in pdf["payload"]:
+                b = bytes(blob)
+                acc = b if acc is None else merge(b, acc)
+            return pd.DataFrame({
+                "address": [int(pdf["address"].iloc[0])],
+                "payload": [acc]})
+
+        def fold_comb(pdf: pd.DataFrame) -> pd.DataFrame:
+            vals = sorted(bytes(b) for b in pdf["payload"])
+            acc = vals[0]
+            for b in vals[1:]:
+                acc = merge(b, acc)
+            return pd.DataFrame({
+                "address": [int(pdf["address"].iloc[0])],
+                "payload": [acc]})
+
+        def assoc_fold(live: DataFrame) -> DataFrame:
+            """(address, payload) per key: salted partial folds
+            (bounded task size however hot the key) then a per-key
+            combine of at most ``salt`` partials."""
+            part = (
+                live.withColumn(
+                    "__salt",
+                    F.pmod(F.hash("time", "seq"), F.lit(int(salt))))
+                .groupBy("address", "__salt")
+                .applyInPandas(fold_sub, "address long, payload binary")
+            )
+            return part.groupBy("address").applyInPandas(
+                fold_comb, "address long, payload binary")
+
         if not self.store.fs.is_dir(self.store._points_dir(self.ns)):
             # Empty KV: the MERGE degenerates to folding the batch
             # itself — one applyInPandas pass, written through the
             # standard ingest path (no generation to swap yet).
+            if associative:
+                n_of = batch.groupBy("address").agg(
+                    F.count(F.lit(1)).alias("__n_batch"))
+                folded = (
+                    assoc_fold(batch).join(n_of, "address")
+                    .select("address",
+                            (F.col("__n_batch") - 1).alias("time"),
+                            "payload"))
+                self.store.write_points(self.ns, folded)
+                return
+
             def fold_batch(pdf: pd.DataFrame) -> pd.DataFrame:
                 pdf = pdf.sort_values("seq")
                 acc: bytes | None = None
@@ -308,6 +371,57 @@ class MutableKV:
             folded = batch.groupBy("address").applyInPandas(
                 fold_batch, "address long, time long, payload binary")
             self.store.write_points(self.ns, folded)
+            return
+
+        if associative:
+            def transform_assoc(df: DataFrame) -> DataFrame:
+                chain = df.select(
+                    "address", "time", "payload", "seq",
+                    F.lit(0).alias("__src"))
+                allrows = chain.unionByName(batch)
+                # One JVM-side aggregate replaces the per-key scan of
+                # the serialized fold: head version, batch-row count,
+                # and the last-tombstone cut (rows at or below it fold
+                # to nothing — exactly the sequential fold's restart).
+                stats = allrows.groupBy("address").agg(
+                    F.max(F.when(F.col("__src") == 0, F.col("time")))
+                    .alias("__head_t"),
+                    F.sum(F.when(F.col("__src") == 1, 1).otherwise(0))
+                    .alias("__n_batch"),
+                    F.max(F.when((F.col("__src") == 0)
+                                 & F.col("payload").isNull(),
+                                 F.col("time"))).alias("__t_reset"),
+                )
+                live = (
+                    allrows
+                    .join(stats.select("address", "__t_reset"),
+                          "address", "left")
+                    .filter(
+                        (F.col("__src") == 1)
+                        | (F.col("payload").isNotNull()
+                           & (F.col("__t_reset").isNull()
+                              | (F.col("time") > F.col("__t_reset")))))
+                    .drop("__t_reset")
+                )
+                out = (
+                    assoc_fold(live).join(stats, "address")
+                    .select(
+                        "address",
+                        (F.coalesce(F.col("__head_t"), F.lit(-1))
+                         + F.col("__n_batch")).alias("time"),
+                        "payload")
+                )
+                return (
+                    out.withColumn("value", F.lit(None).cast("long"))
+                    .withColumn("seq", F.lit(0).cast("long"))
+                    .withColumn("kind", F.lit(1))
+                    .withColumn("epoch", idx.epoch_col("time"))
+                    .withColumn(
+                        "bucket",
+                        place_bucket_by_index(idx, "time", "address"))
+                )
+
+            self.store._rewrite_generation(self.ns, transform_assoc)
             return
 
         def transform(df: DataFrame) -> DataFrame:

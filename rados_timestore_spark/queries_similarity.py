@@ -3045,6 +3045,32 @@ def _hnswidx(spark: SparkSession, sf_dir: str, variant: str):
         vi.build("e", emb.filter(F.col("vec_id") % 2 == 0),
                  shards=_HNSW_SHARDS, m=8, ef_construction=_HNSW_EF)
         vi.append("e", emb.filter(F.col("vec_id") % 2 == 1))
+    elif variant == "stream":
+        # exactly-once streaming ingest: build over a third of the
+        # corpus, deliver the rest as TWO micro-batches through a real
+        # Structured Streaming query (stream_hnsw_vectors ->
+        # HNSWIndex.append_batch's batch-id fence)
+        from rados_timestore_spark.queries_streaming import (
+            _await, _few_state_partitions, stream_workdir,
+        )
+        from rados_timestore_spark.streaming.vector_ingest import (
+            stream_hnsw_vectors,
+        )
+
+        vi.build("e", emb.filter(F.col("vec_id") % 3 == 0),
+                 shards=_HNSW_SHARDS, m=8, ef_construction=_HNSW_EF)
+        work = stream_workdir(spark, "hnswidx_stream_")
+        src, ck = f"{work}/src", f"{work}/ck"
+        emb.filter(F.col("vec_id") % 3 == 1).coalesce(1) \
+            .write.parquet(src)
+        emb.filter(F.col("vec_id") % 3 == 2).coalesce(1) \
+            .write.mode("append").parquet(src)
+        with _few_state_partitions(spark):
+            stream = (
+                spark.readStream.schema(emb.schema)
+                .option("maxFilesPerTrigger", 1).parquet(src)
+            )
+            _await(stream_hnsw_vectors(vi, "e", stream, ck))
     else:
         raise ValueError(variant)
     _HNSWIDX_CACHE[key] = vi
@@ -3104,6 +3130,28 @@ def sim_hnswidx_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     back, proving appended vectors are first-class graph citizens."""
     emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
     vi = _hnswidx(spark, sf_dir, "append")
+    cand = vi.probe_candidates("e", _hnsw_queries(emb),
+                               k=_HNSW_SHARD_K, ef_search=_HNSW_EF)
+    return _hnsw_rerank_top5(emb, cand)
+
+
+@register(
+    "sim_hnswidx_stream_probe",
+    oracle=_HNSWIDX_ORACLE,
+    tags=("similarity", "ann", "graph", "index", "streaming"),
+    priority=110,  # NEW r11 (window exactly full); local-green; rotate in r12 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def sim_hnswidx_stream_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-ingest certificate for the graph index (VERDICT r10
+    #8): build over a third of the corpus, ingest the other two
+    thirds as TWO micro-batches through a real Structured Streaming
+    query (``streaming/vector_ingest.stream_hnsw_vectors`` —
+    foreachBatch into ``HNSWIndex.append_batch``'s exactly-once fence),
+    then probe — the FULL corpus's brute-force top-5 must come back,
+    i.e. streamed ingest == batch ingest == the oracle, the same
+    contract ts_streaming_ingest pins for the point store."""
+    emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    vi = _hnswidx(spark, sf_dir, "stream")
     cand = vi.probe_candidates("e", _hnsw_queries(emb),
                                k=_HNSW_SHARD_K, ef_search=_HNSW_EF)
     return _hnsw_rerank_top5(emb, cand)

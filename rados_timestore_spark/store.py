@@ -736,19 +736,19 @@ class TimeStore:
         can never collide.  ``df`` needs (address, time) plus ``value``
         and/or ``payload``; ``batch_col`` values must sort in ingest
         order (e.g. ``time div US_PER_DAY``).
+
+        Dual-index namespaces (r11, closes the r10 refusal): the fold
+        runs ONCE PER KIND — ``_maybe_rollover_dual`` cuts each kind
+        against its own watermark and its own volume, both pure
+        functions of that kind's per-batch stats, so two independent
+        replays over the per-kind maxima reproduce the sequential
+        per-batch loop exactly (law-tested against it), and rows route
+        through their own kind's final index under the
+        ``(kind, epoch, bucket)`` layout.
         """
         from pyspark.sql import Observation
 
         meta = self._read_meta(ns)
-        if meta.dual:
-            # The batched fold replays the UNIFIED rollover rule (one
-            # watermark, one index).  Replaying two independent
-            # per-kind folds is a different derivation; until someone
-            # needs a dual-index bulk backfill, refuse loudly rather
-            # than route one kind under the other's cuts.
-            raise ValueError(
-                "write_points_batched does not support dual-index "
-                "namespaces; call write_points once per batch")
         cols = set(df.columns)
         if "value" not in cols:
             df = df.withColumn("value", F.lit(None).cast("long"))
@@ -768,71 +768,103 @@ class TimeStore:
             key=lambda r: r["_b"],
         )
 
-        # Driver fold A: per-batch watermark progression.
+        # Driver fold A: per-batch watermark progression, tracked PER
+        # KIND — the unified rule folds them into one watermark, the
+        # dual rule (``_maybe_rollover_dual``: each kind cuts against
+        # its OWN watermark and volume) keeps them separate.
         latest_simple, latest_extended = meta.latest_simple, meta.latest_extended
-        init_watermark = max(latest_simple or 0, latest_extended or 0)
-        entries0 = list(meta.index.entries)
-        _, buckets = entries0[-1]
+        init_latest = {0: latest_simple, 1: latest_extended}
         batch_ordinals: dict = {}
-        batch_watermarks: list[int] = []
+        wm_series: dict = {0: [], 1: []}
         for ordinal, row in enumerate(stats):
             batch_ordinals[row["_b"]] = ordinal
             latest_simple = _mono_max(latest_simple, row["max_simple"])
             latest_extended = _mono_max(latest_extended, row["max_extended"])
-            batch_watermarks.append(
-                max(latest_simple or 0, latest_extended or 0))
+            wm_series[0].append(latest_simple)
+            wm_series[1].append(latest_extended)
 
-        if rollover_rows is None:
-            entries = list(entries0)
-            for watermark in batch_watermarks:
-                if watermark > entries[-1][0]:
-                    entries.append((watermark + 1, buckets))
+        if meta.dual:
+            # Per-kind replay of the SAME fold: kind k's sequential
+            # cut depends only on its own watermark progression and
+            # its own row volume (_maybe_rollover_dual's cut_for), so
+            # two independent folds over the per-kind stats reproduce
+            # the sequential per-batch loop exactly — the routing
+            # argument (every boundary cut at or after batch i exceeds
+            # watermark_i^k) holds per kind verbatim.
+            plans = {
+                0: (meta.index, init_latest[0], wm_series[0]),
+                1: (meta.index_extended, init_latest[1], wm_series[1]),
+            }
         else:
-            # Pass 1b — per (batch, bucket, candidate-epoch) counts
-            # (tiny: ~batches x buckets rows).  Candidates are EVERY
-            # ``watermark_i + 1`` (plus the pre-existing watermark's),
-            # unconditionally: under a threshold a cut can fire at a
-            # watermark that advanced in an EARLIER batch (the
-            # threshold crossing and the watermark advance need not
-            # coincide), so gating candidates on "advanced past the
-            # previous candidate" would leave real cut points out of
-            # the stab and misattribute later rows.  The floor entry
-            # keeps rows belonging to PRE-EXISTING older epochs below
-            # the latest boundary in the stab, so they never
-            # accumulate.
-            cand_index = Index(tuple(
-                (c, buckets)
-                for c in sorted({
-                    entries0[0][0], entries0[-1][0], init_watermark + 1,
-                    *[w + 1 for w in batch_watermarks],
-                })
-            ))
-            counts = (
-                df.groupBy(
-                    F.col(batch_col).alias("_b"),
-                    place_bucket_by_index(cand_index, "time", "address")
-                    .alias("_bk"),
-                    cand_index.epoch_col("time").alias("_ce"),
-                ).agg(F.count("*").alias("_n")).collect()
-            )
-            by_batch: dict = {}
-            for r in counts:
-                by_batch.setdefault(r["_b"], []).append(
-                    (int(r["_ce"]), int(r["_bk"]), int(r["_n"])))
-            # Driver fold B: replay the sequential probe-then-cut rule
-            # with per-bucket row accumulation in the latest epoch.
-            entries = list(entries0)
-            accum: dict[int, int] = {}
-            for row, watermark in zip(stats, batch_watermarks):
-                boundary = entries[-1][0]
-                for ce, bk, n in by_batch.get(row["_b"], ()):
-                    if ce >= boundary:  # iff time >= boundary
-                        accum[bk] = accum.get(bk, 0) + n
-                if (accum and max(accum.values()) > rollover_rows
-                        and watermark > boundary):
-                    entries.append((watermark + 1, buckets))
-                    accum = {}  # the new epoch starts empty
-        final_index = Index(tuple(entries))
+            unified = [max(a or 0, b or 0)
+                       for a, b in zip(wm_series[0], wm_series[1])]
+            plans = {None: (
+                meta.index,
+                max(init_latest[0] or 0, init_latest[1] or 0),
+                unified,
+            )}
+
+        final: dict = {}
+        for k, (idx0, init_wm, wms) in plans.items():
+            entries0 = list(idx0.entries)
+            _, buckets = entries0[-1]
+            if rollover_rows is None:
+                entries = list(entries0)
+                for watermark in wms:
+                    if watermark is not None and watermark > entries[-1][0]:
+                        entries.append((watermark + 1, buckets))
+            else:
+                # Pass 1b — per (batch, bucket, candidate-epoch) counts
+                # (tiny: ~batches x buckets rows per kind).  Candidates
+                # are EVERY ``watermark_i + 1`` (plus the pre-existing
+                # watermark's), unconditionally: under a threshold a
+                # cut can fire at a watermark that advanced in an
+                # EARLIER batch (the threshold crossing and the
+                # watermark advance need not coincide), so gating
+                # candidates on "advanced past the previous candidate"
+                # would leave real cut points out of the stab and
+                # misattribute later rows.  The floor entry keeps rows
+                # belonging to PRE-EXISTING older epochs below the
+                # latest boundary in the stab, so they never
+                # accumulate.
+                cand_index = Index(tuple(
+                    (c, buckets)
+                    for c in sorted({
+                        entries0[0][0], entries0[-1][0],
+                        (init_wm or 0) + 1,
+                        *[w + 1 for w in wms if w is not None],
+                    })
+                ))
+                sub = df if k is None else df.filter(F.col("kind") == k)
+                counts = (
+                    sub.groupBy(
+                        F.col(batch_col).alias("_b"),
+                        place_bucket_by_index(cand_index, "time",
+                                              "address").alias("_bk"),
+                        cand_index.epoch_col("time").alias("_ce"),
+                    ).agg(F.count("*").alias("_n")).collect()
+                )
+                by_batch: dict = {}
+                for r in counts:
+                    by_batch.setdefault(r["_b"], []).append(
+                        (int(r["_ce"]), int(r["_bk"]), int(r["_n"])))
+                # Driver fold B: replay the sequential probe-then-cut
+                # rule with per-bucket row accumulation in the latest
+                # epoch.
+                entries = list(entries0)
+                accum: dict[int, int] = {}
+                for row, watermark in zip(stats, wms):
+                    boundary = entries[-1][0]
+                    for ce, bk, n in by_batch.get(row["_b"], ()):
+                        if ce >= boundary:  # iff time >= boundary
+                            accum[bk] = accum.get(bk, 0) + n
+                    if (accum and max(accum.values()) > rollover_rows
+                            and watermark is not None
+                            and watermark > boundary):
+                        entries.append((watermark + 1, buckets))
+                        accum = {}  # the new epoch starts empty
+            final[k] = Index(tuple(entries))
+        final_index = final[0] if meta.dual else final[None]
 
         # Pass 2 — stamp seq, route via the final index, one append.
         if "seq" not in cols:
@@ -869,13 +901,23 @@ class TimeStore:
                     + F.monotonically_increasing_id(),
                 )
             )
+        if meta.dual:
+            epoch_col = (
+                F.when(F.col("kind") == 1, final[1].epoch_col("time"))
+                .otherwise(final[0].epoch_col("time")))
+            bucket_col = (
+                F.when(F.col("kind") == 1,
+                       place_bucket_by_index(final[1], "time", "address"))
+                .otherwise(
+                    place_bucket_by_index(final[0], "time", "address")))
+        else:
+            epoch_col = final_index.epoch_col("time")
+            bucket_col = place_bucket_by_index(
+                final_index, "time", "address")
         routed = (
             df.select("address", "time", "value", "payload", "seq", "kind")
-            .withColumn("epoch", final_index.epoch_col("time"))
-            .withColumn(
-                "bucket",
-                place_bucket_by_index(final_index, "time", "address"),
-            )
+            .withColumn("epoch", epoch_col)
+            .withColumn("bucket", bucket_col)
         )
         obs = Observation()
         routed = routed.observe(obs, F.max("seq").alias("max_seq"))
@@ -886,11 +928,13 @@ class TimeStore:
         # concurrent path (write_points) stages + promotes instead.
         (
             routed.write.mode("append")
-            .partitionBy("epoch", "bucket")
+            .partitionBy(*meta.part_cols())
             .parquet(self._points_dir(ns, meta))
         )
         got = obs.get
         meta.index = final_index
+        if meta.dual:
+            meta.index_extended = final[1]
         meta.latest_simple = latest_simple
         meta.latest_extended = latest_extended
         if got["max_seq"] is not None:

@@ -191,10 +191,60 @@ def test_compact_preserves_dual_layout_and_reads(dual, spark):
     assert rep["ok"], rep
 
 
-def test_write_points_batched_refuses_dual(dual, spark):
-    df = _simple(spark, [(2, 10, 1)]).withColumn("b", F.lit(0))
-    with pytest.raises(ValueError, match="dual-index"):
-        dual.write_points_batched("PONIES", df, "b")
+def test_write_points_batched_dual_matches_sequential_loop(spark, tmp_path):
+    # VERDICT r10 #9 (closes the r10 refusal): the batched backfill on
+    # a dual namespace replays the per-kind fold — identical per-kind
+    # indexes, watermarks, physical placement, and reads to a
+    # per-batch write_points loop on an always-rolling store.  The
+    # batch set exercises the UnitTests.hs:62-73 corner: batch 1 is
+    # simple-only (cuts ONLY the simple index), batch 2's extended
+    # row must still route under the extended index's original epoch.
+    schema = "batch long, address long, time long, value long, payload binary"
+    batches = [
+        [(0, 2, 10, 1, None), (0, 3, 12, None, bytearray(b"a"))],
+        [(1, 4, 20, 2, None)],                      # simple-only cut
+        [(2, 3, 14, None, bytearray(b"b")),         # ext under epoch 0
+         (2, 2, 30, 3, None)],
+        [(3, 5, 40, None, bytearray(b"c"))],        # extended-only cut
+    ]
+    seq_store = TimeStore(spark, str(tmp_path / "seq"), rollover_bytes=1)
+    seq_store.register_namespace("A", buckets=4, extended_buckets=5)
+    for b in batches:
+        seq_store.write_points(
+            "A", spark.createDataFrame(b, schema).drop("batch"))
+    bat_store = TimeStore(spark, str(tmp_path / "bat"))
+    bat_store.register_namespace("A", buckets=4, extended_buckets=5)
+    allrows = spark.createDataFrame([r for b in batches for r in b], schema)
+    bat_store.write_points_batched("A", allrows, "batch")
+
+    for ext in (False, True):
+        assert (bat_store.index("A", extended=ext).entries
+                == seq_store.index("A", extended=ext).entries)
+    assert bat_store.latest("A") == seq_store.latest("A")
+    # the two kinds rolled over independently: their epoch boundaries
+    # diverged (each kind cut at its OWN watermark progression)
+    assert bat_store.index("A").entries \
+        != bat_store.index("A", extended=True).entries
+
+    def placement(st):
+        df = spark.read.parquet(st._points_dir("A"))
+        return sorted((r.kind, r.epoch, r.bucket, r.address, r.time)
+                      for r in df.collect())
+
+    assert placement(bat_store) == placement(seq_store)
+
+    def reads(st):
+        s = [(r.address, r.time, r.value) for r in st.read_simple(
+            "A", 0, 1000, [2, 4], global_order=True).collect()]
+        x = [(r.address, r.time, bytes(r.payload)) for r in
+             st.read_extended("A", 0, 1000, [3, 5], global_order=True)
+             .collect()]
+        return s, x
+
+    assert reads(bat_store) == reads(seq_store)
+    for st in (bat_store, seq_store):
+        rep = st.verify("A")
+        assert rep["ok"], rep
 
 
 def test_streaming_ingest_into_dual_namespace(spark, tmp_path):

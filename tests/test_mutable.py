@@ -455,3 +455,75 @@ def test_mutable_kv_differential_fuzz(spark, tmp_path_factory, ops):
         want = model.chains.get(k | 1)
         want_head = want[-1] if want else None
         assert kv.lookup(k) == want_head
+
+
+def test_merge_into_associative_fast_path_law(store):
+    # VERDICT r10 #4: the opt-in associative=True pre-fold must equal
+    # BOTH the order-dependent one-task-per-key fold and the
+    # insert_bulk + merge_with derivation for a commutative-
+    # associative merge (set-union over sorted tokens here).
+    def mrg(new, old):
+        toks = set(old.split(b"|")) | set(new.split(b"|"))
+        return b"|".join(sorted(toks))
+
+    def seed(kv):
+        kv.insert_bulk(store.spark.createDataFrame(
+            [(2, bytearray(b"a")), (2, bytearray(b"b")),
+             (4, bytearray(b"x"))], "key long, value binary"))
+        kv.insert_with(mrg, 6, b"m1")
+        kv.insert_with(mrg, 6, b"m2")
+        kv.insert(8, b"dead")
+        kv.delete(8)
+        kv.insert(10, b"untouched")
+
+    batch = store.spark.createDataFrame(
+        [(2, bytearray(b"c"), 0), (2, bytearray(b"d"), 1),
+         (8, bytearray(b"revived"), 2), (12, bytearray(b"fresh"), 3)],
+        "key long, value binary, seq long")
+
+    outs = {}
+    for name, assoc in (("FAST", True), ("SLOW", False)):
+        store.register_namespace(name, buckets=4)
+        kv = MutableKV(store, name)
+        seed(kv)
+        kv.merge_into(batch, mrg, associative=assoc, salt=4)
+        rep = store.verify(kv.ns)
+        assert rep["ok"], rep
+        outs[name] = {r.key: bytes(r.value)
+                      for r in kv.enumerate().collect()}
+        # generation-swap compaction: one version per surviving key
+        n = store.spark.read.parquet(store._points_dir(kv.ns)).count()
+        assert n == 6, (name, n)
+
+    store.register_namespace("REF", buckets=4)
+    ref = MutableKV(store, "REF")
+    seed(ref)
+    ref.insert_bulk(batch)
+    want = {r.key: bytes(r.value) for r in ref.merge_with(mrg).collect()}
+    assert outs["FAST"] == outs["SLOW"] == want
+    assert outs["FAST"][2 | 1] == b"a|b|c|d"
+    assert outs["FAST"][8 | 1] == b"revived"
+    assert outs["FAST"][12 | 1] == b"fresh"
+    # versions stay monotone after the fast path too
+    kvf = MutableKV(store, "FAST")
+    kvf.insert(2, b"after")
+    assert kvf.lookup(2) == b"after"
+
+
+def test_merge_into_associative_from_empty(store):
+    def mrg(new, old):
+        toks = set(old.split(b"|")) | set(new.split(b"|"))
+        return b"|".join(sorted(toks))
+
+    batch = store.spark.createDataFrame(
+        [(2, bytearray(b"a"), 0), (2, bytearray(b"b"), 1),
+         (4, bytearray(b"z"), 2)],
+        "key long, value binary, seq long")
+    store.register_namespace("FE", buckets=4)
+    kv = MutableKV(store, "FE")
+    kv.merge_into(batch, mrg, associative=True, salt=4)
+    got = {r.key: bytes(r.value) for r in kv.enumerate().collect()}
+    assert got == {2 | 1: b"a|b", 4 | 1: b"z"}
+    # versions match the sequential-insert placement (n_batch - 1)
+    vers = {r.key: r.time for r in kv.enumerate_versions().collect()}
+    assert vers == {2 | 1: 1, 4 | 1: 0}

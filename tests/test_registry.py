@@ -120,7 +120,10 @@ EXPECTED_WINDOW = {
 # (VERDICT r10 #1) — every registered query now has driver evidence or
 # a seat in the r11 window.  Only same-round NEW registrations may
 # appear here; each MUST be rotated into the window next round.
-EXPECTED_CARVEOUT_BACKLOG: set[str] = set()
+EXPECTED_CARVEOUT_BACKLOG: set[str] = {
+    # NEW r11 registrations — rotate into the r12 window
+    "sim_hnswidx_stream_probe",
+}
 
 
 def test_carveout_backlog_is_rotated():
