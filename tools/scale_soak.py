@@ -324,6 +324,16 @@ SOAK_R10_QUERIES = (
     "sim_hnswidx_append_probe",
 )
 
+#: SOAK_FAMILY=merge30 (VERDICT r10 #7): ts_kv_merge_into one decade
+#: deeper — the r10 10x soak put it at exponent 0.65 (the family's
+#: worst); the 30x run checks the time tracks OUTPUT-ROW growth (the
+#: merged latest-view is one row per surviving key, and the 10x corpus
+#: multiplies keys 10x) rather than a hidden superlinear fold term.
+#: Run with ``SOAK_COPIES=30``.
+SOAK_MERGE30_QUERIES = (
+    "ts_kv_merge_into",
+)
+
 #: SOAK_FAMILY=graph30 (VERDICT r9 #9): the graph family one decade
 #: deeper — the 10x soak put bfs_hops/modularity at exponent 0.45,
 #: explained as tracking the fuzzy-pair edge count; the 30x run
@@ -524,6 +534,7 @@ def main() -> None:
              "r9e": SOAK_R9E_QUERIES,
              "r10": SOAK_R10_QUERIES,
              "graph30": SOAK_GRAPH30_QUERIES,
+             "merge30": SOAK_MERGE30_QUERIES,
              "skew": SOAK_SKEW_QUERIES,
              }.get(family, SOAK_QUERIES)
     if family == "skew":
@@ -565,7 +576,7 @@ def main() -> None:
         if not os.path.exists(f"{out_dir}/documents.parquet"):
             print(f"# building {COPIES}x corpus ...", file=sys.stderr)
             build_corpus(spark, out_dir)
-    elif family in ("ts", "r9d"):
+    elif family in ("ts", "r9d", "merge30"):
         if not os.path.exists(f"{out_dir}/events.parquet"):
             print(f"# building {COPIES}x events ...", file=sys.stderr)
             build_events(spark, out_dir)
