@@ -319,6 +319,35 @@ class VectorIndex:
     def _pq_dir(self, ns: str) -> str:
         return f"{self._ns_dir(ns)}/pq_codebooks"
 
+    def _restore_remnants(self, ns: str) -> None:
+        """Crash recovery for the swap windows (the r11 HNSW fix,
+        cross-applied): the per-bucket swap (delete) and the whole-dir
+        swaps (compact, enable_pq) are rename(live -> .old) then
+        rename(staging -> live) then delete(.old).  A crash BETWEEN
+        the renames leaves no live dir — the uncommitted op rolls back
+        by restoring the .old remnant (pre-fix, delete()'s replay saw
+        the vanished bucket as unaffected and the victims' bucket was
+        lost; compact's re-entry even deleted the .old holding the
+        only copy).  A crash AFTER the second rename leaves a stale
+        .old beside the committed new dir — deleted.  Every verb and
+        probe entry calls this first."""
+        live = self._assignments_dir(ns)
+        for whole in (live, self._pq_dir(ns)):
+            old = f"{whole}.old"
+            if self.fs.exists(old):
+                if self.fs.exists(whole):
+                    self.fs.delete(old, recursive=True)
+                else:
+                    self.fs.rename(old, whole)
+        for name in self.fs.list_dirs(live):
+            if not name.endswith(".old") or "=" not in name:
+                continue
+            bucket_live = f"{live}/{name[:-len('.old')]}"
+            if self.fs.exists(bucket_live):
+                self.fs.delete(f"{live}/{name}", recursive=True)
+            else:
+                self.fs.rename(f"{live}/{name}", bucket_live)
+
     def meta(self, ns: str) -> dict:
         path = f"{self._ns_dir(ns)}/{_META}"
         if not self.fs.exists(path):
@@ -461,6 +490,7 @@ class VectorIndex:
         doc = self.meta(ns)
         if int(batch_id) <= int(doc.get("last_batch_id", -1)):
             return doc
+        self._restore_remnants(ns)
         cids, C = self._load_centroids(ns, int(doc["version"]))
         live = self._assignments_dir(ns)
         stage = f"{live}.batch_{int(batch_id)}"
@@ -596,6 +626,7 @@ class VectorIndex:
         CBm = CB.reshape(ksub, m, dsub).transpose(1, 0, 2)
         gen = int(doc.get("pq", {}).get("gen", 0)) + 1
         cb_live = self._pq_dir(ns)
+        self._restore_remnants(ns)
         cb_staging, cb_old = f"{cb_live}.staging", f"{cb_live}.old"
         staging, old = f"{live}.pq_encoding", f"{live}.old"
         for leftover in (cb_staging, cb_old, staging, old):
@@ -843,6 +874,7 @@ class VectorIndex:
         appends/compactions.
         """
         self.meta(ns)  # raises if never built
+        self._restore_remnants(ns)
         live = self._assignments_dir(ns)
         scan = self.spark.read.parquet(live)
         if isinstance(vec_ids, DataFrame):
@@ -915,6 +947,7 @@ class VectorIndex:
         the number of data files after compaction.
         """
         self.meta(ns)  # raises if never built
+        self._restore_remnants(ns)
         live = self._assignments_dir(ns)
         staging, old = f"{live}.compacting", f"{live}.old"
         for leftover in (staging, old):
@@ -965,6 +998,7 @@ class VectorIndex:
         meta_cols) evaluates inside the pruned scan — pushed to
         parquet row-group stats, applied BEFORE ranking so it prunes
         candidates and never reorders survivors."""
+        self._restore_remnants(ns)  # probes never see a vanished bucket
         scan = (
             self.spark.read.parquet(self._assignments_dir(ns))
             .filter(F.col("bucket").isin(all_buckets))

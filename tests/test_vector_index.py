@@ -618,3 +618,49 @@ def test_delete_accepts_victim_dataframe(spark, emb, tmp_path):
     assert vi.delete("e", none) == 0
     got = vi.probe("e", _queries(emb), topk=5, nprobe=K)
     assert got.filter(F.col("neighbor_id").isin(victim_ids)).count() == 0
+
+
+def test_swap_crash_window_restores_lost_bucket(spark, emb, tmp_path):
+    # r11 (the HNSW ADVICE fix, cross-applied): a crash between
+    # delete()'s two per-bucket renames leaves no live bucket=B; the
+    # next verb or probe must restore the .old remnant instead of
+    # serving an index with a silently-missing bucket.
+    import os
+
+    vi = VectorIndex(spark, str(tmp_path / "cw"))
+    vi.build("e", emb, k=K)
+    qs = _queries(emb)
+    pre = {(r.query_id, r.neighbor_id) for r in
+           vi.probe("e", qs, topk=5, nprobe=K).collect()}
+    live = vi._assignments_dir("e")
+    some = sorted(d for d in os.listdir(live) if d.startswith("bucket="))[0]
+    os.rename(f"{live}/{some}", f"{live}/{some}.old")
+    # probe restores the pre-crash state (no vanished bucket)
+    assert {(r.query_id, r.neighbor_id) for r in
+            vi.probe("e", qs, topk=5, nprobe=K).collect()} == pre
+    assert not os.path.exists(f"{live}/{some}.old")
+    # stale remnant BESIDE a live bucket (crash after the second
+    # rename) is cleared, live wins
+    os.makedirs(f"{live}/{some}.old")
+    vi.compact("e")
+    assert not os.path.exists(f"{live}/{some}.old")
+    assert {(r.query_id, r.neighbor_id) for r in
+            vi.probe("e", qs, topk=5, nprobe=K).collect()} == pre
+
+
+def test_compact_crash_window_restores_whole_dir(spark, emb, tmp_path):
+    # r11: crash between compact()'s two whole-dir renames leaves no
+    # live assignments dir; re-entry must restore the .old (pre-fix it
+    # DELETED the .old holding the only copy, then failed on the read).
+    import os
+
+    vi = VectorIndex(spark, str(tmp_path / "cc"))
+    vi.build("e", emb, k=K)
+    qs = _queries(emb)
+    pre = {(r.query_id, r.neighbor_id) for r in
+           vi.probe("e", qs, topk=5, nprobe=K).collect()}
+    live = vi._assignments_dir("e")
+    os.rename(live, f"{live}.old")
+    vi.compact("e")  # re-entry: restore then compact normally
+    assert {(r.query_id, r.neighbor_id) for r in
+            vi.probe("e", qs, topk=5, nprobe=K).collect()} == pre
