@@ -1363,7 +1363,23 @@ class TimeStore:
         next_version = meta.points_version + 1
         new_dir = f"{self._ns_dir(ns)}/points_v{next_version}"
         pcols = meta.part_cols()
-        out = df.repartition(target_partitions_per_bucket, *pcols)
+        # Hash-partition by the LAYOUT COLUMNS, not into a fixed task
+        # count: repartition(N, cols) pins the whole rewrite into N
+        # tasks at ANY scale (the r2-r10 shape was N=1 — one task
+        # rewriting the entire namespace, a serial point at 100 TB).
+        # repartition(cols) keeps each (epoch, bucket) group wholly in
+        # one task (=> still exactly target files per bucket dir) while
+        # parallelism scales with shuffle.partitions/AQE.  target > 1
+        # adds an address-hash salt so a bucket can split into that
+        # many files/tasks.
+        if target_partitions_per_bucket <= 1:
+            out = df.repartition(*pcols)
+        else:
+            out = df.withColumn(
+                "__file",
+                F.pmod(F.hash("address"),
+                       F.lit(int(target_partitions_per_bucket))))
+            out = out.repartition(*pcols, "__file").drop("__file")
         if sort_within:
             # Partition columns lead the sort: the partitioned writer
             # re-sorts each task by the partition cols unless the
