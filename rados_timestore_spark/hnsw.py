@@ -523,7 +523,11 @@ class HNSWIndex:
                 raise IOError(f"append({ns!r}): swap failed, shard {s}")
             self.fs.delete(old_dir, recursive=True)
         self.fs.delete(staging, recursive=True)
-        doc["n_vectors"] = int(doc["n_vectors"]) + int(n_new)
+        # recount from layer-0 graph rows (one row per node) — same
+        # self-healing accounting as append_batch's commit
+        doc["n_vectors"] = int(
+            self.spark.read.parquet(gdir)
+            .filter(F.col("layer") == 0).count())
         doc["version"] = int(doc["version"]) + 1
         self._write_meta(ns, doc)
         return int(n_new)
@@ -785,7 +789,10 @@ class HNSWIndex:
                 # else: the shard held only victims — it vanishes
                 self.fs.delete(old_dir, recursive=True)
             self.fs.delete(stage, recursive=True)
-        doc["n_vectors"] = int(doc["n_vectors"]) - removed
+        doc["n_vectors"] = int(
+            self.spark.read.parquet(gdir)
+            .filter(F.col("layer") == 0).count()
+        ) if self.fs.exists(gdir) else 0
         doc["version"] = int(doc["version"]) + 1
         self._write_meta(ns, doc)
         return removed
