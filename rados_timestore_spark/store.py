@@ -1363,30 +1363,8 @@ class TimeStore:
         next_version = meta.points_version + 1
         new_dir = f"{self._ns_dir(ns)}/points_v{next_version}"
         pcols = meta.part_cols()
-        # Hash-partition by the LAYOUT COLUMNS, not into a fixed task
-        # count: repartition(N, cols) pins the whole rewrite into N
-        # tasks at ANY scale (the r2-r10 shape was N=1 — one task
-        # rewriting the entire namespace, a serial point at 100 TB).
-        # repartition(cols) keeps each (epoch, bucket) group wholly in
-        # one task (=> still exactly target files per bucket dir) while
-        # parallelism scales with shuffle.partitions/AQE.  target > 1
-        # adds an address-hash salt so a bucket can split into that
-        # many files/tasks.
-        if target_partitions_per_bucket <= 1:
-            out = df.repartition(*pcols)
-        else:
-            out = df.withColumn(
-                "__file",
-                F.pmod(F.hash("address"),
-                       F.lit(int(target_partitions_per_bucket))))
-            out = out.repartition(*pcols, "__file").drop("__file")
-        if sort_within:
-            # Partition columns lead the sort: the partitioned writer
-            # re-sorts each task by the partition cols unless the
-            # incoming order already satisfies it — with this prefix
-            # Spark eliminates its own sort and the per-file clustering
-            # survives into the parquet row groups.
-            out = out.sortWithinPartitions(*pcols, *sort_within)
+        out = shape_rewrite(df, pcols, target_partitions_per_bucket,
+                            sort_within)
         # Watermark fold (ADVICE r10): a transform may EMIT rows above
         # the recorded watermarks — MutableKV.merge_into lands merged
         # heads at head_version + n_batch — and persisting them without
@@ -1723,6 +1701,44 @@ def place_bucket_by_index(idx: Index, time_col: str, addr_col: str):
 
     n = idx.bucket_count_col(time_col)
     return word64_pmod(F.col(addr_col).bitwiseAND(F.lit(-2)), n)
+
+
+def shape_rewrite(df: DataFrame, pcols: Sequence[str],
+                  target_partitions_per_bucket: int = 1,
+                  sort_within: Sequence[str] | None = ("address", "time"),
+                  ) -> DataFrame:
+    """Shape a generation rewrite for the partitioned writer.
+
+    Hash-partition by the LAYOUT COLUMNS, not into a fixed task
+    count: repartition(N, cols) pins the whole rewrite into N tasks
+    at ANY scale (the r2-r10 shape was N=1 — one task rewriting the
+    entire namespace, a serial point at 100 TB).  repartition(cols)
+    keeps each (epoch, bucket) group wholly in one task (=> still
+    exactly ``target`` files per bucket dir) while parallelism scales
+    with shuffle.partitions/AQE.  target > 1 adds an address-hash
+    salt so a bucket can split into that many files/tasks.
+
+    Module-level (not a TimeStore method) so test_plans can pin the
+    exchange shape — hashpartitioning on the layout columns, never
+    SinglePartition/round-robin — without standing up a store.
+    """
+    pcols = list(pcols)
+    if target_partitions_per_bucket <= 1:
+        out = df.repartition(*pcols)
+    else:
+        out = df.withColumn(
+            "__file",
+            F.pmod(F.hash("address"),
+                   F.lit(int(target_partitions_per_bucket))))
+        out = out.repartition(*pcols, "__file").drop("__file")
+    if sort_within:
+        # Partition columns lead the sort: the partitioned writer
+        # re-sorts each task by the partition cols unless the
+        # incoming order already satisfies it — with this prefix
+        # Spark eliminates its own sort and the per-file clustering
+        # survives into the parquet row groups.
+        out = out.sortWithinPartitions(*pcols, *sort_within)
+    return out
 
 
 def _mono_max(current: int | None, seen) -> int | None:

@@ -299,3 +299,41 @@ def test_bpe_encode_plan_is_one_corpus_scan(spark):
     p = plan_str(text_bpe_encode(spark, SF_DIR), "simple")
     assert "CartesianProduct" not in p
     assert "Join" not in p
+
+
+def test_rewrite_shape_scales_with_layout_columns(spark):
+    # PLANS.md r11 "generation-rewrite parallelism": the rewrite
+    # exchange (compact / vacuum / merge_into / expire all ride
+    # _rewrite_generation) must hash-partition by the LAYOUT COLUMNS
+    # so task count scales with the cluster.  A regression to
+    # repartition(1, ...) — the r2-r10 shape, one task rewriting the
+    # whole namespace — shows up as SinglePartition or a
+    # RoundRobinPartitioning(1)/hashpartitioning(..., 1) exchange.
+    from rados_timestore_spark.store import shape_rewrite
+
+    df = (
+        spark.range(0, 1000)
+        .select(
+            (F.col("id") % 7).alias("epoch"),
+            (F.col("id") % 16).alias("bucket"),
+            (F.col("id") * 2).alias("address"),
+            F.col("id").alias("time"),
+            F.col("id").alias("value"),
+            F.col("id").alias("seq"),
+        )
+    )
+    p = plan_str(shape_rewrite(df, ("epoch", "bucket")))
+    assert "SinglePartition" not in p, p[:800]
+    assert "RoundRobinPartitioning" not in p, p[:800]
+    hp = p.split("hashpartitioning", 1)
+    assert len(hp) == 2, p[:800]
+    keys = hp[1][:200]
+    assert "epoch" in keys and "bucket" in keys, keys
+    # salted variant: the address-derived salt joins the hash keys
+    # (a bucket may split into target files) and is dropped from the
+    # output schema
+    salted = shape_rewrite(df, ("epoch", "bucket"),
+                           target_partitions_per_bucket=4)
+    ps = plan_str(salted)
+    assert "__file" in ps.split("hashpartitioning", 1)[1][:300], ps[:800]
+    assert "__file" not in salted.columns
