@@ -739,6 +739,21 @@ class HNSWIndex:
         hits = hit.groupBy("shard").count().collect()
         affected = sorted(int(r.shard) for r in hits)
         if not affected:
+            # May be the REPLAY of a delete that crashed after its
+            # last shard swap but before its meta write (crash-fuzz
+            # finding, r11, mirrored from VectorIndex): files are
+            # final, meta is stale, `.deleting` stages may linger.
+            n_live = int(
+                self.spark.read.parquet(gdir)
+                .filter(F.col("layer") == 0).count()
+            ) if self.fs.exists(gdir) else 0
+            if int(doc["n_vectors"]) != n_live:
+                doc["n_vectors"] = n_live
+                doc["version"] = int(doc["version"]) + 1
+                self._write_meta(ns, doc)
+            for st in (f"{gdir}.deleting", f"{vdir}.deleting"):
+                if self.fs.exists(st):
+                    self.fs.delete(st, recursive=True)
             return 0
         removed = sum(int(r["count"]) for r in hits)
 

@@ -348,6 +348,33 @@ class VectorIndex:
             else:
                 self.fs.rename(f"{live}/{name}", bucket_live)
 
+    def _heal_after_noop_delete(self, ns: str) -> None:
+        """A delete that finds no victims may be the REPLAY of one
+        that crashed after its last bucket swap but before its meta
+        write (crash-fuzz finding, r11): the files are final but
+        n_vectors is stale and a ``.deleting`` staging remnant may
+        linger.  Heal both — this is the only path a pure replay
+        takes, so skipping it would strand the drift forever."""
+        doc = self.meta(ns)
+        n = self._recount(ns)
+        if int(doc["n_vectors"]) != n:
+            doc["n_vectors"] = n
+            self._write_meta(ns, doc)
+        staging = f"{self._assignments_dir(ns)}.deleting"
+        if self.fs.exists(staging):
+            self.fs.delete(staging, recursive=True)
+
+    def _recount(self, ns: str) -> int:
+        """Row count of the live assignments table — the source of
+        truth for ``n_vectors`` at every verb's commit point.  A
+        zero-filter zero-column count: Spark serves it from parquet
+        footer row counts, so cost is bounded by file count, not
+        corpus bytes."""
+        live = self._assignments_dir(ns)
+        if not self.fs.is_dir(live):
+            return 0
+        return int(self.spark.read.parquet(live).count())
+
     def meta(self, ns: str) -> dict:
         path = f"{self._ns_dir(ns)}/{_META}"
         if not self.fs.exists(path):
@@ -461,8 +488,11 @@ class VectorIndex:
             pq_residual=bool(doc.get("pq", {}).get("residual")))
         (assigned.write.mode("append")
          .partitionBy("bucket").parquet(self._assignments_dir(ns)))
-        n_new = emb.count()
-        doc["n_vectors"] = int(doc["n_vectors"]) + int(n_new)
+        # recount, don't increment: keeps `n_vectors == count(rows)`
+        # an invariant even after a crash-and-retry of this
+        # (documented non-idempotent) verb — the count then matches
+        # whatever file state the retries actually produced.
+        doc["n_vectors"] = self._recount(ns)
         self._write_meta(ns, doc)
         return doc
 
@@ -497,14 +527,55 @@ class VectorIndex:
         if self.fs.exists(stage):
             self.fs.delete(stage, recursive=True)
         assigned = assign_to_centroids(
-            emb, cids, C, doc["dim"], id_col, vec_col,
+            emb.dropDuplicates([id_col]), cids, C, doc["dim"],
+            id_col, vec_col,
             meta_cols=tuple(doc.get("meta_cols", ())),
             pq_cb=(self._load_pq(ns, doc)
                    if "pq" in doc else None),
             pq_residual=bool(doc.get("pq", {}).get("residual")))
-        (assigned.write.mode("overwrite")
-         .partitionBy("bucket").parquet(stage))
+        # Cross-batch redelivery guard (the HNSW r11 ADVICE fix,
+        # cross-applied): a vec_id redelivered under a DIFFERENT
+        # batch id (at-least-once source) must not land twice.  With
+        # the centroids version fixed, a redelivered id assigns to
+        # the SAME bucket as before, so the existing-id anti-join
+        # prunes to just the batch's own buckets — a partition-pruned
+        # single-column scan, never a full-table pass.  persist()
+        # keeps the Arrow assignment pass from running twice
+        # (micro-batch-sized by contract).
         prefix = f"b{int(batch_id)}-"
+        pinned = assigned.persist()
+        try:
+            bks = [r.bucket for r in
+                   pinned.select("bucket").distinct().collect()]
+            fresh = pinned
+            if bks and self.fs.is_dir(live):
+                # Sweep THIS batch's crashed-attempt files BEFORE
+                # reading `existing` (found by the crash fuzz): the
+                # promote loop replaces a bucket's b<id>- files with
+                # the stage's — if partially-promoted rows were
+                # instead left in `existing`, the anti-join would
+                # drop them from the stage and the sweep would then
+                # delete their only copy.  Same-batch files are
+                # uncommitted (the fence hasn't advanced), so
+                # removing them at any pre-commit point is safe.
+                for b in bks:
+                    tgt = f"{live}/bucket={b}"
+                    if not self.fs.is_dir(tgt):
+                        continue
+                    for st in self.fs.fs.listStatus(self.fs._path(tgt)):
+                        name = st.getPath().getName()
+                        if name.startswith(prefix):
+                            self.fs.delete(f"{tgt}/{name}",
+                                           recursive=False)
+                existing = (
+                    self.spark.read.parquet(live)
+                    .filter(F.col("bucket").isin(bks))
+                    .select("vec_id"))
+                fresh = pinned.join(existing, "vec_id", "left_anti")
+            (fresh.write.mode("overwrite")
+             .partitionBy("bucket").parquet(stage))
+        finally:
+            pinned.unpersist()
         staged_buckets = [d for d in self.fs.list_dirs(stage)
                           if d.startswith("bucket=")]
         for d in staged_buckets:
@@ -528,9 +599,11 @@ class VectorIndex:
                         f"append_batch({ns!r}, {batch_id}): rename "
                         f"failed for {d}/{name}")
         self.fs.delete(stage, recursive=True)
-        n_new = emb.count()
         doc = self.meta(ns)
-        doc["n_vectors"] = int(doc["n_vectors"]) + int(n_new)
+        # recount at the commit point (see delete()): heals both the
+        # crash-after-promote replay and any redelivery the anti-join
+        # already filtered — `n_vectors == count(rows)` is invariant.
+        doc["n_vectors"] = self._recount(ns)
         doc["last_batch_id"] = int(batch_id)
         self._write_meta(ns, doc)
         return doc
@@ -885,6 +958,7 @@ class VectorIndex:
                     .groupBy("bucket").count().collect())
             affected = sorted(r.bucket for r in hits)
             if not affected:
+                self._heal_after_noop_delete(ns)
                 return 0
             removed = sum(int(r["count"]) for r in hits)
             survivors = (
@@ -899,6 +973,7 @@ class VectorIndex:
                     .groupBy("bucket").count().collect())
             affected = sorted(r.bucket for r in hits)
             if not affected:
+                self._heal_after_noop_delete(ns)
                 return 0
             removed = sum(int(r["count"]) for r in hits)
             survivors = (
@@ -924,7 +999,16 @@ class VectorIndex:
             self.fs.delete(old, recursive=True)
         self.fs.delete(staging, recursive=True)
         doc = self.meta(ns)
-        doc["n_vectors"] = int(doc["n_vectors"]) - int(removed)
+        # RECOUNT from the live table, never decrement (the HNSW r11
+        # accounting fix, found again here by the crash fuzz): a kill
+        # between the last bucket swap and this meta write makes the
+        # replayed delete a no-op (no victims left to find), and a
+        # kill mid-swap-loop makes `removed` count only the leftover
+        # victims — either way an increment/decrement drifts forever.
+        # count() over the assignments dir reads zero data columns
+        # (parquet footers drive it), bounded by file count at any
+        # corpus size.
+        doc["n_vectors"] = self._recount(ns)
         self._write_meta(ns, doc)
         return removed
 

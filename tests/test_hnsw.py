@@ -347,3 +347,43 @@ def test_hnswidx_append_batch_cross_batch_redelivery(spark, tmp_path):
     want = {(r.query_id, r.neighbor_id) for r in
             ref.probe_candidates("e", qs, k=16, ef_search=128).collect()}
     assert got == want
+
+
+def test_hnswidx_delete_crash_before_meta_write_recounts(spark, tmp_path):
+    # Crash-fuzz finding (r11, mirrored from VectorIndex): a kill
+    # between delete()'s last shard swap and its meta write leaves
+    # files final but n_vectors stale; the replayed delete finds no
+    # victims and must heal the meta instead of returning early.
+    import shutil
+
+    from rados_timestore_spark.fsutil import SimulatedCrash
+    from rados_timestore_spark.hnsw import HNSWIndex
+    from tests.crash_fuzz_harness import CountdownFS
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet") \
+        .filter(F.col("vec_id") < 200)
+    victims = [r.vec_id for r in
+               emb.filter(F.col("vec_id") % 10 == 4)
+               .select("vec_id").collect()]
+    tmpl = str(tmp_path / "tmpl")
+    HNSWIndex(spark, tmpl).build("e", emb, shards=2, m=8,
+                                 ef_construction=64)
+
+    dry_root = str(tmp_path / "dry")
+    shutil.copytree(tmpl, dry_root)
+    dry = HNSWIndex(spark, dry_root)
+    dry.fs = CountdownFS(dry.fs)
+    dry.delete("e", victims)
+    total = dry.fs.ops
+    want = dry.meta("e")["n_vectors"]
+    assert want == emb.count() - len(victims)
+
+    work = str(tmp_path / "crash")
+    shutil.copytree(tmpl, work)
+    ix = HNSWIndex(spark, work)
+    ix.fs = CountdownFS(ix.fs, fuel=total - 1)
+    with pytest.raises(SimulatedCrash):
+        ix.delete("e", victims)
+    cold = HNSWIndex(spark, work)
+    assert cold.delete("e", victims) == 0
+    assert cold.meta("e")["n_vectors"] == want

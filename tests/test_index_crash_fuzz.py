@@ -1,0 +1,137 @@
+"""Strided kill-point crash fuzz for both persisted vector indexes.
+
+Harness + rationale: :mod:`tests.crash_fuzz_harness`.  The exhaustive
+every-boundary sweep is ``tools/index_crash_fuzz.py`` (run per round,
+recorded in BENCH_NOTES.md); this strided subset keeps the law under
+continuous test at ~4 boundaries per index, always including the
+first and last mutation — the windows targeted by the r10/r11 ADVICE
+fixes sit between verbs, which a stride this dense always straddles.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.crash_fuzz_harness import crash_at, dry_run, recover_and_replay
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark, n=150):
+    return (spark.read.parquet(f"{SF}/embeddings.parquet")
+            .filter(F.col("vec_id") < n))
+
+
+def _strides(total: int, points: int = 4) -> list[int]:
+    ks = {0, total - 1}
+    for i in range(1, points - 1):
+        ks.add(i * total // (points - 1))
+    return sorted(ks)
+
+
+def _queries(spark, n=3):
+    rows = (spark.read.parquet(f"{SF}/embeddings.parquet")
+            .filter(F.col("vec_id") < n).collect())
+    return [(r.vec_id, np.asarray(r.embedding, dtype=np.float64))
+            for r in rows]
+
+
+def test_hnswidx_crash_fuzz_strided(spark, tmp_path):
+    from rados_timestore_spark.hnsw import HNSWIndex
+
+    emb = _emb(spark)
+    a = emb.filter(F.col("vec_id") % 3 == 0)
+    b = emb.filter(F.col("vec_id") % 3 == 1)
+    c = emb.filter(F.col("vec_id") % 3 == 2)
+    victims = [r.vec_id for r in
+               emb.filter(F.col("vec_id") % 10 == 4)
+               .select("vec_id").collect()]
+    qs = _queries(spark)
+
+    def make(root):
+        return HNSWIndex(spark, root)
+
+    def script(ix):
+        ix.append_batch("e", b, 0)
+        ix.append_batch("e", c, 1)
+        ix.delete("e", victims)
+        ix.compact("e")
+
+    def probe(ix):
+        meta = ix.meta("e")
+        ids = sorted(
+            r.vec_id for r in
+            ix.spark.read.parquet(ix._vectors_dir("e"))
+            .select("vec_id").distinct().collect())
+        cand = {(r.query_id, r.neighbor_id) for r in
+                ix.probe_candidates("e", qs, k=10,
+                                    ef_search=64).collect()}
+        return meta["n_vectors"], ids, cand
+
+    tmpl = str(tmp_path / "tmpl")
+    make(tmpl).build("e", a, shards=2, m=8, ef_construction=64)
+    total, final_root = dry_run(make, tmpl, script)
+    want = probe(make(final_root))
+    assert want[0] == len(want[1]) > 0
+    for fuel in _strides(total):
+        work = str(tmp_path / f"k{fuel}")
+        crash_at(make, tmpl, script, fuel, work)
+        got = recover_and_replay(make, work, script, probe)
+        assert got == want, f"fuel={fuel}: {got[0]} != {want[0]}"
+
+
+def test_vecidx_crash_fuzz_strided(spark, tmp_path):
+    from rados_timestore_spark.vector_index import (
+        VectorIndex, VectorIndexNotBuilt,
+    )
+
+    emb = _emb(spark)
+    a = emb.filter(F.col("vec_id") % 3 == 0)
+    b = emb.filter(F.col("vec_id") % 3 == 1)
+    c = emb.filter(F.col("vec_id") % 3 == 2)
+    victims = [r.vec_id for r in
+               emb.filter(F.col("vec_id") % 10 == 4)
+               .select("vec_id").collect()]
+    qs = [(qid, list(map(float, v))) for qid, v in _queries(spark)]
+
+    def make(root):
+        return VectorIndex(spark, root)
+
+    # enable_pq LAST: it trains codebooks on the corpus as-of its
+    # run, so it is replay-convergent only once the corpus-mutating
+    # verbs before it have all re-fenced to no-ops.
+    def script(ix):
+        ix.append_batch("e", b, 0)
+        ix.append_batch("e", c, 1)
+        ix.delete("e", victims)
+        ix.compact("e")
+        ix.enable_pq("e", m=4, ksub=16, residual=True)
+
+    def probe(ix):
+        meta = ix.meta("e")
+        ids = sorted(
+            r.vec_id for r in
+            ix.spark.read.parquet(ix._assignments_dir("e"))
+            .select("vec_id").distinct().collect())
+        raw = tuple(
+            (r.query_id, r.neighbor_id) for r in
+            ix.probe("e", qs, nprobe=2, topk=5)
+            .orderBy("query_id", "rank").collect())
+        adc = tuple(
+            (r.query_id, r.neighbor_id) for r in
+            ix.probe_pq("e", qs, nprobe=2, topk=5)
+            .orderBy("query_id", "rank").collect())
+        return meta["n_vectors"], ids, raw, adc
+
+    tmpl = str(tmp_path / "tmpl")
+    make(tmpl).build("e", a, k=4)
+    total, final_root = dry_run(make, tmpl, script)
+    want = probe(make(final_root))
+    assert want[0] == len(want[1]) > 0
+    for fuel in _strides(total):
+        work = str(tmp_path / f"k{fuel}")
+        crash_at(make, tmpl, script, fuel, work)
+        got = recover_and_replay(
+            make, work, script, probe,
+            allowed_cold_errors=(VectorIndexNotBuilt,))
+        assert got == want, f"fuel={fuel}: {got[0]} != {want[0]}"

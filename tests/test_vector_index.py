@@ -664,3 +664,63 @@ def test_compact_crash_window_restores_whole_dir(spark, emb, tmp_path):
     vi.compact("e")  # re-entry: restore then compact normally
     assert {(r.query_id, r.neighbor_id) for r in
             vi.probe("e", qs, topk=5, nprobe=K).collect()} == pre
+
+
+def test_append_batch_cross_batch_redelivery(spark, emb, tmp_path):
+    # The HNSW r11 ADVICE fix cross-applied (found missing here by
+    # the crash fuzz): a vec_id redelivered under a DIFFERENT batch
+    # id (at-least-once source) must neither duplicate its assignment
+    # row nor inflate n_vectors.
+    a = emb.filter(F.col("vec_id") % 3 == 0)
+    b = emb.filter(F.col("vec_id") % 3 == 1)
+    c = emb.filter(F.col("vec_id") % 3 == 2)
+    vi = VectorIndex(spark, str(tmp_path / "rd"))
+    vi.build("e", a, k=8)
+    vi.append_batch("e", b, 0)
+    # batch 1 redelivers ALL of b alongside the genuinely-new c
+    vi.append_batch("e", b.unionByName(c), 1)
+    n = emb.count()
+    assert vi.meta("e")["n_vectors"] == n
+    asg = spark.read.parquet(vi._assignments_dir("e"))
+    assert asg.count() == n
+    assert asg.select("vec_id").distinct().count() == n
+
+
+def test_delete_crash_before_meta_write_recounts(spark, emb, tmp_path):
+    # Crash-fuzz finding (r11): a kill between delete()'s last bucket
+    # swap and its meta write used to strand n_vectors forever — the
+    # replayed delete finds no victims and returns 0, and the old
+    # decrement-based accounting never ran.  The commit now RECOUNTS
+    # from the live table, so the replay (a no-op on files) still
+    # heals the meta.
+    import shutil
+
+    from tests.crash_fuzz_harness import CountdownFS
+    from rados_timestore_spark.fsutil import SimulatedCrash
+
+    sub = emb.filter(F.col("vec_id") < 200)
+    victims = [r.vec_id for r in
+               sub.filter(F.col("vec_id") % 10 == 4)
+               .select("vec_id").collect()]
+    tmpl = str(tmp_path / "tmpl")
+    VectorIndex(spark, tmpl).build("e", sub, k=8)
+
+    # dry-count delete's FS mutations; the meta write is the last one
+    probe_root = str(tmp_path / "dry")
+    shutil.copytree(tmpl, probe_root)
+    dry = VectorIndex(spark, probe_root)
+    dry.fs = CountdownFS(dry.fs)
+    dry.delete("e", victims)
+    total = dry.fs.ops
+    want = dry.meta("e")["n_vectors"]
+    assert want == sub.count() - len(victims)
+
+    work = str(tmp_path / "crash")
+    shutil.copytree(tmpl, work)
+    vi = VectorIndex(spark, work)
+    vi.fs = CountdownFS(vi.fs, fuel=total - 1)
+    with pytest.raises(SimulatedCrash):
+        vi.delete("e", victims)  # dies just before the meta write
+    cold = VectorIndex(spark, work)
+    assert cold.delete("e", victims) == 0  # files already final
+    assert cold.meta("e")["n_vectors"] == want
