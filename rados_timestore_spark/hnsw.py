@@ -303,8 +303,21 @@ class HNSWIndex:
         then re-runs against the pre-crash state); a crash AFTER the
         second rename leaves a stale .old beside the committed new
         shard — deleted.  Every verb (and the probe path) calls this
-        first, so no reader ever sees a vanished shard."""
+        first, so no reader ever sees a vanished shard.
+
+        ALSO rolls back compact()'s WHOLE-DIR swap window (crash-fuzz
+        finding, r11: only compact's own entry healed it, so a kill
+        between its two renames left every OTHER verb and probe
+        failing on the vanished vectors dir until compact specifically
+        was re-run — VectorIndex._restore_remnants already covered
+        the whole-dir case, this mirrors it)."""
         for base in (self._graph_dir(ns), self._vectors_dir(ns)):
+            old = f"{base}.old"
+            if self.fs.exists(old):
+                if self.fs.exists(base):
+                    self.fs.delete(old, recursive=True)
+                else:
+                    self.fs.rename(old, base)
             for name in self.fs.list_dirs(base):
                 if not name.endswith(".old") or "=" not in name:
                     continue
@@ -823,12 +836,10 @@ class HNSWIndex:
         as the other maintenance verbs.  Returns the file count
         before compaction."""
         doc = self.meta(ns)
+        # whole-dir swap rollback now lives in _restore_shard_remnants
+        # (every verb/probe entry), not just here
         self._restore_shard_remnants(ns)
         vdir = self._vectors_dir(ns)
-        if not self.fs.exists(vdir) and self.fs.exists(f"{vdir}.old"):
-            # crash between compact's two whole-dir renames: the .old
-            # dir IS the live vector table — roll the swap back
-            self.fs.rename(f"{vdir}.old", vdir)
         vecs = self.spark.read.parquet(vdir) \
             .withColumn("shard", _shard_int())
         n_files = vecs.inputFiles().__len__()

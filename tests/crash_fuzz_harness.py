@@ -65,6 +65,58 @@ class CountdownFS:
         return attr
 
 
+def countdown_fs_class():
+    """A HadoopFS SUBCLASS whose mutators count and kill — for
+    TimeStore, whose composite FS verbs (``promote_dir_tree``,
+    ``sweep_files``, ``write_text_atomic``'s tmp+backup dance)
+    dispatch their inner renames/deletes through ``self``: a proxy in
+    front of the object would count the composite as ONE boundary,
+    the subclass kills INSIDE it — the half-promoted-batch and
+    mid-meta-swap windows are exactly the interesting ones.  Pass as
+    ``TimeStore(..., fs_class=...)`` and set ``store.fs.fuel``.
+
+    A kill leaves the instance's fuel exhausted, so every later FS
+    call in the same verb (except-handlers, finallys) also dies —
+    faithfully modeling a hard process kill, where no in-process
+    cleanup runs either.
+    """
+    from rados_timestore_spark.fsutil import HadoopFS
+
+    class _CountdownHadoopFS(HadoopFS):
+        def __init__(self, spark, root):
+            super().__init__(spark, root)
+            self.fuel = None
+            self.ops = 0
+
+        def _tick(self, name, arg):
+            if self.fuel is not None and self.ops >= self.fuel:
+                raise SimulatedCrash(
+                    f"killed before {name} #{self.ops}: {arg}")
+            self.ops += 1
+
+        def mkdirs(self, p):
+            self._tick("mkdirs", p)
+            return super().mkdirs(p)
+
+        def write_text_atomic(self, p, text):
+            self._tick("write_text_atomic", p)
+            return super().write_text_atomic(p, text)
+
+        def rename(self, src, dst):
+            self._tick("rename", src)
+            return super().rename(src, dst)
+
+        def create_exclusive(self, p, content=b""):
+            self._tick("create_exclusive", p)
+            return super().create_exclusive(p, content)
+
+        def delete(self, p, recursive=True):
+            self._tick("delete", p)
+            return super().delete(p, recursive)
+
+    return _CountdownHadoopFS
+
+
 def dry_run(make_index, template_root: str, script) -> tuple[int, object]:
     """Run ``script`` fault-free against a COPY of the template index,
     counting FS mutations.  Returns (total_mutations, root_of_final_state).

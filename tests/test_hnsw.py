@@ -387,3 +387,33 @@ def test_hnswidx_delete_crash_before_meta_write_recounts(spark, tmp_path):
     cold = HNSWIndex(spark, work)
     assert cold.delete("e", victims) == 0
     assert cold.meta("e")["n_vectors"] == want
+
+
+def test_hnswidx_compact_crash_window_restores_whole_dir(spark, tmp_path):
+    # Crash-fuzz finding (r11): a kill between compact()'s two
+    # whole-dir renames leaves no live vectors dir; every verb and
+    # probe entry (not just compact's) must roll the swap back.
+    import os
+
+    from rados_timestore_spark.hnsw import HNSWIndex
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet") \
+        .filter(F.col("vec_id") < 200)
+    qs = [(r.vec_id, np.asarray(r.embedding, dtype=np.float64))
+          for r in emb.filter(F.col("vec_id") < 3).collect()]
+    ix = HNSWIndex(spark, str(tmp_path / "cc"))
+    ix.build("e", emb, shards=2, m=8, ef_construction=64)
+    pre = {(r.query_id, r.neighbor_id) for r in
+           ix.probe_candidates("e", qs, k=10, ef_search=64).collect()}
+    vdir = ix._vectors_dir("e")
+    os.rename(vdir, f"{vdir}.old")   # the between-renames window
+    # probe (not compact) must restore and serve the pre-crash state
+    assert {(r.query_id, r.neighbor_id) for r in
+            ix.probe_candidates("e", qs, k=10,
+                                ef_search=64).collect()} == pre
+    assert os.path.isdir(vdir)
+    # stale remnant BESIDE a live dir (crash after the second
+    # rename): swept at the next verb entry
+    os.makedirs(f"{vdir}.old")
+    assert ix.delete("e", [999999999]) == 0
+    assert not os.path.exists(f"{vdir}.old")

@@ -58,14 +58,16 @@ def test_hnswidx_crash_fuzz_strided(spark, tmp_path):
         ix.compact("e")
 
     def probe(ix):
+        # API first: probe entry runs the remnant restore, after
+        # which the raw-path reads below are legal even mid-crash
+        cand = {(r.query_id, r.neighbor_id) for r in
+                ix.probe_candidates("e", qs, k=10,
+                                    ef_search=64).collect()}
         meta = ix.meta("e")
         ids = sorted(
             r.vec_id for r in
             ix.spark.read.parquet(ix._vectors_dir("e"))
             .select("vec_id").distinct().collect())
-        cand = {(r.query_id, r.neighbor_id) for r in
-                ix.probe_candidates("e", qs, k=10,
-                                    ef_search=64).collect()}
         return meta["n_vectors"], ids, cand
 
     tmpl = str(tmp_path / "tmpl")
@@ -108,11 +110,8 @@ def test_vecidx_crash_fuzz_strided(spark, tmp_path):
         ix.enable_pq("e", m=4, ksub=16, residual=True)
 
     def probe(ix):
-        meta = ix.meta("e")
-        ids = sorted(
-            r.vec_id for r in
-            ix.spark.read.parquet(ix._assignments_dir("e"))
-            .select("vec_id").distinct().collect())
+        # API first: probe entry runs the remnant restore, after
+        # which the raw-path reads below are legal even mid-crash
         raw = tuple(
             (r.query_id, r.neighbor_id) for r in
             ix.probe("e", qs, nprobe=2, topk=5)
@@ -121,6 +120,11 @@ def test_vecidx_crash_fuzz_strided(spark, tmp_path):
             (r.query_id, r.neighbor_id) for r in
             ix.probe_pq("e", qs, nprobe=2, topk=5)
             .orderBy("query_id", "rank").collect())
+        meta = ix.meta("e")
+        ids = sorted(
+            r.vec_id for r in
+            ix.spark.read.parquet(ix._assignments_dir("e"))
+            .select("vec_id").distinct().collect())
         return meta["n_vectors"], ids, raw, adc
 
     tmpl = str(tmp_path / "tmpl")

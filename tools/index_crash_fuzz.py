@@ -81,13 +81,14 @@ def fuzz_hnsw(spark, root):
         ix.compact("e")
 
     def probe(ix):
+        # API first: probe entry runs the remnant restore
+        cand = {(r.query_id, r.neighbor_id) for r in
+                ix.probe_candidates("e", qs, k=10,
+                                    ef_search=64).collect()}
         meta = ix.meta("e")
         ids = sorted(r.vec_id for r in
                      ix.spark.read.parquet(ix._vectors_dir("e"))
                      .select("vec_id").distinct().collect())
-        cand = {(r.query_id, r.neighbor_id) for r in
-                ix.probe_candidates("e", qs, k=10,
-                                    ef_search=64).collect()}
         return meta["n_vectors"], ids, cand
 
     tmpl = f"{root}/hnsw_tmpl"
@@ -115,16 +116,17 @@ def fuzz_ivf(spark, root):
         ix.enable_pq("e", m=4, ksub=16, residual=True)
 
     def probe(ix):
-        meta = ix.meta("e")
-        ids = sorted(r.vec_id for r in
-                     ix.spark.read.parquet(ix._assignments_dir("e"))
-                     .select("vec_id").distinct().collect())
+        # API first: probe entry runs the remnant restore
         raw = tuple((r.query_id, r.neighbor_id) for r in
                     ix.probe("e", qs, nprobe=2, topk=5)
                     .orderBy("query_id", "rank").collect())
         adc = tuple((r.query_id, r.neighbor_id) for r in
                     ix.probe_pq("e", qs, nprobe=2, topk=5)
                     .orderBy("query_id", "rank").collect())
+        meta = ix.meta("e")
+        ids = sorted(r.vec_id for r in
+                     ix.spark.read.parquet(ix._assignments_dir("e"))
+                     .select("vec_id").distinct().collect())
         return meta["n_vectors"], ids, raw, adc
 
     tmpl = f"{root}/ivf_tmpl"
