@@ -1,0 +1,116 @@
+"""Strided kill-point crash fuzz for the TimeStore verb alphabet —
+the store-side sibling of tests/test_index_crash_fuzz.py.  Harness +
+rationale: tests/crash_fuzz_harness.py; the exhaustive every-boundary
+sweep is tools/store_crash_fuzz.py (run per round, recorded in
+BENCH_NOTES.md).
+
+Law: after a kill at ANY FS-mutation boundary (staged-promote
+renames, meta CAS tmp+backup dance, flip locks, generation swaps),
+sweeping the stale flip lock (the 60 s stale-break, accelerated) and
+replaying the WHOLE script on a cold store converges at the READ
+level — rows, watermarks, verify().ok, KV latest view.  Physical
+layout may legitimately differ (replayed appends duplicate rows that
+first-wins dedup collapses; rollover may cut differently under the
+transient double bytes) — that freedom is exactly why the law is
+stated over reads.
+"""
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from rados_timestore_spark.fsutil import SimulatedCrash
+from rados_timestore_spark.mutable import MutableKV
+from rados_timestore_spark.queries_common import event_us
+from rados_timestore_spark.store import TimeStore
+from tests.crash_fuzz_harness import countdown_fs_class
+
+SF = "/root/testdata/sf0.001"
+
+
+def _strides(total: int, points: int = 5) -> list[int]:
+    ks = {0, total - 1}
+    for i in range(1, points - 1):
+        ks.add(i * total // (points - 1))
+    return sorted(ks)
+
+
+def test_store_crash_fuzz_strided(spark, tmp_path):
+    FSC = countdown_fs_class()
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    pts = ev.select(
+        (F.col("user_id") * 2).alias("address"),
+        event_us(ev).alias("time"),
+        F.col("value").cast("long").alias("value"),
+        F.col("event_id").alias("seq"))
+    p0 = pts.filter(F.col("seq") % 3 == 0)
+    p1 = pts.filter(F.col("seq") % 3 == 1)
+    p2 = pts.filter(F.col("seq") % 3 == 2)
+    cutoff = int(pts.agg(
+        F.expr("percentile(time, 0.25)")).collect()[0][0])
+    kv1 = spark.range(0, 40).select(
+        (F.col("id") * 2).alias("key"),
+        F.encode(F.concat(F.lit("v"), F.col("id").cast("string")),
+                 "utf-8").alias("value"),
+        F.col("id").alias("seq"))
+    dels = spark.range(0, 10).select((F.col("id") * 2).alias("key"))
+    addrs = [r.address for r in
+             pts.select("address").distinct().limit(6).collect()]
+
+    def make(root, fuel=None):
+        st = TimeStore(spark, root, fs_class=FSC)
+        st.fs.fuel = fuel
+        return st
+
+    tmpl = str(tmp_path / "tmpl")
+    st = make(tmpl)
+    st.register_namespace("p", buckets=8)
+    st.write_points("p", p0)
+    MutableKV(st, "k")
+
+    def script(store):
+        store.gc("p")
+        store.gc("k_INTERNAL")
+        store.write_points("p", p1)
+        store.write_points("p", p2)
+        store.compact("p")
+        store.expire("p", cutoff)
+        kv = MutableKV(store, "k")
+        kv.insert_bulk(kv1)
+        kv.delete_bulk(dels)
+        kv.vacuum()
+
+    def probe(store):
+        kv = MutableKV(store, "k")
+        reads = tuple(sorted(map(tuple,
+                      store.read_simple("p", 0, 1 << 62,
+                                        addrs).collect())))
+        lat = store.latest("p")
+        v1 = store.verify("p")["ok"]
+        kvs = tuple(sorted((r.key, bytes(r.value))
+                           for r in kv.enumerate().collect()))
+        v2 = store.verify("k_INTERNAL")["ok"]
+        return reads, lat, v1, kvs, v2
+
+    fin = str(tmp_path / "fin")
+    shutil.copytree(tmpl, fin)
+    dry = make(fin)
+    script(dry)
+    total = dry.fs.ops
+    want = probe(make(fin))
+    assert len(want[0]) > 0 and want[2] and want[4]
+
+    for fuel in _strides(total):
+        work = str(tmp_path / f"k{fuel}")
+        shutil.copytree(tmpl, work)
+        with pytest.raises(SimulatedCrash):
+            script(make(work, fuel=fuel))
+        for lk in glob.glob(f"{work}/**/*.lock", recursive=True):
+            os.remove(lk)   # the 60 s stale-break, accelerated
+        script(make(work))
+        got = probe(make(work))
+        assert got == want, f"fuel={fuel}"
+        shutil.rmtree(work, ignore_errors=True)
