@@ -3,18 +3,20 @@ core verbs — the store-side sibling of tools/index_crash_fuzz.py
 (harness + rationale: tests/crash_fuzz_harness.py; strided pytest
 subset: tests/test_store_crash_fuzz.py).
 
-The verb script covers the full maintenance alphabet on one points
-namespace and one MutableKV namespace:
+Two scenarios, each killing at every FS mutation (staged-promote
+renames, meta CAS tmp+backup dance, flip locks, generation swaps,
+stage sweeps):
 
+  unified (~44 boundaries):
     gc -> write_points x2 -> compact -> expire
        -> kv.insert_bulk -> kv.delete_bulk -> kv.vacuum
+  dual (~32 boundaries), on an extended_buckets namespace:
+    gc -> mixed write -> rescale(simple) -> rescale(extended)
+       -> write_points_batched -> compact
 
-Every FS mutation (~44: staged-promote renames, meta CAS tmp+backup
-dance, flip locks, generation swaps, stage sweeps) is a kill point.
-Recovery models the documented runbook: the stale flip lock is swept
-(the production path is the 60 s stale-break in _flip_lock — the
-fuzz can't wait that long per boundary), then the WHOLE script
-replays on a cold store.
+Recovery models the documented runbook: sweep the stale flip lock
+(production: the 60 s stale-break in _flip_lock — the fuzz can't wait
+per boundary), then replay the WHOLE script on a cold store.
 
 Convergence is asserted at the READ level, which is the store's
 actual contract — physical layout may legitimately differ after a
@@ -23,11 +25,10 @@ fresh batch tag; first-wins dedup collapses it at read; the replayed
 compact collapses it on disk; rollover may cut epochs differently
 under the transiently-doubled bytes):
 
-    read_simple rows == no-crash rows,
-    watermarks ==, verify().ok on BOTH namespaces,
-    KV latest view ==.
+    read_simple/read_extended rows == no-crash rows,
+    watermarks ==, verify().ok, KV latest view ==.
 
-NOT in the script: merge_into — its fold is order-dependent and
+NOT in the scripts: merge_into — its fold is order-dependent and
 carries no batch fence, so crash-replay exactly-once is the CALLER's
 job (pair it with a fenced source such as foreachBatch, like
 VectorIndex.append vs append_batch).  Documented in PLANS.md r10.
@@ -55,11 +56,42 @@ from rados_timestore_spark.queries_common import event_us  # noqa: E402
 SF = "/root/testdata/sf0.001"
 
 
-def main():
-    stride = int(sys.argv[1]) if len(sys.argv) > 1 else 1
-    spark = get_spark(master="local[16]", shuffle_partitions=8)
-    FSC = countdown_fs_class()
+def _sweep(name, make, tmpl, script, probe, stride, root):
+    fin = f"{root}/{name}_fin"
+    shutil.copytree(tmpl, fin)
+    d = make(fin)
+    script(d)
+    total = d.fs.ops
+    want = probe(make(fin))
+    print(f"[{name}] boundaries={total}", flush=True)
+    bad = 0
+    t0 = time.time()
+    for fuel in range(0, total, stride):
+        w = f"{root}/{name}_k{fuel}"
+        shutil.rmtree(w, ignore_errors=True)
+        shutil.copytree(tmpl, w)
+        where = "?"
+        try:
+            script(make(w, fuel=fuel))
+            raise AssertionError(f"fuel={fuel} did not crash")
+        except SimulatedCrash as e:
+            where = str(e)[:70]
+        for lk in glob.glob(f"{w}/**/*.lock", recursive=True):
+            os.remove(lk)   # models the 60s stale-break
+        script(make(w))
+        got = probe(make(w))
+        ok = got == want
+        bad += not ok
+        print(f"[{name}] fuel={fuel:3d} "
+              f"{'OK' if ok else 'DIVERGED'}  ({where})", flush=True)
+        shutil.rmtree(w, ignore_errors=True)
+    print(f"[{name}] {'ALL CONVERGED' if not bad else f'{bad} DIVERGED'}"
+          f" over {total} boundaries (stride {stride}) "
+          f"in {time.time() - t0:.0f}s", flush=True)
+    return bad
 
+
+def unified(spark, make, root, stride):
     ev = spark.read.parquet(f"{SF}/events.parquet")
     pts = ev.select(
         (F.col("user_id") * 2).alias("address"),
@@ -80,14 +112,7 @@ def main():
     addrs = [r.address for r in
              pts.select("address").distinct().limit(6).collect()]
 
-    root = tempfile.mkdtemp(prefix="store_crash_fuzz_")
-    tmpl = f"{root}/tmpl"
-
-    def make(r, fuel=None):
-        st = TimeStore(spark, r, fs_class=FSC)
-        st.fs.fuel = fuel
-        return st
-
+    tmpl = f"{root}/unified_tmpl"
     st = make(tmpl)
     st.register_namespace("p", buckets=8)
     st.write_points("p", p0)
@@ -117,40 +142,75 @@ def main():
         v2 = store.verify("k_INTERNAL")["ok"]
         return reads, lat, v1, kvs, v2
 
-    fin = f"{root}/fin"
-    shutil.copytree(tmpl, fin)
-    d = make(fin)
-    script(d)
-    total = d.fs.ops
-    want = probe(make(fin))
-    print(f"[store] boundaries={total} want_rows={len(want[0])} "
-          f"kv={len(want[3])}", flush=True)
+    return _sweep("unified", make, tmpl, script, probe, stride, root)
 
-    bad = 0
-    t0 = time.time()
-    for fuel in range(0, total, stride):
-        w = f"{root}/k{fuel}"
-        shutil.rmtree(w, ignore_errors=True)
-        shutil.copytree(tmpl, w)
-        crashed = make(w, fuel=fuel)
-        where = "no-crash?"
-        try:
-            script(crashed)
-            raise AssertionError(f"fuel={fuel} did not crash")
-        except SimulatedCrash as e:
-            where = str(e)[:70]
-        for lk in glob.glob(f"{w}/**/*.lock", recursive=True):
-            os.remove(lk)   # models the 60s stale-break
-        script(make(w))
-        got = probe(make(w))
-        ok = got == want
-        bad += not ok
-        print(f"[store] fuel={fuel:3d} "
-              f"{'OK' if ok else 'DIVERGED'}  ({where})", flush=True)
-        shutil.rmtree(w, ignore_errors=True)
-    print(f"[store] {'ALL CONVERGED' if not bad else f'{bad} DIVERGED'}"
-          f" over {total} boundaries (stride {stride}) "
-          f"in {time.time() - t0:.0f}s", flush=True)
+
+def dual(spark, make, root, stride):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    base = ev.select(
+        (F.col("user_id") * 2).alias("saddr"),
+        event_us(ev).alias("time"),
+        F.col("value").cast("long").alias("value"),
+        F.col("event_id").alias("seq"))
+    mixed = base.select(
+        F.when(F.col("seq") % 2 == 0, F.col("saddr"))
+        .otherwise(F.col("saddr") + 1).alias("address"),
+        "time",
+        F.when(F.col("seq") % 2 == 0, F.col("value")).alias("value"),
+        F.when(F.col("seq") % 2 == 1,
+               F.encode(F.col("value").cast("string"), "utf-8"))
+        .alias("payload"),
+        "seq")
+    m0 = mixed.filter(F.col("seq") % 3 == 0)
+    m1 = mixed.filter(F.col("seq") % 3 == 1)
+    m2 = (mixed.filter(F.col("seq") % 3 == 2)
+          .withColumn("batch", F.col("seq") % 4))
+    saddrs = [r.address for r in
+              mixed.filter(F.col("address") % 2 == 0)
+              .select("address").distinct().limit(4).collect()]
+    xaddrs = [r.address for r in
+              mixed.filter(F.col("address") % 2 == 1)
+              .select("address").distinct().limit(4).collect()]
+
+    tmpl = f"{root}/dual_tmpl"
+    st = make(tmpl)
+    st.register_namespace("d", buckets=4, extended_buckets=4)
+    st.write_points("d", m0)
+
+    def script(store):
+        store.gc("d")
+        store.write_points("d", m1)
+        store.rescale("d", 8)
+        store.rescale("d", 8, extended=True)
+        store.write_points_batched("d", m2, "batch")
+        store.compact("d")
+
+    def probe(store):
+        rs = tuple(sorted(map(tuple,
+                   store.read_simple("d", 0, 1 << 62,
+                                     saddrs).collect())))
+        rx = tuple(sorted(
+            (r.address, r.time, bytes(r.payload)) for r in
+            store.read_extended("d", 0, 1 << 62, xaddrs).collect()))
+        return rs, rx, store.latest("d"), store.verify("d")["ok"]
+
+    return _sweep("dual", make, tmpl, script, probe, stride, root)
+
+
+def main():
+    stride = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    spark = get_spark(master="local[16]", shuffle_partitions=8)
+    FSC = countdown_fs_class()
+    root = tempfile.mkdtemp(prefix="store_crash_fuzz_")
+
+    def make(r, fuel=None):
+        st = TimeStore(spark, r, fs_class=FSC)
+        st.fs.fuel = fuel
+        return st
+
+    bad = unified(spark, make, root, stride)
+    bad += dual(spark, make, root, stride)
+    print(f"TOTAL DIVERGED: {bad}")
     sys.exit(1 if bad else 0)
 
 
