@@ -1574,10 +1574,28 @@ class TimeStore:
         version flip resolve to a missing directory (silent empty
         reads).  Orphans from a *crashed* compaction become eligible
         once a later compaction flips past their version.
+
+        Also sweeps crashed FILE remnants (r11): ``*.tmp.*`` from a
+        writer killed inside ``write_text_atomic`` before its rename,
+        and ``*.lock.stale.*`` tombs from a stale-breaker killed
+        between its rename and delete (see :meth:`_flip_lock`).  Both
+        are dead by construction — the tmp was never promoted (its
+        writer is gone) and a stale tomb is the moved-aside corpse of
+        an already-broken lock — but they accumulate listing overhead
+        forever without a sweeper.  ``.bak`` files are NOT swept:
+        they are ``exists_or_recover``'s crash insurance.
         """
         meta = self._read_meta(ns)
         live_v = meta.points_version
         deleted = []
+        nsdir = self._ns_dir(ns)
+        for st in self.fs.fs.listStatus(self.fs._path(nsdir)):
+            if st.isDirectory():
+                continue
+            name = st.getPath().getName()
+            if ".tmp." in name or ".lock.stale." in name:
+                self.fs.delete(f"{nsdir}/{name}", recursive=False)
+                deleted.append(name)
         for name in self.fs.list_dirs(self._ns_dir(ns)):
             if name == "points":
                 stale = live_v > 0  # legacy generation 0

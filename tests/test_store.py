@@ -911,6 +911,19 @@ def test_write_points_leaves_no_stage_dirs_and_gc_sweeps_orphans(
     assert store.read_simple("S", 0, 100, [2, 4]).count() == 2
     assert ".stage_deadbeef" in store.gc("S")
     assert not store.fs.exists(orphan)
+    # crashed FILE remnants (r11): a writer killed inside
+    # write_text_atomic leaves a .tmp.*; a stale-breaker killed
+    # between its rename and delete leaves a .lock.stale.* tomb.
+    # gc sweeps both; .bak (crash insurance) survives.
+    ns = store._ns_dir("S")
+    for leftover in ("_meta.json.tmp.123.456",
+                     "_meta.json.lock.stale.1.2"):
+        store.fs.create_exclusive(f"{ns}/{leftover}", b"junk")
+    swept = store.gc("S")
+    assert "_meta.json.tmp.123.456" in swept
+    assert "_meta.json.lock.stale.1.2" in swept
+    assert store.fs.exists(f"{ns}/_meta.json")
+    assert store.read_simple("S", 0, 100, [2, 4]).count() == 2
 
 
 # ---------------------------------------------------- verify (scrub)
