@@ -252,7 +252,8 @@ class MutableKV:
     def merge_into(self, updates: DataFrame,
                    merge: Callable[[bytes, bytes], bytes],
                    associative: bool = False,
-                   salt: int = 32) -> None:
+                   salt: int = 32,
+                   batch_id: int | None = None) -> None:
         """Bulk MERGE of an update batch into the latest-view — M3's
         read-merge-append (``insertWith``, Mutable.hs:83-103)
         re-expressed as the generation-swap MERGE a lakehouse table
@@ -289,8 +290,28 @@ class MutableKV:
         general fold is order-dependent (PLANS.md r10) — a chain
         cannot split without exactly this assumption.  Differential
         law (tested): for a commutative-associative ``merge`` both
-        paths equal ``insert_bulk`` + ``merge_with``."""
+        paths equal ``insert_bulk`` + ``merge_with``.
+
+        ``batch_id`` (r11): opt-in EXACTLY-ONCE fence for streaming
+        MERGE ingest — the store-side analog of
+        ``VectorIndex.append_batch``.  A batch at or below the meta's
+        committed ``merge_batch_id`` is a completed replay, skipped
+        outright; the fence advances INSIDE the same CAS flip that
+        commits the merged generation, so no crash point exists where
+        the merge is live but unfenced (or fenced but not live).
+        Unfenced merge_into is NOT crash-replay idempotent — a replay
+        double-applies the batch — so at-least-once sources MUST pass
+        their micro-batch id (foreachBatch's contract: ids are
+        monotone and a redelivered batch keeps its id)."""
         from rados_timestore_spark.store import place_bucket_by_index
+
+        if batch_id is not None and int(batch_id) <= int(
+                self.store._read_meta(self.ns).merge_batch_id):
+            return  # completed replay — fenced no-op
+
+        def _fence(m):
+            if batch_id is not None:
+                m.merge_batch_id = max(m.merge_batch_id, int(batch_id))
 
         if "seq" not in updates.columns:
             updates = updates.withColumn(
@@ -355,7 +376,12 @@ class MutableKV:
             return part.groupBy("address").applyInPandas(
                 fold_comb, "address long, payload binary")
 
-        if not self.store.fs.is_dir(self.store._points_dir(self.ns)):
+        if batch_id is None and not self.store.fs.is_dir(
+                self.store._points_dir(self.ns)):
+            # Degenerate empty-KV shortcut — UNFENCED calls only: the
+            # fenced path must commit data and fence in ONE flip, so
+            # it routes through _rewrite_generation(allow_missing)
+            # even when no generation exists yet.
             # Empty KV: the MERGE degenerates to folding the batch
             # itself — one applyInPandas pass, written through the
             # standard ingest path (no generation to swap yet).
@@ -435,7 +461,9 @@ class MutableKV:
                         place_bucket_by_index(idx, "time", "address"))
                 )
 
-            self.store._rewrite_generation(self.ns, transform_assoc)
+            self.store._rewrite_generation(
+                self.ns, transform_assoc, meta_update=_fence,
+                allow_missing=batch_id is not None)
             return
 
         def transform(df: DataFrame) -> DataFrame:
@@ -483,7 +511,9 @@ class MutableKV:
                     place_bucket_by_index(idx, "time", "address"))
             )
 
-        self.store._rewrite_generation(self.ns, transform)
+        self.store._rewrite_generation(
+            self.ns, transform, meta_update=_fence,
+            allow_missing=batch_id is not None)
 
     def enumerate_versions(self) -> DataFrame:
         pdir = self.store._points_dir(self.ns)

@@ -83,6 +83,11 @@ class _Meta:
     points_version: int = 0             # compaction generation
     txn: int = 0                        # writer fencing counter (CAS)
     expire_gen: int = 0                 # TTL-expiry generation (r8)
+    #: Highest committed MutableKV.merge_into batch id (r11) — the
+    #: exactly-once fence for streaming MERGE ingest, the store-side
+    #: analog of VectorIndex.append_batch's last_batch_id.  -1 =
+    #: never fenced; existing metas deserialize unchanged.
+    merge_batch_id: int = -1
     #: Separate extended-kind index (reference parity: TimeStore.hs:74-90
     #: registers simpleBucketCount and extendedBucketCount, and
     #: Index.hs:45-49 keeps simple_days/extended_days as two documents
@@ -122,6 +127,8 @@ class _Meta:
         }
         if self.index_extended is not None:
             d["index_extended"] = self.index_extended.to_json()
+        if self.merge_batch_id >= 0:
+            d["merge_batch_id"] = self.merge_batch_id
         return d
 
     @classmethod
@@ -135,6 +142,7 @@ class _Meta:
             points_version=int(d.get("points_version", 0)),
             txn=int(d.get("txn", 0)),
             expire_gen=int(d.get("expire_gen", 0)),
+            merge_batch_id=int(d.get("merge_batch_id", -1)),
             index_extended=None if xe is None else Index.from_json(xe),
         )
 
@@ -1340,6 +1348,8 @@ class TimeStore:
                             target_partitions_per_bucket: int = 1,
                             sort_within: Sequence[str] | None = (
                                 "address", "time"),
+                            meta_update=None,
+                            allow_missing: bool = False,
                             ) -> None:
         """Shared generation-flip rewrite: read the live points
         generation, apply ``transform`` (row-preserving or
@@ -1356,8 +1366,17 @@ class TimeStore:
         meta = self._read_meta(ns)
         pdir = self._points_dir(ns, meta)
         if not self.fs.is_dir(pdir):
-            return
-        df = self.spark.read.parquet(pdir)
+            if not allow_missing:
+                return
+            # ``allow_missing`` (r11, for fenced merge_into): run the
+            # transform over an EMPTY generation so the commit — and
+            # the caller's fence fold in ``meta_update`` — still rides
+            # the atomic flip.  Skipping here would force the caller
+            # to commit data and fence in two separate writes, exactly
+            # the crash window the fence exists to close.
+            df = self.spark.createDataFrame([], _scan_schema())
+        else:
+            df = self.spark.read.parquet(pdir)
         if transform is not None:
             df = transform(df)
         next_version = meta.points_version + 1
@@ -1384,6 +1403,7 @@ class TimeStore:
             .alias("max_simple"),
             F.max(F.when(kind_col("address") == 1, F.col("time")))
             .alias("max_extended"),
+            F.max("seq").alias("max_seq"),
         )
         (
             out.write.mode("overwrite").partitionBy(*pcols)
@@ -1407,7 +1427,19 @@ class TimeStore:
                                        got["max_simple"])
         meta.latest_extended = _mono_max(meta.latest_extended,
                                          got["max_extended"])
+        if got["max_seq"] is not None:
+            # A transform may EMIT rows (fenced merge_into on a fresh
+            # namespace writes seq=0 while seq_base is still 0 —
+            # seq_beyond_base, found by the fence law test).  Monotone
+            # fold, a no-op for row-preserving rewrites whose seqs
+            # already sit below the base.
+            meta.seq_base = max(meta.seq_base, int(got["max_seq"]) + 1)
         meta.points_version = next_version
+        if meta_update is not None:
+            # caller-supplied fold (e.g. merge_into's batch fence)
+            # rides the SAME CAS flip — no window where the new
+            # generation is live without it
+            meta_update(meta)
         self._write_meta_cas(ns, meta)
         self.fs.delete(pdir, recursive=True)
 

@@ -73,3 +73,48 @@ def stream_points(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def stream_kv_merges(
+    kv,
+    merge,
+    source: DataFrame,
+    checkpoint_dir: str,
+    associative: bool = False,
+    trigger: dict | None = None,
+    query_name: str | None = None,
+) -> StreamingQuery:
+    """Continuous MERGE ingest into a :class:`MutableKV` — each
+    micro-batch runs ``kv.merge_into(batch, merge,
+    batch_id=micro_batch_id)``.
+
+    Exactly-once comes from the r11 batch fence: foreachBatch
+    redelivers a failed micro-batch under the SAME id, and
+    ``merge_into`` skips any batch at or below the meta's committed
+    ``merge_batch_id`` — the fence advances inside the same CAS flip
+    that commits the merged generation, so a crash at any point
+    replays to single-application state (crash-fuzz swept,
+    tools/store_crash_fuzz.py).  This is the pairing the unfenced
+    ``merge_into`` docstring demands for at-least-once sources.
+
+    ``source``: streaming (key long, value binary[, seq long]).
+    """
+    if not source.isStreaming:
+        raise ValueError("source must be a streaming DataFrame")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        kv.merge_into(batch_df, merge, associative=associative,
+                      batch_id=batch_id)
+
+    writer = (
+        source.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -527,3 +527,56 @@ def test_merge_into_associative_from_empty(store):
     # versions match the sequential-insert placement (n_batch - 1)
     vers = {r.key: r.time for r in kv.enumerate_versions().collect()}
     assert vers == {2 | 1: 1, 4 | 1: 0}
+
+
+def test_merge_into_batch_fence_exactly_once(store):
+    # r11: merge_into(batch_id=N) is the exactly-once streaming MERGE
+    # primitive (the store-side analog of VectorIndex.append_batch's
+    # last_batch_id fence).  A replayed batch — any path, any params —
+    # is a no-op; the fence commits inside the SAME CAS flip as the
+    # merged generation.
+    mrg = lambda new, old: old + b"|" + new  # noqa: E731
+    store.register_namespace("FENCE", buckets=4)
+    kv = MutableKV(store, "FENCE")
+    b0 = store.spark.createDataFrame(
+        [(2, bytearray(b"a"), 0), (4, bytearray(b"x"), 1)],
+        "key long, value binary, seq long")
+    # fenced FIRST batch on an EMPTY KV: data and fence must land in
+    # one flip (the degenerate write_points shortcut is unfenced-only)
+    kv.merge_into(b0, mrg, batch_id=0)
+    once = {r.key: bytes(r.value) for r in kv.enumerate().collect()}
+    assert once == {3: b"a", 5: b"x"}
+    kv.merge_into(b0, mrg, batch_id=0)                     # replay
+    kv.merge_into(b0, mrg, associative=True, batch_id=0)   # replay
+    assert {r.key: bytes(r.value)
+            for r in kv.enumerate().collect()} == once
+    b1 = store.spark.createDataFrame(
+        [(2, bytearray(b"b"), 0)], "key long, value binary, seq long")
+    kv.merge_into(b1, mrg, batch_id=1)
+    kv.merge_into(b1, mrg, batch_id=1)                     # replay
+    got = {r.key: bytes(r.value) for r in kv.enumerate().collect()}
+    assert got == {3: b"a|b", 5: b"x"}
+    assert store.verify(kv.ns)["ok"]
+    # sanity: an UNFENCED replay double-applies — the hazard the
+    # fence exists to close
+    kv.merge_into(b1, mrg)
+    assert kv.lookup(2) == b"a|b|b"
+
+
+def test_merge_into_fence_assoc_on_empty_kv(store):
+    # the associative path under a fence, first batch on empty KV
+    mrg = lambda new, old: bytes([(new[0] + old[0]) % 256])  # noqa: E731
+    store.register_namespace("FENCEA", buckets=4)
+    kv = MutableKV(store, "FENCEA")
+    b0 = store.spark.createDataFrame(
+        [(2, bytearray(b"\x01"), 0), (2, bytearray(b"\x02"), 1),
+         (4, bytearray(b"\x05"), 2)],
+        "key long, value binary, seq long")
+    kv.merge_into(b0, mrg, associative=True, batch_id=7)
+    assert kv.lookup(2) == b"\x03" and kv.lookup(4) == b"\x05"
+    kv.merge_into(b0, mrg, associative=True, batch_id=7)   # replay
+    assert kv.lookup(2) == b"\x03"
+    # stale batch ids below the fence are ALSO no-ops
+    kv.merge_into(b0, mrg, batch_id=3)
+    assert kv.lookup(2) == b"\x03"
+    assert store.verify(kv.ns)["ok"]

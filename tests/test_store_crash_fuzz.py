@@ -59,6 +59,22 @@ def test_store_crash_fuzz_strided(spark, tmp_path):
     dels = spark.range(0, 10).select((F.col("id") * 2).alias("key"))
     addrs = [r.address for r in
              pts.select("address").distinct().limit(6).collect()]
+    kvseed = spark.range(100, 120).select(
+        (F.col("id") * 2).alias("key"),
+        F.encode(F.concat(F.lit("s"), F.col("id").cast("string")),
+                 "utf-8").alias("value"),
+        F.col("id").alias("seq"))
+    mb0 = spark.range(100, 112).select(
+        (F.col("id") * 2).alias("key"),
+        F.encode(F.concat(F.lit("m"), F.col("id").cast("string")),
+                 "utf-8").alias("value"),
+        F.col("id").alias("seq"))
+    mb1 = spark.range(106, 125).select(
+        (F.col("id") * 2).alias("key"),
+        F.encode(F.concat(F.lit("n"), F.col("id").cast("string")),
+                 "utf-8").alias("value"),
+        F.col("id").alias("seq"))
+    mrg = (lambda new, old: old + b"|" + new)
 
     def make(root, fuel=None):
         st = TimeStore(spark, root, fs_class=FSC)
@@ -69,16 +85,23 @@ def test_store_crash_fuzz_strided(spark, tmp_path):
     st = make(tmpl)
     st.register_namespace("p", buckets=8)
     st.write_points("p", p0)
-    MutableKV(st, "k")
+    MutableKV(st, "k").insert_bulk(kvseed)
 
     def script(store):
         store.gc("p")
         store.gc("k_INTERNAL")
         store.write_points("p", p1)
         store.write_points("p", p2)
+        kv = MutableKV(store, "k")
+        # fenced MERGEs (r11): exactly-once under crash-replay; they
+        # sit BEFORE insert_bulk on DISJOINT keys (a replayed
+        # insert_bulk re-stacks its values above whatever is live,
+        # so merging into the same keys afterward would legitimately
+        # differ)
+        kv.merge_into(mb0, mrg, batch_id=0)
+        kv.merge_into(mb1, mrg, batch_id=1)
         store.compact("p")
         store.expire("p", cutoff)
-        kv = MutableKV(store, "k")
         kv.insert_bulk(kv1)
         kv.delete_bulk(dels)
         kv.vacuum()

@@ -1339,3 +1339,58 @@ def test_stream_period_over_period_checkpoint_recovery(spark, tmp_path):
     assert got == want
     # run 2 genuinely resumed (its grid covers run-1-only rows)
     assert sum(n for _t, _d, n, _s in got) > n_first
+
+
+def test_stream_kv_merges_kill_and_resume_exactly_once(spark, tmp_path):
+    # r11: continuous MERGE ingest via the merge_into batch fence —
+    # two availableNow runs over one checkpoint (the restart
+    # boundary) plus a third no-new-data run and a manual stale
+    # redelivery; every key's value must equal single application of
+    # every batch.
+    import os
+    import time as _t
+
+    from rados_timestore_spark.mutable import MutableKV
+    from rados_timestore_spark.streaming.ingest import stream_kv_merges
+
+    mrg = (lambda new, old: bytes([(new[0] + old[0]) % 256]))
+    store = TimeStore(spark, str(tmp_path / "wh"))
+    store.register_namespace("K", buckets=4)
+    kv = MutableKV(store, "K")
+    keys = list(range(0, 12, 2))
+    kv.insert_bulk(spark.createDataFrame(
+        [(k, bytearray([1]), k) for k in keys],
+        "key long, value binary, seq long"))
+
+    schema = "key long, value binary, seq long"
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    os.makedirs(src)
+
+    def deliver(i):
+        (spark.createDataFrame(
+            [(k, bytearray([10 + i]), k) for k in keys], schema)
+         .coalesce(1).write.parquet(f"{src}/b{i}"))
+        _t.sleep(0.05)
+        os.utime(src)
+
+    def run_once():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(f"{src}/b*"))
+        q = stream_kv_merges(kv, mrg, stream, ck,
+                             trigger={"availableNow": True})
+        assert q.awaitTermination(180)
+
+    deliver(0)
+    run_once()            # batch 0 commits; query stops (the "kill")
+    deliver(1)
+    deliver(2)
+    run_once()            # resume: replays nothing, applies 1 and 2
+    run_once()            # no new data: fenced no-ops all the way
+    want = bytes([1 + 10 + 11 + 12])
+    assert {k: kv.lookup(k) for k in keys} == {k: want for k in keys}
+    # a stale out-of-band redelivery of an already-committed batch id
+    kv.merge_into(spark.createDataFrame(
+        [(k, bytearray([11]), k) for k in keys], schema),
+        mrg, batch_id=1)
+    assert kv.lookup(0) == want
+    assert store.verify(kv.ns)["ok"]

@@ -7,9 +7,9 @@ Two scenarios, each killing at every FS mutation (staged-promote
 renames, meta CAS tmp+backup dance, flip locks, generation swaps,
 stage sweeps):
 
-  unified (~44 boundaries):
-    gc -> write_points x2 -> compact -> expire
-       -> kv.insert_bulk -> kv.delete_bulk -> kv.vacuum
+  unified (~60 boundaries):
+    gc -> write_points x2 -> kv.merge_into(batch_id=0,1) -> compact
+       -> expire -> kv.insert_bulk -> kv.delete_bulk -> kv.vacuum
   dual (~32 boundaries), on an extended_buckets namespace:
     gc -> mixed write -> rescale(simple) -> rescale(extended)
        -> write_points_batched -> compact
@@ -28,10 +28,15 @@ under the transiently-doubled bytes):
     read_simple/read_extended rows == no-crash rows,
     watermarks ==, verify().ok, KV latest view ==.
 
-NOT in the scripts: merge_into — its fold is order-dependent and
-carries no batch fence, so crash-replay exactly-once is the CALLER's
-job (pair it with a fenced source such as foreachBatch, like
-VectorIndex.append vs append_batch).  Documented in PLANS.md r10.
+merge_into rides with ``batch_id=`` (r11): the fence commits inside
+the same CAS flip as the merged generation, making the crashed-and-
+replayed MERGE exactly-once.  UNFENCED merge_into stays out of the
+scripts — without a fence the fold double-applies on replay, which
+is the caller's contract (pass the foreachBatch micro-batch id).
+The fenced merges sit BEFORE the insert_bulk: a replayed insert_bulk
+re-stacks its values above whatever is live, so anything merged into
+those same keys afterward would legitimately differ — disjoint key
+ranges keep the law exact.
 
     python tools/store_crash_fuzz.py [stride]   # default 1 = all
 """
@@ -111,21 +116,39 @@ def unified(spark, make, root, stride):
     dels = spark.range(0, 10).select((F.col("id") * 2).alias("key"))
     addrs = [r.address for r in
              pts.select("address").distinct().limit(6).collect()]
+    kvseed = spark.range(100, 120).select(
+        (F.col("id") * 2).alias("key"),
+        F.encode(F.concat(F.lit("s"), F.col("id").cast("string")),
+                 "utf-8").alias("value"),
+        F.col("id").alias("seq"))
+    mb0 = spark.range(100, 112).select(
+        (F.col("id") * 2).alias("key"),
+        F.encode(F.concat(F.lit("m"), F.col("id").cast("string")),
+                 "utf-8").alias("value"),
+        F.col("id").alias("seq"))
+    mb1 = spark.range(106, 125).select(
+        (F.col("id") * 2).alias("key"),
+        F.encode(F.concat(F.lit("n"), F.col("id").cast("string")),
+                 "utf-8").alias("value"),
+        F.col("id").alias("seq"))
+    mrg = (lambda new, old: old + b"|" + new)
 
     tmpl = f"{root}/unified_tmpl"
     st = make(tmpl)
     st.register_namespace("p", buckets=8)
     st.write_points("p", p0)
-    MutableKV(st, "k")
+    MutableKV(st, "k").insert_bulk(kvseed)
 
     def script(store):
         store.gc("p")
         store.gc("k_INTERNAL")
         store.write_points("p", p1)
         store.write_points("p", p2)
+        kv = MutableKV(store, "k")
+        kv.merge_into(mb0, mrg, batch_id=0)
+        kv.merge_into(mb1, mrg, batch_id=1)
         store.compact("p")
         store.expire("p", cutoff)
-        kv = MutableKV(store, "k")
         kv.insert_bulk(kv1)
         kv.delete_bulk(dels)
         kv.vacuum()
