@@ -779,6 +779,68 @@ def ts_kv_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_kv_merge_stream",
+    oracle=f"""{PTS_CTE}
+SELECT address AS key,
+       CAST(CAST(sum(seq) AS BIGINT) AS VARCHAR) AS value
+FROM pts WHERE address % 2 = 1 GROUP BY address
+""",
+    tags=("M3", "streaming"),
+    priority=110,  # NEW r11 (late); local-green; rotate in r12 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def ts_kv_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous MERGE ingest, driver-visible (the exactly-once
+    fence certificate): KV updates arrive as TWO micro-batches
+    through a real Structured Streaming query
+    (``streaming/ingest.stream_kv_merges`` — foreachBatch into
+    ``MutableKV.merge_into(batch_id=micro_batch_id)``, whose fence
+    commits inside the same CAS flip as the merged generation;
+    kill-and-resume + crash-fuzz swept, tools/store_crash_fuzz.py).
+    The merge is integer addition over decimal-encoded payloads —
+    commutative and associative, so the folded value per key is the
+    plain relational SUM however the source splits the batches, and
+    batch 0 lands on a FRESH namespace (the fenced first-batch path
+    that routes through the generation rewrite)."""
+    from rados_timestore_spark.mutable import MutableKV
+    from rados_timestore_spark.queries_streaming import (
+        _await, _few_state_partitions, stream_workdir,
+    )
+    from rados_timestore_spark.store import TimeStore
+    from rados_timestore_spark.streaming.ingest import stream_kv_merges
+
+    pts = events_points(spark, sf_dir).filter(F.col("address") % 2 == 1)
+    upd = pts.select(
+        F.col("address").alias("key"),
+        F.encode(F.col("seq").cast("string"), "UTF-8").alias("value"),
+        "seq",
+    )
+    work = stream_workdir(spark, "ts_kv_merge_stream_")
+    src, ck = f"{work}/src", f"{work}/ck"
+    upd.filter(F.col("seq") % 2 == 0).coalesce(1).write.parquet(src)
+    upd.filter(F.col("seq") % 2 == 1).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    store = TimeStore(spark, f"{work}/store")
+    kv = MutableKV(store, "ms")
+
+    def mrg(new: bytes, old: bytes) -> bytes:
+        return str(int(old) + int(new)).encode()
+
+    with _few_state_partitions(spark):
+        stream = (
+            spark.readStream.schema(upd.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = stream_kv_merges(
+            kv, mrg, stream, checkpoint_dir=ck,
+            trigger={"availableNow": True},
+        )
+        _await(q)
+    return kv.enumerate().select(
+        "key", F.decode("value", "UTF-8").alias("value"))
+
+
+@register(
     "ts_verify_scrub",
     oracle=f"""{PTS_CTE}
 SELECT {_epoch_case_sql()} AS epoch,

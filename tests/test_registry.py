@@ -123,6 +123,7 @@ EXPECTED_WINDOW = {
 EXPECTED_CARVEOUT_BACKLOG: set[str] = {
     # NEW r11 registrations — rotate into the r12 window
     "sim_hnswidx_stream_probe",
+    "ts_kv_merge_stream",
 }
 
 
