@@ -327,6 +327,25 @@ class HNSWIndex:
                 else:
                     self.fs.rename(f"{base}/{name}", live)
 
+    def _dir_has_data(self, base: str) -> bool:
+        """True when ``base`` holds at least one shard partition with
+        a data file.  Deleting EVERY vector leaves shard-less graph/
+        vector dirs (each shard "vanishes"), and reading those throws
+        UNABLE_TO_INFER_SCHEMA (review finding, r11 — pre-fix, a
+        delete-everything BRICKED the index: the commit recount threw
+        after the swaps and every later verb/probe threw too).  Every
+        read site guards with this; the first non-empty shard
+        short-circuits."""
+        if not self.fs.is_dir(base):
+            return False
+        for d in self.fs.list_dirs(base):
+            if not d.startswith("shard="):
+                continue
+            for st in self.fs.fs.listStatus(self.fs._path(f"{base}/{d}")):
+                if not st.getPath().getName().startswith(("_", ".")):
+                    return True
+        return False
+
     def meta(self, ns: str) -> dict:
         import json
 
@@ -471,13 +490,22 @@ class HNSWIndex:
             return 0
         n_new = new.count()
         gdir, vdir = self._graph_dir(ns), self._vectors_dir(ns)
-        old_g = self.spark.read.parquet(gdir) \
-            .filter(F.col("shard").isin(affected)) \
-            .withColumn("shard", F.col("shard").cast("int"))
-        old_v = self.spark.read.parquet(vdir) \
-            .filter(F.col("shard").isin(affected)) \
-            .withColumn("shard", F.col("shard").cast("int")) \
-            .withColumn("is_new", F.lit(0))
+        # empty-tolerant reads: a delete-everything leaves shard-less
+        # dirs whose raw read throws (see _dir_has_data) — the batch
+        # is then entirely fresh
+        if self._dir_has_data(gdir):
+            old_g = self.spark.read.parquet(gdir) \
+                .filter(F.col("shard").isin(affected)) \
+                .withColumn("shard", F.col("shard").cast("int"))
+        else:
+            old_g = self.spark.createDataFrame([], "shard int, vec_id long, level int, layer int, neighbors array<long>")
+        if self._dir_has_data(vdir):
+            old_v = self.spark.read.parquet(vdir) \
+                .filter(F.col("shard").isin(affected)) \
+                .withColumn("shard", F.col("shard").cast("int")) \
+                .withColumn("is_new", F.lit(0))
+        else:
+            old_v = new.limit(0).withColumn("is_new", F.lit(0))
         both_v = old_v.unionByName(new.withColumn("is_new", F.lit(1)))
 
         def reinsert(key, gpdf, vpdf):
@@ -575,11 +603,19 @@ class HNSWIndex:
             return doc
         self._restore_shard_remnants(ns)
         shards, m, ef_c = doc["shards"], doc["m"], doc["ef_construction"]
-        new = emb.select(
+        from rados_timestore_spark.vector_index import (
+            dedup_ids_deterministic,
+        )
+
+        new = dedup_ids_deterministic(emb.select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("embedding"),
             F.pmod(F.hash(id_col), F.lit(shards)).alias("shard"),
-        ).dropDuplicates(["vec_id"])
+        ), "vec_id", "embedding")
+        # deterministic winner (see dedup_ids_deterministic): sharding
+        # is id-pure so duplicates co-locate regardless, but the
+        # STORED embedding must not flip between a crashed attempt
+        # and its replay
         vdir, gdir = self._vectors_dir(ns), self._graph_dir(ns)
         prefix = f"b{int(batch_id)}-"
         # Sweep THIS batch's leftover vector files before anything
@@ -600,15 +636,18 @@ class HNSWIndex:
         touched = sorted(r.shard for r in
                          new.select("shard").distinct().collect())
         fresh = new
-        if touched:
+        if touched and self._dir_has_data(gdir):
             graphed_ids = (self.spark.read.parquet(gdir)
                            .filter(F.col("shard").isin(touched))
                            .select("vec_id").distinct())
             fresh = new.join(graphed_ids, "vec_id", "left_anti")
-            have_vec = (self.spark.read.parquet(vdir)
-                        .filter(F.col("shard").isin(touched))
-                        .select("vec_id").distinct())
-            to_store = new.join(have_vec, "vec_id", "left_anti")
+        if touched:
+            to_store = new
+            if self._dir_has_data(vdir):
+                have_vec = (self.spark.read.parquet(vdir)
+                            .filter(F.col("shard").isin(touched))
+                            .select("vec_id").distinct())
+                to_store = new.join(have_vec, "vec_id", "left_anti")
             store_shards = sorted(r.shard for r in to_store
                                   .select("shard").distinct().collect())
             if store_shards:
@@ -625,14 +664,21 @@ class HNSWIndex:
         if affected:
             # 2. graph: reinsert only the not-yet-present nodes
             batch_ids = fresh.select("vec_id")
-            old_g = self.spark.read.parquet(gdir) \
-                .filter(F.col("shard").isin(affected)) \
-                .withColumn("shard", F.col("shard").cast("int"))
-            old_v = (self.spark.read.parquet(vdir)
-                     .filter(F.col("shard").isin(affected))
-                     .withColumn("shard", F.col("shard").cast("int"))
-                     .join(batch_ids, "vec_id", "left_anti")
-                     .withColumn("is_new", F.lit(0)))
+            if self._dir_has_data(gdir):
+                old_g = self.spark.read.parquet(gdir) \
+                    .filter(F.col("shard").isin(affected)) \
+                    .withColumn("shard", F.col("shard").cast("int"))
+            else:
+                old_g = self.spark.createDataFrame(
+                    [], "shard int, vec_id long, level int, layer int, neighbors array<long>")
+            if self._dir_has_data(vdir):
+                old_v = (self.spark.read.parquet(vdir)
+                         .filter(F.col("shard").isin(affected))
+                         .withColumn("shard", F.col("shard").cast("int"))
+                         .join(batch_ids, "vec_id", "left_anti")
+                         .withColumn("is_new", F.lit(0)))
+            else:
+                old_v = fresh.limit(0).withColumn("is_new", F.lit(0))
             both_v = old_v.unionByName(
                 fresh.withColumn("is_new", F.lit(1)))
 
@@ -704,7 +750,8 @@ class HNSWIndex:
         doc = self.meta(ns)
         doc["n_vectors"] = int(
             self.spark.read.parquet(gdir)
-            .filter(F.col("layer") == 0).count())
+            .filter(F.col("layer") == 0).count()
+        ) if self._dir_has_data(gdir) else 0
         doc["last_batch_id"] = int(batch_id)
         doc["version"] = int(doc["version"]) + 1
         self._write_meta(ns, doc)
@@ -734,6 +781,18 @@ class HNSWIndex:
         self._restore_shard_remnants(ns)
         shards, m, ef_c = doc["shards"], doc["m"], doc["ef_construction"]
         vdir, gdir = self._vectors_dir(ns), self._graph_dir(ns)
+        if not self._dir_has_data(vdir):
+            # already-empty index (delete-everything happened): treat
+            # like the no-victims replay below — heal stale meta and
+            # remnants, never read the shard-less dirs
+            if int(doc["n_vectors"]) != 0:
+                doc["n_vectors"] = 0
+                doc["version"] = int(doc["version"]) + 1
+                self._write_meta(ns, doc)
+            for st in (f"{gdir}.deleting", f"{vdir}.deleting"):
+                if self.fs.exists(st):
+                    self.fs.delete(st, recursive=True)
+            return 0
         vecs = self.spark.read.parquet(vdir) \
             .withColumn("shard", _shard_int())
         if isinstance(vec_ids, _DF):
@@ -756,10 +815,15 @@ class HNSWIndex:
             # last shard swap but before its meta write (crash-fuzz
             # finding, r11, mirrored from VectorIndex): files are
             # final, meta is stale, `.deleting` stages may linger.
+            # Count the VECTORS table, not layer-0 graph rows: a
+            # zero-filter count is served from parquet footers
+            # (review finding — the layer filter forced a data-column
+            # scan on every no-match takedown), and in this branch
+            # the vector table is victim-free, i.e. already the final
+            # swapped state the graph recount would agree with.
             n_live = int(
-                self.spark.read.parquet(gdir)
-                .filter(F.col("layer") == 0).count()
-            ) if self.fs.exists(gdir) else 0
+                self.spark.read.parquet(vdir).count()
+            ) if self.fs.exists(vdir) else 0
             if int(doc["n_vectors"]) != n_live:
                 doc["n_vectors"] = n_live
                 doc["version"] = int(doc["version"]) + 1
@@ -820,7 +884,7 @@ class HNSWIndex:
         doc["n_vectors"] = int(
             self.spark.read.parquet(gdir)
             .filter(F.col("layer") == 0).count()
-        ) if self.fs.exists(gdir) else 0
+        ) if self._dir_has_data(gdir) else 0
         doc["version"] = int(doc["version"]) + 1
         self._write_meta(ns, doc)
         return removed
@@ -840,6 +904,8 @@ class HNSWIndex:
         # (every verb/probe entry), not just here
         self._restore_shard_remnants(ns)
         vdir = self._vectors_dir(ns)
+        if not self._dir_has_data(vdir):
+            return 0   # empty index (delete-everything): nothing to pack
         vecs = self.spark.read.parquet(vdir) \
             .withColumn("shard", _shard_int())
         n_files = vecs.inputFiles().__len__()
@@ -870,6 +936,11 @@ class HNSWIndex:
         rebuild.  Callers exact-rerank the union."""
         doc = self.meta(ns)
         self._restore_shard_remnants(ns)
+        if not self._dir_has_data(self._vectors_dir(ns)):
+            # empty index (delete-everything): empty candidates (the
+            # shard-less raw read would throw)
+            return self.spark.createDataFrame(
+                [], "query_id long, neighbor_id long")
         m, ef_c = doc["m"], doc["ef_construction"]
         qs = [(int(qid), np.asarray(vec, dtype=np.float64))
               for qid, vec in queries]

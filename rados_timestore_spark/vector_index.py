@@ -69,6 +69,28 @@ _META = "_vidx_meta.json"
 _PQ_MARKER = "_pq_meta.json"
 
 
+def dedup_ids_deterministic(df: DataFrame, id_col: str,
+                            vec_col: str) -> DataFrame:
+    """Within-batch id dedup with a DETERMINISTIC winner: keep the
+    row whose embedding casts to the lexicographically-smallest
+    array<string>.  ``dropDuplicates([id])`` keeps an ARBITRARY row
+    (review finding, r11): with two embeddings for one id routing to
+    different buckets, a crashed attempt and its replay could each
+    pick a different winner — the replay's pre-sweep and anti-join
+    are both scoped to the replay's OWN buckets, so the other
+    attempt's promoted copy survives and the id lands twice.  A
+    stable total order makes every attempt pick the same row.  (Rows
+    with IDENTICAL embeddings but different metadata still tie —
+    the embedding is the routing input, so the copies land in the
+    same bucket either way.)"""
+    from pyspark.sql import Window
+
+    key = F.concat_ws(",", F.col(vec_col).cast("array<string>"))
+    w = Window.partitionBy(id_col).orderBy(key.asc())
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+
+
 def _append_pq_codes(df: DataFrame, CBm: np.ndarray,
                      res: tuple | None = None) -> DataFrame:
     """Encode-only ``mapInPandas`` pass: append a ``pq_code
@@ -364,16 +386,38 @@ class VectorIndex:
         if self.fs.exists(staging):
             self.fs.delete(staging, recursive=True)
 
+    def _has_buckets(self, ns: str) -> bool:
+        """True when the assignments dir holds at least one bucket
+        partition with a data file.  A delete() that removes EVERY
+        bucket leaves the dir holding only ``_SUCCESS`` — and a
+        swept crashed append attempt can leave an EMPTY bucket dir —
+        reading either shape throws UNABLE_TO_INFER_SCHEMA (review
+        finding, r11), so every read of the live table must treat
+        them as empty, the same empty-is-absent convention the store
+        uses for drained generations.  Fast path: the first
+        non-empty bucket short-circuits, so the common case is one
+        listing."""
+        live = self._assignments_dir(ns)
+        if not self.fs.is_dir(live):
+            return False
+        for d in self.fs.list_dirs(live):
+            if not d.startswith("bucket="):
+                continue
+            for st in self.fs.fs.listStatus(self.fs._path(f"{live}/{d}")):
+                if not st.getPath().getName().startswith(("_", ".")):
+                    return True
+        return False
+
     def _recount(self, ns: str) -> int:
         """Row count of the live assignments table — the source of
         truth for ``n_vectors`` at every verb's commit point.  A
         zero-filter zero-column count: Spark serves it from parquet
         footer row counts, so cost is bounded by file count, not
         corpus bytes."""
-        live = self._assignments_dir(ns)
-        if not self.fs.is_dir(live):
+        if not self._has_buckets(ns):
             return 0
-        return int(self.spark.read.parquet(live).count())
+        return int(self.spark.read.parquet(
+            self._assignments_dir(ns)).count())
 
     def meta(self, ns: str) -> dict:
         path = f"{self._ns_dir(ns)}/{_META}"
@@ -527,8 +571,8 @@ class VectorIndex:
         if self.fs.exists(stage):
             self.fs.delete(stage, recursive=True)
         assigned = assign_to_centroids(
-            emb.dropDuplicates([id_col]), cids, C, doc["dim"],
-            id_col, vec_col,
+            dedup_ids_deterministic(emb, id_col, vec_col), cids, C,
+            doc["dim"], id_col, vec_col,
             meta_cols=tuple(doc.get("meta_cols", ())),
             pq_cb=(self._load_pq(ns, doc)
                    if "pq" in doc else None),
@@ -548,7 +592,7 @@ class VectorIndex:
             bks = [r.bucket for r in
                    pinned.select("bucket").distinct().collect()]
             fresh = pinned
-            if bks and self.fs.is_dir(live):
+            if bks and self._has_buckets(ns):
                 # Sweep THIS batch's crashed-attempt files BEFORE
                 # reading `existing` (found by the crash fuzz): the
                 # promote loop replaces a bucket's b<id>- files with
@@ -580,14 +624,12 @@ class VectorIndex:
                           if d.startswith("bucket=")]
         for d in staged_buckets:
             tgt = f"{live}/{d}"
-            if self.fs.is_dir(tgt):
-                for st in self.fs.fs.listStatus(self.fs._path(tgt)):
-                    name = st.getPath().getName()
-                    if name.startswith(prefix):
-                        # crashed earlier attempt of THIS batch
-                        self.fs.delete(f"{tgt}/{name}", recursive=False)
-            else:
+            if not self.fs.is_dir(tgt):
                 self.fs.mkdirs(tgt)
+            # (no per-bucket sweep here: the pre-anti-join sweep above
+            # already cleared this batch's crashed-attempt files from
+            # every staged bucket, BEFORE the existing-ids read — see
+            # the review note there)
             for st in self.fs.fs.listStatus(
                     self.fs._path(f"{stage}/{d}")):
                 name = st.getPath().getName()
@@ -813,6 +855,14 @@ class VectorIndex:
         dsub = int(doc["pq"]["dsub"])
         residual = bool(doc["pq"].get("residual"))
         CBm = self._load_pq(ns, doc)
+        if not self._has_buckets(ns):
+            # every bucket deleted: empty index, empty result (the
+            # raw read would throw UNABLE_TO_INFER_SCHEMA)
+            self._restore_remnants(ns)
+            if not self._has_buckets(ns):
+                return self.spark.createDataFrame(
+                    [], "query_id long, neighbor_id long, "
+                        "cos double, rank int")
         probe_buckets, all_buckets = self._route_buckets(
             ns, queries, nprobe, doc)
 
@@ -948,6 +998,12 @@ class VectorIndex:
         """
         self.meta(ns)  # raises if never built
         self._restore_remnants(ns)
+        if not self._has_buckets(ns):
+            # every bucket already deleted: nothing to scan (the raw
+            # read would throw), but this may be a crashed replay —
+            # heal meta/remnants exactly like the no-victims path
+            self._heal_after_noop_delete(ns)
+            return 0
         live = self._assignments_dir(ns)
         scan = self.spark.read.parquet(live)
         if isinstance(vec_ids, DataFrame):
@@ -1032,6 +1088,8 @@ class VectorIndex:
         """
         self.meta(ns)  # raises if never built
         self._restore_remnants(ns)
+        if not self._has_buckets(ns):
+            return 0   # empty index (delete-everything): nothing to pack
         live = self._assignments_dir(ns)
         staging, old = f"{live}.compacting", f"{live}.old"
         for leftover in (staging, old):
@@ -1121,6 +1179,14 @@ class VectorIndex:
         corpus regardless of total index size.
         """
         doc = self.meta(ns)
+        if not self._has_buckets(ns):
+            # every bucket deleted: empty index, empty result (the
+            # raw read would throw UNABLE_TO_INFER_SCHEMA)
+            self._restore_remnants(ns)
+            if not self._has_buckets(ns):
+                return self.spark.createDataFrame(
+                    [], "query_id long, neighbor_id long, "
+                        "cos double, rank int")
         probe_buckets, all_buckets = self._route_buckets(
             ns, queries, nprobe, doc)
         qdf = self.spark.createDataFrame(

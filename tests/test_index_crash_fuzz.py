@@ -139,3 +139,50 @@ def test_vecidx_crash_fuzz_strided(spark, tmp_path):
             make, work, script, probe,
             allowed_cold_errors=(VectorIndexNotBuilt,))
         assert got == want, f"fuel={fuel}: {got[0]} != {want[0]}"
+
+
+def test_vecidx_delete_everything_lifecycle(spark, tmp_path):
+    # Review finding (r11): deleting EVERY vector leaves a bucket-less
+    # assignments dir; the commit recount used to throw there (after
+    # the swaps, before the meta write), stranding stale meta, and
+    # every later read threw too.  The empty index must behave: zero
+    # counts, empty probes, no-op maintenance, and append_batch
+    # re-populates it.
+    from rados_timestore_spark.vector_index import VectorIndex
+
+    emb = _emb(spark, 80)
+    vi = VectorIndex(spark, str(tmp_path / "de"))
+    vi.build("e", emb, k=4)
+    ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    q = [(0, list(map(float, emb.limit(1).collect()[0].embedding)))]
+    assert vi.delete("e", ids) == len(ids)
+    assert vi.meta("e")["n_vectors"] == 0
+    assert vi.probe("e", q, topk=3).count() == 0
+    assert vi.delete("e", ids) == 0          # idempotent
+    assert vi.compact("e") == 0
+    vi.append_batch("e", emb, 0)
+    assert vi.meta("e")["n_vectors"] == len(ids)
+    assert vi.probe("e", q, topk=3).count() == 3
+
+
+def test_hnswidx_delete_everything_lifecycle(spark, tmp_path):
+    # Same class in HNSW: pre-fix, delete-everything BRICKED the index
+    # (commit recount threw after the swaps; probe/append threw too).
+    import numpy as np
+
+    from rados_timestore_spark.hnsw import HNSWIndex
+
+    emb = _emb(spark, 80)
+    ix = HNSWIndex(spark, str(tmp_path / "hde"))
+    ix.build("e", emb, shards=2, m=8, ef_construction=32)
+    ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    q = [(0, np.asarray(emb.limit(1).collect()[0].embedding,
+                        dtype=np.float64))]
+    assert ix.delete("e", ids) == len(ids)
+    assert ix.meta("e")["n_vectors"] == 0
+    assert ix.probe_candidates("e", q, k=5).count() == 0
+    assert ix.delete("e", ids) == 0          # idempotent
+    ix.compact("e")
+    ix.append_batch("e", emb, 0)
+    assert ix.meta("e")["n_vectors"] == len(ids)
+    assert ix.probe_candidates("e", q, k=5, ef_search=32).count() > 0

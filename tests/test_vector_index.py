@@ -724,3 +724,38 @@ def test_delete_crash_before_meta_write_recounts(spark, emb, tmp_path):
     cold = VectorIndex(spark, work)
     assert cold.delete("e", victims) == 0  # files already final
     assert cold.meta("e")["n_vectors"] == want
+
+
+def test_append_batch_duplicate_id_deterministic_winner(
+        spark, emb, tmp_path):
+    # Review finding (r11): dropDuplicates keeps an arbitrary row, so
+    # a crashed attempt and its replay could pick DIFFERENT embeddings
+    # for a duplicated vec_id — routing the id into two buckets.  The
+    # dedup now orders by the embedding's string cast: two independent
+    # runs must produce byte-identical assignments.
+    import pandas as pd
+
+    a = emb.filter(F.col("vec_id") % 2 == 0).limit(40)
+    dup_rows = emb.filter(F.col("vec_id") % 2 == 1).limit(6)
+    # same ids, two different embeddings each (the second shifted)
+    shifted = dup_rows.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x + F.lit(3.0))
+        .cast("array<float>").alias("embedding"))
+    batch = dup_rows.select("vec_id", "embedding").unionByName(shifted)
+
+    def run(root):
+        vi = VectorIndex(spark, root)
+        vi.build("e", a, k=8)
+        vi.append_batch("e", batch, 0)
+        return (spark.read.parquet(vi._assignments_dir("e"))
+                .select("vec_id", "bucket", "embedding").toPandas()
+                .sort_values(["vec_id", "bucket"])
+                .reset_index(drop=True))
+
+    r1 = run(str(tmp_path / "one"))
+    r2 = run(str(tmp_path / "two"))
+    pd.testing.assert_frame_equal(r1, r2)
+    n_ids = batch.select("vec_id").distinct().count()
+    assert (r1["vec_id"].isin(
+        [r.vec_id for r in dup_rows.collect()])).sum() == n_ids
