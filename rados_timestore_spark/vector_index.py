@@ -583,43 +583,53 @@ class VectorIndex:
         # the centroids version fixed, a redelivered id assigns to
         # the SAME bucket as before, so the existing-id anti-join
         # prunes to just the batch's own buckets — a partition-pruned
-        # single-column scan, never a full-table pass.  persist()
-        # keeps the Arrow assignment pass from running twice
-        # (micro-batch-sized by contract).
+        # single-column scan, never a full-table pass.  The stage
+        # write doubles as the materialization of the assignment pass
+        # (DISK, not persist() — pin() is the repo's only sanctioned
+        # cache route and its query-scoped lifecycle doesn't fit an
+        # index verb); the dedup then rewrites the stage from the
+        # stage itself, so assignment runs exactly once.
+        (assigned.write.mode("overwrite")
+         .partitionBy("bucket").parquet(stage))
         prefix = f"b{int(batch_id)}-"
-        pinned = assigned.persist()
-        try:
-            bks = [r.bucket for r in
-                   pinned.select("bucket").distinct().collect()]
-            fresh = pinned
-            if bks and self._has_buckets(ns):
-                # Sweep THIS batch's crashed-attempt files BEFORE
-                # reading `existing` (found by the crash fuzz): the
-                # promote loop replaces a bucket's b<id>- files with
-                # the stage's — if partially-promoted rows were
-                # instead left in `existing`, the anti-join would
-                # drop them from the stage and the sweep would then
-                # delete their only copy.  Same-batch files are
-                # uncommitted (the fence hasn't advanced), so
-                # removing them at any pre-commit point is safe.
-                for b in bks:
-                    tgt = f"{live}/bucket={b}"
-                    if not self.fs.is_dir(tgt):
-                        continue
-                    for st in self.fs.fs.listStatus(self.fs._path(tgt)):
-                        name = st.getPath().getName()
-                        if name.startswith(prefix):
-                            self.fs.delete(f"{tgt}/{name}",
-                                           recursive=False)
-                existing = (
-                    self.spark.read.parquet(live)
-                    .filter(F.col("bucket").isin(bks))
-                    .select("vec_id"))
-                fresh = pinned.join(existing, "vec_id", "left_anti")
+        bks = [int(d.split("=", 1)[1])
+               for d in self.fs.list_dirs(stage)
+               if d.startswith("bucket=")]
+        if bks and self._has_buckets(ns):
+            # Sweep THIS batch's crashed-attempt files BEFORE
+            # reading `existing` (found by the crash fuzz): the
+            # promote loop replaces a bucket's b<id>- files with
+            # the stage's — if partially-promoted rows were
+            # instead left in `existing`, the anti-join would
+            # drop them from the stage and the sweep would then
+            # delete their only copy.  Same-batch files are
+            # uncommitted (the fence hasn't advanced), so
+            # removing them at any pre-commit point is safe.
+            for b in bks:
+                tgt = f"{live}/bucket={b}"
+                if not self.fs.is_dir(tgt):
+                    continue
+                for st in self.fs.fs.listStatus(self.fs._path(tgt)):
+                    name = st.getPath().getName()
+                    if name.startswith(prefix):
+                        self.fs.delete(f"{tgt}/{name}",
+                                       recursive=False)
+            existing = (
+                self.spark.read.parquet(live)
+                .filter(F.col("bucket").isin(bks))
+                .select("vec_id"))
+            fresh = (self.spark.read.parquet(stage)
+                     .join(existing, "vec_id", "left_anti"))
+            dstage = f"{stage}.dedup"
+            if self.fs.exists(dstage):
+                self.fs.delete(dstage, recursive=True)
             (fresh.write.mode("overwrite")
-             .partitionBy("bucket").parquet(stage))
-        finally:
-            pinned.unpersist()
+             .partitionBy("bucket").parquet(dstage))
+            self.fs.delete(stage, recursive=True)
+            if not self.fs.rename(dstage, stage):
+                raise IOError(
+                    f"append_batch({ns!r}, {batch_id}): dedup-stage "
+                    f"swap failed")
         staged_buckets = [d for d in self.fs.list_dirs(stage)
                           if d.startswith("bucket=")]
         for d in staged_buckets:
