@@ -724,6 +724,11 @@ class VectorIndex:
             raise ValueError(f"enable_pq({ns!r}): dim {dim} not "
                              f"divisible by m {m}")
         dsub = dim // m
+        self._restore_remnants(ns)
+        if not self._has_buckets(ns):
+            raise VectorIndexNotBuilt(
+                f"vector index {ns!r} is empty (every vector "
+                f"deleted) — nothing to train codebooks on")
         live = self._assignments_dir(ns)
         scan = self.spark.read.parquet(live)
         cb_rows = (scan.select("vec_id", "embedding", "bucket")
@@ -1249,6 +1254,14 @@ class VectorIndex:
         query set).
         """
         doc = self.meta(ns)
+        if not self._has_buckets(ns):
+            self._restore_remnants(ns)
+            if not self._has_buckets(ns):
+                # empty index (delete-everything): empty result (the
+                # raw read would throw)
+                return self.spark.createDataFrame(
+                    [], "query_id long, neighbor_id long, "
+                        "cos double, rank int")
         cids, C = self._load_centroids(ns, int(doc["version"]))
         dim = doc["dim"]
 
