@@ -137,3 +137,71 @@ def test_store_crash_fuzz_strided(spark, tmp_path):
         got = probe(make(work))
         assert got == want, f"fuel={fuel}"
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_store_rollover_crash_fuzz_strided(spark, tmp_path):
+    # rollover_bytes=1: every write triggers _maybe_rollover's epoch
+    # cut + CAS, so the kill points land inside the R1 maintenance
+    # machinery (plus a mid-script rescale).  Same read-level law.
+    FSC = countdown_fs_class()
+
+    def make(root, fuel=None):
+        st = TimeStore(spark, root, rollover_bytes=1, fs_class=FSC)
+        st.fs.fuel = fuel
+        return st
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    pts = ev.select(
+        (F.col("user_id") * 2).alias("address"),
+        event_us(ev).alias("time"),
+        F.col("value").cast("long").alias("value"),
+        F.col("event_id").alias("seq"))
+    p0 = pts.filter(F.col("seq") % 3 == 0)
+    p1 = pts.filter(F.col("seq") % 3 == 1)
+    p2 = pts.filter(F.col("seq") % 3 == 2)
+    cutoff = int(pts.agg(
+        F.expr("percentile(time, 0.25)")).collect()[0][0])
+    addrs = [r.address for r in
+             pts.select("address").distinct().limit(6).collect()]
+
+    tmpl = str(tmp_path / "tmpl")
+    st = make(tmpl)
+    st.register_namespace("p", buckets=4)
+    st.write_points("p", p0)
+
+    def script(store):
+        store.gc("p")
+        store.write_points("p", p1)
+        store.rescale("p", 8)
+        store.write_points("p", p2)
+        store.compact("p")
+        store.expire("p", cutoff)
+
+    def probe(store):
+        rs = tuple(sorted(map(tuple,
+                   store.read_simple("p", 0, 1 << 62,
+                                     addrs).collect())))
+        return rs, store.latest("p"), store.verify("p")["ok"]
+
+    fin = str(tmp_path / "fin")
+    shutil.copytree(tmpl, fin)
+    dry = make(fin)
+    script(dry)
+    total = dry.fs.ops
+    want = probe(make(fin))
+    assert len(want[0]) > 0 and want[2]
+
+    for fuel in _strides(total):
+        work = str(tmp_path / f"k{fuel}")
+        shutil.copytree(tmpl, work)
+        try:
+            script(make(work, fuel=fuel))
+            # op counts can vary by a couple between runs
+            # (write_text_atomic's replace loop is state-dependent):
+            # a no-crash fuel is a clean run — compare and move on
+        except SimulatedCrash:
+            for lk in glob.glob(f"{work}/**/*.lock", recursive=True):
+                os.remove(lk)
+            script(make(work))
+        assert probe(make(work)) == want, f"fuel={fuel}"
+        shutil.rmtree(work, ignore_errors=True)
