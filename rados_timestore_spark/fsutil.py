@@ -48,6 +48,25 @@ class HadoopFS:
             if st.isDirectory()
         ]
 
+    def dir_has_partition_data(self, base: str, prefix: str) -> bool:
+        """True when ``base`` holds at least one ``<prefix>N``
+        partition directory containing a data file.  Shared by the
+        vector indexes' empty-index guards (review finding, r11:
+        deleting every vector leaves partition-less dirs whose raw
+        parquet read throws UNABLE_TO_INFER_SCHEMA — and keeping two
+        copies of this probe in sibling modules invited drift).
+        Short-circuits on the first non-empty partition, so the
+        common case is one listing."""
+        if not self.is_dir(base):
+            return False
+        for d in self.list_dirs(base):
+            if not d.startswith(prefix):
+                continue
+            for st in self.fs.listStatus(self._path(f"{base}/{d}")):
+                if not st.getPath().getName().startswith(("_", ".")):
+                    return True
+        return False
+
     def dir_size(self, p: str) -> int:
         """Total bytes under a directory (recursive content summary)."""
         path = self._path(p)

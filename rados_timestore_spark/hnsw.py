@@ -336,15 +336,7 @@ class HNSWIndex:
         after the swaps and every later verb/probe threw too).  Every
         read site guards with this; the first non-empty shard
         short-circuits."""
-        if not self.fs.is_dir(base):
-            return False
-        for d in self.fs.list_dirs(base):
-            if not d.startswith("shard="):
-                continue
-            for st in self.fs.fs.listStatus(self.fs._path(f"{base}/{d}")):
-                if not st.getPath().getName().startswith(("_", ".")):
-                    return True
-        return False
+        return self.fs.dir_has_partition_data(base, "shard=")
 
     def meta(self, ns: str) -> dict:
         import json
@@ -815,19 +807,28 @@ class HNSWIndex:
             # last shard swap but before its meta write (crash-fuzz
             # finding, r11, mirrored from VectorIndex): files are
             # final, meta is stale, `.deleting` stages may linger.
-            # Count the VECTORS table, not layer-0 graph rows: a
-            # zero-filter count is served from parquet footers
-            # (review finding — the layer filter forced a data-column
-            # scan on every no-match takedown), and in this branch
-            # the vector table is victim-free, i.e. already the final
-            # swapped state the graph recount would agree with.
-            n_live = int(
+            # Two-phase recount (two review findings balanced): the
+            # CHEAP footer-only vectors count is the suspicion
+            # trigger — only when it disagrees with the meta does the
+            # exact layer-0 graph count run (a data-column scan).
+            # The vectors table may legitimately hold duplicate or
+            # un-graphed rows (a crashed unfenced append's re-append
+            # leftovers), so its raw count can run HIGH — it must
+            # never be WRITTEN as n_vectors, only arm the check; the
+            # graph is the source of truth, same as every commit
+            # recount.
+            n_vec = int(
                 self.spark.read.parquet(vdir).count()
-            ) if self.fs.exists(vdir) else 0
-            if int(doc["n_vectors"]) != n_live:
-                doc["n_vectors"] = n_live
-                doc["version"] = int(doc["version"]) + 1
-                self._write_meta(ns, doc)
+            ) if self._dir_has_data(vdir) else 0
+            if int(doc["n_vectors"]) != n_vec:
+                n_live = int(
+                    self.spark.read.parquet(gdir)
+                    .filter(F.col("layer") == 0).count()
+                ) if self._dir_has_data(gdir) else 0
+                if int(doc["n_vectors"]) != n_live:
+                    doc["n_vectors"] = n_live
+                    doc["version"] = int(doc["version"]) + 1
+                    self._write_meta(ns, doc)
             for st in (f"{gdir}.deleting", f"{vdir}.deleting"):
                 if self.fs.exists(st):
                     self.fs.delete(st, recursive=True)
@@ -936,9 +937,15 @@ class HNSWIndex:
         rebuild.  Callers exact-rerank the union."""
         doc = self.meta(ns)
         self._restore_shard_remnants(ns)
-        if not self._dir_has_data(self._vectors_dir(ns)):
-            # empty index (delete-everything): empty candidates (the
-            # shard-less raw read would throw)
+        if (not self._dir_has_data(self._vectors_dir(ns))
+                or not self._dir_has_data(self._graph_dir(ns))):
+            # Empty index (delete-everything): empty candidates —
+            # the shard-less raw read would throw.  BOTH dirs are
+            # checked (review finding): an append crashing between
+            # its vector promote and graph swap on an emptied index
+            # leaves vdir populated but gdir shard-less; serving the
+            # pre-batch (empty) state is the consistent answer until
+            # the batch replays.
             return self.spark.createDataFrame(
                 [], "query_id long, neighbor_id long")
         m, ef_c = doc["m"], doc["ef_construction"]

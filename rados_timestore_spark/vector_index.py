@@ -388,25 +388,14 @@ class VectorIndex:
 
     def _has_buckets(self, ns: str) -> bool:
         """True when the assignments dir holds at least one bucket
-        partition with a data file.  A delete() that removes EVERY
-        bucket leaves the dir holding only ``_SUCCESS`` — and a
-        swept crashed append attempt can leave an EMPTY bucket dir —
-        reading either shape throws UNABLE_TO_INFER_SCHEMA (review
-        finding, r11), so every read of the live table must treat
-        them as empty, the same empty-is-absent convention the store
-        uses for drained generations.  Fast path: the first
-        non-empty bucket short-circuits, so the common case is one
-        listing."""
-        live = self._assignments_dir(ns)
-        if not self.fs.is_dir(live):
-            return False
-        for d in self.fs.list_dirs(live):
-            if not d.startswith("bucket="):
-                continue
-            for st in self.fs.fs.listStatus(self.fs._path(f"{live}/{d}")):
-                if not st.getPath().getName().startswith(("_", ".")):
-                    return True
-        return False
+        partition with a data file — every read of the live table
+        treats bucket-less (delete-everything) or data-less (swept
+        crashed attempt) dirs as the empty index, the same
+        empty-is-absent convention the store uses for drained
+        generations (raw reads of either shape throw
+        UNABLE_TO_INFER_SCHEMA; review finding, r11)."""
+        return self.fs.dir_has_partition_data(
+            self._assignments_dir(ns), "bucket=")
 
     def _recount(self, ns: str) -> int:
         """Row count of the live assignments table — the source of
@@ -592,6 +581,7 @@ class VectorIndex:
         (assigned.write.mode("overwrite")
          .partitionBy("bucket").parquet(stage))
         prefix = f"b{int(batch_id)}-"
+        existing = None
         bks = [int(d.split("=", 1)[1])
                for d in self.fs.list_dirs(stage)
                if d.startswith("bucket=")]
@@ -614,10 +604,18 @@ class VectorIndex:
                     if name.startswith(prefix):
                         self.fs.delete(f"{tgt}/{name}",
                                        recursive=False)
-            existing = (
-                self.spark.read.parquet(live)
-                .filter(F.col("bucket").isin(bks))
-                .select("vec_id"))
+            if not self._has_buckets(ns):
+                # the sweep just removed the live dir's ONLY data
+                # files (a crashed attempt of this batch on an
+                # otherwise-empty index) — nothing left to dedup
+                # against; reading it would throw (review finding)
+                existing = None
+            else:
+                existing = (
+                    self.spark.read.parquet(live)
+                    .filter(F.col("bucket").isin(bks))
+                    .select("vec_id"))
+        if existing is not None:
             fresh = (self.spark.read.parquet(stage)
                      .join(existing, "vec_id", "left_anti"))
             dstage = f"{stage}.dedup"
@@ -726,8 +724,12 @@ class VectorIndex:
         dsub = dim // m
         self._restore_remnants(ns)
         if not self._has_buckets(ns):
-            raise VectorIndexNotBuilt(
-                f"vector index {ns!r} is empty (every vector "
+            # ValueError, NOT VectorIndexNotBuilt: the index IS built
+            # (meta exists) — retry logic that maps NotBuilt to
+            # "re-run build()" must not fire on a transient
+            # delete-everything state (review finding)
+            raise ValueError(
+                f"enable_pq({ns!r}): index is empty (every vector "
                 f"deleted) — nothing to train codebooks on")
         live = self._assignments_dir(ns)
         scan = self.spark.read.parquet(live)
@@ -872,12 +874,15 @@ class VectorIndex:
         CBm = self._load_pq(ns, doc)
         if not self._has_buckets(ns):
             # every bucket deleted: empty index, empty result (the
-            # raw read would throw UNABLE_TO_INFER_SCHEMA)
+            # raw read would throw UNABLE_TO_INFER_SCHEMA).  The
+            # schema must match the mode: the ADC-only path emits
+            # approx_d2, the refine path emits cos (review finding).
             self._restore_remnants(ns)
             if not self._has_buckets(ns):
+                score = "approx_d2" if rerank is None else "cos"
                 return self.spark.createDataFrame(
-                    [], "query_id long, neighbor_id long, "
-                        "cos double, rank int")
+                    [], f"query_id long, neighbor_id long, "
+                        f"{score} double, rank int")
         probe_buckets, all_buckets = self._route_buckets(
             ns, queries, nprobe, doc)
 

@@ -85,7 +85,15 @@ def _sweep(name, make, tmpl, script, probe, stride, root):
             # identical runs (write_text_atomic's bounded replace
             # loop is state-dependent): a fuel at/past this run's
             # total is simply a clean run — still compare, skip the
-            # replay.
+            # replay.  Gated to the last few boundaries (review
+            # finding): accepting ANY non-crash would let a
+            # fuel-plumbing regression turn the whole sweep
+            # vacuously green.
+            if fuel < total - 3:
+                raise AssertionError(
+                    f"fuel={fuel} did not crash but is far from the "
+                    f"dry-run total {total} — the countdown FS is "
+                    f"not seeing this scenario's mutations")
             where = "no crash (op-count variance) — clean run"
             got = probe(make(w))
             ok = got == want
