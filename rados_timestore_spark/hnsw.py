@@ -567,7 +567,8 @@ class HNSWIndex:
 
     def append_batch(self, ns: str, emb, batch_id: int,
                      id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> dict:
+                     vec_col: str = "embedding",
+                     app_id: str | None = None) -> dict:
         """IDEMPOTENT append keyed by a monotone ``batch_id`` — the
         exactly-once ingest primitive for streaming (foreachBatch
         passes its micro-batch id), mirroring
@@ -587,11 +588,20 @@ class HNSWIndex:
         * the meta write (last_batch_id + n_vectors RECOUNTED from the
           graph's layer-0 rows) is the commit point, after which the
           fence makes the batch a no-op.
+
+        ``app_id`` (r12, ADVICE r11) scopes the fence to one
+        checkpoint lineage (fence in ``meta['batch_fences']`` — see
+        :meth:`VectorIndex.append_batch`): micro-batch ids restart at
+        0 under a new checkpoint directory, and the unscoped fence
+        would silently drop the new lineage's early batches.
         """
         from pyspark.sql import functions as F
 
         doc = self.meta(ns)
-        if int(batch_id) <= int(doc.get("last_batch_id", -1)):
+        fence = (int(doc.get("batch_fences", {}).get(app_id, -1))
+                 if app_id is not None
+                 else int(doc.get("last_batch_id", -1)))
+        if int(batch_id) <= fence:
             return doc
         self._restore_shard_remnants(ns)
         shards, m, ef_c = doc["shards"], doc["m"], doc["ef_construction"]
@@ -609,7 +619,13 @@ class HNSWIndex:
         # STORED embedding must not flip between a crashed attempt
         # and its replay
         vdir, gdir = self._vectors_dir(ns), self._graph_dir(ns)
-        prefix = f"b{int(batch_id)}-"
+        # lineage-scoped prefix (see VectorIndex.append_batch): two
+        # lineages' equal batch ids must never sweep each other's
+        # committed vector files
+        from rados_timestore_spark.vector_index import _app_tag
+
+        prefix = (f"b{int(batch_id)}-" if app_id is None
+                  else f"a{_app_tag(app_id)}b{int(batch_id)}-")
         # Sweep THIS batch's leftover vector files before anything
         # reads vdir: a crashed attempt of the same batch may have
         # promoted them, and they must not count as "already indexed"
@@ -744,7 +760,13 @@ class HNSWIndex:
             self.spark.read.parquet(gdir)
             .filter(F.col("layer") == 0).count()
         ) if self._dir_has_data(gdir) else 0
-        doc["last_batch_id"] = int(batch_id)
+        if app_id is not None:
+            fences = dict(doc.get("batch_fences", {}))
+            fences[app_id] = max(int(fences.get(app_id, -1)),
+                                 int(batch_id))
+            doc["batch_fences"] = fences
+        else:
+            doc["last_batch_id"] = int(batch_id)
         doc["version"] = int(doc["version"]) + 1
         self._write_meta(ns, doc)
         return doc

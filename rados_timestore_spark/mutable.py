@@ -253,7 +253,8 @@ class MutableKV:
                    merge: Callable[[bytes, bytes], bytes],
                    associative: bool = False,
                    salt: int = 32,
-                   batch_id: int | None = None) -> None:
+                   batch_id: int | None = None,
+                   app_id: str | None = None) -> None:
         """Bulk MERGE of an update batch into the latest-view — M3's
         read-merge-append (``insertWith``, Mutable.hs:83-103)
         re-expressed as the generation-swap MERGE a lakehouse table
@@ -302,17 +303,58 @@ class MutableKV:
         Unfenced merge_into is NOT crash-replay idempotent — a replay
         double-applies the batch — so at-least-once sources MUST pass
         their micro-batch id (foreachBatch's contract: ids are
-        monotone and a redelivered batch keeps its id)."""
+        monotone and a redelivered batch keeps its id).
+
+        ``app_id`` (r12, ADVICE r11): scopes the fence to ONE stream
+        lineage, Delta's ``(txnAppId, txnVersion)`` idempotent-write
+        pattern.  Micro-batch ids are only monotone WITHIN a
+        checkpoint lineage — a stream restarted with a new checkpoint
+        directory restarts them at 0, and the unscoped fence would
+        silently skip every batch at or below the old high-water mark
+        (silent data loss).  With ``app_id`` set, the fence lives in
+        ``meta.merge_fences[app_id]`` and a new lineage (new app id)
+        starts fresh.  :func:`streaming.ingest.stream_kv_merges`
+        derives the app id from the checkpoint's own query id, so
+        callers get lineage-scoped fencing by default.  WARNING: when
+        fencing with a bare ``batch_id`` (no app id), the checkpoint
+        lineage must NEVER be reset against an existing namespace — a
+        regressed id is indistinguishable from a completed replay and
+        is skipped.
+
+        ``updates`` rows with a NULL ``value`` are rejected up front
+        (clear driver-side error): a NULL would crash ``bytes()`` deep
+        in an executor, and under a batch fence the poison batch would
+        then fail every redelivery without ever advancing the fence
+        (ADVICE r11).  Tombstone deletes go through
+        :meth:`delete_bulk`, which encodes them explicitly."""
         from rados_timestore_spark.store import place_bucket_by_index
 
-        if batch_id is not None and int(batch_id) <= int(
-                self.store._read_meta(self.ns).merge_batch_id):
-            return  # completed replay — fenced no-op
+        if app_id is not None and batch_id is None:
+            raise ValueError(
+                f"merge_into({self.ns!r}): app_id={app_id!r} requires "
+                f"a batch_id — the fence is keyed on (app_id, batch_id)")
+        if batch_id is not None:
+            meta0 = self.store._read_meta(self.ns)
+            fence = (meta0.merge_fences.get(app_id, -1)
+                     if app_id is not None else meta0.merge_batch_id)
+            if int(batch_id) <= int(fence):
+                return  # completed replay — fenced no-op
 
         def _fence(m):
-            if batch_id is not None:
+            if batch_id is None:
+                return
+            if app_id is not None:
+                m.merge_fences[app_id] = max(
+                    m.merge_fences.get(app_id, -1), int(batch_id))
+            else:
                 m.merge_batch_id = max(m.merge_batch_id, int(batch_id))
 
+        bad = updates.filter(F.col("value").isNull()).select("key").head(1)
+        if bad:
+            raise ValueError(
+                f"merge_into({self.ns!r}): NULL update value for key "
+                f"{bad[0][0]} — merge folds require bytes; tombstone "
+                f"deletes go through delete_bulk")
         if "seq" not in updates.columns:
             updates = updates.withColumn(
                 "seq", F.monotonically_increasing_id())

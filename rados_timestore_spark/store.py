@@ -34,7 +34,7 @@ from __future__ import annotations
 import json
 import os
 from contextlib import contextmanager
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from functools import cached_property
 from typing import Sequence
 
@@ -88,6 +88,17 @@ class _Meta:
     #: analog of VectorIndex.append_batch's last_batch_id.  -1 =
     #: never fenced; existing metas deserialize unchanged.
     merge_batch_id: int = -1
+    #: Per-application merge fences (r12, ADVICE r11): Spark restarts
+    #: micro-batch ids at 0 whenever a stream gets a NEW checkpoint
+    #: directory, so the single ``merge_batch_id`` fence above would
+    #: silently skip every replayed-looking batch of the new lineage —
+    #: silent data loss.  Keying the fence on ``(app_id, batch_id)``
+    #: (Delta's ``(txnAppId, txnVersion)`` idempotent-write pattern)
+    #: scopes the monotonicity contract to one checkpoint lineage;
+    #: ``stream_kv_merges`` derives the app id from the checkpoint's
+    #: own query id, so a fresh checkpoint is a fresh fence.  Empty =
+    #: never fenced; existing metas deserialize unchanged.
+    merge_fences: dict = field(default_factory=dict)
     #: Separate extended-kind index (reference parity: TimeStore.hs:74-90
     #: registers simpleBucketCount and extendedBucketCount, and
     #: Index.hs:45-49 keeps simple_days/extended_days as two documents
@@ -129,6 +140,9 @@ class _Meta:
             d["index_extended"] = self.index_extended.to_json()
         if self.merge_batch_id >= 0:
             d["merge_batch_id"] = self.merge_batch_id
+        if self.merge_fences:
+            d["merge_fences"] = {
+                str(k): int(v) for k, v in self.merge_fences.items()}
         return d
 
     @classmethod
@@ -143,6 +157,8 @@ class _Meta:
             txn=int(d.get("txn", 0)),
             expire_gen=int(d.get("expire_gen", 0)),
             merge_batch_id=int(d.get("merge_batch_id", -1)),
+            merge_fences={str(k): int(v)
+                          for k, v in d.get("merge_fences", {}).items()},
             index_extended=None if xe is None else Index.from_json(xe),
         )
 
@@ -1594,7 +1610,7 @@ class TimeStore:
         )
         return report
 
-    def gc(self, ns: str) -> list[str]:
+    def gc(self, ns: str, tmp_stale_after: float = 60.0) -> list[str]:
         """Remove stale points generations (crashed compactions leave
         orphan ``points_v{N}`` directories that were never flipped
         live).  Returns the deleted directory names.
@@ -1616,16 +1632,30 @@ class TimeStore:
         an already-broken lock — but they accumulate listing overhead
         forever without a sweeper.  ``.bak`` files are NOT swept:
         they are ``exists_or_recover``'s crash insurance.
+
+        The file sweep only takes names older than ``tmp_stale_after``
+        seconds (default = ``_flip_lock``'s staleness horizon — the
+        bound on how long any healthy writer holds a lock or an
+        un-renamed tmp): a CONCURRENT writer mid
+        ``write_text_atomic`` has a young tmp whose deletion would
+        fail its meta flip (ADVICE r11), and a young ``.lock.stale.``
+        tomb belongs to a stale-breaker still between its rename and
+        delete.  Crashed remnants age past the horizon and sweep on
+        the next pass.
         """
         meta = self._read_meta(ns)
         live_v = meta.points_version
         deleted = []
         nsdir = self._ns_dir(ns)
+        horizon_ms = int(tmp_stale_after * 1000)
+        now_ms = int(self.fs._jvm.java.lang.System.currentTimeMillis())
         for st in self.fs.fs.listStatus(self.fs._path(nsdir)):
             if st.isDirectory():
                 continue
             name = st.getPath().getName()
             if ".tmp." in name or ".lock.stale." in name:
+                if now_ms - int(st.getModificationTime()) < horizon_ms:
+                    continue  # possibly an in-flight writer's file
                 self.fs.delete(f"{nsdir}/{name}", recursive=False)
                 deleted.append(name)
         for name in self.fs.list_dirs(self._ns_dir(ns)):

@@ -30,10 +30,44 @@ metadata only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import json
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from rados_timestore_spark.store import TimeStore
+
+
+def checkpoint_app_id(spark: SparkSession, checkpoint_dir: str) -> str:
+    """Stable identifier of a checkpoint LINEAGE, for keying
+    exactly-once batch fences (ADVICE r11): Spark persists the
+    streaming query id in ``<checkpoint>/metadata`` at first start —
+    stable across every restart from the same checkpoint, fresh
+    whenever the checkpoint directory is new OR deleted-and-recreated.
+    Keying a fence on ``(this id, batch_id)`` is Delta's
+    ``(txnAppId, txnVersion)`` idempotent-write pattern: a new
+    lineage restarts micro-batch ids at 0, and an unscoped fence
+    would silently skip all of them as completed replays.
+
+    Falls back to the checkpoint path itself when the metadata file
+    is unreadable (e.g. called before the query's first start) —
+    that still separates distinct checkpoint locations, just not a
+    recreated one.
+    """
+    from rados_timestore_spark.fsutil import HadoopFS
+
+    try:
+        fs = HadoopFS(spark, checkpoint_dir)
+        text = fs.read_text(f"{checkpoint_dir}/metadata")
+        for line in text.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                qid = json.loads(line).get("id")
+                if qid:
+                    return f"q-{qid}"
+    except Exception:
+        pass
+    return f"ckpt-{checkpoint_dir.rstrip('/')}"
 
 
 def stream_points(
@@ -83,30 +117,47 @@ def stream_kv_merges(
     associative: bool = False,
     trigger: dict | None = None,
     query_name: str | None = None,
+    app_id: str | None = "auto",
 ) -> StreamingQuery:
     """Continuous MERGE ingest into a :class:`MutableKV` — each
     micro-batch runs ``kv.merge_into(batch, merge,
-    batch_id=micro_batch_id)``.
+    batch_id=micro_batch_id, app_id=<lineage id>)``.
 
     Exactly-once comes from the r11 batch fence: foreachBatch
     redelivers a failed micro-batch under the SAME id, and
-    ``merge_into`` skips any batch at or below the meta's committed
-    ``merge_batch_id`` — the fence advances inside the same CAS flip
-    that commits the merged generation, so a crash at any point
-    replays to single-application state (crash-fuzz swept,
+    ``merge_into`` skips any batch at or below the committed fence —
+    the fence advances inside the same CAS flip that commits the
+    merged generation, so a crash at any point replays to
+    single-application state (crash-fuzz swept,
     tools/store_crash_fuzz.py).  This is the pairing the unfenced
     ``merge_into`` docstring demands for at-least-once sources.
+
+    ``app_id`` (r12, ADVICE r11): by default (``"auto"``) the fence
+    is keyed on the checkpoint lineage via
+    :func:`checkpoint_app_id`, so restarting the stream with a NEW
+    checkpoint directory — whose micro-batch ids restart at 0 —
+    starts a fresh fence instead of silently skipping every batch at
+    or below the old high-water mark.  Pass an explicit string to
+    name the lineage yourself, or ``None`` for the legacy unscoped
+    fence (then the checkpoint must NEVER be reset against an
+    existing namespace).
 
     ``source``: streaming (key long, value binary[, seq long]).
     """
     if not source.isStreaming:
         raise ValueError("source must be a streaming DataFrame")
 
+    resolved: list[str | None] = []
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if not resolved:
+            resolved.append(
+                checkpoint_app_id(batch_df.sparkSession, checkpoint_dir)
+                if app_id == "auto" else app_id)
         kv.merge_into(batch_df, merge, associative=associative,
-                      batch_id=batch_id)
+                      batch_id=batch_id, app_id=resolved[0])
 
     writer = (
         source.writeStream.foreachBatch(write_batch)

@@ -69,6 +69,17 @@ _META = "_vidx_meta.json"
 _PQ_MARKER = "_pq_meta.json"
 
 
+def _app_tag(app_id: str) -> str:
+    """Filesystem-safe stable tag for an ingest lineage id — embedded
+    in per-batch file prefixes so two lineages' equal batch ids never
+    sweep each other's committed files (see append_batch).  sha1 is
+    fine here: the tag only needs to separate lineages, not resist an
+    adversary, and 12 hex chars keep promoted file names short."""
+    import hashlib
+
+    return hashlib.sha1(app_id.encode("utf-8")).hexdigest()[:12]
+
+
 def dedup_ids_deterministic(df: DataFrame, id_col: str,
                             vec_col: str) -> DataFrame:
     """Within-batch id dedup with a DETERMINISTIC winner: keep the
@@ -531,7 +542,8 @@ class VectorIndex:
 
     def append_batch(self, ns: str, emb: DataFrame, batch_id: int,
                      id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> dict:
+                     vec_col: str = "embedding",
+                     app_id: str | None = None) -> dict:
         """IDEMPOTENT append keyed by a monotone ``batch_id`` — the
         exactly-once ingest primitive for streaming (foreachBatch
         passes its micro-batch id).  Replaying any prefix of batches
@@ -548,10 +560,21 @@ class VectorIndex:
           point, after which the fence makes the batch a no-op.
 
         Batch ids must be handed in monotonically increasing order
-        (Structured Streaming's contract for foreachBatch).
+        (Structured Streaming's contract for foreachBatch) — but only
+        WITHIN one checkpoint lineage: a stream restarted with a new
+        checkpoint restarts them at 0.  ``app_id`` (r12, ADVICE r11)
+        scopes the fence to one lineage (Delta's (txnAppId,
+        txnVersion) pattern, fence in ``meta['batch_fences']``);
+        :func:`streaming.vector_ingest.stream_vectors` derives it
+        from the checkpoint's query id.  Without an app id, the
+        checkpoint lineage must never be reset against an existing
+        index — a regressed id is skipped as a completed replay.
         """
         doc = self.meta(ns)
-        if int(batch_id) <= int(doc.get("last_batch_id", -1)):
+        fence = (int(doc.get("batch_fences", {}).get(app_id, -1))
+                 if app_id is not None
+                 else int(doc.get("last_batch_id", -1)))
+        if int(batch_id) <= fence:
             return doc
         self._restore_remnants(ns)
         cids, C = self._load_centroids(ns, int(doc["version"]))
@@ -580,41 +603,44 @@ class VectorIndex:
         # stage itself, so assignment runs exactly once.
         (assigned.write.mode("overwrite")
          .partitionBy("bucket").parquet(stage))
-        prefix = f"b{int(batch_id)}-"
+        # The per-batch file prefix must be scoped like the fence:
+        # two lineages both have a "batch 0", and an unscoped b0-
+        # sweep would delete the OTHER lineage's committed batch-0
+        # files as "crashed-attempt remnants" (caught by the r12
+        # lineage tests — silent data loss).  Unkeyed callers keep
+        # the legacy b<id>- shape.
+        prefix = (f"b{int(batch_id)}-" if app_id is None
+                  else f"a{_app_tag(app_id)}b{int(batch_id)}-")
         existing = None
         bks = [int(d.split("=", 1)[1])
                for d in self.fs.list_dirs(stage)
                if d.startswith("bucket=")]
+        # Sweep THIS batch's crashed-attempt files from the WHOLE
+        # live tree BEFORE reading `existing` (found by the crash
+        # fuzz): the promote loop replaces a bucket's b<id>- files
+        # with the stage's — if partially-promoted rows were instead
+        # left in `existing`, the anti-join would drop them from the
+        # stage and the sweep would then delete their only copy.
+        # Same-batch files are uncommitted (the fence hasn't
+        # advanced), so removing them at any pre-commit point is
+        # safe.  Whole-tree, not per-staged-bucket (ADVICE r11): if
+        # the centroids were retrained between the crashed attempt
+        # and this replay, the old attempt's files can sit in buckets
+        # OUTSIDE this replay's staged set — the HNSW path's
+        # sweep_files shape, cross-applied.  (A retrain via build()
+        # also rewrites the assignments dir wholesale, but the sweep
+        # must not depend on that implementation detail.)
+        if self._has_buckets(ns):
+            self.fs.sweep_files(live, prefix)
+        # re-probe AFTER the sweep: it may have removed the live
+        # dir's ONLY data files (a crashed attempt of this batch on
+        # an otherwise-empty index) — nothing left to dedup against;
+        # reading it would throw (review finding)
         if bks and self._has_buckets(ns):
-            # Sweep THIS batch's crashed-attempt files BEFORE
-            # reading `existing` (found by the crash fuzz): the
-            # promote loop replaces a bucket's b<id>- files with
-            # the stage's — if partially-promoted rows were
-            # instead left in `existing`, the anti-join would
-            # drop them from the stage and the sweep would then
-            # delete their only copy.  Same-batch files are
-            # uncommitted (the fence hasn't advanced), so
-            # removing them at any pre-commit point is safe.
-            for b in bks:
-                tgt = f"{live}/bucket={b}"
-                if not self.fs.is_dir(tgt):
-                    continue
-                for st in self.fs.fs.listStatus(self.fs._path(tgt)):
-                    name = st.getPath().getName()
-                    if name.startswith(prefix):
-                        self.fs.delete(f"{tgt}/{name}",
-                                       recursive=False)
-            if not self._has_buckets(ns):
-                # the sweep just removed the live dir's ONLY data
-                # files (a crashed attempt of this batch on an
-                # otherwise-empty index) — nothing left to dedup
-                # against; reading it would throw (review finding)
-                existing = None
-            else:
-                existing = (
-                    self.spark.read.parquet(live)
-                    .filter(F.col("bucket").isin(bks))
-                    .select("vec_id"))
+            existing = (
+                self.spark.read.parquet(live)
+                .filter(F.col("bucket").isin(bks))
+                .select("vec_id"))
         if existing is not None:
             fresh = (self.spark.read.parquet(stage)
                      .join(existing, "vec_id", "left_anti"))
@@ -654,7 +680,13 @@ class VectorIndex:
         # crash-after-promote replay and any redelivery the anti-join
         # already filtered — `n_vectors == count(rows)` is invariant.
         doc["n_vectors"] = self._recount(ns)
-        doc["last_batch_id"] = int(batch_id)
+        if app_id is not None:
+            fences = dict(doc.get("batch_fences", {}))
+            fences[app_id] = max(int(fences.get(app_id, -1)),
+                                 int(batch_id))
+            doc["batch_fences"] = fences
+        else:
+            doc["last_batch_id"] = int(batch_id)
         self._write_meta(ns, doc)
         return doc
 

@@ -46,6 +46,8 @@ def test_hnswidx_crash_fuzz_strided(spark, tmp_path):
     victims = [r.vec_id for r in
                emb.filter(F.col("vec_id") % 10 == 4)
                .select("vec_id").collect()]
+    # r12: second lineage reusing batch id 0 (see tools twin)
+    d = emb.filter(F.col("vec_id") % 10 == 9)
     qs = _queries(spark)
 
     def make(root):
@@ -54,6 +56,7 @@ def test_hnswidx_crash_fuzz_strided(spark, tmp_path):
     def script(ix):
         ix.append_batch("e", b, 0)
         ix.append_batch("e", c, 1)
+        ix.append_batch("e", d, 0, app_id="L2")  # new lineage, id 0
         ix.delete("e", victims)
         ix.compact("e")
 
@@ -94,6 +97,8 @@ def test_vecidx_crash_fuzz_strided(spark, tmp_path):
     victims = [r.vec_id for r in
                emb.filter(F.col("vec_id") % 10 == 4)
                .select("vec_id").collect()]
+    # r12: second lineage reusing batch id 0 (see tools twin)
+    d = emb.filter(F.col("vec_id") % 10 == 9)
     qs = [(qid, list(map(float, v))) for qid, v in _queries(spark)]
 
     def make(root):
@@ -105,6 +110,7 @@ def test_vecidx_crash_fuzz_strided(spark, tmp_path):
     def script(ix):
         ix.append_batch("e", b, 0)
         ix.append_batch("e", c, 1)
+        ix.append_batch("e", d, 0, app_id="L2")  # new lineage, id 0
         ix.delete("e", victims)
         ix.compact("e")
         ix.enable_pq("e", m=4, ksub=16, residual=True)

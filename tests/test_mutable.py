@@ -580,3 +580,67 @@ def test_merge_into_fence_assoc_on_empty_kv(store):
     kv.merge_into(b0, mrg, batch_id=3)
     assert kv.lookup(2) == b"\x03"
     assert store.verify(kv.ns)["ok"]
+
+
+def test_merge_into_app_scoped_fence(store):
+    # r12 (ADVICE r11): micro-batch ids are only monotone WITHIN one
+    # checkpoint lineage — restarting a stream with a NEW checkpoint
+    # restarts them at 0, and the unscoped fence would silently skip
+    # the new lineage's batches (silent data loss).  app_id keys the
+    # fence per lineage (Delta's (txnAppId, txnVersion) pattern).
+    mrg = lambda new, old: old + b"|" + new  # noqa: E731
+    store.register_namespace("FENCEK", buckets=4)
+    kv = MutableKV(store, "FENCEK")
+    b0 = store.spark.createDataFrame(
+        [(2, bytearray(b"a"), 0)], "key long, value binary, seq long")
+    kv.merge_into(b0, mrg, batch_id=5, app_id="stream-A")
+    assert kv.lookup(2) == b"a"
+    # same lineage, replayed/stale ids: fenced no-ops
+    kv.merge_into(b0, mrg, batch_id=5, app_id="stream-A")
+    kv.merge_into(b0, mrg, batch_id=0, app_id="stream-A")
+    assert kv.lookup(2) == b"a"
+    # NEW lineage (fresh checkpoint): batch 0 must APPLY, not skip —
+    # exactly the case the unscoped fence gets wrong
+    kv.merge_into(b0, mrg, batch_id=0, app_id="stream-B")
+    assert kv.lookup(2) == b"a|a"
+    # lineages are independent: A's fence (5) unaffected by B's (0)
+    b1 = store.spark.createDataFrame(
+        [(2, bytearray(b"c"), 0)], "key long, value binary, seq long")
+    kv.merge_into(b1, mrg, batch_id=6, app_id="stream-A")
+    assert kv.lookup(2) == b"a|a|c"
+    # fences survive the meta round-trip
+    m = store._read_meta(kv.ns)
+    assert m.merge_fences == {"stream-A": 6, "stream-B": 0}
+    # and the unscoped fence is untouched by keyed merges
+    assert m.merge_batch_id == -1
+    # app_id without batch_id is a contract error
+    import pytest
+    with pytest.raises(ValueError, match="requires a batch_id"):
+        kv.merge_into(b1, mrg, app_id="stream-A")
+    assert store.verify(kv.ns)["ok"]
+
+
+def test_merge_into_rejects_null_values(store):
+    # r12 (ADVICE r11): a NULL update value used to crash bytes()
+    # deep in an executor; under a fence the poison batch then failed
+    # every redelivery without advancing the fence.  Now a clear
+    # driver-side ValueError before any write, on BOTH fold paths.
+    import pytest
+
+    mrg = lambda new, old: old + new  # noqa: E731
+    store.register_namespace("FENCEN", buckets=4)
+    kv = MutableKV(store, "FENCEN")
+    kv.insert(2, b"seed")
+    bad = store.spark.createDataFrame(
+        [(2, bytearray(b"x"), 0), (4, None, 1)],
+        "key long, value binary, seq long")
+    for kw in ({}, {"associative": True}, {"batch_id": 0}):
+        with pytest.raises(ValueError, match="NULL update value"):
+            kv.merge_into(bad, mrg, **kw)
+    # nothing was applied, no fence advanced, store still healthy
+    assert kv.lookup(2) == b"seed" and kv.lookup(4) is None
+    assert store._read_meta(kv.ns).merge_batch_id == -1
+    good = store.spark.createDataFrame(
+        [(2, bytearray(b"y"), 0)], "key long, value binary, seq long")
+    kv.merge_into(good, mrg, batch_id=0)
+    assert kv.lookup(2) == b"seedy"

@@ -914,11 +914,20 @@ def test_write_points_leaves_no_stage_dirs_and_gc_sweeps_orphans(
     # crashed FILE remnants (r11): a writer killed inside
     # write_text_atomic leaves a .tmp.*; a stale-breaker killed
     # between its rename and delete leaves a .lock.stale.* tomb.
-    # gc sweeps both; .bak (crash insurance) survives.
+    # gc sweeps both ONCE THEY AGE past the staleness horizon —
+    # a YOUNG tmp may belong to a concurrently running writer whose
+    # meta flip would fail if gc deleted it mid-write (ADVICE r11) —
+    # and .bak (crash insurance) survives at any age.
     ns = store._ns_dir("S")
     for leftover in ("_meta.json.tmp.123.456",
                      "_meta.json.lock.stale.1.2"):
         store.fs.create_exclusive(f"{ns}/{leftover}", b"junk")
+    assert store.gc("S") == []  # both too young: in-flight-writer safe
+    assert store.fs.exists(f"{ns}/_meta.json.tmp.123.456")
+    # age them past the horizon (Hadoop setTimes, ms)
+    for leftover in ("_meta.json.tmp.123.456",
+                     "_meta.json.lock.stale.1.2"):
+        store.fs.fs.setTimes(store.fs._path(f"{ns}/{leftover}"), 1000, -1)
     swept = store.gc("S")
     assert "_meta.json.tmp.123.456" in swept
     assert "_meta.json.lock.stale.1.2" in swept

@@ -1388,9 +1388,77 @@ def test_stream_kv_merges_kill_and_resume_exactly_once(spark, tmp_path):
     run_once()            # no new data: fenced no-ops all the way
     want = bytes([1 + 10 + 11 + 12])
     assert {k: kv.lookup(k) for k in keys} == {k: want for k in keys}
+    # the helper fenced under the checkpoint's lineage id (r12) —
+    # ONE app key, high-water mark = batch 2
+    fences = store._read_meta(kv.ns).merge_fences
+    assert list(fences.values()) == [2]
+    (lineage,) = fences
     # a stale out-of-band redelivery of an already-committed batch id
+    # UNDER THE SAME LINEAGE is a fenced no-op
     kv.merge_into(spark.createDataFrame(
         [(k, bytearray([11]), k) for k in keys], schema),
-        mrg, batch_id=1)
+        mrg, batch_id=1, app_id=lineage)
     assert kv.lookup(0) == want
     assert store.verify(kv.ns)["ok"]
+
+
+def test_stream_kv_merges_new_checkpoint_lineage_not_skipped(
+        spark, tmp_path):
+    # r12 (ADVICE r11): restarting the MERGE stream with a FRESH
+    # checkpoint directory restarts micro-batch ids at 0; the
+    # lineage-keyed fence must APPLY them — the old unscoped fence
+    # skipped everything at or below the previous high-water mark
+    # (silent data loss).
+    import os
+    import time as _t
+
+    from rados_timestore_spark.mutable import MutableKV
+    from rados_timestore_spark.streaming.ingest import stream_kv_merges
+
+    mrg = (lambda new, old: old + b"|" + new)
+    store = TimeStore(spark, str(tmp_path / "wh"))
+    store.register_namespace("K", buckets=4)
+    kv = MutableKV(store, "K")
+    kv.insert(2, b"s")
+    schema = "key long, value binary, seq long"
+
+    def run(tag, payloads):
+        src, ck = str(tmp_path / f"src{tag}"), str(tmp_path / f"ck{tag}")
+        os.makedirs(src, exist_ok=True)
+        for i, p in enumerate(payloads):
+            (spark.createDataFrame([(2, bytearray(p), 0)], schema)
+             .coalesce(1).write.parquet(f"{src}/b{i}"))
+            _t.sleep(0.05)
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(f"{src}/b*"))
+        q = stream_kv_merges(kv, mrg, stream, ck,
+                             trigger={"availableNow": True})
+        assert q.awaitTermination(180)
+
+    run("A", [b"a0", b"a1"])          # lineage A: batches 0, 1
+    assert kv.lookup(2) == b"s|a0|a1"
+    run("B", [b"b0"])                 # lineage B: batch 0 AGAIN
+    assert kv.lookup(2) == b"s|a0|a1|b0"   # applied, not skipped
+    assert len(store._read_meta(kv.ns).merge_fences) == 2
+    assert store.verify(kv.ns)["ok"]
+
+
+def test_checkpoint_app_id_reads_query_id_and_falls_back(spark, tmp_path):
+    # the lineage key is the checkpoint's persisted query id; an
+    # unreadable/missing metadata file degrades to the path itself
+    # (still separates distinct checkpoint locations)
+    import os
+
+    from rados_timestore_spark.streaming.ingest import checkpoint_app_id
+
+    ck = str(tmp_path / "ck")
+    os.makedirs(ck)
+    with open(f"{ck}/metadata", "w") as fh:
+        fh.write('{"id":"abc-123"}')
+    assert checkpoint_app_id(spark, ck) == "q-abc-123"
+    missing = str(tmp_path / "nope")
+    assert checkpoint_app_id(spark, missing) == f"ckpt-{missing}"
+    # corrupt metadata: fallback, never an exception
+    with open(f"{ck}/metadata", "w") as fh:
+        fh.write("not json {")
+    assert checkpoint_app_id(spark, ck) == f"ckpt-{ck}"

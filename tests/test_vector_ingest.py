@@ -291,3 +291,82 @@ def test_stream_hnsw_vectors_kill_and_resume_equals_batches(
     for i, p in enumerate(parts):
         ref.append_batch("e", p, i)
     assert got == _hnsw_probe_all(ref, emb)
+
+
+def test_append_batch_app_scoped_fence(spark, emb, tmp_path):
+    # r12 (ADVICE r11): batch ids restart at 0 under a NEW checkpoint
+    # lineage; app_id keys the fence per lineage so the new stream's
+    # early batches apply instead of skipping as "completed replays".
+    from rados_timestore_spark.hnsw import HNSWIndex
+
+    a = emb.filter(F.col("vec_id") % 4 == 0)
+    b = emb.filter(F.col("vec_id") % 4 == 1)
+    c = emb.filter(F.col("vec_id") % 4 == 2)
+
+    vi = VectorIndex(spark, str(tmp_path / "af"))
+    vi.build("e", a, k=K)
+    vi.append_batch("e", b, 7, app_id="L1")
+    n1 = vi.meta("e")["n_vectors"]
+    assert n1 == a.count() + b.count()
+    # same lineage: stale/replayed ids are no-ops
+    vi.append_batch("e", b, 7, app_id="L1")
+    vi.append_batch("e", b, 0, app_id="L1")
+    assert vi.meta("e")["n_vectors"] == n1
+    # NEW lineage at batch 0 APPLIES (the silent-loss case)
+    vi.append_batch("e", c, 0, app_id="L2")
+    assert vi.meta("e")["n_vectors"] == n1 + c.count()
+    assert vi.meta("e")["batch_fences"] == {"L1": 7, "L2": 0}
+    assert int(vi.meta("e").get("last_batch_id", -1)) == -1
+
+    hi = HNSWIndex(spark, str(tmp_path / "ahf"))
+    hi.build("e", a, shards=4, m=8, ef_construction=64)
+    hi.append_batch("e", b, 7, app_id="L1")
+    m1 = hi.meta("e")["n_vectors"]
+    hi.append_batch("e", b, 0, app_id="L1")        # stale: no-op
+    assert hi.meta("e")["n_vectors"] == m1
+    hi.append_batch("e", c, 0, app_id="L2")        # new lineage: applies
+    assert hi.meta("e")["n_vectors"] == m1 + c.count()
+    assert hi.meta("e")["batch_fences"] == {"L1": 7, "L2": 0}
+
+
+def test_stream_vectors_new_checkpoint_lineage_not_skipped(
+        spark, emb, tmp_path):
+    # End-to-end ADVICE r11 scenario: ingest via checkpoint A, then
+    # restart with a FRESH checkpoint directory (standard recovery
+    # after checkpoint loss) delivering new data — whose micro-batch
+    # ids restart at 0.  The auto lineage-keyed fence must apply
+    # them; the old unscoped fence silently dropped them.
+    import os
+    from rados_timestore_spark.streaming.vector_ingest import (
+        stream_vectors,
+    )
+
+    base = emb.filter(F.col("vec_id") % 4 == 0)
+    p1 = emb.filter(F.col("vec_id") % 4 == 1)
+    p2 = emb.filter(F.col("vec_id") % 4 == 2)
+
+    vi = VectorIndex(spark, str(tmp_path / "nl"))
+    vi.build("e", base, k=K)
+
+    def run(src, ck, parts):
+        os.makedirs(src, exist_ok=True)
+        for i, df in enumerate(parts):
+            df.coalesce(1).write.parquet(f"{src}/b{i}")
+        stream = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/b*")
+        )
+        q = stream_vectors(vi, "e", stream, ck)
+        assert q.awaitTermination(180)
+
+    # lineage A: two micro-batches (ids 0, 1) -> fence at 1
+    run(str(tmp_path / "srcA"), str(tmp_path / "ckA"), [p1, p2])
+    n_after_a = vi.meta("e")["n_vectors"]
+    assert n_after_a == base.count() + p1.count() + p2.count()
+    # lineage B (fresh checkpoint): one micro-batch, id 0 again
+    p3 = emb.filter(F.col("vec_id") % 4 == 3)
+    run(str(tmp_path / "srcB"), str(tmp_path / "ckB"), [p3])
+    assert vi.meta("e")["n_vectors"] == n_after_a + p3.count()
+    # two distinct lineage fences recorded
+    assert len(vi.meta("e").get("batch_fences", {})) == 2

@@ -36,7 +36,13 @@ def _corpus(spark):
     victims = [r.vec_id for r in
                emb.filter(F.col("vec_id") % 10 == 4)
                .select("vec_id").collect()]
-    return emb, a, b, c, victims
+    # second-lineage batch (r12): reuses batch id 0 under app_id="L2"
+    # — overlaps b on id%30==19, so it exercises BOTH the
+    # lineage-scoped file prefix (same numeric id must not sweep the
+    # other lineage's committed files) and cross-lineage redelivery
+    # dedup, at every crash boundary
+    d = emb.filter(F.col("vec_id") % 10 == 9)
+    return emb, a, b, c, d, victims
 
 
 def _sweep(name, make, tmpl, script, probe, allowed=()):
@@ -66,7 +72,7 @@ def _sweep(name, make, tmpl, script, probe, allowed=()):
 def fuzz_hnsw(spark, root):
     from rados_timestore_spark.hnsw import HNSWIndex
 
-    emb, a, b, c, victims = _corpus(spark)
+    emb, a, b, c, d, victims = _corpus(spark)
     qrows = emb.filter(F.col("vec_id") < 3).collect()
     qs = [(r.vec_id, np.asarray(r.embedding, dtype=np.float64))
           for r in qrows]
@@ -77,6 +83,7 @@ def fuzz_hnsw(spark, root):
     def script(ix):
         ix.append_batch("e", b, 0)
         ix.append_batch("e", c, 1)
+        ix.append_batch("e", d, 0, app_id="L2")  # new lineage, id 0
         ix.delete("e", victims)
         ix.compact("e")
 
@@ -101,7 +108,7 @@ def fuzz_ivf(spark, root):
         VectorIndex, VectorIndexNotBuilt,
     )
 
-    emb, a, b, c, victims = _corpus(spark)
+    emb, a, b, c, d, victims = _corpus(spark)
     qrows = emb.filter(F.col("vec_id") < 3).collect()
     qs = [(r.vec_id, list(map(float, r.embedding))) for r in qrows]
 
@@ -111,6 +118,7 @@ def fuzz_ivf(spark, root):
     def script(ix):
         ix.append_batch("e", b, 0)
         ix.append_batch("e", c, 1)
+        ix.append_batch("e", d, 0, app_id="L2")  # new lineage, id 0
         ix.delete("e", victims)
         ix.compact("e")
         ix.enable_pq("e", m=4, ksub=16, residual=True)
