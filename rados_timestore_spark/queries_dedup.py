@@ -265,7 +265,7 @@ FROM bits GROUP BY doc_id
 
 @register(
     "dedup_simhash", oracle=_simhash_sql(), tags=("dedup",),
-    priority=900,  # demoted in r5 to refresh the tpch part-1 driver evidence (r4-green; verified locally by tools/check_correctness.py)
+    priority=70,  # evidence refresh r12: newest driver row was r4 (oldest-first rotation, VERDICT r10 #6)
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document from md5-derived word hashes.
@@ -878,7 +878,7 @@ GROUP BY train_id, eval_id
 HAVING count(*) >= {_CONTAM_MIN_SHARED}
 """,
     tags=("dedup", "pipeline"),
-    priority=900,  # demoted in r5 to refresh the tpch part-1 driver evidence (r4-green; verified locally by tools/check_correctness.py)
+    priority=70,  # evidence refresh r12: newest driver row was r4 (oldest-first rotation, VERDICT r10 #6)
 )
 def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination detection: training documents sharing

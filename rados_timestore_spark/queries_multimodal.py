@@ -54,7 +54,7 @@ SELECT doc_id,
 FROM documents
 """,
     tags=("multimodal",),
-    priority=900,  # demoted in r5 to refresh the tpch part-1 driver evidence (r4-green; verified locally by tools/check_correctness.py)
+    priority=70,  # evidence refresh r12: newest driver row was r4 (oldest-first rotation, VERDICT r10 #6)
 )
 def mm_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed metadata over opaque binary payloads: byte length, content
@@ -80,7 +80,7 @@ CROSS JOIN generate_series(0, 3) g(frame_no)
 WHERE octet_length(encode(text)) >= (frame_no + 1) * {FRAME_BYTES}
 """,
     tags=("multimodal",),
-    priority=900,  # demoted in r5 to refresh the tpch part-1 driver evidence (r4-green; verified locally by tools/check_correctness.py)
+    priority=70,  # evidence refresh r12: newest driver row was r4 (oldest-first rotation, VERDICT r10 #6)
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling plumbing: slice the first 4 fixed-size 'frames'
@@ -225,7 +225,7 @@ SELECT doc_id, n AS orig_bytes,
 FROM t
 """,
     tags=("multimodal",),
-    priority=70,  # oldest-evidence refresh promoted in r11 (last driver green r3/r4 — VERDICT r10 #6)
+    priority=900,  # r11-refreshed (driver green); demoted in r12 to continue the oldest-first evidence rotation
 )
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize/downsample plumbing via ``mapInPandas``: Arrow batches of

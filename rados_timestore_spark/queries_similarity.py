@@ -309,7 +309,7 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 WHERE rank <= 3
 """,
     tags=("similarity",),
-    priority=900,  # demoted in r5 to refresh the tpch part-1 driver evidence (r4-green; verified locally by tools/check_correctness.py)
+    priority=70,  # evidence refresh r12: newest driver row was r4 (oldest-first rotation, VERDICT r10 #6)
 )
 def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN join: 5 broadcast queries x corpus scan, per-query window
@@ -2974,7 +2974,7 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 WHERE rank <= 5
 """,
     tags=("similarity", "ann", "graph"),
-    priority=60,  # promoted in r11 (carve-out backlog cleared — first driver evidence)
+    priority=900,  # demoted in r12 after r11 driver green, to rotate the r12 certificates + r4-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def sim_hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sharded-HNSW top-5 for the 5 standard queries (module note
@@ -3000,7 +3000,7 @@ def sim_hnsw_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
   WHERE rank <= 5)""",
         "hnsw_top"),
     tags=("similarity", "ann", "graph"),
-    priority=60,  # promoted in r11 (carve-out backlog cleared — first driver evidence)
+    priority=900,  # demoted in r12 after r11 driver green, to rotate the r12 certificates + r4-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def sim_hnsw_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the sharded-HNSW probe, measured Spark-side against
@@ -3120,7 +3120,7 @@ def sim_hnswidx_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_hnswidx_append_probe",
     oracle=_HNSWIDX_ORACLE,
     tags=("similarity", "ann", "graph", "index"),
-    priority=60,  # promoted in r11 (carve-out backlog cleared — first driver evidence)
+    priority=900,  # demoted in r12 after r11 driver green, to rotate the r12 certificates + r4-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def sim_hnswidx_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest variant: build the persisted graph over the
@@ -3139,7 +3139,7 @@ def sim_hnswidx_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_hnswidx_stream_probe",
     oracle=_HNSWIDX_ORACLE,
     tags=("similarity", "ann", "graph", "index", "streaming"),
-    priority=110,  # NEW r11 (window exactly full); local-green; rotate in r12 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r12 — first driver evidence (NEW r11 certificate)
 )
 def sim_hnswidx_stream_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-ingest certificate for the graph index (VERDICT r10
@@ -3176,7 +3176,7 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 WHERE rank <= 5
 """,
     tags=("similarity", "ann", "graph", "index"),
-    priority=60,  # promoted in r11 (carve-out backlog cleared — first driver evidence)
+    priority=900,  # demoted in r12 after r11 driver green, to rotate the r12 certificates + r4-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def sim_hnswidx_delete_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retraction on the persisted graph index: delete every

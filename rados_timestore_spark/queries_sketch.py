@@ -976,7 +976,7 @@ SELECT event_type,
 FROM ev GROUP BY event_type
 """,
     tags=("sketch",),
-    priority=60,  # promoted in r11 (carve-out backlog cleared — first driver evidence)
+    priority=900,  # demoted in r12 after r11 driver green, to rotate the r12 certificates + r4-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def sketch_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moment sketch (Gan et al., VLDB 2018 — the moments-based

@@ -134,7 +134,7 @@ SELECT DISTINCT user_id * 2 AS address, epoch_us(ts) AS time
 FROM events
 """,
     tags=("streaming", "dedup"),
-    priority=900,  # r4-green refresh demoted in exchange for the new r9 dedup_substring_scrub registration (window stays exactly 50)
+    priority=70,  # evidence refresh r12: newest driver row was r4 (oldest-first rotation, VERDICT r10 #6)
 )
 def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay-safe streaming dedup end-to-end: the events table is
@@ -187,7 +187,7 @@ WHERE e.event_type = 'error' AND a.event_id != e.event_id
                          AND epoch_us(e.ts)
 """,
     tags=("streaming", "join"),
-    priority=900,  # demoted in r5 to refresh the tpch part-1 driver evidence (r4-green; verified locally by tools/check_correctness.py)
+    priority=70,  # evidence refresh r12: newest driver row was r4 (oldest-first rotation, VERDICT r10 #6)
 )
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream event-time interval join, end-to-end: for every
@@ -541,7 +541,7 @@ FROM agg, wm
 WHERE (hour + 1) * {_HOUR_US} <= watermark
 """,
     tags=("streaming",),
-    priority=900,  # demoted in r5 to refresh the tpch part-1 driver evidence (r4-green; verified locally by tools/check_correctness.py)
+    priority=70,  # evidence refresh r12: newest driver row was r4 (oldest-first rotation, VERDICT r10 #6)
 )
 def streaming_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end Structured Streaming rollup: events flow through a
@@ -598,7 +598,7 @@ rk AS (
 SELECT address, time, value, seq FROM rk WHERE r = 1
 """,
     tags=("streaming", "kv"),
-    priority=900,  # demoted in r5 to refresh the tpch part-1 driver evidence (r4-green; verified locally by tools/check_correctness.py)
+    priority=70,  # evidence refresh r12: newest driver row was r4 (oldest-first rotation, VERDICT r10 #6)
 )
 def streaming_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Mutable-KV latest-per-key view (M6, latestUniques —

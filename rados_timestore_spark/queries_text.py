@@ -1672,7 +1672,7 @@ def _bpe_train_oracle(rounds: int = _BPE_ROUNDS) -> str:
     "text_bpe_train",
     oracle=_bpe_train_oracle(),
     tags=("text", "llm"),
-    priority=60,  # promoted in r11 (carve-out backlog cleared — first driver evidence)
+    priority=900,  # demoted in r12 after r11 driver green, to rotate the r12 certificates + r4-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete BPE trainer (module note above): one distributed
@@ -1756,7 +1756,7 @@ GROUP BY t ORDER BY n DESC, token LIMIT 25
     "text_bpe_encode",
     oracle=_bpe_encode_oracle(),
     tags=("text", "llm"),
-    priority=60,  # promoted in r11 (carve-out backlog cleared — first driver evidence)
+    priority=900,  # demoted in r12 after r11 driver green, to rotate the r12 certificates + r4-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train -> APPLY: encode the corpus under the learned merges and

@@ -1452,7 +1452,7 @@ SELECT user_id, h * 86400000000 AS day_us, t AS t_sel,
 FROM pick WHERE rn = 1
 """,
     tags=("timeseries", "agg"),
-    priority=60,  # promoted in r11 (carve-out backlog cleared — first driver evidence)
+    priority=900,  # demoted in r12 after r11 driver green, to rotate the r12 certificates + r4-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LTTB-style downsampling (Steinarsson 2013, Largest-Triangle-
@@ -1572,7 +1572,7 @@ SELECT user_id, CAST(n AS BIGINT) AS n, t AS t_cp,
 FROM pick WHERE rn = 1
 """,
     tags=("timeseries", "analytics"),
-    priority=60,  # promoted in r11 (carve-out backlog cleared — first driver evidence)
+    priority=900,  # demoted in r12 after r11 driver green, to rotate the r12 certificates + r4-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Offline CUSUM changepoint detection per series (Page 1954 /
@@ -1670,7 +1670,7 @@ SELECT user_id, CAST(hod AS BIGINT) AS hod, CAST(n AS BIGINT) AS n,
 FROM pick WHERE rn = 1
 """,
     tags=("timeseries", "analytics"),
-    priority=60,  # promoted in r11 (carve-out backlog cleared — first driver evidence)
+    priority=900,  # demoted in r12 after r11 driver green, to rotate the r12 certificates + r4-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def ts_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-of-day seasonal profile with peak-residual detection —
@@ -1734,7 +1734,7 @@ SELECT dau.day * 86400000000 AS day_us,
 FROM dau JOIN wau ON wau.day = dau.day
 """,
     tags=("timeseries", "analytics"),
-    priority=60,  # promoted in r11 (carve-out backlog cleared — first driver evidence)
+    priority=900,  # demoted in r12 after r11 driver green, to rotate the r12 certificates + r4-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def ts_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT rolling engagement counts — per active day, the distinct
@@ -1798,7 +1798,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY t
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 """,
     tags=("timeseries", "window"),
-    priority=60,  # promoted in r11 (carve-out backlog cleared — first driver evidence)
+    priority=900,  # demoted in r12 after r11 driver green, to rotate the r12 certificates + r4-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def ts_rolling_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling volatility / control-chart statistic: per event, the
@@ -1861,7 +1861,7 @@ SELECT user_id, island_no, count(*) AS n_intervals,
 FROM isl GROUP BY user_id, island_no
 """,
     tags=("timeseries", "window"),
-    priority=60,  # promoted in r11 (carve-out backlog cleared — first driver evidence)
+    priority=900,  # demoted in r12 after r11 driver green, to rotate the r12 certificates + r4-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def ts_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge overlapping intervals per series — the maintenance-
@@ -1935,7 +1935,7 @@ FROM x
 WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
 """,
     tags=("timeseries", "window"),
-    priority=60,  # promoted in r11 (carve-out backlog cleared — first driver evidence)
+    priority=900,  # demoted in r12 after r11 driver green, to rotate the r12 certificates + r4-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def ts_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average per series — the classic
@@ -1994,7 +1994,7 @@ SELECT event_id, user_id, t, n_win,
 FROM fr
 """,
     tags=("timeseries", "window"),
-    priority=60,  # promoted in r11 (carve-out backlog cleared — first driver evidence)
+    priority=900,  # demoted in r12 after r11 driver green, to rotate the r12 certificates + r4-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling median over the trailing 7 observations per series —
@@ -2056,7 +2056,7 @@ FROM d
 WINDOW w AS (PARTITION BY event_type ORDER BY day)
 """,
     tags=("timeseries", "window"),
-    priority=60,  # promoted in r11 (carve-out backlog cleared — first driver evidence)
+    priority=900,  # demoted in r12 after r11 driver green, to rotate the r12 certificates + r4-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def ts_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Period-over-period comparison — the dashboard staple: per

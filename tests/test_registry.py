@@ -76,27 +76,26 @@ def test_bench_set_nonempty():
 # window) — membership drift must fail loudly, so any intentional
 # rotation edits this set in the same commit.
 EXPECTED_WINDOW = {
-    # r11 rotation (p=60): the ENTIRE 21-query carve-out backlog
-    # (10 r10 flagships + 11 r9 smoother overflow), promoted for their
-    # FIRST driver evidence (VERDICT r10 "Next round" #1); 25 of the
-    # 26 r10-green incumbents were demoted in exchange
-    # (streaming_ewma stays — bench-tagged per VERDICT r10 #3).
-    "ts_kv_tombstone", "ts_kv_merge_into", "ts_verify_scrub",
-    "ts_dual_index_rollover", "ts_lttb_downsample",
-    "ts_cusum_changepoint", "ts_seasonal_baseline",
-    "ts_rolling_active_users", "ts_rolling_volatility",
-    "ts_interval_coalesce", "ts_ewma_smooth", "ts_rolling_median",
-    "ts_period_over_period", "text_bpe_train", "text_bpe_encode",
-    "sim_hnsw_ann", "sim_hnsw_recall", "sim_hnswidx_probe",
-    "sim_hnswidx_append_probe", "sim_hnswidx_delete_probe",
-    "sketch_moments",
-    # oldest-evidence refreshes (VERDICT r10 #6: mm_resize last green
-    # r3, ts_codec_roundtrip r4 — the two oldest driver rows)
-    "ts_codec_roundtrip", "mm_resize",
-    # the bench/headline set (must always be driver-visible);
-    # r11 bench-tags one query per r9/r10 family (VERDICT r10 #3):
-    # streaming_ewma, graph_connected_components,
-    # dedup_substring_spans, sim_hnswidx_probe, ts_kv_merge_into
+    # r12 rotation: the two NEW r11 certificates promoted for their
+    # FIRST driver evidence (exactly-once streaming MERGE / HNSW
+    # streaming ingest — ROADMAP r11 #14 and #8); the 19 non-bench
+    # r11-green backlog promotions were demoted in exchange.
+    "ts_kv_merge_stream", "sim_hnswidx_stream_probe",
+    # oldest-evidence refreshes (VERDICT r10 #6 rotation, resumed):
+    # these 19 queries' newest driver rows all date to r4 — the
+    # oldest evidence in the registry after r11 refreshed mm_resize +
+    # ts_codec_roundtrip.  Remaining r4 rows (streaming_sessionize,
+    # text_lang_id/length_buckets/repetition/split_assign, tpch
+    # part-2) queue for r13.
+    "ts_epoch_stab", "ts_find_last", "ts_kv_enumerate",
+    "ts_kv_merge_fold", "ts_kv_roundtrip", "ts_range_pruning",
+    "ts_read_extended", "ts_rollover", "ts_store_roundtrip_extended",
+    "ts_watermark", "dedup_contamination", "dedup_simhash",
+    "mm_frame_sample", "mm_payload_stats", "sim_knn_join",
+    "streaming_dedup_replay", "streaming_interval_join",
+    "streaming_latest_per_key", "streaming_rollup_hourly",
+    # the bench/headline set (must always be driver-visible)
+    "ts_kv_merge_into", "sim_hnswidx_probe",
     "streaming_ewma", "graph_connected_components",
     "dedup_substring_spans",
     "ts_bulk_backfill", "text_winnow_fingerprint", "sim_ivf_kmeans",
@@ -116,15 +115,10 @@ EXPECTED_WINDOW = {
 # registry test asserting no query stays past the window for more than
 # one round") — any name added here is a standing debt that the next
 # round's rotation has to clear.
-# r11 rotation promoted the ENTIRE 21-query backlog into the window
-# (VERDICT r10 #1) — every registered query now has driver evidence or
-# a seat in the r11 window.  Only same-round NEW registrations may
-# appear here; each MUST be rotated into the window next round.
-EXPECTED_CARVEOUT_BACKLOG: set[str] = {
-    # NEW r11 registrations — rotate into the r12 window
-    "sim_hnswidx_stream_probe",
-    "ts_kv_merge_stream",
-}
+# r12 rotation promoted both r11 certificates into the window — the
+# backlog is EMPTY.  Only same-round NEW registrations may appear
+# here; each MUST be rotated into the window next round.
+EXPECTED_CARVEOUT_BACKLOG: set[str] = set()
 
 
 def test_carveout_backlog_is_rotated():
