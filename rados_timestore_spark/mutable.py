@@ -321,12 +321,19 @@ class MutableKV:
         regressed id is indistinguishable from a completed replay and
         is skipped.
 
-        ``updates`` rows with a NULL ``value`` are rejected up front
-        (clear driver-side error): a NULL would crash ``bytes()`` deep
-        in an executor, and under a batch fence the poison batch would
-        then fail every redelivery without ever advancing the fence
-        (ADVICE r11).  Tombstone deletes go through
-        :meth:`delete_bulk`, which encodes them explicitly."""
+        ``updates`` rows with a NULL ``value`` are rejected with a
+        clear keyed error (ADVICE r11): a bare NULL used to crash
+        ``bytes()`` deep in an executor, and under a batch fence the
+        poison batch then failed every redelivery without ever
+        advancing the fence.  The guard is an in-plan ``raise_error``
+        on the batch projection — it rides the FIRST scan of the
+        batch in every path (zero extra pass; a driver-side pre-check
+        would re-evaluate the whole updates plan once per merge) and
+        fires BEFORE any commit point: the fence has not advanced and
+        the staged generation is an unflipped orphan gc() reclaims.
+        Schemas whose ``value`` column is non-nullable skip the guard
+        entirely.  Tombstone deletes go through :meth:`delete_bulk`,
+        which encodes them explicitly."""
         from rados_timestore_spark.store import place_bucket_by_index
 
         if app_id is not None and batch_id is None:
@@ -349,19 +356,25 @@ class MutableKV:
             else:
                 m.merge_batch_id = max(m.merge_batch_id, int(batch_id))
 
-        bad = updates.filter(F.col("value").isNull()).select("key").head(1)
-        if bad:
-            raise ValueError(
-                f"merge_into({self.ns!r}): NULL update value for key "
-                f"{bad[0][0]} — merge folds require bytes; tombstone "
-                f"deletes go through delete_bulk")
         if "seq" not in updates.columns:
             updates = updates.withColumn(
                 "seq", F.monotonically_increasing_id())
+        if updates.schema["value"].nullable:
+            payload_col = F.when(
+                F.col("value").isNull(),
+                F.raise_error(F.concat(
+                    F.lit(f"merge_into({self.ns!r}): NULL update value "
+                          f"for key "),
+                    F.col("key").cast("string"),
+                    F.lit(" — merge folds require bytes; tombstone "
+                          "deletes go through delete_bulk"))),
+            ).otherwise(F.col("value").cast("binary"))
+        else:
+            payload_col = F.col("value").cast("binary")
         batch = updates.select(
             F.col("key").bitwiseOR(F.lit(1)).alias("address"),
             F.lit(1 << 62).alias("time"),  # sorts after every version
-            F.col("value").cast("binary").alias("payload"),
+            payload_col.alias("payload"),
             F.col("seq").cast("long").alias("seq"),
             F.lit(1).alias("__src"),
         )

@@ -622,9 +622,13 @@ def test_merge_into_app_scoped_fence(store):
 
 def test_merge_into_rejects_null_values(store):
     # r12 (ADVICE r11): a NULL update value used to crash bytes()
-    # deep in an executor; under a fence the poison batch then failed
-    # every redelivery without advancing the fence.  Now a clear
-    # driver-side ValueError before any write, on BOTH fold paths.
+    # deep in an executor with a bare TypeError; under a fence the
+    # poison batch then failed every redelivery without advancing the
+    # fence.  Now an in-plan raise_error on the batch projection —
+    # zero extra pass (a driver-side pre-check would re-evaluate the
+    # updates plan once per merge) — fires with a clear keyed message
+    # BEFORE any commit point, on BOTH fold paths and the empty-KV
+    # shortcut.
     import pytest
 
     mrg = lambda new, old: old + new  # noqa: E731
@@ -635,12 +639,18 @@ def test_merge_into_rejects_null_values(store):
         [(2, bytearray(b"x"), 0), (4, None, 1)],
         "key long, value binary, seq long")
     for kw in ({}, {"associative": True}, {"batch_id": 0}):
-        with pytest.raises(ValueError, match="NULL update value"):
+        with pytest.raises(Exception, match="NULL update value for key 4"):
             kv.merge_into(bad, mrg, **kw)
     # nothing was applied, no fence advanced, store still healthy
+    # (the abort leaves at most an unflipped orphan generation)
     assert kv.lookup(2) == b"seed" and kv.lookup(4) is None
     assert store._read_meta(kv.ns).merge_batch_id == -1
     good = store.spark.createDataFrame(
         [(2, bytearray(b"y"), 0)], "key long, value binary, seq long")
     kv.merge_into(good, mrg, batch_id=0)
     assert kv.lookup(2) == b"seedy"
+    # the empty-KV shortcut path is guarded too
+    kv2 = MutableKV(store, "FENCEN2")
+    with pytest.raises(Exception, match="NULL update value for key 4"):
+        kv2.merge_into(bad, mrg)
+    assert kv2.lookup(4) is None
