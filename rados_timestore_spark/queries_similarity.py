@@ -3117,6 +3117,52 @@ def sim_hnswidx_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_hnswidx_filtered_probe",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+                  {_norm_sql("embedding")} AS qn
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         {_dot_sql("e.embedding", "qe")} / {_norm_sql("e.embedding")} / qn
+           AS cos
+  FROM embeddings e, q
+  WHERE e.vec_id <> query_id AND e.label IN (1, 3, 5, 7, 9))
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored) t
+WHERE rank <= 5
+""",
+    tags=("similarity", "ann", "graph", "index", "filtered"),
+    priority=110,  # NEW r12; local-green at all three SFs; rotate in r13 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def sim_hnswidx_filtered_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search over the persisted GRAPH index — the
+    metadata-predicate production shape sim_ivf_ann_filtered pins for
+    the IVF family, on the HNSW side.  Graph search cannot push a
+    predicate into the beam (candidates fall where the graph walks),
+    so this is the standard post-filter-with-inflated-candidates
+    composition every graph-ANN engine ships: probe each shard for a
+    DEEPER candidate pool (3x the unfiltered k — with ~50%% label
+    selectivity the filtered rank-5 sits well inside it), semi-join
+    the label predicate against the candidate union (bounded:
+    queries x shards x k rows), and exact-rerank the survivors.  The
+    oracle is the same brute-force CTE chain with the predicate in
+    the scan — equality, not recall: the inflated pool must CONTAIN
+    the filtered true top-5.  Reuses the cached full-corpus index, so
+    the extra cost vs sim_hnswidx_probe is only the deeper beam."""
+    emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    vi = _hnswidx(spark, sf_dir, "full")
+    cand = vi.probe_candidates("e", _hnsw_queries(emb),
+                               k=3 * _HNSW_SHARD_K,
+                               ef_search=2 * _HNSW_EF)
+    keep = emb.filter(F.col("label").isin(*_FILTER_LABELS)) \
+        .select(F.col("vec_id").alias("neighbor_id"))
+    return _hnsw_rerank_top5(emb, cand.join(keep, "neighbor_id"))
+
+
+@register(
     "sim_hnswidx_append_probe",
     oracle=_HNSWIDX_ORACLE,
     tags=("similarity", "ann", "graph", "index"),

@@ -115,10 +115,13 @@ EXPECTED_WINDOW = {
 # registry test asserting no query stays past the window for more than
 # one round") — any name added here is a standing debt that the next
 # round's rotation has to clear.
-# r12 rotation promoted both r11 certificates into the window — the
-# backlog is EMPTY.  Only same-round NEW registrations may appear
-# here; each MUST be rotated into the window next round.
-EXPECTED_CARVEOUT_BACKLOG: set[str] = set()
+# r12 rotation promoted both r11 certificates into the window.  Only
+# same-round NEW registrations may appear here; each MUST be rotated
+# into the window next round.
+EXPECTED_CARVEOUT_BACKLOG: set[str] = {
+    # NEW r12 registration — rotate into the r13 window
+    "sim_hnswidx_filtered_probe",
+}
 
 
 def test_carveout_backlog_is_rotated():
