@@ -995,6 +995,94 @@ class HNSWIndex:
             .applyInPandas(probe, "query_id long, neighbor_id long")
         )
 
+    def probe_df(self, ns: str, queries, topk: int = 5, k: int = 16,
+                 ef_search: int = DEFAULT_EF_SEARCH,
+                 id_col: str = "query_id", vec_col: str = "qe"):
+        """Distributed ANN top-k for an UNBOUNDED query frame — the
+        batch-serving shape (:meth:`VectorIndex.probe_df`'s graph
+        twin).  :meth:`probe_candidates` ships its query list in the
+        task closure, which caps it at thousands; this variant keeps
+        queries in a DataFrame end to end.
+
+        Plan: queries replicate to every shard (graph ANN has no
+        routing table — every shard's beam must run, so the
+        multiplier is the SHARD COUNT, never the corpus) via a
+        crossJoin with the broadcast shard-id list; one cogrouped
+        Arrow pass per shard runs the beams for that shard's query
+        slice; the exact rerank joins the bounded candidate set
+        (|Q| x shards x k rows) back to vectors and queries and takes
+        the per-query top-k window — identical ranking to the
+        brute-force oracle (law-tested equal to
+        probe_candidates + rerank on the same query set).
+        """
+        from pyspark.sql import functions as F
+
+        doc = self.meta(ns)
+        self._restore_shard_remnants(ns)
+        empty_schema = ("query_id long, neighbor_id long, "
+                        "cos double, rank int")
+        if (not self._dir_has_data(self._vectors_dir(ns))
+                or not self._dir_has_data(self._graph_dir(ns))):
+            return self.spark.createDataFrame([], empty_schema)
+        m, ef_c = doc["m"], doc["ef_construction"]
+        shards = int(doc["shards"])
+        qs = queries.select(
+            F.col(id_col).cast("long").alias("query_id"),
+            F.col(vec_col).alias("qe"))
+        shard_df = self.spark.range(shards).select(
+            F.col("id").cast("int").alias("shard"))
+        qrep = qs.crossJoin(F.broadcast(shard_df))
+        # graph + vector rows travel as ONE side of the cogroup
+        # (cogroup is binary; the queries need the other side), split
+        # back apart by a marker column inside the Arrow batch
+        graph = (self.spark.read.parquet(self._graph_dir(ns))
+                 .withColumn("shard", _shard_int())
+                 .withColumn("__side", F.lit(0)))
+        vectors = (self.spark.read.parquet(self._vectors_dir(ns))
+                   .withColumn("shard", _shard_int())
+                   .withColumn("__side", F.lit(1)))
+        both = graph.unionByName(vectors, allowMissingColumns=True)
+
+        def probe(key, ipdf, qpdf):
+            if not len(qpdf):
+                return pd.DataFrame({"query_id": [], "neighbor_id": []})
+            vpdf = ipdf[ipdf["__side"] == 1]
+            if not len(vpdf):
+                return pd.DataFrame({"query_id": [], "neighbor_id": []})
+            gpdf = ipdf[ipdf["__side"] == 0]
+            g = HNSWIndex._from_rows(gpdf, vpdf, m, ef_c)
+            out_q, out_n = [], []
+            for qid, qv in zip(qpdf["query_id"], qpdf["qe"]):
+                qv = np.asarray(qv, dtype=np.float64)
+                for nid in g.search(qv, k, ef=ef_search):
+                    if nid != qid:
+                        out_q.append(int(qid))
+                        out_n.append(int(nid))
+            return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n})
+
+        cand = (
+            both.groupby("shard").cogroup(qrep.groupby("shard"))
+            .applyInPandas(probe, "query_id long, neighbor_id long")
+        )
+        from pyspark.sql import Window
+
+        from rados_timestore_spark.queries_similarity import _cos_seq
+
+        vecs = self.spark.read.parquet(self._vectors_dir(ns)).select(
+            F.col("vec_id").alias("neighbor_id"), "embedding")
+        hits = (
+            cand.join(vecs, "neighbor_id").join(qs, "query_id")
+            .select("query_id", "neighbor_id",
+                    _cos_seq(F.col("embedding"), F.col("qe")).alias("cos"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos"), "neighbor_id")
+        return (
+            hits.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= topk)
+            .select("query_id", "neighbor_id", "cos", "rank")
+        )
+
 
 def _shard_int():
     from pyspark.sql import functions as F

@@ -3163,6 +3163,32 @@ def sim_hnswidx_filtered_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_hnswidx_probe_df",
+    oracle=_HNSWIDX_ORACLE,
+    tags=("similarity", "ann", "graph", "index"),
+    priority=110,  # NEW r12; local-green at all three SFs; rotate in r13 — pinned by EXPECTED_CARVEOUT_BACKLOG
+)
+def sim_hnswidx_probe_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded-query-frame probe of the persisted graph index
+    (``HNSWIndex.probe_df`` — the graph twin of
+    ``VectorIndex.probe_df``'s batch-serving shape): the query set
+    stays a DataFrame end to end
+    (no driver collect), replicated to each shard by a broadcast
+    crossJoin with the SHARD-ID list (multiplier = shard count, never
+    corpus size), beam-searched in one cogrouped Arrow pass per
+    shard, and exact-reranked distributed.  Same brute-force-equality
+    oracle as sim_hnswidx_probe; law-tested equal to the driver-list
+    path on identical queries (test_hnsw.py)."""
+    emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    vi = _hnswidx(spark, sf_dir, "full")
+    qdf = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"))
+    return vi.probe_df("e", qdf, topk=5, k=_HNSW_SHARD_K,
+                       ef_search=_HNSW_EF)
+
+
+@register(
     "sim_hnswidx_append_probe",
     oracle=_HNSWIDX_ORACLE,
     tags=("similarity", "ann", "graph", "index"),

@@ -417,3 +417,46 @@ def test_hnswidx_compact_crash_window_restores_whole_dir(spark, tmp_path):
     os.makedirs(f"{vdir}.old")
     assert ix.delete("e", [999999999]) == 0
     assert not os.path.exists(f"{vdir}.old")
+
+
+def test_hnswidx_probe_df_equals_probe_candidates_rerank(spark, tmp_path):
+    # r12: probe_df (unbounded query FRAME, cogrouped per-shard beams
+    # + distributed exact rerank) must return exactly what the
+    # driver-list path returns after the same rerank — same beams,
+    # same cosine, same tie rule.
+    from pyspark.sql import Window
+
+    from rados_timestore_spark.hnsw import HNSWIndex
+    from rados_timestore_spark.queries_similarity import _cos_seq
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    vi = HNSWIndex(spark, str(tmp_path / "pdf"))
+    vi.build("e", emb, shards=4, m=8, ef_construction=128)
+
+    qdf = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"))
+    got = {(r.query_id, r.rank): (r.neighbor_id, round(r.cos, 9))
+           for r in vi.probe_df("e", qdf, topk=5, k=16,
+                                ef_search=128).collect()}
+
+    # reference: the driver-list candidates + the same exact rerank
+    rows = qdf.collect()
+    queries = [(r.query_id, np.asarray(r.qe, dtype=np.float64))
+               for r in rows]
+    cand = vi.probe_candidates("e", queries, k=16, ef_search=128)
+    hits = (cand.join(emb.select(F.col("vec_id").alias("neighbor_id"),
+                                 "embedding"), "neighbor_id")
+            .join(F.broadcast(qdf), "query_id")
+            .select("query_id", "neighbor_id",
+                    _cos_seq(F.col("embedding"), F.col("qe")).alias("cos")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    want = {(r.query_id, r.rank): (r.neighbor_id, round(r.cos, 9))
+            for r in hits.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5).collect()}
+    assert got == want and len(got) == 4 * 5
+
+    # empty-index lifecycle: probe_df over a fully-deleted index is
+    # empty, not an exception (the shared empty-dir guard)
+    vi.delete("e", emb.select("vec_id"))
+    assert vi.probe_df("e", qdf).count() == 0

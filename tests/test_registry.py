@@ -119,8 +119,9 @@ EXPECTED_WINDOW = {
 # same-round NEW registrations may appear here; each MUST be rotated
 # into the window next round.
 EXPECTED_CARVEOUT_BACKLOG: set[str] = {
-    # NEW r12 registration — rotate into the r13 window
+    # NEW r12 registrations — rotate into the r13 window
     "sim_hnswidx_filtered_probe",
+    "sim_hnswidx_probe_df",
 }
 
 
