@@ -287,6 +287,19 @@ def test_hnsw_plans_are_bounded_no_cartesian(spark):
     # a rebuild (no shuffling of the whole corpus back through a
     # repartition-for-build)
     assert "FlatMapCoGroupsInPandas" in p2
+    # r12 additions keep the same contract: the frame-path probe's
+    # query replication is a BroadcastNestedLoopJoin against the
+    # bounded shard-id list (never a CartesianProduct of data), and
+    # the filtered probe is the plain probe + a bounded semi-join
+    from rados_timestore_spark.queries_similarity import (
+        sim_hnswidx_filtered_probe, sim_hnswidx_probe_df,
+    )
+
+    p3 = plan_str(sim_hnswidx_probe_df(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in p3
+    assert "FlatMapCoGroupsInPandas" in p3
+    p4 = plan_str(sim_hnswidx_filtered_probe(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in p4
 
 
 def test_bpe_encode_plan_is_one_corpus_scan(spark):
