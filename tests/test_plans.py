@@ -300,6 +300,7 @@ def test_hnsw_plans_are_bounded_no_cartesian(spark):
     assert "FlatMapCoGroupsInPandas" in p3
     p4 = plan_str(sim_hnswidx_filtered_probe(spark, SF_DIR), "simple")
     assert "CartesianProduct" not in p4
+    assert "FlatMapCoGroupsInPandas" in p4  # cogrouped scan, no rebuild
 
 
 def test_bpe_encode_plan_is_one_corpus_scan(spark):

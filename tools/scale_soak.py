@@ -324,6 +324,16 @@ SOAK_R10_QUERIES = (
     "sim_hnswidx_append_probe",
 )
 
+#: SOAK_FAMILY=r12: the r12-new probes at 10x — the filtered graph
+#: probe (same cogrouped beams, 3x candidate pool, bounded label
+#: semi-join) and the unbounded-query-frame probe_df (queries x
+#: shards cogroup; candidate set |Q| x shards x k).
+SOAK_R12_QUERIES = (
+    "sim_hnswidx_filtered_probe",
+    "sim_hnswidx_probe_df",
+    "sim_hnswidx_probe",  # the baseline the two variants compose on
+)
+
 #: SOAK_FAMILY=merge30 (VERDICT r10 #7): ts_kv_merge_into one decade
 #: deeper — the r10 10x soak put it at exponent 0.65 (the family's
 #: worst); the 30x run checks the time tracks OUTPUT-ROW growth (the
@@ -533,6 +543,7 @@ def main() -> None:
              "r9d": SOAK_R9D_QUERIES,
              "r9e": SOAK_R9E_QUERIES,
              "r10": SOAK_R10_QUERIES,
+             "r12": SOAK_R12_QUERIES,
              "graph30": SOAK_GRAPH30_QUERIES,
              "merge30": SOAK_MERGE30_QUERIES,
              "skew": SOAK_SKEW_QUERIES,
@@ -585,6 +596,13 @@ def main() -> None:
             print(f"# building {COPIES}x const-density corpus ...",
                   file=sys.stderr)
             build_corpus_const_density(spark, out_dir)
+    elif family == "r12":
+        # embeddings-only family: gate on embeddings.parquet, not the
+        # documents file another family's build may have left behind
+        # (review finding r12)
+        if not os.path.exists(f"{out_dir}/embeddings.parquet"):
+            print(f"# building {COPIES}x corpus ...", file=sys.stderr)
+            build_corpus(spark, out_dir)
     elif not os.path.exists(f"{out_dir}/documents.parquet"):
         print(f"# building {COPIES}x corpus ...", file=sys.stderr)
         build_corpus(spark, out_dir)
