@@ -85,11 +85,15 @@ def main() -> None:
         return timings
 
     def time_vecidx_cold_build() -> float:
-        """Cold VectorIndex.build + enable_pq(residual) — the ~30 s
-        (sf0.1) build path behind the sim_vecidxpq_* family, which the
-        query suite only pays once per session (the fixture-keyed
-        cache) and so cannot see regress (VERDICT r9 #4).  Fresh
-        tmpdir per run; min-of-2 like every other entry."""
+        """Cold PQ-index build — the build path behind the
+        sim_vecidxpq_* family, which the query suite only pays once
+        per session (the fixture-keyed cache) and so cannot see
+        regress (VERDICT r9 #4).  Since r12 this uses the FUSED
+        ``build(pq=...)`` (codes encoded inline during the one
+        assignment scan — law-tested byte-equal to build +
+        enable_pq's second full rewrite), because that is the cold
+        path a user should run.  Fresh tmpdir per run; min-of-2 like
+        every other entry."""
         import shutil
         import tempfile
 
@@ -102,8 +106,8 @@ def main() -> None:
             root = tempfile.mkdtemp(prefix="vidx_bench_")
             t0 = time.time()
             vi = VectorIndex(spark, root)
-            vi.build("e", emb, k=256)
-            vi.enable_pq("e", m=4, ksub=16, residual=True)
+            vi.build("e", emb, k=256,
+                     pq=dict(m=4, ksub=16, residual=True))
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
             shutil.rmtree(root, ignore_errors=True)

@@ -438,9 +438,23 @@ class VectorIndex:
     def build(self, ns: str, emb: DataFrame, k: int = 256,
               dim: int | None = None, id_col: str = "vec_id",
               vec_col: str = "embedding", trainer: str = "sample",
-              iters: int = 2, meta_cols: tuple = ()) -> dict:
+              iters: int = 2, meta_cols: tuple = (),
+              pq: dict | None = None) -> dict:
         """Train the coarse quantizer and persist centroids +
         bucket-partitioned assignments.
+
+        ``pq`` (r12): build the PQ-coded index in ONE corpus pass —
+        ``{"m": 4, "ksub": 16, "residual": False}`` trains the
+        sub-codebooks up front (the same ksub-lowest-id sample rule
+        as :meth:`enable_pq`, residualized against the just-trained
+        routing) and encodes ``pq_code`` inline during the assignment
+        scan, exactly like :meth:`append_batch` does on a PQ index.
+        ``build(pq=...)`` is law-tested byte-equal to ``build()`` +
+        ``enable_pq(...)`` — which costs a SECOND full read+write of
+        the corpus (the encode-only rewrite).  At 100 TB that second
+        pass is the difference between one corpus write and two, so
+        fused is the cold-build production shape; ``enable_pq`` stays
+        for adding codes to an index that already exists.
 
         Trainers (both deterministic, both bounded driver state):
 
@@ -496,8 +510,52 @@ class VectorIndex:
         cent_df.coalesce(1).write.mode("overwrite").parquet(
             self._centroids_dir(ns))
 
+        CBm, pq_doc = None, None
+        if pq is not None:
+            pq_m = int(pq.get("m", 4))
+            ksub = int(pq.get("ksub", 16))
+            residual = bool(pq.get("residual", False))
+            if dim % pq_m:
+                raise ValueError(f"build({ns!r}): dim {dim} not "
+                                 f"divisible by pq m {pq_m}")
+            dsub = dim // pq_m
+            cb_rows = (
+                emb.select(F.col(id_col).alias("vec_id"),
+                           F.col(vec_col).alias("ce"))
+                .orderBy("vec_id").limit(ksub).collect())
+            if len(cb_rows) < ksub:
+                raise ValueError(
+                    f"build({ns!r}): need {ksub} vectors to train PQ "
+                    f"codebooks, input holds {len(cb_rows)}")
+            # persisted precision IS the encode precision (the
+            # assignment table stores float32, which is what
+            # enable_pq trains on) — cast FIRST so fused == staged
+            CB = np.array([r.ce for r in cb_rows], dtype=np.float64)
+            CB = CB.astype(np.float32).astype(np.float64)
+            if residual:
+                # same argmax kernel + first-max-wins tie rule as the
+                # assignment pass (cids sorted ascending)
+                rows = np.argmax(seq_cos_matrix(CB, C, dim), axis=1)
+                CB = CB - C[rows]
+            CBm = CB.reshape(ksub, pq_m, dsub).transpose(1, 0, 2)
+            cb_dir = self._pq_dir(ns)
+            cv_type = "array<double>" if residual else "array<float>"
+            cb_df = self.spark.createDataFrame(
+                [(s, c, [float(x) for x in CBm[s, c]])
+                 for s in range(pq_m) for c in range(ksub)],
+                f"s int, code int, cv {cv_type}",
+            )
+            cb_df.coalesce(1).write.mode("overwrite").parquet(cb_dir)
+            pq_doc = {"m": pq_m, "ksub": ksub, "dsub": dsub, "gen": 1}
+            if residual:
+                pq_doc["residual"] = True
+            self.fs.write_text_atomic(
+                f"{cb_dir}/{_PQ_MARKER}", json.dumps(pq_doc))
+
         assigned = assign_to_centroids(
-            emb, cids, C, dim, id_col, vec_col, meta_cols=meta_cols)
+            emb, cids, C, dim, id_col, vec_col, meta_cols=meta_cols,
+            pq_cb=CBm,
+            pq_residual=bool(pq.get("residual", False)) if pq else False)
         (assigned.write.mode("overwrite")
          .partitionBy("bucket").parquet(self._assignments_dir(ns)))
 
@@ -510,6 +568,8 @@ class VectorIndex:
         doc = {"k": int(len(cids)), "dim": int(dim),
                "n_vectors": int(n), "version": prev_version + 1,
                "trainer": trainer, "meta_cols": list(meta_cols)}
+        if pq_doc is not None:
+            doc["pq"] = dict(pq_doc)
         self._write_meta(ns, doc)
         return doc
 

@@ -759,3 +759,47 @@ def test_append_batch_duplicate_id_deterministic_winner(
     n_ids = batch.select("vec_id").distinct().count()
     assert (r1["vec_id"].isin(
         [r.vec_id for r in dup_rows.collect()])).sum() == n_ids
+
+
+@pytest.mark.parametrize("residual", [False, True])
+def test_fused_build_pq_equals_build_then_enable_pq(
+        spark, emb, tmp_path, residual):
+    # r12 differential law: build(pq=...) — ONE corpus pass, codes
+    # encoded inline during the assignment scan — must produce the
+    # byte-identical index that build() + enable_pq(...) reaches with
+    # its second full encode-only rewrite: same codebooks, same
+    # per-vector (bucket, pq_code), same meta pq doc, same ADC probes.
+    from rados_timestore_spark.vector_index import VectorIndex
+
+    kw = dict(m=4, ksub=16, residual=residual)
+
+    fused = VectorIndex(spark, str(tmp_path / f"f{int(residual)}"))
+    fused.build("e", emb, k=K, pq=kw)
+    staged = VectorIndex(spark, str(tmp_path / f"s{int(residual)}"))
+    staged.build("e", emb, k=K)
+    staged.enable_pq("e", **kw)
+
+    assert fused.meta("e")["pq"] == staged.meta("e")["pq"]
+
+    def cb(vi):
+        return {(r.s, r.code): tuple(r.cv) for r in
+                spark.read.parquet(vi._pq_dir("e")).collect()}
+
+    assert cb(fused) == cb(staged)
+
+    def rows(vi):
+        return {r.vec_id: (r.bucket, tuple(r.pq_code)) for r in
+                spark.read.parquet(vi._assignments_dir("e")).collect()}
+
+    rf, rs = rows(fused), rows(staged)
+    assert rf == rs and len(rf) == emb.count()
+
+    qs = [(r.vec_id, list(r.embedding)) for r in
+          emb.filter(F.col("vec_id") < 3).collect()]
+    pf = [(r.query_id, r.rank, r.neighbor_id) for r in
+          fused.probe_pq("e", qs, nprobe=4, topk=5)
+          .orderBy("query_id", "rank").collect()]
+    ps = [(r.query_id, r.rank, r.neighbor_id) for r in
+          staged.probe_pq("e", qs, nprobe=4, topk=5)
+          .orderBy("query_id", "rank").collect()]
+    assert pf == ps and len(pf) == 15
