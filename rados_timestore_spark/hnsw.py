@@ -660,7 +660,11 @@ class HNSWIndex:
                                   .select("shard").distinct().collect())
             if store_shards:
                 # 1. vectors, exactly-once by prefix sweep + re-promote
-                stage = f"{vdir}.batch_{int(batch_id)}"
+                # lineage-scoped like the file prefix (see
+                # VectorIndex.append_batch, review finding r12)
+                _tag = ("" if app_id is None
+                        else f"a{_app_tag(app_id)}_")
+                stage = f"{vdir}.batch_{_tag}{int(batch_id)}"
                 if self.fs.exists(stage):
                     self.fs.delete(stage, recursive=True)
                 (to_store.write.mode("overwrite").partitionBy("shard")
@@ -727,7 +731,8 @@ class HNSWIndex:
                                "shard int, vec_id long, level int, "
                                "layer int, neighbors array<long>")
             )
-            g_stage = f"{gdir}.batch_{int(batch_id)}"
+            _tag = "" if app_id is None else f"a{_app_tag(app_id)}_"
+            g_stage = f"{gdir}.batch_{_tag}{int(batch_id)}"
             if self.fs.exists(g_stage):
                 self.fs.delete(g_stage, recursive=True)
             (regraph.write.mode("overwrite").partitionBy("shard")
@@ -1068,8 +1073,16 @@ class HNSWIndex:
 
         from rados_timestore_spark.queries_similarity import _cos_seq
 
-        vecs = self.spark.read.parquet(self._vectors_dir(ns)).select(
-            F.col("vec_id").alias("neighbor_id"), "embedding")
+        # crash-replay windows can leave duplicate vec_ids in the
+        # vectors dir (tolerated by _from_rows: first row wins, and
+        # dedup_ids_deterministic pins duplicates byte-identical) —
+        # dedup here too, or a duplicated neighbor would take two of
+        # the top-k ranks and push a true neighbor out (review
+        # finding r12)
+        vecs = (self.spark.read.parquet(self._vectors_dir(ns))
+                .select(F.col("vec_id").alias("neighbor_id"),
+                        "embedding")
+                .dropDuplicates(["neighbor_id"]))
         hits = (
             cand.join(vecs, "neighbor_id").join(qs, "query_id")
             .select("query_id", "neighbor_id",

@@ -1648,7 +1648,7 @@ class TimeStore:
         deleted = []
         nsdir = self._ns_dir(ns)
         horizon_ms = int(tmp_stale_after * 1000)
-        now_ms = int(self.fs._jvm.java.lang.System.currentTimeMillis())
+        now_ms = self._now_ms()  # same clock as _flip_lock's staleness
         for st in self.fs.fs.listStatus(self.fs._path(nsdir)):
             if st.isDirectory():
                 continue

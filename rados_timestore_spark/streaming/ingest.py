@@ -49,24 +49,31 @@ def checkpoint_app_id(spark: SparkSession, checkpoint_dir: str) -> str:
     lineage restarts micro-batch ids at 0, and an unscoped fence
     would silently skip all of them as completed replays.
 
-    Falls back to the checkpoint path itself when the metadata file
-    is unreadable (e.g. called before the query's first start) —
-    that still separates distinct checkpoint locations, just not a
-    recreated one.
+    Falls back to the checkpoint path itself ONLY on deterministic
+    conditions — the metadata file does not exist (called before the
+    query's first start) or holds unparseable content.  A TRANSIENT
+    read failure (FS hiccup, throttling) raises instead: silently
+    switching to the path-derived key mid-stream would change the
+    fence lineage and re-apply the batch the checkpoint is about to
+    redeliver — the exact double-application the fence prevents
+    (review finding r12).  The raise fails the micro-batch, which
+    Spark retries under the same id.
     """
     from rados_timestore_spark.fsutil import HadoopFS
 
+    fs = HadoopFS(spark, checkpoint_dir)
+    if not fs.exists(f"{checkpoint_dir}/metadata"):
+        return f"ckpt-{checkpoint_dir.rstrip('/')}"
+    text = fs.read_text(f"{checkpoint_dir}/metadata")
     try:
-        fs = HadoopFS(spark, checkpoint_dir)
-        text = fs.read_text(f"{checkpoint_dir}/metadata")
         for line in text.splitlines():
             line = line.strip()
             if line.startswith("{"):
                 qid = json.loads(line).get("id")
                 if qid:
                     return f"q-{qid}"
-    except Exception:
-        pass
+    except ValueError:
+        pass  # corrupt-but-readable metadata: deterministic content
     return f"ckpt-{checkpoint_dir.rstrip('/')}"
 
 

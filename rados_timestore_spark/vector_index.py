@@ -222,7 +222,15 @@ def assign_to_centroids(emb: DataFrame, cids: np.ndarray,
             for c in meta_cols:
                 out[c] = pdf[c]
             if pq_cb is not None:
-                Eq = E - C[rows] if pq_residual else E
+                # encode from PERSISTED precision (float32), exactly
+                # what enable_pq's re-encode reads back from the
+                # stored table — the assignment argmax above still
+                # sees the raw input, matching the stored bucket and
+                # the in-query IVF oracle (review finding r12: a
+                # not-exactly-float32 input must not make the inline
+                # and staged encodes disagree)
+                E32 = E.astype(np.float32).astype(np.float64)
+                Eq = E32 - C[rows] if pq_residual else E32
                 codes = np.empty((len(E), m), dtype=np.int16)
                 for s in range(m):
                     sub = Eq[:, s * dsub:(s + 1) * dsub]
@@ -510,6 +518,15 @@ class VectorIndex:
         cent_df.coalesce(1).write.mode("overwrite").parquet(
             self._centroids_dir(ns))
 
+        prev_version, prev_pq_gen = 0, 0
+        try:
+            prior = self.meta(ns)
+            prev_version = int(prior.get("version", 0))
+            prev_pq_gen = max(int(prior.get("pq", {}).get("gen", 0)),
+                              int(prior.get("pq_gen_floor", 0)))
+        except VectorIndexNotBuilt:
+            pass
+
         CBm, pq_doc = None, None
         if pq is not None:
             pq_m = int(pq.get("m", 4))
@@ -519,18 +536,27 @@ class VectorIndex:
                 raise ValueError(f"build({ns!r}): dim {dim} not "
                                  f"divisible by pq m {pq_m}")
             dsub = dim // pq_m
-            cb_rows = (
-                emb.select(F.col(id_col).alias("vec_id"),
-                           F.col(vec_col).alias("ce"))
-                .orderBy("vec_id").limit(ksub).collect())
-            if len(cb_rows) < ksub:
+            if trainer == "sample" and ksub <= len(cent_rows):
+                # the sample trainer already collected the k lowest-id
+                # vectors sorted ascending — the ksub lowest are a
+                # prefix; re-scanning the corpus for them would be a
+                # redundant full TakeOrdered job on exactly the cold
+                # path this fusion exists to make one-pass (review
+                # finding r12)
+                cb_vecs = [r.ce for r in cent_rows[:ksub]]
+            else:
+                cb_rows = (
+                    emb.select(F.col(vec_col).alias("ce"))
+                    .orderBy(F.col(id_col)).limit(ksub).collect())
+                cb_vecs = [r.ce for r in cb_rows]
+            if len(cb_vecs) < ksub:
                 raise ValueError(
                     f"build({ns!r}): need {ksub} vectors to train PQ "
-                    f"codebooks, input holds {len(cb_rows)}")
+                    f"codebooks, input holds {len(cb_vecs)}")
             # persisted precision IS the encode precision (the
             # assignment table stores float32, which is what
             # enable_pq trains on) — cast FIRST so fused == staged
-            CB = np.array([r.ce for r in cb_rows], dtype=np.float64)
+            CB = np.array(cb_vecs, dtype=np.float64)
             CB = CB.astype(np.float32).astype(np.float64)
             if residual:
                 # same argmax kernel + first-max-wins tie rule as the
@@ -546,11 +572,19 @@ class VectorIndex:
                 f"s int, code int, cv {cv_type}",
             )
             cb_df.coalesce(1).write.mode("overwrite").parquet(cb_dir)
-            pq_doc = {"m": pq_m, "ksub": ksub, "dsub": dsub, "gen": 1}
+            # gen continues past any prior index's PQ generation, and
+            # the marker binds these codebooks to the VERSION this
+            # build will commit — a rebuild crashing between the
+            # codebook write and the meta write must leave a loud
+            # marker/meta mismatch, never new codebooks servable
+            # against old codes (review finding r12)
+            pq_doc = {"m": pq_m, "ksub": ksub, "dsub": dsub,
+                      "gen": prev_pq_gen + 1}
             if residual:
                 pq_doc["residual"] = True
             self.fs.write_text_atomic(
-                f"{cb_dir}/{_PQ_MARKER}", json.dumps(pq_doc))
+                f"{cb_dir}/{_PQ_MARKER}",
+                json.dumps({**pq_doc, "version": prev_version + 1}))
 
         assigned = assign_to_centroids(
             emb, cids, C, dim, id_col, vec_col, meta_cols=meta_cols,
@@ -560,16 +594,17 @@ class VectorIndex:
          .partitionBy("bucket").parquet(self._assignments_dir(ns)))
 
         n = self.spark.read.parquet(self._assignments_dir(ns)).count()
-        prev_version = 0
-        try:
-            prev_version = int(self.meta(ns).get("version", 0))
-        except VectorIndexNotBuilt:
-            pass
         doc = {"k": int(len(cids)), "dim": int(dim),
                "n_vectors": int(n), "version": prev_version + 1,
                "trainer": trainer, "meta_cols": list(meta_cols)}
         if pq_doc is not None:
             doc["pq"] = dict(pq_doc)
+        elif prev_pq_gen:
+            # a plain rebuild DROPS the pq block but must not reset
+            # the generation clock: a later enable_pq picks up from
+            # here, so its gen never collides with a cached tensor
+            # from the pre-rebuild index (review finding r12)
+            doc["pq_gen_floor"] = prev_pq_gen
         self._write_meta(ns, doc)
         return doc
 
@@ -639,7 +674,16 @@ class VectorIndex:
         self._restore_remnants(ns)
         cids, C = self._load_centroids(ns, int(doc["version"]))
         live = self._assignments_dir(ns)
-        stage = f"{live}.batch_{int(batch_id)}"
+        # stage names are lineage-scoped like the file prefixes:
+        # two lineages share batch id 0, and an unscoped stage's
+        # delete-if-exists would clobber the other's in-flight
+        # staging on interleaved replays (review finding r12).
+        # NOTE: verbs on one index still run SERIALLY (the
+        # maintenance contract) — the scoping makes interleaved
+        # crash-replays converge, it does not license concurrent
+        # writers (the index meta write is not CAS-fenced).
+        _tag = "" if app_id is None else f"a{_app_tag(app_id)}_"
+        stage = f"{live}.batch_{_tag}{int(batch_id)}"
         if self.fs.exists(stage):
             self.fs.delete(stage, recursive=True)
         assigned = assign_to_centroids(
@@ -848,7 +892,11 @@ class VectorIndex:
             # contract as the centroid table)
             CB = CB.astype(np.float32).astype(np.float64)
         CBm = CB.reshape(ksub, m, dsub).transpose(1, 0, 2)
-        gen = int(doc.get("pq", {}).get("gen", 0)) + 1
+        # the floor carries the generation clock across plain
+        # rebuilds (see build()) so a recycled gen can never serve a
+        # stale cached tensor (review finding r12)
+        gen = max(int(doc.get("pq", {}).get("gen", 0)),
+                  int(doc.get("pq_gen_floor", 0))) + 1
         cb_live = self._pq_dir(ns)
         self._restore_remnants(ns)
         cb_staging, cb_old = f"{cb_live}.staging", f"{cb_live}.old"
@@ -867,7 +915,8 @@ class VectorIndex:
             f"{cb_staging}/{_PQ_MARKER}",
             json.dumps({"m": int(m), "ksub": int(ksub),
                         "dsub": int(dsub), "gen": gen,
-                        "residual": bool(residual)}))
+                        "residual": bool(residual),
+                        "version": int(doc["version"])}))
 
         # encode-only rewrite: the stored bucket rides through — no
         # O(n*k*dim) re-assignment pass (review finding); cost is
@@ -898,6 +947,7 @@ class VectorIndex:
                      "dsub": int(dsub), "gen": gen}
         if residual:
             doc["pq"]["residual"] = True
+        doc.pop("pq_gen_floor", None)  # superseded by the live block
         self._write_meta(ns, doc)
         return doc
 
@@ -910,7 +960,11 @@ class VectorIndex:
         served)."""
         pq = doc["pq"]
         gen = int(pq.get("gen", 1))
-        hit = self._cent_cache.get(("pq", ns, gen))
+        version = int(doc.get("version", 0))
+        # cache key includes the index VERSION: a rebuild replaces
+        # the codebooks but starts a new version, so a recycled gen
+        # can never alias a stale cached tensor (review finding r12)
+        hit = self._cent_cache.get(("pq", ns, version, gen))
         if hit is not None:
             return hit
         marker = json.loads(self.fs.read_text(
@@ -918,18 +972,22 @@ class VectorIndex:
         if (marker.get("gen"), marker.get("m"), marker.get("ksub"),
                 bool(marker.get("residual", False))) != \
                 (gen, int(pq["m"]), int(pq["ksub"]),
-                 bool(pq.get("residual", False))):
+                 bool(pq.get("residual", False))) or (
+                "version" in marker
+                and int(marker["version"]) != version):
             raise IOError(
                 f"vector index {ns!r}: persisted codebooks "
                 f"(gen {marker.get('gen')}, m {marker.get('m')}, "
-                f"ksub {marker.get('ksub')}) do not match the meta's "
-                f"pq block {pq} — an enable_pq() run did not complete; "
-                f"re-run enable_pq() to repair")
+                f"ksub {marker.get('ksub')}, "
+                f"version {marker.get('version')}) do not match the "
+                f"meta's pq block {pq} / version {version} — a "
+                f"build(pq=)/enable_pq() run did not complete; re-run "
+                f"it to repair")
         pdf = (self.spark.read.parquet(self._pq_dir(ns))
                .toPandas().sort_values(["s", "code"]))
         CBm = np.stack(pdf["cv"].to_numpy()).astype(
             np.float64).reshape(int(pq["m"]), int(pq["ksub"]), -1)
-        self._cent_cache[("pq", ns, gen)] = CBm
+        self._cent_cache[("pq", ns, version, gen)] = CBm
         return CBm
 
     def probe_pq(self, ns: str, queries: list[tuple[int, list[float]]],

@@ -460,3 +460,33 @@ def test_hnswidx_probe_df_equals_probe_candidates_rerank(spark, tmp_path):
     # empty, not an exception (the shared empty-dir guard)
     vi.delete("e", emb.select("vec_id"))
     assert vi.probe_df("e", qdf).count() == 0
+
+
+def test_probe_df_tolerates_duplicate_vector_rows(spark, tmp_path):
+    # r12 review finding: crash-replay windows can leave duplicate
+    # vec_ids in the vectors dir (probe_candidates' _from_rows dedups
+    # first-wins); probe_df's exact rerank must dedup too, or one
+    # neighbor takes two top-k ranks and pushes a true one out.
+    import glob
+    import shutil
+
+    from rados_timestore_spark.hnsw import HNSWIndex
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    vi = HNSWIndex(spark, str(tmp_path / "dup"))
+    vi.build("e", emb, shards=4, m=8, ef_construction=128)
+    qdf = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"))
+    want = {(r.query_id, r.rank): r.neighbor_id
+            for r in vi.probe_df("e", qdf, topk=5, k=16,
+                                 ef_search=128).collect()}
+    # duplicate one shard's vector file under a crashed-batch prefix
+    # (byte-identical rows — dedup_ids_deterministic's guarantee)
+    shard_dir = sorted(glob.glob(f"{vi._vectors_dir('e')}/shard=*"))[0]
+    src = glob.glob(f"{shard_dir}/*.parquet")[0]
+    shutil.copy(src, f"{shard_dir}/b99-dup.parquet")
+    got = {(r.query_id, r.rank): r.neighbor_id
+           for r in vi.probe_df("e", qdf, topk=5, k=16,
+                                ef_search=128).collect()}
+    assert got == want

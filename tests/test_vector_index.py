@@ -803,3 +803,53 @@ def test_fused_build_pq_equals_build_then_enable_pq(
           staged.probe_pq("e", qs, nprobe=4, topk=5)
           .orderBy("query_id", "rank").collect()]
     assert pf == ps and len(pf) == 15
+
+
+def test_rebuild_with_pq_never_serves_stale_codebooks(spark, emb, tmp_path):
+    # r12 review finding: gen alone recycled across rebuilds, so the
+    # in-process (ns, gen) codebook cache could serve the OLD tensor
+    # against the new codes.  The cache and the marker now bind to
+    # the index VERSION as well.
+    from rados_timestore_spark.vector_index import VectorIndex
+
+    vi = VectorIndex(spark, str(tmp_path / "rb"))
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    vi.build("e", half, k=K, pq=dict(m=4, ksub=16))
+    qs = [(r.vec_id, list(r.embedding)) for r in
+          emb.filter(F.col("vec_id") < 3).collect()]
+    vi.probe_pq("e", qs, nprobe=4, topk=5).collect()  # warms the cache
+    # rebuild over a DIFFERENT corpus slice: new codebooks, new codes
+    other = emb.filter(F.col("vec_id") % 2 == 1)
+    vi.build("e", other, k=K, pq=dict(m=4, ksub=16))
+    got = {r.neighbor_id for r in
+           vi.probe_pq("e", qs, nprobe=4, topk=5).collect()}
+    valid = {r.vec_id for r in other.select("vec_id").collect()}
+    assert got and got <= valid  # served from the NEW index, not cache
+    # and a marker/meta version mismatch is LOUD, not servable:
+    # simulate the rebuild that crashed between codebook and meta
+    # writes by rewriting the marker with a bumped version
+    import json as _json
+
+    marker_path = f"{vi._pq_dir('e')}/{'_pq_meta.json'}"
+    marker = _json.loads(vi.fs.read_text(marker_path))
+    marker["version"] = int(marker["version"]) + 1
+    vi.fs.write_text_atomic(marker_path, _json.dumps(marker))
+    vi._cent_cache.clear()
+    with pytest.raises(IOError, match="do not match"):
+        vi.probe_pq("e", qs, nprobe=4, topk=5).collect()
+
+
+def test_plain_rebuild_carries_pq_gen_floor(spark, emb, tmp_path):
+    # a rebuild WITHOUT pq drops the pq block but must not reset the
+    # generation clock for a later enable_pq (same review finding)
+    from rados_timestore_spark.vector_index import VectorIndex
+
+    vi = VectorIndex(spark, str(tmp_path / "fl"))
+    vi.build("e", emb, k=K, pq=dict(m=4, ksub=16))
+    g1 = vi.meta("e")["pq"]["gen"]
+    vi.build("e", emb, k=K)                       # plain rebuild
+    assert "pq" not in vi.meta("e")
+    assert vi.meta("e")["pq_gen_floor"] == g1
+    vi.enable_pq("e", m=4, ksub=16)
+    assert vi.meta("e")["pq"]["gen"] == g1 + 1    # clock continued
+    assert "pq_gen_floor" not in vi.meta("e")
