@@ -83,7 +83,7 @@ WHERE rn = 1 AND address % 2 = 1
   AND time BETWEEN {T_JAN10} AND {T_JAN20}
 """,
     tags=("Q7", "Q9"),
-    priority=70,  # evidence refresh r12: newest driver row was r4 (oldest-first rotation, VERDICT r10 #6)
+    priority=900,  # demoted in r13 after r12 driver green, to rotate the r12 certificates + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def ts_read_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readExtended (TimeStore.hs:161-177): same plan over the extended
@@ -209,7 +209,7 @@ SELECT {_epoch_case_sql()} AS epoch, count(*) AS n,
 FROM pts GROUP BY 1
 """,
     tags=("Q1",),
-    priority=70,  # evidence refresh r12: newest driver row was r4 (oldest-first rotation, VERDICT r10 #6)
+    priority=900,  # demoted in r13 after r12 driver green, to rotate the r12 certificates + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def ts_epoch_stab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Epoch stab lookup (Index.hs:71-88) as a literal CASE chain —
@@ -255,7 +255,7 @@ WHERE address IN ({ADDRS_SQL}) AND time BETWEEN {T_JAN10} AND {T_JAN20}
 GROUP BY epoch, bucket
 """,
     tags=("Q2", "Q3"),
-    priority=70,  # evidence refresh r12: newest driver row was r4 (oldest-first rotation, VERDICT r10 #6)
+    priority=900,  # demoted in r13 after r12 driver green, to rotate the r12 certificates + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def ts_range_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """targetObjs planning (StoreHelpers.hs:80-104): epochs overlapping
@@ -286,7 +286,7 @@ SELECT address % 2 AS kind, max(time) AS latest, count(*) AS n
 FROM pts GROUP BY 1
 """,
     tags=("X3",),
-    priority=70,  # evidence refresh r12: newest driver row was r4 (oldest-first rotation, VERDICT r10 #6)
+    priority=900,  # demoted in r13 after r12 driver green, to rotate the r12 certificates + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def ts_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """updateLatest (StoreHelpers.hs:227-265): per-kind monotone max
@@ -337,7 +337,7 @@ SELECT address, time, payload_str FROM (
 WHERE rn = 1
 """,
     tags=("M1", "M7"),
-    priority=70,  # evidence refresh r12: newest driver row was r4 (oldest-first rotation, VERDICT r10 #6)
+    priority=900,  # demoted in r13 after r12 driver green, to rotate the r12 certificates + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def ts_find_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """findLast (Mutable.hs:121-139): the final record of a key's
@@ -366,7 +366,7 @@ SELECT address AS key, payload_str AS value FROM (
 WHERE rn = 1
 """,
     tags=("M4", "M5"),
-    priority=70,  # evidence refresh r12: newest driver row was r4 (oldest-first rotation, VERDICT r10 #6)
+    priority=900,  # demoted in r13 after r12 driver green, to rotate the r12 certificates + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def ts_kv_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutable.enumerate (Mutable.hs:105-119): latest value per key
@@ -389,7 +389,7 @@ SELECT address AS key, payload_str AS value FROM (
 WHERE rn = 1
 """,
     tags=("M3",),
-    priority=70,  # evidence refresh r12: newest driver row was r4 (oldest-first rotation, VERDICT r10 #6)
+    priority=900,  # demoted in r13 after r12 driver green, to rotate the r12 certificates + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def ts_kv_merge_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """insertWith merge semantics in bulk (Mutable.hs:83-103): fold the
@@ -486,7 +486,7 @@ WHERE rn = 1 AND address % 2 = 1
   AND time BETWEEN {T_JAN10} AND {T_JAN20}
 """,
     tags=("W5", "Q9"),
-    priority=70,  # evidence refresh r12: newest driver row was r4 (oldest-first rotation, VERDICT r10 #6)
+    priority=900,  # demoted in r13 after r12 driver green, to rotate the r12 certificates + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def ts_store_roundtrip_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end extended read: binary payloads survive the parquet
@@ -508,7 +508,7 @@ SELECT address | 1 AS key, md5(payload_str) AS value_md5 FROM (
 WHERE rn = 1
 """,
     tags=("M2", "M4"),
-    priority=70,  # evidence refresh r12: newest driver row was r4 (oldest-first rotation, VERDICT r10 #6)
+    priority=900,  # demoted in r13 after r12 driver green, to rotate the r12 certificates + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def ts_kv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MutableKV end-to-end: bulk-insert the latest value per key into
@@ -589,7 +589,7 @@ SELECT max(day_max) + 1 AS epoch, CAST(0 AS BIGINT) AS n_points,
 FROM d
 """,
     tags=("R1", "R2", "W8"),
-    priority=70,  # evidence refresh r12: newest driver row was r4 (oldest-first rotation, VERDICT r10 #6)
+    priority=900,  # demoted in r13 after r12 driver green, to rotate the r12 certificates + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def ts_rollover(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Epoch rollover (maybeRollover, StoreHelpers.hs:194-221) made
@@ -786,7 +786,7 @@ SELECT address AS key,
 FROM pts WHERE address % 2 = 1 GROUP BY address
 """,
     tags=("M3", "streaming"),
-    priority=60,  # promoted in r12 — first driver evidence (NEW r11 certificate)
+    priority=900,  # demoted in r13 after r12 driver green, to rotate the r12 certificates + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def ts_kv_merge_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous MERGE ingest, driver-visible (the exactly-once

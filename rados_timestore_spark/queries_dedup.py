@@ -265,7 +265,7 @@ FROM bits GROUP BY doc_id
 
 @register(
     "dedup_simhash", oracle=_simhash_sql(), tags=("dedup",),
-    priority=70,  # evidence refresh r12: newest driver row was r4 (oldest-first rotation, VERDICT r10 #6)
+    priority=900,  # demoted in r13 after r12 driver green, to rotate the r12 certificates + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document from md5-derived word hashes.
@@ -824,7 +824,7 @@ WHERE ({_MH_SHARE})
                        - len(list_intersect(a.hs, b.hs)))
 """,
     tags=("dedup", "lsh"),
-    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
+    priority=70,  # evidence refresh r13: newest driver row was r5 (oldest-first rotation, VERDICT r12 #1)
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs with a FULL oracle: 16 md5-derived
@@ -878,7 +878,7 @@ GROUP BY train_id, eval_id
 HAVING count(*) >= {_CONTAM_MIN_SHARED}
 """,
     tags=("dedup", "pipeline"),
-    priority=70,  # evidence refresh r12: newest driver row was r4 (oldest-first rotation, VERDICT r10 #6)
+    priority=900,  # demoted in r13 after r12 driver green, to rotate the r12 certificates + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination detection: training documents sharing

@@ -54,7 +54,7 @@ SELECT doc_id,
 FROM documents
 """,
     tags=("multimodal",),
-    priority=70,  # evidence refresh r12: newest driver row was r4 (oldest-first rotation, VERDICT r10 #6)
+    priority=900,  # demoted in r13 after r12 driver green, to rotate the r12 certificates + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def mm_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed metadata over opaque binary payloads: byte length, content
@@ -80,7 +80,7 @@ CROSS JOIN generate_series(0, 3) g(frame_no)
 WHERE octet_length(encode(text)) >= (frame_no + 1) * {FRAME_BYTES}
 """,
     tags=("multimodal",),
-    priority=70,  # evidence refresh r12: newest driver row was r4 (oldest-first rotation, VERDICT r10 #6)
+    priority=900,  # demoted in r13 after r12 driver green, to rotate the r12 certificates + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling plumbing: slice the first 4 fixed-size 'frames'
@@ -165,7 +165,7 @@ SELECT doc_id,
 FROM documents
 """,
     tags=("multimodal",),
-    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
+    priority=70,  # evidence refresh r13: newest driver row was r5 (oldest-first rotation; swapped in for sim_kmeans_quantizer to keep the mm_ family-coverage window invariant)
 )
 def mm_feature_extract(spark: SparkSession, sf_dir: str,
                        decoder=fake_decode) -> DataFrame:

@@ -309,7 +309,7 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 WHERE rank <= 3
 """,
     tags=("similarity",),
-    priority=70,  # evidence refresh r12: newest driver row was r4 (oldest-first rotation, VERDICT r10 #6)
+    priority=900,  # demoted in r13 after r12 driver green, to rotate the r12 certificates + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN join: 5 broadcast queries x corpus scan, per-query window
@@ -740,7 +740,7 @@ def _recall_at_5(spark: SparkSession, sf_dir: str,
     "sim_ivf_recall",
     oracle=_recall_sql(_IVF_CTES, "ivf_top"),
     tags=("similarity", "ann"),
-    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
+    priority=70,  # evidence refresh r13: newest driver row was r5 (oldest-first rotation, VERDICT r12 #1)
 )
 def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the IVF-ANN path against exact brute force — the
@@ -924,7 +924,7 @@ SELECT cid, n AS n_members,
 FROM kc2
 """,
     tags=("similarity", "ann"),
-    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
+    priority=900,  # r5-evidence refresh deferred to r14 (swapped out for mm_feature_extract — family-coverage invariant; see R14_REFRESH_PLAN)
 )
 def sim_kmeans_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means coarse quantizer with a FULL cross-engine
@@ -3135,7 +3135,7 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 WHERE rank <= 5
 """,
     tags=("similarity", "ann", "graph", "index", "filtered"),
-    priority=110,  # NEW r12; local-green at all three SFs; rotate in r13 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r13 — first driver evidence (NEW r12 registration)
 )
 def sim_hnswidx_filtered_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered vector search over the persisted GRAPH index — the
@@ -3166,7 +3166,7 @@ def sim_hnswidx_filtered_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_hnswidx_probe_df",
     oracle=_HNSWIDX_ORACLE,
     tags=("similarity", "ann", "graph", "index"),
-    priority=110,  # NEW r12; local-green at all three SFs; rotate in r13 — pinned by EXPECTED_CARVEOUT_BACKLOG
+    priority=60,  # promoted in r13 — first driver evidence (NEW r12 registration)
 )
 def sim_hnswidx_probe_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unbounded-query-frame probe of the persisted graph index
@@ -3211,7 +3211,7 @@ def sim_hnswidx_append_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_hnswidx_stream_probe",
     oracle=_HNSWIDX_ORACLE,
     tags=("similarity", "ann", "graph", "index", "streaming"),
-    priority=60,  # promoted in r12 — first driver evidence (NEW r11 certificate)
+    priority=900,  # demoted in r13 after r12 driver green, to rotate the r12 certificates + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def sim_hnswidx_stream_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-ingest certificate for the graph index (VERDICT r10

@@ -134,7 +134,7 @@ SELECT DISTINCT user_id * 2 AS address, epoch_us(ts) AS time
 FROM events
 """,
     tags=("streaming", "dedup"),
-    priority=70,  # evidence refresh r12: newest driver row was r4 (oldest-first rotation, VERDICT r10 #6)
+    priority=900,  # demoted in r13 after r12 driver green, to rotate the r12 certificates + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay-safe streaming dedup end-to-end: the events table is
@@ -187,7 +187,7 @@ WHERE e.event_type = 'error' AND a.event_id != e.event_id
                          AND epoch_us(e.ts)
 """,
     tags=("streaming", "join"),
-    priority=70,  # evidence refresh r12: newest driver row was r4 (oldest-first rotation, VERDICT r10 #6)
+    priority=900,  # demoted in r13 after r12 driver green, to rotate the r12 certificates + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream event-time interval join, end-to-end: for every
@@ -264,7 +264,7 @@ FROM m WHERE rk = 1
     "streaming_asof_join",
     oracle=_ASOF_ORACLE,
     tags=("streaming", "join", "asof"),
-    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
+    priority=70,  # evidence refresh r13: newest driver row was r5 (oldest-first rotation, VERDICT r12 #1)
 )
 def streaming_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream backward as-of join, end-to-end: purchases and
@@ -314,7 +314,7 @@ def streaming_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_asof_exact",
     oracle=_ASOF_ORACLE,
     tags=("streaming", "join", "asof"),
-    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
+    priority=70,  # evidence refresh r13: newest driver row was r5 (oldest-first rotation, VERDICT r12 #1)
 )
 def streaming_asof_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark-exact streaming as-of join end-to-end, delivered in
@@ -392,7 +392,7 @@ def streaming_asof_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_asof_update",
     oracle=_ASOF_ORACLE,
     tags=("streaming", "join", "asof"),
-    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
+    priority=70,  # evidence refresh r13: newest driver row was r5 (oldest-first rotation, VERDICT r12 #1)
 )
 def streaming_asof_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Update-mode (changelog) streaming as-of join end-to-end: the
@@ -541,7 +541,7 @@ FROM agg, wm
 WHERE (hour + 1) * {_HOUR_US} <= watermark
 """,
     tags=("streaming",),
-    priority=70,  # evidence refresh r12: newest driver row was r4 (oldest-first rotation, VERDICT r10 #6)
+    priority=900,  # demoted in r13 after r12 driver green, to rotate the r12 certificates + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def streaming_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end Structured Streaming rollup: events flow through a
@@ -598,7 +598,7 @@ rk AS (
 SELECT address, time, value, seq FROM rk WHERE r = 1
 """,
     tags=("streaming", "kv"),
-    priority=70,  # evidence refresh r12: newest driver row was r4 (oldest-first rotation, VERDICT r10 #6)
+    priority=900,  # demoted in r13 after r12 driver green, to rotate the r12 certificates + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def streaming_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Mutable-KV latest-per-key view (M6, latestUniques —
@@ -679,7 +679,7 @@ FROM agg, wm
 WHERE last_t + {_GAP_US} <= watermark
 """,
     tags=("streaming", "window"),
-    priority=900,  # demoted in r5 to refresh the tpch part-1 driver evidence (r4-green; verified locally by tools/check_correctness.py)
+    priority=70,  # evidence refresh r13: newest driver row was r4 (oldest-first rotation, VERDICT r12 #1)
 )
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end streaming sessionization with Spark's NATIVE

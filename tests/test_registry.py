@@ -76,24 +76,27 @@ def test_bench_set_nonempty():
 # window) — membership drift must fail loudly, so any intentional
 # rotation edits this set in the same commit.
 EXPECTED_WINDOW = {
-    # r12 rotation: the two NEW r11 certificates promoted for their
-    # FIRST driver evidence (exactly-once streaming MERGE / HNSW
-    # streaming ingest — ROADMAP r11 #14 and #8); the 19 non-bench
-    # r11-green backlog promotions were demoted in exchange.
-    "ts_kv_merge_stream", "sim_hnswidx_stream_probe",
-    # oldest-evidence refreshes (VERDICT r10 #6 rotation, resumed):
-    # these 19 queries' newest driver rows all date to r4 — the
-    # oldest evidence in the registry after r11 refreshed mm_resize +
-    # ts_codec_roundtrip.  Remaining r4 rows (streaming_sessionize,
-    # text_lang_id/length_buckets/repetition/split_assign, tpch
-    # part-2) queue for r13.
-    "ts_epoch_stab", "ts_find_last", "ts_kv_enumerate",
-    "ts_kv_merge_fold", "ts_kv_roundtrip", "ts_range_pruning",
-    "ts_read_extended", "ts_rollover", "ts_store_roundtrip_extended",
-    "ts_watermark", "dedup_contamination", "dedup_simhash",
-    "mm_frame_sample", "mm_payload_stats", "sim_knn_join",
-    "streaming_dedup_replay", "streaming_interval_join",
-    "streaming_latest_per_key", "streaming_rollup_hourly",
+    # r13 rotation (VERDICT r12 #1, plan pinned in ROADMAP r12): the
+    # two NEW r12 registrations promoted for their FIRST driver
+    # evidence (filtered HNSW probe / unbounded-frame probe_df); the
+    # 21 r12-green non-bench incumbents demoted in exchange.
+    "sim_hnswidx_filtered_probe", "sim_hnswidx_probe_df",
+    # oldest-evidence refreshes (oldest-first rotation): the 12
+    # remaining r4-evidence queries + the 7 oldest r5-evidence
+    # queries (by registration order).  The remaining 19 r5-evidence
+    # queries roll to r14 — pinned in R14_REFRESH_PLAN below.
+    "streaming_sessionize", "text_lang_id", "text_length_buckets",
+    "text_repetition", "text_split_assign", "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock", "tpch_q12_late_shipments",
+    "tpch_q17_small_quantity_revenue", "tpch_q20_dominant_suppliers",
+    "tpch_q21_waiting_suppliers", "tpch_q22_global_sales_opportunity",
+    # (mm_feature_extract takes the seventh r5 seat in place of
+    # sim_kmeans_quantizer — the mm_ family-coverage invariant below
+    # requires a multimodal entry and the plan's seven had none; both
+    # hold r5 evidence, so oldest-first is preserved.)
+    "streaming_asof_join", "streaming_asof_exact", "streaming_asof_update",
+    "text_filter_pipeline", "dedup_minhash_pairs", "sim_ivf_recall",
+    "mm_feature_extract",
     # the bench/headline set (must always be driver-visible)
     "ts_kv_merge_into", "sim_hnswidx_probe",
     "streaming_ewma", "graph_connected_components",
@@ -115,14 +118,131 @@ EXPECTED_WINDOW = {
 # registry test asserting no query stays past the window for more than
 # one round") — any name added here is a standing debt that the next
 # round's rotation has to clear.
-# r12 rotation promoted both r11 certificates into the window.  Only
+# r13 rotation promoted both r12 registrations into the window.  Only
 # same-round NEW registrations may appear here; each MUST be rotated
 # into the window next round.
-EXPECTED_CARVEOUT_BACKLOG: set[str] = {
-    # NEW r12 registrations — rotate into the r13 window
-    "sim_hnswidx_filtered_probe",
-    "sim_hnswidx_probe_df",
+EXPECTED_CARVEOUT_BACKLOG: set[str] = set()
+
+
+# The 19 r5-evidence queries that did not fit r13's 21 non-bench
+# seats (ROADMAP r12 #1 arithmetic; VERDICT r12 #8).  The r14 rotation
+# MUST promote these — test_rotation_takes_oldest_evidence below goes
+# red at r14 if the rotation skips any of them, because they will then
+# hold the registry's oldest evidence.
+R14_REFRESH_PLAN = {
+    "dedup_semantic", "sim_kmeans_quantizer", "mm_decode_ppm",
+    "pipeline_corpus_curation", "tpch_window_top_orders_per_customer",
+    "tpch_agg_distinct_priority", "tpch_semijoin_open_orders",
+    "tpch_antijoin_silent_customers", "tpch_q6_forecast_revenue",
+    "tpch_q4_order_priority", "tpch_q18_large_orders",
+    "tpch_rollup_revenue", "tpch_q14_promo_effect",
+    "tpch_q19_disjunctive_predicates", "tpch_q7_volume_shipping",
+    "tpch_q9_product_profit", "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_part_counts",
 }
+
+
+def _newest_green_rounds() -> dict[str, int]:
+    """name -> newest round with a fully-green driver row, from the
+    CORRECTNESS_r*.json history the repo carries."""
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.join(os.path.dirname(__file__), "..")
+    newest: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)\.json$", path).group(1))
+        with open(path) as fh:
+            rows = json.load(fh)
+        for name, row in rows.items():
+            if not isinstance(row, dict) or row.get("err"):
+                continue
+            if all(row.get(k) is not False
+                   for k in ("rows_match", "schema_match", "hash_match")):
+                newest[name] = max(newest.get(name, 0), rnd)
+    return newest
+
+
+def test_rotation_takes_oldest_evidence():
+    # Evidence-age SLA (VERDICT r12 #2).  The backlog test above only
+    # guards never-driver-checked queries; between r5 and r12, age
+    # debt silently re-accumulated to 38 queries because nothing
+    # forced each round's refresh seats to be the OLDEST evidence.
+    # This pins the oldest-first invariant structurally: every
+    # non-bench refresh seat inside the 50-entry driver window must
+    # hold evidence no newer than any query left outside it.  A
+    # rotation that skips an old query (refreshing something newer
+    # instead) goes red immediately — debt can no longer accumulate
+    # silently.
+    #
+    # Window arithmetic (VERDICT r12 #7): 29 bench-pinned seats leave
+    # 21 refresh seats per round for the non-bench remainder, so the
+    # full refresh cycle is ceil(non_bench / 21) rounds — ~10 at 239
+    # registered queries.  A fixed small age cap (e.g. 6 rounds) is
+    # mathematically unsatisfiable at this registry size; the
+    # oldest-first invariant is the strongest enforceable guarantee,
+    # and the absolute cap below tracks the feasible cycle length.
+    import math
+
+    newest = _newest_green_rounds()
+    ordered = registry._ordered()
+    in_window = ordered[:50]
+    out_window = ordered[50:]
+
+    refresh_evidence = [
+        newest[n] for n, q in in_window
+        if not q.bench and n in newest
+    ]
+    outside_evidence = {
+        n: newest[n] for n, q in out_window if n in newest
+    }
+    assert refresh_evidence and outside_evidence
+    stale_cut = max(refresh_evidence)
+    skipped = {
+        n: r for n, r in outside_evidence.items() if r < stale_cut
+    }
+    assert not skipped, (
+        f"rotation skipped older evidence: window refreshes a query "
+        f"last green in r{stale_cut} while these sit outside with "
+        f"older rows: {sorted(skipped.items(), key=lambda kv: kv[1])}"
+    )
+
+    # Absolute backstop: no query's evidence may be older than one
+    # full refresh cycle + 2 rounds of slack (new-certificate seats).
+    current = max(newest.values())
+    non_bench = sum(1 for _n, q in ordered if not q.bench)
+    cycle = math.ceil(non_bench / 21)
+    too_old = {
+        n: r for n, r in newest.items()
+        if n in dict(ordered) and current - r > cycle + 2
+    }
+    assert not too_old, f"evidence older than the feasible cycle: {too_old}"
+
+
+def test_r14_refresh_plan_is_the_oldest_evidence():
+    # The r14 plan must name exactly the queries holding the oldest
+    # evidence once this round's window lands (VERDICT r12 #8) — the
+    # pin and the history must agree, or the plan is stale.
+    newest = _newest_green_rounds()
+    window = {n for n, _q in registry._ordered()[:50]}
+    oldest_outside = min(
+        r for n, r in newest.items() if n not in window
+    )
+    plan_rounds = {n: newest.get(n) for n in R14_REFRESH_PLAN}
+    assert all(r == oldest_outside for r in plan_rounds.values()), (
+        f"R14_REFRESH_PLAN drifted from the evidence history: "
+        f"{plan_rounds} vs oldest outside-window round {oldest_outside}"
+    )
+    # and it must be complete: nothing else outside the window shares
+    # that oldest round.
+    extra = {
+        n for n, r in newest.items()
+        if r == oldest_outside and n not in window
+        and n not in R14_REFRESH_PLAN
+    }
+    assert not extra, f"oldest-evidence queries missing from the plan: {extra}"
 
 
 def test_carveout_backlog_is_rotated():
