@@ -555,13 +555,21 @@ class VectorIndex:
                     f"codebooks, input holds {len(cb_vecs)}")
             # persisted precision IS the encode precision (the
             # assignment table stores float32, which is what
-            # enable_pq trains on) — cast FIRST so fused == staged
+            # enable_pq trains on) — but the residual BUCKET is the
+            # raw-precision argmax: assign_to_centroids assigns from
+            # the raw input and enable_pq's searchsorted path reads
+            # that stored bucket back, so the fused path must pick
+            # the same centroid BEFORE the float32 cast or a float64
+            # source whose cast flips a training vector's nearest
+            # centroid breaks the fused == staged byte-equality law
+            # (ADVICE r12 #2)
             CB = np.array(cb_vecs, dtype=np.float64)
-            CB = CB.astype(np.float32).astype(np.float64)
             if residual:
                 # same argmax kernel + first-max-wins tie rule as the
                 # assignment pass (cids sorted ascending)
                 rows = np.argmax(seq_cos_matrix(CB, C, dim), axis=1)
+            CB = CB.astype(np.float32).astype(np.float64)
+            if residual:
                 CB = CB - C[rows]
             CBm = CB.reshape(ksub, pq_m, dsub).transpose(1, 0, 2)
             cb_dir = self._pq_dir(ns)

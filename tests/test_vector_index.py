@@ -805,6 +805,63 @@ def test_fused_build_pq_equals_build_then_enable_pq(
     assert pf == ps and len(pf) == 15
 
 
+def test_fused_residual_pq_law_holds_for_float64_source(spark, tmp_path):
+    # ADVICE r12 #2: the fused build residualized its codebook
+    # training sample against the argmax computed AFTER the float32
+    # cast, while the stored bucket (assign_to_centroids) and
+    # enable_pq's path both use the raw-precision argmax.  For an
+    # array<double> source whose cast flips a training vector's
+    # nearest centroid, the fused and staged codebooks diverged —
+    # invisible on the array<float> fixture where the cast is
+    # identity.  This corpus plants exactly that vector: vec 2's raw
+    # argmax is centroid 0 but its float32 cast's argmax is
+    # centroid 1 (premise asserted below, so a fixture drift can't
+    # turn the test vacuous).
+    from rados_timestore_spark.vector_index import (
+        VectorIndex, seq_cos_matrix)
+
+    flip = [0.8944271933913788, 0.44721358927816474]
+    vecs = [
+        [1.0, 0.0],        # id 0 — centroid 0
+        [0.6, 0.8],        # id 1 — centroid 1
+        flip,              # id 2 — PQ training vector, cast-flipped
+        [0.2, 0.9],        # id 3 — PQ training vector
+        [0.9, 0.1], [0.1, 0.95], [0.7, 0.7], [0.55, 0.82],
+        [0.99, 0.05], [0.05, 0.99], [0.8, 0.3], [0.3, 0.8],
+    ]
+    C = np.array(vecs[:2]).astype(np.float32).astype(np.float64)
+    v = np.array([flip])
+    a_raw = np.argmax(seq_cos_matrix(v, C, 2), axis=1)[0]
+    a_32 = np.argmax(seq_cos_matrix(
+        v.astype(np.float32).astype(np.float64), C, 2), axis=1)[0]
+    assert a_raw != a_32, "fixture premise lost: cast no longer flips"
+
+    src = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    kw = dict(m=2, ksub=4, residual=True)
+    fused = VectorIndex(spark, str(tmp_path / "f64f"))
+    fused.build("e", src, k=2, pq=kw)
+    staged = VectorIndex(spark, str(tmp_path / "f64s"))
+    staged.build("e", src, k=2)
+    staged.enable_pq("e", **kw)
+
+    assert fused.meta("e")["pq"] == staged.meta("e")["pq"]
+
+    def cb(vi):
+        return {(r.s, r.code): tuple(r.cv) for r in
+                spark.read.parquet(vi._pq_dir("e")).collect()}
+
+    assert cb(fused) == cb(staged)
+
+    def rows(vi):
+        return {r.vec_id: (r.bucket, tuple(r.pq_code)) for r in
+                spark.read.parquet(vi._assignments_dir("e")).collect()}
+
+    assert rows(fused) == rows(staged)
+
+
 def test_rebuild_with_pq_never_serves_stale_codebooks(spark, emb, tmp_path):
     # r12 review finding: gen alone recycled across rebuilds, so the
     # in-process (ns, gen) codebook cache could serve the OLD tensor
