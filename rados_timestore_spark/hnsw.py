@@ -354,6 +354,38 @@ class HNSWIndex:
         self.fs.write_text_atomic(
             f"{self._ns_dir(ns)}/{_HNSW_META}", json.dumps(doc))
 
+    def _commit_meta(self, ns: str, doc: dict) -> None:
+        """CAS-fenced meta flip — VectorIndex._commit_meta mirrored
+        (VERDICT r12 #4): every verb carries the ``txn`` it read at
+        entry into its commit; a concurrent maintainer's interleaved
+        commit makes the re-check fail LOUDLY
+        (:class:`~rados_timestore_spark.fsutil.ConcurrentMaintainerError`)
+        instead of silently losing an update.  Pre-r13 metas have no
+        ``txn`` — both sides default to 0."""
+        import json
+
+        from rados_timestore_spark.fsutil import (
+            ConcurrentMaintainerError, flip_lock,
+        )
+
+        with flip_lock(self.fs, f"{self._ns_dir(ns)}/{_HNSW_META}.lock",
+                       what=f"hnsw index {ns!r}"):
+            path = f"{self._ns_dir(ns)}/{_HNSW_META}"
+            expected = int(doc.get("txn", 0))
+            if self.fs.exists(path):
+                stored = int(json.loads(
+                    self.fs.read_text(path)).get("txn", 0))
+                if stored != expected:
+                    raise ConcurrentMaintainerError(
+                        f"hnsw index {ns!r}: meta txn advanced "
+                        f"{expected} -> {stored} since this verb read "
+                        f"it (concurrent maintainer detected); the "
+                        f"index verbs are serial-by-contract — re-run "
+                        f"the verb"
+                    )
+            doc["txn"] = expected + 1
+            self._write_meta(ns, doc)
+
     @staticmethod
     def _graph_rows(g: _ShardGraph, shard: int) -> pd.DataFrame:
         vid, lvl, lay, nbr = [], [], [], []
@@ -418,6 +450,14 @@ class HNSWIndex:
               id_col: str = "vec_id", vec_col: str = "embedding") -> dict:
         from pyspark.sql import functions as F
 
+        # prior txn read BEFORE the first mutation: the whole rebuild
+        # is one CAS window (VERDICT r12 #4)
+        prev_txn = 0
+        try:
+            prev_txn = int(self.meta(ns).get("txn", 0))
+        except HNSWIndexNotBuilt:
+            pass
+
         sharded = emb.select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("embedding"),
@@ -453,8 +493,9 @@ class HNSWIndex:
             "shards": int(shards), "m": int(m),
             "ef_construction": int(ef_construction), "dim": dim,
             "n_vectors": emb.count(), "version": 1,
+            "txn": prev_txn,
         }
-        self._write_meta(ns, doc)  # commit marker LAST (crash-safe)
+        self._commit_meta(ns, doc)  # commit marker LAST (crash-safe)
         return doc
 
     # ------------------------------------------------------- append
@@ -562,7 +603,7 @@ class HNSWIndex:
             self.spark.read.parquet(gdir)
             .filter(F.col("layer") == 0).count())
         doc["version"] = int(doc["version"]) + 1
-        self._write_meta(ns, doc)
+        self._commit_meta(ns, doc)
         return int(n_new)
 
     def append_batch(self, ns: str, emb, batch_id: int,
@@ -598,6 +639,7 @@ class HNSWIndex:
         from pyspark.sql import functions as F
 
         doc = self.meta(ns)
+        entry_txn = int(doc.get("txn", 0))
         fence = (int(doc.get("batch_fences", {}).get(app_id, -1))
                  if app_id is not None
                  else int(doc.get("last_batch_id", -1)))
@@ -760,7 +802,10 @@ class HNSWIndex:
         # cross-batch redelivery leaves them counted-but-not-new —
         # an increment gets one of the two wrong, the recount heals
         # both (ADVICE r10).
+        # commit-time re-read refreshes bookkeeping; the CAS txn is
+        # the one captured at ENTRY (see VectorIndex.append_batch)
         doc = self.meta(ns)
+        doc["txn"] = entry_txn
         doc["n_vectors"] = int(
             self.spark.read.parquet(gdir)
             .filter(F.col("layer") == 0).count()
@@ -773,7 +818,7 @@ class HNSWIndex:
         else:
             doc["last_batch_id"] = int(batch_id)
         doc["version"] = int(doc["version"]) + 1
-        self._write_meta(ns, doc)
+        self._commit_meta(ns, doc)
         return doc
 
     # ------------------------------------------------------- delete
@@ -807,7 +852,7 @@ class HNSWIndex:
             if int(doc["n_vectors"]) != 0:
                 doc["n_vectors"] = 0
                 doc["version"] = int(doc["version"]) + 1
-                self._write_meta(ns, doc)
+                self._commit_meta(ns, doc)
             for st in (f"{gdir}.deleting", f"{vdir}.deleting"):
                 if self.fs.exists(st):
                     self.fs.delete(st, recursive=True)
@@ -855,7 +900,7 @@ class HNSWIndex:
                 if int(doc["n_vectors"]) != n_live:
                     doc["n_vectors"] = n_live
                     doc["version"] = int(doc["version"]) + 1
-                    self._write_meta(ns, doc)
+                    self._commit_meta(ns, doc)
             for st in (f"{gdir}.deleting", f"{vdir}.deleting"):
                 if self.fs.exists(st):
                     self.fs.delete(st, recursive=True)
@@ -914,7 +959,7 @@ class HNSWIndex:
             .filter(F.col("layer") == 0).count()
         ) if self._dir_has_data(gdir) else 0
         doc["version"] = int(doc["version"]) + 1
-        self._write_meta(ns, doc)
+        self._commit_meta(ns, doc)
         return removed
 
     # ------------------------------------------------------ compact
@@ -951,6 +996,9 @@ class HNSWIndex:
             self.fs.rename(old, vdir)
             raise IOError(f"compact({ns!r}): swap failed")
         self.fs.delete(old, recursive=True)
+        # compact changes no meta field; the fenced txn bump makes an
+        # interleaved maintainer loud (see VectorIndex.compact)
+        self._commit_meta(ns, doc)
         return int(n_files)
 
     # -------------------------------------------------------- probe

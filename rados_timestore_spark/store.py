@@ -41,6 +41,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rados_timestore_spark import fsutil
 from rados_timestore_spark.core import POINTS_SCHEMA, kind_col
 from rados_timestore_spark.index import Index
 
@@ -304,54 +305,14 @@ class TimeStore:
         landing inside a microsecond window, vs the previous behavior
         where ANY post-stall release was destructive.
         """
-        import random
-        import threading
-        import time
-        import uuid
-
-        lock = f"{self._ns_dir(ns)}/{_META}.lock"
-        token = (f"{os.getpid()}.{threading.get_ident()}"
-                 f".{uuid.uuid4().hex}")
-        deadline = time.monotonic() + timeout
-        while True:
-            if self.fs.create_exclusive(lock, token.encode()):
-                break
-            if self.fs.exists(lock):
-                try:
-                    age_ms = (
-                        self._now_ms()
-                        - self.fs.fs.getFileStatus(
-                            self.fs._path(lock)
-                        ).getModificationTime()
-                    )
-                    if age_ms > stale_after * 1000:
-                        # Atomic break: rename won't clobber, so only
-                        # one waiter moves the stale marker aside; the
-                        # losers see their rename fail and re-contend
-                        # on the fresh create_exclusive.
-                        tomb = (f"{lock}.stale.{os.getpid()}"
-                                f".{time.monotonic_ns()}")
-                        if self.fs.rename(lock, tomb):
-                            self.fs.delete(tomb, False)
-                        continue
-                except Exception:
-                    pass  # vanished between exists and stat
-            if time.monotonic() > deadline:
-                raise ConcurrentWriterError(
-                    f"namespace {ns!r}: meta flip lock {lock} held "
-                    f"past {timeout}s; a writer is stuck or stale"
-                )
-            time.sleep(random.uniform(0.002, 0.02))
-        try:
+        # implementation shared with the persisted ANN indexes
+        # (fsutil.flip_lock — extracted in r13, VERDICT r12 #4)
+        with fsutil.flip_lock(
+                self.fs, f"{self._ns_dir(ns)}/{_META}.lock",
+                what=f"namespace {ns!r}", timeout=timeout,
+                stale_after=stale_after,
+                err_cls=ConcurrentWriterError):
             yield
-        finally:
-            try:
-                if self.fs.read_text(lock).strip() == token:
-                    self.fs.delete(lock, False)
-                # mismatch => a stale-breaker superseded us while we
-                # stalled; the lock now belongs to someone else
-            except Exception:
-                pass  # releasing best-effort; stale-break cleans up
 
     @staticmethod
     def _now_ms() -> int:

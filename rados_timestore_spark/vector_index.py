@@ -63,7 +63,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rados_timestore_spark.fsutil import HadoopFS
+from rados_timestore_spark.fsutil import (
+    ConcurrentMaintainerError, HadoopFS, flip_lock,
+)
 
 _META = "_vidx_meta.json"
 _PQ_MARKER = "_pq_meta.json"
@@ -400,7 +402,7 @@ class VectorIndex:
         n = self._recount(ns)
         if int(doc["n_vectors"]) != n:
             doc["n_vectors"] = n
-            self._write_meta(ns, doc)
+            self._commit_meta(ns, doc)
         staging = f"{self._assignments_dir(ns)}.deleting"
         if self.fs.exists(staging):
             self.fs.delete(staging, recursive=True)
@@ -440,6 +442,43 @@ class VectorIndex:
         self.fs.write_text_atomic(
             f"{self._ns_dir(ns)}/{_META}", json.dumps(doc)
         )
+
+    def _commit_meta(self, ns: str, doc: dict) -> None:
+        """CAS-fenced meta flip (VERDICT r12 #4, the store's
+        ``_write_meta_cas`` cross-applied): maintenance verbs on one
+        index are serial BY CONTRACT, and until r13 that contract was
+        enforced only by documentation — a second concurrent
+        maintainer silently lost the first's meta update (and worse,
+        interleaved its file swaps).  Every verb now carries the
+        ``txn`` counter it READ at entry into its commit; under the
+        flip lock the stored txn is re-checked and a mismatch raises
+        :class:`~rados_timestore_spark.fsutil.ConcurrentMaintainerError`
+        instead of clobbering.  Indexes persisted before r13 have no
+        ``txn`` field — both sides then default to 0 and the first
+        fenced commit starts the counter.
+
+        The lock serializes the re-check->write window itself (atomic
+        create-exclusive on HDFS/local, best-effort on object stores);
+        the txn CAS is the backstop for interleavings wider than the
+        window — a verb's Spark jobs run for seconds between its
+        entry read and this commit."""
+        with flip_lock(self.fs, f"{self._ns_dir(ns)}/{_META}.lock",
+                       what=f"vector index {ns!r}"):
+            path = f"{self._ns_dir(ns)}/{_META}"
+            expected = int(doc.get("txn", 0))
+            if self.fs.exists(path):
+                stored = int(json.loads(
+                    self.fs.read_text(path)).get("txn", 0))
+                if stored != expected:
+                    raise ConcurrentMaintainerError(
+                        f"vector index {ns!r}: meta txn advanced "
+                        f"{expected} -> {stored} since this verb read "
+                        f"it (concurrent maintainer detected); the "
+                        f"index verbs are serial-by-contract — re-run "
+                        f"the verb"
+                    )
+            doc["txn"] = expected + 1
+            self._write_meta(ns, doc)
 
     # -------------------------------------------------------- build
 
@@ -511,21 +550,26 @@ class VectorIndex:
         # persisted precision IS the routing precision
         C = C.astype(np.float32).astype(np.float64)
 
+        # read the prior meta BEFORE the first mutation (the centroid
+        # overwrite): the txn captured here makes the whole rebuild a
+        # CAS window, so a maintainer interleaving anywhere inside it
+        # fails the commit loudly (VERDICT r12 #4)
+        prev_version, prev_pq_gen, prev_txn = 0, 0, 0
+        try:
+            prior = self.meta(ns)
+            prev_version = int(prior.get("version", 0))
+            prev_pq_gen = max(int(prior.get("pq", {}).get("gen", 0)),
+                              int(prior.get("pq_gen_floor", 0)))
+            prev_txn = int(prior.get("txn", 0))
+        except VectorIndexNotBuilt:
+            pass
+
         cent_df = self.spark.createDataFrame(
             [(int(c), [float(x) for x in row]) for c, row in zip(cids, C)],
             "cid long, ce array<float>",
         )
         cent_df.coalesce(1).write.mode("overwrite").parquet(
             self._centroids_dir(ns))
-
-        prev_version, prev_pq_gen = 0, 0
-        try:
-            prior = self.meta(ns)
-            prev_version = int(prior.get("version", 0))
-            prev_pq_gen = max(int(prior.get("pq", {}).get("gen", 0)),
-                              int(prior.get("pq_gen_floor", 0)))
-        except VectorIndexNotBuilt:
-            pass
 
         CBm, pq_doc = None, None
         if pq is not None:
@@ -604,7 +648,8 @@ class VectorIndex:
         n = self.spark.read.parquet(self._assignments_dir(ns)).count()
         doc = {"k": int(len(cids)), "dim": int(dim),
                "n_vectors": int(n), "version": prev_version + 1,
-               "trainer": trainer, "meta_cols": list(meta_cols)}
+               "trainer": trainer, "meta_cols": list(meta_cols),
+               "txn": prev_txn}
         if pq_doc is not None:
             doc["pq"] = dict(pq_doc)
         elif prev_pq_gen:
@@ -613,7 +658,7 @@ class VectorIndex:
             # here, so its gen never collides with a cached tensor
             # from the pre-rebuild index (review finding r12)
             doc["pq_gen_floor"] = prev_pq_gen
-        self._write_meta(ns, doc)
+        self._commit_meta(ns, doc)
         return doc
 
     # ------------------------------------------------------- append
@@ -640,7 +685,7 @@ class VectorIndex:
         # (documented non-idempotent) verb — the count then matches
         # whatever file state the retries actually produced.
         doc["n_vectors"] = self._recount(ns)
-        self._write_meta(ns, doc)
+        self._commit_meta(ns, doc)
         return doc
 
     def append_batch(self, ns: str, emb: DataFrame, batch_id: int,
@@ -674,6 +719,7 @@ class VectorIndex:
         index — a regressed id is skipped as a completed replay.
         """
         doc = self.meta(ns)
+        entry_txn = int(doc.get("txn", 0))
         fence = (int(doc.get("batch_fences", {}).get(app_id, -1))
                  if app_id is not None
                  else int(doc.get("last_batch_id", -1)))
@@ -689,7 +735,9 @@ class VectorIndex:
         # NOTE: verbs on one index still run SERIALLY (the
         # maintenance contract) — the scoping makes interleaved
         # crash-replays converge, it does not license concurrent
-        # writers (the index meta write is not CAS-fenced).
+        # writers; since r13 the meta commit IS CAS-fenced
+        # (_commit_meta), so an accidental second maintainer fails
+        # loudly instead of corrupting.
         _tag = "" if app_id is None else f"a{_app_tag(app_id)}_"
         stage = f"{live}.batch_{_tag}{int(batch_id)}"
         if self.fs.exists(stage):
@@ -787,7 +835,12 @@ class VectorIndex:
                         f"append_batch({ns!r}, {batch_id}): rename "
                         f"failed for {d}/{name}")
         self.fs.delete(stage, recursive=True)
+        # commit-time re-read refreshes the bookkeeping fields, but
+        # the CAS txn is the one captured at ENTRY: the corruption
+        # window a concurrent maintainer opens spans the whole verb,
+        # not just this last read->write gap (VERDICT r12 #4)
         doc = self.meta(ns)
+        doc["txn"] = entry_txn
         # recount at the commit point (see delete()): heals both the
         # crash-after-promote replay and any redelivery the anti-join
         # already filtered — `n_vectors == count(rows)` is invariant.
@@ -799,7 +852,7 @@ class VectorIndex:
             doc["batch_fences"] = fences
         else:
             doc["last_batch_id"] = int(batch_id)
-        self._write_meta(ns, doc)
+        self._commit_meta(ns, doc)
         return doc
 
     # ----------------------------------------------------------- pq
@@ -861,6 +914,7 @@ class VectorIndex:
         columnar storage instead of a bespoke code layout.
         """
         doc = self.meta(ns)
+        entry_txn = int(doc.get("txn", 0))
         dim = int(doc["dim"])
         if dim % m:
             raise ValueError(f"enable_pq({ns!r}): dim {dim} not "
@@ -951,12 +1005,13 @@ class VectorIndex:
             raise IOError(f"enable_pq({ns!r}): staging swap failed")
         self.fs.delete(old, recursive=True)
         doc = self.meta(ns)
+        doc["txn"] = entry_txn  # CAS spans the whole verb (see build)
         doc["pq"] = {"m": int(m), "ksub": int(ksub),
                      "dsub": int(dsub), "gen": gen}
         if residual:
             doc["pq"]["residual"] = True
         doc.pop("pq_gen_floor", None)  # superseded by the live block
-        self._write_meta(ns, doc)
+        self._commit_meta(ns, doc)
         return doc
 
     def _load_pq(self, ns: str, doc: dict) -> np.ndarray:
@@ -1174,7 +1229,9 @@ class VectorIndex:
         Like the other maintenance verbs, schedule serially with
         appends/compactions.
         """
-        self.meta(ns)  # raises if never built
+        entry_txn = int(self.meta(ns).get("txn", 0))  # also: raises
+        # if never built; the txn read makes the whole verb one CAS
+        # window (VERDICT r12 #4)
         self._restore_remnants(ns)
         if not self._has_buckets(ns):
             # every bucket already deleted: nothing to scan (the raw
@@ -1242,8 +1299,9 @@ class VectorIndex:
         # count() over the assignments dir reads zero data columns
         # (parquet footers drive it), bounded by file count at any
         # corpus size.
+        doc["txn"] = entry_txn  # CAS spans the whole verb (see build)
         doc["n_vectors"] = self._recount(ns)
-        self._write_meta(ns, doc)
+        self._commit_meta(ns, doc)
         return removed
 
     # ------------------------------------------------------ compact
@@ -1264,7 +1322,11 @@ class VectorIndex:
         would see a missing directory and should be retried.  Returns
         the number of data files after compaction.
         """
-        self.meta(ns)  # raises if never built
+        doc = self.meta(ns)  # raises if never built; txn read below
+        # makes the rewrite one CAS window (VERDICT r12 #4) — compact
+        # changes no meta FIELD, but committing the txn bump at the
+        # end makes an interleaved maintainer loud on one side or the
+        # other instead of silently racing the directory swap
         self._restore_remnants(ns)
         if not self._has_buckets(ns):
             return 0   # empty index (delete-everything): nothing to pack
@@ -1285,6 +1347,7 @@ class VectorIndex:
             self.fs.rename(old, live)
             raise IOError(f"compact({ns!r}): staging swap failed")
         self.fs.delete(old, recursive=True)
+        self._commit_meta(ns, doc)
         return sum(
             1 for d in self.fs.list_dirs(live) if d.startswith("bucket=")
             for st in self.fs.fs.listStatus(

@@ -160,7 +160,19 @@ def recover_and_replay(make_index, work_root: str, script, probe,
     before enable_pq ever ran (probe_pq's documented loud-and-
     retryable contract).  SimulatedCrash is never allowed: the cold
     instance has a real FS.
+
+    A kill inside the CAS meta-commit window (r13, _commit_meta)
+    leaves the flip lock held — production reclaims it via the 60 s
+    stale-break; the fuzz models that accelerated by sweeping lock
+    files before reopening (the same runbook step the store crash
+    fuzz applies, tools/store_crash_fuzz.py).
     """
+    import glob
+
+    for lk in glob.glob(f"{work_root}/**/*.lock", recursive=True):
+        import os
+
+        os.remove(lk)
     cold = make_index(work_root)
     try:
         probe(cold)

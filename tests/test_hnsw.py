@@ -381,9 +381,20 @@ def test_hnswidx_delete_crash_before_meta_write_recounts(spark, tmp_path):
     work = str(tmp_path / "crash")
     shutil.copytree(tmpl, work)
     ix = HNSWIndex(spark, work)
-    ix.fs = CountdownFS(ix.fs, fuel=total - 1)
+    # the last TWO counted mutations are the meta write and the CAS
+    # flip lock's release delete (r13, _commit_meta) — kill just
+    # before the meta write itself
+    ix.fs = CountdownFS(ix.fs, fuel=total - 2)
     with pytest.raises(SimulatedCrash):
         ix.delete("e", victims)
+    # the kill lands inside the CAS commit window, leaving the flip
+    # lock held — sweep it like the crash runbook's accelerated
+    # stale-break (see crash_fuzz_harness.recover_and_replay)
+    import glob
+    import os
+
+    for lk in glob.glob(f"{work}/**/*.lock", recursive=True):
+        os.remove(lk)
     cold = HNSWIndex(spark, work)
     assert cold.delete("e", victims) == 0
     assert cold.meta("e")["n_vectors"] == want
