@@ -274,6 +274,31 @@ class HadoopFS:
         return swept
 
 
+#: LRU cap on per-lineage exactly-once fences (ADVICE r12 #4), shared
+#: by the KV store's ``merge_fences`` and both ANN indexes'
+#: ``batch_fences``: every checkpoint reset adds one fence entry
+#: forever, inflating every CAS meta read/write on long-lived
+#: namespaces.  Advancing a fence re-inserts its app id as
+#: most-recent; beyond the cap the OLDEST-advanced entries drop.  A
+#: dropped lineage that later resumes would double-apply its replays —
+#: but resuming a checkpoint after 64 newer lineages have advanced is
+#: operator error (each new checkpoint is a new lineage; 64 resets
+#: deep, the abandoned checkpoint's source offsets are long stale).
+MAX_FENCE_LINEAGES = 64
+
+
+def bump_fence_lru(fences: dict, app_id: str, batch_id: int) -> dict:
+    """Advance ``fences[app_id]`` to at least ``batch_id``, re-insert
+    it as most-recently-advanced, and evict beyond
+    :data:`MAX_FENCE_LINEAGES`.  Returns the same dict."""
+    fences[app_id] = max(int(fences.get(app_id, -1)), int(batch_id))
+    v = fences.pop(app_id)
+    fences[app_id] = v
+    while len(fences) > MAX_FENCE_LINEAGES:
+        fences.pop(next(iter(fences)))
+    return fences
+
+
 class ConcurrentMaintainerError(Exception):
     """Two maintenance writers interleaved on one namespace's metadata
     document — the store raises its own :class:`ConcurrentWriterError`
@@ -284,6 +309,35 @@ class ConcurrentMaintainerError(Exception):
 
 
 from contextlib import contextmanager  # noqa: E402
+
+
+def fs_now_ms(fs: HadoopFS, probe_dir: str) -> int:
+    """The FILESYSTEM's own clock, observed by stat-ing a freshly
+    created probe file (ADVICE r12 #3): modification times on an
+    object store / remote HDFS are server-assigned, so comparing them
+    against the driver's wall clock inherits the full driver-storage
+    skew — a live writer's young tmp could look past the staleness
+    horizon (and be swept mid-flip), or crashed remnants could look
+    forever young.  Deriving 'now' from the same clock that stamps
+    the mtimes makes the age comparison skew-free.  Cost: one create
+    + stat + delete per call."""
+    import os
+    import uuid
+
+    probe = (f"{probe_dir.rstrip('/')}/.clockprobe."
+             f"{os.getpid()}.{uuid.uuid4().hex}")
+    if not fs.create_exclusive(probe, b""):
+        # freak collision or create race — the uuid makes this
+        # practically unreachable; fall back to the driver clock
+        # rather than failing the maintenance verb
+        import time
+
+        return int(time.time() * 1000)
+    try:
+        return int(fs.fs.getFileStatus(
+            fs._path(probe)).getModificationTime())
+    finally:
+        fs.delete(probe, False)
 
 
 @contextmanager
@@ -320,17 +374,29 @@ def flip_lock(fs: HadoopFS, lock: str, what: str,
             break
         if fs.exists(lock):
             try:
-                age_ms = (
-                    int(time.time() * 1000)
-                    - fs.fs.getFileStatus(
-                        fs._path(lock)).getModificationTime()
-                )
-                if age_ms > stale_after * 1000:
+                mtime = fs.fs.getFileStatus(
+                    fs._path(lock)).getModificationTime()
+                age_ms = int(time.time() * 1000) - mtime
+                # wall-clock age is only the cheap pre-filter — the
+                # break is CONFIRMED against the filesystem's own
+                # clock (ADVICE r12 #3: with driver-storage skew >
+                # stale_after, a LIVE holder's lock looks ancient to
+                # the driver; both timestamps below come from the
+                # storage, so the comparison is skew-free).  The
+                # probe only runs when the pre-filter passes; a
+                # fresh-confirmed lock falls through to the normal
+                # deadline check + sleep, NEVER a bare continue (a
+                # continue here would hot-spin past the timeout).
+                if (age_ms > stale_after * 1000
+                        and fs_now_ms(fs, lock.rsplit("/", 1)[0])
+                        - mtime > stale_after * 1000):
                     tomb = (f"{lock}.stale.{os.getpid()}"
                             f".{time.monotonic_ns()}")
                     if fs.rename(lock, tomb):
                         fs.delete(tomb, False)
                     continue
+            except SimulatedCrash:
+                raise  # fault injection models a hard kill
             except Exception:
                 pass  # vanished between exists and stat
         if time.monotonic() > deadline:

@@ -340,19 +340,57 @@ class MutableKV:
             raise ValueError(
                 f"merge_into({self.ns!r}): app_id={app_id!r} requires "
                 f"a batch_id — the fence is keyed on (app_id, batch_id)")
+        inherits_legacy = False
         if batch_id is not None:
             meta0 = self.store._read_meta(self.ns)
-            fence = (meta0.merge_fences.get(app_id, -1)
-                     if app_id is not None else meta0.merge_batch_id)
+            if app_id is not None:
+                fence = meta0.merge_fences.get(app_id, -1)
+                # Upgrade-in-place seeding (ADVICE r12 #1): the FIRST
+                # keyed merge on a namespace whose legacy unkeyed
+                # fence had advanced is the in-place upgrade resuming
+                # the SAME checkpoint — its redelivered in-flight
+                # batch (id <= legacy fence) already applied under
+                # merge_batch_id and a fresh -1 lineage fence would
+                # double-apply it.  Seed from the legacy fence, ONCE
+                # (merge_fences_migrated): later NEW lineages restart
+                # ids at 0 and must start at -1 as designed.
+                inherits_legacy = (
+                    app_id not in meta0.merge_fences
+                    and not meta0.merge_fences_migrated
+                    and meta0.merge_batch_id > -1)
+                if inherits_legacy:
+                    fence = max(int(fence), int(meta0.merge_batch_id))
+            else:
+                fence = meta0.merge_batch_id
             if int(batch_id) <= int(fence):
+                if inherits_legacy:
+                    # commit the inheritance even for the skipped
+                    # replay, so the one-shot marker survives a later
+                    # checkpoint reset (the next lineage must NOT
+                    # inherit): fold the seeded fence in-place under
+                    # the CAS flip
+                    def _seed(m):
+                        m.merge_fences[app_id] = max(
+                            m.merge_fences.get(app_id, -1), int(fence))
+                        m.merge_fences_migrated = True
+
+                    self.store._update_meta(self.ns, _seed)
                 return  # completed replay — fenced no-op
 
         def _fence(m):
             if batch_id is None:
                 return
             if app_id is not None:
-                m.merge_fences[app_id] = max(
-                    m.merge_fences.get(app_id, -1), int(batch_id))
+                from rados_timestore_spark.fsutil import bump_fence_lru
+
+                floor = (int(meta0.merge_batch_id)
+                         if inherits_legacy else -1)
+                # LRU-bounded lineages (ADVICE r12 #4, policy and
+                # rationale at fsutil.MAX_FENCE_LINEAGES)
+                bump_fence_lru(m.merge_fences, app_id,
+                               max(int(batch_id), floor))
+                if inherits_legacy:
+                    m.merge_fences_migrated = True
             else:
                 m.merge_batch_id = max(m.merge_batch_id, int(batch_id))
 

@@ -100,6 +100,16 @@ class _Meta:
     #: own query id, so a fresh checkpoint is a fresh fence.  Empty =
     #: never fenced; existing metas deserialize unchanged.
     merge_fences: dict = field(default_factory=dict)
+    #: One-shot upgrade marker (r13, ADVICE r12 #1): the FIRST keyed
+    #: merge on a namespace whose legacy unkeyed ``merge_batch_id``
+    #: had advanced seeds its lineage fence from it (max of the two)
+    #: — an in-place upgrade resumes the SAME checkpoint, so the
+    #: redelivered in-flight micro-batch (id <= legacy fence) was
+    #: already applied and must stay skipped.  The marker makes the
+    #: inheritance one-shot: every LATER new lineage (new checkpoint,
+    #: ids back at 0) starts at -1 as designed — seeding those would
+    #: resurrect the silent-skip the keying fixed.
+    merge_fences_migrated: bool = False
     #: Separate extended-kind index (reference parity: TimeStore.hs:74-90
     #: registers simpleBucketCount and extendedBucketCount, and
     #: Index.hs:45-49 keeps simple_days/extended_days as two documents
@@ -144,6 +154,8 @@ class _Meta:
         if self.merge_fences:
             d["merge_fences"] = {
                 str(k): int(v) for k, v in self.merge_fences.items()}
+        if self.merge_fences_migrated:
+            d["merge_fences_migrated"] = True
         return d
 
     @classmethod
@@ -160,6 +172,8 @@ class _Meta:
             merge_batch_id=int(d.get("merge_batch_id", -1)),
             merge_fences={str(k): int(v)
                           for k, v in d.get("merge_fences", {}).items()},
+            merge_fences_migrated=bool(d.get("merge_fences_migrated",
+                                             False)),
             index_extended=None if xe is None else Index.from_json(xe),
         )
 
@@ -346,6 +360,17 @@ class TimeStore:
                 )
             meta.txn += 1
             self._write_meta(ns, meta)
+
+    def _update_meta(self, ns: str, fn) -> None:
+        """Fenced metadata-only update: read, apply ``fn(meta)``
+        in-place, CAS-flip.  For bookkeeping folds with no
+        accompanying data rewrite (e.g. the one-shot merge-fence
+        migration seed, mutable.py) — a concurrent writer interleaving
+        the read->flip window surfaces as ConcurrentWriterError, and
+        the caller (a streaming micro-batch, typically) retries."""
+        meta = self._read_meta(ns)
+        fn(meta)
+        self._write_meta_cas(ns, meta)
 
     # -------------------------------------------------------------- DDL
 
@@ -1609,12 +1634,20 @@ class TimeStore:
         deleted = []
         nsdir = self._ns_dir(ns)
         horizon_ms = int(tmp_stale_after * 1000)
-        now_ms = self._now_ms()  # same clock as _flip_lock's staleness
+        # 'now' comes from the FILESYSTEM's clock, not the driver's
+        # (ADVICE r12 #3): the ages below compare against mtimes the
+        # storage assigned, and driver-storage skew > the horizon
+        # would sweep a live writer's young tmp (failing its meta
+        # flip) or retain crashed remnants forever
+        now_ms = fsutil.fs_now_ms(self.fs, nsdir)
         for st in self.fs.fs.listStatus(self.fs._path(nsdir)):
             if st.isDirectory():
                 continue
             name = st.getPath().getName()
-            if ".tmp." in name or ".lock.stale." in name:
+            if (".tmp." in name or ".lock.stale." in name
+                    or ".clockprobe." in name):
+                # .clockprobe.: fs_now_ms probes killed between their
+                # create and delete (r13)
                 if now_ms - int(st.getModificationTime()) < horizon_ms:
                     continue  # possibly an in-flight writer's file
                 self.fs.delete(f"{nsdir}/{name}", recursive=False)

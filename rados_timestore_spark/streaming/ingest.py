@@ -49,7 +49,7 @@ def checkpoint_app_id(spark: SparkSession, checkpoint_dir: str) -> str:
     lineage restarts micro-batch ids at 0, and an unscoped fence
     would silently skip all of them as completed replays.
 
-    Falls back to the checkpoint path itself ONLY on deterministic
+    Falls back to a path-derived key ONLY on deterministic
     conditions — the metadata file does not exist (called before the
     query's first start) or holds unparseable content.  A TRANSIENT
     read failure (FS hiccup, throttling) raises instead: silently
@@ -58,13 +58,21 @@ def checkpoint_app_id(spark: SparkSession, checkpoint_dir: str) -> str:
     redeliver — the exact double-application the fence prevents
     (review finding r12).  The raise fails the micro-batch, which
     Spark retries under the same id.
+
+    The corrupt-content fallback mixes the metadata file's
+    MODIFICATION TIME into the key (ADVICE r12 #5): a checkpoint
+    deleted and recreated at the SAME path gets a fresh metadata file
+    (Spark writes it once at first start), so the two lineages map to
+    different keys instead of silently sharing one fence — the
+    silent-skip this whole feature exists to prevent.
     """
     from rados_timestore_spark.fsutil import HadoopFS
 
     fs = HadoopFS(spark, checkpoint_dir)
-    if not fs.exists(f"{checkpoint_dir}/metadata"):
+    meta_path = f"{checkpoint_dir}/metadata"
+    if not fs.exists(meta_path):
         return f"ckpt-{checkpoint_dir.rstrip('/')}"
-    text = fs.read_text(f"{checkpoint_dir}/metadata")
+    text = fs.read_text(meta_path)
     try:
         for line in text.splitlines():
             line = line.strip()
@@ -74,7 +82,8 @@ def checkpoint_app_id(spark: SparkSession, checkpoint_dir: str) -> str:
                     return f"q-{qid}"
     except ValueError:
         pass  # corrupt-but-readable metadata: deterministic content
-    return f"ckpt-{checkpoint_dir.rstrip('/')}"
+    mtime = fs.fs.getFileStatus(fs._path(meta_path)).getModificationTime()
+    return f"ckpt-{checkpoint_dir.rstrip('/')}-{int(mtime)}"
 
 
 def stream_points(

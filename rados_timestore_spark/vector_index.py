@@ -846,10 +846,13 @@ class VectorIndex:
         # already filtered — `n_vectors == count(rows)` is invariant.
         doc["n_vectors"] = self._recount(ns)
         if app_id is not None:
-            fences = dict(doc.get("batch_fences", {}))
-            fences[app_id] = max(int(fences.get(app_id, -1)),
-                                 int(batch_id))
-            doc["batch_fences"] = fences
+            from rados_timestore_spark.fsutil import bump_fence_lru
+
+            # LRU-bounded lineages (ADVICE r12 #4, rationale at
+            # fsutil.MAX_FENCE_LINEAGES)
+            doc["batch_fences"] = bump_fence_lru(
+                dict(doc.get("batch_fences", {})), app_id,
+                int(batch_id))
         else:
             doc["last_batch_id"] = int(batch_id)
         self._commit_meta(ns, doc)

@@ -654,3 +654,88 @@ def test_merge_into_rejects_null_values(store):
     with pytest.raises(Exception, match="NULL update value for key 4"):
         kv2.merge_into(bad, mrg)
     assert kv2.lookup(4) is None
+
+
+def test_merge_fence_upgrade_seeds_from_legacy(store):
+    # ADVICE r12 #1: an existing deployment running UNKEYED fenced
+    # merges (legacy merge_batch_id) upgrades in place — the stream
+    # resumes the SAME checkpoint, now keyed per lineage, and the
+    # redelivered in-flight micro-batch (id <= legacy fence) would
+    # check a fresh -1 lineage fence and double-apply.  The FIRST
+    # keyed merge seeds its lineage fence from the legacy one (max of
+    # the two), ONCE.
+    mrg = lambda new, old: old + b"|" + new  # noqa: E731
+    store.register_namespace("MIGR", buckets=4)
+    kv = MutableKV(store, "MIGR")
+    b = store.spark.createDataFrame(
+        [(2, bytearray(b"a"), 0)], "key long, value binary, seq long")
+    # legacy unkeyed history: batches 0..2 committed
+    for i in range(3):
+        kv.merge_into(b, mrg, batch_id=i)
+    assert kv.lookup(2) == b"a|a|a"
+    assert store._read_meta(kv.ns).merge_batch_id == 2
+
+    # upgrade in place: same checkpoint redelivers its in-flight
+    # batch (id 2) under the NEW lineage key — must stay skipped
+    kv.merge_into(b, mrg, batch_id=2, app_id="q-upgraded")
+    assert kv.lookup(2) == b"a|a|a"      # NOT double-applied
+    m = store._read_meta(kv.ns)
+    assert m.merge_fences == {"q-upgraded": 2}
+    assert m.merge_fences_migrated
+
+    # the lineage continues normally past the seeded fence
+    kv.merge_into(b, mrg, batch_id=3, app_id="q-upgraded")
+    assert kv.lookup(2) == b"a|a|a|a"
+
+    # a LATER new lineage (checkpoint reset, ids back at 0) must NOT
+    # inherit — seeding is one-shot, or the silent-skip the keying
+    # fixed comes back
+    kv.merge_into(b, mrg, batch_id=0, app_id="q-reset")
+    assert kv.lookup(2) == b"a|a|a|a|a"  # applied
+    assert store.verify(kv.ns)["ok"]
+
+
+def test_merge_fence_upgrade_seed_applies_on_fresh_batch_too(store):
+    # same upgrade, but the first keyed merge is a NEW batch id above
+    # the legacy fence: it must apply AND commit the migration marker
+    mrg = lambda new, old: old + b"|" + new  # noqa: E731
+    store.register_namespace("MIGR2", buckets=4)
+    kv = MutableKV(store, "MIGR2")
+    b = store.spark.createDataFrame(
+        [(2, bytearray(b"a"), 0)], "key long, value binary, seq long")
+    kv.merge_into(b, mrg, batch_id=4)            # legacy fence -> 4
+    kv.merge_into(b, mrg, batch_id=5, app_id="q-up")
+    assert kv.lookup(2) == b"a|a"
+    m = store._read_meta(kv.ns)
+    assert m.merge_fences["q-up"] == 5 and m.merge_fences_migrated
+    # a replay of the legacy in-flight batch under the new key is
+    # fenced by the inherited floor
+    kv.merge_into(b, mrg, batch_id=4, app_id="q-up")
+    assert kv.lookup(2) == b"a|a"
+    # and a later lineage starts clean
+    kv.merge_into(b, mrg, batch_id=0, app_id="q-later")
+    assert kv.lookup(2) == b"a|a|a"
+
+
+def test_merge_fences_lru_capped(store):
+    # ADVICE r12 #4: lineage fences accumulate one entry per
+    # checkpoint reset forever; the LRU cap bounds the meta document.
+    from rados_timestore_spark.fsutil import MAX_FENCE_LINEAGES
+
+    mrg = lambda new, old: new  # noqa: E731
+    store.register_namespace("LRU", buckets=4)
+    kv = MutableKV(store, "LRU")
+    b = store.spark.createDataFrame(
+        [(2, bytearray(b"v"), 0)], "key long, value binary, seq long")
+    n = MAX_FENCE_LINEAGES + 6
+    for i in range(n):
+        kv.merge_into(b, mrg, batch_id=0, app_id=f"app-{i:03d}")
+    fences = store._read_meta(kv.ns).merge_fences
+    assert len(fences) == MAX_FENCE_LINEAGES
+    # the oldest-advanced lineages were evicted, the newest survive
+    assert f"app-{n-1:03d}" in fences and "app-000" not in fences
+    # advancing an existing lineage refreshes its recency
+    kv.merge_into(b, mrg, batch_id=1, app_id=f"app-{n-MAX_FENCE_LINEAGES:03d}")
+    kv.merge_into(b, mrg, batch_id=0, app_id="app-new")
+    fences = store._read_meta(kv.ns).merge_fences
+    assert f"app-{n-MAX_FENCE_LINEAGES:03d}" in fences  # refreshed, kept

@@ -1094,3 +1094,47 @@ def test_write_points_failed_promote_sweeps_partial_batch(store, spark):
     assert store.read_simple("P", 0, 1 << 62, [a * 2 for a in range(4)]).count() == n0 + 32
     rep = store.verify("P")
     assert rep["ok"], rep
+
+
+def test_gc_clock_skew_does_not_sweep_live_tmp(store, monkeypatch):
+    # ADVICE r12 #3: gc compared the DRIVER's wall clock with the
+    # FILESYSTEM's mtimes — with driver-storage skew greater than the
+    # staleness horizon, a live writer's young tmp got swept (failing
+    # its meta flip).  gc now derives 'now' from the filesystem's own
+    # clock (fsutil.fs_now_ms probe), so a skewed driver clock must
+    # not change the verdict.
+    import time
+
+    store.register_namespace("SKEW", buckets=4)
+    ns = store._ns_dir("SKEW")
+    store.fs.create_exclusive(f"{ns}/_meta.json.tmp.9.9", b"junk")
+    real = time.time
+    monkeypatch.setattr(time, "time", lambda: real() + 10_000)
+    assert store.gc("SKEW") == []
+    assert store.fs.exists(f"{ns}/_meta.json.tmp.9.9")
+
+
+def test_flip_lock_clock_skew_does_not_break_live_lock(
+        store, monkeypatch):
+    # same skew scenario for the flip lock's stale-break: the
+    # wall-clock age is only a pre-filter; the break is confirmed
+    # against the filesystem clock, so a LIVE holder's fresh lock
+    # survives a skewed waiter (which times out loudly instead)
+    import time
+
+    import pytest as _pytest
+
+    from rados_timestore_spark.fsutil import (
+        ConcurrentMaintainerError, flip_lock,
+    )
+
+    store.register_namespace("SKEWL", buckets=4)
+    lock = f"{store._ns_dir('SKEWL')}/_meta.json.lock"
+    assert store.fs.create_exclusive(lock, b"live-holder-token")
+    real = time.time
+    monkeypatch.setattr(time, "time", lambda: real() + 10_000)
+    with _pytest.raises(ConcurrentMaintainerError, match="held past"):
+        with flip_lock(store.fs, lock, what="skew-test", timeout=1.0):
+            pass
+    # the live holder's lock was NOT broken
+    assert store.fs.read_text(lock) == "live-holder-token"
