@@ -190,6 +190,14 @@ def _parser() -> argparse.ArgumentParser:
         "hnsw-compact",
         help="collapse each shard's vector append files into one file")
 
+    hr = sub.add_parser(
+        "hnsw-reshard",
+        help="change the shard count of a built graph index (shard "
+             "growth: keep shards under ~1M vectors so a probe task "
+             "holds one shard's graph); byte-equal to a fresh build "
+             "at the new count")
+    hr.add_argument("--shards", type=int, required=True)
+
     hp = sub.add_parser(
         "hnsw-probe",
         help="beam-search every shard graph for query vec_ids and "
@@ -316,6 +324,8 @@ def main(argv: Sequence[str] | None = None,
             print(json.dumps({"removed": hi.delete(args.ns, ids)}))
         elif args.cmd == "hnsw-compact":
             print(json.dumps({"files": hi.compact(args.ns)}))
+        elif args.cmd == "hnsw-reshard":
+            print(json.dumps(hi.reshard(args.ns, shards=args.shards)))
         elif args.cmd == "hnsw-probe":
             ids = [int(a) for a in args.ids.split(",") if a]
             emb = spark.read.parquet(args.parquet)

@@ -253,6 +253,15 @@ class HNSWIndexNotBuilt(Exception):
 
 _HNSW_META = "_hnswidx_meta.json"
 
+#: Roll-forward marker for :meth:`HNSWIndex.reshard` — written AFTER
+#: both staging dirs are complete and BEFORE the first directory
+#: swap, holding the full target meta document.  A reshard involves
+#: TWO whole-dir swaps (graph + vectors) that cannot be made atomic
+#: together; the marker turns every crash point between them into a
+#: deterministic roll-FORWARD at the next verb/probe entry (before
+#: the marker: staging remnants are swept and nothing changed).
+_RESHARD_MARKER = "_reshard.json"
+
 
 class HNSWIndex:
     """Build-once / probe-many persisted sharded-HNSW index — the
@@ -310,7 +319,47 @@ class HNSWIndex:
         between its two renames left every OTHER verb and probe
         failing on the vanished vectors dir until compact specifically
         was re-run — VectorIndex._restore_remnants already covered
-        the whole-dir case, this mirrors it)."""
+        the whole-dir case, this mirrors it).
+
+        ALSO rolls :meth:`reshard` FORWARD (r13): the reshard marker
+        persists the full target meta before the first of reshard's
+        TWO whole-dir swaps, so a kill anywhere between them (or
+        before the meta commit) completes deterministically here —
+        see :data:`_RESHARD_MARKER`.  Without a marker, leftover
+        ``.resharding`` staging dirs belong to an attempt that died
+        before its commit point and are swept."""
+        import json
+
+        marker_path = f"{self._ns_dir(ns)}/{_RESHARD_MARKER}"
+        if self.fs.exists(marker_path):
+            target = json.loads(self.fs.read_text(marker_path))
+            for base in (self._graph_dir(ns), self._vectors_dir(ns)):
+                staging, pre = f"{base}.resharding", f"{base}.preshard"
+                if self.fs.exists(staging):
+                    if self.fs.exists(base) and not self.fs.exists(pre):
+                        if not self.fs.rename(base, pre):
+                            raise IOError(
+                                f"reshard({ns!r}) roll-forward: cannot "
+                                f"move {base} aside")
+                    if not self.fs.exists(base):
+                        if not self.fs.rename(staging, base):
+                            raise IOError(
+                                f"reshard({ns!r}) roll-forward: cannot "
+                                f"promote {staging}")
+                if self.fs.exists(pre):
+                    self.fs.delete(pre, recursive=True)
+            stored = self.meta(ns)
+            if int(stored.get("version", 0)) < int(target["version"]):
+                target["txn"] = int(stored.get("txn", 0))
+                self._commit_meta(ns, target)
+            self.fs.delete(marker_path, recursive=False)
+        else:
+            for base in (self._graph_dir(ns), self._vectors_dir(ns)):
+                staging = f"{base}.resharding"
+                if self.fs.exists(staging):
+                    # a reshard that died before its marker: nothing
+                    # was swapped, the staging is an orphan
+                    self.fs.delete(staging, recursive=True)
         for base in (self._graph_dir(ns), self._vectors_dir(ns)):
             old = f"{base}.old"
             if self.fs.exists(old):
@@ -444,6 +493,36 @@ class HNSWIndex:
 
     # -------------------------------------------------------- build
 
+    def _graphs_for(self, sharded, shards: int, m: int,
+                    ef_construction: int):
+        """Deterministic per-shard graph build over a
+        (vec_id, embedding, shard) frame — ONE mapInPandas pass, one
+        task per shard.  Shared by :meth:`build` and :meth:`reshard`
+        so the reshard law (``reshard(N)`` byte-equals a fresh
+        ``build(shards=N)`` over the same vectors) holds by
+        construction: graphs are functions of (ids, vecs, m, ef)
+        alone (hash-derived levels, id tie-breaks)."""
+        rows_of = HNSWIndex._graph_rows  # no `self` in the closure —
+        # the instance holds the SparkContext and must not ship
+
+        def build_shard(batches):
+            parts = [pdf for pdf in batches]
+            if not parts:
+                return
+            pdf = pd.concat(parts, ignore_index=True)
+            for shard, grp in pdf.groupby("shard"):
+                ids = grp["vec_id"].to_numpy(dtype=np.int64)
+                vecs = np.stack(grp["embedding"].to_numpy()) \
+                    .astype(np.float64)
+                g = _ShardGraph(ids, vecs, m=m,
+                                ef_construction=ef_construction)
+                yield rows_of(g, int(shard))
+
+        return sharded.repartition(shards, "shard").mapInPandas(
+            build_shard,
+            "shard int, vec_id long, level int, layer int, "
+            "neighbors array<long>")
+
     def build(self, ns: str, emb, shards: int = 8,
               m: int = DEFAULT_M,
               ef_construction: int = DEFAULT_EF_CONSTRUCTION,
@@ -464,26 +543,7 @@ class HNSWIndex:
             F.pmod(F.hash(id_col), F.lit(shards)).alias("shard"),
         )
 
-        rows_of = HNSWIndex._graph_rows  # no `self` in the closure —
-        # the instance holds the SparkContext and must not ship
-
-        def build_shard(batches):
-            parts = [pdf for pdf in batches]
-            if not parts:
-                return
-            pdf = pd.concat(parts, ignore_index=True)
-            for shard, grp in pdf.groupby("shard"):
-                ids = grp["vec_id"].to_numpy(dtype=np.int64)
-                vecs = np.stack(grp["embedding"].to_numpy()) \
-                    .astype(np.float64)
-                g = _ShardGraph(ids, vecs, m=m,
-                                ef_construction=ef_construction)
-                yield rows_of(g, int(shard))
-
-        graph = sharded.repartition(shards, "shard").mapInPandas(
-            build_shard,
-            "shard int, vec_id long, level int, layer int, "
-            "neighbors array<long>")
+        graph = self._graphs_for(sharded, shards, m, ef_construction)
         (graph.write.mode("overwrite").partitionBy("shard")
          .parquet(self._graph_dir(ns)))
         (sharded.repartition(shards, "shard").write.mode("overwrite")
@@ -964,6 +1024,98 @@ class HNSWIndex:
         doc["version"] = int(doc["version"]) + 1
         self._commit_meta(ns, doc)
         return removed
+
+    # ------------------------------------------------------ reshard
+
+    def reshard(self, ns: str, shards: int) -> dict:
+        """Change the shard count of a built index — the shard-growth
+        escape hatch (VERDICT r12 #5).  Shards are fixed at build and
+        every probe reconstructs a whole shard's graph inside one
+        Arrow task (:meth:`_from_rows`), so a shard that outgrows
+        task memory — or whose beam latency dominates — needs a wider
+        layout; conversely an over-sharded small index pays per-shard
+        beam overhead.  Rule of thumb: size ``shards`` so a shard
+        stays under ~1M vectors (a 128-dim float32 shard of 1M rows
+        is ~0.5 GiB of vectors + graph inside the probe task).
+
+        Deterministic by construction: the per-shard graphs are
+        functions of (member ids, vectors, m, ef_construction) alone,
+        so ``reshard(ns, N)`` produces the BYTE-IDENTICAL graph and
+        vector tables a fresh ``build(shards=N)`` over the same
+        vectors would (law-tested) — probes on the resharded index
+        are exactly fresh-build probes.
+
+        Crash safety: both staging dirs are written first, then the
+        roll-forward marker (the commit point — it persists the full
+        target meta), then the two whole-dir swaps, then the meta
+        CAS-commit and marker removal.  A kill before the marker
+        leaves orphan staging (swept at next entry); a kill after it
+        rolls FORWARD at the next verb/probe entry
+        (:meth:`_restore_shard_remnants`).  Serial with the other
+        maintenance verbs, CAS-fenced like them.
+        """
+        import json
+
+        from pyspark.sql import functions as F
+
+        doc = self.meta(ns)
+        entry_txn = int(doc.get("txn", 0))
+        self._restore_shard_remnants(ns)
+        shards = int(shards)
+        if shards < 1:
+            raise ValueError(f"reshard({ns!r}): shards must be >= 1")
+        m, ef_c = int(doc["m"]), int(doc["ef_construction"])
+        vdir, gdir = self._vectors_dir(ns), self._graph_dir(ns)
+        if not self._dir_has_data(vdir):
+            # empty index: just commit the new shard count — the next
+            # append lands in the new layout
+            doc["shards"] = shards
+            doc["version"] = int(doc["version"]) + 1
+            self._commit_meta(ns, doc)
+            return doc
+
+        sharded = (self.spark.read.parquet(vdir)
+                   .select("vec_id", "embedding")
+                   .withColumn("shard", F.pmod(F.hash("vec_id"),
+                                               F.lit(shards))))
+        g_stage, v_stage = f"{gdir}.resharding", f"{vdir}.resharding"
+        for leftover in (g_stage, v_stage):
+            if self.fs.exists(leftover):
+                self.fs.delete(leftover, recursive=True)
+        (self._graphs_for(sharded, shards, m, ef_c)
+         .write.mode("overwrite").partitionBy("shard").parquet(g_stage))
+        (sharded.repartition(shards, "shard").write.mode("overwrite")
+         .partitionBy("shard").parquet(v_stage))
+
+        n = int(self.spark.read.parquet(g_stage)
+                .filter(F.col("layer") == 0).count())
+        target = dict(doc)
+        target["shards"] = shards
+        target["n_vectors"] = n
+        target["version"] = int(doc["version"]) + 1
+        target["txn"] = entry_txn
+        # COMMIT POINT: from here the reshard completes even across a
+        # kill (roll-forward at every verb/probe entry).  The marker
+        # write is CAS-fenced like every commit — a maintainer that
+        # interleaved since the entry read fails loudly here, before
+        # anything swapped.
+        from rados_timestore_spark.fsutil import (
+            ConcurrentMaintainerError, flip_lock,
+        )
+
+        with flip_lock(self.fs, f"{self._ns_dir(ns)}/{_HNSW_META}.lock",
+                       what=f"hnsw index {ns!r}"):
+            stored_txn = int(self.meta(ns).get("txn", 0))
+            if stored_txn != entry_txn:
+                raise ConcurrentMaintainerError(
+                    f"hnsw index {ns!r}: meta txn advanced {entry_txn} "
+                    f"-> {stored_txn} during reshard (concurrent "
+                    f"maintainer detected); re-run the verb")
+            self.fs.write_text_atomic(
+                f"{self._ns_dir(ns)}/{_RESHARD_MARKER}",
+                json.dumps(target))
+        self._restore_shard_remnants(ns)
+        return self.meta(ns)
 
     # ------------------------------------------------------ compact
 

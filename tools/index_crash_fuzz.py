@@ -85,6 +85,7 @@ def fuzz_hnsw(spark, root):
         ix.append_batch("e", c, 1)
         ix.append_batch("e", d, 0, app_id="L2")  # new lineage, id 0
         ix.delete("e", victims)
+        ix.reshard("e", shards=3)  # r13: two-dir roll-forward window
         ix.compact("e")
 
     def probe(ix):
