@@ -569,8 +569,10 @@ class HNSWIndex:
         exact files."""
         from pyspark.sql import functions as F
 
+        self._restore_shard_remnants(ns)  # BEFORE the entry read: a
+        # roll-forward recovery commits meta, and reading txn first
+        # would make THIS verb's commit fail spuriously
         doc = self.meta(ns)
-        self._restore_shard_remnants(ns)
         shards, m, ef_c = doc["shards"], doc["m"], doc["ef_construction"]
         new = emb.select(
             F.col(id_col).alias("vec_id"),
@@ -698,6 +700,8 @@ class HNSWIndex:
         """
         from pyspark.sql import functions as F
 
+        self._restore_shard_remnants(ns)  # BEFORE the entry read
+        # (see append): recovery may commit meta
         doc = self.meta(ns)
         entry_txn = int(doc.get("txn", 0))
         fence = (int(doc.get("batch_fences", {}).get(app_id, -1))
@@ -705,7 +709,6 @@ class HNSWIndex:
                  else int(doc.get("last_batch_id", -1)))
         if int(batch_id) <= fence:
             return doc
-        self._restore_shard_remnants(ns)
         shards, m, ef_c = doc["shards"], doc["m"], doc["ef_construction"]
         from rados_timestore_spark.vector_index import (
             dedup_ids_deterministic,
@@ -904,8 +907,10 @@ class HNSWIndex:
         from pyspark.sql import DataFrame as _DF
         from pyspark.sql import functions as F
 
+        self._restore_shard_remnants(ns)  # BEFORE the entry read: a
+        # roll-forward recovery commits meta, and reading txn first
+        # would make THIS verb's commit fail spuriously
         doc = self.meta(ns)
-        self._restore_shard_remnants(ns)
         shards, m, ef_c = doc["shards"], doc["m"], doc["ef_construction"]
         vdir, gdir = self._vectors_dir(ns), self._graph_dir(ns)
         if not self._dir_has_data(vdir):
@@ -1058,9 +1063,11 @@ class HNSWIndex:
 
         from pyspark.sql import functions as F
 
+        self._restore_shard_remnants(ns)  # BEFORE the entry read
+        # (see append): a crashed PREVIOUS reshard rolls forward here
+        # and commits meta
         doc = self.meta(ns)
         entry_txn = int(doc.get("txn", 0))
-        self._restore_shard_remnants(ns)
         shards = int(shards)
         if shards < 1:
             raise ValueError(f"reshard({ns!r}): shards must be >= 1")
@@ -1127,10 +1134,11 @@ class HNSWIndex:
         rows exactly.  Staging + two renames, the same swap discipline
         as the other maintenance verbs.  Returns the file count
         before compaction."""
-        doc = self.meta(ns)
         # whole-dir swap rollback now lives in _restore_shard_remnants
-        # (every verb/probe entry), not just here
+        # (every verb/probe entry), not just here; it runs BEFORE the
+        # entry read (see append): recovery may commit meta
         self._restore_shard_remnants(ns)
+        doc = self.meta(ns)
         vdir = self._vectors_dir(ns)
         if not self._dir_has_data(vdir):
             return 0   # empty index (delete-everything): nothing to pack

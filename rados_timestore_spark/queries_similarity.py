@@ -3045,6 +3045,15 @@ def _hnswidx(spark: SparkSession, sf_dir: str, variant: str):
         vi.build("e", emb.filter(F.col("vec_id") % 2 == 0),
                  shards=_HNSW_SHARDS, m=8, ef_construction=_HNSW_EF)
         vi.append("e", emb.filter(F.col("vec_id") % 2 == 1))
+    elif variant == "reshard":
+        # the shard-growth path (r13): build deliberately
+        # under-sharded (the "grown index" state), then reshard to
+        # the standard width — law-equal to a fresh build at
+        # _HNSW_SHARDS, which is exactly what the probe's oracle
+        # equality certifies end to end
+        vi.build("e", emb, shards=max(1, _HNSW_SHARDS // 4), m=8,
+                 ef_construction=_HNSW_EF)
+        vi.reshard("e", shards=_HNSW_SHARDS)
     elif variant == "stream":
         # exactly-once streaming ingest: build over a third of the
         # corpus, deliver the rest as TWO micro-batches through a real
@@ -3108,9 +3117,37 @@ def sim_hnswidx_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstructs each shard's graph in one cogrouped Arrow pass (no
     rebuild, no trainer) and beam-searches it, and the exact rerank
     recovers the brute-force top-5 — the same equality contract as
-    sim_hnsw_ann, now over the build-once/probe-many path."""
+    sim_hnsw_ann, now over the build-once/probe-many path.
+
+    See :func:`sim_hnswidx_reshard_probe` for the same contract after
+    a shard-count change."""
     emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
     vi = _hnswidx(spark, sf_dir, "full")
+    cand = vi.probe_candidates("e", _hnsw_queries(emb),
+                               k=_HNSW_SHARD_K, ef_search=_HNSW_EF)
+    return _hnsw_rerank_top5(emb, cand)
+
+
+@register(
+    "sim_hnswidx_reshard_probe",
+    oracle=_HNSWIDX_ORACLE,
+    tags=("similarity", "ann", "graph", "index", "reshard"),
+    priority=110,  # NEW r13 registration — carve-out past the full
+    # window (registry policy); local-green at both SFs; rotate into
+    # the r14 window (pinned in tests/test_registry.py backlog)
+)
+def sim_hnswidx_reshard_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-growth certificate (VERDICT r12 #5): the index is built
+    deliberately UNDER-sharded (the state a grown corpus leaves), then
+    :meth:`HNSWIndex.reshard` widens it to the standard shard count —
+    a crash-safe two-table rebuild that is law-equal to a fresh build
+    at the new width (tests/test_hnsw.py reshard laws).  The probe +
+    exact rerank over the RESHARDED index must still recover the
+    brute-force top-5 — the same equality contract as
+    sim_hnswidx_probe, now certifying that the re-shard path loses
+    nothing and routes every vector to its new shard."""
+    emb = load_parallel(spark, sf_dir, "embeddings", "vec_id")
+    vi = _hnswidx(spark, sf_dir, "reshard")
     cand = vi.probe_candidates("e", _hnsw_queries(emb),
                                k=_HNSW_SHARD_K, ef_search=_HNSW_EF)
     return _hnsw_rerank_top5(emb, cand)

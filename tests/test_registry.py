@@ -121,14 +121,21 @@ EXPECTED_WINDOW = {
 # r13 rotation promoted both r12 registrations into the window.  Only
 # same-round NEW registrations may appear here; each MUST be rotated
 # into the window next round.
-EXPECTED_CARVEOUT_BACKLOG: set[str] = set()
+EXPECTED_CARVEOUT_BACKLOG: set[str] = {
+    # NEW r13 registration (the reshard certificate) — rotate into
+    # the r14 window; it takes one of the two r6-refresh seats, so
+    # ts_ohlc_hourly rolls to r15 (ROADMAP r13 arithmetic).
+    "sim_hnswidx_reshard_probe",
+}
 
 
 # The 19 r5-evidence queries that did not fit r13's 21 non-bench
 # seats (ROADMAP r12 #1 arithmetic; VERDICT r12 #8).  The r14 rotation
 # MUST promote these — test_rotation_takes_oldest_evidence below goes
 # red at r14 if the rotation skips any of them, because they will then
-# hold the registry's oldest evidence.
+# hold the registry's oldest evidence.  The remaining 2 seats:
+# sim_hnswidx_reshard_probe (the r13 backlog above) +
+# ts_compact_roundtrip (oldest-registered r6 evidence).
 R14_REFRESH_PLAN = {
     "dedup_semantic", "sim_kmeans_quantizer", "mm_decode_ppm",
     "pipeline_corpus_curation", "tpch_window_top_orders_per_customer",

@@ -334,6 +334,15 @@ SOAK_R12_QUERIES = (
     "sim_hnswidx_probe",  # the baseline the two variants compose on
 )
 
+#: SOAK_FAMILY=r13: the reshard certificate at 10x — its fixture
+#: builds under-sharded then reshards to the standard width, so the
+#: soak covers BOTH the reshard rebuild and the resharded probe (the
+#: dedicated mechanism soak is tools/reshard_soak.py).
+SOAK_R13_QUERIES = (
+    "sim_hnswidx_reshard_probe",
+    "sim_hnswidx_probe",  # fresh-build baseline
+)
+
 #: SOAK_FAMILY=merge30 (VERDICT r10 #7): ts_kv_merge_into one decade
 #: deeper — the r10 10x soak put it at exponent 0.65 (the family's
 #: worst); the 30x run checks the time tracks OUTPUT-ROW growth (the
@@ -544,6 +553,7 @@ def main() -> None:
              "r9e": SOAK_R9E_QUERIES,
              "r10": SOAK_R10_QUERIES,
              "r12": SOAK_R12_QUERIES,
+             "r13": SOAK_R13_QUERIES,
              "graph30": SOAK_GRAPH30_QUERIES,
              "merge30": SOAK_MERGE30_QUERIES,
              "skew": SOAK_SKEW_QUERIES,
