@@ -423,6 +423,36 @@ def flip_lock(fs: HadoopFS, lock: str, what: str,
             pass  # releasing best-effort; stale-break cleans up
 
 
+def cas_commit_meta(fs: HadoopFS, meta_path: str, lock: str,
+                    what: str, doc: dict) -> None:
+    """CAS-fenced metadata commit shared by the persisted ANN indexes
+    (VERDICT r12 #4; one implementation so the txn/CAS protocol
+    cannot drift between them — r13 review finding): under the flip
+    lock, re-read the stored document's ``txn``, refuse on mismatch
+    with :class:`ConcurrentMaintainerError`, bump, write.
+
+    ``doc`` must carry the ``txn`` the caller READ at verb entry, so
+    the CAS window spans the verb's whole run.  Documents persisted
+    before the fence existed have no ``txn`` — both sides then
+    default to 0 and the first fenced commit starts the counter."""
+    import json
+
+    with flip_lock(fs, lock, what=what):
+        expected = int(doc.get("txn", 0))
+        if fs.exists(meta_path):
+            stored = int(json.loads(
+                fs.read_text(meta_path)).get("txn", 0))
+            if stored != expected:
+                raise ConcurrentMaintainerError(
+                    f"{what}: meta txn advanced {expected} -> {stored} "
+                    f"since this verb read it (concurrent maintainer "
+                    f"detected); the index verbs are "
+                    f"serial-by-contract — re-run the verb"
+                )
+        doc["txn"] = expected + 1
+        fs.write_text_atomic(meta_path, json.dumps(doc))
+
+
 class SimulatedCrash(Exception):
     """Raised by :class:`ObjectStoreFS` fault injection — models the
     process dying inside a non-atomic rename window."""

@@ -303,7 +303,8 @@ class HNSWIndex:
     def _vectors_dir(self, ns: str) -> str:
         return f"{self._ns_dir(ns)}/vectors"
 
-    def _restore_shard_remnants(self, ns: str) -> None:
+    def _restore_shard_remnants(self, ns: str,
+                                sweep_stagings: bool = False) -> None:
         """Crash recovery for the per-shard directory swap (ADVICE
         r10): the swap is rename(shard=S -> shard=S.old) then
         rename(staging -> shard=S) then delete(shard=S.old).  A crash
@@ -325,41 +326,48 @@ class HNSWIndex:
         persists the full target meta before the first of reshard's
         TWO whole-dir swaps, so a kill anywhere between them (or
         before the meta commit) completes deterministically here —
-        see :data:`_RESHARD_MARKER`.  Without a marker, leftover
-        ``.resharding`` staging dirs belong to an attempt that died
-        before its commit point and are swept."""
+        see :data:`_RESHARD_MARKER`.  The roll-forward runs UNDER the
+        meta flip lock: reshard's own completion call and a concurrent
+        probe's entry may both see the marker, and unserialized they
+        race the non-clobber renames (r13 review finding — the loser
+        raised IOError from a pure read path).  The lock makes one
+        runner complete the whole swap; the other re-checks and finds
+        the marker gone.
+
+        ``sweep_stagings`` (VERB entries only): without a marker,
+        leftover ``.resharding`` staging dirs belong to a reshard that
+        died before its commit point and are swept.  PROBE entries
+        must NOT sweep (r13 review finding): a LIVE reshard spends its
+        whole staging-build window — minutes at scale — before the
+        marker exists, and probes legitimately run concurrently with
+        the single maintainer; sweeping would fail every reshard on a
+        serving index.  Verbs are serial with reshard by contract, so
+        a marker-less staging seen at a verb entry IS orphaned.
+        ``.clockprobe.`` remnants (crashed fs_now_ms probes, see
+        fsutil) are swept on the same schedule."""
         import json
+
+        from rados_timestore_spark.fsutil import flip_lock
 
         marker_path = f"{self._ns_dir(ns)}/{_RESHARD_MARKER}"
         if self.fs.exists(marker_path):
-            target = json.loads(self.fs.read_text(marker_path))
-            for base in (self._graph_dir(ns), self._vectors_dir(ns)):
-                staging, pre = f"{base}.resharding", f"{base}.preshard"
-                if self.fs.exists(staging):
-                    if self.fs.exists(base) and not self.fs.exists(pre):
-                        if not self.fs.rename(base, pre):
-                            raise IOError(
-                                f"reshard({ns!r}) roll-forward: cannot "
-                                f"move {base} aside")
-                    if not self.fs.exists(base):
-                        if not self.fs.rename(staging, base):
-                            raise IOError(
-                                f"reshard({ns!r}) roll-forward: cannot "
-                                f"promote {staging}")
-                if self.fs.exists(pre):
-                    self.fs.delete(pre, recursive=True)
-            stored = self.meta(ns)
-            if int(stored.get("version", 0)) < int(target["version"]):
-                target["txn"] = int(stored.get("txn", 0))
-                self._commit_meta(ns, target)
-            self.fs.delete(marker_path, recursive=False)
-        else:
+            with flip_lock(self.fs,
+                           f"{self._ns_dir(ns)}/{_HNSW_META}.lock",
+                           what=f"hnsw index {ns!r}"):
+                self._roll_reshard_forward(ns, marker_path)
+        if sweep_stagings and not self.fs.exists(marker_path):
             for base in (self._graph_dir(ns), self._vectors_dir(ns)):
                 staging = f"{base}.resharding"
                 if self.fs.exists(staging):
                     # a reshard that died before its marker: nothing
                     # was swapped, the staging is an orphan
                     self.fs.delete(staging, recursive=True)
+            for st in self.fs.fs.listStatus(
+                    self.fs._path(self._ns_dir(ns))):
+                name = st.getPath().getName()
+                if ".clockprobe." in name:
+                    self.fs.delete(f"{self._ns_dir(ns)}/{name}",
+                                   recursive=False)
         for base in (self._graph_dir(ns), self._vectors_dir(ns)):
             old = f"{base}.old"
             if self.fs.exists(old):
@@ -375,6 +383,40 @@ class HNSWIndex:
                     self.fs.delete(f"{base}/{name}", recursive=True)
                 else:
                     self.fs.rename(f"{base}/{name}", live)
+
+    def _roll_reshard_forward(self, ns: str, marker_path: str) -> None:
+        """Complete a committed reshard's swaps + meta, CALLED WITH
+        THE META FLIP LOCK HELD (see _restore_shard_remnants) — only
+        one runner executes this at a time; a contender that waited
+        out the lock re-checks the marker and finds it gone."""
+        import json
+
+        if not self.fs.exists(marker_path):
+            return  # the lock's previous holder completed it
+        target = json.loads(self.fs.read_text(marker_path))
+        for base in (self._graph_dir(ns), self._vectors_dir(ns)):
+            staging, pre = f"{base}.resharding", f"{base}.preshard"
+            if self.fs.exists(staging):
+                if self.fs.exists(base) and not self.fs.exists(pre):
+                    if not self.fs.rename(base, pre):
+                        raise IOError(
+                            f"reshard({ns!r}) roll-forward: cannot "
+                            f"move {base} aside")
+                if not self.fs.exists(base):
+                    if not self.fs.rename(staging, base):
+                        raise IOError(
+                            f"reshard({ns!r}) roll-forward: cannot "
+                            f"promote {staging}")
+            if self.fs.exists(pre):
+                self.fs.delete(pre, recursive=True)
+        stored = self.meta(ns)
+        if int(stored.get("version", 0)) < int(target["version"]):
+            # direct fenced write: the flip lock is already held (the
+            # CAS wrapper would self-deadlock), and the marker IS the
+            # commit — this is its tail, not a new commit point
+            target["txn"] = int(stored.get("txn", 0)) + 1
+            self._write_meta(ns, target)
+        self.fs.delete(marker_path, recursive=False)
 
     def _dir_has_data(self, base: str) -> bool:
         """True when ``base`` holds at least one shard partition with
@@ -411,29 +453,11 @@ class HNSWIndex:
         (:class:`~rados_timestore_spark.fsutil.ConcurrentMaintainerError`)
         instead of silently losing an update.  Pre-r13 metas have no
         ``txn`` — both sides default to 0."""
-        import json
+        from rados_timestore_spark.fsutil import cas_commit_meta
 
-        from rados_timestore_spark.fsutil import (
-            ConcurrentMaintainerError, flip_lock,
-        )
-
-        with flip_lock(self.fs, f"{self._ns_dir(ns)}/{_HNSW_META}.lock",
-                       what=f"hnsw index {ns!r}"):
-            path = f"{self._ns_dir(ns)}/{_HNSW_META}"
-            expected = int(doc.get("txn", 0))
-            if self.fs.exists(path):
-                stored = int(json.loads(
-                    self.fs.read_text(path)).get("txn", 0))
-                if stored != expected:
-                    raise ConcurrentMaintainerError(
-                        f"hnsw index {ns!r}: meta txn advanced "
-                        f"{expected} -> {stored} since this verb read "
-                        f"it (concurrent maintainer detected); the "
-                        f"index verbs are serial-by-contract — re-run "
-                        f"the verb"
-                    )
-            doc["txn"] = expected + 1
-            self._write_meta(ns, doc)
+        cas_commit_meta(self.fs, f"{self._ns_dir(ns)}/{_HNSW_META}",
+                        f"{self._ns_dir(ns)}/{_HNSW_META}.lock",
+                        what=f"hnsw index {ns!r}", doc=doc)
 
     @staticmethod
     def _graph_rows(g: _ShardGraph, shard: int) -> pd.DataFrame:
@@ -530,9 +554,16 @@ class HNSWIndex:
         from pyspark.sql import functions as F
 
         # prior txn read BEFORE the first mutation: the whole rebuild
-        # is one CAS window (VERDICT r12 #4)
+        # is one CAS window (VERDICT r12 #4).  A REBUILD must first
+        # run crash recovery like every other verb (r13 review
+        # finding): a pending reshard marker left by a crash would
+        # otherwise roll forward AFTER this build commits — renaming
+        # the fresh build aside and promoting the pre-crash staging
+        # over it (silent loss of the rebuild).
         prev_txn = 0
         try:
+            prev_txn = int(self.meta(ns).get("txn", 0))
+            self._restore_shard_remnants(ns, sweep_stagings=True)
             prev_txn = int(self.meta(ns).get("txn", 0))
         except HNSWIndexNotBuilt:
             pass
@@ -569,7 +600,7 @@ class HNSWIndex:
         exact files."""
         from pyspark.sql import functions as F
 
-        self._restore_shard_remnants(ns)  # BEFORE the entry read: a
+        self._restore_shard_remnants(ns, sweep_stagings=True)  # BEFORE the entry read: a
         # roll-forward recovery commits meta, and reading txn first
         # would make THIS verb's commit fail spuriously
         doc = self.meta(ns)
@@ -700,7 +731,7 @@ class HNSWIndex:
         """
         from pyspark.sql import functions as F
 
-        self._restore_shard_remnants(ns)  # BEFORE the entry read
+        self._restore_shard_remnants(ns, sweep_stagings=True)  # BEFORE the entry read
         # (see append): recovery may commit meta
         doc = self.meta(ns)
         entry_txn = int(doc.get("txn", 0))
@@ -907,7 +938,7 @@ class HNSWIndex:
         from pyspark.sql import DataFrame as _DF
         from pyspark.sql import functions as F
 
-        self._restore_shard_remnants(ns)  # BEFORE the entry read: a
+        self._restore_shard_remnants(ns, sweep_stagings=True)  # BEFORE the entry read: a
         # roll-forward recovery commits meta, and reading txn first
         # would make THIS verb's commit fail spuriously
         doc = self.meta(ns)
@@ -1063,7 +1094,7 @@ class HNSWIndex:
 
         from pyspark.sql import functions as F
 
-        self._restore_shard_remnants(ns)  # BEFORE the entry read
+        self._restore_shard_remnants(ns, sweep_stagings=True)  # BEFORE the entry read
         # (see append): a crashed PREVIOUS reshard rolls forward here
         # and commits meta
         doc = self.meta(ns)
@@ -1137,7 +1168,7 @@ class HNSWIndex:
         # whole-dir swap rollback now lives in _restore_shard_remnants
         # (every verb/probe entry), not just here; it runs BEFORE the
         # entry read (see append): recovery may commit meta
-        self._restore_shard_remnants(ns)
+        self._restore_shard_remnants(ns, sweep_stagings=True)
         doc = self.meta(ns)
         vdir = self._vectors_dir(ns)
         if not self._dir_has_data(vdir):

@@ -340,24 +340,38 @@ class MutableKV:
             raise ValueError(
                 f"merge_into({self.ns!r}): app_id={app_id!r} requires "
                 f"a batch_id — the fence is keyed on (app_id, batch_id)")
-        inherits_legacy = False
+        inherits_legacy = first_keyed = False
         if batch_id is not None:
             meta0 = self.store._read_meta(self.ns)
             if app_id is not None:
                 fence = meta0.merge_fences.get(app_id, -1)
                 # Upgrade-in-place seeding (ADVICE r12 #1): the FIRST
                 # keyed merge on a namespace whose legacy unkeyed
-                # fence had advanced is the in-place upgrade resuming
-                # the SAME checkpoint — its redelivered in-flight
-                # batch (id <= legacy fence) already applied under
-                # merge_batch_id and a fresh -1 lineage fence would
-                # double-apply it.  Seed from the legacy fence, ONCE
-                # (merge_fences_migrated): later NEW lineages restart
-                # ids at 0 and must start at -1 as designed.
+                # fence had advanced MAY be the in-place upgrade
+                # resuming the SAME checkpoint, whose redelivered
+                # in-flight batch already applied under
+                # merge_batch_id — a fresh -1 lineage fence would
+                # double-apply it.  But it may equally be a genuinely
+                # NEW checkpoint created in the same maintenance
+                # window, whose batches must all apply (r13 review
+                # finding).  The two are distinguishable by the batch
+                # id: within one lineage foreachBatch redelivers only
+                # the LAST batch, so the resumed-checkpoint replay
+                # arrives with id == the legacy fence exactly, while
+                # a new lineage restarts at 0.  Inherit ONLY on that
+                # exact match; either way the first keyed merge
+                # commits the one-shot migration marker so no LATER
+                # lineage can ever inherit.  (Corner: a new lineage's
+                # batch 0 against legacy fence 0 is indistinguishable
+                # from the resumed replay and is skipped — the
+                # conservative side; it requires the legacy stream to
+                # have committed exactly one batch ever.)
+                first_keyed = (app_id not in meta0.merge_fences
+                               and not meta0.merge_fences_migrated
+                               and meta0.merge_batch_id > -1)
                 inherits_legacy = (
-                    app_id not in meta0.merge_fences
-                    and not meta0.merge_fences_migrated
-                    and meta0.merge_batch_id > -1)
+                    first_keyed
+                    and int(batch_id) == int(meta0.merge_batch_id))
                 if inherits_legacy:
                     fence = max(int(fence), int(meta0.merge_batch_id))
             else:
@@ -389,7 +403,11 @@ class MutableKV:
                 # rationale at fsutil.MAX_FENCE_LINEAGES)
                 bump_fence_lru(m.merge_fences, app_id,
                                max(int(batch_id), floor))
-                if inherits_legacy:
+                if first_keyed:
+                    # one-shot: ANY first keyed merge retires the
+                    # legacy fence's inheritability, or a later new
+                    # lineage whose ids happen to reach the legacy
+                    # fence value would falsely inherit it
                     m.merge_fences_migrated = True
             else:
                 m.merge_batch_id = max(m.merge_batch_id, int(batch_id))

@@ -328,12 +328,6 @@ class TimeStore:
                 err_cls=ConcurrentWriterError):
             yield
 
-    @staticmethod
-    def _now_ms() -> int:
-        import time
-
-        return int(time.time() * 1000)
-
     def _write_meta_cas(self, ns: str, meta: _Meta) -> None:
         """Fenced meta flip: re-read the stored document and fail on a
         txn mismatch before writing (the reference's CAS re-check,

@@ -49,22 +49,20 @@ def checkpoint_app_id(spark: SparkSession, checkpoint_dir: str) -> str:
     lineage restarts micro-batch ids at 0, and an unscoped fence
     would silently skip all of them as completed replays.
 
-    Falls back to a path-derived key ONLY on deterministic
-    conditions — the metadata file does not exist (called before the
-    query's first start) or holds unparseable content.  A TRANSIENT
-    read failure (FS hiccup, throttling) raises instead: silently
-    switching to the path-derived key mid-stream would change the
-    fence lineage and re-apply the batch the checkpoint is about to
-    redeliver — the exact double-application the fence prevents
-    (review finding r12).  The raise fails the micro-batch, which
-    Spark retries under the same id.
-
-    The corrupt-content fallback mixes the metadata file's
-    MODIFICATION TIME into the key (ADVICE r12 #5): a checkpoint
-    deleted and recreated at the SAME path gets a fresh metadata file
-    (Spark writes it once at first start), so the two lineages map to
-    different keys instead of silently sharing one fence — the
-    silent-skip this whole feature exists to prevent.
+    Falls back to a path-derived key ONLY when the metadata file does
+    not exist (called before the query's first start — informational
+    use; inside a running micro-batch the file always exists).
+    Corrupt-but-readable metadata RAISES (ADVICE r12 #5): no silent
+    key derivation is safe there — the r12 path-derived fallback
+    mapped a deleted-and-recreated checkpoint at the SAME path to one
+    shared fence (silent skip), and any replacement key (e.g. mixing
+    the file's mtime) orphans fences an existing deployment already
+    stored under the old key (silent double-apply on upgrade — r13
+    review finding).  Failing loudly forces the operator to recreate
+    the checkpoint (whose fresh metadata parses) or pass an explicit
+    ``app_id``.  A TRANSIENT read failure (FS hiccup, throttling)
+    raises too, for the r12 reason: the batch retries under the same
+    id.
     """
     from rados_timestore_spark.fsutil import HadoopFS
 
@@ -81,9 +79,13 @@ def checkpoint_app_id(spark: SparkSession, checkpoint_dir: str) -> str:
                 if qid:
                     return f"q-{qid}"
     except ValueError:
-        pass  # corrupt-but-readable metadata: deterministic content
-    mtime = fs.fs.getFileStatus(fs._path(meta_path)).getModificationTime()
-    return f"ckpt-{checkpoint_dir.rstrip('/')}-{int(mtime)}"
+        pass  # unparseable: fall through to the loud refusal
+    raise ValueError(
+        f"checkpoint {checkpoint_dir!r}: metadata exists but holds no "
+        f"parseable query id — cannot derive a fence lineage key.  "
+        f"Recreate the checkpoint (Spark rewrites metadata at first "
+        f"start) or pass an explicit app_id."
+    )
 
 
 def stream_points(

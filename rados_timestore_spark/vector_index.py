@@ -462,23 +462,11 @@ class VectorIndex:
         the txn CAS is the backstop for interleavings wider than the
         window — a verb's Spark jobs run for seconds between its
         entry read and this commit."""
-        with flip_lock(self.fs, f"{self._ns_dir(ns)}/{_META}.lock",
-                       what=f"vector index {ns!r}"):
-            path = f"{self._ns_dir(ns)}/{_META}"
-            expected = int(doc.get("txn", 0))
-            if self.fs.exists(path):
-                stored = int(json.loads(
-                    self.fs.read_text(path)).get("txn", 0))
-                if stored != expected:
-                    raise ConcurrentMaintainerError(
-                        f"vector index {ns!r}: meta txn advanced "
-                        f"{expected} -> {stored} since this verb read "
-                        f"it (concurrent maintainer detected); the "
-                        f"index verbs are serial-by-contract — re-run "
-                        f"the verb"
-                    )
-            doc["txn"] = expected + 1
-            self._write_meta(ns, doc)
+        from rados_timestore_spark.fsutil import cas_commit_meta
+
+        cas_commit_meta(self.fs, f"{self._ns_dir(ns)}/{_META}",
+                        f"{self._ns_dir(ns)}/{_META}.lock",
+                        what=f"vector index {ns!r}", doc=doc)
 
     # -------------------------------------------------------- build
 

@@ -676,3 +676,102 @@ def test_reshard_crash_rolls_forward_at_probe_entry(spark, tmp_path):
             cold2.reshard("e", shards=5)
             assert cold2.meta("e")["shards"] == 5
     assert marker_op is not None  # the sweep crossed the commit point
+
+
+def test_build_after_crashed_reshard_is_not_clobbered(spark, tmp_path):
+    # r13 review finding: build() was the only entry point that
+    # skipped crash recovery, so a reshard killed after its marker
+    # write would roll FORWARD at the next probe entry and replace a
+    # FRESH rebuild with the pre-crash staging (silent loss of the
+    # rebuild).  build() now completes the pending reshard first.
+    import numpy as np
+    import shutil
+
+    from rados_timestore_spark.fsutil import SimulatedCrash
+    from rados_timestore_spark.hnsw import HNSWIndex
+    from tests.crash_fuzz_harness import CountdownFS
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    old_corpus = emb.filter(F.col("vec_id") < 100)
+    new_corpus = emb.filter(F.col("vec_id").between(100, 199))
+
+    root = str(tmp_path / "bc")
+    vi = HNSWIndex(spark, root)
+    vi.build("e", old_corpus, shards=2)
+
+    # count the mutations of a clean reshard, then kill just after
+    # the marker write (the first mutation AFTER both staging writes)
+    probe_root = str(tmp_path / "dry")
+    shutil.copytree(root, probe_root)
+    dry = HNSWIndex(spark, probe_root)
+    dry.fs = CountdownFS(dry.fs)
+    dry.reshard("e", shards=4)
+    total = dry.fs.ops
+
+    crashed = None
+    for fuel in range(total):
+        work = str(tmp_path / f"w{fuel}")
+        shutil.copytree(root, work)
+        ix = HNSWIndex(spark, work)
+        ix.fs = CountdownFS(ix.fs, fuel=fuel)
+        try:
+            ix.reshard("e", shards=4)
+        except SimulatedCrash:
+            import os
+
+            if os.path.exists(f"{work}/e/_reshard.json"):
+                crashed = work
+                break
+        shutil.rmtree(work, ignore_errors=True)
+    assert crashed is not None, "no boundary left the marker behind"
+    import glob
+    import os
+
+    for lk in glob.glob(f"{crashed}/**/*.lock", recursive=True):
+        os.remove(lk)
+
+    # operator recovers with a FULL REBUILD over a different corpus
+    cold = HNSWIndex(spark, crashed)
+    cold.build("e", new_corpus, shards=2)
+    assert not os.path.exists(f"{crashed}/e/_reshard.json")
+    # probes serve the REBUILD, not the resurrected pre-crash corpus
+    qs = [(r.vec_id, np.asarray(r.embedding, dtype=np.float64))
+          for r in new_corpus.filter(F.col("vec_id") < 103).collect()]
+    got = {r.neighbor_id for r in
+           cold.probe_candidates("e", qs, k=10, ef_search=64).collect()}
+    new_ids = {r.vec_id for r in new_corpus.select("vec_id").collect()}
+    assert got and got <= new_ids
+    assert cold.meta("e")["n_vectors"] == 100
+
+
+def test_probe_entry_does_not_sweep_live_reshard_staging(spark, tmp_path):
+    # r13 review finding: a LIVE reshard spends its whole
+    # staging-build window before the marker exists; probes run
+    # concurrently with the single maintainer and must NOT sweep the
+    # in-progress staging as an orphan.  Verbs (serial with reshard
+    # by contract) do sweep it.
+    import os
+
+    import numpy as np
+
+    from rados_timestore_spark.hnsw import HNSWIndex
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet") \
+        .filter(F.col("vec_id") < 100)
+    vi = HNSWIndex(spark, str(tmp_path / "ps"))
+    vi.build("e", emb, shards=2)
+    staging = f"{vi._graph_dir('e')}.resharding"
+    os.makedirs(f"{staging}/shard=0")
+    with open(f"{staging}/shard=0/part-0.parquet", "wb") as fh:
+        fh.write(b"in-progress")
+
+    qs = [(r.vec_id, np.asarray(r.embedding, dtype=np.float64))
+          for r in emb.filter(F.col("vec_id") < 2).collect()]
+    vi.probe_candidates("e", qs, k=5, ef_search=64).collect()
+    assert os.path.exists(staging)          # probe left it alone
+    vi.probe_df("e", emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe")), topk=3).collect()
+    assert os.path.exists(staging)          # frame probe too
+    vi.compact("e")                          # a VERB sweeps the orphan
+    assert not os.path.exists(staging)

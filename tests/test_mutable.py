@@ -739,3 +739,30 @@ def test_merge_fences_lru_capped(store):
     kv.merge_into(b, mrg, batch_id=0, app_id="app-new")
     fences = store._read_meta(kv.ns).merge_fences
     assert f"app-{n-MAX_FENCE_LINEAGES:03d}" in fences  # refreshed, kept
+
+
+def test_merge_fence_new_lineage_at_upgrade_time_applies(store):
+    # r13 review finding: an operator who upgrades AND resets the
+    # checkpoint in the same maintenance window presents a NEW
+    # lineage's batch 0 against a legacy fence > 0 — inheritance must
+    # NOT trigger (only an id equal to the legacy fence is the
+    # resumed-checkpoint replay; foreachBatch redelivers only the
+    # LAST batch within a lineage).
+    mrg = lambda new, old: old + b"|" + new  # noqa: E731
+    store.register_namespace("MIGR3", buckets=4)
+    kv = MutableKV(store, "MIGR3")
+    b = store.spark.createDataFrame(
+        [(2, bytearray(b"a"), 0)], "key long, value binary, seq long")
+    for i in range(3):                       # legacy fence -> 2
+        kv.merge_into(b, mrg, batch_id=i)
+    assert kv.lookup(2) == b"a|a|a"
+    # new checkpoint, batch 0: APPLIES (0 != legacy fence 2)
+    kv.merge_into(b, mrg, batch_id=0, app_id="q-new")
+    assert kv.lookup(2) == b"a|a|a|a"
+    m = store._read_meta(kv.ns)
+    assert m.merge_fences == {"q-new": 0}
+    assert m.merge_fences_migrated           # one-shot marker set
+    # ...so a LATER lineage whose ids reach the legacy fence value
+    # cannot falsely inherit it
+    kv.merge_into(b, mrg, batch_id=2, app_id="q-later")
+    assert kv.lookup(2) == b"a|a|a|a|a"

@@ -1458,22 +1458,18 @@ def test_checkpoint_app_id_reads_query_id_and_falls_back(spark, tmp_path):
     assert checkpoint_app_id(spark, ck) == "q-abc-123"
     missing = str(tmp_path / "nope")
     assert checkpoint_app_id(spark, missing) == f"ckpt-{missing}"
-    # corrupt metadata: deterministic fallback, never an exception —
-    # keyed on the metadata file's mtime (ADVICE r12 #5) so a
-    # checkpoint deleted and recreated at the SAME path maps to a
-    # DIFFERENT lineage instead of silently sharing one fence
+    # corrupt metadata: LOUD refusal (ADVICE r12 #5 + r13 review) —
+    # the r12 path-derived fallback silently shared one fence across
+    # a delete-and-recreate at the same path, and any replacement key
+    # orphans fences stored under the old one; no silent key is safe
+    import pytest as _pytest
+
     with open(f"{ck}/metadata", "w") as fh:
         fh.write("not json {")
-    key1 = checkpoint_app_id(spark, ck)
-    assert key1.startswith(f"ckpt-{ck}-")
-    assert checkpoint_app_id(spark, ck) == key1  # stable across reads
-    # simulate delete-and-recreate at the same path: fresh metadata
-    # file, different mtime (setTimes forces the clock tick)
-    from rados_timestore_spark.fsutil import HadoopFS
-
-    fs = HadoopFS(spark, ck)
+    with _pytest.raises(ValueError, match="no.*parseable query id"):
+        checkpoint_app_id(spark, ck)
+    # parseable-but-id-less metadata is the same corrupt class
     with open(f"{ck}/metadata", "w") as fh:
-        fh.write("still not json {")
-    fs.fs.setTimes(fs._path(f"{ck}/metadata"), 12345, -1)
-    key2 = checkpoint_app_id(spark, ck)
-    assert key2 != key1
+        fh.write('{"version": 1}')
+    with _pytest.raises(ValueError, match="no.*parseable query id"):
+        checkpoint_app_id(spark, ck)
