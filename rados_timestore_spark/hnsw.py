@@ -253,6 +253,19 @@ class HNSWIndexNotBuilt(Exception):
 
 _HNSW_META = "_hnswidx_meta.json"
 
+#: Build-generation marker inside the graph dir (r13): a REBUILD
+#: overwrites graphs, then vectors, then commits meta — a crash
+#: between any of those leaves a NEW graph servable against OLD
+#: vectors/meta (wrong shard pairing, wrong shard count — silently
+#: wrong probes).  The marker, written right after the graph
+#: overwrite with the build generation the build WILL commit, turns
+#: every such window into a loud retryable refusal.  Unlike
+#: ``version`` (bumped by every verb), ``build_gen`` advances only
+#: when the graph tables are regenerated wholesale (build, reshard).
+#: Missing marker + meta without ``build_gen`` = pre-r13 index,
+#: accepted.
+_GRAPH_MARKER = "_graph_meta.json"
+
 #: Roll-forward marker for :meth:`HNSWIndex.reshard` — written AFTER
 #: both staging dirs are complete and BEFORE the first directory
 #: swap, holding the full target meta document.  A reshard involves
@@ -383,6 +396,31 @@ class HNSWIndex:
                     self.fs.delete(f"{base}/{name}", recursive=True)
                 else:
                     self.fs.rename(f"{base}/{name}", live)
+
+    def _check_build_marker(self, ns: str, doc: dict) -> None:
+        """Rebuild-crash guard (see :data:`_GRAPH_MARKER`): refuse
+        loudly when the persisted graph's build generation does not
+        match the committed meta's — the state a crashed build/reshard
+        window leaves — instead of serving wrong shard pairings."""
+        import json
+
+        marker_path = f"{self._graph_dir(ns)}/{_GRAPH_MARKER}"
+        if self.fs.exists(marker_path):
+            mg = int(json.loads(
+                self.fs.read_text(marker_path))["build_gen"])
+            if mg != int(doc.get("build_gen", 0)):
+                raise IOError(
+                    f"hnsw index {ns!r}: graph build generation {mg} "
+                    f"!= committed meta build generation "
+                    f"{doc.get('build_gen', 0)} — a rebuild crashed "
+                    f"between its graph write and its meta commit; "
+                    f"re-run build() to converge")
+        elif doc.get("build_gen"):
+            raise IOError(
+                f"hnsw index {ns!r}: graph build marker missing but "
+                f"the meta expects one — a rebuild crashed after "
+                f"overwriting the graphs and before re-marking them; "
+                f"re-run build() to converge")
 
     def _roll_reshard_forward(self, ns: str, marker_path: str) -> None:
         """Complete a committed reshard's swaps + meta, CALLED WITH
@@ -560,11 +598,13 @@ class HNSWIndex:
         # otherwise roll forward AFTER this build commits — renaming
         # the fresh build aside and promoting the pre-crash staging
         # over it (silent loss of the rebuild).
-        prev_txn = 0
+        prev_txn, prev_bg = 0, 0
         try:
-            prev_txn = int(self.meta(ns).get("txn", 0))
+            self.meta(ns)
             self._restore_shard_remnants(ns, sweep_stagings=True)
-            prev_txn = int(self.meta(ns).get("txn", 0))
+            prior = self.meta(ns)
+            prev_txn = int(prior.get("txn", 0))
+            prev_bg = int(prior.get("build_gen", 0))
         except HNSWIndexNotBuilt:
             pass
 
@@ -577,6 +617,13 @@ class HNSWIndex:
         graph = self._graphs_for(sharded, shards, m, ef_construction)
         (graph.write.mode("overwrite").partitionBy("shard")
          .parquet(self._graph_dir(ns)))
+        import json as _json
+
+        # bind the fresh graphs to the build generation this build
+        # WILL commit (rebuild-crash guard, see _GRAPH_MARKER)
+        self.fs.write_text_atomic(
+            f"{self._graph_dir(ns)}/{_GRAPH_MARKER}",
+            _json.dumps({"build_gen": prev_bg + 1}))
         (sharded.repartition(shards, "shard").write.mode("overwrite")
          .partitionBy("shard").parquet(self._vectors_dir(ns)))
         dim = len(emb.select(vec_col).head()[0])
@@ -584,7 +631,7 @@ class HNSWIndex:
             "shards": int(shards), "m": int(m),
             "ef_construction": int(ef_construction), "dim": dim,
             "n_vectors": emb.count(), "version": 1,
-            "txn": prev_txn,
+            "txn": prev_txn, "build_gen": prev_bg + 1,
         }
         self._commit_meta(ns, doc)  # commit marker LAST (crash-safe)
         return doc
@@ -604,6 +651,7 @@ class HNSWIndex:
         # roll-forward recovery commits meta, and reading txn first
         # would make THIS verb's commit fail spuriously
         doc = self.meta(ns)
+        self._check_build_marker(ns, doc)
         shards, m, ef_c = doc["shards"], doc["m"], doc["ef_construction"]
         new = emb.select(
             F.col(id_col).alias("vec_id"),
@@ -734,6 +782,7 @@ class HNSWIndex:
         self._restore_shard_remnants(ns, sweep_stagings=True)  # BEFORE the entry read
         # (see append): recovery may commit meta
         doc = self.meta(ns)
+        self._check_build_marker(ns, doc)
         entry_txn = int(doc.get("txn", 0))
         fence = (int(doc.get("batch_fences", {}).get(app_id, -1))
                  if app_id is not None
@@ -942,6 +991,7 @@ class HNSWIndex:
         # roll-forward recovery commits meta, and reading txn first
         # would make THIS verb's commit fail spuriously
         doc = self.meta(ns)
+        self._check_build_marker(ns, doc)
         shards, m, ef_c = doc["shards"], doc["m"], doc["ef_construction"]
         vdir, gdir = self._vectors_dir(ns), self._graph_dir(ns)
         if not self._dir_has_data(vdir):
@@ -1098,6 +1148,7 @@ class HNSWIndex:
         # (see append): a crashed PREVIOUS reshard rolls forward here
         # and commits meta
         doc = self.meta(ns)
+        self._check_build_marker(ns, doc)
         entry_txn = int(doc.get("txn", 0))
         shards = int(shards)
         if shards < 1:
@@ -1132,6 +1183,13 @@ class HNSWIndex:
         target["n_vectors"] = n
         target["version"] = int(doc["version"]) + 1
         target["txn"] = entry_txn
+        # the regenerated graphs are a new build generation; the
+        # staged marker rides the directory through the swap and must
+        # match the target meta the roll-forward commits
+        target["build_gen"] = int(doc.get("build_gen", 0)) + 1
+        self.fs.write_text_atomic(
+            f"{g_stage}/{_GRAPH_MARKER}",
+            json.dumps({"build_gen": target["build_gen"]}))
         # COMMIT POINT: from here the reshard completes even across a
         # kill (roll-forward at every verb/probe entry).  The marker
         # write is CAS-fenced like every commit — a maintainer that
@@ -1170,6 +1228,7 @@ class HNSWIndex:
         # entry read (see append): recovery may commit meta
         self._restore_shard_remnants(ns, sweep_stagings=True)
         doc = self.meta(ns)
+        self._check_build_marker(ns, doc)
         vdir = self._vectors_dir(ns)
         if not self._dir_has_data(vdir):
             return 0   # empty index (delete-everything): nothing to pack
@@ -1204,8 +1263,11 @@ class HNSWIndex:
         """(query_id, neighbor_id) candidates from beam-searching every
         shard's persisted graph — one cogrouped Arrow pass, no
         rebuild.  Callers exact-rerank the union."""
+        self._restore_shard_remnants(ns)  # BEFORE the meta read: a
+        # roll-forward recovery commits meta (shards/build_gen), and
+        # a stale doc would pair the new graphs with old parameters
         doc = self.meta(ns)
-        self._restore_shard_remnants(ns)
+        self._check_build_marker(ns, doc)
         if (not self._dir_has_data(self._vectors_dir(ns))
                 or not self._dir_has_data(self._graph_dir(ns))):
             # Empty index (delete-everything): empty candidates —
@@ -1264,8 +1326,10 @@ class HNSWIndex:
         """
         from pyspark.sql import functions as F
 
+        self._restore_shard_remnants(ns)  # BEFORE the meta read
+        # (see probe_candidates)
         doc = self.meta(ns)
-        self._restore_shard_remnants(ns)
+        self._check_build_marker(ns, doc)
         empty_schema = ("query_id long, neighbor_id long, "
                         "cos double, rank int")
         if (not self._dir_has_data(self._vectors_dir(ns))

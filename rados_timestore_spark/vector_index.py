@@ -69,6 +69,18 @@ from rados_timestore_spark.fsutil import (
 
 _META = "_vidx_meta.json"
 _PQ_MARKER = "_pq_meta.json"
+#: Build-generation marker inside the centroids dir (r13): a REBUILD
+#: overwrites centroids, then assignments, then commits meta — a
+#: crash between any of those leaves NEW routing servable against OLD
+#: meta/assignments, and probes would silently prune the wrong
+#: buckets.  The marker (written right after the centroid overwrite,
+#: carrying the version the build WILL commit) turns every such
+#: window into a loud retryable refusal: marker.version != the meta's
+#: committed version => the rebuild crashed mid-way, re-run build().
+#: Missing marker + meta without ``cent_marker`` flag = a pre-r13
+#: index, accepted (one unavoidable silent window exists on the FIRST
+#: marker-aware rebuild of a legacy index, crash-before-marker).
+_CENT_MARKER = "_cent_meta.json"
 
 
 def _app_tag(app_id: str) -> str:
@@ -558,6 +570,11 @@ class VectorIndex:
         )
         cent_df.coalesce(1).write.mode("overwrite").parquet(
             self._centroids_dir(ns))
+        # bind the fresh routing table to the version this build WILL
+        # commit (rebuild-crash guard, see _CENT_MARKER)
+        self.fs.write_text_atomic(
+            f"{self._centroids_dir(ns)}/{_CENT_MARKER}",
+            json.dumps({"version": prev_version + 1}))
 
         CBm, pq_doc = None, None
         if pq is not None:
@@ -637,7 +654,7 @@ class VectorIndex:
         doc = {"k": int(len(cids)), "dim": int(dim),
                "n_vectors": int(n), "version": prev_version + 1,
                "trainer": trainer, "meta_cols": list(meta_cols),
-               "txn": prev_txn}
+               "txn": prev_txn, "cent_marker": True}
         if pq_doc is not None:
             doc["pq"] = dict(pq_doc)
         elif prev_pq_gen:
@@ -1387,6 +1404,27 @@ class VectorIndex:
             hit = self._cent_cache.get((ns, version))
             if hit is not None:
                 return hit
+        if version is not None:
+            # rebuild-crash guard (see _CENT_MARKER): the routing
+            # table must belong to the version the meta committed
+            marker_path = f"{self._centroids_dir(ns)}/{_CENT_MARKER}"
+            doc = self.meta(ns)
+            if self.fs.exists(marker_path):
+                mv = int(json.loads(
+                    self.fs.read_text(marker_path))["version"])
+                if mv != int(doc.get("version", 0)):
+                    raise IOError(
+                        f"vector index {ns!r}: centroid marker version "
+                        f"{mv} != committed meta version "
+                        f"{doc.get('version')} — a rebuild crashed "
+                        f"between its centroid write and its meta "
+                        f"commit; re-run build() to converge")
+            elif doc.get("cent_marker"):
+                raise IOError(
+                    f"vector index {ns!r}: centroid marker missing but "
+                    f"the meta expects one — a rebuild crashed after "
+                    f"overwriting the centroids and before re-marking "
+                    f"them; re-run build() to converge")
         pdf = (self.spark.read.parquet(self._centroids_dir(ns))
                .toPandas().sort_values("cid"))
         cids = pdf["cid"].to_numpy().astype(np.int64)

@@ -775,3 +775,78 @@ def test_probe_entry_does_not_sweep_live_reshard_staging(spark, tmp_path):
     assert os.path.exists(staging)          # frame probe too
     vi.compact("e")                          # a VERB sweeps the orphan
     assert not os.path.exists(staging)
+
+
+def test_hnsw_rebuild_crash_windows_never_serve_mixed_state(
+        spark, tmp_path):
+    # r13: the HNSW twin of the VectorIndex rebuild guard — a rebuild
+    # overwrites graphs, then vectors, then commits meta; a kill
+    # between leaves a NEW graph servable against OLD vectors/meta
+    # (wrong shard pairing/count — silently wrong probes).  The graph
+    # build-generation marker makes every such window a loud
+    # retryable refusal.  Sweep every rebuild boundary.
+    import glob
+    import os
+    import shutil
+
+    import numpy as np
+
+    from rados_timestore_spark.fsutil import SimulatedCrash
+    from rados_timestore_spark.hnsw import HNSWIndex
+    from tests.crash_fuzz_harness import CountdownFS
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    old_corpus = emb.filter((F.col("vec_id") % 2 == 0)
+                            & (F.col("vec_id") < 200))
+    new_corpus = emb.filter((F.col("vec_id") % 2 == 1)
+                            & (F.col("vec_id") < 200))
+    evens = {r.vec_id for r in old_corpus.select("vec_id").collect()}
+    odds = {r.vec_id for r in new_corpus.select("vec_id").collect()}
+    qs = [(r.vec_id, np.asarray(r.embedding, dtype=np.float64))
+          for r in emb.filter(F.col("vec_id") < 2).collect()]
+
+    tmpl = str(tmp_path / "tmpl")
+    HNSWIndex(spark, tmpl).build("e", old_corpus, shards=2)
+
+    dry_root = str(tmp_path / "dry")
+    shutil.copytree(tmpl, dry_root)
+    dry = HNSWIndex(spark, dry_root)
+    dry.fs = CountdownFS(dry.fs)
+    dry.build("e", new_corpus, shards=4)
+    total = dry.fs.ops
+    want_new = {(r.query_id, r.neighbor_id) for r in
+                dry.probe_candidates("e", qs, k=10,
+                                     ef_search=64).collect()}
+
+    guard_fired = False
+    for fuel in range(total):
+        work = str(tmp_path / f"w{fuel}")
+        shutil.copytree(tmpl, work)
+        ix = HNSWIndex(spark, work)
+        ix.fs = CountdownFS(ix.fs, fuel=fuel)
+        try:
+            ix.build("e", new_corpus, shards=4)
+            shutil.rmtree(work, ignore_errors=True)
+            continue  # swallowed boundary: build completed
+        except SimulatedCrash:
+            pass
+        for lk in glob.glob(f"{work}/**/*.lock", recursive=True):
+            os.remove(lk)
+        cold = HNSWIndex(spark, work)
+        try:
+            got = {r.neighbor_id for r in
+                   cold.probe_candidates("e", qs, k=10,
+                                         ef_search=64).collect()}
+            assert got and (got <= evens or got <= odds), \
+                f"fuel={fuel}: mixed-corpus serve {got}"
+        except IOError as exc:
+            assert "re-run build()" in str(exc)
+            guard_fired = True
+        replay = HNSWIndex(spark, work)
+        replay.build("e", new_corpus, shards=4)
+        got = {(r.query_id, r.neighbor_id) for r in
+               replay.probe_candidates("e", qs, k=10,
+                                       ef_search=64).collect()}
+        assert got == want_new, f"fuel={fuel}"
+        shutil.rmtree(work, ignore_errors=True)
+    assert guard_fired

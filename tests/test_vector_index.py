@@ -921,3 +921,100 @@ def test_plain_rebuild_carries_pq_gen_floor(spark, emb, tmp_path):
     vi.enable_pq("e", m=4, ksub=16)
     assert vi.meta("e")["pq"]["gen"] == g1 + 1    # clock continued
     assert "pq_gen_floor" not in vi.meta("e")
+
+
+def test_rebuild_crash_windows_never_serve_mixed_state(spark, emb, tmp_path):
+    # r13: a REBUILD overwrites centroids, then assignments, then
+    # commits meta — a kill between any of those used to leave NEW
+    # routing servable against OLD meta/assignments, silently pruning
+    # the wrong buckets.  The centroid marker (version-bound, written
+    # right after the centroid overwrite) makes every such window a
+    # loud retryable refusal.  Sweep EVERY rebuild boundary: the cold
+    # probe must either serve the OLD corpus, serve the NEW corpus,
+    # or raise the marker IOError — never a silent mix; replaying the
+    # rebuild always converges to the NEW index.
+    import glob
+    import os
+    import shutil
+
+    from rados_timestore_spark.fsutil import SimulatedCrash
+    from tests.crash_fuzz_harness import CountdownFS
+
+    old_corpus = emb.filter((F.col("vec_id") % 2 == 0)
+                            & (F.col("vec_id") < 200))
+    new_corpus = emb.filter((F.col("vec_id") % 2 == 1)
+                            & (F.col("vec_id") < 200))
+    evens = {r.vec_id for r in old_corpus.select("vec_id").collect()}
+    odds = {r.vec_id for r in new_corpus.select("vec_id").collect()}
+    qs = [(r.vec_id, list(r.embedding)) for r in
+          emb.filter(F.col("vec_id") < 2).collect()]
+
+    tmpl = str(tmp_path / "tmpl")
+    VectorIndex(spark, tmpl).build("e", old_corpus, k=8)
+
+    dry_root = str(tmp_path / "dry")
+    shutil.copytree(tmpl, dry_root)
+    dry = VectorIndex(spark, dry_root)
+    dry.fs = CountdownFS(dry.fs)
+    dry.build("e", new_corpus, k=8)
+    total = dry.fs.ops
+    want_new = {(r.query_id, r.rank): r.neighbor_id for r in
+                dry.probe("e", qs, nprobe=4, topk=5).collect()}
+
+    guard_fired = False
+    for fuel in range(total):
+        work = str(tmp_path / f"w{fuel}")
+        crashed = VectorIndex(spark, work)
+        shutil.copytree(tmpl, work)
+        crashed.fs = CountdownFS(crashed.fs, fuel=fuel)
+        try:
+            crashed.build("e", new_corpus, k=8)
+            shutil.rmtree(work, ignore_errors=True)
+            continue  # swallowed boundary: build completed
+        except SimulatedCrash:
+            pass
+        for lk in glob.glob(f"{work}/**/*.lock", recursive=True):
+            os.remove(lk)
+        cold = VectorIndex(spark, work)
+        try:
+            got = {r.neighbor_id for r in
+                   cold.probe("e", qs, nprobe=4, topk=5).collect()}
+            assert got and (got <= evens or got <= odds), \
+                f"fuel={fuel}: mixed-corpus serve {got}"
+        except IOError as exc:
+            assert "re-run build()" in str(exc)
+            guard_fired = True
+        # replay converges to the NEW index
+        replay = VectorIndex(spark, work)
+        replay.build("e", new_corpus, k=8)
+        got = {(r.query_id, r.rank): r.neighbor_id for r in
+               replay.probe("e", qs, nprobe=4, topk=5).collect()}
+        assert got == want_new, f"fuel={fuel}"
+        shutil.rmtree(work, ignore_errors=True)
+    assert guard_fired  # the sweep crossed at least one guarded window
+
+
+def test_legacy_index_without_centroid_marker_still_serves(
+        spark, emb, tmp_path):
+    # pre-r13 indexes have neither the marker nor the meta flag —
+    # they must keep serving (back-compat), and their first rebuild
+    # upgrades them into the guarded world
+    import json
+    import os
+
+    vi = VectorIndex(spark, str(tmp_path / "lg"))
+    sub = emb.filter(F.col("vec_id") < 100)
+    vi.build("e", sub, k=8)
+    # strip the r13 marker + flag, simulating a pre-r13 index
+    os.remove(f"{vi._centroids_dir('e')}/_cent_meta.json")
+    doc = json.loads(vi.fs.read_text(f"{vi._ns_dir('e')}/_vidx_meta.json"))
+    doc.pop("cent_marker")
+    vi.fs.write_text_atomic(
+        f"{vi._ns_dir('e')}/_vidx_meta.json", json.dumps(doc))
+    vi._cent_cache.clear()
+    qs = [(r.vec_id, list(r.embedding)) for r in
+          emb.filter(F.col("vec_id") < 2).collect()]
+    assert vi.probe("e", qs, nprobe=4, topk=5).count() == 10
+    vi.build("e", sub, k=8)   # first marker-aware rebuild
+    assert vi.meta("e")["cent_marker"]
+    assert vi.probe("e", qs, nprobe=4, topk=5).count() == 10
