@@ -148,6 +148,25 @@ def _parser() -> argparse.ArgumentParser:
                     help="quantize embedding - assigned centroid "
                          "(FAISS by_residual=True)")
 
+    vr = sub.add_parser(
+        "vecidx-retrain",
+        help="retrain the coarse quantizer at a new centroid count "
+             "(bucket growth: probe cost is nprobe x bucket size; "
+             "keep buckets under ~1M vectors); law-equal to a fresh "
+             "build over the stored vectors, ingest fences preserved")
+    vr.add_argument("--k", type=int, required=True,
+                    help="new centroid count")
+    vr.add_argument("--trainer", choices=("sample", "kmeans"),
+                    default=None,
+                    help="override the built trainer (default: keep)")
+    vr.add_argument("--iters", type=int, default=2,
+                    help="Lloyd iterations (kmeans trainer only)")
+
+    sub.add_parser(
+        "vecidx-stats",
+        help="per-bucket row counts vs the ~1M sizing rule "
+             "(over-bound buckets => run vecidx-retrain)")
+
     vpq = sub.add_parser(
         "vecidx-probe-pq",
         help="compressed ADC probe over the persisted codes "
@@ -197,6 +216,11 @@ def _parser() -> argparse.ArgumentParser:
              "holds one shard's graph); byte-equal to a fresh build "
              "at the new count")
     hr.add_argument("--shards", type=int, required=True)
+
+    sub.add_parser(
+        "hnsw-stats",
+        help="per-shard row counts vs the ~1M sizing rule "
+             "(over-bound shards => run hnsw-reshard)")
 
     hp = sub.add_parser(
         "hnsw-probe",
@@ -288,6 +312,12 @@ def main(argv: Sequence[str] | None = None,
             print(json.dumps({"removed": vi.delete(args.ns, ids)}))
         elif args.cmd == "vecidx-compact":
             print(json.dumps({"files": vi.compact(args.ns)}))
+        elif args.cmd == "vecidx-retrain":
+            print(json.dumps(vi.retrain(
+                args.ns, k=args.k, trainer=args.trainer,
+                iters=args.iters)))
+        elif args.cmd == "vecidx-stats":
+            print(json.dumps(vi.stats(args.ns)))
         elif args.cmd == "vecidx-enable-pq":
             print(json.dumps(vi.enable_pq(
                 args.ns, m=args.m, ksub=args.ksub,
@@ -326,6 +356,8 @@ def main(argv: Sequence[str] | None = None,
             print(json.dumps({"files": hi.compact(args.ns)}))
         elif args.cmd == "hnsw-reshard":
             print(json.dumps(hi.reshard(args.ns, shards=args.shards)))
+        elif args.cmd == "hnsw-stats":
+            print(json.dumps(hi.stats(args.ns)))
         elif args.cmd == "hnsw-probe":
             ids = [int(a) for a in args.ids.split(",") if a]
             emb = spark.read.parquet(args.parquet)

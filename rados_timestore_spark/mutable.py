@@ -373,6 +373,25 @@ class MutableKV:
                     first_keyed
                     and int(batch_id) == int(meta0.merge_batch_id))
                 if inherits_legacy:
+                    # Surface the one-shot inheritance (ADVICE r14 #4):
+                    # when the legacy fence is exactly 0 this skip may
+                    # be a genuinely new lineage's batch 0 (the
+                    # documented conservative corner above) — operators
+                    # of single-batch legacy namespaces need a signal
+                    # to audit, not a silent no-op.
+                    import warnings
+
+                    warnings.warn(
+                        f"merge_into({self.ns!r}): first keyed merge "
+                        f"(app_id={app_id!r}) inherits the legacy "
+                        f"unkeyed fence {int(meta0.merge_batch_id)}; "
+                        f"batch_id={int(batch_id)} is treated as the "
+                        f"resumed checkpoint's replay and SKIPPED.  If "
+                        f"this is a NEW checkpoint whose batch ids "
+                        f"legitimately start at the legacy fence, "
+                        f"re-apply the skipped batch manually.",
+                        stacklevel=2,
+                    )
                     fence = max(int(fence), int(meta0.merge_batch_id))
             else:
                 fence = meta0.merge_batch_id

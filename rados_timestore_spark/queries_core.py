@@ -649,7 +649,7 @@ WHERE rn = 1 AND address % 2 = 0
   AND time BETWEEN {T_JAN10} AND {T_JAN20}
 """,
     tags=("W6", "Q8"),
-    priority=900,  # demoted in r7 after r6 driver green, to rotate the r6 carve-out batch + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
+    priority=70,  # evidence refresh r14: oldest driver evidence (R14_REFRESH_PLAN oldest-first rotation, VERDICT r13 #1)
 )
 def ts_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compaction + GC preserve the read contract end-to-end: ingest

@@ -824,7 +824,7 @@ WHERE ({_MH_SHARE})
                        - len(list_intersect(a.hs, b.hs)))
 """,
     tags=("dedup", "lsh"),
-    priority=70,  # evidence refresh r13: newest driver row was r5 (oldest-first rotation, VERDICT r12 #1)
+    priority=900,  # demoted in r14 after r13 driver green, to rotate the r13 certificate + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs with a FULL oracle: 16 md5-derived

@@ -165,7 +165,7 @@ SELECT doc_id,
 FROM documents
 """,
     tags=("multimodal",),
-    priority=70,  # evidence refresh r13: newest driver row was r5 (oldest-first rotation; swapped in for sim_kmeans_quantizer to keep the mm_ family-coverage window invariant)
+    priority=900,  # demoted in r14 after r13 driver green, to rotate the r13 certificate + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def mm_feature_extract(spark: SparkSession, sf_dir: str,
                        decoder=fake_decode) -> DataFrame:
@@ -362,7 +362,7 @@ SELECT doc_id,
 FROM p
 """,
     tags=("multimodal",),
-    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
+    priority=70,  # evidence refresh r14: oldest driver evidence (R14_REFRESH_PLAN oldest-first rotation, VERDICT r13 #1)
 )
 def mm_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode, end to end: build an actual binary P6 PPM per

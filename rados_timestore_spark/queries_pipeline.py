@@ -66,7 +66,7 @@ SELECT doc_id,
 FROM s3
 """,
     tags=("pipeline", "dedup", "text"),
-    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
+    priority=70,  # evidence refresh r14: oldest driver evidence (R14_REFRESH_PLAN oldest-first rotation, VERDICT r13 #1)
 )
 def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE end-to-end curation decision: per document, ordered

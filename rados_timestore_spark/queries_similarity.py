@@ -740,7 +740,7 @@ def _recall_at_5(spark: SparkSession, sf_dir: str,
     "sim_ivf_recall",
     oracle=_recall_sql(_IVF_CTES, "ivf_top"),
     tags=("similarity", "ann"),
-    priority=70,  # evidence refresh r13: newest driver row was r5 (oldest-first rotation, VERDICT r12 #1)
+    priority=900,  # demoted in r14 after r13 driver green, to rotate the r13 certificate + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the IVF-ANN path against exact brute force — the
@@ -924,7 +924,7 @@ SELECT cid, n AS n_members,
 FROM kc2
 """,
     tags=("similarity", "ann"),
-    priority=900,  # r5-evidence refresh deferred to r14 (swapped out for mm_feature_extract — family-coverage invariant; see R14_REFRESH_PLAN)
+    priority=70,  # evidence refresh r14: oldest driver evidence (R14_REFRESH_PLAN oldest-first rotation, VERDICT r13 #1)
 )
 def sim_kmeans_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means coarse quantizer with a FULL cross-engine
@@ -1071,7 +1071,7 @@ SELECT e.vec_id,
 FROM embeddings e LEFT JOIN cc ON cc.vec_id = e.vec_id
 """,
     tags=("dedup", "similarity"),
-    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
+    priority=70,  # evidence refresh r14: oldest driver evidence (R14_REFRESH_PLAN oldest-first rotation, VERDICT r13 #1)
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication: embedding-cosine
@@ -2535,6 +2535,18 @@ def _vecidx(spark: SparkSession, sf_dir: str, variant: str):
         # against each vector's assigned centroid (by_residual=True)
         vi.build("e", emb, k=_N_CENTROIDS)
         vi.enable_pq("e", m=_PQ_M, ksub=_PQ_K, residual=True)
+    elif variant == "retrain":
+        # the centroid-growth escape hatch (VERDICT r13 #2): build
+        # UNDER-clustered over half the corpus, ingest the other half
+        # against that frozen routing, then retrain at the full
+        # centroid count.  Retrain trains from the index's own stored
+        # vectors (k lowest vec_ids of the whole corpus — the same
+        # deterministic sample rule as build), so the healed index is
+        # law-equal to a fresh full-corpus build and the DEFAULT IVF
+        # oracle hash-checks it.
+        vi.build("e", emb.filter(F.col("vec_id") % 2 == 0), k=64)
+        vi.append("e", emb.filter(F.col("vec_id") % 2 == 1))
+        vi.retrain("e", k=_N_CENTROIDS)
     else:
         vi.build("e", emb.filter(F.col("vec_id") % 2 == 0),
                  k=_N_CENTROIDS)
@@ -2583,6 +2595,35 @@ def sim_vecidx_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule, same exact in-bucket ranking — so the same DuckDB oracle
     hash-checks that persistence loses nothing."""
     vi = _vecidx(spark, sf_dir, "full")
+    return vi.probe("e", _vidx_queries(spark, sf_dir),
+                    topk=5, nprobe=_N_PROBE)
+
+
+@register(
+    "sim_vecidx_retrain_probe",
+    oracle=f"""
+WITH {_IVF_CTES}
+SELECT query_id, neighbor_id, cos, rank FROM ivf_top
+""",
+    tags=("similarity", "ann", "index", "retrain"),
+    priority=110,  # NEW r14 registration — carve-out past the full window (registry.register: local-green now, promoted for first driver evidence at the r15 rotation; pinned in tests/test_registry.py R15_REFRESH_PLAN + EXPECTED_CARVEOUT_BACKLOG)
+)
+def sim_vecidx_retrain_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF centroid-growth certificate (VERDICT r13 #2,
+    vector_index.py `retrain` — the HNSW reshard's cluster-index
+    twin, reference analog StoreHelpers.hs:194-221 epoch rescale):
+    an index built UNDER-clustered (k=64 over half the corpus), grown
+    by append against the frozen routing, then retrained at the full
+    k=256.  Because retrain re-trains from the index's own stored
+    vectors with build's deterministic sample rule and re-assigns
+    every row in one pass, the healed index is law-equal to a fresh
+    full-corpus build — so the STANDARD IVF oracle (centroids =
+    the 256 lowest vec_ids of the whole corpus) hash-checks that the
+    growth verb loses nothing.  At 100 TB this is the escape hatch
+    that keeps probe cost ~nprobe/k of the corpus as the corpus
+    grows 100x: without it every bucket fattens linearly and probes
+    degrade with no recourse short of a full re-ingest."""
+    vi = _vecidx(spark, sf_dir, "retrain")
     return vi.probe("e", _vidx_queries(spark, sf_dir),
                     topk=5, nprobe=_N_PROBE)
 
@@ -3132,7 +3173,7 @@ def sim_hnswidx_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_hnswidx_reshard_probe",
     oracle=_HNSWIDX_ORACLE,
     tags=("similarity", "ann", "graph", "index", "reshard"),
-    priority=110,  # NEW r13 registration — carve-out past the full
+    priority=70,  # promoted in r14 for first driver evidence (r13 carve-out certificate; VERDICT r13 #1)
     # window (registry policy); local-green at both SFs; rotate into
     # the r14 window (pinned in tests/test_registry.py backlog)
 )
@@ -3172,7 +3213,7 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 WHERE rank <= 5
 """,
     tags=("similarity", "ann", "graph", "index", "filtered"),
-    priority=60,  # promoted in r13 — first driver evidence (NEW r12 registration)
+    priority=900,  # demoted in r14 after r13 driver green, to rotate the r13 certificate + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def sim_hnswidx_filtered_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered vector search over the persisted GRAPH index — the
@@ -3203,7 +3244,7 @@ def sim_hnswidx_filtered_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_hnswidx_probe_df",
     oracle=_HNSWIDX_ORACLE,
     tags=("similarity", "ann", "graph", "index"),
-    priority=60,  # promoted in r13 — first driver evidence (NEW r12 registration)
+    priority=900,  # demoted in r14 after r13 driver green, to rotate the r13 certificate + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def sim_hnswidx_probe_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unbounded-query-frame probe of the persisted graph index

@@ -264,7 +264,7 @@ FROM m WHERE rk = 1
     "streaming_asof_join",
     oracle=_ASOF_ORACLE,
     tags=("streaming", "join", "asof"),
-    priority=70,  # evidence refresh r13: newest driver row was r5 (oldest-first rotation, VERDICT r12 #1)
+    priority=900,  # demoted in r14 after r13 driver green, to rotate the r13 certificate + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def streaming_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream backward as-of join, end-to-end: purchases and
@@ -314,7 +314,7 @@ def streaming_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_asof_exact",
     oracle=_ASOF_ORACLE,
     tags=("streaming", "join", "asof"),
-    priority=70,  # evidence refresh r13: newest driver row was r5 (oldest-first rotation, VERDICT r12 #1)
+    priority=900,  # demoted in r14 after r13 driver green, to rotate the r13 certificate + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def streaming_asof_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark-exact streaming as-of join end-to-end, delivered in
@@ -392,7 +392,7 @@ def streaming_asof_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_asof_update",
     oracle=_ASOF_ORACLE,
     tags=("streaming", "join", "asof"),
-    priority=70,  # evidence refresh r13: newest driver row was r5 (oldest-first rotation, VERDICT r12 #1)
+    priority=900,  # demoted in r14 after r13 driver green, to rotate the r13 certificate + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def streaming_asof_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Update-mode (changelog) streaming as-of join end-to-end: the
@@ -679,7 +679,7 @@ FROM agg, wm
 WHERE last_t + {_GAP_US} <= watermark
 """,
     tags=("streaming", "window"),
-    priority=70,  # evidence refresh r13: newest driver row was r4 (oldest-first rotation, VERDICT r12 #1)
+    priority=900,  # demoted in r14 after r13 driver green, to rotate the r13 certificate + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end streaming sessionization with Spark's NATIVE

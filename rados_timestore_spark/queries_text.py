@@ -121,7 +121,7 @@ FROM top GROUP BY lang, pred_lang
 
 @register(
     "text_lang_id", oracle=_langid_sql(), tags=("text",),
-    priority=70,  # evidence refresh r13: newest driver row was r4 (oldest-first rotation, VERDICT r12 #1)
+    priority=900,  # demoted in r14 after r13 driver green, to rotate the r13 certificate + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID: score = |distinct words ∩ profile|
@@ -257,7 +257,7 @@ FROM (
 GROUP BY 1, 2
 """,
     tags=("text", "pipeline"),
-    priority=70,  # evidence refresh r13: newest driver row was r4 (oldest-first rotation, VERDICT r12 #1)
+    priority=900,  # demoted in r14 after r13 driver green, to rotate the r13 certificate + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def text_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment — the split every
@@ -303,7 +303,7 @@ FROM (
 GROUP BY bin
 """,
     tags=("text", "pipeline"),
-    priority=70,  # evidence refresh r13: newest driver row was r4 (oldest-first rotation, VERDICT r12 #1)
+    priority=900,  # demoted in r14 after r13 driver green, to rotate the r13 certificate + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def text_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-packing planner: bucket documents into context-length
@@ -339,7 +339,7 @@ SELECT doc_id,
 FROM (SELECT doc_id, {words} AS ws FROM documents) t
 """.format(words=_WORDS_SQL),
     tags=("text", "pipeline"),
-    priority=70,  # evidence refresh r13: newest driver row was r4 (oldest-first rotation, VERDICT r12 #1)
+    priority=900,  # demoted in r14 after r13 driver green, to rotate the r13 certificate + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filter: per-document distinct-vs-total
@@ -417,7 +417,7 @@ FROM dec
     "text_filter_pipeline",
     oracle=_filter_pipeline_sql(),
     tags=("text", "pipeline"),
-    priority=70,  # evidence refresh r13: newest driver row was r5 (oldest-first rotation, VERDICT r12 #1)
+    priority=900,  # demoted in r14 after r13 driver green, to rotate the r13 certificate + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def text_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed retention decision a C4/Gopher-style training-data

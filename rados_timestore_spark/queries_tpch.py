@@ -245,7 +245,7 @@ SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
 WHERE rk <= 2
 """,
     tags=("window",),
-    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
+    priority=70,  # evidence refresh r14: oldest driver evidence (R14_REFRESH_PLAN oldest-first rotation, VERDICT r13 #1)
 )
 def tpch_window_top_orders_per_customer(
     spark: SparkSession, sf_dir: str
@@ -274,7 +274,7 @@ SELECT o_orderpriority, count(*) AS n,
 FROM orders GROUP BY o_orderpriority
 """,
     tags=("agg",),
-    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
+    priority=70,  # evidence refresh r14: oldest driver evidence (R14_REFRESH_PLAN oldest-first rotation, VERDICT r13 #1)
 )
 def tpch_agg_distinct_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """count(DISTINCT) coverage (expand + two-phase aggregate)."""
@@ -294,7 +294,7 @@ WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
   AND c_acctbal > 9000
 """,
     tags=("join",),
-    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
+    priority=70,  # evidence refresh r14: oldest driver evidence (R14_REFRESH_PLAN oldest-first rotation, VERDICT r13 #1)
 )
 def tpch_semijoin_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-join coverage (IN-subquery -> left_semi)."""
@@ -314,7 +314,7 @@ SELECT count(*) AS n_silent FROM customer
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
 """,
     tags=("join",),
-    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
+    priority=70,  # evidence refresh r14: oldest driver evidence (R14_REFRESH_PLAN oldest-first rotation, VERDICT r13 #1)
 )
 def tpch_antijoin_silent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join coverage: customers with no orders."""
@@ -338,7 +338,7 @@ WHERE epoch_us(l_shipdate) >= {_Q5_LO} AND epoch_us(l_shipdate) < {_Q5_HI}
   AND l_quantity < 24
 """,
     tags=("agg",),
-    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
+    priority=70,  # evidence refresh r14: oldest driver evidence (R14_REFRESH_PLAN oldest-first rotation, VERDICT r13 #1)
 )
 def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q6: pure filter + global aggregate — every predicate pushes to
@@ -370,7 +370,7 @@ WHERE epoch_us(o_orderdate) >= {_Q5_LO} AND epoch_us(o_orderdate) < {_Q5_HI}
 GROUP BY o_orderpriority
 """,
     tags=("join", "agg"),
-    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
+    priority=70,  # evidence refresh r14: oldest driver evidence (R14_REFRESH_PLAN oldest-first rotation, VERDICT r13 #1)
 )
 def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4: EXISTS correlated subquery -> left-semi join against a
@@ -403,7 +403,7 @@ ORDER BY total_qty DESC, o_orderkey
 LIMIT 20
 """,
     tags=("join", "agg", "topk"),
-    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
+    priority=70,  # evidence refresh r14: oldest driver evidence (R14_REFRESH_PLAN oldest-first rotation, VERDICT r13 #1)
 )
 def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q18: join + group + HAVING on an aggregate + top-k."""
@@ -434,7 +434,7 @@ FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
     tags=("agg",),
-    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
+    priority=70,  # evidence refresh r14: oldest driver evidence (R14_REFRESH_PLAN oldest-first rotation, VERDICT r13 #1)
 )
 def tpch_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets: per (flag, status), per flag, and grand
@@ -470,7 +470,7 @@ SELECT CAST(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
 FROM lineitem JOIN part ON l_partkey = p_partkey
 """,
     tags=("join", "agg"),
-    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
+    priority=70,  # evidence refresh r14: oldest driver evidence (R14_REFRESH_PLAN oldest-first rotation, VERDICT r13 #1)
 )
 def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q14: conditional aggregate ratio over a part join (part scales
@@ -505,7 +505,7 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 20 AND 40)
 """,
     tags=("join", "agg"),
-    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
+    priority=70,  # evidence refresh r14: oldest driver evidence (R14_REFRESH_PLAN oldest-first rotation, VERDICT r13 #1)
 )
 def tpch_q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q19: OR-of-ANDs predicate spanning both join sides — Catalyst

@@ -63,7 +63,7 @@ WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
 GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
 """,
     tags=("join", "agg"),
-    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
+    priority=70,  # evidence refresh r14: oldest driver evidence (R14_REFRESH_PLAN oldest-first rotation, VERDICT r13 #1)
 )
 def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7 (faithful shape): bilateral trade volume between two nations
@@ -184,7 +184,7 @@ WHERE p_name LIKE '%red%'
 GROUP BY n_name, year(o_orderdate)
 """,
     tags=("join", "agg"),
-    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
+    priority=70,  # evidence refresh r14: oldest driver evidence (R14_REFRESH_PLAN oldest-first rotation, VERDICT r13 #1)
 )
 def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q9 ADAPTED: no partsupp table, so profit omits the
@@ -227,7 +227,7 @@ GROUP BY l_returnflag
     tags=("join", "agg"),
     # r2 hash-mismatch (oracle HUGEINT, now CAST to BIGINT) — promoted
     # into the driver's bounded check window so the fix is visible.
-    priority=70,  # evidence refresh r13: newest driver row was r4 (oldest-first rotation, VERDICT r12 #1)
+    priority=900,  # demoted in r14 after r13 driver green, to rotate the r13 certificate + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q12 ADAPTED: no shipmode/commitdate/receiptdate columns — the
@@ -266,7 +266,7 @@ FROM (
 ) t GROUP BY c_count
 """,
     tags=("join", "agg"),
-    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
+    priority=70,  # evidence refresh r14: oldest driver evidence (R14_REFRESH_PLAN oldest-first rotation, VERDICT r13 #1)
 )
 def tpch_q13_customer_distribution(
     spark: SparkSession, sf_dir: str
@@ -301,7 +301,7 @@ FROM supplier JOIN revenue ON s_suppkey = supplier_no
 WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
 """,
     tags=("join", "agg"),
-    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
+    priority=70,  # evidence refresh r14: oldest driver evidence (R14_REFRESH_PLAN oldest-first rotation, VERDICT r13 #1)
 )
 def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q15 (faithful): supplier(s) achieving the maximum quarterly
@@ -336,7 +336,7 @@ WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'MEDIUM%'
 GROUP BY p_brand, p_size
 """,
     tags=("join", "agg"),
-    priority=900,  # demoted in r6 after r5 driver green, to rotate the late-r5 carve-out batch into the window (verified locally by tools/check_correctness.py)
+    priority=70,  # evidence refresh r14: oldest driver evidence (R14_REFRESH_PLAN oldest-first rotation, VERDICT r13 #1)
 )
 def tpch_q16_supplier_part_counts(
     spark: SparkSession, sf_dir: str
@@ -377,7 +377,7 @@ WHERE p_brand = 'Brand#3'
   AND CAST(l_quantity AS DECIMAL(12,2)) * 5 * n_li < sum_qty
 """,
     tags=("join", "agg"),
-    priority=70,  # evidence refresh r13: newest driver row was r4 (oldest-first rotation, VERDICT r12 #1)
+    priority=900,  # demoted in r14 after r13 driver green, to rotate the r13 certificate + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def tpch_q17_small_quantity_revenue(
     spark: SparkSession, sf_dir: str
@@ -438,7 +438,7 @@ ORDER BY numwait DESC, s_name
 LIMIT 20
 """,
     tags=("join", "agg", "topk"),
-    priority=70,  # evidence refresh r13: newest driver row was r4 (oldest-first rotation, VERDICT r12 #1)
+    priority=900,  # demoted in r14 after r13 driver green, to rotate the r13 certificate + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21 ADAPTED: no commitdate/receiptdate, so "kept the order
@@ -505,7 +505,7 @@ WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
 GROUP BY c_nationkey
 """,
     tags=("join", "agg"),
-    priority=70,  # evidence refresh r13: newest driver row was r4 (oldest-first rotation, VERDICT r12 #1)
+    priority=900,  # demoted in r14 after r13 driver green, to rotate the r13 certificate + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def tpch_q22_global_sales_opportunity(
     spark: SparkSession, sf_dir: str
@@ -601,7 +601,7 @@ ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
 LIMIT 20
 """,
     tags=("join", "agg", "topk"),
-    priority=70,  # evidence refresh r13: newest driver row was r4 (oldest-first rotation, VERDICT r12 #1)
+    priority=900,  # demoted in r14 after r13 driver green, to rotate the r13 certificate + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2 ADAPTED (no partsupp): supply = lineitem-derived (part, supp)
@@ -660,7 +660,7 @@ GROUP BY ps_partkey, total, np
 HAVING SUM(v) * np > 3 * total
 """,
     tags=("join", "agg"),
-    priority=70,  # evidence refresh r13: newest driver row was r4 (oldest-first rotation, VERDICT r12 #1)
+    priority=900,  # demoted in r14 after r13 driver green, to rotate the r13 certificate + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11 ADAPTED (no partsupp): per-part inventory value
@@ -716,7 +716,7 @@ FROM supplier JOIN dom ON s_suppkey = ps_suppkey
 WHERE r_name = 'ASIA'
 """,
     tags=("join", "agg", "semijoin"),
-    priority=70,  # evidence refresh r13: newest driver row was r4 (oldest-first rotation, VERDICT r12 #1)
+    priority=900,  # demoted in r14 after r13 driver green, to rotate the r13 certificate + oldest-evidence refreshes into the window (verified locally by tools/check_correctness.py)
 )
 def tpch_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q20 ADAPTED (no partsupp, no availqty): "excess stock" becomes

@@ -291,3 +291,46 @@ def test_cli_hnsw_delete_and_compact(spark, tmp_path, capsys):
     assert main([*base, "hnsw-compact"], spark=spark) == 0
     out = _json.loads(capsys.readouterr().out.strip())
     assert out["files"] >= 4
+
+
+def test_cli_vecidx_retrain_and_stats(spark, tmp_path, capsys):
+    # the r14 centroid-growth verbs (VERDICT r13 #2/#3): retrain at a
+    # new k through the CLI, and stats reporting per-bucket counts vs
+    # the sizing rule.
+    root = str(tmp_path / "vidxr")
+    base = ["--root", root, "--ns", "E"]
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+
+    assert main([*base, "vecidx-build", "--parquet", src, "--k", "8"],
+                spark=spark) == 0
+    json.loads(capsys.readouterr().out)
+
+    assert main([*base, "vecidx-stats"], spark=spark) == 0
+    st = json.loads(capsys.readouterr().out)
+    assert st["k"] == 8 and st["over_bound"] == []
+    assert sum(st["per_bucket"].values()) == st["n_vectors"]
+
+    assert main([*base, "vecidx-retrain", "--k", "32"],
+                spark=spark) == 0
+    doc = json.loads(capsys.readouterr().out)
+    assert doc["k"] == 32 and doc["version"] == 2
+
+    assert main([*base, "vecidx-stats"], spark=spark) == 0
+    st = json.loads(capsys.readouterr().out)
+    assert st["k"] == 32
+    assert len(st["per_bucket"]) > 8            # re-bucketed wider
+
+
+def test_cli_hnsw_stats(spark, tmp_path, capsys):
+    root = str(tmp_path / "hst")
+    base = ["--root", root, "--ns", "E"]
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+
+    assert main([*base, "hnsw-build", "--parquet", src,
+                 "--shards", "4"], spark=spark) == 0
+    json.loads(capsys.readouterr().out)
+    assert main([*base, "hnsw-stats"], spark=spark) == 0
+    st = json.loads(capsys.readouterr().out)
+    assert st["shards"] == 4 and st["over_bound"] == []
+    assert sum(st["per_shard"].values()) == st["n_vectors"]
+    assert set(map(int, st["per_shard"])) <= {0, 1, 2, 3}

@@ -850,3 +850,95 @@ def test_hnsw_rebuild_crash_windows_never_serve_mixed_state(
         assert got == want_new, f"fuel={fuel}"
         shutil.rmtree(work, ignore_errors=True)
     assert guard_fired
+
+
+def test_unbuilt_namespace_raises_not_built_everywhere(spark, tmp_path):
+    # ADVICE r14 #2: the sweep_stagings clockprobe sweep ran
+    # listStatus on the namespace dir unguarded, so a never-built
+    # namespace surfaced a raw Py4J FileNotFoundException from verb
+    # entries instead of HNSWIndexNotBuilt.
+    from rados_timestore_spark.hnsw import HNSWIndex, HNSWIndexNotBuilt
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet") \
+        .filter(F.col("vec_id") < 5)
+    vi = HNSWIndex(spark, str(tmp_path / "nb"))
+    with pytest.raises(HNSWIndexNotBuilt):
+        vi.append("nope", emb)
+    with pytest.raises(HNSWIndexNotBuilt):
+        vi.append_batch("nope", emb, batch_id=0)
+    with pytest.raises(HNSWIndexNotBuilt):
+        vi.delete("nope", [1])
+    with pytest.raises(HNSWIndexNotBuilt):
+        vi.compact("nope")
+    with pytest.raises(HNSWIndexNotBuilt):
+        vi.reshard("nope", shards=2)
+    with pytest.raises(HNSWIndexNotBuilt):
+        vi.probe_candidates("nope", [])
+
+
+def test_probe_snapshot_retries_then_raises_on_persistent_race(
+        spark, tmp_path, monkeypatch):
+    # ADVICE r14 #3: a probe overlapping a reshard roll-forward could
+    # pair new graphs with old vectors.  The snapshot check re-reads
+    # the LIVE graph marker after both file listings; a persistent
+    # mismatch (simulated here by pinning a future build_gen into the
+    # marker and silencing the entry-time marker check) must raise
+    # after bounded retries, never serve a mixed snapshot.
+    import json
+
+    from rados_timestore_spark.hnsw import _GRAPH_MARKER, HNSWIndex
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet") \
+        .filter(F.col("vec_id") < 60)
+    vi = HNSWIndex(spark, str(tmp_path / "psr"))
+    vi.build("e", emb, shards=2, m=8, ef_construction=64)
+
+    marker = f"{vi._graph_dir('e')}/{_GRAPH_MARKER}"
+    assert vi.fs.exists(marker)
+    gen = json.loads(vi.fs.read_text(marker))["build_gen"]
+    vi.fs.write_text_atomic(marker,
+                            json.dumps({"build_gen": int(gen) + 1}))
+    monkeypatch.setattr(HNSWIndex, "_check_build_marker",
+                        lambda self, ns, doc: None)
+    with pytest.raises(IOError, match="racing a reshard swap"):
+        vi.probe_candidates("e", [(0, np.zeros(8))])
+    # restoring the marker heals the probe path
+    vi.fs.write_text_atomic(marker, json.dumps({"build_gen": int(gen)}))
+    qr = emb.filter(F.col("vec_id") < 1).collect()[0]
+    got = vi.probe_candidates(
+        "e", [(int(qr.vec_id),
+               np.asarray(qr.embedding, dtype=np.float64))], k=8)
+    assert got.count() > 0
+
+
+def test_stats_and_overgrowth_warning(spark, tmp_path, monkeypatch):
+    # VERDICT r13 "What's missing" #2: the ~1M-vector shard rule is
+    # now measured (stats) and enforced as an append-time warning
+    # (mean density, meta-only).  The bound is a class attr so the
+    # test exercises the tripwire without a million-row fixture.
+    import warnings
+
+    from rados_timestore_spark.hnsw import HNSWIndex
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet") \
+        .filter(F.col("vec_id") < 120)
+    vi = HNSWIndex(spark, str(tmp_path / "st"))
+    vi.build("e", emb.filter(F.col("vec_id") < 80), shards=4)
+
+    st = vi.stats("e")
+    assert st["shards"] == 4 and st["n_vectors"] == 80
+    assert sum(st["per_shard"].values()) == 80
+    assert st["over_bound"] == [] and st["bound"] == 1_000_000
+
+    # under the bound: appends stay silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        vi.append("e", emb.filter(F.col("vec_id").between(80, 99)))
+
+    # shrink the bound under the mean density: the next append warns
+    monkeypatch.setattr(HNSWIndex, "SHARD_BOUND", 20)
+    with pytest.warns(UserWarning, match="mean shard density"):
+        vi.append("e", emb.filter(F.col("vec_id").between(100, 119)))
+    st = vi.stats("e")
+    assert st["n_vectors"] == 120
+    assert st["over_bound"]          # exact counts exceed 20 too

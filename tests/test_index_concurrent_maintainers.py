@@ -185,3 +185,135 @@ def test_hnsw_serial_verbs_still_green(spark, emb, tmp_path):
     hx.compact("e")
     assert int(hx.meta("e")["txn"]) == t0 + 4
     assert hx.meta("e")["n_vectors"] == 199
+
+
+def test_hnsw_reshard_marker_fences_midflight_maintainer(
+        spark, emb, tmp_path, monkeypatch):
+    # ADVICE r14 #1 (medium): reshard's commit point (the marker
+    # write) CAS-checks the stored txn but pre-fix did NOT advance it,
+    # so a maintainer verb already past its entry read could still
+    # pass cas_commit_meta in the window between the marker write and
+    # the roll-forward's meta write — the dir swaps then silently
+    # clobbered its changes.  The fence bump (txn=entry+1 written
+    # under the marker lock) makes that commit fail LOUDLY.
+    import json
+
+    root = str(tmp_path / "hrf")
+    hx = HNSWIndex(spark, root)          # the mid-flight maintainer
+    hx.build("e", emb.filter(F.col("vec_id") < 200), shards=2)
+    resharder = HNSWIndex(spark, root)
+
+    # Freeze the reshard AT its commit point: skip its own completion
+    # call (the final _restore_shard_remnants(ns), sweep_stagings
+    # False) so the marker exists but the roll-forward has not run —
+    # exactly the ADVICE window.
+    orig_restore = HNSWIndex._restore_shard_remnants
+
+    def frozen(self, ns, sweep_stagings=False):
+        if self is resharder and not sweep_stagings:
+            return  # commit point reached; stop before roll-forward
+        return orig_restore(self, ns, sweep_stagings)
+
+    monkeypatch.setattr(HNSWIndex, "_restore_shard_remnants", frozen)
+    _hook_entry_read(monkeypatch, HNSWIndex, hx,
+                     lambda: resharder.reshard("e", shards=5))
+
+    with pytest.raises(ConcurrentMaintainerError):
+        hx.delete("e", [3, 13, 23])
+
+    # marker still present (roll-forward was frozen), and the stored
+    # meta txn was bumped under the marker lock — the fence itself
+    marker = f"{resharder._ns_dir('e')}/_reshard.json"
+    assert resharder.fs.exists(marker)
+    target = json.loads(resharder.fs.read_text(marker))
+    monkeypatch.setattr(HNSWIndex, "_restore_shard_remnants",
+                        orig_restore)
+
+    # recovery completes the reshard; the failed delete left no trace
+    # (its pre-CAS shard swaps are overwritten by the whole-dir swap)
+    fresh = HNSWIndex(spark, root)
+    doc = fresh.meta("e")
+    fresh._restore_shard_remnants("e")
+    doc = fresh.meta("e")
+    assert doc["shards"] == 5 and doc["n_vectors"] == 200
+    assert int(doc["txn"]) == int(target["txn"]) + 2  # fence +1, commit +1
+    qs = [(int(r.vec_id), r.embedding) for r in
+          emb.filter(F.col("vec_id") < 2).collect()]
+    import numpy as np
+    assert fresh.probe_candidates(
+        "e", [(q, np.asarray(v, dtype=np.float64)) for q, v in qs],
+        k=8).count() > 0
+
+
+def test_hnsw_reshard_kill_between_fence_and_marker_aborts(
+        spark, emb, tmp_path, monkeypatch):
+    # the fence write precedes the marker write, so a kill between the
+    # two ABORTS the reshard: marker-less stagings are swept at the
+    # next verb entry, one txn number is burned, and the index serves
+    # its pre-reshard state.
+    root = str(tmp_path / "hrk")
+    hx = HNSWIndex(spark, root)
+    hx.build("e", emb.filter(F.col("vec_id") < 150), shards=2)
+    t0 = int(hx.meta("e")["txn"])
+
+    class Kill(RuntimeError):
+        pass
+
+    orig_write = type(hx.fs).write_text_atomic
+
+    def dying(self, path, text):
+        if path.endswith("/_reshard.json"):
+            raise Kill("killed before the marker write")
+        return orig_write(self, path, text)
+
+    monkeypatch.setattr(type(hx.fs), "write_text_atomic", dying)
+    with pytest.raises(Kill):
+        hx.reshard("e", shards=4)
+    monkeypatch.setattr(type(hx.fs), "write_text_atomic", orig_write)
+
+    doc = hx.meta("e")
+    assert doc["shards"] == 2                  # aborted, not applied
+    assert int(doc["txn"]) == t0 + 1           # the burned fence txn
+    # next verb entry sweeps the orphaned stagings and runs clean
+    hx.compact("e")
+    for base in (hx._graph_dir("e"), hx._vectors_dir("e")):
+        assert not hx.fs.exists(f"{base}.resharding")
+    assert hx.meta("e")["n_vectors"] == 150
+
+
+def test_vecidx_retrain_marker_fences_midflight_maintainer(
+        spark, emb, tmp_path, monkeypatch):
+    # the HNSW reshard fence (ADVICE r14 #1), mirrored on the IVF
+    # retrain: a maintainer past its entry read must fail its CAS
+    # commit loudly once retrain's commit point (fence txn + marker)
+    # lands — never be silently clobbered by the roll-forward swaps.
+    root = str(tmp_path / "vrf")
+    vi = VectorIndex(spark, root)          # the mid-flight maintainer
+    vi.build("e", emb.filter(F.col("vec_id") < 200), k=K)
+    retrainer = VectorIndex(spark, root)
+
+    orig_restore = VectorIndex._restore_remnants
+
+    def frozen(self, ns, sweep_stagings=False):
+        if self is retrainer and not sweep_stagings:
+            return  # commit point reached; stop before roll-forward
+        return orig_restore(self, ns, sweep_stagings)
+
+    monkeypatch.setattr(VectorIndex, "_restore_remnants", frozen)
+    _hook_entry_read(monkeypatch, VectorIndex, vi,
+                     lambda: retrainer.retrain("e", k=16))
+
+    with pytest.raises(ConcurrentMaintainerError):
+        vi.delete("e", [3, 13, 23])
+
+    assert retrainer.fs.exists(f"{retrainer._ns_dir('e')}/_retrain.json")
+    monkeypatch.setattr(VectorIndex, "_restore_remnants", orig_restore)
+
+    # recovery completes the retrain; the failed delete left no trace
+    fresh = VectorIndex(spark, root)
+    fresh._restore_remnants("e")
+    doc = fresh.meta("e")
+    assert doc["k"] == 16 and doc["n_vectors"] == 200
+    qs = [(int(r.vec_id), list(r.embedding)) for r in
+          emb.filter(F.col("vec_id") < 2).collect()]
+    assert fresh.probe("e", qs, nprobe=4, topk=5).count() == 10

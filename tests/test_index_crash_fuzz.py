@@ -115,6 +115,7 @@ def test_vecidx_crash_fuzz_strided(spark, tmp_path):
         ix.delete("e", victims)
         ix.compact("e")
         ix.enable_pq("e", m=4, ksub=16, residual=True)
+        ix.retrain("e", k=8)  # r14: three-dir roll-forward window
 
     def probe(ix):
         # API first: probe entry runs the remnant restore, after

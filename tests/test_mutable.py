@@ -766,3 +766,28 @@ def test_merge_fence_new_lineage_at_upgrade_time_applies(store):
     # cannot falsely inherit it
     kv.merge_into(b, mrg, batch_id=2, app_id="q-later")
     assert kv.lookup(2) == b"a|a|a|a|a"
+
+
+def test_merge_fence_inheritance_warns(store):
+    # ADVICE r14 #4: when the one-shot legacy-fence inheritance fires,
+    # the skipped batch may (legacy fence exactly 0) be a genuinely
+    # new lineage's batch 0 — operators need a visible signal, not a
+    # silent no-op.
+    import warnings
+
+    import pytest
+
+    mrg = lambda new, old: old + b"|" + new  # noqa: E731
+    store.register_namespace("MIGRW", buckets=4)
+    kv = MutableKV(store, "MIGRW")
+    b = store.spark.createDataFrame(
+        [(2, bytearray(b"a"), 0)], "key long, value binary, seq long")
+    kv.merge_into(b, mrg, batch_id=0)        # legacy fence -> 0
+    with pytest.warns(UserWarning, match="inherits the legacy"):
+        kv.merge_into(b, mrg, batch_id=0, app_id="q-maybe-new")
+    assert kv.lookup(2) == b"a"              # conservative skip stands
+    # the non-inheriting path stays silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        kv.merge_into(b, mrg, batch_id=1, app_id="q-maybe-new")
+    assert kv.lookup(2) == b"a|a"

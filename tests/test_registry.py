@@ -76,27 +76,23 @@ def test_bench_set_nonempty():
 # window) — membership drift must fail loudly, so any intentional
 # rotation edits this set in the same commit.
 EXPECTED_WINDOW = {
-    # r13 rotation (VERDICT r12 #1, plan pinned in ROADMAP r12): the
-    # two NEW r12 registrations promoted for their FIRST driver
-    # evidence (filtered HNSW probe / unbounded-frame probe_df); the
-    # 21 r12-green non-bench incumbents demoted in exchange.
-    "sim_hnswidx_filtered_probe", "sim_hnswidx_probe_df",
-    # oldest-evidence refreshes (oldest-first rotation): the 12
-    # remaining r4-evidence queries + the 7 oldest r5-evidence
-    # queries (by registration order).  The remaining 19 r5-evidence
-    # queries roll to r14 — pinned in R14_REFRESH_PLAN below.
-    "streaming_sessionize", "text_lang_id", "text_length_buckets",
-    "text_repetition", "text_split_assign", "tpch_q2_min_cost_supplier",
-    "tpch_q11_important_stock", "tpch_q12_late_shipments",
-    "tpch_q17_small_quantity_revenue", "tpch_q20_dominant_suppliers",
-    "tpch_q21_waiting_suppliers", "tpch_q22_global_sales_opportunity",
-    # (mm_feature_extract takes the seventh r5 seat in place of
-    # sim_kmeans_quantizer — the mm_ family-coverage invariant below
-    # requires a multimodal entry and the plan's seven had none; both
-    # hold r5 evidence, so oldest-first is preserved.)
-    "streaming_asof_join", "streaming_asof_exact", "streaming_asof_update",
-    "text_filter_pipeline", "dedup_minhash_pairs", "sim_ivf_recall",
-    "mm_feature_extract",
+    # r14 rotation (VERDICT r13 #1, plan pinned in ROADMAP r13
+    # R14_REFRESH_PLAN): the 19 r5-evidence queries + the r13
+    # carve-out certificate (sim_hnswidx_reshard_probe, first driver
+    # evidence) + ts_compact_roundtrip (oldest-registered r6
+    # evidence); the 21 r13-green non-bench incumbents demoted in
+    # exchange.  ts_ohlc_hourly et al. (r6) roll to r15 — pinned in
+    # R15_REFRESH_PLAN below.
+    "dedup_semantic", "sim_kmeans_quantizer", "mm_decode_ppm",
+    "pipeline_corpus_curation", "tpch_window_top_orders_per_customer",
+    "tpch_agg_distinct_priority", "tpch_semijoin_open_orders",
+    "tpch_antijoin_silent_customers", "tpch_q6_forecast_revenue",
+    "tpch_q4_order_priority", "tpch_q18_large_orders",
+    "tpch_rollup_revenue", "tpch_q14_promo_effect",
+    "tpch_q19_disjunctive_predicates", "tpch_q7_volume_shipping",
+    "tpch_q9_product_profit", "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_part_counts",
+    "sim_hnswidx_reshard_probe", "ts_compact_roundtrip",
     # the bench/headline set (must always be driver-visible)
     "ts_kv_merge_into", "sim_hnswidx_probe",
     "streaming_ewma", "graph_connected_components",
@@ -118,34 +114,37 @@ EXPECTED_WINDOW = {
 # registry test asserting no query stays past the window for more than
 # one round") — any name added here is a standing debt that the next
 # round's rotation has to clear.
-# r13 rotation promoted both r12 registrations into the window.  Only
-# same-round NEW registrations may appear here; each MUST be rotated
-# into the window next round.
+# r14 rotation promoted the r13 registration (sim_hnswidx_reshard_probe)
+# into the window.  Only same-round NEW registrations may appear here;
+# each MUST be rotated into the window next round.
 EXPECTED_CARVEOUT_BACKLOG: set[str] = {
-    # NEW r13 registration (the reshard certificate) — rotate into
-    # the r14 window; it takes one of the two r6-refresh seats, so
-    # ts_ohlc_hourly rolls to r15 (ROADMAP r13 arithmetic).
-    "sim_hnswidx_reshard_probe",
+    # NEW r14 registration (the IVF retrain certificate, VERDICT r13
+    # #2) — rotate into the r15 window; it takes the carve-out seat
+    # counted in R15_REFRESH_PLAN below.
+    "sim_vecidx_retrain_probe",
 }
 
 
-# The 19 r5-evidence queries that did not fit r13's 21 non-bench
-# seats (ROADMAP r12 #1 arithmetic; VERDICT r12 #8).  The r14 rotation
-# MUST promote these — test_rotation_takes_oldest_evidence below goes
-# red at r14 if the rotation skips any of them, because they will then
-# hold the registry's oldest evidence.  The remaining 2 seats:
-# sim_hnswidx_reshard_probe (the r13 backlog above) +
-# ts_compact_roundtrip (oldest-registered r6 evidence).
-R14_REFRESH_PLAN = {
-    "dedup_semantic", "sim_kmeans_quantizer", "mm_decode_ppm",
-    "pipeline_corpus_curation", "tpch_window_top_orders_per_customer",
-    "tpch_agg_distinct_priority", "tpch_semijoin_open_orders",
-    "tpch_antijoin_silent_customers", "tpch_q6_forecast_revenue",
-    "tpch_q4_order_priority", "tpch_q18_large_orders",
-    "tpch_rollup_revenue", "tpch_q14_promo_effect",
-    "tpch_q19_disjunctive_predicates", "tpch_q7_volume_shipping",
-    "tpch_q9_product_profit", "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier", "tpch_q16_supplier_part_counts",
+# The r15 rotation, pinned (VERDICT r13 #7): 21 non-bench seats =
+# sim_vecidx_retrain_probe (the r14 backlog above) + 20 of the 26
+# r6-evidence queries, chosen oldest-registration-first with ONE
+# family-coverage swap: mm_wav_meta (registration position 21 of the
+# 26) takes the twentieth seat in place of sim_ivfpq_recall, because
+# the bench set has no mm_ entry and the window invariant
+# (test_driver_window_composition) requires one — both hold r6
+# evidence, so oldest-first is preserved (same precedent as r13's
+# mm_feature_extract swap).  Rolling to r16: sim_ivfpq_recall,
+# mm_decode_png, sketch_hll_ngrams, sketch_cms_heavy_hitters,
+# sketch_kmv_sample, streaming_hll_registers.
+R15_REFRESH_PLAN = {
+    "ts_ohlc_hourly", "ts_zorder_stats", "ts_json_props",
+    "ts_pivot_event_counts", "ts_funnel", "ts_cohort_retention",
+    "ts_anomaly_zscore", "ts_moving_window_sum",
+    "streaming_asof_watermark", "text_dup_spans", "text_pii_scrub",
+    "text_unigram_surprisal", "text_stratified_sample",
+    "text_word_assoc", "dedup_bloom", "dedup_fuzzy_prefix",
+    "graph_pagerank", "sim_ivf_kmeans_recall", "sim_pq_recall",
+    "mm_wav_meta",
 }
 
 
@@ -170,6 +169,48 @@ def _newest_green_rounds() -> dict[str, int]:
                    for k in ("rows_match", "schema_match", "hash_match")):
                 newest[name] = max(newest.get(name, 0), rnd)
     return newest
+
+
+def _oldest_first_skips(newest: dict[str, int],
+                        window_refresh: list[str],
+                        outside: list[str]) -> dict[str, int]:
+    """Pure core of the oldest-first invariant (so a synthetic test can
+    prove the tripwire still bites after the just-refreshed exclusion).
+
+    Returns the outside-window queries whose evidence is older than the
+    newest NON-just-refreshed in-window refresh seat — i.e. evidence a
+    rotation commit skipped.  Empty dict = invariant holds.
+    """
+    current = max(newest.values())
+    refresh_evidence = [
+        newest[n] for n in window_refresh
+        if n in newest and newest[n] != current
+    ]
+    if not refresh_evidence:
+        return {}
+    stale_cut = max(refresh_evidence)
+    return {
+        n: newest[n] for n in outside
+        if n in newest and newest[n] < stale_cut
+    }
+
+
+def test_oldest_first_tripwire_bites_on_a_skipping_rotation():
+    # VERDICT r13 #1 done-criterion: the reworked invariant must stay
+    # RED when a rotation commit skips older evidence, and stay GREEN
+    # when the only newer-than-outside evidence in the window is the
+    # driver's own just-landed refresh.
+    newest = {"a": 5, "b": 5, "c": 6, "d": 13, "e": 13}
+    # driver just refreshed d,e (r13 = current max); window refreshes
+    # a (r5) and c (r6) while b (r5) sits outside: c's seat skipped b.
+    assert _oldest_first_skips(newest, ["a", "c", "d"], ["b", "e"]) == \
+        {"b": 5}
+    # same window but the non-refreshed seats hold the OLDEST rows —
+    # no skip; d's r13 row is the driver's refresh, not a decision.
+    assert _oldest_first_skips(newest, ["a", "b", "d"], ["c", "e"]) == {}
+    # all in-window seats just refreshed (start-of-round state after
+    # the driver file lands): nothing to compare, invariant holds.
+    assert _oldest_first_skips(newest, ["d", "e"], ["a", "b", "c"]) == {}
 
 
 def test_rotation_takes_oldest_evidence():
@@ -198,22 +239,25 @@ def test_rotation_takes_oldest_evidence():
     in_window = ordered[:50]
     out_window = ordered[50:]
 
-    refresh_evidence = [
-        newest[n] for n, q in in_window
-        if not q.bench and n in newest
-    ]
-    outside_evidence = {
-        n: newest[n] for n, q in out_window if n in newest
-    }
-    assert refresh_evidence and outside_evidence
-    stale_cut = max(refresh_evidence)
-    skipped = {
-        n: r for n, r in outside_evidence.items() if r < stale_cut
-    }
+    # _oldest_first_skips excludes seats whose newest evidence IS the
+    # current max round: those were just refreshed by the driver —
+    # inevitable at the start of every round, not a rotation decision.
+    # Without the exclusion the suite was red on every judged tree
+    # between the driver's CORRECTNESS file landing and the next
+    # rotation commit (VERDICT r13 "What's wrong" #1): the assertion
+    # couldn't distinguish "driver refreshed the window" (good) from
+    # "a rotation commit skipped older evidence" (bad).  With it, the
+    # test bites exactly when a rotation PROMOTES a query holding
+    # newer evidence while older evidence sits outside the window
+    # (proven by the synthetic test above).
+    window_refresh = [n for n, q in in_window if not q.bench]
+    outside = [n for n, _q in out_window]
+    assert any(n in newest for n in outside)
+    skipped = _oldest_first_skips(newest, window_refresh, outside)
     assert not skipped, (
-        f"rotation skipped older evidence: window refreshes a query "
-        f"last green in r{stale_cut} while these sit outside with "
-        f"older rows: {sorted(skipped.items(), key=lambda kv: kv[1])}"
+        f"rotation skipped older evidence: these sit outside the "
+        f"window with rows older than an in-window refresh seat: "
+        f"{sorted(skipped.items(), key=lambda kv: kv[1])}"
     )
 
     # Absolute backstop: no query's evidence may be older than one
@@ -228,28 +272,41 @@ def test_rotation_takes_oldest_evidence():
     assert not too_old, f"evidence older than the feasible cycle: {too_old}"
 
 
-def test_r14_refresh_plan_is_the_oldest_evidence():
-    # The r14 plan must name exactly the queries holding the oldest
-    # evidence once this round's window lands (VERDICT r12 #8) — the
-    # pin and the history must agree, or the plan is stale.
+def test_r15_refresh_plan_is_the_oldest_evidence():
+    # The r15 plan must be drawn from the queries holding the oldest
+    # outside-window evidence (VERDICT r13 #7) — the pin and the
+    # history must agree, or the plan is stale.  Unlike r14 (19 r5
+    # queries = ALL of the oldest round, so the plan was complete by
+    # construction), the oldest round now holds 26 queries for 20
+    # seats, so the selection rule is pinned instead: the plan is the
+    # first 20 in registration order, modulo the one documented
+    # family-coverage swap (mm_wav_meta for sim_ivfpq_recall).
     newest = _newest_green_rounds()
     window = {n for n, _q in registry._ordered()[:50]}
     oldest_outside = min(
         r for n, r in newest.items() if n not in window
     )
-    plan_rounds = {n: newest.get(n) for n in R14_REFRESH_PLAN}
+    plan_rounds = {n: newest.get(n) for n in R15_REFRESH_PLAN}
     assert all(r == oldest_outside for r in plan_rounds.values()), (
-        f"R14_REFRESH_PLAN drifted from the evidence history: "
+        f"R15_REFRESH_PLAN drifted from the evidence history: "
         f"{plan_rounds} vs oldest outside-window round {oldest_outside}"
     )
-    # and it must be complete: nothing else outside the window shares
-    # that oldest round.
-    extra = {
-        n for n, r in newest.items()
-        if r == oldest_outside and n not in window
-        and n not in R14_REFRESH_PLAN
-    }
-    assert not extra, f"oldest-evidence queries missing from the plan: {extra}"
+    # Selection rule: oldest-registration-first among the oldest
+    # round, with exactly one swap for mm_ family coverage.
+    oldest_in_reg_order = [
+        n for n, _q in registry._ordered()
+        if n not in window and newest.get(n) == oldest_outside
+    ]
+    expected = set(oldest_in_reg_order[:20])
+    if not any(n.startswith("mm_") for n in expected):
+        first_mm = next(
+            (n for n in oldest_in_reg_order if n.startswith("mm_")), None)
+        assert first_mm is not None
+        expected = set(oldest_in_reg_order[:19]) | {first_mm}
+    assert R15_REFRESH_PLAN == expected, (
+        f"plan != selection rule: extra={R15_REFRESH_PLAN - expected}, "
+        f"missing={expected - R15_REFRESH_PLAN}"
+    )
 
 
 def test_carveout_backlog_is_rotated():

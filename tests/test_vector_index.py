@@ -1018,3 +1018,256 @@ def test_legacy_index_without_centroid_marker_still_serves(
     vi.build("e", sub, k=8)   # first marker-aware rebuild
     assert vi.meta("e")["cent_marker"]
     assert vi.probe("e", qs, nprobe=4, topk=5).count() == 10
+
+
+# ---------------------------------------------------------- retrain
+# VERDICT r13 #2: the centroid-growth escape hatch, mirroring the
+# HNSW reshard.  Laws: retrain(k) == fresh build(k) over the stored
+# vectors (content + probes); ingest fences survive; crash windows
+# converge; the commit point fences mid-flight maintainers.
+
+
+def _content(spark, vi, ns="e"):
+    cent = sorted((r.cid, tuple(r.ce)) for r in
+                  spark.read.parquet(vi._centroids_dir(ns)).collect())
+    cols = spark.read.parquet(vi._assignments_dir(ns)).columns
+    rows = spark.read.parquet(vi._assignments_dir(ns)).collect()
+    assign = sorted(
+        (r.vec_id, r.bucket, tuple(r.embedding),
+         tuple(r.pq_code) if "pq_code" in cols else ())
+        for r in rows)
+    return cent, assign
+
+
+def test_retrain_equals_fresh_build(spark, emb, tmp_path):
+    sub = emb.filter(F.col("vec_id") < 300)
+    vi = VectorIndex(spark, str(tmp_path / "rt"))
+    vi.build("e", sub, k=8)
+    qs = _queries(emb)
+    before = {(r.query_id, r.rank): r.neighbor_id
+              for r in vi.probe("e", qs, nprobe=8, topk=5).collect()}
+
+    doc = vi.retrain("e", k=32)
+    assert doc["k"] == 32 and doc["version"] == 2
+    assert doc["n_vectors"] == 300
+
+    fresh = VectorIndex(spark, str(tmp_path / "fb"))
+    fresh.build("e", sub, k=32)
+    assert _content(spark, vi) == _content(spark, fresh)
+    for key in ("k", "dim", "n_vectors", "trainer"):
+        assert vi.meta("e")[key] == fresh.meta("e")[key]
+
+    # probes on the retrained index == fresh-build probes, and (this
+    # fixture's exact rerank saturates recall at nprobe=k) == the
+    # pre-retrain answer
+    after = {(r.query_id, r.rank): r.neighbor_id
+             for r in vi.probe("e", qs, nprobe=32, topk=5).collect()}
+    fresh_probe = {(r.query_id, r.rank): r.neighbor_id
+                   for r in fresh.probe("e", qs, nprobe=32,
+                                        topk=5).collect()}
+    assert after == fresh_probe
+    # exhaustive probes (nprobe == k on both sides) are
+    # bucketing-invariant, so the answer survives the retrain
+    assert after == before
+
+    # no staging/marker remnants survive a clean retrain
+    assert not vi.fs.exists(f"{vi._ns_dir('e')}/_retrain.json")
+    for base in (vi._centroids_dir("e"), vi._pq_dir("e"),
+                 vi._assignments_dir("e")):
+        assert not vi.fs.exists(f"{base}.retraining")
+        assert not vi.fs.exists(f"{base}.preretrain")
+
+
+def test_retrain_pq_reencodes_and_matches_fresh_fused_build(
+        spark, emb, tmp_path):
+    sub = emb.filter(F.col("vec_id") < 250)
+    vi = VectorIndex(spark, str(tmp_path / "rtpq"))
+    vi.build("e", sub, k=8, pq={"m": 4, "ksub": 16, "residual": True})
+    g1 = vi.meta("e")["pq"]["gen"]
+    vi.retrain("e", k=16)
+    doc = vi.meta("e")
+    assert doc["pq"]["gen"] == g1 + 1      # codebook generation bumped
+    assert doc["pq"]["residual"] is True
+
+    fresh = VectorIndex(spark, str(tmp_path / "fbpq"))
+    fresh.build("e", sub, k=16,
+                pq={"m": 4, "ksub": 16, "residual": True})
+    assert _content(spark, vi) == _content(spark, fresh)
+    qs = _queries(emb)
+    got = {(r.query_id, r.rank): r.neighbor_id
+           for r in vi.probe_pq("e", qs, nprobe=16, topk=5).collect()}
+    want = {(r.query_id, r.rank): r.neighbor_id
+            for r in fresh.probe_pq("e", qs, nprobe=16,
+                                    topk=5).collect()}
+    assert got == want
+
+
+def test_retrain_preserves_ingest_fences(spark, emb, tmp_path):
+    # unlike a fresh build, retrain keeps batch_fences/last_batch_id —
+    # an exactly-once streaming ingest must stay fenced across it
+    vi = VectorIndex(spark, str(tmp_path / "rtf"))
+    vi.build("e", emb.filter(F.col("vec_id") < 150), k=8)
+    b = emb.filter(F.col("vec_id").between(150, 199))
+    vi.append_batch("e", b, batch_id=3, app_id="q-rt")
+    assert vi.meta("e")["batch_fences"] == {"q-rt": 3}
+
+    vi.retrain("e", k=16)
+    assert vi.meta("e")["batch_fences"] == {"q-rt": 3}
+    n = vi.meta("e")["n_vectors"]
+    # the replay is STILL fenced (a fresh build would have wiped the
+    # fence and double-applied)
+    vi.append_batch("e", b, batch_id=3, app_id="q-rt")
+    assert vi.meta("e")["n_vectors"] == n == 200
+
+
+def test_retrain_crash_windows_converge(spark, emb, tmp_path):
+    # kill BEFORE the marker: retrain aborts — stagings swept at the
+    # next verb entry, pre-retrain index intact (one txn burned).
+    # kill AFTER the marker (roll-forward skipped): the next entry —
+    # even a probe's — completes the swaps and commits the target.
+    import json
+
+    sub = emb.filter(F.col("vec_id") < 200)
+    root = str(tmp_path / "rtc")
+    vi = VectorIndex(spark, root)
+    vi.build("e", sub, k=8)
+    t0 = int(vi.meta("e")["txn"])
+    qs = _queries(emb)
+
+    class Kill(RuntimeError):
+        pass
+
+    orig_write = type(vi.fs).write_text_atomic
+
+    def dying(self, path, text):
+        if path.endswith("/_retrain.json"):
+            raise Kill("killed before the marker write")
+        return orig_write(self, path, text)
+
+    type(vi.fs).write_text_atomic = dying
+    try:
+        with pytest.raises(Kill):
+            vi.retrain("e", k=32)
+    finally:
+        type(vi.fs).write_text_atomic = orig_write
+    doc = vi.meta("e")
+    assert doc["k"] == 8 and doc["version"] == 1   # aborted
+    assert int(doc["txn"]) == t0 + 1               # burned fence txn
+    vi.compact("e")                                # sweeps stagings
+    for base in (vi._centroids_dir("e"), vi._pq_dir("e"),
+                 vi._assignments_dir("e")):
+        assert not vi.fs.exists(f"{base}.retraining")
+    assert vi.probe("e", qs, nprobe=8, topk=5).count() == 15
+
+    # now the post-marker window: freeze the completion call
+    orig_restore = VectorIndex._restore_remnants
+
+    def frozen(self, ns, sweep_stagings=False):
+        if not sweep_stagings:
+            return
+        return orig_restore(self, ns, sweep_stagings)
+
+    VectorIndex._restore_remnants = frozen
+    try:
+        vi.retrain("e", k=32)
+    finally:
+        VectorIndex._restore_remnants = orig_restore
+    assert vi.fs.exists(f"{vi._ns_dir('e')}/_retrain.json")
+    assert vi.meta("e")["k"] == 8                 # not yet committed
+    # a fresh reader's PROBE entry rolls the retrain forward
+    reader = VectorIndex(spark, root)
+    got = reader.probe("e", qs, nprobe=32, topk=5)
+    assert got.count() == 15
+    doc = reader.meta("e")
+    assert doc["k"] == 32 and doc["version"] == 2
+    assert not reader.fs.exists(f"{reader._ns_dir('e')}/_retrain.json")
+    fresh = VectorIndex(spark, str(tmp_path / "rtcf"))
+    fresh.build("e", sub, k=32)
+    assert _content(spark, reader) == _content(spark, fresh)
+
+
+def test_build_after_crashed_retrain_is_not_clobbered(
+        spark, emb, tmp_path):
+    # the HNSW r13 severe finding, mirrored: a crashed retrain's
+    # marker must NOT roll forward over a subsequent fresh build —
+    # build() runs recovery first, completing the retrain BEFORE it
+    # reads the prior meta, so the build wins cleanly.
+    sub = emb.filter(F.col("vec_id") < 150)
+    root = str(tmp_path / "rtb")
+    vi = VectorIndex(spark, root)
+    vi.build("e", sub, k=8)
+
+    orig_restore = VectorIndex._restore_remnants
+
+    def frozen(self, ns, sweep_stagings=False):
+        if not sweep_stagings:
+            return
+        return orig_restore(self, ns, sweep_stagings)
+
+    VectorIndex._restore_remnants = frozen
+    try:
+        vi.retrain("e", k=32)      # marker written, swaps frozen
+    finally:
+        VectorIndex._restore_remnants = orig_restore
+    assert vi.fs.exists(f"{vi._ns_dir('e')}/_retrain.json")
+
+    bigger = emb.filter(F.col("vec_id") < 220)
+    vi.build("e", bigger, k=8)     # recovery-first, then rebuild
+    doc = vi.meta("e")
+    assert doc["n_vectors"] == 220 and doc["k"] == 8
+    assert not vi.fs.exists(f"{vi._ns_dir('e')}/_retrain.json")
+    qs = _queries(emb)
+    assert vi.probe("e", qs, nprobe=8, topk=5).count() == 15
+    # and a later verb entry does not resurrect the dead retrain
+    vi.compact("e")
+    assert vi.meta("e")["n_vectors"] == 220 and vi.meta("e")["k"] == 8
+
+
+def test_probe_detects_concurrent_retrain_swap(spark, emb, tmp_path):
+    # the _pruned_scan snapshot check: routing loaded from the cache
+    # for version v, then a retrain flips the centroid marker before
+    # the bucket listing — the probe must never route old centroids
+    # against new buckets.  A PERSISTENT mismatch (planted here)
+    # exhausts the bounded retry and propagates loudly; healing the
+    # marker heals the probe.
+    import json
+
+    from rados_timestore_spark.vector_index import RetrainRaceError
+
+    vi = VectorIndex(spark, str(tmp_path / "rp"))
+    vi.build("e", emb.filter(F.col("vec_id") < 120), k=8)
+    qs = _queries(emb)
+    assert vi.probe("e", qs, nprobe=4, topk=5).count() == 15  # caches v1
+
+    marker = f"{vi._centroids_dir('e')}/_cent_meta.json"
+    vi.fs.write_text_atomic(marker, json.dumps({"version": 2}))
+    with pytest.raises(RetrainRaceError, match="still racing"):
+        vi.probe("e", qs, nprobe=4, topk=5)
+    vi.fs.write_text_atomic(marker, json.dumps({"version": 1}))
+    assert vi.probe("e", qs, nprobe=4, topk=5).count() == 15
+
+
+def test_stats_and_overgrowth_warning(spark, emb, tmp_path, monkeypatch):
+    # the IVF twin of the HNSW shard-bound tripwire (VERDICT r13 #3):
+    # stats reports exact per-bucket counts; appends warn on mean
+    # density past BUCKET_BOUND, pointing at retrain.
+    import warnings
+
+    sub = emb.filter(F.col("vec_id") < 120)
+    vi = VectorIndex(spark, str(tmp_path / "vst"))
+    vi.build("e", sub.filter(F.col("vec_id") < 80), k=8)
+
+    st = vi.stats("e")
+    assert st["k"] == 8 and st["n_vectors"] == 80
+    assert sum(st["per_bucket"].values()) == 80
+    assert st["over_bound"] == [] and st["bound"] == 1_000_000
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        vi.append("e", sub.filter(F.col("vec_id").between(80, 99)))
+
+    monkeypatch.setattr(VectorIndex, "BUCKET_BOUND", 10)
+    with pytest.warns(UserWarning, match="mean bucket density"):
+        vi.append("e", sub.filter(F.col("vec_id").between(100, 119)))
+    st = vi.stats("e")
+    assert st["n_vectors"] == 120 and st["over_bound"]

@@ -123,6 +123,9 @@ def fuzz_ivf(spark, root):
         ix.delete("e", victims)
         ix.compact("e")
         ix.enable_pq("e", m=4, ksub=16, residual=True)
+        ix.retrain("e", k=8)  # r14: three-dir roll-forward window
+        # (centroids + pq codebooks + assignments; fence txn + marker
+        # commit point — VERDICT r13 #2)
 
     def probe(ix):
         # API first: probe entry runs the remnant restore
