@@ -10,10 +10,21 @@ query absorbs JVM/codegen startup so timings reflect the plans.
 (plus a fixture fingerprint) into ``bench_expectations.json``;
 ``tests/test_perf_gate.py`` fails the suite when a benched query
 regresses >2x against its recorded expectation on the same fixtures.
-Expectations are the per-query MAX over two full suite runs (merged
-max with any existing same-fingerprint file): this box shows up to
-2.3x run-to-run CPU noise, so recording one lucky-fast run would make
-the 2x gate flaky (ADVICE r4).
+
+Expectation protocol (r14, VERDICT r13 #4 — the de-ratchet): each
+``--update-expectations`` run records ONE SESSION = the per-query MAX
+over two full suite runs (this box shows up to 2.3x run-to-run CPU
+noise, so a single lucky-fast run would make the 2x gate flaky —
+ADVICE r4).  The file keeps a WINDOW of the last 5 sessions on the
+same fixture fingerprint, and the gated expectation per query is the
+MEDIAN across that window.  The previous protocol merged a lifetime
+max, which was raise-only: every slow box permanently weakened the 2x
+trap (three rows were lifted on box-variance grounds in r13 alone).
+Under the median, one slow session shifts the bound only until newer
+clean sessions outvote it — the gate re-tightens automatically.
+Legacy lifetime-max files migrate as a single synthetic session.
+Record sessions in the FOREGROUND only (no concurrent suites —
+BENCH_NOTES r13: backgrounded runs measure ~2x slow on long queries).
 """
 
 from __future__ import annotations
@@ -27,6 +38,50 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 EXPECTATIONS_PATH = os.path.join(REPO, "bench_expectations.json")
+
+#: Sessions kept in the expectation window (see module docstring):
+#: large enough that one slow box is outvoted, small enough that a
+#: REAL regression recorded by mistake ages out within a few rounds.
+EXPECTATION_WINDOW = 5
+
+
+def updated_expectations(prev: dict | None, session: dict[str, float],
+                         fingerprint: dict, sf_dir: str, now: float,
+                         cpus: int = 32) -> dict:
+    """Fold one bench session into the expectations document — the
+    de-ratchet protocol (VERDICT r13 #4), pure so the window/median
+    arithmetic is unit-testable without running the suite.
+
+    ``session`` is this run's per-query max-of-2.  The returned doc
+    keeps the last :data:`EXPECTATION_WINDOW` sessions on the same
+    (fingerprint, sf_dir) and gates on the per-query MEDIAN across
+    them; a fingerprint change starts a fresh window (workload drift
+    is a new baseline, not a regression).  Legacy lifetime-max files
+    (no ``history``) migrate as one synthetic session."""
+    import statistics
+
+    history: list[dict] = []
+    if prev is not None and (prev.get("fingerprint") == fingerprint
+                             and prev.get("sf_dir") == sf_dir):
+        history = list(prev.get("history", []))
+        if not history and prev.get("queries"):
+            history = [{"recorded": None, "queries": prev["queries"]}]
+    history.append({"recorded": now, "queries": dict(session)})
+    history = history[-EXPECTATION_WINDOW:]
+    all_q = sorted({q for h in history for q in h["queries"]})
+    expect = {
+        q: round(statistics.median(
+            h["queries"][q] for h in history if q in h["queries"]), 3)
+        for q in all_q
+    }
+    return {
+        "sf_dir": sf_dir,
+        "cpus": cpus,
+        "fingerprint": fingerprint,
+        "protocol": f"median-of-last-{EXPECTATION_WINDOW}-sessions (r14)",
+        "history": history,
+        "queries": expect,
+    }
 
 
 def fixture_fingerprint(sf_dir: str) -> dict[str, int]:
@@ -184,6 +239,55 @@ def main() -> None:
         shutil.rmtree(tmpl, ignore_errors=True)
         return round(best, 3)
 
+    def time_kv_merge_steady() -> float:
+        """The STEADY-STATE merge (r14, VERDICT r13 #6): the template
+        is merged ONCE before staging, so every chain is one folded
+        row (meta.kv_folded) and the timed merge — a small batch, the
+        per-micro-batch shape stream_kv_merges applies — takes the
+        fold-skip fast path: untouched keys pass through JVM-side and
+        only the batch's keys cross the Arrow fold.  The gap between
+        this row and kv_merge_only is the fast path's win; the
+        kv_merge_only row stays the FIRST-merge cost, which must fold
+        every raw chain by the differential-law semantics."""
+        import shutil
+        import tempfile
+
+        from rados_timestore_spark.mutable import MutableKV
+        from rados_timestore_spark.queries_core import events_points
+        from rados_timestore_spark.store import TimeStore
+
+        tmpl = tempfile.mkdtemp(prefix="kv_steady_tmpl_")
+        store = TimeStore(spark, tmpl)
+        kv = MutableKV(store, "mi")
+        pts = events_points(spark, sf_dir).filter(F.col("address") % 2 == 1)
+        kv.insert_bulk(pts.select(
+            F.col("address").alias("key"),
+            F.encode("payload_str", "UTF-8").alias("value"),
+            "seq",
+        ))
+        seed = (
+            pts.filter(F.col("address") % 4 == 1)
+            .select(F.col("address").alias("key")).distinct()
+            .withColumn("value", F.encode(F.lit("UPD"), "UTF-8"))
+            .withColumn("seq", F.lit(0).cast("long"))
+        ).localCheckpoint()
+        kv.merge_into(seed, lambda new, old: old + b"|" + new)
+        updates = seed.limit(64).localCheckpoint()  # the small batch
+        best = None
+        for _ in range(2):
+            spark.catalog.clearCache()
+            run_root = tempfile.mkdtemp(prefix="kv_steady_run_")
+            shutil.rmtree(run_root, ignore_errors=True)
+            shutil.copytree(tmpl, run_root)
+            kv2 = MutableKV(TimeStore(spark, run_root), "mi")
+            t0 = time.time()
+            kv2.merge_into(updates, lambda new, old: old + b"|" + new)
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            shutil.rmtree(run_root, ignore_errors=True)
+        shutil.rmtree(tmpl, ignore_errors=True)
+        return round(best, 3)
+
     timings = run_suite()
     # Headline total = the QUERY suite only (comparable round-over-
     # round and against BASELINE.md's per-query sums); the cold-build
@@ -199,38 +303,41 @@ def main() -> None:
     timings["kv_merge_only"] = time_kv_merge_only()
     print(f"# kv_merge_only: {timings['kv_merge_only']}s "
           f"(excluded from total)", file=sys.stderr)
+    timings["kv_merge_steady"] = time_kv_merge_steady()
+    print(f"# kv_merge_steady: {timings['kv_merge_steady']}s "
+          f"(excluded from total)", file=sys.stderr)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
     if "--update-expectations" in sys.argv:
-        # Expectations = per-query MAX across suite runs (and across an
-        # existing same-fingerprint file): the gate compares min-of-2
-        # runs against 2x the expectation, so the baseline must be a
-        # slow-side estimate or box noise (up to 2.3x here) makes it
-        # flaky.  The headline JSON line still reports the first
-        # (min-of-2) suite, same as a plain run.
+        # One SESSION = per-query MAX across two suite runs (slow-side
+        # estimate against box noise, up to 2.3x here).  The gated
+        # expectation = per-query MEDIAN over the last 5 sessions on
+        # the same fingerprint — windowed, not a lifetime max, so the
+        # 2x gate stops loosening monotonically (VERDICT r13 #4; see
+        # the module docstring).  The headline JSON line still reports
+        # the first (min-of-2) suite, same as a plain run.
+        import statistics
+
         print("# --update-expectations: second suite run for per-query "
               "maxima", file=sys.stderr)
         second = run_suite()
         second["vecidx_cold_build"] = time_vecidx_cold_build()
         second["hnswidx_cold_build"] = time_hnswidx_cold_build()
         second["kv_merge_only"] = time_kv_merge_only()
-        expect = {q: max(timings[q], second[q]) for q in timings}
-        fingerprint = fixture_fingerprint(sf_dir)
+        second["kv_merge_steady"] = time_kv_merge_steady()
+        session = {q: max(timings[q], second[q]) for q in timings}
+        prev = None
         if os.path.exists(EXPECTATIONS_PATH):
             with open(EXPECTATIONS_PATH) as f:
                 prev = json.load(f)
-            if (prev.get("fingerprint") == fingerprint
-                    and prev.get("sf_dir") == sf_dir):
-                for q, t in prev.get("queries", {}).items():
-                    if q in expect:
-                        expect[q] = max(expect[q], t)
+        doc = updated_expectations(
+            prev, session, fixture_fingerprint(sf_dir), sf_dir,
+            now=time.time(),
+            cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
         with open(EXPECTATIONS_PATH, "w") as f:
-            json.dump({
-                "sf_dir": sf_dir,
-                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
-                "fingerprint": fingerprint,
-                "queries": expect,
-            }, f, indent=2, sort_keys=True)
-        print(f"# wrote {EXPECTATIONS_PATH}", file=sys.stderr)
+            json.dump(doc, f, indent=2, sort_keys=True)
+        print(f"# wrote {EXPECTATIONS_PATH} "
+              f"({len(doc['history'])} session(s) in window)",
+              file=sys.stderr)
     print(json.dumps({
         "metric": "bench_total_wall",
         "value": total,

@@ -173,7 +173,14 @@ class MutableKV:
 
                 return df.groupBy("address").applyInPandas(fold, df.schema)
 
-        self.store._rewrite_generation(self.ns, transform)
+        def _mark_folded(m):
+            # both vacuum modes leave one non-tombstone row per
+            # surviving chain — the KV merge fast path's steady-state
+            # precondition (see _Meta.kv_folded)
+            m.kv_folded = True
+
+        self.store._rewrite_generation(self.ns, transform,
+                                       meta_update=_mark_folded)
 
     # ----------------------------------------------------------- reads
 
@@ -341,6 +348,19 @@ class MutableKV:
                 f"merge_into({self.ns!r}): app_id={app_id!r} requires "
                 f"a batch_id — the fence is keyed on (app_id, batch_id)")
         inherits_legacy = first_keyed = False
+        # Steady-state fold skip (r14, VERDICT r13 #6): when the live
+        # generation is a prior merge/vacuum's output (every chain
+        # exactly one non-tombstone row — _Meta.kv_folded), the fold
+        # of an UNTOUCHED key is the identity, so its row passes
+        # through JVM-side and the Arrow/Python fold machinery handles
+        # only the batch's keys.  This is the dominant term of the
+        # streaming MERGE case (stream_kv_merges: small per-batch
+        # updates against a large folded view).  The flag is read at
+        # entry under the serial-maintainer contract; any interleaved
+        # raw append clears it AND fails this merge's CAS flip, so the
+        # fast path can never skip a chain that grew mid-merge.
+        folded_steady = (self.store.is_registered(self.ns)
+                         and self.store._read_meta(self.ns).kv_folded)
         if batch_id is not None:
             meta0 = self.store._read_meta(self.ns)
             if app_id is not None:
@@ -411,6 +431,12 @@ class MutableKV:
                 return  # completed replay — fenced no-op
 
         def _fence(m):
+            # After this rewrite every surviving chain holds exactly
+            # one non-tombstone row — the steady-state marker the next
+            # merge's fold-skip fast path keys on (r14, VERDICT r13
+            # #6; see _Meta.kv_folded).  Rides the same CAS flip as
+            # the data, like the batch fence below.
+            m.kv_folded = True
             if batch_id is None:
                 return
             if app_id is not None:
@@ -543,8 +569,41 @@ class MutableKV:
             self.store.write_points(self.ns, folded)
             return
 
+        def _split_folded(df: DataFrame):
+            """Steady-state split (see folded_steady above): rows of
+            keys ABSENT from the batch pass through JVM-side — their
+            fold is the identity because every chain is one
+            non-tombstone row — and only batch keys' rows enter the
+            fold machinery.  The batch key set broadcasts (a merge
+            batch is small by the streaming contract; a full-corpus
+            batch degrades to the slow path's behavior anyway since
+            everything is then touched)."""
+            if not folded_steady:
+                return df, None
+            bkeys = batch.select("address").distinct()
+            untouched = df.join(F.broadcast(bkeys), "address",
+                                "left_anti")
+            return df.join(F.broadcast(bkeys), "address",
+                           "left_semi"), untouched
+
+        def _passthrough(untouched: DataFrame) -> DataFrame:
+            # re-derive the physical columns exactly like the fold
+            # output does: for a steady-state row they equal the
+            # stored values (verify()'s placement invariant), and the
+            # recomputation normalizes partition-discovery types
+            return (
+                untouched.select("address", "time", "value", "seq",
+                                 "payload")
+                .withColumn("kind", F.lit(1))
+                .withColumn("epoch", idx.epoch_col("time"))
+                .withColumn(
+                    "bucket",
+                    place_bucket_by_index(idx, "time", "address"))
+            )
+
         if associative:
             def transform_assoc(df: DataFrame) -> DataFrame:
+                df, untouched = _split_folded(df)
                 chain = df.select(
                     "address", "time", "payload", "seq",
                     F.lit(0).alias("__src"))
@@ -581,7 +640,7 @@ class MutableKV:
                          + F.col("__n_batch")).alias("time"),
                         "payload")
                 )
-                return (
+                full = (
                     out.withColumn("value", F.lit(None).cast("long"))
                     .withColumn("seq", F.lit(0).cast("long"))
                     .withColumn("kind", F.lit(1))
@@ -590,6 +649,9 @@ class MutableKV:
                         "bucket",
                         place_bucket_by_index(idx, "time", "address"))
                 )
+                if untouched is not None:
+                    full = full.unionByName(_passthrough(untouched))
+                return full
 
             self.store._rewrite_generation(
                 self.ns, transform_assoc, meta_update=_fence,
@@ -597,6 +659,7 @@ class MutableKV:
             return
 
         def transform(df: DataFrame) -> DataFrame:
+            df, untouched = _split_folded(df)
             chain = df.select(
                 "address", "time", "payload", "seq",
                 F.lit(0).alias("__src"))
@@ -631,7 +694,7 @@ class MutableKV:
 
             out = allrows.groupBy("address").applyInPandas(
                 fold, "address long, time long, payload binary")
-            return (
+            full = (
                 out.withColumn("value", F.lit(None).cast("long"))
                 .withColumn("seq", F.lit(0).cast("long"))
                 .withColumn("kind", F.lit(1))
@@ -640,6 +703,9 @@ class MutableKV:
                     "bucket",
                     place_bucket_by_index(idx, "time", "address"))
             )
+            if untouched is not None:
+                full = full.unionByName(_passthrough(untouched))
+            return full
 
         self.store._rewrite_generation(
             self.ns, transform, meta_update=_fence,

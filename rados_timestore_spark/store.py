@@ -110,6 +110,17 @@ class _Meta:
     #: ids back at 0) starts at -1 as designed — seeding those would
     #: resurrect the silent-skip the keying fixed.
     merge_fences_migrated: bool = False
+    #: Steady-state marker for the KV merge fast path (r14, VERDICT
+    #: r13 #6): True = every extended chain in the live generation
+    #: holds exactly ONE non-tombstone row (the state merge_into's
+    #: whole-view fold and vacuum both produce), so a later merge's
+    #: fold of an UNTOUCHED key is provably the identity and the row
+    #: passes through JVM-side — the Arrow/Python fold then touches
+    #: only batch keys, the dominant streaming-merge term.  Cleared by
+    #: every raw append (write_points) because a multi-row chain's
+    #: fold is NOT the identity; False = the conservative full fold
+    #: (pre-r14 behavior).  Existing metas deserialize unchanged.
+    kv_folded: bool = False
     #: Separate extended-kind index (reference parity: TimeStore.hs:74-90
     #: registers simpleBucketCount and extendedBucketCount, and
     #: Index.hs:45-49 keeps simple_days/extended_days as two documents
@@ -156,6 +167,8 @@ class _Meta:
                 str(k): int(v) for k, v in self.merge_fences.items()}
         if self.merge_fences_migrated:
             d["merge_fences_migrated"] = True
+        if self.kv_folded:
+            d["kv_folded"] = True
         return d
 
     @classmethod
@@ -172,6 +185,7 @@ class _Meta:
             merge_batch_id=int(d.get("merge_batch_id", -1)),
             merge_fences={str(k): int(v)
                           for k, v in d.get("merge_fences", {}).items()},
+            kv_folded=bool(d.get("kv_folded", False)),
             merge_fences_migrated=bool(d.get("merge_fences_migrated",
                                              False)),
             index_extended=None if xe is None else Index.from_json(xe),
@@ -530,6 +544,10 @@ class TimeStore:
                 meta.latest_extended, got["max_extended"])
             if got["max_seq"] is not None:
                 meta.seq_base = max(meta.seq_base, int(got["max_seq"]) + 1)
+            # any raw append can grow a chain past one row, so the KV
+            # merge fast path's steady-state marker no longer holds
+            # (see _Meta.kv_folded)
+            meta.kv_folded = False
             try:
                 self._write_meta_cas(ns, meta)
                 break
@@ -943,6 +961,7 @@ class TimeStore:
         meta.latest_extended = latest_extended
         if got["max_seq"] is not None:
             meta.seq_base = max(meta.seq_base, int(got["max_seq"]) + 1)
+        meta.kv_folded = False  # raw append (see write_points)
         self._write_meta_cas(ns, meta)
 
     # ------------------------------------------------------------- read

@@ -1239,6 +1239,12 @@ class VectorIndex:
         :meth:`probe` (evaluates inside the pruned scan, against the
         persisted meta_cols, before any ranking).
         """
+        self._restore_remnants(ns)  # BEFORE the meta read (r14 fuzz
+        # finding, fuel=57): a crashed retrain roll-forward mid-swap
+        # leaves the centroids dir renamed aside — the entry restore
+        # completes the swap and commits meta; reading meta (or the
+        # centroid marker) first would serve the torn state as a
+        # non-retryable error
         doc = self.meta(ns)
         if "pq" not in doc:
             raise VectorIndexNotBuilt(
@@ -1809,6 +1815,12 @@ class VectorIndex:
         exact cosine ranks within: per-query cost is ~nprobe/k of the
         corpus regardless of total index size.
         """
+        self._restore_remnants(ns)  # BEFORE the meta read (r14 fuzz
+        # finding, fuel=57): a crashed retrain roll-forward mid-swap
+        # leaves the centroids dir renamed aside — the entry restore
+        # completes the swap and commits meta; reading meta (or the
+        # centroid marker) first would serve the torn state as a
+        # non-retryable error
         doc = self.meta(ns)
         if not self._has_buckets(ns):
             # every bucket deleted: empty index, empty result (the
@@ -1870,6 +1882,12 @@ class VectorIndex:
         identical to :meth:`probe` (law-tested equal on the same
         query set).
         """
+        self._restore_remnants(ns)  # BEFORE the meta read (r14 fuzz
+        # finding, fuel=57): a crashed retrain roll-forward mid-swap
+        # leaves the centroids dir renamed aside — the entry restore
+        # completes the swap and commits meta; reading meta (or the
+        # centroid marker) first would serve the torn state as a
+        # non-retryable error
         doc = self.meta(ns)
         if not self._has_buckets(ns):
             self._restore_remnants(ns)

@@ -791,3 +791,114 @@ def test_merge_fence_inheritance_warns(store):
         warnings.simplefilter("error")
         kv.merge_into(b, mrg, batch_id=1, app_id="q-maybe-new")
     assert kv.lookup(2) == b"a|a"
+
+
+def test_merge_into_steady_state_fold_skip(store):
+    # r14 (VERDICT r13 #6): after a merge/vacuum, every chain is one
+    # row (meta.kv_folded) and a later merge must (a) keep untouched
+    # keys' ROWS byte-identical, (b) never invoke the merge fn for
+    # them — the fold machinery handles only batch keys — and (c)
+    # stay semantically identical to the slow path (the differential
+    # law's fold-everything contract holds trivially because the
+    # untouched fold is the identity on one-row chains).
+    import pyspark.sql.functions as F
+
+    store.register_namespace("STEADY", buckets=4)
+    kv = MutableKV(store, "STEADY")
+    rows = [(k, bytearray(f"v{k}".encode()), k) for k in range(0, 40, 2)]
+    kv.insert_bulk(store.spark.createDataFrame(
+        rows, "key long, value binary, seq long"))
+    assert not store._read_meta(kv.ns).kv_folded
+
+    mrg = lambda new, old: old + b"|" + new  # noqa: E731
+    first = store.spark.createDataFrame(
+        [(2, bytearray(b"A"), 0)], "key long, value binary, seq long")
+    kv.merge_into(first, mrg)
+    assert store._read_meta(kv.ns).kv_folded       # steady state now
+
+    pdir = store._points_dir(kv.ns)
+    before = {
+        r.address: (r.time, bytes(r.payload), r.seq, r.value)
+        for r in store.spark.read.parquet(pdir).collect()
+        if r.address != (2 | 1)
+    }
+
+    # the fast path must not call merge for untouched keys: poison
+    # the fn for any OLD value that is not key 4's or the batch's
+    def strict_mrg(new, old):
+        ok = old.startswith(b"v4") or new == b"B"
+        assert ok, f"merge invoked for untouched chain: {old!r}|{new!r}"
+        return old + b"|" + new
+
+    second = store.spark.createDataFrame(
+        [(4, bytearray(b"B"), 0)], "key long, value binary, seq long")
+    kv.merge_into(second, strict_mrg)
+    assert store._read_meta(kv.ns).kv_folded
+
+    after = {
+        r.address: (r.time, bytes(r.payload), r.seq, r.value)
+        for r in store.spark.read.parquet(store._points_dir(kv.ns))
+        .collect() if r.address not in (2 | 1, 4 | 1)
+    }
+    assert {a: v for a, v in before.items() if a != (4 | 1)} == after
+    assert kv.lookup(4) == b"v4|B"
+    assert kv.lookup(2) == b"v2|A"
+    assert kv.lookup(6) == b"v6"
+    assert store.verify(kv.ns)["ok"]
+
+    # a raw append clears the flag: the next merge takes the full
+    # fold (key 6's two-row chain folds — old|new over the chain)
+    kv.insert(6, b"raw")
+    assert not store._read_meta(kv.ns).kv_folded
+    kv.merge_into(first, mrg)   # unfenced re-merge of key 2
+    assert kv.lookup(6) == b"v6|raw"               # chain folded
+    assert store._read_meta(kv.ns).kv_folded
+
+
+def test_merge_into_steady_state_assoc_path(store):
+    # the associative fast path under the same steady-state skip
+    import pyspark.sql.functions as F
+
+    store.register_namespace("STEADYA", buckets=4)
+    kv = MutableKV(store, "STEADYA")
+    kv.insert_bulk(store.spark.createDataFrame(
+        [(k, bytearray(f"s{k}".encode()), k) for k in range(0, 20, 2)],
+        "key long, value binary, seq long"))
+    mrg = lambda new, old: old + b"|" + new  # noqa: E731
+    b0 = store.spark.createDataFrame(
+        [(2, bytearray(b"x"), 0)], "key long, value binary, seq long")
+    kv.merge_into(b0, mrg, associative=True, salt=2)
+    assert store._read_meta(kv.ns).kv_folded
+    b1 = store.spark.createDataFrame(
+        [(4, bytearray(b"y"), 0), (99, bytearray(b"fresh"), 1)],
+        "key long, value binary, seq long")
+    kv.merge_into(b1, mrg, associative=True, salt=2)
+    got = {r.key: bytes(r.value) for r in kv.enumerate().collect()}
+    assert got[2 | 1] == b"s2|x" and got[4 | 1] == b"s4|y"
+    assert got[99 | 1] == b"fresh" and got[6 | 1] == b"s6"
+    assert store.verify(kv.ns)["ok"]
+
+
+def test_vacuum_marks_folded(store):
+    store.register_namespace("VACF", buckets=4)
+    kv = MutableKV(store, "VACF")
+    kv.insert(2, b"a")
+    kv.insert(2, b"b")
+    assert not store._read_meta(kv.ns).kv_folded
+    kv.vacuum()
+    assert store._read_meta(kv.ns).kv_folded
+    mrg = lambda new, old: old + b"|" + new  # noqa: E731
+
+    def never(new, old):  # vacuum left 1-row chains: fold only key 4
+        assert old == b"seed" or new == b"u", (old, new)
+        return old + b"|" + new
+
+    kv.insert(4, b"seed")               # clears the flag
+    assert not store._read_meta(kv.ns).kv_folded
+    kv.vacuum(merge=mrg)
+    assert store._read_meta(kv.ns).kv_folded
+    u = store.spark.createDataFrame(
+        [(4, bytearray(b"u"), 0)], "key long, value binary, seq long")
+    kv.merge_into(u, never)
+    assert kv.lookup(4) == b"seed|u"
+    assert kv.lookup(2) == b"b"         # vacuum kept the latest

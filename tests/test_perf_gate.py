@@ -16,7 +16,11 @@ Guards against false alarms:
   before the verdict, absorbing one-off machine-load spikes.
 
 Refresh expectations after an intentional perf change:
-``python bench.py --update-expectations``.
+``python bench.py --update-expectations`` (foreground only).  Since
+r14 the recorded expectation is the per-query MEDIAN over the last 5
+update sessions (bench.updated_expectations), not a lifetime max — a
+slow box loosens the gate only until newer clean sessions outvote it
+(VERDICT r13 #4).
 """
 
 from __future__ import annotations
@@ -99,3 +103,41 @@ def test_bench_queries_within_expectations():
     )
     if missing:
         print(f"note: benched queries without expectations: {missing}")
+
+
+def test_expectation_protocol_deratchets():
+    # VERDICT r13 #4: one slow session must not permanently loosen the
+    # gate.  Pure arithmetic over bench.updated_expectations — no
+    # suite runs.
+    sys.path.insert(0, REPO)
+    from bench import EXPECTATION_WINDOW, updated_expectations
+
+    fp = {"x.parquet": 1}
+    sf = "/sf"
+
+    # legacy lifetime-max file migrates as one synthetic session
+    legacy = {"sf_dir": sf, "fingerprint": fp, "queries": {"q": 10.0}}
+    doc = updated_expectations(legacy, {"q": 2.0}, fp, sf, now=1.0)
+    assert [h["queries"]["q"] for h in doc["history"]] == [10.0, 2.0]
+    assert doc["queries"]["q"] == 6.0          # median of {10, 2}
+
+    # clean sessions outvote the slow one: after two more 2.0s, the
+    # median re-tightens to 2.0 even though 10.0 is still in window
+    for t in (2.0, 2.0):
+        doc = updated_expectations(doc, {"q": t}, fp, sf, now=2.0)
+    assert doc["queries"]["q"] == 2.0
+    # ...and the slow session eventually AGES OUT entirely
+    for t in (2.0, 2.0, 2.0):
+        doc = updated_expectations(doc, {"q": t}, fp, sf, now=3.0)
+    assert len(doc["history"]) == EXPECTATION_WINDOW
+    assert all(h["queries"]["q"] == 2.0 for h in doc["history"])
+
+    # a fingerprint change starts a fresh window (new baseline)
+    doc2 = updated_expectations(doc, {"q": 5.0}, {"x.parquet": 2},
+                                sf, now=4.0)
+    assert len(doc2["history"]) == 1 and doc2["queries"]["q"] == 5.0
+
+    # a query added mid-window medians over the sessions that have it
+    doc3 = updated_expectations(doc, {"q": 2.0, "new_q": 7.0},
+                                fp, sf, now=5.0)
+    assert doc3["queries"]["new_q"] == 7.0
