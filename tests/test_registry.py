@@ -291,21 +291,25 @@ def test_r15_refresh_plan_is_the_oldest_evidence():
         f"R15_REFRESH_PLAN drifted from the evidence history: "
         f"{plan_rounds} vs oldest outside-window round {oldest_outside}"
     )
-    # Selection rule: oldest-registration-first among the oldest
-    # round, with exactly one swap for mm_ family coverage.
-    oldest_in_reg_order = [
+    # The plan + the named r16 roll-overs must PARTITION the
+    # oldest-evidence set exactly — an order-independent pin
+    # (in-process registration order shifts when another test imports
+    # a query module directly, so a "first-N in registration order"
+    # check is flaky inside the full suite; the partition is not).
+    oldest = {
         n for n, _q in registry._ordered()
         if n not in window and newest.get(n) == oldest_outside
-    ]
-    expected = set(oldest_in_reg_order[:20])
-    if not any(n.startswith("mm_") for n in expected):
-        first_mm = next(
-            (n for n in oldest_in_reg_order if n.startswith("mm_")), None)
-        assert first_mm is not None
-        expected = set(oldest_in_reg_order[:19]) | {first_mm}
-    assert R15_REFRESH_PLAN == expected, (
-        f"plan != selection rule: extra={R15_REFRESH_PLAN - expected}, "
-        f"missing={expected - R15_REFRESH_PLAN}"
+    }
+    r16_rollover = {
+        "sim_ivfpq_recall", "mm_decode_png", "sketch_hll_ngrams",
+        "sketch_cms_heavy_hitters", "sketch_kmv_sample",
+        "streaming_hll_registers",
+    }
+    assert R15_REFRESH_PLAN <= oldest
+    assert len(R15_REFRESH_PLAN) == 20
+    assert any(n.startswith("mm_") for n in R15_REFRESH_PLAN)
+    assert oldest - R15_REFRESH_PLAN == r16_rollover, (
+        f"r16 roll-over drifted: {sorted(oldest - R15_REFRESH_PLAN)}"
     )
 
 
