@@ -36,9 +36,29 @@ class Query:
     tags: tuple[str, ...] = field(default_factory=tuple)
     bench: bool = False  # include in bench.py headline set
     priority: int = 100  # registry order key; lower sorts first (see queries())
+    #: canonical position: (rank of the defining module in
+    #: _QUERY_MODULES, source position within it).  Registration order
+    #: alone is NOT stable in-process — any test importing a query
+    #: module directly seeds QUERIES before _ensure_loaded's canonical
+    #: import pass, and dict insertion order then differs from a fresh
+    #: driver process (r14 finding: the r15-plan drift test flaked on
+    #: exactly this).  Sorting on the canonical key makes _ordered()
+    #: identical in every process regardless of import history.
+    canon: tuple[int, int] = (0, 0)
 
 
 QUERIES: dict[str, Query] = {}
+
+#: per-module registration counters (source position is stable however
+#: the module gets imported; see Query.canon)
+_MODULE_POSITIONS: dict[str, int] = {}
+
+
+def _module_rank(mod: str) -> int:
+    try:
+        return _QUERY_MODULES.index(mod)
+    except ValueError:  # ad-hoc registration (tests): after the canon
+        return len(_QUERY_MODULES)
 
 
 def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
@@ -98,8 +118,12 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = (),
             release_pins()
             return fn(spark, sf_dir)
 
+        mod = fn.__module__
+        pos = _MODULE_POSITIONS.get(mod, 0)
+        _MODULE_POSITIONS[mod] = pos + 1
         QUERIES[name] = Query(fn=wrapped, oracle=oracle, tags=tags,
-                              bench=bench, priority=priority)
+                              bench=bench, priority=priority,
+                              canon=(_module_rank(mod), pos))
         return fn
     return deco
 
@@ -134,10 +158,13 @@ _warned = False
 
 
 def _ordered() -> list[tuple[str, Query]]:
-    """Registry entries sorted by (priority, registration order)."""
+    """Registry entries sorted by (priority, canonical module rank,
+    source position) — identical in every process regardless of which
+    module got imported first (see Query.canon)."""
     _ensure_loaded()
     warn_load_errors()
-    return sorted(QUERIES.items(), key=lambda kv: kv[1].priority)
+    return sorted(QUERIES.items(),
+                  key=lambda kv: (kv[1].priority, kv[1].canon))
 
 
 def queries() -> dict[str, QueryFn]:

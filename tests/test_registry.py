@@ -394,3 +394,28 @@ def test_registered_name_matches_function_name():
     assert not mismatched, (
         f"registry key != decorated function name: {mismatched}"
     )
+
+
+def test_ordered_is_import_order_independent():
+    # r14: the full suite exposed _ordered() as dependent on which
+    # query module a process happened to import first (dict insertion
+    # order), flaking any first-N-of-equal-priority reasoning.  The
+    # canonical (priority, module rank, source position) key must make
+    # a polluted-import process agree with a fresh one exactly.
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, '.')\n"
+        "import rados_timestore_spark.queries_sketch  # pollute first\n"
+        "import rados_timestore_spark.queries_tpch2\n"
+        "from rados_timestore_spark import registry\n"
+        "print('\\n'.join(n for n, _q in registry._ordered()))\n"
+    )
+    polluted = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        cwd=os.path.join(os.path.dirname(__file__), ".."), timeout=120)
+    assert polluted.returncode == 0, polluted.stderr[-2000:]
+    here = [n for n, _q in registry._ordered()]
+    assert polluted.stdout.split() == here
