@@ -359,10 +359,15 @@ class MutableKV:
         # entry under the serial-maintainer contract; any interleaved
         # raw append clears it AND fails this merge's CAS flip, so the
         # fast path can never skip a chain that grew mid-merge.
-        folded_steady = (self.store.is_registered(self.ns)
-                         and self.store._read_meta(self.ns).kv_folded)
+        meta0 = (self.store._read_meta(self.ns)
+                 if self.store.is_registered(self.ns) else None)
+        folded_steady = meta0 is not None and meta0.kv_folded
         if batch_id is not None:
-            meta0 = self.store._read_meta(self.ns)
+            if meta0 is None:
+                # unregistered + fenced: preserve the pre-r14 error
+                # path (one read otherwise — the flag and the fence
+                # must come from the SAME meta snapshot)
+                meta0 = self.store._read_meta(self.ns)
             if app_id is not None:
                 fence = meta0.merge_fences.get(app_id, -1)
                 # Upgrade-in-place seeding (ADVICE r12 #1): the FIRST

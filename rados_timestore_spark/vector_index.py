@@ -824,6 +824,12 @@ class VectorIndex:
         buckets beyond the directory appends.  Because assignment is
         per-vector given fixed centroids, build(A) + append(B) ==
         build(A ∪ B with A's centroids) exactly."""
+        self._restore_remnants(ns, sweep_stagings=True)  # BEFORE the
+        # entry read (r14 review finding): a retrain killed after its
+        # commit point (fence txn + marker written, swaps not run)
+        # must roll forward HERE — otherwise this verb appends into
+        # the doomed pre-retrain assignments dir and the next entry's
+        # roll-forward silently discards the appended rows
         doc = self.meta(ns)  # raises if never built
         cids, C = self._load_centroids(ns, int(doc["version"]))
         assigned = assign_to_centroids(
@@ -1259,13 +1265,12 @@ class VectorIndex:
             # every bucket deleted: empty index, empty result (the
             # raw read would throw UNABLE_TO_INFER_SCHEMA).  The
             # schema must match the mode: the ADC-only path emits
-            # approx_d2, the refine path emits cos (review finding).
-            self._restore_remnants(ns)
-            if not self._has_buckets(ns):
-                score = "approx_d2" if rerank is None else "cos"
-                return self.spark.createDataFrame(
-                    [], f"query_id long, neighbor_id long, "
-                        f"{score} double, rank int")
+            # approx_d2, the refine path emits cos (review finding);
+            # the entry restore above already recovered any remnants
+            score = "approx_d2" if rerank is None else "cos"
+            return self.spark.createDataFrame(
+                [], f"query_id long, neighbor_id long, "
+                    f"{score} double, rank int")
         probe_buckets, all_buckets = self._route_buckets(
             ns, queries, nprobe, doc)
 
@@ -1744,8 +1749,12 @@ class VectorIndex:
         just listed belong to the same snapshot.  A mismatch raises
         loudly (retry the probe) — same loud-and-retryable contract
         as every rebuild-crash window here, never silently-wrong
-        routing."""
-        self._restore_remnants(ns)  # probes never see a vanished bucket
+        routing.
+
+        Caller contract: every probe entry (_probe_impl,
+        _probe_pq_impl) runs ``_restore_remnants`` FIRST — this
+        helper does not repeat it (r14 review: the double restore
+        doubled the driver-side metadata RPCs on the hot path)."""
         scan = (
             self.spark.read.parquet(self._assignments_dir(ns))
             .filter(F.col("bucket").isin(all_buckets))
@@ -1754,17 +1763,25 @@ class VectorIndex:
         if where is not None:
             scan = scan.filter(where)
         if expect_version is not None:
-            marker_path = f"{self._centroids_dir(ns)}/{_CENT_MARKER}"
-            if self.fs.exists(marker_path):
-                mv = int(json.loads(
-                    self.fs.read_text(marker_path))["version"])
-                if mv != int(expect_version):
-                    raise RetrainRaceError(
-                        f"vector index {ns!r}: a retrain swapped the "
-                        f"index during this probe (live centroid "
-                        f"marker version {mv} != probed version "
-                        f"{expect_version}) — retry the probe")
+            self._check_live_version(ns, expect_version)
         return scan
+
+    def _check_live_version(self, ns: str, expect_version: int) -> None:
+        """Re-read the LIVE centroid marker and require the version
+        the caller's routing was loaded from — the retrain-swap
+        consistency proof shared by every probe shape (one
+        definition, r14 review: the copy in _probe_df_impl had
+        started to drift from _pruned_scan's)."""
+        marker_path = f"{self._centroids_dir(ns)}/{_CENT_MARKER}"
+        if self.fs.exists(marker_path):
+            mv = int(json.loads(
+                self.fs.read_text(marker_path))["version"])
+            if mv != int(expect_version):
+                raise RetrainRaceError(
+                    f"vector index {ns!r}: a retrain swapped the "
+                    f"index during this probe (live centroid "
+                    f"marker version {mv} != probed version "
+                    f"{expect_version}) — retry the probe")
 
     def _load_centroids(self, ns: str, version: int | None = None):
         if version is not None:
@@ -1824,12 +1841,11 @@ class VectorIndex:
         doc = self.meta(ns)
         if not self._has_buckets(ns):
             # every bucket deleted: empty index, empty result (the
-            # raw read would throw UNABLE_TO_INFER_SCHEMA)
-            self._restore_remnants(ns)
-            if not self._has_buckets(ns):
-                return self.spark.createDataFrame(
-                    [], "query_id long, neighbor_id long, "
-                        "cos double, rank int")
+            # raw read would throw UNABLE_TO_INFER_SCHEMA); the
+            # entry restore above already recovered any remnants
+            return self.spark.createDataFrame(
+                [], "query_id long, neighbor_id long, "
+                    "cos double, rank int")
         probe_buckets, all_buckets = self._route_buckets(
             ns, queries, nprobe, doc)
         qdf = self.spark.createDataFrame(
@@ -1890,13 +1906,12 @@ class VectorIndex:
         # non-retryable error
         doc = self.meta(ns)
         if not self._has_buckets(ns):
-            self._restore_remnants(ns)
-            if not self._has_buckets(ns):
-                # empty index (delete-everything): empty result (the
-                # raw read would throw)
-                return self.spark.createDataFrame(
-                    [], "query_id long, neighbor_id long, "
-                        "cos double, rank int")
+            # empty index (delete-everything): empty result (the raw
+            # read would throw); the entry restore above already
+            # recovered any remnants
+            return self.spark.createDataFrame(
+                [], "query_id long, neighbor_id long, "
+                    "cos double, rank int")
         cids, C = self._load_centroids(ns, int(doc["version"]))
         dim = doc["dim"]
 
@@ -1928,18 +1943,10 @@ class VectorIndex:
             self.spark.read.parquet(self._assignments_dir(ns))
             .withColumn("bucket", F.col("bucket").cast("long"))
         )
-        # retrain-swap consistency (see _pruned_scan): the live
-        # centroid marker must still carry the version whose routing
-        # ships in the mapInPandas closure above
-        marker_path = f"{self._centroids_dir(ns)}/{_CENT_MARKER}"
-        if self.fs.exists(marker_path):
-            mv = int(json.loads(self.fs.read_text(marker_path))["version"])
-            if mv != int(doc["version"]):
-                raise RetrainRaceError(
-                    f"vector index {ns!r}: a retrain swapped the index "
-                    f"during this probe (live centroid marker version "
-                    f"{mv} != probed version {doc['version']}) — retry "
-                    f"the probe")
+        # retrain-swap consistency (see _check_live_version): the
+        # live centroid marker must still carry the version whose
+        # routing ships in the mapInPandas closure above
+        self._check_live_version(ns, int(doc["version"]))
         from rados_timestore_spark.queries_similarity import _cos_seq
 
         hits = (
@@ -1967,6 +1974,18 @@ class VectorIndex:
     # which converges on the post-retrain index.  Bounded attempts:
     # an unbounded loop would spin forever against a misbehaving
     # maintainer that flips the index continuously.
+    #
+    # Scope of the guarantee (r14 review): the retry covers PLAN
+    # CONSTRUCTION — meta read, routing load, file listing, and the
+    # live-marker re-check all happen eagerly inside the wrapper.
+    # The returned DataFrame is lazy; a retrain that completes AFTER
+    # the wrapper returns and BEFORE the caller's action deletes the
+    # listed files, and that surfaces at action time as Spark's
+    # FileNotFoundException (never silently-wrong rows — the files
+    # are gone, not stale).  Callers that hold a probe DataFrame
+    # across maintenance verbs must re-call the probe on that error;
+    # callers that act promptly (every query in this repo collects or
+    # writes within the same call chain) are inside the guarantee.
 
     def _retry_retrain_race(self, thunk, what: str):
         last = None

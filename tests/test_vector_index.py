@@ -1223,6 +1223,52 @@ def test_build_after_crashed_retrain_is_not_clobbered(
     assert vi.meta("e")["n_vectors"] == 220 and vi.meta("e")["k"] == 8
 
 
+def test_append_after_crashed_retrain_preserves_rows(
+        spark, emb, tmp_path):
+    # r14 review severe finding: append was the ONE verb entry
+    # without _restore_remnants(sweep_stagings=True) — after a
+    # retrain killed at its commit point (fence txn + marker
+    # written, swaps not run), append would land its rows in the
+    # doomed pre-retrain assignments dir and the NEXT entry's
+    # roll-forward silently deleted them.  With the guard, append
+    # completes the retrain first and the rows survive forever.
+    sub = emb.filter(F.col("vec_id") < 150)
+    root = str(tmp_path / "rta")
+    vi = VectorIndex(spark, root)
+    vi.build("e", sub, k=8)
+
+    orig_restore = VectorIndex._restore_remnants
+
+    def frozen(self, ns, sweep_stagings=False):
+        if not sweep_stagings:
+            return
+        return orig_restore(self, ns, sweep_stagings)
+
+    VectorIndex._restore_remnants = frozen
+    try:
+        vi.retrain("e", k=32)      # marker written, swaps frozen
+    finally:
+        VectorIndex._restore_remnants = orig_restore
+    assert vi.fs.exists(f"{vi._ns_dir('e')}/_retrain.json")
+
+    extra = emb.filter(
+        (F.col("vec_id") >= 150) & (F.col("vec_id") < 200))
+    doc = vi.append("e", extra)
+    # the entry restore completed the retrain BEFORE the append —
+    # rows were assigned under the NEW (k=32) routing
+    assert doc["k"] == 32 and doc["n_vectors"] == 200
+    assert not vi.fs.exists(f"{vi._ns_dir('e')}/_retrain.json")
+    # later entries must not discard the appended rows (pre-fix,
+    # compact's roll-forward deleted them with no error anywhere)
+    vi.compact("e")
+    assert vi.meta("e")["n_vectors"] == 200
+    assert (spark.read.parquet(vi._assignments_dir("e"))
+            .select("vec_id").distinct().count()) == 200
+    # and they are probe-visible
+    qs = _queries(emb)
+    assert vi.probe("e", qs, nprobe=32, topk=5).count() == 15
+
+
 def test_probe_detects_concurrent_retrain_swap(spark, emb, tmp_path):
     # the _pruned_scan snapshot check: routing loaded from the cache
     # for version v, then a retrain flips the centroid marker before
