@@ -167,6 +167,11 @@ def _parser() -> argparse.ArgumentParser:
         help="per-bucket row counts vs the ~1M sizing rule "
              "(over-bound buckets => run vecidx-retrain)")
 
+    sub.add_parser(
+        "vecidx-maintain",
+        help="stats + heal in one verb: retrain at a derived k when "
+             "the sizing rule is violated, strict no-op when healthy")
+
     vpq = sub.add_parser(
         "vecidx-probe-pq",
         help="compressed ADC probe over the persisted codes "
@@ -221,6 +226,12 @@ def _parser() -> argparse.ArgumentParser:
         "hnsw-stats",
         help="per-shard row counts vs the ~1M sizing rule "
              "(over-bound shards => run hnsw-reshard)")
+
+    sub.add_parser(
+        "hnsw-maintain",
+        help="stats + heal in one verb: reshard at a derived count "
+             "when the sizing rule is violated, strict no-op when "
+             "healthy")
 
     hp = sub.add_parser(
         "hnsw-probe",
@@ -318,6 +329,8 @@ def main(argv: Sequence[str] | None = None,
                 iters=args.iters)))
         elif args.cmd == "vecidx-stats":
             print(json.dumps(vi.stats(args.ns)))
+        elif args.cmd == "vecidx-maintain":
+            print(json.dumps(vi.maintain(args.ns)))
         elif args.cmd == "vecidx-enable-pq":
             print(json.dumps(vi.enable_pq(
                 args.ns, m=args.m, ksub=args.ksub,
@@ -358,6 +371,8 @@ def main(argv: Sequence[str] | None = None,
             print(json.dumps(hi.reshard(args.ns, shards=args.shards)))
         elif args.cmd == "hnsw-stats":
             print(json.dumps(hi.stats(args.ns)))
+        elif args.cmd == "hnsw-maintain":
+            print(json.dumps(hi.maintain(args.ns)))
         elif args.cmd == "hnsw-probe":
             ids = [int(a) for a in args.ids.split(",") if a]
             emb = spark.read.parquet(args.parquet)

@@ -453,6 +453,57 @@ def cas_commit_meta(fs: HadoopFS, meta_path: str, lock: str,
         fs.write_text_atomic(meta_path, json.dumps(doc))
 
 
+def maintain_plan(n: int, parts: int, bound: int, skewed: bool,
+                  refit_same_layout: bool) -> int | None:
+    """Pure growth-decision rule shared by both persisted ANN
+    indexes' ``maintain`` verbs (one definition so the policy cannot
+    drift; the extracted-invariant test pattern of
+    tests/test_registry.py applies — the rule is unit-tested
+    exhaustively without Spark fixtures).
+
+    Inputs: ``n`` stored vectors over ``parts`` partitions (IVF
+    buckets / HNSW shards) under the ``bound``-rows-per-partition
+    sizing rule; ``skewed`` = some EXACT per-partition count exceeds
+    the bound even if the mean does not (from ``stats``).
+
+    Returns the new partition count to grow to, or ``None`` when the
+    index is healthy (mean density within bound and no skewed
+    partition) — the caller then guarantees a byte-untouched no-op.
+
+    The target restores density to ``bound // 2`` (headroom: a
+    maintain that lands exactly at the bound would re-trip on the
+    next append).  ``refit_same_layout`` caps the count at ``n``
+    (the IVF retrain cannot train more centroids than vectors; HNSW
+    hash shards may exceed the row count harmlessly, but growing
+    past it is pointless so both cap).
+
+    CONVERGENCE (the law repeated calls rely on): a mean-density
+    violation heals to ``<= target`` in one step and cannot
+    re-trigger without ingest.  A skew-only violation (mean fine,
+    one partition over the EXACT bound) cannot be healed by
+    re-running the deterministic layout at the same count — the
+    refit reproduces the identical index — so the count DOUBLES
+    (clamped at ``n``) to split the dense partition; once the count
+    can no longer grow, the bound is unachievable for this data
+    (duplicate-heavy corpora) and the plan reports healthy rather
+    than prescribing a provably-identical relayout forever."""
+    if n <= 0:
+        return None
+    parts = max(int(parts), 1)
+    mean_over = n > parts * bound
+    if not (mean_over or skewed):
+        return None
+    target = max(bound // 2, 1)
+    want = -(-n // target)  # ceil(n / target)
+    if mean_over:
+        # want > parts whenever the mean is over (n > parts * bound
+        # >= parts * target), so this always grows
+        return min(want, n) if refit_same_layout else max(want, parts + 1)
+    # skew-only: double to split the dense partition
+    out = min(max(want, parts * 2), n)
+    return out if out > parts else None
+
+
 class SimulatedCrash(Exception):
     """Raised by :class:`ObjectStoreFS` fault injection — models the
     process dying inside a non-atomic rename window."""

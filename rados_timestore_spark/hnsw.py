@@ -561,6 +561,33 @@ class HNSWIndex:
             "over_bound": over,
         }
 
+    def maintain(self, ns: str) -> dict:
+        """Measure-then-heal in one verb (:meth:`VectorIndex.maintain`
+        mirrored): :meth:`stats` decides from exact per-shard counts,
+        and a violated sizing rule runs :meth:`reshard` at a shard
+        count derived by the shared pure rule
+        :func:`~rados_timestore_spark.fsutil.maintain_plan` (density
+        restored to ``SHARD_BOUND // 2``; the count strictly GROWS
+        because hash partitioning is a pure function of the count — a
+        same-count reshard would be the identity and leave a skewed
+        shard skewed).  A healthy index is a strict no-op: nothing
+        written, meta untouched (law-tested byte-identical).
+        Deterministic given the stored rows, serial with the other
+        maintenance verbs (reshard's CAS fence and crash-safety apply
+        unchanged)."""
+        from rados_timestore_spark.fsutil import maintain_plan
+
+        st = self.stats(ns)
+        shards_new = maintain_plan(st["n_vectors"], st["shards"],
+                                   self.SHARD_BOUND,
+                                   skewed=bool(st["over_bound"]),
+                                   refit_same_layout=False)
+        if shards_new is None:
+            return {"action": "none", "stats": st}
+        doc = self.reshard(ns, shards=int(shards_new))
+        return {"action": "reshard", "shards": int(shards_new),
+                "stats": st, "meta": doc}
+
     @staticmethod
     def _graph_rows(g: _ShardGraph, shard: int) -> pd.DataFrame:
         vid, lvl, lay, nbr = [], [], [], []
@@ -1365,6 +1392,16 @@ class HNSWIndex:
         vector promote and graph swap on an emptied index leaves vdir
         populated but gdir shard-less; serving the pre-batch (empty)
         state is the consistent answer until the batch replays.
+
+        Scope of the guarantee (r14 review, VectorIndex parity): the
+        verified window covers PLAN CONSTRUCTION — both file listings
+        and the marker re-check run eagerly here.  The returned
+        DataFrames are lazy; a reshard that completes AFTER this
+        returns and BEFORE the caller's action deletes the listed
+        files, surfacing at action time as Spark's
+        FileNotFoundException (loud, never silently-mixed rows).
+        Callers that hold probe DataFrames across maintenance verbs
+        must re-call the probe on that error.
         """
         import json
 

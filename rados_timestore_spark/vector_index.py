@@ -583,6 +583,40 @@ class VectorIndex:
             "over_bound": over,
         }
 
+    def maintain(self, ns: str) -> dict:
+        """Measure-then-heal in one verb — the auto-OPTIMIZE shape
+        that closes the r14 observability loop: :meth:`stats` decides
+        (exact counts, so skew the append-time mean tripwire cannot
+        see still triggers), and a violated sizing rule runs
+        :meth:`retrain` at a centroid count derived by the shared
+        pure rule :func:`~rados_timestore_spark.fsutil.maintain_plan`
+        (density restored to ``BUCKET_BOUND // 2`` — headroom so the
+        next append doesn't re-trip; skew-only violations DOUBLE k,
+        clamped at n, because the deterministic refit at an unchanged
+        k reproduces the identical index — see maintain_plan's
+        convergence note).  The healing trainer is ALWAYS ``kmeans``:
+        splitting a dense region needs a data-adaptive refit — the
+        ``sample`` trainer picks centroids by id and redistributes
+        only by count.  A healthy index is a
+        strict no-op: nothing written, meta untouched (law-tested
+        byte-identical).  Deterministic given the stored rows (the
+        kmeans init rule is deterministic, as build's), serial with
+        the other maintenance verbs (retrain's CAS fence and
+        crash-safety apply unchanged — a maintain is exactly a
+        retrain once it decides to act)."""
+        from rados_timestore_spark.fsutil import maintain_plan
+
+        st = self.stats(ns)
+        k_new = maintain_plan(st["n_vectors"], st["k"],
+                              self.BUCKET_BOUND,
+                              skewed=bool(st["over_bound"]),
+                              refit_same_layout=True)
+        if k_new is None:
+            return {"action": "none", "stats": st}
+        doc = self.retrain(ns, k=k_new, trainer="kmeans")
+        return {"action": "retrain", "k": int(k_new), "stats": st,
+                "meta": doc}
+
     def meta(self, ns: str) -> dict:
         path = f"{self._ns_dir(ns)}/{_META}"
         if not self.fs.exists(path):

@@ -321,6 +321,37 @@ def test_cli_vecidx_retrain_and_stats(spark, tmp_path, capsys):
     assert len(st["per_bucket"]) > 8            # re-bucketed wider
 
 
+def test_cli_vecidx_maintain(spark, tmp_path, capsys):
+    # r14: the measure-then-heal verb — healthy index reports
+    # action=none through the CLI (the healing path is law-tested in
+    # test_vector_index.py; the CLI adds no logic).
+    root = str(tmp_path / "vmnt")
+    base = ["--root", root, "--ns", "E"]
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+
+    assert main([*base, "vecidx-build", "--parquet", src, "--k", "8"],
+                spark=spark) == 0
+    json.loads(capsys.readouterr().out)
+    assert main([*base, "vecidx-maintain"], spark=spark) == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["action"] == "none"
+    assert res["stats"]["k"] == 8
+
+
+def test_cli_hnsw_maintain(spark, tmp_path, capsys):
+    root = str(tmp_path / "hmnt")
+    base = ["--root", root, "--ns", "E"]
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+
+    assert main([*base, "hnsw-build", "--parquet", src,
+                 "--shards", "4"], spark=spark) == 0
+    json.loads(capsys.readouterr().out)
+    assert main([*base, "hnsw-maintain"], spark=spark) == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["action"] == "none"
+    assert res["stats"]["shards"] == 4
+
+
 def test_cli_hnsw_stats(spark, tmp_path, capsys):
     root = str(tmp_path / "hst")
     base = ["--root", root, "--ns", "E"]

@@ -942,3 +942,50 @@ def test_stats_and_overgrowth_warning(spark, tmp_path, monkeypatch):
     st = vi.stats("e")
     assert st["n_vectors"] == 120
     assert st["over_bound"]          # exact counts exceed 20 too
+
+
+def test_maintain_noop_when_healthy_heals_when_overgrown(
+        spark, tmp_path, monkeypatch):
+    # r14: measure-then-heal (VectorIndex.maintain mirrored) —
+    # healthy index is a BYTE-untouched no-op; an over-bound index
+    # reshards at the strictly-grown count the shared pure rule
+    # derives, after which maintain converges to no-op.
+    import os
+
+    from rados_timestore_spark.hnsw import HNSWIndex
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet") \
+        .filter(F.col("vec_id") < 120)
+    root = str(tmp_path / "hmt")
+    vi = HNSWIndex(spark, root)
+    vi.build("e", emb, shards=4)
+
+    def snapshot():
+        out = []
+        for dirp, _dirs, files in os.walk(root):
+            for f in files:
+                p = os.path.join(dirp, f)
+                s = os.stat(p)
+                out.append((p, s.st_size, s.st_mtime_ns))
+        return sorted(out)
+
+    before = snapshot()
+    res = vi.maintain("e")
+    assert res["action"] == "none"
+    assert res["stats"]["n_vectors"] == 120
+    assert snapshot() == before                 # strict no-op
+
+    monkeypatch.setattr(HNSWIndex, "SHARD_BOUND", 20)
+    res = vi.maintain("e")
+    assert res["action"] == "reshard"
+    assert res["shards"] == 12                  # ceil(120 / (20//2))
+    doc = vi.meta("e")
+    assert doc["shards"] == 12 and doc["n_vectors"] == 120
+    qr = emb.filter(F.col("vec_id") < 1).collect()[0]
+    got = vi.probe_candidates(
+        "e", [(int(qr.vec_id),
+               np.asarray(qr.embedding, dtype=np.float64))], k=8)
+    assert got.count() > 0
+    # healed: the next maintain converges to a no-op
+    res2 = vi.maintain("e")
+    assert res2["action"] == "none"

@@ -343,3 +343,54 @@ def test_model_unregistered_namespace_raises():
         pass
     else:
         raise AssertionError("expected NamespaceNotRegistered")
+
+
+# ------------------------------------------------- maintain_plan laws
+# The shared growth-decision rule behind VectorIndex.maintain /
+# HNSWIndex.maintain (r14) — pure, so it gets QuickCheck-scale
+# example counts here; the Spark-backed tests pin one healing run
+# per index.
+
+from rados_timestore_spark.fsutil import maintain_plan  # noqa: E402
+
+
+@settings(max_examples=500, deadline=None)
+@given(n=st.integers(0, 10**7), parts=st.integers(1, 4096),
+       bound=st.integers(1, 10**6), skewed=st.booleans(),
+       refit=st.booleans())
+def test_maintain_plan_laws(n, parts, bound, skewed, refit):
+    out = maintain_plan(n, parts, bound, skewed, refit)
+    mean_over = n > parts * bound
+    if n <= 0 or not (mean_over or skewed):
+        # healthy (or empty) index: the caller guarantees a strict
+        # no-op, so the plan must be None
+        assert out is None
+        return
+    if mean_over:
+        # a mean violation is ALWAYS healable: the plan acts and
+        # restores mean density to within the bound in one step
+        assert out is not None and out >= 1
+        assert n <= out * bound
+        if refit:
+            assert out <= n      # cannot train more centroids than rows
+        else:
+            assert out > parts   # a same-count hash relayout is identity
+        # convergence: once healed, a skew-free re-plan is satisfied
+        assert maintain_plan(n, out, bound, False, refit) is None
+        return
+    # skew-only: the count doubles (clamped at n) to split the dense
+    # partition, or reports healthy once growth is exhausted — never
+    # prescribes a provably-identical relayout
+    if out is None:
+        assert min(max(parts * 2, 1), n) <= parts   # growth exhausted
+        return
+    assert parts < out <= max(n, 1)
+    # strictly-growing and bounded by n: repeated skew-only planning
+    # TERMINATES (each step grows, n caps the count)
+    steps = 0
+    cur = out
+    while cur is not None and steps < 64:
+        cur = maintain_plan(n, cur, bound, True, refit)
+        if cur is not None:
+            steps += 1
+    assert cur is None or steps < 64

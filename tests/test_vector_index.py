@@ -1317,3 +1317,45 @@ def test_stats_and_overgrowth_warning(spark, emb, tmp_path, monkeypatch):
         vi.append("e", sub.filter(F.col("vec_id").between(100, 119)))
     st = vi.stats("e")
     assert st["n_vectors"] == 120 and st["over_bound"]
+
+
+def test_maintain_noop_when_healthy_heals_when_overgrown(
+        spark, emb, tmp_path, monkeypatch):
+    # r14: the measure-then-heal verb closing the observability loop
+    # — healthy index is a BYTE-untouched no-op; an over-bound index
+    # retrains at the k the shared pure rule derives (density back
+    # to bound // 2), after which maintain converges to no-op.
+    import os
+
+    sub = emb.filter(F.col("vec_id") < 120)
+    root = str(tmp_path / "vmt")
+    vi = VectorIndex(spark, root)
+    vi.build("e", sub, k=8)
+
+    def snapshot():
+        out = []
+        for dirp, _dirs, files in os.walk(root):
+            for f in files:
+                p = os.path.join(dirp, f)
+                s = os.stat(p)
+                out.append((p, s.st_size, s.st_mtime_ns))
+        return sorted(out)
+
+    before = snapshot()
+    res = vi.maintain("e")
+    assert res["action"] == "none"
+    assert res["stats"]["n_vectors"] == 120
+    assert snapshot() == before                 # strict no-op
+
+    monkeypatch.setattr(VectorIndex, "BUCKET_BOUND", 10)
+    res = vi.maintain("e")
+    assert res["action"] == "retrain"
+    assert res["k"] == 24                       # ceil(120 / (10//2))
+    doc = vi.meta("e")
+    assert doc["k"] == 24 and doc["version"] == 2
+    assert doc["n_vectors"] == 120              # rows preserved
+    qs = _queries(emb)
+    assert vi.probe("e", qs, nprobe=24, topk=5).count() == 15
+    # healed: the next maintain converges to a no-op
+    res2 = vi.maintain("e")
+    assert res2["action"] == "none"
