@@ -486,7 +486,14 @@ def maintain_plan(n: int, parts: int, bound: int, skewed: bool,
     (clamped at ``n``) to split the dense partition; once the count
     can no longer grow, the bound is unachievable for this data
     (duplicate-heavy corpora) and the plan reports healthy rather
-    than prescribing a provably-identical relayout forever."""
+    than prescribing a provably-identical relayout forever.
+
+    The termination argument needs the CALLER to feed back a
+    ``parts`` that actually grew: the IVF retrain may COMMIT fewer
+    centroids than requested (kmeans drops empty clusters on
+    duplicate-heavy data), so ``VectorIndex.maintain`` plans against
+    ``max(committed k, persisted k_requested)`` — never the possibly-
+    collapsed committed k alone."""
     if n <= 0:
         return None
     parts = max(int(parts), 1)

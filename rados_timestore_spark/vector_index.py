@@ -597,25 +597,42 @@ class VectorIndex:
         convergence note).  The healing trainer is ALWAYS ``kmeans``:
         splitting a dense region needs a data-adaptive refit — the
         ``sample`` trainer picks centroids by id and redistributes
-        only by count.  A healthy index is a
-        strict no-op: nothing written, meta untouched (law-tested
-        byte-identical).  Deterministic given the stored rows (the
-        kmeans init rule is deterministic, as build's), serial with
-        the other maintenance verbs (retrain's CAS fence and
-        crash-safety apply unchanged — a maintain is exactly a
-        retrain once it decides to act)."""
+        only by count.  Healing therefore also PERSISTS ``kmeans`` as
+        the index's trainer (deliberate: after the heal the layout in
+        place IS kmeans-trained, and later ``retrain(ns, k)`` calls
+        default to the trainer of the current layout — meta never
+        lies about how the live routing was produced).
+
+        Termination (law-tested on a duplicate-heavy corpus): kmeans
+        drops empty clusters, so the COMMITTED k can collapse below
+        the requested k when the data has fewer distinguishable
+        groups — planning against the committed k alone would re-run
+        an identical heal forever.  The plan therefore feeds back
+        ``max(k, k_requested)`` (retrain persists the requested k),
+        which strictly grows until the n-clamp reports healthy.
+
+        A healthy index is a strict no-op: nothing written, meta
+        untouched (law-tested byte-identical).  Deterministic given
+        the stored rows (the kmeans init rule is deterministic, as
+        build's), serial with the other maintenance verbs (retrain's
+        CAS fence and crash-safety apply unchanged — a maintain is
+        exactly a retrain once it decides to act).  The result
+        reports the COMMITTED k (``meta["k"]``) and the requested one
+        separately."""
         from rados_timestore_spark.fsutil import maintain_plan
 
         st = self.stats(ns)
-        k_new = maintain_plan(st["n_vectors"], st["k"],
+        doc0 = self.meta(ns)
+        parts_eff = max(st["k"], int(doc0.get("k_requested", 0)))
+        k_new = maintain_plan(st["n_vectors"], parts_eff,
                               self.BUCKET_BOUND,
                               skewed=bool(st["over_bound"]),
                               refit_same_layout=True)
         if k_new is None:
             return {"action": "none", "stats": st}
         doc = self.retrain(ns, k=k_new, trainer="kmeans")
-        return {"action": "retrain", "k": int(k_new), "stats": st,
-                "meta": doc}
+        return {"action": "retrain", "k": int(doc["k"]),
+                "k_requested": int(k_new), "stats": st, "meta": doc}
 
     def meta(self, ns: str) -> dict:
         path = f"{self._ns_dir(ns)}/{_META}"
@@ -1713,6 +1730,13 @@ class VectorIndex:
 
         target = dict(doc)  # PRESERVES batch_fences/last_batch_id
         target["k"] = int(len(cids))
+        # the REQUESTED k, persisted beside the committed one: the
+        # kmeans trainer drops empty clusters, so on duplicate-heavy
+        # data len(cids) < k — maintain() plans against
+        # max(k, k_requested) so its growth feedback cannot stall on
+        # the collapse (r14 review finding: without this, maintain
+        # re-ran a provably-identical full retrain forever)
+        target["k_requested"] = int(k)
         target["n_vectors"] = n
         target["version"] = int(doc["version"]) + 1
         target["trainer"] = trainer

@@ -1359,3 +1359,39 @@ def test_maintain_noop_when_healthy_heals_when_overgrown(
     # healed: the next maintain converges to a no-op
     res2 = vi.maintain("e")
     assert res2["action"] == "none"
+
+
+def test_maintain_terminates_on_duplicate_heavy_corpus(
+        spark, tmp_path, monkeypatch):
+    # r14 review finding: kmeans drops empty clusters, so on a
+    # corpus with ONE distinguishable group the committed k collapses
+    # to 1 however large the requested k — planning against the
+    # committed k alone re-ran an identical full retrain forever.
+    # The fix persists k_requested and plans against
+    # max(committed, requested), which strictly grows to the n-clamp
+    # and then reports healthy.  The per-bucket bound is genuinely
+    # unachievable here (every row is identical), so "healthy" is
+    # the only honest terminal state.
+    dup = spark.range(120).selectExpr(
+        "id as vec_id",
+        "array(0.5D, 0.25D, 0.125D, 0.0625D) as embedding")
+    root = str(tmp_path / "vdup")
+    vi = VectorIndex(spark, root)
+    vi.build("e", dup, k=8)
+
+    monkeypatch.setattr(VectorIndex, "BUCKET_BOUND", 10)
+    actions = []
+    for _ in range(8):
+        res = vi.maintain("e")
+        actions.append(res["action"])
+        if res["action"] == "none":
+            break
+    assert actions[-1] == "none"         # terminated
+    assert actions.count("retrain") < 8  # and not by exhausting the loop
+    # the committed state is the collapsed-but-stable one; rows intact
+    doc = vi.meta("e")
+    assert doc["n_vectors"] == 120
+    assert int(doc["k_requested"]) >= int(doc["k"])
+    qs = [(0, [0.5, 0.25, 0.125, 0.0625])]
+    assert vi.probe("e", qs, nprobe=max(int(doc["k"]), 1),
+                    topk=5).count() == 5
