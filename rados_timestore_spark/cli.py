@@ -84,6 +84,15 @@ def _parser() -> argparse.ArgumentParser:
     sub.add_parser("compact", help="rewrite live generation compacted")
     sub.add_parser("gc", help="delete stale compaction generations")
     sub.add_parser(
+        "stats",
+        help="per-(epoch,bucket) parquet-file counts vs the "
+             "small-file bound + crash debts (stale generations, "
+             "tmp/lock remnants)")
+    sub.add_parser(
+        "maintain",
+        help="stats + heal in one verb: gc crash debts, compact "
+             "over-bound partitions; strict no-op when healthy")
+    sub.add_parser(
         "verify",
         help="read-only integrity scrub: routing/watermark/seq "
              "invariants over every live row + orphan report")
@@ -450,6 +459,10 @@ def main(argv: Sequence[str] | None = None,
         print("ok")
     elif args.cmd == "gc":
         print(json.dumps(store.gc(args.ns)))
+    elif args.cmd == "stats":
+        print(json.dumps(store.stats(args.ns)))
+    elif args.cmd == "maintain":
+        print(json.dumps(store.maintain(args.ns)))
     elif args.cmd == "verify":
         report = store.verify(args.ns)
         print(json.dumps(report))

@@ -1685,6 +1685,107 @@ class TimeStore:
                 deleted.append(name)
         return deleted
 
+    #: Small-file sizing rule for :meth:`stats` / :meth:`maintain`:
+    #: every append lands >=1 parquet file per touched (epoch, bucket),
+    #: and scan cost (task scheduling, footer reads, object-store
+    #: GETs) grows with file count, not bytes — a bucket past this
+    #: many files wants :meth:`compact` (whose default rewrites each
+    #: to ONE file).  Class attr so tests exercise the tripwire
+    #: without thousand-file fixtures; the ANN indexes' BUCKET_BOUND /
+    #: SHARD_BOUND convention.
+    FILES_PER_BUCKET_BOUND = 16
+
+    def stats(self, ns: str) -> dict:
+        """Debt observability for the store, the ANN ``stats`` verbs
+        cross-applied: exact parquet-file counts per leaf
+        (epoch, bucket) partition of the LIVE generation (cost bounded
+        by file count — pure listings, no data read), plus the crash
+        debts :meth:`gc` sweeps (stale generations, crashed tmp/lock/
+        stage remnants).  ``over_bound`` lists partitions whose file
+        count exceeds :data:`FILES_PER_BUCKET_BOUND` —
+        :meth:`maintain` heals them via :meth:`compact`."""
+        meta = self._read_meta(ns)
+        pdir = self._points_dir(ns, meta)
+        nsdir = self._ns_dir(ns)
+        per: dict[str, int] = {}
+
+        def walk(base: str) -> None:
+            for d in self.fs.list_dirs(base):
+                sub = f"{base}/{d}"
+                if d.startswith("bucket="):
+                    n = sum(
+                        1 for st in self.fs.fs.listStatus(
+                            self.fs._path(sub))
+                        if not st.isDirectory()
+                        and not st.getPath().getName()
+                        .startswith(("_", ".")))
+                    per[sub[len(pdir) + 1:]] = n
+                elif d.startswith(("kind=", "epoch=")):
+                    walk(sub)
+
+        if self.fs.is_dir(pdir):
+            walk(pdir)
+        live_v = meta.points_version
+        stale_gens = []
+        for name in self.fs.list_dirs(nsdir):
+            if name == "points" and live_v > 0:
+                stale_gens.append(name)
+            elif (name.startswith("points_v")
+                    and name[len("points_v"):].isdigit()
+                    and int(name[len("points_v"):]) < live_v):
+                stale_gens.append(name)
+            elif name.startswith(".stage_"):
+                stale_gens.append(name)
+        remnants = [
+            st.getPath().getName()
+            for st in self.fs.fs.listStatus(self.fs._path(nsdir))
+            if not st.isDirectory()
+            and (".tmp." in st.getPath().getName()
+                 or ".lock.stale." in st.getPath().getName()
+                 or ".clockprobe." in st.getPath().getName())
+        ]
+        over = sorted(b for b, c in per.items()
+                      if c > self.FILES_PER_BUCKET_BOUND)
+        return {
+            "generation": int(live_v),
+            "files_per_bucket": per,
+            "bound": int(self.FILES_PER_BUCKET_BOUND),
+            "over_bound": over,
+            "stale_generations": sorted(stale_gens),
+            "crashed_remnants": sorted(remnants),
+        }
+
+    def maintain(self, ns: str, dedup: bool = False) -> dict:
+        """Measure-then-heal for the store
+        (:meth:`VectorIndex.maintain` / :meth:`HNSWIndex.maintain`
+        cross-applied — the lakehouse auto-OPTIMIZE shape): crash
+        debts run :meth:`gc`; small-file debt past
+        :data:`FILES_PER_BUCKET_BOUND` runs :meth:`compact` (row-
+        preserving; pass ``dedup=True`` to also drop first-wins
+        losers at rest).  A healthy namespace is a strict no-op
+        (nothing written — law-tested byte-identical).
+
+        Convergence: compact's default rewrites every partition to
+        ONE file (<= any bound >= 1) and deletes the retired
+        generation after its CAS flip, and gc removes every stale
+        generation it lists, so the next maintain after a heal finds
+        those debts gone.  The one bounded exception: a crashed
+        remnant FILE younger than gc's staleness horizon (60 s — it
+        may belong to an in-flight writer) survives the sweep and
+        keeps maintain reporting "gc" until it ages out; the horizon
+        bounds that window.  Serial with writers by the same
+        maintenance contract as compact/gc."""
+        st = self.stats(ns)
+        actions = []
+        if st["stale_generations"] or st["crashed_remnants"]:
+            self.gc(ns)
+            actions.append("gc")
+        if st["over_bound"]:
+            self.compact(ns, dedup=dedup)
+            actions.append("compact")
+        return {"action": "+".join(actions) if actions else "none",
+                "stats": st}
+
 
 def _seed_blob_ordinals(blobs: DataFrame, blob_col: str,
                         seq_base: int) -> DataFrame:

@@ -86,6 +86,27 @@ def test_cli_compact_gc(spark, tmp_path, capsys):
     assert {(r["address"], r["value"]) for r in rows} == {(2, 7), (4, 8)}
 
 
+def test_cli_store_stats_maintain(spark, tmp_path, capsys):
+    # late-r14: the store's stats/maintain verbs (healing path is
+    # law-tested in test_store.py; the CLI adds no logic).
+    root = str(tmp_path / "wh3m")
+    base = ["--root", root, "--ns", "PONY"]
+    assert main([*base, "register", "--buckets", "4"], spark=spark) == 0
+    src = str(tmp_path / "ptsm.parquet")
+    spark.createDataFrame(
+        [(2, 5, 7)], "address long, time long, value long"
+    ).write.parquet(src)
+    assert main([*base, "write", "--parquet", src], spark=spark) == 0
+    capsys.readouterr()
+    assert main([*base, "stats"], spark=spark) == 0
+    st = json.loads(capsys.readouterr().out)
+    assert st["over_bound"] == [] and st["stale_generations"] == []
+    assert sum(st["files_per_bucket"].values()) >= 1
+    assert main([*base, "maintain"], spark=spark) == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["action"] == "none"
+
+
 def test_cli_query_runs_sketches_and_lists(spark, tmp_path, capsys):
     # VERDICT r5 item 8: the sketch family (and the whole registered
     # analytics surface) must be scriptable through the CLI.

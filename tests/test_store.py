@@ -1138,3 +1138,85 @@ def test_flip_lock_clock_skew_does_not_break_live_lock(
             pass
     # the live holder's lock was NOT broken
     assert store.fs.read_text(lock) == "live-holder-token"
+
+
+def test_stats_reports_files_and_debts(store):
+    # late-r14: the ANN stats verb cross-applied to the store —
+    # exact per-(epoch,bucket) file counts (pure listings) plus the
+    # crash debts gc sweeps.
+    store.register_namespace("PONY", buckets=4)
+    for i in range(5):
+        _write(store, "PONY", [(2, i, i)])
+    st = store.stats("PONY")
+    assert st["generation"] == 0
+    assert st["stale_generations"] == [] and st["crashed_remnants"] == []
+    assert st["over_bound"] == []          # default bound is 16
+    assert sum(st["files_per_bucket"].values()) >= 5
+    # a resurrected stale generation and an aged tmp remnant surface
+    store.compact("PONY")                  # gen 0 -> 1
+    ns_dir = store._ns_dir("PONY")
+    store.fs.mkdirs(f"{ns_dir}/points")
+    store.fs.write_text_atomic(f"{ns_dir}/x", "junk")
+    store.fs.rename(f"{ns_dir}/x", f"{ns_dir}/_meta.json.tmp.junk")
+    st = store.stats("PONY")
+    assert st["generation"] == 1
+    assert "points" in st["stale_generations"]
+    assert any(".tmp." in r for r in st["crashed_remnants"])
+
+
+def test_maintain_noop_when_healthy_heals_small_files(
+        store, monkeypatch):
+    # late-r14: measure-then-heal on the store (the maintain verb
+    # the ANN indexes got, cross-applied) — healthy namespace is a
+    # BYTE-untouched no-op; small-file debt past the bound compacts
+    # to one file per partition and converges.
+    import os
+
+    from rados_timestore_spark.store import TimeStore
+
+    store.register_namespace("PONY", buckets=4)
+    for i in range(5):
+        _write(store, "PONY", [(2, i, i)])
+
+    def snapshot():
+        out = []
+        for dirp, _dirs, files in os.walk(store.root):
+            for f in files:
+                p = os.path.join(dirp, f)
+                s = os.stat(p)
+                out.append((p, s.st_size, s.st_mtime_ns))
+        return sorted(out)
+
+    before = snapshot()
+    res = store.maintain("PONY")
+    assert res["action"] == "none"
+    assert snapshot() == before
+
+    monkeypatch.setattr(TimeStore, "FILES_PER_BUCKET_BOUND", 2)
+    res = store.maintain("PONY")
+    assert res["action"] == "compact"
+    assert res["stats"]["over_bound"]      # what triggered it
+    got = store.read_simple("PONY", 0, 10, [2], global_order=True).collect()
+    assert [(r.time, r.value) for r in got] == [(i, i) for i in range(5)]
+    st = store.stats("PONY")
+    assert st["over_bound"] == []
+    assert max(st["files_per_bucket"].values()) == 1
+    # compact deleted the retired generation inside its flip, so the
+    # next maintain is already a no-op
+    assert store.maintain("PONY")["action"] == "none"
+
+
+def test_maintain_heals_gc_debts(store):
+    store.register_namespace("PONY", buckets=4)
+    _write(store, "PONY", [(2, 1, 1)])
+    store.compact("PONY")                  # gen 0 -> 1
+    ns_dir = store._ns_dir("PONY")
+    store.fs.mkdirs(f"{ns_dir}/points")    # crashed-generation debt
+    res = store.maintain("PONY")
+    assert res["action"] == "gc"
+    assert "points" in res["stats"]["stale_generations"]
+    assert not store.fs.is_dir(f"{ns_dir}/points")
+    assert store.maintain("PONY")["action"] == "none"
+    # data untouched throughout
+    got = store.read_simple("PONY", 0, 10, [2], global_order=True).collect()
+    assert [(r.time, r.value) for r in got] == [(1, 1)]
