@@ -182,6 +182,89 @@ class MutableKV:
         self.store._rewrite_generation(self.ns, transform,
                                        meta_update=_mark_folded)
 
+    #: Chain-debt sizing rule for :meth:`stats` / :meth:`maintain`
+    #: (the store/ANN maintain convention): heal when a vacuum would
+    #: at least HALVE the stored rows — i.e. rows > FACTOR x the
+    #: rows that survive it.  A lone tombstone or short chain never
+    #: triggers a full-generation rewrite.
+    VACUUM_DEBT_FACTOR = 2
+
+    def stats(self) -> dict:
+        """Chain-debt observability: one grouped aggregate over the
+        raw version rows (a single shuffle; no fold, no Python)
+        reporting total rows, distinct keys, the longest chain,
+        tombstone rows, and ``live_after_vacuum`` — the rows a
+        ``vacuum()`` would keep (one per chain whose WINNING head —
+        highest time, lowest seq, exactly :meth:`lookup`'s rule — is
+        not a tombstone).  ``dead_rows`` = rows - live_after_vacuum
+        is the at-rest debt :meth:`maintain` weighs.  ``folded``
+        mirrors the merge fast path's steady-state flag."""
+        meta = self.store._read_meta(self.ns)
+        pdir = self.store._points_dir(self.ns)
+        base = {
+            "rows": 0, "keys": 0, "max_chain": 0, "tombstones": 0,
+            "live_after_vacuum": 0, "dead_rows": 0,
+            "folded": bool(meta.kv_folded),
+            "debt_factor": int(self.VACUUM_DEBT_FACTOR),
+        }
+        if not self.store.fs.is_dir(pdir):
+            return base
+        df = (self.store.spark.read.parquet(pdir)
+              .filter(F.col("kind") == 1)
+              .select("address", "time", "seq", "payload"))
+        per = df.groupBy("address").agg(
+            F.count("*").alias("chain"),
+            F.sum(F.when(F.col("payload").isNull(), 1)
+                  .otherwise(0)).alias("tombs"),
+            F.max_by(
+                F.col("payload").isNull(),
+                F.struct(F.col("time").alias("t"),
+                         (-F.col("seq")).alias("s"))).alias("head_tomb"),
+        )
+        row = per.agg(
+            F.count("*").alias("keys"),
+            F.sum("chain").alias("rows"),
+            F.max("chain").alias("max_chain"),
+            F.sum("tombs").alias("tombstones"),
+            F.sum(F.when(F.col("head_tomb"), 0)
+                  .otherwise(1)).alias("live"),
+        ).collect()
+        if not row or row[0]["keys"] is None or row[0]["keys"] == 0:
+            return base
+        r = row[0]
+        base.update(
+            rows=int(r["rows"]), keys=int(r["keys"]),
+            max_chain=int(r["max_chain"]),
+            tombstones=int(r["tombstones"]),
+            live_after_vacuum=int(r["live"]),
+            dead_rows=int(r["rows"]) - int(r["live"]),
+        )
+        return base
+
+    def maintain(self,
+                 merge: Callable[[bytes, bytes], bytes] | None = None,
+                 ) -> dict:
+        """Measure-then-heal for the KV (the fourth surface of the
+        engine-wide maintain convention — store / IVF / HNSW have
+        the other three): :meth:`stats` weighs the chain debt, and a
+        :meth:`vacuum` runs only when it would at least halve the
+        stored rows (``rows > VACUUM_DEBT_FACTOR x
+        live_after_vacuum`` — the lakehouse rewrite-amplification
+        rule: a full-generation rewrite must earn its cost).
+
+        ``merge`` selects the vacuum semantics and carries vacuum's
+        documented caveat verbatim: ``None`` keeps last-write-wins
+        heads (lookup/enumerate invariant), ``f`` pre-folds chains
+        (merge_with invariant).  Healthy KV = strict no-op, nothing
+        written.  Convergence: a vacuum leaves exactly one row per
+        surviving chain — ``rows == live_after_vacuum`` — so the
+        next maintain is always "none" (law-tested)."""
+        st = self.stats()
+        if st["rows"] <= self.VACUUM_DEBT_FACTOR * st["live_after_vacuum"]:
+            return {"action": "none", "stats": st}
+        self.vacuum(merge)
+        return {"action": "vacuum", "stats": st}
+
     # ----------------------------------------------------------- reads
 
     def lookup(self, key: int) -> bytes | None:

@@ -902,3 +902,64 @@ def test_vacuum_marks_folded(store):
     kv.merge_into(u, never)
     assert kv.lookup(4) == b"seed|u"
     assert kv.lookup(2) == b"b"         # vacuum kept the latest
+
+
+def test_kv_stats_reports_chain_debt(store):
+    # late-r14: the fourth maintain surface — chain-debt stats via
+    # ONE grouped aggregate (no fold, no Python).
+    store.register_namespace("PONY", buckets=4)
+    kv = MutableKV(store, "PONY")
+    st = kv.stats()
+    assert st["rows"] == 0 and st["keys"] == 0
+    kv.insert(0, b"a")
+    kv.insert(0, b"b")
+    kv.insert(0, b"c")          # chain of 3 at key 0
+    kv.insert(2, b"x")          # chain of 1 at key 2
+    kv.insert(4, b"y")
+    kv.delete(4)                # tombstoned head: dies at vacuum
+    st = kv.stats()
+    assert st["keys"] == 3
+    assert st["rows"] == 6
+    assert st["max_chain"] == 3
+    assert st["tombstones"] == 1
+    assert st["live_after_vacuum"] == 2       # keys 0 and 2 survive
+    assert st["dead_rows"] == 4
+    assert st["folded"] is False
+
+
+def test_kv_maintain_noop_then_heals_and_converges(store):
+    # rows > FACTOR x live triggers the vacuum; lookup/enumerate are
+    # invariant (merge=None semantics); one vacuum converges.
+    import os
+
+    store.register_namespace("PONY", buckets=4)
+    kv = MutableKV(store, "PONY")
+    kv.insert(0, b"a")
+    kv.insert(2, b"x")
+
+    def snapshot():
+        out = []
+        for dirp, _dirs, files in os.walk(store.root):
+            for f in files:
+                p = os.path.join(dirp, f)
+                s = os.stat(p)
+                out.append((p, s.st_size, s.st_mtime_ns))
+        return sorted(out)
+
+    before = snapshot()
+    res = kv.maintain()
+    assert res["action"] == "none"        # rows == live: no debt
+    assert snapshot() == before           # strict no-op
+
+    kv.insert(0, b"b")
+    kv.insert(0, b"c")                    # rows=4, live=2: 4 <= 2x2
+    assert kv.maintain()["action"] == "none"
+    kv.insert(0, b"d")                    # rows=5 > 4: debt
+    res = kv.maintain()
+    assert res["action"] == "vacuum"
+    assert res["stats"]["rows"] == 5
+    assert kv.lookup(0) == b"d" and kv.lookup(2) == b"x"
+    st = kv.stats()
+    assert st["rows"] == st["live_after_vacuum"] == 2
+    assert st["folded"] is True
+    assert kv.maintain()["action"] == "none"   # converged
