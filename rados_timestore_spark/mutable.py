@@ -184,9 +184,11 @@ class MutableKV:
 
     #: Chain-debt sizing rule for :meth:`stats` / :meth:`maintain`
     #: (the store/ANN maintain convention): heal when a vacuum would
-    #: at least HALVE the stored rows — i.e. rows > FACTOR x the
-    #: rows that survive it.  A lone tombstone or short chain never
-    #: triggers a full-generation rewrite.
+    #: remove STRICTLY MORE rows than it keeps (rows > FACTOR x
+    #: live_after_vacuum).  Dead rows on an otherwise-live KV don't
+    #: trigger until they outweigh the live heads; an ENTIRELY-dead
+    #: KV (live 0, rows > 0) does trigger — reclaiming it is the
+    #: point, and the rewrite it pays is proportional to those rows.
     VACUUM_DEBT_FACTOR = 2
 
     def stats(self) -> dict:
@@ -200,7 +202,11 @@ class MutableKV:
         is the at-rest debt :meth:`maintain` weighs.  ``folded``
         mirrors the merge fast path's steady-state flag."""
         meta = self.store._read_meta(self.ns)
-        pdir = self.store._points_dir(self.ns)
+        # one meta snapshot serves both the folded flag and the
+        # generation pointer (r14 review: the pointer-less
+        # _points_dir call re-read meta, and the two reads could
+        # straddle a concurrent generation flip)
+        pdir = self.store._points_dir(self.ns, meta)
         base = {
             "rows": 0, "keys": 0, "max_chain": 0, "tombstones": 0,
             "live_after_vacuum": 0, "dead_rows": 0,
@@ -247,10 +253,11 @@ class MutableKV:
         """Measure-then-heal for the KV (the fourth surface of the
         engine-wide maintain convention — store / IVF / HNSW have
         the other three): :meth:`stats` weighs the chain debt, and a
-        :meth:`vacuum` runs only when it would at least halve the
-        stored rows (``rows > VACUUM_DEBT_FACTOR x
+        :meth:`vacuum` runs only when it would remove strictly more
+        rows than it keeps (``rows > VACUUM_DEBT_FACTOR x
         live_after_vacuum`` — the lakehouse rewrite-amplification
-        rule: a full-generation rewrite must earn its cost).
+        rule: a full-generation rewrite must earn its cost; see
+        :data:`VACUUM_DEBT_FACTOR` for the edge semantics).
 
         ``merge`` selects the vacuum semantics and carries vacuum's
         documented caveat verbatim: ``None`` keeps last-write-wins

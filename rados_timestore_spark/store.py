@@ -53,6 +53,35 @@ DEFAULT_ROLLOVER_BYTES = 4 * 1024 * 1024
 
 _META = "_meta.json"
 
+#: Crashed-FILE remnant name markers: ``.tmp.`` from a writer killed
+#: inside ``write_text_atomic`` before its rename, ``.lock.stale.``
+#: tombs from a stale-breaker killed between rename and delete,
+#: ``.clockprobe.`` from an fs_now_ms probe killed between create and
+#: delete.  One tuple shared by :meth:`TimeStore.gc` (the sweep) and
+#: :meth:`TimeStore.stats` (the debt report) — r14 review: two copies
+#: invited drift.
+_REMNANT_MARKERS = (".tmp.", ".lock.stale.", ".clockprobe.")
+
+
+def _is_stale_points_dir(name: str, live_v: int) -> bool:
+    """One definition of the crashed-generation classification,
+    shared by :meth:`TimeStore.gc` (sweeps them), :meth:`TimeStore.verify`
+    (reports them as orphans) and :meth:`TimeStore.stats` (debt
+    observability) — r14 review: three hand-rolled copies invited the
+    drift this repo's ``dir_has_partition_data`` consolidation
+    exists to prevent.  Stale = the legacy ``points`` dir once a
+    later generation is live, any ``points_vN`` strictly older than
+    the live version (a FUTURE generation may be a concurrent
+    compact's under-construction output — never stale), or a
+    ``.stage_`` dir a crashed write_points left behind (never
+    promoted; gc runs serially with writers by the maintenance
+    contract, so no LIVE stage is ever classified here)."""
+    if name == "points":
+        return live_v > 0
+    if name.startswith("points_v") and name[len("points_v"):].isdigit():
+        return int(name[len("points_v"):]) < live_v
+    return name.startswith(".stage_")
+
 
 class NamespaceNotRegistered(Exception):
     """Raised like ``userError "Invalid namespace"`` (StoreHelpers.hs:69-76)."""
@@ -1574,13 +1603,7 @@ class TimeStore:
         }
         live_v = meta.points_version
         for name in self.fs.list_dirs(self._ns_dir(ns)):
-            if name == "points" and live_v > 0:
-                report["orphan_dirs"].append(name)
-            elif (name.startswith("points_v")
-                    and name[len("points_v"):].isdigit()
-                    and int(name[len("points_v"):]) < live_v):
-                report["orphan_dirs"].append(name)
-            elif name.startswith(".stage_"):
+            if _is_stale_points_dir(name, live_v):
                 report["orphan_dirs"].append(name)
         if self.fs.is_dir(pdir):
             df = self.spark.read.parquet(pdir)
@@ -1657,30 +1680,15 @@ class TimeStore:
             if st.isDirectory():
                 continue
             name = st.getPath().getName()
-            if (".tmp." in name or ".lock.stale." in name
-                    or ".clockprobe." in name):
-                # .clockprobe.: fs_now_ms probes killed between their
-                # create and delete (r13)
+            if any(m in name for m in _REMNANT_MARKERS):
                 if now_ms - int(st.getModificationTime()) < horizon_ms:
                     continue  # possibly an in-flight writer's file
                 self.fs.delete(f"{nsdir}/{name}", recursive=False)
                 deleted.append(name)
         for name in self.fs.list_dirs(self._ns_dir(ns)):
-            if name == "points":
-                stale = live_v > 0  # legacy generation 0
-            elif name.startswith("points_v") and name[len("points_v"):].isdigit():
-                stale = int(name[len("points_v"):]) < live_v
-            elif name.startswith(".stage_"):
-                # a crashed write_points left its staging dir behind
-                # (never promoted — the batch was lost with the
-                # writer, exactly like a crashed direct append's
-                # uncommitted task files).  gc runs serially with
-                # writers by the maintenance contract, so no LIVE
-                # stage can be swept here.
-                stale = True
-            else:
-                stale = False
-            if stale:
+            # classification shared with verify/stats — see
+            # _is_stale_points_dir for the staleness rules
+            if _is_stale_points_dir(name, live_v):
                 self.fs.delete(f"{self._ns_dir(ns)}/{name}", recursive=True)
                 deleted.append(name)
         return deleted
@@ -1726,23 +1734,14 @@ class TimeStore:
         if self.fs.is_dir(pdir):
             walk(pdir)
         live_v = meta.points_version
-        stale_gens = []
-        for name in self.fs.list_dirs(nsdir):
-            if name == "points" and live_v > 0:
-                stale_gens.append(name)
-            elif (name.startswith("points_v")
-                    and name[len("points_v"):].isdigit()
-                    and int(name[len("points_v"):]) < live_v):
-                stale_gens.append(name)
-            elif name.startswith(".stage_"):
-                stale_gens.append(name)
+        stale_gens = [name for name in self.fs.list_dirs(nsdir)
+                      if _is_stale_points_dir(name, live_v)]
         remnants = [
             st.getPath().getName()
             for st in self.fs.fs.listStatus(self.fs._path(nsdir))
             if not st.isDirectory()
-            and (".tmp." in st.getPath().getName()
-                 or ".lock.stale." in st.getPath().getName()
-                 or ".clockprobe." in st.getPath().getName())
+            and any(m in st.getPath().getName()
+                    for m in _REMNANT_MARKERS)
         ]
         over = sorted(b for b, c in per.items()
                       if c > self.FILES_PER_BUCKET_BOUND)
