@@ -215,6 +215,26 @@ class MutableKV:
         }
         if not self.store.fs.is_dir(pdir):
             return base
+        row = self._chain_stats_df(pdir).collect()
+        if not row or row[0]["keys"] is None or row[0]["keys"] == 0:
+            return base
+        r = row[0]
+        base.update(
+            rows=int(r["rows"]), keys=int(r["keys"]),
+            max_chain=int(r["max_chain"]),
+            tombstones=int(r["tombstones"]),
+            live_after_vacuum=int(r["live"]),
+            dead_rows=int(r["rows"]) - int(r["live"]),
+        )
+        return base
+
+    def _chain_stats_df(self, pdir: str) -> DataFrame:
+        """The :meth:`stats` aggregate as a DataFrame (plan pinned by
+        tests/test_plans.py): one hash-partitioned groupBy over the
+        version rows (map-side partial aggregation, no Python, no
+        join) feeding a single-row global reduce — the winning-head
+        rule rides ``max_by`` over ``(time, -seq)``, exactly
+        :meth:`lookup`'s ordering."""
         df = (self.store.spark.read.parquet(pdir)
               .filter(F.col("kind") == 1)
               .select("address", "time", "seq", "payload"))
@@ -227,25 +247,14 @@ class MutableKV:
                 F.struct(F.col("time").alias("t"),
                          (-F.col("seq")).alias("s"))).alias("head_tomb"),
         )
-        row = per.agg(
+        return per.agg(
             F.count("*").alias("keys"),
             F.sum("chain").alias("rows"),
             F.max("chain").alias("max_chain"),
             F.sum("tombs").alias("tombstones"),
             F.sum(F.when(F.col("head_tomb"), 0)
                   .otherwise(1)).alias("live"),
-        ).collect()
-        if not row or row[0]["keys"] is None or row[0]["keys"] == 0:
-            return base
-        r = row[0]
-        base.update(
-            rows=int(r["rows"]), keys=int(r["keys"]),
-            max_chain=int(r["max_chain"]),
-            tombstones=int(r["tombstones"]),
-            live_after_vacuum=int(r["live"]),
-            dead_rows=int(r["rows"]) - int(r["live"]),
         )
-        return base
 
     def maintain(self,
                  merge: Callable[[bytes, bytes], bytes] | None = None,

@@ -351,3 +351,27 @@ def test_rewrite_shape_scales_with_layout_columns(spark):
     ps = plan_str(salted)
     assert "__file" in ps.split("hashpartitioning", 1)[1][:300], ps[:800]
     assert "__file" not in salted.columns
+
+
+def test_kv_chain_stats_plan_one_shuffle_no_python(spark, tmp_path):
+    # late-r14: the KV stats aggregate must stay JVM-side (no
+    # Arrow/Python fold — that's vacuum's job), join-free, and
+    # hash-partitioned by the chain key so the corpus-scale work is
+    # ONE shuffle with map-side partials; the global reduce above it
+    # is a single-row SinglePartition exchange, which is expected.
+    from rados_timestore_spark.mutable import MutableKV
+    from rados_timestore_spark.store import TimeStore
+
+    store = TimeStore(spark, str(tmp_path / "wh"))
+    store.register_namespace("K", buckets=4)
+    kv = MutableKV(store, "K")
+    kv.insert(0, b"a")
+    kv.insert(0, b"b")
+    p = plan_str(kv._chain_stats_df(store._points_dir(kv.ns)))
+    assert "CartesianProduct" not in p
+    assert "Join" not in p
+    assert "InMemoryTableScan" not in p
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    hp = p.split("hashpartitioning", 1)
+    assert len(hp) == 2, p[:800]
+    assert "address" in hp[1][:120], hp[1][:120]
