@@ -228,9 +228,22 @@ class HadoopFS:
         the direct append's (readers could always see a partially
         committed batch — the meta flip is the publish point).
         """
-        stage_q = self.fs.makeQualified(self._path(stage)).toString()
-        dest_q = self.fs.makeQualified(self._path(dest)).toString()
-        moved = 0
+        stage_p = self.fs.makeQualified(self._path(stage))
+        dest_p = self.fs.makeQualified(self._path(dest))
+        if stage_p.toUri().getScheme() == "file":
+            # Local filesystem: the recursive JVM listing alone costs
+            # one py4j round trip per entry (~0.5 s for a 64-bucket
+            # batch) while the renames are microseconds — walk and
+            # rename in-process instead.  Same contract: data files
+            # only, relative layout preserved, prefix prepended,
+            # refuse to clobber (Hadoop rename's non-overwrite rule),
+            # raise part-way on failure (caller sweeps the prefix).
+            return self._promote_dir_tree_local(
+                stage_p.toUri().getPath(), dest_p.toUri().getPath(),
+                prefix)
+        stage_q = stage_p.toString()
+        dest_q = dest_p.toString()
+        moves: list[tuple] = []
         made_dirs: set[str] = set()
         it = self.fs.listFiles(self._path(stage), True)
         while it.hasNext():
@@ -244,14 +257,58 @@ class HadoopFS:
             elif prefix:
                 rel = prefix + rel
             target = f"{dest_q}/{rel}"
-            parent = target.rsplit("/", 1)[0]
-            if parent not in made_dirs:
-                self.fs.mkdirs(self._path(parent))
-                made_dirs.add(parent)
+            made_dirs.add(target.rsplit("/", 1)[0])
+            moves.append((f, target))
+        for parent in sorted(made_dirs):
+            self.fs.mkdirs(self._path(parent))
+
+        def mv(pair) -> None:
+            f, target = pair
             if not self.fs.rename(f, self._path(target)):
                 raise IOError(
                     f"promote_dir_tree: rename failed {f} -> {target}")
-            moved += 1
+
+        # Renames are independent metadata ops; issue them from a small
+        # thread pool so a batch's promote costs ~max(latency) instead
+        # of sum(latency) — each rename is one JVM (and on a real
+        # deployment one namenode/object-store) round trip, ~15 ms here
+        # x 64 bucket files = ~1 s serial per ingest batch.  A failure
+        # propagates exactly as before: the promote stops part-way and
+        # the caller sweeps this batch's prefix back out.
+        if len(moves) > 4:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                    max_workers=min(16, len(moves))) as pool:
+                for _ in pool.map(mv, moves):
+                    pass
+        else:
+            for pair in moves:
+                mv(pair)
+        return len(moves)
+
+    def _promote_dir_tree_local(self, stage: str, dest: str,
+                                prefix: str) -> int:
+        import os as _os
+
+        moved = 0
+        for base, _dirs, files in _os.walk(stage):
+            rel_dir = _os.path.relpath(base, stage)
+            tdir = dest if rel_dir == "." else _os.path.join(dest, rel_dir)
+            made = False
+            for fn in sorted(files):
+                if fn.startswith(("_", ".")):
+                    continue
+                if not made:
+                    _os.makedirs(tdir, exist_ok=True)
+                    made = True
+                target = _os.path.join(tdir, prefix + fn)
+                if _os.path.exists(target):
+                    raise IOError(
+                        f"promote_dir_tree: rename failed "
+                        f"{_os.path.join(base, fn)} -> {target}")
+                _os.rename(_os.path.join(base, fn), target)
+                moved += 1
         return moved
 
     def sweep_files(self, dest: str, prefix: str) -> int:

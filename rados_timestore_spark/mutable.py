@@ -38,6 +38,66 @@ from rados_timestore_spark.store import TimeStore
 MUTABLE_BUCKETS = 128  # StoreHelpers.hs:151-154
 
 
+def _fold_chain_groups(df: DataFrame, order_cols: tuple,
+                       fold_group: Callable[[pd.DataFrame], dict | None],
+                       out_schema: str,
+                       key_col: str = "address") -> DataFrame:
+    """Grouped chain fold in ONE ``mapInPandas`` pass: hash-shuffle by
+    ``key_col``, sort every partition by ``(key, *order_cols)``, then
+    stream the sorted Arrow batches through a single Python worker per
+    task, slicing contiguous key runs and handing each (already
+    ordered) run to ``fold_group``.
+
+    Semantically identical to ``df.groupBy(key_col).applyInPandas(f)``
+    where ``f`` sorts by ``order_cols`` first — all of a key's rows
+    land in one partition, contiguous and in fold order — but the
+    per-GROUP cost is a pandas slice instead of a per-group Arrow
+    round-trip + Python call.  ``FlatMapGroupsInPandas`` serializes
+    each group as its own Arrow batch (~1-3 ms per key), which
+    dominates a merge fold at high key cardinality: the sf0.1 merge
+    bench spends ~5 s folding 1 500 keys / 20 k rows through the
+    per-group path vs ~1 s through this one, and the gap grows with
+    keys.  Parallelism/skew behavior is unchanged — the same hash
+    exchange, AQE-coalescible, one task per hot key's chain either
+    way.
+
+    ``fold_group`` receives one key's rows as a pandas DataFrame IN
+    ``order_cols`` ORDER and returns a dict row (column names must
+    match ``out_schema``) or ``None`` to drop the key.
+    """
+    import numpy as np
+
+    def run(batches):
+        pend: pd.DataFrame | None = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if pend is not None:
+                pdf = pd.concat([pend, pdf], ignore_index=True)
+                pend = None
+            keys = pdf[key_col].to_numpy()
+            cut = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+            starts = [0, *cut.tolist()]
+            # hold the final run back: the key may continue in the
+            # next Arrow batch of this partition
+            pend = pdf.iloc[starts[-1]:]
+            out = []
+            for s, e in zip(starts[:-1], starts[1:]):
+                r = fold_group(pdf.iloc[s:e])
+                if r is not None:
+                    out.append(r)
+            if out:
+                yield pd.DataFrame(out)
+        if pend is not None and len(pend):
+            r = fold_group(pend)
+            if r is not None:
+                yield pd.DataFrame([r])
+
+    shuffled = df.repartition(key_col).sortWithinPartitions(
+        key_col, *order_cols)
+    return shuffled.mapInPandas(run, out_schema)
+
+
 class MutableKV:
     def __init__(self, store: TimeStore, ns: str):
         self.store = store
@@ -156,8 +216,8 @@ class MutableKV:
                 )
         else:
             def transform(df: DataFrame) -> DataFrame:
-                def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-                    pdf = pdf.sort_values(["time", "seq"])
+                def fold(pdf: pd.DataFrame) -> dict | None:
+                    # rows arrive pre-sorted by (time, seq)
                     acc: bytes | None = None
                     for blob in pdf["payload"]:
                         if blob is None:  # tombstone: chain restarts
@@ -166,12 +226,13 @@ class MutableKV:
                         b = bytes(blob)
                         acc = b if acc is None else merge(b, acc)
                     if acc is None:  # deleted / tombstone-only chain
-                        return pdf.iloc[0:0]
-                    head = pdf.iloc[[-1]].copy()
-                    head["payload"] = [acc]
+                        return None
+                    head = pdf.iloc[-1].to_dict()
+                    head["payload"] = acc
                     return head
 
-                return df.groupBy("address").applyInPandas(fold, df.schema)
+                return _fold_chain_groups(df, ("time", "seq"), fold,
+                                          df.schema)
 
         def _mark_folded(m):
             # both vacuum modes leave one non-tombstone row per
@@ -611,14 +672,13 @@ class MutableKV:
                     vals.append(acc)
                 yield pd.DataFrame({"address": addrs, "payload": vals})
 
-        def fold_comb(pdf: pd.DataFrame) -> pd.DataFrame:
+        def fold_comb(pdf: pd.DataFrame) -> dict:
             vals = sorted(bytes(b) for b in pdf["payload"])
             acc = vals[0]
             for b in vals[1:]:
                 acc = merge(b, acc)
-            return pd.DataFrame({
-                "address": [int(pdf["address"].iloc[0])],
-                "payload": [acc]})
+            return {"address": int(pdf["address"].iloc[0]),
+                    "payload": acc}
 
         def assoc_fold(live: DataFrame) -> DataFrame:
             """(address, payload) per key: salted partition-local
@@ -633,8 +693,8 @@ class MutableKV:
                 .repartition(int(salt), "__salt")
                 .mapInPandas(fold_partition, "address long, payload binary")
             )
-            return part.groupBy("address").applyInPandas(
-                fold_comb, "address long, payload binary")
+            return _fold_chain_groups(
+                part, (), fold_comb, "address long, payload binary")
 
         if batch_id is None and not self.store.fs.is_dir(
                 self.store._points_dir(self.ns)):
@@ -656,20 +716,19 @@ class MutableKV:
                 self.store.write_points(self.ns, folded)
                 return
 
-            def fold_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-                pdf = pdf.sort_values("seq")
+            def fold_batch(pdf: pd.DataFrame) -> dict:
+                # rows arrive pre-sorted by seq
                 acc: bytes | None = None
                 for blob in pdf["payload"]:
                     b = bytes(blob)
                     acc = b if acc is None else merge(b, acc)
-                return pd.DataFrame({
-                    "address": [int(pdf["address"].iloc[0])],
-                    "time": [len(pdf) - 1],
-                    "payload": [acc],
-                })
+                return {"address": int(pdf["address"].iloc[0]),
+                        "time": len(pdf) - 1,
+                        "payload": acc}
 
-            folded = batch.groupBy("address").applyInPandas(
-                fold_batch, "address long, time long, payload binary")
+            folded = _fold_chain_groups(
+                batch, ("seq",), fold_batch,
+                "address long, time long, payload binary")
             self.store.write_points(self.ns, folded)
             return
 
@@ -769,8 +828,9 @@ class MutableKV:
                 F.lit(0).alias("__src"))
             allrows = chain.unionByName(batch)
 
-            def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-                pdf = pdf.sort_values(["__src", "time", "seq"])
+            def fold(pdf: pd.DataFrame) -> dict | None:
+                # rows arrive pre-sorted by (__src, time, seq) — the
+                # exact order the per-group sort used to establish
                 acc: bytes | None = None
                 head_t = -1
                 n_batch = 0
@@ -786,18 +846,14 @@ class MutableKV:
                     b = bytes(blob)
                     acc = b if acc is None else merge(b, acc)
                 if acc is None:  # untouched dead chain: compacted away
-                    return pd.DataFrame(
-                        {"address": pd.Series([], dtype="int64"),
-                         "time": pd.Series([], dtype="int64"),
-                         "payload": pd.Series([], dtype="object")})
-                return pd.DataFrame({
-                    "address": [int(pdf["address"].iloc[0])],
-                    "time": [head_t + n_batch],
-                    "payload": [acc],
-                })
+                    return None
+                return {"address": int(pdf["address"].iloc[0]),
+                        "time": head_t + n_batch,
+                        "payload": acc}
 
-            out = allrows.groupBy("address").applyInPandas(
-                fold, "address long, time long, payload binary")
+            out = _fold_chain_groups(
+                allrows, ("__src", "time", "seq"), fold,
+                "address long, time long, payload binary")
             full = (
                 out.withColumn("value", F.lit(None).cast("long"))
                 .withColumn("seq", F.lit(0).cast("long"))
@@ -839,8 +895,8 @@ class MutableKV:
             .select("address", "time", "seq", "payload")
         )
 
-        def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values(["time", "seq"])
+        def fold(pdf: pd.DataFrame) -> dict | None:
+            # rows arrive pre-sorted by (time, seq)
             acc: bytes | None = None
             for blob in pdf["payload"]:
                 if blob is None:  # tombstone: the chain restarts
@@ -849,9 +905,8 @@ class MutableKV:
                 b = bytes(blob)
                 acc = b if acc is None else merge(b, acc)
             if acc is None:  # deleted (or tombstone-only) key
-                return pd.DataFrame({"key": [], "value": []})
-            return pd.DataFrame(
-                {"key": [int(pdf["address"].iloc[0])], "value": [acc]}
-            )
+                return None
+            return {"key": int(pdf["address"].iloc[0]), "value": acc}
 
-        return df.groupBy("address").applyInPandas(fold, "key long, value binary")
+        return _fold_chain_groups(df, ("time", "seq"), fold,
+                                  "key long, value binary")

@@ -519,17 +519,6 @@ class TimeStore:
                 "bucket", place_bucket_by_index(idx, "time", "address"),
             )
 
-        # Watermark maxima + seq high-water are observed during the
-        # write itself (StoreHelpers.hs:241-259's updateLatest, minus
-        # the second job the naive agg-after-write would cost).
-        obs = Observation()
-        routed = routed.observe(
-            obs,
-            F.max(F.when(F.col("kind") == 0, F.col("time"))).alias("max_simple"),
-            F.max(F.when(F.col("kind") == 1, F.col("time"))).alias("max_extended"),
-            F.max("seq").alias("max_seq"),
-        )
-
         # Staged append (r9): a direct mode("append") into the shared
         # points dir funnels every CONCURRENT writer through one
         # Hadoop committer _temporary tree — the first job to commit
@@ -546,8 +535,37 @@ class TimeStore:
         stage = f"{self._ns_dir(ns)}/.stage_{batch_tag}"
         pdir = self._points_dir(ns, meta)
         try:
+            # Shape the staged batch like a generation rewrite
+            # (shape_rewrite): hash-partition by the layout columns so
+            # each (epoch, bucket) is written by ONE task — bounded
+            # file count at any input parallelism (tasks x buckets
+            # files otherwise) — and pre-sort by (pcols, address,
+            # time) so the partitioned writer's own partition-column
+            # sort is satisfied by the incoming order instead of
+            # re-sorting per task.  Measured 2.7 s -> 1.6 s on the
+            # sf0.1 19k-row ingest; at scale it is the difference
+            # between 64 files and 64 x tasks files per batch.
+            #
+            # Watermark maxima + seq high-water are observed during
+            # the write itself (StoreHelpers.hs:241-259's
+            # updateLatest, minus the second job the naive
+            # agg-after-write would cost).  The observe sits ABOVE
+            # the shaping exchange, directly under the write: observed
+            # below an exchange, an empty batch leaves the metrics row
+            # schemaless and obs.get throws (Spark 4.1 toPyRow
+            # assertion — the same trap _rewrite_generation documents).
+            obs = Observation()
+            shaped = shape_rewrite(routed, meta.part_cols(), 1,
+                                   ("address", "time")).observe(
+                obs,
+                F.max(F.when(F.col("kind") == 0, F.col("time")))
+                .alias("max_simple"),
+                F.max(F.when(F.col("kind") == 1, F.col("time")))
+                .alias("max_extended"),
+                F.max("seq").alias("max_seq"),
+            )
             (
-                routed.write.mode("overwrite")
+                shaped.write.mode("overwrite")
                 .partitionBy(*meta.part_cols())
                 .parquet(stage)
             )

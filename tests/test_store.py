@@ -1057,8 +1057,9 @@ def test_write_points_failed_promote_sweeps_partial_batch(store, spark):
 
     def dying_promote(self, stage, dest, prefix=""):
         # promote file-by-file via the real implementation, but crash
-        # after the first two renames (each single-file promote is one
-        # rename under the same prefix)
+        # after the first rename (the staged batch is shaped to one
+        # file per live bucket since the r14 write-shaping — two files
+        # here — so the crash must land mid-way through two renames)
         stage_q = self.fs.makeQualified(self._path(stage)).toString()
         it = self.fs.listFiles(self._path(stage), True)
         moved = 0
@@ -1066,7 +1067,7 @@ def test_write_points_failed_promote_sweeps_partial_batch(store, spark):
             f = it.next().getPath()
             if f.getName().startswith(("_", ".")):
                 continue
-            if moved == 2:
+            if moved == 1:
                 raise IOError("injected: promote died mid-batch")
             rel = f.toString()[len(stage_q) + 1:]
             head, basename = rel.rsplit("/", 1)
