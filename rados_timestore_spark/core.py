@@ -44,6 +44,28 @@ POINTS_SCHEMA = T.StructType(
 )
 
 
+def one_slice_df(spark, rows, schema) -> DataFrame:
+    """``createDataFrame`` for SMALL driver-side tables, in ONE slice.
+
+    ``SparkSession.createDataFrame(list)`` parallelizes the rows into
+    ``defaultParallelism`` pickled slices; every later evaluation then
+    spins up one Python worker per slice just to unpickle a handful of
+    rows — and a ``coalesce(1)`` (the natural shape for writing a
+    centroid/codebook table as one file) runs those 32 deserializer
+    invocations SERIALLY in a single task: measured 3.5 s to write a
+    256-row centroid table at local[32], vs 0.35 s with one slice.
+    Driver-built relations in query paths (centroids, PQ codebooks,
+    probe query vectors, ADC LUTs) are all ≤ a few thousand rows by
+    construction, so one slice is always the right shape; Spark
+    re-parallelizes downstream wherever a shuffle needs to.
+    """
+    rows = rows if isinstance(rows, list) else list(rows)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def kind_col(address: Column | str = "address") -> Column:
     """Point kind from the address LSB (Algorithms.hs:133)."""
     address = F.col(address) if isinstance(address, str) else address

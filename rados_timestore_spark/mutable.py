@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from rados_timestore_spark.core import latest_per_key
+from rados_timestore_spark.core import latest_per_key, one_slice_df
 from rados_timestore_spark.store import TimeStore
 
 MUTABLE_BUCKETS = 128  # StoreHelpers.hs:151-154
@@ -128,7 +128,8 @@ class MutableKV:
             out, ver = value, cur[1] + 1
         else:
             out, ver = merge(value, cur[0]), cur[1] + 1
-        df = self.store.spark.createDataFrame(
+        df = one_slice_df(
+            self.store.spark,
             [(addr, ver, bytearray(out))], "address long, time long, payload binary"
         )
         self.store.write_points(self.ns, df)
@@ -149,7 +150,8 @@ class MutableKV:
             # more tombstone per replay and dead chains grow without
             # bound between vacuums (ADVICE r9).
             return
-        df = self.store.spark.createDataFrame(
+        df = one_slice_df(
+            self.store.spark,
             [(addr, cur[1] + 1, None)],
             "address long, time long, payload binary",
         )

@@ -32,7 +32,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rados_timestore_spark.core import first_wins_dedup, latest_per_key
+from rados_timestore_spark.core import (
+    first_wins_dedup, latest_per_key, one_slice_df,
+)
 from rados_timestore_spark.queries_common import (
     ADDRS,
     ADDRS_SQL,
@@ -623,7 +625,8 @@ def ts_rollover(spark: SparkSession, sf_dir: str) -> DataFrame:
         store.write_points(ns, pts.filter(day == d))
 
     entries = store.index(ns).entries
-    entries_df = spark.createDataFrame(
+    entries_df = one_slice_df(
+        spark,
         [(int(e), int(b)) for e, b in entries], "epoch long, buckets long"
     )
     written = spark.read.parquet(store._points_dir(ns))
@@ -982,7 +985,8 @@ def ts_bulk_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     entries = store.index(ns).entries
-    entries_df = spark.createDataFrame(
+    entries_df = one_slice_df(
+        spark,
         [(int(e), int(b)) for e, b in entries], "epoch long, buckets long"
     )
     written = spark.read.parquet(store._points_dir(ns))

@@ -647,6 +647,13 @@ def _connected_components(spark: SparkSession, edges: DataFrame) -> DataFrame:
             r = find(node)
             rep[r] = min(rep.get(r, node), node)
         rows = [(node, rep[find(node)]) for node in parent]
+        if len(rows) <= 1 << 16:
+            # driver-built result: one pickled slice, not 32 (see
+            # core.one_slice_df); above that keep the default slicing
+            # so a near-cap probe result still parallelizes
+            from rados_timestore_spark.core import one_slice_df
+
+            return one_slice_df(spark, rows, "doc_id long, rep long")
         return spark.createDataFrame(rows, "doc_id long, rep long")
 
     # Distributed path: min-id label propagation with TWO-HOP pointer

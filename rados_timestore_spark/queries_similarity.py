@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from rados_timestore_spark.core import one_slice_df
 from rados_timestore_spark.queries_common import load, load_parallel, pin
 from rados_timestore_spark.registry import register
 
@@ -942,8 +943,8 @@ def sim_kmeans_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(DIM):  # sequential fold == list_sum/_dot_sql
             acc += c_row[i] * c_row[i]
         rows.append((cid, n, math.sqrt(acc)))
-    return spark.createDataFrame(
-        rows, "cid long, n_members long, centroid_norm double"
+    return one_slice_df(
+        spark, rows, "cid long, n_members long, centroid_norm double"
     )
 
 
@@ -994,7 +995,8 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         _make_km_assign(cids, C),
         "vec_id long, embedding array<float>, cid long",
     )
-    cent_df = spark.createDataFrame(
+    cent_df = one_slice_df(
+        spark,
         [(cid, [float(x) for x in c_row]) for cid, c_row in zip(cids, C)],
         "cid long, ce array<double>",
     )
@@ -1242,8 +1244,8 @@ def _pq_ann(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
                 lut.append(acc)
             luts.append(lut)
         rows.append((int(qid), *luts))
-    lut_df = spark.createDataFrame(
-        rows,
+    lut_df = one_slice_df(
+        spark, rows,
         "query_id long, "
         + ", ".join(f"l{s} array<double>" for s in range(_PQ_M)),
     )
@@ -1601,8 +1603,8 @@ def _ivfpq_ann(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
                     lut.append(acc)
                 luts.append(lut)
             rows.append((int(qid), int(cids[j]), *luts))
-    lut_df = spark.createDataFrame(
-        rows,
+    lut_df = one_slice_df(
+        spark, rows,
         "query_id long, bucket long, "
         + ", ".join(f"l{s} array<double>" for s in range(_PQ_M)),
     )
@@ -2382,8 +2384,8 @@ def sim_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_rows.append((rank, top.vec_id, float(top.rel),
                          float(top.score)))
         sel.append(top.vec_id)
-    return spark.createDataFrame(
-        out_rows, "rank long, vec_id long, rel double, score double")
+    return one_slice_df(
+        spark, out_rows, "rank long, vec_id long, rel double, score double")
 
 
 @register(

@@ -14,6 +14,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rados_timestore_spark.core import one_slice_df
 from rados_timestore_spark.registry import register
 
 
@@ -491,10 +492,11 @@ def streaming_asof_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     src, out, ck = f"{work}/src", f"{work}/out", f"{work}/ck"
     pts.repartition(3).write.parquet(src)
     before = _list_parts(spark, src)
-    spark.createDataFrame(
+    one_slice_df(
+        spark,
         [(-1, int(hi) + 3 * span_s * 1_000_000, -1, "__flush__")],
         pts.schema,
-    ).coalesce(1).write.mode("append").parquet(src)
+    ).write.mode("append").parquet(src)
     _bump_mtimes(spark, _list_parts(spark, src) - before,
                  _time.time() + 60)
 

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rados_timestore_spark.queries_common import load, load_parallel, pin
+from rados_timestore_spark.core import one_slice_df
 from rados_timestore_spark.registry import register
 
 #: Tiny per-language stopword profiles for the n-gram/stopword
@@ -1682,7 +1683,8 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tokenization.  Returns the (merge_rank, l, r, merged, n)
     merges table — the trained artifact a tokenizer loads."""
     merges, _cur = _bpe_fit(spark, sf_dir)
-    return spark.createDataFrame(
+    return one_slice_df(
+        spark,
         merges, "merge_rank long, l string, r string, merged string, n long")
 
 

@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rados_timestore_spark import fsutil
-from rados_timestore_spark.core import POINTS_SCHEMA, kind_col
+from rados_timestore_spark.core import POINTS_SCHEMA, kind_col, one_slice_df
 from rados_timestore_spark.index import Index
 
 DEFAULT_BUCKETS = 128
@@ -945,7 +945,8 @@ class TimeStore:
                     f"({len(stats)} batches x {n_parts} partitions); "
                     "provide an explicit seq column"
                 )
-            ord_df = df.sparkSession.createDataFrame(
+            ord_df = one_slice_df(
+                df.sparkSession,
                 [(b, o) for b, o in batch_ordinals.items()] or [(None, 0)],
                 f"_b {df.schema[batch_col].dataType.simpleString()}, _ord long",
             )
@@ -1849,8 +1850,8 @@ def _seed_blob_ordinals(blobs: DataFrame, blob_col: str,
     for row in sorted(counts, key=lambda r: r["pid"]):
         offsets.append((row["pid"], running))
         running += row["count"]
-    off_df = spark.createDataFrame(
-        offsets or [(0, 0)], "pid long, _blob_off long"
+    off_df = one_slice_df(
+        spark, offsets or [(0, 0)], "pid long, _blob_off long"
     )
     # assert_true yields NULL when the guard holds and raises when it
     # doesn't; folding it into the ordinal keeps it un-prunable.

@@ -63,6 +63,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rados_timestore_spark.core import one_slice_df
 from rados_timestore_spark.fsutil import (
     ConcurrentMaintainerError, HadoopFS, flip_lock,
 )
@@ -764,7 +765,8 @@ class VectorIndex:
         except VectorIndexNotBuilt:
             pass
 
-        cent_df = self.spark.createDataFrame(
+        cent_df = one_slice_df(
+            self.spark,
             [(int(c), [float(x) for x in row]) for c, row in zip(cids, C)],
             "cid long, ce array<float>",
         )
@@ -823,7 +825,8 @@ class VectorIndex:
             CBm = CB.reshape(ksub, pq_m, dsub).transpose(1, 0, 2)
             cb_dir = self._pq_dir(ns)
             cv_type = "array<double>" if residual else "array<float>"
-            cb_df = self.spark.createDataFrame(
+            cb_df = one_slice_df(
+                self.spark,
                 [(s, c, [float(x) for x in CBm[s, c]])
                  for s in range(pq_m) for c in range(ksub)],
                 f"s int, code int, cv {cv_type}",
@@ -847,10 +850,21 @@ class VectorIndex:
             emb, cids, C, dim, id_col, vec_col, meta_cols=meta_cols,
             pq_cb=CBm,
             pq_residual=bool(pq.get("residual", False)) if pq else False)
+        # n_vectors is observed ON the assignment write (free metric
+        # piggybacked on the one corpus pass) instead of re-reading
+        # the 256-bucket tree back just to count it (was ~1 s of the
+        # cold build).  The observe sits directly under the write —
+        # no exchange above it — and build rejects empty input, so
+        # the empty-metrics toPyRow trap cannot fire.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        assigned = assigned.observe(
+            obs, F.count(F.lit(1)).alias("n_rows"))
         (assigned.write.mode("overwrite")
          .partitionBy("bucket").parquet(self._assignments_dir(ns)))
 
-        n = self.spark.read.parquet(self._assignments_dir(ns)).count()
+        n = int(obs.get["n_rows"] or 0)
         doc = {"k": int(len(cids)), "dim": int(dim),
                "n_vectors": int(n), "version": prev_version + 1,
                "trainer": trainer, "meta_cols": list(meta_cols),
@@ -1187,7 +1201,8 @@ class VectorIndex:
             if self.fs.exists(leftover):
                 self.fs.delete(leftover, recursive=True)
         cv_type = "array<double>" if residual else "array<float>"
-        cb_df = self.spark.createDataFrame(
+        cb_df = one_slice_df(
+            self.spark,
             [(s, c, [float(x) for x in CBm[s, c]])
              for s in range(m) for c in range(ksub)],
             f"s int, code int, cv {cv_type}",
@@ -1360,8 +1375,8 @@ class VectorIndex:
                 for b in bs:
                     rows.append((int(qid), [float(x) for x in qv],
                                  int(b), *_lut(qv, C[cpos[b]])))
-            qdf = self.spark.createDataFrame(
-                rows,
+            qdf = one_slice_df(
+                self.spark, rows,
                 f"query_id long, qe array<float>, bucket long, {lcols}",
             )
         else:
@@ -1369,8 +1384,8 @@ class VectorIndex:
             for (qid, qv), bs in zip(queries, probe_buckets):
                 rows.append((int(qid), [float(x) for x in qv], bs,
                              *_lut(qv, None)))
-            qdf = self.spark.createDataFrame(
-                rows,
+            qdf = one_slice_df(
+                self.spark, rows,
                 f"query_id long, qe array<float>, probed array<long>, "
                 f"{lcols}",
             )
@@ -1673,7 +1688,8 @@ class VectorIndex:
             if self.fs.exists(leftover):
                 self.fs.delete(leftover, recursive=True)
 
-        cent_df = self.spark.createDataFrame(
+        cent_df = one_slice_df(
+            self.spark,
             [(int(c), [float(x) for x in row])
              for c, row in zip(cids, C)],
             "cid long, ce array<float>",
@@ -1705,7 +1721,8 @@ class VectorIndex:
                 CB = CB - C[rows]
             CBm = CB.reshape(ksub, pq_m, dsub).transpose(1, 0, 2)
             cv_type = "array<double>" if residual else "array<float>"
-            cb_df = self.spark.createDataFrame(
+            cb_df = one_slice_df(
+                self.spark,
                 [(s, c, [float(x) for x in CBm[s, c]])
                  for s in range(pq_m) for c in range(ksub)],
                 f"s int, code int, cv {cv_type}",
@@ -1906,7 +1923,8 @@ class VectorIndex:
                     "cos double, rank int")
         probe_buckets, all_buckets = self._route_buckets(
             ns, queries, nprobe, doc)
-        qdf = self.spark.createDataFrame(
+        qdf = one_slice_df(
+            self.spark,
             [(int(qid), [float(x) for x in qv], bs)
              for (qid, qv), bs in zip(queries, probe_buckets)],
             "query_id long, qe array<float>, probed array<long>",
