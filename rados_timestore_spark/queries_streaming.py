@@ -114,9 +114,14 @@ class _few_state_partitions:
     pure fixed overhead at fixture scale (measured ~4x on the
     availableNow queries here).  Production streams keep the session
     default — state partition count is a deployment knob, sized to
-    keys/executor, not hardcoded."""
+    keys/executor, not hardcoded.
 
-    def __init__(self, spark: SparkSession, n: int = 4):
+    n=8 (r14): with the per-group Python work now the dominant term
+    (state kernels skip silent-group emissions), 8 partitions beat 4
+    by ~1.5 s on streaming_ewma (5.1 s vs 6.6 s; 16 measures the same
+    as 8 — the curve is flat above 8 at fixture scale)."""
+
+    def __init__(self, spark: SparkSession, n: int = 8):
         self.spark, self.n = spark, n
 
     def __enter__(self):

@@ -272,11 +272,14 @@ def _asof_update(key, pdfs, state: GroupState, horizon_us: int):
         [t for t, _ in pending], [i for _, i in pending],
         frontier,
     ))
-    yield pd.DataFrame(
-        out_rows,
-        columns=["purchase_id", "user_id", "purchase_t", "view_id",
-                 "view_t"],
-    )
+    if out_rows:
+        # silent key-groups (nothing matched/finalized this batch)
+        # skip the per-group pd.DataFrame construction entirely
+        yield pd.DataFrame(
+            out_rows,
+            columns=["purchase_id", "user_id", "purchase_t", "view_id",
+                     "view_t"],
+        )
 
 
 def _asof_update_exact(key, pdfs, state: GroupState, horizon_us: int,
@@ -343,11 +346,14 @@ def _asof_update_exact(key, pdfs, state: GroupState, horizon_us: int,
         [t for t, _ in pending], [i for _, i in pending],
         frontier,
     ))
-    yield pd.DataFrame(
-        out_rows,
-        columns=["purchase_id", "user_id", "purchase_t", "view_id",
-                 "view_t"],
-    )
+    if out_rows:
+        # silent key-groups (nothing matched/finalized this batch)
+        # skip the per-group pd.DataFrame construction entirely
+        yield pd.DataFrame(
+            out_rows,
+            columns=["purchase_id", "user_id", "purchase_t", "view_id",
+                     "view_t"],
+        )
 
 
 _ASOF_CORR_STATE = StructType([
@@ -452,11 +458,14 @@ def _asof_update_corrections(key, pdfs, state: GroupState,
         [matched[k][0] for k in mt_], [matched[k][1] for k in mt_],
         frontier,
     ))
-    yield pd.DataFrame(
-        out_rows,
-        columns=["purchase_id", "user_id", "purchase_t", "view_id",
-                 "view_t"],
-    )
+    if out_rows:
+        # silent key-groups (nothing matched/finalized this batch)
+        # skip the per-group pd.DataFrame construction entirely
+        yield pd.DataFrame(
+            out_rows,
+            columns=["purchase_id", "user_id", "purchase_t", "view_id",
+                     "view_t"],
+        )
 
 
 def _asof_update_wm(key, pdfs, state: GroupState, horizon_us: int):
@@ -525,11 +534,14 @@ def _asof_update_wm(key, pdfs, state: GroupState, horizon_us: int):
         # or below it); the max() guards the ms-rounding edge.
         ms = min(t for t, _ in pending) // 1000 + 1
         state.setTimeoutTimestamp(max(ms, state.getCurrentWatermarkMs() + 1))
-    yield pd.DataFrame(
-        out_rows,
-        columns=["purchase_id", "user_id", "purchase_t", "view_id",
-                 "view_t"],
-    )
+    if out_rows:
+        # silent key-groups (nothing matched/finalized this batch)
+        # skip the per-group pd.DataFrame construction entirely
+        yield pd.DataFrame(
+            out_rows,
+            columns=["purchase_id", "user_id", "purchase_t", "view_id",
+                     "view_t"],
+        )
 
 
 def stream_asof_join(
@@ -852,8 +864,14 @@ def _tail_window_update(key, pdfs, state: GroupState, delay_us: int,
         [t for t, _, _ in pending], [e for _, e, _ in pending],
         [v for _, _, v in pending], tail, frontier,
     ))
-    yield pd.DataFrame(out, columns=["event_id", "user_id", "t",
-                                     *out_cols])
+    if out:
+        # Nothing finalizes in most micro-batches (rows buffer until
+        # the frontier passes t + delay_us), and a pd.DataFrame
+        # construction per silent key-group costs ~0.3 ms x keys x
+        # batches — yield only when there is something to emit.
+        cols = ["event_id", "user_id", "t", *out_cols]
+        yield pd.DataFrame(
+            {c: [row[j] for row in out] for j, c in enumerate(cols)})
 
 
 def _ewma_fold(depth: int):
