@@ -989,15 +989,22 @@ class TimeStore:
             .withColumn("epoch", epoch_col)
             .withColumn("bucket", bucket_col)
         )
+        # Shaped like write_points (one task/file per layout group —
+        # a backfill routes to MANY epochs, so unshaped it writes up
+        # to tasks x epochs x buckets files); the observe sits above
+        # the exchange, directly under the write (empty-batch metrics
+        # trap, see write_points).
         obs = Observation()
-        routed = routed.observe(obs, F.max("seq").alias("max_seq"))
+        shaped = shape_rewrite(routed, meta.part_cols(), 1,
+                               ("address", "time")).observe(
+            obs, F.max("seq").alias("max_seq"))
         # Direct append is safe HERE: bulk backfill is a single-writer
         # maintenance verb (it installs a new index wholesale — two
         # concurrent backfills already conflict semantically), so no
         # second job can share this committer's _temporary tree.  The
         # concurrent path (write_points) stages + promotes instead.
         (
-            routed.write.mode("append")
+            shaped.write.mode("append")
             .partitionBy(*meta.part_cols())
             .parquet(self._points_dir(ns, meta))
         )
