@@ -1829,10 +1829,43 @@ class VectorIndex:
         Caller contract: every probe entry (_probe_impl,
         _probe_pq_impl) runs ``_restore_remnants`` FIRST — this
         helper does not repeat it (r14 review: the double restore
-        doubled the driver-side metadata RPCs on the hot path)."""
+        doubled the driver-side metadata RPCs on the hot path).
+
+        The reader gets the PROBED bucket directories as explicit
+        sub-paths (``basePath`` keeps ``bucket`` a partition column),
+        so driver-side planning lists O(probed) directories instead
+        of running hive discovery over all k — at k=4096 the
+        full-dir listing is thousands of metadata RPCs per probe for
+        directories the ``IN`` predicate then discards anyway.  The
+        ``isin`` filter stays on top: it is what the PartitionFilters
+        plan pin (tests/test_plans.py) asserts, and it keeps the
+        rare fallback below identical in meaning.  Probed buckets
+        with no directory (never assigned, or emptied by delete)
+        contributed nothing under the full read and are simply not
+        listed here — same rows either way.  Degenerate windows
+        (every probed dir missing or holding no data file yet) fall
+        back to the full-directory read, which reproduces the old
+        behavior exactly."""
+        live = self._assignments_dir(ns)
+        want = {f"bucket={int(b)}" for b in all_buckets}
+        have = want.intersection(self.fs.list_dirs(live))
+        scan = None
+        if have:
+            try:
+                scan = (
+                    self.spark.read.option("basePath", live)
+                    .parquet(*sorted(f"{live}/{name}" for name in have))
+                )
+            except Exception:
+                # probed dirs exist but hold no data files (swept
+                # crash window): UNABLE_TO_INFER_SCHEMA — take the
+                # full read, whose caller-side _has_buckets guard
+                # already proved SOME bucket has data
+                scan = None
+        if scan is None:
+            scan = self.spark.read.parquet(live)
         scan = (
-            self.spark.read.parquet(self._assignments_dir(ns))
-            .filter(F.col("bucket").isin(all_buckets))
+            scan.filter(F.col("bucket").isin(all_buckets))
             .withColumn("bucket", F.col("bucket").cast("long"))
         )
         if where is not None:
