@@ -817,7 +817,8 @@ class HNSWIndex:
         # (a retry re-appends the vector rows); schedule serially and
         # prefer the VectorIndex.append_batch pattern for
         # exactly-once streaming ingest.
-        (new.write.mode("append").partitionBy("shard").parquet(vdir))
+        (new.repartition(len(affected), "shard")
+         .write.mode("append").partitionBy("shard").parquet(vdir))
         for s in affected:
             old_dir = f"{gdir}/shard={s}.old"
             if self.fs.exists(f"{gdir}/shard={s}"):
@@ -944,7 +945,11 @@ class HNSWIndex:
                 stage = f"{vdir}.batch_{_tag}{int(batch_id)}"
                 if self.fs.exists(stage):
                     self.fs.delete(stage, recursive=True)
-                (to_store.write.mode("overwrite").partitionBy("shard")
+                # one task per touched shard (the build-write shape):
+                # the staged file count is bounded by the batch's
+                # shard fan-out at any source parallelism (guide §6)
+                (to_store.repartition(len(store_shards), "shard")
+                 .write.mode("overwrite").partitionBy("shard")
                  .parquet(stage))
                 self.fs.promote_dir_tree(stage, vdir, prefix=prefix)
                 self.fs.delete(stage, recursive=True)

@@ -858,6 +858,14 @@ class VectorIndex:
         # the empty-metrics toPyRow trap cannot fire.
         from pyspark.sql import Observation
 
+        # hash-distribute buckets before the partitioned write (the
+        # compact shape): each bucket lands in exactly one task, so
+        # the file count is k at ANY input parallelism — unshaped,
+        # the corpus scan's tasks each open every bucket directory
+        # (tasks x k tiny files at scale; serially-committed dirs on
+        # a narrow local read).  The observe sits between the
+        # exchange and the write, directly under the write as before.
+        assigned = assigned.repartition("bucket")
         obs = Observation()
         assigned = assigned.observe(
             obs, F.count(F.lit(1)).alias("n_rows"))
@@ -903,7 +911,7 @@ class VectorIndex:
             pq_cb=(self._load_pq(ns, doc)
                    if "pq" in doc else None),
             pq_residual=bool(doc.get("pq", {}).get("residual")))
-        (assigned.write.mode("append")
+        (assigned.repartition("bucket").write.mode("append")
          .partitionBy("bucket").parquet(self._assignments_dir(ns)))
         # recount, don't increment: keeps `n_vectors == count(rows)`
         # an invariant even after a crash-and-retry of this
@@ -990,7 +998,7 @@ class VectorIndex:
         # cache route and its query-scoped lifecycle doesn't fit an
         # index verb); the dedup then rewrites the stage from the
         # stage itself, so assignment runs exactly once.
-        (assigned.write.mode("overwrite")
+        (assigned.repartition("bucket").write.mode("overwrite")
          .partitionBy("bucket").parquet(stage))
         # The per-batch file prefix must be scoped like the fence:
         # two lineages both have a "batch 0", and an unscoped b0-
@@ -1036,7 +1044,7 @@ class VectorIndex:
             dstage = f"{stage}.dedup"
             if self.fs.exists(dstage):
                 self.fs.delete(dstage, recursive=True)
-            (fresh.write.mode("overwrite")
+            (fresh.repartition("bucket").write.mode("overwrite")
              .partitionBy("bucket").parquet(dstage))
             self.fs.delete(stage, recursive=True)
             if not self.fs.rename(dstage, stage):
@@ -1741,9 +1749,19 @@ class VectorIndex:
             stored, cids, C, dim, meta_cols=meta_cols,
             pq_cb=CBm,
             pq_residual=bool(doc.get("pq", {}).get("residual", False)))
+        # one-task-per-bucket shape + piggybacked row count (the
+        # build pattern): no stage re-read just to count, and the
+        # file count is k at any input parallelism.  Retrain rejects
+        # running on a never-built index, so the input is non-empty
+        # and the empty-metrics toPyRow trap cannot fire.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        assigned = assigned.repartition("bucket").observe(
+            obs, F.count(F.lit(1)).alias("n_rows"))
         (assigned.write.mode("overwrite")
          .partitionBy("bucket").parquet(assign_stage))
-        n = int(self.spark.read.parquet(assign_stage).count())
+        n = int(obs.get["n_rows"] or 0)
 
         target = dict(doc)  # PRESERVES batch_fences/last_batch_id
         target["k"] = int(len(cids))
