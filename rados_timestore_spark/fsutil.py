@@ -291,6 +291,13 @@ class HadoopFS:
                                 prefix: str) -> int:
         import os as _os
 
+        # Parity with the Hadoop path, where fs.listFiles raises on a
+        # missing stage dir: os.walk would silently yield nothing and
+        # a caller could commit meta for a batch whose files were
+        # never promoted.
+        if not _os.path.isdir(stage):
+            raise IOError(
+                f"promote_dir_tree: stage dir missing: {stage}")
         moved = 0
         for base, _dirs, files in _os.walk(stage):
             rel_dir = _os.path.relpath(base, stage)
@@ -302,12 +309,32 @@ class HadoopFS:
                 if not made:
                     _os.makedirs(tdir, exist_ok=True)
                     made = True
+                src = _os.path.join(base, fn)
                 target = _os.path.join(tdir, prefix + fn)
-                if _os.path.exists(target):
+                try:
+                    # link(2) refuses an existing target ATOMICALLY —
+                    # POSIX rename(2) silently replaces one, so an
+                    # exists()+rename pair would have a TOCTOU window
+                    # in which a concurrent promote's file is
+                    # clobbered.  A crash between link and unlink
+                    # leaves the file in both trees; the caller's
+                    # prefix sweep + whole-batch retry already covers
+                    # that (same recovery as a half-done promote).
+                    _os.link(src, target)
+                except FileExistsError:
                     raise IOError(
                         f"promote_dir_tree: rename failed "
-                        f"{_os.path.join(base, fn)} -> {target}")
-                _os.rename(_os.path.join(base, fn), target)
+                        f"{src} -> {target}")
+                except OSError:
+                    # filesystem without hardlinks: keep the
+                    # best-effort guard + plain rename
+                    if _os.path.exists(target):
+                        raise IOError(
+                            f"promote_dir_tree: rename failed "
+                            f"{src} -> {target}")
+                    _os.rename(src, target)
+                else:
+                    _os.unlink(src)
                 moved += 1
         return moved
 

@@ -21,6 +21,9 @@ sys.path.insert(0, REPO)
 
 
 def main() -> None:
+    if len(sys.argv) < 2:
+        sys.exit("usage: python tools/capture_plans.py <suffix> "
+                 "[query ...]")
     suffix = sys.argv[1]
     only = set(sys.argv[2:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -35,7 +38,12 @@ def main() -> None:
     mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted")
 
-    for name, fn in registry.bench_queries().items():
+    bench = registry.bench_queries()
+    unknown = only - set(bench)
+    if unknown:
+        sys.exit(f"unknown bench queries: {sorted(unknown)} "
+                 f"(known: {sorted(bench)})")
+    for name, fn in bench.items():
         if only and name not in only:
             continue
         spark.catalog.clearCache()
