@@ -369,14 +369,24 @@ class MutableKV:
 
     def enumerate(self) -> DataFrame:
         """All (key, value) pairs at their latest version
-        (Mutable.hs:105-119) — one latest-per-key aggregate scan."""
-        pdir = self.store._points_dir(self.ns)
+        (Mutable.hs:105-119) — one latest-per-key aggregate scan.
+
+        When the live generation is a prior merge/vacuum's output
+        (``_Meta.kv_folded`` — every surviving chain exactly one
+        non-tombstone row, the same invariant the merge fold-skip
+        fast path keys on), the argmax is the identity and its
+        shuffle is skipped: the folded view scans straight through.
+        Any raw append clears the flag under the same CAS flip as the
+        rows, so the flag and the data can never disagree."""
+        meta = self.store._read_meta(self.ns)
+        pdir = self.store._points_dir(self.ns, meta)
         if not self.store.fs.is_dir(pdir):
             return self.store.spark.createDataFrame(
                 [], "address long, time long, payload binary"
             )
         df = self.store.spark.read.parquet(pdir).filter(F.col("kind") == 1)
-        out = latest_per_key(df, payload_cols=("payload",))
+        out = (df if meta.kv_folded
+               else latest_per_key(df, payload_cols=("payload",)))
         return out.filter(F.col("payload").isNotNull()).select(
             F.col("address").alias("key"), F.col("payload").alias("value")
         )

@@ -963,3 +963,49 @@ def test_kv_maintain_noop_then_heals_and_converges(store):
     assert st["rows"] == st["live_after_vacuum"] == 2
     assert st["folded"] is True
     assert kv.maintain()["action"] == "none"   # converged
+
+
+def test_enumerate_folded_identity_path(store):
+    # r14 optimization: on a merge/vacuum generation (_Meta.kv_folded
+    # — every surviving chain exactly one non-tombstone row, the
+    # invariant the merge fold-skip fast path already trusts),
+    # enumerate skips the latest-per-key argmax shuffle.  Laws: the
+    # folded plan has NO Exchange; its rows equal the general argmax
+    # path over the same generation; a raw append (which clears the
+    # flag under the same CAS flip) restores both the aggregate and
+    # last-write-wins reads.
+    import pyspark.sql.functions as F
+
+    from rados_timestore_spark.core import latest_per_key
+
+    kv = MutableKV(store, "FOLD")
+    keys = list(range(1, 25, 2))  # odd: key | 1 is the identity
+    kv.insert_bulk(store.spark.createDataFrame(
+        [(k, bytearray(f"v{k}", "ascii")) for k in keys],
+        "key long, value binary"))
+    ups = store.spark.createDataFrame(
+        [(k, bytearray(b"U")) for k in keys[::3]], "key long, value binary")
+    kv.merge_into(ups, lambda new, old: old + new)
+    assert store._read_meta(kv.ns).kv_folded
+
+    folded = kv.enumerate()
+    plan = folded._jdf.queryExecution().simpleString()
+    assert "Exchange" not in plan, plan
+
+    pdir = store._points_dir(kv.ns)
+    df = store.spark.read.parquet(pdir).filter(F.col("kind") == 1)
+    general = (latest_per_key(df, payload_cols=("payload",))
+               .filter(F.col("payload").isNotNull())
+               .select(F.col("address").alias("key"),
+                       F.col("payload").alias("value")))
+    got = {r.key: bytes(r.value) for r in folded.collect()}
+    want = {r.key: bytes(r.value) for r in general.collect()}
+    assert got == want and len(got) == len(keys)
+    for k in keys[::3]:
+        assert got[k] == bytes(f"v{k}", "ascii") + b"U"
+
+    kv.insert(keys[0], b"later")  # raw append: flag must clear
+    assert not store._read_meta(kv.ns).kv_folded
+    got2 = {r.key: bytes(r.value) for r in kv.enumerate().collect()}
+    want[keys[0]] = b"later"
+    assert got2 == want
