@@ -884,21 +884,31 @@ class MutableKV:
             allow_missing=batch_id is not None)
 
     def enumerate_versions(self) -> DataFrame:
-        pdir = self.store._points_dir(self.ns)
+        # Folded views (see :meth:`enumerate`) skip the argmax: one
+        # row per chain and no tombstone rows, so the head IS the row.
+        meta = self.store._read_meta(self.ns)
+        pdir = self.store._points_dir(self.ns, meta)
         if not self.store.fs.is_dir(pdir):
             return self.store.spark.createDataFrame(
                 [], "key long, time long, payload binary"
             )
         df = self.store.spark.read.parquet(pdir).filter(F.col("kind") == 1)
-        out = latest_per_key(df, payload_cols=("payload",))
+        out = (df if meta.kv_folded
+               else latest_per_key(df, payload_cols=("payload",)))
         return out.select(F.col("address").alias("key"), "time", "payload")
 
     def merge_with(self, merge: Callable[[bytes, bytes], bytes]) -> DataFrame:
         """Scalable fold of the whole version chain per key: applies
         ``merge`` pairwise from oldest to newest (the result every
         sequence of ``insertWith merge`` calls would have produced).
-        One shuffle + one Arrow-batched pass (``applyInPandas``)."""
-        pdir = self.store._points_dir(self.ns)
+        One shuffle + one Arrow-batched pass (``applyInPandas``).
+
+        On a folded view (``_Meta.kv_folded``, see :meth:`enumerate`)
+        every chain is a single non-tombstone row and the fold of a
+        one-element chain is that element for ANY ``merge`` — the
+        shuffle and the Python crossing are both skipped."""
+        meta = self.store._read_meta(self.ns)
+        pdir = self.store._points_dir(self.ns, meta)
         if not self.store.fs.is_dir(pdir):
             return self.store.spark.createDataFrame([], "key long, value binary")
         df = (
@@ -906,6 +916,10 @@ class MutableKV:
             .filter(F.col("kind") == 1)
             .select("address", "time", "seq", "payload")
         )
+        if meta.kv_folded:
+            return df.filter(F.col("payload").isNotNull()).select(
+                F.col("address").alias("key"),
+                F.col("payload").alias("value"))
 
         def fold(pdf: pd.DataFrame) -> dict | None:
             # rows arrive pre-sorted by (time, seq)

@@ -1004,6 +1004,15 @@ def test_enumerate_folded_identity_path(store):
     for k in keys[::3]:
         assert got[k] == bytes(f"v{k}", "ascii") + b"U"
 
+    # the same invariant serves enumerate_versions and merge_with:
+    # one row per chain, so the head/fold is the row itself
+    vers = kv.enumerate_versions()
+    assert "Exchange" not in vers._jdf.queryExecution().simpleString()
+    assert ({r.key: bytes(r.payload) for r in vers.collect()} == want)
+    mw = kv.merge_with(lambda new, old: old + b"!" + new)
+    assert "Exchange" not in mw._jdf.queryExecution().simpleString()
+    assert {r.key: bytes(r.value) for r in mw.collect()} == want
+
     kv.insert(keys[0], b"later")  # raw append: flag must clear
     assert not store._read_meta(kv.ns).kv_folded
     got2 = {r.key: bytes(r.value) for r in kv.enumerate().collect()}
