@@ -367,6 +367,30 @@ class MutableKV:
         return (None if payload is None else bytes(payload),
                 int(row[0]["time"]))
 
+    def _read_generation(self, pdir: str, folded: bool) -> DataFrame:
+        """Scan the live points generation; when the caller is about
+        to trust ``_Meta.kv_folded`` (identity fast path, no argmax),
+        pin the scan to the generation rewrite's OWN files.
+
+        A concurrent :meth:`TimeStore.write_points` makes its raw rows
+        visible by promoting ``s<batch>-part-*`` files into the live
+        dir BEFORE the meta CAS that clears ``kv_folded``; a reader
+        that snapshotted meta (flag still true) and then lists the
+        directory would otherwise scan multi-row chains without the
+        argmax — returning both the folded head and the uncommitted
+        raw version(s), a state no serial history produces (VERDICT
+        r14 #2).  Generation rewrites write plain ``part-*`` files and
+        every concurrent append promotes with an ``s``-prefix, so a
+        ``pathGlobFilter`` restores snapshot isolation: the folded
+        read sees exactly the committed generation.  (The non-folded
+        argmax path keeps the full listing — it is self-consistent by
+        construction, and bulk backfill's direct ``part-*`` appends
+        are a documented single-writer maintenance verb.)"""
+        reader = self.store.spark.read
+        if folded:
+            reader = reader.option("pathGlobFilter", "part-*")
+        return reader.parquet(pdir)
+
     def enumerate(self) -> DataFrame:
         """All (key, value) pairs at their latest version
         (Mutable.hs:105-119) — one latest-per-key aggregate scan.
@@ -377,14 +401,18 @@ class MutableKV:
         fast path keys on), the argmax is the identity and its
         shuffle is skipped: the folded view scans straight through.
         Any raw append clears the flag under the same CAS flip as the
-        rows, so the flag and the data can never disagree."""
+        rows; the folded scan is additionally pinned to the
+        generation rewrite's own files (see :meth:`_read_generation`)
+        so an append whose files are promoted but whose CAS has not
+        landed yet cannot leak raw rows into a folded read."""
         meta = self.store._read_meta(self.ns)
         pdir = self.store._points_dir(self.ns, meta)
         if not self.store.fs.is_dir(pdir):
             return self.store.spark.createDataFrame(
                 [], "address long, time long, payload binary"
             )
-        df = self.store.spark.read.parquet(pdir).filter(F.col("kind") == 1)
+        df = self._read_generation(pdir, meta.kv_folded).filter(
+            F.col("kind") == 1)
         out = (df if meta.kv_folded
                else latest_per_key(df, payload_cols=("payload",)))
         return out.filter(F.col("payload").isNotNull()).select(
@@ -886,13 +914,16 @@ class MutableKV:
     def enumerate_versions(self) -> DataFrame:
         # Folded views (see :meth:`enumerate`) skip the argmax: one
         # row per chain and no tombstone rows, so the head IS the row.
+        # The folded scan is pinned to the generation's own files
+        # (_read_generation) so an in-flight append cannot leak.
         meta = self.store._read_meta(self.ns)
         pdir = self.store._points_dir(self.ns, meta)
         if not self.store.fs.is_dir(pdir):
             return self.store.spark.createDataFrame(
                 [], "key long, time long, payload binary"
             )
-        df = self.store.spark.read.parquet(pdir).filter(F.col("kind") == 1)
+        df = self._read_generation(pdir, meta.kv_folded).filter(
+            F.col("kind") == 1)
         out = (df if meta.kv_folded
                else latest_per_key(df, payload_cols=("payload",)))
         return out.select(F.col("address").alias("key"), "time", "payload")
@@ -906,13 +937,15 @@ class MutableKV:
         On a folded view (``_Meta.kv_folded``, see :meth:`enumerate`)
         every chain is a single non-tombstone row and the fold of a
         one-element chain is that element for ANY ``merge`` — the
-        shuffle and the Python crossing are both skipped."""
+        shuffle and the Python crossing are both skipped.  The folded
+        scan is pinned to the generation's own files
+        (:meth:`_read_generation`) so an in-flight append cannot leak."""
         meta = self.store._read_meta(self.ns)
         pdir = self.store._points_dir(self.ns, meta)
         if not self.store.fs.is_dir(pdir):
             return self.store.spark.createDataFrame([], "key long, value binary")
         df = (
-            self.store.spark.read.parquet(pdir)
+            self._read_generation(pdir, meta.kv_folded)
             .filter(F.col("kind") == 1)
             .select("address", "time", "seq", "payload")
         )

@@ -1018,3 +1018,54 @@ def test_enumerate_folded_identity_path(store):
     got2 = {r.key: bytes(r.value) for r in kv.enumerate().collect()}
     want[keys[0]] = b"later"
     assert got2 == want
+
+
+def test_enumerate_folded_promote_interleave(store):
+    # VERDICT r14 #2: write_points promotes raw files into the live
+    # points dir BEFORE the meta CAS that clears kv_folded, so a
+    # reader that snapshots meta (flag still true) can observe the
+    # directory mid-window — after a concurrent append's promote,
+    # before its CAS.  The folded fast path must return exactly the
+    # committed generation (one row per key, folded payloads), never
+    # the uncommitted raw rows: old + new for the same key is a state
+    # no serial history produces.  Freezing the CAS reproduces the
+    # window deterministically (it is also the permanent state a
+    # writer crash between promote and CAS leaves behind).
+    kv = MutableKV(store, "RACE")
+    keys = list(range(1, 19, 2))
+    kv.insert_bulk(store.spark.createDataFrame(
+        [(k, bytearray(f"v{k}", "ascii")) for k in keys],
+        "key long, value binary"))
+    kv.merge_into(
+        store.spark.createDataFrame([(keys[0], bytearray(b"M"))],
+                                    "key long, value binary"),
+        lambda new, old: old + new)
+    assert store._read_meta(kv.ns).kv_folded
+    want = {r.key: bytes(r.value) for r in kv.enumerate().collect()}
+    assert want[keys[0]] == bytes(f"v{keys[0]}", "ascii") + b"M"
+
+    real_cas = store._write_meta_cas
+    store._write_meta_cas = lambda ns, meta: None  # promote lands, CAS frozen
+    try:
+        kv.insert(keys[0], b"uncommitted")
+    finally:
+        store._write_meta_cas = real_cas
+    assert store._read_meta(kv.ns).kv_folded  # mid-window snapshot
+
+    rows = kv.enumerate().collect()
+    assert len(rows) == len(want)  # no duplicate keys from raw rows
+    assert {r.key: bytes(r.value) for r in rows} == want
+    vers = kv.enumerate_versions().collect()
+    assert len(vers) == len(want)
+    assert {r.key: bytes(r.payload) for r in vers} == want
+    mw = kv.merge_with(lambda new, old: old + b"!" + new).collect()
+    assert {r.key: bytes(r.value) for r in mw} == want
+
+    # once an append COMMITS, the flag clears and the argmax path
+    # takes over: raw rows (including the formerly in-flight one)
+    # become visible with last-write-wins
+    kv.insert(keys[0], b"committed")
+    assert not store._read_meta(kv.ns).kv_folded
+    got = {r.key: bytes(r.value) for r in kv.enumerate().collect()}
+    want[keys[0]] = b"committed"
+    assert got == want
