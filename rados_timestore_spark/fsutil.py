@@ -338,6 +338,102 @@ class HadoopFS:
                 moved += 1
         return moved
 
+    def clone_dir_tree(self, src: str, dest: str) -> int:
+        """Make every DATA file under ``src`` visible under ``dest``
+        at the same relative path WITHOUT touching ``src`` (hidden
+        ``_``/``.`` entries skipped); returns the clone count.
+
+        The incremental-rewrite primitive (VERDICT r14 #3): a pruned
+        generation rewrite carries forward the partitions its
+        transform did not touch.  The source tree must stay live and
+        byte-identical — readers may be scanning it, and a crash
+        before the meta flip must leave the old generation exactly as
+        committed — so this is never a rename.  On ``file://`` each
+        clone is a hardlink (metadata-rate however large the
+        partition; deleting the old generation afterwards just drops
+        one name from the shared inode).  Elsewhere it is a
+        whole-object server-side copy (``FileUtil.copy`` without
+        deleteSource — the object-store COPY verb): no Spark job, no
+        cluster compute, O(bytes) on the storage backend only, which
+        at 100 TB is the difference between a metadata operation and
+        shuffling every untouched row through the cluster."""
+        src_p = self.fs.makeQualified(self._path(src))
+        dest_p = self.fs.makeQualified(self._path(dest))
+        if src_p.toUri().getScheme() == "file":
+            import os as _os
+            import shutil as _sh
+
+            sroot = src_p.toUri().getPath()
+            droot = dest_p.toUri().getPath()
+            if not _os.path.isdir(sroot):
+                raise IOError(f"clone_dir_tree: src dir missing: {sroot}")
+            cloned = 0
+            for base, _dirs, files in _os.walk(sroot):
+                rel = _os.path.relpath(base, sroot)
+                tdir = droot if rel == "." else _os.path.join(droot, rel)
+                made = False
+                for fn in sorted(files):
+                    if fn.startswith(("_", ".")):
+                        continue
+                    if not made:
+                        _os.makedirs(tdir, exist_ok=True)
+                        made = True
+                    s = _os.path.join(base, fn)
+                    t = _os.path.join(tdir, fn)
+                    try:
+                        # link(2) refuses an existing target atomically
+                        # (same no-clobber contract as promote)
+                        _os.link(s, t)
+                    except FileExistsError:
+                        raise IOError(
+                            f"clone_dir_tree: target exists: {t}")
+                    except OSError:
+                        # filesystem without hardlinks: real copy
+                        if _os.path.exists(t):
+                            raise IOError(
+                                f"clone_dir_tree: target exists: {t}")
+                        _sh.copy2(s, t)
+                    cloned += 1
+            return cloned
+        src_q = src_p.toString()
+        dest_q = dest_p.toString()
+        copies: list[tuple] = []
+        made_dirs: set[str] = set()
+        it = self.fs.listFiles(self._path(src), True)
+        while it.hasNext():
+            f = it.next().getPath()
+            if f.getName().startswith(("_", ".")):
+                continue
+            rel = f.toString()[len(src_q) + 1:]
+            target = f"{dest_q}/{rel}"
+            made_dirs.add(target.rsplit("/", 1)[0])
+            copies.append((f, target))
+        for parent in sorted(made_dirs):
+            self.fs.mkdirs(self._path(parent))
+        FileUtil = self._jvm.org.apache.hadoop.fs.FileUtil
+
+        def cp(pair) -> None:
+            f, target = pair
+            # deleteSource=False, overwrite=False: the source stays
+            # live and an existing target is an error, like promote
+            ok = FileUtil.copy(self.fs, f, self.fs, self._path(target),
+                               False, False, self._conf)
+            if not ok:
+                raise IOError(
+                    f"clone_dir_tree: copy failed {f} -> {target}")
+
+        if len(copies) > 4:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                    max_workers=min(16, len(copies))) as pool:
+                for _ in pool.map(cp, copies):
+                    pass
+        else:
+            for pair in copies:
+                cp(pair)
+        return len(copies)
+
     def sweep_files(self, dest: str, prefix: str) -> int:
         """Delete every file under ``dest`` whose basename starts with
         ``prefix``; returns the delete count.  The undo of a partial

@@ -686,6 +686,34 @@ class MutableKV:
         )
         idx = self.store.index(self.ns)
 
+        # Bucket-pruned incremental rewrite (r15, VERDICT r14 #3): in
+        # the folded steady state every untouched chain is a single
+        # already-folded row, so rewriting an untouched BUCKET is the
+        # identity on its files — the rewrite can prune its scan and
+        # its write to the buckets holding batch keys and carry every
+        # other bucket forward at metadata rate (hardlink / server-side
+        # copy, see TimeStore._rewrite_generation).  Correctness needs
+        # placement to be time-independent so a merged head can never
+        # migrate out of the pruned set: gated on a single-entry,
+        # non-dual index (epoch and bucket count constant — bucket is
+        # then a pure function of the address, and the KV layout is
+        # exactly that fixed single-epoch 128-bucket map).  The
+        # touched-bucket set costs one bounded aggregate over the
+        # batch keys (<= n_buckets rows however large the batch).
+        prune = None
+        if (folded_steady and not meta0.dual
+                and len(meta0.index_for(1).entries) == 1):
+            from rados_timestore_spark.core import word64_pmod
+
+            e0, b0 = meta0.index_for(1).entries[0]
+            brows = (
+                updates.select(
+                    word64_pmod(
+                        F.col("key").bitwiseAND(F.lit(-2)),
+                        F.lit(int(b0))).alias("__b"))
+                .distinct().collect())
+            prune = [(int(e0), int(r["__b"])) for r in brows]
+
         def fold_partition(batches):
             # Partition-local partial fold for the associative path:
             # ONE Python invocation per Arrow batch with the per-key
@@ -858,7 +886,8 @@ class MutableKV:
 
             self.store._rewrite_generation(
                 self.ns, transform_assoc, meta_update=_fence,
-                allow_missing=batch_id is not None)
+                allow_missing=batch_id is not None,
+                prune_partitions=prune)
             return
 
         def transform(df: DataFrame) -> DataFrame:
@@ -909,7 +938,8 @@ class MutableKV:
 
         self.store._rewrite_generation(
             self.ns, transform, meta_update=_fence,
-            allow_missing=batch_id is not None)
+            allow_missing=batch_id is not None,
+            prune_partitions=prune)
 
     def enumerate_versions(self) -> DataFrame:
         # Folded views (see :meth:`enumerate`) skip the argmax: one

@@ -619,6 +619,16 @@ class TimeStore:
                     # caller re-runs the batch, rewriting the files
                     # (r8 review finding).
                     raise
+                if fresh.points_version != meta.points_version:
+                    # A generation rewrite (compact/vacuum/merge_into)
+                    # flipped between our promote and this CAS: our
+                    # files went into the OLD generation dir, which the
+                    # winner deleted after its flip.  Folding our
+                    # watermarks into the fresh doc would commit a
+                    # batch whose rows no longer exist (r15 review —
+                    # silent data loss).  Refuse; the caller re-runs
+                    # the batch against the live generation.
+                    raise
                 meta = fresh  # re-fold our maxima into the fresh doc
 
         self._maybe_rollover(ns, meta, retries=retries)
@@ -1420,6 +1430,7 @@ class TimeStore:
                                 "address", "time"),
                             meta_update=None,
                             allow_missing: bool = False,
+                            prune_partitions=None,
                             ) -> None:
         """Shared generation-flip rewrite: read the live points
         generation, apply ``transform`` (row-preserving or
@@ -1428,13 +1439,34 @@ class TimeStore:
         the meta pointer atomically (txn-CAS), delete the old dir.
         Crash-safe at every step: before the flip the old generation
         stays live (the new dir is a gc-able orphan); after it, only
-        the old dir remains to delete."""
+        the old dir remains to delete.
+
+        ``prune_partitions`` (r15, VERDICT r14 #3 — the incremental
+        rewrite): an explicit list of ``(epoch, bucket)`` pairs that
+        are the ONLY partitions ``transform`` reads or emits.  The
+        scan is pruned to those partition directories, the write emits
+        only them, and every other partition of the old generation is
+        carried into the new one by :meth:`fsutil.HadoopFS
+        .clone_dir_tree` — a hardlink on ``file://``, a server-side
+        whole-object copy elsewhere; never a Spark job.  The CALLER
+        owns the correctness proof that untouched partitions are
+        byte-preservable (merge_into's folded steady state: single-
+        epoch index, constant bucket count, untouched chains already
+        one folded row — so their rewrite is the identity).  Crash
+        windows are unchanged: the clone populates the same
+        not-yet-live ``points_v{v+1}`` orphan the write does, and the
+        flip/delete sequence is identical.  Only plain
+        ``(epoch, bucket)`` layouts qualify; dual-index (``kind``-led)
+        layouts fall back to the full rewrite."""
         from pyspark.sql import Observation
 
         from rados_timestore_spark.core import kind_col
 
         meta = self._read_meta(ns)
         pdir = self._points_dir(ns, meta)
+        if prune_partitions is not None and meta.part_cols() != (
+                "epoch", "bucket"):
+            prune_partitions = None
         if not self.fs.is_dir(pdir):
             if not allow_missing:
                 return
@@ -1445,6 +1477,18 @@ class TimeStore:
             # to commit data and fence in two separate writes, exactly
             # the crash window the fence exists to close.
             df = self.spark.createDataFrame([], _scan_schema())
+            prune_partitions = None
+        elif prune_partitions is not None:
+            subs = [f"{pdir}/epoch={int(e)}/bucket={int(b)}"
+                    for e, b in prune_partitions]
+            subs = [d for d in subs if self.fs.is_dir(d)]
+            if subs:
+                # basePath keeps epoch/bucket as partition columns on
+                # the explicit sub-path scan (the _probe_scan shape)
+                df = (self.spark.read.option("basePath", pdir)
+                      .parquet(*subs))
+            else:
+                df = self.spark.createDataFrame([], _scan_schema())
         else:
             df = self.spark.read.parquet(pdir)
         if transform is not None:
@@ -1479,7 +1523,27 @@ class TimeStore:
             out.write.mode("overwrite").partitionBy(*pcols)
             .parquet(new_dir)
         )
-        if int(obs.get["n_rows"] or 0) == 0:
+        cloned = 0
+        if prune_partitions is not None:
+            # Carry the untouched partitions of the old generation
+            # into the new one at metadata rate (see the docstring).
+            # This happens BEFORE the flip, so a crash mid-clone
+            # leaves the same recoverable orphan a crashed write does.
+            touched = {(int(e), int(b)) for e, b in prune_partitions}
+            for ename in self.fs.list_dirs(pdir):
+                if not ename.startswith("epoch="):
+                    continue
+                e = int(ename.split("=", 1)[1])
+                for bname in self.fs.list_dirs(f"{pdir}/{ename}"):
+                    if not bname.startswith("bucket="):
+                        continue
+                    b = int(bname.split("=", 1)[1])
+                    if (e, b) in touched:
+                        continue
+                    cloned += self.fs.clone_dir_tree(
+                        f"{pdir}/{ename}/{bname}",
+                        f"{new_dir}/{ename}/{bname}")
+        if int(obs.get["n_rows"] or 0) == 0 and cloned == 0:
             # The transform drained the generation (e.g. vacuum of a
             # fully-tombstoned KV).  A zero-file parquet dir is
             # unreadable (UNABLE_TO_INFER_SCHEMA — found by the KV

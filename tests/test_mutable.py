@@ -879,6 +879,91 @@ def test_merge_into_steady_state_assoc_path(store):
     assert store.verify(kv.ns)["ok"]
 
 
+def test_merge_into_prunes_untouched_buckets(store):
+    # r15 (VERDICT r14 #3): on a folded view with a single-entry
+    # index, merge_into rewrites ONLY the buckets holding batch keys;
+    # every other bucket's files are carried into the new generation
+    # byte-identically (hardlinked on file://, so same inode), never
+    # read or written through Spark.  Semantics must stay exactly the
+    # differential law's.
+    import glob
+    import os
+
+    import pyspark.sql.functions as F  # noqa: F401
+
+    kv = MutableKV(store, "PRUNE")
+    mrg = lambda new, old: old + b"|" + new  # noqa: E731
+    kv.insert_bulk(store.spark.createDataFrame(
+        [(k, bytearray(f"v{k}".encode()), k) for k in range(1, 80, 2)],
+        "key long, value binary, seq long"))
+    first = store.spark.createDataFrame(
+        [(k, bytearray(b"A"), 0) for k in range(1, 80, 4)],
+        "key long, value binary, seq long")
+    kv.merge_into(first, mrg)                       # fold everything
+    meta1 = store._read_meta(kv.ns)
+    assert meta1.kv_folded
+
+    def bucket_files(pdir):
+        out = {}
+        for f in glob.glob(f"{pdir}/epoch=*/bucket=*/part-*"):
+            rel = os.path.relpath(f, pdir)
+            out.setdefault(rel.rsplit("/", 1)[0], []).append(
+                (rel, os.stat(f).st_ino))
+        return out
+
+    pdir1 = store._points_dir(kv.ns, meta1)
+    before = bucket_files(pdir1)
+
+    batch_keys = (1, 5, 9)
+    touched = {f"epoch=0/bucket={((k | 1) & -2) % 128}"
+               for k in batch_keys}
+    second = store.spark.createDataFrame(
+        [(k, bytearray(b"B"), 0) for k in batch_keys],
+        "key long, value binary, seq long")
+    kv.merge_into(second, mrg)
+    meta2 = store._read_meta(kv.ns)
+    assert meta2.kv_folded
+    assert meta2.points_version == meta1.points_version + 1
+    after = bucket_files(store._points_dir(kv.ns, meta2))
+
+    assert set(before) == set(after)            # no bucket lost
+    n_linked = 0
+    for bdir, files in after.items():
+        if bdir in touched:
+            continue
+        # untouched bucket: same file list, same inodes (hardlink —
+        # byte identity without a copy)
+        assert files == before[bdir], bdir
+        n_linked += 1
+    assert n_linked > 0
+    for bdir in touched:
+        assert after[bdir] != before[bdir], f"{bdir} was not rewritten"
+
+    # semantics: equal to the insert_bulk + merge_with twin
+    twin = MutableKV(store, "PRUNETWIN")
+    twin.insert_bulk(store.spark.createDataFrame(
+        [(k, bytearray(f"v{k}".encode()), k) for k in range(1, 80, 2)],
+        "key long, value binary, seq long"))
+    twin.insert_bulk(first)
+    twin.insert_bulk(second)
+    expect = {r.key: bytes(r.value)
+              for r in twin.merge_with(mrg).collect()}
+    got = {r.key: bytes(r.value) for r in kv.enumerate().collect()}
+    assert got == expect
+    assert store.verify(kv.ns)["ok"]
+
+    # a fresh key whose bucket has no directory yet: the pruned scan
+    # must treat it as an empty chain and the write must create the
+    # new bucket dir alongside the linked ones
+    fresh = store.spark.createDataFrame(
+        [(100001, bytearray(b"NEW"), 0)],
+        "key long, value binary, seq long")
+    kv.merge_into(fresh, mrg)
+    assert kv.lookup(100001) == b"NEW"
+    assert kv.lookup(1) == got[1]
+    assert store.verify(kv.ns)["ok"]
+
+
 def test_vacuum_marks_folded(store):
     store.register_namespace("VACF", buckets=4)
     kv = MutableKV(store, "VACF")
