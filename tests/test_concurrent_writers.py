@@ -22,6 +22,7 @@ def _write(store, ns, rows, **kw):
     store.write_points(ns, df, **kw)
 
 
+@pytest.mark.slow  # soak/fuzz: excluded from the default run (see pytest.ini)
 def test_meta_cas_counter_100_writers(store):
     # StoreTests.hs:128-157 ported: 100 writers each read the shared
     # document, dally, and write back an increment through the fenced

@@ -249,6 +249,7 @@ def corpus(request, spark, tmp_path_factory):
     return str(root), con
 
 
+@pytest.mark.slow  # soak/fuzz: excluded from the default run (see pytest.ini)
 @pytest.mark.parametrize("name", DOC_QUERIES + EVENT_QUERIES + EMB_QUERIES)
 def test_cross_engine_on_random_corpus(corpus, spark, name):
     root, con = corpus

@@ -191,6 +191,7 @@ def test_compact_preserves_dual_layout_and_reads(dual, spark):
     assert rep["ok"], rep
 
 
+@pytest.mark.slow  # soak/fuzz: excluded from the default run (see pytest.ini)
 def test_write_points_batched_dual_matches_sequential_loop(spark, tmp_path):
     # VERDICT r10 #9 (closes the r10 refusal): the batched backfill on
     # a dual namespace replays the per-kind fold — identical per-kind
@@ -247,6 +248,7 @@ def test_write_points_batched_dual_matches_sequential_loop(spark, tmp_path):
         assert rep["ok"], rep
 
 
+@pytest.mark.slow  # soak/fuzz: excluded from the default run (see pytest.ini)
 def test_streaming_ingest_into_dual_namespace(spark, tmp_path):
     # stream_points rides write_points, so dual routing comes free —
     # certify it: micro-batched mixed-kind ingest reads back exactly,

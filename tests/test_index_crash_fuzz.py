@@ -36,6 +36,7 @@ def _queries(spark, n=3):
             for r in rows]
 
 
+@pytest.mark.slow  # soak/fuzz: excluded from the default run (see pytest.ini)
 def test_hnswidx_crash_fuzz_strided(spark, tmp_path):
     from rados_timestore_spark.hnsw import HNSWIndex
 
@@ -86,6 +87,7 @@ def test_hnswidx_crash_fuzz_strided(spark, tmp_path):
         assert got == want, f"fuel={fuel}: {got[0]} != {want[0]}"
 
 
+@pytest.mark.slow  # soak/fuzz: excluded from the default run (see pytest.ini)
 def test_vecidx_crash_fuzz_strided(spark, tmp_path):
     from rados_timestore_spark.vector_index import (
         VectorIndex, VectorIndexNotBuilt,

@@ -1,6 +1,7 @@
 """Mutable KV laws — ports tests/UnitTests.hs:75-88 and the
 propMutableStore law (tests/FuzzyTests.hs:122-147)."""
 
+import pytest
 import random
 
 from hypothesis import HealthCheck, given, settings
@@ -34,6 +35,7 @@ def test_insert_with_merge(store):
     assert kv.lookup(4) == b"ab"
 
 
+@pytest.mark.slow  # soak/fuzz: excluded from the default run (see pytest.ini)
 def test_enumerate_latest_per_key(store):
     # propMutableStore: lookup/enumerate return the LAST insert per key.
     store.register_namespace("PONY", buckets=4)
@@ -406,6 +408,7 @@ _OP = st.one_of(
     max_examples=5, deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow  # soak/fuzz: excluded from the default run (see pytest.ini)
 @given(ops=st.lists(_OP, min_size=1, max_size=6))
 def test_mutable_kv_differential_fuzz(spark, tmp_path_factory, ops):
     # Every public mutation in one random program, engine vs the
@@ -717,6 +720,7 @@ def test_merge_fence_upgrade_seed_applies_on_fresh_batch_too(store):
     assert kv.lookup(2) == b"a|a|a"
 
 
+@pytest.mark.slow  # soak/fuzz: excluded from the default run (see pytest.ini)
 def test_merge_fences_lru_capped(store):
     # ADVICE r12 #4: lineage fences accumulate one entry per
     # checkpoint reset forever; the LRU cap bounds the meta document.

@@ -38,6 +38,7 @@ def _strides(total: int, points: int = 5) -> list[int]:
     return sorted(ks)
 
 
+@pytest.mark.slow  # soak/fuzz: excluded from the default run (see pytest.ini)
 def test_store_crash_fuzz_strided(spark, tmp_path):
     FSC = countdown_fs_class()
     ev = spark.read.parquet(f"{SF}/events.parquet")
@@ -139,6 +140,7 @@ def test_store_crash_fuzz_strided(spark, tmp_path):
         shutil.rmtree(work, ignore_errors=True)
 
 
+@pytest.mark.slow  # soak/fuzz: excluded from the default run (see pytest.ini)
 def test_store_rollover_crash_fuzz_strided(spark, tmp_path):
     # rollover_bytes=1: every write triggers _maybe_rollover's epoch
     # cut + CAS, so the kill points land inside the R1 maintenance
