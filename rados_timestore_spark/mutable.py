@@ -41,7 +41,8 @@ MUTABLE_BUCKETS = 128  # StoreHelpers.hs:151-154
 def _fold_chain_groups(df: DataFrame, order_cols: tuple,
                        fold_group: Callable[[pd.DataFrame], dict | None],
                        out_schema: str,
-                       key_col: str = "address") -> DataFrame:
+                       key_col: str = "address",
+                       shuffle_cols: tuple | None = None) -> DataFrame:
     """Grouped chain fold in ONE ``mapInPandas`` pass: hash-shuffle by
     ``key_col``, sort every partition by ``(key, *order_cols)``, then
     stream the sorted Arrow batches through a single Python worker per
@@ -64,6 +65,15 @@ def _fold_chain_groups(df: DataFrame, order_cols: tuple,
     ``fold_group`` receives one key's rows as a pandas DataFrame IN
     ``order_cols`` ORDER and returns a dict row (column names must
     match ``out_schema``) or ``None`` to drop the key.
+
+    ``shuffle_cols`` (r15, guide §2.4): hash the exchange on these
+    columns instead of ``key_col``.  Legal whenever they are a pure
+    FUNCTION of the key (e.g. the store's (epoch, bucket) layout under
+    a single-entry index) — every key's rows still land in one
+    partition and the within-partition sort keeps them contiguous —
+    and it lets the caller write the fold output partitioned by
+    layout WITHOUT a second exchange: two operations keyed
+    compatibly share one shuffle.
     """
     import numpy as np
 
@@ -93,8 +103,8 @@ def _fold_chain_groups(df: DataFrame, order_cols: tuple,
             if r is not None:
                 yield pd.DataFrame([r])
 
-    shuffled = df.repartition(key_col).sortWithinPartitions(
-        key_col, *order_cols)
+    shuffled = df.repartition(*(shuffle_cols or (key_col,)))
+    shuffled = shuffled.sortWithinPartitions(key_col, *order_cols)
     return shuffled.mapInPandas(run, out_schema)
 
 
@@ -700,9 +710,15 @@ class MutableKV:
         # exactly that fixed single-epoch 128-bucket map).  The
         # touched-bucket set costs one bounded aggregate over the
         # batch keys (<= n_buckets rows however large the batch).
+        # A single-entry, non-dual index makes placement a pure
+        # function of the address (epoch and bucket count constant) —
+        # the precondition for BOTH the bucket-pruned rewrite below
+        # and the layout-keyed fold (guide §2.4) that lets the merge
+        # write without a second exchange.
+        layout_const = (meta0 is not None and not meta0.dual
+                        and len(meta0.index_for(1).entries) == 1)
         prune = None
-        if (folded_steady and not meta0.dual
-                and len(meta0.index_for(1).entries) == 1):
+        if folded_steady and layout_const:
             from rados_timestore_spark.core import word64_pmod
 
             e0, b0 = meta0.index_for(1).entries[0]
@@ -896,6 +912,21 @@ class MutableKV:
                 "address", "time", "payload", "seq",
                 F.lit(0).alias("__src"))
             allrows = chain.unionByName(batch)
+            if layout_const:
+                # Layout-keyed fold (r15, guide §2.4): bucket is a
+                # pure function of the address under the gate, so
+                # hashing the fold exchange on (epoch, bucket) keeps
+                # every chain contiguous in one task AND leaves the
+                # fold output already grouped the way the partitioned
+                # writer needs it — the shape_rewrite exchange is
+                # skipped (pre_shaped below): ONE shuffle of the view
+                # per merge instead of two.
+                allrows = allrows.withColumn(
+                    "epoch", idx.epoch_col("time").cast("long")
+                ).withColumn(
+                    "bucket",
+                    place_bucket_by_index(idx, "time", "address")
+                    .cast("long"))
 
             def fold(pdf: pd.DataFrame) -> dict | None:
                 # rows arrive pre-sorted by (__src, time, seq) — the
@@ -922,7 +953,9 @@ class MutableKV:
 
             out = _fold_chain_groups(
                 allrows, ("__src", "time", "seq"), fold,
-                "address long, time long, payload binary")
+                "address long, time long, payload binary",
+                shuffle_cols=("epoch", "bucket") if layout_const
+                else None)
             full = (
                 out.withColumn("value", F.lit(None).cast("long"))
                 .withColumn("seq", F.lit(0).cast("long"))
@@ -939,7 +972,7 @@ class MutableKV:
         self.store._rewrite_generation(
             self.ns, transform, meta_update=_fence,
             allow_missing=batch_id is not None,
-            prune_partitions=prune)
+            prune_partitions=prune, pre_shaped=layout_const)
 
     def enumerate_versions(self) -> DataFrame:
         # Folded views (see :meth:`enumerate`) skip the argmax: one

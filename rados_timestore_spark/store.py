@@ -1431,6 +1431,7 @@ class TimeStore:
                             meta_update=None,
                             allow_missing: bool = False,
                             prune_partitions=None,
+                            pre_shaped: bool = False,
                             ) -> None:
         """Shared generation-flip rewrite: read the live points
         generation, apply ``transform`` (row-preserving or
@@ -1457,7 +1458,14 @@ class TimeStore:
         not-yet-live ``points_v{v+1}`` orphan the write does, and the
         flip/delete sequence is identical.  Only plain
         ``(epoch, bucket)`` layouts qualify; dual-index (``kind``-led)
-        layouts fall back to the full rewrite."""
+        layouts fall back to the full rewrite.
+
+        ``pre_shaped`` (r15, guide §2.4): the caller certifies its
+        transform output already keeps each (epoch, bucket) group
+        within a bounded number of tasks (e.g. merge_into's fold
+        shuffles BY the layout columns), so the shape_rewrite exchange
+        is skipped and only the writer's within-partition sort runs —
+        one shuffle for fold+layout instead of two."""
         from pyspark.sql import Observation
 
         from rados_timestore_spark.core import kind_col
@@ -1496,8 +1504,11 @@ class TimeStore:
         next_version = meta.points_version + 1
         new_dir = f"{self._ns_dir(ns)}/points_v{next_version}"
         pcols = meta.part_cols()
-        out = shape_rewrite(df, pcols, target_partitions_per_bucket,
-                            sort_within)
+        if pre_shaped:
+            out = df.sortWithinPartitions(*pcols, *(sort_within or ()))
+        else:
+            out = shape_rewrite(df, pcols, target_partitions_per_bucket,
+                                sort_within)
         # Watermark fold (ADVICE r10): a transform may EMIT rows above
         # the recorded watermarks — MutableKV.merge_into lands merged
         # heads at head_version + n_batch — and persisting them without
