@@ -103,7 +103,16 @@ def _fold_chain_groups(df: DataFrame, order_cols: tuple,
             if r is not None:
                 yield pd.DataFrame([r])
 
-    shuffled = df.repartition(*(shuffle_cols or (key_col,)))
+    if shuffle_cols:
+        # layout-keyed fold feeding a pre-shaped partitioned write:
+        # pin the partition count so AQE's byte-based coalescing
+        # cannot serialize the per-file commit cost of the write
+        # stage above (see store.shape_rewrite) — nor the Python
+        # fold itself
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        shuffled = df.repartition(n, *shuffle_cols)
+    else:
+        shuffled = df.repartition(key_col)
     shuffled = shuffled.sortWithinPartitions(key_col, *order_cols)
     return shuffled.mapInPandas(run, out_schema)
 

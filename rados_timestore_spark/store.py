@@ -2009,16 +2009,31 @@ def shape_rewrite(df: DataFrame, pcols: Sequence[str],
     Module-level (not a TimeStore method) so test_plans can pin the
     exchange shape — hashpartitioning on the layout columns, never
     SinglePartition/round-robin — without standing up a store.
+
+    The partition COUNT is pinned to the session's
+    ``spark.sql.shuffle.partitions`` (r15): an un-counted
+    ``repartition(cols)`` is AQE-coalescible, and AQE reasons in
+    BYTES — on a small-bytes rewrite it merges the exchange into one
+    task, which then commits every bucket file serially (~15 ms per
+    parquet open/close: measured 4.4 s -> 1.5 s on a 256-bucket write
+    by pinning the count).  Partitioned-write cost is per-FILE, not
+    per-byte, so the writer stage must keep the session's parallelism.
+    At scale this is a no-op: shuffle.partitions is the documented
+    scale knob (2-3x cluster cores in production) and bucket bytes are
+    far above the advisory size, so AQE would not have coalesced.
+    Each (epoch, bucket) group still hashes wholly into one task —
+    file counts are unchanged at any N.
     """
     pcols = list(pcols)
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     if target_partitions_per_bucket <= 1:
-        out = df.repartition(*pcols)
+        out = df.repartition(n_part, *pcols)
     else:
         out = df.withColumn(
             "__file",
             F.pmod(F.hash("address"),
                    F.lit(int(target_partitions_per_bucket))))
-        out = out.repartition(*pcols, "__file").drop("__file")
+        out = out.repartition(n_part, *pcols, "__file").drop("__file")
     if sort_within:
         # Partition columns lead the sort: the partitioned writer
         # re-sorts each task by the partition cols unless the

@@ -91,6 +91,22 @@ _CENT_MARKER = "_cent_meta.json"
 _RETRAIN_MARKER = "_retrain.json"
 
 
+def _bucket_shaped(df: DataFrame) -> DataFrame:
+    """Hash each bucket wholly into one task AT THE SESSION'S SHUFFLE
+    PARALLELISM before a bucket-partitioned write (r15; same rationale
+    as ``store.shape_rewrite``): an un-counted ``repartition("bucket")``
+    is AQE-coalescible, and AQE reasons in bytes — on a small-bytes
+    index write it merges the exchange into ONE task, which then
+    commits all k bucket files serially (~15 ms per parquet
+    open/close; measured 4.4 s -> 1.5 s on the k=256 assignment
+    write).  Pinning the count keeps the writer stage parallel where
+    the cost is per-file; at scale it is a no-op (bucket bytes far
+    exceed the advisory size, so AQE would not have coalesced) and the
+    file count stays exactly k at any N."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, "bucket")
+
+
 def _app_tag(app_id: str) -> str:
     """Filesystem-safe stable tag for an ingest lineage id — embedded
     in per-batch file prefixes so two lineages' equal batch ids never
@@ -865,7 +881,7 @@ class VectorIndex:
         # (tasks x k tiny files at scale; serially-committed dirs on
         # a narrow local read).  The observe sits between the
         # exchange and the write, directly under the write as before.
-        assigned = assigned.repartition("bucket")
+        assigned = _bucket_shaped(assigned)
         obs = Observation()
         assigned = assigned.observe(
             obs, F.count(F.lit(1)).alias("n_rows"))
@@ -911,7 +927,7 @@ class VectorIndex:
             pq_cb=(self._load_pq(ns, doc)
                    if "pq" in doc else None),
             pq_residual=bool(doc.get("pq", {}).get("residual")))
-        (assigned.repartition("bucket").write.mode("append")
+        (_bucket_shaped(assigned).write.mode("append")
          .partitionBy("bucket").parquet(self._assignments_dir(ns)))
         # recount, don't increment: keeps `n_vectors == count(rows)`
         # an invariant even after a crash-and-retry of this
@@ -998,7 +1014,7 @@ class VectorIndex:
         # cache route and its query-scoped lifecycle doesn't fit an
         # index verb); the dedup then rewrites the stage from the
         # stage itself, so assignment runs exactly once.
-        (assigned.repartition("bucket").write.mode("overwrite")
+        (_bucket_shaped(assigned).write.mode("overwrite")
          .partitionBy("bucket").parquet(stage))
         # The per-batch file prefix must be scoped like the fence:
         # two lineages both have a "batch 0", and an unscoped b0-
@@ -1044,7 +1060,7 @@ class VectorIndex:
             dstage = f"{stage}.dedup"
             if self.fs.exists(dstage):
                 self.fs.delete(dstage, recursive=True)
-            (fresh.repartition("bucket").write.mode("overwrite")
+            (_bucket_shaped(fresh).write.mode("overwrite")
              .partitionBy("bucket").parquet(dstage))
             self.fs.delete(stage, recursive=True)
             if not self.fs.rename(dstage, stage):
@@ -1227,7 +1243,7 @@ class VectorIndex:
         # O(n*k*dim) re-assignment pass (review finding); cost is
         # m*ksub*dsub per vector
         encoded = _append_pq_codes(scan.drop("pq_code"), CBm, res=res)
-        (encoded.repartition("bucket").write.mode("overwrite")
+        (_bucket_shaped(encoded).write.mode("overwrite")
          .partitionBy("bucket").parquet(staging))
         # promote: codebooks, then assignments, then the meta commit —
         # _load_pq's gen cross-check makes every window in between a
@@ -1526,9 +1542,9 @@ class VectorIndex:
         staging = f"{live}.deleting"
         if self.fs.exists(staging):
             self.fs.delete(staging, recursive=True)
-        (survivors.repartition("bucket").write.mode("overwrite")
+        (_bucket_shaped(survivors).write.mode("overwrite")
          .partitionBy("bucket").parquet(staging))
-        for b in affected:
+        def swap(b) -> None:
             old = f"{live}/bucket={b}.old"
             if not self.fs.rename(f"{live}/bucket={b}", old):
                 raise IOError(f"delete({ns!r}): cannot move bucket {b}")
@@ -1540,6 +1556,26 @@ class VectorIndex:
                         f"delete({ns!r}): swap failed for bucket {b}")
             # else: the bucket held only victims — it simply vanishes
             self.fs.delete(old, recursive=True)
+
+        # Per-bucket swaps are independent metadata ops (each bucket's
+        # own rename/rename/delete triple); issue them from a small
+        # thread pool like promote_dir_tree's renames — serially this
+        # loop was 3-4 py4j round trips x affected buckets (~3 s of a
+        # 9 s delete at k=256; at k=4096 it would dominate the verb).
+        # Failure semantics unchanged: an error propagates and leaves
+        # some buckets swapped and some not — exactly the partial
+        # state a mid-loop crash always left, recovered by replaying
+        # the delete (remaining victims found) and the recount below.
+        if len(affected) > 4:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                    max_workers=min(16, len(affected))) as pool:
+                for _ in pool.map(swap, affected):
+                    pass
+        else:
+            for b in affected:
+                swap(b)
         self.fs.delete(staging, recursive=True)
         doc = self.meta(ns)
         # RECOUNT from the live table, never decrement (the HNSW r11
@@ -1591,7 +1627,7 @@ class VectorIndex:
         df = self.spark.read.parquet(live)
         # hash-distribute buckets, then partitionBy: each bucket lives
         # in exactly one task => exactly one file per bucket directory
-        (df.repartition("bucket").write.mode("overwrite")
+        (_bucket_shaped(df).write.mode("overwrite")
          .partitionBy("bucket").parquet(staging))
         if not self.fs.rename(live, old):
             raise IOError(f"compact({ns!r}): cannot move live dir aside")
@@ -1757,7 +1793,7 @@ class VectorIndex:
         from pyspark.sql import Observation
 
         obs = Observation()
-        assigned = assigned.repartition("bucket").observe(
+        assigned = _bucket_shaped(assigned).observe(
             obs, F.count(F.lit(1)).alias("n_rows"))
         (assigned.write.mode("overwrite")
          .partitionBy("bucket").parquet(assign_stage))
