@@ -94,6 +94,23 @@ def _bump_mtimes(spark: SparkSession, paths, bump_epoch_s: float) -> None:
         fs.fs.setTimes(fs._path(p), int(bump_epoch_s * 1000), -1)
 
 
+def _write_src_observing_span(pts, src: str, n_files: int = 3):
+    """Write the streaming source fixture and return ``(lo, hi)`` of
+    its ``t`` column, observed ON the write itself (guide §1.4
+    piggyback, r15): the separate ``agg(min, max).collect()`` these
+    certificates ran first was a second full pass over the fixture
+    purely to size the lateness bound.  The Observation returns the
+    identical values; fixtures are non-empty by construction so the
+    empty-metrics trap cannot fire."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    (pts.observe(obs, F.min("t").alias("lo"), F.max("t").alias("hi"))
+        .repartition(n_files).write.parquet(src))
+    got = obs.get
+    return int(got["lo"]), int(got["hi"])
+
+
 def _await(q, secs: int = 300) -> None:
     """awaitTermination with a LOUD timeout — returning partial sink
     contents on a hung query is a silent wrong answer (r7 review)."""
@@ -349,11 +366,10 @@ def streaming_asof_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
     )
-    lo, hi = pts.agg(F.min("t"), F.max("t")).collect()[0]
-    delay_us = int(hi) - int(lo) + 1
     work = stream_workdir(spark, "ts_stream_asofx_")
     src, out, ck = f"{work}/src", f"{work}/out", f"{work}/ck"
-    pts.repartition(3).write.parquet(src)
+    lo, hi = _write_src_observing_span(pts, src)
+    delay_us = int(hi) - int(lo) + 1
     # Flush sentinels: one per key, event_type '__flush__', t beyond
     # every real row's t + delay; written as a SECOND commit whose
     # files get a strictly later mtime, so the file source (ordered by
@@ -420,11 +436,10 @@ def streaming_asof_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
     )
-    lo, hi = pts.agg(F.min("t"), F.max("t")).collect()[0]
-    delay_us = int(hi) - int(lo) + 1
     work = stream_workdir(spark, "ts_stream_asofupd_")
     src, out, ck = f"{work}/src", f"{work}/out", f"{work}/ck"
-    pts.repartition(3).write.parquet(src)
+    lo, hi = _write_src_observing_span(pts, src)
+    delay_us = int(hi) - int(lo) + 1
 
     with _few_state_partitions(spark):
         stream = (
@@ -491,11 +506,10 @@ def streaming_asof_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
     )
-    lo, hi = pts.agg(F.min("t"), F.max("t")).collect()[0]
-    span_s = (int(hi) - int(lo)) // 1_000_000 + 1
     work = stream_workdir(spark, "ts_stream_asofwm_")
     src, out, ck = f"{work}/src", f"{work}/out", f"{work}/ck"
-    pts.repartition(3).write.parquet(src)
+    lo, hi = _write_src_observing_span(pts, src)
+    span_s = (int(hi) - int(lo)) // 1_000_000 + 1
     before = _list_parts(spark, src)
     one_slice_df(
         spark,
@@ -1031,11 +1045,10 @@ def streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
         .alias("v"),
     )
-    lo, hi = pts.agg(F.min("t"), F.max("t")).collect()[0]
-    delay_us = int(hi) - int(lo) + 1
     work = stream_workdir(spark, "ts_stream_ewma_")
     src, out, ck = f"{work}/src", f"{work}/out", f"{work}/ck"
-    pts.repartition(3).write.parquet(src)
+    lo, hi = _write_src_observing_span(pts, src)
+    delay_us = int(hi) - int(lo) + 1
     sent_t = int(hi) + delay_us + 1
     before = _list_parts(spark, src)
     pts.select("user_id").distinct().select(
@@ -1109,11 +1122,10 @@ def streaming_rolling_median(spark: SparkSession,
         F.expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
         .alias("v"),
     )
-    lo, hi = pts.agg(F.min("t"), F.max("t")).collect()[0]
-    delay_us = int(hi) - int(lo) + 1
     work = stream_workdir(spark, "ts_stream_median_")
     src, out, ck = f"{work}/src", f"{work}/out", f"{work}/ck"
-    pts.repartition(3).write.parquet(src)
+    lo, hi = _write_src_observing_span(pts, src)
+    delay_us = int(hi) - int(lo) + 1
     sent_t = int(hi) + delay_us + 1
     before = _list_parts(spark, src)
     pts.select("user_id").distinct().select(
