@@ -26,7 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
-from rados_timestore_spark.queries_common import load, load_parallel, pin
+from rados_timestore_spark.queries_common import (load, load_parallel, pin,
+                                                   pin_stats)
 from rados_timestore_spark.registry import register
 
 _WORDS_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
@@ -621,40 +622,51 @@ def _connected_components(spark: SparkSession, edges: DataFrame) -> DataFrame:
     # exceeded, where count() was a complete extra pass over the
     # verified-pairs relation before the real work started.  When the
     # limit comes back under the cap, the collected rows ARE the
-    # union-find input — one action either way.
-    probe = edges.limit(_CC_LOCAL_MAX_EDGES + 1).collect()
+    # union-find input — one action either way.  toPandas rides the
+    # Arrow transfer (r15): a row collect() pickles every edge (~5 s
+    # at 800k edges, and it was the anti-scaling term of the 100x
+    # core-scaling probe); the Arrow path is a columnar copy.
+    import numpy as np
+
+    probe = edges.limit(_CC_LOCAL_MAX_EDGES + 1).toPandas()
     if len(probe) <= _CC_LOCAL_MAX_EDGES:
-        parent: dict[int, int] = {}
-
-        def find(x: int) -> int:
-            root = x
-            while parent[root] != root:
-                root = parent[root]
-            while parent[x] != root:  # path compression
-                parent[x], x = root, parent[x]
-            return root
-
-        for a, b in probe:
-            if a not in parent:
-                parent[a] = a
-            if b not in parent:
-                parent[b] = b
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[ra] = rb
-        rep: dict[int, int] = {}
-        for node in parent:
-            r = find(node)
-            rep[r] = min(rep.get(r, node), node)
-        rows = [(node, rep[find(node)]) for node in parent]
-        if len(rows) <= 1 << 16:
+        # positional: callers pass (doc_a, doc_b) or (vec_a, vec_b)
+        a = probe.iloc[:, 0].to_numpy(dtype=np.int64)
+        b = probe.iloc[:, 1].to_numpy(dtype=np.int64)
+        # Dense relabel: np.unique sorts ascending, so the minimum
+        # dense INDEX in a component is the minimum doc_id — min-id
+        # propagation over indices yields exactly the union-find
+        # min-rep labels the loop used to compute, at C speed.
+        ids = np.unique(np.concatenate([a, b]))
+        u = np.searchsorted(ids, a)
+        v = np.searchsorted(ids, b)
+        lab = np.arange(len(ids), dtype=np.int64)
+        while True:
+            # one hop along every edge (both directions), then a
+            # pointer-doubling shortcut — the same two-step round as
+            # the distributed path below, O(log n) rounds
+            m = np.minimum(lab[u], lab[v])
+            nxt = lab.copy()
+            np.minimum.at(nxt, u, m)
+            np.minimum.at(nxt, v, m)
+            nxt = np.minimum(nxt, nxt[nxt])
+            if np.array_equal(nxt, lab):
+                break
+            lab = nxt
+        reps = ids[lab]
+        if len(ids) <= 1 << 16:
             # driver-built result: one pickled slice, not 32 (see
-            # core.one_slice_df); above that keep the default slicing
-            # so a near-cap probe result still parallelizes
+            # core.one_slice_df); above that the Arrow createDataFrame
+            # ships columnar batches
             from rados_timestore_spark.core import one_slice_df
 
+            rows = list(zip(ids.tolist(), reps.tolist()))
             return one_slice_df(spark, rows, "doc_id long, rep long")
-        return spark.createDataFrame(rows, "doc_id long, rep long")
+        import pandas as pd
+
+        return spark.createDataFrame(
+            pd.DataFrame({"doc_id": ids, "rep": reps}),
+            "doc_id long, rep long")
 
     # Distributed path: min-id label propagation with TWO-HOP pointer
     # doubling — the star-contraction trick of the large-star/small-star
@@ -774,7 +786,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # One fused UDF pass yields shingle sets (verify) AND signatures
     # (banding); persisted once for all consumers.
-    sh = _mh_sig_docs(spark, sf_dir).transform(pin)
+    sh = _mh_sig_docs(spark, sf_dir).transform(pin_stats)
     bands = _mh_banded_spark(sh).transform(pin)
     cand = _salted_candidates(bands)
 
@@ -842,7 +854,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole LSH pipeline rather than rows-only.  Candidates come from
     the salted band join (:func:`_salted_candidates`) so a hot bucket
     never lands its k^2 pairs on one task."""
-    sh = _mh_sig_docs(spark, sf_dir).transform(pin)
+    sh = _mh_sig_docs(spark, sf_dir).transform(pin_stats)
     bands = _mh_banded_spark(sh)
     cand = _salted_candidates(bands)
     j = (
