@@ -4,7 +4,7 @@ Usage::
 
     python tools/capture_plans.py <suffix> [query ...]
 
-Writes ``plans/r14/<query>_<suffix>.txt`` for each selected query
+Writes ``plans/<round>/<query>_<suffix>.txt`` (round from $PLANS_ROUND, default r15) for each selected query
 (default: every bench-tagged query).  The plan is the registered
 query's returned frame, captured WITHOUT executing its action — except
 that query functions with eager side effects (streaming sinks, staged
@@ -27,7 +27,7 @@ def main() -> None:
     suffix = sys.argv[1]
     only = set(sys.argv[2:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(REPO, "plans", "r14")
+    out_dir = os.path.join(REPO, "plans", os.environ.get("PLANS_ROUND", "r15"))
     os.makedirs(out_dir, exist_ok=True)
 
     from rados_timestore_spark import registry
