@@ -737,7 +737,14 @@ class MutableKV:
                         F.col("key").bitwiseAND(F.lit(-2)),
                         F.lit(int(b0))).alias("__b"))
                 .distinct().collect())
-            prune = [(int(e0), int(r["__b"])) for r in brows]
+            if any(r["__b"] is None for r in brows):
+                # NULL update key: its placement is undefined, so no
+                # pruned set can be proven to cover it — fall back to
+                # the full rewrite (the pre-r15 behavior for exactly
+                # this malformed input)
+                prune = None
+            else:
+                prune = [(int(e0), int(r["__b"])) for r in brows]
 
         def fold_partition(batches):
             # Partition-local partial fold for the associative path:
