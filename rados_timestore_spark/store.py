@@ -1541,15 +1541,27 @@ class TimeStore:
             # This happens BEFORE the flip, so a crash mid-clone
             # leaves the same recoverable orphan a crashed write does.
             touched = {(int(e), int(b)) for e, b in prune_partitions}
+
+            def _part_val(name: str) -> int | None:
+                # a non-numeric partition value (e.g. a legacy NULL
+                # row's __HIVE_DEFAULT_PARTITION__) can never be in
+                # the touched set — batch keys place to real buckets —
+                # so it is untouched by definition and gets cloned
+                try:
+                    return int(name.split("=", 1)[1])
+                except ValueError:
+                    return None
+
             for ename in self.fs.list_dirs(pdir):
                 if not ename.startswith("epoch="):
                     continue
-                e = int(ename.split("=", 1)[1])
+                e = _part_val(ename)
                 for bname in self.fs.list_dirs(f"{pdir}/{ename}"):
                     if not bname.startswith("bucket="):
                         continue
-                    b = int(bname.split("=", 1)[1])
-                    if (e, b) in touched:
+                    b = _part_val(bname)
+                    if e is not None and b is not None and (
+                            e, b) in touched:
                         continue
                     cloned += self.fs.clone_dir_tree(
                         f"{pdir}/{ename}/{bname}",
